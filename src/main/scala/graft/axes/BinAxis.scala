@@ -1,0 +1,275 @@
+package graft.axes
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Axis (bin specification) for histogram computation.
+  *
+  * Re-expresses boost-histogram's axis families (see reference
+  * xarray-histogram core.py:467-513 `get_axes_from_specs` and
+  * core.py:524-587 `get_coord`) as Spark Column algebra:
+  *
+  *  - `index(x)`  : value -> bin index (-1 = underflow, 0..n-1 = regular,
+  *                  n = overflow, null = discarded). Built exclusively from
+  *                  `org.apache.spark.sql.functions` so it stays inside
+  *                  whole-stage codegen.
+  *  - `label(i)`  : bin index -> bin LEFT edge / category value, matching the
+  *                  reference's output coordinate (`<var>_bins` holds left
+  *                  edges; flow bins are labelled -inf/+inf, int min/max, or
+  *                  "_flow_bin" — core.py:524-587).
+  *  - `*Sql` twins: the exact same semantics rendered as ANSI SQL for the
+  *                  DuckDB oracle. Literals are printed from the very same
+  *                  Scala doubles, and label/width arithmetic is restricted to
+  *                  IEEE-pinned ops (+,-,*,/) or literal CASE tables so both
+  *                  engines produce bit-identical results.
+  *
+  * Bin semantics follow boost: half-open [left, right); x < lo -> underflow;
+  * x >= hi -> overflow; NaN -> overflow (both engines order NaN above all
+  * doubles).
+  */
+sealed trait BinAxis extends Serializable {
+  /** Variable name; output bins column is s"${name}_bins". */
+  def name: String
+  /** Number of regular (non-flow) bins. */
+  def nBins: Int
+  def underflow: Boolean
+  def overflow: Boolean
+  def binsCol: String = s"${name}_bins"
+
+  def index(x: Column): Column
+  def label(i: Column): Column
+  /** Bin width for density; flow and categorical bins have width 1 (core.py:614-646). */
+  def width(i: Column): Column
+
+  def indexSql(v: String): String
+  def labelSql(i: String): String
+  def widthSql(i: String): String
+
+  protected def d(x: Double): String =
+    if (x == Double.PositiveInfinity) "CAST('infinity' AS DOUBLE)"
+    else if (x == Double.NegativeInfinity) "CAST('-infinity' AS DOUBLE)"
+    else {
+      val s = java.lang.Double.toString(x) // round-trips exactly in both engines
+      s"CAST($s AS DOUBLE)"
+    }
+
+  /** CASE table keyed on bin index — identical literal doubles both engines. */
+  protected def caseTableSql(i: String, regular: Array[Double],
+      under: Option[Double], over: Option[Double]): String = {
+    val sb = new StringBuilder(s"CASE $i")
+    under.foreach(u => sb ++= s" WHEN -1 THEN ${d(u)}")
+    over.foreach(o => sb ++= s" WHEN $nBins THEN ${d(o)}")
+    regular.zipWithIndex.foreach { case (e, k) => sb ++= s" WHEN $k THEN ${d(e)}" }
+    sb ++= " END"
+    sb.toString
+  }
+
+  protected def caseTableCol(i: Column, regular: Array[Double],
+      under: Option[Double], over: Option[Double]): Column = {
+    val base = element_at(typedlit(regular.toSeq), (i + 1).cast("int"))
+    val withOver = over.fold(base)(o => when(i === nBins, lit(o)).otherwise(base))
+    under.fold(withOver)(u => when(i === -1, lit(u)).otherwise(withOver))
+  }
+}
+
+/** Regular axis: n equal bins on [lo, hi); `log=true` gives the
+  * boost `transform.log` axis (bins equal in log space). */
+final case class Regular(name: String, n: Int, lo: Double, hi: Double,
+    underflow: Boolean = true, overflow: Boolean = true,
+    log: Boolean = false) extends BinAxis {
+  require(n > 0 && hi > lo && (!log || lo > 0))
+  def nBins: Int = n
+  private val span = hi - lo
+  private val widthV = span / n
+  private val lnLo = math.log(lo)
+  private val lnSpan = math.log(hi) - lnLo
+  /** Left edges, computed once on the driver; same literals feed both engines. */
+  val edges: Array[Double] =
+    if (log) Array.tabulate(n)(k => math.exp(lnLo + lnSpan * k / n))
+    else Array.tabulate(n)(k => lo + k * widthV)
+  val widths: Array[Double] =
+    if (log) Array.tabulate(n)(k =>
+      (if (k == n - 1) hi else math.exp(lnLo + lnSpan * (k + 1) / n)) - edges(k))
+    else Array.fill(n)(widthV)
+
+  def index(x: Column): Column = {
+    val scaled =
+      if (log) (org.apache.spark.sql.functions.log(x) - lit(lnLo)) / lit(lnSpan) * lit(n.toDouble)
+      else (x - lit(lo)) / lit(span) * lit(n.toDouble)
+    when(x.isNull, lit(null).cast(LongType))
+      .when(x < lit(lo), lit(-1L))
+      .when(x >= lit(hi), lit(n.toLong))
+      .otherwise(least(floor(scaled), lit((n - 1).toLong)))
+  }
+  def indexSql(v: String): String = {
+    val scaled =
+      if (log) s"(LN($v) - ${d(lnLo)}) / ${d(lnSpan)} * ${d(n.toDouble)}"
+      else s"($v - ${d(lo)}) / ${d(span)} * ${d(n.toDouble)}"
+    s"""CASE WHEN $v IS NULL THEN NULL
+       | WHEN $v < ${d(lo)} THEN CAST(-1 AS BIGINT)
+       | WHEN $v >= ${d(hi)} THEN CAST($n AS BIGINT)
+       | ELSE LEAST(CAST(FLOOR($scaled) AS BIGINT), CAST(${n - 1} AS BIGINT)) END""".stripMargin.replaceAll("\n", "")
+  }
+
+  def label(i: Column): Column =
+    caseTableCol(i, edges, Some(Double.NegativeInfinity), Some(Double.PositiveInfinity))
+  def labelSql(i: String): String =
+    caseTableSql(i, edges, Some(Double.NegativeInfinity), Some(Double.PositiveInfinity))
+  def width(i: Column): Column = caseTableCol(i, widths, Some(1.0), Some(1.0))
+  def widthSql(i: String): String = caseTableSql(i, widths, Some(1.0), Some(1.0))
+}
+
+/** Variable axis: explicit (sorted) edges; nBins = edges.length - 1. */
+final case class Variable(name: String, allEdges: Array[Double],
+    underflow: Boolean = true, overflow: Boolean = true) extends BinAxis {
+  require(allEdges.length >= 2 && allEdges.sliding(2).forall(p => p(0) < p(1)))
+  def nBins: Int = allEdges.length - 1
+  val edges: Array[Double] = allEdges.dropRight(1)
+  val widths: Array[Double] = allEdges.sliding(2).map(p => p(1) - p(0)).toArray
+
+  def index(x: Column): Column = {
+    // when-chain over literal edges; O(n) comparisons but fully codegen'd.
+    var c = when(x.isNull, lit(null).cast(LongType))
+      .when(x < lit(allEdges(0)), lit(-1L))
+    for (k <- 1 until allEdges.length)
+      c = c.when(x < lit(allEdges(k)), lit((k - 1).toLong))
+    c.otherwise(lit(nBins.toLong))
+  }
+  def indexSql(v: String): String = {
+    val sb = new StringBuilder(s"CASE WHEN $v IS NULL THEN NULL")
+    sb ++= s" WHEN $v < ${d(allEdges(0))} THEN CAST(-1 AS BIGINT)"
+    for (k <- 1 until allEdges.length)
+      sb ++= s" WHEN $v < ${d(allEdges(k))} THEN CAST(${k - 1} AS BIGINT)"
+    sb ++= s" ELSE CAST($nBins AS BIGINT) END"
+    sb.toString
+  }
+  def label(i: Column): Column =
+    caseTableCol(i, edges, Some(Double.NegativeInfinity), Some(Double.PositiveInfinity))
+  def labelSql(i: String): String =
+    caseTableSql(i, edges, Some(Double.NegativeInfinity), Some(Double.PositiveInfinity))
+  def width(i: Column): Column = caseTableCol(i, widths, Some(1.0), Some(1.0))
+  def widthSql(i: String): String = caseTableSql(i, widths, Some(1.0), Some(1.0))
+}
+
+/** Integer axis: unit bins on [lo, hi) over integer data (bh.axis.Integer).
+  * Flow bins are labelled with Long.Min/MaxValue (core.py:535-552). */
+final case class IntegerAxis(name: String, lo: Long, hi: Long,
+    underflow: Boolean = true, overflow: Boolean = true) extends BinAxis {
+  require(hi > lo)
+  def nBins: Int = (hi - lo).toInt
+  def index(x: Column): Column =
+    when(x.isNull, lit(null).cast(LongType))
+      .when(x < lit(lo), lit(-1L))
+      .when(x >= lit(hi), lit(nBins.toLong))
+      .otherwise(x.cast(LongType) - lit(lo))
+  def indexSql(v: String): String =
+    s"CASE WHEN $v IS NULL THEN NULL WHEN $v < $lo THEN CAST(-1 AS BIGINT)" +
+      s" WHEN $v >= $hi THEN CAST($nBins AS BIGINT)" +
+      s" ELSE CAST($v AS BIGINT) - $lo END"
+  def label(i: Column): Column =
+    when(i === -1, lit(Long.MinValue))
+      .when(i === nBins, lit(Long.MaxValue))
+      .otherwise(i + lit(lo))
+  def labelSql(i: String): String =
+    s"CASE WHEN $i = -1 THEN CAST(-9223372036854775807 - 1 AS BIGINT)" +
+      s" WHEN $i = $nBins THEN CAST(9223372036854775807 AS BIGINT)" +
+      s" ELSE CAST($i + $lo AS BIGINT) END"
+  def width(i: Column): Column = lit(1.0)
+  def widthSql(i: String): String = "CAST(1.0 AS DOUBLE)"
+}
+
+/** IntCategory axis: explicit integer categories; non-members go to the
+  * overflow bin (labelled Long.MaxValue, core.py:554-568) or are dropped. */
+final case class IntCategory(name: String, values: Seq[Long],
+    overflow: Boolean = true) extends BinAxis {
+  def nBins: Int = values.length
+  def underflow: Boolean = false
+  def index(x: Column): Column = {
+    var c = when(x.isNull, lit(null).cast(LongType))
+    values.zipWithIndex.foreach { case (v, k) => c = c.when(x === lit(v), lit(k.toLong)) }
+    c.otherwise(if (overflow) lit(nBins.toLong) else lit(null).cast(LongType))
+  }
+  def indexSql(v: String): String = {
+    val sb = new StringBuilder(s"CASE WHEN $v IS NULL THEN NULL")
+    values.zipWithIndex.foreach { case (x, k) => sb ++= s" WHEN $v = $x THEN CAST($k AS BIGINT)" }
+    sb ++= (if (overflow) s" ELSE CAST($nBins AS BIGINT) END" else " ELSE NULL END")
+    sb.toString
+  }
+  def label(i: Column): Column = {
+    var c = when(i === nBins, lit(Long.MaxValue))
+    values.zipWithIndex.foreach { case (v, k) => c = c.when(i === k, lit(v)) }
+    c.otherwise(lit(null).cast(LongType))
+  }
+  def labelSql(i: String): String = {
+    val sb = new StringBuilder(s"CASE WHEN $i = $nBins THEN CAST(9223372036854775807 AS BIGINT)")
+    values.zipWithIndex.foreach { case (v, k) => sb ++= s" WHEN $i = $k THEN CAST($v AS BIGINT)" }
+    sb ++= " ELSE NULL END"
+    sb.toString
+  }
+  def width(i: Column): Column = lit(1.0)
+  def widthSql(i: String): String = "CAST(1.0 AS DOUBLE)"
+}
+
+/** StrCategory axis: explicit string categories; overflow label "_flow_bin"
+  * (core.py:570-575). */
+final case class StrCategory(name: String, values: Seq[String],
+    overflow: Boolean = true) extends BinAxis {
+  def nBins: Int = values.length
+  def underflow: Boolean = false
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+  def index(x: Column): Column = {
+    var c = when(x.isNull, lit(null).cast(LongType))
+    values.zipWithIndex.foreach { case (v, k) => c = c.when(x === lit(v), lit(k.toLong)) }
+    c.otherwise(if (overflow) lit(nBins.toLong) else lit(null).cast(LongType))
+  }
+  def indexSql(v: String): String = {
+    val sb = new StringBuilder(s"CASE WHEN $v IS NULL THEN NULL")
+    values.zipWithIndex.foreach { case (x, k) => sb ++= s" WHEN $v = ${q(x)} THEN CAST($k AS BIGINT)" }
+    sb ++= (if (overflow) s" ELSE CAST($nBins AS BIGINT) END" else " ELSE NULL END")
+    sb.toString
+  }
+  def label(i: Column): Column = {
+    var c = when(i === nBins, lit("_flow_bin"))
+    values.zipWithIndex.foreach { case (v, k) => c = c.when(i === k, lit(v)) }
+    c.otherwise(lit(null).cast("string"))
+  }
+  def labelSql(i: String): String = {
+    val sb = new StringBuilder(s"CASE WHEN $i = $nBins THEN '_flow_bin'")
+    values.zipWithIndex.foreach { case (v, k) => sb ++= s" WHEN $i = $k THEN ${q(v)}" }
+    sb ++= " ELSE NULL END"
+    sb.toString
+  }
+  def width(i: Column): Column = lit(1.0)
+  def widthSql(i: String): String = "CAST(1.0 AS DOUBLE)"
+}
+
+/** Circular axis: periodic on [lo, hi); every finite value wraps into range
+  * (bh.axis.Circular). No flow bins. */
+final case class Circular(name: String, n: Int, lo: Double, hi: Double)
+    extends BinAxis {
+  require(n > 0 && hi > lo)
+  def nBins: Int = n
+  def underflow: Boolean = false
+  def overflow: Boolean = false
+  private val span = hi - lo
+  val edges: Array[Double] = Array.tabulate(n)(k => lo + k * (span / n))
+  val widths: Array[Double] = Array.fill(n)(span / n)
+
+  def index(x: Column): Column = {
+    val shifted = x - lit(lo)
+    val wrapped = shifted - floor(shifted / lit(span)) * lit(span) // in [0, span)
+    when(x.isNull, lit(null).cast(LongType))
+      .otherwise(least(floor(wrapped / lit(span) * lit(n.toDouble)), lit((n - 1).toLong)))
+  }
+  def indexSql(v: String): String = {
+    val sh = s"($v - ${d(lo)})"
+    val wrapped = s"($sh - FLOOR($sh / ${d(span)}) * ${d(span)})"
+    s"CASE WHEN $v IS NULL THEN NULL ELSE " +
+      s"LEAST(CAST(FLOOR($wrapped / ${d(span)} * ${d(n.toDouble)}) AS BIGINT), CAST(${n - 1} AS BIGINT)) END"
+  }
+  def label(i: Column): Column = caseTableCol(i, edges, None, None)
+  def labelSql(i: String): String = caseTableSql(i, edges, None, None)
+  def width(i: Column): Column = caseTableCol(i, widths, None, None)
+  def widthSql(i: String): String = caseTableSql(i, widths, None, None)
+}

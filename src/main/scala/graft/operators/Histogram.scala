@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.axes.BinAxis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Histogram computation options.
+  *
+  * @param weight      per-row weight column (reference core.py:74 `weights`);
+  *                    bin value becomes the sum of weights.
+  * @param density     normalize to a pdf: cnt / bin_area / total
+  *                    (reference core.py:315,649-663).
+  * @param flow        include under/overflow bins in the output
+  *                    (reference core.py:86 `flow`).
+  * @param dense       materialize empty bins with 0 (the reference returns
+  *                    dense arrays; SQL-sparse output is the default here).
+  * @param intStorage  keep counts as longs (bh.storage.Int64, core.py:29).
+  */
+final case class HistOptions(
+    weight: Option[Column] = None,
+    density: Boolean = false,
+    flow: Boolean = false,
+    dense: Boolean = false,
+    intStorage: Boolean = false)
+
+/** N-dimensional histogram over a DataFrame, re-expressing the reference's
+  * `histogram` / `histogram2d` / `histogramdd` (core.py:46,110,182).
+  *
+  * Data model: one row per array element; the reference's "loop dims" (the
+  * dimensions NOT flattened into the histogram, core.py:271-276) become
+  * GROUP BY columns (`dims`). The whole operator is a single declarative
+  * `groupBy(dims ++ binIdx).agg(sum)` — Catalyst plans it as partial
+  * (map-side) HashAggregate + one shuffle keyed by (dims, bins) + final
+  * HashAggregate, which is exactly the reference's Dask plan of per-chunk
+  * histograms + tree-reduce (core.py:411-464), but engine-managed. Shuffle
+  * volume is bounded by #groups x #bins x #map-partitions, never by input
+  * row count — the property that makes this hold at 100 TB.
+  *
+  * Summation determinism: weighted sums and density totals are accumulated
+  * in DECIMAL(38,10) (exact, associative) and only cast back to double at
+  * the end, so results do not depend on partitioning / aggregation order —
+  * required both for the DuckDB oracle hash-compare and for run-to-run
+  * reproducibility on a cluster.
+  */
+object Histogram {
+
+  def histogram(df: DataFrame, x: Column, axis: BinAxis,
+      dims: Seq[String] = Nil, opts: HistOptions = HistOptions()): DataFrame =
+    histogramdd(df, Seq(x -> axis), dims, opts)
+
+  def histogramdd(df: DataFrame, specs: Seq[(Column, BinAxis)],
+      dims: Seq[String] = Nil, opts: HistOptions = HistOptions()): DataFrame = {
+    require(specs.nonEmpty)
+    val idxNames = specs.indices.map(k => s"__i$k")
+    val dimCols = dims.map(col)
+
+    val projected = df.select(
+      dimCols ++
+        specs.zipWithIndex.map { case ((c, ax), k) => ax.index(c).as(idxNames(k)) } ++
+        opts.weight.map(w => w.cast(DecimalType(38, 10)).as("__w")).toSeq: _*)
+
+    // Sparse-output equivalence of boost flow semantics: an axis without the
+    // underflow trait discards x < lo entirely; with the trait but flow=false
+    // the bin exists but is not returned — identical to dropping the rows.
+    val keep = specs.zipWithIndex.map { case ((_, ax), k) =>
+      val i = col(idxNames(k))
+      val lo = if (opts.flow && ax.underflow) -1L else 0L
+      val hi = if (opts.flow && ax.overflow) ax.nBins.toLong else ax.nBins - 1L
+      i.isNotNull && i >= lit(lo) && i <= lit(hi)
+    }.reduce(_ && _)
+
+    val cntExpr = opts.weight match {
+      case Some(_) => sum(col("__w")).cast("double")
+      case None if opts.intStorage => count(lit(1))
+      case None => count(lit(1)).cast("double")
+    }
+
+    val sparse = projected.filter(keep)
+      .groupBy((dims ++ idxNames).map(col): _*)
+      .agg(cntExpr.as("cnt"))
+
+    val grouped = if (opts.dense) densify(sparse, specs, idxNames, dims, opts) else sparse
+
+    val valued =
+      if (opts.density) {
+        val anyFlow = specs.zipWithIndex.map { case ((_, ax), k) =>
+          col(idxNames(k)) === -1 || col(idxNames(k)) === ax.nBins
+        }.reduce(_ || _)
+        val area = when(anyFlow, lit(1.0)).otherwise(
+          specs.zipWithIndex.map { case ((_, ax), k) => ax.width(col(idxNames(k))) }
+            .reduce(_ * _))
+        val w = Window.partitionBy(dimCols: _*)
+        val total = sum(when(anyFlow, lit(0.0)).otherwise(col("cnt"))
+          .cast(DecimalType(38, 10))).over(w).cast("double")
+        grouped.withColumn("pdf", col("cnt") / area / total).drop("cnt")
+      } else grouped
+
+    val valueName = if (opts.density) "pdf" else "cnt"
+    valued.select(
+      dimCols ++
+        specs.zipWithIndex.map { case ((_, ax), k) =>
+          ax.label(col(idxNames(k))).as(ax.binsCol)
+        } :+ col(valueName): _*)
+  }
+
+  /** Materialize empty bins: full index grid (per-axis ranges incl. flow,
+    * tiny → broadcast) x distinct group keys, left-joined with the sparse
+    * counts. The grid never touches the input relation. */
+  private def densify(sparse: DataFrame, specs: Seq[(Column, BinAxis)],
+      idxNames: Seq[String], dims: Seq[String], opts: HistOptions): DataFrame = {
+    val spark = sparse.sparkSession
+    val grid = specs.zipWithIndex.map { case ((_, ax), k) =>
+      val lo = if (opts.flow && ax.underflow) -1L else 0L
+      val hi = if (opts.flow && ax.overflow) ax.nBins.toLong else ax.nBins - 1L
+      spark.range(lo, hi + 1).select(col("id").as(idxNames(k)))
+    }.reduce(_.crossJoin(_))
+    val keys =
+      if (dims.isEmpty) grid
+      else sparse.select(dims.map(col): _*).distinct().crossJoin(grid)
+    val zero = if (opts.intStorage) lit(0L) else lit(0.0)
+    // Both sides are post-aggregation (bins x groups) — tiny; broadcast the
+    // build side of the left join.
+    keys.join(broadcast(sparse), (dims ++ idxNames).toSeq, "left")
+      .withColumn("cnt", coalesce(col("cnt"), zero))
+  }
+}
