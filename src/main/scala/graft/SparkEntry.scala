@@ -3,10 +3,15 @@ package graft
 import graft.axes._
 import graft.operators.{HistOptions, Histogram}
 import graft.oracle.Oracle
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every queries() entry pairs a Spark plan with a DuckDB oracle generated
+  * from the SAME axis objects (graft.oracle.Oracle), so bin semantics are
+  * defined exactly once.
+  */
 object SparkEntry {
 
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
@@ -20,18 +25,156 @@ object SparkEntry {
       Regular("l_quantity", 25, 0.0, 50.0), dims = Seq("l_returnflag"))
   }
 
-  // Axes reused by both the Spark queries and their oracles — one definition.
+  // ---- Axes: one definition drives both engines ------------------------
   private val axQty = Regular("l_quantity", 25, 0.0, 50.0)
+  private val axQty10 = Regular("l_quantity", 10, 0.0, 50.0)
+  private val axDisc = Regular("l_discount", 11, 0.0, 0.11)
+  private val axTax = Regular("l_tax", 9, 0.0, 0.09)
+  private val axPriceLog = Regular("o_totalprice", 20, 1000.0, 500000.0, log = true)
+  private val axAcctVar = Variable("c_acctbal",
+    Array(-1000.0, -500.0, 0.0, 250.0, 500.0, 1000.0, 2500.0, 5000.0, 7500.0, 10000.0))
+  private val axSize = IntegerAxis("p_size", 1, 51)
+  private val axLineNo = IntCategory("l_linenumber", Seq(1L, 2L, 3L, 4L, 7L))
+  private val axFlag = StrCategory("l_returnflag", Seq("A", "N"))
+  private val axQtyNarrow = Regular("l_quantity", 10, 10.0, 40.0) // populated flow bins
+  private val axHourCirc = Circular("ev_hour", 12, 0.0, 24.0)
+  private val axValue = Regular("value", 16, 0.0, 512.0)
+
+  private def hist(dir: String, table: String, x: Column, ax: BinAxis,
+      dims: Seq[String] = Nil, opts: HistOptions = HistOptions())(
+      implicit s: SparkSession): DataFrame =
+    Histogram.histogram(t(dir, table), x, ax, dims, opts)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hist_regular" -> { (s, dir) =>
       implicit val sp: SparkSession = s
-      Histogram.histogram(t(dir, "lineitem"), col("l_quantity"), axQty)
+      hist(dir, "lineitem", col("l_quantity"), axQty)
+    },
+    "q02_hist_auto_range" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val li = t(dir, "lineitem")
+      val row = li.agg(min(col("l_tax")).cast("double"), max(col("l_tax")).cast("double")).head()
+      val ax = Regular("l_tax", 10, row.getDouble(0), row.getDouble(1))
+      Histogram.histogram(li, col("l_tax"), ax)
+    },
+    "q03_hist_weighted" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      hist(dir, "lineitem", col("l_quantity"), axQty,
+        opts = HistOptions(weight = Some(col("l_extendedprice"))))
+    },
+    "q04_hist_density" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      hist(dir, "lineitem", col("l_quantity"), axQty, opts = HistOptions(density = true))
+    },
+    "q05_hist_dims" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      hist(dir, "lineitem", col("l_quantity"), axQty10, dims = Seq("l_returnflag", "l_linestatus"))
+    },
+    "q06_hist2d" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Histogram.histogramdd(t(dir, "lineitem"),
+        Seq(col("l_quantity") -> axQty10, col("l_discount") -> axDisc))
+    },
+    "q07_hist_dd3" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Histogram.histogramdd(t(dir, "lineitem"),
+        Seq(col("l_quantity") -> axQty10, col("l_discount") -> axDisc, col("l_tax") -> axTax))
+    },
+    "q08_hist_log" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      hist(dir, "orders", col("o_totalprice"), axPriceLog)
+    },
+    "q09_hist_variable" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      hist(dir, "customer", col("c_acctbal"), axAcctVar)
+    },
+    "q10_hist_int" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      hist(dir, "part", col("p_size"), axSize)
+    },
+    "q11_hist_intcat" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      hist(dir, "lineitem", col("l_linenumber"), axLineNo, opts = HistOptions(flow = true))
+    },
+    "q12_hist_strcat" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      hist(dir, "lineitem", col("l_returnflag"), axFlag, opts = HistOptions(flow = true))
+    },
+    "q13_hist_flow" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      hist(dir, "lineitem", col("l_quantity"), axQtyNarrow, opts = HistOptions(flow = true))
+    },
+    "q14_hist_circular" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      // ts is epoch-nanos (nanosAsLong); integer-div to hour-of-day (UTC).
+      // +27h exercises the periodic wrap in both engines.
+      hist(dir, "events",
+        (expr("ts div 3600000000000") % 24).cast("double") + lit(27.0), axHourCirc)
+    },
+    "q15_hist_int_storage" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      hist(dir, "lineitem", col("l_quantity"), axQty, opts = HistOptions(intStorage = true))
+    },
+    "q16_hist_weighted_density" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      hist(dir, "lineitem", col("l_quantity"), axQty,
+        opts = HistOptions(weight = Some(col("l_extendedprice")), density = true))
+    },
+    "q17_hist2d_dims_weighted" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Histogram.histogramdd(t(dir, "lineitem"),
+        Seq(col("l_quantity") -> axQty10, col("l_discount") -> axDisc),
+        dims = Seq("l_returnflag"),
+        opts = HistOptions(weight = Some(col("l_extendedprice"))))
+    },
+    "q18_hist_dense" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      hist(dir, "events", col("value"), axValue, dims = Seq("event_type"),
+        opts = HistOptions(dense = true))
     }
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q01_hist_regular" -> Oracle.hist("lineitem",
-      Seq(Oracle.Spec("l_quantity", axQty)))
+    "q01_hist_regular" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty))),
+    "q02_hist_auto_range" ->
+      // auto-range: lo/hi from data (reference core.py:499-506); same
+      // index/label formulas as Regular, with lo/hi as scalar subqueries.
+      """WITH b AS (SELECT CAST(MIN(l_tax) AS DOUBLE) AS lo, CAST(MAX(l_tax) AS DOUBLE) AS hi FROM lineitem),
+        | i0 AS (SELECT CASE WHEN l_tax IS NULL THEN NULL WHEN l_tax < lo THEN CAST(-1 AS BIGINT) WHEN l_tax >= hi THEN CAST(10 AS BIGINT)
+        |   ELSE LEAST(CAST(FLOOR((l_tax - lo) / (hi - lo) * 10.0) AS BIGINT), CAST(9 AS BIGINT)) END AS i, lo, hi
+        |   FROM lineitem CROSS JOIN b),
+        | g AS (SELECT i, lo, hi, CAST(COUNT(*) AS DOUBLE) AS cnt FROM i0 WHERE i IS NOT NULL AND i >= 0 AND i <= 9 GROUP BY i, lo, hi)
+        | SELECT lo + CAST(i AS DOUBLE) * ((hi - lo) / 10.0) AS l_tax_bins, cnt FROM g""".stripMargin.replaceAll("\n", ""),
+    "q03_hist_weighted" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty)),
+      weightSql = Some("l_extendedprice")),
+    "q04_hist_density" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty)),
+      density = true),
+    "q05_hist_dims" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty10)),
+      dims = Seq("l_returnflag", "l_linestatus")),
+    "q06_hist2d" -> Oracle.hist("lineitem",
+      Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc))),
+    "q07_hist_dd3" -> Oracle.hist("lineitem",
+      Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc),
+        Oracle.Spec("l_tax", axTax))),
+    "q08_hist_log" -> Oracle.hist("orders", Seq(Oracle.Spec("o_totalprice", axPriceLog))),
+    "q09_hist_variable" -> Oracle.hist("customer", Seq(Oracle.Spec("c_acctbal", axAcctVar))),
+    "q10_hist_int" -> Oracle.hist("part", Seq(Oracle.Spec("p_size", axSize))),
+    "q11_hist_intcat" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_linenumber", axLineNo)),
+      flow = true),
+    "q12_hist_strcat" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_returnflag", axFlag)),
+      flow = true),
+    "q13_hist_flow" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQtyNarrow)),
+      flow = true),
+    "q14_hist_circular" -> Oracle.hist("events",
+      Seq(Oracle.Spec("(CAST((epoch_ns(ts) // 3600000000000) % 24 AS DOUBLE) + CAST('27.0' AS DOUBLE))", axHourCirc))),
+    "q15_hist_int_storage" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty)),
+      intStorage = true),
+    "q16_hist_weighted_density" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty)),
+      weightSql = Some("l_extendedprice"), density = true),
+    "q17_hist2d_dims_weighted" -> Oracle.hist("lineitem",
+      Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc)),
+      dims = Seq("l_returnflag"), weightSql = Some("l_extendedprice")),
+    "q18_hist_dense" -> Oracle.hist("events", Seq(Oracle.Spec("value", axValue)),
+      dims = Seq("event_type"), dense = true)
   )
 }

@@ -50,8 +50,10 @@ sealed trait BinAxis extends Serializable {
     if (x == Double.PositiveInfinity) "CAST('infinity' AS DOUBLE)"
     else if (x == Double.NegativeInfinity) "CAST('-infinity' AS DOUBLE)"
     else {
-      val s = java.lang.Double.toString(x) // round-trips exactly in both engines
-      s"CAST($s AS DOUBLE)"
+      // Quoted-string cast: a bare decimal literal would be typed DECIMAL by
+      // DuckDB and lose the exact binary double; string->double parsing is
+      // correctly rounded in both engines.
+      s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
     }
 
   /** CASE table keyed on bin index — identical literal doubles both engines. */

@@ -1,0 +1,144 @@
+package graft
+
+import graft.axes._
+import graft.operators.{HistOptions, Histogram}
+import org.apache.spark.sql.functions._
+
+/** Pins boost-histogram semantics (reference xarray-histogram core.py):
+  * half-open bins, x == hi -> overflow, flow labelling, density math. */
+class HistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hist1d(values: Seq[Double], ax: BinAxis,
+      opts: HistOptions = HistOptions()): Map[Any, Double] = {
+    val df = values.toDF("x")
+    Histogram.histogram(df, col("x"), ax, opts = opts)
+      .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+  }
+
+  test("regular: half-open bins, x == hi goes to overflow (dropped w/o flow)") {
+    val ax = Regular("x", 5, 0.0, 5.0)
+    val h = hist1d(Seq(0.0, 0.5, 1.0, 4.999, 5.0), ax)
+    assert(h == Map(0.0 -> 2.0, 1.0 -> 1.0, 4.0 -> 1.0)) // 5.0 -> overflow, dropped
+  }
+
+  test("regular with flow: underflow labelled -inf, overflow +inf") {
+    val ax = Regular("x", 2, 0.0, 2.0)
+    val h = hist1d(Seq(-1.0, 0.5, 1.5, 2.0, 99.0), ax, HistOptions(flow = true))
+    assert(h == Map(Double.NegativeInfinity -> 1.0, 0.0 -> 1.0, 1.0 -> 1.0,
+      Double.PositiveInfinity -> 2.0))
+  }
+
+  test("no-underflow axis discards x < lo entirely") {
+    val ax = Regular("x", 2, 0.0, 2.0, underflow = false)
+    val h = hist1d(Seq(-1.0, 0.5), ax, HistOptions(flow = true))
+    assert(h == Map(0.0 -> 1.0, Double.PositiveInfinity -> 0.0) - Double.PositiveInfinity
+      || h == Map(0.0 -> 1.0)) // -1.0 dropped, no underflow bin emitted
+  }
+
+  test("weights: bin value is sum of weights") {
+    val df = Seq((0.5, 2.0), (0.7, 3.0), (1.5, 10.0)).toDF("x", "w")
+    val h = Histogram.histogram(df, col("x"), Regular("x", 2, 0.0, 2.0),
+      opts = HistOptions(weight = Some(col("w"))))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(h == Map(0.0 -> 5.0, 1.0 -> 10.0))
+  }
+
+  test("density: pdf integrates to 1 over non-flow bins") {
+    val ax = Regular("x", 4, 0.0, 8.0) // width 2
+    val h = hist1d(Seq(1.0, 1.5, 3.0, 5.0, 7.0, 7.5), ax, HistOptions(density = true))
+    val integral = h.values.sum * 2.0
+    assert(math.abs(integral - 1.0) < 1e-12)
+  }
+
+  test("density matches count/width/total (reference normalize, core.py:649)") {
+    val ax = Regular("x", 2, 0.0, 2.0)
+    val h = hist1d(Seq(0.5, 0.6, 1.5, 1.6, 1.7, 1.8), ax, HistOptions(density = true))
+    assert(math.abs(h(0.0) - 2.0 / 1.0 / 6.0) < 1e-12)
+    assert(math.abs(h(1.0) - 4.0 / 1.0 / 6.0) < 1e-12)
+  }
+
+  test("integer axis: unit bins, flow labelled with Long min/max") {
+    val df = Seq(0L, 3L, 3L, 9L, 10L, -5L).toDF("x")
+    val h = Histogram.histogram(df, col("x"), IntegerAxis("x", 0L, 10L),
+      opts = HistOptions(flow = true))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h == Map(0L -> 1.0, 3L -> 2.0, 9L -> 1.0,
+      Long.MaxValue -> 1.0, Long.MinValue -> 1.0))
+  }
+
+  test("int category: non-member goes to overflow (Long.MaxValue label)") {
+    val df = Seq(1L, 1L, 4L, 5L).toDF("x")
+    val h = Histogram.histogram(df, col("x"), IntCategory("x", Seq(1L, 4L)),
+      opts = HistOptions(flow = true))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h == Map(1L -> 2.0, 4L -> 1.0, Long.MaxValue -> 1.0))
+  }
+
+  test("str category: non-member goes to '_flow_bin' (core.py:570-575)") {
+    val df = Seq("A", "A", "N", "R").toDF("x")
+    val h = Histogram.histogram(df, col("x"), StrCategory("x", Seq("A", "N")),
+      opts = HistOptions(flow = true))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(h == Map("A" -> 2.0, "N" -> 1.0, "_flow_bin" -> 1.0))
+  }
+
+  test("variable axis: irregular edges, boundaries belong to right bin") {
+    val ax = Variable("x", Array(0.0, 1.0, 10.0, 100.0))
+    val h = hist1d(Seq(0.5, 1.0, 5.0, 99.9, 100.0), ax)
+    assert(h == Map(0.0 -> 1.0, 1.0 -> 2.0, 10.0 -> 1.0)) // 100.0 -> overflow
+  }
+
+  test("circular axis: values wrap modulo the period") {
+    val ax = Circular("x", 4, 0.0, 8.0)
+    val h = hist1d(Seq(1.0, 9.0, -7.0, 17.0, 6.0), ax)
+    // 1, 9->1, -7->1, 17->1 all wrap to bin [0,2); 6 -> bin [6,8)
+    assert(h == Map(0.0 -> 4.0, 6.0 -> 1.0))
+  }
+
+  test("log axis: bins equal in log-space") {
+    val ax = Regular("x", 3, 1.0, 1000.0, log = true)
+    val h = hist1d(Seq(2.0, 15.0, 150.0, 999.0), ax)
+    assert(h.keySet.map(_.asInstanceOf[Double]).map(v => math.round(v).toDouble)
+      == Set(1.0, 10.0, 100.0))
+    assert(h.values.toSeq.sorted == Seq(1.0, 1.0, 2.0))
+  }
+
+  test("dims: one histogram per group key (reference loop dims, core.py:271)") {
+    val df = Seq(("a", 0.5), ("a", 1.5), ("b", 0.5)).toDF("g", "x")
+    val rows = Histogram.histogram(df, col("x"), Regular("x", 2, 0.0, 2.0),
+      dims = Seq("g")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(rows == Map(("a", 0.0) -> 1.0, ("a", 1.0) -> 1.0, ("b", 0.0) -> 1.0))
+  }
+
+  test("dense: empty bins materialized with zero") {
+    val df = Seq(0.5).toDF("x")
+    val h = hist1d(Seq(0.5), Regular("x", 4, 0.0, 4.0), HistOptions(dense = true))
+    assert(h == Map(0.0 -> 1.0, 1.0 -> 0.0, 2.0 -> 0.0, 3.0 -> 0.0))
+  }
+
+  test("2d histogram: joint bins") {
+    val df = Seq((0.5, 0.5), (0.5, 1.5), (1.5, 1.5)).toDF("x", "y")
+    val h = Histogram.histogramdd(df,
+      Seq(col("x") -> Regular("x", 2, 0.0, 2.0), col("y") -> Regular("y", 2, 0.0, 2.0)))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(h == Map((0.0, 0.0) -> 1.0, (0.0, 1.0) -> 1.0, (1.0, 1.0) -> 1.0))
+  }
+
+  test("int storage: counts stay LongType") {
+    val df = Seq(0.5, 0.6).toDF("x")
+    val out = Histogram.histogram(df, col("x"), Regular("x", 1, 0.0, 1.0),
+      opts = HistOptions(intStorage = true))
+    assert(out.schema("cnt").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.collect().head.getLong(1) == 2L)
+  }
+
+  test("nulls are never counted") {
+    val df = Seq[Option[Double]](Some(0.5), None, Some(1.5)).toDF("x")
+    val h = Histogram.histogram(df, col("x"), Regular("x", 2, 0.0, 2.0),
+      opts = HistOptions(flow = true))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(h.values.sum == 2.0)
+  }
+}
