@@ -3,6 +3,7 @@ package graft
 import graft.axes._
 import graft.operators.{HistOptions, Histogram}
 import graft.oracle.Oracle
+import graft.stats.HistStats
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -131,6 +132,57 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       hist(dir, "events", col("value"), axValue, dims = Seq("event_type"),
         opts = HistOptions(dense = true))
+    },
+    "q20_stat_mean" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      HistStats.mean(t(dir, "lineitem"), col("l_quantity"), axQty, Seq("l_returnflag"))
+    },
+    "q21_stat_var" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      HistStats.variance(t(dir, "lineitem"), col("l_quantity"), axQty, Seq("l_returnflag"))
+    },
+    "q22_stat_std" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      HistStats.std(t(dir, "lineitem"), col("l_quantity"), axQty, Seq("l_returnflag"))
+    },
+    "q23_stat_median" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      HistStats.median(t(dir, "lineitem"), col("l_quantity"), axQty, Seq("l_returnflag"))
+    },
+    "q24_stat_ppf" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      HistStats.ppf(t(dir, "orders"), col("o_totalprice"), axPriceLog, Nil, 0.9)
+    },
+    "q25_stat_cdf" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      HistStats.cdf(t(dir, "lineitem"), col("l_quantity"), axQty, Seq("l_returnflag"), 25.0)
+    },
+    "q26_stat_moment" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      HistStats.moment(t(dir, "lineitem"), col("l_quantity"), axQty, Seq("l_returnflag"), 3)
+    },
+    "q27_stat_interval" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      HistStats.interval(t(dir, "lineitem"), col("l_quantity"), axQty, Seq("l_returnflag"), 0.9)
+    },
+    "q28_normalize" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val h = hist(dir, "events", col("value"), axValue, dims = Seq("event_type"))
+      HistStats.normalize(h, axValue, Seq("event_type"))
+    },
+    "q29_remove_flow" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val h = hist(dir, "lineitem", col("l_quantity"), axQtyNarrow,
+        opts = HistOptions(flow = true))
+      HistStats.removeFlow(h, axQtyNarrow)
+    },
+    "q30_scale_bins" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val h = hist(dir, "lineitem", col("l_quantity"), axQty10)
+      HistStats.scaleBins(h, axQty10, 2.5)
+    },
+    "q31_edges_centers_widths" -> { (s, dir) =>
+      HistStats.binsTable(s, axAcctVar)
     }
   )
 
@@ -175,6 +227,20 @@ object SparkEntry {
       Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc)),
       dims = Seq("l_returnflag"), weightSql = Some("l_extendedprice")),
     "q18_hist_dense" -> Oracle.hist("events", Seq(Oracle.Spec("value", axValue)),
-      dims = Seq("event_type"), dense = true)
+      dims = Seq("event_type"), dense = true),
+    "q20_stat_mean" -> Oracle.meanSql("lineitem", "l_quantity", axQty, Seq("l_returnflag")),
+    "q21_stat_var" -> Oracle.varSql("lineitem", "l_quantity", axQty, Seq("l_returnflag")),
+    "q22_stat_std" -> Oracle.stdSql("lineitem", "l_quantity", axQty, Seq("l_returnflag")),
+    "q23_stat_median" -> Oracle.medianSql("lineitem", "l_quantity", axQty, Seq("l_returnflag")),
+    "q24_stat_ppf" -> Oracle.ppfSql("orders", "o_totalprice", axPriceLog, Nil, 0.9),
+    "q25_stat_cdf" -> Oracle.cdfSql("lineitem", "l_quantity", axQty, Seq("l_returnflag"), 25.0),
+    "q26_stat_moment" -> Oracle.momentSql("lineitem", "l_quantity", axQty, Seq("l_returnflag"), 3),
+    "q27_stat_interval" -> Oracle.intervalSql("lineitem", "l_quantity", axQty, Seq("l_returnflag"), 0.9),
+    "q28_normalize" -> Oracle.hist("events", Seq(Oracle.Spec("value", axValue)),
+      dims = Seq("event_type"), density = true),
+    "q29_remove_flow" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQtyNarrow))),
+    "q30_scale_bins" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty10)),
+      labelScale = Some(2.5)),
+    "q31_edges_centers_widths" -> Oracle.binsTableSql(axAcctVar)
   )
 }

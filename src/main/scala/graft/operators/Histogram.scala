@@ -39,7 +39,7 @@ final case class HistOptions(
   * row count — the property that makes this hold at 100 TB.
   *
   * Summation determinism: weighted sums and density totals are accumulated
-  * in DECIMAL(38,10) (exact, associative) and only cast back to double at
+  * in DECIMAL(38,14) (exact, associative) and only cast back to double at
   * the end, so results do not depend on partitioning / aggregation order —
   * required both for the DuckDB oracle hash-compare and for run-to-run
   * reproducibility on a cluster.
@@ -59,7 +59,7 @@ object Histogram {
     val projected = df.select(
       dimCols ++
         specs.zipWithIndex.map { case ((c, ax), k) => ax.index(c).as(idxNames(k)) } ++
-        opts.weight.map(w => w.cast(DecimalType(38, 10)).as("__w")).toSeq: _*)
+        opts.weight.map(w => graft.util.Dec.toDec(w).as("__w")).toSeq: _*)
 
     // Sparse-output equivalence of boost flow semantics: an axis without the
     // underflow trait discards x < lo entirely; with the trait but flow=false
@@ -72,7 +72,7 @@ object Histogram {
     }.reduce(_ && _)
 
     val cntExpr = opts.weight match {
-      case Some(_) => sum(col("__w")).cast("double")
+      case Some(_) => graft.util.Dec.exactDouble(sum(col("__w")))
       case None if opts.intStorage => count(lit(1))
       case None => count(lit(1)).cast("double")
     }
@@ -92,8 +92,9 @@ object Histogram {
           specs.zipWithIndex.map { case ((_, ax), k) => ax.width(col(idxNames(k))) }
             .reduce(_ * _))
         val w = Window.partitionBy(dimCols: _*)
-        val total = sum(when(anyFlow, lit(0.0)).otherwise(col("cnt"))
-          .cast(DecimalType(38, 10))).over(w).cast("double")
+        val total = graft.util.Dec.exactDouble(
+          sum(graft.util.Dec.toDec(
+            when(anyFlow, lit(0.0)).otherwise(col("cnt")))).over(w))
         grouped.withColumn("pdf", col("cnt") / area / total).drop("cnt")
       } else grouped
 

@@ -7,7 +7,7 @@ import graft.axes.BinAxis
   * Each histogram query's oracle is generated from the SAME BinAxis object
   * that drives the Spark plan, so bin semantics (half-open bins, flow
   * labels, literal edges) exist in exactly one place. Arithmetic is limited
-  * to IEEE-pinned operations and DECIMAL(38,10) sums — identical bits in
+  * to IEEE-pinned operations and DECIMAL(38,14) sums — identical bits in
   * both engines.
   */
 object Oracle {
@@ -15,16 +15,24 @@ object Oracle {
   /** One histogrammed variable: a SQL value expression + its axis. */
   final case class Spec(valueSql: String, axis: BinAxis)
 
+  private def dbl(x: Double): String = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+
+  /** Exact decimal -> double, bit-identical to graft.util.Dec.exactDouble
+    * (DuckDB's own decimal->double cast double-rounds; the JVM's doesn't). */
+  private def exactDbl(e: String): String =
+    s"(CAST(CAST(FLOOR($e) AS BIGINT) AS DOUBLE) + " +
+      s"CAST(CAST(($e - FLOOR($e)) * 100000000000000 AS BIGINT) AS DOUBLE) / CAST('1.0E14' AS DOUBLE))"
+
   def hist(table: String, specs: Seq[Spec], dims: Seq[String] = Nil,
       weightSql: Option[String] = None, density: Boolean = false,
       flow: Boolean = false, dense: Boolean = false, intStorage: Boolean = false,
-      where: Option[String] = None): String = {
+      where: Option[String] = None, labelScale: Option[Double] = None): String = {
     val idx = specs.indices.map(k => s"__i$k")
     val dimsSel = if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
     val idxExprs = specs.zipWithIndex
       .map { case (s, k) => s"${s.axis.indexSql(s.valueSql)} AS __i$k" }
       .mkString(", ")
-    val wSel = weightSql.map(w => s", CAST($w AS DECIMAL(38,10)) AS __w").getOrElse("")
+    val wSel = weightSql.map(w => s", CAST(CAST($w AS VARCHAR) AS DECIMAL(38,14)) AS __w").getOrElse("")
     val whereSql = where.map(w => s" WHERE $w").getOrElse("")
 
     val keep = specs.zipWithIndex.map { case (s, k) =>
@@ -34,7 +42,7 @@ object Oracle {
     }.mkString(" AND ")
 
     val cntExpr = weightSql match {
-      case Some(_) => "CAST(SUM(__w) AS DOUBLE)"
+      case Some(_) => exactDbl("SUM(__w)")
       case None if intStorage => "COUNT(*)"
       case None => "CAST(COUNT(*) AS DOUBLE)"
     }
@@ -73,15 +81,117 @@ object Oracle {
         .map { case (s, k) => s"(${s.axis.widthSql(s"__i$k")})" }.mkString(" * ")
       val area = s"CASE WHEN $anyFlow THEN CAST(1.0 AS DOUBLE) ELSE $areaProd END"
       val part = if (dims.isEmpty) "" else s" PARTITION BY ${dims.mkString(", ")}"
-      val total = s"CAST(SUM(CAST(CASE WHEN $anyFlow THEN 0.0 ELSE cnt END AS DECIMAL(38,10))) OVER ($part) AS DOUBLE)"
+      val total = exactDbl(s"SUM(CAST(CAST(CASE WHEN $anyFlow THEN 0.0 ELSE cnt END AS VARCHAR) AS DECIMAL(38,14))) OVER ($part)")
       sb ++= s", __p AS (SELECT $groupCols, cnt / ($area) / ($total) AS pdf FROM $gTable)"
       gTable = "__p"
     }
 
     val labels = specs.zipWithIndex
-      .map { case (s, k) => s"${s.axis.labelSql(s"__i$k")} AS ${s.axis.binsCol}" }
+      .map { case (s, k) =>
+        val l = s"(${s.axis.labelSql(s"__i$k")})"
+        val scaled = labelScale.fold(l)(f => s"$l * ${dbl(f)}")
+        s"$scaled AS ${s.axis.binsCol}"
+      }
       .mkString(", ")
     sb ++= s" SELECT $dimsSel$labels, $valueName FROM $gTable"
     sb.toString
   }
+
+  // ---- Statistics (mirror of graft.stats.HistStats) ----------------------
+
+  /** Shared prelude: no-flow indexed histogram + left edge l + width w. */
+  private def statBase(table: String, valueSql: String, ax: BinAxis,
+      dims: Seq[String]): String = {
+    val dimsSel = if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
+    val groupCols = (dims :+ "__i0").mkString(", ")
+    s"WITH __idx AS (SELECT $dimsSel${ax.indexSql(valueSql)} AS __i0 FROM $table), " +
+      s"__f AS (SELECT * FROM __idx WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${ax.nBins - 1}), " +
+      s"__g0 AS (SELECT $groupCols, CAST(COUNT(*) AS DOUBLE) AS cnt FROM __f GROUP BY $groupCols), " +
+      s"__b AS (SELECT *, ${ax.labelSql("__i0")} AS l, ${ax.widthSql("__i0")} AS w FROM __g0)"
+  }
+
+  private def dimsSel(dims: Seq[String]): String =
+    if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
+  private def groupBy(dims: Seq[String]): String =
+    if (dims.isEmpty) "" else s" GROUP BY ${dims.mkString(", ")}"
+  private def decSum(e: String): String =
+    exactDbl(s"SUM(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14)))")
+  private val center = s"(l + w / ${dbl(2.0)})"
+
+  def meanSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String]): String =
+    s"${statBase(table, valueSql, ax, dims)} SELECT ${dimsSel(dims)}" +
+      s"${decSum(s"cnt * $center")} / ${decSum("cnt")} AS ${ax.name}_mean" +
+      s" FROM __b${groupBy(dims)}"
+
+  private def meanVarCte(table: String, valueSql: String, ax: BinAxis,
+      dims: Seq[String]): String =
+    s"${statBase(table, valueSql, ax, dims)}, __a AS (SELECT ${dimsSel(dims)}" +
+      s"${decSum(s"cnt * $center")} AS __sp, " +
+      s"${decSum(s"cnt * ($center * $center + w * w / ${dbl(12.0)})")} AS __ss, " +
+      s"${decSum("cnt")} AS __t FROM __b${groupBy(dims)})"
+
+  def varSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String]): String =
+    s"${meanVarCte(table, valueSql, ax, dims)} SELECT ${dimsSel(dims)}" +
+      s"__ss / __t - (__sp / __t) * (__sp / __t) AS ${ax.name}_var FROM __a"
+
+  def stdSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String]): String =
+    s"${meanVarCte(table, valueSql, ax, dims)} SELECT ${dimsSel(dims)}" +
+      s"SQRT(__ss / __t - (__sp / __t) * (__sp / __t)) AS ${ax.name}_std FROM __a"
+
+  def cdfSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String],
+      at: Double): String = {
+    val contrib = s"cnt * LEAST(GREATEST((${dbl(at)} - l) / w, ${dbl(0.0)}), ${dbl(1.0)})"
+    s"${statBase(table, valueSql, ax, dims)} SELECT ${dimsSel(dims)}" +
+      s"${decSum(contrib)} / ${decSum("cnt")} AS ${ax.name}_cdf FROM __b${groupBy(dims)}"
+  }
+
+  /** CTE chain computing ppf(q) into __r$sfx(dims..., $outName). */
+  private def ppfCtes(sfx: String, q: Double, dims: Seq[String], outName: String): String = {
+    val part = if (dims.isEmpty) "" else s"PARTITION BY ${dims.mkString(", ")} "
+    val partOnly = if (dims.isEmpty) "" else s"PARTITION BY ${dims.mkString(", ")}"
+    s"__c$sfx AS (SELECT *, " +
+      exactDbl(s"SUM(CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,14))) OVER (${part}ORDER BY __i0 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)") + " AS cumi, " +
+      exactDbl(s"COALESCE(SUM(CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,14))) OVER (${part}ORDER BY __i0 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS DECIMAL(38,14)))") + " AS cume, " +
+      exactDbl(s"SUM(CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,14))) OVER ($partOnly)") + " AS tot FROM __b), " +
+      s"__q$sfx AS (SELECT *, ROW_NUMBER() OVER (${part}ORDER BY __i0) AS rn FROM __c$sfx WHERE cumi >= ${dbl(q)} * tot), " +
+      s"__r$sfx AS (SELECT ${dimsSel(dims)}l + (${dbl(q)} * tot - cume) / cnt * w AS $outName FROM __q$sfx WHERE rn = 1)"
+  }
+
+  def ppfSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String],
+      q: Double, outName: String = ""): String = {
+    val name = if (outName.isEmpty) s"${ax.name}_ppf" else outName
+    s"${statBase(table, valueSql, ax, dims)}, ${ppfCtes("", q, dims, name)} SELECT * FROM __r"
+  }
+
+  def medianSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String]): String =
+    ppfSql(table, valueSql, ax, dims, 0.5, s"${ax.name}_median")
+
+  def momentSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String],
+      order: Int): String = {
+    def powK1(x: String): String = (1 until order + 1).foldLeft(x)((acc, _) => s"($acc * $x)")
+    val r = "(l + w)"
+    val term = s"cnt * ((${powK1(r)} - ${powK1("l")}) / (w * ${dbl((order + 1).toDouble)}))"
+    s"${statBase(table, valueSql, ax, dims)} SELECT ${dimsSel(dims)}" +
+      s"${decSum(term)} / ${decSum("cnt")} AS ${ax.name}_moment FROM __b${groupBy(dims)}"
+  }
+
+  def intervalSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String],
+      confidence: Double): String = {
+    val p = (1 - confidence) / 2
+    val join =
+      if (dims.isEmpty) "__ra CROSS JOIN __rb"
+      else s"__ra JOIN __rb ON ${dims.map(c => s"__ra.$c = __rb.$c").mkString(" AND ")}"
+    val dimsA = if (dims.isEmpty) "" else dims.map(c => s"__ra.$c").mkString("", ", ", ", ")
+    s"${statBase(table, valueSql, ax, dims)}, " +
+      s"${ppfCtes("a", p, dims, "confidence_low")}, " +
+      s"${ppfCtes("b", 1 - p, dims, "confidence_high")} " +
+      s"SELECT ${dimsA}confidence_low, confidence_high FROM $join"
+  }
+
+  /** Static bins metadata table (accessor edges/centers/widths). */
+  def binsTableSql(ax: BinAxis): String =
+    s"SELECT CAST(i AS BIGINT) AS idx, ${ax.labelSql("i")} AS left_edge, " +
+      s"(${ax.labelSql("i")}) + (${ax.widthSql("i")}) / ${dbl(2.0)} AS center, " +
+      s"${ax.widthSql("i")} AS width " +
+      s"FROM (SELECT UNNEST(generate_series(0, ${ax.nBins - 1})) AS i)"
 }

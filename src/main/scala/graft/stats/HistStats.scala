@@ -1,0 +1,191 @@
+package graft.stats
+
+import graft.axes.BinAxis
+import graft.operators.{HistOptions, Histogram}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution statistics over histograms — the Spark re-expression of the
+  * reference's accessor (xarray-histogram accessor.py): mean, var, std,
+  * median, ppf, cdf, moment, interval, normalize, remove_flow, scale.
+  *
+  * The reference delegates to scipy.stats.rv_histogram — a continuous
+  * distribution with stepwise pdf over the bin edges (accessor.py:397-441).
+  * Here the same distribution is evaluated ANALYTICALLY with DataFrame
+  * algebra, grouped by arbitrary dims (the accessor's vectorized loop over
+  * non-bin dimensions):
+  *
+  *  - mean        = Σ cnt·c_i / T                    (c_i = bin center)
+  *  - E[X²]       = Σ cnt·(c_i² + w_i²/12) / T       (exact for stepwise pdf)
+  *  - cdf(x)      = Σ cnt·clamp((x-l_i)/w_i, 0, 1) / T
+  *  - ppf(q)      = l_i + (q·T - cum_excl_i)/cnt_i · w_i   (piecewise-linear
+  *                  inverse cdf; bin i = first with cum_incl ≥ q·T)
+  *  - moment(k)   = Σ cnt·(r_i^{k+1} - l_i^{k+1})/((k+1)·w_i) / T
+  *
+  * All Σ go through DECIMAL(38,14) for order-independent, cross-engine
+  * bit-identical results. Everything is groupBy/window algebra — a single
+  * shuffle on top of the histogram's own; no collect, no UDF.
+  *
+  * Flow bins are excluded before computing, matching accessor.py:415-417.
+  */
+object HistStats {
+
+  private def decSum(e: Column): Column = graft.util.Dec.sumDec(e)
+
+  /** Indexed no-flow histogram + left edge `l` and width `w` columns. */
+  def base(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
+      weight: Option[Column] = None): DataFrame = {
+    val idx = ax.index(x).as("__i0")
+    val keep = col("__i0").isNotNull && col("__i0") >= 0 && col("__i0") <= ax.nBins - 1
+    val cnt = weight match {
+      case Some(_) => graft.util.Dec.exactDouble(sum(col("__w")))
+      case None => count(lit(1)).cast("double")
+    }
+    df.select(dims.map(col) ++ Seq(idx) ++
+        weight.map(w => graft.util.Dec.toDec(w).as("__w")).toSeq: _*)
+      .filter(keep)
+      .groupBy((dims :+ "__i0").map(col): _*)
+      .agg(cnt.as("cnt"))
+      .withColumn("l", ax.label(col("__i0")))
+      .withColumn("w", ax.width(col("__i0")))
+  }
+
+  private def grouped(b: DataFrame, dims: Seq[String])(aggs: Column*): DataFrame =
+    if (dims.isEmpty) b.agg(aggs.head, aggs.tail: _*)
+    else b.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  def mean(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String]): DataFrame = {
+    val c = col("l") + col("w") / lit(2.0)
+    grouped(base(df, x, ax, dims), dims)(
+      (decSum(col("cnt") * c) / decSum(col("cnt"))).as(s"${ax.name}_mean"))
+  }
+
+  /** mean and variance in one pass; returns dims..., mean, var. */
+  private def meanVar(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String]): DataFrame = {
+    val c = col("l") + col("w") / lit(2.0)
+    grouped(base(df, x, ax, dims), dims)(
+      decSum(col("cnt") * c).as("__sp"),
+      decSum(col("cnt") * (c * c + col("w") * col("w") / lit(12.0))).as("__ss"),
+      decSum(col("cnt")).as("__t"))
+      .withColumn("__m", col("__sp") / col("__t"))
+      .withColumn("__v", col("__ss") / col("__t") - col("__m") * col("__m"))
+  }
+
+  def variance(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String]): DataFrame =
+    meanVar(df, x, ax, dims).select(dims.map(col) :+ col("__v").as(s"${ax.name}_var"): _*)
+
+  def std(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String]): DataFrame =
+    meanVar(df, x, ax, dims).select(dims.map(col) :+ sqrt(col("__v")).as(s"${ax.name}_std"): _*)
+
+  def cdf(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String], at: Double): DataFrame = {
+    val contrib = col("cnt") *
+      least(greatest((lit(at) - col("l")) / col("w"), lit(0.0)), lit(1.0))
+    grouped(base(df, x, ax, dims), dims)(
+      (decSum(contrib) / decSum(col("cnt"))).as(s"${ax.name}_cdf"))
+  }
+
+  /** ppf(q) per group; out column name defaults to <name>_ppf. */
+  def ppf(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String], q: Double,
+      outName: String = ""): DataFrame = {
+    require(q > 0 && q < 1)
+    val name = if (outName.isEmpty) s"${ax.name}_ppf" else outName
+    val b = base(df, x, ax, dims)
+    val wAll = if (dims.isEmpty) Window.partitionBy() else Window.partitionBy(dims.map(col): _*)
+    val wOrd = wAll.orderBy(col("__i0"))
+    val cumi = graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(col("cnt")))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cume = graft.util.Dec.exactDouble(coalesce(
+      sum(graft.util.Dec.toDec(col("cnt")))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0).cast(DecimalType(38, 14))))
+    val tot = graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(col("cnt"))).over(wAll))
+    b.withColumn("__cumi", cumi).withColumn("__cume", cume).withColumn("__tot", tot)
+      .filter(col("__cumi") >= lit(q) * col("__tot"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") === 1)
+      .select(dims.map(col) :+
+        (col("l") + (lit(q) * col("__tot") - col("__cume")) / col("cnt") * col("w")).as(name): _*)
+  }
+
+  def median(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String]): DataFrame =
+    ppf(df, x, ax, dims, 0.5, s"${ax.name}_median")
+
+  /** Raw moment of given order (k >= 1), analytic for the stepwise pdf. */
+  def moment(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String], order: Int): DataFrame = {
+    require(order >= 1 && order <= 6)
+    def powK1(c: Column): Column = // x^(order+1) as an explicit product chain
+      (1 until order + 1).foldLeft(c)((acc, _) => acc * c)
+    val r = col("l") + col("w")
+    val term = col("cnt") * ((powK1(r) - powK1(col("l"))) / (col("w") * lit((order + 1).toDouble)))
+    grouped(base(df, x, ax, dims), dims)(
+      (decSum(term) / decSum(col("cnt"))).as(s"${ax.name}_moment"))
+  }
+
+  /** Equal-tail confidence interval: [ppf(p), ppf(1-p)], p = (1-conf)/2
+    * (accessor.py:542-573). */
+  def interval(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
+      confidence: Double): DataFrame = {
+    require(confidence > 0 && confidence < 1)
+    val p = (1 - confidence) / 2
+    val lo = ppf(df, x, ax, dims, p, "confidence_low")
+    val hi = ppf(df, x, ax, dims, 1 - p, "confidence_high")
+    if (dims.isEmpty) lo.crossJoin(hi) else lo.join(hi, dims.toSeq)
+  }
+
+  /** Normalize a sparse labelled histogram (dims, bins, cnt) into a pdf —
+    * the accessor's `normalize` over an already-computed histogram. */
+  def normalize(hist: DataFrame, ax: BinAxis, dims: Seq[String]): DataFrame = {
+    val isFlow = col(ax.binsCol).isin(Double.NegativeInfinity, Double.PositiveInfinity)
+    val width = labelWidth(ax)
+    val w = Window.partitionBy(dims.map(col): _*)
+    val total = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(
+        when(isFlow, lit(0.0)).otherwise(col("cnt")))).over(w))
+    hist.withColumn("pdf",
+        col("cnt") / when(isFlow, lit(1.0)).otherwise(width) / total)
+      .drop("cnt")
+  }
+
+  /** Width looked up from the label (exact literal match — labels were
+    * generated from the same edge literals). */
+  private def labelWidth(ax: BinAxis): Column = {
+    val edges = axisEdges(ax)
+    val widths = axisWidths(ax)
+    edges.zip(widths).foldLeft(lit(1.0)) { case (acc, (e, w)) =>
+      when(col(ax.binsCol) === lit(e), lit(w)).otherwise(acc)
+    }
+  }
+
+  private def axisEdges(ax: BinAxis): Array[Double] = ax match {
+    case a: graft.axes.Regular => a.edges
+    case a: graft.axes.Variable => a.edges
+    case a: graft.axes.Circular => a.edges
+    case _ => throw new IllegalArgumentException(s"no numeric edges for $ax")
+  }
+  private def axisWidths(ax: BinAxis): Array[Double] = ax match {
+    case a: graft.axes.Regular => a.widths
+    case a: graft.axes.Variable => a.widths
+    case a: graft.axes.Circular => a.widths
+    case _ => throw new IllegalArgumentException(s"no numeric widths for $ax")
+  }
+
+  /** Remove flow bins from a labelled histogram (accessor.py:278-305). */
+  def removeFlow(hist: DataFrame, ax: BinAxis): DataFrame =
+    hist.filter(!col(ax.binsCol).isin(Double.NegativeInfinity, Double.PositiveInfinity))
+
+  /** Scale the bins coordinate (accessor.scale, accessor.py:382-395). */
+  def scaleBins(hist: DataFrame, ax: BinAxis, factor: Double): DataFrame =
+    hist.withColumn(ax.binsCol, col(ax.binsCol) * lit(factor))
+
+  /** Static per-axis bins metadata table: idx, left edge, center, width
+    * (accessor edges/centers/widths, accessor.py:165-229). Pure metadata —
+    * never scans data. */
+  def binsTable(spark: SparkSession, ax: BinAxis): DataFrame =
+    spark.range(0, ax.nBins).select(
+      col("id").as("idx"),
+      ax.label(col("id")).as("left_edge"),
+      (ax.label(col("id")) + ax.width(col("id")) / lit(2.0)).as("center"),
+      ax.width(col("id")).as("width"))
+}

@@ -1,0 +1,43 @@
+package graft.util
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine deterministic floating-point summation.
+  *
+  * Doubles are summed via DECIMAL(38,14) — exact and associative, so the
+  * result is independent of partitioning/aggregation order. The final
+  * decimal -> double conversion is NOT left to the engine: DuckDB
+  * double-rounds it (int128 -> double, then /10^scale) while the JVM's
+  * BigDecimal is correctly rounded once, so the two can differ in the last
+  * ulp. Instead the conversion is spelled out identically in both engines:
+  *
+  *   d = toDouble(floor(s))  +  toDouble((s - floor(s)) * 10^14) / 1.0e14
+  *
+  * Both casts are exact (integer part: int64 -> double correctly rounded
+  * per IEEE; fraction: < 10^14 < 2^53), and the remaining ops are single
+  * correctly-rounded IEEE ops — bit-identical across engines.
+  * The SQL mirror lives in graft.oracle.Oracle.exactDbl.
+  */
+object Dec {
+  val D: DecimalType = DecimalType(38, 14)
+
+  /** Double -> decimal via Spark's native cast, which goes through the
+    * double's SHORTEST decimal representation (Decimal(d.toString)). This is
+    * the one per-row conversion BOTH engines can express: the oracle mirrors
+    * it as CAST(CAST(x AS VARCHAR) AS DECIMAL(38,14)) — DuckDB's direct
+    * double->decimal cast is approximate (multiplies by 10^scale in double),
+    * and DuckDB cannot express the exact-binary expansion at all. */
+  def toDec(c: Column): Column = c.cast(D)
+
+  /** Exact decimal -> double, bit-identical to Oracle.exactDbl. */
+  def exactDouble(s: Column): Column = {
+    val i = floor(s)
+    i.cast("long").cast("double") +
+      ((s - i) * lit(100000000000000L)).cast("long").cast("double") / lit(1.0e14)
+  }
+
+  /** Order-independent, cross-engine-deterministic sum of a double column. */
+  def sumDec(c: Column): Column = exactDouble(sum(toDec(c)))
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.axes._
+import graft.operators.Histogram
+import graft.stats.HistStats
+import org.apache.spark.sql.functions._
+
+/** Pins the analytic rv_histogram semantics (reference accessor.py):
+  * stepwise-pdf distribution statistics, checked against hand-computed
+  * values for a tiny histogram. */
+class HistStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 values: bins [0,1):1, [1,2):2, [2,3):1  (on Regular(3, 0, 3))
+  private val ax = Regular("x", 3, 0.0, 3.0)
+  private def df = Seq(0.5, 1.2, 1.8, 2.5).toDF("x")
+
+  test("mean = sum(cnt*center)/total") {
+    val m = HistStats.mean(df, col("x"), ax, Nil).head().getDouble(0)
+    assert(math.abs(m - (0.5 + 2 * 1.5 + 2.5) / 4.0) < 1e-12) // 1.5
+  }
+
+  test("variance: E[X^2] includes the w^2/12 intra-bin term") {
+    val v = HistStats.variance(df, col("x"), ax, Nil).head().getDouble(0)
+    val e2 = (0.5 * 0.5 + 2 * 1.5 * 1.5 + 2.5 * 2.5 + 4.0 / 12.0) / 4.0
+    assert(math.abs(v - (e2 - 1.5 * 1.5)) < 1e-12)
+  }
+
+  test("std = sqrt(var)") {
+    val s = HistStats.std(df, col("x"), ax, Nil).head().getDouble(0)
+    val v = HistStats.variance(df, col("x"), ax, Nil).head().getDouble(0)
+    assert(math.abs(s - math.sqrt(v)) < 1e-12)
+  }
+
+  test("median: piecewise-linear inverse cdf") {
+    // cum: 1, 3, 4; target 2 -> bin [1,2): 1 + (2-1)/2*1 = 1.5
+    val m = HistStats.median(df, col("x"), ax, Nil).head().getDouble(0)
+    assert(math.abs(m - 1.5) < 1e-12)
+  }
+
+  test("ppf(0.25) at an exact bin boundary") {
+    // target 1.0 -> first bin with cum>=1 is [0,1): 0 + (1-0)/1*1 = 1.0
+    val p = HistStats.ppf(df, col("x"), ax, Nil, 0.25).head().getDouble(0)
+    assert(math.abs(p - 1.0) < 1e-12)
+  }
+
+  test("cdf interpolates within the bin") {
+    // cdf(1.5) = (1 + 2*0.5)/4 = 0.5
+    val c = HistStats.cdf(df, col("x"), ax, Nil, 1.5).head().getDouble(0)
+    assert(math.abs(c - 0.5) < 1e-12)
+  }
+
+  test("moment(2) equals analytic integral of x^2 over stepwise pdf") {
+    val m2 = HistStats.moment(df, col("x"), ax, Nil, 2).head().getDouble(0)
+    // per bin: (r^3-l^3)/(3w): [0,1): 1/3; [1,2): 7/3; [2,3): 19/3
+    val expected = (1.0 / 3 + 2 * 7.0 / 3 + 19.0 / 3) / 4.0
+    assert(math.abs(m2 - expected) < 1e-12)
+  }
+
+  test("interval is [ppf(p), ppf(1-p)] around the median") {
+    val r = HistStats.interval(df, col("x"), ax, Nil, 0.5).head()
+    val lo = r.getAs[Double]("confidence_low")
+    val hi = r.getAs[Double]("confidence_high")
+    assert(lo < 1.5 && hi > 1.5 && lo == HistStats.ppf(df, col("x"), ax, Nil, 0.25)
+      .head().getDouble(0))
+  }
+
+  test("stats group by dims") {
+    val d2 = Seq(("a", 0.5), ("a", 1.5), ("b", 2.5)).toDF("g", "x")
+    val m = HistStats.mean(d2, col("x"), ax, Seq("g")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m == Map("a" -> 1.0, "b" -> 2.5))
+  }
+
+  test("normalize: pdf = cnt/width/total on a labelled histogram") {
+    val h = Histogram.histogram(df, col("x"), ax)
+    val p = HistStats.normalize(h, ax, Nil).collect()
+      .map(r => r.getDouble(0) -> r.getAs[Double]("pdf")).toMap
+    assert(math.abs(p(1.0) - 2.0 / 1.0 / 4.0) < 1e-12)
+  }
+
+  test("binsTable: metadata only, no data scan") {
+    val bt = HistStats.binsTable(spark, Variable("v", Array(0.0, 1.0, 3.0)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(bt.toSeq == Seq((0L, 0.0, 0.5, 1.0), (1L, 1.0, 2.0, 2.0)))
+  }
+}
