@@ -2,7 +2,8 @@ package graft
 
 import graft.axes._
 import graft.operators.{HistOptions, Histogram}
-import graft.oracle.Oracle
+import graft.oracle.{Oracle, PipelineOracle}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.stats.HistStats
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -183,6 +184,56 @@ object SparkEntry {
     },
     "q31_edges_centers_widths" -> { (s, dir) =>
       HistStats.binsTable(s, axAcctVar)
+    },
+    "q40_dedup_exact" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Dedup.exact(t(dir, "documents"))
+    },
+    "q41_dedup_minhash" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Dedup.minhashLsh(t(dir, "documents"))
+    },
+    "q42_dedup_simhash" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Dedup.simhashPairs(t(dir, "documents"))
+    },
+    "q43_ngram_jaccard" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Dedup.ngramJaccard(t(dir, "documents"))
+    },
+    "q44_embed_neardup" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Similarity.nearDup(t(dir, "embeddings"), 0.35)
+    },
+    "q45_ann_bruteforce" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    },
+    "q46_ann_lsh" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Similarity.annLsh(emb, emb.filter(col("vec_id") < 10), 3)
+    },
+    "q47_langid" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      TextAnalysis.langId(t(dir, "documents"))
+    },
+    "q48_quality" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      TextAnalysis.quality(t(dir, "documents"))
+    },
+    "q49_tokens" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      TextAnalysis.tokens(t(dir, "documents"))
+    },
+    "q50_fingerprint" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      TextAnalysis.fingerprint(t(dir, "documents"))
+    },
+    "q51_multimodal" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Multimodal.pipeline(t(dir, "documents"))
     }
   )
 
@@ -241,6 +292,19 @@ object SparkEntry {
     "q29_remove_flow" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQtyNarrow))),
     "q30_scale_bins" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty10)),
       labelScale = Some(2.5)),
-    "q31_edges_centers_widths" -> Oracle.binsTableSql(axAcctVar)
+    "q31_edges_centers_widths" -> Oracle.binsTableSql(axAcctVar),
+    "q40_dedup_exact" -> PipelineOracle.dedupExact,
+    "q41_dedup_minhash" -> PipelineOracle.minhashLsh(),
+    "q42_dedup_simhash" -> PipelineOracle.simhashPairs(),
+    "q43_ngram_jaccard" -> PipelineOracle.ngramJaccard(),
+    "q44_embed_neardup" -> PipelineOracle.embedNearDup(0.35),
+    "q45_ann_bruteforce" -> PipelineOracle.annBruteForce(5, 10),
+    "q46_ann_lsh" -> PipelineOracle.annLsh(3, 10)
+    // q47-q50 below; q51_multimodal is rows-only (stubbed decode, no oracle)
+  ) ++ Map(
+    "q47_langid" -> PipelineOracle.langId,
+    "q48_quality" -> PipelineOracle.quality,
+    "q49_tokens" -> PipelineOracle.tokens,
+    "q50_fingerprint" -> PipelineOracle.fingerprint()
   )
 }

@@ -1,0 +1,161 @@
+package graft.oracle
+
+import graft.pipeline.TextAnalysis
+
+/** DuckDB oracle SQL for the pipeline operators (graft.pipeline.*).
+  *
+  * Same semantics as the Spark implementations, re-expressed in DuckDB's
+  * dialect: md5 hex hashing, ordered aggregates for fold-order-identical
+  * dot products, length-replace occurrence counting, exact integer
+  * rolling hashes.
+  */
+object PipelineOracle {
+
+  val dedupExact: String =
+    "SELECT doc_id, md5(text) AS content_hash, " +
+      "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS keep " +
+      "FROM documents"
+
+  def minhashLsh(k: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): String = {
+    val numHashes = bands * rowsPerBand
+    val mins = (1 to numHashes).map(j => s"min(md5('$j:' || sh)) AS h$j").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val cat = (1 to rowsPerBand).map(r => s"h${b * rowsPerBand + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $cat AS sig FROM sig"
+    }.mkString(" UNION ALL ")
+    s"WITH sh AS (SELECT doc_id, substring(text, CAST(i AS INT), $k) AS sh " +
+      s"FROM (SELECT doc_id, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
+      s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id), " +
+      s"banded AS ($bandSelects) " +
+      "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"
+  }
+
+  def simhashPairs(maxHamming: Int = 3): String = {
+    val sums = (0 until 16)
+      .map(b => s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(", ")
+    val bits = (0 until 16)
+      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    "WITH toks AS (SELECT DISTINCT doc_id, tok FROM " +
+      "(SELECT doc_id, UNNEST(string_split_regex(text, ' +')) AS tok FROM documents) WHERE tok <> ''), " +
+      "v AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS v FROM toks), " +
+      s"s AS (SELECT doc_id, $sums FROM v GROUP BY doc_id), " +
+      s"sh AS (SELECT doc_id, $bits AS simhash FROM s), " +
+      "j AS (SELECT sh.doc_id, sh.simhash, d.source FROM sh JOIN documents d ON d.doc_id = sh.doc_id) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming " +
+      "FROM j a JOIN j b ON a.source = b.source AND a.doc_id < b.doc_id " +
+      s"WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming"
+  }
+
+  def ngramJaccard(k: Int = 4, threshold: Double = 0.6): String = {
+    val jac = "CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)"
+    s"WITH g AS (SELECT DISTINCT doc_id, source, substring(text, CAST(i AS INT), $k) AS g " +
+      s"FROM (SELECT doc_id, source, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
+      "FROM g a JOIN g b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      s"SELECT doc_a, doc_b, $jac AS jaccard " +
+      "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+      s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
+  }
+
+  /** Shared element/norm CTEs over embeddings (ordered sums = Spark's
+    * left-to-right array fold). */
+  private val embBase: String =
+    "e AS (SELECT vec_id, label, embedding FROM embeddings), " +
+      "el AS (SELECT vec_id, CAST(i AS INT) AS i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v " +
+      "FROM (SELECT vec_id, embedding, UNNEST(generate_series(1, len(embedding))) AS i FROM e)), " +
+      "nrm AS (SELECT vec_id, SQRT(SUM(v * v ORDER BY i)) AS nrm FROM el GROUP BY vec_id)"
+
+  def embedNearDup(threshold: Double): String =
+    s"WITH $embBase, " +
+      "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
+      "ON a.label = b.label AND a.vec_id < b.vec_id), " +
+      "d AS (SELECT p.vec_a, p.vec_b, SUM(ea.v * eb.v ORDER BY ea.i) AS dot " +
+      "FROM p JOIN el ea ON ea.vec_id = p.vec_a JOIN el eb ON eb.vec_id = p.vec_b AND eb.i = ea.i " +
+      "GROUP BY p.vec_a, p.vec_b) " +
+      "SELECT d.vec_a, d.vec_b, d.dot / (na.nrm * nb.nrm) AS cosine " +
+      "FROM d JOIN nrm na ON na.vec_id = d.vec_a JOIN nrm nb ON nb.vec_id = d.vec_b " +
+      s"WHERE d.dot / (na.nrm * nb.nrm) >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
+
+  def annBruteForce(k: Int, queryMaxId: Long): String =
+    s"WITH $embBase, " +
+      s"q AS (SELECT vec_id FROM e WHERE vec_id < $queryMaxId), " +
+      "d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "SUM(eq.v * ec.v ORDER BY eq.i) AS dot " +
+      "FROM q JOIN e c ON c.vec_id <> q.vec_id " +
+      "JOIN el eq ON eq.vec_id = q.vec_id JOIN el ec ON ec.vec_id = c.vec_id AND ec.i = eq.i " +
+      "GROUP BY 1, 2), " +
+      "s AS (SELECT query_id, neighbor_id, dot / (na.nrm * nb.nrm) AS cosine " +
+      "FROM d JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
+      s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
+
+  private def bucketSql(bits: Int = 8): String =
+    (0 until bits)
+      .map(j => s"(CASE WHEN embedding[${j * 8 + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+
+  def annLsh(k: Int, queryMaxId: Long): String =
+    s"WITH $embBase, " +
+      s"bk AS (SELECT vec_id, ${bucketSql()} AS bucket FROM e), " +
+      s"q AS (SELECT vec_id, bucket FROM bk WHERE vec_id < $queryMaxId), " +
+      "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id FROM q " +
+      "JOIN bk c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id), " +
+      "d AS (SELECT cand.query_id, cand.neighbor_id, SUM(eq.v * ec.v ORDER BY eq.i) AS dot " +
+      "FROM cand JOIN el eq ON eq.vec_id = cand.query_id " +
+      "JOIN el ec ON ec.vec_id = cand.neighbor_id AND ec.i = eq.i GROUP BY 1, 2), " +
+      "s AS (SELECT query_id, neighbor_id, dot / (na.nrm * nb.nrm) AS cosine " +
+      "FROM d JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
+      s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
+
+  val langId: String = {
+    def occ(pat: String): String = {
+      val esc = pat.replace("'", "''")
+      s"CAST((length(p) - length(replace(p, '$esc', ''))) / ${pat.length} AS BIGINT)"
+    }
+    val scores = TextAnalysis.langMarkers
+      .map { case (lang, pats) => pats.map(occ).mkString(" + ") + s" AS s_$lang" }
+      .mkString(", ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val pred = langs.map { lang =>
+      val isMax = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN s_$lang > 0 AND $isMax THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    "WITH s AS (SELECT doc_id, " + scores +
+      " FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)) " +
+      s"SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, $pred AS pred_lang FROM s"
+  }
+
+  val quality: String = {
+    val ratio = "CAST(n_punct AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE)"
+    "WITH c AS (SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words, " +
+      "CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_punct, " +
+      "CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper FROM documents) " +
+      "SELECT doc_id, n_words, n_punct, n_upper, " +
+      s"$ratio AS punct_ratio, " +
+      "CAST(n_upper AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS upper_ratio, " +
+      s"CASE WHEN n_words >= 40 AND $ratio < CAST('0.1' AS DOUBLE) THEN 'high' " +
+      "WHEN n_words >= 15 THEN 'medium' ELSE 'low' END AS bucket FROM c"
+  }
+
+  val tokens: String =
+    "SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens, " +
+      "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens " +
+      "FROM documents"
+
+  def fingerprint(maxLen: Int = 64): String = {
+    val pows = TextAnalysis.fingerprintPows(maxLen).mkString("[", ", ", "]")
+    s"WITH ch AS (SELECT doc_id, CAST(i AS INT) AS i, ascii(substring(text, CAST(i AS INT), 1)) AS c " +
+      s"FROM (SELECT doc_id, text, UNNEST(generate_series(1, least(length(text), $maxLen))) AS i FROM documents)), " +
+      s"t AS (SELECT doc_id, CAST(c AS BIGINT) * ($pows[i]) AS term FROM ch) " +
+      s"SELECT doc_id, CAST(SUM(term) % ${TextAnalysis.FpMod} AS BIGINT) AS fingerprint " +
+      "FROM t GROUP BY doc_id"
+  }
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an Array[Float] column.
+  *
+  * Dot products use `zip_with` + `aggregate` (codegen'd higher-order
+  * functions — per-row array math, no explode, no UDF). Elements are cast
+  * to double BEFORE multiplying and folded left-to-right, which both
+  * engines can reproduce exactly (DuckDB: SUM(x ORDER BY i)).
+  *
+  * Scale paths:
+  *  - brute-force top-k broadcasts the (small) query set against the corpus
+  *    — embarrassingly parallel, the 100 TB side is never shuffled;
+  *  - LSH buckets (deterministic axis-sign hyperplanes) turn near-dup /
+  *    ANN into bounded equi-join buckets.
+  */
+object Similarity {
+
+  /** Elements as doubles (exact float->double widening). */
+  private def asDouble(v: Column): Column =
+    transform(v, x => x.cast("double"))
+
+  /** Left-to-right dot product of two float vectors, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** Euclidean norm (left-to-right sum of squares). */
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(asDouble(v), x => x * x), lit(0.0), (acc, t) => acc + t))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Corpus with a precomputed norm column. */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", norm(col("embedding")))
+
+  /** Near-duplicate pairs within the same label, cosine >= threshold.
+    * The label is the blocking key; on unlabeled corpora use lshBucket as
+    * the blocking key instead. */
+  def nearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val n = withNorm(emb)
+    val a = n.as("a")
+    val b = n.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm"))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Brute-force cosine top-k: broadcast the query set against the corpus;
+    * rank by (cosine desc, vec_id asc) for determinism. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = withNorm(corpus).as("c")
+    val q = withNorm(queries).as("q")
+    val scored = c.join(broadcast(q), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(col("q.embedding"), col("c.embedding"), col("q.nrm"), col("c.nrm"))
+          .as("cosine"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic sign-LSH bucket: bit j set when element 8j+1 > 0
+    * (axis-aligned hyperplanes — reproducible in any engine; seeded random
+    * hyperplanes drop in the same way at scale). */
+  def lshBucket(v: Column, bits: Int = 8): Column =
+    (0 until bits).map(j =>
+      when(element_at(v, j * 8 + 1) > 0.0f, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates restricted to the query's bucket, then
+    * exact cosine top-k within it. */
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = withNorm(corpus).withColumn("bucket", lshBucket(col("embedding"))).as("c")
+    val q = withNorm(queries).withColumn("bucket", lshBucket(col("embedding"))).as("q")
+    val scored = c.join(broadcast(q),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(col("q.embedding"), col("c.embedding"), col("q.nrm"), col("c.nrm"))
+          .as("cosine"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators: language ID, quality scoring, token counting,
+  * fingerprinting. Pure column algebra (no UDFs), each with an exact DuckDB
+  * oracle. */
+object TextAnalysis {
+
+  /** Occurrences of a literal pattern via the length-replace identity —
+    * integer-exact and portable across engines. */
+  def occurrences(text: Column, pat: String): Column =
+    ((length(text) - length(replace(text, lit(pat), lit("")))) / pat.length).cast("long")
+
+  /** Stopword marker sets per language (scored against ' '-padded text). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " a ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " la "),
+    "es" -> Seq(" el ", " los ", " que "))
+
+  /** Heuristic language ID: stopword-marker hit counts per language,
+    * argmax with deterministic tie-break (declaration order). */
+  def langId(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scored = langMarkers.foldLeft(docs.select(col("doc_id"), col("text"))) {
+      case (df, (lang, pats)) =>
+        df.withColumn(s"s_$lang", pats.map(p => occurrences(padded, p)).reduce(_ + _))
+    }
+    val langs = langMarkers.map(_._1)
+    val pred = langs.foldRight(lit("und")) { (lang, els) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o")).reduce(_ && _)
+      when(col(s"s_$lang") > 0 && isMax, lit(lang)).otherwise(els)
+    }
+    scored.select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+ pred.as("pred_lang"): _*)
+  }
+
+  /** Quality scoring: word/punctuation/uppercase counts and ratios plus a
+    * bucketed verdict (high/medium/low). */
+  def quality(docs: DataFrame): DataFrame = {
+    val words = regexp_count(col("text"), lit("[A-Za-z]+")).cast("long")
+    val punct = regexp_count(col("text"), lit("[.!?]")).cast("long")
+    val upper = regexp_count(col("text"), lit("[A-Z]")).cast("long")
+    docs.select(col("doc_id"), words.as("n_words"), punct.as("n_punct"), upper.as("n_upper"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("upper_ratio",
+        col("n_upper").cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("bucket",
+        when(col("n_words") >= 40 && col("punct_ratio") < 0.1, lit("high"))
+          .when(col("n_words") >= 15, lit("medium"))
+          .otherwise(lit("low")))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish segmentation
+    * (letter runs | single digits | single other non-space chars). */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+        .cast("long").as("bpe_tokens"))
+
+  /** Polynomial rolling-hash fingerprint of the first maxLen chars:
+    * sum(ascii(c_i) * B^(i-1)) mod P — exact integer math, identical in any
+    * engine. */
+  val FpBase = 131L
+  val FpMod = 1000000007L
+
+  def fingerprintPows(maxLen: Int): Array[Long] = {
+    val pows = new Array[Long](maxLen)
+    pows(0) = 1L
+    for (i <- 1 until maxLen) pows(i) = pows(i - 1) * FpBase % FpMod
+    pows
+  }
+
+  def fingerprint(docs: DataFrame, maxLen: Int = 64): DataFrame = {
+    val pows = fingerprintPows(maxLen)
+    docs.select(col("doc_id"),
+        explode(expr(s"sequence(1, least(length(text), $maxLen))")).as("i"),
+        col("text"))
+      .withColumn("term",
+        expr("ascii(substring(text, i, 1))").cast("long") *
+          element_at(typedlit(pows.toSeq), col("i").cast("int")))
+      .groupBy("doc_id")
+      .agg((sum(col("term")) % FpMod).as("fingerprint"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "s1"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "en", "s1"), // near dup of 1
+    (4L, "der schnelle braune fuchs und der faule hund", "de", "s2"),
+    (5L, "completely different text about databases!", "en", "s2")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("exact dedup keeps lowest doc_id per content hash") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true, 5L -> true))
+  }
+
+  test("minhash LSH surfaces the exact/near duplicates as candidates") {
+    val pairs = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("simhash: identical docs get identical signatures") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < 65536))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: exact dup scores 1.0, near dup high, distinct low") {
+    val j = Dedup.ngramJaccard(docs, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.6 && j((1L, 3L)) < 1.0)
+  }
+
+  private def emb = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),   // close to 1
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),   // orthogonal
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine near-dup finds the close same-label pair only") {
+    val pairs = Similarity.nearDup(emb, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force top-k ranks by cosine desc with deterministic ties") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1), 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.head == (2L, 1)) // nearest neighbor of 1 is 2
+    assert(out.length == 3)
+  }
+
+  test("langid scores stopword markers and argmaxes deterministically") {
+    val out = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out(1L) == "en")
+    assert(out(4L) == "de")
+  }
+
+  test("quality buckets by word count and punctuation ratio") {
+    val out = TextAnalysis.quality(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("bucket")).toMap
+    assert(out(1L) == "low") // 9 words
+  }
+
+  test("token counts: whitespace vs BPE-ish segmentation") {
+    val out = TextAnalysis.tokens(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d5 = out.find(_._1 == 5L).get
+    assert(d5._2 == 5L) // "completely different text about databases!"
+    assert(d5._3 == 6L) // trailing '!' is its own BPE-ish token
+  }
+
+  test("fingerprint: deterministic, differs on different text") {
+    val fp = TextAnalysis.fingerprint(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(5L))
+    assert(fp.values.forall(v => v >= 0 && v < TextAnalysis.FpMod))
+  }
+
+  test("multimodal: binary plumbing with stubbed decode is deterministic") {
+    val out1 = Multimodal.pipeline(docs).orderBy("doc_id").collect()
+    val out2 = Multimodal.pipeline(docs).orderBy("doc_id").collect()
+    assert(out1.sameElements(out2))
+    assert(out1.forall(_.getAs[Boolean]("decoded_ok")))
+    assert(out1.map(_.getAs[String]("media_type")).toSet == Set("image", "audio", "video"))
+  }
+}
