@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.axes.BinAxis
+import org.apache.spark.sql.{Column, DataFrame, GraftShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dense histogram aggregation buffer: counts per bin as one
+  * Array[Double].
+  *
+  * The sparse groupBy path shuffles one row per (group, bin, map-partition);
+  * this aggregate shuffles ONE dense vector per (group, map-partition) —
+  * the winning layout when bins are many and groups comparatively few
+  * (e.g. 10k-bin histograms on a 1000-executor cluster: 10k-row shuffle
+  * blocks collapse into a single 80KB vector). This is the direct analog of
+  * the reference's per-chunk boost histogram + tree-reduce
+  * (xarray-histogram core.py:411-464): partial vectors add elementwise.
+  *
+  * Input: precomputed bin index (null/-out-of-range ignored) + weight.
+  * Buffer layout: [0..n) regular bins, slot n = underflow, n+1 = overflow.
+  */
+case class HistVectorAgg(
+    idx: Expression,
+    weight: Expression,
+    nBins: Int,
+    flow: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(idx, weight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](nBins + 2)
+
+  override def update(buf: Array[Double], row: InternalRow): Array[Double] = {
+    if (!idx.nullable || idx.eval(row) != null) {
+      val i = idx.eval(row).asInstanceOf[Long]
+      val w = weight.eval(row) match {
+        case null => 0.0
+        case d: Double => d
+        case other => other.toString.toDouble
+      }
+      if (i >= 0 && i < nBins) buf(i.toInt) += w
+      else if (i == -1) buf(nBins) += w
+      else if (i == nBins) buf(nBins + 1) += w
+      // out-of-protocol indices ignored
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    new GenericArrayData(if (flow) buf else buf.take(nBins))
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asDoubleBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HistVectorAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HistVectorAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HistVectorAgg =
+    copy(idx = c(0), weight = c(1))
+}
+
+object HistVectorAgg {
+
+  /** Column API: dense count vector for a bin-index column. */
+  def histVector(idx: Column, weight: Column, nBins: Int, flow: Boolean = false): Column =
+    GraftShim.column(
+      HistVectorAgg(GraftShim.expression(idx), GraftShim.expression(weight), nBins, flow)
+        .toAggregateExpression())
+
+  /** Dense-path histogram: groupBy(dims).agg(vector) then posexplode back to
+    * the same sparse row layout as Histogram.histogramdd(dense = true).
+    * Shuffle volume: one (nBins+2)-double array per group per map task. */
+  def histogram(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
+      weight: Option[Column] = None): DataFrame = {
+    val w = weight.getOrElse(lit(1.0)).cast("double")
+    val vec = histVector(ax.index(x), w, ax.nBins)
+    val g =
+      if (dims.isEmpty) df.agg(vec.as("__v"))
+      else df.groupBy(dims.map(col): _*).agg(vec.as("__v"))
+    g.select(dims.map(col) :+ posexplode(col("__v")).as(Seq("__i0", "cnt")): _*)
+      .select(dims.map(col) ++
+        Seq(ax.label(col("__i0").cast("long")).as(ax.binsCol), col("cnt")): _*)
+  }
+}

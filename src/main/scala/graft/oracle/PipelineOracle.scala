@@ -17,18 +17,20 @@ object PipelineOracle {
       "FROM documents"
 
   def minhashLsh(k: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): String = {
+    import graft.pipeline.Dedup.{mhA, mhB, MhMod}
     val numHashes = bands * rowsPerBand
-    val mins = (1 to numHashes).map(j => s"min(md5('$j:' || sh)) AS h$j").mkString(", ")
+    val mins = (1 to numHashes)
+      .map(j => s"min((${mhA(j)} * h + ${mhB(j)}) % $MhMod) AS h$j").mkString(", ")
     val bandSelects = (0 until bands).map { b =>
-      val cat = (1 to rowsPerBand).map(r => s"h${b * rowsPerBand + r}").mkString(" || ")
-      s"SELECT doc_id, $b AS band, $cat AS sig FROM sig"
+      s"SELECT doc_id, $b AS band, h${b * rowsPerBand + 1} AS s1, h${b * rowsPerBand + 2} AS s2 FROM sig"
     }.mkString(" UNION ALL ")
     s"WITH sh AS (SELECT doc_id, substring(text, CAST(i AS INT), $k) AS sh " +
       s"FROM (SELECT doc_id, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
-      s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id), " +
+      s"hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $MhMod AS h FROM sh), " +
+      s"sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id), " +
       s"banded AS ($bandSelects) " +
       "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-      "FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"
+      "FROM banded a JOIN banded b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id"
   }
 
   def simhashPairs(maxHamming: Int = 3): String = {
@@ -50,13 +52,24 @@ object PipelineOracle {
       s"WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming"
   }
 
-  def ngramJaccard(k: Int = 4, threshold: Double = 0.6): String = {
+  def ngramJaccard(k: Int = 8, threshold: Double = 0.8): String = {
     val jac = "CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)"
+    val oneMinusT = java.lang.Double.toString(1.0 - threshold)
     s"WITH g AS (SELECT DISTINCT doc_id, source, substring(text, CAST(i AS INT), $k) AS g " +
       s"FROM (SELECT doc_id, source, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
       "sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id), " +
-      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter " +
-      "FROM g a JOIN g b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "freq AS (SELECT source, g, COUNT(*) AS f FROM g GROUP BY 1, 2), " +
+      "rk AS (SELECT g.doc_id, g.source, g.g, sz.sz, " +
+      "ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY freq.f, g.g) AS rn " +
+      "FROM g JOIN freq ON freq.source = g.source AND freq.g = g.g " +
+      "JOIN sz ON sz.doc_id = g.doc_id), " +
+      s"pfx AS (SELECT doc_id, source, g FROM rk WHERE rn <= CAST(FLOOR(CAST('$oneMinusT' AS DOUBLE) * sz) AS BIGINT) + 1), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM pfx a " +
+      "JOIN pfx b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id), " +
+      "inter AS (SELECT cand.doc_a, cand.doc_b, COUNT(*) AS inter FROM cand " +
+      "JOIN g ga ON ga.doc_id = cand.doc_a " +
+      "JOIN g gb ON gb.doc_id = cand.doc_b AND gb.source = ga.source AND gb.g = ga.g " +
+      "GROUP BY 1, 2) " +
       s"SELECT doc_a, doc_b, $jac AS jaccard " +
       "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
       s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"

@@ -32,18 +32,34 @@ object Dedup {
       .withColumn("keep",
         row_number().over(Window.partitionBy("content_hash").orderBy("doc_id")) === 1)
 
-  /** Character shingles of length k as an exploded (doc_id, sh) relation. */
+  /** Character shingles of length k as an exploded (doc_id, sh) relation.
+    * explode(sequence) + positional substring stays inside whole-stage
+    * codegen — a transform(...) lambda would be interpreted per row. */
   def shingles(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
-      explode(expr(s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1))," +
-        s" i -> substring(text, i, $k))")).as("sh"))
+    docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 1))")).as("i"))
+      .select(col("doc_id"), expr(s"substring(text, i, $k)").as("sh"))
+
+  /** MinHash family: ONE md5 per shingle (60 bits from the first 15 hex
+    * chars), then numHashes cheap affine rehashes h_j = (A_j*h + B_j) mod P
+    * — products stay under 2^63, exact in any engine. */
+  val MhMod = 1000000007L
+  def mhA(j: Int): Long = 2654435761L % MhMod * j % MhMod + 1
+  def mhB(j: Int): Long = 40503L * j + 7
 
   /** Per-doc MinHash signature: numHashes min-aggregates over the shingle
-    * relation (map-side combinable — no per-hash row explosion). */
+    * relation (map-side combinable — no per-hash row explosion, and a
+    * single md5 per shingle). */
   def minhashSignature(docs: DataFrame, k: Int = 5, numHashes: Int = 8): DataFrame = {
+    val h = conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
+      .cast("long") % MhMod
     val aggs = (1 to numHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("sh")).cast("binary"))).as(s"h$j"))
-    shingles(docs, k).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      min((lit(mhA(j)) * col("__h") + lit(mhB(j))) % MhMod).as(s"h$j"))
+    // Dedup shingles BEFORE hashing: min over a set == min over the
+    // multiset, and the distinct's map-side partial agg shrinks 20x before
+    // md5 runs (md5 is the dominant per-row cost).
+    shingles(docs, k).distinct().withColumn("__h", h)
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash+LSH candidate pairs: band signatures (rows-per-band hashes
@@ -52,18 +68,21 @@ object Dedup {
   def minhashLsh(docs: DataFrame, k: Int = 5, bands: Int = 4,
       rowsPerBand: Int = 2): DataFrame = {
     val numHashes = bands * rowsPerBand
+    require(rowsPerBand == 2, "band layout fixed at 2 rows per band")
     val sig = minhashSignature(docs, k, numHashes)
     val bandStructs = (0 until bands).map { b =>
-      val cols = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), concat(cols: _*).as("sig"))
+      struct(lit(b).as("band"),
+        col(s"h${b * rowsPerBand + 1}").as("s1"),
+        col(s"h${b * rowsPerBand + 2}").as("s2"))
     }
     val banded = sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.s1").as("s1"), col("bs.s2").as("s2"))
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.doc_id") < col("b.doc_id"))
+    a.join(b, col("a.band") === col("b.band") && col("a.s1") === col("b.s1") &&
+        col("a.s2") === col("b.s2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -99,23 +118,74 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** n-gram Jaccard similarity for doc pairs within the same source
-    * (blocking key bounds the (source, gram) bucket join). */
-  def ngramJaccard(docs: DataFrame, k: Int = 4, threshold: Double = 0.6): DataFrame = {
-    val grams = docs.select(col("doc_id"), col("source"),
-        explode(expr(s"transform(sequence(1, greatest(length(text) - ${k - 1}, 1))," +
-          s" i -> substring(text, i, $k))")).as("g"))
+  /** Exact n-gram Jaccard similarity join with PPJoin-style prefix
+    * filtering, blocked by source.
+    *
+    * A naive gram-bucket self-join explodes quadratically on common grams.
+    * Prefix filtering makes the exact join scale: order each doc's grams by
+    * ascending (in-source document frequency, gram) and index only the
+    * first floor((1-t)*|A|)+1 of them — any pair with jaccard >= t provably
+    * shares a prefix gram, so candidates come from joining the (small)
+    * prefix relation only; the full gram sets are consulted just to verify
+    * candidates. Join keys are 64-bit hashes of (source, gram). */
+  def ngramJaccard(docs: DataFrame, k: Int = 8, threshold: Double = 0.8): DataFrame = {
+    // Gram strings are replaced by a 64-bit hash of (source, gram) BEFORE
+    // any shuffle — long keys everywhere downstream. The relation feeds
+    // sizes, frequencies, the prefix index, and the verify join; Spark does
+    // not share subplans across a DAG, so persist it once instead of
+    // recomputing the explode+distinct four times.
+    val grams = docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 1))")).as("i"),
+        col("source"))
+      .select(col("doc_id"),
+        xxhash64(col("source"), expr(s"substring(text, i, $k)")).as("__k"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = grams.as("a")
-    val b = grams.as("b")
-    val inter = a.join(b, col("a.source") === col("b.source") &&
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val freq = grams.groupBy("__k").agg(count(lit(1)).as("f"))
+
+    // Prefix index: each doc's floor((1-t)*|A|)+1 rarest grams. The gram
+    // order (f, __k) differs from the oracle's (f, gram-string) order —
+    // both are consistent total orders, and the prefix-filter guarantee
+    // (any pair with jaccard >= t shares a prefix gram) holds for ANY
+    // consistent order, so the FINAL output is engine-independent.
+    val prefix = grams
+      .join(freq, "__k")
+      .join(broadcast(sizes), "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("f"), col("__k"))))
+      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
+      .select("doc_id", "__k")
+
+    // Size-compatibility filter: jaccard >= t forces t*|B| <= |A| <= |B|/t;
+    // prunes candidates before the (expensive) verify join.
+    val szA = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa")
+    val szB = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.__k") === col("b.__k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(broadcast(szA), "doc_a")
+      .join(broadcast(szB), "doc_b")
+      .filter(col("sa").cast("double") >= lit(threshold) * col("sb").cast("double") &&
+        col("sb").cast("double") >= lit(threshold) * col("sa").cast("double"))
+
+    // Verify: collect each doc's gram set ONCE into a sorted array, then
+    // count intersections per candidate pair with a single codegen'd merge
+    // pass (O(|A|+|B|) per pair) — no re-join through the exploded grams.
+    val gramArrays = grams.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("__k"))).as("gset"))
+    val inter = cand
+      .join(gramArrays.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("gset", "ga"), "doc_a")
+      .join(gramArrays.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("gset", "gb"), "doc_b")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count(col("ga"), col("gb")))
+      .select("doc_a", "doc_b", "sa", "sb", "inter")
+
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sa") + col("sb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -19,18 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elements as doubles (exact float->double widening). */
-  private def asDouble(v: Column): Column =
-    transform(v, x => x.cast("double"))
-
-  /** Left-to-right dot product of two float vectors, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, t) => acc + t)
+  /** Left-to-right dot product of two float vectors, in double —
+    * codegen'd native expression (see graft.functions.VecDot). */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot.vec_dot(a, b)
 
   /** Euclidean norm (left-to-right sum of squares). */
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(asDouble(v), x => x * x), lit(0.0), (acc, t) => acc + t))
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)

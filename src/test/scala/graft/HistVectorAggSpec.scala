@@ -1,0 +1,33 @@
+package graft
+
+import graft.axes.Regular
+import graft.operators.{HistOptions, Histogram, HistVectorAgg}
+import org.apache.spark.sql.functions._
+
+/** Dense vector aggregation path must agree exactly with the sparse
+  * groupBy path (same semantics, different shuffle layout). */
+class HistVectorAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dense vector path matches sparse dense-grid path exactly") {
+    val df = Seq(("a", 0.5), ("a", 1.5), ("a", 1.7), ("b", 0.2), ("b", 5.0), ("b", -3.0))
+      .toDF("g", "x").repartition(3) // multiple partitions -> merge path runs
+    val ax = Regular("x", 4, 0.0, 4.0)
+    val dense = HistVectorAgg.histogram(df, col("x"), ax, Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val sparse = Histogram.histogram(df, col("x"), ax, Seq("g"),
+        HistOptions(dense = true))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(dense == sparse)
+    assert(dense(("a", 1.0)) == 2.0 && dense(("b", 0.0)) == 1.0)
+    assert(dense(("a", 3.0)) == 0.0) // dense zero bin present
+  }
+
+  test("weighted dense vector aggregation") {
+    val df = Seq((0.5, 2.0), (0.5, 3.0), (1.5, 10.0)).toDF("x", "w")
+    val ax = Regular("x", 2, 0.0, 2.0)
+    val h = HistVectorAgg.histogram(df, col("x"), ax, Nil, Some(col("w")))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(h == Map(0.0 -> 5.0, 1.0 -> 10.0))
+  }
+}
