@@ -14,9 +14,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/classloading + parquet footers so the first timed
-    // query isn't charged session startup.
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .filter(org.apache.spark.sql.functions.col("l_quantity") > 0).count()
+    // query isn't charged session startup: exercise scan + filter +
+    // aggregate + shuffle + window machinery once.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_quantity") > 0)
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+      w.withColumn("r", org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy("l_returnflag").orderBy("s"))).count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

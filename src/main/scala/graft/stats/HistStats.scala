@@ -188,4 +188,28 @@ object HistStats {
       ax.label(col("id")).as("left_edge"),
       (ax.label(col("id")) + ax.width(col("id")) / lit(2.0)).as("center"),
       ax.width(col("id")).as("width"))
+
+  /** Bin areas over multiple axes: the cross product of the axes' bin
+    * tables with area = product of widths (accessor.areas,
+    * accessor.py:231-250). Metadata-only; broadcastable. */
+  def areasTable(spark: SparkSession, axes: Seq[BinAxis]): DataFrame = {
+    require(axes.nonEmpty)
+    val tables = axes.map { ax =>
+      binsTable(spark, ax).select(
+        col("left_edge").as(ax.binsCol), col("width").as(s"__w_${ax.name}"))
+    }
+    val grid = tables.reduce(_.crossJoin(_))
+    grid.withColumn("area", axes.map(ax => col(s"__w_${ax.name}")).reduce(_ * _))
+      .select(axes.map(ax => col(ax.binsCol)) :+ col("area"): _*)
+  }
+
+  /** Transform the bins coordinate of a computed histogram with an
+    * arbitrary Column function (accessor.apply_func, accessor.py:355-380).
+    * `scaleBins` is the special case f = _ * factor. */
+  def applyToBins(hist: DataFrame, ax: BinAxis, f: Column => Column): DataFrame =
+    hist.withColumn(ax.binsCol, f(col(ax.binsCol)))
+
+  /** Whether a histogram DataFrame is normalized (pdf column present) —
+    * accessor.is_normalized, accessor.py:132. */
+  def isNormalized(hist: DataFrame): Boolean = hist.columns.contains("pdf")
 }

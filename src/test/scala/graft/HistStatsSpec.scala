@@ -79,6 +79,24 @@ class HistStatsSpec extends SparkSpec {
     assert(math.abs(p(1.0) - 2.0 / 1.0 / 4.0) < 1e-12)
   }
 
+  test("areasTable: cross-product of widths over multiple axes") {
+    val a1 = Regular("x", 2, 0.0, 4.0)   // widths 2
+    val a2 = Variable("y", Array(0.0, 1.0, 4.0)) // widths 1, 3
+    val rows = HistStats.areasTable(spark, Seq(a1, a2)).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(rows == Map((0.0, 0.0) -> 2.0, (0.0, 1.0) -> 6.0,
+      (2.0, 0.0) -> 2.0, (2.0, 1.0) -> 6.0))
+  }
+
+  test("applyToBins: arbitrary bin-coordinate transform") {
+    val h = Histogram.histogram(df, col("x"), ax)
+    val shifted = HistStats.applyToBins(h, ax, c => c + lit(10.0)).collect()
+      .map(_.getDouble(0)).toSet
+    assert(shifted == Set(10.0, 11.0, 12.0))
+    assert(!HistStats.isNormalized(h))
+    assert(HistStats.isNormalized(HistStats.normalize(h, ax, Nil)))
+  }
+
   test("binsTable: metadata only, no data scan") {
     val bt = HistStats.binsTable(spark, Variable("v", Array(0.0, 1.0, 3.0)))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
