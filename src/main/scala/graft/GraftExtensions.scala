@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{GramHashes, SortedIntersectCount, VecDot}
+import graft.operators.HistVectorAgg
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions registering graft's native expressions for SQL
+  * users:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   spark.sql("SELECT vec_dot(a.embedding, b.embedding) ...")
+  *
+  * Functions:
+  *  - vec_dot(a, b)                      float-vector dot product (double)
+  *  - sorted_intersect_count(a, b)       |A ∩ B| of sorted long arrays
+  *  - gram_hashes(text, salt, k)         sorted distinct k-gram hash set
+  *  - hist_vector(idx, w, nBins, flow)   dense histogram vector aggregate
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal (got $other)")
+  }
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal (got $other)")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float arrays, in double"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - intersection size of two sorted long arrays"),
+      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("gram_hashes"),
+      info("gram_hashes",
+        "gram_hashes(text, salt, k) - sorted distinct hashes of character k-grams"),
+      (args: Seq[Expression]) =>
+        GramHashes(args(0), args(1), intLit(args(2), "gram_hashes k"))))
+    e.injectFunction((FunctionIdentifier("hist_vector"),
+      info("hist_vector",
+        "hist_vector(idx, weight, nBins, flow) - dense histogram count vector"),
+      (args: Seq[Expression]) =>
+        HistVectorAgg(args(0), args(1), intLit(args(2), "hist_vector nBins"),
+          boolLit(args(3), "hist_vector flow")).toAggregateExpression()))
+  }
+}

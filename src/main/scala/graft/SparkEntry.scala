@@ -134,6 +134,13 @@ object SparkEntry {
       hist(dir, "events", col("value"), axValue, dims = Seq("event_type"),
         opts = HistOptions(dense = true))
     },
+    "q19_hist_dense_vector" -> { (s, dir) =>
+      // dense-vector TypedImperativeAggregate path: one Array[Double] per
+      // (group, map task) through the shuffle instead of per-bin rows
+      implicit val sp: SparkSession = s
+      graft.operators.HistVectorAgg.histogram(
+        t(dir, "events"), col("value"), axValue, Seq("event_type"))
+    },
     "q20_stat_mean" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       HistStats.mean(t(dir, "lineitem"), col("l_quantity"), axQty, Seq("l_returnflag"))
@@ -278,6 +285,8 @@ object SparkEntry {
       Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc)),
       dims = Seq("l_returnflag"), weightSql = Some("l_extendedprice")),
     "q18_hist_dense" -> Oracle.hist("events", Seq(Oracle.Spec("value", axValue)),
+      dims = Seq("event_type"), dense = true),
+    "q19_hist_dense_vector" -> Oracle.hist("events", Seq(Oracle.Spec("value", axValue)),
       dims = Seq("event_type"), dense = true),
     "q20_stat_mean" -> Oracle.meanSql("lineitem", "l_quantity", axQty, Seq("l_returnflag")),
     "q21_stat_var" -> Oracle.varSql("lineitem", "l_quantity", axQty, Seq("l_returnflag")),

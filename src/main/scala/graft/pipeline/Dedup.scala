@@ -129,19 +129,15 @@ object Dedup {
     * prefix relation only; the full gram sets are consulted just to verify
     * candidates. Join keys are 64-bit hashes of (source, gram). */
   def ngramJaccard(docs: DataFrame, k: Int = 8, threshold: Double = 0.8): DataFrame = {
-    // Gram strings are replaced by a 64-bit hash of (source, gram) BEFORE
-    // any shuffle — long keys everywhere downstream. The relation feeds
-    // sizes, frequencies, the prefix index, and the verify join; Spark does
-    // not share subplans across a DAG, so persist it once instead of
-    // recomputing the explode+distinct four times.
-    val grams = docs.select(col("doc_id"), col("text"),
-        explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 1))")).as("i"),
-        col("source"))
-      .select(col("doc_id"),
-        xxhash64(col("source"), expr(s"substring(text, i, $k)")).as("__k"))
-      .distinct()
+    // Each doc's gram set is computed in ONE codegen'd pass as a sorted
+    // dedup'd hash array (graft.functions.GramHashes) — no per-position
+    // explode, no dedup shuffle. Persisted because it feeds frequencies,
+    // the prefix index, and the verify step (Spark does not share subplans).
+    val gsets = docs.select(col("doc_id"),
+        graft.functions.GramHashes.gram_hashes(col("text"), col("source"), k).as("gset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sizes = gsets.select(col("doc_id"), size(col("gset")).cast("long").as("sz"))
+    val grams = gsets.select(col("doc_id"), explode(col("gset")).as("__k"))
     val freq = grams.groupBy("__k").agg(count(lit(1)).as("f"))
 
     // Prefix index: each doc's floor((1-t)*|A|)+1 rarest grams. The gram
@@ -171,15 +167,13 @@ object Dedup {
       .filter(col("sa").cast("double") >= lit(threshold) * col("sb").cast("double") &&
         col("sb").cast("double") >= lit(threshold) * col("sa").cast("double"))
 
-    // Verify: collect each doc's gram set ONCE into a sorted array, then
-    // count intersections per candidate pair with a single codegen'd merge
-    // pass (O(|A|+|B|) per pair) — no re-join through the exploded grams.
-    val gramArrays = grams.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("__k"))).as("gset"))
+    // Verify: the per-doc sorted arrays already exist (gsets); count
+    // intersections per candidate pair with a single codegen'd merge pass
+    // (O(|A|+|B|) per pair) — no re-join through exploded grams.
     val inter = cand
-      .join(gramArrays.withColumnRenamed("doc_id", "doc_a")
+      .join(gsets.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("gset", "ga"), "doc_a")
-      .join(gramArrays.withColumnRenamed("doc_id", "doc_b")
+      .join(gsets.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("gset", "gb"), "doc_b")
       .withColumn("inter",
         graft.functions.SortedIntersectCount.sorted_intersect_count(col("ga"), col("gb")))

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-facing registration of graft's native expressions. Uses its own
+  * session (withExtensions must be set at build time). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-ext-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("vec_dot / sorted_intersect_count / gram_hashes / hist_vector from SQL") {
+    spark.sql(
+      "SELECT CAST(array(1.0, 2.0) AS array<float>) AS a, CAST(array(3.0, 4.0) AS array<float>) AS b"
+    ).createOrReplaceTempView("v")
+    assert(spark.sql("SELECT vec_dot(a, b) FROM v").head().getDouble(0) == 11.0)
+
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L, 9L))"
+    ).head().getLong(0) == 2L)
+
+    val gh = spark.sql("SELECT gram_hashes('abcab', 'salt', 3)")
+      .head().getSeq[Long](0)
+    assert(gh.length == 3 && gh == gh.sorted) // abc, bca, cab distinct sorted
+
+    spark.sql("SELECT * FROM VALUES (0L, 1.0), (0L, 2.0), (1L, 5.0) AS t(i, w)")
+      .createOrReplaceTempView("h")
+    val vec = spark.sql("SELECT hist_vector(i, w, 2, false) FROM h")
+      .head().getSeq[Double](0)
+    assert(vec == Seq(3.0, 5.0))
+  }
+}
