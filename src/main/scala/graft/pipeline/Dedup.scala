@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Small single-file inputs arrive as one partition, serializing the
+    * per-doc compute (signatures, gram sets). Spread them to the session's
+    * parallelism; no-op when the source is already well-partitioned (at
+    * real scale, many parquet splits). */
+  private[pipeline] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Content hash per document. */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
@@ -47,19 +56,17 @@ object Dedup {
   def mhA(j: Int): Long = 2654435761L % MhMod * j % MhMod + 1
   def mhB(j: Int): Long = 40503L * j + 7
 
-  /** Per-doc MinHash signature: numHashes min-aggregates over the shingle
-    * relation (map-side combinable — no per-hash row explosion, and a
-    * single md5 per shingle). */
+  /** Per-doc MinHash signature via the codegen'd one-pass expression
+    * (graft.functions.MinhashSig): no shingle explode, no shuffle.
+    * Columns h1..hN for downstream banding. */
   def minhashSignature(docs: DataFrame, k: Int = 5, numHashes: Int = 8): DataFrame = {
-    val h = conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
-      .cast("long") % MhMod
-    val aggs = (1 to numHashes).map(j =>
-      min((lit(mhA(j)) * col("__h") + lit(mhB(j))) % MhMod).as(s"h$j"))
-    // Dedup shingles BEFORE hashing: min over a set == min over the
-    // multiset, and the distinct's map-side partial agg shrinks 20x before
-    // md5 runs (md5 is the dominant per-row cost).
-    shingles(docs, k).distinct().withColumn("__h", h)
-      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sig = graft.functions.MinhashSig.minhash_sig(col("text"), k, numHashes)
+    // explode(array(sig)) anchors the signature behind a Generate node so
+    // the expression is evaluated ONCE per doc (adjacent projections would
+    // otherwise collapse and inline it into each element_at).
+    widen(docs).select(col("doc_id"), explode(array(sig)).as("__sig"))
+      .select(col("doc_id") +: (1 to numHashes)
+        .map(j => element_at(col("__sig"), j).as(s"h$j")): _*)
   }
 
   /** MinHash+LSH candidate pairs: band signatures (rows-per-band hashes
@@ -133,7 +140,7 @@ object Dedup {
     // dedup'd hash array (graft.functions.GramHashes) — no per-position
     // explode, no dedup shuffle. Persisted because it feeds frequencies,
     // the prefix index, and the verify step (Spark does not share subplans).
-    val gsets = docs.select(col("doc_id"),
+    val gsets = widen(docs).select(col("doc_id"),
         graft.functions.GramHashes.gram_hashes(col("text"), col("source"), k).as("gset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = gsets.select(col("doc_id"), size(col("gset")).cast("long").as("sz"))
