@@ -20,6 +20,15 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - hist_vector(idx, w, nBins, flow)   dense histogram vector aggregate
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, usage, b) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+    }
+}
+
+object GraftExtensions {
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
@@ -36,24 +45,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - dot product of two float arrays, in double"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1))))
-    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
-      info("sorted_intersect_count",
-        "sorted_intersect_count(a, b) - intersection size of two sorted long arrays"),
-      (args: Seq[Expression]) => SortedIntersectCount(args(0), args(1))))
-    e.injectFunction((FunctionIdentifier("gram_hashes"),
-      info("gram_hashes",
-        "gram_hashes(text, salt, k) - sorted distinct hashes of character k-grams"),
-      (args: Seq[Expression]) =>
-        GramHashes(args(0), args(1), intLit(args(2), "gram_hashes k"))))
-    e.injectFunction((FunctionIdentifier("hist_vector"),
-      info("hist_vector",
-        "hist_vector(idx, weight, nBins, flow) - dense histogram count vector"),
-      (args: Seq[Expression]) =>
-        HistVectorAgg(args(0), args(1), intLit(args(2), "hist_vector nBins"),
-          boolLit(args(3), "hist_vector flow")).toAggregateExpression()))
-  }
+  private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", "vec_dot(a, b) - dot product of two float arrays, in double",
+      args => VecDot(args(0), args(1))),
+    ("sorted_intersect_count",
+      "sorted_intersect_count(a, b) - intersection size of two sorted long arrays",
+      args => SortedIntersectCount(args(0), args(1))),
+    ("gram_hashes",
+      "gram_hashes(text, salt, k) - sorted distinct hashes of character k-grams",
+      args => GramHashes(args(0), args(1), intLit(args(2), "gram_hashes k"))),
+    ("hist_vector",
+      "hist_vector(idx, weight, nBins, flow) - dense histogram count vector",
+      args => HistVectorAgg(args(0), args(1), intLit(args(2), "hist_vector nBins"),
+        boolLit(args(3), "hist_vector flow")).toAggregateExpression()))
+
+  /** Register on an already-built session (e.g. spark-shell). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, _, b) =>
+      org.apache.spark.sql.GraftShim.registerFunction(spark, name, b)
+    }
 }

@@ -103,6 +103,7 @@ object HistVectorAgg {
       else df.groupBy(dims.map(col): _*).agg(vec.as("__v"))
     g.select(dims.map(col) :+ posexplode(col("__v")).as(Seq("__i0", "cnt")): _*)
       .select(dims.map(col) ++
-        Seq(ax.label(col("__i0").cast("long")).as(ax.binsCol), col("cnt")): _*)
+        Seq(ax.label(col("__i0").cast("long"))
+          .as(ax.binsCol, graft.axes.AxisMetadata.toMetadata(ax)), col("cnt")): _*)
   }
 }

@@ -102,7 +102,10 @@ object Histogram {
     valued.select(
       dimCols ++
         specs.zipWithIndex.map { case ((_, ax), k) =>
-          ax.label(col(idxNames(k))).as(ax.binsCol)
+          // axis attrs ride on the bins column (parquet-preserved), like the
+          // reference's coordinate attrs (core.py:524-587)
+          ax.label(col(idxNames(k)))
+            .as(ax.binsCol, graft.axes.AxisMetadata.toMetadata(ax))
         } :+ col(valueName): _*)
   }
 

@@ -3,17 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** SQL-facing registration of graft's native expressions. Uses its own
-  * session (withExtensions must be set at build time). */
+/** SQL-facing registration of graft's native expressions. Registers on the
+  * shared session (getOrCreate would return it anyway, ignoring
+  * withExtensions — GraftExtensions.register covers that path too). */
 class ExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  private lazy val spark: SparkSession = {
+    val s = SparkSpec.session
+    GraftExtensions.register(s)
+    s
+  }
 
   test("vec_dot / sorted_intersect_count / gram_hashes / hist_vector from SQL") {
     spark.sql(
