@@ -1,0 +1,86 @@
+package graft
+
+import graft.axes._
+import graft.operators.{HistOptions, Histogram}
+import graft.stats.HistStats
+import org.apache.spark.sql.functions._
+
+/** Randomized property tests (seeded, deterministic): the Spark histogram
+  * must agree with a direct Scala implementation of boost semantics on
+  * arbitrary data and axes. */
+class HistogramPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260812L)
+
+  private def randomCase(): (Seq[Double], Regular) = {
+    val n = 1 + rng.nextInt(200)
+    val xs = Seq.fill(n)(-50.0 + rng.nextDouble() * 200.0)
+    val bins = 1 + rng.nextInt(30)
+    val lo = -20.0 + rng.nextDouble() * 40.0
+    val ax = Regular("x", bins, lo, lo + 1.0 + rng.nextDouble() * 99.0)
+    (xs, ax)
+  }
+
+  /** Direct boost-semantics reference: half-open bins, x==hi -> overflow. */
+  private def refHist(xs: Seq[Double], ax: Regular): Map[Int, Double] =
+    xs.map { x =>
+      if (x < ax.lo) -1
+      else if (x >= ax.hi) ax.n
+      else math.min(math.floor((x - ax.lo) / (ax.hi - ax.lo) * ax.n).toInt, ax.n - 1)
+    }.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+
+  test("sparse histogram equals direct binning on 20 random cases") {
+    (1 to 20).foreach { _ =>
+      val (xs, ax) = randomCase()
+      val got = Histogram.histogram(xs.toDF("x"), col("x"), ax,
+          opts = HistOptions(flow = true))
+        .collect().map { r =>
+          val lbl = r.getDouble(0)
+          val idx =
+            if (lbl == Double.NegativeInfinity) -1
+            else if (lbl == Double.PositiveInfinity) ax.n
+            else ax.edges.indexWhere(_ == lbl)
+          idx -> r.getDouble(1)
+        }.toMap
+      assert(got == refHist(xs, ax), s"axis=$ax")
+    }
+  }
+
+  test("mean agrees with direct computation on bin centers (10 random cases)") {
+    var done = 0
+    while (done < 10) {
+      val (xs, ax) = randomCase()
+      val inRange = xs.filter(x => x >= ax.lo && x < ax.hi)
+      if (inRange.nonEmpty) {
+        val centers = inRange.map { x =>
+          val i = math.min(
+            math.floor((x - ax.lo) / (ax.hi - ax.lo) * ax.n).toInt, ax.n - 1)
+          ax.edges(i) + ax.widths(i) / 2.0
+        }
+        val expected = centers.sum / centers.size
+        val m = HistStats.mean(xs.toDF("x"), col("x"), ax, Nil).head().getDouble(0)
+        assert(math.abs(m - expected) < 1e-6 * math.max(1.0, math.abs(expected)),
+          s"axis=$ax got=$m want=$expected")
+        done += 1
+      }
+    }
+  }
+
+  test("density integrates to 1 (10 random cases)") {
+    var done = 0
+    while (done < 10) {
+      val (xs, ax) = randomCase()
+      if (xs.exists(x => x >= ax.lo && x < ax.hi)) {
+        val pdf = Histogram.histogram(xs.toDF("x"), col("x"), ax,
+          opts = HistOptions(density = true)).collect()
+        val integral = pdf.map { r =>
+          val w = ax.widths(ax.edges.indexWhere(_ == r.getDouble(0)))
+          r.getDouble(1) * w
+        }.sum
+        assert(math.abs(integral - 1.0) < 1e-9, s"axis=$ax integral=$integral")
+        done += 1
+      }
+    }
+  }
+}
