@@ -192,6 +192,16 @@ object SparkEntry {
     "q31_edges_centers_widths" -> { (s, dir) =>
       HistStats.binsTable(s, axAcctVar)
     },
+    "q32_stat_weighted_mean" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      HistStats.mean(t(dir, "lineitem"), col("l_quantity"), axQty,
+        Seq("l_returnflag"), weight = Some(col("l_extendedprice")))
+    },
+    "q33_stat_weighted_median" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      HistStats.median(t(dir, "lineitem"), col("l_quantity"), axQty,
+        Seq("l_returnflag"), weight = Some(col("l_extendedprice")))
+    },
     "q40_dedup_exact" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       Dedup.exact(t(dir, "documents"))
@@ -302,6 +312,10 @@ object SparkEntry {
     "q30_scale_bins" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty10)),
       labelScale = Some(2.5)),
     "q31_edges_centers_widths" -> Oracle.binsTableSql(axAcctVar),
+    "q32_stat_weighted_mean" -> Oracle.meanSql("lineitem", "l_quantity", axQty,
+      Seq("l_returnflag"), weightSql = Some("l_extendedprice")),
+    "q33_stat_weighted_median" -> Oracle.medianSql("lineitem", "l_quantity", axQty,
+      Seq("l_returnflag"), weightSql = Some("l_extendedprice")),
     "q40_dedup_exact" -> PipelineOracle.dedupExact,
     "q41_dedup_minhash" -> PipelineOracle.minhashLsh(),
     "q42_dedup_simhash" -> PipelineOracle.simhashPairs(),

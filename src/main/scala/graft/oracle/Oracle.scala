@@ -101,12 +101,15 @@ object Oracle {
 
   /** Shared prelude: no-flow indexed histogram + left edge l + width w. */
   private def statBase(table: String, valueSql: String, ax: BinAxis,
-      dims: Seq[String]): String = {
+      dims: Seq[String], weightSql: Option[String] = None): String = {
     val dimsSel = if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
     val groupCols = (dims :+ "__i0").mkString(", ")
-    s"WITH __idx AS (SELECT $dimsSel${ax.indexSql(valueSql)} AS __i0 FROM $table), " +
+    val wSel = weightSql
+      .map(w => s", CAST(CAST($w AS VARCHAR) AS DECIMAL(38,14)) AS __w").getOrElse("")
+    val cnt = weightSql.map(_ => exactDbl("SUM(__w)")).getOrElse("CAST(COUNT(*) AS DOUBLE)")
+    s"WITH __idx AS (SELECT $dimsSel${ax.indexSql(valueSql)} AS __i0$wSel FROM $table), " +
       s"__f AS (SELECT * FROM __idx WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${ax.nBins - 1}), " +
-      s"__g0 AS (SELECT $groupCols, CAST(COUNT(*) AS DOUBLE) AS cnt FROM __f GROUP BY $groupCols), " +
+      s"__g0 AS (SELECT $groupCols, $cnt AS cnt FROM __f GROUP BY $groupCols), " +
       s"__b AS (SELECT *, ${ax.labelSql("__i0")} AS l, ${ax.widthSql("__i0")} AS w FROM __g0)"
   }
 
@@ -118,8 +121,9 @@ object Oracle {
     exactDbl(s"SUM(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14)))")
   private val center = s"(l + w / ${dbl(2.0)})"
 
-  def meanSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String]): String =
-    s"${statBase(table, valueSql, ax, dims)} SELECT ${dimsSel(dims)}" +
+  def meanSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String],
+      weightSql: Option[String] = None): String =
+    s"${statBase(table, valueSql, ax, dims, weightSql)} SELECT ${dimsSel(dims)}" +
       s"${decSum(s"cnt * $center")} / ${decSum("cnt")} AS ${ax.name}_mean" +
       s" FROM __b${groupBy(dims)}"
 
@@ -158,13 +162,14 @@ object Oracle {
   }
 
   def ppfSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String],
-      q: Double, outName: String = ""): String = {
+      q: Double, outName: String = "", weightSql: Option[String] = None): String = {
     val name = if (outName.isEmpty) s"${ax.name}_ppf" else outName
-    s"${statBase(table, valueSql, ax, dims)}, ${ppfCtes("", q, dims, name)} SELECT * FROM __r"
+    s"${statBase(table, valueSql, ax, dims, weightSql)}, ${ppfCtes("", q, dims, name)} SELECT * FROM __r"
   }
 
-  def medianSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String]): String =
-    ppfSql(table, valueSql, ax, dims, 0.5, s"${ax.name}_median")
+  def medianSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String],
+      weightSql: Option[String] = None): String =
+    ppfSql(table, valueSql, ax, dims, 0.5, s"${ax.name}_median", weightSql)
 
   def momentSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String],
       order: Int): String = {

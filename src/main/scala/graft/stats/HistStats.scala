@@ -56,9 +56,10 @@ object HistStats {
     if (dims.isEmpty) b.agg(aggs.head, aggs.tail: _*)
     else b.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
-  def mean(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String]): DataFrame = {
+  def mean(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
+      weight: Option[Column] = None): DataFrame = {
     val c = col("l") + col("w") / lit(2.0)
-    grouped(base(df, x, ax, dims), dims)(
+    grouped(base(df, x, ax, dims, weight), dims)(
       (decSum(col("cnt") * c) / decSum(col("cnt"))).as(s"${ax.name}_mean"))
   }
 
@@ -88,10 +89,10 @@ object HistStats {
 
   /** ppf(q) per group; out column name defaults to <name>_ppf. */
   def ppf(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String], q: Double,
-      outName: String = ""): DataFrame = {
+      outName: String = "", weight: Option[Column] = None): DataFrame = {
     require(q > 0 && q < 1)
     val name = if (outName.isEmpty) s"${ax.name}_ppf" else outName
-    val b = base(df, x, ax, dims)
+    val b = base(df, x, ax, dims, weight)
     val wAll = if (dims.isEmpty) Window.partitionBy() else Window.partitionBy(dims.map(col): _*)
     val wOrd = wAll.orderBy(col("__i0"))
     val cumi = graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(col("cnt")))
@@ -109,8 +110,9 @@ object HistStats {
         (col("l") + (lit(q) * col("__tot") - col("__cume")) / col("cnt") * col("w")).as(name): _*)
   }
 
-  def median(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String]): DataFrame =
-    ppf(df, x, ax, dims, 0.5, s"${ax.name}_median")
+  def median(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
+      weight: Option[Column] = None): DataFrame =
+    ppf(df, x, ax, dims, 0.5, s"${ax.name}_median", weight)
 
   /** Raw moment of given order (k >= 1), analytic for the stepwise pdf. */
   def moment(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String], order: Int): DataFrame = {
