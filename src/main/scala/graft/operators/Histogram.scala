@@ -81,7 +81,12 @@ object Histogram {
       .groupBy((dims ++ idxNames).map(col): _*)
       .agg(cntExpr.as("cnt"))
 
-    val grouped = if (opts.dense) densify(sparse, specs, idxNames, dims, opts) else sparse
+    // Dense group keys come from the PRE-filter data: a group whose values
+    // all fall outside the axis still exists with an all-zero histogram
+    // (the reference keeps every loop-dim coordinate).
+    val grouped =
+      if (opts.dense) densify(sparse, projected, specs, idxNames, dims, opts)
+      else sparse
 
     val valued =
       if (opts.density) {
@@ -112,7 +117,8 @@ object Histogram {
   /** Materialize empty bins: full index grid (per-axis ranges incl. flow,
     * tiny → broadcast) x distinct group keys, left-joined with the sparse
     * counts. The grid never touches the input relation. */
-  private def densify(sparse: DataFrame, specs: Seq[(Column, BinAxis)],
+  private def densify(sparse: DataFrame, projected: DataFrame,
+      specs: Seq[(Column, BinAxis)],
       idxNames: Seq[String], dims: Seq[String], opts: HistOptions): DataFrame = {
     val spark = sparse.sparkSession
     val grid = specs.zipWithIndex.map { case ((_, ax), k) =>
@@ -122,7 +128,7 @@ object Histogram {
     }.reduce(_.crossJoin(_))
     val keys =
       if (dims.isEmpty) grid
-      else sparse.select(dims.map(col): _*).distinct().crossJoin(grid)
+      else projected.select(dims.map(col): _*).distinct().crossJoin(grid)
     val zero = if (opts.intStorage) lit(0L) else lit(0.0)
     // Both sides are post-aggregation (bins x groups) — tiny; broadcast the
     // build side of the left join.

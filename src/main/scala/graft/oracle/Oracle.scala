@@ -62,7 +62,9 @@ object Oracle {
       }
       val keySrc =
         if (dims.isEmpty) grids.mkString(" CROSS JOIN ")
-        else (s"(SELECT DISTINCT ${dims.mkString(", ")} FROM __g0) __d" +: grids)
+        // group keys from the PRE-filter table: out-of-range groups keep an
+        // all-zero histogram (mirrors Histogram.densify)
+        else (s"(SELECT DISTINCT ${dims.mkString(", ")} FROM $table$whereSql) __d" +: grids)
           .mkString(" CROSS JOIN ")
       val zero = if (intStorage) "CAST(0 AS BIGINT)" else "CAST(0 AS DOUBLE)"
       val joinCond = (dims ++ idx).map(c => s"__k.$c = __g0.$c").mkString(" AND ")
