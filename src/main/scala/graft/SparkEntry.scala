@@ -236,6 +236,11 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       TextAnalysis.langId(t(dir, "documents"))
     },
+    "q52_ann_ivf" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Similarity.annIvf(emb, emb.filter(col("vec_id") < 10), 3)
+    },
     "q48_quality" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       TextAnalysis.quality(t(dir, "documents"))
@@ -326,6 +331,7 @@ object SparkEntry {
     // q47-q50 below; q51_multimodal is rows-only (stubbed decode, no oracle)
   ) ++ Map(
     "q47_langid" -> PipelineOracle.langId,
+    "q52_ann_ivf" -> PipelineOracle.annIvf(3, 10),
     "q48_quality" -> PipelineOracle.quality,
     "q49_tokens" -> PipelineOracle.tokens,
     "q50_fingerprint" -> PipelineOracle.fingerprint()

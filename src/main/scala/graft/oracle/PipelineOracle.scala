@@ -126,6 +126,28 @@ object PipelineOracle {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
       s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
 
+  def annIvf(k: Int, queryMaxId: Long, nCells: Int = 8): String =
+    s"WITH $embBase, " +
+      s"cent AS (SELECT vec_id AS cent_id FROM e WHERE vec_id < $nCells), " +
+      "ccos AS (SELECT el.vec_id, cent.cent_id, " +
+      "SUM(el.v * ec.v ORDER BY el.i) / (nv.nrm * nc.nrm) AS ccos " +
+      "FROM cent JOIN el ec ON ec.vec_id = cent.cent_id " +
+      "JOIN el ON el.i = ec.i " +
+      "JOIN nrm nv ON nv.vec_id = el.vec_id JOIN nrm nc ON nc.vec_id = cent.cent_id " +
+      "GROUP BY el.vec_id, cent.cent_id, nv.nrm, nc.nrm), " +
+      "asg AS (SELECT vec_id, cent_id AS cell FROM " +
+      "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ccos) WHERE rn = 1), " +
+      s"q AS (SELECT vec_id, cell FROM asg WHERE vec_id < $queryMaxId), " +
+      "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id FROM q " +
+      "JOIN asg c ON c.cell = q.cell AND c.vec_id <> q.vec_id), " +
+      "d AS (SELECT cand.query_id, cand.neighbor_id, SUM(eq.v * ec.v ORDER BY eq.i) AS dot " +
+      "FROM cand JOIN el eq ON eq.vec_id = cand.query_id " +
+      "JOIN el ec ON ec.vec_id = cand.neighbor_id AND ec.i = eq.i GROUP BY 1, 2), " +
+      "s AS (SELECT query_id, neighbor_id, dot / (na.nrm * nb.nrm) AS cosine " +
+      "FROM d JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
+      s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
+
   val langId: String = {
     def occ(pat: String): String = {
       val esc = pat.replace("'", "''")

@@ -69,6 +69,41 @@ object Similarity {
       when(element_at(v, j * 8 + 1) > 0.0f, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * max-cosine centroid cell; queries search only their own cell
+    * (nprobe=1). Centroids here are the first nCells corpus vectors — a
+    * deterministic stand-in for offline (seeded) k-means training, which
+    * drops in by replacing `centroids`. Assignment is one broadcast join
+    * (centroid set is tiny); the corpus is never shuffled by pairing. */
+  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 8): DataFrame = {
+    val cent = withNorm(corpus.filter(col("vec_id") < nCells))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+
+    def assign(df: DataFrame): DataFrame = {
+      val n = withNorm(df).as("v")
+      n.join(broadcast(cent))
+        .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
+          col("v.nrm").as("nrm"), col("cent_id"),
+          cosine(col("v.embedding"), col("cvec"), col("v.nrm"), col("cnrm")).as("ccos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    }
+
+    val c = assign(corpus).as("c")
+    val q = assign(queries).as("q")
+    val scored = c.join(broadcast(q),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(col("q.embedding"), col("c.embedding"), col("q.nrm"), col("c.nrm"))
+          .as("cosine"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates restricted to the query's bucket, then
     * exact cosine top-k within it. */
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
