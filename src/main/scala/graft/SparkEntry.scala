@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  // Memoized per (session, path): queries re-use one logical scan instead
+  // of re-listing/re-footer-reading the same parquet 45 times per run.
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"),
+      s.read.parquet(s"$dir/$name.parquet"))
 
   /** Flagship: per-returnflag histogram of l_quantity on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {

@@ -160,11 +160,15 @@ final case class IntegerAxis(name: String, lo: Long, hi: Long,
     underflow: Boolean = true, overflow: Boolean = true) extends BinAxis {
   require(hi > lo)
   def nBins: Int = (hi - lo).toInt
-  def index(x: Column): Column =
-    when(x.isNull, lit(null).cast(LongType))
-      .when(x < lit(lo), lit(-1L))
-      .when(x >= lit(hi), lit(nBins.toLong))
-      .otherwise(x.cast(LongType) - lit(lo))
+  def index(x: Column): Column = {
+    // accept boolean columns like the reference's bool dtype handling
+    // (core.py:535-543): true/false -> 1/0
+    val xl = x.cast(LongType)
+    when(xl.isNull, lit(null).cast(LongType))
+      .when(xl < lit(lo), lit(-1L))
+      .when(xl >= lit(hi), lit(nBins.toLong))
+      .otherwise(xl - lit(lo))
+  }
   def indexSql(v: String): String =
     s"CASE WHEN $v IS NULL THEN NULL WHEN $v < $lo THEN CAST(-1 AS BIGINT)" +
       s" WHEN $v >= $hi THEN CAST($nBins AS BIGINT)" +

@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * All operators are shuffle-lean by construction:
   *  - exact dedup: one shuffle keyed by content hash;
-  *  - MinHash+LSH: shingles are aggregated map-side into per-doc signatures
-  *    (8 min-aggregates, no hash-index explosion), candidate pairs come from
+  *  - MinHash+LSH: per-doc signatures in one codegen'd pass (MinhashSig —
+  *    no shingle explosion or shuffle), candidate pairs come from
   *    band-bucket equi-joins — never an O(n^2) cross join;
   *  - SimHash: per-doc 16-bit signature via 16 conditional sums in ONE
   *    aggregation pass; pairs bounded by a blocking key (source);
-  *  - n-gram Jaccard: pair generation blocked on (source, gram) so bucket
-  *    sizes bound the join fan-out; hot shingles can additionally be salted.
+  *  - n-gram Jaccard: exact similarity join with PPJoin prefix filtering
+  *    (rarest-gram index + size-compatibility pruning) and codegen'd
+  *    sorted-set intersection for verification; skewed (hot) buckets are
+  *    handled by AQE's skew-join splitting.
   *
   * Hashing is md5-hex (lexicographic min == numeric min on fixed-width hex;
   * both engines share binary collation), so every step has an exact DuckDB

@@ -134,6 +134,13 @@ class HistogramSpec extends SparkSpec {
     assert(out.collect().head.getLong(1) == 2L)
   }
 
+  test("integer axis accepts boolean columns (reference bool dtype)") {
+    val df = Seq(true, true, false).toDF("x")
+    val h = Histogram.histogram(df, col("x"), IntegerAxis("x", 0L, 2L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h == Map(0L -> 1.0, 1L -> 2.0))
+  }
+
   test("nulls are never counted") {
     val df = Seq[Option[Double]](Some(0.5), None, Some(1.5)).toDF("x")
     val h = Histogram.histogram(df, col("x"), Regular("x", 2, 0.0, 2.0),
