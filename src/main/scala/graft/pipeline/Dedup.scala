@@ -74,8 +74,13 @@ object Dedup {
   /** MinHash+LSH candidate pairs: band signatures (rows-per-band hashes
     * concatenated) bucket the corpus; docs sharing any band bucket are
     * candidates. bands*rowsPerBand = numHashes. */
+  /** @param bucketCap optional skew guard: at most this many docs per band
+    *   bucket take part in pair generation (lowest doc_ids kept —
+    *   deterministic, so an oracle can mirror it). Giant buckets of
+    *   near-identical docs otherwise produce m^2 candidate pairs; capping
+    *   trades bounded recall loss for bounded work. None = exact. */
   def minhashLsh(docs: DataFrame, k: Int = 5, bands: Int = 4,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2, bucketCap: Option[Int] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     require(rowsPerBand == 2, "band layout fixed at 2 rows per band")
     val sig = minhashSignature(docs, k, numHashes)
@@ -84,10 +89,15 @@ object Dedup {
         col(s"h${b * rowsPerBand + 1}").as("s1"),
         col(s"h${b * rowsPerBand + 2}").as("s2"))
     }
-    val banded = sig.select(col("doc_id"),
+    val bandedAll = sig.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"),
         col("bs.s1").as("s1"), col("bs.s2").as("s2"))
+    val banded = bucketCap.fold(bandedAll) { cap =>
+      bandedAll.withColumn("__rn", row_number().over(
+          Window.partitionBy("band", "s1", "s2").orderBy("doc_id")))
+        .filter(col("__rn") <= cap).drop("__rn")
+    }
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.s1") === col("b.s1") &&

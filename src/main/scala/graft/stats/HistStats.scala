@@ -214,4 +214,24 @@ object HistStats {
   /** Whether a histogram DataFrame is normalized (pdf column present) —
     * accessor.is_normalized, accessor.py:132. */
   def isNormalized(hist: DataFrame): Boolean = hist.columns.contains("pdf")
+
+  /** Sum of two histograms over the same axis/dims (boost `h1 + h2`):
+    * union + re-aggregate; exact for counts, deterministic-decimal for
+    * weighted values. */
+  def add(a: DataFrame, b: DataFrame, ax: BinAxis, dims: Seq[String]): DataFrame = {
+    val keys = dims :+ ax.binsCol
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(graft.util.Dec.sumDec(col("cnt")).as("cnt"))
+  }
+
+  /** Cumulative histogram: running total of counts along the bins axis,
+    * per group (ECDF numerator). */
+  def cumulative(hist: DataFrame, ax: BinAxis, dims: Seq[String]): DataFrame = {
+    val w = (if (dims.isEmpty) Window.partitionBy() else Window.partitionBy(dims.map(col): _*))
+      .orderBy(col(ax.binsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum_cnt",
+      graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(col("cnt"))).over(w)))
+  }
 }

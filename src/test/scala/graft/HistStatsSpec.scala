@@ -97,6 +97,17 @@ class HistStatsSpec extends SparkSpec {
     assert(HistStats.isNormalized(HistStats.normalize(h, ax, Nil)))
   }
 
+  test("histogram addition and cumulative totals") {
+    val h1 = Histogram.histogram(df, col("x"), ax)
+    val h2 = Histogram.histogram(Seq(0.5, 2.5).toDF("x"), col("x"), ax)
+    val sum2 = HistStats.add(h1, h2, ax, Nil).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(sum2 == Map(0.0 -> 2.0, 1.0 -> 2.0, 2.0 -> 2.0))
+    val cum = HistStats.cumulative(h1, ax, Nil).collect()
+      .map(r => r.getDouble(0) -> r.getAs[Double]("cum_cnt")).toMap
+    assert(cum == Map(0.0 -> 1.0, 1.0 -> 3.0, 2.0 -> 4.0))
+  }
+
   test("binsTable: metadata only, no data scan") {
     val bt = HistStats.binsTable(spark, Variable("v", Array(0.0, 1.0, 3.0)))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))

@@ -47,6 +47,34 @@ class HistogramPropertySpec extends SparkSpec {
     }
   }
 
+  test("variable axis equals direct binning on 15 random edge sets") {
+    (1 to 15).foreach { _ =>
+      val nEdges = 2 + rng.nextInt(10)
+      val edges = Seq.fill(nEdges)(-50.0 + rng.nextDouble() * 200.0)
+        .distinct.sorted.toArray
+      if (edges.length >= 2) {
+        val ax = Variable("x", edges)
+        val xs = Seq.fill(1 + rng.nextInt(150))(-60.0 + rng.nextDouble() * 220.0)
+        val got = Histogram.histogram(xs.toDF("x"), col("x"), ax,
+            opts = HistOptions(flow = true))
+          .collect().map { r =>
+            val lbl = r.getDouble(0)
+            val idx =
+              if (lbl == Double.NegativeInfinity) -1
+              else if (lbl == Double.PositiveInfinity) ax.nBins
+              else ax.edges.indexWhere(_ == lbl)
+            idx -> r.getDouble(1)
+          }.toMap
+        val want = xs.map { x =>
+          if (x < edges.head) -1
+          else if (x >= edges.last) ax.nBins
+          else edges.lastIndexWhere(_ <= x)
+        }.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+        assert(got == want, s"edges=${edges.toSeq}")
+      }
+    }
+  }
+
   test("mean agrees with direct computation on bin centers (10 random cases)") {
     var done = 0
     while (done < 10) {
