@@ -43,6 +43,13 @@ object Dedup {
       .withColumn("keep",
         row_number().over(Window.partitionBy("content_hash").orderBy("doc_id")) === 1)
 
+  /** The deduplicated corpus itself (all columns, keepers only). */
+  def distinctDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("__keep",
+        row_number().over(
+          Window.partitionBy(contentHash(col("text"))).orderBy("doc_id")) === 1)
+      .filter(col("__keep")).drop("__keep")
+
   /** Character shingles of length k as an exploded (doc_id, sh) relation.
     * explode(sequence) + positional substring stays inside whole-stage
     * codegen — a transform(...) lambda would be interpreted per row. */
