@@ -246,6 +246,16 @@ object SparkEntry {
       val emb = t(dir, "embeddings")
       Similarity.annIvf(emb, emb.filter(col("vec_id") < 10), 3)
     },
+    "q53_windowed_hist" -> { (s, dir) =>
+      // the streaming histogram operator run on batch input (identical
+      // plan modulo watermark) — hourly event-time windows
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.windowedHistogram(
+          ev, "event_time", col("value"), axValue, "1 hour")
+        .drop("window_end")
+    },
     "q48_quality" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       TextAnalysis.quality(t(dir, "documents"))
@@ -337,6 +347,13 @@ object SparkEntry {
   ) ++ Map(
     "q47_langid" -> PipelineOracle.langId,
     "q52_ann_ivf" -> PipelineOracle.annIvf(3, 10),
+    "q53_windowed_hist" -> {
+      val idx = axValue.indexSql("value")
+      s"""WITH e AS (SELECT time_bucket(INTERVAL '1 hour', make_timestamp(epoch_ns(ts) // 1000)) AS window_start, $idx AS __i0 FROM events),
+         | f AS (SELECT * FROM e WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${axValue.nBins - 1}),
+         | g AS (SELECT window_start, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM f GROUP BY 1, 2)
+         | SELECT CAST(window_start AS TIMESTAMP) AS window_start, ${axValue.labelSql("__i0")} AS value_bins, cnt FROM g""".stripMargin.replaceAll("\n", "")
+    },
     "q48_quality" -> PipelineOracle.quality,
     "q49_tokens" -> PipelineOracle.tokens,
     "q50_fingerprint" -> PipelineOracle.fingerprint()
