@@ -1,7 +1,6 @@
 package graft.stats
 
 import graft.axes.BinAxis
-import graft.operators.{HistOptions, Histogram}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
