@@ -113,24 +113,15 @@ object Dedup {
       .distinct()
   }
 
-  /** 16-bit SimHash per doc over distinct whitespace tokens: bit b is set
-    * when the signed sum of token-hash bit b is positive. One aggregation
-    * pass with 16 conditional sums. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-        explode(split(col("text"), " +")).as("tok"))
-      .filter(col("tok") =!= "").distinct()
-    // 16-bit token hash from the first 4 hex chars of md5
-    val v = conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10).cast("long")
-    val withV = toks.withColumn("v", v)
-    val sums = (0 until 16).map(b =>
-      sum(when(shiftright(col("v"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"s$b"))
-    val agg = withV.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    val sh = (0 until 16).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("doc_id"), sh.as("simhash"))
-  }
+  /** 16-bit SimHash per doc over distinct space-separated tokens: bit b is
+    * set when the signed sum of token-hash bit b is positive. One codegen'd
+    * pass per doc (graft.functions.SimhashSig) — no token explode, no
+    * shuffle. Token-less docs are dropped (parity with the relational
+    * explode form). */
+  def simhash(docs: DataFrame): DataFrame =
+    widen(docs).filter(trim(col("text")) =!= "")
+      .select(col("doc_id"),
+        graft.functions.SimhashSig.simhash_sig(col("text")).as("simhash"))
 
   /** SimHash near-dup pairs within a blocking key (hamming <= maxHamming). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
