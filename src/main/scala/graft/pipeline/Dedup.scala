@@ -154,21 +154,18 @@ object Dedup {
         graft.functions.GramHashes.gram_hashes(col("text"), col("source"), k).as("gset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = gsets.select(col("doc_id"), size(col("gset")).cast("long").as("sz"))
-    val grams = gsets.select(col("doc_id"), explode(col("gset")).as("__k"))
-    val freq = grams.groupBy("__k").agg(count(lit(1)).as("f"))
 
-    // Prefix index: each doc's floor((1-t)*|A|)+1 rarest grams. The gram
-    // order (f, __k) differs from the oracle's (f, gram-string) order —
-    // both are consistent total orders, and the prefix-filter guarantee
-    // (any pair with jaccard >= t shares a prefix gram) holds for ANY
-    // consistent order, so the FINAL output is engine-independent.
-    val prefix = grams
-      .join(freq, "__k")
-      .join(broadcast(sizes), "doc_id")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("f"), col("__k"))))
-      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
-      .select("doc_id", "__k")
+    // Prefix index: each doc's first floor((1-t)*|A|)+1 grams in HASH order
+    // — the gset arrays are already hash-sorted, so the prefix is a zero-
+    // shuffle array slice. The prefix-filter guarantee (any pair with
+    // jaccard >= t shares a prefix gram) holds for ANY consistent total
+    // order over grams; hash order is consistent corpus-wide, and the
+    // oracle's own (frequency, gram) order yields the identical FINAL
+    // output by the same soundness argument.
+    val oneMinusT = java.lang.Double.toString(1.0 - threshold)
+    val prefix = gsets.select(col("doc_id"),
+      explode(expr(
+        s"slice(gset, 1, CAST(FLOOR($oneMinusT * size(gset)) AS INT) + 1)")).as("__k"))
 
     // Size-compatibility filter: jaccard >= t forces t*|B| <= |A| <= |B|/t;
     // prunes candidates before the (expensive) verify join.

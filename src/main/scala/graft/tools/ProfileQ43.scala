@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Phase-level profiler for the n-gram Jaccard join (dev tool). */
+/** Phase-level profiler for the n-gram Jaccard join — mirrors the CURRENT
+  * Dedup.ngramJaccard implementation (dev tool). */
 object ProfileQ43 {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,7 +14,7 @@ object ProfileQ43 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").repartition(32)
     val k = 8; val threshold = 0.8
 
     def time[T](name: String)(f: => T): T = {
@@ -22,24 +23,16 @@ object ProfileQ43 {
       println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    time("warm")(docs.count())
 
-    val grams = docs.select(col("doc_id"), col("text"),
-        explode(expr(s"sequence(1, greatest(length(text) - ${k - 1}, 1))")).as("i"),
-        col("source"))
-      .select(col("doc_id"),
-        xxhash64(col("source"), expr(s"substring(text, i, $k)")).as("__k"))
-      .distinct()
+    val gsets = docs.select(col("doc_id"),
+        graft.functions.GramHashes.gram_hashes(col("text"), col("source"), k).as("gset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("grams")(println("  rows=" + grams.count()))
+    time("gsets")(println("  rows=" + gsets.count()))
 
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val freq = grams.groupBy("__k").agg(count(lit(1)).as("f"))
-    val prefix = grams.join(freq, "__k")
-      .join(broadcast(sizes), "doc_id")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("f"), col("__k"))))
-      .filter(col("rn") <= floor(lit(1.0 - threshold) * col("sz")) + 1)
-      .select("doc_id", "__k")
+    val sizes = gsets.select(col("doc_id"), size(col("gset")).cast("long").as("sz"))
+    val prefix = gsets.select(col("doc_id"),
+        explode(expr(s"slice(gset, 1, CAST(FLOOR(${1.0 - threshold} * size(gset)) AS INT) + 1)")).as("__k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("prefix")(println("  rows=" + prefix.count()))
 
@@ -55,13 +48,13 @@ object ProfileQ43 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("cand")(println("  rows=" + cand.count()))
 
-    val inter = broadcast(cand)
-      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(grams.as("gb"),
-        col("doc_b") === col("gb.doc_id") && col("ga.__k") === col("gb.__k"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("inter"))
-    time("inter+verify")(println("  rows=" + inter.count()))
+    val inter = cand
+      .join(gsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
+      .join(gsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count(col("ga"), col("gb")))
+      .select("doc_a", "doc_b", "sa", "sb", "inter")
+    time("verify")(println("  rows=" + inter.count()))
     spark.stop()
   }
 }
