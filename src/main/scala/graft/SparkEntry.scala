@@ -246,6 +246,10 @@ object SparkEntry {
       val emb = t(dir, "embeddings")
       Similarity.annIvf(emb, emb.filter(col("vec_id") < 10), 3)
     },
+    "q54_neardup_pipeline" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      Dedup.nearDupPairs(t(dir, "documents"))
+    },
     "q53_windowed_hist" -> { (s, dir) =>
       // the streaming histogram operator run on batch input (identical
       // plan modulo watermark) — hourly event-time windows
@@ -347,6 +351,7 @@ object SparkEntry {
   ) ++ Map(
     "q47_langid" -> PipelineOracle.langId,
     "q52_ann_ivf" -> PipelineOracle.annIvf(3, 10),
+    "q54_neardup_pipeline" -> PipelineOracle.nearDupPairs(),
     "q53_windowed_hist" -> {
       val idx = axValue.indexSql("value")
       s"""WITH e AS (SELECT time_bucket(INTERVAL '1 hour', make_timestamp(epoch_ns(ts) // 1000)) AS window_start, $idx AS __i0 FROM events),

@@ -16,7 +16,8 @@ object PipelineOracle {
       "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS keep " +
       "FROM documents"
 
-  def minhashLsh(k: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): String = {
+  /** CTE chain ending in cand(doc_a, doc_b) — MinHash+LSH candidates. */
+  private def minhashCandCtes(k: Int, bands: Int, rowsPerBand: Int): String = {
     import graft.pipeline.Dedup.{mhA, mhB, MhMod}
     val numHashes = bands * rowsPerBand
     val mins = (1 to numHashes)
@@ -24,13 +25,33 @@ object PipelineOracle {
     val bandSelects = (0 until bands).map { b =>
       s"SELECT doc_id, $b AS band, h${b * rowsPerBand + 1} AS s1, h${b * rowsPerBand + 2} AS s2 FROM sig"
     }.mkString(" UNION ALL ")
-    s"WITH sh AS (SELECT doc_id, substring(text, CAST(i AS INT), $k) AS sh " +
+    s"sh AS (SELECT doc_id, substring(text, CAST(i AS INT), $k) AS sh " +
       s"FROM (SELECT doc_id, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
       s"hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $MhMod AS h FROM sh), " +
       s"sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id), " +
-      s"banded AS ($bandSelects) " +
-      "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-      "FROM banded a JOIN banded b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id"
+      s"banded AS ($bandSelects), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      "FROM banded a JOIN banded b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id)"
+  }
+
+  def minhashLsh(k: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): String =
+    s"WITH ${minhashCandCtes(k, bands, rowsPerBand)} SELECT doc_a, doc_b FROM cand"
+
+  /** Two-stage near-dup: minhash candidates verified with exact k-gram
+    * jaccard (mirrors Dedup.nearDupPairs; gram hashing is engine-internal —
+    * jaccard over gram SETS is hash-independent). */
+  def nearDupPairs(k: Int = 5, threshold: Double = 0.7, bands: Int = 4): String = {
+    val jac = "CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)"
+    s"WITH ${minhashCandCtes(k, bands, 2)}, " +
+      s"g AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), $k) AS g " +
+      s"FROM (SELECT doc_id, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id), " +
+      "inter AS (SELECT cand.doc_a, cand.doc_b, COUNT(*) AS inter FROM cand " +
+      "JOIN g ga ON ga.doc_id = cand.doc_a " +
+      "JOIN g gb ON gb.doc_id = cand.doc_b AND gb.g = ga.g GROUP BY 1, 2) " +
+      s"SELECT doc_a, doc_b, $jac AS jaccard " +
+      "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+      s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
   }
 
   def simhashPairs(maxHamming: Int = 3): String = {

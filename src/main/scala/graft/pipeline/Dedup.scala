@@ -113,6 +113,28 @@ object Dedup {
       .distinct()
   }
 
+  /** End-to-end near-duplicate detection: MinHash+LSH candidate generation
+    * followed by exact n-gram-Jaccard verification of ONLY the candidates —
+    * the standard two-stage shape for dedup at scale (candidates bound the
+    * quadratic stage; verification is a codegen'd merge over per-doc
+    * hash-sorted gram arrays). */
+  def nearDupPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.7,
+      bands: Int = 4, bucketCap: Option[Int] = None): DataFrame = {
+    val cand = minhashLsh(docs, k, bands, rowsPerBand = 2, bucketCap = bucketCap)
+    val gsets = widen(docs).select(col("doc_id"),
+      graft.functions.GramHashes.gram_hashes(col("text"), lit("g"), k).as("gset"))
+    val withSets = cand
+      .join(gsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
+      .join(gsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
+    withSets
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count(col("ga"), col("gb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** 16-bit SimHash per doc over distinct space-separated tokens: bit b is
     * set when the signed sum of token-hash bit b is positive. One codegen'd
     * pass per doc (graft.functions.SimhashSig) — no token explode, no

@@ -28,6 +28,14 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("nearDupPairs: two-stage minhash candidates + exact jaccard verify") {
+    val pairs = Dedup.nearDupPairs(docs, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)                      // exact dup
+    assert(pairs.get((1L, 3L)).exists(_ > 0.7))         // near dup survives verify
+    assert(!pairs.contains((4L, 5L)))                   // unrelated docs filtered
+  }
+
   test("simhash: identical docs get identical signatures") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))
