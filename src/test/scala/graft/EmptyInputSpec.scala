@@ -1,0 +1,58 @@
+package graft
+
+import graft.axes._
+import graft.operators.{HistOptions, Histogram, HistVectorAgg}
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.stats.HistStats
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Operators must degrade gracefully on empty inputs (a 100 TB pipeline
+  * routinely produces empty partitions/filters): no throws, sane shapes. */
+class EmptyInputSpec extends SparkSpec {
+
+  private val ax = Regular("x", 4, 0.0, 4.0)
+  private def emptyNum = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("g", StringType), StructField("x", DoubleType))))
+  private def emptyDocs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType))))
+  private def emptyEmb = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)), StructField("label", IntegerType))))
+
+  test("histograms on empty input: empty output, correct schema") {
+    assert(Histogram.histogram(emptyNum, col("x"), ax).count() == 0)
+    assert(Histogram.histogram(emptyNum, col("x"), ax, Seq("g"),
+      HistOptions(density = true)).count() == 0)
+    // dense with no groups: grid exists only when dims empty
+    assert(Histogram.histogram(emptyNum, col("x"), ax, Seq("g"),
+      HistOptions(dense = true)).count() == 0)
+    assert(HistVectorAgg.histogram(emptyNum, col("x"), ax, Seq("g")).count() == 0)
+  }
+
+  test("stats on empty input: empty output, no division errors") {
+    assert(HistStats.mean(emptyNum, col("x"), ax, Seq("g")).count() == 0)
+    assert(HistStats.median(emptyNum, col("x"), ax, Seq("g")).count() == 0)
+    assert(HistStats.interval(emptyNum, col("x"), ax, Seq("g"), 0.9).count() == 0)
+  }
+
+  test("dedup/text operators on empty corpus") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.minhashLsh(emptyDocs).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs).count() == 0)
+    assert(Dedup.ngramJaccard(emptyDocs).count() == 0)
+    assert(Dedup.nearDupPairs(emptyDocs).count() == 0)
+    assert(TextAnalysis.langId(emptyDocs).count() == 0)
+    assert(TextAnalysis.fingerprint(emptyDocs).count() == 0)
+  }
+
+  test("similarity operators on empty corpus") {
+    assert(Similarity.nearDup(emptyEmb, 0.5).count() == 0)
+    assert(Similarity.bruteForceTopK(emptyEmb, emptyEmb, 5).count() == 0)
+    assert(Similarity.annIvf(emptyEmb, emptyEmb, 3).count() == 0)
+  }
+}

@@ -47,6 +47,26 @@ class HistogramPropertySpec extends SparkSpec {
     }
   }
 
+  test("circular axis equals direct modular binning on 15 random cases") {
+    (1 to 15).foreach { _ =>
+      val n = 1 + rng.nextInt(24)
+      val lo = -10.0 + rng.nextDouble() * 20.0
+      val span = 1.0 + rng.nextDouble() * 50.0
+      val ax = Circular("x", n, lo, lo + span)
+      val xs = Seq.fill(1 + rng.nextInt(150))(-200.0 + rng.nextDouble() * 400.0)
+      val got = Histogram.histogram(xs.toDF("x"), col("x"), ax)
+        .collect().map { r =>
+          ax.edges.indexWhere(_ == r.getDouble(0)) -> r.getDouble(1)
+        }.toMap
+      val want = xs.map { x =>
+        val shifted = x - lo
+        val wrapped = shifted - math.floor(shifted / span) * span
+        math.min(math.floor(wrapped / span * n).toInt, n - 1)
+      }.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      assert(got == want, s"axis=$ax")
+    }
+  }
+
   test("variable axis equals direct binning on 15 random edge sets") {
     (1 to 15).foreach { _ =>
       val nEdges = 2 + rng.nextInt(10)
