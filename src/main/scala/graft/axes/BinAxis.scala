@@ -251,13 +251,16 @@ final case class StrCategory(name: String, values: Seq[String],
 }
 
 /** Circular axis: periodic on [lo, hi); every finite value wraps into range
-  * (bh.axis.Circular). No flow bins. */
+  * (bh.axis.Circular). Like boost, the axis has an overflow bin (no
+  * underflow): NaN and +/-infinity cannot wrap — `(x-lo) mod span` is NaN —
+  * and land in overflow (labelled +inf) instead of being silently folded
+  * into the last regular bin. */
 final case class Circular(name: String, n: Int, lo: Double, hi: Double)
     extends BinAxis {
   require(n > 0 && hi > lo)
   def nBins: Int = n
   def underflow: Boolean = false
-  def overflow: Boolean = false
+  def overflow: Boolean = true
   private val span = hi - lo
   val edges: Array[Double] = Array.tabulate(n)(k => lo + k * (span / n))
   val widths: Array[Double] = Array.fill(n)(span / n)
@@ -266,16 +269,20 @@ final case class Circular(name: String, n: Int, lo: Double, hi: Double)
     val shifted = x - lit(lo)
     val wrapped = shifted - floor(shifted / lit(span)) * lit(span) // in [0, span)
     when(x.isNull, lit(null).cast(LongType))
+      .when(isnan(x) || abs(x) === lit(Double.PositiveInfinity), lit(n.toLong))
       .otherwise(least(floor(wrapped / lit(span) * lit(n.toDouble)), lit((n - 1).toLong)))
   }
   def indexSql(v: String): String = {
     val sh = s"($v - ${d(lo)})"
     val wrapped = s"($sh - FLOOR($sh / ${d(span)}) * ${d(span)})"
-    s"CASE WHEN $v IS NULL THEN NULL ELSE " +
+    s"CASE WHEN $v IS NULL THEN NULL " +
+      s"WHEN ISNAN($v) OR ABS($v) = CAST('infinity' AS DOUBLE) THEN CAST($n AS BIGINT) ELSE " +
       s"LEAST(CAST(FLOOR($wrapped / ${d(span)} * ${d(n.toDouble)}) AS BIGINT), CAST(${n - 1} AS BIGINT)) END"
   }
-  def label(i: Column): Column = caseTableCol(i, edges, None, None)
-  def labelSql(i: String): String = caseTableSql(i, edges, None, None)
-  def width(i: Column): Column = caseTableCol(i, widths, None, None)
-  def widthSql(i: String): String = caseTableSql(i, widths, None, None)
+  def label(i: Column): Column =
+    caseTableCol(i, edges, None, Some(Double.PositiveInfinity))
+  def labelSql(i: String): String =
+    caseTableSql(i, edges, None, Some(Double.PositiveInfinity))
+  def width(i: Column): Column = caseTableCol(i, widths, None, Some(1.0))
+  def widthSql(i: String): String = caseTableSql(i, widths, None, Some(1.0))
 }

@@ -30,8 +30,13 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VecDot {
+  /** Mismatched lengths fail loudly: silently truncating to min(len) would
+    * mask corrupt embedding data as a plausible similarity value. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: embedding length mismatch ($n vs ${b.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -83,19 +83,124 @@ case class HistVectorAgg(
     copy(idx = c(0), weight = c(1))
 }
 
+/** Dense WEIGHTED histogram buffer: per-bin sums as DECIMAL(38,14)
+  * unscaled integers (BigInteger). Plain-double accumulation of weights is
+  * order-dependent (merge order varies with partitioning), violating the
+  * cross-engine / run-to-run determinism contract; integer accumulation of
+  * each weight's shortest-string decimal image (exactly Spark's
+  * double->DECIMAL(38,14) cast, see graft.util.Dec) is associative and
+  * exact, so eval() is bit-identical to the sparse path's
+  * Dec.exactDouble(sum(Dec.toDec(w))).
+  */
+case class HistVectorDecAgg(
+    idx: Expression,
+    weight: Expression,
+    nBins: Int,
+    flow: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[java.math.BigInteger]] {
+  import java.math.{BigDecimal => JBD, BigInteger => JBI, RoundingMode}
+
+  override def children: Seq[Expression] = Seq(idx, weight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[JBI] =
+    Array.fill(nBins + 2)(JBI.ZERO)
+
+  override def update(buf: Array[JBI], row: InternalRow): Array[JBI] = {
+    if (!idx.nullable || idx.eval(row) != null) {
+      val i = idx.eval(row).asInstanceOf[Long]
+      val slot =
+        if (i >= 0 && i < nBins) i.toInt
+        else if (i == -1) nBins
+        else if (i == nBins) nBins + 1
+        else -1 // out-of-protocol indices ignored
+      if (slot >= 0) {
+        val w = weight.eval(row) match {
+          case null => 0.0
+          case d: Double => d
+          case other => other.toString.toDouble
+        }
+        // Mirror of Spark's double->DECIMAL(38,14) cast: shortest string
+        // representation, then HALF_UP to scale 14 (graft.util.Dec.toDec).
+        val u = new JBD(java.lang.Double.toString(w))
+          .setScale(14, RoundingMode.HALF_UP).unscaledValue()
+        buf(slot) = buf(slot).add(u)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[JBI], b: Array[JBI]): Array[JBI] = {
+    var i = 0
+    while (i < a.length) { a(i) = a(i).add(b(i)); i += 1 }
+    a
+  }
+
+  /** Exact decimal -> double, bit-identical to Dec.exactDouble /
+    * Oracle.exactDbl: toDouble(floor(s)) + toDouble((s-floor(s))*1e14)/1e14. */
+  override def eval(buf: Array[JBI]): Any = {
+    val out = new Array[Double]((if (flow) buf.length else nBins))
+    var i = 0
+    while (i < out.length) {
+      val s = new JBD(buf(i), 14)
+      val fl = s.setScale(0, RoundingMode.FLOOR)
+      out(i) = fl.longValueExact().toDouble +
+        s.subtract(fl).movePointRight(14).longValueExact().toDouble / 1.0e14
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[JBI]): Array[Byte] = {
+    val parts = buf.map(_.toByteArray)
+    val bb = java.nio.ByteBuffer.allocate(parts.map(_.length + 4).sum)
+    parts.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[JBI] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[JBI](nBins + 2)
+    var i = 0
+    while (i < out.length) {
+      val p = new Array[Byte](bb.getInt); bb.get(p)
+      out(i) = new JBI(p); i += 1
+    }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HistVectorDecAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HistVectorDecAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HistVectorDecAgg =
+    copy(idx = c(0), weight = c(1))
+}
+
 object HistVectorAgg {
 
-  /** Column API: dense count vector for a bin-index column. */
+  /** Column API: dense count vector for a bin-index column (unweighted
+    * counts: double accumulation of integer increments is exact). */
   def histVector(idx: Column, weight: Column, nBins: Int, flow: Boolean = false): Column =
     GraftShim.column(
       HistVectorAgg(GraftShim.expression(idx), GraftShim.expression(weight), nBins, flow)
+        .toAggregateExpression())
+
+  /** Column API: dense weighted-sum vector, DECIMAL(38,14)-exact. */
+  def histVectorDec(idx: Column, weight: Column, nBins: Int, flow: Boolean = false): Column =
+    GraftShim.column(
+      HistVectorDecAgg(GraftShim.expression(idx), GraftShim.expression(weight), nBins, flow)
         .toAggregateExpression())
 
   /** Physical-strategy chooser for dense 1-D histograms: many bins favor
     * the vector aggregate (one array per group per map task through the
     * shuffle); few bins favor the plain groupBy (per-bin rows compress to
     * nothing and stay fully codegen'd). Threshold from local benchmarks;
-    * both paths return identical dense output. */
+    * both paths return identical dense output — unweighted counts are exact
+    * in double, weighted sums go through the decimal vector aggregate. */
   def autoDense(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
       weight: Option[Column] = None, vectorThreshold: Int = 256): DataFrame =
     if (ax.nBins >= vectorThreshold) histogram(df, x, ax, dims, weight)
@@ -104,11 +209,15 @@ object HistVectorAgg {
 
   /** Dense-path histogram: groupBy(dims).agg(vector) then posexplode back to
     * the same sparse row layout as Histogram.histogramdd(dense = true).
-    * Shuffle volume: one (nBins+2)-double array per group per map task. */
+    * Shuffle volume: one (nBins+2)-element array per group per map task.
+    * Weighted inputs use the order-independent decimal aggregate so output
+    * matches the sparse path bit-for-bit regardless of partitioning. */
   def histogram(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
       weight: Option[Column] = None): DataFrame = {
-    val w = weight.getOrElse(lit(1.0)).cast("double")
-    val vec = histVector(ax.index(x), w, ax.nBins)
+    val vec = weight match {
+      case Some(w) => histVectorDec(ax.index(x), w.cast("double"), ax.nBins)
+      case None => histVector(ax.index(x), lit(1.0), ax.nBins)
+    }
     val g =
       if (dims.isEmpty) df.agg(vec.as("__v"))
       else df.groupBy(dims.map(col): _*).agg(vec.as("__v"))

@@ -135,10 +135,30 @@ object HistStats {
     if (dims.isEmpty) lo.crossJoin(hi) else lo.join(hi, dims.toSeq)
   }
 
+  /** Flow-bin predicate dispatched on the axis's actual label domain
+    * (reference core.py:524-587): float axes label flow bins +/-inf,
+    * Circular overflow +inf, Integer axes Long.Min/MaxValue, IntCategory
+    * Long.MaxValue, StrCategory "_flow_bin". Inferring flow from a +/-inf
+    * double comparison regardless of axis type breaks categorical axes:
+    * the string->double coercion yields NULL predicates (dropping every
+    * row), and integer flow labels are never recognized. */
+  def isFlowLabel(ax: BinAxis): Column = {
+    val b = col(ax.binsCol)
+    ax match {
+      case _: graft.axes.Regular | _: graft.axes.Variable =>
+        b === lit(Double.NegativeInfinity) || b === lit(Double.PositiveInfinity)
+      case _: graft.axes.Circular => b === lit(Double.PositiveInfinity)
+      case _: graft.axes.IntegerAxis =>
+        b === lit(Long.MinValue) || b === lit(Long.MaxValue)
+      case _: graft.axes.IntCategory => b === lit(Long.MaxValue)
+      case _: graft.axes.StrCategory => b === lit("_flow_bin")
+    }
+  }
+
   /** Normalize a sparse labelled histogram (dims, bins, cnt) into a pdf —
     * the accessor's `normalize` over an already-computed histogram. */
   def normalize(hist: DataFrame, ax: BinAxis, dims: Seq[String]): DataFrame = {
-    val isFlow = col(ax.binsCol).isin(Double.NegativeInfinity, Double.PositiveInfinity)
+    val isFlow = isFlowLabel(ax)
     val width = labelWidth(ax)
     val w = Window.partitionBy(dims.map(col): _*)
     val total = graft.util.Dec.exactDouble(
@@ -163,18 +183,18 @@ object HistStats {
     case a: graft.axes.Regular => a.edges
     case a: graft.axes.Variable => a.edges
     case a: graft.axes.Circular => a.edges
-    case _ => throw new IllegalArgumentException(s"no numeric edges for $ax")
+    case _ => Array.empty // categorical / integer axes: unit-width bins
   }
   private def axisWidths(ax: BinAxis): Array[Double] = ax match {
     case a: graft.axes.Regular => a.widths
     case a: graft.axes.Variable => a.widths
     case a: graft.axes.Circular => a.widths
-    case _ => throw new IllegalArgumentException(s"no numeric widths for $ax")
+    case _ => Array.empty
   }
 
   /** Remove flow bins from a labelled histogram (accessor.py:278-305). */
   def removeFlow(hist: DataFrame, ax: BinAxis): DataFrame =
-    hist.filter(!col(ax.binsCol).isin(Double.NegativeInfinity, Double.PositiveInfinity))
+    hist.filter(!isFlowLabel(ax))
 
   /** Scale the bins coordinate (accessor.scale, accessor.py:382-395). */
   def scaleBins(hist: DataFrame, ax: BinAxis, factor: Double): DataFrame =

@@ -28,6 +28,14 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getSeq[Long](0)
     assert(gh.length == 3 && gh == gh.sorted) // abc, bca, cab distinct sorted
 
+    // mismatched embedding lengths must fail loudly, not truncate
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT vec_dot(CAST(array(1.0, 2.0) AS array<float>), CAST(array(1.0) AS array<float>))"
+      ).head()
+    }
+    assert(err.getMessage != null)
+
     spark.sql("SELECT * FROM VALUES (0L, 1.0), (0L, 2.0), (1L, 5.0) AS t(i, w)")
       .createOrReplaceTempView("h")
     val vec = spark.sql("SELECT hist_vector(i, w, 2, false) FROM h")

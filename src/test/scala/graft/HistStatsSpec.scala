@@ -79,6 +79,33 @@ class HistStatsSpec extends SparkSpec {
     assert(math.abs(p(1.0) - 2.0 / 1.0 / 4.0) < 1e-12)
   }
 
+  test("removeFlow/normalize dispatch on the axis's label domain") {
+    import graft.operators.HistOptions
+    // StrCategory: flow label is "_flow_bin" — a +/-inf double compare
+    // would NULL out and drop every row
+    val sAx = StrCategory("s", Seq("a", "b"))
+    val sHist = Histogram.histogram(Seq("a", "a", "b", "zz").toDF("s"),
+      col("s"), sAx, opts = HistOptions(flow = true))
+    val sKept = HistStats.removeFlow(sHist, sAx).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(sKept == Map("a" -> 2.0, "b" -> 1.0))
+    // IntegerAxis: flow labels are Long.Min/MaxValue
+    val iAx = IntegerAxis("i", 0L, 3L)
+    val iHist = Histogram.histogram(Seq(-5L, 0L, 1L, 99L).toDF("i"),
+      col("i"), iAx, opts = HistOptions(flow = true))
+    val iKept = HistStats.removeFlow(iHist, iAx).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(iKept == Map(0L -> 1.0, 1L -> 1.0))
+    // IntCategory normalize: overflow (Long.MaxValue) excluded from total
+    val cAx = IntCategory("c", Seq(1L, 2L))
+    val cHist = Histogram.histogram(Seq(1L, 1L, 2L, 7L).toDF("c"),
+      col("c"), cAx, opts = HistOptions(flow = true))
+    val cPdf = HistStats.normalize(cHist, cAx, Nil).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("pdf")).toMap
+    assert(math.abs(cPdf(1L) - 2.0 / 3.0) < 1e-12) // total excludes overflow
+    assert(math.abs(cPdf(Long.MaxValue) - 1.0 / 3.0) < 1e-12)
+  }
+
   test("areasTable: cross-product of widths over multiple axes") {
     val a1 = Regular("x", 2, 0.0, 4.0)   // widths 2
     val a2 = Variable("y", Array(0.0, 1.0, 4.0)) // widths 1, 3

@@ -30,4 +30,32 @@ class HistVectorAggSpec extends SparkSpec {
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(h == Map(0.0 -> 5.0, 1.0 -> 10.0))
   }
+
+  test("weighted vector path is order-independent and matches sparse path bitwise") {
+    // Weights chosen so plain-double accumulation differs with order
+    // (mixing 1e16-scale and 1e-7-scale addends); the decimal aggregate
+    // must produce the identical double for every partitioning, equal to
+    // the sparse path's Dec.exactDouble(sum(Dec.toDec(w))).
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val w = if (i % 29 == 0) 1.0e16 else rnd.nextDouble() * 1e-7 + 0.1
+      (rnd.nextDouble() * 4.0, w)
+    }
+    val ax = Regular("x", 4, 0.0, 4.0)
+    def denseBits(parts: Int): Seq[(Double, Long)] = {
+      val df = rows.toDF("x", "w").repartition(parts)
+      HistVectorAgg.histogram(df, col("x"), ax, Nil, Some(col("w")))
+        .collect()
+        .map(r => r.getDouble(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1)))
+        .sortBy(_._1).toSeq
+    }
+    val sparseBits = Histogram.histogram(rows.toDF("x", "w").repartition(5),
+        col("x"), ax, Nil, HistOptions(weight = Some(col("w")), dense = true))
+      .collect()
+      .map(r => r.getDouble(0) -> java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    assert(denseBits(1) == sparseBits)
+    assert(denseBits(7) == sparseBits)
+    assert(denseBits(32) == sparseBits)
+  }
 }

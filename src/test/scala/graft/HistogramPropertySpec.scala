@@ -53,12 +53,16 @@ class HistogramPropertySpec extends SparkSpec {
       val lo = -10.0 + rng.nextDouble() * 20.0
       val span = 1.0 + rng.nextDouble() * 50.0
       val ax = Circular("x", n, lo, lo + span)
-      val xs = Seq.fill(1 + rng.nextInt(150))(-200.0 + rng.nextDouble() * 400.0)
+      // inject non-finite values: they must go to overflow (dropped when
+      // flow=false), never perturb any regular bin's count
+      val finite = Seq.fill(1 + rng.nextInt(150))(-200.0 + rng.nextDouble() * 400.0)
+      val xs = rng.shuffle(finite ++
+        Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity))
       val got = Histogram.histogram(xs.toDF("x"), col("x"), ax)
         .collect().map { r =>
           ax.edges.indexWhere(_ == r.getDouble(0)) -> r.getDouble(1)
         }.toMap
-      val want = xs.map { x =>
+      val want = finite.map { x =>
         val shifted = x - lo
         val wrapped = shifted - math.floor(shifted / span) * span
         math.min(math.floor(wrapped / span * n).toInt, n - 1)

@@ -96,6 +96,16 @@ class HistogramSpec extends SparkSpec {
     assert(h == Map(0.0 -> 4.0, 6.0 -> 1.0))
   }
 
+  test("circular axis: NaN/inf land in overflow (boost), never the last bin") {
+    val ax = Circular("x", 4, 0.0, 8.0)
+    val bad = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    // flow=false: non-finite dropped — the [6,8) bin must NOT absorb them
+    assert(hist1d(Seq(1.0) ++ bad, ax) == Map(0.0 -> 1.0))
+    // flow=true: overflow bin (labelled +inf) holds all three
+    val hf = hist1d(Seq(1.0) ++ bad, ax, HistOptions(flow = true))
+    assert(hf == Map(0.0 -> 1.0, Double.PositiveInfinity -> 3.0))
+  }
+
   test("log axis: bins equal in log-space") {
     val ax = Regular("x", 3, 1.0, 1000.0, log = true)
     val h = hist1d(Seq(2.0, 15.0, 150.0, 999.0), ax)
