@@ -37,7 +37,7 @@ object SparkEntry {
   private val axQty10 = Regular("l_quantity", 10, 0.0, 50.0)
   private val axDisc = Regular("l_discount", 11, 0.0, 0.11)
   private val axTax = Regular("l_tax", 9, 0.0, 0.09)
-  private val axPriceLog = Regular("o_totalprice", 20, 1000.0, 500000.0, log = true)
+  private val axPriceLog = Regular("o_totalprice", 20, 1000.0, 500000.0, transform = LogT)
   private val axAcctVar = Variable("c_acctbal",
     Array(-1000.0, -500.0, 0.0, 250.0, 500.0, 1000.0, 2500.0, 5000.0, 7500.0, 10000.0))
   private val axSize = IntegerAxis("p_size", 1, 51)
@@ -46,6 +46,8 @@ object SparkEntry {
   private val axQtyNarrow = Regular("l_quantity", 10, 10.0, 40.0) // populated flow bins
   private val axHourCirc = Circular("ev_hour", 12, 0.0, 24.0)
   private val axValue = Regular("value", 16, 0.0, 512.0)
+  private val axValueSqrt = Regular("value", 16, 0.0, 512.0, transform = SqrtT)
+  private val axQtyPow2 = Regular("l_quantity", 12, 0.0, 50.0, transform = PowT(2.0))
 
   private def hist(dir: String, table: String, x: Column, ax: BinAxis,
       dims: Seq[String] = Nil, opts: HistOptions = HistOptions())(
@@ -90,6 +92,16 @@ object SparkEntry {
     "q08_hist_log" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       hist(dir, "orders", col("o_totalprice"), axPriceLog)
+    },
+    "q55_hist_sqrt" -> { (s, dir) =>
+      // Regular axis with boost transform.sqrt: bins equal in sqrt space
+      implicit val sp: SparkSession = s
+      hist(dir, "events", col("value"), axValueSqrt)
+    },
+    "q56_hist_pow" -> { (s, dir) =>
+      // Regular axis with boost transform.Pow(2): bins equal in x^2 space
+      implicit val sp: SparkSession = s
+      hist(dir, "lineitem", col("l_quantity"), axQtyPow2)
     },
     "q09_hist_variable" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -301,6 +313,8 @@ object SparkEntry {
       Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc),
         Oracle.Spec("l_tax", axTax))),
     "q08_hist_log" -> Oracle.hist("orders", Seq(Oracle.Spec("o_totalprice", axPriceLog))),
+    "q55_hist_sqrt" -> Oracle.hist("events", Seq(Oracle.Spec("value", axValueSqrt))),
+    "q56_hist_pow" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQtyPow2))),
     "q09_hist_variable" -> Oracle.hist("customer", Seq(Oracle.Spec("c_acctbal", axAcctVar))),
     "q10_hist_int" -> Oracle.hist("part", Seq(Oracle.Spec("p_size", axSize))),
     "q11_hist_intcat" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_linenumber", axLineNo)),

@@ -22,7 +22,7 @@ object AxisMetadata {
     ax match {
       case a: Regular =>
         b.putLong("n", a.n.toLong).putDouble("lo", a.lo).putDouble("hi", a.hi)
-          .putBoolean("log", a.log)
+          .putString("transform", a.transform.tag)
           .putDouble("right_edge", a.hi)
       case a: Variable =>
         b.putDoubleArray("edges", a.allEdges)
@@ -47,7 +47,7 @@ object AxisMetadata {
     m.getString("bin_type") match {
       case "Regular" =>
         Regular(name, m.getLong("n").toInt, m.getDouble("lo"), m.getDouble("hi"),
-          under, over, m.getBoolean("log"))
+          under, over, transform = AxTransform.fromTag(m.getString("transform")))
       case "Variable" => Variable(name, m.getDoubleArray("edges"), under, over)
       case "IntegerAxis" => IntegerAxis(name, m.getLong("lo"), m.getLong("hi"), under, over)
       case "IntCategory" => IntCategory(name, m.getLongArray("values").toSeq, over)

@@ -75,30 +75,89 @@ sealed trait BinAxis extends Serializable {
   }
 }
 
-/** Regular axis: n equal bins on [lo, hi); `log=true` gives the
-  * boost `transform.log` axis (bins equal in log space). */
+/** Axis transform (boost `bh.axis.transform`): bins are equal-width in the
+  * transformed space. Forward maps are restricted to functions that are
+  * IEEE-identical in Spark and DuckDB: LN and SQRT are correctly rounded in
+  * both; Pow(2) is spelled as `x*x` (a single rounded multiply). Generic
+  * Pow(p) uses POWER — library-dependent in the last ulp, so bin boundaries
+  * may differ cross-engine for values landing exactly on an edge (fine for
+  * in-engine use; prefer p in {0.5, 2} when oracle-exactness matters). */
+sealed trait AxTransform extends Serializable {
+  def fwd(x: Double): Double
+  def inv(y: Double): Double
+  def fwdCol(x: Column): Column
+  def fwdSql(v: String): String
+  def tag: String
+}
+case object IdT extends AxTransform {
+  def fwd(x: Double): Double = x
+  def inv(y: Double): Double = y
+  def fwdCol(x: Column): Column = x
+  def fwdSql(v: String): String = v
+  def tag = "id"
+}
+case object LogT extends AxTransform {
+  def fwd(x: Double): Double = math.log(x)
+  def inv(y: Double): Double = math.exp(y)
+  def fwdCol(x: Column): Column = org.apache.spark.sql.functions.log(x)
+  def fwdSql(v: String): String = s"LN($v)"
+  def tag = "log"
+}
+case object SqrtT extends AxTransform {
+  def fwd(x: Double): Double = math.sqrt(x)
+  def inv(y: Double): Double = y * y
+  def fwdCol(x: Column): Column = sqrt(x)
+  def fwdSql(v: String): String = s"SQRT($v)"
+  def tag = "sqrt"
+}
+final case class PowT(p: Double) extends AxTransform {
+  require(p != 0.0)
+  def fwd(x: Double): Double = if (p == 2.0) x * x else math.pow(x, p)
+  def inv(y: Double): Double = math.pow(y, 1.0 / p)
+  def fwdCol(x: Column): Column =
+    if (p == 2.0) x * x else pow(x, lit(p))
+  def fwdSql(v: String): String =
+    if (p == 2.0) s"($v * $v)"
+    else s"POWER($v, CAST('${java.lang.Double.toString(p)}' AS DOUBLE))"
+  def tag = s"pow:${java.lang.Double.toString(p)}"
+}
+object AxTransform {
+  def fromTag(t: String): AxTransform = t match {
+    case "id" => IdT
+    case "log" => LogT
+    case "sqrt" => SqrtT
+    case s if s.startsWith("pow:") => PowT(java.lang.Double.parseDouble(s.drop(4)))
+    case other => throw new IllegalArgumentException(s"unknown transform $other")
+  }
+}
+
+/** Regular axis: n equal bins on [lo, hi) — equal in `transform` space
+  * (boost transform.log / transform.sqrt / transform.Pow). */
 final case class Regular(name: String, n: Int, lo: Double, hi: Double,
     underflow: Boolean = true, overflow: Boolean = true,
-    log: Boolean = false) extends BinAxis {
-  require(n > 0 && hi > lo && (!log || lo > 0))
+    transform: AxTransform = IdT) extends BinAxis {
+  private def tf: AxTransform = transform
+  require(n > 0 && hi > lo)
+  require(tf != LogT || lo > 0)
+  require(tf != SqrtT || lo >= 0)
   def nBins: Int = n
   private val span = hi - lo
   private val widthV = span / n
-  private val lnLo = math.log(lo)
-  private val lnSpan = math.log(hi) - lnLo
+  private val tLo = tf.fwd(lo)
+  private val tSpan = tf.fwd(hi) - tLo
   /** Left edges, computed once on the driver; same literals feed both engines. */
   val edges: Array[Double] =
-    if (log) Array.tabulate(n)(k => math.exp(lnLo + lnSpan * k / n))
-    else Array.tabulate(n)(k => lo + k * widthV)
+    if (tf == IdT) Array.tabulate(n)(k => lo + k * widthV)
+    else Array.tabulate(n)(k => tf.inv(tLo + tSpan * k / n))
   val widths: Array[Double] =
-    if (log) Array.tabulate(n)(k =>
-      (if (k == n - 1) hi else math.exp(lnLo + lnSpan * (k + 1) / n)) - edges(k))
-    else Array.fill(n)(widthV)
+    if (tf == IdT) Array.fill(n)(widthV)
+    else Array.tabulate(n)(k =>
+      (if (k == n - 1) hi else tf.inv(tLo + tSpan * (k + 1) / n)) - edges(k))
 
   def index(x: Column): Column = {
     val scaled =
-      if (log) (org.apache.spark.sql.functions.log(x) - lit(lnLo)) / lit(lnSpan) * lit(n.toDouble)
-      else (x - lit(lo)) / lit(span) * lit(n.toDouble)
+      if (tf == IdT) (x - lit(lo)) / lit(span) * lit(n.toDouble)
+      else (tf.fwdCol(x) - lit(tLo)) / lit(tSpan) * lit(n.toDouble)
     when(x.isNull, lit(null).cast(LongType))
       .when(x < lit(lo), lit(-1L))
       .when(x >= lit(hi), lit(n.toLong))
@@ -106,8 +165,8 @@ final case class Regular(name: String, n: Int, lo: Double, hi: Double,
   }
   def indexSql(v: String): String = {
     val scaled =
-      if (log) s"(LN($v) - ${d(lnLo)}) / ${d(lnSpan)} * ${d(n.toDouble)}"
-      else s"($v - ${d(lo)}) / ${d(span)} * ${d(n.toDouble)}"
+      if (tf == IdT) s"($v - ${d(lo)}) / ${d(span)} * ${d(n.toDouble)}"
+      else s"(${tf.fwdSql(v)} - ${d(tLo)}) / ${d(tSpan)} * ${d(n.toDouble)}"
     s"""CASE WHEN $v IS NULL THEN NULL
        | WHEN $v < ${d(lo)} THEN CAST(-1 AS BIGINT)
        | WHEN $v >= ${d(hi)} THEN CAST($n AS BIGINT)

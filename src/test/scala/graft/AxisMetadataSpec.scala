@@ -16,7 +16,7 @@ class AxisMetadataSpec extends SparkSpec {
   test("every axis type round-trips through column metadata") {
     val axes: Seq[BinAxis] = Seq(
       Regular("a", 5, 0.0, 10.0),
-      Regular("b", 4, 1.0, 1000.0, underflow = false, log = true),
+      Regular("b", 4, 1.0, 1000.0, underflow = false, transform = LogT),
       Variable("c", Array(0.0, 1.0, 5.0)),
       IntegerAxis("d", 0L, 10L),
       IntCategory("e", Seq(1L, 4L, 9L)),

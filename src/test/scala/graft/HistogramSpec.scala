@@ -107,11 +107,26 @@ class HistogramSpec extends SparkSpec {
   }
 
   test("log axis: bins equal in log-space") {
-    val ax = Regular("x", 3, 1.0, 1000.0, log = true)
+    val ax = Regular("x", 3, 1.0, 1000.0, transform = LogT)
     val h = hist1d(Seq(2.0, 15.0, 150.0, 999.0), ax)
     assert(h.keySet.map(_.asInstanceOf[Double]).map(v => math.round(v).toDouble)
       == Set(1.0, 10.0, 100.0))
     assert(h.values.toSeq.sorted == Seq(1.0, 1.0, 2.0))
+  }
+
+  test("sqrt axis: bins equal in sqrt-space") {
+    val ax = Regular("x", 2, 0.0, 4.0, transform = SqrtT)
+    assert(ax.edges.toSeq == Seq(0.0, 1.0)) // sqrt-space edges 0,1,2 -> 0,1,4
+    val h = hist1d(Seq(0.5, 2.0, 3.9), ax)
+    assert(h == Map(0.0 -> 1.0, 1.0 -> 2.0))
+  }
+
+  test("pow(2) axis: bins equal in x^2 space") {
+    val ax = Regular("x", 2, 0.0, 2.0, transform = PowT(2.0))
+    // x^2-space edges 0,2,4 -> x edges 0, sqrt(2), 2
+    assert(ax.edges(1) == math.sqrt(2.0))
+    val h = hist1d(Seq(1.0, 1.5), ax)
+    assert(h == Map(0.0 -> 1.0, math.sqrt(2.0) -> 1.0))
   }
 
   test("dims: one histogram per group key (reference loop dims, core.py:271)") {
