@@ -13,6 +13,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // queries are submitted concurrently; FAIR keeps short histogram jobs
+      // from queueing behind the long similarity-join stages
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/classloading + parquet footers so the first timed
@@ -34,7 +37,8 @@ object Bench {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(6)
+    val pool = Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_POOL", "16").toInt)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val t0All = System.nanoTime()
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

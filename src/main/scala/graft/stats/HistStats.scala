@@ -86,12 +86,9 @@ object HistStats {
       (decSum(contrib) / decSum(col("cnt"))).as(s"${ax.name}_cdf"))
   }
 
-  /** ppf(q) per group; out column name defaults to <name>_ppf. */
-  def ppf(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String], q: Double,
-      outName: String = "", weight: Option[Column] = None): DataFrame = {
-    require(q > 0 && q < 1)
-    val name = if (outName.isEmpty) s"${ax.name}_ppf" else outName
-    val b = base(df, x, ax, dims, weight)
+  /** Histogram rows + running decimal-exact cumulative columns:
+    * __cumi (inclusive), __cume (exclusive), __tot (group total). */
+  private def withCums(b: DataFrame, dims: Seq[String]): DataFrame = {
     val wAll = if (dims.isEmpty) Window.partitionBy() else Window.partitionBy(dims.map(col): _*)
     val wOrd = wAll.orderBy(col("__i0"))
     val cumi = graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(col("cnt")))
@@ -102,11 +99,29 @@ object HistStats {
       lit(0).cast(DecimalType(38, 14))))
     val tot = graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(col("cnt"))).over(wAll))
     b.withColumn("__cumi", cumi).withColumn("__cume", cume).withColumn("__tot", tot)
-      .filter(col("__cumi") >= lit(q) * col("__tot"))
-      .withColumn("__rn", row_number().over(wOrd))
-      .filter(col("__rn") === 1)
-      .select(dims.map(col) :+
-        (col("l") + (lit(q) * col("__tot") - col("__cume")) / col("cnt") * col("w")).as(name): _*)
+  }
+
+  /** Pick the ppf bin (first with cum_incl >= q*total) as an aggregation:
+    * min_by over rows satisfying the threshold — no row_number window pass.
+    * Always non-null: cum_incl of the last bin equals total >= q*total. */
+  private def ppfAgg(q: Double): Column =
+    min_by(
+      struct(col("l").as("l"), col("w").as("w"), col("cnt").as("cnt"),
+        col("__cume").as("cume"), col("__tot").as("tot")),
+      when(col("__cumi") >= lit(q) * col("__tot"), col("__i0")))
+
+  private def ppfValue(s: Column, q: Double): Column =
+    s.getField("l") +
+      (lit(q) * s.getField("tot") - s.getField("cume")) / s.getField("cnt") * s.getField("w")
+
+  /** ppf(q) per group; out column name defaults to <name>_ppf. */
+  def ppf(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String], q: Double,
+      outName: String = "", weight: Option[Column] = None): DataFrame = {
+    require(q > 0 && q < 1)
+    val name = if (outName.isEmpty) s"${ax.name}_ppf" else outName
+    val sel = withCums(base(df, x, ax, dims, weight), dims)
+    grouped(sel, dims)(ppfAgg(q).as("__s"))
+      .select(dims.map(col) :+ ppfValue(col("__s"), q).as(name): _*)
   }
 
   def median(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
@@ -125,14 +140,17 @@ object HistStats {
   }
 
   /** Equal-tail confidence interval: [ppf(p), ppf(1-p)], p = (1-conf)/2
-    * (accessor.py:542-573). */
+    * (accessor.py:542-573). Both quantiles are picked in ONE aggregation
+    * over one histogram pass — not two scans joined. */
   def interval(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
       confidence: Double): DataFrame = {
     require(confidence > 0 && confidence < 1)
     val p = (1 - confidence) / 2
-    val lo = ppf(df, x, ax, dims, p, "confidence_low")
-    val hi = ppf(df, x, ax, dims, 1 - p, "confidence_high")
-    if (dims.isEmpty) lo.crossJoin(hi) else lo.join(hi, dims.toSeq)
+    val sel = withCums(base(df, x, ax, dims), dims)
+    grouped(sel, dims)(ppfAgg(p).as("__lo"), ppfAgg(1 - p).as("__hi"))
+      .select(dims.map(col) ++ Seq(
+        ppfValue(col("__lo"), p).as("confidence_low"),
+        ppfValue(col("__hi"), 1 - p).as("confidence_high")): _*)
   }
 
   /** Flow-bin predicate dispatched on the axis's actual label domain
