@@ -22,27 +22,32 @@ object PipelineOracle {
     val numHashes = bands * rowsPerBand
     val mins = (1 to numHashes)
       .map(j => s"min((${mhA(j)} * h + ${mhB(j)}) % $MhMod) AS h$j").mkString(", ")
+    val rowNames = (1 to rowsPerBand).map(r => s"s$r")
     val bandSelects = (0 until bands).map { b =>
-      s"SELECT doc_id, $b AS band, h${b * rowsPerBand + 1} AS s1, h${b * rowsPerBand + 2} AS s2 FROM sig"
+      val cols = (0 until rowsPerBand)
+        .map(r => s"h${b * rowsPerBand + r + 1} AS ${rowNames(r)}").mkString(", ")
+      s"SELECT doc_id, $b AS band, $cols FROM sig"
     }.mkString(" UNION ALL ")
+    val joinKeys = ("band" +: rowNames).map(c => s"a.$c = b.$c").mkString(" AND ")
     s"sh AS (SELECT doc_id, substring(text, CAST(i AS INT), $k) AS sh " +
       s"FROM (SELECT doc_id, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
       s"hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $MhMod AS h FROM sh), " +
       s"sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id), " +
       s"banded AS ($bandSelects), " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-      "FROM banded a JOIN banded b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.doc_id < b.doc_id)"
+      s"FROM banded a JOIN banded b ON $joinKeys AND a.doc_id < b.doc_id)"
   }
 
-  def minhashLsh(k: Int = 5, bands: Int = 4, rowsPerBand: Int = 2): String =
+  def minhashLsh(k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): String =
     s"WITH ${minhashCandCtes(k, bands, rowsPerBand)} SELECT doc_a, doc_b FROM cand"
 
   /** Two-stage near-dup: minhash candidates verified with exact k-gram
     * jaccard (mirrors Dedup.nearDupPairs; gram hashing is engine-internal —
     * jaccard over gram SETS is hash-independent). */
-  def nearDupPairs(k: Int = 5, threshold: Double = 0.7, bands: Int = 4): String = {
+  def nearDupPairs(k: Int = 5, threshold: Double = 0.7, bands: Int = 16,
+      rowsPerBand: Int = 4): String = {
     val jac = "CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)"
-    s"WITH ${minhashCandCtes(k, bands, 2)}, " +
+    s"WITH ${minhashCandCtes(k, bands, rowsPerBand)}, " +
       s"g AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), $k) AS g " +
       s"FROM (SELECT doc_id, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
       "sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id), " +
