@@ -61,6 +61,11 @@ object SparkEntry {
   private val axValueSqrt = Regular("value", 16, 0.0, 512.0, transform = SqrtT)
   private val axQtyPow2 = Regular("l_quantity", 12, 0.0, 50.0, transform = PowT(2.0))
 
+  /** Training-mix rates for q58: oversample low-index sources. */
+  private val mixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" ->
+      (if (i < 5) 0.9 else if (i < 12) 0.5 else 0.15)).toMap
+
   private def hist(dir: String, table: String, x: Column, ax: BinAxis,
       dims: Seq[String] = Nil, opts: HistOptions = HistOptions())(
       implicit s: SparkSession): DataFrame =
@@ -292,6 +297,18 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       TextAnalysis.tokens(t(dir, "documents"))
     },
+    "q57_repetition" -> { (s, dir) =>
+      // Gopher-style repetition filters: dup-token / top-token /
+      // top-bigram fractions, one map-only codegen'd pass per doc
+      implicit val sp: SparkSession = s
+      TextAnalysis.repetition(t(dir, "documents"))
+    },
+    "q58_sample_mix" -> { (s, dir) =>
+      // deterministic domain-mixing subsample (hash-threshold filter)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.sampleBySource(t(dir, "documents"),
+        mixRates, defaultRate = 0.15, salt = "mix1")
+    },
     "q50_fingerprint" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       TextAnalysis.fingerprint(t(dir, "documents"))
@@ -387,6 +404,9 @@ object SparkEntry {
     },
     "q48_quality" -> PipelineOracle.quality,
     "q49_tokens" -> PipelineOracle.tokens,
-    "q50_fingerprint" -> PipelineOracle.fingerprint()
+    "q50_fingerprint" -> PipelineOracle.fingerprint(),
+    "q57_repetition" -> PipelineOracle.repetition,
+    "q58_sample_mix" -> PipelineOracle.sampleBySource(
+      mixRates, defaultRate = 0.15, salt = "mix1")
   )
 }

@@ -211,6 +211,41 @@ object PipelineOracle {
       "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens " +
       "FROM documents"
 
+  /** Repetition signals (mirrors TextAnalysis.repetition): token counts
+    * from the same trim + ' +'-regex split, ratios as single divisions
+    * over the exact integer counts. */
+  val repetition: String = {
+    "WITH a AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS arr FROM documents), " +
+      "t AS (SELECT doc_id, CAST(i AS BIGINT) AS i, arr[CAST(i AS INT)] AS tok " +
+      "FROM (SELECT doc_id, arr, UNNEST(generate_series(1, len(arr))) AS i FROM a)), " +
+      "wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2), " +
+      "w AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_token_cnt " +
+      "FROM wc GROUP BY 1), " +
+      "bgc AS (SELECT x.doc_id, x.tok || ' ' || y.tok AS bg, COUNT(*) AS c " +
+      "FROM t x JOIN t y ON y.doc_id = x.doc_id AND y.i = x.i + 1 GROUP BY 1, 2), " +
+      "bw AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_cnt FROM bgc GROUP BY 1) " +
+      "SELECT w.doc_id, n_tokens, n_distinct, top_token_cnt, " +
+      "COALESCE(bw.top_bigram_cnt, 0) AS top_bigram_cnt, " +
+      "CAST(n_tokens - n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac, " +
+      "CAST(top_token_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac, " +
+      "CAST(COALESCE(bw.top_bigram_cnt, 0) AS DOUBLE) / " +
+      "CAST(GREATEST(n_tokens - 1, 1) AS DOUBLE) AS top_bigram_frac " +
+      "FROM w LEFT JOIN bw ON bw.doc_id = w.doc_id"
+  }
+
+  /** Deterministic per-source sampling (mirrors Sampling.sampleBySource):
+    * identical integer thresholds computed driver-side. */
+  def sampleBySource(rates: Map[String, Double], defaultRate: Double,
+      salt: String): String = {
+    import graft.pipeline.Sampling.threshold
+    val thr = rates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN source = '$s' THEN CAST(${threshold(r)} AS BIGINT)" }
+      .mkString("CASE ", " ", s" ELSE CAST(${threshold(defaultRate)} AS BIGINT) END")
+    s"SELECT doc_id, source FROM documents WHERE " +
+      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':$salt'), 1, 15))::BIGINT < $thr"
+  }
+
   def fingerprint(maxLen: Int = 64): String = {
     val pows = TextAnalysis.fingerprintPows(maxLen).mkString("[", ", ", "]")
     s"WITH ch AS (SELECT doc_id, CAST(i AS INT) AS i, ascii(substring(text, CAST(i AS INT), 1)) AS c " +

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for domain mixing: the step that turns a curated
+  * corpus into a training mix with target per-source rates.
+  *
+  * A doc is kept iff the first 60 bits of md5(doc_id:source:salt) fall
+  * below floor(rate(source) * 2^60). Pure map-side filter — no shuffle, no
+  * RNG state, reproducible across runs, engines, cluster sizes and
+  * partitionings (unlike DataFrame.sample, whose output depends on
+  * partition layout). Changing the salt redraws the sample.
+  */
+object Sampling {
+
+  private val Scale: Double = math.pow(2.0, 60)
+
+  /** Threshold literal for a rate, computed once driver-side so both
+    * engines compare against the identical integer. */
+  def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0)
+    math.floor(rate * Scale).toLong
+  }
+
+  /** 60-bit uniform hash of (doc_id, source, salt) as a Column. */
+  def hash60(docId: Column, source: Column, salt: String): Column =
+    conv(substring(md5(
+      concat(docId.cast("string"), lit(":"), source, lit(":"), lit(salt))), 1, 15),
+      16, 10).cast("long")
+
+  /** Keep each doc with its source's rate (defaultRate for unlisted
+    * sources). Returns the kept (doc_id, source) relation. */
+  def sampleBySource(docs: DataFrame, rates: Map[String, Double],
+      defaultRate: Double, salt: String): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldRight(lit(threshold(defaultRate))) {
+      case ((s, r), els) => when(col("source") === lit(s), lit(threshold(r))).otherwise(els)
+    }
+    docs.select(col("doc_id"), col("source"))
+      .filter(hash60(col("doc_id"), col("source"), salt) < thr)
+  }
+}

@@ -75,6 +75,29 @@ object TextAnalysis {
     pows
   }
 
+  /** Gopher-style repetition signals per doc: duplicate-token fraction and
+    * top token / adjacent-bigram fractions. One codegen'd pass per doc
+    * (graft.functions.RepetitionStats) — map-only, no shuffle; the ratio
+    * arithmetic is single IEEE divisions over exact integer counts, so the
+    * DuckDB oracle matches bitwise. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val st = graft.functions.RepetitionStats.repetition_stats(col("text"))
+    // explode(array(..)) anchors the struct behind a Generate node so the
+    // one-pass expression is evaluated once, not once per extracted field
+    docs.select(col("doc_id"), explode(array(st)).as("__r"))
+      .select(col("doc_id"), col("__r.n_tokens").as("n_tokens"),
+        col("__r.n_distinct").as("n_distinct"),
+        col("__r.top_token_cnt").as("top_token_cnt"),
+        col("__r.top_bigram_cnt").as("top_bigram_cnt"))
+      .withColumn("dup_frac",
+        (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens").cast("double"))
+      .withColumn("top_token_frac",
+        col("top_token_cnt").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_cnt").cast("double") /
+          greatest(col("n_tokens") - 1L, lit(1L)).cast("double"))
+  }
+
   def fingerprint(docs: DataFrame, maxLen: Int = 64): DataFrame = {
     val pows = fingerprintPows(maxLen)
     docs.select(col("doc_id"),

@@ -101,6 +101,39 @@ class PipelineSpec extends SparkSpec {
     assert(fp.values.forall(v => v >= 0 && v < TextAnalysis.FpMod))
   }
 
+  test("repetition: dup/top-token/top-bigram fractions, hand-computed") {
+    val d = Seq(
+      (1L, "a b a b a", "en", "s1"),   // 5 toks, 2 distinct, top a=3; bigrams: "a b"x2,"b a"x2
+      (2L, "x", "en", "s1"),           // single token: no bigram
+      (3L, "u v w", "en", "s1")        // all distinct
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.repetition(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("top_token_cnt"), r.getAs[Long]("top_bigram_cnt")),
+         (r.getAs[Double]("dup_frac"), r.getAs[Double]("top_bigram_frac")))).toMap
+    assert(out(1L)._1 == ((5L, 2L, 3L, 2L)))
+    assert(out(1L)._2 == ((3.0 / 5.0, 2.0 / 4.0)))
+    assert(out(2L)._1 == ((1L, 1L, 1L, 0L)))
+    assert(out(3L)._1 == ((3L, 3L, 1L, 1L)))
+  }
+
+  test("deterministic sampling: reproducible, rate-respecting, salt-sensitive") {
+    import graft.pipeline.Sampling
+    val many = (0L until 2000L).map(i => (i, s"t$i", "en", s"s${i % 2}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rates = Map("s0" -> 0.8, "s1" -> 0.1)
+    def ids(salt: String): Set[Long] =
+      Sampling.sampleBySource(many, rates, 0.5, salt).collect().map(_.getLong(0)).toSet
+    val a = ids("mix1")
+    assert(a == ids("mix1"))            // fully deterministic
+    assert(a != ids("other-salt"))      // new salt redraws
+    val bySrc = Sampling.sampleBySource(many, rates, 0.5, "mix1")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySrc("s0") - 800.0) < 80) // ~0.8 * 1000
+    assert(math.abs(bySrc.getOrElse("s1", 0L) - 100.0) < 50) // ~0.1 * 1000
+  }
+
   test("multimodal: binary plumbing with stubbed decode is deterministic") {
     val out1 = Multimodal.pipeline(docs).orderBy("doc_id").collect()
     val out2 = Multimodal.pipeline(docs).orderBy("doc_id").collect()
