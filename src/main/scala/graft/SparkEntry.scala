@@ -124,6 +124,15 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       hist(dir, "customer", col("c_acctbal"), axAcctVar)
     },
+    "q59_hist_qbins" -> { (s, dir) =>
+      // equal-frequency binning: Variable axis from exact rank-based
+      // decile edges (distributed sort; sketchAxis is the 100 TB path)
+      implicit val sp: SparkSession = s
+      val li = t(dir, "lineitem")
+      val ax = graft.operators.QuantileBins.quantileAxis(
+        li, col("l_extendedprice"), "l_extendedprice", 10)
+      Histogram.histogram(li, col("l_extendedprice"), ax)
+    },
     "q10_hist_int" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       hist(dir, "part", col("p_size"), axSize)
@@ -342,6 +351,24 @@ object SparkEntry {
       Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc),
         Oracle.Spec("l_tax", axTax))),
     "q08_hist_log" -> Oracle.hist("orders", Seq(Oracle.Spec("o_totalprice", axPriceLog))),
+    "q59_hist_qbins" ->
+      // rank-based decile edges re-derived in SQL (same ceil/rank formulas
+      // as QuantileBins.quantileAxis), then half-open Variable binning;
+      // x == max -> overflow, dropped (flow=false), like q02's auto-range
+      """WITH src AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        | c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+        | rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM src),
+        | tg AS (SELECT GREATEST(CAST(1 AS BIGINT), CAST(CEIL(CAST(j AS DOUBLE) / CAST(10 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)) AS r
+        |   FROM (SELECT UNNEST(generate_series(1, 9)) AS j) CROSS JOIN c),
+        | qe AS (SELECT DISTINCT rk.v FROM rk JOIN tg ON tg.r = rk.r),
+        | mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM src),
+        | ed AS (SELECT DISTINCT v FROM (SELECT lo AS v FROM mm UNION ALL SELECT v FROM qe UNION ALL SELECT hi AS v FROM mm)),
+        | ec AS (SELECT CAST(COUNT(*) AS BIGINT) - 1 AS nb FROM ed),
+        | er AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM ed),
+        | ix AS (SELECT (SELECT COUNT(*) FROM ed WHERE ed.v <= src.v) - 1 AS i FROM src),
+        | f AS (SELECT i FROM ix CROSS JOIN ec WHERE i >= 0 AND i <= nb - 1),
+        | g AS (SELECT i, CAST(COUNT(*) AS DOUBLE) AS cnt FROM f GROUP BY i)
+        | SELECT er.v AS l_extendedprice_bins, g.cnt FROM g JOIN er ON er.r = g.i + 1""".stripMargin.replaceAll("\n", ""),
     "q55_hist_sqrt" -> Oracle.hist("events", Seq(Oracle.Spec("value", axValueSqrt))),
     "q56_hist_pow" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQtyPow2))),
     "q09_hist_variable" -> Oracle.hist("customer", Seq(Oracle.Spec("c_acctbal", axAcctVar))),

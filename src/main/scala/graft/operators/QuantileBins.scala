@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.axes.Variable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Equal-frequency (quantile) binning: a Variable axis whose edges are the
+  * exact rank-based quantiles of the data — the Spark re-expression of the
+  * common `bins=np.quantile(x, ...)` pattern over the reference's Variable
+  * axis (bh.axis.Variable).
+  *
+  * Edge j (j = 1..nBins-1) is the value at 1-based rank
+  * max(1, ceil(j/nBins * n)) in ascending order; the axis spans [min, max)
+  * with x == max falling into overflow, exactly like the reference's
+  * auto-range (core.py:499-506). Rank-based edges are actual data values:
+  * no interpolation arithmetic, so any engine that sorts agrees bit-for-bit
+  * (ties collapse via distinct — identical in both engines).
+  *
+  * The exact path computes global ranks with a distributed range-partition
+  * sort + zipWithIndex (no single-partition window). At 100 TB swap in
+  * `sketchAxis` (Greenwald-Khanna approxQuantile): one aggregation pass,
+  * no sort, approximate edges — same downstream plan.
+  */
+object QuantileBins {
+
+  /** Exact rank-based quantile edges; one sort + one tiny collect. */
+  def quantileAxis(df: DataFrame, x: Column, name: String, nBins: Int): Variable = {
+    val vals = df.select(x.cast("double").as("v")).filter(col("v").isNotNull)
+    val n = vals.count()
+    require(n > 0, "quantile axis needs data")
+    // 0-based target indexes of the interior edges
+    val targets = (1 until nBins)
+      .map(j => math.max(1L, math.ceil(j.toDouble / nBins.toDouble * n.toDouble).toLong) - 1L)
+      .toSet
+    val interior = vals.orderBy("v").rdd.map(_.getDouble(0)).zipWithIndex()
+      .filter { case (_, i) => targets.contains(i) }
+      .map(_._1).collect()
+    val loHi = vals.agg(min(col("v")), max(col("v"))).head()
+    val allEdges = (Array(loHi.getDouble(0)) ++ interior :+ loHi.getDouble(1))
+      .distinct.sorted
+    require(allEdges.length >= 2, "degenerate distribution: all values equal")
+    Variable(name, allEdges)
+  }
+
+  /** Sketch-based edges for the 100 TB path (no global sort; not
+    * oracle-exact by construction). */
+  def sketchAxis(df: DataFrame, xCol: String, name: String, nBins: Int,
+      relativeError: Double = 1e-4): Variable = {
+    val probs = (0 to nBins).map(_.toDouble / nBins).toArray
+    val qs = df.stat.approxQuantile(xCol, probs, relativeError).distinct.sorted
+    Variable(name, qs)
+  }
+}

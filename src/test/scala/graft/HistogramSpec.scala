@@ -166,6 +166,21 @@ class HistogramSpec extends SparkSpec {
     assert(h == Map(0L -> 1.0, 1L -> 2.0))
   }
 
+  test("quantile bins: equal-frequency edges, deterministic across partitionings") {
+    import graft.operators.QuantileBins
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(1000)(rnd.nextDouble() * 100.0)
+    def axFor(parts: Int) =
+      QuantileBins.quantileAxis(vals.toDF("x").repartition(parts), col("x"), "x", 4)
+    val ax = axFor(1)
+    assert(axFor(7).allEdges.toSeq == ax.allEdges.toSeq) // rank edges are layout-independent
+    val h = Histogram.histogram(vals.toDF("x"), col("x"), ax)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // equal-frequency: every bin holds ~n/4 (the max value goes to overflow)
+    assert(h.size == 4 && h.values.forall(c => math.abs(c - 250.0) <= 2.0))
+    assert(h.values.sum == 999.0 || h.values.sum == 1000.0)
+  }
+
   test("nulls are never counted") {
     val df = Seq[Option[Double]](Some(0.5), None, Some(1.5)).toDF("x")
     val h = Histogram.histogram(df, col("x"), Regular("x", 2, 0.0, 2.0),
