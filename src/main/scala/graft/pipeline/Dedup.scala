@@ -109,11 +109,13 @@ object Dedup {
       .select(col("doc_id") +: col("bs.band").as("band") +:
         rowNames.map(rn => col(s"bs.$rn").as(rn)): _*)
     val keys = "band" +: rowNames
+    // persisted: the self-join below would otherwise run the signature
+    // (md5 per distinct shingle) once per join side
     val banded = bucketCap.fold(bandedAll) { cap =>
       bandedAll.withColumn("__rn", row_number().over(
           Window.partitionBy(keys.map(col): _*).orderBy("doc_id")))
         .filter(col("__rn") <= cap).drop("__rn")
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
     val joinCond = keys.map(kc => col(s"a.$kc") === col(s"b.$kc"))
@@ -132,8 +134,10 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4,
       bucketCap: Option[Int] = None): DataFrame = {
     val cand = minhashLsh(docs, k, bands, rowsPerBand, bucketCap = bucketCap)
+    // persisted: joined once per pair side below
     val gsets = widen(docs).select(col("doc_id"),
       graft.functions.GramHashes.gram_hashes(col("text"), lit("g"), k).as("gset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSets = cand
       .join(gsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
       .join(gsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
@@ -158,8 +162,11 @@ object Dedup {
 
   /** SimHash near-dup pairs within a blocking key (hamming <= maxHamming). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // persisted: the blocked self-join would otherwise run the one-pass
+    // signature once per side
     val sh = simhash(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.as("a")
     val b = sh.as("b")
     a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
@@ -196,9 +203,11 @@ object Dedup {
     // oracle's own (frequency, gram) order yields the identical FINAL
     // output by the same soundness argument.
     val oneMinusT = java.lang.Double.toString(1.0 - threshold)
+    // persisted: self-joined below (one evaluation per side otherwise)
     val prefix = gsets.select(col("doc_id"),
       explode(expr(
         s"slice(gset, 1, CAST(FLOOR($oneMinusT * size(gset)) AS INT) + 1)")).as("__k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Size-compatibility filter: jaccard >= t forces t*|B| <= |A| <= |B|/t;
     // prunes candidates before the (expensive) verify join.
