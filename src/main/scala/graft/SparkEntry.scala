@@ -306,6 +306,18 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       TextAnalysis.tokens(t(dir, "documents"))
     },
+    "q61_neardup_keep" -> { (s, dir) =>
+      // near-dup dedup VERDICTS (linear output): docs surviving removal
+      implicit val sp: SparkSession = s
+      Dedup.nearDupKeep(t(dir, "documents"))
+    },
+    "q60_stat_weighted_var" -> { (s, dir) =>
+      // variance of a weighted histogram distribution (accessor over
+      // bh.storage-weighted counts)
+      implicit val sp: SparkSession = s
+      HistStats.variance(t(dir, "lineitem"), col("l_quantity"), axQty,
+        Seq("l_returnflag"), weight = Some(col("l_extendedprice")))
+    },
     "q57_repetition" -> { (s, dir) =>
       // Gopher-style repetition filters: dup-token / top-token /
       // top-bigram fractions, one map-only codegen'd pass per doc
@@ -432,6 +444,9 @@ object SparkEntry {
     "q48_quality" -> PipelineOracle.quality,
     "q49_tokens" -> PipelineOracle.tokens,
     "q50_fingerprint" -> PipelineOracle.fingerprint(),
+    "q61_neardup_keep" -> PipelineOracle.nearDupKeep(),
+    "q60_stat_weighted_var" -> Oracle.varSql("lineitem", "l_quantity", axQty,
+      Seq("l_returnflag"), weightSql = Some("l_extendedprice")),
     "q57_repetition" -> PipelineOracle.repetition,
     "q58_sample_mix" -> PipelineOracle.sampleBySource(
       mixRates, defaultRate = 0.15, salt = "mix1")

@@ -50,6 +50,12 @@ object Histogram {
       dims: Seq[String] = Nil, opts: HistOptions = HistOptions()): DataFrame =
     histogramdd(df, Seq(x -> axis), dims, opts)
 
+  /** 2-D convenience form (reference core.py:110 `histogram2d`). */
+  def histogram2d(df: DataFrame, x: Column, xAxis: BinAxis,
+      y: Column, yAxis: BinAxis,
+      dims: Seq[String] = Nil, opts: HistOptions = HistOptions()): DataFrame =
+    histogramdd(df, Seq(x -> xAxis, y -> yAxis), dims, opts)
+
   def histogramdd(df: DataFrame, specs: Seq[(Column, BinAxis)],
       dims: Seq[String] = Nil, opts: HistOptions = HistOptions()): DataFrame = {
     require(specs.nonEmpty)

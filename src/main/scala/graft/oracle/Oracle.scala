@@ -130,18 +130,20 @@ object Oracle {
       s" FROM __b${groupBy(dims)}"
 
   private def meanVarCte(table: String, valueSql: String, ax: BinAxis,
-      dims: Seq[String]): String =
-    s"${statBase(table, valueSql, ax, dims)}, __a AS (SELECT ${dimsSel(dims)}" +
+      dims: Seq[String], weightSql: Option[String] = None): String =
+    s"${statBase(table, valueSql, ax, dims, weightSql)}, __a AS (SELECT ${dimsSel(dims)}" +
       s"${decSum(s"cnt * $center")} AS __sp, " +
       s"${decSum(s"cnt * ($center * $center + w * w / ${dbl(12.0)})")} AS __ss, " +
       s"${decSum("cnt")} AS __t FROM __b${groupBy(dims)})"
 
-  def varSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String]): String =
-    s"${meanVarCte(table, valueSql, ax, dims)} SELECT ${dimsSel(dims)}" +
+  def varSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String],
+      weightSql: Option[String] = None): String =
+    s"${meanVarCte(table, valueSql, ax, dims, weightSql)} SELECT ${dimsSel(dims)}" +
       s"__ss / __t - (__sp / __t) * (__sp / __t) AS ${ax.name}_var FROM __a"
 
-  def stdSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String]): String =
-    s"${meanVarCte(table, valueSql, ax, dims)} SELECT ${dimsSel(dims)}" +
+  def stdSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String],
+      weightSql: Option[String] = None): String =
+    s"${meanVarCte(table, valueSql, ax, dims, weightSql)} SELECT ${dimsSel(dims)}" +
       s"SQRT(__ss / __t - (__sp / __t) * (__sp / __t)) AS ${ax.name}_std FROM __a"
 
   def cdfSql(table: String, valueSql: String, ax: BinAxis, dims: Seq[String],

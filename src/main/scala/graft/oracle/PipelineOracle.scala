@@ -59,6 +59,13 @@ object PipelineOracle {
       s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
   }
 
+  /** Near-dup survivor set (mirrors Dedup.nearDupKeep). */
+  def nearDupKeep(k: Int = 5, threshold: Double = 0.7, bands: Int = 16,
+      rowsPerBand: Int = 4): String =
+    s"WITH p AS (${nearDupPairs(k, threshold, bands, rowsPerBand)}) " +
+      "SELECT doc_id FROM documents " +
+      "WHERE doc_id NOT IN (SELECT doc_b FROM p)"
+
   def simhashPairs(maxHamming: Int = 3): String = {
     val sums = (0 until 16)
       .map(b => s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")

@@ -150,6 +150,19 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Near-dup DEDUP verdicts: the docs that survive near-duplicate removal
+    * (every doc with a verified near-dup of lower doc_id is dropped). This
+    * is the at-scale output shape — one row per surviving doc, linear in
+    * corpus size, while the all-pairs relation grows quadratically with
+    * duplicate-cluster size. */
+  def nearDupKeep(docs: DataFrame, k: Int = 5, threshold: Double = 0.7,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      bucketCap: Option[Int] = None): DataFrame = {
+    val pairs = nearDupPairs(docs, k, threshold, bands, rowsPerBand, bucketCap)
+    docs.select(col("doc_id"))
+      .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   /** 16-bit SimHash per doc over distinct space-separated tokens: bit b is
     * set when the signed sum of token-hash bit b is positive. One codegen'd
     * pass per doc (graft.functions.SimhashSig) — no token explode, no

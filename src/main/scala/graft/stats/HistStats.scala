@@ -63,9 +63,10 @@ object HistStats {
   }
 
   /** mean and variance in one pass; returns dims..., mean, var. */
-  private def meanVar(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String]): DataFrame = {
+  private def meanVar(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
+      weight: Option[Column] = None): DataFrame = {
     val c = col("l") + col("w") / lit(2.0)
-    grouped(base(df, x, ax, dims), dims)(
+    grouped(base(df, x, ax, dims, weight), dims)(
       decSum(col("cnt") * c).as("__sp"),
       decSum(col("cnt") * (c * c + col("w") * col("w") / lit(12.0))).as("__ss"),
       decSum(col("cnt")).as("__t"))
@@ -73,16 +74,21 @@ object HistStats {
       .withColumn("__v", col("__ss") / col("__t") - col("__m") * col("__m"))
   }
 
-  def variance(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String]): DataFrame =
-    meanVar(df, x, ax, dims).select(dims.map(col) :+ col("__v").as(s"${ax.name}_var"): _*)
+  def variance(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
+      weight: Option[Column] = None): DataFrame =
+    meanVar(df, x, ax, dims, weight)
+      .select(dims.map(col) :+ col("__v").as(s"${ax.name}_var"): _*)
 
-  def std(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String]): DataFrame =
-    meanVar(df, x, ax, dims).select(dims.map(col) :+ sqrt(col("__v")).as(s"${ax.name}_std"): _*)
+  def std(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
+      weight: Option[Column] = None): DataFrame =
+    meanVar(df, x, ax, dims, weight)
+      .select(dims.map(col) :+ sqrt(col("__v")).as(s"${ax.name}_std"): _*)
 
-  def cdf(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String], at: Double): DataFrame = {
+  def cdf(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String], at: Double,
+      weight: Option[Column] = None): DataFrame = {
     val contrib = col("cnt") *
       least(greatest((lit(at) - col("l")) / col("w"), lit(0.0)), lit(1.0))
-    grouped(base(df, x, ax, dims), dims)(
+    grouped(base(df, x, ax, dims, weight), dims)(
       (decSum(contrib) / decSum(col("cnt"))).as(s"${ax.name}_cdf"))
   }
 
@@ -129,13 +135,14 @@ object HistStats {
     ppf(df, x, ax, dims, 0.5, s"${ax.name}_median", weight)
 
   /** Raw moment of given order (k >= 1), analytic for the stepwise pdf. */
-  def moment(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String], order: Int): DataFrame = {
+  def moment(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String], order: Int,
+      weight: Option[Column] = None): DataFrame = {
     require(order >= 1 && order <= 6)
     def powK1(c: Column): Column = // x^(order+1) as an explicit product chain
       (1 until order + 1).foldLeft(c)((acc, _) => acc * c)
     val r = col("l") + col("w")
     val term = col("cnt") * ((powK1(r) - powK1(col("l"))) / (col("w") * lit((order + 1).toDouble)))
-    grouped(base(df, x, ax, dims), dims)(
+    grouped(base(df, x, ax, dims, weight), dims)(
       (decSum(term) / decSum(col("cnt"))).as(s"${ax.name}_moment"))
   }
 
@@ -143,10 +150,10 @@ object HistStats {
     * (accessor.py:542-573). Both quantiles are picked in ONE aggregation
     * over one histogram pass — not two scans joined. */
   def interval(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
-      confidence: Double): DataFrame = {
+      confidence: Double, weight: Option[Column] = None): DataFrame = {
     require(confidence > 0 && confidence < 1)
     val p = (1 - confidence) / 2
-    val sel = withCums(base(df, x, ax, dims), dims)
+    val sel = withCums(base(df, x, ax, dims, weight), dims)
     grouped(sel, dims)(ppfAgg(p).as("__lo"), ppfAgg(1 - p).as("__hi"))
       .select(dims.map(col) ++ Seq(
         ppfValue(col("__lo"), p).as("confidence_low"),

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale stress for the document-similarity family: runs the dedup
+  * pipeline operators on an enlarged corpus (dev tool; pass the parquet
+  * path, e.g. a 10x-replicated documents table). */
+object StressDocs {
+  def main(args: Array[String]): Unit = {
+    val path = if (args.nonEmpty) args(0) else "/tmp/sfbig_documents.parquet"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "134217728")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(path).persist()
+    println(s"docs=${docs.count()}")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val c = f
+      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
+    }
+    time("exact_dedup")(graft.pipeline.Dedup.exact(docs).count())
+    time("minhash_lsh")(graft.pipeline.Dedup.minhashLsh(docs).count())
+    time("neardup_pipeline")(graft.pipeline.Dedup.nearDupPairs(docs).count())
+    time("neardup_capped")(
+      graft.pipeline.Dedup.nearDupPairs(docs, bucketCap = Some(20)).count())
+    time("simhash_pairs")(graft.pipeline.Dedup.simhashPairs(docs).count())
+    time("ngram_jaccard")(graft.pipeline.Dedup.ngramJaccard(docs).count())
+    time("repetition")(graft.pipeline.TextAnalysis.repetition(docs).count())
+    spark.stop()
+  }
+}
