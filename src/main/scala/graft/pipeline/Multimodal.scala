@@ -58,4 +58,37 @@ object Multimodal {
 
   /** Full pipeline: documents -> media -> decoded metadata DataFrame. */
   def pipeline(docs: DataFrame): DataFrame = decodeMeta(asMedia(docs)).toDF()
+
+  case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Frame sampling: every Nth frame of each video as its own row —
+    * flatMap inside one partition pass; output rows bounded by
+    * n_frames/everyN per video. Frame extraction itself is the stubbed
+    * codec step (deterministic byte slice standing in for the decoded
+    * frame). */
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int = 24): Dataset[Frame] = {
+    require(everyN > 0)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.media_type != "video") Iterator.empty
+        else {
+          val (_, _, frames) = FakeDecoder.decode(r.payload, r.media_type)
+          (0 until frames by everyN).iterator.map { f =>
+            // STUB frame bytes: rotated slice of the payload, deterministic
+            val off = if (r.payload.isEmpty) 0 else f % r.payload.length
+            Frame(r.doc_id, f, r.payload.drop(off) ++ r.payload.take(off))
+          }
+        }
+      }
+    }(Encoders.product[Frame])
+  }
+
+  /** Resize-shaped transform: payload -> bounded-size thumbnail payload
+    * (STUB: truncation standing in for a real scaler; the Spark-side
+    * contract — binary in, bounded binary out, schema preserved — is
+    * real). */
+  def thumbnail(media: Dataset[MediaRecord], maxBytes: Int = 256): Dataset[MediaRecord] =
+    media.mapPartitions { it =>
+      it.map(r => r.copy(payload = r.payload.take(maxBytes)))
+    }(Encoders.product[MediaRecord])
 }

@@ -141,4 +141,15 @@ class PipelineSpec extends SparkSpec {
     assert(out1.forall(_.getAs[Boolean]("decoded_ok")))
     assert(out1.map(_.getAs[String]("media_type")).toSet == Set("image", "audio", "video"))
   }
+
+  test("multimodal: frame sampling and thumbnails keep the batch contract") {
+    val media = Multimodal.asMedia(docs)
+    val frames = Multimodal.sampleFrames(media, everyN = 10).collect()
+    val videoIds = media.filter(_.media_type == "video").collect().map(_.doc_id).toSet
+    assert(frames.nonEmpty && frames.map(_.doc_id).toSet.subsetOf(videoIds))
+    assert(frames.forall(_.frame_idx % 10 == 0))
+    val thumbs = Multimodal.thumbnail(media, maxBytes = 16).collect()
+    assert(thumbs.forall(_.payload.length <= 16))
+    assert(thumbs.map(_.doc_id).toSet == media.collect().map(_.doc_id).toSet)
+  }
 }
