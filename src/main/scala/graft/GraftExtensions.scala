@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{GramHashes, SortedIntersectCount, VecDot}
-import graft.operators.HistVectorAgg
+import graft.functions.{GramHashes, MinhashSig, RepetitionStats, SimhashSig, SortedIntersectCount, VecDot}
+import graft.operators.{HistVectorAgg, HistVectorDecAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -57,7 +57,20 @@ object GraftExtensions {
     ("hist_vector",
       "hist_vector(idx, weight, nBins, flow) - dense histogram count vector",
       args => HistVectorAgg(args(0), args(1), intLit(args(2), "hist_vector nBins"),
-        boolLit(args(3), "hist_vector flow")).toAggregateExpression()))
+        boolLit(args(3), "hist_vector flow")).toAggregateExpression()),
+    ("hist_vector_dec",
+      "hist_vector_dec(idx, weight, nBins, flow) - decimal-exact weighted histogram vector",
+      args => HistVectorDecAgg(args(0), args(1), intLit(args(2), "hist_vector_dec nBins"),
+        boolLit(args(3), "hist_vector_dec flow")).toAggregateExpression()),
+    ("minhash_sig",
+      "minhash_sig(text, k, numHashes) - per-doc MinHash signature array",
+      args => MinhashSig(args(0), intLit(args(1), "minhash_sig k"),
+        intLit(args(2), "minhash_sig numHashes"))),
+    ("simhash_sig", "simhash_sig(text) - 16-bit SimHash of distinct tokens",
+      args => SimhashSig(args(0))),
+    ("repetition_stats",
+      "repetition_stats(text) - token/distinct counts and top token/bigram frequencies",
+      args => RepetitionStats(args(0))))
 
   /** Register on an already-built session (e.g. spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -41,5 +41,16 @@ class ExtensionsSpec extends AnyFunSuite {
     val vec = spark.sql("SELECT hist_vector(i, w, 2, false) FROM h")
       .head().getSeq[Double](0)
     assert(vec == Seq(3.0, 5.0))
+
+    val vecDec = spark.sql("SELECT hist_vector_dec(i, w, 2, false) FROM h")
+      .head().getSeq[Double](0)
+    assert(vecDec == Seq(3.0, 5.0))
+
+    assert(spark.sql("SELECT minhash_sig('abcdefgh', 5, 4)")
+      .head().getSeq[Long](0).length == 4)
+    assert(spark.sql("SELECT simhash_sig('a b c')").head().getLong(0) ==
+      spark.sql("SELECT simhash_sig('c b a')").head().getLong(0)) // set semantics
+    val rep = spark.sql("SELECT repetition_stats('a b a')").head().getStruct(0)
+    assert(rep.getLong(0) == 3L && rep.getLong(1) == 2L && rep.getLong(2) == 2L)
   }
 }
