@@ -106,6 +106,32 @@ class HistStatsSpec extends SparkSpec {
     assert(math.abs(cPdf(Long.MaxValue) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("distribution invariants on random data: ppf/cdf/median/moment coherence") {
+    val rnd = new scala.util.Random(23)
+    (1 to 5).foreach { _ =>
+      val n = 50 + rnd.nextInt(400)
+      val xs = Seq.fill(n)(rnd.nextDouble() * 10.0)
+      val d = xs.toDF("x")
+      val ax = Regular("x", 2 + rnd.nextInt(20), 0.0, 10.0)
+      // median == ppf(0.5)
+      val med = HistStats.median(d, col("x"), ax, Nil).head().getDouble(0)
+      val p50 = HistStats.ppf(d, col("x"), ax, Nil, 0.5).head().getDouble(0)
+      assert(med == p50)
+      // cdf(ppf(q)) == q on the continuous part of the distribution
+      Seq(0.25, 0.5, 0.9).foreach { q =>
+        val xq = HistStats.ppf(d, col("x"), ax, Nil, q).head().getDouble(0)
+        val c = HistStats.cdf(d, col("x"), ax, Nil, xq).head().getDouble(0)
+        assert(math.abs(c - q) < 1e-9, s"cdf(ppf($q)) = $c")
+      }
+      // moment(1) == mean; interval bounds bracket the median
+      val m1 = HistStats.moment(d, col("x"), ax, Nil, 1).head().getDouble(0)
+      val mean = HistStats.mean(d, col("x"), ax, Nil).head().getDouble(0)
+      assert(math.abs(m1 - mean) < 1e-9)
+      val iv = HistStats.interval(d, col("x"), ax, Nil, 0.8).head()
+      assert(iv.getDouble(0) <= med && med <= iv.getDouble(1))
+    }
+  }
+
   test("areasTable: cross-product of widths over multiple axes") {
     val a1 = Regular("x", 2, 0.0, 4.0)   // widths 2
     val a2 = Variable("y", Array(0.0, 1.0, 4.0)) // widths 1, 3
