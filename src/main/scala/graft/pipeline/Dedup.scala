@@ -206,7 +206,6 @@ object Dedup {
     val gsets = widen(docs).select(col("doc_id"),
         graft.functions.GramHashes.gram_hashes(col("text"), col("source"), k).as("gset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = gsets.select(col("doc_id"), size(col("gset")).cast("long").as("sz"))
 
     // Prefix index: each doc's first floor((1-t)*|A|)+1 grams in HASH order
     // — the gset arrays are already hash-sorted, so the prefix is a zero-
@@ -214,27 +213,35 @@ object Dedup {
     // jaccard >= t shares a prefix gram) holds for ANY consistent total
     // order over grams; hash order is consistent corpus-wide, and the
     // oracle's own (frequency, gram) order yields the identical FINAL
-    // output by the same soundness argument.
+    // output by the same soundness argument. Positions (0-based, within
+    // the full sorted gset) ride along for the positional filter.
     val oneMinusT = java.lang.Double.toString(1.0 - threshold)
     // persisted: self-joined below (one evaluation per side otherwise)
-    val prefix = gsets.select(col("doc_id"),
-      explode(expr(
-        s"slice(gset, 1, CAST(FLOOR($oneMinusT * size(gset)) AS INT) + 1)")).as("__k"))
+    val prefix = gsets.select(col("doc_id"), size(col("gset")).cast("long").as("sz"),
+      posexplode(expr(
+        s"slice(gset, 1, CAST(FLOOR($oneMinusT * size(gset)) AS INT) + 1)"))
+        .as(Seq("__p", "__k")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Size-compatibility filter: jaccard >= t forces t*|B| <= |A| <= |B|/t;
-    // prunes candidates before the (expensive) verify join.
-    val szA = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa")
-    val szB = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb")
+    // PPJoin filters BEFORE the distinct, on the raw prefix-match stream:
+    //  - size compatibility: jaccard >= t forces t*|B| <= |A| <= |B|/t;
+    //  - positional: a pair sharing a prefix gram at positions (i, j) has
+    //    |A ∩ B| <= min(i,j) + 1 + min(|A|-i-1, |B|-j-1), which must reach
+    //    the overlap bound t/(1+t)*(|A|+|B|) (epsilon-slack so double
+    //    rounding can only ADMIT borderline pairs, never drop them).
+    val sa = col("a.sz").cast("double")
+    val sb = col("b.sz").cast("double")
+    val ubound = (least(col("a.__p"), col("b.__p")) + 1 +
+      least(col("a.sz") - col("a.__p") - 1, col("b.sz") - col("b.__p") - 1)).cast("double")
+    val minOverlap = lit(threshold) / lit(1.0 + threshold) * (sa + sb) - lit(1e-9)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.__k") === col("b.__k") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        col("a.__k") === col("b.__k") && col("a.doc_id") < col("b.doc_id") &&
+          sa >= lit(threshold) * sb && sb >= lit(threshold) * sa &&
+          ubound >= minOverlap)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sa"), col("b.sz").as("sb"))
       .distinct()
-      .join(broadcast(szA), "doc_a")
-      .join(broadcast(szB), "doc_b")
-      .filter(col("sa").cast("double") >= lit(threshold) * col("sb").cast("double") &&
-        col("sb").cast("double") >= lit(threshold) * col("sa").cast("double"))
 
     // Verify: the per-doc sorted arrays already exist (gsets); count
     // intersections per candidate pair with a single codegen'd merge pass
