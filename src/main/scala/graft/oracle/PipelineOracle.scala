@@ -201,13 +201,21 @@ object PipelineOracle {
 
   val quality: String = {
     val ratio = "CAST(n_punct AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE)"
+    def occ(pat: String): String = {
+      val esc = pat.replace("'", "''")
+      s"CAST((length(p) - length(replace(p, '$esc', ''))) / ${pat.length} AS BIGINT)"
+    }
+    val stop = TextAnalysis.qualityStopwords.map(occ).mkString(" + ")
     "WITH c AS (SELECT doc_id, " +
       "CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words, " +
       "CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_punct, " +
-      "CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper FROM documents) " +
-      "SELECT doc_id, n_words, n_punct, n_upper, " +
+      "CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper, " +
+      s"$stop AS n_stop " +
+      "FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents)) " +
+      "SELECT doc_id, n_words, n_punct, n_upper, n_stop, " +
       s"$ratio AS punct_ratio, " +
       "CAST(n_upper AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS upper_ratio, " +
+      "CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS stopword_ratio, " +
       s"CASE WHEN n_words >= 40 AND $ratio < CAST('0.1' AS DOUBLE) THEN 'high' " +
       "WHEN n_words >= 15 THEN 'medium' ELSE 'low' END AS bucket FROM c"
   }

@@ -37,17 +37,27 @@ object TextAnalysis {
     scored.select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+ pred.as("pred_lang"): _*)
   }
 
-  /** Quality scoring: word/punctuation/uppercase counts and ratios plus a
-    * bucketed verdict (high/medium/low). */
+  /** English stopword markers for the quality stopword ratio (space-
+    * delimited occurrence counting over ' '-padded text). */
+  val qualityStopwords: Seq[String] =
+    Seq(" the ", " a ", " of ", " and ", " to ", " in ")
+
+  /** Quality scoring: word/punctuation/uppercase/stopword counts and
+    * ratios plus a bucketed verdict (high/medium/low). */
   def quality(docs: DataFrame): DataFrame = {
     val words = regexp_count(col("text"), lit("[A-Za-z]+")).cast("long")
     val punct = regexp_count(col("text"), lit("[.!?]")).cast("long")
     val upper = regexp_count(col("text"), lit("[A-Z]")).cast("long")
-    docs.select(col("doc_id"), words.as("n_words"), punct.as("n_punct"), upper.as("n_upper"))
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val stop = qualityStopwords.map(p => occurrences(padded, p)).reduce(_ + _)
+    docs.select(col("doc_id"), words.as("n_words"), punct.as("n_punct"),
+        upper.as("n_upper"), stop.as("n_stop"))
       .withColumn("punct_ratio",
         col("n_punct").cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
       .withColumn("upper_ratio",
         col("n_upper").cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("stopword_ratio",
+        col("n_stop").cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
       .withColumn("bucket",
         when(col("n_words") >= 40 && col("punct_ratio") < 0.1, lit("high"))
           .when(col("n_words") >= 15, lit("medium"))
