@@ -282,7 +282,7 @@ object SparkEntry {
     "q52_ann_ivf" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val emb = t(dir, "embeddings")
-      Similarity.annIvf(emb, emb.filter(col("vec_id") < 10), 3)
+      Similarity.annIvf(emb, emb.filter(col("vec_id") < 10), 3, nprobe = 2)
     },
     "q54_neardup_pipeline" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -305,6 +305,15 @@ object SparkEntry {
     "q49_tokens" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       TextAnalysis.tokens(t(dir, "documents"))
+    },
+    "q62_marginalize" -> { (s, dir) =>
+      // boost h.project: marginalize the 2-D (qty x disc) histogram onto
+      // qty; gated against the DIRECT 1-D histogram oracle — the sums
+      // must agree bit-for-bit
+      implicit val sp: SparkSession = s
+      val h2 = Histogram.histogramdd(t(dir, "lineitem"),
+        Seq(col("l_quantity") -> axQty10, col("l_discount") -> axDisc))
+      HistStats.marginalize(h2, Seq(axQty10), Nil)
     },
     "q61_neardup_keep" -> { (s, dir) =>
       // near-dup dedup VERDICTS (linear output): docs surviving removal
@@ -432,7 +441,7 @@ object SparkEntry {
     // q47-q50 below; q51_multimodal is rows-only (stubbed decode, no oracle)
   ) ++ Map(
     "q47_langid" -> PipelineOracle.langId,
-    "q52_ann_ivf" -> PipelineOracle.annIvf(3, 10),
+    "q52_ann_ivf" -> PipelineOracle.annIvf(3, 10, nprobe = 2),
     "q54_neardup_pipeline" -> PipelineOracle.nearDupPairs(),
     "q53_windowed_hist" -> {
       val idx = axValue.indexSql("value")
@@ -444,6 +453,7 @@ object SparkEntry {
     "q48_quality" -> PipelineOracle.quality,
     "q49_tokens" -> PipelineOracle.tokens,
     "q50_fingerprint" -> PipelineOracle.fingerprint(),
+    "q62_marginalize" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty10))),
     "q61_neardup_keep" -> PipelineOracle.nearDupKeep(),
     "q60_stat_weighted_var" -> Oracle.varSql("lineitem", "l_quantity", axQty,
       Seq("l_returnflag"), weightSql = Some("l_extendedprice")),

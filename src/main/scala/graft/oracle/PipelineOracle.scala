@@ -159,7 +159,7 @@ object PipelineOracle {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
       s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
 
-  def annIvf(k: Int, queryMaxId: Long, nCells: Int = 8): String =
+  def annIvf(k: Int, queryMaxId: Long, nCells: Int = 8, nprobe: Int = 1): String =
     s"WITH $embBase, " +
       s"cent AS (SELECT vec_id AS cent_id FROM e WHERE vec_id < $nCells), " +
       "ccos AS (SELECT el.vec_id, cent.cent_id, " +
@@ -168,9 +168,9 @@ object PipelineOracle {
       "JOIN el ON el.i = ec.i " +
       "JOIN nrm nv ON nv.vec_id = el.vec_id JOIN nrm nc ON nc.vec_id = cent.cent_id " +
       "GROUP BY el.vec_id, cent.cent_id, nv.nrm, nc.nrm), " +
-      "asg AS (SELECT vec_id, cent_id AS cell FROM " +
-      "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ccos) WHERE rn = 1), " +
-      s"q AS (SELECT vec_id, cell FROM asg WHERE vec_id < $queryMaxId), " +
+      "rkd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ccos), " +
+      "asg AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE rn = 1), " +
+      s"q AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE rn <= $nprobe AND vec_id < $queryMaxId), " +
       "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id FROM q " +
       "JOIN asg c ON c.cell = q.cell AND c.vec_id <> q.vec_id), " +
       "d AS (SELECT cand.query_id, cand.neighbor_id, SUM(eq.v * ec.v ORDER BY eq.i) AS dot " +

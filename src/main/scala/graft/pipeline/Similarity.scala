@@ -75,12 +75,19 @@ object Similarity {
     * deterministic stand-in for offline (seeded) k-means training, which
     * drops in by replacing `centroids`. Assignment is one broadcast join
     * (centroid set is tiny); the corpus is never shuffled by pairing. */
-  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 8): DataFrame = {
+  /** IVF ANN: the corpus is assigned to its nearest coarse-quantizer cell;
+    * each query probes its `nprobe` nearest cells (nprobe=1 is the fastest/
+    * least-recall point; raising it trades candidate volume for recall —
+    * the standard IVF knob). Centroids are pluggable (here: the first
+    * nCells vectors, deterministic). */
+  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 8,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCells)
     val cent = withNorm(corpus.filter(col("vec_id") < nCells))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("nrm").as("cnrm"))
 
-    def assign(df: DataFrame): DataFrame = {
+    def assign(df: DataFrame, cells: Int): DataFrame = {
       val n = withNorm(df).as("v")
       n.join(broadcast(cent))
         .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
@@ -88,12 +95,12 @@ object Similarity {
           cosine(col("v.embedding"), col("cvec"), col("v.nrm"), col("cnrm")).as("ccos"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))))
-        .filter(col("rn") === 1)
+        .filter(col("rn") <= cells)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
     }
 
-    val c = assign(corpus).as("c")
-    val q = assign(queries).as("q")
+    val c = assign(corpus, 1).as("c")
+    val q = assign(queries, nprobe).as("q")
     val scored = c.join(broadcast(q),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),

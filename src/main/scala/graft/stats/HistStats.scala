@@ -259,6 +259,16 @@ object HistStats {
     * accessor.is_normalized, accessor.py:132. */
   def isNormalized(hist: DataFrame): Boolean = hist.columns.contains("pdf")
 
+  /** Marginalize an N-D histogram onto a subset of its axes (boost
+    * `h.project(...)`): sum counts over the dropped bin coordinates.
+    * Decimal-exact so the result is bit-identical to histogramming the
+    * kept axes directly. */
+  def marginalize(hist: DataFrame, keep: Seq[BinAxis], dims: Seq[String]): DataFrame = {
+    val keys = dims ++ keep.map(_.binsCol)
+    hist.groupBy(keys.map(col): _*)
+      .agg(graft.util.Dec.sumDec(col("cnt")).as("cnt"))
+  }
+
   /** Sum of two histograms over the same axis/dims (boost `h1 + h2`):
     * union + re-aggregate; exact for counts, deterministic-decimal for
     * weighted values. */
