@@ -49,6 +49,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((0L, 0.0, 1.0), (0L, 1.0, 1.0), (10L, 0.0, 1.0)))
   }
 
+  test("watermark bounds state: too-late events are dropped in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val ax = Regular("v", 2, 0.0, 2.0)
+    val out = StreamingHist.windowedHistogram(
+      input.toDF().toDF("ts", "v"), "ts", col("v"), ax, "10 seconds",
+      watermark = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("wm_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 0.5), (ts(3), 0.7))
+      q.processAllAvailable()
+      input.addData((ts(35), 1.5)) // advances watermark to 25s -> window [0,10) closes
+      q.processAllAvailable()
+      input.addData((ts(5), 0.9)) // beyond watermark: must NOT reopen [0,10)
+      q.processAllAvailable()
+      val win0 = spark.table("wm_stream").collect()
+        .filter(_.getTimestamp(0).getTime == 0L)
+        .map(r => r.getDouble(2) -> r.getDouble(3)).toMap
+      assert(win0 == Map(0.0 -> 2.0)) // the late 0.9 is not counted
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup: first_seen only once per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DocEvent]
