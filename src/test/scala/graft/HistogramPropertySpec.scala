@@ -47,6 +47,30 @@ class HistogramPropertySpec extends SparkSpec {
     }
   }
 
+  test("transformed axes equal direct fwd-space binning on 15 random cases") {
+    (1 to 15).foreach { i =>
+      val tf: AxTransform = i % 3 match {
+        case 0 => LogT
+        case 1 => SqrtT
+        case _ => PowT(2.0)
+      }
+      val n = 1 + rng.nextInt(20)
+      val lo = 0.5 + rng.nextDouble() * 5.0 // > 0, valid for all transforms
+      val hi = lo + 1.0 + rng.nextDouble() * 50.0
+      val ax = Regular("x", n, lo, hi, transform = tf)
+      val xs = Seq.fill(1 + rng.nextInt(150))(rng.nextDouble() * 70.0)
+      val got = Histogram.histogram(xs.toDF("x"), col("x"), ax)
+        .collect().map { r =>
+          ax.edges.indexWhere(_ == r.getDouble(0)) -> r.getDouble(1)
+        }.toMap
+      val tLo = tf.fwd(lo); val tSpan = tf.fwd(hi) - tLo
+      val want = xs.filter(x => x >= lo && x < hi).map { x =>
+        math.min(math.floor((tf.fwd(x) - tLo) / tSpan * n).toInt, n - 1)
+      }.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      assert(got == want, s"axis=$ax")
+    }
+  }
+
   test("circular axis equals direct modular binning on 15 random cases") {
     (1 to 15).foreach { _ =>
       val n = 1 + rng.nextInt(24)
