@@ -48,6 +48,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.nearDupPairs(emptyDocs).count() == 0)
     assert(TextAnalysis.langId(emptyDocs).count() == 0)
     assert(TextAnalysis.fingerprint(emptyDocs).count() == 0)
+    assert(TextAnalysis.repetition(emptyDocs).count() == 0)
+    assert(Dedup.nearDupKeep(emptyDocs).count() == 0)
+    assert(graft.pipeline.Sampling.sampleBySource(
+      emptyDocs, Map("s" -> 0.5), 0.1, "salt").count() == 0)
+    // marginalizing an empty histogram stays empty
+    val h2 = Histogram.histogramdd(emptyNum,
+      Seq(col("x") -> ax, col("x") -> Regular("y", 2, 0.0, 2.0)))
+    assert(HistStats.marginalize(h2, Seq(ax), Nil).count() == 0)
   }
 
   test("similarity operators on empty corpus") {
