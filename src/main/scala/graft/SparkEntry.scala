@@ -306,6 +306,11 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       TextAnalysis.tokens(t(dir, "documents"))
     },
+    "q63_corpus_stats" -> { (s, dir) =>
+      // per-source corpus profile (single shuffle, exact aggregates)
+      implicit val sp: SparkSession = s
+      TextAnalysis.corpusStats(t(dir, "documents"))
+    },
     "q62_marginalize" -> { (s, dir) =>
       // boost h.project: marginalize the 2-D (qty x disc) histogram onto
       // qty; gated against the DIRECT 1-D histogram oracle — the sums
@@ -453,6 +458,7 @@ object SparkEntry {
     "q48_quality" -> PipelineOracle.quality,
     "q49_tokens" -> PipelineOracle.tokens,
     "q50_fingerprint" -> PipelineOracle.fingerprint(),
+    "q63_corpus_stats" -> PipelineOracle.corpusStats,
     "q62_marginalize" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty10))),
     "q61_neardup_keep" -> PipelineOracle.nearDupKeep(),
     "q60_stat_weighted_var" -> Oracle.varSql("lineitem", "l_quantity", axQty,

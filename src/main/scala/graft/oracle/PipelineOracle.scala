@@ -261,6 +261,14 @@ object PipelineOracle {
       s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':$salt'), 1, 15))::BIGINT < $thr"
   }
 
+  /** Per-source corpus profile (mirrors TextAnalysis.corpusStats). */
+  val corpusStats: String =
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens, " +
+      "CAST(SUM(length(text)) AS BIGINT) AS total_chars, " +
+      "CAST(SUM(length(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars " +
+      "FROM documents GROUP BY source"
+
   def fingerprint(maxLen: Int = 64): String = {
     val pows = TextAnalysis.fingerprintPows(maxLen).mkString("[", ", ", "]")
     s"WITH ch AS (SELECT doc_id, CAST(i AS INT) AS i, ascii(substring(text, CAST(i AS INT), 1)) AS c " +

@@ -72,6 +72,18 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
         .cast("long").as("bpe_tokens"))
 
+  /** Per-source corpus profile: doc counts, token/char totals, mean doc
+    * length — the first table any curation pipeline builds. One shuffle,
+    * integer-exact aggregates (the mean is a single division of exact
+    * integers, bit-identical cross-engine). */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(regexp_count(col("text"), lit("\\S+")).cast("long")).as("total_tokens"),
+      sum(length(col("text")).cast("long")).as("total_chars"))
+      .withColumn("avg_chars",
+        col("total_chars").cast("double") / col("n_docs").cast("double"))
+
   /** Polynomial rolling-hash fingerprint of the first maxLen chars:
     * sum(ascii(c_i) * B^(i-1)) mod P — exact integer math, identical in any
     * engine. */
