@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Phase-level profiler for the n-gram Jaccard join — mirrors the CURRENT
@@ -12,8 +11,9 @@ object ProfileQ43 {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "134217728")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").repartition(32)
     val k = 8; val threshold = 0.8
 
@@ -30,23 +30,32 @@ object ProfileQ43 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("gsets")(println("  rows=" + gsets.count()))
 
-    val sizes = gsets.select(col("doc_id"), size(col("gset")).cast("long").as("sz"))
-    val prefix = gsets.select(col("doc_id"),
-        explode(expr(s"slice(gset, 1, CAST(FLOOR(${1.0 - threshold} * size(gset)) AS INT) + 1)")).as("__k"))
+    val oneMinusT = java.lang.Double.toString(1.0 - threshold)
+    val prefix = gsets.select(col("doc_id"), size(col("gset")).cast("long").as("sz"),
+      posexplode(expr(
+        s"slice(gset, 1, CAST(FLOOR($oneMinusT * size(gset)) AS INT) + 1)"))
+        .as(Seq("__p", "__k")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("prefix")(println("  rows=" + prefix.count()))
 
-    val szA = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sa")
-    val szB = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sb")
+    val sa = col("a.sz").cast("double")
+    val sb = col("b.sz").cast("double")
+    val ubound = (least(col("a.__p"), col("b.__p")) + 1 +
+      least(col("a.sz") - col("a.__p") - 1, col("b.sz") - col("b.__p") - 1)).cast("double")
+    val minOverlap = lit(threshold) / lit(1.0 + threshold) * (sa + sb) - lit(1e-9)
+    val rawMatches = prefix.as("a").join(prefix.as("b"),
+      col("a.__k") === col("b.__k") && col("a.doc_id") < col("b.doc_id"))
+    time("raw prefix matches")(println("  rows=" + rawMatches.count()))
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.__k") === col("b.__k") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .join(prefix.as("b"),
+        col("a.__k") === col("b.__k") && col("a.doc_id") < col("b.doc_id") &&
+          sa >= lit(threshold) * sb && sb >= lit(threshold) * sa &&
+          ubound >= minOverlap)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sa"), col("b.sz").as("sb"))
       .distinct()
-      .join(broadcast(szA), "doc_a").join(broadcast(szB), "doc_b")
-      .filter(col("sa").cast("double") >= lit(threshold) * col("sb").cast("double") &&
-        col("sb").cast("double") >= lit(threshold) * col("sa").cast("double"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("cand")(println("  rows=" + cand.count()))
+    time("cand (filtered+distinct)")(println("  rows=" + cand.count()))
 
     val inter = cand
       .join(gsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
