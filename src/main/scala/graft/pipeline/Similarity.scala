@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over an Array[Float] column.
   *
-  * Dot products use `zip_with` + `aggregate` (codegen'd higher-order
-  * functions — per-row array math, no explode, no UDF). Elements are cast
-  * to double BEFORE multiplying and folded left-to-right, which both
-  * engines can reproduce exactly (DuckDB: SUM(x ORDER BY i)).
+  * Dot products are a codegen'd native expression (graft.functions.VecDot)
+  * — per-row array math, no explode, no UDF. Elements are cast to double
+  * BEFORE multiplying and folded left-to-right, which both engines can
+  * reproduce exactly (DuckDB: SUM(x ORDER BY i)).
   *
   * Scale paths:
   *  - brute-force top-k broadcasts the (small) query set against the corpus
@@ -32,6 +32,20 @@ object Similarity {
   /** Corpus with a precomputed norm column. */
   def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nrm", norm(col("embedding")))
+
+  /** Deterministic (cosine desc, neighbor asc) top-k per query via the
+    * bounded heap aggregate — map-side partial top-k, so the shuffle
+    * carries at most k rows per (query, map partition) instead of the
+    * whole scored relation (the row_number window would move
+    * |corpus| rows per query to a single reducer). Row-identical to the
+    * window formulation. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.top_k(col("cosine"), col("neighbor_id"), k)
+        .as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__s")))
+      .select(col("query_id"), col("__s.id").as("neighbor_id"),
+        col("__s.score").as("cosine"), (col("__r") + 1).cast("int").as("rank"))
 
   /** Near-duplicate pairs within the same label, cosine >= threshold.
     * The label is the blocking key; on unlabeled corpora use lshBucket as
@@ -56,9 +70,7 @@ object Similarity {
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         cosine(col("q.embedding"), col("c.embedding"), col("q.nrm"), col("c.nrm"))
           .as("cosine"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Deterministic sign-LSH bucket: bit j set when element 8j+1 > 0
@@ -69,12 +81,6 @@ object Similarity {
       when(element_at(v, j * 8 + 1) > 0.0f, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** IVF-style ANN: a coarse quantizer assigns every vector to its
-    * max-cosine centroid cell; queries search only their own cell
-    * (nprobe=1). Centroids here are the first nCells corpus vectors — a
-    * deterministic stand-in for offline (seeded) k-means training, which
-    * drops in by replacing `centroids`. Assignment is one broadcast join
-    * (centroid set is tiny); the corpus is never shuffled by pairing. */
   /** IVF ANN: the corpus is assigned to its nearest coarse-quantizer cell;
     * each query probes its `nprobe` nearest cells (nprobe=1 is the fastest/
     * least-recall point; raising it trades candidate volume for recall —
@@ -106,9 +112,7 @@ object Similarity {
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         cosine(col("q.embedding"), col("c.embedding"), col("q.nrm"), col("c.nrm"))
           .as("cosine"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed ANN: candidates restricted to the query's bucket, then
@@ -121,8 +125,6 @@ object Similarity {
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         cosine(col("q.embedding"), col("c.embedding"), col("q.nrm"), col("c.nrm"))
           .as("cosine"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 }
