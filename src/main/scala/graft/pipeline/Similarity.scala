@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over an Array[Float] column.
@@ -93,16 +92,21 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         col("nrm").as("cnrm"))
 
+    // nearest `cells` centroids per vector via the bounded heap aggregate
+    // (no window shuffle of the |corpus| x nCells scored relation)
     def assign(df: DataFrame, cells: Int): DataFrame = {
       val n = withNorm(df).as("v")
       n.join(broadcast(cent))
         .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
           col("v.nrm").as("nrm"), col("cent_id"),
           cosine(col("v.embedding"), col("cvec"), col("v.nrm"), col("cnrm")).as("ccos"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))))
-        .filter(col("rn") <= cells)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+        .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+        .agg(graft.functions.TopKByScore.top_k(col("ccos"), col("cent_id"), cells)
+          .as("__top"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(col("__top")).as("__s"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("__s.id").as("cell"))
     }
 
     val c = assign(corpus, 1).as("c")
