@@ -53,4 +53,11 @@ class ExtensionsSpec extends AnyFunSuite {
     val rep = spark.sql("SELECT repetition_stats('a b a')").head().getStruct(0)
     assert(rep.getLong(0) == 3L && rep.getLong(1) == 2L && rep.getLong(2) == 2L)
   }
+
+  test("Graft.install registers functions; entry() returns rows") {
+    Graft.install(spark)
+    assert(spark.sql("SELECT vec_dot(CAST(array(2.0) AS array<float>), CAST(array(3.0) AS array<float>))")
+      .head().getDouble(0) == 6.0)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
