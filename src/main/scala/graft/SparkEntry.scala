@@ -306,6 +306,12 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       TextAnalysis.tokens(t(dir, "documents"))
     },
+    "q64_sample_exact_n" -> { (s, dir) =>
+      // exact deterministic per-source reservoir: 7 docs per source by
+      // smallest salted hash (bounded-heap aggregate, no window)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.sampleExactPerSource(t(dir, "documents"), 7, "rsv1")
+    },
     "q63_corpus_stats" -> { (s, dir) =>
       // per-source corpus profile (single shuffle, exact aggregates)
       implicit val sp: SparkSession = s
@@ -458,6 +464,7 @@ object SparkEntry {
     "q48_quality" -> PipelineOracle.quality,
     "q49_tokens" -> PipelineOracle.tokens,
     "q50_fingerprint" -> PipelineOracle.fingerprint(),
+    "q64_sample_exact_n" -> PipelineOracle.sampleExactPerSource(7, "rsv1"),
     "q63_corpus_stats" -> PipelineOracle.corpusStats,
     "q62_marginalize" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty10))),
     "q61_neardup_keep" -> PipelineOracle.nearDupKeep(),

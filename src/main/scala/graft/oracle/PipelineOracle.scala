@@ -269,6 +269,15 @@ object PipelineOracle {
       "CAST(SUM(length(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars " +
       "FROM documents GROUP BY source"
 
+  /** Exact per-source reservoir (mirrors Sampling.sampleExactPerSource):
+    * the n smallest salted hashes per source. */
+  def sampleExactPerSource(n: Int, salt: String): String =
+    "WITH h AS (SELECT source, doc_id, " +
+      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':$salt'), 1, 15))::BIGINT AS hh " +
+      "FROM documents), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h) " +
+      s"SELECT source, doc_id FROM r WHERE rn <= $n"
+
   def fingerprint(maxLen: Int = 64): String = {
     val pows = TextAnalysis.fingerprintPows(maxLen).mkString("[", ", ", "]")
     s"WITH ch AS (SELECT doc_id, CAST(i AS INT) AS i, ascii(substring(text, CAST(i AS INT), 1)) AS c " +

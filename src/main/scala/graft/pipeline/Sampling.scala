@@ -39,4 +39,16 @@ object Sampling {
     docs.select(col("doc_id"), col("source"))
       .filter(hash60(col("doc_id"), col("source"), salt) < thr)
   }
+
+  /** Exact deterministic reservoir: exactly min(n, |source|) docs per
+    * source — the docs with the n smallest 60-bit hashes. The bounded-heap
+    * aggregate (graft.functions.BottomKByKey) keeps the shuffle at n rows
+    * per (source, map partition); a per-source row_number window would
+    * push each source's ENTIRE volume through one reducer. */
+  def sampleExactPerSource(docs: DataFrame, n: Int, salt: String): DataFrame =
+    docs.select(col("source"),
+        hash60(col("doc_id"), col("source"), salt).as("__h"), col("doc_id"))
+      .groupBy(col("source"))
+      .agg(graft.functions.BottomKByKey.bottom_k(col("__h"), col("doc_id"), n).as("__ids"))
+      .select(col("source"), explode(col("__ids")).as("doc_id"))
 }

@@ -134,6 +134,21 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(bySrc.getOrElse("s1", 0L) - 100.0) < 50) // ~0.1 * 1000
   }
 
+  test("exact per-source reservoir: exact sizes, partitioning-independent") {
+    import graft.pipeline.Sampling
+    val many = (0L until 500L).map(i => (i, s"t$i", "en", s"s${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+    def picked(parts: Int): Set[(String, Long)] =
+      Sampling.sampleExactPerSource(many.repartition(parts), 5, "salt")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val p1 = picked(1)
+    assert(p1.groupBy(_._1).forall(_._2.size == 5)) // exactly 5 per source
+    assert(p1 == picked(13) && p1 == picked(32))    // heap merge order free
+    // a source smaller than n yields all its docs
+    val tiny = Seq((1L, "a", "en", "only")).toDF("doc_id", "text", "lang", "source")
+    assert(Sampling.sampleExactPerSource(tiny, 5, "salt").count() == 1)
+  }
+
   test("multimodal: binary plumbing with stubbed decode is deterministic") {
     val out1 = Multimodal.pipeline(docs).orderBy("doc_id").collect()
     val out2 = Multimodal.pipeline(docs).orderBy("doc_id").collect()
