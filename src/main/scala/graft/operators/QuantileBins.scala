@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object QuantileBins {
 
-  /** Exact rank-based quantile edges; one sort + one tiny collect. */
+  /** Exact rank-based quantile edges; one stats pass + one sort + one tiny
+    * collect. */
   def quantileAxis(df: DataFrame, x: Column, name: String, nBins: Int): Variable = {
     val vals = df.select(x.cast("double").as("v")).filter(col("v").isNotNull)
-    val n = vals.count()
+    val stats = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+    val n = stats.getLong(0)
     require(n > 0, "quantile axis needs data")
     // 0-based target indexes of the interior edges
     val targets = (1 until nBins)
@@ -35,8 +37,7 @@ object QuantileBins {
     val interior = vals.orderBy("v").rdd.map(_.getDouble(0)).zipWithIndex()
       .filter { case (_, i) => targets.contains(i) }
       .map(_._1).collect()
-    val loHi = vals.agg(min(col("v")), max(col("v"))).head()
-    val allEdges = (Array(loHi.getDouble(0)) ++ interior :+ loHi.getDouble(1))
+    val allEdges = (Array(stats.getDouble(1)) ++ interior :+ stats.getDouble(2))
       .distinct.sorted
     require(allEdges.length >= 2, "degenerate distribution: all values equal")
     Variable(name, allEdges)
