@@ -149,6 +149,10 @@ class HistogramSpec extends SparkSpec {
       Seq(col("x") -> Regular("x", 2, 0.0, 2.0), col("y") -> Regular("y", 2, 0.0, 2.0)))
       .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
     assert(h == Map((0.0, 0.0) -> 1.0, (0.0, 1.0) -> 1.0, (1.0, 1.0) -> 1.0))
+    val h2 = Histogram.histogram2d(df, col("x"), Regular("x", 2, 0.0, 2.0),
+      col("y"), Regular("y", 2, 0.0, 2.0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(h2 == h) // histogram2d is the 2-axis histogramdd
   }
 
   test("int storage: counts stay LongType") {
