@@ -306,6 +306,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       TextAnalysis.tokens(t(dir, "documents"))
     },
+    "q65_pattern_counts" -> { (s, dir) =>
+      // email/URL/digit-run counts per doc (filtering & PII triage)
+      implicit val sp: SparkSession = s
+      TextAnalysis.patternCounts(t(dir, "documents"))
+    },
+    "q66_dedup_normalized" -> { (s, dir) =>
+      // exact dedup on normalized text (lowercase, collapsed whitespace)
+      implicit val sp: SparkSession = s
+      Dedup.exactNormalized(t(dir, "documents"))
+    },
     "q64_sample_exact_n" -> { (s, dir) =>
       // exact deterministic per-source reservoir: 7 docs per source by
       // smallest salted hash (bounded-heap aggregate, no window)
@@ -464,6 +474,8 @@ object SparkEntry {
     "q48_quality" -> PipelineOracle.quality,
     "q49_tokens" -> PipelineOracle.tokens,
     "q50_fingerprint" -> PipelineOracle.fingerprint(),
+    "q65_pattern_counts" -> PipelineOracle.patternCounts,
+    "q66_dedup_normalized" -> PipelineOracle.dedupNormalized,
     "q64_sample_exact_n" -> PipelineOracle.sampleExactPerSource(7, "rsv1"),
     "q63_corpus_stats" -> PipelineOracle.corpusStats,
     "q62_marginalize" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty10))),

@@ -16,6 +16,23 @@ object PipelineOracle {
       "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS keep " +
       "FROM documents"
 
+  /** Mirrors Dedup.exactNormalized ('g' flag: DuckDB's regexp_replace is
+    * first-match-only by default, Spark's is global). */
+  val dedupNormalized: String =
+    "WITH n AS (SELECT doc_id, " +
+      "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash " +
+      "FROM documents) " +
+      "SELECT doc_id, content_hash, " +
+      "ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1 AS keep FROM n"
+
+  /** Mirrors TextAnalysis.patternCounts (RE2/Java-regex-agreeing patterns). */
+  val patternCounts: String =
+    "SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+      "CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT) AS n_urls, " +
+      "CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs " +
+      "FROM documents"
+
   /** CTE chain ending in cand(doc_a, doc_b) — MinHash+LSH candidates. */
   private def minhashCandCtes(k: Int, bands: Int, rowsPerBand: Int): String = {
     import graft.pipeline.Dedup.{mhA, mhB, MhMod}

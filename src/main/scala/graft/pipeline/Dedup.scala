@@ -43,6 +43,14 @@ object Dedup {
       .withColumn("keep",
         row_number().over(Window.partitionBy("content_hash").orderBy("doc_id")) === 1)
 
+  /** Exact dedup on NORMALIZED text (lowercase, collapsed whitespace):
+    * same single-shuffle plan as `exact`, catching reformatted copies. */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.pipeline.TextAnalysis.normalizedHash(col("text")).as("content_hash"))
+      .withColumn("keep",
+        row_number().over(Window.partitionBy("content_hash").orderBy("doc_id")) === 1)
+
   /** The deduplicated corpus itself (all columns, keepers only). */
   def distinctDocs(docs: DataFrame): DataFrame =
     docs.withColumn("__keep",

@@ -72,6 +72,22 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
         .cast("long").as("bpe_tokens"))
 
+  /** Pattern-count scan for filtering/PII triage: emails, URLs, long digit
+    * runs per doc — one map-only regex pass (the counts feed threshold
+    * filters; actual redaction is a downstream map with the same shape). */
+  def patternCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
+        .cast("long").as("n_emails"),
+      regexp_count(col("text"), lit("https?://[^\\s]+")).cast("long").as("n_urls"),
+      regexp_count(col("text"), lit("[0-9]{6,}")).cast("long").as("n_digit_runs"))
+
+  /** Exact dedup after canonical text normalization (lowercase + collapsed
+    * whitespace): catches trivially-reformatted duplicates that byte-exact
+    * hashing misses. Same single-shuffle shape as `Dedup.exact`. */
+  def normalizedHash(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")).cast("binary"))
+
   /** Per-source corpus profile: doc counts, token/char totals, mean doc
     * length — the first table any curation pipeline builds. One shuffle,
     * integer-exact aggregates (the mean is a single division of exact

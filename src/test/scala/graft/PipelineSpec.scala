@@ -134,6 +134,21 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(bySrc.getOrElse("s1", 0L) - 100.0) < 50) // ~0.1 * 1000
   }
 
+  test("pattern counts and normalized dedup") {
+    val d = Seq(
+      (1L, "mail me at a.b@example.com or visit https://x.org/page 1234567", "en", "s"),
+      (2L, "The  Quick   Brown Fox", "en", "s"),
+      (3L, "the quick brown fox", "en", "s"), // normalized dup of 2
+      (4L, "the quick brown fox!", "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+    val pc = TextAnalysis.patternCounts(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(pc(1L) == ((1L, 1L, 1L)) && pc(2L) == ((0L, 0L, 0L)))
+    val nd = Dedup.exactNormalized(d).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(nd == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+  }
+
   test("exact per-source reservoir: exact sizes, partitioning-independent") {
     import graft.pipeline.Sampling
     val many = (0L until 500L).map(i => (i, s"t$i", "en", s"s${i % 3}"))
