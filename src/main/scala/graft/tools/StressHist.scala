@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.axes.Regular
+import graft.operators.{HistOptions, Histogram, HistVectorAgg}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Core-engine scale stress: histogram throughput on an enlarged events
+  * table (dev tool; pass the parquet path). Reports rows/s per operator
+  * shape — the number that must hold at 100 TB. */
+object StressHist {
+  def main(args: Array[String]): Unit = {
+    val path = if (args.nonEmpty) args(0) else "/tmp/sfbig_events.parquet"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ev = spark.read.parquet(path)
+    val n = ev.count()
+    println(s"rows=$n")
+    val ax = Regular("value", 16, 0.0, 512.0)
+    val ax1k = Regular("value", 1024, 0.0, 512.0)
+    def time(name: String)(f: => Long): Unit = {
+      (1 to 2).foreach { run =>
+        val t0 = System.nanoTime()
+        val c = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[stress] $name run$run: $dt%.2f s (${n / dt / 1e6}%.1f Mrows/s, $c out)")
+      }
+    }
+    time("hist_1d")(Histogram.histogram(ev, col("value"), ax).count())
+    time("hist_1d_grouped")(
+      Histogram.histogram(ev, col("value"), ax, Seq("event_type")).count())
+    time("hist_weighted_dec")(Histogram.histogram(ev, col("value"), ax,
+      opts = HistOptions(weight = Some(col("value")))).count())
+    time("hist_vector_1k")(
+      HistVectorAgg.histogram(ev, col("value"), ax1k, Seq("event_type")).count())
+    time("windowed_hist")({
+      // the stress copy stores ts as a real timestamp; testdata as nanos
+      val eventTime =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else col("ts").cast("timestamp")
+      val e = ev.withColumn("event_time", eventTime)
+      graft.streaming.StreamingHist.windowedHistogram(
+        e, "event_time", col("value"), ax, "1 hour").count()
+    })
+    spark.stop()
+  }
+}
