@@ -55,8 +55,8 @@ case class TopKByScore(
 
   override def eval(buf: TopKByScore.Heap): Any = {
     val idx = Array.range(0, buf.size).sortWith { (x, y) =>
-      buf.scores(x) > buf.scores(y) ||
-        (buf.scores(x) == buf.scores(y) && buf.ids(x) < buf.ids(y))
+      val c = java.lang.Double.compare(buf.scores(x), buf.scores(y))
+      c > 0 || (c == 0 && buf.ids(x) < buf.ids(y))
     }
     new GenericArrayData(idx.map { j =>
       new GenericInternalRow(Array[Any](buf.scores(j), buf.ids(j)))
@@ -97,8 +97,13 @@ object TopKByScore {
     val ids = new Array[Long](k)
     var size: Int = 0
 
-    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 < s2 || (s1 == s2 && i1 > i2)
+    /** Total order via Double.compare: NaN sorts GREATEST (matching Spark
+      * and DuckDB ORDER BY ... DESC, where NaN ranks first) and the heap
+      * invariant never sees an incomparable pair. */
+    private def worse(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1, s2)
+      c < 0 || (c == 0 && i1 > i2)
+    }
 
     def push(s: Double, i: Long): Unit = {
       if (size < k) {

@@ -134,6 +134,17 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(bySrc.getOrElse("s1", 0L) - 100.0) < 50) // ~0.1 * 1000
   }
 
+  test("top-k heap: NaN scores rank greatest (engine sort parity), no contract violation") {
+    import graft.functions.TopKByScore
+    val rows = Seq((1L, Double.NaN), (2L, 0.9), (3L, 0.5), (4L, Double.NaN), (5L, 0.7))
+      .toDF("id", "score").repartition(3)
+    val top = rows.agg(TopKByScore.top_k(col("score"), col("id"), 3).as("t"))
+      .selectExpr("explode(t) AS s").select(col("s.id"))
+      .collect().map(_.getLong(0)).toSeq
+    // NaN ranks first (ids 1, 4 by id-asc tiebreak), then 0.9
+    assert(top == Seq(1L, 4L, 2L))
+  }
+
   test("pattern counts and normalized dedup") {
     val d = Seq(
       (1L, "mail me at a.b@example.com or visit https://x.org/page 1234567", "en", "s"),
