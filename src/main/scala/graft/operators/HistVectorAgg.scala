@@ -39,8 +39,9 @@ case class HistVectorAgg(
   override def createAggregationBuffer(): Array[Double] = new Array[Double](nBins + 2)
 
   override def update(buf: Array[Double], row: InternalRow): Array[Double] = {
-    if (!idx.nullable || idx.eval(row) != null) {
-      val i = idx.eval(row).asInstanceOf[Long]
+    val iv = idx.eval(row)
+    if (iv != null) {
+      val i = iv.asInstanceOf[Long]
       val w = weight.eval(row) match {
         case null => 0.0
         case d: Double => d
@@ -110,8 +111,9 @@ case class HistVectorDecAgg(
     Array.fill(nBins + 2)(JBI.ZERO)
 
   override def update(buf: Array[JBI], row: InternalRow): Array[JBI] = {
-    if (!idx.nullable || idx.eval(row) != null) {
-      val i = idx.eval(row).asInstanceOf[Long]
+    val iv = idx.eval(row)
+    if (iv != null) {
+      val i = iv.asInstanceOf[Long]
       val slot =
         if (i >= 0 && i < nBins) i.toInt
         else if (i == -1) nBins
