@@ -72,6 +72,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless curation ops run unchanged on streaming input") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "source")
+    val sampled = graft.pipeline.Sampling.sampleBySource(
+      docs, Map("s0" -> 1.0, "s1" -> 0.0), 0.5, "mix1")
+    assert(sampled.isStreaming)
+    val q = sampled.writeStream.format("memory").queryName("sample_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "a", "en", "s0"), (2L, "b", "en", "s1"), (3L, "c", "en", "s0"))
+      q.processAllAvailable()
+      val kept = spark.table("sample_stream").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L)) // rate 1.0 keeps all s0, rate 0.0 drops all s1
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup: first_seen only once per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DocEvent]
