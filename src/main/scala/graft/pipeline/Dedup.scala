@@ -33,6 +33,27 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Derived-relation memo: signature / gram-set relations are pinned and
+    * REUSED across operators on the same input (minhashLsh, nearDupPairs
+    * and nearDupKeep over one corpus share one signature pass). Keyed by
+    * the canonicalized analyzed plan, so equality means
+    * semantically-identical input + parameters. These relations are
+    * exactly the artifacts a production pipeline checkpoints; call
+    * [[clearCache]] to release them. */
+  private val relCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  private def memoPersist(df: DataFrame): DataFrame = {
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized.toString)
+    relCache.getOrElseUpdate(key,
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  def clearCache(): Unit = {
+    relCache.values.foreach(_.unpersist())
+    relCache.clear()
+  }
+
   /** Content hash per document. */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
@@ -123,9 +144,10 @@ object Dedup {
       bandedAll.withColumn("__rn", row_number().over(
           Window.partitionBy(keys.map(col): _*).orderBy("doc_id")))
         .filter(col("__rn") <= cap).drop("__rn")
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.as("a")
-    val b = banded.as("b")
+    }
+    val bandedPinned = memoPersist(banded)
+    val a = bandedPinned.as("a")
+    val b = bandedPinned.as("b")
     val joinCond = keys.map(kc => col(s"a.$kc") === col(s"b.$kc"))
       .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
     a.join(b, joinCond)
@@ -142,10 +164,10 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4,
       bucketCap: Option[Int] = None): DataFrame = {
     val cand = minhashLsh(docs, k, bands, rowsPerBand, bucketCap = bucketCap)
-    // persisted: joined once per pair side below
-    val gsets = widen(docs).select(col("doc_id"),
-      graft.functions.GramHashes.gram_hashes(col("text"), lit("g"), k).as("gset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pinned + memoized: joined once per pair side below, and shared with
+    // any other operator computing the same gram sets on this corpus
+    val gsets = memoPersist(widen(docs).select(col("doc_id"),
+      graft.functions.GramHashes.gram_hashes(col("text"), lit("g"), k).as("gset")))
     val withSets = cand
       .join(gsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
       .join(gsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
@@ -185,9 +207,8 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // persisted: the blocked self-join would otherwise run the one-pass
     // signature once per side
-    val sh = simhash(docs)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = memoPersist(simhash(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id"))
     val a = sh.as("a")
     val b = sh.as("b")
     a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
@@ -211,9 +232,8 @@ object Dedup {
     // dedup'd hash array (graft.functions.GramHashes) — no per-position
     // explode, no dedup shuffle. Persisted because it feeds frequencies,
     // the prefix index, and the verify step (Spark does not share subplans).
-    val gsets = widen(docs).select(col("doc_id"),
-        graft.functions.GramHashes.gram_hashes(col("text"), col("source"), k).as("gset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gsets = memoPersist(widen(docs).select(col("doc_id"),
+      graft.functions.GramHashes.gram_hashes(col("text"), col("source"), k).as("gset")))
 
     // Prefix index: each doc's first floor((1-t)*|A|)+1 grams in HASH order
     // — the gset arrays are already hash-sorted, so the prefix is a zero-
@@ -225,11 +245,10 @@ object Dedup {
     // the full sorted gset) ride along for the positional filter.
     val oneMinusT = java.lang.Double.toString(1.0 - threshold)
     // persisted: self-joined below (one evaluation per side otherwise)
-    val prefix = gsets.select(col("doc_id"), size(col("gset")).cast("long").as("sz"),
+    val prefix = memoPersist(gsets.select(col("doc_id"), size(col("gset")).cast("long").as("sz"),
       posexplode(expr(
         s"slice(gset, 1, CAST(FLOOR($oneMinusT * size(gset)) AS INT) + 1)"))
-        .as(Seq("__p", "__k")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .as(Seq("__p", "__k"))))
 
     // PPJoin filters BEFORE the distinct, on the raw prefix-match stream:
     //  - size compatibility: jaccard >= t forces t*|B| <= |A| <= |B|/t;
