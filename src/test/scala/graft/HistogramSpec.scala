@@ -185,6 +185,20 @@ class HistogramSpec extends SparkSpec {
     assert(h.values.sum == 999.0 || h.values.sum == 1000.0)
   }
 
+  test("quantile bins, sketch path: valid axis, near-uniform fill") {
+    import graft.operators.QuantileBins
+    val rnd = new scala.util.Random(31)
+    val vals = Seq.fill(2000)(rnd.nextGaussian() * 10.0)
+    val ax = QuantileBins.sketchAxis(vals.toDF("x"), "x", "x", 5, relativeError = 0.001)
+    assert(ax.allEdges.length >= 2 && ax.allEdges.sameElements(ax.allEdges.sorted))
+    val h = Histogram.histogram(vals.toDF("x"), col("x"), ax)
+      .collect().map(_.getDouble(1))
+    // sketch edges are approximate: bins are roughly equal-frequency and
+    // nearly all rows are covered (max value may fall into overflow)
+    assert(h.sum >= 1999.0 - 5.0)
+    assert(h.forall(c => c > 250 && c < 550))
+  }
+
   test("nulls are never counted") {
     val df = Seq[Option[Double]](Some(0.5), None, Some(1.5)).toDF("x")
     val h = Histogram.histogram(df, col("x"), Regular("x", 2, 0.0, 2.0),
