@@ -136,9 +136,11 @@ object Histogram {
       if (dims.isEmpty) grid
       else projected.select(dims.map(col): _*).distinct().crossJoin(grid)
     val zero = if (opts.intStorage) lit(0L) else lit(0.0)
-    // Both sides are post-aggregation (bins x groups) — tiny; broadcast the
-    // build side of the left join.
-    keys.join(broadcast(sparse), (dims ++ idxNames).toSeq, "left")
+    // Both sides are post-aggregation (bins x groups). No broadcast hint:
+    // AQE sees the REAL post-agg sizes at runtime and broadcasts when the
+    // sparse side is small — a forced hint would OOM at extreme group
+    // cardinality, where sort-merge is the correct plan.
+    keys.join(sparse, (dims ++ idxNames).toSeq, "left")
       .withColumn("cnt", coalesce(col("cnt"), zero))
   }
 }
