@@ -184,6 +184,14 @@ object SparkEntry {
       graft.operators.HistVectorAgg.histogram(
         t(dir, "events"), col("value"), axValue, Seq("event_type"))
     },
+    "q67_hist_dense_vector_weighted" -> { (s, dir) =>
+      // weighted dense-vector path: HistVectorDecAgg's DECIMAL(38,14)
+      // buffers must match the sparse decimal path bit-for-bit
+      implicit val sp: SparkSession = s
+      graft.operators.HistVectorAgg.histogram(
+        t(dir, "events"), col("value"), axValue, Seq("event_type"),
+        weight = Some(col("value")))
+    },
     "q20_stat_mean" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       HistStats.mean(t(dir, "lineitem"), col("l_quantity"), axQty, Seq("l_returnflag"))
@@ -434,6 +442,9 @@ object SparkEntry {
       dims = Seq("event_type"), dense = true),
     "q19_hist_dense_vector" -> Oracle.hist("events", Seq(Oracle.Spec("value", axValue)),
       dims = Seq("event_type"), dense = true),
+    "q67_hist_dense_vector_weighted" -> Oracle.hist("events",
+      Seq(Oracle.Spec("value", axValue)), dims = Seq("event_type"),
+      weightSql = Some("value"), dense = true),
     "q20_stat_mean" -> Oracle.meanSql("lineitem", "l_quantity", axQty, Seq("l_returnflag")),
     "q21_stat_var" -> Oracle.varSql("lineitem", "l_quantity", axQty, Seq("l_returnflag")),
     "q22_stat_std" -> Oracle.stdSql("lineitem", "l_quantity", axQty, Seq("l_returnflag")),
