@@ -64,6 +64,9 @@ object Bench {
       .sortBy { case (name, _) => (rank.getOrElse(name, heavy.size), name) }
       .map { case (name, fn) =>
       Future {
+        // FAIR shares between pools; one pool per query so a long
+        // similarity join cannot starve the short histogram jobs
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
