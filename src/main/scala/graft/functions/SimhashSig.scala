@@ -6,13 +6,20 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** 16-bit SimHash of a document in one codegen'd pass: split on space runs,
-  * dedup tokens, token hash = first 16 bits of md5, signed bit sums.
+/** 64-bit SimHash of a document in one codegen'd pass: split on space runs,
+  * dedup tokens, token hash = first 64 bits of md5, signed bit sums.
   *
   * Exactly the values of the relational form (explode(split(text,' +'))
-  * -> distinct -> ('0x'||substr(md5(tok),1,4))::BIGINT -> 16 conditional
-  * sums) that the DuckDB oracle computes — the first 4 hex chars of a
-  * digest are its first 16 bits — but with no explode and no shuffle.
+  * -> distinct -> first 16 hex chars of md5 as two 32-bit halves -> 64
+  * conditional sums) that the DuckDB oracle computes — but with no explode
+  * and no shuffle. Bit b of the signature is set when the signed sum of
+  * token-hash bit b is positive; bit b of a token hash is bit b of the
+  * big-endian value of the digest's first 8 bytes (so the oracle reads it
+  * from the hex prefix: bits 0-31 from chars 9-16, bits 32-63 from 1-8).
+  *
+  * 64 bits (vs 16 in an earlier revision) keeps unrelated docs from
+  * colliding at hamming 0: a 16-bit space has 65,536 values, so any
+  * billion-doc corpus aliases constantly; 64-bit is the standard width.
   */
 case class SimhashSig(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -30,7 +37,7 @@ object SimhashSig {
   def compute(text: UTF8String): Long = {
     val md = mdLocal.get()
     val s = text.toString
-    val sums = new Array[Int](16)
+    val sums = new Array[Int](64)
     val seen = new java.util.HashSet[String]()
     var i = 0
     val n = s.length
@@ -43,11 +50,13 @@ object SimhashSig {
         if (seen.add(tok)) {
           md.reset()
           val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          // first 4 hex chars == first 16 bits
-          val v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+          // first 16 hex chars == first 8 bytes, big-endian
+          var v = 0L
+          var k = 0
+          while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
           var b = 0
-          while (b < 16) {
-            if (((v >> b) & 1) == 1) sums(b) += 1 else sums(b) -= 1
+          while (b < 64) {
+            if (((v >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
             b += 1
           }
         }
@@ -55,7 +64,7 @@ object SimhashSig {
     }
     var sh = 0L
     var b = 0
-    while (b < 16) {
+    while (b < 64) {
       if (sums(b) > 0) sh |= (1L << b)
       b += 1
     }

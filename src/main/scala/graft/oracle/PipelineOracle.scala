@@ -83,23 +83,40 @@ object PipelineOracle {
       "SELECT doc_id FROM documents " +
       "WHERE doc_id NOT IN (SELECT doc_b FROM p)"
 
+  /** 64-bit SimHash pairs, deliberately in the UNBLOCKED all-pairs-within-
+    * source form: the Spark side uses pigeonhole chunk blocking (see
+    * Dedup.simhashPairs), and pigeonhole completeness (hamming <= 3 pairs
+    * share one of 4 whole 16-bit chunks) makes the two forms provably
+    * row-identical — so this oracle re-verifies the blocking's
+    * completeness, not just the hamming arithmetic. The token hash's bit b
+    * is bit b of the big-endian first-8-bytes value of md5, read from the
+    * hex prefix as two 32-bit halves (BIGINT-safe; a single 64-bit hex
+    * parse could overflow DuckDB's signed cast). The signature is carried
+    * as 4 non-negative 16-bit chunks so xor/bit_count never touch a sign
+    * bit in either engine. */
   def simhashPairs(maxHamming: Int = 3): String = {
-    val sums = (0 until 16)
-      .map(b => s"SUM(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
-      .mkString(", ")
-    val bits = (0 until 16)
-      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-      .mkString(" + ")
+    val sums = (0 until 64).map { b =>
+      val src = if (b < 32) s"(lo >> $b)" else s"(hi >> ${b - 32})"
+      s"SUM(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val chunks = (0 until 4).map { c =>
+      (0 until 16).map { j =>
+        s"(CASE WHEN s${c * 16 + j} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("(", " + ", s") AS c$c")
+    }.mkString(", ")
+    val hamming = (0 until 4)
+      .map(c => s"bit_count(xor(a.c$c, b.c$c))").mkString(" + ")
     "WITH toks AS (SELECT DISTINCT doc_id, tok FROM " +
       "(SELECT doc_id, UNNEST(string_split_regex(text, ' +')) AS tok FROM documents) WHERE tok <> ''), " +
-      "v AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS v FROM toks), " +
+      "v AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi, " +
+      "('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo FROM toks), " +
       s"s AS (SELECT doc_id, $sums FROM v GROUP BY doc_id), " +
-      s"sh AS (SELECT doc_id, $bits AS simhash FROM s), " +
-      "j AS (SELECT sh.doc_id, sh.simhash, d.source FROM sh JOIN documents d ON d.doc_id = sh.doc_id) " +
+      s"sh AS (SELECT doc_id, $chunks FROM s), " +
+      "j AS (SELECT sh.*, d.source FROM sh JOIN documents d ON d.doc_id = sh.doc_id) " +
       "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-      "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming " +
+      s"CAST($hamming AS INTEGER) AS hamming " +
       "FROM j a JOIN j b ON a.source = b.source AND a.doc_id < b.doc_id " +
-      s"WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming"
+      s"WHERE $hamming <= $maxHamming"
   }
 
   def ngramJaccard(k: Int = 8, threshold: Double = 0.8): String = {
@@ -133,13 +150,40 @@ object PipelineOracle {
       "FROM (SELECT vec_id, embedding, UNNEST(generate_series(1, len(embedding))) AS i FROM e)), " +
       "nrm AS (SELECT vec_id, SQRT(SUM(v * v ORDER BY i)) AS nrm FROM el GROUP BY vec_id)"
 
-  def embedNearDup(threshold: Double): String =
+  /** Bucket expression for LSH table `t` with `bits` hyperplanes (mirrors
+    * Similarity.lshTableBucket: bit j = sign of element t*bits+j+1;
+    * out-of-range indexing yields NULL > 0 = NULL -> ELSE 0, matching the
+    * Spark size guard). */
+  private def tableBucketSql(t: Int, bits: Int): String =
+    (0 until bits)
+      .map(j => s"(CASE WHEN embedding[${t * bits + j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+
+  /** bk(vec_id, label, tbl, bucket): one row per (vector, LSH table). */
+  private def multiTableCte(tables: Int, bits: Int): String =
+    (0 until tables)
+      .map(t => s"SELECT vec_id, label, $t AS tbl, ${tableBucketSql(t, bits)} AS bucket FROM e")
+      .mkString("bk AS (", " UNION ALL ", ")")
+
+  /** pr(vec_id, label, tbl, pb): the probe set — own bucket plus each
+    * one-bit flip (hamming<=1 multi-probe). */
+  private def probeCte(bits: Int): String =
+    ("SELECT vec_id, label, tbl, bucket AS pb FROM bk" +:
+      (0 until bits).map(j =>
+        s"SELECT vec_id, label, tbl, xor(bucket, CAST(${1L << j} AS BIGINT)) AS pb FROM bk"))
+      .mkString("pr AS (", " UNION ALL ", ")")
+
+  /** Mirrors Similarity.nearDup's (label, table, bucket) blocking +
+    * multi-probe + exact cosine verify. */
+  def embedNearDup(threshold: Double, tables: Int = 4, bits: Int = 4): String =
     s"WITH $embBase, " +
-      "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM e a JOIN e b " +
-      "ON a.label = b.label AND a.vec_id < b.vec_id), " +
-      "d AS (SELECT p.vec_a, p.vec_b, SUM(ea.v * eb.v ORDER BY ea.i) AS dot " +
-      "FROM p JOIN el ea ON ea.vec_id = p.vec_a JOIN el eb ON eb.vec_id = p.vec_b AND eb.i = ea.i " +
-      "GROUP BY p.vec_a, p.vec_b) " +
+      s"${multiTableCte(tables, bits)}, " +
+      s"${probeCte(bits)}, " +
+      "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM pr a " +
+      "JOIN bk b ON a.label = b.label AND a.tbl = b.tbl AND a.pb = b.bucket AND a.vec_id < b.vec_id), " +
+      "d AS (SELECT cand.vec_a, cand.vec_b, SUM(ea.v * eb.v ORDER BY ea.i) AS dot " +
+      "FROM cand JOIN el ea ON ea.vec_id = cand.vec_a JOIN el eb ON eb.vec_id = cand.vec_b AND eb.i = ea.i " +
+      "GROUP BY cand.vec_a, cand.vec_b) " +
       "SELECT d.vec_a, d.vec_b, d.dot / (na.nrm * nb.nrm) AS cosine " +
       "FROM d JOIN nrm na ON na.vec_id = d.vec_a JOIN nrm nb ON nb.vec_id = d.vec_b " +
       s"WHERE d.dot / (na.nrm * nb.nrm) >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
@@ -157,17 +201,20 @@ object PipelineOracle {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
       s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
 
-  private def bucketSql(bits: Int = 8): String =
-    (0 until bits)
-      .map(j => s"(CASE WHEN embedding[${j * 8 + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
-      .mkString(" + ")
-
-  def annLsh(k: Int, queryMaxId: Long): String =
+  /** Mirrors Similarity.annLsh: multi-table sign-LSH buckets, query-side
+    * hamming<=probeHamming probes, distinct candidates, exact cosine
+    * top-k. The probe set is expressed as one UNNEST over the flip masks
+    * rather than 137 UNION ALL branches. */
+  def annLsh(k: Int, queryMaxId: Long, tables: Int = 4, bits: Int = 16,
+      probeHamming: Int = 2): String = {
+    val flips = graft.pipeline.Similarity.probeFlips(bits, probeHamming)
+      .mkString("[", ", ", "]")
     s"WITH $embBase, " +
-      s"bk AS (SELECT vec_id, ${bucketSql()} AS bucket FROM e), " +
-      s"q AS (SELECT vec_id, bucket FROM bk WHERE vec_id < $queryMaxId), " +
-      "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id FROM q " +
-      "JOIN bk c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id), " +
+      s"${multiTableCte(tables, bits)}, " +
+      s"bq AS (SELECT * FROM bk WHERE vec_id < $queryMaxId), " +
+      s"pr AS (SELECT vec_id, tbl, xor(bucket, f) AS pb FROM (SELECT vec_id, tbl, bucket, UNNEST($flips) AS f FROM bq)), " +
+      "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id FROM pr q " +
+      "JOIN bk c ON c.tbl = q.tbl AND c.bucket = q.pb AND c.vec_id <> q.vec_id), " +
       "d AS (SELECT cand.query_id, cand.neighbor_id, SUM(eq.v * ec.v ORDER BY eq.i) AS dot " +
       "FROM cand JOIN el eq ON eq.vec_id = cand.query_id " +
       "JOIN el ec ON ec.vec_id = cand.neighbor_id AND ec.i = eq.i GROUP BY 1, 2), " +
@@ -175,6 +222,7 @@ object PipelineOracle {
       "FROM d JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id), " +
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
       s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
+  }
 
   def annIvf(k: Int, queryMaxId: Long, nCells: Int = 8, nprobe: Int = 1): String =
     s"WITH $embBase, " +

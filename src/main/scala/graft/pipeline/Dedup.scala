@@ -33,26 +33,12 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Derived-relation memo: signature / gram-set relations are pinned and
-    * REUSED across operators on the same input (minhashLsh, nearDupPairs
-    * and nearDupKeep over one corpus share one signature pass). Keyed by
-    * the canonicalized analyzed plan, so equality means
-    * semantically-identical input + parameters. These relations are
-    * exactly the artifacts a production pipeline checkpoints; call
-    * [[clearCache]] to release them. */
-  private val relCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  /** Bounded derived-relation memo (see graft.util.RelCache): signature /
+    * gram-set relations are pinned and reused across operators on the same
+    * corpus; call [[clearCache]] to release them. */
+  private def memoPersist(df: DataFrame): DataFrame = graft.util.RelCache.persist(df)
 
-  private def memoPersist(df: DataFrame): DataFrame = {
-    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized.toString)
-    relCache.getOrElseUpdate(key,
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
-
-  def clearCache(): Unit = {
-    relCache.values.foreach(_.unpersist())
-    relCache.clear()
-  }
+  def clearCache(): Unit = graft.util.RelCache.clear()
 
   /** Content hash per document. */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
@@ -193,7 +179,7 @@ object Dedup {
       .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
   }
 
-  /** 16-bit SimHash per doc over distinct space-separated tokens: bit b is
+  /** 64-bit SimHash per doc over distinct space-separated tokens: bit b is
     * set when the signed sum of token-hash bit b is positive. One codegen'd
     * pass per doc (graft.functions.SimhashSig) — no token explode, no
     * shuffle. Token-less docs are dropped (parity with the relational
@@ -203,18 +189,40 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.SimhashSig.simhash_sig(col("text")).as("simhash"))
 
-  /** SimHash near-dup pairs within a blocking key (hamming <= maxHamming). */
+  /** SimHash near-dup pairs within a blocking key (hamming <= maxHamming),
+    * found by PIGEONHOLE chunk blocking, never an all-pairs join: split the
+    * 64-bit signature into maxHamming+1 equal chunks — a pair at hamming <=
+    * maxHamming differs in at most maxHamming chunks, so it must agree on
+    * at least one whole chunk — and equi-join on (source, chunk_idx,
+    * chunk_bits). Candidate volume is bounded by chunk-bucket sizes (docs
+    * sharing 16 signature bits), not by m^2 per source; the post-join
+    * hamming filter only verifies. The DuckDB oracle intentionally computes
+    * the UNBLOCKED all-pairs form, so the gate independently re-proves the
+    * pigeonhole completeness argument on every run. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // persisted: the blocked self-join would otherwise run the one-pass
+    val nChunks = maxHamming + 1
+    require(64 % nChunks == 0, s"64 must divide into ${nChunks} chunks")
+    val width = 64 / nChunks
+    val mask = (1L << width) - 1
+    // persisted: the chunk self-join would otherwise run the one-pass
     // signature once per side
     val sh = memoPersist(simhash(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+    val chunked = sh.select(col("doc_id"), col("source"), col("simhash"),
+      explode(array((0 until nChunks).map(c =>
+        struct(lit(c).as("ci"),
+          expr(s"shiftrightunsigned(simhash, ${c * width}) & $mask").as("cv"))): _*))
+        .as("ck"))
+      .select(col("doc_id"), col("source"), col("simhash"),
+        col("ck.ci").as("ci"), col("ck.cv").as("cv"))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b, col("a.source") === col("b.source") && col("a.ci") === col("b.ci") &&
+        col("a.cv") === col("b.cv") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity join with PPJoin-style prefix

@@ -46,17 +46,52 @@ object Similarity {
       .select(col("query_id"), col("__s.id").as("neighbor_id"),
         col("__s.score").as("cosine"), (col("__r") + 1).cast("int").as("rank"))
 
-  /** Near-duplicate pairs within the same label, cosine >= threshold.
-    * The label is the blocking key; on unlabeled corpora use lshBucket as
-    * the blocking key instead. */
-  def nearDup(emb: DataFrame, threshold: Double): DataFrame = {
-    val n = withNorm(emb)
-    val a = n.as("a")
-    val b = n.as("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding"), col("a.nrm"), col("b.nrm"))
-          .as("cosine"))
+  /** Near-duplicate pairs (cosine >= threshold), blocked by (label,
+    * sign-LSH bucket) — never label-only: an all-pairs-within-label join
+    * materializes sum(label_size^2) pairs, which at 100 TB is an all-pairs
+    * join in disguise. Here each vector lands in `tables` buckets (one per
+    * LSH table, disjoint hyperplane sets), pairs come from equi-joining on
+    * (label, table, bucket), and the cosine filter only verifies
+    * candidates, so candidate volume is bounded by bucket sizes.
+    *
+    * Recall argument (documented knob, SURVEY §6): with axis-sign
+    * hyperplanes, P[bit agrees] = 1 - theta/pi (~0.61 at cosine 0.35). One
+    * B-bit table catches a qualifying pair with p^B; the OR over `tables`
+    * disjoint tables plus hamming<=1 multi-probe (probe side flips each
+    * bucket bit once) lifts the catch rate to
+    * 1 - (1 - (p^B + B*(1-p)*p^(B-1)))^tables  (~0.93 at cosine 0.35 for
+    * 4 tables x 4 bits). Raising `tables`/probes trades candidate volume
+    * for recall; the DuckDB oracle mirrors the same blocking exactly. */
+  def nearDup(emb: DataFrame, threshold: Double, tables: Int = 4,
+      bits: Int = 4, probe: Boolean = true): DataFrame = {
+    val n = graft.util.RelCache.persist(withNorm(emb))
+    val bk = graft.util.RelCache.persist(
+      n.select(col("vec_id"), col("label"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            lshTableBucket(col("embedding"), t, bits).as("bucket"))): _*)).as("tb"))
+        .select(col("vec_id"), col("label"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+    // multi-probe rows live on ONE side of the pair join: a.probe hits
+    // b.bucket whenever the two buckets differ in <= 1 bit, regardless of
+    // which doc holds the lower id
+    val probes =
+      if (!probe) bk.withColumnRenamed("bucket", "pb")
+      else bk.select(col("vec_id"), col("label"), col("tbl"),
+        explode(array(col("bucket") +: (0 until bits).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("pb"))
+    val cand = probes.as("a").join(bk.as("b"),
+        col("a.label") === col("b.label") && col("a.tbl") === col("b.tbl") &&
+          col("a.pb") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "vec_a")
+      .join(n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("ea"), col("eb"), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -79,6 +114,20 @@ object Similarity {
     (0 until bits).map(j =>
       when(element_at(v, j * 8 + 1) > 0.0f, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** Bucket for LSH table `table` in a multi-table (OR-construction)
+    * scheme: bit j tests the sign of element table*bits + j + 1, so every
+    * table reads a DISJOINT slice of the vector (independent-ish
+    * hyperplanes without any RNG — reproducible in any engine). Elements
+    * past the vector's length count as sign 0, matching SQL's NULL
+    * out-of-range indexing. */
+  def lshTableBucket(v: Column, table: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      val idx = table * bits + j + 1
+      when(size(v) >= idx,
+        when(element_at(v, idx) > 0.0f, lit(1L << j)).otherwise(lit(0L)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** IVF ANN: the corpus is assigned to its nearest coarse-quantizer cell;
     * each query probes its `nprobe` nearest cells (nprobe=1 is the fastest/
@@ -119,16 +168,59 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** LSH-bucketed ANN: candidates restricted to the query's bucket, then
-    * exact cosine top-k within it. */
-  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = withNorm(corpus).withColumn("bucket", lshBucket(col("embedding"))).as("c")
-    val q = withNorm(queries).withColumn("bucket", lshBucket(col("embedding"))).as("q")
-    val scored = c.join(broadcast(q),
-        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        cosine(col("q.embedding"), col("c.embedding"), col("q.nrm"), col("c.nrm"))
-          .as("cosine"))
+  /** LSH-bucketed ANN: `tables` independent sign-LSH tables of `bits`
+    * hyperplanes each (OR-construction), candidates = corpus vectors
+    * sharing any table bucket with the query (multi-probe: the query also
+    * probes every bucket at hamming 1), then exact cosine top-k over the
+    * deduplicated candidates.
+    *
+    * Scale shape: the corpus is bucketed once (`tables` rows per vector —
+    * linear), probes are expanded on the broadcast-small QUERY side only
+    * (tables * (bits+1) rows per query), and per-(table, bucket) candidate
+    * volume is corpus/2^bits per table — with bits=16 that is a 65,536-way
+    * split per table, the knob the 8-bit single-table revision lacked.
+    * Recall at a given neighbor cosine: per-table catch p^bits +
+    * bits*(1-p)*p^(bits-1) with p = 1 - theta/pi, OR'd over tables;
+    * measured against bruteForceTopK in SURVEY §6. */
+  /** Bucket xors for every flip of up to `radius` of `bits` bits (the
+    * multi-probe sequence; radius 2 and bits 16 -> 137 probes). */
+  private[graft] def probeFlips(bits: Int, radius: Int): Seq[Long] = {
+    def combos(from: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (from until bits).flatMap(j => combos(j + 1, left - 1).map(_ | (1L << j)))
+    (0 to radius).flatMap(r => combos(0, r))
+  }
+
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int, tables: Int = 4,
+      bits: Int = 16, probeHamming: Int = 2): DataFrame = {
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            lshTableBucket(col("embedding"), t, bits).as("bucket"))): _*)).as("tb"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val c = withNorm(corpus)
+    val q = withNorm(queries)
+    val cb = bucketed(c)
+    val qb = bucketed(q)
+    val qprobes = qb.select(col("vec_id"), col("tbl"),
+      explode(array(probeFlips(bits, probeHamming).map(f =>
+        col("bucket").bitwiseXOR(lit(f))): _*)).as("pb"))
+    // distinct BEFORE scoring: a (query, neighbor) pair found by several
+    // tables/probes must be scored once or top-k would emit duplicates
+    val cand = cb.as("c").join(broadcast(qprobes.as("q")),
+        col("q.tbl") === col("c.tbl") && col("q.pb") === col("c.bucket") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"))), "query_id")
+      .join(c.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("nrm").as("nn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ne"), col("qn"), col("nn")).as("cosine"))
     rankTopK(scored, k)
   }
 }

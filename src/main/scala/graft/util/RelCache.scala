@@ -1,0 +1,54 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Bounded derived-relation memo shared by the pipeline operators.
+  *
+  * Signature / gram-set / bucket relations are pinned and REUSED across
+  * operators on the same input (minhashLsh, nearDupPairs and nearDupKeep
+  * over one corpus share one signature pass). Keyed by the canonicalized
+  * analyzed plan, so cache equality means semantically-identical input +
+  * parameters. These relations are exactly the artifacts a production
+  * pipeline checkpoints.
+  *
+  * The memo is an LRU bounded at [[MaxEntries]]: the eldest relation is
+  * unpersisted when a distinct (corpus, parameters) combination would
+  * otherwise pin storage for the session lifetime. Long-lived drivers
+  * (Bench, notebooks) should still call [[clear]] between corpora — an
+  * identical plan string over REWRITTEN underlying files would return the
+  * stale pinned relation, the usual contract of Spark's own table cache.
+  */
+object RelCache {
+  private val MaxEntries = 48
+
+  // Keyed by the canonicalized plan OBJECT, not its string rendering: plan
+  // equality is structural and includes literal data (LocalRelation rows),
+  // while toString truncates — two different in-memory corpora with the
+  // same schema would otherwise alias to one entry and return stale data.
+  private val cache =
+    new java.util.LinkedHashMap[(SparkSession, Any), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Any), DataFrame]): Boolean = {
+        val evict = size() > MaxEntries
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
+
+  def persist(df: DataFrame): DataFrame = synchronized {
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+      cache.put(key, pinned)
+      pinned
+    }
+  }
+
+  def clear(): Unit = synchronized {
+    cache.values.forEach(_.unpersist())
+    cache.clear()
+  }
+}

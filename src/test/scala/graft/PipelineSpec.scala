@@ -39,10 +39,26 @@ class PipelineSpec extends SparkSpec {
   test("simhash: identical docs get identical signatures") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))
-    assert(sh.values.forall(v => v >= 0 && v < 65536))
+    assert(sh.values.toSet.size > 1) // 64-bit signatures separate distinct docs
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 2L))) // hamming 0: found via every chunk
+  }
+
+  test("simhash pigeonhole blocking == all-pairs filter (completeness)") {
+    // Random-ish corpus: the chunked equi-join must produce exactly the
+    // pairs an all-pairs hamming filter would (pigeonhole argument).
+    val many = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} shared common words here", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val blocked = Dedup.simhashPairs(many, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sh = Dedup.simhash(many).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allPairs = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(blocked == allPairs)
   }
 
   test("ngram jaccard: exact dup scores 1.0, near dup high, distinct low") {
