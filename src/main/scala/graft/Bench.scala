@@ -78,6 +78,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // long-lived drivers release the bounded relation memo explicitly
+    graft.pipeline.Dedup.clearCache()
     spark.stop()
   }
 }

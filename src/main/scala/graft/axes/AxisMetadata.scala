@@ -46,8 +46,15 @@ object AxisMetadata {
     val over = m.getBoolean("overflow")
     m.getString("bin_type") match {
       case "Regular" =>
+        // Legacy fallback: revisions before the AxTransform ADT wrote a
+        // 'log' boolean instead of the 'transform' tag; parquet histograms
+        // persisted by them must still round-trip.
+        val transform =
+          if (m.contains("transform")) AxTransform.fromTag(m.getString("transform"))
+          else if (m.contains("log") && m.getBoolean("log")) LogT
+          else IdT
         Regular(name, m.getLong("n").toInt, m.getDouble("lo"), m.getDouble("hi"),
-          under, over, transform = AxTransform.fromTag(m.getString("transform")))
+          under, over, transform = transform)
       case "Variable" => Variable(name, m.getDoubleArray("edges"), under, over)
       case "IntegerAxis" => IntegerAxis(name, m.getLong("lo"), m.getLong("hi"), under, over)
       case "IntCategory" => IntCategory(name, m.getLongArray("values").toSeq, over)

@@ -113,7 +113,11 @@ case object SqrtT extends AxTransform {
 final case class PowT(p: Double) extends AxTransform {
   require(p != 0.0)
   def fwd(x: Double): Double = if (p == 2.0) x * x else math.pow(x, p)
-  def inv(y: Double): Double = math.pow(y, 1.0 / p)
+  // negative y only reaches here for odd-integer p (see the Regular
+  // monotonicity guard), where the real root is -(-y)^(1/p) — pow itself
+  // returns NaN for a negative base with fractional exponent
+  def inv(y: Double): Double =
+    if (y < 0) -math.pow(-y, 1.0 / p) else math.pow(y, 1.0 / p)
   def fwdCol(x: Column): Column =
     if (p == 2.0) x * x else pow(x, lit(p))
   def fwdSql(v: String): String =
@@ -140,6 +144,14 @@ final case class Regular(name: String, n: Int, lo: Double, hi: Double,
   require(n > 0 && hi > lo)
   require(tf != LogT || lo > 0)
   require(tf != SqrtT || lo >= 0)
+  // PowT must be monotonic on [lo, hi): x^p is monotonic there only for
+  // x >= 0 (or any x when p is an odd integer). A negative lo with e.g.
+  // p = 2 silently yields tSpan = 0 and NaN edges — fail loudly like the
+  // LogT/SqrtT guards.
+  require(tf match {
+    case PowT(p) => lo >= 0 || (p == math.rint(p) && math.rint(p).toLong % 2 != 0)
+    case _ => true
+  }, s"PowT requires lo >= 0 (or an odd-integer exponent); got lo=$lo")
   def nBins: Int = n
   private val span = hi - lo
   private val widthV = span / n

@@ -127,9 +127,14 @@ case class HistVectorDecAgg(
         }
         // Mirror of Spark's double->DECIMAL(38,14) cast: shortest string
         // representation, then HALF_UP to scale 14 (graft.util.Dec.toDec).
-        val u = new JBD(java.lang.Double.toString(w))
-          .setScale(14, RoundingMode.HALF_UP).unscaledValue()
-        buf(slot) = buf(slot).add(u)
+        // The cast yields NULL — row skipped — for non-finite weights and
+        // for values that overflow precision 38; diverging here (throwing)
+        // would break the documented bit-parity with the sparse path.
+        if (java.lang.Double.isFinite(w)) {
+          val d = new JBD(java.lang.Double.toString(w))
+            .setScale(14, RoundingMode.HALF_UP)
+          if (d.precision() <= 38) buf(slot) = buf(slot).add(d.unscaledValue())
+        }
       }
     }
     buf

@@ -32,7 +32,9 @@ object Oracle {
     val idxExprs = specs.zipWithIndex
       .map { case (s, k) => s"${s.axis.indexSql(s.valueSql)} AS __i$k" }
       .mkString(", ")
-    val wSel = weightSql.map(w => s", CAST(CAST($w AS VARCHAR) AS DECIMAL(38,14)) AS __w").getOrElse("")
+    // TRY_CAST mirrors Dec.toDec: non-finite / overflow weights -> NULL
+    // (skipped by SUM) in both engines
+    val wSel = weightSql.map(w => s", TRY_CAST(CAST($w AS VARCHAR) AS DECIMAL(38,14)) AS __w").getOrElse("")
     val whereSql = where.map(w => s" WHERE $w").getOrElse("")
 
     val keep = specs.zipWithIndex.map { case (s, k) =>
@@ -107,7 +109,7 @@ object Oracle {
     val dimsSel = if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
     val groupCols = (dims :+ "__i0").mkString(", ")
     val wSel = weightSql
-      .map(w => s", CAST(CAST($w AS VARCHAR) AS DECIMAL(38,14)) AS __w").getOrElse("")
+      .map(w => s", TRY_CAST(CAST($w AS VARCHAR) AS DECIMAL(38,14)) AS __w").getOrElse("")
     val cnt = weightSql.map(_ => exactDbl("SUM(__w)")).getOrElse("CAST(COUNT(*) AS DOUBLE)")
     s"WITH __idx AS (SELECT $dimsSel${ax.indexSql(valueSql)} AS __i0$wSel FROM $table), " +
       s"__f AS (SELECT * FROM __idx WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${ax.nBins - 1}), " +

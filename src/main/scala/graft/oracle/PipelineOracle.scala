@@ -11,6 +11,10 @@ import graft.pipeline.TextAnalysis
   */
 object PipelineOracle {
 
+  /** SQL string literal with single quotes doubled — interpolated source
+    * names / salts must not break or alter the oracle query. */
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+
   val dedupExact: String =
     "SELECT doc_id, md5(text) AS content_hash, " +
       "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS keep " +
@@ -320,10 +324,10 @@ object PipelineOracle {
       salt: String): String = {
     import graft.pipeline.Sampling.threshold
     val thr = rates.toSeq.sortBy(_._1)
-      .map { case (s, r) => s"WHEN source = '$s' THEN CAST(${threshold(r)} AS BIGINT)" }
+      .map { case (s, r) => s"WHEN source = ${q(s)} THEN CAST(${threshold(r)} AS BIGINT)" }
       .mkString("CASE ", " ", s" ELSE CAST(${threshold(defaultRate)} AS BIGINT) END")
     s"SELECT doc_id, source FROM documents WHERE " +
-      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':$salt'), 1, 15))::BIGINT < $thr"
+      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':' || ${q(salt)}), 1, 15))::BIGINT < $thr"
   }
 
   /** Per-source corpus profile (mirrors TextAnalysis.corpusStats). */
@@ -338,7 +342,7 @@ object PipelineOracle {
     * the n smallest salted hashes per source. */
   def sampleExactPerSource(n: Int, salt: String): String =
     "WITH h AS (SELECT source, doc_id, " +
-      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':$salt'), 1, 15))::BIGINT AS hh " +
+      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':' || ${q(salt)}), 1, 15))::BIGINT AS hh " +
       "FROM documents), " +
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h) " +
       s"SELECT source, doc_id FROM r WHERE rn <= $n"

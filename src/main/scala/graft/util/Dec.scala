@@ -26,10 +26,15 @@ object Dec {
   /** Double -> decimal via Spark's native cast, which goes through the
     * double's SHORTEST decimal representation (Decimal(d.toString)). This is
     * the one per-row conversion BOTH engines can express: the oracle mirrors
-    * it as CAST(CAST(x AS VARCHAR) AS DECIMAL(38,14)) — DuckDB's direct
+    * it as TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL(38,14)) — DuckDB's direct
     * double->decimal cast is approximate (multiplies by 10^scale in double),
-    * and DuckDB cannot express the exact-binary expansion at all. */
-  def toDec(c: Column): Column = c.cast(D)
+    * and DuckDB cannot express the exact-binary expansion at all.
+    *
+    * try_cast, not cast: NaN/Infinity and precision-38 overflow become NULL
+    * (row skipped by SUM) in BOTH engines and under ANSI mode — the same
+    * skip semantics HistVectorDecAgg implements — instead of an
+    * ANSI-dependent crash. */
+  def toDec(c: Column): Column = c.try_cast(D)
 
   /** Exact decimal -> double, bit-identical to Oracle.exactDbl. */
   def exactDouble(s: Column): Column = {

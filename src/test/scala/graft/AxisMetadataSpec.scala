@@ -37,6 +37,27 @@ class AxisMetadataSpec extends SparkSpec {
     }
   }
 
+  test("legacy 'log' boolean metadata still recovers the transform") {
+    // Revisions before the AxTransform ADT wrote {'log': true|false}; a
+    // histogram parquet persisted by them must still round-trip.
+    def legacy(log: Boolean) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("bin_type", "Regular").putString("name", "x")
+      .putBoolean("underflow", true).putBoolean("overflow", true)
+      .putLong("n", 4L).putDouble("lo", 1.0).putDouble("hi", 100.0)
+      .putBoolean("log", log).build()
+    assert(AxisMetadata.fromMetadata(legacy(true)) ==
+      Regular("x", 4, 1.0, 100.0, transform = LogT))
+    assert(AxisMetadata.fromMetadata(legacy(false)) == Regular("x", 4, 1.0, 100.0))
+  }
+
+  test("PowT requires a monotonic domain, like the LogT/SqrtT guards") {
+    intercept[IllegalArgumentException](
+      Regular("x", 4, -2.0, 2.0, transform = PowT(2.0)))
+    // odd-integer exponents are monotonic over negatives: allowed
+    val odd = Regular("x", 4, -2.0, 2.0, transform = PowT(3.0))
+    assert(odd.edges.forall(e => !e.isNaN))
+  }
+
   test("histogram -> parquet -> reload -> stats without re-supplying the axis") {
     val ax = Regular("x", 4, 0.0, 8.0)
     val h = Histogram.histogram(Seq(1.0, 3.0, 3.5, 7.0).toDF("x"), col("x"), ax)

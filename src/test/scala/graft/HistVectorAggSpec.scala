@@ -58,4 +58,21 @@ class HistVectorAggSpec extends SparkSpec {
     assert(denseBits(7) == sparseBits)
     assert(denseBits(32) == sparseBits)
   }
+
+  test("non-finite / overflowing weights are skipped like the sparse cast") {
+    // The sparse path's double->DECIMAL(38,14) cast yields NULL (row
+    // skipped) for NaN/Infinity and precision-38 overflow; the dense
+    // decimal aggregate must not crash and must keep matching bit-for-bit.
+    val df = Seq((0.5, 2.0), (0.5, Double.NaN), (0.5, Double.PositiveInfinity),
+      (1.5, Double.NegativeInfinity), (1.5, 1.0e30), (1.5, 4.0))
+      .toDF("x", "w").repartition(3)
+    val ax = Regular("x", 2, 0.0, 2.0)
+    val dense = HistVectorAgg.histogram(df, col("x"), ax, Nil, Some(col("w")))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sparse = Histogram.histogram(df, col("x"), ax, Nil,
+        HistOptions(weight = Some(col("w")), dense = true))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(dense == sparse)
+    assert(dense == Map(0.0 -> 2.0, 1.0 -> 4.0))
+  }
 }
