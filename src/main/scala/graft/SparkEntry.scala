@@ -375,6 +375,37 @@ object SparkEntry {
     "q51_multimodal" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       Multimodal.pipeline(t(dir, "documents"))
+    },
+    "q68_hist_add" -> { (s, dir) =>
+      // boost h1 + h2: sum of two histograms over the same axis. Gated
+      // self-validatingly: adding the per-linestatus histograms must equal
+      // the direct histogram of the union (counts are integer-exact).
+      implicit val sp: SparkSession = s
+      val li = t(dir, "lineitem")
+      val h1 = Histogram.histogram(li.filter(col("l_linestatus") === "F"),
+        col("l_quantity"), axQty)
+      val h2 = Histogram.histogram(li.filter(col("l_linestatus") === "O"),
+        col("l_quantity"), axQty)
+      HistStats.add(h1, h2, axQty, Nil)
+    },
+    "q69_hist_cumulative" -> { (s, dir) =>
+      // running total along the bins axis per group (ECDF numerator)
+      implicit val sp: SparkSession = s
+      val h = hist(dir, "lineitem", col("l_quantity"), axQty, dims = Seq("l_returnflag"))
+      HistStats.cumulative(h, axQty, Seq("l_returnflag"))
+    },
+    "q70_bins_flow" -> { (s, dir) =>
+      // accessor bins/edges/centers/widths with flow=True: flow rows carry
+      // the flow label as coordinate AND center, width 1
+      HistStats.binsTable(s, axAcctVar, flow = true)
+    },
+    "q71_normalize_vars" -> { (s, dir) =>
+      // accessor.normalize(variables=['l_quantity']) on the 2-D histogram:
+      // the discount axis stays a loop dim
+      implicit val sp: SparkSession = s
+      val h2 = Histogram.histogramdd(t(dir, "lineitem"),
+        Seq(col("l_quantity") -> axQty10, col("l_discount") -> axDisc))
+      HistStats.normalizeOver(h2, Seq(axQty10, axDisc), Seq(axQty10), Nil)
     }
   )
 
@@ -495,6 +526,16 @@ object SparkEntry {
       Seq("l_returnflag"), weightSql = Some("l_extendedprice")),
     "q57_repetition" -> PipelineOracle.repetition,
     "q58_sample_mix" -> PipelineOracle.sampleBySource(
-      mixRates, defaultRate = 0.15, salt = "mix1")
+      mixRates, defaultRate = 0.15, salt = "mix1"),
+    // h1 + h2 over disjoint slices == direct histogram of the union (the
+    // oracle is the DIRECT form — it independently proves add()'s algebra)
+    "q68_hist_add" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty)),
+      where = Some("l_linestatus IN ('F', 'O')")),
+    "q69_hist_cumulative" -> Oracle.cumulativeSql("lineitem", "l_quantity", axQty,
+      Seq("l_returnflag")),
+    "q70_bins_flow" -> Oracle.binsTableSql(axAcctVar, flow = true),
+    "q71_normalize_vars" -> Oracle.normalizeOverSql("lineitem",
+      Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc)),
+      overIdx = Seq(0), dims = Nil)
   )
 }

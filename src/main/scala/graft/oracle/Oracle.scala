@@ -200,9 +200,58 @@ object Oracle {
   }
 
   /** Static bins metadata table (accessor edges/centers/widths). */
-  def binsTableSql(ax: BinAxis): String =
+  def binsTableSql(ax: BinAxis, flow: Boolean = false): String = {
+    val lo = if (flow && ax.underflow) -1 else 0
+    val hi = if (flow && ax.overflow) ax.nBins else ax.nBins - 1
+    val center =
+      if (flow)
+        s"CASE WHEN i = -1 OR i = ${ax.nBins} THEN (${ax.labelSql("i")}) " +
+          s"ELSE (${ax.labelSql("i")}) + (${ax.widthSql("i")}) / ${dbl(2.0)} END"
+      else s"(${ax.labelSql("i")}) + (${ax.widthSql("i")}) / ${dbl(2.0)}"
     s"SELECT CAST(i AS BIGINT) AS idx, ${ax.labelSql("i")} AS left_edge, " +
-      s"(${ax.labelSql("i")}) + (${ax.widthSql("i")}) / ${dbl(2.0)} AS center, " +
+      s"$center AS center, " +
       s"${ax.widthSql("i")} AS width " +
-      s"FROM (SELECT UNNEST(generate_series(0, ${ax.nBins - 1})) AS i)"
+      s"FROM (SELECT UNNEST(generate_series($lo, $hi)) AS i)"
+  }
+
+  /** Mirrors HistStats.cumulative over a no-flow histogram: running total
+    * of counts along the bins axis per group. Counts are integer-valued
+    * doubles (< 2^53), so the running double SUM is exact and equals the
+    * Spark side's decimal-exact accumulation. */
+  def cumulativeSql(table: String, valueSql: String, ax: BinAxis,
+      dims: Seq[String]): String = {
+    val h = hist(table, Seq(Spec(valueSql, ax)), dims)
+    val part = if (dims.isEmpty) "" else s"PARTITION BY ${dims.mkString(", ")} "
+    s"WITH __h AS ($h) SELECT *, CAST(SUM(cnt) OVER ($part" +
+      s"ORDER BY ${ax.binsCol} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS DOUBLE) AS cum_cnt FROM __h"
+  }
+
+  /** Mirrors HistStats.normalizeOver on a no-flow N-D histogram: pdf =
+    * (cnt / area(over)) / total, the total summed along the normalized
+    * variables only (the other bin axes stay loop dims). */
+  def normalizeOverSql(table: String, specs: Seq[Spec], overIdx: Seq[Int],
+      dims: Seq[String]): String = {
+    require(overIdx.nonEmpty && overIdx.forall(specs.indices.contains))
+    val idx = specs.indices.map(k => s"__i$k")
+    val dimsSel = if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
+    val idxExprs = specs.zipWithIndex
+      .map { case (s, k) => s"${s.axis.indexSql(s.valueSql)} AS __i$k" }
+      .mkString(", ")
+    val keep = specs.zipWithIndex.map { case (s, k) =>
+      s"__i$k IS NOT NULL AND __i$k >= 0 AND __i$k <= ${s.axis.nBins - 1}"
+    }.mkString(" AND ")
+    val groupCols = (dims ++ idx).mkString(", ")
+    val loop = dims ++ specs.indices.filterNot(overIdx.contains).map(k => s"__i$k")
+    val part = if (loop.isEmpty) "" else s"PARTITION BY ${loop.mkString(", ")}"
+    val total = exactDbl(s"SUM(CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,14))) OVER ($part)")
+    val area = overIdx.map(k => s"(${specs(k).axis.widthSql(s"__i$k")})").mkString(" * ")
+    val labels = specs.zipWithIndex
+      .map { case (s, k) => s"(${s.axis.labelSql(s"__i$k")}) AS ${s.axis.binsCol}" }
+      .mkString(", ")
+    s"WITH __idx AS (SELECT $dimsSel$idxExprs FROM $table), " +
+      s"__f AS (SELECT * FROM __idx WHERE $keep), " +
+      s"__g AS (SELECT $groupCols, CAST(COUNT(*) AS DOUBLE) AS cnt FROM __f GROUP BY $groupCols) " +
+      s"SELECT $dimsSel$labels, cnt / ($area) / ($total) AS pdf FROM __g"
+  }
 }

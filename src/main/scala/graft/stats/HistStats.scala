@@ -184,37 +184,61 @@ object HistStats {
     * the accessor's `normalize` over an already-computed histogram. */
   def normalize(hist: DataFrame, ax: BinAxis, dims: Seq[String]): DataFrame = {
     val isFlow = isFlowLabel(ax)
-    val width = labelWidth(ax)
     val w = Window.partitionBy(dims.map(col): _*)
     val total = graft.util.Dec.exactDouble(
       sum(graft.util.Dec.toDec(
         when(isFlow, lit(0.0)).otherwise(col("cnt")))).over(w))
-    hist.withColumn("pdf",
-        col("cnt") / when(isFlow, lit(1.0)).otherwise(width) / total)
-      .drop("cnt")
+    val outCols = hist.columns.filterNot(_ == "cnt").map(col) :+ col("pdf")
+    withLabelWidth(hist, ax, "__bw")
+      .withColumn("pdf",
+        col("cnt") / when(isFlow, lit(1.0)).otherwise(col("__bw")) / total)
+      .select(outCols: _*)
   }
 
-  /** Width looked up from the label (exact literal match — labels were
-    * generated from the same edge literals). */
-  private def labelWidth(ax: BinAxis): Column = {
-    val edges = axisEdges(ax)
-    val widths = axisWidths(ax)
-    edges.zip(widths).foldLeft(lit(1.0)) { case (acc, (e, w)) =>
-      when(col(ax.binsCol) === lit(e), lit(w)).otherwise(acc)
+  /** Normalize an N-D histogram along a SUBSET of its variables
+    * (accessor.normalize(variables=...) -> core.py:649-663): pdf = cnt /
+    * area(over bins) / total, where total sums the no-flow histogram along
+    * the normalized variables ONLY — the other bin axes remain loop
+    * dimensions — and area is the product of the chosen axes' widths
+    * (flow bins count as area 1, matching get_area). */
+  def normalizeOver(hist: DataFrame, axes: Seq[BinAxis], over: Seq[BinAxis],
+      dims: Seq[String]): DataFrame = {
+    require(over.nonEmpty && over.forall(axes.contains), "normalize variables must be axes")
+    val loopBins = axes.filterNot(over.contains).map(_.binsCol)
+    val w = Window.partitionBy((dims ++ loopBins).map(col): _*)
+    val anyFlow = axes.map(isFlowLabel).reduce(_ || _)
+    val total = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(when(anyFlow, lit(0.0)).otherwise(col("cnt")))).over(w))
+    val withWidths = over.zipWithIndex.foldLeft(hist) { case (df, (ax, k)) =>
+      withLabelWidth(df, ax, s"__bw$k")
     }
+    val area = over.zipWithIndex.map { case (ax, k) =>
+      when(isFlowLabel(ax), lit(1.0)).otherwise(col(s"__bw$k"))
+    }.reduce(_ * _)
+    val outCols = hist.columns.filterNot(_ == "cnt").map(col) :+ col("pdf")
+    withWidths.withColumn("pdf", col("cnt") / area / total).select(outCols: _*)
   }
+
+  /** Width column looked up by broadcast-joining the axis's bins table on
+    * the label (exact literal match — labels were generated from the same
+    * edge literals). A join, not an O(nBins) CASE chain: a 10k-bin
+    * Variable axis would otherwise build a 10k-deep when() expression and
+    * fall out of whole-stage codegen. Labels with no matching regular bin
+    * (flow bins, categorical/integer axes) get width 1. */
+  private def withLabelWidth(hist: DataFrame, ax: BinAxis, out: String): DataFrame =
+    if (axisEdges(ax).isEmpty) hist.withColumn(out, lit(1.0))
+    else {
+      val bt = broadcast(binsTable(hist.sparkSession, ax)
+        .select(col("left_edge").as(ax.binsCol), col("width").as(out)))
+      hist.join(bt, Seq(ax.binsCol), "left")
+        .withColumn(out, coalesce(col(out), lit(1.0)))
+    }
 
   private def axisEdges(ax: BinAxis): Array[Double] = ax match {
     case a: graft.axes.Regular => a.edges
     case a: graft.axes.Variable => a.edges
     case a: graft.axes.Circular => a.edges
     case _ => Array.empty // categorical / integer axes: unit-width bins
-  }
-  private def axisWidths(ax: BinAxis): Array[Double] = ax match {
-    case a: graft.axes.Regular => a.widths
-    case a: graft.axes.Variable => a.widths
-    case a: graft.axes.Circular => a.widths
-    case _ => Array.empty
   }
 
   /** Remove flow bins from a labelled histogram (accessor.py:278-305). */
@@ -226,14 +250,23 @@ object HistStats {
     hist.withColumn(ax.binsCol, col(ax.binsCol) * lit(factor))
 
   /** Static per-axis bins metadata table: idx, left edge, center, width
-    * (accessor edges/centers/widths, accessor.py:165-229). Pure metadata —
-    * never scans data. */
-  def binsTable(spark: SparkSession, ax: BinAxis): DataFrame =
-    spark.range(0, ax.nBins).select(
+    * (accessor edges/centers/widths, accessor.py:148-230). Pure metadata —
+    * never scans data. With `flow = true` the axis's flow bins are included
+    * as idx -1 / nBins rows: their coordinate is the flow label (-inf/+inf,
+    * Long.Min/Max, "_flow_bin"), their center equals that label ("the
+    * centers of flow bins are the same as their position"), and their
+    * width is 1 — the accessor's flow=True coordinate contract. */
+  def binsTable(spark: SparkSession, ax: BinAxis, flow: Boolean = false): DataFrame = {
+    val lo = if (flow && ax.underflow) -1L else 0L
+    val hi = if (flow && ax.overflow) ax.nBins + 1L else ax.nBins.toLong
+    val isFlowIdx = col("id") === lit(-1L) || col("id") === lit(ax.nBins.toLong)
+    spark.range(lo, hi).select(
       col("id").as("idx"),
       ax.label(col("id")).as("left_edge"),
-      (ax.label(col("id")) + ax.width(col("id")) / lit(2.0)).as("center"),
+      when(isFlowIdx, ax.label(col("id")))
+        .otherwise(ax.label(col("id")) + ax.width(col("id")) / lit(2.0)).as("center"),
       ax.width(col("id")).as("width"))
+  }
 
   /** Bin areas over multiple axes: the cross product of the axes' bin
     * tables with area = product of widths (accessor.areas,

@@ -166,4 +166,42 @@ class HistStatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
     assert(bt.toSeq == Seq((0L, 0.0, 0.5, 1.0), (1L, 1.0, 2.0, 2.0)))
   }
+
+  test("binsTable flow=true: flow rows carry the label as coordinate and center") {
+    val bt = HistStats.binsTable(spark, Variable("v", Array(0.0, 1.0, 3.0)), flow = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(bt.toSeq == Seq(
+      (-1L, Double.NegativeInfinity, Double.NegativeInfinity, 1.0),
+      (0L, 0.0, 0.5, 1.0), (1L, 1.0, 2.0, 2.0),
+      (2L, Double.PositiveInfinity, Double.PositiveInfinity, 1.0)))
+  }
+
+  test("normalizeOver: subset normalization leaves the other axes as loop dims") {
+    // 2-D histogram over (x, g-as-axis): normalize along x only; for each
+    // y-bin the pdf integrates to 1 over x
+    val d2 = Seq((0.5, 0.5), (1.5, 0.5), (1.5, 0.5), (0.5, 2.5), (2.5, 2.5))
+      .toDF("x", "y")
+    val ay = Variable("y", Array(0.0, 2.0, 4.0))
+    val h2 = graft.operators.Histogram.histogramdd(d2,
+      Seq(col("x") -> ax, col("y") -> ay))
+    val p = HistStats.normalizeOver(h2, Seq(ax, ay), Seq(ax), Nil).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getAs[Double]("pdf")).toMap
+    // y-bin [0,2): 3 rows; x widths are 1 -> pdf sums to 1 over x
+    assert(math.abs(p((0.0, 0.0)) - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(p((1.0, 0.0)) - 2.0 / 3.0) < 1e-12)
+    // y-bin [2,4): 2 rows
+    assert(math.abs(p((0.0, 2.0)) - 1.0 / 2.0) < 1e-12)
+    assert(math.abs(p((2.0, 2.0)) - 1.0 / 2.0) < 1e-12)
+  }
+
+  test("normalize stays exact on a 10k-bin variable axis (join, not CASE chain)") {
+    val edges = Array.tabulate(10001)(_ * 0.001)
+    val big = Variable("x", edges)
+    val d = Seq(0.0005, 0.0005, 5.0005).toDF("x")
+    val h = Histogram.histogram(d, col("x"), big)
+    val p = HistStats.normalize(h, big, Nil).collect()
+      .map(r => r.getDouble(0) -> r.getAs[Double]("pdf")).toMap
+    assert(math.abs(p(0.0) - 2.0 / 0.001 / 3.0) < 1e-6)
+    assert(math.abs(p(5.0) - 1.0 / 0.001 / 3.0) < 1e-6)
+  }
 }
