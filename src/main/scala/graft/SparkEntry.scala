@@ -406,6 +406,17 @@ object SparkEntry {
       val h2 = Histogram.histogramdd(t(dir, "lineitem"),
         Seq(col("l_quantity") -> axQty10, col("l_discount") -> axDisc))
       HistStats.normalizeOver(h2, Seq(axQty10, axDisc), Seq(axQty10), Nil)
+    },
+    "q72_stream_dedup" -> { (s, dir) =>
+      // the flatMapGroupsWithState dedup operator run on batch input
+      // (empty initial state; each hash group processed once) — same
+      // oracle-able semantics as q53's batch-run streaming histogram
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val ev = t(dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
+        .as[graft.streaming.StreamingHist.DocEvent]
+      graft.streaming.StreamingHist.streamingDedup(ev).toDF()
     }
   )
 
@@ -536,6 +547,7 @@ object SparkEntry {
     "q70_bins_flow" -> Oracle.binsTableSql(axAcctVar, flow = true),
     "q71_normalize_vars" -> Oracle.normalizeOverSql("lineitem",
       Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc)),
-      overIdx = Seq(0), dims = Nil)
+      overIdx = Seq(0), dims = Nil),
+    "q72_stream_dedup" -> PipelineOracle.streamDedup
   )
 }

@@ -42,6 +42,15 @@ sealed trait BinAxis extends Serializable {
   /** Bin width for density; flow and categorical bins have width 1 (core.py:614-646). */
   def width(i: Column): Column
 
+  /** Row-keep predicate, PROVABLY equivalent to bounding index(x) by the
+    * kept bin range but expressed directly on the value: the histogram
+    * filter would otherwise re-evaluate the index's when/floor chain once
+    * per pushed-down comparison (3x) plus once in the projection. Here the
+    * filter is one or two raw comparisons and the index is computed exactly
+    * once, for kept rows only. Relies on both engines ordering NaN above
+    * every double (NaN >= hi -> overflow), the same property index() uses. */
+  def keepPred(x: Column, includeUnder: Boolean, includeOver: Boolean): Column
+
   def indexSql(v: String): String
   def labelSql(i: String): String
   def widthSql(i: String): String
@@ -191,6 +200,16 @@ final case class Regular(name: String, n: Int, lo: Double, hi: Double,
     caseTableSql(i, edges, Some(Double.NegativeInfinity), Some(Double.PositiveInfinity))
   def width(i: Column): Column = caseTableCol(i, widths, Some(1.0), Some(1.0))
   def widthSql(i: String): String = caseTableSql(i, widths, Some(1.0), Some(1.0))
+
+  // index(x): null -> null (never kept); x < lo -> -1; x >= hi -> n (this
+  // catches NaN: both engines order NaN above all doubles); else 0..n-1.
+  def keepPred(x: Column, includeUnder: Boolean, includeOver: Boolean): Column =
+    (includeUnder, includeOver) match {
+      case (true, true) => x.isNotNull
+      case (true, false) => x < lit(hi)
+      case (false, true) => x >= lit(lo)
+      case (false, false) => x >= lit(lo) && x < lit(hi)
+    }
 }
 
 /** Variable axis: explicit (sorted) edges; nBins = edges.length - 1. */
@@ -223,6 +242,14 @@ final case class Variable(name: String, allEdges: Array[Double],
     caseTableSql(i, edges, Some(Double.NegativeInfinity), Some(Double.PositiveInfinity))
   def width(i: Column): Column = caseTableCol(i, widths, Some(1.0), Some(1.0))
   def widthSql(i: String): String = caseTableSql(i, widths, Some(1.0), Some(1.0))
+
+  def keepPred(x: Column, includeUnder: Boolean, includeOver: Boolean): Column =
+    (includeUnder, includeOver) match {
+      case (true, true) => x.isNotNull
+      case (true, false) => x < lit(allEdges.last)
+      case (false, true) => x >= lit(allEdges(0))
+      case (false, false) => x >= lit(allEdges(0)) && x < lit(allEdges.last)
+    }
 }
 
 /** Integer axis: unit bins on [lo, hi) over integer data (bh.axis.Integer).
@@ -254,6 +281,16 @@ final case class IntegerAxis(name: String, lo: Long, hi: Long,
       s" ELSE CAST($i + $lo AS BIGINT) END"
   def width(i: Column): Column = lit(1.0)
   def widthSql(i: String): String = "CAST(1.0 AS DOUBLE)"
+
+  def keepPred(x: Column, includeUnder: Boolean, includeOver: Boolean): Column = {
+    val xl = x.cast(LongType)
+    (includeUnder, includeOver) match {
+      case (true, true) => xl.isNotNull
+      case (true, false) => xl < lit(hi)
+      case (false, true) => xl >= lit(lo)
+      case (false, false) => xl >= lit(lo) && xl < lit(hi)
+    }
+  }
 }
 
 /** IntCategory axis: explicit integer categories; non-members go to the
@@ -286,6 +323,12 @@ final case class IntCategory(name: String, values: Seq[Long],
   }
   def width(i: Column): Column = lit(1.0)
   def widthSql(i: String): String = "CAST(1.0 AS DOUBLE)"
+
+  // no underflow bin; non-members land in overflow (if the axis has one)
+  // or are dropped
+  def keepPred(x: Column, includeUnder: Boolean, includeOver: Boolean): Column =
+    if (includeOver && overflow) x.isNotNull
+    else x.isin(values: _*)
 }
 
 /** StrCategory axis: explicit string categories; overflow label "_flow_bin"
@@ -319,6 +362,10 @@ final case class StrCategory(name: String, values: Seq[String],
   }
   def width(i: Column): Column = lit(1.0)
   def widthSql(i: String): String = "CAST(1.0 AS DOUBLE)"
+
+  def keepPred(x: Column, includeUnder: Boolean, includeOver: Boolean): Column =
+    if (includeOver && overflow) x.isNotNull
+    else x.isin(values: _*)
 }
 
 /** Circular axis: periodic on [lo, hi); every finite value wraps into range
@@ -356,4 +403,10 @@ final case class Circular(name: String, n: Int, lo: Double, hi: Double)
     caseTableSql(i, edges, None, Some(Double.PositiveInfinity))
   def width(i: Column): Column = caseTableCol(i, widths, None, Some(1.0))
   def widthSql(i: String): String = caseTableSql(i, widths, None, Some(1.0))
+
+  // every finite value wraps into a regular bin; NaN/+-inf are the
+  // overflow bin (no underflow on a circular axis)
+  def keepPred(x: Column, includeUnder: Boolean, includeOver: Boolean): Column =
+    if (includeOver) x.isNotNull
+    else x.isNotNull && !(isnan(x) || abs(x) === lit(Double.PositiveInfinity))
 }

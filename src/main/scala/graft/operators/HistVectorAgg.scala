@@ -38,15 +38,24 @@ case class HistVectorAgg(
 
   override def createAggregationBuffer(): Array[Double] = new Array[Double](nBins + 2)
 
+  // Unweighted histograms pass weight = lit(1.0); incrementing directly
+  // skips a boxed eval per row in the (imperative, non-codegen) update loop.
+  @transient private lazy val unitWeight = weight match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(1.0, DoubleType) => true
+    case _ => false
+  }
+
   override def update(buf: Array[Double], row: InternalRow): Array[Double] = {
     val iv = idx.eval(row)
     if (iv != null) {
       val i = iv.asInstanceOf[Long]
-      val w = weight.eval(row) match {
-        case null => 0.0
-        case d: Double => d
-        case other => other.toString.toDouble
-      }
+      val w =
+        if (unitWeight) 1.0
+        else weight.eval(row) match {
+          case null => 0.0
+          case d: Double => d
+          case other => other.toString.toDouble
+        }
       if (i >= 0 && i < nBins) buf(i.toInt) += w
       else if (i == -1) buf(nBins) += w
       else if (i == nBins) buf(nBins + 1) += w
@@ -218,16 +227,23 @@ object HistVectorAgg {
     * the same sparse row layout as Histogram.histogramdd(dense = true).
     * Shuffle volume: one (nBins+2)-element array per group per map task.
     * Weighted inputs use the order-independent decimal aggregate so output
-    * matches the sparse path bit-for-bit regardless of partitioning. */
+    * matches the sparse path bit-for-bit regardless of partitioning.
+    *
+    * The bin index (a when/floor chain) is computed in a PROJECT below the
+    * aggregate — whole-stage-codegen'd — so the imperative update loop only
+    * evaluates a bound reference per row, not an interpreted expression
+    * tree. */
   def histogram(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
       weight: Option[Column] = None): DataFrame = {
+    val pre = df.select(dims.map(col) ++ Seq(ax.index(x).as("__hvi")) ++
+      weight.map(_.cast("double").as("__hvw")).toSeq: _*)
     val vec = weight match {
-      case Some(w) => histVectorDec(ax.index(x), w.cast("double"), ax.nBins)
-      case None => histVector(ax.index(x), lit(1.0), ax.nBins)
+      case Some(_) => histVectorDec(col("__hvi"), col("__hvw"), ax.nBins)
+      case None => histVector(col("__hvi"), lit(1.0), ax.nBins)
     }
     val g =
-      if (dims.isEmpty) df.agg(vec.as("__v"))
-      else df.groupBy(dims.map(col): _*).agg(vec.as("__v"))
+      if (dims.isEmpty) pre.agg(vec.as("__v"))
+      else pre.groupBy(dims.map(col): _*).agg(vec.as("__v"))
     g.select(dims.map(col) :+ posexplode(col("__v")).as(Seq("__i0", "cnt")): _*)
       .select(dims.map(col) ++
         Seq(ax.label(col("__i0").cast("long"))

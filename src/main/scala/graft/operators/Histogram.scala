@@ -62,20 +62,20 @@ object Histogram {
     val idxNames = specs.indices.map(k => s"__i$k")
     val dimCols = dims.map(col)
 
-    val projected = df.select(
-      dimCols ++
-        specs.zipWithIndex.map { case ((c, ax), k) => ax.index(c).as(idxNames(k)) } ++
-        opts.weight.map(w => graft.util.Dec.toDec(w).as("__w")).toSeq: _*)
-
     // Sparse-output equivalence of boost flow semantics: an axis without the
     // underflow trait discards x < lo entirely; with the trait but flow=false
     // the bin exists but is not returned — identical to dropping the rows.
-    val keep = specs.zipWithIndex.map { case ((_, ax), k) =>
-      val i = col(idxNames(k))
-      val lo = if (opts.flow && ax.underflow) -1L else 0L
-      val hi = if (opts.flow && ax.overflow) ax.nBins.toLong else ax.nBins - 1L
-      i.isNotNull && i >= lit(lo) && i <= lit(hi)
+    // Filter FIRST, on the raw value (keepPred: one or two comparisons),
+    // THEN project the bin index — the index's when/floor chain runs exactly
+    // once per kept row instead of once per pushed-down range predicate.
+    val keep = specs.map { case (c, ax) =>
+      ax.keepPred(c, opts.flow && ax.underflow, opts.flow && ax.overflow)
     }.reduce(_ && _)
+
+    val projected = df.filter(keep).select(
+      dimCols ++
+        specs.zipWithIndex.map { case ((c, ax), k) => ax.index(c).as(idxNames(k)) } ++
+        opts.weight.map(w => graft.util.Dec.toDec(w).as("__w")).toSeq: _*)
 
     val cntExpr = opts.weight match {
       case Some(_) => graft.util.Dec.exactDouble(sum(col("__w")))
@@ -83,15 +83,18 @@ object Histogram {
       case None => count(lit(1)).cast("double")
     }
 
-    val sparse = projected.filter(keep)
+    val sparse = projected
       .groupBy((dims ++ idxNames).map(col): _*)
       .agg(cntExpr.as("cnt"))
 
     // Dense group keys come from the PRE-filter data: a group whose values
     // all fall outside the axis still exists with an all-zero histogram
     // (the reference keeps every loop-dim coordinate).
+    // densify keys come from the PRE-filter relation (df, not projected):
+    // a group whose values all fall outside the axis still exists with an
+    // all-zero histogram (the reference keeps every loop-dim coordinate)
     val grouped =
-      if (opts.dense) densify(sparse, projected, specs, idxNames, dims, opts)
+      if (opts.dense) densify(sparse, df, specs, idxNames, dims, opts)
       else sparse
 
     val valued =
@@ -121,9 +124,10 @@ object Histogram {
   }
 
   /** Materialize empty bins: full index grid (per-axis ranges incl. flow,
-    * tiny → broadcast) x distinct group keys, left-joined with the sparse
-    * counts. The grid never touches the input relation. */
-  private def densify(sparse: DataFrame, projected: DataFrame,
+    * tiny → broadcast) x distinct group keys (from the PRE-filter input),
+    * left-joined with the sparse counts. The grid never touches the input
+    * relation. */
+  private def densify(sparse: DataFrame, preFilter: DataFrame,
       specs: Seq[(Column, BinAxis)],
       idxNames: Seq[String], dims: Seq[String], opts: HistOptions): DataFrame = {
     val spark = sparse.sparkSession
@@ -134,7 +138,7 @@ object Histogram {
     }.reduce(_.crossJoin(_))
     val keys =
       if (dims.isEmpty) grid
-      else projected.select(dims.map(col): _*).distinct().crossJoin(grid)
+      else preFilter.select(dims.map(col): _*).distinct().crossJoin(grid)
     val zero = if (opts.intStorage) lit(0L) else lit(0.0)
     // Both sides are post-aggregation (bins x groups). No broadcast hint:
     // AQE sees the REAL post-agg sizes at runtime and broadcasts when the

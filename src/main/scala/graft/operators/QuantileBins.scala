@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object QuantileBins {
 
+  /** Default public path: exact rank edges below `exactThreshold` rows,
+    * Greenwald-Khanna sketch edges above it. The exact path's global sort
+    * is the right trade only while the column fits a quick distributed
+    * sort; at 100 TB the GK sketch replaces it with ONE aggregation pass
+    * whose per-edge rank error is bounded by relativeError * n (so each
+    * sketch edge sits within +-relativeError of the requested quantile
+    * fraction). The exact path stays available (and oracle-gated, q59)
+    * for reproducibility-critical use. */
+  def autoAxis(df: DataFrame, x: Column, name: String, nBins: Int,
+      exactThreshold: Long = 10000000L, relativeError: Double = 1e-4): Variable = {
+    val vals = df.select(x.cast("double").as("v")).filter(col("v").isNotNull)
+    if (vals.count() <= exactThreshold) quantileAxis(df, x, name, nBins)
+    else sketchAxis(vals, "v", name, nBins, relativeError)
+  }
+
   /** Exact rank-based quantile edges; one stats pass + one sort + one tiny
     * collect. */
   def quantileAxis(df: DataFrame, x: Column, name: String, nBins: Int): Variable = {

@@ -29,6 +29,14 @@ object PipelineOracle {
       "SELECT doc_id, content_hash, " +
       "ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) = 1 AS keep FROM n"
 
+  /** Mirrors StreamingHist.streamingDedup run on a batch frame: with empty
+    * initial state each hash group is processed once and the lowest doc_id
+    * is the first_seen event — exactly the exact-dedup keep rule. */
+  val streamDedup: String =
+    "SELECT doc_id, md5(text) AS content_hash, " +
+      "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS first_seen " +
+      "FROM documents"
+
   /** Mirrors TextAnalysis.patternCounts (RE2/Java-regex-agreeing patterns). */
   val patternCounts: String =
     "SELECT doc_id, " +

@@ -33,18 +33,18 @@ object HistStats {
 
   private def decSum(e: Column): Column = graft.util.Dec.sumDec(e)
 
-  /** Indexed no-flow histogram + left edge `l` and width `w` columns. */
+  /** Indexed no-flow histogram + left edge `l` and width `w` columns.
+    * Filter on the raw value (keepPred), then project the index once —
+    * same single-evaluation shape as Histogram.histogramdd. */
   def base(df: DataFrame, x: Column, ax: BinAxis, dims: Seq[String],
       weight: Option[Column] = None): DataFrame = {
-    val idx = ax.index(x).as("__i0")
-    val keep = col("__i0").isNotNull && col("__i0") >= 0 && col("__i0") <= ax.nBins - 1
     val cnt = weight match {
       case Some(_) => graft.util.Dec.exactDouble(sum(col("__w")))
       case None => count(lit(1)).cast("double")
     }
-    df.select(dims.map(col) ++ Seq(idx) ++
+    df.filter(ax.keepPred(x, includeUnder = false, includeOver = false))
+      .select(dims.map(col) ++ Seq(ax.index(x).as("__i0")) ++
         weight.map(w => graft.util.Dec.toDec(w).as("__w")).toSeq: _*)
-      .filter(keep)
       .groupBy((dims :+ "__i0").map(col): _*)
       .agg(cnt.as("cnt"))
       .withColumn("l", ax.label(col("__i0")))

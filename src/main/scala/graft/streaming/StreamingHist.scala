@@ -20,8 +20,8 @@ object StreamingHist {
   def windowedHistogram(df: DataFrame, tsCol: String, x: Column, ax: BinAxis,
       windowDuration: String, watermark: String = "10 seconds"): DataFrame = {
     val base = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
-    base.select(window(col(tsCol), windowDuration).as("win"), ax.index(x).as("__i0"))
-      .filter(col("__i0").isNotNull && col("__i0") >= 0 && col("__i0") <= ax.nBins - 1)
+    base.filter(ax.keepPred(x, includeUnder = false, includeOver = false))
+      .select(window(col(tsCol), windowDuration).as("win"), ax.index(x).as("__i0"))
       .groupBy(col("win"), col("__i0"))
       .agg(count(lit(1)).cast("double").as("cnt"))
       .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
