@@ -288,9 +288,12 @@ object SparkEntry {
       TextAnalysis.langId(t(dir, "documents"))
     },
     "q52_ann_ivf" -> { (s, dir) =>
+      // trained coarse quantizer: 64 cells, 2 deterministic Lloyd rounds,
+      // 4-probe queries (cell count ~ sqrt(N) is the scale rule)
       implicit val sp: SparkSession = s
       val emb = t(dir, "embeddings")
-      Similarity.annIvf(emb, emb.filter(col("vec_id") < 10), 3, nprobe = 2)
+      Similarity.annIvf(emb, emb.filter(col("vec_id") < 10), 3,
+        nCells = 64, nprobe = 4)
     },
     "q54_neardup_pipeline" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -515,7 +518,7 @@ object SparkEntry {
     // q47-q50 below; q51_multimodal is rows-only (stubbed decode, no oracle)
   ) ++ Map(
     "q47_langid" -> PipelineOracle.langId,
-    "q52_ann_ivf" -> PipelineOracle.annIvf(3, 10, nprobe = 2),
+    "q52_ann_ivf" -> PipelineOracle.annIvf(3, 10, nCells = 64, nprobe = 4),
     "q54_neardup_pipeline" -> PipelineOracle.nearDupPairs(),
     "q53_windowed_hist" -> {
       val idx = axValue.indexSql("value")

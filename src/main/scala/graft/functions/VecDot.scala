@@ -49,3 +49,35 @@ object VecDot {
   def vec_dot(a: Column, b: Column): Column =
     GraftShim.column(VecDot(GraftShim.expression(a), GraftShim.expression(b)))
 }
+
+/** Dot product of an Array[Float] data column with an Array[Double]
+  * centroid column (k-means assignment): same left-to-right double fold as
+  * VecDot — `SUM(CAST(a[i] AS DOUBLE) * b[i] ORDER BY i)` from 0.0. */
+case class VecDotFD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecDotFD.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDotFD.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotFD =
+    copy(left = l, right = r)
+}
+
+object VecDotFD {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot_fd: length mismatch ($n vs ${b.numElements()})")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  def vec_dot_fd(a: Column, b: Column): Column =
+    GraftShim.column(VecDotFD(GraftShim.expression(a), GraftShim.expression(b)))
+}

@@ -19,7 +19,7 @@ object Oracle {
 
   /** Exact decimal -> double, bit-identical to graft.util.Dec.exactDouble
     * (DuckDB's own decimal->double cast double-rounds; the JVM's doesn't). */
-  private def exactDbl(e: String): String =
+  private[oracle] def exactDbl(e: String): String =
     s"(CAST(CAST(FLOOR($e) AS BIGINT) AS DOUBLE) + " +
       s"CAST(CAST(($e - FLOOR($e)) * 100000000000000 AS BIGINT) AS DOUBLE) / CAST('1.0E14' AS DOUBLE))"
 

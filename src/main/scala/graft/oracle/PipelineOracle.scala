@@ -236,16 +236,53 @@ object PipelineOracle {
       s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
   }
 
-  def annIvf(k: Int, queryMaxId: Long, nCells: Int = 8, nprobe: Int = 1): String =
-    s"WITH $embBase, " +
-      s"cent AS (SELECT vec_id AS cent_id FROM e WHERE vec_id < $nCells), " +
-      "ccos AS (SELECT el.vec_id, cent.cent_id, " +
-      "SUM(el.v * ec.v ORDER BY el.i) / (nv.nrm * nc.nrm) AS ccos " +
-      "FROM cent JOIN el ec ON ec.vec_id = cent.cent_id " +
-      "JOIN el ON el.i = ec.i " +
-      "JOIN nrm nv ON nv.vec_id = el.vec_id JOIN nrm nc ON nc.vec_id = cent.cent_id " +
-      "GROUP BY el.vec_id, cent.cent_id, nv.nrm, nc.nrm), " +
-      "rkd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM ccos), " +
+  /** Mirrors Similarity.annIvf with the TRAINED quantizer: init centroids
+    * = the nCells lowest-vec_id embeddings (cent_id = rank), `iters`
+    * unrolled Lloyd rounds — cosine assignment (ROW_NUMBER ties to lowest
+    * cent_id = the TopKByScore order) and per-dimension decimal-exact
+    * means (Oracle.exactDbl split, TRY_CAST via VARCHAR = Dec.toDec),
+    * empty cells keeping the previous centroid via LEFT JOIN + COALESCE —
+    * then the standard assign / nprobe-probe / exact top-k tail. */
+  def annIvf(k: Int, queryMaxId: Long, nCells: Int = 8, nprobe: Int = 1,
+      iters: Int = 2): String = {
+    // MATERIALIZED everywhere: DuckDB inlines CTEs by default, and the
+    // unrolled Lloyd rounds reference each previous round 2-3x — inlining
+    // re-executes the element-level joins exponentially in iters (observed
+    // as an OOM); materialization makes each round run once.
+    def assignCte(c: String): String =
+      s"MATERIALIZED (SELECT el.vec_id, cn.cent_id, " +
+        s"SUM(el.v * cn.cv ORDER BY el.i) / (nv.nrm * nn.cnrm) AS ccos " +
+        s"FROM el JOIN $c cn ON cn.i = el.i " +
+        s"JOIN nrm nv ON nv.vec_id = el.vec_id " +
+        s"JOIN (SELECT cent_id, SQRT(SUM(cv * cv ORDER BY i)) AS cnrm FROM $c GROUP BY cent_id) nn " +
+        "ON nn.cent_id = cn.cent_id " +
+        "GROUP BY el.vec_id, cn.cent_id, nv.nrm, nn.cnrm)"
+    val meanExpr = Oracle.exactDbl(
+      "SUM(TRY_CAST(CAST(el.v AS VARCHAR) AS DECIMAL(38,14)))") +
+      " / CAST(COUNT(*) AS DOUBLE)"
+    val train = (1 to iters).map { it =>
+      val prev = s"c${it - 1}"
+      s"s$it AS ${assignCte(prev)}, " +
+        s"a$it AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn " +
+        s"FROM s$it) WHERE rn = 1), " +
+        s"m$it AS MATERIALIZED (SELECT a$it.cell, el.i, $meanExpr AS cv " +
+        s"FROM a$it JOIN el ON el.vec_id = a$it.vec_id GROUP BY a$it.cell, el.i), " +
+        s"c$it AS MATERIALIZED (SELECT $prev.cent_id, $prev.i, COALESCE(m$it.cv, $prev.cv) AS cv " +
+        s"FROM $prev LEFT JOIN m$it ON m$it.cell = $prev.cent_id AND m$it.i = $prev.i)"
+    }.mkString(", ")
+    val embMat = embBase
+      .replace("e AS (", "e AS MATERIALIZED (")
+      .replace("el AS (", "el AS MATERIALIZED (")
+      .replace("nrm AS (", "nrm AS MATERIALIZED (")
+    s"WITH $embMat, " +
+      s"cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, vec_id " +
+      s"FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $nCells)), " +
+      "c0 AS MATERIALIZED (SELECT cent0.cent_id, el.i, el.v AS cv FROM cent0 " +
+      "JOIN el ON el.vec_id = cent0.vec_id), " +
+      s"$train, " +
+      s"sf AS ${assignCte(s"c$iters")}, " +
+      "rkd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM sf), " +
       "asg AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE rn = 1), " +
       s"q AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE rn <= $nprobe AND vec_id < $queryMaxId), " +
       "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id FROM q " +
@@ -257,6 +294,7 @@ object PipelineOracle {
       "FROM d JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id), " +
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
       s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
+  }
 
   val langId: String = {
     def occ(pat: String): String = {

@@ -129,37 +129,84 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** IVF ANN: the corpus is assigned to its nearest coarse-quantizer cell;
-    * each query probes its `nprobe` nearest cells (nprobe=1 is the fastest/
-    * least-recall point; raising it trades candidate volume for recall —
-    * the standard IVF knob). Centroids are pluggable (here: the first
-    * nCells vectors, deterministic). */
-  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 8,
-      nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nCells)
-    val cent = withNorm(corpus.filter(col("vec_id") < nCells))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
-        col("nrm").as("cnrm"))
-
-    // nearest `cells` centroids per vector via the bounded heap aggregate
-    // (no window shuffle of the |corpus| x nCells scored relation)
-    def assign(df: DataFrame, cells: Int): DataFrame = {
-      val n = withNorm(df).as("v")
-      n.join(broadcast(cent))
-        .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
-          col("v.nrm").as("nrm"), col("cent_id"),
-          cosine(col("v.embedding"), col("cvec"), col("v.nrm"), col("cnrm")).as("ccos"))
-        .groupBy(col("vec_id"), col("embedding"), col("nrm"))
-        .agg(graft.functions.TopKByScore.top_k(col("ccos"), col("cent_id"), cells)
-          .as("__top"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          explode(col("__top")).as("__s"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          col("__s.id").as("cell"))
+  /** Deterministic Lloyd-trained coarse quantizer for IVF: init = the
+    * nCells lowest-vec_id embeddings (cent_id = rank), then `iters`
+    * rounds of cosine assignment (ties -> lowest cent_id, the TopKByScore
+    * order) and per-dimension DECIMAL(38,14)-exact means — every step is
+    * reproducible bit-for-bit in any engine, so the DuckDB oracle can
+    * re-derive the same centroids. Empty cells keep their previous
+    * centroid. Per round: one broadcast-join assignment pass over the
+    * corpus + one (nCells x dim)-row aggregate collected to the driver
+    * (tiny, like QuantileBins' edge collect); at 100 TB you train on a
+    * hash-sampled subset and the rounds are the same two jobs. */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int,
+      iters: Int): Seq[(Long, Array[Double])] = {
+    var cents: Seq[(Long, Array[Double])] =
+      corpus.orderBy("vec_id").limit(nCells).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(corpus, centroidsDf(corpus.sparkSession, cents), 1)
+      val stats = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("cell", "i")
+        .agg(graft.util.Dec.exactDouble(
+          sum(graft.util.Dec.toDec(col("v").cast("double")))).as("s"),
+          count(lit(1)).as("c"))
+        .collect()
+      val means = stats.groupBy(_.getAs[Long]("cell")).map { case (cell, rows) =>
+        val m = new Array[Double](rows.map(_.getAs[Int]("i")).max + 1)
+        rows.foreach(r => m(r.getAs[Int]("i")) =
+          r.getAs[Double]("s") / r.getAs[Long]("c").toDouble)
+        cell -> m
+      }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
     }
+    cents
+  }
 
-    val c = assign(corpus, 1).as("c")
-    val q = assign(queries, nprobe).as("q")
+  /** Centroids as a broadcastable (cent_id, cvec, cnrm) relation; the norm
+    * is the same left-to-right sum-of-squares fold both engines use. */
+  private def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (cid, v) =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      (cid, v.toSeq, math.sqrt(s))
+    }.toDF("cent_id", "cvec", "cnrm")
+  }
+
+  /** Nearest `cells` centroids per vector via the bounded heap aggregate
+    * (no window shuffle of the |corpus| x nCells scored relation). */
+  private def assignCells(df: DataFrame, cent: DataFrame, cells: Int): DataFrame = {
+    val n = withNorm(df).as("v")
+    n.join(broadcast(cent))
+      .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
+        col("v.nrm").as("nrm"), col("cent_id"),
+        (graft.functions.VecDotFD.vec_dot_fd(col("v.embedding"), col("cvec")) /
+          (col("v.nrm") * col("cnrm"))).as("ccos"))
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(graft.functions.TopKByScore.top_k(col("ccos"), col("cent_id"), cells)
+        .as("__top"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(col("__top")).as("__s"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("__s.id").as("cell"))
+  }
+
+  /** IVF ANN with a TRAINED coarse quantizer: the corpus is assigned to
+    * its nearest k-means cell; each query probes its `nprobe` nearest
+    * cells (the standard IVF recall knob). At scale nCells ~ sqrt(N)
+    * bounds per-cell candidate volume to ~N/nCells per probe. */
+  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 8,
+      nprobe: Int = 1, iters: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCells)
+    val cent = centroidsDf(corpus.sparkSession,
+      kmeansCentroids(corpus, nCells, iters))
+    val c = assignCells(corpus, cent, 1).as("c")
+    val q = assignCells(queries, cent, nprobe).as("q")
     val scored = c.join(broadcast(q),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
