@@ -53,10 +53,10 @@ object Bench {
     // Longest-first submission: the similarity/dedup family dominates the
     // critical path; starting it first lets the short histogram queries
     // fill the remaining cores instead of the heavy tail extending the wall.
-    val heavy = Seq("q54_neardup_pipeline", "q61_neardup_keep",
+    val heavy = Seq("q52_ann_ivf", "q54_neardup_pipeline", "q61_neardup_keep",
       "q43_ngram_jaccard", "q41_dedup_minhash", "q42_dedup_simhash",
       "q59_hist_qbins", "q44_embed_neardup", "q45_ann_bruteforce",
-      "q46_ann_lsh", "q52_ann_ivf", "q53_windowed_hist",
+      "q46_ann_lsh", "q53_windowed_hist",
       "q50_fingerprint", "q27_stat_interval")
     val rank = heavy.zipWithIndex.toMap
     val t0All = System.nanoTime()

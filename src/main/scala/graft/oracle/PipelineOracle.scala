@@ -249,25 +249,27 @@ object PipelineOracle {
     // unrolled Lloyd rounds reference each previous round 2-3x — inlining
     // re-executes the element-level joins exponentially in iters (observed
     // as an OOM); materialization makes each round run once.
-    def assignCte(c: String): String =
-      s"MATERIALIZED (SELECT el.vec_id, cn.cent_id, " +
-        s"SUM(el.v * cn.cv ORDER BY el.i) / (nv.nrm * nn.cnrm) AS ccos " +
-        s"FROM el JOIN $c cn ON cn.i = el.i " +
-        s"JOIN nrm nv ON nv.vec_id = el.vec_id " +
+    // elt = the deterministic training subset (8 vectors per cell; mirrors
+    // Similarity.kmeansCentroids' vec_id < nCells*8 filter)
+    def assignCte(c: String, rel: String): String =
+      s"MATERIALIZED (SELECT $rel.vec_id, cn.cent_id, " +
+        s"SUM($rel.v * cn.cv ORDER BY $rel.i) / (nv.nrm * nn.cnrm) AS ccos " +
+        s"FROM $rel JOIN $c cn ON cn.i = $rel.i " +
+        s"JOIN nrm nv ON nv.vec_id = $rel.vec_id " +
         s"JOIN (SELECT cent_id, SQRT(SUM(cv * cv ORDER BY i)) AS cnrm FROM $c GROUP BY cent_id) nn " +
         "ON nn.cent_id = cn.cent_id " +
-        "GROUP BY el.vec_id, cn.cent_id, nv.nrm, nn.cnrm)"
+        s"GROUP BY $rel.vec_id, cn.cent_id, nv.nrm, nn.cnrm)"
     val meanExpr = Oracle.exactDbl(
-      "SUM(TRY_CAST(CAST(el.v AS VARCHAR) AS DECIMAL(38,14)))") +
+      "SUM(TRY_CAST(CAST(elt.v AS VARCHAR) AS DECIMAL(38,14)))") +
       " / CAST(COUNT(*) AS DOUBLE)"
     val train = (1 to iters).map { it =>
       val prev = s"c${it - 1}"
-      s"s$it AS ${assignCte(prev)}, " +
+      s"s$it AS ${assignCte(prev, "elt")}, " +
         s"a$it AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM (SELECT *, " +
         "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn " +
         s"FROM s$it) WHERE rn = 1), " +
-        s"m$it AS MATERIALIZED (SELECT a$it.cell, el.i, $meanExpr AS cv " +
-        s"FROM a$it JOIN el ON el.vec_id = a$it.vec_id GROUP BY a$it.cell, el.i), " +
+        s"m$it AS MATERIALIZED (SELECT a$it.cell, elt.i, $meanExpr AS cv " +
+        s"FROM a$it JOIN elt ON elt.vec_id = a$it.vec_id GROUP BY a$it.cell, elt.i), " +
         s"c$it AS MATERIALIZED (SELECT $prev.cent_id, $prev.i, COALESCE(m$it.cv, $prev.cv) AS cv " +
         s"FROM $prev LEFT JOIN m$it ON m$it.cell = $prev.cent_id AND m$it.i = $prev.i)"
     }.mkString(", ")
@@ -276,12 +278,13 @@ object PipelineOracle {
       .replace("el AS (", "el AS MATERIALIZED (")
       .replace("nrm AS (", "nrm AS MATERIALIZED (")
     s"WITH $embMat, " +
+      s"elt AS MATERIALIZED (SELECT * FROM el WHERE vec_id < ${nCells * 8L}), " +
       s"cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, vec_id " +
-      s"FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT $nCells)), " +
+      s"FROM (SELECT vec_id FROM e WHERE vec_id < ${nCells * 8L} ORDER BY vec_id LIMIT $nCells)), " +
       "c0 AS MATERIALIZED (SELECT cent0.cent_id, el.i, el.v AS cv FROM cent0 " +
       "JOIN el ON el.vec_id = cent0.vec_id), " +
       s"$train, " +
-      s"sf AS ${assignCte(s"c$iters")}, " +
+      s"sf AS ${assignCte(s"c$iters", "el")}, " +
       "rkd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM sf), " +
       "asg AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE rn = 1), " +
       s"q AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE rn <= $nprobe AND vec_id < $queryMaxId), " +

@@ -141,28 +141,78 @@ object Similarity {
     * hash-sampled subset and the rounds are the same two jobs. */
   def kmeansCentroids(corpus: DataFrame, nCells: Int,
       iters: Int): Seq[(Long, Array[Double])] = {
-    var cents: Seq[(Long, Array[Double])] =
-      corpus.orderBy("vec_id").limit(nCells).select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-        .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
-    for (_ <- 1 to iters) {
-      val assigned = assignCells(corpus, centroidsDf(corpus.sparkSession, cents), 1)
-      val stats = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
-        .groupBy("cell", "i")
-        .agg(graft.util.Dec.exactDouble(
-          sum(graft.util.Dec.toDec(col("v").cast("double")))).as("s"),
-          count(lit(1)).as("c"))
-        .collect()
-      val means = stats.groupBy(_.getAs[Long]("cell")).map { case (cell, rows) =>
-        val m = new Array[Double](rows.map(_.getAs[Int]("i")).max + 1)
-        rows.foreach(r => m(r.getAs[Int]("i")) =
-          r.getAs[Double]("s") / r.getAs[Long]("c").toDouble)
-        cell -> m
-      }
-      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    import java.math.{BigDecimal => JBD, BigInteger => JBI, RoundingMode}
+    // Deterministic training subset (the at-scale practice: quantizers are
+    // trained on a sample, never the full corpus — at 100 TB this filter
+    // is a hash-sample): 8 vectors per target cell. The sample is bounded
+    // (nCells * 8 * dim floats), so it is collected ONCE and Lloyd runs on
+    // the driver — one Spark job instead of 2 per round — with every step
+    // bit-identical to the SQL the oracle executes: dots and norms fold
+    // left-to-right in double, assignment ties go to the lowest cent_id
+    // with NaN ordered largest (Double.compare = ORDER BY ccos DESC), and
+    // per-dimension means accumulate DECIMAL(38,14) unscaled integers
+    // (shortest-string image of each double, Dec.toDec) with the
+    // Dec.exactDouble split at the end.
+    val sample: Array[Array[Float]] =
+      corpus.filter(col("vec_id") < nCells * 8L).orderBy("vec_id")
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+    // corpora smaller than the requested cell count (incl. empty) simply
+    // train fewer cells — every vector becomes its own centroid
+    if (sample.isEmpty) return Seq.empty
+    def dotFD(v: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length && i < c.length) { s += v(i).toDouble * c(i); i += 1 }
+      s
     }
-    cents
+    def nrm2(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    def cnrm2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+    val norms = sample.map(nrm2)
+    var cents: Array[Array[Double]] = sample.take(nCells).map(_.map(_.toDouble))
+    for (_ <- 1 to iters) {
+      val cnorms = cents.map(cnrm2)
+      val assign = sample.indices.map { vi =>
+        var best = -1; var bestScore = 0.0
+        var c = 0
+        while (c < cents.length) {
+          val ccos = dotFD(sample(vi), cents(c)) / (norms(vi) * cnorms(c))
+          if (best == -1 || java.lang.Double.compare(ccos, bestScore) > 0) {
+            best = c; bestScore = ccos
+          }
+          c += 1
+        }
+        best
+      }
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        val members = sample.indices.filter(assign(_) == cid)
+        if (members.isEmpty) old
+        else {
+          val dim = old.length
+          Array.tabulate(dim) { i =>
+            var acc = JBI.ZERO
+            members.foreach { vi =>
+              val d = new JBD(java.lang.Double.toString(sample(vi)(i).toDouble))
+                .setScale(14, RoundingMode.HALF_UP)
+              acc = acc.add(d.unscaledValue())
+            }
+            val s = new JBD(acc, 14)
+            val fl = s.setScale(0, RoundingMode.FLOOR)
+            val exact = fl.longValueExact().toDouble +
+              s.subtract(fl).movePointRight(14).longValueExact().toDouble / 1.0e14
+            exact / members.length.toDouble
+          }
+        }
+      }
+    }
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
   }
 
   /** Centroids as a broadcastable (cent_id, cvec, cnrm) relation; the norm

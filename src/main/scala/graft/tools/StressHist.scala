@@ -47,6 +47,9 @@ object StressHist {
       opts = HistOptions(weight = Some(col("value")))).count())
     time("hist_vector_1k")(
       HistVectorAgg.histogram(ev, col("value"), ax1k, Seq("event_type")).count())
+    time("hist_sparse_1k")( // the row-per-bin layout the vector agg replaces
+      Histogram.histogram(ev, col("value"), ax1k, Seq("event_type"),
+        HistOptions(dense = true)).count())
     time("qbins_sketch")({
       // autoAxis above threshold: GK sketch pass, NO global sort
       val qax = graft.operators.QuantileBins.autoAxis(
