@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GramHashes, MinhashSig, RepetitionStats, SimhashSig, SortedIntersectCount, VecDot}
+import graft.functions.{GramHashes, MinhashSig, RepetitionStats, SimhashSig, SortedIntersectCount, VecDot, VecDotFD}
 import graft.operators.{HistVectorAgg, HistVectorDecAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -66,8 +66,11 @@ object GraftExtensions {
       "minhash_sig(text, k, numHashes) - per-doc MinHash signature array",
       args => MinhashSig(args(0), intLit(args(1), "minhash_sig k"),
         intLit(args(2), "minhash_sig numHashes"))),
-    ("simhash_sig", "simhash_sig(text) - 16-bit SimHash of distinct tokens",
+    ("simhash_sig", "simhash_sig(text) - 64-bit SimHash of distinct tokens",
       args => SimhashSig(args(0))),
+    ("vec_dot_fd",
+      "vec_dot_fd(a, b) - dot of a float array with a double array (centroid assignment)",
+      args => VecDotFD(args(0), args(1))),
     ("repetition_stats",
       "repetition_stats(text) - token/distinct counts and top token/bigram frequencies",
       args => RepetitionStats(args(0))))

@@ -1,0 +1,54 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Regression guards for the 100 TB plan shapes: the similarity/dedup
+  * family must stay blocked equi-joins — a refactor that silently turns
+  * one back into an all-pairs or cartesian plan is a scale regression even
+  * when results stay correct at test scale. */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (1L to 30L).map(i =>
+    (i, s"tok${i % 5} tok${i % 3} shared words for doc $i", "en", s"s${i % 2}"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  private def emb = (1L to 40L).map(i =>
+    (i, Array.tabulate(16)(j => ((i * 7 + j * 3) % 11 - 5).toFloat), (i % 3).toInt))
+    .toDF("vec_id", "embedding", "label")
+
+  private def executedPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("simhash pairs: chunk equi-join, no cartesian/all-pairs join") {
+    val plan = executedPlan(Dedup.simhashPairs(docs))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the pair join is keyed by the pigeonhole chunk columns
+    assert(plan.contains("ci#") && plan.contains("cv#"), plan)
+  }
+
+  test("embedding near-dup: (label, table, bucket) equi-join keys") {
+    val plan = executedPlan(Similarity.nearDup(emb, 0.5))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("tbl#") && plan.contains("bucket#"), plan)
+  }
+
+  test("ANN LSH: bucket equi-join; probes only on the query side") {
+    val plan = executedPlan(
+      Similarity.annLsh(emb, emb.filter($"vec_id" <= 3), 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("pb#"), plan)
+  }
+
+  test("1-D histogram: raw-value filter, single index evaluation") {
+    val ax = graft.axes.Regular("x", 8, 0.0, 8.0)
+    val plan = executedPlan(
+      graft.operators.Histogram.histogram(Seq(1.0, 2.0).toDF("x"), col("x"), ax))
+    // keepPred keeps the filter to plain comparisons: the when/floor index
+    // chain must not be duplicated into the filter condition
+    val filterLine = plan.linesIterator.find(_.contains("Filter")).getOrElse("")
+    assert(!filterLine.contains("FLOOR"), filterLine)
+  }
+}
