@@ -136,9 +136,12 @@ object Dedup {
     val b = bandedPinned.as("b")
     val joinCond = keys.map(kc => col(s"a.$kc") === col(s"b.$kc"))
       .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
-    a.join(b, joinCond)
+    // the candidate RELATION is memoized too: minhashLsh, nearDupPairs and
+    // nearDupKeep over one corpus share one band join, not just one
+    // signature pass
+    memoPersist(a.join(b, joinCond)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .distinct())
   }
 
   /** End-to-end near-duplicate detection: MinHash+LSH candidate generation
@@ -157,13 +160,14 @@ object Dedup {
     val withSets = cand
       .join(gsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
       .join(gsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
-    withSets
+    // verified pairs are shared between nearDupPairs and nearDupKeep
+    memoPersist(withSets
       .withColumn("inter",
         graft.functions.SortedIntersectCount.sorted_intersect_count(col("ga"), col("gb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select("doc_a", "doc_b", "jaccard"))
   }
 
   /** Near-dup DEDUP verdicts: the docs that survive near-duplicate removal

@@ -45,6 +45,16 @@ object ProfileHist1d {
     val evRaw = spark.read.parquet(path)
     time("count_path_parquet")(
       Histogram.histogram(evRaw, col("value"), ax).count())
+    // value-only columnar cache: the full-table cache pays for decompressing
+    // five unused columns (incl. strings) on every scan
+    val evVal = evRaw.select("value")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    evVal.count()
+    time("count_path_valcache")(
+      Histogram.histogram(evVal, col("value"), ax).count())
+    time("weighted_dec_valcache")(
+      Histogram.histogram(evVal, col("value"), ax,
+        opts = HistOptions(weight = Some(col("value")))).count())
     println(unw.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
