@@ -61,6 +61,9 @@ object SparkEntry {
   private val axValueSqrt = Regular("value", 16, 0.0, 512.0, transform = SqrtT)
   private val axQtyPow2 = Regular("l_quantity", 12, 0.0, 50.0, transform = PowT(2.0))
 
+  private val axCluster = IntegerAxis("c", 1L, 9L)
+  private val axTokens = Regular("ws_tokens", 20, 0.0, 500.0)
+
   /** Training-mix rates for q58: oversample low-index sources. */
   private val mixRates: Map[String, Double] =
     (0 until 20).map(i => s"src$i" ->
@@ -420,6 +423,22 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text").cast("binary")).as("content_hash"))
         .as[graft.streaming.StreamingHist.DocEvent]
       graft.streaming.StreamingHist.streamingDedup(ev).toDF()
+    },
+    "q73_dup_cluster_hist" -> { (s, dir) =>
+      // dedup QA: histogram of duplicate-cluster sizes (docs per identical
+      // content hash) — Dedup composed with the histogram engine
+      implicit val sp: SparkSession = s
+      val cs = t(dir, "documents")
+        .groupBy(Dedup.contentHash(col("text")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      Histogram.histogram(cs, col("c"), axCluster, opts = HistOptions(flow = true))
+    },
+    "q74_hist_tokens" -> { (s, dir) =>
+      // corpus length distribution: histogram over the token counter's
+      // output — TextAnalysis composed with the histogram engine
+      implicit val sp: SparkSession = s
+      Histogram.histogram(TextAnalysis.tokens(t(dir, "documents")),
+        col("ws_tokens"), axTokens, opts = HistOptions(flow = true))
     }
   )
 
@@ -551,6 +570,12 @@ object SparkEntry {
     "q71_normalize_vars" -> Oracle.normalizeOverSql("lineitem",
       Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc)),
       overIdx = Seq(0), dims = Nil),
-    "q72_stream_dedup" -> PipelineOracle.streamDedup
+    "q72_stream_dedup" -> PipelineOracle.streamDedup,
+    "q73_dup_cluster_hist" -> Oracle.hist(
+      "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
+      Seq(Oracle.Spec("c", axCluster)), flow = true),
+    "q74_hist_tokens" -> Oracle.hist(
+      "(SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens FROM documents) __tk",
+      Seq(Oracle.Spec("ws_tokens", axTokens)), flow = true)
   )
 }
