@@ -175,6 +175,12 @@ final case class Regular(name: String, n: Int, lo: Double, hi: Double,
     else Array.tabulate(n)(k =>
       (if (k == n - 1) hi else tf.inv(tLo + tSpan * (k + 1) / n)) - edges(k))
 
+  // The else branch clamps to [0, n-1] on BOTH ends: x is in [lo, hi)
+  // there, but last-ulp rounding in the scale arithmetic (most relevant
+  // for library-dependent POWER transforms) could otherwise produce -1 or
+  // n for edge values — which would make the raw-value keepPred and the
+  // index-range test diverge. With the clamp, x in [lo, hi) <=> index in
+  // [0, n-1] is an identity in both engines.
   def index(x: Column): Column = {
     val scaled =
       if (tf == IdT) (x - lit(lo)) / lit(span) * lit(n.toDouble)
@@ -182,7 +188,7 @@ final case class Regular(name: String, n: Int, lo: Double, hi: Double,
     when(x.isNull, lit(null).cast(LongType))
       .when(x < lit(lo), lit(-1L))
       .when(x >= lit(hi), lit(n.toLong))
-      .otherwise(least(floor(scaled), lit((n - 1).toLong)))
+      .otherwise(greatest(least(floor(scaled), lit((n - 1).toLong)), lit(0L)))
   }
   def indexSql(v: String): String = {
     val scaled =
@@ -191,7 +197,7 @@ final case class Regular(name: String, n: Int, lo: Double, hi: Double,
     s"""CASE WHEN $v IS NULL THEN NULL
        | WHEN $v < ${d(lo)} THEN CAST(-1 AS BIGINT)
        | WHEN $v >= ${d(hi)} THEN CAST($n AS BIGINT)
-       | ELSE LEAST(CAST(FLOOR($scaled) AS BIGINT), CAST(${n - 1} AS BIGINT)) END""".stripMargin.replaceAll("\n", "")
+       | ELSE GREATEST(LEAST(CAST(FLOOR($scaled) AS BIGINT), CAST(${n - 1} AS BIGINT)), CAST(0 AS BIGINT)) END""".stripMargin.replaceAll("\n", "")
   }
 
   def label(i: Column): Column =
@@ -383,19 +389,29 @@ final case class Circular(name: String, n: Int, lo: Double, hi: Double)
   val edges: Array[Double] = Array.tabulate(n)(k => lo + k * (span / n))
   val widths: Array[Double] = Array.fill(n)(span / n)
 
+  // Clamped to [0, n-1] on both ends: at magnitudes beyond double
+  // resolution (|x| >> 2^53 * span) the modular arithmetic cannot
+  // reconstruct a wrapped value in [0, span) — floor(x/span)*span rounds
+  // away from x — and an unclamped index would fall outside every bin in
+  // an engine-dependent way. The clamp saturates such values
+  // deterministically (identically in both engines), keeping the
+  // "every finite value wraps into a regular bin" contract exact.
   def index(x: Column): Column = {
     val shifted = x - lit(lo)
     val wrapped = shifted - floor(shifted / lit(span)) * lit(span) // in [0, span)
     when(x.isNull, lit(null).cast(LongType))
       .when(isnan(x) || abs(x) === lit(Double.PositiveInfinity), lit(n.toLong))
-      .otherwise(least(floor(wrapped / lit(span) * lit(n.toDouble)), lit((n - 1).toLong)))
+      .otherwise(greatest(
+        least(floor(wrapped / lit(span) * lit(n.toDouble)), lit((n - 1).toLong)),
+        lit(0L)))
   }
   def indexSql(v: String): String = {
     val sh = s"($v - ${d(lo)})"
     val wrapped = s"($sh - FLOOR($sh / ${d(span)}) * ${d(span)})"
     s"CASE WHEN $v IS NULL THEN NULL " +
       s"WHEN ISNAN($v) OR ABS($v) = CAST('infinity' AS DOUBLE) THEN CAST($n AS BIGINT) ELSE " +
-      s"LEAST(CAST(FLOOR($wrapped / ${d(span)} * ${d(n.toDouble)}) AS BIGINT), CAST(${n - 1} AS BIGINT)) END"
+      s"GREATEST(LEAST(CAST(FLOOR($wrapped / ${d(span)} * ${d(n.toDouble)}) AS BIGINT), " +
+      s"CAST(${n - 1} AS BIGINT)), CAST(0 AS BIGINT)) END"
   }
   def label(i: Column): Column =
     caseTableCol(i, edges, None, Some(Double.PositiveInfinity))

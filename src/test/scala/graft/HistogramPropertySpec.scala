@@ -123,6 +123,47 @@ class HistogramPropertySpec extends SparkSpec {
     }
   }
 
+  test("keepPred == index-range predicate for every axis type and flow combo") {
+    // keepPred is load-bearing: the Spark filter uses it while the DuckDB
+    // oracle filters by index bounds — any divergence (NaN, +-inf, null,
+    // exact edges) is a silent correctness gap the data-driven gates might
+    // miss.
+    val axes: Seq[BinAxis] = Seq(
+      Regular("x", 7, -3.0, 11.0),
+      Regular("x", 5, 1.0, 1000.0, transform = LogT),
+      Variable("x", Array(-2.0, 0.5, 3.0, 9.0)),
+      Circular("x", 6, 0.0, 24.0),
+      IntegerAxis("x", -2L, 7L),
+      IntCategory("x", Seq(1L, 4L, 9L)),
+      StrCategory("x", Seq("a", "b")))
+    val doubles = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      -1e300, -3.0000000001, -3.0, -2.0, 0.0, 0.5, 3.0, 9.0, 10.9999, 11.0, 24.0,
+      1.0, 999.999, 1000.0, 1e300) ++ Seq.fill(60)(-20.0 + rng.nextDouble() * 1100.0)
+    axes.foreach { ax =>
+      val df = ax match {
+        case _: StrCategory =>
+          (Seq("a", "b", "zz", "") ++ Seq(null).map(_.asInstanceOf[String])).toDF("x")
+        case _: IntegerAxis | _: IntCategory =>
+          (Seq(-5L, -2L, 0L, 1L, 4L, 6L, 7L, 9L, 99L).map(Option(_)) :+
+            Option.empty[Long]).toDF("x")
+        case _ => (doubles.map(Option(_)) :+ Option.empty[Double]).toDF("x")
+      }
+      for (fu <- Seq(false, true); fo <- Seq(false, true)) {
+        val inclU = fu && ax.underflow
+        val inclO = fo && ax.overflow
+        val lo = if (inclU) -1L else 0L
+        val hi = if (inclO) ax.nBins.toLong else ax.nBins - 1L
+        val i = ax.index(col("x"))
+        val viaIndex = df.select(
+          (i.isNotNull && i >= lit(lo) && i <= lit(hi)).as("k")).collect().map(_.getBoolean(0))
+        val viaPred = df.select(
+          coalesce(ax.keepPred(col("x"), inclU, inclO), lit(false)).as("k"))
+          .collect().map(_.getBoolean(0))
+        assert(viaIndex.toSeq == viaPred.toSeq, s"axis=$ax inclU=$inclU inclO=$inclO")
+      }
+    }
+  }
+
   test("mean agrees with direct computation on bin centers (10 random cases)") {
     var done = 0
     while (done < 10) {
