@@ -571,6 +571,10 @@ object SparkEntry {
       Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc)),
       overIdx = Seq(0), dims = Nil),
     "q72_stream_dedup" -> PipelineOracle.streamDedup,
+    // q51: the stub decoder's closed-form hash is re-derived relationally,
+    // so even the multimodal pipeline is oracle-gated (the codec stays an
+    // honestly-documented stub)
+    "q51_multimodal" -> PipelineOracle.multimodalMeta(),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

@@ -396,6 +396,45 @@ object PipelineOracle {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h) " +
       s"SELECT source, doc_id FROM r WHERE rn <= $n"
 
+  /** 31^k mod 2^31 for k = 0..maxLen (FakeDecoder's rolling-hash powers:
+    * `(acc*31 + b) & 0x7fffffff` is linear mod 2^31, so
+    * h = (17*31^n + sum b_i * 31^(n-i)) mod 2^31). */
+  private def mediaPows(maxLen: Int): Seq[Long] = {
+    val m = 1L << 31
+    Iterator.iterate(1L)(p => p * 31 % m).take(maxLen + 1).toSeq
+  }
+
+  /** Mirrors Multimodal.pipeline (documents -> media records -> decoded
+    * metadata): payload = utf8 text bytes (corpus is ASCII, so byte i =
+    * ascii(char i), the q50-validated pattern), media_type from doc_id mod
+    * 3, and the STUB decoder's deterministic dimensions re-derived
+    * relationally from its closed-form rolling hash. Valid for docs up to
+    * `maxLen` chars (test corpora max out at ~600). The codec itself
+    * remains a stub — this gates the pipeline's plumbing and the stand-in
+    * math, which is exactly what runs. */
+  def multimodalMeta(maxLen: Int = 1024): String = {
+    val pows = mediaPows(maxLen).mkString("[", ", ", "]")
+    "WITH pw AS (SELECT " + pows + " AS p), " +
+      "ch AS (SELECT doc_id, CAST(i AS INT) AS i, " +
+      "CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS b, " +
+      "CAST(length(text) AS BIGINT) AS n " +
+      "FROM (SELECT doc_id, text, UNNEST(generate_series(1, length(text))) AS i FROM documents)), " +
+      "s AS (SELECT doc_id, n, SUM(b * (pw.p)[CAST(n - i + 1 AS INT)]) AS s " +
+      "FROM ch CROSS JOIN pw GROUP BY doc_id, n), " +
+      "h AS (SELECT doc_id, n, " +
+      "(CAST(17 AS BIGINT) * (SELECT p FROM pw)[CAST(n + 1 AS INT)] + s) % 2147483648 AS h FROM s) " +
+      "SELECT doc_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+      "n AS n_bytes, " +
+      "CAST(320 + h % 1600 AS INT) AS width, " +
+      "CAST(240 + (h // 1600) % 840 AS INT) AS height, " +
+      "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 " +
+      "WHEN doc_id % 3 = 1 THEN 1 + n % 48000 " +
+      "ELSE 1 + n % 240 END AS INT) AS n_frames, " +
+      "TRUE AS decoded_ok " +
+      "FROM h"
+  }
+
   def fingerprint(maxLen: Int = 64): String = {
     val pows = TextAnalysis.fingerprintPows(maxLen).mkString("[", ", ", "]")
     s"WITH ch AS (SELECT doc_id, CAST(i AS INT) AS i, ascii(substring(text, CAST(i AS INT), 1)) AS c " +
