@@ -439,6 +439,21 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Histogram.histogram(TextAnalysis.tokens(t(dir, "documents")),
         col("ws_tokens"), axTokens, opts = HistOptions(flow = true))
+    },
+    "q75_frame_sample" -> { (s, dir) =>
+      // every-24th-frame sampling of video payloads (stub frame bytes =
+      // deterministic rotated slice). Gated on md5(payload): the hash pins
+      // the exact bytes while keeping the compared column engine-hashable
+      // (raw binary breaks the driver's pandas comparator).
+      implicit val sp: SparkSession = s
+      Multimodal.sampleFrames(Multimodal.asMedia(t(dir, "documents"))).toDF()
+        .select(col("doc_id"), col("frame_idx"), md5(col("payload")).as("payload_md5"))
+    },
+    "q76_thumbnail" -> { (s, dir) =>
+      // bounded-size thumbnail transform (stub scaler = truncation)
+      implicit val sp: SparkSession = s
+      Multimodal.thumbnail(Multimodal.asMedia(t(dir, "documents"))).toDF()
+        .select(col("doc_id"), col("media_type"), md5(col("payload")).as("payload_md5"))
     }
   )
 
@@ -575,6 +590,8 @@ object SparkEntry {
     // so even the multimodal pipeline is oracle-gated (the codec stays an
     // honestly-documented stub)
     "q51_multimodal" -> PipelineOracle.multimodalMeta(),
+    "q75_frame_sample" -> PipelineOracle.frameSample(),
+    "q76_thumbnail" -> PipelineOracle.thumbnail(),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

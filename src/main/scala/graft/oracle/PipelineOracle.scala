@@ -435,6 +435,27 @@ object PipelineOracle {
       "FROM h"
   }
 
+  /** Mirrors Multimodal.sampleFrames: video docs only (doc_id mod 3 = 2),
+    * frame indices 0, 24, 48... below the stub's frame count (1 + n mod
+    * 240), frame payload = the rotated byte slice (ASCII corpus: string
+    * rotation == byte rotation). */
+  def frameSample(everyN: Int = 24): String =
+    "WITH v AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n " +
+      "FROM documents WHERE doc_id % 3 = 2), " +
+      "f AS (SELECT doc_id, text, n, " +
+      s"UNNEST(generate_series(0, CAST(1 + n % 240 AS BIGINT) - 1, $everyN)) AS fi FROM v) " +
+      "SELECT doc_id, CAST(fi AS INT) AS frame_idx, " +
+      "md5(substring(text, CAST(fi % n AS INT) + 1) || " +
+      "substring(text, 1, CAST(fi % n AS INT))) AS payload_md5 " +
+      "FROM f"
+
+  /** Mirrors Multimodal.thumbnail over asMedia (stub scaler = byte
+    * truncation; ASCII corpus so char truncation == byte truncation). */
+  def thumbnail(maxBytes: Int = 256): String =
+    "SELECT doc_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type, " +
+      s"md5(substring(text, 1, $maxBytes)) AS payload_md5 FROM documents"
+
   def fingerprint(maxLen: Int = 64): String = {
     val pows = TextAnalysis.fingerprintPows(maxLen).mkString("[", ", ", "]")
     s"WITH ch AS (SELECT doc_id, CAST(i AS INT) AS i, ascii(substring(text, CAST(i AS INT), 1)) AS c " +
