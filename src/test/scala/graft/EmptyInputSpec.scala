@@ -62,5 +62,21 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.nearDup(emptyEmb, 0.5).count() == 0)
     assert(Similarity.bruteForceTopK(emptyEmb, emptyEmb, 5).count() == 0)
     assert(Similarity.annIvf(emptyEmb, emptyEmb, 3).count() == 0)
+    assert(Similarity.annLsh(emptyEmb, emptyEmb, 3).count() == 0)
+  }
+
+  test("accessor arithmetic and multimodal on empty input") {
+    val h = Histogram.histogram(emptyNum, col("x"), ax)
+    assert(HistStats.add(h, h, ax, Nil).count() == 0)
+    assert(HistStats.cumulative(h, ax, Nil).count() == 0)
+    assert(HistStats.normalize(h, ax, Nil).count() == 0)
+    val ay = Regular("y", 2, 0.0, 2.0)
+    val h2 = Histogram.histogramdd(emptyNum, Seq(col("x") -> ax, col("x") -> ay))
+    assert(HistStats.normalizeOver(h2, Seq(ax, ay), Seq(ax), Nil).count() == 0)
+    // binsTable is metadata-only: flow variant adds exactly the flow rows
+    assert(HistStats.binsTable(spark, ax, flow = true).count() == ax.nBins + 2)
+    val media = graft.pipeline.Multimodal.asMedia(emptyDocs)
+    assert(graft.pipeline.Multimodal.decodeMeta(media).count() == 0)
+    assert(graft.pipeline.Multimodal.sampleFrames(media).count() == 0)
   }
 }
