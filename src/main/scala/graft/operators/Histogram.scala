@@ -87,9 +87,6 @@ object Histogram {
       .groupBy((dims ++ idxNames).map(col): _*)
       .agg(cntExpr.as("cnt"))
 
-    // Dense group keys come from the PRE-filter data: a group whose values
-    // all fall outside the axis still exists with an all-zero histogram
-    // (the reference keeps every loop-dim coordinate).
     // densify keys come from the PRE-filter relation (df, not projected):
     // a group whose values all fall outside the axis still exists with an
     // all-zero histogram (the reference keeps every loop-dim coordinate)

@@ -34,7 +34,11 @@ object QuantileBins {
   def autoAxis(df: DataFrame, x: Column, name: String, nBins: Int,
       exactThreshold: Long = 10000000L, relativeError: Double = 1e-4): Variable = {
     val vals = df.select(x.cast("double").as("v")).filter(col("v").isNotNull)
-    if (vals.count() <= exactThreshold) quantileAxis(df, x, name, nBins)
+    // one stats pass decides the path AND feeds the exact branch (its
+    // count/min/max are exactly what quantileAxis needs) — no
+    // decide-then-recompute double scan
+    val stats = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+    if (stats.getLong(0) <= exactThreshold) exactAxis(vals, stats, name, nBins)
     else sketchAxis(vals, "v", name, nBins, relativeError)
   }
 
@@ -43,6 +47,11 @@ object QuantileBins {
   def quantileAxis(df: DataFrame, x: Column, name: String, nBins: Int): Variable = {
     val vals = df.select(x.cast("double").as("v")).filter(col("v").isNotNull)
     val stats = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+    exactAxis(vals, stats, name, nBins)
+  }
+
+  private def exactAxis(vals: DataFrame, stats: org.apache.spark.sql.Row,
+      name: String, nBins: Int): Variable = {
     val n = stats.getLong(0)
     require(n > 0, "quantile axis needs data")
     // 0-based target indexes of the interior edges

@@ -419,8 +419,12 @@ object PipelineOracle {
       "CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS b, " +
       "CAST(length(text) AS BIGINT) AS n " +
       "FROM (SELECT doc_id, text, UNNEST(generate_series(1, length(text))) AS i FROM documents)), " +
-      "s AS (SELECT doc_id, n, SUM(b * (pw.p)[CAST(n - i + 1 AS INT)]) AS s " +
-      "FROM ch CROSS JOIN pw GROUP BY doc_id, n), " +
+      // LEFT JOIN from documents, not from the unnested bytes: an
+      // empty-text doc has zero ch rows but Spark's decoder still emits a
+      // row for it (h folds to the seed 17)
+      "s AS (SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n, " +
+      "COALESCE(SUM(ch.b * (SELECT p FROM pw)[CAST(ch.n - ch.i + 1 AS INT)]), 0) AS s " +
+      "FROM documents d LEFT JOIN ch ON ch.doc_id = d.doc_id GROUP BY d.doc_id, d.text), " +
       "h AS (SELECT doc_id, n, " +
       "(CAST(17 AS BIGINT) * (SELECT p FROM pw)[CAST(n + 1 AS INT)] + s) % 2147483648 AS h FROM s) " +
       "SELECT doc_id, " +
@@ -444,9 +448,11 @@ object PipelineOracle {
       "FROM documents WHERE doc_id % 3 = 2), " +
       "f AS (SELECT doc_id, text, n, " +
       s"UNNEST(generate_series(0, CAST(1 + n % 240 AS BIGINT) - 1, $everyN)) AS fi FROM v) " +
+      // off mirrors Spark's empty-payload guard: fi % 0 would be NULL here
+      // while sampleFrames pins off = 0 for empty payloads
       "SELECT doc_id, CAST(fi AS INT) AS frame_idx, " +
-      "md5(substring(text, CAST(fi % n AS INT) + 1) || " +
-      "substring(text, 1, CAST(fi % n AS INT))) AS payload_md5 " +
+      "md5(substring(text, CAST(CASE WHEN n = 0 THEN 0 ELSE fi % n END AS INT) + 1) || " +
+      "substring(text, 1, CAST(CASE WHEN n = 0 THEN 0 ELSE fi % n END AS INT))) AS payload_md5 " +
       "FROM f"
 
   /** Mirrors Multimodal.thumbnail over asMedia (stub scaler = byte

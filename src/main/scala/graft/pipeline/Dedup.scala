@@ -204,18 +204,27 @@ object Dedup {
     * the UNBLOCKED all-pairs form, so the gate independently re-proves the
     * pigeonhole completeness argument on every run. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val nChunks = maxHamming + 1
-    require(64 % nChunks == 0, s"64 must divide into ${nChunks} chunks")
-    val width = 64 / nChunks
-    val mask = (1L << width) - 1
+    // near-equal chunk widths (pigeonhole needs any partition into
+    // maxHamming+1 pieces, not equal ones): the first `rem` chunks get an
+    // extra bit
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val chunks = (0 until nChunks).map { c =>
+      val width = if (c < rem) base + 1 else base
+      val offset = c * base + math.min(c, rem)
+      (offset, if (width == 64) -1L else (1L << width) - 1)
+    }
     // persisted: the chunk self-join would otherwise run the one-pass
     // signature once per side
     val sh = memoPersist(simhash(docs)
       .join(docs.select(col("doc_id"), col("source")), "doc_id"))
     val chunked = sh.select(col("doc_id"), col("source"), col("simhash"),
-      explode(array((0 until nChunks).map(c =>
+      explode(array(chunks.zipWithIndex.map { case ((offset, mask), c) =>
         struct(lit(c).as("ci"),
-          expr(s"shiftrightunsigned(simhash, ${c * width}) & $mask").as("cv"))): _*))
+          expr(s"shiftrightunsigned(simhash, $offset) & $mask").as("cv"))
+      }: _*))
         .as("ck"))
       .select(col("doc_id"), col("source"), col("simhash"),
         col("ck.ci").as("ci"), col("ck.cv").as("cv"))

@@ -107,14 +107,6 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Deterministic sign-LSH bucket: bit j set when element 8j+1 > 0
-    * (axis-aligned hyperplanes — reproducible in any engine; seeded random
-    * hyperplanes drop in the same way at scale). */
-  def lshBucket(v: Column, bits: Int = 8): Column =
-    (0 until bits).map(j =>
-      when(element_at(v, j * 8 + 1) > 0.0f, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-
   /** Bucket for LSH table `table` in a multi-table (OR-construction)
     * scheme: bit j tests the sign of element table*bits + j + 1, so every
     * table reads a DISJOINT slice of the vector (independent-ish
@@ -161,8 +153,13 @@ object Similarity {
     // train fewer cells — every vector becomes its own centroid
     if (sample.isEmpty) return Seq.empty
     def dotFD(v: Array[Float], c: Array[Double]): Double = {
+      // fail loudly on mismatched lengths, like VecDot/VecDotFD — silent
+      // truncation would mask corrupt embeddings during training and then
+      // crash anyway in the assignCells pass
+      require(v.length == c.length,
+        s"kmeans: embedding length mismatch (${v.length} vs ${c.length})")
       var s = 0.0; var i = 0
-      while (i < v.length && i < c.length) { s += v(i).toDouble * c(i); i += 1 }
+      while (i < v.length) { s += v(i).toDouble * c(i); i += 1 }
       s
     }
     def nrm2(v: Array[Float]): Double = {
@@ -197,17 +194,32 @@ object Similarity {
         else {
           val dim = old.length
           Array.tabulate(dim) { i =>
+            // mirror of the oracle's SUM(TRY_CAST(...)) / COUNT(*):
+            // non-finite / precision-38-overflow elements are skipped by
+            // the SUM but COUNT(*) still counts every member; a dimension
+            // with no castable element yields a NULL mean, which COALESCEs
+            // to the previous centroid value
             var acc = JBI.ZERO
+            var valid = 0
             members.foreach { vi =>
-              val d = new JBD(java.lang.Double.toString(sample(vi)(i).toDouble))
-                .setScale(14, RoundingMode.HALF_UP)
-              acc = acc.add(d.unscaledValue())
+              val x = sample(vi)(i).toDouble
+              if (java.lang.Double.isFinite(x)) {
+                val d = new JBD(java.lang.Double.toString(x))
+                  .setScale(14, RoundingMode.HALF_UP)
+                if (d.precision() <= 38) {
+                  acc = acc.add(d.unscaledValue())
+                  valid += 1
+                }
+              }
             }
-            val s = new JBD(acc, 14)
-            val fl = s.setScale(0, RoundingMode.FLOOR)
-            val exact = fl.longValueExact().toDouble +
-              s.subtract(fl).movePointRight(14).longValueExact().toDouble / 1.0e14
-            exact / members.length.toDouble
+            if (valid == 0) old(i)
+            else {
+              val s = new JBD(acc, 14)
+              val fl = s.setScale(0, RoundingMode.FLOOR)
+              val exact = fl.longValueExact().toDouble +
+                s.subtract(fl).movePointRight(14).longValueExact().toDouble / 1.0e14
+              exact / members.length.toDouble
+            }
           }
         }
       }
@@ -265,20 +277,6 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** LSH-bucketed ANN: `tables` independent sign-LSH tables of `bits`
-    * hyperplanes each (OR-construction), candidates = corpus vectors
-    * sharing any table bucket with the query (multi-probe: the query also
-    * probes every bucket at hamming 1), then exact cosine top-k over the
-    * deduplicated candidates.
-    *
-    * Scale shape: the corpus is bucketed once (`tables` rows per vector —
-    * linear), probes are expanded on the broadcast-small QUERY side only
-    * (tables * (bits+1) rows per query), and per-(table, bucket) candidate
-    * volume is corpus/2^bits per table — with bits=16 that is a 65,536-way
-    * split per table, the knob the 8-bit single-table revision lacked.
-    * Recall at a given neighbor cosine: per-table catch p^bits +
-    * bits*(1-p)*p^(bits-1) with p = 1 - theta/pi, OR'd over tables;
-    * measured against bruteForceTopK in SURVEY §6. */
   /** Bucket xors for every flip of up to `radius` of `bits` bits (the
     * multi-probe sequence; radius 2 and bits 16 -> 137 probes). */
   private[graft] def probeFlips(bits: Int, radius: Int): Seq[Long] = {
@@ -288,6 +286,20 @@ object Similarity {
     (0 to radius).flatMap(r => combos(0, r))
   }
 
+  /** LSH-bucketed ANN: `tables` independent sign-LSH tables of `bits`
+    * hyperplanes each (OR-construction), candidates = corpus vectors
+    * sharing any table bucket with a query probe (the query probes every
+    * bucket within hamming `probeHamming` of its own), then exact cosine
+    * top-k over the deduplicated candidates.
+    *
+    * Scale shape: the corpus is bucketed once (`tables` rows per vector —
+    * linear), probes are expanded on the broadcast-small QUERY side only,
+    * and per-(table, bucket) candidate volume is corpus/2^bits per table —
+    * with bits=16 that is a 65,536-way split per table, the knob the 8-bit
+    * single-table revision lacked. Recall at a given neighbor cosine:
+    * per-table catch sum_{i<=probeHamming} C(bits,i) p^(bits-i) (1-p)^i
+    * with p = 1 - theta/pi, OR'd over tables; measured against
+    * bruteForceTopK in SURVEY §6. */
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int, tables: Int = 4,
       bits: Int = 16, probeHamming: Int = 2): DataFrame = {
     def bucketed(df: DataFrame): DataFrame =

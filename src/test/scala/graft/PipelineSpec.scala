@@ -51,14 +51,17 @@ class PipelineSpec extends SparkSpec {
     val many = (1L to 40L).map(i =>
       (i, s"tok${i % 7} tok${i % 5} tok${i % 3} shared common words here", "en", "s1"))
       .toDF("doc_id", "text", "lang", "source")
-    val blocked = Dedup.simhashPairs(many, maxHamming = 3).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val sh = Dedup.simhash(many).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val allPairs = (for {
-      a <- sh.keys; b <- sh.keys if a < b
-      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
-    } yield (a, b, h)).toSet
-    assert(blocked == allPairs)
+    // maxHamming 3 (equal 16-bit chunks) and 2 (near-equal 22/21/21)
+    Seq(3, 2).foreach { mh =>
+      val blocked = Dedup.simhashPairs(many, maxHamming = mh).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val allPairs = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= mh
+      } yield (a, b, h)).toSet
+      assert(blocked == allPairs, s"maxHamming=$mh")
+    }
   }
 
   test("ngram jaccard: exact dup scores 1.0, near dup high, distinct low") {
