@@ -27,7 +27,15 @@ object Dedup {
   /** Small single-file inputs arrive as one partition, serializing the
     * per-doc compute (signatures, gram sets). Spread them to the session's
     * parallelism; no-op when the source is already well-partitioned (at
-    * real scale, many parquet splits). */
+    * real scale, many parquet splits).
+    *
+    * The `df.rdd` partition probe does force a physical plan for the
+    * subtree (planned again when the full query runs) — a deliberate
+    * trade: an unconditional repartition/REBALANCE would add a full-corpus
+    * shuffle at real scale where inputs already have thousands of splits,
+    * and skipping the probe would leave toy inputs serialized on one core.
+    * The probe costs one planning pass of the (usually cached) input,
+    * never an extra execution. */
   private[pipeline] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
