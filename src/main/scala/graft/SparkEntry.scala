@@ -454,6 +454,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.thumbnail(Multimodal.asMedia(t(dir, "documents"))).toDF()
         .select(col("doc_id"), col("media_type"), md5(col("payload")).as("payload_md5"))
+    },
+    "q77_hist_density_flow" -> { (s, dir) =>
+      // density + flow combined: flow bins ride along with area 1 but are
+      // EXCLUDED from the normalizing total (core normalize semantics)
+      implicit val sp: SparkSession = s
+      hist(dir, "lineitem", col("l_quantity"), axQtyNarrow,
+        opts = HistOptions(flow = true, density = true))
     }
   )
 
@@ -592,6 +599,8 @@ object SparkEntry {
     "q51_multimodal" -> PipelineOracle.multimodalMeta(),
     "q75_frame_sample" -> PipelineOracle.frameSample(),
     "q76_thumbnail" -> PipelineOracle.thumbnail(),
+    "q77_hist_density_flow" -> Oracle.hist("lineitem",
+      Seq(Oracle.Spec("l_quantity", axQtyNarrow)), flow = true, density = true),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),
