@@ -82,9 +82,8 @@ object SparkEntry {
     "q02_hist_auto_range" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       val li = t(dir, "lineitem")
-      val row = li.agg(min(col("l_tax")).cast("double"), max(col("l_tax")).cast("double")).head()
-      val ax = Regular("l_tax", 10, row.getDouble(0), row.getDouble(1))
-      Histogram.histogram(li, col("l_tax"), ax)
+      Histogram.histogram(li, col("l_tax"),
+        Histogram.autoRegular(li, col("l_tax"), "l_tax", 10))
     },
     "q03_hist_weighted" -> { (s, dir) =>
       implicit val sp: SparkSession = s

@@ -50,6 +50,15 @@ object Histogram {
       dims: Seq[String] = Nil, opts: HistOptions = HistOptions()): DataFrame =
     histogramdd(df, Seq(x -> axis), dims, opts)
 
+  /** Regular axis with range taken from the data (the reference's
+    * `bins=n` without an explicit range, core.py:499-506): one min/max
+    * aggregation pass, then the same literal edges drive the plan. */
+  def autoRegular(df: DataFrame, x: Column, name: String, n: Int): graft.axes.Regular = {
+    val row = df.agg(min(x).cast("double"), max(x).cast("double")).head()
+    require(!row.isNullAt(0), "auto-range needs at least one non-null value")
+    graft.axes.Regular(name, n, row.getDouble(0), row.getDouble(1))
+  }
+
   /** 2-D convenience form (reference core.py:110 `histogram2d`). */
   def histogram2d(df: DataFrame, x: Column, xAxis: BinAxis,
       y: Column, yAxis: BinAxis,
