@@ -33,8 +33,14 @@ object StreamingHist {
 
   /** Stateful streaming exact-dedup: first event per content hash passes,
     * later ones are flagged. State is one boolean per distinct hash, keyed
-    * by hash — mapGroupsWithState (the custom-state path the batch engine
-    * can't express). */
+    * by hash — flatMapGroupsWithState (the custom-state path the batch
+    * engine can't express).
+    *
+    * State grows with DISTINCT hashes: at 100 TB that is the corpus's
+    * unique-document count, so production deployments bound it with
+    * `GroupStateTimeout.ProcessingTimeTimeout` + `setTimeoutDuration`
+    * (dedup within a rolling horizon) or periodically compact the state
+    * store; NoTimeout here keeps the gated batch semantics exact. */
   def streamingDedup(events: Dataset[DocEvent]): Dataset[DedupVerdict] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.content_hash)
