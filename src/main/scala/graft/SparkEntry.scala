@@ -460,6 +460,12 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       hist(dir, "lineitem", col("l_quantity"), axQtyNarrow,
         opts = HistOptions(flow = true, density = true))
+    },
+    "q78_hist_fastpath" -> { (s, dir) =>
+      // dense-array per-partition kernel (no shuffle, no per-row hash
+      // lookup) — must be row-identical to the declarative dense path
+      implicit val sp: SparkSession = s
+      graft.operators.FastHist.histogram1d(t(dir, "lineitem"), col("l_quantity"), axQty)
     }
   )
 
@@ -600,6 +606,8 @@ object SparkEntry {
     "q76_thumbnail" -> PipelineOracle.thumbnail(),
     "q77_hist_density_flow" -> Oracle.hist("lineitem",
       Seq(Oracle.Spec("l_quantity", axQtyNarrow)), flow = true, density = true),
+    "q78_hist_fastpath" -> Oracle.hist("lineitem",
+      Seq(Oracle.Spec("l_quantity", axQty)), dense = true),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

@@ -70,7 +70,7 @@ object Oracle {
           .mkString(" CROSS JOIN ")
       val zero = if (intStorage) "CAST(0 AS BIGINT)" else "CAST(0 AS DOUBLE)"
       val joinCond = (dims ++ idx).map(c => s"__k.$c = __g0.$c").mkString(" AND ")
-      sb ++= s", __k AS (SELECT * FROM ($keySrc))"
+      sb ++= s", __k AS (SELECT * FROM $keySrc)"
       sb ++= s", __gd AS (SELECT ${(dims ++ idx).map(c => s"__k.$c").mkString(", ")}, " +
         s"COALESCE(__g0.cnt, $zero) AS cnt FROM __k LEFT JOIN __g0 ON $joinCond)"
       gTable = "__gd"

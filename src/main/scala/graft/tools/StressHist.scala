@@ -41,6 +41,8 @@ object StressHist {
       println(f"[stress] $name best-of-3: $dt%.2f s (${n / dt / 1e6}%.1f Mrows/s, $c out)")
     }
     time("hist_1d")(Histogram.histogram(ev, col("value"), ax).count())
+    time("hist_1d_fast")(
+      graft.operators.FastHist.histogram1d(ev, col("value"), ax).count())
     time("hist_1d_grouped")(
       Histogram.histogram(ev, col("value"), ax, Seq("event_type")).count())
     time("hist_weighted_dec")(Histogram.histogram(ev, col("value"), ax,

@@ -59,6 +59,18 @@ class HistVectorAggSpec extends SparkSpec {
     assert(denseBits(32) == sparseBits)
   }
 
+  test("fast dense-array kernel matches the declarative dense path exactly") {
+    val df = Seq("a" -> 0.5, "a" -> 1.5, "b" -> 0.2, "b" -> 5.0, "b" -> -3.0)
+      .toDF("g", "x").repartition(3)
+    val ax = Regular("x", 4, 0.0, 4.0)
+    val fast = graft.operators.FastHist.histogram1d(df, col("x"), ax)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val decl = Histogram.histogram(df, col("x"), ax, Nil, HistOptions(dense = true))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(fast == decl)
+    assert(fast(3.0) == 0.0) // dense zero bin present
+  }
+
   test("non-finite / overflowing weights are skipped like the sparse cast") {
     // The sparse path's double->DECIMAL(38,14) cast yields NULL (row
     // skipped) for NaN/Infinity and precision-38 overflow; the dense
