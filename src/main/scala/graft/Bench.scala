@@ -59,6 +59,10 @@ object Bench {
       "q46_ann_lsh", "q53_windowed_hist",
       "q50_fingerprint", "q27_stat_interval")
     val rank = heavy.zipWithIndex.toMap
+    // A failed query must be LOUD: print the stack to stderr and carry the
+    // failure into the JSON — a silent -1 count would report a broken query
+    // as a fast one.
+    val errors = scala.collection.concurrent.TrieMap.empty[String, String]
     val t0All = System.nanoTime()
     val futures = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (rank.getOrElse(name, heavy.size), name) }
@@ -68,7 +72,12 @@ object Bench {
         // similarity join cannot starve the short histogram jobs
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = e.toString.replaceAll("[\"\\n\\r]", " ").take(300)
+            System.err.println(s"[bench] QUERY FAILED: $name")
+            e.printStackTrace()
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -77,7 +86,20 @@ object Bench {
     pool.shutdown()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the JSON line: the driver's stdout tail-capture truncates
+    // long lines, losing the per-query numbers every round.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
+    if (errors.nonEmpty) System.err.println(
+      s"[bench] ${errors.size} queries FAILED: ${errors.keys.toSeq.sorted.mkString(", ")}")
     // long-lived drivers release the bounded relation memo explicitly
     graft.pipeline.Dedup.clearCache()
     spark.stop()

@@ -156,11 +156,15 @@ final case class Regular(name: String, n: Int, lo: Double, hi: Double,
   // PowT must be monotonic on [lo, hi): x^p is monotonic there only for
   // x >= 0 (or any x when p is an odd integer). A negative lo with e.g.
   // p = 2 silently yields tSpan = 0 and NaN edges — fail loudly like the
-  // LogT/SqrtT guards.
+  // LogT/SqrtT guards. Negative exponents additionally blow up at 0
+  // (0^-1 = inf -> infinite tSpan, NaN edges), so the domain must exclude
+  // 0 entirely: lo > 0, or an all-negative [lo, hi] with an odd-integer p.
   require(tf match {
+    case PowT(p) if p < 0 =>
+      lo > 0 || (hi < 0 && p == math.rint(p) && math.rint(p).toLong % 2 != 0)
     case PowT(p) => lo >= 0 || (p == math.rint(p) && math.rint(p).toLong % 2 != 0)
     case _ => true
-  }, s"PowT requires lo >= 0 (or an odd-integer exponent); got lo=$lo")
+  }, s"PowT domain must keep x^p monotonic and finite; got p, [lo,hi)=[$lo,$hi)")
   def nBins: Int = n
   private val span = hi - lo
   private val widthV = span / n

@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   * `sketchAxis` (Greenwald-Khanna approxQuantile): one aggregation pass,
   * no sort, approximate edges — same downstream plan.
   */
-object QuantileBins {
+object QuantileBins extends org.apache.spark.internal.Logging {
+
+  /** autoAxis result: the axis plus WHICH path produced its edges — exact
+    * rank edges are reproducibility-grade, sketch edges are approximate by
+    * construction, and the switch happens on input size, so callers must
+    * be able to tell the two apart (edges change discontinuously at the
+    * threshold otherwise with no signal). */
+  final case class QuantileAxis(axis: Variable, exact: Boolean)
 
   /** Default public path: exact rank edges below `exactThreshold` rows,
     * Greenwald-Khanna sketch edges above it. The exact path's global sort
@@ -30,17 +37,31 @@ object QuantileBins {
     * whose per-edge rank error is bounded by relativeError * n (so each
     * sketch edge sits within +-relativeError of the requested quantile
     * fraction). The exact path stays available (and oracle-gated, q59)
-    * for reproducibility-critical use. */
-  def autoAxis(df: DataFrame, x: Column, name: String, nBins: Int,
-      exactThreshold: Long = 10000000L, relativeError: Double = 1e-4): Variable = {
+    * for reproducibility-critical use. Logs and reports (via the returned
+    * flag) which path was taken. */
+  def autoAxisTagged(df: DataFrame, x: Column, name: String, nBins: Int,
+      exactThreshold: Long = 10000000L, relativeError: Double = 1e-4): QuantileAxis = {
     val vals = df.select(x.cast("double").as("v")).filter(col("v").isNotNull)
     // one stats pass decides the path AND feeds the exact branch (its
     // count/min/max are exactly what quantileAxis needs) — no
     // decide-then-recompute double scan
     val stats = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
-    if (stats.getLong(0) <= exactThreshold) exactAxis(vals, stats, name, nBins)
-    else sketchAxis(vals, "v", name, nBins, relativeError)
+    val n = stats.getLong(0)
+    if (n <= exactThreshold) {
+      logInfo(s"quantile axis '$name': exact rank edges over $n rows")
+      QuantileAxis(exactAxis(vals, stats, name, nBins), exact = true)
+    } else {
+      logWarning(s"quantile axis '$name': $n rows > exactThreshold=" +
+        s"$exactThreshold, switching to Greenwald-Khanna SKETCH edges " +
+        s"(rank error <= ${relativeError} * n; not oracle-exact)")
+      QuantileAxis(sketchAxis(vals, "v", name, nBins, relativeError), exact = false)
+    }
   }
+
+  /** Axis-only convenience over [[autoAxisTagged]]. */
+  def autoAxis(df: DataFrame, x: Column, name: String, nBins: Int,
+      exactThreshold: Long = 10000000L, relativeError: Double = 1e-4): Variable =
+    autoAxisTagged(df, x, name, nBins, exactThreshold, relativeError).axis
 
   /** Exact rank-based quantile edges; one stats pass + one sort + one tiny
     * collect. */

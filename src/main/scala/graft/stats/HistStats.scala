@@ -204,12 +204,20 @@ object HistStats {
   def normalizeOver(hist: DataFrame, axes: Seq[BinAxis], over: Seq[BinAxis],
       dims: Seq[String]): DataFrame = {
     require(over.nonEmpty && over.forall(axes.contains), "normalize variables must be axes")
-    val loopBins = axes.filterNot(over.contains).map(_.binsCol)
+    val loopAxes = axes.filterNot(over.contains)
+    val loopBins = loopAxes.map(_.binsCol)
+    // Rows whose LOOP-axis coordinate is a flow bin form partitions whose
+    // no-flow total is 0 (pdf would be Infinity); the reference's xarray
+    // alignment drops those coordinates entirely, so drop them here too.
+    // Flow bins along the NORMALIZED axes are kept (area 1, excluded from
+    // the total) — the q77 density+flow contract.
+    val noLoopFlow = loopAxes.map(isFlowLabel).reduceOption(_ || _)
+      .fold(hist)(p => hist.filter(!p))
     val w = Window.partitionBy((dims ++ loopBins).map(col): _*)
     val anyFlow = axes.map(isFlowLabel).reduce(_ || _)
     val total = graft.util.Dec.exactDouble(
       sum(graft.util.Dec.toDec(when(anyFlow, lit(0.0)).otherwise(col("cnt")))).over(w))
-    val withWidths = over.zipWithIndex.foldLeft(hist) { case (df, (ax, k)) =>
+    val withWidths = over.zipWithIndex.foldLeft(noLoopFlow) { case (df, (ax, k)) =>
       withLabelWidth(df, ax, s"__bw$k")
     }
     val area = over.zipWithIndex.map { case (ax, k) =>
@@ -244,6 +252,16 @@ object HistStats {
   /** Remove flow bins from a labelled histogram (accessor.py:278-305). */
   def removeFlow(hist: DataFrame, ax: BinAxis): DataFrame =
     hist.filter(!isFlowLabel(ax))
+
+  /** Remove flow bins across a LIST of variables — the reference's
+    * `remove_flow(variables=[...])` N-D form (accessor.py:278-305): a row
+    * survives only if NONE of the listed axes' coordinates is a flow bin.
+    * One conjunctive filter, not a filter chain — a single codegen'd
+    * predicate pass. */
+  def removeFlow(hist: DataFrame, axes: Seq[BinAxis]): DataFrame = {
+    require(axes.nonEmpty, "removeFlow needs at least one axis")
+    hist.filter(!axes.map(isFlowLabel).reduce(_ || _))
+  }
 
   /** Scale the bins coordinate (accessor.scale, accessor.py:382-395). */
   def scaleBins(hist: DataFrame, ax: BinAxis, factor: Double): DataFrame =

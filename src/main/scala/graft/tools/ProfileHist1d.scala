@@ -45,6 +45,10 @@ object ProfileHist1d {
     val evRaw = spark.read.parquet(path)
     time("count_path_parquet")(
       Histogram.histogram(evRaw, col("value"), ax).count())
+    // FastHist columnar kernel straight off the vectorized parquet batches
+    // (the flagship flat-count path; engages iff the plan is a bare scan)
+    time("fast_count_parquet")(
+      graft.operators.FastHist.histogram1d(evRaw, col("value"), ax).count())
     // value-only columnar cache: the full-table cache pays for decompressing
     // five unused columns (incl. strings) on every scan
     val evVal = evRaw.select("value")
@@ -52,9 +56,13 @@ object ProfileHist1d {
     evVal.count()
     time("count_path_valcache")(
       Histogram.histogram(evVal, col("value"), ax).count())
+    time("fast_count_valcache")(
+      graft.operators.FastHist.histogram1d(evVal, col("value"), ax).count())
     time("weighted_dec_valcache")(
       Histogram.histogram(evVal, col("value"), ax,
         opts = HistOptions(weight = Some(col("value")))).count())
+    time("fast_count_fullcache")(
+      graft.operators.FastHist.histogram1d(ev, col("value"), ax).count())
     println(unw.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
