@@ -291,11 +291,12 @@ object SparkEntry {
     },
     "q52_ann_ivf" -> { (s, dir) =>
       // trained coarse quantizer: 64 cells, 2 deterministic Lloyd rounds,
-      // 4-probe queries (cell count ~ sqrt(N) is the scale rule)
+      // 8-probe queries (cell count ~ sqrt(N) is the scale rule; nprobe
+      // picked from the measured StressVec recall curve — see SURVEY §6d)
       implicit val sp: SparkSession = s
       val emb = t(dir, "embeddings")
       Similarity.annIvf(emb, emb.filter(col("vec_id") < 10), 3,
-        nCells = 64, nprobe = 4)
+        nCells = 64, nprobe = 8)
     },
     "q54_neardup_pipeline" -> { (s, dir) =>
       implicit val sp: SparkSession = s
@@ -564,7 +565,7 @@ object SparkEntry {
     // q47-q50 below; q51_multimodal is rows-only (stubbed decode, no oracle)
   ) ++ Map(
     "q47_langid" -> PipelineOracle.langId,
-    "q52_ann_ivf" -> PipelineOracle.annIvf(3, 10, nCells = 64, nprobe = 4),
+    "q52_ann_ivf" -> PipelineOracle.annIvf(3, 10, nCells = 64, nprobe = 8),
     "q54_neardup_pipeline" -> PipelineOracle.nearDupPairs(),
     "q53_windowed_hist" -> {
       val idx = axValue.indexSql("value")

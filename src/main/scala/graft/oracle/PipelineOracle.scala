@@ -236,13 +236,16 @@ object PipelineOracle {
       s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
   }
 
-  /** Mirrors Similarity.annIvf with the TRAINED quantizer: init centroids
-    * = the nCells lowest-vec_id embeddings (cent_id = rank), `iters`
-    * unrolled Lloyd rounds — cosine assignment (ROW_NUMBER ties to lowest
-    * cent_id = the TopKByScore order) and per-dimension decimal-exact
-    * means (Oracle.exactDbl split, TRY_CAST via VARCHAR = Dec.toDec),
-    * empty cells keeping the previous centroid via LEFT JOIN + COALESCE —
-    * then the standard assign / nprobe-probe / exact top-k tail. */
+  /** Mirrors Similarity.annIvf with the TRAINED quantizer: the training
+    * subset is the nCells*8 embeddings with the smallest 60-bit salted
+    * md5(vec_id || ':ivf') (ties by vec_id — the unbiased hash-rank
+    * sample), init centroids = the first nCells in that same hash order
+    * (cent_id = rank), `iters` unrolled Lloyd rounds — cosine assignment
+    * (ROW_NUMBER ties to lowest cent_id = the TopKByScore order) and
+    * per-dimension decimal-exact means (Oracle.exactDbl split, TRY_CAST
+    * via VARCHAR = Dec.toDec), empty cells keeping the previous centroid
+    * via LEFT JOIN + COALESCE — then the standard assign / nprobe-probe /
+    * exact top-k tail. */
   def annIvf(k: Int, queryMaxId: Long, nCells: Int = 8, nprobe: Int = 1,
       iters: Int = 2): String = {
     // MATERIALIZED everywhere: DuckDB inlines CTEs by default, and the
@@ -250,7 +253,7 @@ object PipelineOracle {
     // re-executes the element-level joins exponentially in iters (observed
     // as an OOM); materialization makes each round run once.
     // elt = the deterministic training subset (8 vectors per cell; mirrors
-    // Similarity.kmeansCentroids' vec_id < nCells*8 filter)
+    // Similarity.kmeansCentroids' hash-rank sample)
     def assignCte(c: String, rel: String): String =
       s"MATERIALIZED (SELECT $rel.vec_id, cn.cent_id, " +
         s"SUM($rel.v * cn.cv ORDER BY $rel.i) / (nv.nrm * nn.cnrm) AS ccos " +
@@ -278,9 +281,11 @@ object PipelineOracle {
       .replace("el AS (", "el AS MATERIALIZED (")
       .replace("nrm AS (", "nrm AS MATERIALIZED (")
     s"WITH $embMat, " +
-      s"elt AS MATERIALIZED (SELECT * FROM el WHERE vec_id < ${nCells * 8L}), " +
-      s"cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, vec_id " +
-      s"FROM (SELECT vec_id FROM e WHERE vec_id < ${nCells * 8L} ORDER BY vec_id LIMIT $nCells)), " +
+      "hs AS (SELECT vec_id, ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':ivf'), 1, 15))::BIGINT AS hh FROM e), " +
+      "smp AS MATERIALIZED (SELECT vec_id, rk FROM (SELECT vec_id, " +
+      s"ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS rk FROM hs) WHERE rk <= ${nCells * 8L}), " +
+      "elt AS MATERIALIZED (SELECT el.* FROM el JOIN smp ON smp.vec_id = el.vec_id), " +
+      s"cent0 AS (SELECT rk - 1 AS cent_id, vec_id FROM smp WHERE rk <= $nCells), " +
       "c0 AS MATERIALIZED (SELECT cent0.cent_id, el.i, el.v AS cv FROM cent0 " +
       "JOIN el ON el.vec_id = cent0.vec_id), " +
       s"$train, " +

@@ -134,20 +134,28 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, nCells: Int,
       iters: Int): Seq[(Long, Array[Double])] = {
     import java.math.{BigDecimal => JBD, BigInteger => JBI, RoundingMode}
-    // Deterministic training subset (the at-scale practice: quantizers are
-    // trained on a sample, never the full corpus — at 100 TB this filter
-    // is a hash-sample): 8 vectors per target cell. The sample is bounded
-    // (nCells * 8 * dim floats), so it is collected ONCE and Lloyd runs on
-    // the driver — one Spark job instead of 2 per round — with every step
-    // bit-identical to the SQL the oracle executes: dots and norms fold
-    // left-to-right in double, assignment ties go to the lowest cent_id
-    // with NaN ordered largest (Double.compare = ORDER BY ccos DESC), and
-    // per-dimension means accumulate DECIMAL(38,14) unscaled integers
-    // (shortest-string image of each double, Dec.toDec) with the
-    // Dec.exactDouble split at the end.
+    // Deterministic UNBIASED training subset: the nCells*8 vectors with the
+    // smallest 60-bit salted md5 of vec_id (ties by vec_id). A hash-rank
+    // sample is a uniform draw regardless of how vec_id correlates with
+    // content (ingest time, source, shard) — a vec_id prefix is not — and
+    // it works for offset or sparse id spaces. TakeOrdered keeps it one
+    // bounded top-k job (k rows per map partition to the driver, never a
+    // full sort), so the same two-job shape holds at 100 TB. The sample is
+    // bounded (nCells * 8 * dim floats), so it is collected ONCE and Lloyd
+    // runs on the driver with every step bit-identical to the SQL the
+    // oracle executes: dots and norms fold left-to-right in double,
+    // assignment ties go to the lowest cent_id with NaN ordered largest
+    // (Double.compare = ORDER BY ccos DESC), and per-dimension means
+    // accumulate DECIMAL(38,14) unscaled integers (shortest-string image
+    // of each double, Dec.toDec) with the Dec.exactDouble split at the
+    // end. Init centroids = the first nCells in the same hash order.
+    val trainHash = conv(substring(
+      md5(concat(col("vec_id").cast("string"), lit(":ivf"))), 1, 15), 16, 10)
+      .cast("long")
     val sample: Array[Array[Float]] =
-      corpus.filter(col("vec_id") < nCells * 8L).orderBy("vec_id")
-        .select(col("embedding")).collect()
+      corpus.select(col("embedding"), trainHash.as("__h"), col("vec_id"))
+        .orderBy(col("__h"), col("vec_id")).limit(nCells * 8)
+        .collect()
         .map(_.getSeq[Float](0).toArray)
     // corpora smaller than the requested cell count (incl. empty) simply
     // train fewer cells — every vector becomes its own centroid

@@ -31,6 +31,24 @@ object StressVec {
     time("ann_ivf_128c")(
       graft.pipeline.Similarity.annIvf(emb, q, 5, nCells = 128, nprobe = 4).count())
     time("ann_bruteforce")(graft.pipeline.Similarity.bruteForceTopK(emb, q, 5).count())
+    // IVF recall sweep vs brute-force top-3 at the GATED config's corpus
+    // (sf0.01): nprobe is the standard IVF recall/candidate-volume knob —
+    // print the curve so config choices are measured, not guessed.
+    val sfEmb = spark.read.parquet(
+      if (args.length > 1) args(1) else "/root/testdata/sf0.01/embeddings.parquet")
+      .persist()
+    val sfQ = sfEmb.filter(col("vec_id") < 10)
+    val truth = graft.pipeline.Similarity.bruteForceTopK(sfEmb, sfQ, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (np <- Seq(2, 4, 8, 16)) {
+      val got = graft.pipeline.Similarity.annIvf(sfEmb, sfQ, 3,
+          nCells = 64, nprobe = np)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[recall] ivf nCells=64 nprobe=$np: " +
+        f"${(got & truth).size}/${truth.size} = ${(got & truth).size.toDouble / truth.size}%.2f")
+    }
     graft.pipeline.Dedup.clearCache()
     spark.stop()
   }
