@@ -56,6 +56,7 @@ object SparkEntry {
   private val axLineNo = IntCategory("l_linenumber", Seq(1L, 2L, 3L, 4L, 7L))
   private val axFlag = StrCategory("l_returnflag", Seq("A", "N"))
   private val axQtyNarrow = Regular("l_quantity", 10, 10.0, 40.0) // populated flow bins
+  private val axDiscNarrow = Regular("l_discount", 5, 0.02, 0.08) // populated flow bins
   private val axHourCirc = Circular("ev_hour", 12, 0.0, 24.0)
   private val axValue = Regular("value", 16, 0.0, 512.0)
   private val axValueSqrt = Regular("value", 16, 0.0, 512.0, transform = SqrtT)
@@ -467,6 +468,24 @@ object SparkEntry {
       // lookup) — must be row-identical to the declarative dense path
       implicit val sp: SparkSession = s
       graft.operators.FastHist.histogram1d(t(dir, "lineitem"), col("l_quantity"), axQty)
+    },
+    "q79_apply_func" -> { (s, dir) =>
+      // accessor.apply_func (accessor.py:355-380): arbitrary Column
+      // function over the bins coordinate of a COMPUTED histogram —
+      // gated with f = sqrt (correctly rounded in both engines)
+      implicit val sp: SparkSession = s
+      val h = hist(dir, "events", col("value"), axValue)
+      HistStats.applyToBins(h, axValue, sqrt(_))
+    },
+    "q80_remove_flow_vars" -> { (s, dir) =>
+      // accessor.remove_flow(variables=[...]) N-D form: strip flow rows
+      // across BOTH axes of a 2-D flow histogram in one predicate pass;
+      // both narrow axes have populated under/overflow bins
+      implicit val sp: SparkSession = s
+      val h2 = Histogram.histogramdd(t(dir, "lineitem"),
+        Seq(col("l_quantity") -> axQtyNarrow, col("l_discount") -> axDiscNarrow),
+        opts = HistOptions(flow = true))
+      HistStats.removeFlow(h2, Seq(axQtyNarrow, axDiscNarrow))
     }
   )
 
@@ -609,6 +628,16 @@ object SparkEntry {
       Seq(Oracle.Spec("l_quantity", axQtyNarrow)), flow = true, density = true),
     "q78_hist_fastpath" -> Oracle.hist("lineitem",
       Seq(Oracle.Spec("l_quantity", axQty)), dense = true),
+    // apply_func: the transformed coordinate is re-derived by wrapping the
+    // plain histogram oracle — SQRT is correctly rounded in both engines,
+    // so the wrapped label is bit-identical
+    "q79_apply_func" ->
+      s"SELECT SQRT(value_bins) AS value_bins, cnt FROM (${Oracle.hist("events", Seq(Oracle.Spec("value", axValue)))}) __h",
+    // remove_flow(variables=[qty, disc]) on the flow histogram == the
+    // direct no-flow histogram: the oracle computes the INDEPENDENT form,
+    // so the gate proves the N-D strip leaves exactly the interior grid
+    "q80_remove_flow_vars" -> Oracle.hist("lineitem",
+      Seq(Oracle.Spec("l_quantity", axQtyNarrow), Oracle.Spec("l_discount", axDiscNarrow))),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),
