@@ -26,19 +26,25 @@ object Dedup {
 
   /** Small single-file inputs arrive as one partition, serializing the
     * per-doc compute (signatures, gram sets). Spread them to the session's
-    * parallelism; no-op when the source is already well-partitioned (at
-    * real scale, many parquet splits).
+    * parallelism; no-op when the source is big enough to already carry
+    * many splits (at real scale, thousands of parquet splits).
     *
-    * The `df.rdd` partition probe does force a physical plan for the
-    * subtree (planned again when the full query runs) — a deliberate
-    * trade: an unconditional repartition/REBALANCE would add a full-corpus
-    * shuffle at real scale where inputs already have thousands of splits,
-    * and skipping the probe would leave toy inputs serialized on one core.
-    * The probe costs one planning pass of the (usually cached) input,
-    * never an extra execution. */
+    * The decision reads the LOGICAL plan's size estimate
+    * (`optimizedPlan.stats.sizeInBytes`: file-listing totals for scans,
+    * actual cached bytes for in-memory relations, row-count products for
+    * local data) — no physical planning, unlike a `df.rdd` partition
+    * probe, which forces the subtree to be planned twice. Inputs at or
+    * under the threshold get an unconditional repartition: on megabytes
+    * the extra shuffle is microseconds, and it guarantees the per-doc
+    * compute fans out. Inputs above it are left untouched — at that size
+    * the scan necessarily yields many splits, and a full-corpus
+    * repartition would be a 100 TB shuffle for nothing. */
+  private val WidenMaxBytes = BigInt(1L << 30) // 1 GiB
   private[pipeline] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= WidenMaxBytes)
+      df.repartition(target)
+    else df
   }
 
   /** Bounded derived-relation memo (see graft.util.RelCache): signature /

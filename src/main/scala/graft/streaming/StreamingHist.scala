@@ -37,22 +37,36 @@ object StreamingHist {
     * engine can't express).
     *
     * State grows with DISTINCT hashes: at 100 TB that is the corpus's
-    * unique-document count, so production deployments bound it with
-    * `GroupStateTimeout.ProcessingTimeTimeout` + `setTimeoutDuration`
-    * (dedup within a rolling horizon) or periodically compact the state
-    * store; NoTimeout here keeps the gated batch semantics exact. */
-  def streamingDedup(events: Dataset[DocEvent]): Dataset[DedupVerdict] = {
+    * unique-document count, so production deployments BOUND it by passing
+    * `stateTtl`: each hash's state then carries a ProcessingTimeTimeout
+    * and is REMOVED once no duplicate arrives within the horizon — dedup
+    * within a rolling window, state bounded by the horizon's distinct-hash
+    * arrival rate instead of all-time cardinality. A hash whose state
+    * expired is first_seen again, by design. The default (no TTL) keeps
+    * the gated batch semantics exact (q72; timeouts never fire in batch
+    * execution anyway). */
+  def streamingDedup(events: Dataset[DocEvent],
+      stateTtl: Option[String] = None): Dataset[DedupVerdict] = {
     import events.sparkSession.implicits._
+    val timeout = stateTtl.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
     events.groupByKey(_.content_hash)
       .flatMapGroupsWithState[Boolean, DedupVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (hash: String, it: Iterator[DocEvent], state: GroupState[Boolean]) =>
-          val seenBefore = state.getOption.getOrElse(false)
-          val batch = it.toSeq.sortBy(_.doc_id)
-          state.update(true)
-          batch.zipWithIndex.map { case (e, i) =>
-            DedupVerdict(e.doc_id, hash, first_seen = !seenBefore && i == 0)
-          }.iterator
+          if (state.hasTimedOut) {
+            // no duplicate within the horizon: release the hash's state
+            state.remove()
+            Iterator.empty
+          } else {
+            val seenBefore = state.getOption.getOrElse(false)
+            val batch = it.toSeq.sortBy(_.doc_id)
+            state.update(true)
+            stateTtl.foreach(state.setTimeoutDuration)
+            batch.zipWithIndex.map { case (e, i) =>
+              DedupVerdict(e.doc_id, hash, first_seen = !seenBefore && i == 0)
+            }.iterator
+          }
       }
   }
 }

@@ -89,6 +89,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state TTL bounds dedup state: expired hashes are first_seen again") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    // 5 s horizon: wide enough that the in-horizon duplicate's batch
+    // can't race past it even under co-tenant load, small enough to
+    // expire with one sleep
+    val out = StreamingHist.streamingDedup(input.toDS(),
+      stateTtl = Some("5 seconds"))
+    val q = out.writeStream.format("memory").queryName("ttl_stream")
+      .outputMode(OutputMode.Append()).start()
+    // With a ProcessingTimeTimeout registered the stream keeps scheduling
+    // timeout-check micro-batches, so processAllAvailable never sees a
+    // stable idle state — poll the sink for the expected doc instead.
+    def awaitDoc(id: Long, deadlineMs: Long = 30000): Map[Long, Boolean] = {
+      val t0 = System.currentTimeMillis()
+      var rows = Map.empty[Long, Boolean]
+      while (!rows.contains(id)) {
+        assert(System.currentTimeMillis() - t0 < deadlineMs,
+          s"doc $id not in sink after ${deadlineMs} ms (got $rows)")
+        Thread.sleep(50)
+        rows = spark.table("ttl_stream").as[DedupVerdict].collect()
+          .map(v => v.doc_id -> v.first_seen).toMap
+      }
+      rows
+    }
+    try {
+      input.addData(DocEvent(1, "h1"))
+      awaitDoc(1)
+      // within the horizon a duplicate is still flagged
+      input.addData(DocEvent(2, "h1"))
+      awaitDoc(2)
+      Thread.sleep(10000) // let h1's 5 s processing-time horizon lapse
+      // any later batch fires the pending timeout and removes h1's state
+      input.addData(DocEvent(3, "h9"))
+      awaitDoc(3)
+      // state gone -> the same hash is first_seen again (rolling-horizon
+      // dedup semantics), proving expired state is actually released
+      input.addData(DocEvent(4, "h1"))
+      val rows = awaitDoc(4)
+      assert(rows == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+    } finally q.stop()
+  }
+
   test("stateful streaming dedup: first_seen only once per content hash") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DocEvent]
