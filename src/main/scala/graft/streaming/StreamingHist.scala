@@ -16,16 +16,43 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingHist {
 
   /** Event-time windowed histogram: one histogram per tumbling window.
-    * Works identically on a batch or streaming DataFrame. */
+    * Works identically on a batch or streaming DataFrame.
+    *
+    * Streaming keeps the `window()` struct key — Spark's state eviction
+    * needs the event-time window column. Batch execution uses plain
+    * integer arithmetic on epoch micros instead: the same tumbling
+    * assignment (`start = ts - ts mod duration`, Spark's own formula for
+    * epoch-aligned windows) grouped by a LONG key rather than a
+    * (start, end) struct — cheaper hashing/compare in the aggregate
+    * hot path, identical rows out. */
   def windowedHistogram(df: DataFrame, tsCol: String, x: Column, ax: BinAxis,
       windowDuration: String, watermark: String = "10 seconds"): DataFrame = {
-    val base = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
-    base.filter(ax.keepPred(x, includeUnder = false, includeOver = false))
-      .select(window(col(tsCol), windowDuration).as("win"), ax.index(x).as("__i0"))
-      .groupBy(col("win"), col("__i0"))
-      .agg(count(lit(1)).cast("double").as("cnt"))
-      .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
-        ax.label(col("__i0")).as(ax.binsCol), col("cnt"))
+    val kept = ax.keepPred(x, includeUnder = false, includeOver = false)
+    if (df.isStreaming) {
+      df.withWatermark(tsCol, watermark)
+        .filter(kept)
+        .select(window(col(tsCol), windowDuration).as("win"), ax.index(x).as("__i0"))
+        .groupBy(col("win"), col("__i0"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
+          ax.label(col("__i0")).as(ax.binsCol), col("cnt"))
+    } else {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+          .fromString(windowDuration))
+      require(iv.months == 0,
+        "calendar-month windows are not fixed-length; use the window() path")
+      val durUs = iv.days * 86400000000L + iv.microseconds
+      val us = unix_micros(col(tsCol))
+      val startUs = (us - pmod(us, lit(durUs))).as("__ws")
+      df.filter(kept)
+        .select(startUs, ax.index(x).as("__i0"))
+        .groupBy(col("__ws"), col("__i0"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .select(timestamp_micros(col("__ws")).as("window_start"),
+          timestamp_micros(col("__ws") + lit(durUs)).as("window_end"),
+          ax.label(col("__i0")).as(ax.binsCol), col("cnt"))
+    }
   }
 
   case class DocEvent(doc_id: Long, content_hash: String)

@@ -26,11 +26,20 @@ object StressVec {
       println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
     }
     val q = emb.filter(col("vec_id") < 10)
-    time("neardup_bucketed")(graft.pipeline.Similarity.nearDup(emb, 0.35).count())
+    // ANN timings first: they are the sublinearity evidence. The pair join
+    // runs last and can be skipped ("nopairs" arg) — on heavily-replicated
+    // stress corpora its OUTPUT is quadratic in the replication factor
+    // (every replica pair IS a near-dup), which measures duplicate density,
+    // not algorithmic scaling.
     time("ann_lsh")(graft.pipeline.Similarity.annLsh(emb, q, 5).count())
     time("ann_ivf_128c")(
       graft.pipeline.Similarity.annIvf(emb, q, 5, nCells = 128, nprobe = 4).count())
+    val nCellsSqrt = math.max(16, math.sqrt(emb.count().toDouble).toInt)
+    time(s"ann_ivf_sqrtN_${nCellsSqrt}c")(
+      graft.pipeline.Similarity.annIvf(emb, q, 5, nCells = nCellsSqrt, nprobe = 4).count())
     time("ann_bruteforce")(graft.pipeline.Similarity.bruteForceTopK(emb, q, 5).count())
+    if (!args.contains("nopairs"))
+      time("neardup_bucketed")(graft.pipeline.Similarity.nearDup(emb, 0.35).count())
     // IVF recall sweep vs brute-force top-3 at the GATED config's corpus
     // (sf0.01): nprobe is the standard IVF recall/candidate-volume knob —
     // print the curve so config choices are measured, not guessed.

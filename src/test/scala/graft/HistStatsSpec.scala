@@ -194,6 +194,27 @@ class HistStatsSpec extends SparkSpec {
     assert(math.abs(p((2.0, 2.0)) - 1.0 / 2.0) < 1e-12)
   }
 
+  test("normalizeOver drops loop-axis flow rows (no pdf=Infinity partitions)") {
+    // y = 5.0 overflows the loop axis: its (loop-coordinate) partition has
+    // a no-flow total of 0, so keeping it would emit pdf = Infinity; the
+    // reference's alignment drops the coordinate. x = -1.0 underflows the
+    // NORMALIZED axis: kept, area 1, excluded from the total (q77 contract).
+    val d2 = Seq((0.5, 0.5), (1.5, 0.5), (-1.0, 0.5), (0.5, 5.0)).toDF("x", "y")
+    val ay = Variable("y", Array(0.0, 2.0, 4.0))
+    val h2 = graft.operators.Histogram.histogramdd(d2,
+      Seq(col("x") -> ax, col("y") -> ay),
+      opts = graft.operators.HistOptions(flow = true))
+    val p = HistStats.normalizeOver(h2, Seq(ax, ay), Seq(ax), Nil).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getAs[Double]("pdf")).toMap
+    assert(p.values.forall(java.lang.Double.isFinite), s"non-finite pdf in $p")
+    // loop-axis flow coordinate (y = +inf label) dropped entirely
+    assert(!p.keys.exists(_._2.isInfinite))
+    // normalized-axis flow row kept: pdf = cnt / 1 / total(no-flow = 2)
+    assert(math.abs(p((Double.NegativeInfinity, 0.0)) - 0.5) < 1e-12)
+    assert(math.abs(p((0.0, 0.0)) - 0.5) < 1e-12)
+    assert(math.abs(p((1.0, 0.0)) - 0.5) < 1e-12)
+  }
+
   test("normalize stays exact on a 10k-bin variable axis (join, not CASE chain)") {
     val edges = Array.tabulate(10001)(_ * 0.001)
     val big = Variable("x", edges)
