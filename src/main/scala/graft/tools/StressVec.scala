@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * buckets/cells, and near-linear runtime growth in corpus size. */
 object StressVec {
   def main(args: Array[String]): Unit = {
-    val path = if (args.nonEmpty) args(0) else "/tmp/sfbig_embeddings.parquet"
+    val (flags, paths) = args.partition(_ == "nopairs")
+    val path = if (paths.nonEmpty) paths(0) else "/tmp/sfbig_embeddings.parquet"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
@@ -38,13 +39,13 @@ object StressVec {
     time(s"ann_ivf_sqrtN_${nCellsSqrt}c")(
       graft.pipeline.Similarity.annIvf(emb, q, 5, nCells = nCellsSqrt, nprobe = 4).count())
     time("ann_bruteforce")(graft.pipeline.Similarity.bruteForceTopK(emb, q, 5).count())
-    if (!args.contains("nopairs"))
+    if (flags.isEmpty)
       time("neardup_bucketed")(graft.pipeline.Similarity.nearDup(emb, 0.35).count())
     // IVF recall sweep vs brute-force top-3 at the GATED config's corpus
     // (sf0.01): nprobe is the standard IVF recall/candidate-volume knob —
     // print the curve so config choices are measured, not guessed.
     val sfEmb = spark.read.parquet(
-      if (args.length > 1) args(1) else "/root/testdata/sf0.01/embeddings.parquet")
+      if (paths.length > 1) paths(1) else "/root/testdata/sf0.01/embeddings.parquet")
       .persist()
     val sfQ = sfEmb.filter(col("vec_id") < 10)
     val truth = graft.pipeline.Similarity.bruteForceTopK(sfEmb, sfQ, 3)
