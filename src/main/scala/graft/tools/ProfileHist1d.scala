@@ -63,6 +63,17 @@ object ProfileHist1d {
         opts = HistOptions(weight = Some(col("value")))).count())
     time("fast_count_fullcache")(
       graft.operators.FastHist.histogram1d(ev, col("value"), ax).count())
+    // uncompressed value-only cache: the reference benchmarks boost over
+    // raw in-memory numpy arrays, so the comparable layout is cached
+    // columnar batches WITHOUT the per-scan decompression tax
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    val evValU = evRaw.select(col("value").as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    evValU.count()
+    time("count_path_valcache_uncomp")(
+      Histogram.histogram(evValU, col("value"), ax).count())
+    time("fast_count_valcache_uncomp")(
+      graft.operators.FastHist.histogram1d(evValU, col("value"), ax).count())
     println(unw.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
     spark.stop()
