@@ -72,6 +72,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch integer-key window assignment == Spark's window() semantics") {
+    // the arithmetic path must reproduce window()'s epoch-aligned tumbling
+    // assignment exactly, for non-round durations and boundary timestamps
+    val ax = Regular("v", 4, 0.0, 4.0)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map { _ =>
+      (new Timestamp(rnd.between(0L, 3600L * 1000) * 1000 / 1000), // sub-hour
+        rnd.between(-1.0, 5.0))
+    } ++ Seq((ts(0), 0.5), (ts(420), 1.5), (ts(419), 2.5)) // exact edges
+    for (dur <- Seq("7 minutes", "90 seconds", "1 hour")) {
+      val df = rows.toDF("ts", "v")
+      val got = StreamingHist.windowedHistogram(df, "ts", col("v"), ax, dur)
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+          r.getDouble(2), r.getDouble(3))).toSet
+      val want = df
+        .filter(col("v") >= 0.0 && col("v") < 4.0)
+        .groupBy(window(col("ts"), dur).as("win"), ax.index(col("v")).as("i"))
+        .count()
+        .select(col("win.start"), col("win.end"), ax.label(col("i")),
+          col("count").cast("double"))
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+          r.getDouble(2), r.getDouble(3))).toSet
+      assert(got == want, s"window mismatch for duration '$dur'")
+    }
+  }
+
   test("stateless curation ops run unchanged on streaming input") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String, String)]
