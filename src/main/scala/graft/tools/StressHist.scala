@@ -62,6 +62,17 @@ object StressHist {
         "sketch qbins plan must not contain a global sort")
       h.count()
     })
+    // GK precision/speed curve: relativeError is the 100 TB lever — each
+    // edge lands within ±relErr of its quantile fraction, and looser
+    // sketches merge far cheaper
+    for (re <- Seq(1e-3, 1e-2)) {
+      time(f"qbins_sketch_relerr_$re%.0e")({
+        val qax = graft.operators.QuantileBins.autoAxis(
+          ev, col("value"), "value", 10,
+          exactThreshold = 1000000L, relativeError = re)
+        Histogram.histogram(ev, col("value"), qax).count()
+      })
+    }
     time("windowed_hist")({
       // the stress copy stores ts as a real timestamp; testdata as nanos
       val eventTime =
