@@ -477,6 +477,13 @@ object SparkEntry {
       val h = hist(dir, "events", col("value"), axValue)
       HistStats.applyToBins(h, axValue, sqrt(_))
     },
+    "q81_hist2d_fastpath" -> { (s, dir) =>
+      // 2-D dense-array kernel: the bin pair is one flat array offset —
+      // must be row-identical to the declarative dense 2-D grid
+      implicit val sp: SparkSession = s
+      graft.operators.FastHist.histogram2d(t(dir, "lineitem"),
+        col("l_quantity"), axQty10, col("l_discount"), axDisc)
+    },
     "q80_remove_flow_vars" -> { (s, dir) =>
       // accessor.remove_flow(variables=[...]) N-D form: strip flow rows
       // across BOTH axes of a 2-D flow histogram in one predicate pass;
@@ -638,6 +645,9 @@ object SparkEntry {
     // so the gate proves the N-D strip leaves exactly the interior grid
     "q80_remove_flow_vars" -> Oracle.hist("lineitem",
       Seq(Oracle.Spec("l_quantity", axQtyNarrow), Oracle.Spec("l_discount", axDiscNarrow))),
+    "q81_hist2d_fastpath" -> Oracle.hist("lineitem",
+      Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc)),
+      dense = true),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

@@ -64,6 +64,41 @@ class FastHistSpec extends SparkSpec {
     assert(fast == decl)
   }
 
+  test("2-D columnar kernel engages and matches the declarative dense grid") {
+    val dir = java.nio.file.Files.createTempDirectory("fasthist2d").toString
+    val path = s"$dir/pairs.parquet"
+    // second column deliberately listed FIRST in the file: the resolver
+    // must map selected columns to scan positions, not assume order
+    val rnd = new scala.util.Random(3)
+    ((0 until 500).map(_ => (rnd.between(-0.5, 4.5), rnd.between(-1.0, 3.0))) ++
+      Seq((Double.NaN, 1.0), (1.0, Double.NaN), (0.0, 0.0), (3.9999, 1.9999)))
+      .toDF("y", "x").repartition(3).write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    val ax2 = Regular("y", 3, 0.0, 3.0)
+    val cc = FastHist.columnarCounts2d(df, col("x"), ax, col("y"), ax2)
+    assert(cc.isDefined, "2-D columnar path must engage on a parquet double scan")
+    assert(cc.get.toSeq == FastHist.rowCounts2d(df, col("x"), ax, col("y"), ax2).toSeq)
+    val fast = FastHist.histogram2d(df, col("x"), ax, col("y"), ax2)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val decl = Histogram.histogramdd(df,
+        Seq(col("x") -> ax, col("y") -> ax2), opts = HistOptions(dense = true))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(fast == decl)
+    assert(fast.size == ax.nBins * ax2.nBins) // full dense grid
+  }
+
+  test("2-D kernel with expressions falls back to the row path and matches") {
+    val df = Seq((0.5, 0.5), (1.5, 2.5), (3.0, 1.0)).toDF("x", "y")
+    val ax2 = Regular("y", 3, 0.0, 3.0)
+    assert(FastHist.columnarCounts2d(df, col("x") * 2, ax, col("y"), ax2).isEmpty)
+    val fast = FastHist.histogram2d(df, col("x") * 2, ax, col("y"), ax2)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val decl = Histogram.histogramdd(df,
+        Seq((col("x") * 2) -> ax, col("y") -> ax2), opts = HistOptions(dense = true))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(fast == decl)
+  }
+
   test("treeAggregate merge is correct across a high partition count") {
     // 64 partitions on local[4]: many partial arrays, multi-level merge
     val df = spark.range(0, 20000).select((col("id") % 40 / lit(10.0)).as("x"))
