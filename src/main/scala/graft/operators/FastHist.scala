@@ -265,21 +265,45 @@ object FastHist {
           val v1 = batch.column(c1)
           val v2 = batch.column(c2)
           val m = batch.numRows()
-          val anyNull = v1.hasNull || v2.hasNull
-          var i = 0
-          while (i < m) {
-            if (!anyNull || (!v1.isNullAt(i) && !v2.isNullAt(i))) {
-              val a = v1.getDouble(i)
-              val b = v2.getDouble(i)
-              if (a >= lo1 && a < hi1 && b >= lo2 && b < hi2) {
-                var i1 = ((a - lo1) / sp1 * n1D).toLong
-                if (i1 > n1M1) i1 = n1M1
-                var i2 = ((b - lo2) / sp2 * n2D).toLong
-                if (i2 > n2M1) i2 = n2M1
-                buf((i1 * n2 + i2).toInt) += 1L
+          (v1, v2) match {
+            case (w1: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+                  w2: org.apache.spark.sql.execution.vectorized.WritableColumnVector)
+                if !w1.hasNull && !w1.hasDictionary &&
+                  !w2.hasNull && !w2.hasDictionary =>
+              // two bulk copies, then a tight primitive loop — per-element
+              // virtual calls would otherwise dominate the lean-scan case
+              val a1 = w1.getDoubles(0, m)
+              val a2 = w2.getDoubles(0, m)
+              var i = 0
+              while (i < m) {
+                val a = a1(i)
+                val b = a2(i)
+                if (a >= lo1 && a < hi1 && b >= lo2 && b < hi2) {
+                  var i1 = ((a - lo1) / sp1 * n1D).toLong
+                  if (i1 > n1M1) i1 = n1M1
+                  var i2 = ((b - lo2) / sp2 * n2D).toLong
+                  if (i2 > n2M1) i2 = n2M1
+                  buf((i1 * n2 + i2).toInt) += 1L
+                }
+                i += 1
               }
-            }
-            i += 1
+            case _ =>
+              val anyNull = v1.hasNull || v2.hasNull
+              var i = 0
+              while (i < m) {
+                if (!anyNull || (!v1.isNullAt(i) && !v2.isNullAt(i))) {
+                  val a = v1.getDouble(i)
+                  val b = v2.getDouble(i)
+                  if (a >= lo1 && a < hi1 && b >= lo2 && b < hi2) {
+                    var i1 = ((a - lo1) / sp1 * n1D).toLong
+                    if (i1 > n1M1) i1 = n1M1
+                    var i2 = ((b - lo2) / sp2 * n2D).toLong
+                    if (i2 > n2M1) i2 = n2M1
+                    buf((i1 * n2 + i2).toInt) += 1L
+                  }
+                }
+                i += 1
+              }
           }
           buf
         },

@@ -73,6 +73,19 @@ object StressHist {
         Histogram.histogram(ev, col("value"), qax).count()
       })
     }
+    // 2-D kernel vs declarative dense grid (needs a 2-double-column file;
+    // skipped when absent)
+    val pairsPath = "/tmp/sf100m_pairs.parquet"
+    if (new java.io.File(pairsPath).exists()) {
+      val pairs = spark.read.parquet(pairsPath)
+      val axX = Regular("x", 16, 0.0, 512.0)
+      val axY = Regular("y", 16, 0.0, 512.0)
+      time("hist_2d_decl")(Histogram.histogramdd(pairs,
+        Seq(col("x") -> axX, col("y") -> axY),
+        opts = HistOptions(dense = true)).count())
+      time("hist_2d_fast")(graft.operators.FastHist.histogram2d(
+        pairs, col("x"), axX, col("y"), axY).count())
+    }
     time("windowed_hist")({
       // the stress copy stores ts as a real timestamp; testdata as nanos
       val eventTime =
