@@ -1,6 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Full JSON string escape — backslashes, quotes and control chars
+    * (exception text routinely carries regexes and tabs). */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -74,7 +82,7 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
-            errors(name) = e.toString.replaceAll("[\"\\n\\r]", " ").take(300)
+            errors(name) = jsonEscape(e.toString.take(300))
             System.err.println(s"[bench] QUERY FAILED: $name")
             e.printStackTrace()
         }

@@ -44,7 +44,15 @@ object Dedup {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= WidenMaxBytes)
       df.repartition(target)
-    else df
+    else {
+      // Big or UNKNOWN size estimate (RDD-backed relations report
+      // defaultSizeInBytes = Long.MaxValue): fall back to the physical
+      // partition probe — it costs a planning pass, but only on inputs
+      // where either the work dwarfs it or stats are absent; this also
+      // catches large NON-splittable sources (one giant .json.gz split)
+      // that the size gate alone would leave serialized on one core.
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 
   /** Bounded derived-relation memo (see graft.util.RelCache): signature /

@@ -43,9 +43,12 @@ object StreamingHist {
       require(iv.months == 0,
         "calendar-month windows are not fixed-length; use the window() path")
       val durUs = iv.days * 86400000000L + iv.microseconds
+      require(durUs > 0, s"window duration must be positive: $windowDuration")
       val us = unix_micros(col(tsCol))
       val startUs = (us - pmod(us, lit(durUs))).as("__ws")
-      df.filter(kept)
+      // window() drops null timestamps (TimeWindowing inserts an
+      // IsNotNull filter); mirror that so batch == streaming rows
+      df.filter(col(tsCol).isNotNull && kept)
         .select(startUs, ax.index(x).as("__i0"))
         .groupBy(col("__ws"), col("__i0"))
         .agg(count(lit(1)).cast("double").as("cnt"))

@@ -44,9 +44,15 @@ object StressVec {
     // IVF recall sweep vs brute-force top-3 at the GATED config's corpus
     // (sf0.01): nprobe is the standard IVF recall/candidate-volume knob —
     // print the curve so config choices are measured, not guessed.
-    val sfEmb = spark.read.parquet(
-      if (paths.length > 1) paths(1) else "/root/testdata/sf0.01/embeddings.parquet")
-      .persist()
+    val recallPath =
+      if (paths.length > 1) paths(1) else "/root/testdata/sf0.01/embeddings.parquet"
+    if (!new java.io.File(recallPath).exists()) {
+      println(s"[recall] skipped: $recallPath absent")
+      graft.pipeline.Dedup.clearCache()
+      spark.stop()
+      return
+    }
+    val sfEmb = spark.read.parquet(recallPath).persist()
     val sfQ = sfEmb.filter(col("vec_id") < 10)
     val truth = graft.pipeline.Similarity.bruteForceTopK(sfEmb, sfQ, 3)
       .select("query_id", "neighbor_id").collect()

@@ -185,6 +185,25 @@ class HistogramSpec extends SparkSpec {
     assert(h.values.sum == 999.0 || h.values.sum == 1000.0)
   }
 
+  test("quantile bins: autoAxisTagged flips exact->sketch at the row threshold") {
+    import graft.operators.QuantileBins
+    val rnd = new scala.util.Random(17)
+    val df = Seq.fill(100)(rnd.nextDouble() * 50.0).toDF("x")
+    val exact = QuantileBins.autoAxisTagged(df, col("x"), "x", 4,
+      exactThreshold = 100L)
+    assert(exact.exact)
+    // below/at threshold the tagged axis IS the exact rank axis
+    assert(exact.axis.allEdges.toSeq ==
+      QuantileBins.quantileAxis(df, col("x"), "x", 4).allEdges.toSeq)
+    val sketch = QuantileBins.autoAxisTagged(df, col("x"), "x", 4,
+      exactThreshold = 99L)
+    assert(!sketch.exact)
+    assert(sketch.axis.allEdges.length >= 2)
+    // the convenience wrapper returns the same edges as the tagged form
+    assert(QuantileBins.autoAxis(df, col("x"), "x", 4, exactThreshold = 100L)
+      .allEdges.toSeq == exact.axis.allEdges.toSeq)
+  }
+
   test("quantile bins, sketch path: valid axis, near-uniform fill") {
     import graft.operators.QuantileBins
     val rnd = new scala.util.Random(31)
