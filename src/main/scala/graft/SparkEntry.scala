@@ -477,6 +477,13 @@ object SparkEntry {
       val h = hist(dir, "events", col("value"), axValue)
       HistStats.applyToBins(h, axValue, sqrt(_))
     },
+    "q82_decontaminate" -> { (s, dir) =>
+      // benchmark decontamination: flag docs sharing any word 5-gram with
+      // the "eval set" (doc_id < 20 slice); broadcast-semi-join shape
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") < 20), n = 5)
+    },
     "q81_hist2d_fastpath" -> { (s, dir) =>
       // 2-D dense-array kernel: the bin pair is one flat array offset —
       // must be row-identical to the declarative dense 2-D grid
@@ -648,6 +655,7 @@ object SparkEntry {
     "q81_hist2d_fastpath" -> Oracle.hist("lineitem",
       Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc)),
       dense = true),
+    "q82_decontaminate" -> PipelineOracle.decontaminate(5, "doc_id < 20"),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

@@ -384,6 +384,23 @@ object PipelineOracle {
       s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':' || ${q(salt)}), 1, 15))::BIGINT < $thr"
   }
 
+  /** Mirrors Dedup.decontaminate: word n-gram overlap against a
+    * benchmark slice (benchWhere), LEFT JOIN for the full-corpus
+    * (doc_id, contaminated) verdict relation. */
+  def decontaminate(n: Int, benchWhere: String): String = {
+    def grams(src: String, idSel: String, idGrp: String) =
+      s"(SELECT $idSel array_to_string(t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ') AS g " +
+        s"FROM (SELECT $idGrp t, UNNEST(generate_series(1, len(t) - ${n - 1})) AS i " +
+        s"FROM $src WHERE len(t) >= $n))"
+    val bt = s"(SELECT regexp_extract_all(text, '\\S+') AS t FROM documents WHERE $benchWhere) __bt"
+    val dt = "(SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents) __dt"
+    s"WITH bg AS (SELECT DISTINCT g FROM ${grams(bt, "", "")}), " +
+      s"dg AS ${grams(dt, "doc_id, ", "doc_id, ")}, " +
+      "bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (g)) " +
+      "SELECT d.doc_id, (bad.doc_id IS NOT NULL) AS contaminated " +
+      "FROM documents d LEFT JOIN bad ON bad.doc_id = d.doc_id"
+  }
+
   /** Per-source corpus profile (mirrors TextAnalysis.corpusStats). */
   val corpusStats: String =
     "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +

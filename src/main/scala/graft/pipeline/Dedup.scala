@@ -87,6 +87,43 @@ object Dedup {
           Window.partitionBy(contentHash(col("text"))).orderBy("doc_id")) === 1)
       .filter(col("__keep")).drop("__keep")
 
+  /** Word n-grams of a text column as an exploded (doc_id, g) relation:
+    * whitespace tokens (regexp \S+ runs — no empty tokens), consecutive
+    * n-token windows joined by a single space. Documents with fewer than
+    * n tokens yield no grams. Codegen'd builtins only. */
+  private def wordGrams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+        // regexp token extraction, the same \S+ runs the token counter and
+        // the DuckDB oracle use (split-by-\s+ would emit empty edge tokens)
+        expr("""regexp_extract_all(text, '\\S+', 0)""").as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, size(__t) - ${n - 1})")).as("__i"),
+        col("__t"))
+      .select(col("doc_id"),
+        expr(s"array_join(slice(__t, __i, $n), ' ')").as("g"))
+
+  /** Benchmark decontamination: flag every document sharing ANY word
+    * n-gram with an evaluation corpus (the standard n-gram-overlap test
+    * used before training on scraped data; n = 13 in common practice,
+    * configurable for short documents). Returns (doc_id, contaminated)
+    * for ALL input docs.
+    *
+    * Scale shape: the benchmark side is an eval set — small by nature —
+    * so its distinct gram relation is BROADCAST and the corpus-side check
+    * is a map-side semi join over the exploded grams followed by one
+    * distinct on the (tiny) contaminated-id set; the 100 TB corpus is
+    * never shuffled. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 13): DataFrame = {
+    val bg = wordGrams(benchmark, n).select(col("g")).distinct()
+    val bad = wordGrams(docs, n)
+      .join(broadcast(bg), "g")
+      .select(col("doc_id")).distinct()
+    docs.select(col("doc_id"))
+      .join(bad.withColumn("__c", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__c"), lit(false)).as("contaminated"))
+  }
+
   /** Character shingles of length k as an exploded (doc_id, sh) relation.
     * explode(sequence) + positional substring stays inside whole-stage
     * codegen — a transform(...) lambda would be interpreted per row. */

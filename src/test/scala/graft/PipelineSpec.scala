@@ -14,6 +14,20 @@ class PipelineSpec extends SparkSpec {
     (5L, "completely different text about databases!", "en", "s2")
   ).toDF("doc_id", "text", "lang", "source")
 
+  test("decontamination flags exactly the docs sharing a word n-gram") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),        // benchmark
+      (2L, "completely different text here ok"), // clean
+      (3L, "xx the quick brown fox yy"),          // shares 4-gram with 1
+      (4L, "quick brown fox"),                    // < n tokens: no grams
+      (5L, "the  quick   brown fox ...")          // extra whitespace, same tokens
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.decontaminate(
+        docs, docs.filter($"doc_id" === 1L), n = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
+  }
+
   test("exact dedup keeps lowest doc_id per content hash") {
     val out = Dedup.exact(docs).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap

@@ -42,6 +42,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("pb#"), plan)
   }
 
+  test("decontamination: benchmark grams broadcast, corpus never shuffled into the join") {
+    val plan = executedPlan(
+      Dedup.decontaminate(docs, docs.filter($"doc_id" <= 3), n = 3))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the gram-overlap join must be broadcast (benchmark side is small by
+    // nature); a SortMergeJoin here would shuffle the exploded corpus grams
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("1-D histogram: raw-value filter, single index evaluation") {
     val ax = graft.axes.Regular("x", 8, 0.0, 8.0)
     val plan = executedPlan(
