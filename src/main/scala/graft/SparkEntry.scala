@@ -477,6 +477,21 @@ object SparkEntry {
       val h = hist(dir, "events", col("value"), axValue)
       HistStats.applyToBins(h, axValue, sqrt(_))
     },
+    "q83_redact" -> { (s, dir) =>
+      // PII rewrite with the q65-gated patterns (email -> URL -> digit
+      // order); pure map-side scan rewrite
+      implicit val sp: SparkSession = s
+      TextAnalysis.redact(t(dir, "documents"))
+    },
+    "q84_sample_token_budget" -> { (s, dir) =>
+      // data-derived keep rates: ~700 tokens per source (≈ half of each
+      // sf0.01 source — real downsampling), deterministic
+      // hash-threshold application (one agg + map filter, no shuffle of
+      // the corpus)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.sampleTokenBudget(t(dir, "documents"),
+        budgetTokens = 700L, salt = "tb1")
+    },
     "q82_decontaminate" -> { (s, dir) =>
       // benchmark decontamination: flag docs sharing any word 5-gram with
       // the "eval set" (doc_id < 20 slice); broadcast-semi-join shape
@@ -656,6 +671,8 @@ object SparkEntry {
       Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc)),
       dense = true),
     "q82_decontaminate" -> PipelineOracle.decontaminate(5, "doc_id < 20"),
+    "q83_redact" -> PipelineOracle.redact,
+    "q84_sample_token_budget" -> PipelineOracle.sampleTokenBudget(700L, "tb1"),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

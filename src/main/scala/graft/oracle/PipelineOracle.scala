@@ -401,6 +401,28 @@ object PipelineOracle {
       "FROM documents d LEFT JOIN bad ON bad.doc_id = d.doc_id"
   }
 
+  /** Mirrors TextAnalysis.redact: same three patterns, same order,
+    * global replacement ('g' — Spark's regexp_replace is global by
+    * default, DuckDB's is first-match-only). */
+  val redact: String = {
+    import graft.pipeline.TextAnalysis.{DigitRunRe, EmailRe, UrlRe}
+    "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
+      s"'$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'), " +
+      s"'$DigitRunRe', '<NUM>', 'g') AS text_redacted FROM documents"
+  }
+
+  /** Mirrors Sampling.sampleTokenBudget: per-source token totals, keep
+    * rate min(1, budget/total), hash-threshold filter. The 2^60 scale and
+    * the rate arithmetic are the same IEEE doubles in both engines. */
+  def sampleTokenBudget(budgetTokens: Long, salt: String): String = {
+    val scale = java.lang.Double.toString(math.pow(2.0, 60))
+    "WITH t AS (SELECT source, CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tot " +
+      "FROM documents GROUP BY source) " +
+      "SELECT d.doc_id, d.source FROM documents d JOIN t USING (source) " +
+      s"WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source || ':' || ${q(salt)}), 1, 15))::BIGINT " +
+      s"< CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), CAST($budgetTokens AS DOUBLE) / CAST(tot AS DOUBLE)) * CAST('$scale' AS DOUBLE)) AS BIGINT)"
+  }
+
   /** Per-source corpus profile (mirrors TextAnalysis.corpusStats). */
   val corpusStats: String =
     "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +

@@ -40,6 +40,29 @@ object Sampling {
       .filter(hash60(col("doc_id"), col("source"), salt) < thr)
   }
 
+  /** Proportional token-budget sampling: derive each source's keep rate
+    * from the data — rate = min(1, budget / total_tokens(source)) — then
+    * apply the same deterministic hash-threshold filter as
+    * [[sampleBySource]]. E[tokens kept per source] ≈ budget (exact-budget
+    * trimming would need a per-source ordered cumsum — one reducer per
+    * source — which is the wrong 100 TB shape; the hash filter is
+    * map-side). Plan: one aggregation for the per-source totals (tiny
+    * relation, broadcast back) + one map-side filter; the corpus is
+    * scanned twice and shuffled never. Threshold arithmetic is plain IEEE
+    * double division + floor, bit-identical cross-engine. */
+  def sampleTokenBudget(docs: DataFrame, budgetTokens: Long, salt: String): DataFrame = {
+    require(budgetTokens > 0)
+    val tok = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val totals = docs.groupBy(col("source")).agg(sum(tok).as("__tot"))
+    val thr = floor(
+      least(lit(1.0), lit(budgetTokens.toDouble) / col("__tot").cast("double")) *
+        lit(Scale)).cast("long")
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(totals), "source")
+      .filter(hash60(col("doc_id"), col("source"), salt) < thr)
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Exact deterministic reservoir: exactly min(n, |source|) docs per
     * source — the docs with the n smallest 60-bit hashes. The bounded-heap
     * aggregate (graft.functions.BottomKByKey) keeps the shuffle at n rows

@@ -72,15 +72,33 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
         .cast("long").as("bpe_tokens"))
 
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val UrlRe = "https?://[^\\s]+"
+  private[graft] val DigitRunRe = "[0-9]{6,}"
+
   /** Pattern-count scan for filtering/PII triage: emails, URLs, long digit
     * runs per doc — one map-only regex pass (the counts feed threshold
-    * filters; actual redaction is a downstream map with the same shape). */
+    * filters; `redact` is the matching rewrite). */
   def patternCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      regexp_count(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"))
-        .cast("long").as("n_emails"),
-      regexp_count(col("text"), lit("https?://[^\\s]+")).cast("long").as("n_urls"),
-      regexp_count(col("text"), lit("[0-9]{6,}")).cast("long").as("n_digit_runs"))
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(col("text"), lit(DigitRunRe)).cast("long").as("n_digit_runs"))
+
+  /** PII redaction: rewrite emails, then URLs, then long digit runs to
+    * typed placeholders — the SAME patterns patternCounts gates, applied
+    * in that order (emails first so an address inside a URL query string
+    * is typed as the more specific match; URLs before digit runs so
+    * numeric path segments collapse into the URL placeholder). One
+    * map-only codegen'd pass; at 100 TB this is a pure scan-rewrite with
+    * zero shuffle. */
+  def redact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+          lit(UrlRe), lit("<URL>")),
+        lit(DigitRunRe), lit("<NUM>")).as("text_redacted"))
 
   /** Exact dedup after canonical text normalization (lowercase + collapsed
     * whitespace): catches trivially-reformatted duplicates that byte-exact

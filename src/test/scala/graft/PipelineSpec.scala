@@ -28,6 +28,41 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
   }
 
+  test("redaction rewrites PII in email -> URL -> digit-run order") {
+    val docs = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.com today"),
+      (2L, "see https://ex.com/p/1234567?q=1 and id 9876543 left"),
+      (3L, "clean text, short 12345 run kept")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.redact(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    // the URL swallows its numeric path BEFORE the digit pass runs
+    assert(out(2L) == "see <URL> and id <NUM> left")
+    assert(out(3L) == "clean text, short 12345 run kept") // < 6 digits kept
+  }
+
+  test("token-budget sampling: data-derived rates, deterministic, budget-scaled") {
+    val rnd = new scala.util.Random(5)
+    val docs = (1L to 400L).map { i =>
+      val src = if (i % 2 == 0) "big" else "small"
+      val words = if (src == "big") 200 else 10
+      (i, Seq.fill(words)("w" + rnd.nextInt(50)).mkString(" "), "en", src)
+    }.toDF("doc_id", "text", "lang", "source")
+    val kept = graft.pipeline.Sampling.sampleTokenBudget(docs, 2000L, "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // deterministic across partitionings
+    val kept7 = graft.pipeline.Sampling.sampleTokenBudget(
+        docs.repartition(7), 2000L, "s1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == kept7.toSet)
+    // big: 200 docs x 200 tokens = 40k total -> rate 0.05 -> ~10 docs;
+    // small: 200 x 10 = 2k total -> rate 1.0 -> ALL 200 kept
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("small") == 200)
+    assert(bySrc("big") >= 2 && bySrc("big") <= 30)
+  }
+
   test("exact dedup keeps lowest doc_id per content hash") {
     val out = Dedup.exact(docs).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
