@@ -515,6 +515,21 @@ object SparkEntry {
         Seq(col("l_quantity") -> axQtyNarrow, col("l_discount") -> axDiscNarrow),
         opts = HistOptions(flow = true))
       HistStats.removeFlow(h2, Seq(axQtyNarrow, axDiscNarrow))
+    },
+    "q85_dup_components" -> { (s, dir) =>
+      // transitive closure of the verified near-dup pair graph:
+      // min-label propagation to a fixpoint, one canonical doc per
+      // cluster (keep = is the cluster minimum)
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      Dedup.components(docs.select(col("doc_id")), Dedup.nearDupPairs(docs))
+    },
+    "q86_span_dedup" -> { (s, dir) =>
+      // cross-doc boilerplate span removal (line-dedup generalized to
+      // 8-token windows): spans in >1 doc are stripped; kept text pinned
+      // by md5
+      implicit val sp: SparkSession = s
+      Dedup.spanDedup(t(dir, "documents"), spanWords = 8, maxDocs = 1)
     }
   )
 
@@ -673,6 +688,11 @@ object SparkEntry {
     "q82_decontaminate" -> PipelineOracle.decontaminate(5, "doc_id < 20"),
     "q83_redact" -> PipelineOracle.redact,
     "q84_sample_token_budget" -> PipelineOracle.sampleTokenBudget(700L, "tb1"),
+    // components: the oracle's recursive-CTE walk is the closed-form
+    // transitive closure, so the gate proves the propagation loop
+    // converged to the true fixpoint
+    "q85_dup_components" -> PipelineOracle.dupComponents(),
+    "q86_span_dedup" -> PipelineOracle.spanDedup(8, 1),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

@@ -514,4 +514,36 @@ object PipelineOracle {
       s"SELECT doc_id, CAST(SUM(term) % ${TextAnalysis.FpMod} AS BIGINT) AS fingerprint " +
       "FROM t GROUP BY doc_id"
   }
+
+  /** Mirrors Dedup.components over the nearDupPairs graph: a recursive
+    * reachability walk carries every label to every node of its component
+    * (edges doubled to undirected), then MIN per node — the closed-form
+    * fixpoint of the Spark side's min-label propagation loop, so the gate
+    * proves the iterative algorithm converged to the true transitive
+    * closure, not just to a stable point. */
+  def dupComponents(k: Int = 5, threshold: Double = 0.7, bands: Int = 16,
+      rowsPerBand: Int = 4): String =
+    s"WITH RECURSIVE p AS (${nearDupPairs(k, threshold, bands, rowsPerBand)}), " +
+      "e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), " +
+      "walk(node, lab) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT e.v, w.lab FROM walk w JOIN e ON e.u = w.node) " +
+      "SELECT node AS doc_id, MIN(lab) AS component, node = MIN(lab) AS keep " +
+      "FROM walk GROUP BY node"
+
+  /** Mirrors Dedup.spanDedup: same \\S+ tokens, same max(1, ceil(n/w))
+    * span count (token-less docs keep one empty span), 1-based inclusive
+    * array slices, document frequency > maxDocs = boilerplate, md5 of the
+    * surviving spans rejoined in span order. */
+  def spanDedup(spanWords: Int = 8, maxDocs: Int = 1): String = {
+    val w = spanWords
+    "WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), " +
+      s"s AS (SELECT doc_id, i AS si, array_to_string(t[CAST(i * $w + 1 AS INT):CAST(i * $w + $w AS INT)], ' ') AS span " +
+      s"FROM (SELECT doc_id, t, UNNEST(generate_series(0, CAST(greatest(ceil(len(t) / ${w}.0), 1.0) AS BIGINT) - 1)) AS i FROM d)), " +
+      s"f AS (SELECT span FROM (SELECT span, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY span) WHERE df > $maxDocs), " +
+      "m AS (SELECT s.doc_id, s.si, s.span, (f.span IS NOT NULL) AS bp FROM s LEFT JOIN f ON f.span = s.span) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, " +
+      "CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+      "md5(COALESCE(string_agg(span, ' ' ORDER BY si) FILTER (WHERE NOT bp), '')) AS kept_md5 " +
+      "FROM m GROUP BY doc_id"
+  }
 }

@@ -368,4 +368,105 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Connected components over a duplicate-pair graph: the transitive
+    * closure the pairwise detectors (minhashLsh / nearDupPairs /
+    * simhashPairs) feed. Near-duplication is not transitive — a~b and b~c
+    * do not imply a~c above threshold — so cluster-correct dedup must
+    * close the pair relation before electing one canonical doc per
+    * cluster, where the greedy drop-doc_b rule (nearDupKeep) can drop BOTH
+    * endpoints of a chain's middle link. Returns one row per node:
+    * (doc_id, component = min doc_id in its component, keep = is that
+    * minimum), linear in corpus size.
+    *
+    * Algorithm: distributed min-label propagation. Labels start as the
+    * node's own id; each round every node takes the min of its own label
+    * and its neighbors' labels (one equi-join on the edge relation + one
+    * min-aggregate), until a round changes nothing. Rounds needed = the
+    * largest component's diameter — small for duplicate graphs, whose
+    * components are near-cliques by construction (every member pairs with
+    * most others above threshold). Each round is two shuffles keyed by
+    * doc_id, output stays one row per node, and labels are persisted +
+    * lineage-truncated per round so the job graph stays flat across
+    * iterations; the convergence check is a single scalar count. At
+    * production scale the same loop runs with a reliable checkpoint dir
+    * instead of localCheckpoint; for adversarial long-chain graphs swap
+    * in alternating large-star/small-star rounds (O(log n) convergence,
+    * same join+min building blocks).
+    *
+    * @param maxIter hard bound on rounds (a last-resort guard; the loop
+    *   exits on convergence). If the bound is hit the labels returned are
+    *   the current (still valid, possibly unconverged) upper bounds. */
+  def components(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .persist()
+    var labels = nodes.select(col("doc_id").as("node"), col("doc_id").as("comp"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val prop = labels.as("l")
+        .join(edges.as("e"), col("l.node") === col("e.u"))
+        .select(col("e.v").as("node"), col("l.comp").as("comp"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint(true) // materialize + truncate lineage
+      val changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.comp") < col("o.comp")).count()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("comp").as("component"),
+      (col("node") === col("comp")).as("keep"))
+  }
+
+  /** Span-level dedup: line/paragraph dedup (CCNet, RefinedWeb) generalized
+    * to corpora without line structure. Each doc is segmented into
+    * consecutive `spanWords`-token windows (the trailing short window is
+    * its own span, so the text is fully covered); a span is BOILERPLATE
+    * when its cross-corpus document frequency exceeds `maxDocs`. Returns
+    * one row per doc: span count, spans removed, and the md5 of the
+    * retained text (surviving spans rejoined by single spaces in original
+    * order) — the hash pins exact reconstruction while keeping the output
+    * row narrow.
+    *
+    * Scale shape: the span relation is a bounded explode (|tokens|/w rows
+    * per doc); document frequency is one shuffle keyed by span text with a
+    * two-level (span, doc) aggregate. The boilerplate SET — spans above
+    * the frequency cut — is small by definition (only text repeated across
+    * > maxDocs docs survives the filter), so marking is a BROADCAST left
+    * join: the 100 TB span relation is shuffled once for the frequency
+    * count and never again; rebuild is a per-doc aggregate keyed by
+    * doc_id. */
+  def spanDedup(docs: DataFrame, spanWords: Int = 8, maxDocs: Int = 1): DataFrame = {
+    require(spanWords > 0 && maxDocs >= 1)
+    val w = spanWords
+    // nSpans = max(1, ceil(|tokens| / w)): token-less docs get one empty
+    // span so every input doc appears in the output
+    val spans = widen(docs)
+      .select(col("doc_id"), expr("""regexp_extract_all(text, '\\S+', 0)""").as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(expr(
+          s"sequence(0, CAST(greatest(ceil(size(__t) / ${w}.0), 1.0) AS BIGINT) - 1)"))
+          .as("si"))
+      .select(col("doc_id"), col("si"),
+        expr(s"array_join(slice(__t, CAST(si * $w + 1 AS INT), $w), ' ')").as("span"))
+    // persisted: feeds both the frequency count and the marking join
+    val spansP = memoPersist(spans)
+    val bp = spansP.groupBy("span").agg(countDistinct("doc_id").as("__df"))
+      .filter(col("__df") > maxDocs)
+      .select(col("span"), lit(true).as("__bp"))
+    spansP.join(broadcast(bp), Seq("span"), "left")
+      .withColumn("__bp", coalesce(col("__bp"), lit(false)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__bp").cast("long")).as("n_removed"),
+        md5(expr("array_join(transform(filter(array_sort(" +
+          "collect_list(struct(si, span, __bp))), x -> NOT x.__bp), " +
+          "x -> x.span), ' ')").cast("binary")).as("kept_md5"))
+  }
 }

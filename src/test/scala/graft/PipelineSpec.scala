@@ -251,6 +251,48 @@ class PipelineSpec extends SparkSpec {
     assert(out1.map(_.getAs[String]("media_type")).toSet == Set("image", "audio", "video"))
   }
 
+  test("components: chains close transitively, isolated nodes keep themselves") {
+    // 1-2-3-4 is a CHAIN (1~4 never pair directly): min-label propagation
+    // needs multiple rounds to pull 4 down to 1, which the near-clique
+    // oracle data can't exercise; 7-8 is a separate pair; 9 is isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 7L, 8L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 7L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.components(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false), 4L -> (1L, false),
+      7L -> (7L, true), 8L -> (7L, false), 9L -> (9L, true)))
+  }
+
+  test("components: maxIter caps rounds, labels stay valid upper bounds") {
+    val nodes = (1L to 5L).toDF("doc_id")
+    val pairs = (1L to 4L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.components(nodes, pairs, maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one round: each node = min over itself + direct neighbors
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 2L && out(5L) == 4L)
+    assert(out.forall { case (n, c) => c <= n })
+  }
+
+  test("span dedup: cross-doc spans stripped, within-doc repeats kept") {
+    val w2 = Seq(
+      (1L, "a b c d e f"),   // spans (w=2): "a b","c d","e f"
+      (2L, "a b x y"),       // shares "a b" with 1
+      (3L, "p q p q r"),     // "p q" twice IN-DOC (df=1: kept), tail "r"
+      (4L, "")               // token-less: one empty span
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(w2, spanWords = 2, maxDocs = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L) == ((3L, 1L, md5hex("c d e f"))))
+    assert(out(2L) == ((2L, 1L, md5hex("x y"))))
+    assert(out(3L) == ((3L, 0L, md5hex("p q p q r"))))
+    assert(out(4L) == ((1L, 0L, md5hex("")))) // empty span df counts docs, not rows
+  }
+
   test("multimodal: frame sampling and thumbnails keep the batch contract") {
     val media = Multimodal.asMedia(docs)
     val frames = Multimodal.sampleFrames(media, everyN = 10).collect()
