@@ -530,6 +530,21 @@ object SparkEntry {
       // by md5
       implicit val sp: SparkSession = s
       Dedup.spanDedup(t(dir, "documents"), spanWords = 8, maxDocs = 1)
+    },
+    "q87_sessionize" -> { (s, dir) =>
+      // gap-based sessionization (session_window; the streaming operator
+      // run on batch input): 6-hour inactivity gap over per-user events
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.sessionize(
+        ev, "event_time", "user_id", "6 hours", col("value"))
+    },
+    "q88_top_terms" -> { (s, dir) =>
+      // per-source distinctive terms: tf * N / df, top-5, deterministic
+      // tie-break — keyword extraction for corpus triage
+      implicit val sp: SparkSession = s
+      TextAnalysis.topTerms(t(dir, "documents"), k = 5)
     }
   )
 
@@ -693,6 +708,8 @@ object SparkEntry {
     // converged to the true fixpoint
     "q85_dup_components" -> PipelineOracle.dupComponents(),
     "q86_span_dedup" -> PipelineOracle.spanDedup(8, 1),
+    "q87_sessionize" -> PipelineOracle.sessionize(6L * 3600 * 1000000),
+    "q88_top_terms" -> PipelineOracle.topTerms(5),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

@@ -530,6 +530,37 @@ object PipelineOracle {
       "SELECT node AS doc_id, MIN(lab) AS component, node = MIN(lab) AS keep " +
       "FROM walk GROUP BY node"
 
+  /** Mirrors StreamingHist.sessionize over events: the lag/cumsum
+    * sessionization identity — a session breaks only when the gap to the
+    * previous event EXCEEDS the window gap (Spark's session_window merges
+    * touching windows: an event exactly `gap` after the previous one still
+    * extends the session), session end = last event + gap. The value sum
+    * goes through the engine-exact DECIMAL(38,14) route (Dec/exactDbl). */
+  def sessionize(gapUs: Long): String =
+    "WITH o AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events WHERE ts IS NOT NULL), " +
+      "m AS (SELECT user_id, us, value, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) " +
+      s"> $gapUs THEN 1 ELSE 0 END AS brk FROM o), " +
+      "s AS (SELECT user_id, us, value, SUM(brk) OVER (PARTITION BY user_id ORDER BY us " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m) " +
+      "SELECT user_id, make_timestamp(MIN(us)) AS session_start, " +
+      s"make_timestamp(MAX(us) + $gapUs) AS session_end, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+      Oracle.exactDbl("SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,14)))") +
+      " AS sum_value FROM s GROUP BY user_id, sid"
+
+  /** Mirrors TextAnalysis.topTerms: score = tf * N / df as an exact
+    * BIGINT product and one correctly-rounded division (bit-identical
+    * doubles, no ln), ties broken by term ascending. */
+  def topTerms(k: Int = 5): String =
+    "WITH tok AS (SELECT doc_id, source, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM documents), " +
+      "n AS (SELECT COUNT(*) AS n_total FROM documents), " +
+      "dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM (SELECT DISTINCT term, doc_id FROM tok) GROUP BY term), " +
+      "tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY source, term), " +
+      "sc AS (SELECT source, term, tf, df, CAST(tf * n_total AS DOUBLE) / CAST(df AS DOUBLE) AS score " +
+      "FROM tf JOIN dfr USING (term) CROSS JOIN n), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term) AS rn FROM sc) " +
+      s"SELECT source, term, tf, df, score, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k"
+
   /** Mirrors Dedup.spanDedup: same \\S+ tokens, same max(1, ceil(n/w))
     * span count (token-less docs keep one empty span), 1-based inclusive
     * array slices, document frequency > maxDocs = boilerplate, md5 of the

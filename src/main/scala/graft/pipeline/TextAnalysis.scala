@@ -165,4 +165,36 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg((sum(col("term")) % FpMod).as("fingerprint"))
   }
+
+  /** Top-k distinctive terms per source by df-normalized term frequency
+    * (tf-idf with linear idf: score = tf * N / df, N = corpus doc count —
+    * no transcendental, so the score doubles are bit-identical
+    * cross-engine: exact BIGINT product, one correctly-rounded division).
+    * Ties break by term ascending, so the output is fully deterministic.
+    *
+    * Scale shape: token explode → two aggregates (per-(source, term) tf;
+    * per-term document frequency over DISTINCT (term, doc)) joined on
+    * term — both vocabulary-sized, orders of magnitude below corpus size —
+    * plus a broadcast of the single-row corpus count. The final per-source
+    * top-k window sorts vocabulary partitions, not the corpus; sources are
+    * few and their vocabularies bounded, so no corpus-scale sort exists in
+    * the plan. */
+  def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+    val total = docs.agg(count(lit(1)).as("__n"))
+    val dfRel = toks.select(col("term"), col("doc_id")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    tf.join(dfRel, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        (col("tf") * col("__n")).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
 }

@@ -99,4 +99,32 @@ object StreamingHist {
           }
       }
   }
+
+  /** Gap-based sessionization: consecutive events of one key belong to the
+    * same session while each arrives within `gap` of the previous
+    * (session end = last event + gap; an event at EXACTLY gap distance
+    * still extends the session — Spark merges touching windows). Returns
+    * one row per session: key, start, end, event count, exact value sum.
+    *
+    * One operator for both modes via Spark's native `session_window`:
+    * batch runs it as an ordinary aggregation; a streaming input adds a
+    * watermark so state for closed sessions (end < watermark) is evicted —
+    * state size is the number of OPEN sessions, bounded by active keys,
+    * not event volume. The value sum goes through DECIMAL(38,14)
+    * (graft.util.Dec), so results are partitioning-independent and
+    * oracle-exact. */
+  def sessionize(df: DataFrame, tsCol: String, keyCol: String, gap: String,
+      value: Column, watermark: String = "10 seconds"): DataFrame = {
+    val base =
+      if (df.isStreaming) df.withWatermark(tsCol, watermark)
+      // streaming's SessionWindowing rule filters null timestamps; mirror
+      // it in batch so both modes emit identical rows
+      else df.filter(col(tsCol).isNotNull)
+    base
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(value))).as("sum_value"))
+      .select(col(keyCol), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+  }
 }

@@ -293,6 +293,19 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L, md5hex("")))) // empty span df counts docs, not rows
   }
 
+  test("top terms: tf*N/df scoring, deterministic tie-break by term") {
+    val d = Seq(
+      (1L, "apple banana apple", "s1"),
+      (2L, "banana cherry", "s1"),
+      (3L, "apple dog", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.topTerms(d, k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(5)) -> r.getString(1)).toMap
+    // s1: apple/banana/cherry all score 3.0 — alphabetical tie-break
+    assert(out == Map(("s1", 1) -> "apple", ("s1", 2) -> "banana",
+      ("s2", 1) -> "dog", ("s2", 2) -> "apple"))
+  }
+
   test("multimodal: frame sampling and thumbnails keep the batch contract") {
     val media = Multimodal.asMedia(docs)
     val frames = Multimodal.sampleFrames(media, everyN = 10).collect()

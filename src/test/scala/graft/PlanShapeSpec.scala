@@ -60,4 +60,21 @@ class PlanShapeSpec extends SparkSpec {
     val filterLine = plan.linesIterator.find(_.contains("Filter")).getOrElse("")
     assert(!filterLine.contains("FLOOR"), filterLine)
   }
+
+  test("span dedup: boilerplate set broadcast, span relation joined once") {
+    val plan = executedPlan(Dedup.spanDedup(docs, spanWords = 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the marking join must broadcast the (small by definition)
+    // above-threshold span set — a SortMergeJoin here would reshuffle the
+    // full corpus-sized span relation a second time
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("top terms: vocabulary-sized joins only, corpus count broadcast") {
+    val plan = executedPlan(graft.pipeline.TextAnalysis.topTerms(docs, k = 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the single-row corpus count rides a broadcast nested-loop join, not
+    // a shuffled cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

@@ -176,4 +176,38 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
     } finally q.stop()
   }
+
+  test("sessionize: gap merge/split semantics, streaming == batch") {
+    // user 1: events at 1s, 5s (merge: gap 4 < 10), 15s (gap EXACTLY 10 —
+    // touching windows still merge), 30s (gap 15 > 10: new session);
+    // user 2: one event
+    val events = Seq((1L, ts(1), 2.0), (1L, ts(5), 3.0), (1L, ts(15), 4.0),
+      (1L, ts(30), 0.5), (2L, ts(3), 1.5)).toDF("user_id", "event_time", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000,
+        r.getLong(3), r.getDouble(4))
+    val batch = StreamingHist.sessionize(
+      events, "event_time", "user_id", "10 seconds", col("value"))
+      .collect().map(key).toSet
+    assert(batch == Set(
+      (1L, 1L, 25L, 3L, 9.0),   // [1s, 15s+10) — the gap-10 event merged
+      (1L, 30L, 40L, 1L, 0.5),
+      (2L, 3L, 13L, 1L, 1.5)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val out = StreamingHist.sessionize(
+      input.toDF().toDF("user_id", "event_time", "value"),
+      "event_time", "user_id", "10 seconds", col("value"))
+    val q = out.writeStream.format("memory").queryName("sess_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((1L, ts(1), 2.0), (1L, ts(5), 3.0), (2L, ts(3), 1.5))
+      q.processAllAvailable()
+      input.addData((1L, ts(15), 4.0), (1L, ts(30), 0.5)) // merge + split
+      q.processAllAvailable()
+      val stream = spark.table("sess_stream").collect().map(key).toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
 }
