@@ -545,6 +545,13 @@ object SparkEntry {
       // tie-break — keyword extraction for corpus triage
       implicit val sp: SparkSession = s
       TextAnalysis.topTerms(t(dir, "documents"), k = 5)
+    },
+    "q89_curate" -> { (s, dir) =>
+      // the composed curation chain: token floor + canonical copy +
+      // decontaminated + deterministic sample, one declarative plan
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.pipeline.Curation.curate(docs, docs.filter(col("doc_id") < 20))
     }
   )
 
@@ -710,6 +717,7 @@ object SparkEntry {
     "q86_span_dedup" -> PipelineOracle.spanDedup(8, 1),
     "q87_sessionize" -> PipelineOracle.sessionize(6L * 3600 * 1000000),
     "q88_top_terms" -> PipelineOracle.topTerms(5),
+    "q89_curate" -> PipelineOracle.curate(40L, 5, "doc_id < 20", 0.8, "cur"),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

@@ -561,6 +561,22 @@ object PipelineOracle {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term) AS rn FROM sc) " +
       s"SELECT source, term, tf, df, score, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k"
 
+  /** Mirrors Curation.curate: the composed curation chain re-expressed
+    * from the already-mirrored pieces — token floor + sampling hash on the
+    * base table, dedup keep over the FULL corpus, decontamination verdict
+    * (computed over all docs here; the Spark side computes it on the
+    * pre-filtered corpus, identical on the intersection). */
+  def curate(minTokens: Long, ngram: Int, benchWhere: String, rate: Double,
+      salt: String): String = {
+    import graft.pipeline.Sampling.threshold
+    s"WITH ch AS (SELECT doc_id, source FROM documents " +
+      s"WHERE CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) >= $minTokens " +
+      s"AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':' || ${q(salt)}), 1, 15))::BIGINT < ${threshold(rate)}), " +
+      s"k AS (SELECT doc_id FROM ($dedupExact) WHERE keep), " +
+      s"c AS (SELECT doc_id FROM (${decontaminate(ngram, benchWhere)}) WHERE NOT contaminated) " +
+      "SELECT ch.doc_id, ch.source FROM ch JOIN k USING (doc_id) JOIN c USING (doc_id)"
+  }
+
   /** Mirrors Dedup.spanDedup: same \\S+ tokens, same max(1, ceil(n/w))
     * span count (token-less docs keep one empty span), 1-based inclusive
     * array slices, document frequency > maxDocs = boilerplate, md5 of the

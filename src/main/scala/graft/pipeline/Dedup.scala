@@ -398,24 +398,38 @@ object Dedup {
     *   exits on convergence). If the bound is hit the labels returned are
     *   the current (still valid, possibly unconverged) upper bounds. */
   def components(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .persist()
-    var labels = nodes.select(col("doc_id").as("node"), col("doc_id").as("comp"))
-      .localCheckpoint(true)
+    // localCheckpoint caches each round's labels RDD; without explicit
+    // eviction a d-round run pins d corpus-sized relations in block
+    // storage. The checkpointed RDD isn't exposed by the Dataset API, so
+    // rounds are diffed via getPersistentRDDs ids: after the convergence
+    // check reads round i, round i-1's blocks are dropped.
+    def checkpointIds(df: => DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true) // materialize + truncate lineage
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def dropBlocks(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    var (labels, labelIds) = checkpointIds(
+      nodes.select(col("doc_id").as("node"), col("doc_id").as("comp")))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       val prop = labels.as("l")
         .join(edges.as("e"), col("l.node") === col("e.u"))
         .select(col("e.v").as("node"), col("l.comp").as("comp"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("comp").as("comp"))
-        .localCheckpoint(true) // materialize + truncate lineage
+      val (next, nextIds) = checkpointIds(
+        labels.union(prop).groupBy("node").agg(min("comp").as("comp")))
       val changed = next.as("n").join(labels.as("o"), "node")
         .filter(col("n.comp") < col("o.comp")).count()
+      dropBlocks(labelIds)
       labels = next
+      labelIds = nextIds
       converged = changed == 0L
       it += 1
     }

@@ -32,6 +32,17 @@ object StressDocs {
     time("simhash_pairs")(graft.pipeline.Dedup.simhashPairs(docs).count())
     time("ngram_jaccard")(graft.pipeline.Dedup.ngramJaccard(docs).count())
     time("repetition")(graft.pipeline.TextAnalysis.repetition(docs).count())
+    time("span_dedup")(graft.pipeline.Dedup.spanDedup(docs).count())
+    time("top_terms")(graft.pipeline.TextAnalysis.topTerms(docs).count())
+    time("curate")(graft.pipeline.Curation.curate(
+      docs, docs.filter(col("doc_id") < 20)).count())
+    // components over the replicated corpus's near-dup graph: clusters are
+    // near-cliques, so rounds-to-fixpoint should stay ~2-3 regardless of
+    // corpus size; the count is the surviving canonical docs
+    time("components_keep")(graft.pipeline.Dedup.components(
+      docs.select(col("doc_id")),
+      graft.pipeline.Dedup.nearDupPairs(docs, bucketCap = Some(20)))
+      .filter(col("keep")).count())
     spark.stop()
   }
 }
