@@ -552,6 +552,12 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val docs = t(dir, "documents")
       graft.pipeline.Curation.curate(docs, docs.filter(col("doc_id") < 20))
+    },
+    "q90_cluster" -> { (s, dir) =>
+      // corpus clustering (trained k-means assignment): 16 cells, the
+      // IVF quantizer as a first-class mixture-balancing operator
+      implicit val sp: SparkSession = s
+      Similarity.cluster(t(dir, "embeddings"), nCells = 16)
     }
   )
 
@@ -718,6 +724,7 @@ object SparkEntry {
     "q87_sessionize" -> PipelineOracle.sessionize(6L * 3600 * 1000000),
     "q88_top_terms" -> PipelineOracle.topTerms(5),
     "q89_curate" -> PipelineOracle.curate(40L, 5, "doc_id < 20", 0.8, "cur"),
+    "q90_cluster" -> PipelineOracle.clusterAssign(nCells = 16),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

@@ -246,14 +246,17 @@ object PipelineOracle {
     * via VARCHAR = Dec.toDec), empty cells keeping the previous centroid
     * via LEFT JOIN + COALESCE — then the standard assign / nprobe-probe /
     * exact top-k tail. */
-  def annIvf(k: Int, queryMaxId: Long, nCells: Int = 8, nprobe: Int = 1,
-      iters: Int = 2): String = {
-    // MATERIALIZED everywhere: DuckDB inlines CTEs by default, and the
-    // unrolled Lloyd rounds reference each previous round 2-3x — inlining
-    // re-executes the element-level joins exponentially in iters (observed
-    // as an OOM); materialization makes each round run once.
-    // elt = the deterministic training subset (8 vectors per cell; mirrors
-    // Similarity.kmeansCentroids' hash-rank sample)
+  /** CTE chain through `rkd` (per-vector centroid ranking) and `asg`
+    * (nearest-cell assignment) — the trained-quantizer prefix shared by
+    * annIvf and clusterAssign.
+    *
+    * MATERIALIZED everywhere: DuckDB inlines CTEs by default, and the
+    * unrolled Lloyd rounds reference each previous round 2-3x — inlining
+    * re-executes the element-level joins exponentially in iters (observed
+    * as an OOM); materialization makes each round run once.
+    * elt = the deterministic training subset (8 vectors per cell; mirrors
+    * Similarity.kmeansCentroids' hash-rank sample) */
+  private def ivfAsgCtes(nCells: Int, iters: Int): String = {
     def assignCte(c: String, rel: String): String =
       s"MATERIALIZED (SELECT $rel.vec_id, cn.cent_id, " +
         s"SUM($rel.v * cn.cv ORDER BY $rel.i) / (nv.nrm * nn.cnrm) AS ccos " +
@@ -280,7 +283,7 @@ object PipelineOracle {
       .replace("e AS (", "e AS MATERIALIZED (")
       .replace("el AS (", "el AS MATERIALIZED (")
       .replace("nrm AS (", "nrm AS MATERIALIZED (")
-    s"WITH $embMat, " +
+    s"$embMat, " +
       "hs AS (SELECT vec_id, ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':ivf'), 1, 15))::BIGINT AS hh FROM e), " +
       "smp AS MATERIALIZED (SELECT vec_id, rk FROM (SELECT vec_id, " +
       s"ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS rk FROM hs) WHERE rk <= ${nCells * 8L}), " +
@@ -291,7 +294,12 @@ object PipelineOracle {
       s"$train, " +
       s"sf AS ${assignCte(s"c$iters", "el")}, " +
       "rkd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn FROM sf), " +
-      "asg AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE rn = 1), " +
+      "asg AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE rn = 1)"
+  }
+
+  def annIvf(k: Int, queryMaxId: Long, nCells: Int = 8, nprobe: Int = 1,
+      iters: Int = 2): String =
+    s"WITH ${ivfAsgCtes(nCells, iters)}, " +
       s"q AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE rn <= $nprobe AND vec_id < $queryMaxId), " +
       "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id FROM q " +
       "JOIN asg c ON c.cell = q.cell AND c.vec_id <> q.vec_id), " +
@@ -302,7 +310,11 @@ object PipelineOracle {
       "FROM d JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id), " +
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
       s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
-  }
+
+  /** Mirrors Similarity.cluster: the trained-quantizer assignment alone —
+    * every corpus vector with its nearest k-means cell. */
+  def clusterAssign(nCells: Int = 8, iters: Int = 2): String =
+    s"WITH ${ivfAsgCtes(nCells, iters)} SELECT vec_id, cell FROM asg"
 
   val langId: String = {
     def occ(pat: String): String = {

@@ -266,6 +266,19 @@ object Similarity {
         col("__s.id").as("cell"))
   }
 
+  /** Corpus clustering for mixture balancing / stratified curation: every
+    * vector with its nearest trained k-means cell (the IVF quantizer's
+    * assignment exposed as a first-class operator). Training is the
+    * bounded hash-rank-sampled Lloyd of [[kmeansCentroids]]; assignment is
+    * one broadcast-join pass over the corpus — no corpus shuffle. Cluster
+    * sizes then feed per-cluster sampling (compose with
+    * Sampling.sampleBySource keyed on the cell) or drift monitoring. */
+  def cluster(corpus: DataFrame, nCells: Int = 8, iters: Int = 2): DataFrame = {
+    val cent = centroidsDf(corpus.sparkSession,
+      kmeansCentroids(corpus, nCells, iters))
+    assignCells(corpus, cent, 1).select(col("vec_id"), col("cell"))
+  }
+
   /** IVF ANN with a TRAINED coarse quantizer: the corpus is assigned to
     * its nearest k-means cell; each query probes its `nprobe` nearest
     * cells (the standard IVF recall knob). At scale nCells ~ sqrt(N)

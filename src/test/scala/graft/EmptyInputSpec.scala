@@ -56,6 +56,24 @@ class EmptyInputSpec extends SparkSpec {
     val h2 = Histogram.histogramdd(emptyNum,
       Seq(col("x") -> ax, col("x") -> Regular("y", 2, 0.0, 2.0)))
     assert(HistStats.marginalize(h2, Seq(ax), Nil).count() == 0)
+    // round-4 operators: empty corpus in, empty (or all-isolated) out
+    assert(Dedup.spanDedup(emptyDocs).count() == 0)
+    assert(TextAnalysis.topTerms(emptyDocs).count() == 0)
+    assert(graft.pipeline.Curation.curate(emptyDocs, emptyDocs).count() == 0)
+    assert(Dedup.components(emptyDocs.select(col("doc_id")),
+      Dedup.nearDupPairs(emptyDocs)).count() == 0)
+    // a pairless graph leaves every node its own canonical component
+    val lone = Dedup.components(
+      spark.range(3).select(col("id").as("doc_id")),
+      Dedup.nearDupPairs(emptyDocs)).collect()
+    assert(lone.length == 3 && lone.forall(_.getBoolean(2)))
+    // sessionize on an empty frame keeps the schema, emits nothing
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_time", TimestampType), StructField("value", DoubleType))))
+    assert(graft.streaming.StreamingHist.sessionize(
+      emptyEv, "event_time", "user_id", "1 hour", col("value")).count() == 0)
   }
 
   test("similarity operators on empty corpus") {

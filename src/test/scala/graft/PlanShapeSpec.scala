@@ -70,6 +70,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("cluster assignment: centroid relation broadcast, corpus never shuffled") {
+    val plan = executedPlan(Similarity.cluster(emb, nCells = 4))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    // no exchange keyed by anything but the per-vector aggregate
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("top terms: vocabulary-sized joins only, corpus count broadcast") {
     val plan = executedPlan(graft.pipeline.TextAnalysis.topTerms(docs, k = 2))
     assert(!plan.contains("CartesianProduct"), plan)
