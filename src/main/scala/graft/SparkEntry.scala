@@ -558,6 +558,13 @@ object SparkEntry {
       // IVF quantizer as a first-class mixture-balancing operator
       implicit val sp: SparkSession = s
       Similarity.cluster(t(dir, "embeddings"), nCells = 16)
+    },
+    "q91_cluster_sample" -> { (s, dir) =>
+      // mixture balancing end-to-end: exactly 5 vectors per k-means cell
+      // via the deterministic hash reservoir
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.clusterBalancedSample(
+        t(dir, "embeddings"), nCells = 16, n = 5, salt = "cb1")
     }
   )
 
@@ -725,6 +732,7 @@ object SparkEntry {
     "q88_top_terms" -> PipelineOracle.topTerms(5),
     "q89_curate" -> PipelineOracle.curate(40L, 5, "doc_id < 20", 0.8, "cur"),
     "q90_cluster" -> PipelineOracle.clusterAssign(nCells = 16),
+    "q91_cluster_sample" -> PipelineOracle.clusterBalancedSample(16, 5, "cb1"),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

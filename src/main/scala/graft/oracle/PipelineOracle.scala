@@ -316,6 +316,17 @@ object PipelineOracle {
   def clusterAssign(nCells: Int = 8, iters: Int = 2): String =
     s"WITH ${ivfAsgCtes(nCells, iters)} SELECT vec_id, cell FROM asg"
 
+  /** Mirrors Sampling.clusterBalancedSample: assignment + the per-cell
+    * hash reservoir (cell rendered as its base-10 string inside the salt
+    * hash, exactly like the Spark side's cast to the source column). */
+  def clusterBalancedSample(nCells: Int, n: Int, salt: String,
+      iters: Int = 2): String =
+    s"WITH ${ivfAsgCtes(nCells, iters)}, " +
+      "sh AS (SELECT cell, vec_id, ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || " +
+      s"CAST(cell AS VARCHAR) || ':' || ${q(salt)}), 1, 15))::BIGINT AS hh FROM asg), " +
+      "sr AS (SELECT cell, vec_id, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY hh, vec_id) AS rn FROM sh) " +
+      s"SELECT cell, vec_id FROM sr WHERE rn <= $n"
+
   val langId: String = {
     def occ(pat: String): String = {
       val esc = pat.replace("'", "''")

@@ -74,4 +74,19 @@ object Sampling {
       .groupBy(col("source"))
       .agg(graft.functions.BottomKByKey.bottom_k(col("__h"), col("doc_id"), n).as("__ids"))
       .select(col("source"), explode(col("__ids")).as("doc_id"))
+
+  /** Cluster-balanced exact-N sampling: train-and-assign k-means cells
+    * over the embedding corpus (Similarity.cluster), then draw exactly
+    * min(n, |cell|) vectors per cell with the deterministic hash
+    * reservoir — the end-to-end mixture-balancing shape (equal
+    * representation per semantic cluster regardless of cluster sizes).
+    * Same plan pieces as its parts: broadcast assignment + bounded-heap
+    * bottom-k, corpus shuffled only by the per-cell aggregate. */
+  def clusterBalancedSample(emb: DataFrame, nCells: Int, n: Int,
+      salt: String): DataFrame =
+    sampleExactPerSource(
+      Similarity.cluster(emb, nCells)
+        .select(col("vec_id").as("doc_id"), col("cell").cast("string").as("source")),
+      n, salt)
+      .select(col("source").cast("long").as("cell"), col("doc_id").as("vec_id"))
 }

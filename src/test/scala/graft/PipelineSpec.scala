@@ -133,6 +133,24 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("cluster assignment is total and balanced sampling is exact-N") {
+    val many = (1L to 40L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+        else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      (i, base.map(_ + (i % 5) * 0.01f), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val cl = Similarity.cluster(many, nCells = 2)
+    // every vector gets exactly one cell
+    assert(cl.count() == 40 && cl.select("vec_id").distinct().count() == 40)
+    val smp = graft.pipeline.Sampling.clusterBalancedSample(many, 2, 3, "s")
+    val sizes = smp.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ <= 3) && sizes.values.sum == smp.count())
+    // deterministic: same draw on re-run
+    assert(smp.collect().toSet ==
+      graft.pipeline.Sampling.clusterBalancedSample(many, 2, 3, "s").collect().toSet)
+  }
+
   test("brute-force top-k ranks by cosine desc with deterministic ties") {
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1), 3)
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
