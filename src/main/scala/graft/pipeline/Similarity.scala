@@ -133,6 +133,32 @@ object Similarity {
     * hash-sampled subset and the rounds are the same two jobs. */
   def kmeansCentroids(corpus: DataFrame, nCells: Int,
       iters: Int): Seq[(Long, Array[Double])] = {
+    // Memoized like the derived relations (RelCache): cluster,
+    // clusterBalancedSample and annIvf over one corpus share ONE
+    // training run instead of re-running Lloyd per operator. Keyed by the
+    // canonicalized plan (structural equality incl. literal data) +
+    // parameters; bounded, deterministic, so a hit returns bit-identical
+    // centroids.
+    val key = (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized,
+      nCells, iters)
+    centroidMemo.synchronized {
+      val hit = centroidMemo.get(key)
+      if (hit != null) return hit
+    }
+    val trained = trainCentroids(corpus, nCells, iters)
+    centroidMemo.synchronized { centroidMemo.put(key, trained) }
+    trained
+  }
+
+  private val centroidMemo =
+    new java.util.LinkedHashMap[Any, Seq[(Long, Array[Double])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, Seq[(Long, Array[Double])]]): Boolean =
+        size() > 16 // centroid sets are tiny (nCells x dim doubles)
+    }
+
+  private def trainCentroids(corpus: DataFrame, nCells: Int,
+      iters: Int): Seq[(Long, Array[Double])] = {
     import java.math.{BigDecimal => JBD, BigInteger => JBI, RoundingMode}
     // Deterministic UNBIASED training subset: the nCells*8 vectors with the
     // smallest 60-bit salted md5 of vec_id (ties by vec_id). A hash-rank
