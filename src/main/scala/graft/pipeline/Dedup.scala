@@ -379,25 +379,34 @@ object Dedup {
     * (doc_id, component = min doc_id in its component, keep = is that
     * minimum), linear in corpus size.
     *
-    * Algorithm: distributed min-label propagation. Labels start as the
-    * node's own id; each round every node takes the min of its own label
-    * and its neighbors' labels (one equi-join on the edge relation + one
-    * min-aggregate), until a round changes nothing. Rounds needed = the
-    * largest component's diameter — small for duplicate graphs, whose
-    * components are near-cliques by construction (every member pairs with
-    * most others above threshold). Each round is two shuffles keyed by
-    * doc_id, output stays one row per node, and labels are persisted +
-    * lineage-truncated per round so the job graph stays flat across
+    * Algorithm: distributed min-label propagation with POINTER JUMPING.
+    * Labels start as the node's own id; each round every node takes the
+    * min of its own label and its neighbors' labels (one equi-join on the
+    * edge relation + one min-aggregate), then shortcuts through its
+    * label's own label (L(u) := L(L(u)), one more equi-join — sound
+    * because every label IS a node id and L is monotone non-increasing).
+    * The edge step alone needs diameter rounds; the shortcut doubles the
+    * effective propagation distance per round, so convergence is
+    * O(log(diameter)) — near-clique duplicate graphs converge in 2-3
+    * rounds and even a pathological n-node CHAIN (possible under
+    * transitive near-duplication) needs only ~log2(n) (pinned by spec).
+    * Each round is a few shuffles keyed by doc_id, output stays one row
+    * per node, and labels are lineage-truncated + previous-round blocks
+    * evicted, so the job graph and block storage stay flat across
     * iterations; the convergence check is a single scalar count. At
     * production scale the same loop runs with a reliable checkpoint dir
-    * instead of localCheckpoint; for adversarial long-chain graphs swap
-    * in alternating large-star/small-star rounds (O(log n) convergence,
-    * same join+min building blocks).
+    * instead of localCheckpoint.
     *
     * @param maxIter hard bound on rounds (a last-resort guard; the loop
     *   exits on convergence). If the bound is hit the labels returned are
     *   the current (still valid, possibly unconverged) upper bounds. */
-  def components(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def components(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    componentsIter(nodes, pairs, maxIter)._1
+
+  /** components + the number of rounds the loop ran (exposed for tests
+    * and capacity planning). */
+  private[graft] def componentsIter(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
     val sc = nodes.sparkSession.sparkContext
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -423,19 +432,34 @@ object Dedup {
       val prop = labels.as("l")
         .join(edges.as("e"), col("l.node") === col("e.u"))
         .select(col("e.v").as("node"), col("l.comp").as("comp"))
+      // relax via left join + least, not union + groupBy: a Union inside
+      // the loop trips Catalyst's constraint rewrite once the jump join's
+      // regenerated attribute ids feed back in (AttributeMap key-not-found
+      // in UnionBase.rewriteConstraints); the join form is equivalent and
+      // also skips re-shuffling the untouched labels rows
+      val nbrMin = prop.groupBy("node").agg(min("comp").as("__nc"))
+      val (relaxed, relaxedIds) = checkpointIds(
+        labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp")))
+      // pointer jump: L(u) := L(L(u)). Inner join is total — every comp
+      // value is some node's id, and the labels relation has a row for
+      // every node; L(L(u)) <= L(u) because labels only ever decrease.
       val (next, nextIds) = checkpointIds(
-        labels.union(prop).groupBy("node").agg(min("comp").as("comp")))
+        relaxed.as("a").join(relaxed.as("b"), col("a.comp") === col("b.node"))
+          .select(col("a.node").as("node"), col("b.comp").as("comp")))
       val changed = next.as("n").join(labels.as("o"), "node")
         .filter(col("n.comp") < col("o.comp")).count()
       dropBlocks(labelIds)
+      dropBlocks(relaxedIds)
       labels = next
       labelIds = nextIds
       converged = changed == 0L
       it += 1
     }
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("comp").as("component"),
-      (col("node") === col("comp")).as("keep"))
+    (labels.select(col("node").as("doc_id"), col("comp").as("component"),
+      (col("node") === col("comp")).as("keep")), it)
   }
 
   /** Span-level dedup: line/paragraph dedup (CCNet, RefinedWeb) generalized

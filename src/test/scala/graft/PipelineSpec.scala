@@ -288,9 +288,23 @@ class PipelineSpec extends SparkSpec {
     val pairs = (1L to 4L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val out = Dedup.components(nodes, pairs, maxIter = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // one round: each node = min over itself + direct neighbors
-    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 2L && out(5L) == 4L)
+    // one round = neighbor min + one pointer jump: 3 reaches 1 via L(L(3)),
+    // 5 reaches 3 — partial but monotone upper bounds
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L &&
+      out(4L) == 2L && out(5L) == 3L)
     assert(out.forall { case (n, c) => c <= n })
+  }
+
+  test("components: pointer jumping converges a 64-chain in O(log n) rounds") {
+    val n = 64L
+    val nodes = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (df, rounds) = Dedup.componentsIter(nodes, pairs)
+    val out = df.collect()
+    assert(out.forall(_.getLong(1) == 1L)) // one component, min = 1
+    // plain min-propagation would need 63 rounds; shortcutting more than
+    // doubles reach per round (+1 converged-detection round)
+    assert(rounds <= 10, s"rounds = $rounds")
   }
 
   test("span dedup: cross-doc spans stripped, within-doc repeats kept") {
