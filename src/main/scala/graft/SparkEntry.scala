@@ -565,6 +565,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Sampling.clusterBalancedSample(
         t(dir, "embeddings"), nCells = 16, n = 5, salt = "cb1")
+    },
+    "q92_funnel" -> { (s, dir) =>
+      // conversion funnel view -> click -> purchase per user: per-step
+      // strict-after conditional mins, one co-partitioned join per step
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.funnel(ev, Seq("view", "click", "purchase"))
     }
   )
 
@@ -733,6 +741,7 @@ object SparkEntry {
     "q89_curate" -> PipelineOracle.curate(40L, 5, "doc_id < 20", 0.8, "cur"),
     "q90_cluster" -> PipelineOracle.clusterAssign(nCells = 16),
     "q91_cluster_sample" -> PipelineOracle.clusterBalancedSample(16, 5, "cb1"),
+    "q92_funnel" -> PipelineOracle.funnel(Seq("view", "click", "purchase")),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

@@ -571,6 +571,30 @@ object PipelineOracle {
       Oracle.exactDbl("SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,14)))") +
       " AS sum_value FROM s GROUP BY user_id, sid"
 
+  /** Mirrors Funnel.funnel over events: per-step conditional-min CTEs
+    * (t_k = min time of step k strictly after t_{k-1}), microsecond
+    * precision like the Spark side's `ts div 1000` event_time. */
+  def funnel(steps: Seq[String]): String = {
+    require(steps.nonEmpty)
+    val stepCtes = steps.zipWithIndex.map { case (s, i) =>
+      val k = i + 1
+      if (i == 0)
+        s"s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = ${q(s)} GROUP BY user_id)"
+      else
+        s"s$k AS (SELECT e.user_id, MIN(us) AS t$k FROM e JOIN s${k - 1} USING (user_id) " +
+          s"WHERE event_type = ${q(s)} AND us > t${k - 1} GROUP BY e.user_id)"
+    }.mkString(", ")
+    val joins = steps.indices.map(i => s"LEFT JOIN s${i + 1} USING (user_id)").mkString(" ")
+    val tsSel = steps.indices.map(i => s"make_timestamp(t${i + 1}) AS t${i + 1}").mkString(", ")
+    val completed = steps.indices.reverse.map(i =>
+      s"WHEN t${i + 1} IS NOT NULL THEN ${i + 1}").mkString("CASE ", " ", " ELSE 0 END")
+    "WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events WHERE ts IS NOT NULL), " +
+      "u AS (SELECT DISTINCT user_id FROM e), " +
+      s"$stepCtes " +
+      s"SELECT u.user_id, $tsSel, CAST($completed AS BIGINT) AS steps_completed " +
+      s"FROM u $joins"
+  }
+
   /** Mirrors TextAnalysis.topTerms: score = tf * N / df as an exact
     * BIGINT product and one correctly-rounded division (bit-identical
     * doubles, no ln), ties broken by term ascending. */

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-event funnel analysis over an event stream: for each key
+  * (user), the earliest time it completed step 1, then step 2 STRICTLY
+  * after step 1, and so on — the standard conversion-funnel primitive,
+  * complementing gap-based sessionization on the same events table.
+  *
+  * Per-step semantics: t_k = min event time of step k's type among events
+  * later than t_{k-1} (strict: a tie at the same microsecond does not
+  * advance the funnel). t_k is NULL once any earlier step is NULL —
+  * steps_completed counts the leading non-NULL prefix.
+  *
+  * Scale shape: one pass per step, each a type-filtered (pushdown-able)
+  * min-aggregate keyed by user joined against the shrinking
+  * reached-previous-step relation; every shuffle is keyed by the user id,
+  * so AQE co-partitions the chain, and per-step state is one row per
+  * user — never the raw event volume. k steps = k joins, not a per-user
+  * event sort. */
+object Funnel {
+
+  def funnel(events: DataFrame, steps: Seq[String], tsCol: String = "event_time",
+      keyCol: String = "user_id", typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), col(typeCol), col(tsCol))
+    var acc = base.select(col(keyCol)).distinct()
+    var prev: Option[String] = None
+    steps.zipWithIndex.foreach { case (s, i) =>
+      val tn = s"t${i + 1}"
+      val stepEv = base.filter(col(typeCol) === lit(s))
+      val tk = prev match {
+        case None =>
+          stepEv.groupBy(col(keyCol)).agg(min(col(tsCol)).as(tn))
+        case Some(p) =>
+          stepEv
+            .join(acc.filter(col(p).isNotNull).select(col(keyCol), col(p)), Seq(keyCol))
+            .filter(col(tsCol) > col(p))
+            .groupBy(col(keyCol)).agg(min(col(tsCol)).as(tn))
+      }
+      acc = acc.join(tk, Seq(keyCol), "left")
+      prev = Some(tn)
+    }
+    val completed = steps.indices.foldLeft(lit(0L)) { (els, i) =>
+      when(col(s"t${i + 1}").isNotNull, lit((i + 1).toLong)).otherwise(els)
+    }
+    acc.withColumn("steps_completed", completed)
+  }
+}

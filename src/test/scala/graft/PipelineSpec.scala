@@ -325,6 +325,19 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((1L, 0L, md5hex("")))) // empty span df counts docs, not rows
   }
 
+  test("funnel: strict-after step ordering, ties don't advance") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)), // full
+      (2L, "click", ts(1)), (2L, "view", ts(2)),  // click BEFORE view: stops at 1
+      (3L, "view", ts(5)), (3L, "click", ts(5)),  // tie: strict > rejects
+      (4L, "error", ts(1))                          // never enters the funnel
+    ).toDF("user_id", "event_type", "event_time")
+    val out = graft.pipeline.Funnel.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("top terms: tf*N/df scoring, deterministic tie-break by term") {
     val d = Seq(
       (1L, "apple banana apple", "s1"),
