@@ -573,6 +573,14 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.funnel(ev, Seq("view", "click", "purchase"))
+    },
+    "q93_retention" -> { (s, dir) =>
+      // day-grain retention triangle: distinct users per (cohort day,
+      // offset) — activity deduped to user-days before any join
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.retention(ev)
     }
   )
 
@@ -742,6 +750,7 @@ object SparkEntry {
     "q90_cluster" -> PipelineOracle.clusterAssign(nCells = 16),
     "q91_cluster_sample" -> PipelineOracle.clusterBalancedSample(16, 5, "cb1"),
     "q92_funnel" -> PipelineOracle.funnel(Seq("view", "click", "purchase")),
+    "q93_retention" -> PipelineOracle.retention,
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

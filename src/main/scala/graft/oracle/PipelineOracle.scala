@@ -595,6 +595,17 @@ object PipelineOracle {
       s"FROM u $joins"
   }
 
+  /** Mirrors Funnel.retention: integer-floor day indices, distinct
+    * (user, day) activity, first day = cohort, distinct users per
+    * (cohort, offset) cell. */
+  val retention: String =
+    "WITH a AS (SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS d " +
+      "FROM events WHERE ts IS NOT NULL), " +
+      "f AS (SELECT user_id, MIN(d) AS cohort_day FROM a GROUP BY user_id) " +
+      "SELECT cohort_day, d - cohort_day AS offset_days, " +
+      "CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users " +
+      "FROM a JOIN f USING (user_id) GROUP BY cohort_day, d - cohort_day"
+
   /** Mirrors TextAnalysis.topTerms: score = tf * N / df as an exact
     * BIGINT product and one correctly-rounded division (bit-identical
     * doubles, no ln), ties broken by term ascending. */

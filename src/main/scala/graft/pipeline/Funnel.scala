@@ -48,4 +48,29 @@ object Funnel {
     }
     acc.withColumn("steps_completed", completed)
   }
+
+  /** Retention cohorts: each user joins the cohort of its first active
+    * day; a (cohort_day, offset_days) cell counts the distinct users of
+    * that cohort active offset days later — the standard retention
+    * triangle. Day indices are exact integer floors of epoch
+    * microseconds, so the oracle matches bitwise.
+    *
+    * Scale shape: per-user first-day is one min-aggregate; activity is
+    * deduplicated to (user, day) BEFORE the cohort join (bounding the
+    * join at one row per user-day, not per event); both the join and the
+    * final distinct-count shuffle are keyed by user id / cohort cell.
+    * Everything is map-combinable except the exact countDistinct, whose
+    * two-level expansion is still bounded by user-days. */
+  def retention(events: DataFrame, tsCol: String = "event_time",
+      keyCol: String = "user_id"): DataFrame = {
+    val dayUs = 86400000000L
+    // `div`, not `/`: Spark's / on longs is DOUBLE division
+    val day = expr(s"unix_micros($tsCol) div $dayUs")
+    val act = events.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), day.as("__day")).distinct()
+    val first = act.groupBy(col(keyCol)).agg(min("__day").as("cohort_day"))
+    act.join(first, Seq(keyCol))
+      .groupBy(col("cohort_day"), (col("__day") - col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
 }

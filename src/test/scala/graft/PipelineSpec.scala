@@ -338,6 +338,18 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("retention: cohort = first active day, distinct users per cell") {
+    def at(day: Int, sec: Int) = new java.sql.Timestamp(day * 86400000L + sec * 1000L)
+    val ev = Seq(
+      (1L, at(0, 1)), (1L, at(0, 2)), (1L, at(2, 0)),  // cohort 0, back day 2
+      (2L, at(0, 5)), (2L, at(1, 0)),                   // cohort 0, back day 1
+      (3L, at(1, 0))                                    // cohort 1, never back
+    ).toDF("user_id", "event_time")
+    val out = graft.pipeline.Funnel.retention(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
+
   test("top terms: tf*N/df scoring, deterministic tie-break by term") {
     val d = Seq(
       (1L, "apple banana apple", "s1"),
