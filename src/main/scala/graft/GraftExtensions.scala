@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GramHashes, MinhashSig, RepetitionStats, SimhashSig, SortedIntersectCount, VecDot, VecDotFD}
+import graft.functions.{GramHashes, HeavyHitters, MinhashSig, RepetitionStats, SimhashSig, SortedIntersectCount, VecDot, VecDotFD}
 import graft.operators.{HistVectorAgg, HistVectorDecAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
@@ -73,7 +73,11 @@ object GraftExtensions {
       args => VecDotFD(args(0), args(1))),
     ("repetition_stats",
       "repetition_stats(text) - token/distinct counts and top token/bigram frequencies",
-      args => RepetitionStats(args(0))))
+      args => RepetitionStats(args(0))),
+    ("heavy_hitters",
+      "heavy_hitters(term, m) - SpaceSaving bounded-memory frequent terms (term, cnt, err)",
+      args => HeavyHitters(args(0), intLit(args(1), "heavy_hitters m"))
+        .toAggregateExpression()))
 
   /** Register on an already-built session (e.g. spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

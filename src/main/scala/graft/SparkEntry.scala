@@ -581,6 +581,12 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.retention(ev)
+    },
+    "q94_top_terms_approx" -> { (s, dir) =>
+      // SpaceSaving heavy hitters per source (bounded-memory top terms);
+      // capacity 256 >> vocabulary, so the summary is provably exact here
+      implicit val sp: SparkSession = s
+      TextAnalysis.topTermsApprox(t(dir, "documents"), k = 5, capacity = 256)
     }
   )
 
@@ -751,6 +757,10 @@ object SparkEntry {
     "q91_cluster_sample" -> PipelineOracle.clusterBalancedSample(16, 5, "cb1"),
     "q92_funnel" -> PipelineOracle.funnel(Seq("view", "click", "purchase")),
     "q93_retention" -> PipelineOracle.retention,
+    // q94 runs SpaceSaving in its exact regime (capacity 256 >> the
+    // per-source vocabulary), where the summary provably equals the
+    // exact tf ranking; approximate-regime bounds are spec-pinned
+    "q94_top_terms_approx" -> PipelineOracle.topTermsApprox(5),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

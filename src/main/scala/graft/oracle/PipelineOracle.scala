@@ -595,6 +595,15 @@ object PipelineOracle {
       s"FROM u $joins"
   }
 
+  /** Mirrors TextAnalysis.topTermsApprox in its EXACT regime (capacity >=
+    * per-source vocabulary, so SpaceSaving never evicts): plain tf
+    * ranking (cnt desc, term asc) with err = 0. */
+  def topTermsApprox(k: Int): String =
+    "WITH tok AS (SELECT source, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM documents), " +
+      "tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY source, term), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn FROM tf) " +
+      s"SELECT source, term, cnt, CAST(0 AS BIGINT) AS err, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k"
+
   /** Mirrors Funnel.retention: integer-floor day indices, distinct
     * (user, day) activity, first day = cohort, distinct users per
     * (cohort, offset) cell. */

@@ -179,6 +179,26 @@ object TextAnalysis {
     * top-k window sorts vocabulary partitions, not the corpus; sources are
     * few and their vocabularies bounded, so no corpus-scale sort exists in
     * the plan. */
+  /** Approximate per-source top terms via the SpaceSaving bounded-memory
+    * aggregate (graft.functions.HeavyHitters): state is `capacity`
+    * entries per (source, partial aggregate) REGARDLESS of vocabulary
+    * size — the 100 TB path where exact vocabulary counting (topTerms)
+    * stops being possible. Guarantees: reported cnt brackets the true
+    * count within err; any term above N/capacity is present. When
+    * capacity >= the per-source vocabulary the summary never evicts and
+    * the output equals the exact tf ranking with err = 0 — the regime
+    * the oracle gate pins; the approximate regime's bounds are spec'd. */
+  def topTermsApprox(docs: DataFrame, k: Int = 5, capacity: Int = 256): DataFrame =
+    docs.select(col("source"),
+        explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+      .groupBy(col("source"))
+      .agg(graft.functions.HeavyHitters.heavy_hitters(col("term"), capacity).as("__hh"))
+      .select(col("source"), posexplode(col("__hh")).as(Seq("__p", "__e")))
+      .filter(col("__p") < k)
+      .select(col("source"), col("__e.term").as("term"),
+        col("__e.cnt").as("cnt"), col("__e.err").as("err"),
+        (col("__p") + 1).cast("int").as("rank"))
+
   def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), col("source"),

@@ -350,6 +350,31 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("heavy hitters: SpaceSaving bounds hold in the approximate regime") {
+    import graft.functions.HeavyHitters
+    val words = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ (1 to 20).map("w" + _)
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "term")
+    val out = df.agg(HeavyHitters.heavy_hitters(col("term"), 4).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (t, c, e) =>
+      val tc = truth.getOrElse(t, 0L)
+      assert(c >= tc && c - e <= tc, s"$t: cnt=$c err=$e true=$tc")
+    }
+    // any term above N/m (100/4 = 25) is guaranteed present
+    assert(out.map(_._1).toSet.intersect(Set("a", "b")) == Set("a", "b"))
+    assert(out.length <= 4)
+    // exact regime: capacity >= vocabulary -> exact counts, zero error
+    val exact = df.agg(HeavyHitters.heavy_hitters(col("term"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.cnt"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exact.forall { case (t, c, e) => c == truth(t) && e == 0L })
+    assert(exact.length == truth.size)
+  }
+
   test("top terms: tf*N/df scoring, deterministic tie-break by term") {
     val d = Seq(
       (1L, "apple banana apple", "s1"),
