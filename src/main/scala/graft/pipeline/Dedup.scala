@@ -397,6 +397,10 @@ object Dedup {
     * production scale the same loop runs with a reliable checkpoint dir
     * instead of localCheckpoint.
     *
+    * Precondition: every id in `pairs` must appear in `nodes` (true for
+    * any pair relation derived from the same corpus) — edges to unknown
+    * nodes would silently drop in the jump join's inner equi-join.
+    *
     * @param maxIter hard bound on rounds (a last-resort guard; the loop
     *   exits on convergence). If the bound is hit the labels returned are
     *   the current (still valid, possibly unconverged) upper bounds. */

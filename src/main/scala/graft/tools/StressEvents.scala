@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale stress for the events-analytics family (sessionize / funnel /
+  * retention): runs them on an enlarged events table (dev tool; pass a
+  * parquet path, e.g. a user-offset-replicated events table — replication
+  * multiplies USERS, preserving per-user event structure, so per-key state
+  * stays constant while key cardinality scales). */
+object StressEvents {
+  def main(args: Array[String]): Unit = {
+    val path = if (args.nonEmpty) args(0) else "/tmp/stress_events.parquet"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ev = spark.read.parquet(path)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .persist()
+    println(s"events=${ev.count()} users=${ev.select("user_id").distinct().count()}")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val c = f
+      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
+    }
+    time("sessionize")(graft.streaming.StreamingHist.sessionize(
+      ev, "event_time", "user_id", "6 hours", col("value")).count())
+    time("funnel")(graft.pipeline.Funnel.funnel(
+      ev, Seq("view", "click", "purchase")).count())
+    time("retention")(graft.pipeline.Funnel.retention(ev).count())
+    time("windowed_hist")(graft.streaming.StreamingHist.windowedHistogram(
+      ev, "event_time", col("value"), graft.axes.Regular("value", 20, 0.0, 20.0),
+      "1 hour").count())
+    spark.stop()
+  }
+}
