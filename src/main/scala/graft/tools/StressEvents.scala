@@ -18,9 +18,14 @@ object StressEvents {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val ev = spark.read.parquet(path)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-      .persist()
+    val raw = spark.read.parquet(path)
+    // stress copies may store ts as a real timestamp; testdata as nanos
+    // (same dual-type guard as StressHist)
+    val eventTime =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts div 1000"))
+      else col("ts").cast("timestamp")
+    val ev = raw.withColumn("event_time", eventTime).persist()
     println(s"events=${ev.count()} users=${ev.select("user_id").distinct().count()}")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -32,8 +37,10 @@ object StressEvents {
     time("funnel")(graft.pipeline.Funnel.funnel(
       ev, Seq("view", "click", "purchase")).count())
     time("retention")(graft.pipeline.Funnel.retention(ev).count())
+    // the repo's canonical events-value axis (0-512 covers the domain);
+    // a narrow axis would filter most rows and measure nothing
     time("windowed_hist")(graft.streaming.StreamingHist.windowedHistogram(
-      ev, "event_time", col("value"), graft.axes.Regular("value", 20, 0.0, 20.0),
+      ev, "event_time", col("value"), graft.axes.Regular("value", 16, 0.0, 512.0),
       "1 hour").count())
     spark.stop()
   }

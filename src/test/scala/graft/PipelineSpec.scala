@@ -269,6 +269,25 @@ class PipelineSpec extends SparkSpec {
     assert(out1.map(_.getAs[String]("media_type")).toSet == Set("image", "audio", "video"))
   }
 
+  test("span dedup: no repeated spans => kept text reconstructs the input") {
+    // every doc unique tokens => zero boilerplate; kept_md5 must equal
+    // md5 of the \S+ tokens rejoined by single spaces (the identity that
+    // pins the slice/rebuild arithmetic end to end)
+    val d = Seq(
+      (1L, "u1 u2 u3 u4 u5"),
+      (2L, "v1  v2\tv3"),     // messy whitespace: tokens rejoined by ' '
+      (3L, "w1")
+    ).toDF("doc_id", "text")
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = Dedup.spanDedup(d, spanWords = 2, maxDocs = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((0L, md5hex("u1 u2 u3 u4 u5"))))
+    assert(out(2L) == ((0L, md5hex("v1 v2 v3"))))
+    assert(out(3L) == ((0L, md5hex("w1"))))
+  }
+
   test("components: chains close transitively, isolated nodes keep themselves") {
     // 1-2-3-4 is a CHAIN (1~4 never pair directly): min-label propagation
     // needs multiple rounds to pull 4 down to 1, which the near-clique
