@@ -60,21 +60,38 @@ case class HeavyHitters(
   }
 
   override def merge(a: Summary, b: Summary): Summary = {
-    // mergeable-summaries rule: terms absent from one side adopt that
-    // side's worst-case floor (its min count if it ever evicted, else 0)
+    // mergeable-summaries rule (Agarwal et al.): combine counts with terms
+    // absent from one side adopting that side's worst-case floor, then cut
+    // back to the top m — NOT re-offered through the eviction path, whose
+    // newcomer-inherits-min rule is only valid for unit increments and
+    // would inflate bulk counts.
     val floorA = a.floor
     val floorB = b.floor
-    val out = new Summary(m)
-    val seen = mutable.HashSet[String]()
+    val combined = mutable.HashMap[String, (Long, Long)]()
     a.entries.foreach { case (t, (c, e)) =>
-      seen += t
       b.entries.get(t) match {
-        case Some((cb, eb)) => out.offer(t, c + cb, e + eb)
-        case None => out.offer(t, c + floorB, e + floorB)
+        case Some((cb, eb)) => combined.put(t, (c + cb, e + eb))
+        case None => combined.put(t, (c + floorB, e + floorB))
       }
     }
     b.entries.foreach { case (t, (c, e)) =>
-      if (!seen(t)) out.offer(t, c + floorA, e + floorA)
+      if (!combined.contains(t)) combined.put(t, (c + floorA, e + floorA))
+    }
+    val out = new Summary(m)
+    // a term absent from BOTH sides may hide under floorA + floorB; a
+    // term cut at this merge hides under its combined cnt. Dropping these
+    // floors would let a further merge (multi-level partial aggregation)
+    // underestimate absent terms and break the cnt >= true invariant.
+    out.evictedFloor = floorA + floorB
+    if (combined.size <= m) {
+      combined.foreach { case (t, ce) => out.entries.put(t, ce) }
+    } else {
+      val sorted = combined.toArray.sortWith { case ((t1, (c1, e1)), (t2, (c2, e2))) =>
+        c1 > c2 || (c1 == c2 && (e1 < e2 || (e1 == e2 && t1 < t2)))
+      }
+      sorted.take(m).foreach { case (t, ce) => out.entries.put(t, ce) }
+      val dropMax = sorted.drop(m).iterator.map(_._2._1).max
+      if (dropMax > out.evictedFloor) out.evictedFloor = dropMax
     }
     out
   }

@@ -615,15 +615,16 @@ object PipelineOracle {
       "CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users " +
       "FROM a JOIN f USING (user_id) GROUP BY cohort_day, d - cohort_day"
 
-  /** Mirrors TextAnalysis.topTerms: score = tf * N / df as an exact
-    * BIGINT product and one correctly-rounded division (bit-identical
-    * doubles, no ln), ties broken by term ascending. */
+  /** Mirrors TextAnalysis.topTerms: score = tf * N / df in double-FIRST
+    * arithmetic (exactly representable longs, two correctly-rounded IEEE
+    * ops — bit-identical doubles, no ln, no BIGINT overflow at corpus
+    * scale), ties broken by term ascending. */
   def topTerms(k: Int = 5): String =
     "WITH tok AS (SELECT doc_id, source, UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM documents), " +
       "n AS (SELECT COUNT(*) AS n_total FROM documents), " +
       "dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM (SELECT DISTINCT term, doc_id FROM tok) GROUP BY term), " +
       "tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY source, term), " +
-      "sc AS (SELECT source, term, tf, df, CAST(tf * n_total AS DOUBLE) / CAST(df AS DOUBLE) AS score " +
+      "sc AS (SELECT source, term, tf, df, CAST(tf AS DOUBLE) * CAST(n_total AS DOUBLE) / CAST(df AS DOUBLE) AS score " +
       "FROM tf JOIN dfr USING (term) CROSS JOIN n), " +
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term) AS rn FROM sc) " +
       s"SELECT source, term, tf, df, score, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k"

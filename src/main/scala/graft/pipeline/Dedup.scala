@@ -418,13 +418,17 @@ object Dedup {
       .persist()
     // localCheckpoint caches each round's labels RDD; without explicit
     // eviction a d-round run pins d corpus-sized relations in block
-    // storage. The checkpointed RDD isn't exposed by the Dataset API, so
-    // rounds are diffed via getPersistentRDDs ids: after the convergence
-    // check reads round i, round i-1's blocks are dropped.
+    // storage. The checkpointed RDD is the one wrapped by the returned
+    // Dataset's LogicalRDD leaf — unpersist exactly that id (a global
+    // getPersistentRDDs before/after diff would also sweep up UNRELATED
+    // caches that happen to materialize during the round, e.g. the edges
+    // persist or RelCache pins lazily registered by round 1's job).
     def checkpointIds(df: => DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true) // materialize + truncate lineage
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+      val ids = out.queryExecution.analyzed.collectLeaves().collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      }.toSet
+      (out, ids)
     }
     def dropBlocks(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
@@ -479,11 +483,12 @@ object Dedup {
     * Scale shape: the span relation is a bounded explode (|tokens|/w rows
     * per doc); document frequency is one shuffle keyed by span text with a
     * two-level (span, doc) aggregate. The boilerplate SET — spans above
-    * the frequency cut — is small by definition (only text repeated across
-    * > maxDocs docs survives the filter), so marking is a BROADCAST left
-    * join: the 100 TB span relation is shuffled once for the frequency
-    * count and never again; rebuild is a per-doc aggregate keyed by
-    * doc_id. */
+    * the frequency cut — is usually tiny (text repeated across > maxDocs
+    * docs), and the marking join is left to AQE, which converts it to a
+    * broadcast at runtime from the MEASURED aggregate output size — a
+    * forced broadcast hint would OOM the driver on a pathological corpus
+    * (e.g. a fully-replicated one, where EVERY span crosses the cut);
+    * rebuild is a per-doc aggregate keyed by doc_id. */
   def spanDedup(docs: DataFrame, spanWords: Int = 8, maxDocs: Int = 1): DataFrame = {
     require(spanWords > 0 && maxDocs >= 1)
     val w = spanWords
@@ -502,7 +507,7 @@ object Dedup {
     val bp = spansP.groupBy("span").agg(countDistinct("doc_id").as("__df"))
       .filter(col("__df") > maxDocs)
       .select(col("span"), lit(true).as("__bp"))
-    spansP.join(broadcast(bp), Seq("span"), "left")
+    spansP.join(bp, Seq("span"), "left")
       .withColumn("__bp", coalesce(col("__bp"), lit(false)))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),

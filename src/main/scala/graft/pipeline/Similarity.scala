@@ -136,11 +136,15 @@ object Similarity {
     // Memoized like the derived relations (RelCache): cluster,
     // clusterBalancedSample and annIvf over one corpus share ONE
     // training run instead of re-running Lloyd per operator. Keyed by the
-    // canonicalized plan (structural equality incl. literal data) +
-    // parameters; bounded, deterministic, so a hit returns bit-identical
-    // centroids.
-    val key = (corpus.sparkSession, corpus.queryExecution.analyzed.canonicalized,
-      nCells, iters)
+    // session UUID + the canonicalized plan's SEMANTIC HASH + params —
+    // NOT the plan object: canonicalized LocalRelation plans embed every
+    // literal row, so object keys would pin up to 16 full in-memory
+    // corpora (and their sessions) in a process-global map. The hash key
+    // retains only ints/strings; with the handful of live entries a
+    // 32-bit semantic-hash collision is ~1e-8 — negligible against the
+    // retention cost of object keys.
+    val key = (System.identityHashCode(corpus.sparkSession),
+      corpus.queryExecution.analyzed.canonicalized.semanticHash(), nCells, iters)
     centroidMemo.synchronized {
       val hit = centroidMemo.get(key)
       if (hit != null) return hit

@@ -166,19 +166,6 @@ object TextAnalysis {
       .agg((sum(col("term")) % FpMod).as("fingerprint"))
   }
 
-  /** Top-k distinctive terms per source by df-normalized term frequency
-    * (tf-idf with linear idf: score = tf * N / df, N = corpus doc count —
-    * no transcendental, so the score doubles are bit-identical
-    * cross-engine: exact BIGINT product, one correctly-rounded division).
-    * Ties break by term ascending, so the output is fully deterministic.
-    *
-    * Scale shape: token explode → two aggregates (per-(source, term) tf;
-    * per-term document frequency over DISTINCT (term, doc)) joined on
-    * term — both vocabulary-sized, orders of magnitude below corpus size —
-    * plus a broadcast of the single-row corpus count. The final per-source
-    * top-k window sorts vocabulary partitions, not the corpus; sources are
-    * few and their vocabularies bounded, so no corpus-scale sort exists in
-    * the plan. */
   /** Approximate per-source top terms via the SpaceSaving bounded-memory
     * aggregate (graft.functions.HeavyHitters): state is `capacity`
     * entries per (source, partial aggregate) REGARDLESS of vocabulary
@@ -199,6 +186,21 @@ object TextAnalysis {
         col("__e.cnt").as("cnt"), col("__e.err").as("err"),
         (col("__p") + 1).cast("int").as("rank"))
 
+  /** Top-k distinctive terms per source by df-normalized term frequency
+    * (tf-idf with linear idf: score = tf * N / df, N = corpus doc count —
+    * no transcendental, so the score doubles are bit-identical
+    * cross-engine: each long is exactly representable, and the multiply
+    * and divide are single correctly-rounded IEEE ops in both engines;
+    * double-FIRST, so no BIGINT overflow at tf * N ~ 1e19+ corpus scale).
+    * Ties break by term ascending, so the output is fully deterministic.
+    *
+    * Scale shape: token explode → two aggregates (per-(source, term) tf;
+    * per-term document frequency over DISTINCT (term, doc)) joined on
+    * term — both vocabulary-sized, orders of magnitude below corpus size —
+    * plus a broadcast of the single-row corpus count. The final per-source
+    * top-k window sorts vocabulary partitions, not the corpus; sources are
+    * few and their vocabularies bounded, so no corpus-scale sort exists in
+    * the plan. */
   def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), col("source"),
@@ -210,7 +212,7 @@ object TextAnalysis {
     tf.join(dfRel, "term")
       .crossJoin(broadcast(total))
       .withColumn("score",
-        (col("tf") * col("__n")).cast("double") / col("df").cast("double"))
+        col("tf").cast("double") * col("__n").cast("double") / col("df").cast("double"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("source").orderBy(col("score").desc, col("term"))))
       .filter(col("rank") <= k)

@@ -145,7 +145,11 @@ class PipelineSpec extends SparkSpec {
     val smp = graft.pipeline.Sampling.clusterBalancedSample(many, 2, 3, "s")
     val sizes = smp.groupBy("cell").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(sizes.values.forall(_ <= 3) && sizes.values.sum == smp.count())
+    // exact-N: every cell yields min(n, |cell|) — with 20 vectors per
+    // cell and n = 3, exactly 3 each
+    val pops = cl.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == pops.map { case (c, p) => c -> math.min(3L, p) })
     // deterministic: same draw on re-run
     assert(smp.collect().toSet ==
       graft.pipeline.Sampling.clusterBalancedSample(many, 2, 3, "s").collect().toSet)
@@ -392,6 +396,25 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(exact.forall { case (t, c, e) => c == truth(t) && e == 0L })
     assert(exact.length == truth.size)
+    // merged summaries must stay re-mergeable: the hidden-floor of BOTH
+    // inputs survives the merge (a dropped floor would let a later merge
+    // underestimate absent terms, breaking cnt >= true)
+    val agg = HeavyHitters(org.apache.spark.sql.catalyst.expressions.Literal("x"), 2)
+    val sa = new HeavyHitters.Summary(2)
+    Seq("a", "a", "a", "b", "b", "c").foreach(sa.offer(_, 1L, 0L)) // evicts: floor 2
+    val sb = new HeavyHitters.Summary(2)
+    Seq("d", "d", "e").foreach(sb.offer(_, 1L, 0L)) // never full: floor 0
+    assert(sa.floor == 2L && sb.floor == 0L)
+    // merged floor >= floorA + floorB, raised further by the top-m cut
+    // (dropped entries' combined counts become the new hidden mass)
+    val merged = agg.merge(sa, sb)
+    assert(merged.floor >= 2L && merged.entries.size <= 2)
+    // kept entries still overestimate: every kept cnt >= its true count
+    // (a=3 true 3; d absent from sa adopts floorA=2 -> cnt 4 >= true 2)
+    merged.entries.foreach { case (t, (c, _)) =>
+      val tc = Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 2L, "e" -> 1L)(t)
+      assert(c >= tc, s"$t: $c < $tc")
+    }
   }
 
   test("top terms: tf*N/df scoring, deterministic tie-break by term") {
