@@ -587,6 +587,14 @@ object SparkEntry {
       // capacity 256 >> vocabulary, so the summary is provably exact here
       implicit val sp: SparkSession = s
       TextAnalysis.topTermsApprox(t(dir, "documents"), k = 5, capacity = 256)
+    },
+    "q95_cross_dedup" -> { (s, dir) =>
+      // dedup-against-reference: pair each "new crawl" doc (doc_id < 100)
+      // with its verified near-dups in the full reference corpus —
+      // bipartite band join, never a self-join
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      Dedup.crossNearDup(docs.filter(col("doc_id") < 100), docs)
     }
   )
 
@@ -761,6 +769,7 @@ object SparkEntry {
     // per-source vocabulary), where the summary provably equals the
     // exact tf ranking; approximate-regime bounds are spec-pinned
     "q94_top_terms_approx" -> PipelineOracle.topTermsApprox(5),
+    "q95_cross_dedup" -> PipelineOracle.crossNearDup("a.doc_id < 100", "TRUE"),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

@@ -46,7 +46,9 @@ object PipelineOracle {
       "FROM documents"
 
   /** CTE chain ending in cand(doc_a, doc_b) — MinHash+LSH candidates. */
-  private def minhashCandCtes(k: Int, bands: Int, rowsPerBand: Int): String = {
+  /** CTE chain sh/hh/sig/banded — per-doc MinHash signatures exploded
+    * into band rows, shared by the self-join and bipartite candidates. */
+  private def minhashBandCtes(k: Int, bands: Int, rowsPerBand: Int): String = {
     import graft.pipeline.Dedup.{mhA, mhB, MhMod}
     val numHashes = bands * rowsPerBand
     val mins = (1 to numHashes)
@@ -57,18 +59,48 @@ object PipelineOracle {
         .map(r => s"h${b * rowsPerBand + r + 1} AS ${rowNames(r)}").mkString(", ")
       s"SELECT doc_id, $b AS band, $cols FROM sig"
     }.mkString(" UNION ALL ")
-    val joinKeys = ("band" +: rowNames).map(c => s"a.$c = b.$c").mkString(" AND ")
     s"sh AS (SELECT doc_id, substring(text, CAST(i AS INT), $k) AS sh " +
       s"FROM (SELECT doc_id, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
       s"hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % $MhMod AS h FROM sh), " +
       s"sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id), " +
-      s"banded AS ($bandSelects), " +
-      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-      s"FROM banded a JOIN banded b ON $joinKeys AND a.doc_id < b.doc_id)"
+      s"banded AS ($bandSelects)"
   }
+
+  private def bandJoinKeys(rowsPerBand: Int): String =
+    ("band" +: (1 to rowsPerBand).map(r => s"s$r"))
+      .map(c => s"a.$c = b.$c").mkString(" AND ")
+
+  private def minhashCandCtes(k: Int, bands: Int, rowsPerBand: Int): String =
+    s"${minhashBandCtes(k, bands, rowsPerBand)}, " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      s"FROM banded a JOIN banded b ON ${bandJoinKeys(rowsPerBand)} AND a.doc_id < b.doc_id)"
 
   def minhashLsh(k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): String =
     s"WITH ${minhashCandCtes(k, bands, rowsPerBand)} SELECT doc_a, doc_b FROM cand"
+
+  /** Mirrors Dedup.crossNearDup: same signature/banding CTEs computed over
+    * the full documents table (A and B are doc_id slices of it, and
+    * per-doc signatures are side-independent), with the bipartite
+    * candidate join restricted by alias-qualified side predicates (e.g.
+    * "a.doc_id < 100", "TRUE") and verified with the same exact k-gram
+    * jaccard. */
+  def crossNearDup(aWhere: String, bWhere: String, k: Int = 5,
+      threshold: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4): String = {
+    val jac = "CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)"
+    s"WITH ${minhashBandCtes(k, bands, rowsPerBand)}, " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
+      s"FROM banded a JOIN banded b ON ${bandJoinKeys(rowsPerBand)} AND a.doc_id <> b.doc_id " +
+      s"WHERE ($aWhere) AND ($bWhere)), " +
+      s"g AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), $k) AS g " +
+      s"FROM (SELECT doc_id, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id), " +
+      "inter AS (SELECT cand.doc_a, cand.doc_b, COUNT(*) AS inter FROM cand " +
+      "JOIN g ga ON ga.doc_id = cand.doc_a " +
+      "JOIN g gb ON gb.doc_id = cand.doc_b AND gb.g = ga.g GROUP BY 1, 2) " +
+      s"SELECT doc_a, doc_b, $jac AS jaccard " +
+      "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+      s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
+  }
 
   /** Two-stage near-dup: minhash candidates verified with exact k-gram
     * jaccard (mirrors Dedup.nearDupPairs; gram hashing is engine-internal —

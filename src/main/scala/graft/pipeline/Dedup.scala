@@ -168,20 +168,27 @@ object Dedup {
     *   deterministic, so an oracle can mirror it). Giant buckets of
     *   near-identical docs otherwise produce m^2 candidate pairs; capping
     *   trades bounded recall loss for bounded work. None = exact. */
-  def minhashLsh(docs: DataFrame, k: Int = 5, bands: Int = 16,
-      rowsPerBand: Int = 4, bucketCap: Option[Int] = None): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = minhashSignature(docs, k, numHashes)
+  /** Exploded band relation (doc_id, band, s1..sN) — the LSH bucketing
+    * shared by the self-join (minhashLsh) and the bipartite cross-corpus
+    * join (crossNearDup). */
+  private def bandedRelation(docs: DataFrame, k: Int, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignature(docs, k, bands * rowsPerBand)
     val rowNames = (1 to rowsPerBand).map(r => s"s$r")
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band") +:
         (0 until rowsPerBand).map(r =>
           col(s"h${b * rowsPerBand + r + 1}").as(rowNames(r))): _*)
     }
-    val bandedAll = sig.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bs"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id") +: col("bs.band").as("band") +:
         rowNames.map(rn => col(s"bs.$rn").as(rn)): _*)
+  }
+
+  def minhashLsh(docs: DataFrame, k: Int = 5, bands: Int = 16,
+      rowsPerBand: Int = 4, bucketCap: Option[Int] = None): DataFrame = {
+    val rowNames = (1 to rowsPerBand).map(r => s"s$r")
+    val bandedAll = bandedRelation(docs, k, bands, rowsPerBand)
     val keys = "band" +: rowNames
     // persisted: the self-join below would otherwise run the signature
     // (md5 per distinct shingle) once per join side
@@ -240,6 +247,47 @@ object Dedup {
     val pairs = nearDupPairs(docs, k, threshold, bands, rowsPerBand, bucketCap)
     docs.select(col("doc_id"))
       .join(pairs.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** Cross-corpus near-duplicate pairs: every doc of `corpusA` (e.g. a new
+    * crawl) paired with its verified near-duplicates in `corpusB` (e.g.
+    * the existing training set) — the dedup-against-reference operation
+    * run before admitting new data. Bipartite form of nearDupPairs: the
+    * band join is A-banded × B-banded (never a self-join), candidates are
+    * verified with the exact k-gram jaccard, and identical doc_ids are
+    * excluded so overlapping corpora don't pair docs with themselves.
+    * Output (doc_a ∈ A, doc_b ∈ B, jaccard) is directional.
+    *
+    * Scale shape: identical to the self-join form — band-bucket equi-join
+    * bounded by bucket selectivity, codegen'd sorted-merge verify — with
+    * the usual asymmetry win: the new-crawl side is typically orders of
+    * magnitude smaller than the reference corpus, and only ITS bands and
+    * gram sets are new work (the reference side's relations are the
+    * memoized artifacts a production pipeline keeps checkpointed). */
+  def crossNearDup(corpusA: DataFrame, corpusB: DataFrame, k: Int = 5,
+      threshold: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val rowNames = (1 to rowsPerBand).map(r => s"s$r")
+    val keys = "band" +: rowNames
+    val ba = memoPersist(bandedRelation(corpusA, k, bands, rowsPerBand)).as("a")
+    val bb = memoPersist(bandedRelation(corpusB, k, bands, rowsPerBand)).as("b")
+    val joinCond = keys.map(kc => col(s"a.$kc") === col(s"b.$kc"))
+      .reduce(_ && _) && col("a.doc_id") =!= col("b.doc_id")
+    val cand = memoPersist(ba.join(bb, joinCond)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct())
+    val ga = memoPersist(widen(corpusA).select(col("doc_id"),
+      graft.functions.GramHashes.gram_hashes(col("text"), lit("g"), k).as("gset")))
+    val gb = memoPersist(widen(corpusB).select(col("doc_id"),
+      graft.functions.GramHashes.gram_hashes(col("text"), lit("g"), k).as("gset")))
+    cand
+      .join(ga.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
+      .join(gb.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count(col("ga"), col("gb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** 64-bit SimHash per doc over distinct space-separated tokens: bit b is

@@ -85,6 +85,17 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))                   // unrelated docs filtered
   }
 
+  test("cross-corpus near-dup: directional pairs, no self-pairs on overlap") {
+    val pairs = Dedup.crossNearDup(docs.filter($"doc_id" <= 2), docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1 and 2 are byte-identical, 3 is a near-dup of both; A = {1, 2}
+    // pairs B-side against the FULL corpus but never against itself
+    assert(pairs.forall { case (a, b) => a <= 2 && a != b })
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 1L))) // both directions: 1,2 ∈ A∩B
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(_._2 > 3)) // nothing pairs with the unrelated docs
+  }
+
   test("simhash: identical docs get identical signatures") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(1L) == sh(2L))
