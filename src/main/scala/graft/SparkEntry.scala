@@ -591,10 +591,12 @@ object SparkEntry {
     "q95_cross_dedup" -> { (s, dir) =>
       // dedup-against-reference: pair each "new crawl" doc (doc_id < 100)
       // with its verified near-dups in the full reference corpus —
-      // bipartite band join, never a self-join
+      // bipartite band join, never a self-join; bucketCap bounds any hot
+      // band bucket's contribution to cap^2 pairs (mirrored in the oracle)
       implicit val sp: SparkSession = s
       val docs = t(dir, "documents")
-      Dedup.crossNearDup(docs.filter(col("doc_id") < 100), docs)
+      Dedup.crossNearDup(docs.filter(col("doc_id") < 100), docs,
+        bucketCap = Some(20))
     }
   )
 
@@ -769,7 +771,8 @@ object SparkEntry {
     // per-source vocabulary), where the summary provably equals the
     // exact tf ranking; approximate-regime bounds are spec-pinned
     "q94_top_terms_approx" -> PipelineOracle.topTermsApprox(5),
-    "q95_cross_dedup" -> PipelineOracle.crossNearDup("a.doc_id < 100", "TRUE"),
+    "q95_cross_dedup" -> PipelineOracle.crossNearDup("doc_id < 100", "TRUE",
+      bucketCap = Some(20)),
     "q73_dup_cluster_hist" -> Oracle.hist(
       "(SELECT CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY md5(text)) __cs",
       Seq(Oracle.Spec("c", axCluster)), flow = true),

@@ -80,17 +80,28 @@ object PipelineOracle {
 
   /** Mirrors Dedup.crossNearDup: same signature/banding CTEs computed over
     * the full documents table (A and B are doc_id slices of it, and
-    * per-doc signatures are side-independent), with the bipartite
-    * candidate join restricted by alias-qualified side predicates (e.g.
-    * "a.doc_id < 100", "TRUE") and verified with the same exact k-gram
-    * jaccard. */
+    * per-doc signatures are side-independent), each side carved out by an
+    * UNQUALIFIED predicate over banded rows (e.g. "doc_id < 100", "TRUE"),
+    * optionally bucket-capped per side exactly as the Spark form (lowest
+    * doc_ids per band bucket AFTER the side filter), then bipartite-joined
+    * and verified with the same exact k-gram jaccard. */
   def crossNearDup(aWhere: String, bWhere: String, k: Int = 5,
-      threshold: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4): String = {
+      threshold: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
+      bucketCap: Option[Int] = None): String = {
     val jac = "CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)"
+    val bandCols = ("band" +: (1 to rowsPerBand).map(r => s"s$r")).mkString(", ")
+    def side(name: String, where: String): String = bucketCap match {
+      case Some(cap) =>
+        s"$name AS (SELECT doc_id, $bandCols FROM " +
+          s"(SELECT *, ROW_NUMBER() OVER (PARTITION BY $bandCols ORDER BY doc_id) AS __rn " +
+          s"FROM banded WHERE ($where)) WHERE __rn <= $cap)"
+      case None =>
+        s"$name AS (SELECT doc_id, $bandCols FROM banded WHERE ($where))"
+    }
     s"WITH ${minhashBandCtes(k, bands, rowsPerBand)}, " +
+      s"${side("banded_a", aWhere)}, ${side("banded_b", bWhere)}, " +
       "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b " +
-      s"FROM banded a JOIN banded b ON ${bandJoinKeys(rowsPerBand)} AND a.doc_id <> b.doc_id " +
-      s"WHERE ($aWhere) AND ($bWhere)), " +
+      s"FROM banded_a a JOIN banded_b b ON ${bandJoinKeys(rowsPerBand)} AND a.doc_id <> b.doc_id), " +
       s"g AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), $k) AS g " +
       s"FROM (SELECT doc_id, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
       "sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id), " +

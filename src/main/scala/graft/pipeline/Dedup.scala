@@ -152,6 +152,32 @@ object Dedup {
         .map(j => element_at(col("__sig"), j).as(s"h$j")): _*)
   }
 
+  /** Exploded band relation (doc_id, band, s1..sN) — the LSH bucketing
+    * shared by the self-join (minhashLsh) and the bipartite cross-corpus
+    * join (crossNearDup). When `bucketCap` is set, at most that many docs
+    * per band bucket survive (lowest doc_ids — deterministic, so an oracle
+    * can mirror it): the skew guard that bounds a hot bucket's join
+    * contribution regardless of corpus composition. */
+  private def bandedRelation(docs: DataFrame, k: Int, bands: Int,
+      rowsPerBand: Int, bucketCap: Option[Int] = None): DataFrame = {
+    val sig = minhashSignature(docs, k, bands * rowsPerBand)
+    val rowNames = (1 to rowsPerBand).map(r => s"s$r")
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r + 1}").as(rowNames(r))): _*)
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id") +: col("bs.band").as("band") +:
+        rowNames.map(rn => col(s"bs.$rn").as(rn)): _*)
+    bucketCap.fold(banded) { cap =>
+      banded.withColumn("__rn", row_number().over(
+          Window.partitionBy(("band" +: rowNames).map(col): _*).orderBy("doc_id")))
+        .filter(col("__rn") <= cap).drop("__rn")
+    }
+  }
+
   /** MinHash+LSH candidate pairs: band signatures (rows-per-band hashes
     * concatenated) bucket the corpus; docs sharing any band bucket are
     * candidates. bands*rowsPerBand = numHashes.
@@ -168,36 +194,13 @@ object Dedup {
     *   deterministic, so an oracle can mirror it). Giant buckets of
     *   near-identical docs otherwise produce m^2 candidate pairs; capping
     *   trades bounded recall loss for bounded work. None = exact. */
-  /** Exploded band relation (doc_id, band, s1..sN) — the LSH bucketing
-    * shared by the self-join (minhashLsh) and the bipartite cross-corpus
-    * join (crossNearDup). */
-  private def bandedRelation(docs: DataFrame, k: Int, bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignature(docs, k, bands * rowsPerBand)
-    val rowNames = (1 to rowsPerBand).map(r => s"s$r")
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band") +:
-        (0 until rowsPerBand).map(r =>
-          col(s"h${b * rowsPerBand + r + 1}").as(rowNames(r))): _*)
-    }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id") +: col("bs.band").as("band") +:
-        rowNames.map(rn => col(s"bs.$rn").as(rn)): _*)
-  }
-
   def minhashLsh(docs: DataFrame, k: Int = 5, bands: Int = 16,
       rowsPerBand: Int = 4, bucketCap: Option[Int] = None): DataFrame = {
     val rowNames = (1 to rowsPerBand).map(r => s"s$r")
-    val bandedAll = bandedRelation(docs, k, bands, rowsPerBand)
     val keys = "band" +: rowNames
     // persisted: the self-join below would otherwise run the signature
     // (md5 per distinct shingle) once per join side
-    val banded = bucketCap.fold(bandedAll) { cap =>
-      bandedAll.withColumn("__rn", row_number().over(
-          Window.partitionBy(keys.map(col): _*).orderBy("doc_id")))
-        .filter(col("__rn") <= cap).drop("__rn")
-    }
-    val bandedPinned = memoPersist(banded)
+    val bandedPinned = memoPersist(bandedRelation(docs, k, bands, rowsPerBand, bucketCap))
     val a = bandedPinned.as("a")
     val b = bandedPinned.as("b")
     val joinCond = keys.map(kc => col(s"a.$kc") === col(s"b.$kc"))
@@ -263,13 +266,21 @@ object Dedup {
     * the usual asymmetry win: the new-crawl side is typically orders of
     * magnitude smaller than the reference corpus, and only ITS bands and
     * gram sets are new work (the reference side's relations are the
-    * memoized artifacts a production pipeline keeps checkpointed). */
+    * memoized artifacts a production pipeline keeps checkpointed).
+    *
+    * @param bucketCap skew guard, applied to EACH side's band buckets
+    *   independently (lowest doc_ids kept — deterministic, oracle-
+    *   mirrorable): a boilerplate-heavy bucket otherwise emits
+    *   |A_bucket|x|B_bucket| candidates, which AQE's skew split
+    *   redistributes but cannot shrink. With the cap, any bucket
+    *   contributes at most cap^2 pairs. None = exact. */
   def crossNearDup(corpusA: DataFrame, corpusB: DataFrame, k: Int = 5,
-      threshold: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      threshold: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
+      bucketCap: Option[Int] = None): DataFrame = {
     val rowNames = (1 to rowsPerBand).map(r => s"s$r")
     val keys = "band" +: rowNames
-    val ba = memoPersist(bandedRelation(corpusA, k, bands, rowsPerBand)).as("a")
-    val bb = memoPersist(bandedRelation(corpusB, k, bands, rowsPerBand)).as("b")
+    val ba = memoPersist(bandedRelation(corpusA, k, bands, rowsPerBand, bucketCap)).as("a")
+    val bb = memoPersist(bandedRelation(corpusB, k, bands, rowsPerBand, bucketCap)).as("b")
     val joinCond = keys.map(kc => col(s"a.$kc") === col(s"b.$kc"))
       .reduce(_ && _) && col("a.doc_id") =!= col("b.doc_id")
     val cand = memoPersist(ba.join(bb, joinCond)

@@ -36,6 +36,14 @@ object StressDocs {
     time("top_terms")(graft.pipeline.TextAnalysis.topTerms(docs).count())
     time("curate")(graft.pipeline.Curation.curate(
       docs, docs.filter(col("doc_id") < 20)).count())
+    // bipartite hot-bucket sweep: on a replicated corpus every band bucket
+    // holds all copies of a doc, so the uncapped A x B band join emits
+    // |A_bucket| x |B_bucket| candidates per bucket; the cap bounds each
+    // bucket's contribution at cap^2 regardless of replication factor
+    time("cross_dedup_uncapped")(graft.pipeline.Dedup.crossNearDup(
+      docs.filter(col("doc_id") % 20 === 0), docs).count())
+    time("cross_dedup_capped")(graft.pipeline.Dedup.crossNearDup(
+      docs.filter(col("doc_id") % 20 === 0), docs, bucketCap = Some(20)).count())
     // components over the replicated corpus's near-dup graph: clusters are
     // near-cliques, so rounds-to-fixpoint should stay ~2-3 regardless of
     // corpus size; the count is the surviving canonical docs
