@@ -597,6 +597,18 @@ object SparkEntry {
       val docs = t(dir, "documents")
       Dedup.crossNearDup(docs.filter(col("doc_id") < 100), docs,
         bucketCap = Some(20))
+    },
+    "q96_normalize_flow_vars" -> { (s, dir) =>
+      // accessor.normalize(variables=['l_quantity']) on a 2-D histogram
+      // with POPULATED flow bins on both axes: loop-axis (discount) flow
+      // coordinates are dropped (reference xarray alignment), normalized-
+      // axis (quantity) flow bins stay with area 1, excluded from totals —
+      // the gate for normalizeOver's flow-on-loop-axis branch
+      implicit val sp: SparkSession = s
+      val h2 = Histogram.histogramdd(t(dir, "lineitem"),
+        Seq(col("l_quantity") -> axQtyNarrow, col("l_discount") -> axDiscNarrow),
+        opts = HistOptions(flow = true))
+      HistStats.normalizeOver(h2, Seq(axQtyNarrow, axDiscNarrow), Seq(axQtyNarrow), Nil)
     }
   )
 
@@ -728,6 +740,9 @@ object SparkEntry {
     "q71_normalize_vars" -> Oracle.normalizeOverSql("lineitem",
       Seq(Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_discount", axDisc)),
       overIdx = Seq(0), dims = Nil),
+    "q96_normalize_flow_vars" -> Oracle.normalizeOverSql("lineitem",
+      Seq(Oracle.Spec("l_quantity", axQtyNarrow), Oracle.Spec("l_discount", axDiscNarrow)),
+      overIdx = Seq(0), dims = Nil, flow = true),
     "q72_stream_dedup" -> PipelineOracle.streamDedup,
     // q51: the stub decoder's closed-form hash is re-derived relationally,
     // so even the multimodal pipeline is oracle-gated (the codec stays an

@@ -230,22 +230,39 @@ object Oracle {
   /** Mirrors HistStats.normalizeOver on a no-flow N-D histogram: pdf =
     * (cnt / area(over)) / total, the total summed along the normalized
     * variables only (the other bin axes stay loop dims). */
+  /** Mirrors HistStats.normalizeOver. With `flow`, the histogram keeps
+    * under/overflow bins; rows whose LOOP-axis coordinate is a flow bin
+    * are dropped (the reference's xarray alignment — accessor.py:252-277),
+    * flow bins along the NORMALIZED axes count area 1 and are excluded
+    * from each partition's total. */
   def normalizeOverSql(table: String, specs: Seq[Spec], overIdx: Seq[Int],
-      dims: Seq[String]): String = {
+      dims: Seq[String], flow: Boolean = false): String = {
     require(overIdx.nonEmpty && overIdx.forall(specs.indices.contains))
     val idx = specs.indices.map(k => s"__i$k")
     val dimsSel = if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
     val idxExprs = specs.zipWithIndex
       .map { case (s, k) => s"${s.axis.indexSql(s.valueSql)} AS __i$k" }
       .mkString(", ")
+    def isFlow(k: Int) = s"__i$k = -1 OR __i$k = ${specs(k).axis.nBins}"
+    val loopIdx = specs.indices.filterNot(overIdx.contains)
     val keep = specs.zipWithIndex.map { case (s, k) =>
-      s"__i$k IS NOT NULL AND __i$k >= 0 AND __i$k <= ${s.axis.nBins - 1}"
-    }.mkString(" AND ")
+      val lo = if (flow && s.axis.underflow) -1 else 0
+      val hi = if (flow && s.axis.overflow) s.axis.nBins else s.axis.nBins - 1
+      s"__i$k IS NOT NULL AND __i$k >= $lo AND __i$k <= $hi"
+    }.mkString(" AND ") + (
+      if (flow && loopIdx.nonEmpty)
+        loopIdx.map(k => s" AND NOT (${isFlow(k)})").mkString
+      else "")
     val groupCols = (dims ++ idx).mkString(", ")
-    val loop = dims ++ specs.indices.filterNot(overIdx.contains).map(k => s"__i$k")
+    val loop = dims ++ loopIdx.map(k => s"__i$k")
     val part = if (loop.isEmpty) "" else s"PARTITION BY ${loop.mkString(", ")}"
-    val total = exactDbl(s"SUM(CAST(CAST(cnt AS VARCHAR) AS DECIMAL(38,14))) OVER ($part)")
-    val area = overIdx.map(k => s"(${specs(k).axis.widthSql(s"__i$k")})").mkString(" * ")
+    val anyFlow = specs.indices.map(isFlow).mkString("(", ") OR (", ")")
+    val totalArg = if (flow) s"CASE WHEN $anyFlow THEN 0.0 ELSE cnt END" else "cnt"
+    val total = exactDbl(s"SUM(CAST(CAST($totalArg AS VARCHAR) AS DECIMAL(38,14))) OVER ($part)")
+    val area = overIdx.map { k =>
+      val w = s"(${specs(k).axis.widthSql(s"__i$k")})"
+      if (flow) s"(CASE WHEN ${isFlow(k)} THEN CAST(1.0 AS DOUBLE) ELSE $w END)" else w
+    }.mkString(" * ")
     val labels = specs.zipWithIndex
       .map { case (s, k) => s"(${s.axis.labelSql(s"__i$k")}) AS ${s.axis.binsCol}" }
       .mkString(", ")
