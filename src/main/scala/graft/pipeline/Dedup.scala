@@ -463,40 +463,80 @@ object Dedup {
     * @param maxIter hard bound on rounds (a last-resort guard; the loop
     *   exits on convergence). If the bound is hit the labels returned are
     *   the current (still valid, possibly unconverged) upper bounds. */
-  def components(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame =
-    componentsIter(nodes, pairs, maxIter)._1
+  /** Result of a connected-components run: the labels relation
+    * (doc_id, component, keep), the number of rounds the loop ran, and
+    * whether it reached the true fixpoint. Unconverged labels are still
+    * monotone UPPER bounds on the true component ids, but a
+    * `keep = (node == comp)` election on them double-keeps documents in
+    * any cluster the bound split — callers that proceed anyway must opt
+    * in via [[componentsRun]] and check `converged` themselves. */
+  final case class ComponentsRun(labels: DataFrame, rounds: Int, converged: Boolean)
 
-  /** components + the number of rounds the loop ran (exposed for tests
-    * and capacity planning). */
-  private[graft] def componentsIter(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 50): (DataFrame, Int) = {
+  /** Connected components over the near-dup pair graph; throws
+    * IllegalStateException if `maxIter` rounds did not reach the fixpoint
+    * (silent unconverged labels are a dedup-QUALITY bug, not a
+    * performance detail — see [[ComponentsRun]]). Pointer jumping makes
+    * the bound comfortable: rounds ~ log2(graph diameter), so the default
+    * 50 covers any graph whose diameter fits in a double.
+    *
+    * @param checkpointDir reliable (HDFS/S3) directory for per-round
+    *   lineage truncation on a real cluster — localCheckpoint (the
+    *   default) ties checkpoint blocks to executor lifetime, so an
+    *   executor loss mid-run fails the job. Each round's files are
+    *   deleted as soon as the next round is materialized. */
+  def components(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val run = componentsRun(nodes, pairs, maxIter, checkpointDir)
+    if (!run.converged)
+      throw new IllegalStateException(
+        s"components did not converge within maxIter=$maxIter rounds; " +
+          "raise maxIter (rounds grow ~log2(graph diameter)) or use " +
+          "componentsRun to inspect the partial labels")
+    run.labels
+  }
+
+  /** components + round count + convergence flag (the non-throwing form;
+    * also used by tests and capacity planning). */
+  def componentsRun(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int = 50, checkpointDir: Option[String] = None): ComponentsRun = {
     val sc = nodes.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .persist()
-    // localCheckpoint caches each round's labels RDD; without explicit
-    // eviction a d-round run pins d corpus-sized relations in block
-    // storage. The checkpointed RDD is the one wrapped by the returned
-    // Dataset's LogicalRDD leaf — unpersist exactly that id (a global
-    // getPersistentRDDs before/after diff would also sweep up UNRELATED
-    // caches that happen to materialize during the round, e.g. the edges
-    // persist or RelCache pins lazily registered by round 1's job).
-    def checkpointIds(df: => DataFrame): (DataFrame, Set[Int]) = {
-      val out = df.localCheckpoint(true) // materialize + truncate lineage
-      val ids = out.queryExecution.analyzed.collectLeaves().collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-      }.toSet
-      (out, ids)
+    // Each round's labels are materialized with truncated lineage; without
+    // explicit release a d-round run pins d corpus-sized artifacts.
+    // localCheckpoint mode: the checkpointed RDD is the one wrapped by the
+    // returned Dataset's LogicalRDD leaf — unpersist exactly that id (a
+    // global getPersistentRDDs before/after diff would also sweep up
+    // UNRELATED caches that happen to materialize during the round, e.g.
+    // the edges persist or RelCache pins lazily registered by round 1's
+    // job). Reliable mode: the artifact is the leaf RDD's checkpoint
+    // FILES — delete those paths once the next round is on disk.
+    final case class Pin(df: DataFrame, blockIds: Set[Int], files: Set[String])
+    def pin(df: => DataFrame): Pin = {
+      val reliable = checkpointDir.isDefined
+      val out = if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      val leafRdds = out.queryExecution.analyzed.collectLeaves().collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+      if (reliable) Pin(out, Set.empty, leafRdds.flatMap(_.getCheckpointFile).toSet)
+      else Pin(out, leafRdds.map(_.id).toSet, Set.empty)
     }
-    def dropBlocks(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-    var (labels, labelIds) = checkpointIds(
+    def release(p: Pin): Unit = {
+      p.blockIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      p.files.foreach { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        path.getFileSystem(sc.hadoopConfiguration).delete(path, true)
+      }
+    }
+    var labels = pin(
       nodes.select(col("doc_id").as("node"), col("doc_id").as("comp")))
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val prop = labels.as("l")
+      val prop = labels.df.as("l")
         .join(edges.as("e"), col("l.node") === col("e.u"))
         .select(col("e.v").as("node"), col("l.comp").as("comp"))
       // relax via left join + least, not union + groupBy: a Union inside
@@ -505,28 +545,29 @@ object Dedup {
       // in UnionBase.rewriteConstraints); the join form is equivalent and
       // also skips re-shuffling the untouched labels rows
       val nbrMin = prop.groupBy("node").agg(min("comp").as("__nc"))
-      val (relaxed, relaxedIds) = checkpointIds(
-        labels.join(nbrMin, Seq("node"), "left")
+      val relaxed = pin(
+        labels.df.join(nbrMin, Seq("node"), "left")
           .select(col("node"),
             least(col("comp"), coalesce(col("__nc"), col("comp"))).as("comp")))
       // pointer jump: L(u) := L(L(u)). Inner join is total — every comp
       // value is some node's id, and the labels relation has a row for
       // every node; L(L(u)) <= L(u) because labels only ever decrease.
-      val (next, nextIds) = checkpointIds(
-        relaxed.as("a").join(relaxed.as("b"), col("a.comp") === col("b.node"))
+      val next = pin(
+        relaxed.df.as("a").join(relaxed.df.as("b"), col("a.comp") === col("b.node"))
           .select(col("a.node").as("node"), col("b.comp").as("comp")))
-      val changed = next.as("n").join(labels.as("o"), "node")
+      val changed = next.df.as("n").join(labels.df.as("o"), "node")
         .filter(col("n.comp") < col("o.comp")).count()
-      dropBlocks(labelIds)
-      dropBlocks(relaxedIds)
+      release(labels)
+      release(relaxed)
       labels = next
-      labelIds = nextIds
       converged = changed == 0L
       it += 1
     }
     edges.unpersist()
-    (labels.select(col("node").as("doc_id"), col("comp").as("component"),
-      (col("node") === col("comp")).as("keep")), it)
+    ComponentsRun(
+      labels.df.select(col("node").as("doc_id"), col("comp").as("component"),
+        (col("node") === col("comp")).as("keep")),
+      it, converged)
   }
 
   /** Span-level dedup: line/paragraph dedup (CCNet, RefinedWeb) generalized

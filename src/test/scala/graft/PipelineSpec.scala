@@ -317,28 +317,56 @@ class PipelineSpec extends SparkSpec {
       7L -> (7L, true), 8L -> (7L, false), 9L -> (9L, true)))
   }
 
-  test("components: maxIter caps rounds, labels stay valid upper bounds") {
+  test("components: bound-hit is loud; componentsRun exposes partial labels") {
     val nodes = (1L to 5L).toDF("doc_id")
     val pairs = (1L to 4L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val out = Dedup.components(nodes, pairs, maxIter = 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // one round = neighbor min + one pointer jump: 3 reaches 1 via L(L(3)),
-    // 5 reaches 3 — partial but monotone upper bounds
+    // the throwing form refuses unconverged labels (silent double-keep)
+    val ex = intercept[IllegalStateException] {
+      Dedup.components(nodes, pairs, maxIter = 1)
+    }
+    assert(ex.getMessage.contains("maxIter=1"))
+    // the non-throwing form reports the bound hit and still returns
+    // monotone upper bounds: one round = neighbor min + one pointer jump,
+    // so 3 reaches 1 via L(L(3)), 5 reaches 3
+    val run = Dedup.componentsRun(nodes, pairs, maxIter = 1)
+    assert(!run.converged && run.rounds == 1)
+    val out = run.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L &&
       out(4L) == 2L && out(5L) == 3L)
     assert(out.forall { case (n, c) => c <= n })
+    // two rounds suffice on this chain — and the run says so
+    val full = Dedup.componentsRun(nodes, pairs, maxIter = 3)
+    assert(full.converged)
+    assert(full.labels.collect().forall(_.getLong(1) == 1L))
+  }
+
+  test("components: reliable checkpoint dir yields identical labels, cleans rounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val nodes = (1L to 16L).toDF("doc_id")
+    val pairs = (1L until 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val run = Dedup.componentsRun(nodes, pairs, checkpointDir = Some(dir))
+    assert(run.converged)
+    assert(run.labels.collect().forall(_.getLong(1) == 1L))
+    // intermediate rounds' checkpoint files were deleted as the loop
+    // advanced: what's left on disk is at most the final round's artifacts
+    def rddDirs(p: java.io.File): Seq[java.io.File] =
+      Option(p.listFiles()).toSeq.flatten
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .filter(_.getName.startsWith("rdd-"))
+    assert(rddDirs(new java.io.File(dir)).size <= 2) // final labels (+ its jump input at most)
   }
 
   test("components: pointer jumping converges a 64-chain in O(log n) rounds") {
     val n = 64L
     val nodes = (1L to n).toDF("doc_id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (df, rounds) = Dedup.componentsIter(nodes, pairs)
-    val out = df.collect()
+    val run = Dedup.componentsRun(nodes, pairs)
+    val out = run.labels.collect()
     assert(out.forall(_.getLong(1) == 1L)) // one component, min = 1
+    assert(run.converged)
     // plain min-propagation would need 63 rounds; shortcutting more than
     // doubles reach per round (+1 converged-detection round)
-    assert(rounds <= 10, s"rounds = $rounds")
+    assert(run.rounds <= 10, s"rounds = ${run.rounds}")
   }
 
   test("span dedup: cross-doc spans stripped, within-doc repeats kept") {
