@@ -296,29 +296,131 @@ object Similarity {
         col("__s.id").as("cell"))
   }
 
+  /** Driver-side grouping of the (tiny) trained centroid set into
+    * `nSuper` super-centroids: a plain-double Lloyd over nCells vectors —
+    * microseconds of driver work, deterministic (fixed iteration order,
+    * cosine ties to the lowest id). Returns the super-centroid vectors and
+    * the cent_id -> super_id map. Not oracle-gated (the pruned assignment
+    * is an explicitly approximate scale path), so no decimal mirroring. */
+  private[graft] def groupCentroids(cents: Seq[(Long, Array[Double])],
+      nSuper: Int): (Seq[(Long, Array[Double])], Map[Long, Long]) = {
+    if (cents.isEmpty) return (Seq.empty, Map.empty)
+    def nrm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s / (nrm(a) * nrm(b))
+    }
+    var supers = cents.take(nSuper).map(_._2)
+    var assign: Seq[Int] = Seq.empty
+    for (_ <- 1 to 2) {
+      assign = cents.map { case (_, v) =>
+        supers.indices.maxBy(si => (cos(v, supers(si)), -si))
+      }
+      supers = supers.indices.map { si =>
+        val members = cents.indices.filter(assign(_) == si)
+        if (members.isEmpty) supers(si)
+        else {
+          val dim = supers(si).length
+          Array.tabulate(dim)(d =>
+            members.map(m => cents(m)._2(d)).sum / members.length)
+        }
+      }
+    }
+    (supers.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      cents.map(_._1).zip(assign.map(_.toLong)).toMap)
+  }
+
+  /** Two-level PRUNED cell assignment — the sub-N^1.5 IVF build path.
+    * The nCells centroids are grouped into ~sqrt(nCells) super-centroids
+    * (driver-side, trivial); each corpus vector scores the supers first
+    * (N x sqrt(nCells) mults), keeps its `superProbe` nearest, and scores
+    * only those supers' member cells (~superProbe x sqrt(nCells) more).
+    * Build mults drop from N*nCells to ~N*(1+superProbe)*sqrt(nCells) —
+    * at nCells ~ sqrt(N) that is N^1.25, not N^1.5. Approximate: a
+    * vector's true nearest cell can live under an unprobed super
+    * (superProbe >= 2 makes that rare; agreement measured in StressVec). */
+  private def assignCellsPruned(df: DataFrame,
+      cents: Seq[(Long, Array[Double])], cells: Int, superProbe: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nSuper = math.max(1, math.round(math.sqrt(cents.size.toDouble)).toInt)
+    val (supers, centToSuper) = groupCentroids(cents, nSuper)
+    val superDf = centroidsDf(spark, supers)
+      .select(col("cent_id").as("super_id"), col("cvec").as("svec"),
+        col("cnrm").as("snrm"))
+    // centroid relation annotated with its super group
+    val cent2 = centroidsDf(spark, cents)
+      .join(broadcast(centToSuper.toSeq.toDF("cent_id", "super_id")), "cent_id")
+    val n = withNorm(df).as("v")
+    // level 1: nearest `superProbe` super-centroids per vector
+    val withSupers = n.join(broadcast(superDf))
+      .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
+        col("v.nrm").as("nrm"), col("super_id"),
+        (graft.functions.VecDotFD.vec_dot_fd(col("v.embedding"), col("svec")) /
+          (col("v.nrm") * col("snrm"))).as("scos"))
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(graft.functions.TopKByScore.top_k(col("scos"), col("super_id"), superProbe)
+        .as("__sup"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(col("__sup")).as("__s"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("__s.id").as("super_id"))
+    // level 2: exact scoring against ONLY the probed supers' member cells
+    withSupers.as("v").join(broadcast(cent2), "super_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        (graft.functions.VecDotFD.vec_dot_fd(col("embedding"), col("cvec")) /
+          (col("nrm") * col("cnrm"))).as("ccos"))
+      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+      .agg(graft.functions.TopKByScore.top_k(col("ccos"), col("cent_id"), cells)
+        .as("__top"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(col("__top")).as("__s"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("__s.id").as("cell"))
+  }
+
   /** Corpus clustering for mixture balancing / stratified curation: every
     * vector with its nearest trained k-means cell (the IVF quantizer's
     * assignment exposed as a first-class operator). Training is the
     * bounded hash-rank-sampled Lloyd of [[kmeansCentroids]]; assignment is
     * one broadcast-join pass over the corpus — no corpus shuffle. Cluster
     * sizes then feed per-cluster sampling (compose with
-    * Sampling.sampleBySource keyed on the cell) or drift monitoring. */
-  def cluster(corpus: DataFrame, nCells: Int = 8, iters: Int = 2): DataFrame = {
-    val cent = centroidsDf(corpus.sparkSession,
-      kmeansCentroids(corpus, nCells, iters))
-    assignCells(corpus, cent, 1).select(col("vec_id"), col("cell"))
+    * Sampling.sampleBySource keyed on the cell) or drift monitoring.
+    *
+    * @param superProbe when set, use the two-level pruned assignment
+    *   ([[assignCellsPruned]]) — the sub-N^1.5 build path for
+    *   nCells ~ sqrt(N); None (default, and the gated config) scores
+    *   every centroid exactly. */
+  def cluster(corpus: DataFrame, nCells: Int = 8, iters: Int = 2,
+      superProbe: Option[Int] = None): DataFrame = {
+    val cents = kmeansCentroids(corpus, nCells, iters)
+    val assigned = superProbe match {
+      case Some(w) => assignCellsPruned(corpus, cents, 1, w)
+      case None => assignCells(corpus, centroidsDf(corpus.sparkSession, cents), 1)
+    }
+    assigned.select(col("vec_id"), col("cell"))
   }
 
   /** IVF ANN with a TRAINED coarse quantizer: the corpus is assigned to
     * its nearest k-means cell; each query probes its `nprobe` nearest
     * cells (the standard IVF recall knob). At scale nCells ~ sqrt(N)
-    * bounds per-cell candidate volume to ~N/nCells per probe. */
+    * bounds per-cell candidate volume to ~N/nCells per probe.
+    *
+    * @param superProbe when set, the CORPUS-side assignment (the build's
+    *   N x nCells term) goes through the two-level pruned path; the
+    *   query side stays exact — queries are broadcast-small, and probing
+    *   exactness is what nprobe's recall curve is calibrated against. */
   def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int = 8,
-      nprobe: Int = 1, iters: Int = 2): DataFrame = {
+      nprobe: Int = 1, iters: Int = 2,
+      superProbe: Option[Int] = None): DataFrame = {
     require(nprobe >= 1 && nprobe <= nCells)
-    val cent = centroidsDf(corpus.sparkSession,
-      kmeansCentroids(corpus, nCells, iters))
-    val c = assignCells(corpus, cent, 1).as("c")
+    val cents = kmeansCentroids(corpus, nCells, iters)
+    val cent = centroidsDf(corpus.sparkSession, cents)
+    val c = (superProbe match {
+      case Some(w) => assignCellsPruned(corpus, cents, 1, w)
+      case None => assignCells(corpus, cent, 1)
+    }).as("c")
     val q = assignCells(queries, cent, nprobe).as("q")
     val scored = c.join(broadcast(q),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))

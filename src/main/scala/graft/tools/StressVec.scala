@@ -38,6 +38,22 @@ object StressVec {
     val nCellsSqrt = math.max(16, math.sqrt(emb.count().toDouble).toInt)
     time(s"ann_ivf_sqrtN_${nCellsSqrt}c")(
       graft.pipeline.Similarity.annIvf(emb, q, 5, nCells = nCellsSqrt, nprobe = 4).count())
+    // two-level pruned build at the same sqrt(N) cell count: corpus-side
+    // assignment mults drop from N*nCells to ~N*3*sqrt(nCells) — the
+    // sub-N^1.5 build path; agreement with exact assignment printed below
+    time(s"ann_ivf_sqrtN_${nCellsSqrt}c_pruned")(
+      graft.pipeline.Similarity.annIvf(emb, q, 5, nCells = nCellsSqrt, nprobe = 4,
+        superProbe = Some(2)).count())
+    val exactAssign = graft.pipeline.Similarity.cluster(emb, nCellsSqrt)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (w <- Seq(2, 3, 4)) {
+      val prunedAssign = graft.pipeline.Similarity.cluster(emb, nCellsSqrt,
+          superProbe = Some(w))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val agree = exactAssign.count { case (v, c) => prunedAssign.get(v).contains(c) }
+      println(f"[pruned] assignment agreement at $nCellsSqrt cells, superProbe=$w: " +
+        f"$agree/${exactAssign.size} = ${agree.toDouble / exactAssign.size}%.3f")
+    }
     time("ann_bruteforce")(graft.pipeline.Similarity.bruteForceTopK(emb, q, 5).count())
     if (flags.isEmpty)
       time("neardup_bucketed")(graft.pipeline.Similarity.nearDup(emb, 0.35).count())
@@ -64,6 +80,12 @@ object StressVec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"[recall] ivf nCells=64 nprobe=$np: " +
         f"${(got & truth).size}/${truth.size} = ${(got & truth).size.toDouble / truth.size}%.2f")
+      val gotP = graft.pipeline.Similarity.annIvf(sfEmb, sfQ, 3,
+          nCells = 64, nprobe = np, superProbe = Some(3))
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"[recall] ivf nCells=64 nprobe=$np pruned(superProbe=3): " +
+        f"${(gotP & truth).size}/${truth.size} = ${(gotP & truth).size.toDouble / truth.size}%.2f")
     }
     graft.pipeline.Dedup.clearCache()
     spark.stop()
