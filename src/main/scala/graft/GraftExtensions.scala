@@ -77,7 +77,10 @@ object GraftExtensions {
     ("heavy_hitters",
       "heavy_hitters(term, m) - SpaceSaving bounded-memory frequent terms (term, cnt, err)",
       args => HeavyHitters(args(0), intLit(args(1), "heavy_hitters m"))
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    ("bpe_count",
+      "bpe_count(text) - BPE token count over the embedded merge table",
+      args => graft.functions.BpeCount(args(0))))
 
   /** Register on an already-built session (e.g. spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -609,6 +609,13 @@ object SparkEntry {
         Seq(col("l_quantity") -> axQtyNarrow, col("l_discount") -> axDiscNarrow),
         opts = HistOptions(flow = true))
       HistStats.normalizeOver(h2, Seq(axQtyNarrow, axDiscNarrow), Seq(axQtyNarrow), Nil)
+    },
+    "q97_tokens_bpe" -> { (s, dir) =>
+      // true-BPE token counts over the embedded deterministic merge table
+      // — the oracle re-runs the merge loop as a recursive CTE, so this
+      // gates the tokenizer algorithm itself, not a fixture
+      implicit val sp: SparkSession = s
+      TextAnalysis.bpeTokens(t(dir, "documents"))
     }
   )
 
@@ -743,6 +750,7 @@ object SparkEntry {
     "q96_normalize_flow_vars" -> Oracle.normalizeOverSql("lineitem",
       Seq(Oracle.Spec("l_quantity", axQtyNarrow), Oracle.Spec("l_discount", axDiscNarrow)),
       overIdx = Seq(0), dims = Nil, flow = true),
+    "q97_tokens_bpe" -> PipelineOracle.bpeTokens,
     "q72_stream_dedup" -> PipelineOracle.streamDedup,
     // q51: the stub decoder's closed-form hash is re-derived relationally,
     // so even the multimodal pipeline is oracle-gated (the codec stays an

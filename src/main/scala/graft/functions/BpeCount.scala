@@ -1,0 +1,200 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Embedded byte-pair-encoding vocabulary: merge rules trained ONCE, at
+  * class init, from a fixed public-domain seed text by the standard
+  * deterministic BPE trainer (most-frequent adjacent pair wins, ties to
+  * the lexicographically smallest pair). Both the Spark expression
+  * ([[BpeCount]]) and the DuckDB oracle (PipelineOracle.bpeTokens) read
+  * THIS merge list, so the vocabulary exists in exactly one place — the
+  * same single-source pattern BinAxis uses for bin edges.
+  *
+  * This is a real BPE — the merge loop is the GPT-2 `bpe()` algorithm
+  * (minimum-rank adjacent pair merged until none applies; reference
+  * encoder.py of the public GPT-2 release) over per-word character
+  * symbols — with a small embedded vocabulary standing in for a
+  * production merge table. For a real deployment the merge list is the
+  * pluggable part: swap `merges` for a published tokenizer's table (50k
+  * rows instead of 200) and nothing else changes.
+  */
+object BpeVocab {
+  /** Pre-tokenizer shared with TextAnalysis.tokens' bpe-ish column:
+    * letter runs | single digits | single other non-space chars. BPE
+    * merges then run WITHIN each pre-token. */
+  val WordRe: String = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Public-domain seed (United States Declaration of Independence,
+    * 1776, opening; plus digits so numeric pre-tokens train too). */
+  private val Seed: String =
+    """When in the Course of human events, it becomes necessary for one
+      |people to dissolve the political bands which have connected them
+      |with another, and to assume among the powers of the earth, the
+      |separate and equal station to which the Laws of Nature and of
+      |Nature's God entitle them, a decent respect to the opinions of
+      |mankind requires that they should declare the causes which impel
+      |them to the separation. We hold these truths to be self-evident,
+      |that all men are created equal, that they are endowed by their
+      |Creator with certain unalienable Rights, that among these are
+      |Life, Liberty and the pursuit of Happiness. July 4 1776.
+      |""".stripMargin
+
+  val NumMerges: Int = 200
+
+  /** Ordered merge rules; rank = position. Deterministic: trainer ties
+    * break lexicographically, so every JVM builds the same table. */
+  lazy val merges: Vector[(String, String)] = train(Seed, NumMerges)
+
+  /** rank lookup keyed "left right" (symbols never contain spaces: the
+    * pre-tokenizer excludes whitespace). */
+  lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+    m
+  }
+
+  /** Standard BPE training: count adjacent symbol pairs over the word
+    * frequency table, merge the most frequent pair everywhere, repeat.
+    * Exposed for the determinism spec. */
+  private[graft] def train(text: String, n: Int): Vector[(String, String)] = {
+    import scala.collection.mutable
+    val words = WordRe.r.findAllIn(text).toVector
+    if (words.isEmpty) return Vector.empty
+    // distinct words in sorted order: iteration order never depends on
+    // hash-map internals
+    var table: Vector[(Vector[String], Int)] = words.groupBy(identity).toVector
+      .sortBy(_._1).map { case (w, g) => (w.map(_.toString).toVector, g.size) }
+    val out = Vector.newBuilder[(String, String)]
+    var done = false
+    var step = 0
+    while (!done && step < n) {
+      val pc = mutable.HashMap.empty[(String, String), Int]
+      table.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0) + f)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val best = pc.toVector.minBy { case ((a, b), c) => (-c, a, b) }._1
+        out += best
+        table = table.map { case (syms, f) => (mergeAll(syms, best), f) }
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Merge every left-to-right non-overlapping occurrence of `pair`. */
+  private def mergeAll(syms: Vector[String], pair: (String, String)): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        b += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        b += syms(i)
+        i += 1
+      }
+    }
+    b.result()
+  }
+
+  /** Encode one pre-token, returning its BPE token count. One merge per
+    * iteration — the LEFTMOST occurrence of the minimum-rank pair — the
+    * exact loop the oracle's recursive CTE runs. (Equivalent to merging
+    * all occurrences per round: a merge can only create pairs of HIGHER
+    * rank than the one it applied — a created pair contains the new
+    * token, which the trainer learned later — so the minimum rank is
+    * stable until its occurrences are exhausted left-to-right.) */
+  def encodeCount(word: String): Int = encodeCount(word, ranks)
+
+  private[graft] def encodeCount(word: String,
+      rk: java.util.HashMap[String, Integer]): Int = {
+    if (word.length < 2) return word.length
+    val toks = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) { toks.add(String.valueOf(word.charAt(i))); i += 1 }
+    var merging = true
+    while (merging) {
+      var bestRank = Int.MaxValue
+      var pos = -1
+      var j = 0
+      while (j < toks.size - 1) {
+        val r = rk.get(toks.get(j) + " " + toks.get(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; pos = j }
+        j += 1
+      }
+      if (pos < 0) merging = false
+      else {
+        toks.set(pos, toks.get(pos) + toks.get(pos + 1))
+        toks.remove(pos + 1)
+      }
+    }
+    toks.size
+  }
+
+  private[graft] def ranksOf(m: Vector[(String, String)]): java.util.HashMap[String, Integer] = {
+    val h = new java.util.HashMap[String, Integer](m.size * 2)
+    m.zipWithIndex.foreach { case ((a, b), i) => h.put(a + " " + b, i) }
+    h
+  }
+}
+
+/** Per-document BPE token count over the embedded [[BpeVocab]] — the
+  * true-tokenizer counterpart of TextAnalysis.tokens' regex estimate,
+  * exact enough to drive token-budget sampling. One pass per document,
+  * no shuffle; whole-stage codegen via a static call, like GramHashes.
+  */
+case class BpeCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any): Any =
+    BpeCount.compute(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.BpeCount.compute($t)")
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
+    copy(child = newChild)
+}
+
+object BpeCount {
+  private val wordPattern = java.util.regex.Pattern.compile(BpeVocab.WordRe)
+
+  // Per-thread bounded LRU of word -> count: natural-language corpora
+  // repeat words heavily (Zipf), so most lookups skip the merge loop.
+  // Thread-local => no contention in a 32-thread executor.
+  private val memo: ThreadLocal[java.util.LinkedHashMap[String, java.lang.Long]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, java.lang.Long](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size() > 65536
+      })
+
+  def compute(text: UTF8String): Long = {
+    val s = text.toString
+    val m = wordPattern.matcher(s)
+    val cache = memo.get()
+    var total = 0L
+    while (m.find()) {
+      val w = m.group()
+      var c = cache.get(w)
+      if (c == null) {
+        c = java.lang.Long.valueOf(BpeVocab.encodeCount(w).toLong)
+        cache.put(w, c)
+      }
+      total += c.longValue()
+    }
+    total
+  }
+
+  def bpe_count(text: Column): Column =
+    GraftShim.column(BpeCount(GraftShim.expression(text)))
+}

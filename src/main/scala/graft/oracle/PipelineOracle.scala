@@ -37,6 +37,39 @@ object PipelineOracle {
       "ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS first_seen " +
       "FROM documents"
 
+  /** Mirrors TextAnalysis.bpeTokens: per-word BPE encoding as a recursive
+    * CTE. Each step merges the LEFTMOST occurrence of the minimum-rank
+    * adjacent symbol pair — exactly BpeVocab.encodeCount's loop — and the
+    * merge table is interpolated from BpeVocab.merges, so the vocabulary
+    * has a single source of truth and the gate re-proves the merge LOOP
+    * itself (not a pinned fixture). Distinct words are encoded once;
+    * per-doc counts come from joining the instance relation back. */
+  def bpeTokens: String = {
+    import graft.functions.BpeVocab
+    val rankMap = BpeVocab.merges.zipWithIndex
+      .map { case ((a, b), i) => s"${q(a + " " + b)}: $i" }
+      .mkString("MAP {", ", ", "}")
+    val miss = 1000000
+    s"WITH RECURSIVE " +
+      s"__w AS (SELECT doc_id, UNNEST(regexp_extract_all(text, ${q(BpeVocab.WordRe)})) AS word FROM documents), " +
+      "__dw AS (SELECT DISTINCT word FROM __w), " +
+      "__enc AS (" +
+      "SELECT word, list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS toks FROM __dw " +
+      "UNION ALL " +
+      "SELECT word, list_concat(list_concat(list_slice(toks, 1, pos-1), " +
+      "[toks[pos] || toks[pos+1]]), list_slice(toks, pos+2, len(toks))) AS toks " +
+      "FROM (SELECT word, toks, list_min(ranks) AS bestr, " +
+      "list_position(ranks, list_min(ranks)) AS pos " +
+      "FROM (SELECT word, toks, list_transform(generate_series(1, len(toks)-1), " +
+      s"i -> coalesce(map_extract($rankMap, toks[i] || ' ' || toks[i+1])[1], $miss)) AS ranks " +
+      s"FROM __enc)) WHERE bestr < $miss), " +
+      "__wc AS (SELECT word, len(toks) AS n FROM __enc " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY word ORDER BY len(toks)) = 1) " +
+      "SELECT d.doc_id, CAST(COALESCE(SUM(__wc.n), 0) AS BIGINT) AS n_bpe_tokens " +
+      "FROM documents d LEFT JOIN __w ON __w.doc_id = d.doc_id " +
+      "LEFT JOIN __wc ON __wc.word = __w.word GROUP BY d.doc_id"
+  }
+
   /** Mirrors TextAnalysis.patternCounts (RE2/Java-regex-agreeing patterns). */
   val patternCounts: String =
     "SELECT doc_id, " +

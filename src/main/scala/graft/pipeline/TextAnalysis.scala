@@ -72,6 +72,18 @@ object TextAnalysis {
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
         .cast("long").as("bpe_tokens"))
 
+  /** TRUE-BPE token counts over the embedded merge table
+    * (graft.functions.BpeVocab): the exact count a merge-table tokenizer
+    * produces (>= `tokens`' pre-token count, which every merge-table
+    * tokenizer refines). Map-only one-pass scan —
+    * same 100 TB shape as the regex form; swap BpeVocab's merge list for
+    * a published tokenizer's table to productionize. Token budgets
+    * (Sampling.sampleTokenBudget) accept this column wherever they took
+    * the regex count. */
+  def bpeTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.BpeCount.bpe_count(col("text")).as("n_bpe_tokens"))
+
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val UrlRe = "https?://[^\\s]+"
   private[graft] val DigitRunRe = "[0-9]{6,}"

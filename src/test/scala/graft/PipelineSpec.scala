@@ -469,6 +469,42 @@ class PipelineSpec extends SparkSpec {
       ("s2", 1) -> "dog", ("s2", 2) -> "apple"))
   }
 
+  test("bpe: deterministic trainer, min-rank-first encoding, corpus counts") {
+    import graft.functions.BpeVocab
+    // toy corpus: (a,b) wins round 1 (freq 3), then (a,a), then (ab,c)
+    val toy = BpeVocab.train("aa ab aa ab abc", 3)
+    assert(toy == Vector(("a", "b"), ("a", "a"), ("ab", "c")))
+    // trainer is deterministic run-to-run (ties break lexicographically)
+    assert(BpeVocab.train("aa ab aa ab abc", 3) == toy)
+    assert(BpeVocab.merges.size == BpeVocab.NumMerges) // seed trains a full table
+    // encoding picks the MINIMUM-RANK pair, not the leftmost pair:
+    // "aab" -> a|ab (rank 0 wins at pos 1), then (a,ab) is unknown -> 2,
+    // and "abc" -> ab|c -> abc via the rank-2 merge
+    val toyRanks = BpeVocab.ranksOf(toy)
+    assert(BpeVocab.encodeCount("ab", toyRanks) == 1)
+    assert(BpeVocab.encodeCount("abc", toyRanks) == 1)
+    assert(BpeVocab.encodeCount("aab", toyRanks) == 2)
+    assert(BpeVocab.encodeCount("", toyRanks) == 0)
+    assert(BpeVocab.encodeCount("x", toyRanks) == 1)
+    // the embedded vocabulary compresses seed-like English: common words
+    // encode to far fewer tokens than characters
+    assert(BpeVocab.encodeCount("the") == 1)
+    assert(BpeVocab.encodeCount("separation") < "separation".length)
+    // expression output matches a driver-side recount over the same vocab
+    val out = TextAnalysis.bpeTokens(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = docs.select("doc_id", "text").collect().map { r =>
+      val words = BpeVocab.WordRe.r.findAllIn(r.getString(1)).toVector
+      r.getLong(0) -> words.map(BpeVocab.encodeCount(_).toLong).sum
+    }.toMap
+    assert(out == expect)
+    // the regex "bpe-ish" column counts pre-tokens; every pre-token
+    // encodes to >= 1 BPE tokens, so it lower-bounds the true count
+    val approx = TextAnalysis.tokens(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.forall { case (id, n) => n >= approx(id) })
+  }
+
   test("multimodal: frame sampling and thumbnails keep the batch contract") {
     val media = Multimodal.asMedia(docs)
     val frames = Multimodal.sampleFrames(media, everyN = 10).collect()
