@@ -616,6 +616,16 @@ object SparkEntry {
       // gates the tokenizer algorithm itself, not a fixture
       implicit val sp: SparkSession = s
       TextAnalysis.bpeTokens(t(dir, "documents"))
+    },
+    "q98_funnel_window" -> { (s, dir) =>
+      // windowed conversion funnel: steps 2..k must land within 48 h of
+      // the user's first step-1 event — the horizon form product
+      // analytics runs; same k-join shape, one extra integer-exact bound
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.funnel(ev, Seq("view", "click", "purchase"),
+        horizonUs = Some(172800000000L))
     }
   )
 
@@ -751,6 +761,8 @@ object SparkEntry {
       Seq(Oracle.Spec("l_quantity", axQtyNarrow), Oracle.Spec("l_discount", axDiscNarrow)),
       overIdx = Seq(0), dims = Nil, flow = true),
     "q97_tokens_bpe" -> PipelineOracle.bpeTokens,
+    "q98_funnel_window" -> PipelineOracle.funnel(Seq("view", "click", "purchase"),
+      horizonUs = Some(172800000000L)),
     "q72_stream_dedup" -> PipelineOracle.streamDedup,
     // q51: the stub decoder's closed-form hash is re-derived relationally,
     // so even the multimodal pipeline is oracle-gated (the codec stays an

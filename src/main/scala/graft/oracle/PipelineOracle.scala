@@ -650,15 +650,20 @@ object PipelineOracle {
   /** Mirrors Funnel.funnel over events: per-step conditional-min CTEs
     * (t_k = min time of step k strictly after t_{k-1}), microsecond
     * precision like the Spark side's `ts div 1000` event_time. */
-  def funnel(steps: Seq[String]): String = {
+  def funnel(steps: Seq[String], horizonUs: Option[Long] = None): String = {
     require(steps.nonEmpty)
     val stepCtes = steps.zipWithIndex.map { case (s, i) =>
       val k = i + 1
       if (i == 0)
         s"s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = ${q(s)} GROUP BY user_id)"
-      else
-        s"s$k AS (SELECT e.user_id, MIN(us) AS t$k FROM e JOIN s${k - 1} USING (user_id) " +
-          s"WHERE event_type = ${q(s)} AND us > t${k - 1} GROUP BY e.user_id)"
+      else {
+        // windowed form: re-join s1 for the horizon bound (k=2 already
+        // has t1 via s1 itself)
+        val t1Join = if (horizonUs.isDefined && k > 2) " JOIN s1 USING (user_id)" else ""
+        val bound = horizonUs.map(h => s" AND us <= t1 + $h").getOrElse("")
+        s"s$k AS (SELECT e.user_id, MIN(us) AS t$k FROM e JOIN s${k - 1} USING (user_id)$t1Join " +
+          s"WHERE event_type = ${q(s)} AND us > t${k - 1}$bound GROUP BY e.user_id)"
+      }
     }.mkString(", ")
     val joins = steps.indices.map(i => s"LEFT JOIN s${i + 1} USING (user_id)").mkString(" ")
     val tsSel = steps.indices.map(i => s"make_timestamp(t${i + 1}) AS t${i + 1}").mkString(", ")

@@ -21,9 +21,23 @@ import org.apache.spark.sql.functions._
   * event sort. */
 object Funnel {
 
+  /** @param horizonUs when set, the WINDOWED funnel product analytics
+    *   actually runs: steps 2..k must land within `horizonUs`
+    *   microseconds of the user's step-1 time (t_k <= t1 + horizon) —
+    *   same k-join shape, one extra integer-exact upper-bound predicate
+    *   (micros arithmetic, so the oracle matches bitwise). A user's t1
+    *   is fixed at their EARLIEST step-1 event; later step-1 events do
+    *   not re-open the window.
+    *
+    *   Plan-depth note: k sequential left joins on one accumulator —
+    *   fine at the funnel lengths product analytics runs (k <= ~10);
+    *   beyond that the plan deepens linearly and each step re-scans the
+    *   (type-pruned) events relation. */
   def funnel(events: DataFrame, steps: Seq[String], tsCol: String = "event_time",
-      keyCol: String = "user_id", typeCol: String = "event_type"): DataFrame = {
+      keyCol: String = "user_id", typeCol: String = "event_type",
+      horizonUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(horizonUs.forall(_ > 0), "horizonUs must be positive")
     val base = events.filter(col(tsCol).isNotNull)
       .select(col(keyCol), col(typeCol), col(tsCol))
     var acc = base.select(col(keyCol)).distinct()
@@ -35,9 +49,15 @@ object Funnel {
         case None =>
           stepEv.groupBy(col(keyCol)).agg(min(col(tsCol)).as(tn))
         case Some(p) =>
-          stepEv
-            .join(acc.filter(col(p).isNotNull).select(col(keyCol), col(p)), Seq(keyCol))
+          // the windowed form also carries t1 through the join so the
+          // horizon bound stays a per-row predicate
+          val carry = if (horizonUs.isDefined && p != "t1") Seq(p, "t1") else Seq(p)
+          val joined = stepEv
+            .join(acc.filter(col(p).isNotNull)
+              .select((keyCol +: carry).map(col): _*), Seq(keyCol))
             .filter(col(tsCol) > col(p))
+          horizonUs.fold(joined)(h => joined.filter(
+              unix_micros(col(tsCol)) <= unix_micros(col("t1")) + lit(h)))
             .groupBy(col(keyCol)).agg(min(col(tsCol)).as(tn))
       }
       acc = acc.join(tk, Seq(keyCol), "left")

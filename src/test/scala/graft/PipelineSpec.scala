@@ -400,6 +400,25 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("funnel: horizon bounds steps to t1's window, anchored at EARLIEST t1") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(5)), (1L, "purchase", ts(9)),   // all in window
+      (2L, "view", ts(1)), (2L, "click", ts(20)),                           // click outside
+      (3L, "view", ts(1)), (3L, "click", ts(5)), (3L, "purchase", ts(20)),  // purchase outside
+      // a LATER view (ts 30) does not re-open the window: t1 stays ts(1)
+      (4L, "view", ts(1)), (4L, "view", ts(30)), (4L, "click", ts(35))
+    ).toDF("user_id", "event_type", "event_time")
+    val out = graft.pipeline.Funnel.funnel(ev, Seq("view", "click", "purchase"),
+        horizonUs = Some(10L * 1000000L)) // 10 s after first view
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    // without the horizon all of 2/3/4 convert further
+    val un = graft.pipeline.Funnel.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(un == Map(1L -> 3L, 2L -> 2L, 3L -> 3L, 4L -> 2L))
+  }
+
   test("retention: cohort = first active day, distinct users per cell") {
     def at(day: Int, sec: Int) = new java.sql.Timestamp(day * 86400000L + sec * 1000L)
     val ev = Seq(
