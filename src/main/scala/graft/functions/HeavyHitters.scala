@@ -147,7 +147,17 @@ object HeavyHitters {
 
   /** SpaceSaving summary: at most m entries; offering over capacity
     * evicts the min-count entry and the newcomer inherits its count as
-    * error floor. */
+    * error floor.
+    *
+    * Capacity bound: eviction is an O(m) min-scan per over-capacity
+    * insert, so per-partition update cost is O(tokens x m) in the worst
+    * case — sized for the documented m ~ 10^3-10^4 (top-k vocabularies),
+    * where the scan is a few microseconds and the summary stays
+    * cache-resident. Do NOT size m >= ~10^5: memory is fine but update
+    * cost degrades quadratically; at that scale the right structure is a
+    * min-heap + hash (Stream-Summary), or simply the exact tf aggregation
+    * (a vocabulary-sized shuffle is cheap when you can afford 10^5-entry
+    * summaries per partition). */
   final class Summary(m: Int) {
     val entries = mutable.HashMap[String, (Long, Long)]()
     /** max count ever evicted — the floor absent terms may hide under */
