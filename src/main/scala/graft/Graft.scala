@@ -2,14 +2,28 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Entry point for library users: a SparkSession.Builder preconfigured the
-  * way graft's operators expect (AQE + skew-join handling on, UTC session
-  * time, nanos-as-long parquet timestamps, graft SQL functions installed).
+/** Single entry point for library users.
+  *
+  * Session setup: a SparkSession.Builder preconfigured the way graft's
+  * operators expect (AQE + skew-join handling on, UTC session time,
+  * nanos-as-long parquet timestamps, graft SQL functions installed).
   *
   * {{{
   * val spark = Graft.builder().master("local[*]").getOrCreate()
   * Graft.install(spark) // or: on an existing session
+  *
+  * import graft.axes.Regular
+  * import org.apache.spark.sql.functions.col
+  * val h = Graft.hist.histogram(df, col("x"), Regular("x", 25, 0.0, 50.0))
+  * Graft.stats.median(h, ...)
+  * Graft.dedup.nearDupKeep(docs)
   * }}}
+  *
+  * The members below are the operator families — vals referencing each
+  * module object, so IDE discovery can start from `Graft.` without every
+  * signature being duplicated here. Axes live in [[graft.axes]]
+  * (Regular, Variable, IntegerAxis, IntCategory, StrCategory, Circular;
+  * transforms LogT/SqrtT/PowT).
   */
 object Graft {
 
@@ -23,4 +37,64 @@ object Graft {
 
   /** Register graft's SQL functions on an already-built session. */
   def install(spark: SparkSession): Unit = GraftExtensions.register(spark)
+
+  // ---- Histogram engine ---------------------------------------------------
+
+  /** N-D histograms over DataFrame columns: `histogram`, `histogram2d`,
+    * `histogramdd`, auto-ranged axes, weights / density / flow / dense
+    * options (reference core.py). */
+  val hist: _root_.graft.operators.Histogram.type = _root_.graft.operators.Histogram
+
+  /** Dense-array fast count kernels for the hot unweighted 1-D/2-D cases
+    * (columnar-scan consumers, executor tree-merge). */
+  val fastHist: _root_.graft.operators.FastHist.type = _root_.graft.operators.FastHist
+
+  /** Equal-frequency (quantile) axes: exact rank edges below a row
+    * threshold, GK-sketch edges above it. */
+  val quantileBins: _root_.graft.operators.QuantileBins.type =
+    _root_.graft.operators.QuantileBins
+
+  /** Histogram statistics accessor: mean/var/std/median/ppf/cdf/moment/
+    * interval, normalize/normalizeOver, removeFlow, scaleBins,
+    * applyToBins, binsTable/areasTable, add, cumulative, marginalize. */
+  val stats: _root_.graft.stats.HistStats.type = _root_.graft.stats.HistStats
+
+  // ---- Training-data pipeline ---------------------------------------------
+
+  /** Deduplication: exact/normalized, MinHash+LSH near-dup (pairs / keep
+    * verdicts / cross-corpus), SimHash, PPJoin n-gram jaccard, span-level
+    * boilerplate removal, duplicate-graph connected components. */
+  val dedup: _root_.graft.pipeline.Dedup.type = _root_.graft.pipeline.Dedup
+
+  /** Embedding similarity: blocked near-dup, brute-force / LSH / IVF ANN,
+    * k-means corpus clustering. */
+  val similarity: _root_.graft.pipeline.Similarity.type =
+    _root_.graft.pipeline.Similarity
+
+  /** Text analysis: language id, quality scores, token counts (regex and
+    * true-BPE), fingerprints, repetition stats, pattern counts / PII
+    * redaction, corpus stats, tf-idf / SpaceSaving top terms. */
+  val text: _root_.graft.pipeline.TextAnalysis.type =
+    _root_.graft.pipeline.TextAnalysis
+
+  /** Deterministic sampling: hash-threshold domain mixing, exact-N
+    * per-group reservoirs, token-budget and cluster-balanced sampling. */
+  val sampling: _root_.graft.pipeline.Sampling.type = _root_.graft.pipeline.Sampling
+
+  /** The composed end-to-end curation chain as one declarative plan. */
+  val curation: _root_.graft.pipeline.Curation.type = _root_.graft.pipeline.Curation
+
+  /** Conversion funnels (plain and horizon-windowed) and retention
+    * cohorts over event streams. */
+  val funnel: _root_.graft.pipeline.Funnel.type = _root_.graft.pipeline.Funnel
+
+  /** Binary media columns: batched decode plumbing, frame sampling,
+    * thumbnails (codec stubbed in this environment). */
+  val multimodal: _root_.graft.pipeline.Multimodal.type =
+    _root_.graft.pipeline.Multimodal
+
+  /** Structured Streaming: watermarked windowed histograms, stateful
+    * dedup (optional TTL), gap-based sessionization. */
+  val streaming: _root_.graft.streaming.StreamingHist.type =
+    _root_.graft.streaming.StreamingHist
 }

@@ -58,6 +58,29 @@ class ExtensionsSpec extends AnyFunSuite {
     Graft.install(spark)
     assert(spark.sql("SELECT vec_dot(CAST(array(2.0) AS array<float>), CAST(array(3.0) AS array<float>))")
       .head().getDouble(0) == 6.0)
+    assert(spark.sql("SELECT bpe_count('the the')").head().getLong(0) == 2L)
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("Graft facade exposes every operator family") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a facade alias IS the module object — one surface, no drift
+    assert(Graft.hist eq graft.operators.Histogram)
+    assert(Graft.stats eq graft.stats.HistStats)
+    assert(Graft.dedup eq graft.pipeline.Dedup)
+    assert(Graft.similarity eq graft.pipeline.Similarity)
+    assert(Graft.text eq graft.pipeline.TextAnalysis)
+    assert(Graft.sampling eq graft.pipeline.Sampling)
+    assert(Graft.curation eq graft.pipeline.Curation)
+    assert(Graft.funnel eq graft.pipeline.Funnel)
+    assert(Graft.multimodal eq graft.pipeline.Multimodal)
+    assert(Graft.streaming eq graft.streaming.StreamingHist)
+    assert(Graft.fastHist eq graft.operators.FastHist)
+    assert(Graft.quantileBins eq graft.operators.QuantileBins)
+    // and it is callable end-to-end
+    val df = Seq(0.5, 1.5, 1.6).toDF("x")
+    val h = Graft.hist.histogram(df, col("x"), graft.axes.Regular("x", 2, 0.0, 2.0))
+    assert(h.collect().map(_.getDouble(1)).sum == 3.0)
   }
 }
