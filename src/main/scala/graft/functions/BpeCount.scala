@@ -51,11 +51,7 @@ object BpeVocab {
 
   /** rank lookup keyed "left right" (symbols never contain spaces: the
     * pre-tokenizer excludes whitespace). */
-  lazy val ranks: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
-    m
-  }
+  lazy val ranks: java.util.HashMap[String, Integer] = ranksOf(merges)
 
   /** Standard BPE training: count adjacent symbol pairs over the word
     * frequency table, merge the most frequent pair everywhere, repeat.
@@ -67,7 +63,7 @@ object BpeVocab {
     // distinct words in sorted order: iteration order never depends on
     // hash-map internals
     var table: Vector[(Vector[String], Int)] = words.groupBy(identity).toVector
-      .sortBy(_._1).map { case (w, g) => (w.map(_.toString).toVector, g.size) }
+      .sortBy(_._1).map { case (w, g) => (symbols(w), g.size) }
     val out = Vector.newBuilder[(String, String)]
     var done = false
     var step = 0
@@ -90,6 +86,18 @@ object BpeVocab {
       }
     }
     out.result()
+  }
+
+  /** Code-point symbols of a word (surrogate pairs stay whole). */
+  private def symbols(word: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.result()
   }
 
   /** Merge every left-to-right non-overlapping occurrence of `pair`. */
@@ -119,10 +127,17 @@ object BpeVocab {
 
   private[graft] def encodeCount(word: String,
       rk: java.util.HashMap[String, Integer]): Int = {
-    if (word.length < 2) return word.length
+    // initial symbols are CODE POINTS, not UTF-16 units — the oracle's
+    // substr/length are code-point-based, and a surrogate half is not a
+    // character any merge table could contain
     val toks = new java.util.ArrayList[String](word.length)
     var i = 0
-    while (i < word.length) { toks.add(String.valueOf(word.charAt(i))); i += 1 }
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      toks.add(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+    }
+    if (toks.size < 2) return toks.size
     var merging = true
     while (merging) {
       var bestRank = Int.MaxValue

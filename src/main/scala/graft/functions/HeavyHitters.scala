@@ -40,6 +40,16 @@ case class HeavyHitters(
   import HeavyHitters.Summary
 
   override def children: Seq[Expression] = Seq(term)
+  // analysis-time type contract (SQL callers would otherwise fail at
+  // executor runtime with a ClassCastException on non-string columns;
+  // AbstractDataType is private[sql] in Spark 4, so check directly
+  // instead of mixing in ImplicitCastInputTypes)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (term.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"heavy_hitters needs a STRING term column, got ${term.dataType.catalogString}")
   override def nullable: Boolean = false
   override def dataType = org.apache.spark.sql.types.ArrayType(
     org.apache.spark.sql.types.StructType(Seq(

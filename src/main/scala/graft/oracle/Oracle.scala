@@ -227,10 +227,9 @@ object Oracle {
       "AS DOUBLE) AS cum_cnt FROM __h"
   }
 
-  /** Mirrors HistStats.normalizeOver on a no-flow N-D histogram: pdf =
-    * (cnt / area(over)) / total, the total summed along the normalized
-    * variables only (the other bin axes stay loop dims). */
-  /** Mirrors HistStats.normalizeOver. With `flow`, the histogram keeps
+  /** Mirrors HistStats.normalizeOver: pdf = (cnt / area(over)) / total,
+    * the total summed along the normalized variables only (the other bin
+    * axes stay loop dims). With `flow`, the histogram keeps
     * under/overflow bins; rows whose LOOP-axis coordinate is a flow bin
     * are dropped (the reference's xarray alignment — accessor.py:252-277),
     * flow bins along the NORMALIZED axes count area 1 and are excluded

@@ -500,7 +500,20 @@ object Dedup {
   def componentsRun(nodes: DataFrame, pairs: DataFrame,
       maxIter: Int = 50, checkpointDir: Option[String] = None): ComponentsRun = {
     val sc = nodes.sparkSession.sparkContext
+    // scope the context-global checkpoint dir to this run: remember the
+    // session's own setting and restore it on exit (setCheckpointDir(null)
+    // clears it — Option(null) in SparkContext), so other jobs'
+    // rdd.checkpoint() calls never land in (or get deleted from) our tree
+    val prevCheckpointDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
+    try componentsRunInner(nodes, pairs, maxIter, checkpointDir, sc)
+    finally if (checkpointDir.isDefined)
+      sc.setCheckpointDir(prevCheckpointDir.orNull)
+  }
+
+  private def componentsRunInner(nodes: DataFrame, pairs: DataFrame,
+      maxIter: Int, checkpointDir: Option[String],
+      sc: org.apache.spark.SparkContext): ComponentsRun = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()

@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
   * after step 1, and so on — the standard conversion-funnel primitive,
   * complementing gap-based sessionization on the same events table.
   *
+  * Epoch assumption (funnel + retention): integer time arithmetic uses
+  * truncating `div` on Spark and floor `//` in the DuckDB oracle — these
+  * agree only for NON-NEGATIVE epochs. Pre-1970 timestamps would floor
+  * vs truncate differently; event streams are post-1970 by construction,
+  * but don't feed archaeological data through the day/window index math.
+  *
   * Per-step semantics: t_k = min event time of step k's type among events
   * later than t_{k-1} (strict: a tie at the same microsecond does not
   * advance the funnel). t_k is NULL once any earlier step is NULL —

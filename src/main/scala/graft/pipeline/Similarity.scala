@@ -142,7 +142,11 @@ object Similarity {
     // corpora (and their sessions) in a process-global map. The hash key
     // retains only ints/strings; with the handful of live entries a
     // 32-bit semantic-hash collision is ~1e-8 — negligible against the
-    // retention cost of object keys.
+    // retention cost of object keys. Staleness contract (same as
+    // RelCache and Spark's own table cache): an identical plan over
+    // REWRITTEN underlying files returns the previously-trained
+    // centroids — call clearCentroidCache() between corpus rewrites in
+    // long-lived drivers.
     val key = (System.identityHashCode(corpus.sparkSession),
       corpus.queryExecution.analyzed.canonicalized.semanticHash(), nCells, iters)
     centroidMemo.synchronized {
@@ -153,6 +157,11 @@ object Similarity {
     centroidMemo.synchronized { centroidMemo.put(key, trained) }
     trained
   }
+
+  /** Drop memoized trained centroids (see kmeansCentroids' staleness
+    * contract: identical plan over rewritten files returns stale
+    * centroids until cleared). */
+  def clearCentroidCache(): Unit = centroidMemo.synchronized(centroidMemo.clear())
 
   private val centroidMemo =
     new java.util.LinkedHashMap[Any, Seq[(Long, Array[Double])]](16, 0.75f, true) {
@@ -345,7 +354,13 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val nSuper = math.max(1, math.round(math.sqrt(cents.size.toDouble)).toInt)
-    val (supers, centToSuper) = groupCentroids(cents, nSuper)
+    val (allSupers, centToSuper) = groupCentroids(cents, nSuper)
+    // only supers that OWN centroids: a memberless super (its seed kept by
+    // the tiny Lloyd but no centroid assigned) would otherwise win a
+    // vector's top-superProbe slots and the level-2 inner join would then
+    // emit no rows for that vector — silent corpus loss
+    val owning = centToSuper.values.toSet
+    val supers = allSupers.filter { case (sid, _) => owning(sid) }
     val superDf = centroidsDf(spark, supers)
       .select(col("cent_id").as("super_id"), col("cvec").as("svec"),
         col("cnrm").as("snrm"))

@@ -81,8 +81,11 @@ object TextAnalysis {
     * (Sampling.sampleTokenBudget) accept this column wherever they took
     * the regex count. */
   def bpeTokens(docs: DataFrame): DataFrame =
+    // NULL text counts 0, matching the oracle's LEFT JOIN + COALESCE
+    // (and keeping token-budget arithmetic total)
     docs.select(col("doc_id"),
-      graft.functions.BpeCount.bpe_count(col("text")).as("n_bpe_tokens"))
+      graft.functions.BpeCount.bpe_count(coalesce(col("text"), lit("")))
+        .as("n_bpe_tokens"))
 
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val UrlRe = "https?://[^\\s]+"

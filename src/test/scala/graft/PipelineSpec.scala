@@ -153,6 +153,14 @@ class PipelineSpec extends SparkSpec {
     val cl = Similarity.cluster(many, nCells = 2)
     // every vector gets exactly one cell
     assert(cl.count() == 40 && cl.select("vec_id").distinct().count() == 40)
+    // the two-level pruned assignment is also TOTAL: memberless supers
+    // (kept by the tiny Lloyd but owning no centroid) are excluded from
+    // probing, so no vector can probe only dead supers and vanish
+    for (nc <- Seq(2, 8); w <- Seq(1, 2)) {
+      val pr = Similarity.cluster(many, nCells = nc, superProbe = Some(w))
+      assert(pr.count() == 40 && pr.select("vec_id").distinct().count() == 40,
+        s"pruned assignment dropped vectors at nCells=$nc superProbe=$w")
+    }
     val smp = graft.pipeline.Sampling.clusterBalancedSample(many, 2, 3, "s")
     val sizes = smp.groupBy("cell").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
