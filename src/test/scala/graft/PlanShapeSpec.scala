@@ -89,4 +89,42 @@ class PlanShapeSpec extends SparkSpec {
     // a shuffled cartesian
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("bpe token counts: one map-only codegen pass, zero shuffles") {
+    // spark.range source: a tiny LocalRelation would constant-fold to a
+    // LocalTableScan and prove nothing about the executed shape
+    val rangeDocs = spark.range(1, 31).select(col("id").as("doc_id"),
+      concat(lit("some text tok"), (col("id") % 5).cast("string")).as("text"))
+    val plan = executedPlan(graft.pipeline.TextAnalysis.bpeTokens(rangeDocs))
+    assert(!plan.contains("Exchange"), plan)
+    // "*(1)" prefixes = the project runs inside whole-stage codegen
+    assert(plan.linesIterator.next().startsWith("*(1) Project"), plan)
+  }
+
+  test("windowed funnel: every exchange keyed by the user id") {
+    val ev = Seq((1L, "view", new java.sql.Timestamp(1000L)),
+        (1L, "click", new java.sql.Timestamp(2000L)))
+      .toDF("user_id", "event_type", "event_time")
+    val plan = executedPlan(graft.pipeline.Funnel.funnel(
+      ev, Seq("view", "click"), horizonUs = Some(1000000L)))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // all hash exchanges partition on user_id — AQE co-partitions the
+    // whole step chain; anything else would reshuffle per step
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(l.contains("user_id"), l))
+  }
+
+  test("normalizeOver with flow: width lookups stay broadcast joins") {
+    val ax1 = graft.axes.Regular("x", 4, 0.0, 4.0)
+    val ax2 = graft.axes.Regular("y", 4, 0.0, 4.0)
+    val h = graft.operators.Histogram.histogramdd(
+      Seq((1.0, 1.0), (9.0, -1.0)).toDF("x", "y"),
+      Seq(col("x") -> ax1, col("y") -> ax2),
+      opts = graft.operators.HistOptions(flow = true))
+    val plan = executedPlan(
+      graft.stats.HistStats.normalizeOver(h, Seq(ax1, ax2), Seq(ax1), Nil))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the bins-table width lookup must not sort-merge-shuffle the histogram
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
