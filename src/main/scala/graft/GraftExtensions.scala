@@ -80,7 +80,11 @@ object GraftExtensions {
         .toAggregateExpression()),
     ("bpe_count",
       "bpe_count(text) - BPE token count over the embedded merge table",
-      args => graft.functions.BpeCount(args(0))))
+      args => graft.functions.BpeCount(args(0))),
+    ("word_gram_hashes",
+      "word_gram_hashes(text, n) - sorted distinct hashes of word n-grams",
+      args => graft.functions.WordGramHashes(args(0),
+        intLit(args(1), "word_gram_hashes n"))))
 
   /** Register on an already-built session (e.g. spark-shell). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

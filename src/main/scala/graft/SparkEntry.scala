@@ -626,6 +626,14 @@ object SparkEntry {
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.funnel(ev, Seq("view", "click", "purchase"),
         horizonUs = Some(172800000000L))
+    },
+    "q99_contamination_score" -> { (s, dir) =>
+      // per-doc contamination fraction vs the eval-set slice: map-only
+      // sorted gram-hash arrays intersected with one broadcast benchmark
+      // array — the GPT-3-style report behind q82's boolean flag
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      Dedup.contaminationScore(docs, docs.filter(col("doc_id") < 20), n = 5)
     }
   )
 
@@ -763,6 +771,7 @@ object SparkEntry {
     "q97_tokens_bpe" -> PipelineOracle.bpeTokens,
     "q98_funnel_window" -> PipelineOracle.funnel(Seq("view", "click", "purchase"),
       horizonUs = Some(172800000000L)),
+    "q99_contamination_score" -> PipelineOracle.contaminationScore(5, "doc_id < 20"),
     "q72_stream_dedup" -> PipelineOracle.streamDedup,
     // q51: the stub decoder's closed-form hash is re-derived relationally,
     // so even the multimodal pipeline is oracle-gated (the codec stays an

@@ -500,6 +500,31 @@ object PipelineOracle {
       "FROM documents d LEFT JOIN bad ON bad.doc_id = d.doc_id"
   }
 
+  /** Mirrors Dedup.contaminationScore: distinct word n-grams per doc,
+    * overlap with the benchmark's distinct gram set, exact fraction.
+    * The relational string-gram form — the Spark side counts via sorted
+    * distinct XXH64 arrays, so each gate run re-proves the hash-set
+    * counting against true string sets. */
+  def contaminationScore(n: Int, benchWhere: String): String = {
+    def grams(src: String, idSel: String, idGrp: String) =
+      s"(SELECT $idSel array_to_string(t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ') AS g " +
+        s"FROM (SELECT $idGrp t, UNNEST(generate_series(1, len(t) - ${n - 1})) AS i " +
+        s"FROM $src WHERE len(t) >= $n))"
+    val bt = s"(SELECT regexp_extract_all(text, '\\S+') AS t FROM documents WHERE $benchWhere) __bt"
+    val dt = "(SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents) __dt"
+    s"WITH bg AS (SELECT DISTINCT g FROM ${grams(bt, "", "")}), " +
+      s"dg AS (SELECT DISTINCT doc_id, g FROM ${grams(dt, "doc_id, ", "doc_id, ")}), " +
+      "c AS (SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+      "CAST(COUNT(bg.g) AS BIGINT) AS n_contaminated " +
+      "FROM dg LEFT JOIN bg USING (g) GROUP BY dg.doc_id) " +
+      "SELECT d.doc_id, COALESCE(c.n_grams, 0) AS n_grams, " +
+      "COALESCE(c.n_contaminated, 0) AS n_contaminated, " +
+      "CASE WHEN COALESCE(c.n_grams, 0) = 0 THEN CAST(0.0 AS DOUBLE) " +
+      "ELSE CAST(c.n_contaminated AS DOUBLE) / CAST(c.n_grams AS DOUBLE) END " +
+      "AS frac_contaminated " +
+      "FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id"
+  }
+
   /** Mirrors TextAnalysis.redact: same three patterns, same order,
     * global replacement ('g' — Spark's regexp_replace is global by
     * default, DuckDB's is first-match-only). */

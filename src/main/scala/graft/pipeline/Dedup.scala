@@ -124,6 +124,38 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("__c"), lit(false)).as("contaminated"))
   }
 
+  /** Per-doc contamination SCORE against a benchmark (the GPT-3-style
+    * report, beyond `decontaminate`'s boolean flag): distinct word
+    * n-grams, how many of them appear in the benchmark, and the
+    * fraction — the quantity contamination studies threshold on.
+    *
+    * Scale shape: the corpus side is MAP-ONLY — per-doc sorted distinct
+    * gram-hash arrays (one codegen pass, graft.functions.WordGramHashes),
+    * intersected against the benchmark's gram-hash set broadcast as ONE
+    * sorted array (benchmark-sized work only). No corpus shuffle, no
+    * gram explode: the 100 TB cost is a scan. Counts are hash-based
+    * (XXH64) — internally consistent, collision-negligible at per-doc
+    * gram counts, same contract as the jaccard family. */
+  def contaminationScore(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 13): DataFrame = {
+    val gh = graft.functions.WordGramHashes.word_gram_hashes(col("text"), n)
+    // benchmark gram set: distinct hashes collapsed to one sorted array
+    // (vocabulary-sized aggregation on the SMALL side only)
+    val bg = widen(benchmark).select(explode(gh).as("h")).distinct()
+      .agg(sort_array(collect_list(col("h"))).as("bset"))
+    widen(docs).select(col("doc_id"), gh.as("gset"))
+      .crossJoin(broadcast(bg))
+      .withColumn("n_grams", size(col("gset")).cast("long"))
+      .withColumn("n_contaminated",
+        graft.functions.SortedIntersectCount.sorted_intersect_count(
+          col("gset"), col("bset")))
+      .withColumn("frac_contaminated",
+        when(col("n_grams") === 0L, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") /
+            col("n_grams").cast("double")))
+      .select("doc_id", "n_grams", "n_contaminated", "frac_contaminated")
+  }
+
   /** Character shingles of length k as an exploded (doc_id, sh) relation.
     * explode(sequence) + positional substring stays inside whole-stage
     * codegen — a transform(...) lambda would be interpreted per row. */

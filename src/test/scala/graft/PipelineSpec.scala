@@ -496,6 +496,27 @@ class PipelineSpec extends SparkSpec {
       ("s2", 1) -> "dog", ("s2", 2) -> "apple"))
   }
 
+  test("contamination score: distinct-gram fraction, gram-less docs score 0") {
+    val corpus = Seq(
+      (1L, "a b c d e"),     // grams(2): ab bc cd de -> 2 of 4 in benchmark
+      (2L, "x y z w v"),     // no overlap
+      (3L, "a b a b a"),     // distinct grams: "a b", "b a" -> 1 of 2
+      (4L, "solo")           // < n tokens: no grams, frac 0
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+    val bench = Seq((100L, "a b q q q bc q cd")).toDF("doc_id", "text")
+    val out = Dedup.contaminationScore(corpus, bench, n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // benchmark tokens: a b q q q bc q cd -> distinct 2-grams "a b","b q",
+    // "q q","q bc","bc q","q cd"; doc 1 shares only "a b" ("b c"/"c d"/
+    // "d e" differ from the "bc"/"cd" single tokens), doc 3 shares "a b"
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((4L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 1L, 0.5)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
   test("bpe: deterministic trainer, min-rank-first encoding, corpus counts") {
     import graft.functions.BpeVocab
     // toy corpus: (a,b) wins round 1 (freq 3), then (a,a), then (ab,c)

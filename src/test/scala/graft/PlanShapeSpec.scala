@@ -114,6 +114,17 @@ class PlanShapeSpec extends SparkSpec {
       .foreach(l => assert(l.contains("user_id"), l))
   }
 
+  test("contamination score: corpus map-only, benchmark set broadcast") {
+    val plan = executedPlan(Dedup.contaminationScore(
+      docs, docs.filter($"doc_id" <= 3), n = 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // one single-row broadcast of the benchmark gram array; the corpus
+    // side must not shuffle (no hash exchange on corpus columns)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("doc_id")), plan)
+  }
+
   test("normalizeOver with flow: width lookups stay broadcast joins") {
     val ax1 = graft.axes.Regular("x", 4, 0.0, 4.0)
     val ax2 = graft.axes.Regular("y", 4, 0.0, 4.0)
