@@ -634,6 +634,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val docs = t(dir, "documents")
       Dedup.contaminationScore(docs, docs.filter(col("doc_id") < 20), n = 5)
+    },
+    "q100_sample_bpe_budget" -> { (s, dir) =>
+      // token-budget sampling billed in TRUE-BPE tokens (the counts
+      // training actually pays for) — q84's shape with the q97 counter
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.sampleTokenBudget(t(dir, "documents"), 900L, "tb2",
+        tokenCounter = Some(graft.functions.BpeCount.bpe_count(col("text"))))
     }
   )
 
@@ -772,6 +779,7 @@ object SparkEntry {
     "q98_funnel_window" -> PipelineOracle.funnel(Seq("view", "click", "purchase"),
       horizonUs = Some(172800000000L)),
     "q99_contamination_score" -> PipelineOracle.contaminationScore(5, "doc_id < 20"),
+    "q100_sample_bpe_budget" -> PipelineOracle.sampleTokenBudgetBpe(900L, "tb2"),
     "q72_stream_dedup" -> PipelineOracle.streamDedup,
     // q51: the stub decoder's closed-form hash is re-derived relationally,
     // so even the multimodal pipeline is oracle-gated (the codec stays an

@@ -44,14 +44,16 @@ object PipelineOracle {
     * has a single source of truth and the gate re-proves the merge LOOP
     * itself (not a pinned fixture). Distinct words are encoded once;
     * per-doc counts come from joining the instance relation back. */
-  def bpeTokens: String = {
+  /** The recursive per-word encode CTEs (__w instances, __dw distinct
+    * words, __enc merge loop, __wc terminal counts, __bpe per-doc totals)
+    * — shared by the q97 gate and the BPE-budgeted sampling oracle. */
+  private def bpeCtes: String = {
     import graft.functions.BpeVocab
     val rankMap = BpeVocab.merges.zipWithIndex
       .map { case ((a, b), i) => s"${q(a + " " + b)}: $i" }
       .mkString("MAP {", ", ", "}")
     val miss = 1000000
-    s"WITH RECURSIVE " +
-      s"__w AS (SELECT doc_id, UNNEST(regexp_extract_all(text, ${q(BpeVocab.WordRe)})) AS word FROM documents), " +
+    s"__w AS (SELECT doc_id, UNNEST(regexp_extract_all(text, ${q(BpeVocab.WordRe)})) AS word FROM documents), " +
       "__dw AS (SELECT DISTINCT word FROM __w), " +
       "__enc AS (" +
       "SELECT word, list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS toks FROM __dw " +
@@ -64,10 +66,25 @@ object PipelineOracle {
       s"i -> coalesce(map_extract($rankMap, toks[i] || ' ' || toks[i+1])[1], $miss)) AS ranks " +
       s"FROM __enc)) WHERE bestr < $miss), " +
       "__wc AS (SELECT word, len(toks) AS n FROM __enc " +
-      "QUALIFY ROW_NUMBER() OVER (PARTITION BY word ORDER BY len(toks)) = 1) " +
-      "SELECT d.doc_id, CAST(COALESCE(SUM(__wc.n), 0) AS BIGINT) AS n_bpe_tokens " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY word ORDER BY len(toks)) = 1), " +
+      "__bpe AS (SELECT d.doc_id, CAST(COALESCE(SUM(__wc.n), 0) AS BIGINT) AS n_bpe_tokens " +
       "FROM documents d LEFT JOIN __w ON __w.doc_id = d.doc_id " +
-      "LEFT JOIN __wc ON __wc.word = __w.word GROUP BY d.doc_id"
+      "LEFT JOIN __wc ON __wc.word = __w.word GROUP BY d.doc_id)"
+  }
+
+  def bpeTokens: String =
+    s"WITH RECURSIVE $bpeCtes SELECT doc_id, n_bpe_tokens FROM __bpe"
+
+  /** Mirrors Sampling.sampleTokenBudget with the BPE counter: per-source
+    * totals over __bpe, same hash-threshold filter. */
+  def sampleTokenBudgetBpe(budgetTokens: Long, salt: String): String = {
+    val scale = java.lang.Double.toString(math.pow(2.0, 60))
+    s"WITH RECURSIVE $bpeCtes, " +
+      "t AS (SELECT d.source, CAST(SUM(b.n_bpe_tokens) AS BIGINT) AS tot " +
+      "FROM documents d JOIN __bpe b ON b.doc_id = d.doc_id GROUP BY d.source) " +
+      "SELECT d.doc_id, d.source FROM documents d JOIN t USING (source) " +
+      s"WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source || ':' || ${q(salt)}), 1, 15))::BIGINT " +
+      s"< CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), CAST($budgetTokens AS DOUBLE) / CAST(tot AS DOUBLE)) * CAST('$scale' AS DOUBLE)) AS BIGINT)"
   }
 
   /** Mirrors TextAnalysis.patternCounts (RE2/Java-regex-agreeing patterns). */

@@ -49,10 +49,16 @@ object Sampling {
     * map-side). Plan: one aggregation for the per-source totals (tiny
     * relation, broadcast back) + one map-side filter; the corpus is
     * scanned twice and shuffled never. Threshold arithmetic is plain IEEE
-    * double division + floor, bit-identical cross-engine. */
-  def sampleTokenBudget(docs: DataFrame, budgetTokens: Long, salt: String): DataFrame = {
+    * double division + floor, bit-identical cross-engine.
+    *
+    * @param tokenCounter per-doc token-count expression; default is the
+    *   \S+ regex count. Pass `BpeCount.bpe_count(col("text"))` to budget
+    *   on true-BPE counts — the counts training actually bills. */
+  def sampleTokenBudget(docs: DataFrame, budgetTokens: Long, salt: String,
+      tokenCounter: Option[Column] = None): DataFrame = {
     require(budgetTokens > 0)
-    val tok = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val tok = tokenCounter.getOrElse(
+      regexp_count(col("text"), lit("\\S+")).cast("long"))
     val totals = docs.groupBy(col("source")).agg(sum(tok).as("__tot"))
     val thr = floor(
       least(lit(1.0), lit(budgetTokens.toDouble) / col("__tot").cast("double")) *
