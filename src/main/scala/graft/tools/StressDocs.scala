@@ -32,6 +32,9 @@ object StressDocs {
     time("simhash_pairs")(graft.pipeline.Dedup.simhashPairs(docs).count())
     time("ngram_jaccard")(graft.pipeline.Dedup.ngramJaccard(docs).count())
     time("repetition")(graft.pipeline.TextAnalysis.repetition(docs).count())
+    time("bpe_tokens")(graft.pipeline.TextAnalysis.bpeTokens(docs).count())
+    time("contamination_score")(graft.pipeline.Dedup.contaminationScore(
+      docs, docs.filter(col("doc_id") < 20), n = 5).count())
     time("span_dedup")(graft.pipeline.Dedup.spanDedup(docs).count())
     time("top_terms")(graft.pipeline.TextAnalysis.topTerms(docs).count())
     time("curate")(graft.pipeline.Curation.curate(

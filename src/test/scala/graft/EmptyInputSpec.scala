@@ -74,6 +74,24 @@ class EmptyInputSpec extends SparkSpec {
         StructField("event_time", TimestampType), StructField("value", DoubleType))))
     assert(graft.streaming.StreamingHist.sessionize(
       emptyEv, "event_time", "user_id", "1 hour", col("value")).count() == 0)
+    // round-6 operators
+    assert(TextAnalysis.bpeTokens(emptyDocs).count() == 0)
+    // empty benchmark: every doc scores 0 contaminated, nothing throws
+    val someDocs = spark.range(2).select(col("id").as("doc_id"),
+      lit("a b c").as("text"), lit("en").as("lang"), lit("s").as("source"))
+    val cs = Dedup.contaminationScore(someDocs, emptyDocs, n = 2).collect()
+    assert(cs.length == 2 && cs.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+    assert(Dedup.contaminationScore(emptyDocs, someDocs, n = 2).count() == 0)
+    assert(Dedup.crossNearDup(emptyDocs, someDocs, bucketCap = Some(5)).count() == 0)
+    // windowed funnel on an event-less frame: no users, no rows
+    val emptyFn = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("event_time", TimestampType))))
+    assert(graft.pipeline.Funnel.funnel(emptyFn, Seq("a", "b"),
+      horizonUs = Some(1000L)).count() == 0)
+    assert(graft.pipeline.Sampling.sampleTokenBudget(emptyDocs, 100L, "s",
+      tokenCounter = Some(graft.functions.BpeCount.bpe_count(col("text")))).count() == 0)
   }
 
   test("similarity operators on empty corpus") {
