@@ -641,6 +641,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Sampling.sampleTokenBudget(t(dir, "documents"), 900L, "tb2",
         tokenCounter = Some(graft.functions.BpeCount.bpe_count(col("text"))))
+    },
+    "q101_stream_top_terms" -> { (s, dir) =>
+      // windowed SpaceSaving top terms run on batch input (batch ==
+      // streaming operator); capacity 64 >> the 5 event types, so the
+      // summary is provably exact here — daily windows, top 3
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.windowedTopTerms(
+        ev, "event_time", col("event_type"), "1 day", k = 3, capacity = 64)
     }
   )
 
@@ -780,6 +790,7 @@ object SparkEntry {
       horizonUs = Some(172800000000L)),
     "q99_contamination_score" -> PipelineOracle.contaminationScore(5, "doc_id < 20"),
     "q100_sample_bpe_budget" -> PipelineOracle.sampleTokenBudgetBpe(900L, "tb2"),
+    "q101_stream_top_terms" -> PipelineOracle.windowedTopTerms(86400000000L, 3),
     "q72_stream_dedup" -> PipelineOracle.streamDedup,
     // q51: the stub decoder's closed-form hash is re-derived relationally,
     // so even the multimodal pipeline is oracle-gated (the codec stays an

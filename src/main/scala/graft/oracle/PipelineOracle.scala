@@ -727,6 +727,19 @@ object PipelineOracle {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn FROM tf) " +
       s"SELECT source, term, cnt, CAST(0 AS BIGINT) AS err, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k"
 
+  /** Mirrors StreamingHist.windowedTopTerms in its EXACT regime
+    * (capacity >= per-window distinct terms): per-tumbling-window exact
+    * tf ranking (cnt desc, term asc), err = 0. Window key is the same
+    * integer floor the batch branch uses. */
+  def windowedTopTerms(durUs: Long, k: Int): String =
+    "WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type AS term " +
+      "FROM events WHERE ts IS NOT NULL), " +
+      s"w AS (SELECT us - us % $durUs AS ws, term FROM e), " +
+      "tf AS (SELECT ws, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY ws, term), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws ORDER BY cnt DESC, term) AS rn FROM tf) " +
+      s"SELECT make_timestamp(ws) AS window_start, make_timestamp(ws + $durUs) AS window_end, " +
+      s"term, cnt, CAST(0 AS BIGINT) AS err, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k"
+
   /** Mirrors Funnel.retention: integer-floor day indices, distinct
     * (user, day) activity, first day = cohort, distinct users per
     * (cohort, offset) cell. */

@@ -127,4 +127,49 @@ object StreamingHist {
       .select(col(keyCol), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
   }
+
+  /** Event-time windowed top terms via the mergeable SpaceSaving
+    * aggregate (graft.functions.HeavyHitters): per tumbling window, the
+    * k most frequent terms with the usual cnt/err bracket. Streaming
+    * state per window is the CAPACITY-bounded summary buffer — frequent
+    * terms over an unbounded stream with bounded memory, the form exact
+    * per-window tf cannot take; watermark evicts closed windows. Batch
+    * execution uses the same integer window key as windowedHistogram
+    * (identical rows, cheaper key). In the exact regime (capacity >= the
+    * window's distinct terms) the output equals the exact tf ranking with
+    * err = 0 — the oracle-gated configuration, like topTermsApprox. */
+  def windowedTopTerms(df: DataFrame, tsCol: String, term: Column,
+      windowDuration: String, k: Int, capacity: Int,
+      watermark: String = "10 seconds"): DataFrame = {
+    require(k >= 1 && capacity >= k, "need capacity >= k >= 1")
+    val hh = graft.functions.HeavyHitters.heavy_hitters(col("__t"), capacity)
+    def explodeTop(grouped: DataFrame, winStart: Column, winEnd: Column): DataFrame =
+      grouped
+        .select(winStart.as("window_start"), winEnd.as("window_end"),
+          posexplode(slice(col("__s"), 1, k)).as(Seq("__p", "__e")))
+        .select(col("window_start"), col("window_end"),
+          col("__e.term").as("term"), col("__e.cnt").as("cnt"),
+          col("__e.err").as("err"), (col("__p") + 1).cast("int").as("rank"))
+    if (df.isStreaming) {
+      val grouped = df.withWatermark(tsCol, watermark)
+        .select(window(col(tsCol), windowDuration).as("win"), term.as("__t"))
+        .groupBy(col("win")).agg(hh.as("__s"))
+      explodeTop(grouped, col("win.start"), col("win.end"))
+    } else {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+          .fromString(windowDuration))
+      require(iv.months == 0,
+        "calendar-month windows are not fixed-length; use the window() path")
+      val durUs = iv.days * 86400000000L + iv.microseconds
+      require(durUs > 0, s"window duration must be positive: $windowDuration")
+      val us = unix_micros(col(tsCol))
+      val grouped = df.filter(col(tsCol).isNotNull)
+        .select((us - pmod(us, lit(durUs))).as("__ws"), term.as("__t"))
+        .groupBy(col("__ws")).agg(hh.as("__s"))
+      explodeTop(grouped,
+        timestamp_micros(col("__ws")),
+        timestamp_micros(col("__ws") + lit(durUs)))
+    }
+  }
 }

@@ -210,4 +210,40 @@ class StreamingSpec extends SparkSpec {
       assert(stream == batch)
     } finally q.stop()
   }
+
+  test("windowed top terms: SpaceSaving per window, streaming == batch") {
+    // window [0,10): a x3, b x2, c x1; window [10,20): c x2, a x1
+    val events = Seq(
+      (ts(1), "a"), (ts(2), "a"), (ts(3), "b"), (ts(4), "a"), (ts(5), "b"),
+      (ts(6), "c"), (ts(12), "c"), (ts(13), "c"), (ts(14), "a")
+    ).toDF("event_time", "term")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime / 1000, r.getString(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))
+    val batch = StreamingHist.windowedTopTerms(
+        events, "event_time", col("term"), "10 seconds", k = 2, capacity = 8)
+      .collect().map(key).toSet
+    // exact regime: err 0, ranking (cnt desc, term asc)
+    assert(batch == Set(
+      (0L, "a", 3L, 0L, 1), (0L, "b", 2L, 0L, 2),
+      (10L, "c", 2L, 0L, 1), (10L, "a", 1L, 0L, 2)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamingHist.windowedTopTerms(
+      input.toDF().toDF("event_time", "term"),
+      "event_time", col("term"), "10 seconds", k = 2, capacity = 8)
+    val q = out.writeStream.format("memory").queryName("htt_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"), (ts(6), "c"))
+      q.processAllAvailable()
+      // the summary is STATE: later micro-batches keep counting
+      input.addData((ts(4), "a"), (ts(5), "b"), (ts(12), "c"), (ts(13), "c"),
+        (ts(14), "a"))
+      q.processAllAvailable()
+      val stream = spark.table("htt_stream").collect().map(key).toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
 }
