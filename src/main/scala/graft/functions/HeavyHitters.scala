@@ -25,10 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * counts partitioning-dependent there, so no hash gate is possible by
   * construction).
   *
-  * Buffer: hash map term -> (cnt, err); eviction scans for the min-count
-  * entry (O(m), amortized fine for the m ~ 10^3-10^4 this operator is
-  * sized for — the point is bounding state, not per-row constant
-  * factors). eval returns entries sorted (cnt desc, err asc, term asc). */
+  * Buffer: indexed binary min-heap (most-evictable entry at the root,
+  * hash map term -> heap slot), so updates and evictions are O(log m) —
+  * usable at m ~ 10^5-10^6, not just vocabulary-sized summaries. eval
+  * returns entries sorted (cnt desc, err asc, term asc). */
 case class HeavyHitters(
     term: Expression,
     m: Int,
@@ -78,13 +78,13 @@ case class HeavyHitters(
     val floorA = a.floor
     val floorB = b.floor
     val combined = mutable.HashMap[String, (Long, Long)]()
-    a.entries.foreach { case (t, (c, e)) =>
-      b.entries.get(t) match {
+    a.foreachEntry { (t, c, e) =>
+      b.get(t) match {
         case Some((cb, eb)) => combined.put(t, (c + cb, e + eb))
         case None => combined.put(t, (c + floorB, e + floorB))
       }
     }
-    b.entries.foreach { case (t, (c, e)) =>
+    b.foreachEntry { (t, c, e) =>
       if (!combined.contains(t)) combined.put(t, (c + floorA, e + floorA))
     }
     val out = new Summary(m)
@@ -94,12 +94,12 @@ case class HeavyHitters(
     // underestimate absent terms and break the cnt >= true invariant.
     out.evictedFloor = floorA + floorB
     if (combined.size <= m) {
-      combined.foreach { case (t, ce) => out.entries.put(t, ce) }
+      combined.foreach { case (t, (c, e)) => out.offer(t, c, e) }
     } else {
       val sorted = combined.toArray.sortWith { case ((t1, (c1, e1)), (t2, (c2, e2))) =>
         c1 > c2 || (c1 == c2 && (e1 < e2 || (e1 == e2 && t1 < t2)))
       }
-      sorted.take(m).foreach { case (t, ce) => out.entries.put(t, ce) }
+      sorted.take(m).foreach { case (t, (c, e)) => out.offer(t, c, e) }
       val dropMax = sorted.drop(m).iterator.map(_._2._1).max
       if (dropMax > out.evictedFloor) out.evictedFloor = dropMax
     }
@@ -119,8 +119,8 @@ case class HeavyHitters(
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeLong(buf.evictedFloor)
-    out.writeInt(buf.entries.size)
-    buf.entries.foreach { case (t, (c, e)) =>
+    out.writeInt(buf.size)
+    buf.foreachEntry { (t, c, e) =>
       val bytes = t.getBytes("UTF-8")
       out.writeInt(bytes.length); out.write(bytes)
       out.writeLong(c); out.writeLong(e)
@@ -139,7 +139,7 @@ case class HeavyHitters(
       val tb = new Array[Byte](len); in.readFully(tb)
       val t = new String(tb, "UTF-8")
       val c = in.readLong(); val e = in.readLong()
-      s.entries.put(t, (c, e))
+      s.offer(t, c, e) // n <= m: insert path only, never evicts
       i += 1
     }
     s
@@ -156,43 +156,95 @@ case class HeavyHitters(
 object HeavyHitters {
 
   /** SpaceSaving summary: at most m entries; offering over capacity
-    * evicts the min-count entry and the newcomer inherits its count as
-    * error floor.
+    * evicts the min-count entry (ties: max err, then max term — the
+    * entry the output ordering ranks last) and the newcomer inherits
+    * its count as error floor.
     *
-    * Capacity bound: eviction is an O(m) min-scan per over-capacity
-    * insert, so per-partition update cost is O(tokens x m) in the worst
-    * case — sized for the documented m ~ 10^3-10^4 (top-k vocabularies),
-    * where the scan is a few microseconds and the summary stays
-    * cache-resident. Do NOT size m >= ~10^5: memory is fine but update
-    * cost degrades quadratically; at that scale the right structure is a
-    * min-heap + hash (Stream-Summary), or simply the exact tf aggregation
-    * (a vocabulary-sized shuffle is cheap when you can afford 10^5-entry
-    * summaries per partition). */
+    * Layout: indexed binary min-heap over parallel arrays with the
+    * most-evictable entry at slot 0, plus a term -> slot hash map, so
+    * the eviction victim is read off the root and every offer costs
+    * O(log m) sift work at worst (O(1) when the heap property already
+    * holds, the common case for a counter that only grows). That keeps
+    * the summary usable at m ~ 10^5-10^6, where the previous O(m)
+    * min-scan per eviction degraded quadratically. Semantics (counts,
+    * floors, deterministic tie-breaks) are unchanged — pinned by the
+    * scan-vs-heap equivalence spec. */
   final class Summary(m: Int) {
-    val entries = mutable.HashMap[String, (Long, Long)]()
+    private val terms = new Array[String](m)
+    private val cnts = new Array[Long](m)
+    private val errs = new Array[Long](m)
+    private var n = 0
+    private val pos = mutable.HashMap[String, Int]()
     /** max count ever evicted — the floor absent terms may hide under */
     var evictedFloor: Long = 0L
 
     def floor: Long = evictedFloor
+    def size: Int = n
 
-    def offer(t: String, c: Long, e: Long): Unit = entries.get(t) match {
-      case Some((c0, e0)) => entries.put(t, (c0 + c, e0 + e))
+    // true if slot i must be evicted before slot j (heap order)
+    private def evictsBefore(i: Int, j: Int): Boolean =
+      cnts(i) < cnts(j) || (cnts(i) == cnts(j) && (errs(i) > errs(j) ||
+        (errs(i) == errs(j) && terms(i) > terms(j))))
+
+    private def swap(i: Int, j: Int): Unit = {
+      val t = terms(i); terms(i) = terms(j); terms(j) = t
+      val c = cnts(i); cnts(i) = cnts(j); cnts(j) = c
+      val e = errs(i); errs(i) = errs(j); errs(j) = e
+      pos.put(terms(i), i); pos.put(terms(j), j)
+    }
+
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && evictsBefore(i, (i - 1) / 2)) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    }
+
+    private def siftDown(i0: Int): Unit = {
+      var i = i0
+      var continue = true
+      while (continue) {
+        val l = 2 * i + 1
+        var s = i
+        if (l < n && evictsBefore(l, s)) s = l
+        if (l + 1 < n && evictsBefore(l + 1, s)) s = l + 1
+        if (s == i) continue = false else { swap(i, s); i = s }
+      }
+    }
+
+    def offer(t: String, c: Long, e: Long): Unit = pos.get(t) match {
+      case Some(i) =>
+        cnts(i) += c; errs(i) += e
+        // cnt growth moves the entry away from the root, err growth
+        // toward it; at most one of the two sifts moves anything
+        siftDown(i); siftUp(pos(t))
       case None =>
-        if (entries.size < m) entries.put(t, (c, e))
-        else {
-          // evict the min-count entry (ties: max err, then max term — the
-          // entry the output ordering ranks last)
-          var minT: String = null; var minC = Long.MaxValue; var minE = -1L
-          entries.foreach { case (t0, (c0, e0)) =>
-            if (c0 < minC || (c0 == minC && (e0 > minE ||
-                (e0 == minE && (minT == null || t0 > minT))))) {
-              minT = t0; minC = c0; minE = e0
-            }
-          }
-          entries.remove(minT)
+        if (n < m) {
+          terms(n) = t; cnts(n) = c; errs(n) = e; pos.put(t, n); n += 1
+          siftUp(n - 1)
+        } else {
+          val minC = cnts(0)
           if (minC > evictedFloor) evictedFloor = minC
-          entries.put(t, (minC + c, minC + e))
+          pos.remove(terms(0))
+          terms(0) = t; cnts(0) = minC + c; errs(0) = minC + e
+          pos.put(t, 0)
+          siftDown(0)
         }
+    }
+
+    def get(t: String): Option[(Long, Long)] =
+      pos.get(t).map(i => (cnts(i), errs(i)))
+
+    def foreachEntry(f: (String, Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(terms(i), cnts(i), errs(i)); i += 1 }
+    }
+
+    /** snapshot as a map (merge building, specs); heap order is internal */
+    def entries: Map[String, (Long, Long)] = {
+      val b = Map.newBuilder[String, (Long, Long)]
+      foreachEntry((t, c, e) => b += (t -> ((c, e))))
+      b.result()
     }
   }
 

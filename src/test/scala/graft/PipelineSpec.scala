@@ -483,6 +483,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters: heap summary == brute-force min-scan SpaceSaving") {
+    import graft.functions.HeavyHitters
+    // reference implementation: the pre-heap O(m) min-scan with the same
+    // eviction tie-break (min cnt; ties max err, then max term) — the
+    // heap rewrite must be bit-identical on any stream
+    final class Naive(m: Int) {
+      val entries = scala.collection.mutable.HashMap[String, (Long, Long)]()
+      var floor = 0L
+      def offer(t: String, c: Long, e: Long): Unit = entries.get(t) match {
+        case Some((c0, e0)) => entries.put(t, (c0 + c, e0 + e))
+        case None =>
+          if (entries.size < m) entries.put(t, (c, e))
+          else {
+            var minT: String = null; var minC = Long.MaxValue; var minE = -1L
+            entries.foreach { case (t0, (c0, e0)) =>
+              if (c0 < minC || (c0 == minC && (e0 > minE ||
+                  (e0 == minE && (minT == null || t0 > minT))))) {
+                minT = t0; minC = c0; minE = e0
+              }
+            }
+            entries.remove(minT)
+            if (minC > floor) floor = minC
+            entries.put(t, (minC + c, minC + e))
+          }
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 20; m <- Seq(1, 2, 5, 16)) {
+      val heap = new HeavyHitters.Summary(m)
+      val naive = new Naive(m)
+      // skewed stream (zipf-ish via pow) over a vocab larger than m
+      for (_ <- 0 until 500) {
+        val t = "t" + math.min((math.pow(rnd.nextDouble(), 2) * 40).toInt, 39)
+        heap.offer(t, 1L, 0L); naive.offer(t, 1L, 0L)
+      }
+      assert(heap.entries == naive.entries.toMap, s"m=$m trial=$trial")
+      assert(heap.floor == naive.floor, s"m=$m trial=$trial")
+    }
+    // capacity headroom for the heap path at m >> vocab: exact, no evictions
+    val big = new HeavyHitters.Summary(100000)
+    for (i <- 0 until 10000) big.offer("w" + i % 700, 1L, 0L)
+    assert(big.size == 700 && big.floor == 0L)
+    assert(big.entries.values.forall { case (c, e) => (c == 15L || c == 14L) && e == 0L })
+  }
+
   test("top terms: tf*N/df scoring, deterministic tie-break by term") {
     val d = Seq(
       (1L, "apple banana apple", "s1"),
