@@ -63,7 +63,9 @@ object Graft {
 
   /** Deduplication: exact/normalized, MinHash+LSH near-dup (pairs / keep
     * verdicts / cross-corpus), SimHash, PPJoin n-gram jaccard, span-level
-    * boilerplate removal, duplicate-graph connected components. */
+    * boilerplate removal, benchmark decontamination (boolean and
+    * contamination-fraction forms), duplicate-graph connected
+    * components. */
   val dedup: _root_.graft.pipeline.Dedup.type = _root_.graft.pipeline.Dedup
 
   /** Embedding similarity: blocked near-dup, brute-force / LSH / IVF ANN,
@@ -94,7 +96,8 @@ object Graft {
     _root_.graft.pipeline.Multimodal
 
   /** Structured Streaming: watermarked windowed histograms, stateful
-    * dedup (optional TTL), gap-based sessionization. */
+    * dedup (optional TTL), gap-based sessionization, capacity-bounded
+    * per-window frequent terms (SpaceSaving). */
   val streaming: _root_.graft.streaming.StreamingHist.type =
     _root_.graft.streaming.StreamingHist
 }

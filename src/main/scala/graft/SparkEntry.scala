@@ -651,6 +651,11 @@ object SparkEntry {
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.streaming.StreamingHist.windowedTopTerms(
         ev, "event_time", col("event_type"), "1 day", k = 3, capacity = 64)
+    },
+    "q102_pack_sequences" -> { (s, dir) =>
+      // concat-and-chunk packing into 512-token blocks over 8 shards
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.packSequences(t(dir, "documents"), 512L, 8, "pk1")
     }
   )
 
@@ -791,6 +796,7 @@ object SparkEntry {
     "q99_contamination_score" -> PipelineOracle.contaminationScore(5, "doc_id < 20"),
     "q100_sample_bpe_budget" -> PipelineOracle.sampleTokenBudgetBpe(900L, "tb2"),
     "q101_stream_top_terms" -> PipelineOracle.windowedTopTerms(86400000000L, 3),
+    "q102_pack_sequences" -> PipelineOracle.packSequences(512L, 8, "pk1"),
     "q72_stream_dedup" -> PipelineOracle.streamDedup,
     // q51: the stub decoder's closed-form hash is re-derived relationally,
     // so even the multimodal pipeline is oracle-gated (the codec stays an

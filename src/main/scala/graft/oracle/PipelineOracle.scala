@@ -564,6 +564,20 @@ object PipelineOracle {
       s"< CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), CAST($budgetTokens AS DOUBLE) / CAST(tot AS DOUBLE)) * CAST('$scale' AS DOUBLE)) AS BIGINT)"
   }
 
+  /** Mirrors Sampling.packSequences: same hash shard, same (hash,
+    * doc_id) layout order, exclusive window cumsum, integer div/mod
+    * slots (cumsum >= 0, so `div` and `//` agree). */
+  def packSequences(contextLen: Long, nShards: Int, salt: String): String =
+    "WITH d AS (SELECT doc_id, source, " +
+      "CAST(COALESCE(len(regexp_extract_all(text, '\\S+')), 0) AS BIGINT) AS n_tokens, " +
+      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':' || ${q(salt)}), 1, 15))::BIGINT AS hh " +
+      "FROM documents), " +
+      s"s AS (SELECT *, CAST(hh % $nShards AS INT) AS shard FROM d), " +
+      "c AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER " +
+      "(PARTITION BY shard ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM s) " +
+      s"SELECT doc_id, source, shard, n_tokens, CAST(cum // $contextLen AS BIGINT) AS pack, " +
+      s"CAST(cum % $contextLen AS BIGINT) AS pack_offset FROM c"
+
   /** Per-source corpus profile (mirrors TextAnalysis.corpusStats). */
   val corpusStats: String =
     "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +

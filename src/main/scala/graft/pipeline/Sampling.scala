@@ -81,6 +81,46 @@ object Sampling {
       .agg(graft.functions.BottomKByKey.bottom_k(col("__h"), col("doc_id"), n).as("__ids"))
       .select(col("source"), explode(col("__ids")).as("doc_id"))
 
+  /** Greedy concat-and-chunk sequence packing: the step that turns a
+    * sampled corpus into fixed-length training blocks. Docs are hashed
+    * into `nShards` independent shards, laid head-to-tail inside each
+    * shard in deterministic (hash, doc_id) order, and every doc gets the
+    * block slot its first token lands in: pack = exclusive-cumsum div
+    * contextLen, pack_offset = exclusive-cumsum mod contextLen
+    * (concat-and-chunk: blocks are cut mid-document, never padded, so a
+    * long doc simply spans onward from its slot). Plan shape: ONE shuffle
+    * keyed by shard plus the in-partition sort the window cumsum needs —
+    * no global sort, no single-reducer hotspot; shards pack
+    * independently, so nShards is sized to the target output-file token
+    * volume (total_tokens / (packs_per_file * contextLen)), exactly how
+    * production packing jobs shard. Determinism: the order key
+    * (hash60, doc_id) is unique and partition-layout-independent, so the
+    * layout is reproducible across runs, engines and cluster sizes;
+    * epoch-style reshuffles are just a new salt. The cumsum is
+    * non-negative, so `div`/`%` agree cross-engine.
+    *
+    * @param tokenCounter per-doc token-count expression (default \S+
+    *   regex count; pass `BpeCount.bpe_count(col("text"))` to lay out in
+    *   the counts training actually bills). */
+  def packSequences(docs: DataFrame, contextLen: Long, nShards: Int,
+      salt: String, tokenCounter: Option[Column] = None): DataFrame = {
+    require(contextLen > 0 && nShards > 0)
+    import org.apache.spark.sql.expressions.Window
+    val tok = coalesce(tokenCounter.getOrElse(
+      regexp_count(col("text"), lit("\\S+")).cast("long")), lit(0L))
+    val base = docs.select(col("doc_id"), col("source"), tok.as("n_tokens"),
+        hash60(col("doc_id"), col("source"), salt).as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        expr(s"__cum div ${contextLen}L").as("pack"),
+        (col("__cum") % lit(contextLen)).as("pack_offset"))
+  }
+
   /** Cluster-balanced exact-N sampling: train-and-assign k-means cells
     * over the embedding corpus (Similarity.cluster), then draw exactly
     * min(n, |cell|) vectors per cell with the deterministic hash

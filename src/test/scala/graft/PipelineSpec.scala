@@ -284,6 +284,43 @@ class PipelineSpec extends SparkSpec {
     assert(Sampling.sampleExactPerSource(tiny, 5, "salt").count() == 1)
   }
 
+  test("pack sequences: head-to-tail shard layout, partitioning-independent") {
+    import graft.pipeline.Sampling
+    val many = (0L until 300L)
+      .map(i => (i, Seq.fill((i % 7).toInt)("w").mkString(" "), "en", s"s${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val C = 10L
+    def packed(parts: Int) =
+      Sampling.packSequences(many.repartition(parts), C, 4, "pk")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+    val out = packed(1)
+    assert(out.length == 300 && out.map(_._1).distinct.length == 300)
+    // layout is a deterministic function of content, not partitioning
+    assert(out.sortBy(_._1).sameElements(packed(13).sortBy(_._1)))
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      // within a shard, slots ordered by global position are exactly the
+      // exclusive prefix sums of n_tokens: head-to-tail, no gaps/overlap
+      // (zero-token docs tie on a slot; order them first so the running
+      // sum is well-defined)
+      val slots = rows.map { case (_, _, _, n, pack, off) => (pack * C + off, n) }
+        .sortBy { case (cum, n) => (cum, n) }
+      var cum = 0L
+      slots.foreach { case (c, n) =>
+        assert(c == cum, s"slot $c != running sum $cum"); cum += n
+      }
+    }
+    // slot decomposition: pack/offset round-trip and offset < contextLen
+    assert(out.forall { case (_, _, _, _, pack, off) =>
+      pack >= 0 && off >= 0 && off < C })
+    // empty/NULL text packs at width 0
+    val edge = Seq((1L, null.asInstanceOf[String], "en", "a"), (2L, "", "en", "a"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Sampling.packSequences(edge, C, 1, "pk")
+      .collect().forall(_.getLong(3) == 0L))
+  }
+
   test("multimodal: binary plumbing with stubbed decode is deterministic") {
     val out1 = Multimodal.pipeline(docs).orderBy("doc_id").collect()
     val out2 = Multimodal.pipeline(docs).orderBy("doc_id").collect()
