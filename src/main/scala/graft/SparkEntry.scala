@@ -656,6 +656,12 @@ object SparkEntry {
       // concat-and-chunk packing into 512-token blocks over 8 shards
       implicit val sp: SparkSession = s
       graft.pipeline.Sampling.packSequences(t(dir, "documents"), 512L, 8, "pk1")
+    },
+    "q103_pack_bpe" -> { (s, dir) =>
+      // the same packing layout billed in true-BPE tokens (q97's counter)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.packSequences(t(dir, "documents"), 512L, 8, "pk1",
+        tokenCounter = Some(graft.functions.BpeCount.bpe_count(col("text"))))
     }
   )
 
@@ -797,6 +803,7 @@ object SparkEntry {
     "q100_sample_bpe_budget" -> PipelineOracle.sampleTokenBudgetBpe(900L, "tb2"),
     "q101_stream_top_terms" -> PipelineOracle.windowedTopTerms(86400000000L, 3),
     "q102_pack_sequences" -> PipelineOracle.packSequences(512L, 8, "pk1"),
+    "q103_pack_bpe" -> PipelineOracle.packSequencesBpe(512L, 8, "pk1"),
     "q72_stream_dedup" -> PipelineOracle.streamDedup,
     // q51: the stub decoder's closed-form hash is re-derived relationally,
     // so even the multimodal pipeline is oracle-gated (the codec stays an

@@ -87,6 +87,19 @@ object PipelineOracle {
       s"< CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), CAST($budgetTokens AS DOUBLE) / CAST(tot AS DOUBLE)) * CAST('$scale' AS DOUBLE)) AS BIGINT)"
   }
 
+  /** Mirrors Sampling.packSequences with the BPE counter: the __bpe
+    * counts feed the identical shard / (hash, doc_id) / cumsum layout. */
+  def packSequencesBpe(contextLen: Long, nShards: Int, salt: String): String =
+    s"WITH RECURSIVE $bpeCtes, " +
+      "__pd AS (SELECT d.doc_id, d.source, b.n_bpe_tokens AS n_tokens, " +
+      s"('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source || ':' || ${q(salt)}), 1, 15))::BIGINT AS hh " +
+      "FROM documents d JOIN __bpe b ON b.doc_id = d.doc_id), " +
+      s"__ps AS (SELECT *, CAST(hh % $nShards AS INT) AS shard FROM __pd), " +
+      "__pc AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER " +
+      "(PARTITION BY shard ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum FROM __ps) " +
+      s"SELECT doc_id, source, shard, n_tokens, CAST(cum // $contextLen AS BIGINT) AS pack, " +
+      s"CAST(cum % $contextLen AS BIGINT) AS pack_offset FROM __pc"
+
   /** Mirrors TextAnalysis.patternCounts (RE2/Java-regex-agreeing patterns). */
   val patternCounts: String =
     "SELECT doc_id, " +

@@ -9,6 +9,9 @@ import org.apache.spark.sql.functions._
 object StressDocs {
   def main(args: Array[String]): Unit = {
     val path = if (args.nonEmpty) args(0) else "/tmp/sfbig_documents.parquet"
+    // optional second arg: comma-separated operator names to run (default all)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
@@ -19,11 +22,12 @@ object StressDocs {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(path).persist()
     println(s"docs=${docs.count()}")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val c = f
-      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val c = f
+        println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
+      }
     time("exact_dedup")(graft.pipeline.Dedup.exact(docs).count())
     time("minhash_lsh")(graft.pipeline.Dedup.minhashLsh(docs).count())
     time("neardup_pipeline")(graft.pipeline.Dedup.nearDupPairs(docs).count())
@@ -36,6 +40,8 @@ object StressDocs {
     time("contamination_score")(graft.pipeline.Dedup.contaminationScore(
       docs, docs.filter(col("doc_id") < 20), n = 5).count())
     time("span_dedup")(graft.pipeline.Dedup.spanDedup(docs).count())
+    time("pack_sequences")(graft.pipeline.Sampling.packSequences(
+      docs, 2048L, 32, "pk").count())
     time("top_terms")(graft.pipeline.TextAnalysis.topTerms(docs).count())
     time("curate")(graft.pipeline.Curation.curate(
       docs, docs.filter(col("doc_id") < 20)).count())

@@ -125,6 +125,18 @@ class PlanShapeSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning") && l.contains("doc_id")), plan)
   }
 
+  test("pack sequences: one shard-keyed exchange, in-partition sort only") {
+    val plan = executedPlan(
+      graft.pipeline.Sampling.packSequences(docs, 128L, 4, "pk"))
+    // the window cumsum must run per shard: exactly one hash exchange,
+    // keyed by shard — a range exchange would mean a global sort crept in
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("hashpartitioning")
+      && exchanges.head.contains("shard"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("normalizeOver with flow: width lookups stay broadcast joins") {
     val ax1 = graft.axes.Regular("x", 4, 0.0, 4.0)
     val ax2 = graft.axes.Regular("y", 4, 0.0, 4.0)
