@@ -75,7 +75,7 @@ object GraftExtensions {
       "repetition_stats(text) - token/distinct counts and top token/bigram frequencies",
       args => RepetitionStats(args(0))),
     ("heavy_hitters",
-      "heavy_hitters(term, m) - SpaceSaving bounded-memory frequent terms (term, cnt, err); size m ~ 10^3-10^4 (eviction is an O(m) scan per insert)",
+      "heavy_hitters(term, m) - SpaceSaving bounded-memory frequent terms (term, cnt, err); O(log m) heap eviction, usable up to m ~ 10^6",
       args => HeavyHitters(args(0), intLit(args(1), "heavy_hitters m"))
         .toAggregateExpression()),
     ("bpe_count",

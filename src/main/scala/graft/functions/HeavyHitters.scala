@@ -107,10 +107,15 @@ case class HeavyHitters(
   }
 
   override def eval(buf: Summary): Any = {
-    val sorted = buf.entries.toArray.sortWith { case ((t1, (c1, e1)), (t2, (c2, e2))) =>
+    // fill a preallocated array straight off the heap slots — no
+    // intermediate map/boxing on the per-group output path
+    val arr = new Array[(String, Long, Long)](buf.size)
+    var i = 0
+    buf.foreachEntry { (t, c, e) => arr(i) = (t, c, e); i += 1 }
+    val sorted = arr.sortWith { case ((t1, c1, e1), (t2, c2, e2)) =>
       c1 > c2 || (c1 == c2 && (e1 < e2 || (e1 == e2 && t1 < t2)))
     }
-    new GenericArrayData(sorted.map { case (t, (c, e)) =>
+    new GenericArrayData(sorted.map { case (t, c, e) =>
       new GenericInternalRow(Array[Any](UTF8String.fromString(t), c, e))
     })
   }
@@ -170,10 +175,22 @@ object HeavyHitters {
     * floors, deterministic tie-breaks) are unchanged — pinned by the
     * scan-vs-heap equivalence spec. */
   final class Summary(m: Int) {
-    private val terms = new Array[String](m)
-    private val cnts = new Array[Long](m)
-    private val errs = new Array[Long](m)
+    // arrays grow geometrically up to m: a per-group aggregation buffer
+    // must not eagerly pay for the full capacity (ObjectHashAggregate
+    // allocates one Summary PER GROUP — at m ~ 10^6 and many groups,
+    // eager length-m arrays would be a multi-GB regression vs the old
+    // entry-count-sized map; most groups hold far fewer than m terms)
+    private var terms = new Array[String](math.min(m, 16))
+    private var cnts = new Array[Long](math.min(m, 16))
+    private var errs = new Array[Long](math.min(m, 16))
     private var n = 0
+
+    private def ensureCapacity(): Unit = if (n == terms.length && n < m) {
+      val cap = math.min(m, math.max(terms.length * 2, 16))
+      terms = java.util.Arrays.copyOf(terms, cap)
+      cnts = java.util.Arrays.copyOf(cnts, cap)
+      errs = java.util.Arrays.copyOf(errs, cap)
+    }
     private val pos = mutable.HashMap[String, Int]()
     /** max count ever evicted — the floor absent terms may hide under */
     var evictedFloor: Long = 0L
@@ -220,6 +237,7 @@ object HeavyHitters {
         siftDown(i); siftUp(pos(t))
       case None =>
         if (n < m) {
+          ensureCapacity()
           terms(n) = t; cnts(n) = c; errs(n) = e; pos.put(t, n); n += 1
           siftUp(n - 1)
         } else {

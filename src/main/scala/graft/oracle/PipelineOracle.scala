@@ -760,8 +760,11 @@ object PipelineOracle {
     * integer floor the batch branch uses. */
   def windowedTopTerms(durUs: Long, k: Int): String =
     "WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type AS term " +
-      "FROM events WHERE ts IS NOT NULL), " +
-      s"w AS (SELECT us - us % $durUs AS ws, term FROM e), " +
+      "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL), " +
+      // floor division (//), not %: pmod on the Spark side floors toward
+      // -inf, so a pre-epoch timestamp must land in its floor window here
+      // too (the sign-of-dividend % would shift it one window up)
+      s"w AS (SELECT (us // $durUs) * $durUs AS ws, term FROM e), " +
       "tf AS (SELECT ws, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY ws, term), " +
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws ORDER BY cnt DESC, term) AS rn FROM tf) " +
       s"SELECT make_timestamp(ws) AS window_start, make_timestamp(ws + $durUs) AS window_end, " +

@@ -15,6 +15,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingHist {
 
+  /** Parse a fixed-length tumbling-window duration to microseconds —
+    * the batch branches' integer window key. Calendar months are not
+    * fixed-length and must use the streaming `window()` path. */
+  private def fixedWindowUs(windowDuration: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+        .fromString(windowDuration))
+    require(iv.months == 0,
+      "calendar-month windows are not fixed-length; use the window() path")
+    val durUs = iv.days * 86400000000L + iv.microseconds
+    require(durUs > 0, s"window duration must be positive: $windowDuration")
+    durUs
+  }
+
   /** Event-time windowed histogram: one histogram per tumbling window.
     * Works identically on a batch or streaming DataFrame.
     *
@@ -37,13 +51,7 @@ object StreamingHist {
         .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
           ax.label(col("__i0")).as(ax.binsCol), col("cnt"))
     } else {
-      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-        .stringToInterval(org.apache.spark.unsafe.types.UTF8String
-          .fromString(windowDuration))
-      require(iv.months == 0,
-        "calendar-month windows are not fixed-length; use the window() path")
-      val durUs = iv.days * 86400000000L + iv.microseconds
-      require(durUs > 0, s"window duration must be positive: $windowDuration")
+      val durUs = fixedWindowUs(windowDuration)
       val us = unix_micros(col(tsCol))
       val startUs = (us - pmod(us, lit(durUs))).as("__ws")
       // window() drops null timestamps (TimeWindowing inserts an
@@ -156,13 +164,7 @@ object StreamingHist {
         .groupBy(col("win")).agg(hh.as("__s"))
       explodeTop(grouped, col("win.start"), col("win.end"))
     } else {
-      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-        .stringToInterval(org.apache.spark.unsafe.types.UTF8String
-          .fromString(windowDuration))
-      require(iv.months == 0,
-        "calendar-month windows are not fixed-length; use the window() path")
-      val durUs = iv.days * 86400000000L + iv.microseconds
-      require(durUs > 0, s"window duration must be positive: $windowDuration")
+      val durUs = fixedWindowUs(windowDuration)
       val us = unix_micros(col(tsCol))
       val grouped = df.filter(col(tsCol).isNotNull)
         .select((us - pmod(us, lit(durUs))).as("__ws"), term.as("__t"))

@@ -22,12 +22,15 @@ object StressDocs {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(path).persist()
     println(s"docs=${docs.count()}")
-    def time(name: String)(f: => Long): Unit =
+    val ran = scala.collection.mutable.Set[String]()
+    def time(name: String)(f: => Long): Unit = {
+      ran += name
       if (only.forall(_.contains(name))) {
         val t0 = System.nanoTime()
         val c = f
         println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
       }
+    }
     time("exact_dedup")(graft.pipeline.Dedup.exact(docs).count())
     time("minhash_lsh")(graft.pipeline.Dedup.minhashLsh(docs).count())
     time("neardup_pipeline")(graft.pipeline.Dedup.nearDupPairs(docs).count())
@@ -60,6 +63,16 @@ object StressDocs {
       docs.select(col("doc_id")),
       graft.pipeline.Dedup.nearDupPairs(docs, bucketCap = Some(20)))
       .filter(col("keep")).count())
+    // a typo in the filter arg must fail loudly, not silently run nothing
+    only.foreach { sel =>
+      val unknown = sel -- ran
+      if (unknown.nonEmpty) {
+        System.err.println(s"unknown operator(s): ${unknown.mkString(", ")}; " +
+          s"known: ${ran.toSeq.sorted.mkString(", ")}")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
     spark.stop()
   }
 }
