@@ -92,6 +92,27 @@ class EmptyInputSpec extends SparkSpec {
       horizonUs = Some(1000L)).count() == 0)
     assert(graft.pipeline.Sampling.sampleTokenBudget(emptyDocs, 100L, "s",
       tokenCounter = Some(graft.functions.BpeCount.bpe_count(col("text")))).count() == 0)
+    // round-6 continuation: packing and windowed top terms on empty input
+    assert(graft.pipeline.Sampling.packSequences(emptyDocs, 128L, 4, "pk")
+      .count() == 0)
+    val emptyTt = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_time", TimestampType),
+        StructField("term", StringType))))
+    assert(graft.streaming.StreamingHist.windowedTopTerms(
+      emptyTt, "event_time", col("term"), "10 seconds", k = 2, capacity = 4)
+      .count() == 0)
+    // NULL terms are skipped, not ranked (oracle parity)
+    val nullTerms = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(new java.sql.Timestamp(1000L), "a"),
+        org.apache.spark.sql.Row(new java.sql.Timestamp(2000L), null))),
+      StructType(Seq(StructField("event_time", TimestampType),
+        StructField("term", StringType))))
+    val tt = graft.streaming.StreamingHist.windowedTopTerms(
+      nullTerms, "event_time", col("term"), "10 seconds", k = 2, capacity = 4)
+      .collect()
+    assert(tt.length == 1 && tt.head.getString(2) == "a")
   }
 
   test("similarity operators on empty corpus") {
