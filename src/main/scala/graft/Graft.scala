@@ -65,7 +65,7 @@ object Graft {
     * verdicts / cross-corpus), SimHash, PPJoin n-gram jaccard, span-level
     * boilerplate removal, benchmark decontamination (boolean and
     * contamination-fraction forms), duplicate-graph connected
-    * components. */
+    * components with lowest-id or quality-elected canonical copies. */
   val dedup: _root_.graft.pipeline.Dedup.type = _root_.graft.pipeline.Dedup
 
   /** Embedding similarity: blocked near-dup, brute-force / LSH / IVF ANN,

@@ -662,6 +662,15 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Sampling.packSequences(t(dir, "documents"), 512L, 8, "pk1",
         tokenCounter = Some(graft.functions.BpeCount.bpe_count(col("text"))))
+    },
+    "q104_components_keep_by" -> { (s, dir) =>
+      // quality-elected canonical docs: argmax(n_chars) per duplicate
+      // cluster, ties to the lowest doc_id
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.pipeline.Dedup.componentsKeepBy(
+        docs.select(col("doc_id"), col("n_chars").cast("long").as("score")),
+        Dedup.nearDupPairs(docs))
     }
   )
 
@@ -804,6 +813,7 @@ object SparkEntry {
     "q101_stream_top_terms" -> PipelineOracle.windowedTopTerms(86400000000L, 3),
     "q102_pack_sequences" -> PipelineOracle.packSequences(512L, 8, "pk1"),
     "q103_pack_bpe" -> PipelineOracle.packSequencesBpe(512L, 8, "pk1"),
+    "q104_components_keep_by" -> PipelineOracle.componentsKeepBy(),
     "q72_stream_dedup" -> PipelineOracle.streamDedup,
     // q51: the stub decoder's closed-form hash is re-derived relationally,
     // so even the multimodal pipeline is oracle-gated (the codec stays an

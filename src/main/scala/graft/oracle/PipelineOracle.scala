@@ -698,6 +698,23 @@ object PipelineOracle {
       "SELECT node AS doc_id, MIN(lab) AS component, node = MIN(lab) AS keep " +
       "FROM walk GROUP BY node"
 
+  /** Mirrors Dedup.componentsKeepBy over n_chars scores: the same
+    * transitive closure, canonical doc = argmax(score) per component
+    * with ties to the lowest doc_id. */
+  def componentsKeepBy(k: Int = 5, threshold: Double = 0.7, bands: Int = 16,
+      rowsPerBand: Int = 4): String =
+    s"WITH RECURSIVE p AS (${nearDupPairs(k, threshold, bands, rowsPerBand)}), " +
+      "e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), " +
+      "walk(node, lab) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT e.v, w.lab FROM walk w JOIN e ON e.u = w.node), " +
+      "c AS (SELECT node AS doc_id, MIN(lab) AS component FROM walk GROUP BY node), " +
+      "s AS (SELECT c.doc_id, c.component, CAST(d.n_chars AS BIGINT) AS score " +
+      "FROM c JOIN documents d USING (doc_id)), " +
+      "b AS (SELECT component, doc_id AS best_id FROM s " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY component ORDER BY score DESC, doc_id) = 1) " +
+      "SELECT s.doc_id, s.component, s.score, s.doc_id = b.best_id AS keep " +
+      "FROM s JOIN b USING (component)"
+
   /** Mirrors StreamingHist.sessionize over events: the lag/cumsum
     * sessionization identity — a session breaks only when the gap to the
     * previous event EXCEEDS the window gap (Spark's session_window merges

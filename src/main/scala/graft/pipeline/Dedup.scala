@@ -527,6 +527,37 @@ object Dedup {
     run.labels
   }
 
+  /** Canonical-copy election by QUALITY over duplicate clusters: keep
+    * the best-scoring doc per connected component (ties: lowest doc_id)
+    * instead of [[components]]' lowest-id rule — the production form,
+    * where the canonical copy should be the most complete/highest-quality
+    * duplicate, not whichever crawled first. Built on the same transitive
+    * closure; the election is one component-keyed aggregate (max of a
+    * (score, -doc_id) struct — an argmax with NO per-group sort or
+    * window) joined back, so the added cost is two shuffles keyed by
+    * component and output stays one row per node:
+    * (doc_id, component, score, keep).
+    *
+    * @param scored one row per doc: (doc_id, <scoreCol>); scores must be
+    *   non-null (NULL breaks struct-max ordering — coalesce upstream). */
+  def componentsKeepBy(scored: DataFrame, pairs: DataFrame,
+      scoreCol: String = "score", maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val comp = components(scored.select(col("doc_id")), pairs, maxIter,
+        checkpointDir)
+      .select(col("doc_id"), col("component"))
+    val withScore = comp.join(
+      scored.select(col("doc_id"), col(scoreCol).as("__s")), "doc_id")
+    // lexicographic struct max = (max score, then min doc_id via -id):
+    // exactly one keeper per component, deterministically
+    val best = withScore.groupBy(col("component"))
+      .agg(max(struct(col("__s").as("s"), (-col("doc_id")).as("negid"))).as("__b"))
+    withScore.join(best, "component")
+      .select(col("doc_id"), col("component"), col("__s").as(scoreCol),
+        (col("__s") === col("__b.s") && col("doc_id") === -col("__b.negid"))
+          .as("keep"))
+  }
+
   /** components + round count + convergence flag (the non-throwing form;
     * also used by tests and capacity planning). */
   def componentsRun(nodes: DataFrame, pairs: DataFrame,

@@ -362,6 +362,27 @@ class PipelineSpec extends SparkSpec {
       7L -> (7L, true), 8L -> (7L, false), 9L -> (9L, true)))
   }
 
+  test("componentsKeepBy: argmax-score canonical, ties to lowest doc_id") {
+    // cluster {1,2,3,4}: best score sits mid-chain (3); cluster {7,8}:
+    // tied scores -> lowest id (7); isolated 9 keeps itself
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 50L), (4L, 40L),
+      (7L, 20L), (8L, 20L), (9L, 5L)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 7L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.componentsKeepBy(scored, pairs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out == Map(
+      1L -> (1L, 10L, false), 2L -> (1L, 30L, false), 3L -> (1L, 50L, true),
+      4L -> (1L, 40L, false), 7L -> (7L, 20L, true), 8L -> (7L, 20L, false),
+      9L -> (9L, 5L, true)))
+    // exactly one keeper per component regardless of scores
+    val keepers = out.values.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.count(_._3) }
+    assert(keepers.values.forall(_ == 1))
+  }
+
   test("components: bound-hit is loud; componentsRun exposes partial labels") {
     val nodes = (1L to 5L).toDF("doc_id")
     val pairs = (1L to 4L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
