@@ -671,6 +671,16 @@ object SparkEntry {
       graft.pipeline.Dedup.componentsKeepBy(
         docs.select(col("doc_id"), col("n_chars").cast("long").as("score")),
         Dedup.nearDupPairs(docs))
+    },
+    "q105_sliding_hist" -> { (s, dir) =>
+      // sliding event-time windows: 4-hour histograms every hour (each
+      // event lands in duration/slide = 4 windows)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.windowedHistogram(
+        ev, "event_time", col("value"), axValue, "4 hours",
+        slideDuration = Some("1 hour"))
     }
   )
 
@@ -814,6 +824,18 @@ object SparkEntry {
     "q102_pack_sequences" -> PipelineOracle.packSequences(512L, 8, "pk1"),
     "q103_pack_bpe" -> PipelineOracle.packSequencesBpe(512L, 8, "pk1"),
     "q104_components_keep_by" -> PipelineOracle.componentsKeepBy(),
+    "q105_sliding_hist" -> {
+      // 4h windows sliding 1h: slide-aligned floor start minus 0..3
+      // slides; integer-floor arithmetic identical to the batch branch
+      val idx = axValue.indexSql("value")
+      val slide = 3600000000L
+      val dur = 4L * slide
+      s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, $idx AS __i0 FROM events WHERE ts IS NOT NULL),
+         | f AS (SELECT * FROM e WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${axValue.nBins - 1}),
+         | w AS (SELECT (us // $slide) * $slide - i * $slide AS ws, __i0 FROM f, UNNEST(generate_series(0, 3)) AS t(i)),
+         | g AS (SELECT ws, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM w GROUP BY 1, 2)
+         | SELECT make_timestamp(ws) AS window_start, make_timestamp(ws + $dur) AS window_end, ${axValue.labelSql("__i0")} AS value_bins, cnt FROM g""".stripMargin.replaceAll("\n", "")
+    },
     "q72_stream_dedup" -> PipelineOracle.streamDedup,
     // q51: the stub decoder's closed-form hash is re-derived relationally,
     // so even the multimodal pipeline is oracle-gated (the codec stays an

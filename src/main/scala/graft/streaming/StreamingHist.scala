@@ -40,24 +40,36 @@ object StreamingHist {
     * (start, end) struct — cheaper hashing/compare in the aggregate
     * hot path, identical rows out. */
   def windowedHistogram(df: DataFrame, tsCol: String, x: Column, ax: BinAxis,
-      windowDuration: String, watermark: String = "10 seconds"): DataFrame = {
+      windowDuration: String, watermark: String = "10 seconds",
+      slideDuration: Option[String] = None): DataFrame = {
     val kept = ax.keepPred(x, includeUnder = false, includeOver = false)
     if (df.isStreaming) {
       df.withWatermark(tsCol, watermark)
         .filter(kept)
-        .select(window(col(tsCol), windowDuration).as("win"), ax.index(x).as("__i0"))
+        .select(window(col(tsCol), windowDuration,
+          slideDuration.getOrElse(windowDuration)).as("win"), ax.index(x).as("__i0"))
         .groupBy(col("win"), col("__i0"))
         .agg(count(lit(1)).cast("double").as("cnt"))
         .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
           ax.label(col("__i0")).as(ax.binsCol), col("cnt"))
     } else {
       val durUs = fixedWindowUs(windowDuration)
+      val slideUs = slideDuration.map(fixedWindowUs).getOrElse(durUs)
+      require(durUs % slideUs == 0,
+        s"window duration must be a multiple of the slide: $windowDuration / " +
+          slideDuration.getOrElse(windowDuration))
+      // each event lands in duration/slide windows whose starts are the
+      // slide-aligned floor and its nW-1 predecessors — the same window
+      // set Spark's TimeWindowing generates (startTime 0); tumbling is
+      // nW == 1 with zero extra work (explode of a 1-element array)
+      val nW = durUs / slideUs
       val us = unix_micros(col(tsCol))
-      val startUs = (us - pmod(us, lit(durUs))).as("__ws")
       // window() drops null timestamps (TimeWindowing inserts an
       // IsNotNull filter); mirror that so batch == streaming rows
       df.filter(col(tsCol).isNotNull && kept)
-        .select(startUs, ax.index(x).as("__i0"))
+        .select((us - pmod(us, lit(slideUs))).as("__w0"), ax.index(x).as("__i0"))
+        .withColumn("__wi", explode(sequence(lit(0L), lit(nW - 1))))
+        .select((col("__w0") - col("__wi") * lit(slideUs)).as("__ws"), col("__i0"))
         .groupBy(col("__ws"), col("__i0"))
         .agg(count(lit(1)).cast("double").as("cnt"))
         .select(timestamp_micros(col("__ws")).as("window_start"),

@@ -211,6 +211,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windowed histogram: each event in dur/slide windows, streaming == batch") {
+    val ax = graft.axes.Regular("x", 4, 0.0, 4.0)
+    // events at 1s/11s/21s with 20s windows sliding 10s: event@11 lands
+    // in [0,20) and [10,30); event@1 also in [-10,10)
+    val events = Seq((ts(1), 0.5), (ts(11), 1.5), (ts(21), 2.5))
+      .toDF("event_time", "x")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime / 1000, r.getTimestamp(1).getTime / 1000,
+        r.getDouble(2), r.getDouble(3))
+    val batch = StreamingHist.windowedHistogram(
+        events, "event_time", col("x"), ax, "20 seconds",
+        slideDuration = Some("10 seconds"))
+      .collect().map(key).toSet
+    // every event appears in exactly 2 windows, one count each
+    assert(batch.size == 6 && batch.toSeq.map(_._4).sum == 6.0)
+    assert(batch.contains((0L, 20L, 0.0, 1.0)) &&
+      batch.contains((-10L, 10L, 0.0, 1.0)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = StreamingHist.windowedHistogram(
+      input.toDF().toDF("event_time", "x"), "event_time", col("x"), ax,
+      "20 seconds", slideDuration = Some("10 seconds"))
+    val q = out.writeStream.format("memory").queryName("slide_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((ts(1), 0.5), (ts(11), 1.5), (ts(21), 2.5))
+      q.processAllAvailable()
+      assert(spark.table("slide_stream").collect().map(key).toSet == batch)
+    } finally q.stop()
+  }
+
   test("windowed top terms: SpaceSaving per window, streaming == batch") {
     // window [0,10): a x3, b x2, c x1; window [10,20): c x2, a x1
     val events = Seq(
