@@ -681,6 +681,13 @@ object SparkEntry {
       graft.streaming.StreamingHist.windowedHistogram(
         ev, "event_time", col("value"), axValue, "4 hours",
         slideDuration = Some("1 hour"))
+    },
+    "q106_top_fraction" -> { (s, dir) =>
+      // keep each source's top 30% by length score
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.topFractionBySource(
+        t(dir, "documents").withColumn("score", col("n_chars").cast("long")),
+        0.3)
     }
   )
 
@@ -824,6 +831,7 @@ object SparkEntry {
     "q102_pack_sequences" -> PipelineOracle.packSequences(512L, 8, "pk1"),
     "q103_pack_bpe" -> PipelineOracle.packSequencesBpe(512L, 8, "pk1"),
     "q104_components_keep_by" -> PipelineOracle.componentsKeepBy(),
+    "q106_top_fraction" -> PipelineOracle.topFractionBySource(0.3),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

@@ -591,6 +591,17 @@ object PipelineOracle {
       s"SELECT doc_id, source, shard, n_tokens, CAST(cum // $contextLen AS BIGINT) AS pack, " +
       s"CAST(cum % $contextLen AS BIGINT) AS pack_offset FROM c"
 
+  /** Mirrors Curation.topFractionBySource over n_chars scores: same
+    * (score desc, doc_id) rank, same ceil-of-double-product cutoff. */
+  def topFractionBySource(frac: Double): String = {
+    val f = java.lang.Double.toString(frac)
+    "WITH s AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score, " +
+      "COUNT(*) OVER (PARTITION BY source) AS n, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS r " +
+      "FROM documents) " +
+      s"SELECT doc_id, source, score, r <= CEIL(CAST('$f' AS DOUBLE) * CAST(n AS DOUBLE)) AS keep FROM s"
+  }
+
   /** Per-source corpus profile (mirrors TextAnalysis.corpusStats). */
   val corpusStats: String =
     "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +

@@ -42,4 +42,33 @@ object Curation {
       .join(canonical, "doc_id")
       .join(clean, "doc_id")
   }
+
+  /** Relative quality filtering: keep each source's top `frac` fraction
+    * of docs by score (rank <= ceil(frac * |source|), ordered score
+    * desc with ties to the lowest doc_id) — "top 30% by quality per
+    * domain", the curation step absolute thresholds can't express when
+    * sources have different score distributions. Returns one verdict
+    * row per doc: (doc_id, source, score, keep).
+    *
+    * Plan: ONE shuffle keyed by source feeding both windows (count +
+    * row_number share the partitioning; the rank needs the in-partition
+    * sort). This is the EXACT form — correct at any scale but each
+    * source's volume flows through its rank sort; when approximate cuts
+    * suffice, the cheap 100 TB path is a per-source quantile-sketch
+    * threshold (percentile_approx, broadcast back, map-side filter)
+    * at the cost of a rank-boundary error band. The cutoff arithmetic
+    * (ceil of an IEEE double product) is bit-identical cross-engine. */
+  def topFractionBySource(docs: DataFrame, frac: Double,
+      scoreCol: String = "score"): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0, 1]: $frac")
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy(col("source"))
+    val ranked = Window.partitionBy(col("source"))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col(scoreCol))
+      .withColumn("__n", count(lit(1)).over(bySource))
+      .withColumn("__r", row_number().over(ranked))
+      .select(col("doc_id"), col("source"), col(scoreCol),
+        (col("__r") <= ceil(lit(frac) * col("__n").cast("double"))).as("keep"))
+  }
 }

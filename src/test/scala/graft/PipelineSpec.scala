@@ -362,6 +362,25 @@ class PipelineSpec extends SparkSpec {
       7L -> (7L, true), 8L -> (7L, false), 9L -> (9L, true)))
   }
 
+  test("topFractionBySource: ceil cutoff per source, ties to lowest doc_id") {
+    import graft.pipeline.Curation
+    // source a: 10 docs, frac 0.3 -> keep 3 (ceil(3.0)); source b: 2 docs
+    // -> keep 1 (ceil(0.6)); tied scores resolved by lowest doc_id
+    val docs = ((1L to 10L).map(i => (i, "a", i % 5)) ++
+      Seq((20L, "b", 7L), (21L, "b", 7L)))
+      .toDF("doc_id", "source", "score")
+    val out = Curation.topFractionBySource(docs, 0.3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val kept = out.filter(_._2).keySet
+    // a's scores: 4 at ids 4,9; 3 at ids 3,8 -> top 3 = {4, 9, 3}
+    assert(kept == Set(4L, 9L, 3L, 20L))
+    // frac 0 keeps nothing, frac 1 keeps everything
+    assert(Curation.topFractionBySource(docs, 0.0)
+      .filter(col("keep")).count() == 0)
+    assert(Curation.topFractionBySource(docs, 1.0)
+      .filter(col("keep")).count() == 12)
+  }
+
   test("componentsKeepBy: argmax-score canonical, ties to lowest doc_id") {
     // cluster {1,2,3,4}: best score sits mid-chain (3); cluster {7,8}:
     // tied scores -> lowest id (7); isolated 9 keeps itself
