@@ -688,6 +688,22 @@ object SparkEntry {
       graft.pipeline.Curation.topFractionBySource(
         t(dir, "documents").withColumn("score", col("n_chars").cast("long")),
         0.3)
+    },
+    "q107_temperature_mix" -> { (s, dir) =>
+      // temperature-based source mixing (p ∝ n^0.5): data-derived keep
+      // rates broadcast back, map-side hash-threshold filter — alpha 0.5
+      // is the provably cross-engine-exact sqrt path
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.sampleTemperature(
+        t(dir, "documents"), totalDocs = 300L, alpha = 0.5, salt = "tm1")
+    },
+    "q108_active_users" -> { (s, dir) =>
+      // rolling 7-day active users (WAU): user-day dedupe first, bounded
+      // 7-way explode, exact distinct count per window-end day
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.activeUsers(ev, windowDays = 7)
     }
   )
 
@@ -832,6 +848,8 @@ object SparkEntry {
     "q103_pack_bpe" -> PipelineOracle.packSequencesBpe(512L, 8, "pk1"),
     "q104_components_keep_by" -> PipelineOracle.componentsKeepBy(),
     "q106_top_fraction" -> PipelineOracle.topFractionBySource(0.3),
+    "q107_temperature_mix" -> PipelineOracle.sampleTemperature(300L, 0.5, "tm1"),
+    "q108_active_users" -> PipelineOracle.activeUsers(7),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

@@ -129,6 +129,37 @@ object Histogram {
         } :+ col(valueName): _*)
   }
 
+  /** Profile histogram (the ROOT-TProfile shape boost-histogram expresses
+    * as a Mean-storage histogram — the accumulator storage family the
+    * reference's xarray layer rejects for plain counts, core.py:87-90):
+    * per-x-bin entry count, mean and population std of a second variable
+    * y. Rows with NULL y are not entries. Same single
+    * partial-agg + one-shuffle plan as histogramdd — three
+    * map-combinable aggregates instead of one — and the same
+    * DECIMAL(38,14) sum discipline: Σy and Σy² are exact and
+    * order-independent, the mean/std arithmetic after them is a fixed
+    * sequence of correctly-rounded IEEE ops, so results are bit-identical
+    * across partitionings and engines. Variance is clamped at 0 before
+    * the sqrt (an exact-arithmetic one-value bin yields exactly 0). */
+  def profile(df: DataFrame, x: Column, ax: BinAxis, y: Column,
+      dims: Seq[String] = Nil): DataFrame = {
+    val yd = y.cast("double")
+    val proj = df
+      .filter(ax.keepPred(x, includeUnder = false, includeOver = false) && yd.isNotNull)
+      .select(dims.map(col) ++ Seq(ax.index(x).as("__i0"), yd.as("__y")): _*)
+    val sy = graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(col("__y"))))
+    val syy = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__y") * col("__y"))))
+    proj.groupBy((dims :+ "__i0").map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sy.as("__sy"), syy.as("__syy"))
+      .withColumn("mean_y", col("__sy") / col("cnt").cast("double"))
+      .withColumn("std_y", sqrt(greatest(lit(0.0),
+        col("__syy") / col("cnt").cast("double") - col("mean_y") * col("mean_y"))))
+      .select(dims.map(col) ++ Seq(
+        ax.label(col("__i0")).as(ax.binsCol, graft.axes.AxisMetadata.toMetadata(ax)),
+        col("cnt"), col("mean_y"), col("std_y")): _*)
+  }
+
   /** Materialize empty bins: full index grid (per-axis ranges incl. flow,
     * tiny → broadcast) x distinct group keys (from the PRE-filter input),
     * left-joined with the sparse counts. The grid never touches the input

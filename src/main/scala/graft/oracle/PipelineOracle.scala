@@ -577,6 +577,25 @@ object PipelineOracle {
       s"< CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), CAST($budgetTokens AS DOUBLE) / CAST(tot AS DOUBLE)) * CAST('$scale' AS DOUBLE)) AS BIGINT)"
   }
 
+  /** Mirrors Sampling.sampleTemperature: per-source counts, n^alpha
+    * weights (sqrt/identity on the gated alphas — single correctly-rounded
+    * IEEE ops), decimal-exact weight sum, identical left-associated rate
+    * arithmetic, hash-threshold filter. */
+  def sampleTemperature(totalDocs: Long, alpha: Double, salt: String): String = {
+    val scale = java.lang.Double.toString(math.pow(2.0, 60))
+    val w =
+      if (alpha == 1.0) "CAST(n AS DOUBLE)"
+      else if (alpha == 0.5) "SQRT(CAST(n AS DOUBLE))"
+      else s"POW(CAST(n AS DOUBLE), CAST('${java.lang.Double.toString(alpha)}' AS DOUBLE))"
+    val wsum = Oracle.exactDbl("SUM(TRY_CAST(CAST(w AS VARCHAR) AS DECIMAL(38,14)))")
+    "WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source), " +
+      s"w AS (SELECT source, n, $w AS w FROM t), " +
+      s"ws AS (SELECT $wsum AS ws FROM w) " +
+      "SELECT d.doc_id, d.source FROM documents d JOIN w USING (source) CROSS JOIN ws " +
+      s"WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source || ':' || ${q(salt)}), 1, 15))::BIGINT " +
+      s"< CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE), CAST($totalDocs AS DOUBLE) * w / ws / CAST(n AS DOUBLE)) * CAST('$scale' AS DOUBLE)) AS BIGINT)"
+  }
+
   /** Mirrors Sampling.packSequences: same hash shard, same (hash,
     * doc_id) layout order, exclusive window cumsum, integer div/mod
     * slots (cumsum >= 0, so `div` and `//` agree). */
@@ -797,6 +816,17 @@ object PipelineOracle {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ws ORDER BY cnt DESC, term) AS rn FROM tf) " +
       s"SELECT make_timestamp(ws) AS window_start, make_timestamp(ws + $durUs) AS window_end, " +
       s"term, cnt, CAST(0 AS BIGINT) AS err, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k"
+
+  /** Mirrors Funnel.activeUsers: distinct (user, day) activity, each
+    * user-day exploded into its windowDays trailing windows, exact
+    * distinct-user count per window-end day. Day floor matches the
+    * retention oracle (non-negative epochs: // == truncating div). */
+  def activeUsers(windowDays: Int): String =
+    "WITH a AS (SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS d " +
+      "FROM events WHERE ts IS NOT NULL), " +
+      s"w AS (SELECT user_id, d + UNNEST(generate_series(0, ${windowDays - 1})) AS day FROM a) " +
+      "SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active " +
+      "FROM w GROUP BY day"
 
   /** Mirrors Funnel.retention: integer-floor day indices, distinct
     * (user, day) activity, first day = cohort, distinct users per

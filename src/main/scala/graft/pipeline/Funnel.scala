@@ -99,4 +99,31 @@ object Funnel {
       .groupBy(col("cohort_day"), (col("__day") - col("cohort_day")).as("offset_days"))
       .agg(countDistinct(col(keyCol)).as("n_users"))
   }
+
+  /** Rolling active users (DAU at windowDays=1, WAU at 7, MAU at 30): for
+    * each day index D, the distinct users active in the trailing window
+    * (D - windowDays, D]. Output is sparse — a day appears iff some
+    * user-day in its window exists, so trailing days after the last event
+    * still appear (their windows are genuinely non-empty); day indices
+    * use the same truncating-div / non-negative-epoch contract as
+    * [[retention]].
+    *
+    * Scale shape: activity collapses to (user, day) FIRST (one user-keyed
+    * shuffle; one row per user-day, never raw event volume), then a
+    * BOUNDED explode — each user-day lands in exactly windowDays windows
+    * — feeds the exact per-day distinct count. Both the dedup and the
+    * count are map-combinable two-level aggregates; expansion is
+    * user-days × windowDays, independent of event count. */
+  def activeUsers(events: DataFrame, windowDays: Int,
+      tsCol: String = "event_time", keyCol: String = "user_id"): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    val dayUs = 86400000000L
+    val day = expr(s"unix_micros($tsCol) div $dayUs")
+    events.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), day.as("__day")).distinct()
+      .select(col(keyCol),
+        explode(sequence(col("__day"), col("__day") + lit(windowDays - 1L))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+  }
 }

@@ -69,6 +69,46 @@ object Sampling {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Temperature-based source mixing (the multilingual-corpus sampling
+    * rule: p(source) ∝ n_source^alpha, alpha < 1 upweights small sources):
+    * target per-source doc counts t_s = totalDocs * n_s^alpha / Σ n^alpha,
+    * realized as keep rates r_s = min(1, t_s / n_s) through the same
+    * deterministic hash-threshold filter as [[sampleBySource]]. E[kept
+    * docs] ≈ totalDocs when no source saturates at rate 1.
+    *
+    * Plan: one count aggregation (sources-sized, tiny), its n^alpha sum
+    * reduced decimal-exact to one broadcast row, rates broadcast back,
+    * map-side filter — the corpus is never shuffled, same 100 TB shape as
+    * [[sampleTokenBudget]].
+    *
+    * Determinism: alpha = 0.5 and 1.0 use sqrt / identity — single
+    * correctly-rounded IEEE ops, bit-identical cross-engine (the gated
+    * configs). Other alphas go through pow(), which is NOT guaranteed
+    * correctly rounded; a last-ulp rate difference only matters if it
+    * crosses a doc's 60-bit hash threshold (~2^-53 odds per doc), but the
+    * gate stays on the provably-exact alphas. */
+  def sampleTemperature(docs: DataFrame, totalDocs: Long, alpha: Double,
+      salt: String): DataFrame = {
+    require(totalDocs > 0, "totalDocs must be positive")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    def powA(n: Column): Column =
+      if (alpha == 1.0) n.cast("double")
+      else if (alpha == 0.5) sqrt(n.cast("double"))
+      else pow(n.cast("double"), lit(alpha))
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", powA(col("__n")))
+    val wSum = counts.agg(graft.util.Dec.sumDec(col("__w")).as("__ws"))
+    val rate = least(lit(1.0),
+      lit(totalDocs.toDouble) * col("__w") / col("__ws") / col("__n").cast("double"))
+    val thr = floor(rate * lit(Scale)).cast("long").as("__thr")
+    val rates = counts.crossJoin(broadcast(wSum)).select(col("source"), thr)
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .filter(hash60(col("doc_id"), col("source"), salt) < col("__thr"))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Exact deterministic reservoir: exactly min(n, |source|) docs per
     * source — the docs with the n smallest 60-bit hashes. The bounded-heap
     * aggregate (graft.functions.BottomKByKey) keeps the shuffle at n rows

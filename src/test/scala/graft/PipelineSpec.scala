@@ -63,6 +63,31 @@ class PipelineSpec extends SparkSpec {
     assert(bySrc("big") >= 2 && bySrc("big") <= 30)
   }
 
+  test("temperature mixing upweights small sources, deterministic, alpha=1 ∝ size") {
+    val docs = ((1L to 300L).map(i => (i, "t", "en", "big")) ++
+      (301L to 320L).map(i => (i, "t", "en", "small")))
+      .toDF("doc_id", "text", "lang", "source")
+    val kept = graft.pipeline.Sampling.sampleTemperature(docs, 100L, 0.5, "t1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val kept5 = graft.pipeline.Sampling.sampleTemperature(
+        docs.repartition(5), 100L, 0.5, "t1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == kept5.toSet) // partition-layout independent
+    // alpha=0.5 targets: w=sqrt(n); t_big = 100*17.32/21.79 ≈ 79 of 300
+    // (rate .265), t_small = 100*4.47/21.79 ≈ 21 >= 20 -> rate 1, ALL kept
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("small") == 20)
+    assert(bySrc("big") > 40 && bySrc("big") < 120)
+    // alpha=1 degenerates to a uniform rate: (T*n/N)/n is exactly T/N here
+    // (all intermediates dyadic), so the keep set equals sampleBySource at
+    // rate 0.3125 under the same salt
+    val k1 = graft.pipeline.Sampling.sampleTemperature(docs, 100L, 1.0, "t1")
+      .collect().map(_.getLong(0)).toSet
+    val uni = graft.pipeline.Sampling.sampleBySource(docs, Map.empty, 0.3125, "t1")
+      .collect().map(_.getLong(0)).toSet
+    assert(k1 == uni)
+  }
+
   test("exact dedup keeps lowest doc_id per content hash") {
     val out = Dedup.exact(docs).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
@@ -514,6 +539,26 @@ class PipelineSpec extends SparkSpec {
     val out = graft.pipeline.Funnel.retention(ev)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
+
+  test("active users: trailing-window distinct counts, dedup before explode") {
+    def at(day: Int, sec: Int) = new java.sql.Timestamp(day * 86400000L + sec * 1000L)
+    val ev = Seq(
+      (1L, at(0, 1)), (1L, at(0, 2)),  // two events, ONE user-day
+      (1L, at(2, 0)),                   // user 1 again on day 2
+      (2L, at(0, 5)),
+      (3L, at(4, 0))
+    ).toDF("user_id", "event_time")
+    val out = graft.pipeline.Funnel.activeUsers(ev, windowDays = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // windows (D-3, D]: day0 {1,2}, day1 {1,2}, day2 {1,2}, day3 {1},
+    // day4 {1,3}, day5 {3}, day6 {3}
+    assert(out == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 1L,
+      4L -> 2L, 5L -> 1L, 6L -> 1L))
+    // windowDays=1 is plain DAU
+    val dau = graft.pipeline.Funnel.activeUsers(ev, windowDays = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dau == Map(0L -> 2L, 2L -> 1L, 4L -> 1L))
   }
 
   test("heavy hitters: SpaceSaving bounds hold in the approximate regime") {
