@@ -704,6 +704,28 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.activeUsers(ev, windowDays = 7)
+    },
+    "q109_profile_hist" -> { (s, dir) =>
+      // profile histogram (TProfile / boost Mean storage): per-quantity-bin
+      // count, mean and population std of extendedprice, by returnflag
+      implicit val sp: SparkSession = s
+      Histogram.profile(t(dir, "lineitem"), col("l_quantity"), axQty10,
+        col("l_extendedprice"), dims = Seq("l_returnflag"))
+    },
+    "q110_rebin" -> { (s, dir) =>
+      // UHI rebin: 25-bin quantity histogram merged 5-to-1; gated against
+      // the directly-computed 5-bin histogram (bit-identical by design)
+      implicit val sp: SparkSession = s
+      HistStats.rebin(
+        hist(dir, "lineitem", col("l_quantity"), axQty,
+          dims = Seq("l_returnflag")),
+        axQty, 5, dims = Seq("l_returnflag"))
+    },
+    "q111_semdedup" -> { (s, dir) =>
+      // SemDeDup: k-means cells + within-cell cosine near-twin drop
+      // (keep = lowest vec_id); full verdict relation
+      implicit val sp: SparkSession = s
+      Similarity.semDedup(t(dir, "embeddings"), nCells = 16, threshold = 0.35)
     }
   )
 
@@ -850,6 +872,13 @@ object SparkEntry {
     "q106_top_fraction" -> PipelineOracle.topFractionBySource(0.3),
     "q107_temperature_mix" -> PipelineOracle.sampleTemperature(300L, 0.5, "tm1"),
     "q108_active_users" -> PipelineOracle.activeUsers(7),
+    "q109_profile_hist" -> Oracle.profile("lineitem",
+      Oracle.Spec("l_quantity", axQty10), "l_extendedprice",
+      dims = Seq("l_returnflag")),
+    "q110_rebin" -> Oracle.hist("lineitem",
+      Seq(Oracle.Spec("l_quantity", HistStats.coarsened(axQty, 5))),
+      dims = Seq("l_returnflag")),
+    "q111_semdedup" -> PipelineOracle.semDedup(16, 0.35),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

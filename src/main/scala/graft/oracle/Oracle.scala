@@ -101,6 +101,27 @@ object Oracle {
     sb.toString
   }
 
+  /** Mirrors Histogram.profile: same index chain and no-flow filter as
+    * hist, COUNT + decimal-exact Σy / Σy² aggregates, then the identical
+    * fixed sequence of IEEE ops for mean and clamped-variance std. */
+  def profile(table: String, spec: Spec, ySql: String,
+      dims: Seq[String] = Nil): String = {
+    val dimsSel = if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
+    val groupCols = (dims :+ "__i0").mkString(", ")
+    val sy = exactDbl("SUM(TRY_CAST(CAST(__y AS VARCHAR) AS DECIMAL(38,14)))")
+    val syy = exactDbl("SUM(TRY_CAST(CAST(__y * __y AS VARCHAR) AS DECIMAL(38,14)))")
+    s"WITH __idx AS (SELECT $dimsSel${spec.axis.indexSql(spec.valueSql)} AS __i0, " +
+      s"CAST($ySql AS DOUBLE) AS __y FROM $table), " +
+      s"__f AS (SELECT * FROM __idx WHERE __i0 IS NOT NULL AND __i0 >= 0 " +
+      s"AND __i0 <= ${spec.axis.nBins - 1} AND __y IS NOT NULL), " +
+      s"__g AS (SELECT $groupCols, COUNT(*) AS cnt, $sy AS __sy, $syy AS __syy " +
+      s"FROM __f GROUP BY $groupCols), " +
+      "__m AS (SELECT *, __sy / CAST(cnt AS DOUBLE) AS mean_y FROM __g) " +
+      s"SELECT $dimsSel(${spec.axis.labelSql("__i0")}) AS ${spec.axis.binsCol}, cnt, mean_y, " +
+      "SQRT(GREATEST(CAST(0.0 AS DOUBLE), __syy / CAST(cnt AS DOUBLE) - mean_y * mean_y)) AS std_y " +
+      "FROM __m"
+  }
+
   // ---- Statistics (mirror of graft.stats.HistStats) ----------------------
 
   /** Shared prelude: no-flow indexed histogram + left edge l + width w. */

@@ -422,6 +422,24 @@ object PipelineOracle {
   def clusterAssign(nCells: Int = 8, iters: Int = 2): String =
     s"WITH ${ivfAsgCtes(nCells, iters)} SELECT vec_id, cell FROM asg"
 
+  /** Mirrors Similarity.semDedup: trained-quantizer assignment, within-
+    * cell pairwise cosine (same ORDER BY i left-to-right dot), drop the
+    * higher vec_id of every pair at/above threshold. */
+  def semDedup(nCells: Int, threshold: Double, iters: Int = 2): String = {
+    val thr = s"CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
+    s"WITH ${ivfAsgCtes(nCells, iters)}, " +
+      "p AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM asg a " +
+      "JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id), " +
+      "d AS (SELECT p.va, p.vb, SUM(ea.v * eb.v ORDER BY ea.i) AS dot " +
+      "FROM p JOIN el ea ON ea.vec_id = p.va " +
+      "JOIN el eb ON eb.vec_id = p.vb AND eb.i = ea.i GROUP BY p.va, p.vb), " +
+      "s AS (SELECT va, vb, dot / (na.nrm * nb.nrm) AS cosine " +
+      "FROM d JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb), " +
+      s"dr AS (SELECT DISTINCT vb AS vec_id FROM s WHERE cosine >= $thr) " +
+      "SELECT asg.vec_id, asg.cell, (dr.vec_id IS NULL) AS keep " +
+      "FROM asg LEFT JOIN dr ON dr.vec_id = asg.vec_id"
+  }
+
   /** Mirrors Sampling.clusterBalancedSample: assignment + the per-cell
     * hash reservoir (cell rendered as its base-10 string inside the salt
     * hash, exactly like the Spark side's cast to the source column). */

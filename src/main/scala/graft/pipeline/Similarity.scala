@@ -445,6 +445,38 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** SemDeDup (semantic dedup via embedding clustering, Abbas et al.
+    * 2023, arXiv:2303.09540): k-means-cluster the corpus, then within
+    * each cell drop every vector with a higher-priority near-twin
+    * (cosine >= threshold). Priority is deterministic lowest-vec_id —
+    * the paper elects low-centroid-distance representatives, but any
+    * fixed total order yields the same dedup RATE, and the id order is
+    * reproducible cross-engine (same deviation q61 makes for text
+    * near-dups). Returns the full verdict relation (vec_id, cell, keep).
+    *
+    * Scale shape: quantizer train + assignment is [[cluster]]'s
+    * broadcast pass (the corpus is never shuffled to be assigned); the
+    * pairwise stage is an equi-join keyed by cell, so candidate volume
+    * is Σ|cell|² — the paper's own design point: nCells is sized so
+    * cells stay ~N/nCells small (their k ≈ 0.1%·N), cells verify in
+    * parallel, and the codegen'd VecDot keeps the verify CPU-bound, not
+    * allocation-bound. Verdicts come from one distinct + one
+    * vec_id-keyed left join, both linear in output. */
+  def semDedup(emb: DataFrame, nCells: Int, threshold: Double,
+      iters: Int = 2): DataFrame = {
+    val asg = graft.util.RelCache.persist(
+      cluster(emb, nCells, iters).join(withNorm(emb), "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"), col("nrm")))
+    val dropped = asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding"),
+        col("a.nrm"), col("b.nrm")) >= lit(threshold))
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    asg.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("__dup").isNull.as("keep"))
+  }
+
   /** Bucket xors for every flip of up to `radius` of `bits` bits (the
     * multi-probe sequence; radius 2 and bits 16 -> 137 probes). */
   private[graft] def probeFlips(bits: Int, radius: Int): Seq[Long] = {

@@ -310,6 +310,51 @@ object HistStats {
     * accessor.is_normalized, accessor.py:132. */
   def isNormalized(hist: DataFrame): Boolean = hist.columns.contains("pdf")
 
+  /** Coarse version of an axis: every k adjacent bins merged — supported
+    * where the merge stays in the same axis family: Regular/Circular
+    * (n/k bins, same lo/hi/transform — transformed-space spacing is
+    * uniform, so merged edges are exactly the coarse axis's edges) and
+    * Variable (every k-th edge). k must divide nBins (boost rejects
+    * remainder rebins the same way). */
+  def coarsened(ax: BinAxis, k: Int): BinAxis = {
+    require(k > 0 && ax.nBins % k == 0,
+      s"rebin factor $k must divide nBins=${ax.nBins}")
+    ax match {
+      case r: graft.axes.Regular => r.copy(n = r.n / k)
+      case c: graft.axes.Circular => c.copy(n = c.n / k)
+      case v: graft.axes.Variable => v.copy(allEdges =
+        v.allEdges.zipWithIndex.collect { case (e, i) if i % k == 0 => e })
+      case other => throw new IllegalArgumentException(
+        s"rebin is not defined for ${other.getClass.getSimpleName}")
+    }
+  }
+
+  /** Merge k adjacent bins of a computed histogram (boost's UHI
+    * `h[::rebin(k)]`): coarse bin j is the decimal-exact sum of fine bins
+    * [j*k, (j+1)*k); flow rows pass through unchanged. The fine bin INDEX
+    * is recovered via a broadcast equality join against the axis's own
+    * label table — both sides generate labels with the identical
+    * arithmetic, so the join is exact and no floating-point inverse is
+    * ever computed. The result is bit-identical to histogramming on
+    * [[coarsened]] directly: integer counts sum exactly, weighted values
+    * are associative DECIMAL(38,14) sums either way. */
+  def rebin(hist: DataFrame, ax: BinAxis, k: Int,
+      dims: Seq[String] = Nil): DataFrame = {
+    val coarse = coarsened(ax, k)
+    val idxTable = hist.sparkSession.range(0, ax.nBins).select(
+      ax.label(col("id")).as("__fine_label"),
+      coarse.label(expr(s"id div ${k}L")).as("__coarse"))
+    hist
+      .join(broadcast(idxTable), col(ax.binsCol) === col("__fine_label"), "left")
+      .withColumn(ax.binsCol,
+        when(isFlowLabel(ax), col(ax.binsCol)).otherwise(col("__coarse")))
+      .groupBy((dims :+ ax.binsCol).map(col): _*)
+      .agg(graft.util.Dec.sumDec(col("cnt")).as("cnt"))
+      .select(dims.map(col) ++ Seq(
+        col(ax.binsCol).as(ax.binsCol, graft.axes.AxisMetadata.toMetadata(coarse)),
+        col("cnt")): _*)
+  }
+
   /** Marginalize an N-D histogram onto a subset of its axes (boost
     * `h.project(...)`): sum counts over the dropped bin coordinates.
     * Decimal-exact so the result is bit-identical to histogramming the

@@ -215,6 +215,35 @@ class HistStatsSpec extends SparkSpec {
     assert(math.abs(p((1.0, 0.0)) - 0.5) < 1e-12)
   }
 
+  test("rebin merges k adjacent bins; flow passes through; variable/weighted exact") {
+    import graft.operators.HistOptions
+    val ax = Regular("x", 6, 0.0, 6.0)
+    val d = Seq(-1.0, 0.5, 1.5, 2.5, 3.5, 4.5, 5.5, 9.0).toDF("x")
+    val h = Histogram.histogram(d, col("x"), ax, opts = HistOptions(flow = true))
+    val r = HistStats.rebin(h, ax, 3)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(r == Map(Double.NegativeInfinity -> 1.0, 0.0 -> 3.0, 3.0 -> 3.0,
+      Double.PositiveInfinity -> 1.0))
+    // coarsened variable axis keeps every k-th edge
+    val v = Variable("x", Array(0.0, 1.0, 2.0, 5.0, 10.0))
+    val cv = HistStats.coarsened(v, 2).asInstanceOf[Variable]
+    assert(cv.allEdges.toSeq == Seq(0.0, 2.0, 10.0))
+    // weighted rebin == direct coarse weighted histogram, bit-identical
+    val wd = Seq((0.5, 1.1), (1.5, 2.2), (2.5, 3.3), (3.5, 4.4)).toDF("x", "w")
+    val fine = Histogram.histogram(wd, col("x"), Regular("x", 4, 0.0, 4.0),
+      opts = HistOptions(weight = Some(col("w"))))
+    val reb = HistStats.rebin(fine, Regular("x", 4, 0.0, 4.0), 2)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val direct = Histogram.histogram(wd, col("x"), Regular("x", 2, 0.0, 4.0),
+        opts = HistOptions(weight = Some(col("w"))))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(reb == direct)
+    // unsupported family fails loudly
+    intercept[IllegalArgumentException] {
+      HistStats.coarsened(StrCategory("s", Seq("a", "b")), 1)
+    }
+  }
+
   test("normalize stays exact on a 10k-bin variable axis (join, not CASE chain)") {
     val edges = Array.tabulate(10001)(_ * 0.001)
     val big = Variable("x", edges)

@@ -225,4 +225,23 @@ class HistogramSpec extends SparkSpec {
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(h.values.sum == 2.0)
   }
+
+  test("profile: per-bin count/mean/std of y; null y is not an entry") {
+    val df = Seq(
+      (0.5, Some(2.0)), (0.7, Some(4.0)),   // bin 0: mean 3, var 1
+      (1.5, Some(10.0)),                     // bin 1: single entry, std 0
+      (1.6, None),                           // null y: NOT an entry
+      (9.0, Some(100.0))                     // out of range: dropped
+    ).toDF("x", "y")
+    val out = Histogram.profile(df, col("x"), Regular("x", 2, 0.0, 2.0), col("y"))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(0.0 -> ((2L, 3.0, 1.0)), 1.0 -> ((1L, 10.0, 0.0))))
+    // determinism across partitionings (decimal-exact sums)
+    val out7 = Histogram.profile(df.repartition(7), col("x"),
+        Regular("x", 2, 0.0, 2.0), col("y"))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out7 == out)
+  }
 }

@@ -169,6 +169,23 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semDedup drops the higher id of every within-cell near-twin") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // exact dup of 1 -> dropped
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // exact dup of 3 -> dropped
+      (5L, Array(0.0f, 0.0f, 1.0f, 0.0f))    // unique -> kept
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, nCells = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
+    // deterministic across partition layouts
+    val out7 = Similarity.semDedup(vecs.repartition(7), nCells = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out7 == out)
+  }
+
   test("cluster assignment is total and balanced sampling is exact-N") {
     val many = (1L to 40L).map { i =>
       val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
