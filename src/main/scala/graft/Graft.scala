@@ -42,7 +42,8 @@ object Graft {
 
   /** N-D histograms over DataFrame columns: `histogram`, `histogram2d`,
     * `histogramdd`, auto-ranged axes, weights / density / flow / dense
-    * options (reference core.py). */
+    * options (reference core.py), and `profile` (per-bin mean/std of a
+    * second variable). */
   val hist: _root_.graft.operators.Histogram.type = _root_.graft.operators.Histogram
 
   /** Dense-array fast count kernels for the hot unweighted 1-D/2-D cases
@@ -56,7 +57,8 @@ object Graft {
 
   /** Histogram statistics accessor: mean/var/std/median/ppf/cdf/moment/
     * interval, normalize/normalizeOver, removeFlow, scaleBins,
-    * applyToBins, binsTable/areasTable, add, cumulative, marginalize. */
+    * applyToBins, binsTable/areasTable, add, cumulative, marginalize,
+    * rebin/coarsened. */
   val stats: _root_.graft.stats.HistStats.type = _root_.graft.stats.HistStats
 
   // ---- Training-data pipeline ---------------------------------------------
@@ -69,7 +71,7 @@ object Graft {
   val dedup: _root_.graft.pipeline.Dedup.type = _root_.graft.pipeline.Dedup
 
   /** Embedding similarity: blocked near-dup, brute-force / LSH / IVF ANN,
-    * k-means corpus clustering. */
+    * k-means corpus clustering, SemDeDup within-cell semantic dedup. */
   val similarity: _root_.graft.pipeline.Similarity.type =
     _root_.graft.pipeline.Similarity
 
@@ -79,15 +81,17 @@ object Graft {
   val text: _root_.graft.pipeline.TextAnalysis.type =
     _root_.graft.pipeline.TextAnalysis
 
-  /** Deterministic sampling: hash-threshold domain mixing, exact-N
-    * per-group reservoirs, token-budget and cluster-balanced sampling. */
+  /** Deterministic sampling: hash-threshold domain mixing (fixed-rate
+    * and temperature-based), exact-N per-group reservoirs, token-budget
+    * and cluster-balanced sampling, concat-and-chunk sequence packing. */
   val sampling: _root_.graft.pipeline.Sampling.type = _root_.graft.pipeline.Sampling
 
   /** The composed end-to-end curation chain as one declarative plan. */
   val curation: _root_.graft.pipeline.Curation.type = _root_.graft.pipeline.Curation
 
-  /** Conversion funnels (plain and horizon-windowed) and retention
-    * cohorts over event streams. */
+  /** Conversion funnels (plain and horizon-windowed), retention
+    * cohorts, and rolling active users (DAU/WAU/MAU) over event
+    * streams. */
   val funnel: _root_.graft.pipeline.Funnel.type = _root_.graft.pipeline.Funnel
 
   /** Binary media columns: batched decode plumbing, frame sampling,

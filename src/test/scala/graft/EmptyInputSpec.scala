@@ -122,6 +122,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.annLsh(emptyEmb, emptyEmb, 3).count() == 0)
   }
 
+  test("round-6 operators on empty input") {
+    assert(graft.pipeline.Sampling.sampleTemperature(
+      emptyDocs, 10L, 0.5, "t").count() == 0)
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_time", TimestampType))))
+    assert(graft.pipeline.Funnel.activeUsers(emptyEv, 7).count() == 0)
+    assert(Histogram.profile(emptyNum, col("x"), ax, col("x")).count() == 0)
+    val h = Histogram.histogram(emptyNum, col("x"), ax)
+    assert(HistStats.rebin(h, ax, 2).count() == 0)
+    assert(Similarity.semDedup(emptyEmb, nCells = 2, threshold = 0.9).count() == 0)
+  }
+
   test("accessor arithmetic and multimodal on empty input") {
     val h = Histogram.histogram(emptyNum, col("x"), ax)
     assert(HistStats.add(h, h, ax, Nil).count() == 0)

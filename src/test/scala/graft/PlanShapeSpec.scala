@@ -137,6 +137,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("temperature mix: rates broadcast back, corpus never shuffled") {
+    val plan = executedPlan(
+      graft.pipeline.Sampling.sampleTemperature(docs, 10L, 0.5, "t"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the per-source rate relation joins back via broadcast; the corpus
+    // side must not hash-shuffle on doc_id/source for the filter
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("semDedup: pairwise stage is a cell equi-join, assignment broadcast") {
+    val plan = executedPlan(Similarity.semDedup(emb, nCells = 4, threshold = 0.9))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the within-cell pair join is keyed by the cell column
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("cell#")), plan)
+  }
+
+  test("rebin: label table broadcast, one aggregate exchange") {
+    val ax = graft.axes.Regular("x", 8, 0.0, 8.0)
+    val h = graft.operators.Histogram.histogram(
+      spark.range(0, 100).select((col("id") % 8).cast("double").as("x")),
+      col("x"), ax)
+    val plan = executedPlan(graft.stats.HistStats.rebin(h, ax, 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("normalizeOver with flow: width lookups stay broadcast joins") {
     val ax1 = graft.axes.Regular("x", 4, 0.0, 4.0)
     val ax2 = graft.axes.Regular("y", 4, 0.0, 4.0)
