@@ -726,6 +726,12 @@ object SparkEntry {
       // (keep = lowest vec_id); full verdict relation
       implicit val sp: SparkSession = s
       Similarity.semDedup(t(dir, "embeddings"), nCells = 16, threshold = 0.35)
+    },
+    "q112_containment" -> { (s, dir) =>
+      // directed near-superset pairs: |A∩B|/|A| >= 0.8 on 8-char grams —
+      // catches excerpts/supersets that symmetric jaccard misses
+      implicit val sp: SparkSession = s
+      Dedup.containment(t(dir, "documents"), k = 8, threshold = 0.8)
     }
   )
 
@@ -879,6 +885,7 @@ object SparkEntry {
       Seq(Oracle.Spec("l_quantity", HistStats.coarsened(axQty, 5))),
       dims = Seq("l_returnflag")),
     "q111_semdedup" -> PipelineOracle.semDedup(16, 0.35),
+    "q112_containment" -> PipelineOracle.containment(8, 0.8),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

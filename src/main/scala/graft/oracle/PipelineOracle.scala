@@ -260,6 +260,34 @@ object PipelineOracle {
       s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
   }
 
+  /** Mirrors Dedup.containment: same character-gram relation as the
+    * jaccard oracle, A-side prefix in the oracle's own (frequency, gram)
+    * order (a different-but-sound blocking — agreement with the Spark
+    * side's hash-order blocking cross-proves both), B side unblocked,
+    * exact |A∩B|/|A| tail. */
+  def containment(k: Int = 8, threshold: Double = 0.8): String = {
+    val t = s"CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
+    val con = "CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE)"
+    s"WITH g AS (SELECT DISTINCT doc_id, source, substring(text, CAST(i AS INT), $k) AS g " +
+      s"FROM (SELECT doc_id, source, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id), " +
+      "freq AS (SELECT source, g, COUNT(*) AS f FROM g GROUP BY 1, 2), " +
+      "rk AS (SELECT g.doc_id, g.source, g.g, sz.sz, " +
+      "ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY freq.f, g.g) AS rn " +
+      "FROM g JOIN freq ON freq.source = g.source AND freq.g = g.g " +
+      "JOIN sz ON sz.doc_id = g.doc_id), " +
+      s"pfx AS (SELECT doc_id, source, g FROM rk WHERE rn <= sz - CAST(CEIL($t * CAST(sz AS DOUBLE) - 1e-9) AS BIGINT) + 1), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM pfx a " +
+      "JOIN g b ON b.source = a.source AND b.g = a.g AND b.doc_id <> a.doc_id), " +
+      "inter AS (SELECT cand.doc_a, cand.doc_b, COUNT(*) AS inter FROM cand " +
+      "JOIN g ga ON ga.doc_id = cand.doc_a " +
+      "JOIN g gb ON gb.doc_id = cand.doc_b AND gb.source = ga.source AND gb.g = ga.g " +
+      "GROUP BY 1, 2) " +
+      s"SELECT doc_a, doc_b, $con AS containment " +
+      "FROM inter JOIN sz sa ON sa.doc_id = doc_a " +
+      s"WHERE $con >= $t"
+  }
+
   /** Shared element/norm CTEs over embeddings (ordered sums = Spark's
     * left-to-right array fold). */
   private val embBase: String =

@@ -460,6 +460,61 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Containment similarity join (near-superset detection): directed
+    * pairs where |grams(A) ∩ grams(B)| / |grams(A)| >= threshold — doc A
+    * is (nearly) contained in B. The asymmetric form catches excerpts,
+    * quotes and boilerplate-wrapped copies that Jaccard structurally
+    * misses: at |A| << |B|, jaccard ≈ |A|/|B| -> 0 while containment -> 1.
+    *
+    * Blocking: A-side prefix filter over the same corpus-wide hash-sorted
+    * gram arrays as [[ngramJaccard]] — prefix length
+    * |A| - ceil(t·|A|) + 1, computed as ceil(t·|A| - eps) so double
+    * rounding can only LENGTHEN the prefix (admit candidates), never drop
+    * one — joined against the FULL inverted index of the indexed side:
+    * containment puts no upper bound on |B|, so the indexed side cannot
+    * be prefix-truncated (the standard containment-join shape; candidate
+    * volume is bounded by prefix-gram document frequencies, and hot grams
+    * are split by AQE's skew handling). Size filter |B| >= t·|A| and the
+    * per-occurrence positional overlap bound prune before the distinct;
+    * verification is one codegen'd sorted-merge intersection per
+    * candidate. The oracle re-derives candidates from its own
+    * (frequency, gram) prefix order — any consistent total order is a
+    * sound blocking, so agreeing final outputs cross-prove completeness
+    * of both. */
+  def containment(docs: DataFrame, k: Int = 8, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val gsets = memoPersist(widen(docs).select(col("doc_id"),
+      graft.functions.GramHashes.gram_hashes(col("text"), col("source"), k).as("gset")))
+    val eps = lit(1e-9)
+    val withSz = gsets.filter(size(col("gset")) > 0)
+      .select(col("doc_id"), col("gset"), size(col("gset")).cast("long").as("sz"))
+    val prefLen = (col("sz") -
+      ceil(lit(threshold) * col("sz").cast("double") - eps) + lit(1L)).cast("int")
+    val prefix = memoPersist(withSz
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("gset"), lit(1), prefLen)).as(Seq("__p", "__k"))))
+    val full = memoPersist(withSz
+      .select(col("doc_id"), col("sz"), posexplode(col("gset")).as(Seq("__p", "__k"))))
+    val saD = col("a.sz").cast("double")
+    val minOv = lit(threshold) * saD - eps
+    val ubound = (least(col("a.__p"), col("b.__p")) + 1 +
+      least(col("a.sz") - col("a.__p") - 1, col("b.sz") - col("b.__p") - 1)).cast("double")
+    val cand = prefix.as("a").join(full.as("b"),
+        col("a.__k") === col("b.__k") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.sz").cast("double") >= minOv && ubound >= minOv)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sa"))
+      .distinct()
+    cand
+      .join(gsets.select(col("doc_id").as("doc_a"), col("gset").as("ga")), "doc_a")
+      .join(gsets.select(col("doc_id").as("doc_b"), col("gset").as("gb")), "doc_b")
+      .withColumn("containment",
+        graft.functions.SortedIntersectCount.sorted_intersect_count(col("ga"), col("gb"))
+          .cast("double") / col("sa").cast("double"))
+      .filter(col("containment") >= lit(threshold))
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Connected components over a duplicate-pair graph: the transitive
     * closure the pairwise detectors (minhashLsh / nearDupPairs /
     * simhashPairs) feed. Near-duplication is not transitive — a~b and b~c

@@ -463,9 +463,9 @@ object Similarity {
     * allocation-bound. Verdicts come from one distinct + one
     * vec_id-keyed left join, both linear in output. */
   def semDedup(emb: DataFrame, nCells: Int, threshold: Double,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, superProbe: Option[Int] = None): DataFrame = {
     val asg = graft.util.RelCache.persist(
-      cluster(emb, nCells, iters).join(withNorm(emb), "vec_id")
+      cluster(emb, nCells, iters, superProbe).join(withNorm(emb), "vec_id")
         .select(col("vec_id"), col("cell"), col("embedding"), col("nrm")))
     val dropped = asg.as("a").join(asg.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

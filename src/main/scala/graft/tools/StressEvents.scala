@@ -37,6 +37,7 @@ object StressEvents {
     time("funnel")(graft.pipeline.Funnel.funnel(
       ev, Seq("view", "click", "purchase")).count())
     time("retention")(graft.pipeline.Funnel.retention(ev).count())
+    time("active_users_7d")(graft.pipeline.Funnel.activeUsers(ev, 7).count())
     // the repo's canonical events-value axis (0-512 covers the domain);
     // a narrow axis would filter most rows and measure nothing
     time("windowed_hist")(graft.streaming.StreamingHist.windowedHistogram(

@@ -55,6 +55,18 @@ object StressVec {
         f"$agree/${exactAssign.size} = ${agree.toDouble / exactAssign.size}%.3f")
     }
     time("ann_bruteforce")(graft.pipeline.Similarity.bruteForceTopK(emb, q, 5).count())
+    // SemDeDup at the paper's design point — nCells scaled to hold mean
+    // cell size ~500 constant, so the within-cell pairwise work per
+    // vector stays flat as the corpus grows (the output on a replicated
+    // corpus measures duplicate density, like the pair join above)
+    val semCells = math.max(16, (emb.count() / 500L).toInt)
+    time(s"semdedup_${semCells}c")(
+      graft.pipeline.Similarity.semDedup(emb, semCells, 0.35).count())
+    // with constant cell size the exact assignment term is N*nCells =
+    // N^2/500 — the pruned two-level path is the at-scale build knob
+    time(s"semdedup_${semCells}c_pruned")(
+      graft.pipeline.Similarity.semDedup(emb, semCells, 0.35,
+        superProbe = Some(2)).count())
     if (flags.isEmpty)
       time("neardup_bucketed")(graft.pipeline.Similarity.nearDup(emb, 0.35).count())
     // IVF recall sweep vs brute-force top-3 at the GATED config's corpus

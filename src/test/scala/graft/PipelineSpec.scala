@@ -169,6 +169,32 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("containment finds directed near-supersets that jaccard misses") {
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val cd = Seq(
+      (1L, body, "en", "s1"),                                // the excerpt
+      (2L, body + " padded with a much longer tail of completely unrelated " +
+        "words that dilute the union so jaccard drops far below threshold " +
+        "while containment of doc one stays exactly at the maximum value",
+        "en", "s1"),                                         // superset of 1
+      (3L, "entirely different content with no shared substrings at all",
+        "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.containment(cd, k = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1 contained in 2 (every gram of 1 appears in 2); NOT 2 in 1
+    assert(out.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.99 }, out.toSeq)
+    assert(!out.exists { case (a, b, _) => a == 2L && b == 1L }, out.toSeq)
+    assert(!out.exists { case (a, b, _) => a == 3L || b == 3L }, out.toSeq)
+    // jaccard at the same threshold misses the excerpt pair entirely
+    val jac = Dedup.ngramJaccard(cd, k = 8, threshold = 0.9).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    // deterministic across partitionings
+    val out5 = Dedup.containment(cd.repartition(5), k = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out5.toSet == out.toSet)
+  }
+
   test("semDedup drops the higher id of every within-cell near-twin") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
