@@ -732,6 +732,18 @@ object SparkEntry {
       // catches excerpts/supersets that symmetric jaccard misses
       implicit val sp: SparkSession = s
       Dedup.containment(t(dir, "documents"), k = 8, threshold = 0.8)
+    },
+    "q113_hist_drift" -> { (s, dir) =>
+      // distribution drift between two event-type value histograms:
+      // TVD + symmetric chi-square, log-free (bit-exact cross-engine)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      HistStats.drift(
+        Histogram.histogram(ev.filter(col("event_type") === "view"),
+          col("value"), axValue),
+        Histogram.histogram(ev.filter(col("event_type") === "click"),
+          col("value"), axValue),
+        axValue)
     }
   )
 
@@ -886,6 +898,8 @@ object SparkEntry {
       dims = Seq("l_returnflag")),
     "q111_semdedup" -> PipelineOracle.semDedup(16, 0.35),
     "q112_containment" -> PipelineOracle.containment(8, 0.8),
+    "q113_hist_drift" -> Oracle.drift("events", Oracle.Spec("value", axValue),
+      "event_type = 'view'", "event_type = 'click'"),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

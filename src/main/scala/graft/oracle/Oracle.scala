@@ -122,6 +122,34 @@ object Oracle {
       "FROM __m"
   }
 
+  /** Mirrors HistStats.drift for two count histograms of `table` split by
+    * whereA/whereB: same full-outer bin join, decimal-exact totals and
+    * metric sums, identical IEEE tails. */
+  def drift(table: String, spec: Spec, whereA: String, whereB: String): String = {
+    def histCte(name: String, where: String): String =
+      s"$name AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+        s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+        s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1} " +
+        "GROUP BY __i0)"
+    def dsum(e: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14)))")
+    // totals are integer-valued counts -> decimal sums are exact; the
+    // per-bin metric terms are full-precision ratios and are summed as a
+    // SEQUENTIAL fold in bin order instead (SUM ORDER BY = Spark's sorted
+    // array fold; the decimal route would round their 14th digit
+    // differently per engine — see HistStats.drift)
+    s"WITH ${histCte("ha", whereA)}, ${histCte("hb", whereB)}, " +
+      "j AS (SELECT COALESCE(ha.__i0, hb.__i0) AS i, " +
+      "COALESCE(ha.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hb.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM ha FULL OUTER JOIN hb ON hb.__i0 = ha.__i0), " +
+      s"t AS (SELECT ${dsum("ca")} AS ta, ${dsum("cb")} AS tb FROM j), " +
+      "p AS (SELECT i, ca / ta AS p, cb / tb AS q FROM j CROSS JOIN t) " +
+      "SELECT SUM(ABS(p - q) ORDER BY i) * CAST('0.5' AS DOUBLE) AS tvd, " +
+      "SUM(CASE WHEN p + q > 0 THEN (p - q) * (p - q) / (p + q) ELSE CAST(0 AS DOUBLE) END ORDER BY i) AS chisq " +
+      "FROM p"
+  }
+
   // ---- Statistics (mirror of graft.stats.HistStats) ----------------------
 
   /** Shared prelude: no-flow indexed histogram + left edge l + width w. */

@@ -310,6 +310,62 @@ object HistStats {
     * accessor.is_normalized, accessor.py:132. */
   def isNormalized(hist: DataFrame): Boolean = hist.columns.contains("pdf")
 
+  /** Distribution drift between two histograms over the SAME axis (the
+    * monitoring primitive behind data-quality dashboards: reference
+    * window vs current window): per dims group, total-variation distance
+    * 0.5·Σ|p_i − q_i| and the chi-square-style symmetric divergence
+    * Σ (p_i − q_i)²/(p_i + q_i) (= 2·χ²_sym; bins absent from one side
+    * count as 0). Both metrics are log-free — every step is either a
+    * DECIMAL(38,14)-exact sum or a fixed sequence of correctly-rounded
+    * IEEE ops, so results are bit-identical cross-engine (a KL/JS variant
+    * would hinge on ln(), which carries no cross-engine bit guarantee).
+    * Inputs must be count histograms with a nonzero total per group —
+    * drift from an empty distribution is undefined.
+    *
+    * Scale shape: both inputs are ALREADY aggregated (≤ nBins rows per
+    * group), so the outer join, the per-group total window and the final
+    * aggregate all run on histogram-sized relations — the raw corpora are
+    * never touched. */
+  def drift(a: DataFrame, b: DataFrame, ax: BinAxis,
+      dims: Seq[String] = Nil): DataFrame = {
+    val aa = a.select(dims.map(col) ++
+      Seq(col(ax.binsCol).as("__bin"), col("cnt").as("__ca")): _*)
+    val bb = b.select(dims.map(col) ++
+      Seq(col(ax.binsCol).as("__bin"), col("cnt").as("__cb")): _*)
+    val j = aa.join(bb, dims :+ "__bin", "full_outer")
+      .na.fill(0.0, Seq("__ca", "__cb"))
+    val w = if (dims.isEmpty) Window.partitionBy()
+      else Window.partitionBy(dims.map(col): _*)
+    val ta = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__ca"))).over(w))
+    val tb = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__cb"))).over(w))
+    val pq = j.withColumn("__p", col("__ca") / ta)
+      .withColumn("__q", col("__cb") / tb)
+    val d = col("__p") - col("__q")
+    val s = col("__p") + col("__q")
+    // The per-bin terms are full-precision ratios, where the
+    // DECIMAL(38,14) route is NOT cross-engine-safe: quantizing to 14
+    // decimals goes through the double's decimal string, and Java 17's
+    // Double.toString emits non-shortest digit strings for some doubles,
+    // so the half-up rounding at digit 14 can differ from DuckDB's by one
+    // quantum per term. Instead sum the (≤ nBins-sized) term array with
+    // an explicit left-to-right fold in bin order — the same
+    // sequential-sum contract the dot-product oracles pin with
+    // SUM(x ORDER BY i); the interpreted HOF fold is fine on an
+    // already-aggregated histogram-sized array.
+    val terms = sort_array(collect_list(struct(
+      col("__bin").as("k"),
+      abs(d).as("t1"),
+      when(s > lit(0.0), d * d / s).otherwise(lit(0.0)).as("t2"))))
+    def fold(arr: Column, field: String): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x.getField(field))
+    grouped(pq, dims)(terms.as("__terms"))
+      .select(dims.map(col) ++ Seq(
+        (fold(col("__terms"), "t1") * lit(0.5)).as("tvd"),
+        fold(col("__terms"), "t2").as("chisq")): _*)
+  }
+
   /** Coarse version of an axis: every k adjacent bins merged — supported
     * where the merge stays in the same axis family: Regular/Circular
     * (n/k bins, same lo/hi/transform — transformed-space spacing is

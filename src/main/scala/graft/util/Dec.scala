@@ -19,7 +19,19 @@ import org.apache.spark.sql.types.DecimalType
   * per IEEE; fraction: < 10^14 < 2^53), and the remaining ops are single
   * correctly-rounded IEEE ops — bit-identical across engines.
   * The SQL mirror lives in graft.oracle.Oracle.exactDbl.
-  */
+  *
+  * SCOPE: the per-row double -> decimal conversion is engine-identical
+  * only when the double's value is determined by its first 14 fractional
+  * digits (counts, prices, their products/sums — everything the operators
+  * feed it). Full-precision ratios (e.g. p_i = cnt/total) need MORE than
+  * 14 digits, and there the rounding at digit 14 goes through the
+  * engine's decimal string of the double — Java 17's Double.toString
+  * emits non-shortest strings for some doubles, so the half-up tie can
+  * land differently than DuckDB's by one quantum per row (measured in
+  * HistStats.drift's first draft: ~1e-13 over 16 bins). For such sums use
+  * an explicit sequential fold in a pinned order instead (Spark: sorted
+  * array + HOF fold; SQL: SUM(x ORDER BY k)) — exact-order IEEE addition
+  * is bit-identical by construction. */
 object Dec {
   val D: DecimalType = DecimalType(38, 14)
 

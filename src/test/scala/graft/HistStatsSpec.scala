@@ -244,6 +244,23 @@ class HistStatsSpec extends SparkSpec {
     }
   }
 
+  test("drift: tvd/chisq on known distributions, zero for identical ones") {
+    val ax = Regular("x", 4, 0.0, 4.0)
+    val da = Seq(0.5, 0.5, 1.5, 1.5).toDF("x")   // p = (.5, .5, 0, 0)
+    val db = Seq(0.5, 2.5, 2.5, 3.5).toDF("x")   // q = (.25, 0, .5, .25)
+    val ha = Histogram.histogram(da, col("x"), ax)
+    val hb = Histogram.histogram(db, col("x"), ax)
+    val r = HistStats.drift(ha, hb, ax).collect().head
+    // tvd = .5*(|.25|+|.5|+|.5|+|.25|) = 0.75
+    assert(math.abs(r.getDouble(0) - 0.75) < 1e-12)
+    // chisq = .0625/.75 + .25/.5 + .25/.5 + .0625/.25
+    val expect = 0.0625 / 0.75 + 0.5 + 0.5 + 0.25
+    assert(math.abs(r.getDouble(1) - expect) < 1e-12)
+    // identical inputs -> exactly zero drift
+    val z = HistStats.drift(ha, ha, ax).collect().head
+    assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0)
+  }
+
   test("normalize stays exact on a 10k-bin variable axis (join, not CASE chain)") {
     val edges = Array.tabulate(10001)(_ * 0.001)
     val big = Variable("x", edges)
