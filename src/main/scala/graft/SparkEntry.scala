@@ -744,6 +744,25 @@ object SparkEntry {
         Histogram.histogram(ev.filter(col("event_type") === "click"),
           col("value"), axValue),
         axValue)
+    },
+    "q114_windowed_drift" -> { (s, dir) =>
+      // per-day drift vs the whole-corpus reference distribution — the
+      // rolling data-quality monitor (which days look anomalous?)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      HistStats.driftFrom(
+        Histogram.histogram(ev, col("value"), axValue, dims = Seq("day")),
+        Histogram.histogram(ev, col("value"), axValue),
+        axValue, dims = Seq("day"))
+    },
+    "q115_session_paths" -> { (s, dir) =>
+      // top-20 user-journey paths: 6-hour-gap sessions rendered as their
+      // ordered event-type sequence, counted, TakeOrdered top-k
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.sessionPaths(ev, "6 hours", k = 20)
     }
   )
 
@@ -900,6 +919,9 @@ object SparkEntry {
     "q112_containment" -> PipelineOracle.containment(8, 0.8),
     "q113_hist_drift" -> Oracle.drift("events", Oracle.Spec("value", axValue),
       "event_type = 'view'", "event_type = 'click'"),
+    "q114_windowed_drift" -> Oracle.driftByDim("events",
+      Oracle.Spec("value", axValue), "(epoch_ns(ts) // 1000) // 86400000000", "day"),
+    "q115_session_paths" -> PipelineOracle.sessionPaths(21600000000L, 20),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

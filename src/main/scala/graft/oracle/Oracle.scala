@@ -150,6 +150,32 @@ object Oracle {
       "FROM p"
   }
 
+  /** Mirrors HistStats.driftFrom over a single integer dim expression:
+    * per-dim histograms full-outer-joined against the dim×reference grid,
+    * decimal-exact per-dim totals, pinned-order metric folds. */
+  def driftByDim(table: String, spec: Spec, dimSql: String,
+      dimName: String): String = {
+    def dsum(e: String, part: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER ($part)")
+    val idx = spec.axis.indexSql(spec.valueSql)
+    val rng = s"__i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1}"
+    s"WITH hx AS (SELECT d, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $dimSql AS d, $idx AS __i0 FROM $table) WHERE $rng GROUP BY d, __i0), " +
+      s"hr AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $idx AS __i0 FROM $table) WHERE $rng GROUP BY __i0), " +
+      "ds AS (SELECT DISTINCT d FROM hx), " +
+      "rb AS (SELECT ds.d, hr.__i0, hr.cnt FROM ds CROSS JOIN hr), " +
+      "j AS (SELECT COALESCE(hx.d, rb.d) AS d, COALESCE(hx.__i0, rb.__i0) AS i, " +
+      "COALESCE(hx.cnt, CAST(0 AS DOUBLE)) AS ca, COALESCE(rb.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM hx FULL OUTER JOIN rb ON rb.d = hx.d AND rb.__i0 = hx.__i0), " +
+      s"w AS (SELECT d, i, ca, cb, ${dsum("ca", "PARTITION BY d")} AS ta, " +
+      s"${dsum("cb", "PARTITION BY d")} AS tb FROM j), " +
+      "p AS (SELECT d, i, ca / ta AS p, cb / tb AS q FROM w) " +
+      s"SELECT d AS $dimName, SUM(ABS(p - q) ORDER BY i) * CAST('0.5' AS DOUBLE) AS tvd, " +
+      "SUM(CASE WHEN p + q > 0 THEN (p - q) * (p - q) / (p + q) ELSE CAST(0 AS DOUBLE) END ORDER BY i) AS chisq " +
+      "FROM p GROUP BY d"
+  }
+
   // ---- Statistics (mirror of graft.stats.HistStats) ----------------------
 
   /** Shared prelude: no-flow indexed histogram + left edge l + width w. */

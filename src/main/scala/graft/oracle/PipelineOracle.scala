@@ -809,6 +809,22 @@ object PipelineOracle {
       Oracle.exactDbl("SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,14)))") +
       " AS sum_value FROM s GROUP BY user_id, sid"
 
+  /** Mirrors Funnel.sessionPaths: the sessionize lag/cumsum identity,
+    * per-session type sequence ordered by (time, type), count per path,
+    * top-k with ties to the lexicographically first path. */
+  def sessionPaths(gapUs: Long, k: Int): String =
+    "WITH o AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events " +
+      "WHERE ts IS NOT NULL AND event_type IS NOT NULL), " +
+      "m AS (SELECT user_id, us, event_type, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) " +
+      s"> $gapUs THEN 1 ELSE 0 END AS brk FROM o), " +
+      "s AS (SELECT user_id, us, event_type, SUM(brk) OVER (PARTITION BY user_id ORDER BY us " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m), " +
+      "p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY us, event_type) AS path " +
+      "FROM s GROUP BY user_id, sid), " +
+      "c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM p GROUP BY path), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rn FROM c) " +
+      s"SELECT path, n_sessions, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k"
+
   /** Mirrors Funnel.funnel over events: per-step conditional-min CTEs
     * (t_k = min time of step k strictly after t_{k-1}), microsecond
     * precision like the Spark side's `ts div 1000` event_time. */

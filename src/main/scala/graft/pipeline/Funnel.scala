@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-event funnel analysis over an event stream: for each key
@@ -98,6 +99,36 @@ object Funnel {
     act.join(first, Seq(keyCol))
       .groupBy(col("cohort_day"), (col("__day") - col("cohort_day")).as("offset_days"))
       .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
+
+  /** Top-k user-journey paths: sessionize (native session_window — the
+    * same merge semantics q87 gates against the lag/cumsum identity),
+    * render each session as its ordered event-type sequence, count
+    * sessions per path and keep the k most frequent (ties to the
+    * lexicographically first path). Events inside a session are ordered
+    * by (time, type) — a total, engine-independent order; NULL types are
+    * excluded.
+    *
+    * Scale shape: one session-keyed aggregate builds the per-session
+    * path (state bounded by session length), one path-keyed count, and
+    * the global top-k runs as TakeOrdered (map-side partial top-k, k
+    * rows per partition to the driver — never the full path
+    * distribution). */
+  def sessionPaths(events: DataFrame, gap: String, k: Int,
+      tsCol: String = "event_time", keyCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val paths = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol).as("t"), col(typeCol).as("e")))),
+        x => x.getField("e")), ">").as("path"))
+    val counted = paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
+    counted.withColumn("rank",
+      row_number().over(Window.orderBy(col("n_sessions").desc, col("path")))
+        .cast("int"))
   }
 
   /** Rolling active users (DAU at windowDays=1, WAU at 7, MAU at 30): for

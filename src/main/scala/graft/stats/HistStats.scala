@@ -366,6 +366,21 @@ object HistStats {
         fold(col("__terms"), "t2").as("chisq")): _*)
   }
 
+  /** Per-group drift against ONE shared reference histogram (the
+    * monitoring form: every window/day/source scored against the same
+    * baseline distribution). The reference (histogram-sized, no dims) is
+    * broadcast-replicated across the groups present in `a`, then scored
+    * with the exact [[drift]] algebra — each group's full-outer bin join
+    * sees the complete reference support, so a group missing a reference
+    * bin still pays its TVD/chi-square share. */
+  def driftFrom(a: DataFrame, ref: DataFrame, ax: BinAxis,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "driftFrom scores per group; use drift for the global form")
+    val grid = a.select(dims.map(col): _*).distinct()
+      .crossJoin(broadcast(ref.select(col(ax.binsCol), col("cnt"))))
+    drift(a, grid, ax, dims)
+  }
+
   /** Coarse version of an axis: every k adjacent bins merged — supported
     * where the merge stays in the same axis family: Regular/Circular
     * (n/k bins, same lo/hi/transform — transformed-space spacing is

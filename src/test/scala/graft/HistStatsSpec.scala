@@ -261,6 +261,29 @@ class HistStatsSpec extends SparkSpec {
     assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0)
   }
 
+  test("driftFrom scores each group against the shared reference") {
+    val ax = Regular("x", 2, 0.0, 2.0)
+    val df = Seq(
+      ("g1", 0.5), ("g1", 1.5),            // g1: (.5, .5)
+      ("g2", 0.5), ("g2", 0.5)             // g2: (1, 0)
+    ).toDF("g", "x")
+    val a = Histogram.histogram(df, col("x"), ax, dims = Seq("g"))
+    // reference = the pooled corpus: (.75, .25)
+    val ref = Histogram.histogram(df, col("x"), ax)
+    val out = HistStats.driftFrom(a, ref, ax, Seq("g"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // g1 vs ref: tvd = .5*(.25+.25) = .25; g2 vs ref: tvd = .5*(.25+.25) = .25
+    assert(math.abs(out("g1")._1 - 0.25) < 1e-12)
+    assert(math.abs(out("g2")._1 - 0.25) < 1e-12)
+    // chisq g2: (.25)^2/1.75 + (.25)^2/.25 = .0357142857 + .25
+    assert(math.abs(out("g2")._2 - (0.0625 / 1.75 + 0.25)) < 1e-12)
+    // a group identical to the reference scores exactly zero
+    val same = HistStats.driftFrom(
+      Histogram.histogram(df.withColumn("g", lit("all")), col("x"), ax, dims = Seq("g")),
+      ref, ax, Seq("g")).collect().head
+    assert(same.getDouble(1) == 0.0 && same.getDouble(2) == 0.0)
+  }
+
   test("normalize stays exact on a 10k-bin variable axis (join, not CASE chain)") {
     val edges = Array.tabulate(10001)(_ * 0.001)
     val big = Variable("x", edges)

@@ -584,6 +584,20 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("session paths: ordered journeys per session, top-k with ties to first path") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)),       // session: view>click
+      (1L, "view", ts(5000)), (1L, "click", ts(5001)), // second session, same path
+      (2L, "view", ts(1)), (2L, "click", ts(2)),       // view>click again
+      (3L, "view", ts(10)),                             // lone view
+      (4L, "purchase", ts(1))                           // lone purchase
+    ).toDF("user_id", "event_type", "event_time")
+    val out = graft.pipeline.Funnel.sessionPaths(ev, "30 minutes", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("view>click", 3L, 1), ("purchase", 1L, 2), ("view", 1L, 3)))
+  }
+
   test("active users: trailing-window distinct counts, dedup before explode") {
     def at(day: Int, sec: Int) = new java.sql.Timestamp(day * 86400000L + sec * 1000L)
     val ev = Seq(
