@@ -763,6 +763,14 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.sessionPaths(ev, "6 hours", k = 20)
+    },
+    "q116_group_quantiles" -> { (s, dir) =>
+      // exact p50/p95/p99 of value per event type — one pinned IEEE
+      // interpolation sequence, not the engines' built-in percentile
+      implicit val sp: SparkSession = s
+      graft.operators.QuantileBins.groupQuantiles(
+        t(dir, "events"), col("value"), Seq("event_type"),
+        Seq(0.5, 0.95, 0.99))
     }
   )
 
@@ -922,6 +930,7 @@ object SparkEntry {
     "q114_windowed_drift" -> Oracle.driftByDim("events",
       Oracle.Spec("value", axValue), "(epoch_ns(ts) // 1000) // 86400000000", "day"),
     "q115_session_paths" -> PipelineOracle.sessionPaths(21600000000L, 20),
+    "q116_group_quantiles" -> PipelineOracle.groupQuantiles(Seq(0.5, 0.95, 0.99)),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

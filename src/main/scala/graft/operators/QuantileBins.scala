@@ -96,4 +96,49 @@ object QuantileBins extends org.apache.spark.internal.Logging {
     val qs = df.stat.approxQuantile(xCol, probs, relativeError).distinct.sorted
     Variable(name, qs)
   }
+
+  /** Exact interpolated per-group quantiles (the p50/p95/p99 dashboard
+    * primitive): for each group and fraction q, with the group's values
+    * in ascending order, h = (n-1)·q, l = floor(h), result =
+    * x_(l) + (h - l)·(x_(l+1) - x_(l)) (the upper neighbor collapses to
+    * x_(l) at the top rank). The interpolation is spelled as ONE fixed
+    * IEEE sequence mirrored verbatim in the oracle — deliberately NOT
+    * the engines' built-in percentile / quantile_cont, whose
+    * interpolation EXPRESSIONS differ ((1-f)·a + f·b vs a + f·(b-a)) and
+    * can split in the last ulp. Ties among equal values make the
+    * row_number choice immaterial.
+    *
+    * Scale note: the exact form ranks each group through one reducer
+    * (a row_number sort window) — right for dashboard-cardinality groups
+    * (event types, sources); for corpus-sized groups use per-group
+    * percentile_approx (map-combinable GK sketch), the same exact/sketch
+    * trade autoAxis makes. */
+  def groupQuantiles(df: DataFrame, value: Column, groupCols: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty && qs.nonEmpty)
+    require(qs.forall(q => q >= 0.0 && q <= 1.0))
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val base = df.filter(value.isNotNull)
+      .select(g :+ value.cast("double").as("__v"): _*)
+    val ranked = base.withColumn("__rn",
+      row_number().over(Window.partitionBy(g: _*).orderBy(col("__v"))) - 1)
+    val targets = base.groupBy(g: _*).agg(count(lit(1)).as("__n"))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("__h", (col("__n") - 1).cast("double") * col("q"))
+      .withColumn("__l", floor(col("__h")).cast("long"))
+    val lo = ranked.select(groupCols.map(n => col(n).as(s"__lo_$n")) ++
+      Seq(col("__rn").as("__rl"), col("__v").as("__xl")): _*)
+    val hi = ranked.select(groupCols.map(n => col(n).as(s"__hi_$n")) ++
+      Seq(col("__rn").as("__ru"), col("__v").as("__xu")): _*)
+    targets
+      .join(lo, groupCols.map(n => col(n) <=> col(s"__lo_$n")).reduce(_ && _) &&
+        col("__rl") === col("__l"))
+      .join(hi, groupCols.map(n => col(n) <=> col(s"__hi_$n")).reduce(_ && _) &&
+        col("__ru") === col("__l") + 1, "left")
+      .withColumn("__xu2", coalesce(col("__xu"), col("__xl")))
+      .select(groupCols.map(col) ++ Seq(col("q"),
+        (col("__xl") + (col("__h") - col("__l").cast("double")) *
+          (col("__xu2") - col("__xl"))).as("quantile")): _*)
+  }
 }

@@ -809,6 +809,25 @@ object PipelineOracle {
       Oracle.exactDbl("SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,14)))") +
       " AS sum_value FROM s GROUP BY user_id, sid"
 
+  /** Mirrors QuantileBins.groupQuantiles over events.value by
+    * event_type: same 0-based ranks, same h = (n-1)·q, same
+    * a + (h-l)·(b-a) interpolation sequence (NOT quantile_cont, whose
+    * internal expression differs in rounding). */
+  def groupQuantiles(qs: Seq[Double]): String = {
+    val qlist = qs.map(q => s"CAST('${java.lang.Double.toString(q)}' AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    "WITH b AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL), " +
+      "r AS (SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rn FROM b), " +
+      "s AS (SELECT event_type, COUNT(*) AS n FROM b GROUP BY event_type), " +
+      s"qv AS (SELECT event_type, n, UNNEST($qlist) AS q FROM s), " +
+      "c AS (SELECT event_type, q, CAST(n - 1 AS DOUBLE) * q AS h FROM qv), " +
+      "d AS (SELECT event_type, q, h, CAST(FLOOR(h) AS BIGINT) AS l FROM c), " +
+      "e AS (SELECT d.event_type, d.q, d.h, d.l, rl.v AS xl, COALESCE(ru.v, rl.v) AS xu " +
+      "FROM d JOIN r rl ON rl.event_type = d.event_type AND rl.rn = d.l " +
+      "LEFT JOIN r ru ON ru.event_type = d.event_type AND ru.rn = d.l + 1) " +
+      "SELECT event_type, q, xl + (h - CAST(l AS DOUBLE)) * (xu - xl) AS quantile FROM e"
+  }
+
   /** Mirrors Funnel.sessionPaths: the sessionize lag/cumsum identity,
     * per-session type sequence ordered by (time, type), count per path,
     * top-k with ties to the lexicographically first path. */

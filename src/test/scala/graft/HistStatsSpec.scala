@@ -261,6 +261,25 @@ class HistStatsSpec extends SparkSpec {
     assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0)
   }
 
+  test("groupQuantiles: exact interpolated per-group quantiles") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0)).toDF("g", "v")
+    val out = graft.operators.QuantileBins.groupQuantiles(
+        df, col("v"), Seq("g"), Seq(0.0, 0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // group a (n=4): q=.5 -> h=1.5 -> 2 + .5*(3-2) = 2.5; q=1 -> x[3]=4
+    assert(out(("a", 0.0)) == 1.0 && out(("a", 0.5)) == 2.5 && out(("a", 1.0)) == 4.0)
+    // single-element group: every quantile is that element
+    assert(out(("b", 0.0)) == 10.0 && out(("b", 0.5)) == 10.0 && out(("b", 1.0)) == 10.0)
+    // matches Spark's own exact percentile on a fractional case
+    val spark95 = df.filter(col("g") === "a")
+      .agg(expr("percentile(v, 0.95)")).head().getDouble(0)
+    val ours95 = graft.operators.QuantileBins.groupQuantiles(
+        df.filter(col("g") === "a"), col("v"), Seq("g"), Seq(0.95))
+      .collect().head.getDouble(2)
+    assert(math.abs(ours95 - spark95) < 1e-12)
+  }
+
   test("driftFrom scores each group against the shared reference") {
     val ax = Regular("x", 2, 0.0, 2.0)
     val df = Seq(
