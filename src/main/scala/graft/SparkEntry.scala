@@ -771,6 +771,13 @@ object SparkEntry {
       graft.operators.QuantileBins.groupQuantiles(
         t(dir, "events"), col("value"), Seq("event_type"),
         Seq(0.5, 0.95, 0.99))
+    },
+    "q117_group_corr" -> { (s, dir) =>
+      // Pearson corr(quantity, extendedprice) per returnflag — one
+      // map-combinable moment aggregate, decimal-exact sums
+      implicit val sp: SparkSession = s
+      HistStats.pearson(t(dir, "lineitem"), col("l_quantity"),
+        col("l_extendedprice"), dims = Seq("l_returnflag"))
     }
   )
 
@@ -931,6 +938,8 @@ object SparkEntry {
       Oracle.Spec("value", axValue), "(epoch_ns(ts) // 1000) // 86400000000", "day"),
     "q115_session_paths" -> PipelineOracle.sessionPaths(21600000000L, 20),
     "q116_group_quantiles" -> PipelineOracle.groupQuantiles(Seq(0.5, 0.95, 0.99)),
+    "q117_group_corr" -> Oracle.pearson("lineitem", "l_quantity",
+      "l_extendedprice", dims = Seq("l_returnflag")),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

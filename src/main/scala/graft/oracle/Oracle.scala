@@ -176,6 +176,25 @@ object Oracle {
       "FROM p GROUP BY d"
   }
 
+  /** Mirrors HistStats.pearson: decimal-exact moment sums, identical
+    * textbook tail, NULL on zero variance. */
+  def pearson(table: String, xSql: String, ySql: String,
+      dims: Seq[String] = Nil): String = {
+    val dimsSel = if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
+    val grp = if (dims.isEmpty) "" else s" GROUP BY ${dims.mkString(", ")}"
+    def dsum(e: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14)))")
+    s"WITH b AS (SELECT $dimsSel CAST($xSql AS DOUBLE) AS x, CAST($ySql AS DOUBLE) AS y " +
+      s"FROM $table WHERE $xSql IS NOT NULL AND $ySql IS NOT NULL), " +
+      s"a AS (SELECT $dimsSel CAST(COUNT(*) AS DOUBLE) AS n, ${dsum("x")} AS sx, " +
+      s"${dsum("y")} AS sy, ${dsum("x * y")} AS sxy, ${dsum("x * x")} AS sxx, " +
+      s"${dsum("y * y")} AS syy FROM b$grp) " +
+      s"SELECT $dimsSel CAST(n AS BIGINT) AS n, " +
+      "CASE WHEN SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy) > 0 " +
+      "THEN (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) " +
+      "ELSE NULL END AS corr FROM a"
+  }
+
   // ---- Statistics (mirror of graft.stats.HistStats) ----------------------
 
   /** Shared prelude: no-flow indexed histogram + left edge l + width w. */

@@ -366,6 +366,36 @@ object HistStats {
         fold(col("__terms"), "t2").as("chisq")): _*)
   }
 
+  /** Grouped Pearson correlation over raw columns (the feature-QA
+    * companion to Histogram.profile): one map-combinable aggregate pass
+    * collecting n, Σx, Σy, Σxy, Σx², Σy² through DECIMAL(38,14) (exact,
+    * order-independent; per-row products are plain double mults, identical
+    * cross-engine), then the textbook
+    * (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²) · √(n·Σy² − Σy²)) tail as one
+    * fixed IEEE sequence. A zero-variance side yields NULL (not NaN) in
+    * both engines. Pairs with a NULL on either side are excluded. */
+  def pearson(df: DataFrame, x: Column, y: Column,
+      dims: Seq[String] = Nil): DataFrame = {
+    val xd = x.cast("double")
+    val yd = y.cast("double")
+    val b = df.filter(xd.isNotNull && yd.isNotNull)
+      .select(dims.map(col) ++ Seq(xd.as("__x"), yd.as("__y")): _*)
+    val agg = grouped(b, dims)(
+      count(lit(1)).cast("double").as("__n"),
+      decSum(col("__x")).as("__sx"),
+      decSum(col("__y")).as("__sy"),
+      decSum(col("__x") * col("__y")).as("__sxy"),
+      decSum(col("__x") * col("__x")).as("__sxx"),
+      decSum(col("__y") * col("__y")).as("__syy"))
+    val cov = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val vx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val vy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val den = sqrt(vx) * sqrt(vy)
+    agg.select(dims.map(col) ++ Seq(col("__n").cast("long").as("n"),
+      when(den > lit(0.0), cov / den).otherwise(lit(null).cast("double"))
+        .as("corr")): _*)
+  }
+
   /** Per-group drift against ONE shared reference histogram (the
     * monitoring form: every window/day/source scored against the same
     * baseline distribution). The reference (histogram-sized, no dims) is

@@ -261,6 +261,22 @@ class HistStatsSpec extends SparkSpec {
     assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0)
   }
 
+  test("pearson: known correlations, NULL on zero variance, null pairs excluded") {
+    val df = Seq(
+      ("a", Some(1.0), Some(2.0)), ("a", Some(2.0), Some(4.0)),
+      ("a", Some(3.0), Some(6.0)),                    // perfect positive
+      ("b", Some(1.0), Some(3.0)), ("b", Some(2.0), Some(1.0)),  // negative
+      ("b", Some(3.0), None),                         // excluded pair
+      ("c", Some(5.0), Some(1.0)), ("c", Some(5.0), Some(2.0))   // zero x-var
+    ).toDF("g", "x", "y")
+    val out = HistStats.pearson(df, col("x"), col("y"), Seq("g"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out("a")._1 == 3L && math.abs(out("a")._2.get - 1.0) < 1e-12)
+    assert(out("b")._1 == 2L && math.abs(out("b")._2.get + 1.0) < 1e-12)
+    assert(out("c")._2.isEmpty)
+  }
+
   test("groupQuantiles: exact interpolated per-group quantiles") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
       ("b", 10.0)).toDF("g", "v")
