@@ -778,6 +778,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       HistStats.pearson(t(dir, "lineitem"), col("l_quantity"),
         col("l_extendedprice"), dims = Seq("l_returnflag"))
+    },
+    "q118_hist_efficiency" -> { (s, dir) =>
+      // pass/total efficiency per quantity bin with Wilson 95% bounds:
+      // one aggregate pass, k as a conditional count beside n
+      implicit val sp: SparkSession = s
+      Histogram.efficiency(t(dir, "lineitem"), col("l_quantity"), axQty10,
+        col("l_returnflag") === lit("N"))
     }
   )
 
@@ -940,6 +947,8 @@ object SparkEntry {
     "q116_group_quantiles" -> PipelineOracle.groupQuantiles(Seq(0.5, 0.95, 0.99)),
     "q117_group_corr" -> Oracle.pearson("lineitem", "l_quantity",
       "l_extendedprice", dims = Seq("l_returnflag")),
+    "q118_hist_efficiency" -> Oracle.efficiency("lineitem",
+      Oracle.Spec("l_quantity", axQty10), "l_returnflag = 'N'"),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

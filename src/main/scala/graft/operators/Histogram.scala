@@ -160,6 +160,38 @@ object Histogram {
         col("cnt"), col("mean_y"), col("std_y")): _*)
   }
 
+  /** Efficiency histogram (the pass/total ratio plot, ROOT TEfficiency):
+    * per x-bin, the total count n, passing count k (rows satisfying
+    * `passPred`), the efficiency k/n and its Wilson score interval at
+    * z (default 1.96 ≈ 95%). Computed in ONE aggregate pass — k is a
+    * conditional count beside n, so there is no second scan and no
+    * join of two histograms. The Wilson arithmetic is a fixed sequence
+    * of +,−,×,÷,√ on integer-valued doubles — bit-identical
+    * cross-engine (no log, no erf). Bins with no rows are absent
+    * (sparse, like histogramdd). */
+  def efficiency(df: DataFrame, x: Column, ax: BinAxis, passPred: Column,
+      dims: Seq[String] = Nil, z: Double = 1.96): DataFrame = {
+    val proj = df
+      .filter(ax.keepPred(x, includeUnder = false, includeOver = false))
+      .select(dims.map(col) ++
+        Seq(ax.index(x).as("__i0"), passPred.cast("boolean").as("__pass")): _*)
+    val zz = lit(z * z)
+    val agg = proj.groupBy((dims :+ "__i0").map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__pass"), lit(1))).as("k"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val phat = kD / nD
+    val denom = lit(1.0) + zz / nD
+    val center = (phat + zz / (lit(2.0) * nD)) / denom
+    val half = lit(z) * sqrt(phat * (lit(1.0) - phat) / nD +
+      zz / (lit(4.0) * nD * nD)) / denom
+    agg.select(dims.map(col) ++ Seq(
+      ax.label(col("__i0")).as(ax.binsCol, graft.axes.AxisMetadata.toMetadata(ax)),
+      col("n"), col("k"), phat.as("eff"),
+      (center - half).as("eff_lo"), (center + half).as("eff_hi")): _*)
+  }
+
   /** Materialize empty bins: full index grid (per-axis ranges incl. flow,
     * tiny → broadcast) x distinct group keys (from the PRE-filter input),
     * left-joined with the sparse counts. The grid never touches the input

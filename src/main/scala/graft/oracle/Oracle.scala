@@ -195,6 +195,32 @@ object Oracle {
       "ELSE NULL END AS corr FROM a"
   }
 
+  /** Mirrors Histogram.efficiency: same index chain, conditional count,
+    * identical Wilson sequence (z and z² embedded as the same driver-side
+    * double literals). */
+  def efficiency(table: String, spec: Spec, passSql: String,
+      dims: Seq[String] = Nil, z: Double = 1.96): String = {
+    val dimsSel = if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
+    val groupCols = (dims :+ "__i0").mkString(", ")
+    val zL = dbl(z)
+    val zzL = dbl(z * z)
+    val phat = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    val nD = "CAST(n AS DOUBLE)"
+    val denom = s"(CAST('1.0' AS DOUBLE) + $zzL / $nD)"
+    val center = s"(($phat + $zzL / (CAST('2.0' AS DOUBLE) * $nD)) / $denom)"
+    val half = s"($zL * SQRT($phat * (CAST('1.0' AS DOUBLE) - $phat) / $nD + " +
+      s"$zzL / (CAST('4.0' AS DOUBLE) * $nD * $nD)) / $denom)"
+    s"WITH __idx AS (SELECT $dimsSel${spec.axis.indexSql(spec.valueSql)} AS __i0, " +
+      s"CAST(($passSql) AS BOOLEAN) AS p FROM $table), " +
+      s"__f AS (SELECT * FROM __idx WHERE __i0 IS NOT NULL AND __i0 >= 0 " +
+      s"AND __i0 <= ${spec.axis.nBins - 1}), " +
+      s"__g AS (SELECT $groupCols, COUNT(*) AS n, " +
+      s"COUNT(CASE WHEN p THEN 1 END) AS k FROM __f GROUP BY $groupCols) " +
+      s"SELECT $dimsSel(${spec.axis.labelSql("__i0")}) AS ${spec.axis.binsCol}, " +
+      s"n, k, $phat AS eff, ($center - $half) AS eff_lo, ($center + $half) AS eff_hi " +
+      "FROM __g"
+  }
+
   // ---- Statistics (mirror of graft.stats.HistStats) ----------------------
 
   /** Shared prelude: no-flow indexed histogram + left edge l + width w. */

@@ -226,6 +226,23 @@ class HistogramSpec extends SparkSpec {
     assert(h.values.sum == 2.0)
   }
 
+  test("efficiency: per-bin pass fraction with Wilson bounds in [0,1]") {
+    val df = Seq((0.5, true), (0.7, true), (0.9, false), (1.5, false))
+      .toDF("x", "ok")
+    val out = Histogram.efficiency(df, col("x"), Regular("x", 2, 0.0, 2.0),
+        col("ok"))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val (n0, k0, e0, lo0, hi0) = out(0.0)
+    assert(n0 == 3L && k0 == 2L && math.abs(e0 - 2.0 / 3.0) < 1e-12)
+    assert(lo0 > 0.0 && lo0 < e0 && hi0 > e0 && hi0 < 1.0)
+    val (n1, k1, e1, lo1, hi1) = out(1.0)
+    assert(n1 == 1L && k1 == 0L && e1 == 0.0)
+    // Wilson lower at k=0 is 0 up to sqrt(z²) ulp noise
+    assert(math.abs(lo1) < 1e-12 && hi1 > 0.0 && hi1 < 1.0)
+  }
+
   test("profile: per-bin count/mean/std of y; null y is not an entry") {
     val df = Seq(
       (0.5, Some(2.0)), (0.7, Some(4.0)),   // bin 0: mean 3, var 1
