@@ -134,6 +134,20 @@ class EmptyInputSpec extends SparkSpec {
     val h = Histogram.histogram(emptyNum, col("x"), ax)
     assert(HistStats.rebin(h, ax, 2).count() == 0)
     assert(Similarity.semDedup(emptyEmb, nCells = 2, threshold = 0.9).count() == 0)
+    assert(Dedup.containment(emptyDocs).count() == 0)
+    // dims-less drift of two empty histograms: defined as zero drift
+    val dr = HistStats.drift(h, h, ax).collect()
+    assert(dr.length == 1 && dr.head.getDouble(0) == 0.0 && dr.head.getDouble(1) == 0.0)
+    assert(HistStats.pearson(emptyNum, col("x"), col("x"), Seq("g")).count() == 0)
+    assert(Histogram.efficiency(emptyNum, col("x"), ax, col("x") > 1.0).count() == 0)
+    assert(graft.operators.QuantileBins.groupQuantiles(
+      emptyNum, col("x"), Seq("g"), Seq(0.5)).count() == 0)
+    val emptyTypedEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("event_time", TimestampType))))
+    assert(graft.pipeline.Funnel.sessionPaths(emptyTypedEv, "1 hour", 3).count() == 0)
   }
 
   test("accessor arithmetic and multimodal on empty input") {

@@ -168,6 +168,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("session paths: global top-k is TakeOrdered, not a full sort") {
+    val ev = (1L to 50L).map(i =>
+      (i % 7, s"t${i % 3}", new java.sql.Timestamp(i * 1000L)))
+      .toDF("user_id", "event_type", "event_time")
+    val plan = executedPlan(
+      graft.pipeline.Funnel.sessionPaths(ev, "10 minutes", k = 5))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("moment-style aggregates: single exchange keyed by the group") {
+    val li = (1L to 100L).map(i => (s"g${i % 3}", (i % 50).toDouble, i.toDouble))
+      .toDF("g", "x", "y")
+    for (df <- Seq(
+        graft.stats.HistStats.pearson(li, col("x"), col("y"), Seq("g")),
+        graft.operators.Histogram.profile(li, col("x"),
+          graft.axes.Regular("x", 10, 0.0, 50.0), col("y"), Seq("g")),
+        graft.operators.Histogram.efficiency(li, col("x"),
+          graft.axes.Regular("x", 10, 0.0, 50.0), col("y") > 50.0, Seq("g")))) {
+      val plan = executedPlan(df)
+      val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.size == 1 && exchanges.head.contains("hashpartitioning"),
+        plan)
+    }
+  }
+
+  test("driftFrom: grid and metric joins keyed by (group, bin), no cartesian") {
+    val ax = graft.axes.Regular("x", 4, 0.0, 4.0)
+    val d = (1L to 40L).map(i => (s"d${i % 3}", (i % 4).toDouble)).toDF("g", "x")
+    val a = graft.operators.Histogram.histogram(d, col("x"), ax, dims = Seq("g"))
+    val ref = graft.operators.Histogram.histogram(d, col("x"), ax)
+    val plan = executedPlan(graft.stats.HistStats.driftFrom(a, ref, ax, Seq("g")))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the group×reference grid is a broadcast nested-loop (ref is
+    // dims-less); the full-outer metric join CANNOT broadcast in Spark —
+    // it runs shuffled, which is fine: both sides are post-aggregation
+    // histogram-sized relations, never the raw corpus
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("normalizeOver with flow: width lookups stay broadcast joins") {
     val ax1 = graft.axes.Regular("x", 4, 0.0, 4.0)
     val ax2 = graft.axes.Regular("y", 4, 0.0, 4.0)
