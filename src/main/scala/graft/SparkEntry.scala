@@ -785,6 +785,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Histogram.efficiency(t(dir, "lineitem"), col("l_quantity"), axQty10,
         col("l_returnflag") === lit("N"))
+    },
+    "q119_bpe_encode" -> { (s, dir) =>
+      // full BPE tokenization: (doc, position, token) — the sequence
+      // packing/training consume; map-only, oracle re-runs the merge
+      // loop and the document-order flatten
+      implicit val sp: SparkSession = s
+      TextAnalysis.bpeEncode(t(dir, "documents").filter(col("doc_id") < 50))
     }
   )
 
@@ -949,6 +956,7 @@ object SparkEntry {
       "l_extendedprice", dims = Seq("l_returnflag")),
     "q118_hist_efficiency" -> Oracle.efficiency("lineitem",
       Oracle.Spec("l_quantity", axQty10), "l_returnflag = 'N'"),
+    "q119_bpe_encode" -> PipelineOracle.bpeEncodeSeq("doc_id < 50"),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

@@ -126,7 +126,15 @@ object BpeVocab {
   def encodeCount(word: String): Int = encodeCount(word, ranks)
 
   private[graft] def encodeCount(word: String,
-      rk: java.util.HashMap[String, Integer]): Int = {
+      rk: java.util.HashMap[String, Integer]): Int = encodeTokens(word, rk).size
+
+  /** Encode one pre-token, returning its BPE token sequence (the worker
+    * behind [[encodeCount]]). */
+  def encodeTokens(word: String): java.util.ArrayList[String] =
+    encodeTokens(word, ranks)
+
+  private[graft] def encodeTokens(word: String,
+      rk: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
     // initial symbols are CODE POINTS, not UTF-16 units — the oracle's
     // substr/length are code-point-based, and a surrogate half is not a
     // character any merge table could contain
@@ -137,7 +145,7 @@ object BpeVocab {
       toks.add(new String(Character.toChars(cp)))
       i += Character.charCount(cp)
     }
-    if (toks.size < 2) return toks.size
+    if (toks.size < 2) return toks
     var merging = true
     while (merging) {
       var bestRank = Int.MaxValue
@@ -154,7 +162,7 @@ object BpeVocab {
         toks.remove(pos + 1)
       }
     }
-    toks.size
+    toks
   }
 
   private[graft] def ranksOf(m: Vector[(String, String)]): java.util.HashMap[String, Integer] = {
@@ -212,4 +220,60 @@ object BpeCount {
 
   def bpe_count(text: Column): Column =
     GraftShim.column(BpeCount(GraftShim.expression(text)))
+}
+
+/** Full BPE encode: the document's token sequence (pre-tokens in order,
+  * merges within each) as Array[String] — the form packing/training jobs
+  * consume; [[BpeCount]] is its length. Same one-pass, no-shuffle shape
+  * and the same embedded [[BpeVocab]]; swap the merge table to tokenize
+  * with a production vocabulary. */
+case class BpeEncode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    BpeEncode.compute(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.BpeEncode.compute($t)")
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+object BpeEncode {
+  private val wordPattern = java.util.regex.Pattern.compile(BpeVocab.WordRe)
+
+  // word -> encoded UTF8String tokens; same bounded thread-local LRU
+  // rationale as BpeCount's count memo (Zipf reuse, no contention)
+  private val memo: ThreadLocal[java.util.LinkedHashMap[String, Array[UTF8String]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, Array[UTF8String]](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[UTF8String]]): Boolean =
+          size() > 65536
+      })
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val m = wordPattern.matcher(s)
+    val cache = memo.get()
+    val out = new java.util.ArrayList[UTF8String]()
+    while (m.find()) {
+      val w = m.group()
+      var toks = cache.get(w)
+      if (toks == null) {
+        val enc = BpeVocab.encodeTokens(w)
+        toks = new Array[UTF8String](enc.size)
+        var i = 0
+        while (i < enc.size) { toks(i) = UTF8String.fromString(enc.get(i)); i += 1 }
+        cache.put(w, toks)
+      }
+      var i = 0
+      while (i < toks.length) { out.add(toks(i)); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
+  def bpe_encode(text: Column): Column =
+    GraftShim.column(BpeEncode(GraftShim.expression(text)))
 }

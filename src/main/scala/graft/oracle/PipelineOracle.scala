@@ -75,6 +75,40 @@ object PipelineOracle {
   def bpeTokens: String =
     s"WITH RECURSIVE $bpeCtes SELECT doc_id, n_bpe_tokens FROM __bpe"
 
+  /** Mirrors TextAnalysis.bpeEncode: the same recursive merge loop, but
+    * keeping each word's FINAL token list (the minimal-length __enc row)
+    * and flattening back in document order — pos = exclusive cumsum of
+    * preceding words' token counts + the within-word index. */
+  def bpeEncodeSeq(where: String = "TRUE"): String = {
+    import graft.functions.BpeVocab
+    val rankMap = BpeVocab.merges.zipWithIndex
+      .map { case ((a, b), i) => s"${q(a + " " + b)}: $i" }
+      .mkString("MAP {", ", ", "}")
+    val miss = 1000000
+    val arr = s"regexp_extract_all(text, ${q(BpeVocab.WordRe)})"
+    "WITH RECURSIVE " +
+      s"__w AS (SELECT doc_id, UNNEST($arr) AS word, generate_subscripts($arr, 1) AS wi " +
+      s"FROM documents WHERE $where), " +
+      "__dw AS (SELECT DISTINCT word FROM __w), " +
+      "__enc AS (" +
+      "SELECT word, list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS toks FROM __dw " +
+      "UNION ALL " +
+      "SELECT word, list_concat(list_concat(list_slice(toks, 1, pos-1), " +
+      "[toks[pos] || toks[pos+1]]), list_slice(toks, pos+2, len(toks))) AS toks " +
+      "FROM (SELECT word, toks, list_min(ranks) AS bestr, " +
+      "list_position(ranks, list_min(ranks)) AS pos " +
+      "FROM (SELECT word, toks, list_transform(generate_series(1, len(toks)-1), " +
+      s"i -> coalesce(map_extract($rankMap, toks[i] || ' ' || toks[i+1])[1], $miss)) AS ranks " +
+      s"FROM __enc)) WHERE bestr < $miss), " +
+      "__wt AS (SELECT word, toks FROM __enc " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY word ORDER BY len(toks)) = 1), " +
+      "__doc AS (SELECT w.doc_id, w.wi, t.toks FROM __w w JOIN __wt t USING (word)), " +
+      "__cum AS (SELECT doc_id, wi, toks, COALESCE(SUM(len(toks)) OVER " +
+      "(PARTITION BY doc_id ORDER BY wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM __doc) " +
+      "SELECT doc_id, CAST(base + generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, " +
+      "UNNEST(toks) AS token FROM __cum"
+  }
+
   /** Mirrors Sampling.sampleTokenBudget with the BPE counter: per-source
     * totals over __bpe, same hash-threshold filter. */
   def sampleTokenBudgetBpe(budgetTokens: Long, salt: String): String = {

@@ -87,6 +87,17 @@ object TextAnalysis {
       graft.functions.BpeCount.bpe_count(coalesce(col("text"), lit("")))
         .as("n_bpe_tokens"))
 
+  /** Full BPE tokenization: one row per (doc, position, token) — the
+    * sequence training/packing jobs consume, where [[bpeTokens]] is just
+    * its length. Same one-pass codegen expression family and embedded
+    * vocabulary; output volume is the corpus's token count (the operator
+    * is map-only — explode, no shuffle). NULL text yields no rows. */
+  def bpeEncode(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.BpeEncode.bpe_encode(col("text")))
+          .as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val UrlRe = "https?://[^\\s]+"
   private[graft] val DigitRunRe = "[0-9]{6,}"

@@ -777,6 +777,27 @@ class PipelineSpec extends SparkSpec {
     assert(out.forall { case (id, n) => n >= approx(id) })
   }
 
+  test("bpe encode: sequences rebuild pre-tokens and agree with the count") {
+    import graft.functions.BpeVocab
+    val enc = TextAnalysis.bpeEncode(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val counts = TextAnalysis.bpeTokens(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = enc.groupBy(_._1)
+    // per doc: positions are 0..n-1 and the row count equals bpe_count
+    byDoc.foreach { case (id, rows) =>
+      assert(rows.length.toLong == counts(id), s"doc $id")
+      assert(rows.map(_._2).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // concatenating tokens in position order rebuilds the pre-token stream
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val expected = BpeVocab.WordRe.r.findAllIn(r.getString(1)).mkString
+      val got = byDoc.getOrElse(r.getLong(0), Array.empty)
+        .sortBy(_._2).map(_._3).mkString
+      assert(got == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("multimodal: frame sampling and thumbnails keep the batch contract") {
     val media = Multimodal.asMedia(docs)
     val frames = Multimodal.sampleFrames(media, everyN = 10).collect()
