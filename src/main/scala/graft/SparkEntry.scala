@@ -792,6 +792,44 @@ object SparkEntry {
       // loop and the document-order flatten
       implicit val sp: SparkSession = s
       TextAnalysis.bpeEncode(t(dir, "documents").filter(col("doc_id") < 50))
+    },
+    "q120_asof_join" -> { (s, dir) =>
+      // as-of enrichment: each purchase picks up the user's most recent
+      // view at-or-before it (ties by event_id) — tagged-union running
+      // window, one shuffle keyed by user, no join operator
+      implicit val sp: SparkSession = s
+      // micros, not raw nanos: DuckDB reads TIMESTAMP_NS at micro
+      // precision, so the cross-engine contract is micro-epoch like every
+      // other event oracle
+      val ev = t(dir, "events").withColumn("ts", expr("ts div 1000"))
+      graft.pipeline.AsOf.asOfJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", Seq("ts", "value"), prefix = "view_")
+    },
+    "q121_ks_test" -> { (s, dir) =>
+      // exact two-sample KS per linestatus: returned-flag prices vs the
+      // rest — integer cross-product max, one double division at the end
+      implicit val sp: SparkSession = s
+      HistStats.ksTest(t(dir, "lineitem"), col("l_extendedprice"),
+        col("l_returnflag") === lit("N"), dims = Seq("l_linestatus"))
+    },
+    "q122_novelty" -> { (s, dir) =>
+      // incremental-crawl novelty: docs < 250 scored against the
+      // reference corpus (>= 250) — distinct grams both sides, one
+      // gram-keyed join, no broadcast (reference is corpus-sized)
+      implicit val sp: SparkSession = s
+      val d = t(dir, "documents")
+      Dedup.novelty(d.filter(col("doc_id") < 250),
+        d.filter(col("doc_id") >= 250), n = 5)
+    },
+    "q123_cluster_stats" -> { (s, dir) =>
+      // quantizer QA: per-cell size, weakest/strongest member cosine and
+      // quantized-exact mean cohesion for the trained 16-cell k-means
+      implicit val sp: SparkSession = s
+      Similarity.clusterStats(t(dir, "embeddings"), nCells = 16)
     }
   )
 
@@ -957,6 +995,11 @@ object SparkEntry {
     "q118_hist_efficiency" -> Oracle.efficiency("lineitem",
       Oracle.Spec("l_quantity", axQty10), "l_returnflag = 'N'"),
     "q119_bpe_encode" -> PipelineOracle.bpeEncodeSeq("doc_id < 50"),
+    "q120_asof_join" -> PipelineOracle.asOfJoin("purchase", "view"),
+    "q121_ks_test" -> Oracle.ksTest("lineitem", "l_extendedprice",
+      "l_returnflag = 'N'", dims = Seq("l_linestatus")),
+    "q122_novelty" -> PipelineOracle.novelty(5, "doc_id < 250", "doc_id >= 250"),
+    "q123_cluster_stats" -> PipelineOracle.clusterStats(nCells = 16),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

@@ -195,6 +195,33 @@ object Oracle {
       "ELSE NULL END AS corr FROM a"
   }
 
+  /** Mirrors HistStats.ksTest: per-(group, value) counts first, running
+    * cumulative sums over the distinct-value relation, exact integer
+    * cross products |cumA·nB − cumB·nA| in DECIMAL, one double division
+    * at the end (NULL when a side is empty). */
+  def ksTest(table: String, valueSql: String, inASql: String,
+      dims: Seq[String] = Nil): String = {
+    val dimsSel = if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
+    val grpV = (dims :+ "v").mkString(", ")
+    val part = if (dims.isEmpty) "" else s"PARTITION BY ${dims.mkString(", ")} "
+    val grp = if (dims.isEmpty) "" else s" GROUP BY ${dims.mkString(", ")}"
+    def dec(e: String): String = s"CAST($e AS DECIMAL(19,0))"
+    s"WITH b AS (SELECT $dimsSel CAST($valueSql AS DOUBLE) AS v, " +
+      s"CASE WHEN $inASql THEN 1 ELSE 0 END AS ia " +
+      s"FROM $table WHERE $valueSql IS NOT NULL), " +
+      s"pv AS (SELECT $dimsSel v, SUM(ia) AS da, COUNT(*) - SUM(ia) AS db FROM b GROUP BY $grpV), " +
+      s"c AS (SELECT $dimsSel v, " +
+      s"SUM(da) OVER (${part}ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca, " +
+      s"SUM(db) OVER (${part}ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb, " +
+      s"SUM(da) OVER ($part) AS na, SUM(db) OVER ($part) AS nb FROM pv) " +
+      s"SELECT $dimsSel CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b, " +
+      s"MAX(ABS(${dec("ca")} * ${dec("nb")} - ${dec("cb")} * ${dec("na")})) AS ks_num, " +
+      "CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN " +
+      s"CAST(MAX(ABS(${dec("ca")} * ${dec("nb")} - ${dec("cb")} * ${dec("na")})) AS DOUBLE) / " +
+      "(CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) ELSE NULL END AS ks " +
+      s"FROM c$grp"
+  }
+
   /** Mirrors Histogram.efficiency: same index chain, conditional count,
     * identical Wilson sequence (z and z² embedded as the same driver-side
     * double literals). */

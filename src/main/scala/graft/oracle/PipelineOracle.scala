@@ -484,6 +484,21 @@ object PipelineOracle {
   def clusterAssign(nCells: Int = 8, iters: Int = 2): String =
     s"WITH ${ivfAsgCtes(nCells, iters)} SELECT vec_id, cell FROM asg"
 
+  /** Mirrors Similarity.clusterStats: the rn=1 assignment row keeps its
+    * ccos; min/max raw, the mean through the floor(ccos·1e12) integer
+    * quantization summed in DECIMAL(38,0), one double division. */
+  def clusterStats(nCells: Int = 8, iters: Int = 2): String = {
+    val q12 = "CAST('1.0E12' AS DOUBLE)"
+    s"WITH ${ivfAsgCtes(nCells, iters)}, " +
+      "st AS (SELECT cent_id AS cell, ccos FROM rkd WHERE rn = 1) " +
+      "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, MIN(ccos) AS min_cos, " +
+      "MAX(ccos) AS max_cos, " +
+      s"SUM(CAST(CAST(FLOOR(ccos * $q12) AS BIGINT) AS DECIMAL(38,0))) AS sum_qcos, " +
+      s"CAST(SUM(CAST(CAST(FLOOR(ccos * $q12) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / " +
+      s"(CAST(COUNT(*) AS DOUBLE) * $q12) AS mean_cos " +
+      "FROM st GROUP BY cell"
+  }
+
   /** Mirrors Similarity.semDedup: trained-quantizer assignment, within-
     * cell pairwise cosine (same ORDER BY i left-to-right dot), drop the
     * higher vec_id of every pair at/above threshold. */
@@ -633,6 +648,29 @@ object PipelineOracle {
       "ELSE CAST(c.n_contaminated AS DOUBLE) / CAST(c.n_grams AS DOUBLE) END " +
       "AS frac_contaminated " +
       "FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id"
+  }
+
+  /** Mirrors Dedup.novelty: distinct word n-grams per new doc LEFT JOINed
+    * against the reference corpus's distinct gram set (join-keyed — the
+    * corpus-vs-corpus complement of contaminationScore's broadcast),
+    * exact unseen fraction, NULL for gram-less docs. */
+  def novelty(n: Int, newWhere: String, refWhere: String): String = {
+    def grams(src: String, idSel: String, idGrp: String) =
+      s"(SELECT $idSel array_to_string(t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ') AS g " +
+        s"FROM (SELECT $idGrp t, UNNEST(generate_series(1, len(t) - ${n - 1})) AS i " +
+        s"FROM $src WHERE len(t) >= $n))"
+    val rt = s"(SELECT regexp_extract_all(text, '\\S+') AS t FROM documents WHERE $refWhere) __rt"
+    val nt = s"(SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents WHERE $newWhere) __nt"
+    s"WITH rg AS (SELECT DISTINCT g FROM ${grams(rt, "", "")}), " +
+      s"ng AS (SELECT DISTINCT doc_id, g FROM ${grams(nt, "doc_id, ", "doc_id, ")}), " +
+      "c AS (SELECT ng.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, " +
+      "CAST(COUNT(rg.g) AS BIGINT) AS n_seen " +
+      "FROM ng LEFT JOIN rg USING (g) GROUP BY ng.doc_id) " +
+      "SELECT d.doc_id, COALESCE(c.n_grams, 0) AS n_grams, " +
+      "COALESCE(c.n_seen, 0) AS n_seen, " +
+      "CASE WHEN COALESCE(c.n_grams, 0) = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE CAST(c.n_grams - c.n_seen AS DOUBLE) / CAST(c.n_grams AS DOUBLE) END AS novelty " +
+      s"FROM (SELECT doc_id FROM documents WHERE $newWhere) d LEFT JOIN c ON c.doc_id = d.doc_id"
   }
 
   /** Mirrors TextAnalysis.redact: same three patterns, same order,
@@ -983,6 +1021,31 @@ object PipelineOracle {
       s"c AS (SELECT doc_id FROM (${decontaminate(ngram, benchWhere)}) WHERE NOT contaminated) " +
       "SELECT ch.doc_id, ch.source FROM ch JOIN k USING (doc_id) JOIN c USING (doc_id)"
   }
+
+  /** Mirrors AsOf.asOfJoin on events (left = `leftType`, right =
+    * `rightType`, key = user, <=): the same tagged-union running
+    * last_value(IGNORE NULLS) — rights sort before lefts at equal ts,
+    * ties among rights broken by event_id, so both engines pick the
+    * identical row. The three carried columns share null-ness (they come
+    * from the same union rows), so per-column last_value picks fields of
+    * one row, matching the Spark side's single struct. */
+  def asOfJoin(leftType: String, rightType: String): String =
+    "WITH u AS (" +
+      "SELECT user_id AS k, epoch_ns(ts) // 1000 AS tsn, 1 AS side, CAST(0 AS BIGINT) AS oid, " +
+      "CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS BIGINT) AS r_ts, CAST(NULL AS DOUBLE) AS r_val, " +
+      "event_id, epoch_ns(ts) // 1000 AS l_ts " +
+      s"FROM events WHERE event_type = ${q(leftType)} AND ts IS NOT NULL AND user_id IS NOT NULL " +
+      "UNION ALL " +
+      "SELECT user_id, epoch_ns(ts) // 1000, 0, event_id, event_id, epoch_ns(ts) // 1000, value, NULL, NULL " +
+      s"FROM events WHERE event_type = ${q(rightType)} AND ts IS NOT NULL AND user_id IS NOT NULL), " +
+      "m AS (SELECT *, " +
+      "last_value(r_eid IGNORE NULLS) OVER w AS m_eid, " +
+      "last_value(r_ts IGNORE NULLS) OVER w AS m_ts, " +
+      "last_value(r_val IGNORE NULLS) OVER w AS m_val " +
+      "FROM u WINDOW w AS (PARTITION BY k ORDER BY tsn, side, oid " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      s"SELECT event_id, k AS user_id, l_ts AS ts, m_eid AS ${rightType}_event_id, " +
+      s"m_ts AS ${rightType}_ts, m_val AS ${rightType}_value FROM m WHERE side = 1"
 
   /** Mirrors Dedup.spanDedup: same \\S+ tokens, same max(1, ceil(n/w))
     * span count (token-less docs keep one empty span), 1-based inclusive

@@ -156,6 +156,41 @@ object Dedup {
       .select("doc_id", "n_grams", "n_contaminated", "frac_contaminated")
   }
 
+  /** Per-doc NOVELTY against a reference corpus: how much of each
+    * document's distinct word n-grams is NOT already present in an
+    * existing training set — the incremental-crawl curation signal
+    * ("is this new data actually new?"). The structural complement of
+    * [[contaminationScore]]: there the comparison set is a benchmark
+    * (small, broadcast as one sorted array); here it is another CORPUS,
+    * so nothing is broadcastable and the overlap must be a shuffle join
+    * keyed by the gram.
+    *
+    * Scale shape: both sides collapse to distinct grams FIRST (map-side
+    * combine does most of the work — natural-language gram frequency is
+    * Zipfian, so the distinct relation is far smaller than the exploded
+    * one), then one equi-join keyed by the gram string and one count
+    * keyed by doc. No candidate pairs, no doc×doc work: cost is linear
+    * in distinct-gram volume. A boilerplate gram shared by millions of
+    * reference docs is STILL one reference-side row after the distinct —
+    * hot grams cannot skew the join. */
+  def novelty(docs: DataFrame, reference: DataFrame, n: Int = 8): DataFrame = {
+    val refG = wordGrams(reference, n).select(col("g")).distinct()
+    val newG = wordGrams(docs, n).select(col("doc_id"), col("g")).distinct()
+    val counted = newG.join(refG.withColumn("__s", lit(true)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__s")).as("n_seen"))
+    docs.select(col("doc_id"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L,
+          lit(null).cast("double"))
+          .otherwise((coalesce(col("n_grams"), lit(0L)) - coalesce(col("n_seen"), lit(0L)))
+            .cast("double") / coalesce(col("n_grams"), lit(0L)).cast("double"))
+          .as("novelty"))
+  }
+
   /** Character shingles of length k as an exploded (doc_id, sh) relation.
     * explode(sequence) + positional substring stays inside whole-stage
     * codegen — a transform(...) lambda would be interpreted per row. */

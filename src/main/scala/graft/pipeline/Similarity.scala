@@ -302,7 +302,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(col("__top")).as("__s"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("__s.id").as("cell"))
+        col("__s.id").as("cell"), col("__s.score").as("ccos"))
   }
 
   /** Driver-side grouping of the (tiny) trained centroid set into
@@ -415,6 +415,36 @@ object Similarity {
       case None => assignCells(corpus, centroidsDf(corpus.sparkSession, cents), 1)
     }
     assigned.select(col("vec_id"), col("cell"))
+  }
+
+  /** Per-cell quality report for the trained quantizer (cluster QA:
+    * which cells are tight, which are junk drawers): size, the weakest
+    * and strongest member's cosine to the own centroid, and the mean
+    * member cosine. One broadcast-assign pass over the corpus + one
+    * cell-keyed map-combinable aggregate — the corpus is never shuffled
+    * to be assigned, and per-cell state is five scalars.
+    *
+    * Exactness: min/max are pure IEEE comparisons on doubles both
+    * engines compute identically. The MEAN is the q113 Dec boundary
+    * (member cosines are full-precision ratios, outside DECIMAL
+    * round-tripping), so the sum is quantized FIRST — floor(ccos·1e12)
+    * on identical doubles is the identical integer — and accumulated in
+    * DECIMAL(38,0) (order-independent, overflow-proof to 1e26 members).
+    * `mean_cos` then divides the exact quantized sum once; its ~1e-12
+    * quantization is the documented resolution, not engine noise. */
+  def clusterStats(corpus: DataFrame, nCells: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, nCells, iters)
+    val asg = assignCells(corpus, centroidsDf(corpus.sparkSession, cents), 1)
+    asg.groupBy(col("cell")).agg(
+        count(lit(1)).as("n"),
+        min(col("ccos")).as("min_cos"),
+        max(col("ccos")).as("max_cos"),
+        sum(floor(col("ccos") * lit(1.0e12)).cast("decimal(38,0)")).as("sum_qcos"))
+      .select(col("cell"), col("n"), col("min_cos"), col("max_cos"),
+        col("sum_qcos"),
+        (col("sum_qcos").cast("double") /
+          (col("n").cast("double") * lit(1.0e12))).as("mean_cos"))
   }
 
   /** IVF ANN with a TRAINED coarse quantizer: the corpus is assigned to

@@ -396,6 +396,56 @@ object HistStats {
         .as("corr")): _*)
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group: the
+    * largest ECDF gap D = sup_v |F_A(v) − F_B(v)| between the rows
+    * matching `inA` and the rest, computed as the integer cross product
+    * max |cumA·nB − cumB·nA| so the statistic is exact and
+    * engine-identical (one double division at the very end; a group with
+    * an empty side yields NULL — sup over nothing is undefined).
+    *
+    * Scale shape: the raw relation is touched by ONE map-combinable
+    * aggregate keyed by (group, value) — the ECDF only changes at
+    * distinct values, so the running-window stage runs on the
+    * distinct-value relation, not the corpus; its range frame (ties
+    * collapse by construction) is evaluated incrementally by WindowExec.
+    * Worst case (all values distinct, one group) degrades to a per-group
+    * sort — for continuous measurements at full corpus scale, bin first
+    * and use [[drift]]'s TVD (the histogram-resolution analogue) or
+    * round values to fixed precision; the exact form is for
+    * dashboard-cardinality groups. cum·n stays in DECIMAL, so counts up
+    * to 1e19 per group cannot overflow the cross products. */
+  def ksTest(df: DataFrame, value: Column, inA: Column,
+      dims: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vd = value.cast("double")
+    val base = df.filter(vd.isNotNull)
+      .select(dims.map(col) ++ Seq(vd.as("__v"),
+        when(inA, 1L).otherwise(0L).as("__a")): _*)
+    val perValue = (if (dims.isEmpty) base.groupBy(col("__v"))
+      else base.groupBy((dims.map(col) :+ col("__v")): _*))
+      .agg(sum(col("__a")).as("__da"),
+        (count(lit(1)) - sum(col("__a"))).as("__db"))
+    val wCum = Window.partitionBy(dims.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(dims.map(col): _*)
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val scored = perValue
+      .withColumn("__ca", sum(col("__da")).over(wCum))
+      .withColumn("__cb", sum(col("__db")).over(wCum))
+      .withColumn("__na", sum(col("__da")).over(wAll))
+      .withColumn("__nb", sum(col("__db")).over(wAll))
+      .withColumn("__d",
+        abs(dec(col("__ca")) * dec(col("__nb")) - dec(col("__cb")) * dec(col("__na"))))
+    grouped(scored, dims)(
+      max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+      max(col("__d")).as("ks_num"))
+      .select(dims.map(col) ++ Seq(col("n_a"), col("n_b"), col("ks_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("ks_num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+          .otherwise(lit(null).cast("double")).as("ks")): _*)
+  }
+
   /** Per-group drift against ONE shared reference histogram (the
     * monitoring form: every window/day/source scored against the same
     * baseline distribution). The reference (histogram-sized, no dims) is

@@ -329,4 +329,29 @@ class HistStatsSpec extends SparkSpec {
     assert(math.abs(p(0.0) - 2.0 / 0.001 / 3.0) < 1e-6)
     assert(math.abs(p(5.0) - 1.0 / 0.001 / 3.0) < 1e-6)
   }
+
+  test("ksTest: hand-computed D, tie collapsing, empty side NULL") {
+    import spark.implicits._
+    // g1: A = {1, 2, 3}, B = {2, 3, 4}  (a tie at 2 and 3)
+    //   at v=1: |1*3 - 0*3| = 3;  v=2: |2*3 - 1*3| = 3
+    //   v=3: |3*3 - 2*3| = 3;    v=4: |3*3 - 3*3| = 0  → D = 3/9 = 1/3
+    // g2: identical samples → D = 0;  g3: only A rows → NULL ks
+    val df = (Seq((1.0, true), (2.0, true), (3.0, true),
+        (2.0, false), (3.0, false), (4.0, false)).map { case (v, a) => ("g1", v, a) } ++
+      Seq(("g2", 1.0, true), ("g2", 1.0, false)) ++
+      Seq(("g3", 1.0, true))).toDF("g", "v", "a")
+    val out = HistStats.ksTest(df, col("v"), col("a"), Seq("g")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    assert(out("g1") == ((3L, 3L, Some(1.0 / 3.0))))
+    assert(out("g2") == ((1L, 1L, Some(0.0))))
+    assert(out("g3") == ((1L, 0L, None)))
+    // ungrouped form and null values excluded
+    val g = HistStats.ksTest(
+      df.filter(col("g") === "g1").union(Seq(("g1", null.asInstanceOf[java.lang.Double], true))
+        .toDF("g", "v", "a").select(col("g"), col("v").cast("double"), col("a"))),
+      col("v"), col("a")).collect().head
+    assert(g.getLong(0) == 3L && math.abs(g.getDouble(3) - 1.0 / 3.0) < 1e-15)
+  }
 }

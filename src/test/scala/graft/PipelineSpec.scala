@@ -229,6 +229,15 @@ class PipelineSpec extends SparkSpec {
       assert(pr.count() == 40 && pr.select("vec_id").distinct().count() == 40,
         s"pruned assignment dropped vectors at nCells=$nc superProbe=$w")
     }
+    val stats = Similarity.clusterStats(many, nCells = 2).collect()
+    // sizes cover the corpus; cohesion bounds ordered; quantized mean
+    // sits inside [min, max] with at most the 1e-12 quantization slack
+    assert(stats.map(_.getLong(1)).sum == 40L)
+    stats.foreach { r =>
+      val (mn, mx, mean) = (r.getDouble(2), r.getDouble(3), r.getDouble(5))
+      assert(mn <= mx && mean >= mn - 1e-9 && mean <= mx + 1e-9, r.toString)
+      assert(mean >= -1.0 - 1e-9 && mean <= 1.0 + 1e-9)
+    }
     val smp = graft.pipeline.Sampling.clusterBalancedSample(many, 2, 3, "s")
     val sizes = smp.groupBy("cell").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -796,6 +805,66 @@ class PipelineSpec extends SparkSpec {
         .sortBy(_._2).map(_._3).mkString
       assert(got == expected, s"doc ${r.getLong(0)}")
     }
+  }
+
+  test("novelty: unseen-gram fraction vs a reference corpus") {
+    val newDocs = Seq(
+      (1L, "a b c d e"),       // grams(3): abc bcd cde — abc/bcd in ref
+      (2L, "x y z w q"),       // fully novel
+      (3L, "a b c"),           // one gram, seen
+      (4L, "a b")              // too short: no grams
+    ).toDF("doc_id", "text")
+    val ref = Seq((10L, "a b c d"), (11L, "zz")).toDF("doc_id", "text")
+    val out = Dedup.novelty(newDocs, ref, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) == ((3L, 2L, Some(1.0 / 3.0))))
+    assert(out(2L) == ((3L, 0L, Some(1.0))))
+    assert(out(3L) == ((1L, 1L, Some(0.0))))
+    assert(out(4L) == ((0L, 0L, None)))
+  }
+
+  test("asof join: latest-at-or-before match, id tie-break, strict variant") {
+    import graft.pipeline.AsOf
+    val left = Seq((100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 50L),
+      (103L, 3L, 50L)).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, 20L, 1.0),  // before 50
+      (2L, 1L, 50L, 2.0),  // ties left ts=50 — included unless strict
+      (3L, 1L, 50L, 3.0),  // same ts, higher id wins the tie
+      (4L, 1L, 60L, 4.0),  // after: never matched
+      (5L, 2L, 55L, 5.0)   // after user 2's only left: no match
+    ).toDF("event_id", "user_id", "ts", "value")
+
+    val out = AsOf.asOfJoin(left, right, "user_id", "ts", "event_id",
+        Seq("ts", "value"), prefix = "r_")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(5)))))
+      .toMap
+    assert(out == Map(
+      100L -> Some((3L, 3.0)), // equal-ts rights included, max id wins
+      101L -> None,            // no right at or before ts=10
+      102L -> None,            // user 2's right is after
+      103L -> None))           // user 3 has no rights at all
+
+    val strictOut = AsOf.asOfJoin(left, right, "user_id", "ts", "event_id",
+        Seq("ts", "value"), prefix = "r_", strict = true)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // strict drops the equal-ts rights: ts=50 falls back to ts=20
+    assert(strictOut(100L) == Some(1L) && strictOut(101L) == None)
+  }
+
+  test("asof join: empty right side matches nothing, empty left yields no rows") {
+    import graft.pipeline.AsOf
+    val left = Seq((1L, 1L, 5L)).toDF("event_id", "user_id", "ts")
+    val right = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = AsOf.asOfJoin(left, right, "user_id", "ts", "event_id",
+      Seq("value")).collect()
+    assert(out.length == 1 && out(0).isNullAt(3))
+    assert(AsOf.asOfJoin(right.limit(0), left, "user_id", "ts", "event_id",
+      Seq("ts")).collect().isEmpty)
   }
 
   test("multimodal: frame sampling and thumbnails keep the batch contract") {

@@ -220,4 +220,27 @@ class PlanShapeSpec extends SparkSpec {
     // the bins-table width lookup must not sort-merge-shuffle the histogram
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("novelty: gram-keyed shuffle join after per-side distinct, no broadcast of the reference") {
+    val plan = executedPlan(Dedup.novelty(docs.filter($"doc_id" <= 10),
+      docs.filter($"doc_id" > 10), n = 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both sides reach the gram join pre-collapsed to distinct grams —
+    // the HashAggregate pair below the join is the skew guard
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("asof join: one key exchange, a running window, zero join operators") {
+    val left = Seq((100L, 1L, 50L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, 1L, 20L, 1.0)).toDF("event_id", "user_id", "ts", "value")
+    val plan = executedPlan(graft.pipeline.AsOf.asOfJoin(
+      left, right, "user_id", "ts", "event_id", Seq("ts", "value")))
+    // the whole point: no candidate-pair join of any kind, just the union
+    // + window — a hot key costs its own row count, never L×R
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, plan) // exactly the one exchange keyed by user
+  }
 }
