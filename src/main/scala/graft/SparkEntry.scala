@@ -830,6 +830,13 @@ object SparkEntry {
       // quantized-exact mean cohesion for the trained 16-cell k-means
       implicit val sp: SparkSession = s
       Similarity.clusterStats(t(dir, "embeddings"), nCells = 16)
+    },
+    "q124_bpe_train" -> { (s, dir) =>
+      // distributed BPE vocabulary training: 12 merge rules learned from
+      // the corpus — one corpus pass, then vocabulary-sized rounds
+      implicit val sp: SparkSession = s
+      TextAnalysis.bpeTrain(t(dir, "documents").filter(col("doc_id") < 200),
+        nMerges = 12)
     }
   )
 
@@ -1000,6 +1007,7 @@ object SparkEntry {
       "l_returnflag = 'N'", dims = Seq("l_linestatus")),
     "q122_novelty" -> PipelineOracle.novelty(5, "doc_id < 250", "doc_id >= 250"),
     "q123_cluster_stats" -> PipelineOracle.clusterStats(nCells = 16),
+    "q124_bpe_train" -> PipelineOracle.bpeTrain(12, "doc_id < 200"),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

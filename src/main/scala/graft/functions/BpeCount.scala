@@ -277,3 +277,79 @@ object BpeEncode {
   def bpe_encode(text: Column): Column =
     GraftShim.column(BpeEncode(GraftShim.expression(text)))
 }
+
+/** Code-point symbols of one pre-token: the BPE trainer's initial state
+  * (surrogate pairs stay whole — the same contract as encodeTokens and
+  * the oracle's character-based substr). */
+case class CodePoints(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    CodePoints.compute(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.CodePoints.compute($t)")
+  override protected def withNewChildInternal(newChild: Expression): CodePoints =
+    copy(child = newChild)
+}
+
+object CodePoints {
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out.add(UTF8String.fromString(new String(Character.toChars(cp))))
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
+  def code_points(text: Column): Column =
+    GraftShim.column(CodePoints(GraftShim.expression(text)))
+}
+
+/** One BPE training round's apply step: merge every LEFT-TO-RIGHT
+  * non-overlapping occurrence of (l, r) in the symbol array — exactly
+  * BpeVocab.mergeAll, as a codegen expression over the distributed word
+  * table. l and r are per-round constants (foldable literals). */
+case class MergePair(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = first.dataType
+  override protected def nullSafeEval(toks: Any, l: Any, r: Any): Any =
+    MergePair.compute(
+      toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, l, r) => s"graft.functions.MergePair.compute($t, $l, $r)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): MergePair = copy(first = f, second = s, third = t)
+}
+
+object MergePair {
+  def compute(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      l: UTF8String, r: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && toks.getUTF8String(i).equals(l) &&
+          toks.getUTF8String(i + 1).equals(r)) {
+        out.add(UTF8String.concat(l, r))
+        i += 2
+      } else {
+        out.add(toks.getUTF8String(i))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
+  def merge_pair(toks: Column, l: Column, r: Column): Column =
+    GraftShim.column(MergePair(GraftShim.expression(toks),
+      GraftShim.expression(l), GraftShim.expression(r)))
+}

@@ -109,6 +109,46 @@ object PipelineOracle {
       "UNNEST(toks) AS token FROM __cum"
   }
 
+  /** Mirrors TextAnalysis.bpeTrain: the same trainer unrolled — one CTE
+    * block per merge rank k: pair counts (pK: ordinary GROUP BY over the
+    * word table), argmax with the (c DESC, l, r) tie-break (bK: ORDER BY
+    * LIMIT 1), and a RECURSIVE apply (aK: splice the FIRST occurrence of
+    * the pair until none remains — for a single fixed pair that equals
+    * the trainer's left-to-right non-overlapping mergeAll, because a
+    * merge of (l,r) can never create an earlier (l,r) occurrence), with
+    * wK picking each word's shortest (= final) state. Every chained CTE
+    * is AS MATERIALIZED: inlined, the k-level chain re-expands ~3^k ways
+    * and the planner never returns at k = 12 (measured hang → 0.7 s). */
+  def bpeTrain(nMerges: Int, where: String = "TRUE"): String = {
+    import graft.functions.BpeVocab
+    val arr = s"regexp_extract_all(text, ${q(BpeVocab.WordRe)})"
+    val w0 = s"w0 AS MATERIALIZED (SELECT w, list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS toks, " +
+      s"CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+      s"(SELECT UNNEST($arr) AS w FROM documents WHERE $where) GROUP BY w)"
+    val blocks = (1 to nMerges).map { k =>
+      val prev = s"w${k - 1}"
+      s"p$k AS MATERIALIZED (SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM " +
+        s"(SELECT cnt, toks[i] AS l, toks[i + 1] AS r FROM " +
+        s"(SELECT toks, cnt, UNNEST(generate_series(1, len(toks) - 1)) AS i " +
+        s"FROM $prev WHERE len(toks) >= 2)) GROUP BY l, r), " +
+        s"b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1), " +
+        s"a$k AS (SELECT w, toks, cnt FROM $prev " +
+        "UNION ALL " +
+        "SELECT w, list_concat(list_concat(toks[1:CAST(pos - 1 AS INT)], [ml || mr]), " +
+        "toks[CAST(pos + 2 AS INT):len(toks)]) AS toks, cnt FROM " +
+        s"(SELECT a.w AS w, a.toks AS toks, a.cnt AS cnt, b.l AS ml, b.r AS mr, " +
+        "list_min(list_filter(generate_series(1, len(a.toks) - 1), " +
+        s"i -> a.toks[i] = b.l AND a.toks[i + 1] = b.r)) AS pos " +
+        s"FROM a$k a, b$k b) WHERE pos IS NOT NULL), " +
+        s"w$k AS MATERIALIZED (SELECT w, toks, cnt FROM a$k " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY w ORDER BY len(toks)) = 1)"
+    }.mkString(", ")
+    val out = (1 to nMerges).map(k =>
+      s"SELECT CAST($k AS INT) AS rank, l AS lhs, r AS rhs, c AS pair_count FROM b$k")
+      .mkString(" UNION ALL ")
+    s"WITH RECURSIVE $w0, $blocks $out"
+  }
+
   /** Mirrors Sampling.sampleTokenBudget with the BPE counter: per-source
     * totals over __bpe, same hash-threshold filter. */
   def sampleTokenBudgetBpe(budgetTokens: Long, salt: String): String = {

@@ -98,6 +98,72 @@ object TextAnalysis {
           .as(Seq("pos", "token")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
 
+  /** DISTRIBUTED BPE vocabulary training: learn the top `nMerges` merge
+    * rules from the corpus itself — the step that produces the table
+    * [[bpeTokens]]/[[bpeEncode]] consume (BpeVocab.train is the same
+    * algorithm driver-side over the embedded seed; this is its corpus-
+    * scale form, and the determinism spec pins them equal).
+    *
+    * Algorithm (Sennrich et al. 2016, the standard trainer): count every
+    * adjacent symbol pair over the word-frequency table, merge the
+    * globally most frequent pair (ties to the lexicographically smallest)
+    * left-to-right non-overlapping in every word, repeat.
+    *
+    * Scale shape: the CORPUS is touched exactly once — one map-combinable
+    * word count (Zipf collapse; state is vocabulary-sized from then on).
+    * Each round is: one pair-count aggregate over the word table (pairs
+    * explode bounded by total symbol count, map-side combined), ONE
+    * TakeOrdered(1) for the argmax (no full sort, bounded driver data —
+    * nMerges rows total ever reach the driver), one codegen MergePair
+    * projection, localCheckpoint to truncate lineage with exact block
+    * eviction (the components pattern). nMerges rounds of vocabulary-
+    * sized work — at a real 50k-merge scale the word table is hashed
+    * across executors and every round stays map-combine + TakeOrdered. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    import graft.functions.{BpeVocab, CodePoints, MergePair}
+    require(nMerges >= 1, "nMerges must be positive")
+    val spark = docs.sparkSession
+    val sc = spark.sparkContext
+    def evict(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          sc.getPersistentRDDs.get(l.rdd.id).foreach(_.unpersist(false))
+        case _ => ()
+      }
+    var words = docs
+      .select(explode(regexp_extract_all(coalesce(col("text"), lit("")),
+        lit(BpeVocab.WordRe), lit(0))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(CodePoints.code_points(col("w")).as("toks"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (!done && step <= nMerges) {
+      val best = words.filter(size(col("toks")) >= 2)
+        .select(col("cnt"), col("toks"),
+          explode(expr("sequence(0, size(toks) - 2)")).as("i"))
+        .select(col("cnt"), expr("toks[i]").as("l"), expr("toks[i + 1]").as("r"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, c))
+        val next = words.select(
+          MergePair.merge_pair(col("toks"), lit(l), lit(r)).as("toks"),
+          col("cnt")).localCheckpoint(true)
+        evict(words)
+        words = next
+        step += 1
+      }
+    }
+    evict(words)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val UrlRe = "https?://[^\\s]+"
   private[graft] val DigitRunRe = "[0-9]{6,}"

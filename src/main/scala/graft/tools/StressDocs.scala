@@ -63,6 +63,13 @@ object StressDocs {
       docs.select(col("doc_id")),
       graft.pipeline.Dedup.nearDupPairs(docs, bucketCap = Some(20)))
       .filter(col("keep")).count())
+    // novelty: corpus-vs-corpus gram join — per-side distinct first, so a
+    // replicated corpus's hot grams collapse to single reference rows
+    time("novelty")(graft.pipeline.Dedup.novelty(
+      docs.filter(col("doc_id") % 20 === 0), docs, n = 5).count())
+    // distributed BPE training: the corpus pass is the word count; the 8
+    // merge rounds after it run on the vocabulary-sized table only
+    time("bpe_train")(graft.pipeline.TextAnalysis.bpeTrain(docs, 8).count())
     // a typo in the filter arg must fail loudly, not silently run nothing
     only.foreach { sel =>
       val unknown = sel -- ran

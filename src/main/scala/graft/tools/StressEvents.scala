@@ -43,6 +43,22 @@ object StressEvents {
     time("windowed_hist")(graft.streaming.StreamingHist.windowedHistogram(
       ev, "event_time", col("value"), graft.axes.Regular("value", 16, 0.0, 512.0),
       "1 hour").count())
+    // as-of join: union+window — cost must track the INPUT row count
+    // (L+R per key), never the LxR candidate volume a range join pays
+    val us = ev.withColumn("us", expr(
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        "ts div 1000" else "unix_micros(ts)"))
+    time("asof_join")(graft.pipeline.AsOf.asOfJoin(
+      us.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us"),
+      us.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "us", "value"),
+      "user_id", "us", "event_id", Seq("us", "value"), prefix = "view_").count())
+    // exact KS: the window stage must run on the distinct-value relation
+    time("ks_test")(graft.stats.HistStats.ksTest(
+      us.withColumn("day", expr("us div 86400000000")),
+      col("value"), col("event_type") === lit("view"),
+      dims = Seq("day")).count())
     spark.stop()
   }
 }

@@ -807,6 +807,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bpe train: distributed trainer equals the driver-side reference trainer") {
+    import graft.functions.BpeVocab
+    // same word multiset: concatenating with spaces never crosses WordRe
+    val text = docs.collect().map(_.getString(1)).mkString(" ")
+    val expect = BpeVocab.train(text, 8)
+    val got = TextAnalysis.bpeTrain(docs, 8).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    assert(got.toVector == expect, s"got=${got.toList}")
+    // counts are positive and rank 1 carries the global max pair count
+    val counts = TextAnalysis.bpeTrain(docs, 3).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(3))
+    assert(counts.forall(_ >= 1L) && counts.head == counts.max)
+  }
+
+  test("bpe train: merge exhaustion stops early, empty corpus trains nothing") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // "ab" has exactly one pair to learn, then single-symbol words remain
+    val m = TextAnalysis.bpeTrain(tiny, 10).collect()
+    assert(m.length == 1 && m(0).getString(1) == "a" && m(0).getString(2) == "b"
+      && m(0).getLong(3) == 2L)
+    assert(TextAnalysis.bpeTrain(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 5).count() == 0L)
+  }
+
   test("novelty: unseen-gram fraction vs a reference corpus") {
     val newDocs = Seq(
       (1L, "a b c d e"),       // grams(3): abc bcd cde — abc/bcd in ref

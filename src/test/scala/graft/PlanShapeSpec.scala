@@ -230,6 +230,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("bpe train round: pair argmax is TakeOrdered, not a global sort") {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val words = docs
+      .select(explode(org.apache.spark.sql.functions.regexp_extract_all(
+        coalesce($"text", lit("")),
+        lit(graft.functions.BpeVocab.WordRe), lit(0))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(graft.functions.CodePoints.code_points($"w").as("toks"), $"cnt")
+    val round = words.filter(size($"toks") >= 2)
+      .select($"cnt", $"toks", explode(expr("sequence(0, size(toks) - 2)")).as("i"))
+      .select($"cnt", expr("toks[i]").as("l"), expr("toks[i + 1]").as("r"))
+      .groupBy($"l", $"r").agg(sum($"cnt").as("c"))
+      .orderBy($"c".desc, $"l".asc, $"r".asc).limit(1)
+    val plan = executedPlan(round)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("asof join: one key exchange, a running window, zero join operators") {
     val left = Seq((100L, 1L, 50L)).toDF("event_id", "user_id", "ts")
     val right = Seq((1L, 1L, 20L, 1.0)).toDF("event_id", "user_id", "ts", "value")
