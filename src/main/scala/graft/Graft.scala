@@ -94,6 +94,10 @@ object Graft {
     * streams. */
   val funnel: _root_.graft.pipeline.Funnel.type = _root_.graft.pipeline.Funnel
 
+  /** As-of join (latest right row at-or-before each left row, per key)
+    * as a union + running window — one exchange, no join operator. */
+  val asOf: _root_.graft.pipeline.AsOf.type = _root_.graft.pipeline.AsOf
+
   /** Binary media columns: batched decode plumbing, frame sampling,
     * thumbnails (codec stubbed in this environment). */
   val multimodal: _root_.graft.pipeline.Multimodal.type =

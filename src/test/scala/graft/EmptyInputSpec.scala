@@ -150,6 +150,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.pipeline.Funnel.sessionPaths(emptyTypedEv, "1 hour", 3).count() == 0)
   }
 
+  test("round-6 continuation operators on empty input") {
+    // ksTest: empty → no groups at all (grouped) / no row (ungrouped has
+    // no group keys either — grouped(agg) over empty yields one row only
+    // for the dims-less global aggregate, where both sides are 0 → NULL)
+    assert(HistStats.ksTest(emptyNum, col("x"), col("x") > 0.0, Seq("g")).count() == 0)
+    assert(Dedup.novelty(emptyDocs, emptyDocs, n = 3).count() == 0)
+    assert(graft.pipeline.TextAnalysis.bpeEncode(emptyDocs).count() == 0)
+    assert(graft.pipeline.TextAnalysis.bpeTrain(emptyDocs, 4).count() == 0)
+    assert(Similarity.clusterStats(emptyEmb, nCells = 2).count() == 0)
+    val emptyEvId = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts", LongType))))
+    assert(graft.pipeline.AsOf.asOfJoin(emptyEvId, emptyEvId,
+      "user_id", "ts", "event_id", Seq("ts")).count() == 0)
+  }
+
   test("accessor arithmetic and multimodal on empty input") {
     val h = Histogram.histogram(emptyNum, col("x"), ax)
     assert(HistStats.add(h, h, ax, Nil).count() == 0)
