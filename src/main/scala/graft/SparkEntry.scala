@@ -837,6 +837,28 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       TextAnalysis.bpeTrain(t(dir, "documents").filter(col("doc_id") < 200),
         nMerges = 12)
+    },
+    "q125_bpe_encode_trained" -> { (s, dir) =>
+      // the full tokenizer loop: train 12 merges on the corpus, tokenize
+      // with the LEARNED table (driver holds only the 12-row merge list)
+      implicit val sp: SparkSession = s
+      val d = t(dir, "documents")
+      val learned = TextAnalysis.bpeTrain(d.filter(col("doc_id") < 200), 12)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncodeWith(d.filter(col("doc_id") < 50), learned)
+    },
+    "q126_hist_pull" -> { (s, dir) =>
+      // per-bin pull between the view/click value histograms — the
+      // WHERE companion to q113's scalar drift metrics
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      HistStats.pull(
+        Histogram.histogram(ev.filter(col("event_type") === "view"),
+          col("value"), axValue),
+        Histogram.histogram(ev.filter(col("event_type") === "click"),
+          col("value"), axValue),
+        axValue)
     }
   )
 
@@ -1008,6 +1030,10 @@ object SparkEntry {
     "q122_novelty" -> PipelineOracle.novelty(5, "doc_id < 250", "doc_id >= 250"),
     "q123_cluster_stats" -> PipelineOracle.clusterStats(nCells = 16),
     "q124_bpe_train" -> PipelineOracle.bpeTrain(12, "doc_id < 200"),
+    "q125_bpe_encode_trained" -> PipelineOracle.bpeEncodeTrained(12,
+      "doc_id < 200", "doc_id < 50"),
+    "q126_hist_pull" -> Oracle.histPull("events", Oracle.Spec("value", axValue),
+      "event_type = 'view'", "event_type = 'click'"),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

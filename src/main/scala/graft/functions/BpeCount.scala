@@ -353,3 +353,66 @@ object MergePair {
     GraftShim.column(MergePair(GraftShim.expression(toks),
       GraftShim.expression(l), GraftShim.expression(r)))
 }
+
+/** BPE encode with a RUNTIME merge table (the output of
+  * TextAnalysis.bpeTrain), closing the train → tokenize loop:
+  * [[BpeEncode]] is this expression specialized to the embedded
+  * BpeVocab table. The merge list is a constructor constant (driver-
+  * collected, nMerges rows — bounded metadata), so the ranks map builds
+  * once per executor and the per-word memo is thread-local exactly like
+  * BpeEncode's. */
+case class BpeEncodeWith(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  @transient private lazy val rk = BpeVocab.ranksOf(merges.toVector)
+  @transient private lazy val memo:
+      ThreadLocal[java.util.LinkedHashMap[String, Array[UTF8String]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.LinkedHashMap[String, Array[UTF8String]](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[UTF8String]]): Boolean =
+          size() > 65536
+      })
+
+  def encode(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = BpeEncodeWith.wordPattern.matcher(text.toString)
+    val cache = memo.get()
+    val out = new java.util.ArrayList[UTF8String]()
+    while (m.find()) {
+      val w = m.group()
+      var toks = cache.get(w)
+      if (toks == null) {
+        val enc = BpeVocab.encodeTokens(w, rk)
+        toks = new Array[UTF8String](enc.size)
+        var i = 0
+        while (i < enc.size) { toks(i) = UTF8String.fromString(enc.get(i)); i += 1 }
+        cache.put(w, toks)
+      }
+      var i = 0
+      while (i < toks.length) { out.add(toks(i)); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size)))
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    encode(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncodeWith", this,
+      classOf[BpeEncodeWith].getName)
+    defineCodeGen(ctx, ev, t => s"$ref.encode($t)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeWith =
+    copy(child = newChild)
+}
+
+object BpeEncodeWith {
+  private[functions] val wordPattern =
+    java.util.regex.Pattern.compile(BpeVocab.WordRe)
+
+  def bpe_encode_with(text: Column, merges: Seq[(String, String)]): Column =
+    GraftShim.column(BpeEncodeWith(GraftShim.expression(text), merges))
+}

@@ -150,6 +150,27 @@ object Oracle {
       "FROM p"
   }
 
+  /** Mirrors HistStats.pull: the same two histogram CTEs as [[drift]],
+    * full-outer-joined per bin, then the fixed (a−b)/√(a+b) IEEE tail
+    * per row (NULL when both sides are empty). */
+  def histPull(table: String, spec: Spec, whereA: String,
+      whereB: String): String = {
+    def histCte(name: String, where: String): String =
+      s"$name AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+        s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+        s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1} " +
+        "GROUP BY __i0)"
+    s"WITH ${histCte("ha", whereA)}, ${histCte("hb", whereB)}, " +
+      "j AS (SELECT COALESCE(ha.__i0, hb.__i0) AS i, " +
+      "COALESCE(ha.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hb.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM ha FULL OUTER JOIN hb ON hb.__i0 = ha.__i0) " +
+      s"SELECT (${spec.axis.labelSql("i")}) AS ${spec.axis.binsCol}, " +
+      "ca AS cnt_a, cb AS cnt_b, " +
+      "CASE WHEN ca + cb > 0 THEN (ca - cb) / SQRT(ca + cb) " +
+      "ELSE CAST(NULL AS DOUBLE) END AS pull FROM j"
+  }
+
   /** Mirrors HistStats.driftFrom over a single integer dim expression:
     * per-dim histograms full-outer-joined against the dim×reference grid,
     * decimal-exact per-dim totals, pinned-order metric folds. */

@@ -84,10 +84,18 @@ object PipelineOracle {
     val rankMap = BpeVocab.merges.zipWithIndex
       .map { case ((a, b), i) => s"${q(a + " " + b)}: $i" }
       .mkString("MAP {", ", ", "}")
+    s"WITH RECURSIVE ${bpeEncodeChain(where, rankMap, "")} $bpeEncodeSelect"
+  }
+
+  /** The encode CTE chain, parameterized over the rank lookup: `mapExpr`
+    * is a map VALUE expression (a literal MAP for the embedded vocab; a
+    * cross-joined column for a trained table via `extraJoin`). */
+  private def bpeEncodeChain(where: String, mapExpr: String,
+      extraJoin: String): String = {
+    import graft.functions.BpeVocab
     val miss = 1000000
     val arr = s"regexp_extract_all(text, ${q(BpeVocab.WordRe)})"
-    "WITH RECURSIVE " +
-      s"__w AS (SELECT doc_id, UNNEST($arr) AS word, generate_subscripts($arr, 1) AS wi " +
+    s"__w AS (SELECT doc_id, UNNEST($arr) AS word, generate_subscripts($arr, 1) AS wi " +
       s"FROM documents WHERE $where), " +
       "__dw AS (SELECT DISTINCT word FROM __w), " +
       "__enc AS (" +
@@ -98,15 +106,34 @@ object PipelineOracle {
       "FROM (SELECT word, toks, list_min(ranks) AS bestr, " +
       "list_position(ranks, list_min(ranks)) AS pos " +
       "FROM (SELECT word, toks, list_transform(generate_series(1, len(toks)-1), " +
-      s"i -> coalesce(map_extract($rankMap, toks[i] || ' ' || toks[i+1])[1], $miss)) AS ranks " +
-      s"FROM __enc)) WHERE bestr < $miss), " +
+      s"i -> coalesce(map_extract($mapExpr, toks[i] || ' ' || toks[i+1])[1], $miss)) AS ranks " +
+      s"FROM __enc$extraJoin)) WHERE bestr < $miss), " +
       "__wt AS (SELECT word, toks FROM __enc " +
       "QUALIFY ROW_NUMBER() OVER (PARTITION BY word ORDER BY len(toks)) = 1), " +
       "__doc AS (SELECT w.doc_id, w.wi, t.toks FROM __w w JOIN __wt t USING (word)), " +
       "__cum AS (SELECT doc_id, wi, toks, COALESCE(SUM(len(toks)) OVER " +
-      "(PARTITION BY doc_id ORDER BY wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM __doc) " +
-      "SELECT doc_id, CAST(base + generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, " +
+      "(PARTITION BY doc_id ORDER BY wi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base FROM __doc)"
+  }
+
+  private val bpeEncodeSelect: String =
+    "SELECT doc_id, CAST(base + generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos, " +
       "UNNEST(toks) AS token FROM __cum"
+
+  /** Mirrors TextAnalysis.bpeEncodeWith ∘ bpeTrain: the full
+    * train-then-tokenize loop in one query — the trained merge table
+    * (bpeTrain's CTE blocks) is collapsed to a rank MAP and drives the
+    * same encode recursion the embedded-vocab oracle runs. Rank values
+    * are 1-based here vs the literal map's 0-based; only relative order
+    * reaches the merge loop. */
+  def bpeEncodeTrained(nMerges: Int, trainWhere: String,
+      encodeWhere: String): String = {
+    val out = (1 to nMerges).map(k =>
+      s"SELECT CAST($k AS INT) AS rank, l, r FROM b$k").mkString(" UNION ALL ")
+    s"WITH RECURSIVE ${bpeTrainCtes(nMerges, trainWhere)}, " +
+      s"__tm AS MATERIALIZED ($out), " +
+      "__rm AS MATERIALIZED (SELECT MAP(list(l || ' ' || r ORDER BY rank), " +
+      "list(rank ORDER BY rank)) AS m FROM __tm), " +
+      s"${bpeEncodeChain(encodeWhere, "m", " CROSS JOIN __rm")} $bpeEncodeSelect"
   }
 
   /** Mirrors TextAnalysis.bpeTrain: the same trainer unrolled — one CTE
@@ -120,6 +147,15 @@ object PipelineOracle {
     * is AS MATERIALIZED: inlined, the k-level chain re-expands ~3^k ways
     * and the planner never returns at k = 12 (measured hang → 0.7 s). */
   def bpeTrain(nMerges: Int, where: String = "TRUE"): String = {
+    val out = (1 to nMerges).map(k =>
+      s"SELECT CAST($k AS INT) AS rank, l AS lhs, r AS rhs, c AS pair_count FROM b$k")
+      .mkString(" UNION ALL ")
+    s"WITH RECURSIVE ${bpeTrainCtes(nMerges, where)} $out"
+  }
+
+  /** The trainer's CTE blocks alone (w0, p/b/a/w per rank) — shared by
+    * [[bpeTrain]] and the composed [[bpeEncodeTrained]]. */
+  private def bpeTrainCtes(nMerges: Int, where: String): String = {
     import graft.functions.BpeVocab
     val arr = s"regexp_extract_all(text, ${q(BpeVocab.WordRe)})"
     val w0 = s"w0 AS MATERIALIZED (SELECT w, list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS toks, " +
@@ -143,10 +179,7 @@ object PipelineOracle {
         s"w$k AS MATERIALIZED (SELECT w, toks, cnt FROM a$k " +
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY w ORDER BY len(toks)) = 1)"
     }.mkString(", ")
-    val out = (1 to nMerges).map(k =>
-      s"SELECT CAST($k AS INT) AS rank, l AS lhs, r AS rhs, c AS pair_count FROM b$k")
-      .mkString(" UNION ALL ")
-    s"WITH RECURSIVE $w0, $blocks $out"
+    s"$w0, $blocks"
   }
 
   /** Mirrors Sampling.sampleTokenBudget with the BPE counter: per-source

@@ -98,6 +98,18 @@ object TextAnalysis {
           .as(Seq("pos", "token")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
 
+  /** [[bpeEncode]] with a RUNTIME merge table — typically the output of
+    * [[bpeTrain]] (train on the corpus, tokenize with what you learned:
+    * the full tokenizer loop inside the engine). `merges` is
+    * rank-ordered, driver-held, vocabulary-sized metadata (nMerges rows);
+    * the operator itself stays one map-only codegen pass. */
+  def bpeEncodeWith(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.BpeEncodeWith.bpe_encode_with(
+          col("text"), merges)).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+
   /** DISTRIBUTED BPE vocabulary training: learn the top `nMerges` merge
     * rules from the corpus itself — the step that produces the table
     * [[bpeTokens]]/[[bpeEncode]] consume (BpeVocab.train is the same

@@ -366,6 +366,32 @@ object HistStats {
         fold(col("__terms"), "t2").as("chisq")): _*)
   }
 
+  /** Per-bin PULL between two count histograms (the ROOT-style residual
+    * plot: which bins disagree, and by how many sigmas under Poisson
+    * errors): pull_i = (a_i − b_i) / √(a_i + b_i), with the per-bin
+    * counts carried through. The per-bin companion to [[drift]]'s
+    * scalar metrics — drift says THAT distributions diverged, pull says
+    * WHERE. Runs entirely on already-aggregated histogram relations
+    * (full-outer join keyed by (dims, bin), absent bins count 0); the
+    * tail is subtraction of exactly-representable counts, one √, one
+    * division — a fixed IEEE sequence, bit-identical cross-engine. A
+    * bin with zero counts on both sides (dense-histogram zero rows)
+    * yields NULL. */
+  def pull(a: DataFrame, b: DataFrame, ax: BinAxis,
+      dims: Seq[String] = Nil): DataFrame = {
+    val aa = a.select(dims.map(col) ++
+      Seq(col(ax.binsCol), col("cnt").as("__ca")): _*)
+    val bb = b.select(dims.map(col) ++
+      Seq(col(ax.binsCol), col("cnt").as("__cb")): _*)
+    aa.join(bb, dims :+ ax.binsCol, "full_outer")
+      .na.fill(0.0, Seq("__ca", "__cb"))
+      .select(dims.map(col) ++ Seq(col(ax.binsCol),
+        col("__ca").as("cnt_a"), col("__cb").as("cnt_b"),
+        when(col("__ca") + col("__cb") > lit(0.0),
+          (col("__ca") - col("__cb")) / sqrt(col("__ca") + col("__cb")))
+          .otherwise(lit(null).cast("double")).as("pull")): _*)
+  }
+
   /** Grouped Pearson correlation over raw columns (the feature-QA
     * companion to Histogram.profile): one map-combinable aggregate pass
     * collecting n, Σx, Σy, Σxy, Σx², Σy² through DECIMAL(38,14) (exact,

@@ -330,6 +330,26 @@ class HistStatsSpec extends SparkSpec {
     assert(math.abs(p(5.0) - 1.0 / 0.001 / 3.0) < 1e-6)
   }
 
+  test("pull: hand-computed residuals, one-sided bins, both-zero NULL") {
+    import spark.implicits._
+    val ax = Regular("x", 4, 0.0, 4.0)
+    val a = Seq(0.5, 0.5, 1.5, 2.5).toDF("x")   // bins: 2, 1, 1, 0
+    val b = Seq(0.5, 3.5, 3.5).toDF("x")        // bins: 1, 0, 0, 2
+    val out = HistStats.pull(
+      Histogram.histogram(a, col("x"), ax),
+      Histogram.histogram(b, col("x"), ax), ax).collect()
+      .map(r => r.getDouble(0) -> ((r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(0.0) == ((2.0, 1.0, Some((2.0 - 1.0) / math.sqrt(3.0)))))
+    assert(out(1.0) == ((1.0, 0.0, Some(1.0))))      // a-only bin
+    assert(out(2.0) == ((1.0, 0.0, Some(1.0))))
+    assert(out(3.0) == ((0.0, 2.0, Some(-2.0 / math.sqrt(2.0))))) // b-only
+    // identical histograms pull exactly zero everywhere
+    val z = HistStats.pull(Histogram.histogram(a, col("x"), ax),
+      Histogram.histogram(a, col("x"), ax), ax).collect()
+    assert(z.forall(_.getDouble(3) == 0.0))
+  }
+
   test("ksTest: hand-computed D, tie collapsing, empty side NULL") {
     import spark.implicits._
     // g1: A = {1, 2, 3}, B = {2, 3, 4}  (a tie at 2 and 3)

@@ -821,6 +821,29 @@ class PipelineSpec extends SparkSpec {
     assert(counts.forall(_ >= 1L) && counts.head == counts.max)
   }
 
+  test("bpe encode with a trained table: embedded vocab reproduces bpeEncode") {
+    import graft.functions.BpeVocab
+    // passing the embedded table through the runtime-table path must be
+    // byte-identical to the specialized expression
+    val a = TextAnalysis.bpeEncodeWith(docs, BpeVocab.merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(x => (x._1, x._2))
+    val b = TextAnalysis.bpeEncode(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(x => (x._1, x._2))
+    assert(a.toSeq == b.toSeq)
+    // and a trained-on-this-corpus table round-trips the pre-token stream
+    val learned = TextAnalysis.bpeTrain(docs, 6).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = TextAnalysis.bpeEncodeWith(docs, learned).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc2 = enc.groupBy(_._1)
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val expected = BpeVocab.WordRe.r.findAllIn(r.getString(1)).mkString
+      val got = byDoc2.getOrElse(r.getLong(0), Array.empty)
+        .sortBy(_._2).map(_._3).mkString
+      assert(got == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("bpe train: merge exhaustion stops early, empty corpus trains nothing") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // "ab" has exactly one pair to learn, then single-symbol words remain
