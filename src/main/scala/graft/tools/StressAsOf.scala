@@ -45,14 +45,22 @@ object StressAsOf {
       val (l, r) = mk(hot)
       time(s"asof_window hot=$hot")(graft.pipeline.AsOf.asOfJoin(
         l, r, "user_id", "ts", "event_id", Seq("ts", "value")).count())
-      // the naive range-join form, only while it still finishes
-      if (hot <= 50000L) {
+      // the naive range-join form, only while it still finishes: measured
+      // 9.0 s at hot=10k, 100 s at hot=50k (the hot² curve — 200k
+      // projects to ~27 min, 1M to ~11 h) vs the window form's flat
+      // 0.3-0.5 s through hot=1M
+      if (hot <= (if (sys.env.contains("STRESS_ASOF_FULL")) 10000000L else 50000L)) {
         time(s"asof_rangejoin hot=$hot") {
+          // consume the max struct — a bare count() after the groupBy
+          // lets Catalyst prune the aggregate and ELIMINATE the left
+          // join (distinct left keys are join-invariant), measuring
+          // nothing; folding the match times keeps the hot² probe real
           l.as("l").join(r.as("r"),
               $"l.user_id" === $"r.user_id" && $"r.ts" <= $"l.ts", "left")
             .groupBy($"l.event_id")
             .agg(max(struct($"r.ts", $"r.event_id", $"r.value")).as("m"))
-            .count()
+            .select(sum($"m.ts")).collect()
+          l.count()
         }
       }
     }
