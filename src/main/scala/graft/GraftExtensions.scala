@@ -81,6 +81,12 @@ object GraftExtensions {
     ("bpe_count",
       "bpe_count(text) - BPE token count over the embedded merge table",
       args => graft.functions.BpeCount(args(0))),
+    ("bpe_encode",
+      "bpe_encode(text) - BPE token array over the embedded merge table",
+      args => graft.functions.BpeEncode(args(0))),
+    ("code_points",
+      "code_points(text) - code-point symbols (surrogate pairs whole)",
+      args => graft.functions.CodePoints(args(0))),
     ("word_gram_hashes",
       "word_gram_hashes(text, n) - sorted distinct hashes of word n-grams",
       args => graft.functions.WordGramHashes(args(0),

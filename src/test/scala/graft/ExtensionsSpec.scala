@@ -59,6 +59,9 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT vec_dot(CAST(array(2.0) AS array<float>), CAST(array(3.0) AS array<float>))")
       .head().getDouble(0) == 6.0)
     assert(spark.sql("SELECT bpe_count('the the')").head().getLong(0) == 2L)
+    assert(spark.sql("SELECT size(bpe_encode('the the'))").head().getInt(0) == 2)
+    assert(spark.sql("SELECT code_points('ab')").head()
+      .getSeq[String](0) == Seq("a", "b"))
     assert(SparkEntry.entry(spark).count() > 0)
   }
 

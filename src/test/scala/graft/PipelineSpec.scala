@@ -902,6 +902,27 @@ class PipelineSpec extends SparkSpec {
     assert(strictOut(100L) == Some(1L) && strictOut(101L) == None)
   }
 
+  test("asof join: randomized cross-check against a brute-force reference") {
+    import graft.pipeline.AsOf
+    val rnd = new scala.util.Random(20260813L)
+    // small key space + small ts space force heavy collisions and ties
+    val left = Seq.tabulate(120)(i =>
+      (i.toLong, (rnd.nextInt(6) + 1).toLong, rnd.nextInt(20).toLong))
+    val right = Seq.tabulate(150)(i =>
+      (1000L + i, (rnd.nextInt(6) + 1).toLong, rnd.nextInt(20).toLong,
+        rnd.nextDouble()))
+    val out = AsOf.asOfJoin(left.toDF("event_id", "user_id", "ts"),
+        right.toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", Seq("ts", "value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    left.foreach { case (eid, u, t) =>
+      val expect = right.filter(r => r._2 == u && r._3 <= t)
+        .sortBy(r => (r._3, r._1)).lastOption.map(_._1)
+      assert(out(eid) == expect, s"left $eid (user $u ts $t)")
+    }
+  }
+
   test("asof join: empty right side matches nothing, empty left yields no rows") {
     import graft.pipeline.AsOf
     val left = Seq((1L, 1L, 5L)).toDF("event_id", "user_id", "ts")
