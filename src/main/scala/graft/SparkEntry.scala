@@ -859,6 +859,23 @@ object SparkEntry {
         Histogram.histogram(ev.filter(col("event_type") === "click"),
           col("value"), axValue),
         axValue)
+    },
+    "q127_stream_asof" -> { (s, dir) =>
+      // the STREAMING as-of enrichment operator on batch input: one
+      // state row per key; batch execution == the q120 oracle exactly
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val ev = t(dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isin("purchase", "view"))
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+          col("event_id"), coalesce(col("value"), lit(0.0)).as("value"))
+        .as[graft.streaming.StreamingHist.AsOfEvent]
+      graft.streaming.StreamingHist.streamingAsOf(ev)
+        .toDF().select(col("event_id"), col("user_id"), col("us").as("ts"),
+          col("match_id").as("view_event_id"), col("match_us").as("view_ts"),
+          col("match_value").as("view_value"))
     }
   )
 
@@ -1034,6 +1051,9 @@ object SparkEntry {
       "doc_id < 200", "doc_id < 50"),
     "q126_hist_pull" -> Oracle.histPull("events", Oracle.Spec("value", axValue),
       "event_type = 'view'", "event_type = 'click'"),
+    // the streaming operator's batch execution must equal the BATCH
+    // as-of oracle verbatim — one SQL gates both operators' semantics
+    "q127_stream_asof" -> PipelineOracle.asOfJoin("purchase", "view"),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch

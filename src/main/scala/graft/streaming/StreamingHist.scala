@@ -186,4 +186,53 @@ object StreamingHist {
         timestamp_micros(col("__ws") + lit(durUs)))
     }
   }
+
+  case class AsOfEvent(user_id: Long, us: Long, side: Int, event_id: Long,
+    value: Double)
+  case class AsOfEnriched(event_id: Long, user_id: Long, us: Long,
+    match_id: Option[Long], match_us: Option[Long], match_value: Option[Double])
+
+  /** STREAMING as-of enrichment: attach to each left event (side = 1)
+    * the latest right event (side = 0) of the same key at-or-before it —
+    * the stream-enrichment form of pipeline.AsOf.asOfJoin (attach the
+    * last price tick / profile update to each trade as it arrives).
+    *
+    * State is ONE row per key (the best right seen so far: max (us, id))
+    * — bounded by key cardinality, never event volume, and strictly
+    * smaller than any buffering stream-stream join. Within a micro-batch
+    * the group's rows are walked in (us, side, id) order (rights before
+    * lefts at ties, exactly the batch operator's <= semantics).
+    *
+    * Exactness contract: equal to the batch as-of join when each key's
+    * RIGHT events arrive event-time-monotonically across micro-batches
+    * (any order within a batch is fine) — the state keeps only the
+    * latest right, so an out-of-order right older than a previously
+    * emitted left cannot retro-match (it is skipped for later lefts
+    * only if still the best; a cross-batch newer-than-left right is
+    * never used: the us <= left.us guard holds always). Batch execution
+    * processes everything as one group pass and equals asOfJoin
+    * unconditionally — the oracle-gated configuration (q127). */
+  def streamingAsOf(events: Dataset[AsOfEvent]): Dataset[AsOfEnriched] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Double), AsOfEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[AsOfEvent],
+         state: GroupState[(Long, Long, Double)]) =>
+          var cur = state.getOption // (us, event_id, value) of best right
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfEnriched]
+          it.toSeq.sortBy(e => (e.us, e.side, e.event_id)).foreach { e =>
+            if (e.side == 0) {
+              if (cur.forall(c => c._1 < e.us || (c._1 == e.us && c._2 < e.event_id)))
+                cur = Some((e.us, e.event_id, e.value))
+            } else {
+              val m = cur.filter(_._1 <= e.us)
+              out += AsOfEnriched(e.event_id, user, e.us,
+                m.map(_._2), m.map(_._1), m.map(_._3))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
 }

@@ -278,4 +278,41 @@ class StreamingSpec extends SparkSpec {
       assert(stream == batch)
     } finally q.stop()
   }
+
+  test("streaming as-of: state carries the latest right across micro-batches") {
+    import StreamingHist.AsOfEvent
+    // rights (side 0) and lefts (side 1) for two users
+    val all = Seq(
+      AsOfEvent(1L, 10L, 0, 100L, 1.0),  // batch 1
+      AsOfEvent(1L, 20L, 1, 200L, 0.0),
+      AsOfEvent(2L, 15L, 1, 201L, 0.0),  // user 2: no right yet
+      AsOfEvent(1L, 30L, 0, 101L, 2.0),  // batch 2 (event-time monotone)
+      AsOfEvent(1L, 35L, 1, 202L, 0.0),  // matches the batch-2 right
+      AsOfEvent(1L, 25L, 1, 203L, 0.0),  // in-batch late left: batch-1 right
+      AsOfEvent(2L, 40L, 1, 204L, 0.0))  // still no right for user 2
+    // batch execution equals the batch operator's semantics
+    val batchOut = StreamingHist.streamingAsOf(all.toDS()).collect()
+      .map(e => e.event_id -> ((e.match_id, e.match_us))).toMap
+    assert(batchOut == Map(
+      200L -> ((Some(100L), Some(10L))), 201L -> ((None, None)),
+      202L -> ((Some(101L), Some(30L))), 203L -> ((Some(100L), Some(10L))),
+      204L -> ((None, None))))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsOfEvent]
+    val q2 = StreamingHist.streamingAsOf(input.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(all.take(3): _*)
+      q2.processAllAvailable()
+      input.addData(all.drop(3): _*)
+      q2.processAllAvailable()
+      val stream = spark.table("asof_stream").collect()
+        .map(r => r.getLong(0) -> ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      // identical to batch: rights arrive event-time-monotonically
+      assert(stream == batchOut)
+    } finally q2.stop()
+  }
 }
