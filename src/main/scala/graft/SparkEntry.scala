@@ -59,6 +59,7 @@ object SparkEntry {
   private val axDiscNarrow = Regular("l_discount", 5, 0.02, 0.08) // populated flow bins
   private val axHourCirc = Circular("ev_hour", 12, 0.0, 24.0)
   private val axValue = Regular("value", 16, 0.0, 512.0)
+  private val axLatency = Regular("latency_s", 24, 0.0, 604800.0)
   private val axValueSqrt = Regular("value", 16, 0.0, 512.0, transform = SqrtT)
   private val axQtyPow2 = Regular("l_quantity", 12, 0.0, 50.0, transform = PowT(2.0))
 
@@ -876,6 +877,19 @@ object SparkEntry {
         .toDF().select(col("event_id"), col("user_id"), col("us").as("ts"),
           col("match_id").as("view_event_id"), col("match_us").as("view_ts"),
           col("match_value").as("view_value"))
+    },
+    "q128_conversion_hist" -> { (s, dir) =>
+      // time-to-convert distribution: view -> purchase latency in whole
+      // seconds, histogrammed with flow (Funnel ∘ Histogram composition)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val f = graft.pipeline.Funnel.funnel(ev, Seq("view", "purchase"))
+      val lat = f.filter(col("t2").isNotNull)
+        .select(expr("(unix_micros(t2) - unix_micros(t1)) div 1000000")
+          .cast("double").as("latency_s"))
+      Histogram.histogram(lat, col("latency_s"), axLatency,
+        opts = graft.operators.HistOptions(flow = true))
     }
   )
 
@@ -1054,6 +1068,10 @@ object SparkEntry {
     // the streaming operator's batch execution must equal the BATCH
     // as-of oracle verbatim — one SQL gates both operators' semantics
     "q127_stream_asof" -> PipelineOracle.asOfJoin("purchase", "view"),
+    "q128_conversion_hist" -> Oracle.hist(
+      s"(${PipelineOracle.funnel(Seq("view", "purchase"))}) __f",
+      Seq(Oracle.Spec("(epoch_us(t2) - epoch_us(t1)) // 1000000", axLatency)),
+      flow = true, where = Some("t2 IS NOT NULL")),
     "q105_sliding_hist" -> {
       // 4h windows sliding 1h: slide-aligned floor start minus 0..3
       // slides; integer-floor arithmetic identical to the batch branch
