@@ -890,6 +890,26 @@ object SparkEntry {
           .cast("double").as("latency_s"))
       Histogram.histogram(lat, col("latency_s"), axLatency,
         opts = graft.operators.HistOptions(flow = true))
+    },
+    "q129_score_percentile" -> { (s, dir) =>
+      // within-source percentile of a quality score — cross-source
+      // normalization before any global threshold
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.percentileBySource(
+        t(dir, "documents").withColumn("score", col("n_chars").cast("double")))
+    },
+    "q130_asof_tolerance" -> { (s, dir) =>
+      // bounded-staleness as-of: views older than 1h don't enrich — the
+      // same one-exchange window plan plus a per-row freshness predicate
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events").withColumn("ts", expr("ts div 1000"))
+      graft.pipeline.AsOf.asOfJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", Seq("ts", "value"), prefix = "view_",
+        tolerance = Some(3600000000L))
     }
   )
 
@@ -1068,6 +1088,14 @@ object SparkEntry {
     // the streaming operator's batch execution must equal the BATCH
     // as-of oracle verbatim — one SQL gates both operators' semantics
     "q127_stream_asof" -> PipelineOracle.asOfJoin("purchase", "view"),
+    "q129_score_percentile" ->
+      ("WITH s AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score FROM documents), " +
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score, doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY source) AS n FROM s) " +
+        "SELECT doc_id, source, score, CASE WHEN n = 1 THEN CAST(0.0 AS DOUBLE) " +
+        "ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pctl FROM r"),
+    "q130_asof_tolerance" -> PipelineOracle.asOfJoin("purchase", "view",
+      tolUs = Some(3600000000L)),
     "q128_conversion_hist" -> Oracle.hist(
       s"(${PipelineOracle.funnel(Seq("view", "purchase"))}) __f",
       Seq(Oracle.Spec("(epoch_us(t2) - epoch_us(t1)) // 1000000", axLatency)),

@@ -1102,7 +1102,11 @@ object PipelineOracle {
     * identical row. The three carried columns share null-ness (they come
     * from the same union rows), so per-column last_value picks fields of
     * one row, matching the Spark side's single struct. */
-  def asOfJoin(leftType: String, rightType: String): String =
+  def asOfJoin(leftType: String, rightType: String,
+      tolUs: Option[Long] = None): String = {
+    def guard(e: String): String = tolUs.fold(e)(t =>
+      s"CASE WHEN l_ts - m_ts <= $t THEN $e ELSE NULL END")
+
     "WITH u AS (" +
       "SELECT user_id AS k, epoch_ns(ts) // 1000 AS tsn, 1 AS side, CAST(0 AS BIGINT) AS oid, " +
       "CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS BIGINT) AS r_ts, CAST(NULL AS DOUBLE) AS r_val, " +
@@ -1117,8 +1121,9 @@ object PipelineOracle {
       "last_value(r_val IGNORE NULLS) OVER w AS m_val " +
       "FROM u WINDOW w AS (PARTITION BY k ORDER BY tsn, side, oid " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
-      s"SELECT event_id, k AS user_id, l_ts AS ts, m_eid AS ${rightType}_event_id, " +
-      s"m_ts AS ${rightType}_ts, m_val AS ${rightType}_value FROM m WHERE side = 1"
+      s"SELECT event_id, k AS user_id, l_ts AS ts, ${guard("m_eid")} AS ${rightType}_event_id, " +
+      s"${guard("m_ts")} AS ${rightType}_ts, ${guard("m_val")} AS ${rightType}_value FROM m WHERE side = 1"
+  }
 
   /** Mirrors Dedup.spanDedup: same \\S+ tokens, same max(1, ceil(n/w))
     * span count (token-less docs keep one empty span), 1-based inclusive

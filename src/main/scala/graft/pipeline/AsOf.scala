@@ -34,9 +34,16 @@ import org.apache.spark.sql.functions._
   *                     the output (left columns pass through unchanged)
   * @param strict       require right.ts strictly before left.ts */
 object AsOf {
+  /** @param tolerance when set, a match further back than `tolerance`
+    *   (in `tsCol`'s own units) is discarded — the bounded-staleness
+    *   form (a quote older than an hour should not enrich a trade).
+    *   Same plan: the window still carries ONE running candidate; the
+    *   tolerance is a per-row predicate on the matched struct. */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, rightId: String, rightPayload: Seq[String],
-      prefix: String = "asof_", strict: Boolean = false): DataFrame = {
+      prefix: String = "asof_", strict: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(tolerance.forall(_ >= 0L), "tolerance must be non-negative")
     val carried = rightId +: rightPayload
     val clash = left.columns.toSet.intersect(carried.map(prefix + _).toSet)
     require(clash.isEmpty, s"prefixed right columns collide with left: $clash")
@@ -45,7 +52,8 @@ object AsOf {
     // matchable (<=); strict flips the side order so it sorts after
     val (lSide, rSide) = if (strict) (0, 1) else (1, 0)
 
-    val rStruct = struct(carried.map(col): _*)
+    // the right ts rides along inside the struct for the tolerance test
+    val rStruct = struct(carried.map(col) :+ col(tsCol).as("__rts"): _*)
     val rType = right.select(rStruct.as("r")).schema("r").dataType
     val lStruct = struct(left.columns.map(col): _*)
     val lType = left.select(lStruct.as("l")).schema("l").dataType
@@ -65,10 +73,13 @@ object AsOf {
       .orderBy(col("__ts"), col("__side"), col("__oid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val fresh = tolerance.fold(col("__m").isNotNull)(t =>
+      col("__m").isNotNull && col("__ts") - col("__m.__rts") <= lit(t))
     lPart.unionByName(rPart)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === lit(lSide))
       .select(left.columns.map(n => col(s"__row.$n").as(n)) ++
-        carried.map(n => col(s"__m.$n").as(prefix + n)): _*)
+        carried.map(n => when(fresh, col(s"__m.$n"))
+          .otherwise(lit(null)).as(prefix + n)): _*)
   }
 }

@@ -71,4 +71,28 @@ object Curation {
       .select(col("doc_id"), col("source"), col(scoreCol),
         (col("__r") <= ceil(lit(frac) * col("__n").cast("double"))).as("keep"))
   }
+
+  /** Within-source PERCENTILE of a quality score — the normalization
+    * step before thresholding scores across heterogeneous sources (a
+    * "0.8" from one heuristic and another are not comparable; their
+    * within-source ranks are). pctl = (rank − 1)/(n − 1) ∈ [0, 1] with
+    * rank = row_number over (score, doc_id) — the doc_id tie-break makes
+    * the rank (and the percentile) deterministic under ties, unlike
+    * percent_rank's gap semantics; a single-row source defines 0.0.
+    * Exact: integer rank arithmetic, one IEEE division. One shuffle
+    * keyed by source; both windows share the partitioning. */
+  def percentileBySource(docs: DataFrame,
+      scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy(col("source"))
+    val ranked = Window.partitionBy(col("source"))
+      .orderBy(col(scoreCol), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col(scoreCol))
+      .withColumn("__n", count(lit(1)).over(bySource))
+      .withColumn("__r", row_number().over(ranked))
+      .select(col("doc_id"), col("source"), col(scoreCol),
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("__r") - 1).cast("double") /
+            (col("__n") - 1).cast("double")).as("pctl"))
+  }
 }

@@ -902,6 +902,30 @@ class PipelineSpec extends SparkSpec {
     assert(strictOut(100L) == Some(1L) && strictOut(101L) == None)
   }
 
+  test("asof tolerance: stale matches null out, fresh ones survive") {
+    import graft.pipeline.AsOf
+    val left = Seq((100L, 1L, 50L), (101L, 1L, 12L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, 1L, 10L, 1.0)).toDF("event_id", "user_id", "ts", "value")
+    val out = AsOf.asOfJoin(left, right, "user_id", "ts", "event_id",
+        Seq("ts", "value"), tolerance = Some(5L)).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // left@50: match at 10 is 40 units stale (> 5) → null; left@12: fresh
+    assert(out == Map(100L -> None, 101L -> Some(1L)))
+  }
+
+  test("score percentile: deterministic within-source ranks, single-row source 0") {
+    val d = Seq(
+      (1L, "a", 10.0), (2L, "a", 30.0), (3L, "a", 20.0),
+      (4L, "a", 20.0), // tie → doc_id breaks it
+      (5L, "b", 99.0)  // single-row source
+    ).toDF("doc_id", "source", "score")
+    val out = graft.pipeline.Curation.percentileBySource(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == Map(1L -> 0.0, 3L -> (1.0 / 3.0), 4L -> (2.0 / 3.0),
+      2L -> 1.0, 5L -> 0.0))
+  }
+
   test("asof join: randomized cross-check against a brute-force reference") {
     import graft.pipeline.AsOf
     val rnd = new scala.util.Random(20260813L)
