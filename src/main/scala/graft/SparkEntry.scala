@@ -910,6 +910,14 @@ object SparkEntry {
           .select("event_id", "user_id", "ts", "value"),
         "user_id", "ts", "event_id", Seq("ts", "value"), prefix = "view_",
         tolerance = Some(3600000000L))
+    },
+    "q131_session_funnel" -> { (s, dir) =>
+      // conversion INSIDE one 6-hour-gap visit: first view -> first
+      // strictly-later purchase per session, with latency
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.sessionFunnel(ev, "6 hours", "view", "purchase")
     }
   )
 
@@ -1096,6 +1104,8 @@ object SparkEntry {
         "ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pctl FROM r"),
     "q130_asof_tolerance" -> PipelineOracle.asOfJoin("purchase", "view",
       tolUs = Some(3600000000L)),
+    "q131_session_funnel" -> PipelineOracle.sessionFunnel(21600000000L,
+      "view", "purchase"),
     "q128_conversion_hist" -> Oracle.hist(
       s"(${PipelineOracle.funnel(Seq("view", "purchase"))}) __f",
       Seq(Oracle.Spec("(epoch_us(t2) - epoch_us(t1)) // 1000000", axLatency)),

@@ -989,6 +989,26 @@ object PipelineOracle {
       "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rn FROM c) " +
       s"SELECT path, n_sessions, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k"
 
+  /** Mirrors Funnel.sessionFunnel: the sessionPaths lag/sum session ids,
+    * then first-from / first-strictly-later-to per session (the FILTER
+    * predicate goes NULL when t_from is NULL, so from-less sessions
+    * never convert — same null-strict semantics as the array filter). */
+  def sessionFunnel(gapUs: Long, fromType: String, toType: String): String =
+    "WITH o AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events " +
+      "WHERE ts IS NOT NULL AND event_type IS NOT NULL), " +
+      "m AS (SELECT user_id, us, event_type, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) " +
+      s"> $gapUs THEN 1 ELSE 0 END AS brk FROM o), " +
+      "s AS (SELECT user_id, us, event_type, SUM(brk) OVER (PARTITION BY user_id ORDER BY us " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m), " +
+      "g AS (SELECT user_id, sid, MIN(us) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+      s"MIN(us) FILTER (WHERE event_type = ${q(fromType)}) AS t_from FROM s GROUP BY user_id, sid), " +
+      "g2 AS (SELECT g.user_id, g.sid, g.session_start, g.n_events, g.t_from, " +
+      s"MIN(s.us) FILTER (WHERE s.event_type = ${q(toType)} AND s.us > g.t_from) AS t_to " +
+      "FROM g JOIN s ON s.user_id = g.user_id AND s.sid = g.sid " +
+      "GROUP BY g.user_id, g.sid, g.session_start, g.n_events, g.t_from) " +
+      "SELECT user_id, session_start, n_events, t_from, t_to, " +
+      "(t_to IS NOT NULL) AS converted, t_to - t_from AS latency_us FROM g2"
+
   /** Mirrors Funnel.funnel over events: per-step conditional-min CTEs
     * (t_k = min time of step k strictly after t_{k-1}), microsecond
     * precision like the Spark side's `ts div 1000` event_time. */

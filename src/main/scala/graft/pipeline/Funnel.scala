@@ -131,6 +131,40 @@ object Funnel {
         .cast("int"))
   }
 
+  /** Funnel WITHIN a session: did the user convert from `fromType` to
+    * `toType` inside one gap-bounded visit, and how fast — the
+    * session-scoped complement of [[funnel]]'s whole-history form (a
+    * purchase three days after the view is a conversion there, not
+    * here). One row per session: start, size, first `fromType` time,
+    * first strictly-later `toType` time, conversion flag and latency.
+    *
+    * Scale shape: native session_window aggregation (one user-keyed
+    * shuffle, state = open sessions); the conversion logic runs on each
+    * session's own sorted (t, e) array — per-session memory, no second
+    * shuffle, no join. Strict-after semantics and microsecond
+    * arithmetic match [[funnel]]; a session with no `fromType` never
+    * converts. */
+  def sessionFunnel(events: DataFrame, gap: String, fromType: String,
+      toType: String, tsCol: String = "event_time",
+      keyCol: String = "user_id", typeCol: String = "event_type"): DataFrame = {
+    require(!fromType.contains("'") && !toType.contains("'"),
+      "event types must not contain quotes")
+    val us = unix_micros(col(tsCol))
+    events.filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(array_sort(collect_list(struct(us.as("t"), col(typeCol).as("e"))))
+        .as("__a"))
+      .withColumn("t_from",
+        expr(s"try_element_at(filter(__a, x -> x.e = '$fromType'), 1).t"))
+      .withColumn("t_to",
+        expr(s"try_element_at(filter(__a, x -> x.e = '$toType' AND x.t > t_from), 1).t"))
+      .select(col(keyCol), expr("__a[0].t").as("session_start"),
+        size(col("__a")).cast("long").as("n_events"),
+        col("t_from"), col("t_to"),
+        col("t_to").isNotNull.as("converted"),
+        (col("t_to") - col("t_from")).as("latency_us"))
+  }
+
   /** Rolling active users (DAU at windowDays=1, WAU at 7, MAU at 30): for
     * each day index D, the distinct users active in the trailing window
     * (D - windowDays, D]. Output is sparse — a day appears iff some

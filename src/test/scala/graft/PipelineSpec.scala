@@ -902,6 +902,28 @@ class PipelineSpec extends SparkSpec {
     assert(strictOut(100L) == Some(1L) && strictOut(101L) == None)
   }
 
+  test("session funnel: conversion only within the visit, strict-after") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    def ev(u: Long, sec: Long, t: String) = (u, sec * 1000000L, t)
+    val rows = Seq(
+      ev(1L, 0L, "view"), ev(1L, 10L, "purchase"),      // converts, 10 s
+      ev(1L, 10000L, "purchase"),                        // new session: no view
+      ev(2L, 0L, "purchase"), ev(2L, 5L, "view"),        // purchase BEFORE view
+      ev(3L, 0L, "view"), ev(3L, 0L, "purchase"),        // same instant: strict → no
+      ev(4L, 0L, "view"), ev(4L, 3L, "view"), ev(4L, 7L, "purchase")) // first view
+    val df = rows.toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("event_time"),
+        col("event_type"))
+    val out = graft.pipeline.Funnel.sessionFunnel(df, "1 hour", "view", "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(5), if (r.isNullAt(6)) None else Some(r.getLong(6))))).toMap
+    assert(out((1L, 0L)) == ((true, Some(10000000L))))
+    assert(out((1L, 10000000000L)) == ((false, None)))
+    assert(out((2L, 0L)) == ((false, None)))  // wrong order inside the visit
+    assert(out((3L, 0L)) == ((false, None)))  // tie is not strictly after
+    assert(out((4L, 0L)) == ((true, Some(7000000L)))) // latency from FIRST view
+  }
+
   test("asof tolerance: stale matches null out, fresh ones survive") {
     import graft.pipeline.AsOf
     val left = Seq((100L, 1L, 50L), (101L, 1L, 12L)).toDF("event_id", "user_id", "ts")
