@@ -871,7 +871,7 @@ object SparkEntry {
           col("event_type").isin("purchase", "view"))
         .select(col("user_id"), expr("ts div 1000").as("us"),
           when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
-          col("event_id"), coalesce(col("value"), lit(0.0)).as("value"))
+          col("event_id"), col("value"))
         .as[graft.streaming.StreamingHist.AsOfEvent]
       graft.streaming.StreamingHist.streamingAsOf(ev)
         .toDF().select(col("event_id"), col("user_id"), col("us").as("ts"),

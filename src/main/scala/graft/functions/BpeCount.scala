@@ -240,11 +240,13 @@ case class BpeEncode(child: Expression) extends UnaryExpression {
 }
 
 object BpeEncode {
-  private val wordPattern = java.util.regex.Pattern.compile(BpeVocab.WordRe)
+  private[functions] val wordPattern =
+    java.util.regex.Pattern.compile(BpeVocab.WordRe)
 
   // word -> encoded UTF8String tokens; same bounded thread-local LRU
   // rationale as BpeCount's count memo (Zipf reuse, no contention)
-  private val memo: ThreadLocal[java.util.LinkedHashMap[String, Array[UTF8String]]] =
+  private[functions] def newMemo():
+      ThreadLocal[java.util.LinkedHashMap[String, Array[UTF8String]]] =
     ThreadLocal.withInitial(() =>
       new java.util.LinkedHashMap[String, Array[UTF8String]](1024, 0.75f, true) {
         override def removeEldestEntry(
@@ -252,16 +254,22 @@ object BpeEncode {
           size() > 65536
       })
 
-  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val s = text.toString
-    val m = wordPattern.matcher(s)
-    val cache = memo.get()
+  private val memo = newMemo()
+
+  /** The one encode worker: word-split, per-word memoized merge over the
+    * given rank table — the embedded-vocab expression and the
+    * runtime-table BpeEncodeWith both delegate here. */
+  private[functions] def encodeWith(text: UTF8String,
+      rk: java.util.HashMap[String, Integer],
+      cache: java.util.LinkedHashMap[String, Array[UTF8String]])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = wordPattern.matcher(text.toString)
     val out = new java.util.ArrayList[UTF8String]()
     while (m.find()) {
       val w = m.group()
       var toks = cache.get(w)
       if (toks == null) {
-        val enc = BpeVocab.encodeTokens(w)
+        val enc = BpeVocab.encodeTokens(w, rk)
         toks = new Array[UTF8String](enc.size)
         var i = 0
         while (i < enc.size) { toks(i) = UTF8String.fromString(enc.get(i)); i += 1 }
@@ -273,6 +281,9 @@ object BpeEncode {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.toArray(new Array[AnyRef](out.size)))
   }
+
+  def compute(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    encodeWith(text, BpeVocab.ranks, memo.get())
 
   def bpe_encode(text: Column): Column =
     GraftShim.column(BpeEncode(GraftShim.expression(text)))
@@ -368,35 +379,10 @@ case class BpeEncodeWith(child: Expression, merges: Seq[(String, String)])
       org.apache.spark.sql.types.StringType, containsNull = false)
 
   @transient private lazy val rk = BpeVocab.ranksOf(merges.toVector)
-  @transient private lazy val memo:
-      ThreadLocal[java.util.LinkedHashMap[String, Array[UTF8String]]] =
-    ThreadLocal.withInitial(() =>
-      new java.util.LinkedHashMap[String, Array[UTF8String]](1024, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Array[UTF8String]]): Boolean =
-          size() > 65536
-      })
+  @transient private lazy val memo = BpeEncode.newMemo()
 
-  def encode(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val m = BpeEncodeWith.wordPattern.matcher(text.toString)
-    val cache = memo.get()
-    val out = new java.util.ArrayList[UTF8String]()
-    while (m.find()) {
-      val w = m.group()
-      var toks = cache.get(w)
-      if (toks == null) {
-        val enc = BpeVocab.encodeTokens(w, rk)
-        toks = new Array[UTF8String](enc.size)
-        var i = 0
-        while (i < enc.size) { toks(i) = UTF8String.fromString(enc.get(i)); i += 1 }
-        cache.put(w, toks)
-      }
-      var i = 0
-      while (i < toks.length) { out.add(toks(i)); i += 1 }
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      out.toArray(new Array[AnyRef](out.size)))
-  }
+  def encode(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    BpeEncode.encodeWith(text, rk, memo.get())
 
   override protected def nullSafeEval(t: Any): Any =
     encode(t.asInstanceOf[UTF8String])
@@ -410,9 +396,6 @@ case class BpeEncodeWith(child: Expression, merges: Seq[(String, String)])
 }
 
 object BpeEncodeWith {
-  private[functions] val wordPattern =
-    java.util.regex.Pattern.compile(BpeVocab.WordRe)
-
   def bpe_encode_with(text: Column, merges: Seq[(String, String)]): Column =
     GraftShim.column(BpeEncodeWith(GraftShim.expression(text), merges))
 }

@@ -1119,30 +1119,32 @@ object PipelineOracle {
     * `rightType`, key = user, <=): the same tagged-union running
     * last_value(IGNORE NULLS) — rights sort before lefts at equal ts,
     * ties among rights broken by event_id, so both engines pick the
-    * identical row. The three carried columns share null-ness (they come
-    * from the same union rows), so per-column last_value picks fields of
-    * one row, matching the Spark side's single struct. */
+    * identical row — carried as ONE struct so a NULL payload field can
+    * never stitch values from different right rows. */
   def asOfJoin(leftType: String, rightType: String,
       tolUs: Option[Long] = None): String = {
+    // ONE struct per right row (NULL for left rows), so last_value
+    // (IGNORE NULLS) picks whole rows exactly like the Spark side's
+    // single-struct match — per-column last_value would stitch fields
+    // from DIFFERENT right rows whenever a payload field is NULL
+    def field(f: String): String = s"struct_extract(mm, '$f')"
     def guard(e: String): String = tolUs.fold(e)(t =>
-      s"CASE WHEN l_ts - m_ts <= $t THEN $e ELSE NULL END")
+      s"CASE WHEN l_ts - ${field("ts")} <= $t THEN $e ELSE NULL END")
 
     "WITH u AS (" +
       "SELECT user_id AS k, epoch_ns(ts) // 1000 AS tsn, 1 AS side, CAST(0 AS BIGINT) AS oid, " +
-      "CAST(NULL AS BIGINT) AS r_eid, CAST(NULL AS BIGINT) AS r_ts, CAST(NULL AS DOUBLE) AS r_val, " +
+      "CAST(NULL AS STRUCT(eid BIGINT, ts BIGINT, val DOUBLE)) AS r, " +
       "event_id, epoch_ns(ts) // 1000 AS l_ts " +
       s"FROM events WHERE event_type = ${q(leftType)} AND ts IS NOT NULL AND user_id IS NOT NULL " +
       "UNION ALL " +
-      "SELECT user_id, epoch_ns(ts) // 1000, 0, event_id, event_id, epoch_ns(ts) // 1000, value, NULL, NULL " +
+      "SELECT user_id, epoch_ns(ts) // 1000, 0, event_id, " +
+      "{'eid': event_id, 'ts': epoch_ns(ts) // 1000, 'val': value}, NULL, NULL " +
       s"FROM events WHERE event_type = ${q(rightType)} AND ts IS NOT NULL AND user_id IS NOT NULL), " +
-      "m AS (SELECT *, " +
-      "last_value(r_eid IGNORE NULLS) OVER w AS m_eid, " +
-      "last_value(r_ts IGNORE NULLS) OVER w AS m_ts, " +
-      "last_value(r_val IGNORE NULLS) OVER w AS m_val " +
+      "m AS (SELECT *, last_value(r IGNORE NULLS) OVER w AS mm " +
       "FROM u WINDOW w AS (PARTITION BY k ORDER BY tsn, side, oid " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
-      s"SELECT event_id, k AS user_id, l_ts AS ts, ${guard("m_eid")} AS ${rightType}_event_id, " +
-      s"${guard("m_ts")} AS ${rightType}_ts, ${guard("m_val")} AS ${rightType}_value FROM m WHERE side = 1"
+      s"SELECT event_id, k AS user_id, l_ts AS ts, ${guard(field("eid"))} AS ${rightType}_event_id, " +
+      s"${guard(field("ts"))} AS ${rightType}_ts, ${guard(field("val"))} AS ${rightType}_value FROM m WHERE side = 1"
   }
 
   /** Mirrors Dedup.spanDedup: same \\S+ tokens, same max(1, ceil(n/w))

@@ -44,6 +44,12 @@ object AsOf {
       prefix: String = "asof_", strict: Boolean = false,
       tolerance: Option[Long] = None): DataFrame = {
     require(tolerance.forall(_ >= 0L), "tolerance must be non-negative")
+    // the tie-break must be a real integer order — a silent cast of a
+    // string id to NULL would collapse determinism to physical row order
+    val idType = right.schema(rightId).dataType
+    require(Seq("long", "integer", "short", "byte")
+        .contains(idType.typeName),
+      s"rightId '$rightId' must be an integral column (got $idType)")
     val carried = rightId +: rightPayload
     val clash = left.columns.toSet.intersect(carried.map(prefix + _).toSet)
     require(clash.isEmpty, s"prefixed right columns collide with left: $clash")

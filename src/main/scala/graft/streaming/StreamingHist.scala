@@ -188,7 +188,7 @@ object StreamingHist {
   }
 
   case class AsOfEvent(user_id: Long, us: Long, side: Int, event_id: Long,
-    value: Double)
+    value: Option[Double])
   case class AsOfEnriched(event_id: Long, user_id: Long, us: Long,
     match_id: Option[Long], match_us: Option[Long], match_value: Option[Double])
 
@@ -215,10 +215,10 @@ object StreamingHist {
   def streamingAsOf(events: Dataset[AsOfEvent]): Dataset[AsOfEnriched] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long, Double), AsOfEnriched](
+      .flatMapGroupsWithState[(Long, Long, Option[Double]), AsOfEnriched](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, it: Iterator[AsOfEvent],
-         state: GroupState[(Long, Long, Double)]) =>
+         state: GroupState[(Long, Long, Option[Double])]) =>
           var cur = state.getOption // (us, event_id, value) of best right
           val out = scala.collection.mutable.ArrayBuffer.empty[AsOfEnriched]
           it.toSeq.sortBy(e => (e.us, e.side, e.event_id)).foreach { e =>
@@ -228,7 +228,7 @@ object StreamingHist {
             } else {
               val m = cur.filter(_._1 <= e.us)
               out += AsOfEnriched(e.event_id, user, e.us,
-                m.map(_._2), m.map(_._1), m.map(_._3))
+                m.map(_._2), m.map(_._1), m.flatMap(_._3))
             }
           }
           cur.foreach(state.update)

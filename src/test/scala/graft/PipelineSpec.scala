@@ -924,6 +924,25 @@ class PipelineSpec extends SparkSpec {
     assert(out((4L, 0L)) == ((true, Some(7000000L)))) // latency from FIRST view
   }
 
+  test("asof join: a NULL payload field stays NULL, never stitched from an older row") {
+    import graft.pipeline.AsOf
+    val left = Seq((100L, 1L, 30L)).toDF("event_id", "user_id", "ts")
+    // older right has a value; the LATEST right's value is NULL — the
+    // match must be the latest row wholesale (id=2, value NULL), not a
+    // per-column mix (id=2, value 5.0)
+    val right = Seq((1L, 1L, 10L, Some(5.0)), (2L, 1L, 20L, None))
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = AsOf.asOfJoin(left, right, "user_id", "ts", "event_id",
+      Seq("ts", "value")).collect().head
+    assert(r.getLong(3) == 2L && r.getLong(4) == 20L && r.isNullAt(5))
+    // string right ids must fail loudly, not silently lose the tie-break
+    val strIds = right.select(col("event_id").cast("string").as("event_id"),
+      col("user_id"), col("ts"), col("value"))
+    intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, strIds, "user_id", "ts", "event_id", Seq("ts"))
+    }
+  }
+
   test("asof tolerance: stale matches null out, fresh ones survive") {
     import graft.pipeline.AsOf
     val left = Seq((100L, 1L, 50L), (101L, 1L, 12L)).toDF("event_id", "user_id", "ts")

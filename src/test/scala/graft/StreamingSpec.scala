@@ -283,13 +283,13 @@ class StreamingSpec extends SparkSpec {
     import StreamingHist.AsOfEvent
     // rights (side 0) and lefts (side 1) for two users
     val all = Seq(
-      AsOfEvent(1L, 10L, 0, 100L, 1.0),  // batch 1
-      AsOfEvent(1L, 20L, 1, 200L, 0.0),
-      AsOfEvent(2L, 15L, 1, 201L, 0.0),  // user 2: no right yet
-      AsOfEvent(1L, 30L, 0, 101L, 2.0),  // batch 2 (event-time monotone)
-      AsOfEvent(1L, 35L, 1, 202L, 0.0),  // matches the batch-2 right
-      AsOfEvent(1L, 25L, 1, 203L, 0.0),  // in-batch late left: batch-1 right
-      AsOfEvent(2L, 40L, 1, 204L, 0.0))  // still no right for user 2
+      AsOfEvent(1L, 10L, 0, 100L, Some(1.0)),  // batch 1
+      AsOfEvent(1L, 20L, 1, 200L, None),
+      AsOfEvent(2L, 15L, 1, 201L, None),  // user 2: no right yet
+      AsOfEvent(1L, 30L, 0, 101L, Some(2.0)),  // batch 2 (event-time monotone)
+      AsOfEvent(1L, 35L, 1, 202L, None),  // matches the batch-2 right
+      AsOfEvent(1L, 25L, 1, 203L, None),  // in-batch late left: batch-1 right
+      AsOfEvent(2L, 40L, 1, 204L, None))  // still no right for user 2
     // batch execution equals the batch operator's semantics
     val batchOut = StreamingHist.streamingAsOf(all.toDS()).collect()
       .map(e => e.event_id -> ((e.match_id, e.match_us))).toMap
