@@ -918,6 +918,20 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.sessionFunnel(ev, "6 hours", "view", "purchase")
+    },
+    "q132_stratified_split" -> { (s, dir) =>
+      // deterministic 10/10/80 val/test/train split, exact counts per
+      // source — rank by salted hash within source
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.stratifiedSplit(
+        t(dir, "documents"), fracVal = 0.1, fracTest = 0.1, salt = "sp1")
+    },
+    "q133_profile_table" -> { (s, dir) =>
+      // per-column data-quality profile of lineitem: one scan, exact
+      // null and distinct counts
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.profileTable(t(dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"))
     }
   )
 
@@ -1106,6 +1120,9 @@ object SparkEntry {
       tolUs = Some(3600000000L)),
     "q131_session_funnel" -> PipelineOracle.sessionFunnel(21600000000L,
       "view", "purchase"),
+    "q132_stratified_split" -> PipelineOracle.stratifiedSplit(0.1, 0.1, "sp1"),
+    "q133_profile_table" -> PipelineOracle.profileTable("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")),
     "q128_conversion_hist" -> Oracle.hist(
       s"(${PipelineOracle.funnel(Seq("view", "purchase"))}) __f",
       Seq(Oracle.Spec("(epoch_us(t2) - epoch_us(t1)) // 1000000", axLatency)),

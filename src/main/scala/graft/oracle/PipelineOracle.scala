@@ -1009,6 +1009,34 @@ object PipelineOracle {
       "SELECT user_id, session_start, n_events, t_from, t_to, " +
       "(t_to IS NOT NULL) AS converted, t_to - t_from AS latency_us FROM g2"
 
+  /** Mirrors Sampling.stratifiedSplit: same salted 60-bit hash, same
+    * (hash, doc_id) rank, same floor'd double-arithmetic thresholds
+    * (double literals, not DuckDB's decimal 0.1). */
+  def stratifiedSplit(fracVal: Double, fracTest: Double,
+      salt: String): String = {
+    def dbl(x: Double): String =
+      s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    def flr(f: Double): String =
+      s"CAST(FLOOR(${dbl(f)} * CAST(n AS DOUBLE)) AS BIGINT)"
+    "WITH h AS (SELECT doc_id, source, " +
+      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':' || ${q(salt)}), 1, 15))::BIGINT AS hh " +
+      "FROM documents), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY source) AS n FROM h) " +
+      s"SELECT doc_id, source, CASE WHEN rn <= ${flr(fracVal)} THEN 'val' " +
+      s"WHEN rn <= ${flr(fracVal)} + ${flr(fracTest)} THEN 'test' " +
+      "ELSE 'train' END AS split FROM r"
+  }
+
+  /** Mirrors Curation.profileTable: one aggregate row per profiled
+    * column (exact null / distinct counts; no value rendering). */
+  def profileTable(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"SELECT '$c' AS column, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null, " +
+        s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM $table"
+    }.mkString(" UNION ALL ")
+
   /** Mirrors Funnel.funnel over events: per-step conditional-min CTEs
     * (t_k = min time of step k strictly after t_{k-1}), microsecond
     * precision like the Spark side's `ts div 1000` event_time. */

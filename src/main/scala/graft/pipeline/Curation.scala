@@ -72,6 +72,29 @@ object Curation {
         (col("__r") <= ceil(lit(frac) * col("__n").cast("double"))).as("keep"))
   }
 
+  /** Per-column data-quality profile of any relation: row count, null
+    * count and exact distinct count per profiled column — the sanity
+    * pass a pipeline runs before training on a new drop. ONE scan:
+    * a single aggregate carries (count, count(col), countDistinct(col))
+    * for every column (Catalyst's expand handles the multi-distinct),
+    * then the one-row result unpivots to a row per column. Values are
+    * counted, never rendered — no cross-engine string formatting of
+    * doubles. */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"), count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"), col(s"__n_$c").as("n"),
+        (col(s"__n_$c") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"))): _*)).as("__p"))
+      .select(col("__p.column"), col("__p.n"), col("__p.n_null"),
+        col("__p.n_distinct"))
+  }
+
   /** Within-source PERCENTILE of a quality score — the normalization
     * step before thresholding scores across heterogeneous sources (a
     * "0.8" from one heuristic and another are not comparable; their

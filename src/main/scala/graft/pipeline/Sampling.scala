@@ -175,4 +175,39 @@ object Sampling {
         .select(col("vec_id").as("doc_id"), col("cell").cast("string").as("source")),
       n, salt)
       .select(col("source").cast("long").as("cell"), col("doc_id").as("vec_id"))
+
+  /** Deterministic STRATIFIED train/val/test split with exact per-source
+    * counts: within each source, docs ranked by (hash60, doc_id) take
+    * the first floor(fracVal·n) rows as `val`, the next
+    * floor(fracTest·n) as `test`, the rest as `train`. Reproducible
+    * across runs, engines and partitionings (the salt pins the
+    * assignment; re-running with more data moves only rank boundaries),
+    * and exact-count unlike the map-only hash-threshold form
+    * ([[sampleBySource]] — the at-scale alternative when a ±√n count
+    * wobble is acceptable and the per-source sort is not).
+    *
+    * Scale shape: one source-keyed shuffle; both windows share the
+    * partitioning; per-source rank is a window sort — dashboard-to-
+    * corpus source cardinalities amortize it across executors, but a
+    * SINGLE giant source serializes into one partition's sort: use the
+    * threshold form there. */
+  def stratifiedSplit(docs: DataFrame, fracVal: Double, fracTest: Double,
+      salt: String): DataFrame = {
+    require(fracVal >= 0.0 && fracTest >= 0.0 && fracVal + fracTest <= 1.0,
+      "fractions must be non-negative and sum to at most 1")
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy(col("source"))
+    val ranked = Window.partitionBy(col("source"))
+      .orderBy(col("__h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        hash60(col("doc_id"), col("source"), salt).as("__h"))
+      .withColumn("__n", count(lit(1)).over(bySource))
+      .withColumn("__r", row_number().over(ranked))
+      .select(col("doc_id"), col("source"),
+        when(col("__r") <= floor(lit(fracVal) * col("__n").cast("double")),
+          lit("val"))
+          .when(col("__r") <= floor(lit(fracVal) * col("__n").cast("double")) +
+            floor(lit(fracTest) * col("__n").cast("double")), lit("test"))
+          .otherwise(lit("train")).as("split"))
+  }
 }

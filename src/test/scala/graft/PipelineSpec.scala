@@ -902,6 +902,36 @@ class PipelineSpec extends SparkSpec {
     assert(strictOut(100L) == Some(1L) && strictOut(101L) == None)
   }
 
+  test("stratified split: exact per-source counts, deterministic, exhaustive") {
+    val d = (1L to 40L).map(i => (i, s"s${i % 2}")).toDF("doc_id", "source")
+    val out = graft.pipeline.Sampling.stratifiedSplit(d, 0.25, 0.1, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length == 40)
+    // per source (n=20): floor(.25*20)=5 val, floor(.1*20)=2 test, 13 train
+    for (src <- Seq("s0", "s1")) {
+      val by = out.filter(_._2 == src).groupBy(_._3).view.mapValues(_.length).toMap
+      assert(by == Map("val" -> 5, "test" -> 2, "train" -> 13), s"$src: $by")
+    }
+    // same salt → identical assignment; different salt → different
+    val again = graft.pipeline.Sampling.stratifiedSplit(d, 0.25, 0.1, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(again.toSet == out.toSet)
+    val other = graft.pipeline.Sampling.stratifiedSplit(d, 0.25, 0.1, "u")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(other.toSet != out.toSet)
+  }
+
+  test("profile table: exact null and distinct counts per column") {
+    val d = Seq((1L, Some("a"), 1.0), (2L, None, 2.0), (3L, Some("a"), 2.0))
+      .toDF("id", "s", "v")
+    val out = graft.pipeline.Curation.profileTable(d, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("id") == ((3L, 0L, 3L)))
+    assert(out("s") == ((3L, 1L, 1L)))   // null excluded from distinct
+    assert(out("v") == ((3L, 0L, 2L)))
+  }
+
   test("session funnel: conversion only within the visit, strict-after") {
     import org.apache.spark.sql.functions.timestamp_micros
     def ev(u: Long, sec: Long, t: String) = (u, sec * 1000000L, t)
