@@ -932,6 +932,17 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.profileTable(t(dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"))
+    },
+    "q134_lang_token_hist" -> { (s, dir) =>
+      // corpus health per language: token-count distribution with the
+      // detected language as the loop dim (langId ∘ tokens ∘ Histogram)
+      implicit val sp: SparkSession = s
+      val d = t(dir, "documents")
+      val lang = TextAnalysis.langId(d)
+        .select(col("doc_id"), col("pred_lang").as("lang"))
+      val tok = TextAnalysis.tokens(d).select(col("doc_id"), col("ws_tokens"))
+      Histogram.histogram(lang.join(tok, "doc_id"),
+        col("ws_tokens"), axTokens, dims = Seq("lang"))
     }
   )
 
@@ -1123,6 +1134,11 @@ object SparkEntry {
     "q132_stratified_split" -> PipelineOracle.stratifiedSplit(0.1, 0.1, "sp1"),
     "q133_profile_table" -> PipelineOracle.profileTable("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")),
+    "q134_lang_token_hist" -> Oracle.hist(
+      s"(SELECT l.pred_lang AS lang, " +
+        "CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS ws_tokens " +
+        s"FROM (${PipelineOracle.langId}) l JOIN documents d USING (doc_id)) __lt",
+      Seq(Oracle.Spec("ws_tokens", axTokens)), dims = Seq("lang")),
     "q128_conversion_hist" -> Oracle.hist(
       s"(${PipelineOracle.funnel(Seq("view", "purchase"))}) __f",
       Seq(Oracle.Spec("(epoch_us(t2) - epoch_us(t1)) // 1000000", axLatency)),
