@@ -935,14 +935,12 @@ object SparkEntry {
     },
     "q134_lang_token_hist" -> { (s, dir) =>
       // corpus health per language: token-count distribution with the
-      // detected language as the loop dim (langId ∘ tokens ∘ Histogram)
+      // detected language as the loop dim — ONE map-only projection
+      // (langTokens), no doc-keyed join; flow bins catch beyond-axis docs
       implicit val sp: SparkSession = s
-      val d = t(dir, "documents")
-      val lang = TextAnalysis.langId(d)
-        .select(col("doc_id"), col("pred_lang").as("lang"))
-      val tok = TextAnalysis.tokens(d).select(col("doc_id"), col("ws_tokens"))
-      Histogram.histogram(lang.join(tok, "doc_id"),
-        col("ws_tokens"), axTokens, dims = Seq("lang"))
+      Histogram.histogram(TextAnalysis.langTokens(t(dir, "documents")),
+        col("ws_tokens"), axTokens, dims = Seq("lang"),
+        opts = graft.operators.HistOptions(flow = true))
     }
   )
 
@@ -1138,7 +1136,8 @@ object SparkEntry {
       s"(SELECT l.pred_lang AS lang, " +
         "CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS ws_tokens " +
         s"FROM (${PipelineOracle.langId}) l JOIN documents d USING (doc_id)) __lt",
-      Seq(Oracle.Spec("ws_tokens", axTokens)), dims = Seq("lang")),
+      Seq(Oracle.Spec("ws_tokens", axTokens)), dims = Seq("lang"),
+      flow = true),
     "q128_conversion_hist" -> Oracle.hist(
       s"(${PipelineOracle.funnel(Seq("view", "purchase"))}) __f",
       Seq(Oracle.Spec("(epoch_us(t2) - epoch_us(t1)) // 1000000", axLatency)),

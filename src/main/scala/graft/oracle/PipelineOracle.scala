@@ -1020,7 +1020,7 @@ object PipelineOracle {
       s"CAST(FLOOR(${dbl(f)} * CAST(n AS DOUBLE)) AS BIGINT)"
     "WITH h AS (SELECT doc_id, source, " +
       s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':' || ${q(salt)}), 1, 15))::BIGINT AS hh " +
-      "FROM documents), " +
+      "FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL), " +
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn, " +
       "COUNT(*) OVER (PARTITION BY source) AS n FROM h) " +
       s"SELECT doc_id, source, CASE WHEN rn <= ${flr(fracVal)} THEN 'val' " +

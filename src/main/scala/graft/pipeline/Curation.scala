@@ -82,14 +82,16 @@ object Curation {
     * doubles. */
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"__n_$c"), count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"))
+    require(cols.distinct == cols, s"duplicate profiled columns: $cols")
+    require(cols.forall(!_.contains(".")),
+      "dotted column names would parse as struct access in the aliases")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"), countDistinct(col(c)).as(s"__nd_$c"))
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map(c => struct(
-        lit(c).as("column"), col(s"__n_$c").as("n"),
-        (col(s"__n_$c") - col(s"__nn_$c")).as("n_null"),
+        lit(c).as("column"), col("__n").as("n"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
         col(s"__nd_$c").as("n_distinct"))): _*)).as("__p"))
       .select(col("__p.column"), col("__p.n"), col("__p.n_null"),
         col("__p.n_distinct"))

@@ -193,13 +193,20 @@ object Sampling {
     * threshold form there. */
   def stratifiedSplit(docs: DataFrame, fracVal: Double, fracTest: Double,
       salt: String): DataFrame = {
-    require(fracVal >= 0.0 && fracTest >= 0.0 && fracVal + fracTest <= 1.0,
-      "fractions must be non-negative and sum to at most 1")
+    // strictly < 1: train is the REMAINDER class (floor'd thresholds
+    // leave the leftover rows there), so a zero-train request would
+    // silently still emit train rows
+    require(fracVal >= 0.0 && fracTest >= 0.0 && fracVal + fracTest < 1.0,
+      "fractions must be non-negative and sum to less than 1 (train is the remainder)")
     import org.apache.spark.sql.expressions.Window
     val bySource = Window.partitionBy(col("source"))
     val ranked = Window.partitionBy(col("source"))
       .orderBy(col("__h"), col("doc_id"))
-    docs.select(col("doc_id"), col("source"),
+    // NULL keys out: the engines disagree on NULL sort position (Spark
+    // nulls-first vs DuckDB nulls-last), and a split label for an
+    // unidentifiable document is meaningless anyway
+    docs.filter(col("doc_id").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
         hash60(col("doc_id"), col("source"), salt).as("__h"))
       .withColumn("__n", count(lit(1)).over(bySource))
       .withColumn("__r", row_number().over(ranked))

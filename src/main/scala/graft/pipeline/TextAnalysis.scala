@@ -37,6 +37,26 @@ object TextAnalysis {
     scored.select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+ pred.as("pred_lang"): _*)
   }
 
+  /** [[langId]]'s prediction and the whitespace token count in ONE
+    * map-only projection (doc_id, lang, ws_tokens) — the corpus-health
+    * input (q134) without a second scan or a doc-keyed join; the score
+    * subexpressions repeat across the when-chain, which whole-stage
+    * codegen's common-subexpression elimination collapses. */
+  def langTokens(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val scores: Map[String, Column] = langMarkers.map { case (l, pats) =>
+      l -> pats.map(p => occurrences(padded, p)).reduce(_ + _)
+    }.toMap
+    val langs = langMarkers.map(_._1)
+    val pred = langs.foldRight(lit("und")) { (lang, els) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => scores(lang) >= scores(o)).reduce(_ && _)
+      when(scores(lang) > 0 && isMax, lit(lang)).otherwise(els)
+    }
+    docs.select(col("doc_id"), pred.as("lang"),
+      regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"))
+  }
+
   /** English stopword markers for the quality stopword ratio (space-
     * delimited occurrence counting over ' '-padded text). */
   val qualityStopwords: Seq[String] =
