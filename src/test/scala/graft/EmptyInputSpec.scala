@@ -167,6 +167,26 @@ class EmptyInputSpec extends SparkSpec {
       "user_id", "ts", "event_id", Seq("ts")).count() == 0)
   }
 
+  test("late round-6 operators on empty input") {
+    assert(graft.pipeline.Sampling.stratifiedSplit(
+      emptyDocs, 0.1, 0.1, "s").count() == 0)
+    assert(graft.pipeline.Curation.percentileBySource(
+      emptyDocs.withColumn("score", length(col("text")).cast("double"))
+        .select("doc_id", "source", "score")).count() == 0)
+    // profileTable on an empty relation: one row per column, all zeros
+    val prof = graft.pipeline.Curation.profileTable(emptyDocs, Seq("text", "lang"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(prof == Map("text" -> ((0L, 0L)), "lang" -> ((0L, 0L))))
+    assert(graft.pipeline.TextAnalysis.langTokens(emptyDocs).count() == 0)
+    val emptyTypedEv2 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("event_time", TimestampType))))
+    assert(graft.pipeline.Funnel.sessionFunnel(
+      emptyTypedEv2, "1 hour", "view", "purchase").count() == 0)
+  }
+
   test("accessor arithmetic and multimodal on empty input") {
     val h = Histogram.histogram(emptyNum, col("x"), ax)
     assert(HistStats.add(h, h, ax, Nil).count() == 0)
