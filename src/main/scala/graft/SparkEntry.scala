@@ -60,6 +60,7 @@ object SparkEntry {
   private val axHourCirc = Circular("ev_hour", 12, 0.0, 24.0)
   private val axValue = Regular("value", 16, 0.0, 512.0)
   private val axLatency = Regular("latency_s", 24, 0.0, 604800.0)
+  private val axDim0 = Regular("dim0", 16, -0.4, 0.4)
   private val axValueSqrt = Regular("value", 16, 0.0, 512.0, transform = SqrtT)
   private val axQtyPow2 = Regular("l_quantity", 12, 0.0, 50.0, transform = PowT(2.0))
 
@@ -941,6 +942,21 @@ object SparkEntry {
       Histogram.histogram(TextAnalysis.langTokens(t(dir, "documents")),
         col("ws_tokens"), axTokens, dims = Seq("lang"),
         opts = graft.operators.HistOptions(flow = true))
+    },
+    "q135_dedup_report" -> { (s, dir) =>
+      // per-source duplication dashboard: full-corpus canonical election,
+      // one source-keyed count, exact duplicate fraction
+      implicit val sp: SparkSession = s
+      Dedup.dedupReport(t(dir, "documents"))
+    },
+    "q136_embed_dim_hist" -> { (s, dir) =>
+      // embedding-space QA: per-cluster-label distribution of one
+      // embedding dimension (feature-drift view over vector data)
+      implicit val sp: SparkSession = s
+      val e = t(dir, "embeddings")
+        .select(col("label"), col("embedding").getItem(0).cast("double").as("dim0"))
+      Histogram.histogram(e, col("dim0"), axDim0, dims = Seq("label"),
+        opts = graft.operators.HistOptions(flow = true))
     }
   )
 
@@ -1132,6 +1148,16 @@ object SparkEntry {
     "q132_stratified_split" -> PipelineOracle.stratifiedSplit(0.1, 0.1, "sp1"),
     "q133_profile_table" -> PipelineOracle.profileTable("lineitem",
       Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")),
+    "q135_dedup_report" ->
+      ("WITH k AS (SELECT doc_id, keep FROM (" + PipelineOracle.dedupExact + ")), " +
+        "j AS (SELECT d.source, k.keep FROM documents d JOIN k USING (doc_id)) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical, " +
+        "CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(COUNT(*) AS DOUBLE) AS dup_rate FROM j GROUP BY source"),
+    "q136_embed_dim_hist" -> Oracle.hist(
+      "(SELECT label, CAST(embedding[1] AS DOUBLE) AS dim0 FROM embeddings) __ed",
+      Seq(Oracle.Spec("dim0", axDim0)), dims = Seq("label"), flow = true),
     "q134_lang_token_hist" -> Oracle.hist(
       s"(SELECT l.pred_lang AS lang, " +
         "CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS ws_tokens " +

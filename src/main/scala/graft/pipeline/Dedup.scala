@@ -72,6 +72,22 @@ object Dedup {
       .withColumn("keep",
         row_number().over(Window.partitionBy("content_hash").orderBy("doc_id")) === 1)
 
+  /** Per-source duplication report (the dedup dashboard: how dirty is
+    * each domain?): doc count, surviving canonical copies, and the
+    * duplicate fraction. Canonical election runs on the FULL corpus
+    * (cross-source duplicates debit the source holding the non-canonical
+    * copy — the same full-corpus rule Curation.curate pins), then one
+    * source-keyed count; rate = one IEEE division on exact longs. */
+  def dedupReport(docs: DataFrame): DataFrame =
+    exact(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_canonical"))
+      .select(col("source"), col("n_docs"), col("n_canonical"),
+        ((col("n_docs") - col("n_canonical")).cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"))
+
   /** Exact dedup on NORMALIZED text (lowercase, collapsed whitespace):
     * same single-shuffle plan as `exact`, catching reformatted copies. */
   def exactNormalized(docs: DataFrame): DataFrame =
