@@ -902,6 +902,20 @@ class PipelineSpec extends SparkSpec {
     assert(strictOut(100L) == Some(1L) && strictOut(101L) == None)
   }
 
+  test("dedup report: cross-source duplicates debit the non-canonical holder") {
+    val d = Seq(
+      (1L, "same text", "a"),   // canonical (lowest id)
+      (2L, "same text", "b"),   // duplicate held by b
+      (3L, "unique one", "b"),
+      (4L, "unique two", "a")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dedupReport(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("a") == ((2L, 2L, 0.0)))       // a holds the canonical
+    assert(out("b") == ((2L, 1L, 0.5)))       // b pays for the duplicate
+  }
+
   test("stratified split: exact per-source counts, deterministic, exhaustive") {
     val d = (1L to 40L).map(i => (i, s"s${i % 2}")).toDF("doc_id", "source")
     val out = graft.pipeline.Sampling.stratifiedSplit(d, 0.25, 0.1, "t")
