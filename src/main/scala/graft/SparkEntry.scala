@@ -61,6 +61,7 @@ object SparkEntry {
   private val axValue = Regular("value", 16, 0.0, 512.0)
   private val axLatency = Regular("latency_s", 24, 0.0, 604800.0)
   private val axDim0 = Regular("dim0", 16, -0.4, 0.4)
+  private val axJaccard = Regular("jaccard", 10, 0.0, 1.0)
   private val axValueSqrt = Regular("value", 16, 0.0, 512.0, transform = SqrtT)
   private val axQtyPow2 = Regular("l_quantity", 12, 0.0, 50.0, transform = PowT(2.0))
 
@@ -957,6 +958,17 @@ object SparkEntry {
         .select(col("label"), col("embedding").getItem(0).cast("double").as("dim0"))
       Histogram.histogram(e, col("dim0"), axDim0, dims = Seq("label"),
         opts = graft.operators.HistOptions(flow = true))
+    },
+    "q137_similarity_hist" -> { (s, dir) =>
+      // threshold-tuning view: jaccard distribution over ALL verified LSH
+      // candidate pairs (threshold 0) — the half-open top bin pushes
+      // exact duplicates (jaccard = 1.0) into the overflow bin, which is
+      // exactly the "exact dup" bucket a tuning dashboard wants
+      implicit val sp: SparkSession = s
+      Histogram.histogram(
+        Dedup.nearDupPairs(t(dir, "documents"), threshold = 0.0),
+        col("jaccard"), axJaccard,
+        opts = graft.operators.HistOptions(flow = true))
     }
   )
 
@@ -1158,6 +1170,9 @@ object SparkEntry {
     "q136_embed_dim_hist" -> Oracle.hist(
       "(SELECT label, CAST(embedding[1] AS DOUBLE) AS dim0 FROM embeddings) __ed",
       Seq(Oracle.Spec("dim0", axDim0)), dims = Seq("label"), flow = true),
+    "q137_similarity_hist" -> Oracle.hist(
+      s"(${PipelineOracle.nearDupPairs(threshold = 0.0)}) __sp",
+      Seq(Oracle.Spec("jaccard", axJaccard)), flow = true),
     "q134_lang_token_hist" -> Oracle.hist(
       s"(SELECT l.pred_lang AS lang, " +
         "CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS ws_tokens " +
