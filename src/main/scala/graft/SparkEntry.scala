@@ -969,6 +969,14 @@ object SparkEntry {
         Dedup.nearDupPairs(t(dir, "documents"), threshold = 0.0),
         col("jaccard"), axJaccard,
         opts = graft.operators.HistOptions(flow = true))
+    },
+    "q138_retention_rates" -> { (s, dir) =>
+      // the retention triangle as rates: each cell over its cohort size
+      // (offset-0 cell) — the form dashboards plot
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.retentionRates(ev)
     }
   )
 
@@ -1170,6 +1178,12 @@ object SparkEntry {
     "q136_embed_dim_hist" -> Oracle.hist(
       "(SELECT label, CAST(embedding[1] AS DOUBLE) AS dim0 FROM embeddings) __ed",
       Seq(Oracle.Spec("dim0", axDim0)), dims = Seq("label"), flow = true),
+    "q138_retention_rates" ->
+      (s"WITH r AS (${PipelineOracle.retention}) " +
+        "SELECT r.cohort_day, r.offset_days, r.n_users, " +
+        "CAST(r.n_users AS DOUBLE) / CAST(b.n_users AS DOUBLE) AS retention_rate " +
+        "FROM r JOIN (SELECT cohort_day, n_users FROM r WHERE offset_days = 0) b " +
+        "USING (cohort_day)"),
     "q137_similarity_hist" -> Oracle.hist(
       s"(${PipelineOracle.nearDupPairs(threshold = 0.0)}) __sp",
       Seq(Oracle.Spec("jaccard", axJaccard)), flow = true),

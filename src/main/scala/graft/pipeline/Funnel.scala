@@ -131,6 +131,23 @@ object Funnel {
         .cast("int"))
   }
 
+  /** [[retention]] normalized to RATES: each (cohort, offset) cell as a
+    * fraction of its cohort's size (the offset-0 cell — every cohort
+    * member is active on their own first day, so n0 is the cohort size
+    * and every rate is in (0, 1]). The form retention dashboards
+    * actually plot; one extra cohort-keyed self-join of the (tiny)
+    * triangle relation, one IEEE division on exact longs. */
+  def retentionRates(events: DataFrame, tsCol: String = "event_time",
+      keyCol: String = "user_id"): DataFrame = {
+    val r = retention(events, tsCol, keyCol)
+    val base = r.filter(col("offset_days") === 0L)
+      .select(col("cohort_day"), col("n_users").as("__n0"))
+    r.join(base, "cohort_day")
+      .select(col("cohort_day"), col("offset_days"), col("n_users"),
+        (col("n_users").cast("double") / col("__n0").cast("double"))
+          .as("retention_rate"))
+  }
+
   /** Funnel WITHIN a session: did the user convert from `fromType` to
     * `toType` inside one gap-bounded visit, and how fast — the
     * session-scoped complement of [[funnel]]'s whole-history form (a
