@@ -236,7 +236,7 @@ object Oracle {
       s"SUM(db) OVER (${part}ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb, " +
       s"SUM(da) OVER ($part) AS na, SUM(db) OVER ($part) AS nb FROM pv) " +
       s"SELECT $dimsSel CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b, " +
-      s"MAX(ABS(${dec("ca")} * ${dec("nb")} - ${dec("cb")} * ${dec("na")})) AS ks_num, " +
+      s"CAST(MAX(ABS(${dec("ca")} * ${dec("nb")} - ${dec("cb")} * ${dec("na")})) AS BIGINT) AS ks_num, " +
       "CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN " +
       s"CAST(MAX(ABS(${dec("ca")} * ${dec("nb")} - ${dec("cb")} * ${dec("na")})) AS DOUBLE) / " +
       "(CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) ELSE NULL END AS ks " +

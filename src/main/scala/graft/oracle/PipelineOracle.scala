@@ -566,7 +566,7 @@ object PipelineOracle {
       "st AS (SELECT cent_id AS cell, ccos FROM rkd WHERE rn = 1) " +
       "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, MIN(ccos) AS min_cos, " +
       "MAX(ccos) AS max_cos, " +
-      s"SUM(CAST(CAST(FLOOR(ccos * $q12) AS BIGINT) AS DECIMAL(38,0))) AS sum_qcos, " +
+      s"CAST(SUM(CAST(CAST(FLOOR(ccos * $q12) AS BIGINT) AS DECIMAL(38,0))) AS BIGINT) AS sum_qcos, " +
       s"CAST(SUM(CAST(CAST(FLOOR(ccos * $q12) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / " +
       s"(CAST(COUNT(*) AS DOUBLE) * $q12) AS mean_cos " +
       "FROM st GROUP BY cell"

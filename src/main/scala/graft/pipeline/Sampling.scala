@@ -98,7 +98,16 @@ object Sampling {
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", powA(col("__n")))
-    val wSum = counts.agg(graft.util.Dec.sumDec(col("__w")).as("__ws"))
+    // Weight sum over the (tiny) per-source relation: full-precision
+    // pow() weights are outside the DECIMAL(38,14) round-trip's
+    // cross-engine safety (Java 17 Double.toString non-shortest strings
+    // can flip the digit-14 rounding vs DuckDB), so sum with the pinned
+    // left-to-right fold in source order — the same sequential-sum
+    // contract drift and the dot-product oracles use.
+    val wSum = counts
+      .agg(sort_array(collect_list(struct(col("source"), col("__w")))).as("__a"))
+      .select(aggregate(col("__a"), lit(0.0),
+        (acc, x) => acc + x.getField("__w")).as("__ws"))
     val rate = least(lit(1.0),
       lit(totalDocs.toDouble) * col("__w") / col("__ws") / col("__n").cast("double"))
     val thr = floor(rate * lit(Scale)).cast("long").as("__thr")

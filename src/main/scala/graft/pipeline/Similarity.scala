@@ -442,7 +442,9 @@ object Similarity {
         max(col("ccos")).as("max_cos"),
         sum(floor(col("ccos") * lit(1.0e12)).cast("decimal(38,0)")).as("sum_qcos"))
       .select(col("cell"), col("n"), col("min_cos"), col("max_cos"),
-        col("sum_qcos"),
+        // Output boundary: quantized sum <= n*1e12, int64-safe to ~9e5
+        // members per cell; DECIMAL accumulation stays internal.
+        col("sum_qcos").cast("long").as("sum_qcos"),
         (col("sum_qcos").cast("double") /
           (col("n").cast("double") * lit(1.0e12))).as("mean_cos"))
   }

@@ -465,7 +465,10 @@ object HistStats {
     grouped(scored, dims)(
       max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
       max(col("__d")).as("ks_num"))
-      .select(dims.map(col) ++ Seq(col("n_a"), col("n_b"), col("ks_num"),
+      .select(dims.map(col) ++ Seq(col("n_a"), col("n_b"),
+        // Output boundary: ks_num <= n_a*n_b, int64-safe to n ~ 3e9 per
+        // group; the DECIMAL stays internal to the cross products.
+        col("ks_num").cast("long").as("ks_num"),
         when(col("n_a") > 0 && col("n_b") > 0,
           col("ks_num").cast("double") /
             (col("n_a").cast("double") * col("n_b").cast("double")))
