@@ -22,7 +22,7 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
     tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"),
-      s.read.parquet(s"$dir/$name.parquet"))
+      graft.sources.Tables.table(s, dir, name))
 
   /** Pin the benchmark inputs in memory (the reference computes over
     * in-memory numpy/dask arrays, so the comparable starting state is
@@ -977,6 +977,56 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.retentionRates(ev)
+    },
+    "q139_cluster_pruned" -> { (s, dir) =>
+      // the two-level PRUNED assignment — the sub-N^1.5 100 TB build
+      // path — gated where pruned == exact BY CONSTRUCTION: nCells = 16
+      // groups into round(sqrt(16)) = 4 super-centroids and superProbe=4
+      // probes ALL of them, so level 2 scores every cell and the argmax
+      // (same deterministic (score desc, id asc) aggregate) is identical
+      // to the exact path's. The oracle is the exact-assignment SQL;
+      // PipelineSpec pins agreement at tighter superProbe configs.
+      implicit val sp: SparkSession = s
+      Similarity.cluster(t(dir, "embeddings"), nCells = 16, superProbe = Some(4))
+    },
+    "q140_hist_qbins_sketch" -> { (s, dir) =>
+      // the 100 TB quantile lever (GK sketch: ONE aggregation pass, no
+      // global sort) gated in its provably-exact regime — at
+      // relativeError = 0 the summary retains every sample, so edge j is
+      // EXACTLY the value at 1-based rank ceil(j/nBins * n) (p=0 -> min,
+      // p=1 -> max). The q94 SpaceSaving precedent: gate the exact
+      // regime; QuantileSpec pins the |rank/n - j/nBins| <= relErr
+      // contract at a realistic relErr on top.
+      implicit val sp: SparkSession = s
+      val ord = t(dir, "orders")
+      val vals = ord.select(col("o_totalprice").cast("double").as("v"))
+        .filter(col("v").isNotNull)
+      val ax = graft.operators.QuantileBins.sketchAxis(
+        vals, "v", "o_totalprice", 8, relativeError = 0.0)
+      Histogram.histogram(ord, col("o_totalprice"), ax)
+    },
+    "q141_temperature_mix_a03" -> { (s, dir) =>
+      // the alpha multilingual mixing actually uses (p ∝ n^0.3): pow()
+      // is not correctly rounded, so the weight is floor-quantized at
+      // 1e-9 on BOTH engines before the pinned-order fold sum — every
+      // downstream bit (rate, 2^60 threshold) then computes from
+      // identical inputs (the q123 mean_cos quantize-at-the-boundary
+      // convention applied at the weight boundary)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.sampleTemperature(
+        t(dir, "documents"), totalDocs = 300L, alpha = 0.3, salt = "tm3")
+    },
+    "q142_top_fraction_sketch" -> { (s, dir) =>
+      // the corpus-scale form of q106: per-source percentile_approx
+      // threshold (ONE map-combinable aggregation pass — no per-source
+      // rank sort), broadcast back, map-side compare. Gated in the
+      // provably-exact regime: accuracy 2^20 >> 2·n per source, so the
+      // GK summary retains every sample and the threshold is EXACTLY the
+      // value at rank ceil(0.7·n) — the q94 SpaceSaving precedent.
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.topFractionBySourceSketch(
+        t(dir, "documents").withColumn("score", col("n_chars").cast("long")),
+        0.3)
     }
   )
 
@@ -1122,6 +1172,8 @@ object SparkEntry {
     "q104_components_keep_by" -> PipelineOracle.componentsKeepBy(),
     "q106_top_fraction" -> PipelineOracle.topFractionBySource(0.3),
     "q107_temperature_mix" -> PipelineOracle.sampleTemperature(300L, 0.5, "tm1"),
+    "q141_temperature_mix_a03" -> PipelineOracle.sampleTemperature(300L, 0.3, "tm3"),
+    "q142_top_fraction_sketch" -> PipelineOracle.topFractionBySourceSketch(0.3),
     "q108_active_users" -> PipelineOracle.activeUsers(7),
     "q109_profile_hist" -> Oracle.profile("lineitem",
       Oracle.Spec("l_quantity", axQty10), "l_extendedprice",
@@ -1259,6 +1311,28 @@ object SparkEntry {
       Seq(Oracle.Spec("c", axCluster)), flow = true),
     "q74_hist_tokens" -> Oracle.hist(
       "(SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens FROM documents) __tk",
-      Seq(Oracle.Spec("ws_tokens", axTokens)), flow = true)
+      Seq(Oracle.Spec("ws_tokens", axTokens)), flow = true),
+    // pruned == exact by construction (superProbe covers every super), so
+    // the oracle is the exact-assignment SQL — the same relation as q90
+    "q139_cluster_pruned" -> PipelineOracle.clusterAssign(nCells = 16),
+    "q140_hist_qbins_sketch" ->
+      // the GK sketch at relativeError = 0: edge j = value at 1-based
+      // rank ceil(j/nBins * n) (the sketch's own query rule with every
+      // sample retained; p=0 -> min, p=1 -> max), then half-open Variable
+      // binning exactly like q59
+      """WITH src AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders WHERE o_totalprice IS NOT NULL),
+        | c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+        | rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM src),
+        | tg AS (SELECT CAST(CEIL(CAST(j AS DOUBLE) / CAST(8 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) AS r
+        |   FROM (SELECT UNNEST(generate_series(1, 7)) AS j) CROSS JOIN c),
+        | qe AS (SELECT DISTINCT rk.v FROM rk JOIN tg ON tg.r = rk.r),
+        | mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM src),
+        | ed AS (SELECT DISTINCT v FROM (SELECT lo AS v FROM mm UNION ALL SELECT v FROM qe UNION ALL SELECT hi AS v FROM mm)),
+        | ec AS (SELECT CAST(COUNT(*) AS BIGINT) - 1 AS nb FROM ed),
+        | er AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM ed),
+        | ix AS (SELECT (SELECT COUNT(*) FROM ed WHERE ed.v <= src.v) - 1 AS i FROM src),
+        | f AS (SELECT i FROM ix CROSS JOIN ec WHERE i >= 0 AND i <= nb - 1),
+        | g AS (SELECT i, CAST(COUNT(*) AS DOUBLE) AS cnt FROM f GROUP BY i)
+        | SELECT er.v AS o_totalprice_bins, g.cnt FROM g JOIN er ON er.r = g.i + 1""".stripMargin.replaceAll("\n", "")
   )
 }

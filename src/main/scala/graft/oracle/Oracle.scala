@@ -210,9 +210,12 @@ object Oracle {
       s"a AS (SELECT $dimsSel CAST(COUNT(*) AS DOUBLE) AS n, ${dsum("x")} AS sx, " +
       s"${dsum("y")} AS sy, ${dsum("x * y")} AS sxy, ${dsum("x * x")} AS sxx, " +
       s"${dsum("y * y")} AS syy FROM b$grp) " +
+      // GREATEST-clamp before SQRT mirrors the Spark-side clamp: DuckDB's
+      // SQRT raises Out of Range on a tiny-negative variance term where
+      // Spark would just yield NaN -> NULL
       s"SELECT $dimsSel CAST(n AS BIGINT) AS n, " +
-      "CASE WHEN SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy) > 0 " +
-      "THEN (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) " +
+      "CASE WHEN SQRT(GREATEST(CAST(0 AS DOUBLE), n * sxx - sx * sx)) * SQRT(GREATEST(CAST(0 AS DOUBLE), n * syy - sy * sy)) > 0 " +
+      "THEN (n * sxy - sx * sy) / (SQRT(GREATEST(CAST(0 AS DOUBLE), n * sxx - sx * sx)) * SQRT(GREATEST(CAST(0 AS DOUBLE), n * syy - sy * sy))) " +
       "ELSE NULL END AS corr FROM a"
   }
 

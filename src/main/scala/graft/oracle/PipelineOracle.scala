@@ -769,16 +769,18 @@ object PipelineOracle {
   }
 
   /** Mirrors Sampling.sampleTemperature: per-source counts, n^alpha
-    * weights (sqrt/identity on the gated alphas — single correctly-rounded
-    * IEEE ops), decimal-exact weight sum, identical left-associated rate
-    * arithmetic, hash-threshold filter. */
+    * weights (sqrt/identity exact; other alphas floor-quantized to 1e-9
+    * so both engines feed identical inputs downstream of a pow() that is
+    * not guaranteed correctly rounded), the pinned-order sequential
+    * weight-sum fold (SUM ORDER BY source — the drift precedent),
+    * identical left-associated rate arithmetic, hash-threshold filter. */
   def sampleTemperature(totalDocs: Long, alpha: Double, salt: String): String = {
     val scale = java.lang.Double.toString(math.pow(2.0, 60))
     val w =
       if (alpha == 1.0) "CAST(n AS DOUBLE)"
       else if (alpha == 0.5) "SQRT(CAST(n AS DOUBLE))"
-      else s"POW(CAST(n AS DOUBLE), CAST('${java.lang.Double.toString(alpha)}' AS DOUBLE))"
-    val wsum = Oracle.exactDbl("SUM(TRY_CAST(CAST(w AS VARCHAR) AS DECIMAL(38,14)))")
+      else s"FLOOR(POW(CAST(n AS DOUBLE), CAST('${java.lang.Double.toString(alpha)}' AS DOUBLE)) * CAST('1.0E9' AS DOUBLE)) / CAST('1.0E9' AS DOUBLE)"
+    val wsum = "SUM(w ORDER BY source)"
     "WITH t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source), " +
       s"w AS (SELECT source, n, $w AS w FROM t), " +
       s"ws AS (SELECT $wsum AS ws FROM w) " +
@@ -810,6 +812,26 @@ object PipelineOracle {
       "ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS r " +
       "FROM documents) " +
       s"SELECT doc_id, source, score, r <= CEIL(CAST('$f' AS DOUBLE) * CAST(n AS DOUBLE)) AS keep FROM s"
+  }
+
+  /** Mirrors Curation.topFractionBySourceSketch in its provably-exact
+    * regime: the per-source threshold is the value at 1-based rank
+    * ceil(p·n) ascending (the GK query rule with every sample retained —
+    * see the operator's scaladoc), then keep = score >= threshold. The
+    * p·n product and the ceil are the same IEEE double ops in both
+    * engines (p shipped via Double.toString round-trip). Ranks over
+    * CAST(score AS DOUBLE) ascending — tie order is immaterial because
+    * tied ranks hold equal values. */
+  def topFractionBySourceSketch(frac: Double): String = {
+    val p = java.lang.Double.toString(1.0 - frac)
+    "WITH s AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score FROM documents), " +
+      "n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY source), " +
+      "rk AS (SELECT source, CAST(score AS DOUBLE) AS v, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY CAST(score AS DOUBLE)) AS r FROM s), " +
+      "th AS (SELECT rk.source, rk.v AS thr FROM rk JOIN n USING (source) " +
+      s"WHERE rk.r = CAST(CEIL(CAST('$p' AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)) " +
+      "SELECT s.doc_id, s.source, s.score, CAST(s.score AS DOUBLE) >= th.thr AS keep " +
+      "FROM s JOIN th USING (source)"
   }
 
   /** Per-source corpus profile (mirrors TextAnalysis.corpusStats). */

@@ -53,6 +53,12 @@ object AsOf {
     val carried = rightId +: rightPayload
     val clash = left.columns.toSet.intersect(carried.map(prefix + _).toSet)
     require(clash.isEmpty, s"prefixed right columns collide with left: $clash")
+    // inputs carrying the internal working names would shadow them and
+    // break the union/window silently (or with a confusing analysis
+    // error) — reject up front, like the prefixed-column clash above
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"input columns starting with the reserved '__' prefix: ${reserved.toSeq}")
 
     // at equal ts the right row must sort BEFORE the left row to be
     // matchable (<=); strict flips the side order so it sorts after

@@ -72,6 +72,36 @@ object Curation {
         (col("__r") <= ceil(lit(frac) * col("__n").cast("double"))).as("keep"))
   }
 
+  /** The corpus-scale (sketch) form of [[topFractionBySource]]: a
+    * per-source score THRESHOLD from percentile_approx (Greenwald-Khanna,
+    * map-combinable — ONE aggregation pass, no per-source rank sort),
+    * broadcast back, map-side compare. keep = score >= the source's
+    * (1−frac) quantile, so ties AT the threshold are all kept (a
+    * rank-boundary band of at most the tie count + relativeError·n docs —
+    * the documented difference vs the exact form's row_number cutoff).
+    *
+    * Exactness regime (how the gate pins it, q142): with accuracy chosen
+    * so 2·n/accuracy < 1 for every source, the GK summary never merges
+    * samples (merge threshold 2·relativeError·count stays below the
+    * minimum sample weight 1) and inserted deltas floor to 0, so the
+    * sketch holds every value at exact rank and the quantile query
+    * returns EXACTLY the value at 1-based rank ceil(p·n) ascending —
+    * a deterministic rule DuckDB reproduces with a window rank. At
+    * corpus scale the same code runs with bounded accuracy and the
+    * published ±relativeError·n rank-error contract. */
+  def topFractionBySourceSketch(docs: DataFrame, frac: Double,
+      scoreCol: String = "score", accuracy: Int = 1 << 20): DataFrame = {
+    require(frac > 0.0 && frac < 1.0, s"frac must be in (0, 1): $frac")
+    val p = 1.0 - frac
+    val thr = docs.groupBy(col("source"))
+      .agg(percentile_approx(col(scoreCol).cast("double"), lit(p),
+        lit(accuracy)).as("__thr"))
+    docs.select(col("doc_id"), col("source"), col(scoreCol))
+      .join(broadcast(thr), "source")
+      .select(col("doc_id"), col("source"), col(scoreCol),
+        (col(scoreCol).cast("double") >= col("__thr")).as("keep"))
+  }
+
   /** Per-column data-quality profile of any relation: row count, null
     * count and exact distinct count per profiled column — the sanity
     * pass a pipeline runs before training on a new drop. ONE scan:

@@ -94,7 +94,15 @@ object Sampling {
     def powA(n: Column): Column =
       if (alpha == 1.0) n.cast("double")
       else if (alpha == 0.5) sqrt(n.cast("double"))
-      else pow(n.cast("double"), lit(alpha))
+      // pow() is not guaranteed correctly rounded, so the two engines may
+      // disagree in the last ulp. Quantize the weight to 1e-9 (floor) so
+      // every DOWNSTREAM bit (fold sum, rate, threshold) is computed from
+      // identical inputs; the ~1e-9 relative mixture perturbation is far
+      // below sampling noise. A last-ulp pow() difference now only
+      // matters if pow(n,alpha)*1e9 sits within an ulp of an integer —
+      // checked against DuckDB on the gate data (q141). n^alpha*1e9 stays
+      // under 2^53 for alpha <= 0.3 up to n ~ 1e12 sources... docs.
+      else floor(pow(n.cast("double"), lit(alpha)) * lit(1.0e9)) / lit(1.0e9)
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", powA(col("__n")))

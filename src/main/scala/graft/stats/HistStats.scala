@@ -414,8 +414,13 @@ object HistStats {
       decSum(col("__x") * col("__x")).as("__sxx"),
       decSum(col("__y") * col("__y")).as("__syy"))
     val cov = col("__n") * col("__sxy") - col("__sx") * col("__sy")
-    val vx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
-    val vy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    // clamp at 0 before sqrt: for (near-)constant columns the variance
+    // terms can round to a tiny negative — Spark's sqrt would yield
+    // NaN (harmlessly -> NULL) but DuckDB's SQRT hard-errors on negative
+    // input, so BOTH engines clamp identically (same convention as
+    // Histogram.profile's std)
+    val vx = greatest(lit(0.0), col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+    val vy = greatest(lit(0.0), col("__n") * col("__syy") - col("__sy") * col("__sy"))
     val den = sqrt(vx) * sqrt(vy)
     agg.select(dims.map(col) ++ Seq(col("__n").cast("long").as("n"),
       when(den > lit(0.0), cov / den).otherwise(lit(null).cast("double"))

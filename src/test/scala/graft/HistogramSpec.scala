@@ -218,6 +218,38 @@ class HistogramSpec extends SparkSpec {
     assert(h.forall(c => c > 250 && c < 550))
   }
 
+  test("quantile bins, sketch path: relErr=0 is rank-exact; rank-error contract holds") {
+    import graft.operators.QuantileBins
+    val rnd = new scala.util.Random(43)
+    val vals = Seq.fill(6000)(rnd.nextDouble() * 1000.0).distinct // distinct -> unambiguous ranks
+    val n = vals.size
+    val sorted = vals.sorted.toIndexedSeq
+    val nBins = 10
+    // relErr = 0: the GK summary retains every sample, so edge j is EXACTLY
+    // the value at 1-based rank ceil(j/nBins*n); p=0 -> min, p=1 -> max.
+    // This is the deterministic rule the q140 oracle mirrors in SQL.
+    val exactEdges = QuantileBins
+      .sketchAxis(vals.toDF("x"), "x", "x", nBins, relativeError = 0.0).allEdges
+    val want = (sorted.head +:
+      (1 until nBins).map(j =>
+        sorted(math.ceil(j.toDouble / nBins * n).toInt - 1)) :+ sorted.last)
+      .distinct
+    assert(exactEdges.toSeq == want)
+    // realistic relErr: the published GK contract — every interior edge's
+    // true rank sits within relErr*n of its target rank j/nBins*n
+    val relErr = 0.01
+    val ax = QuantileBins
+      .sketchAxis(vals.toDF("x"), "x", "x", nBins, relativeError = relErr)
+    assert(ax.allEdges.length == nBins + 1) // distinct data, coarse bins: no edge collapse
+    for (j <- 1 until nBins) {
+      val e = ax.allEdges(j)
+      val rank = sorted.count(_ <= e) // well-defined: values distinct
+      val target = j.toDouble / nBins * n
+      assert(math.abs(rank - target) <= relErr * n + 1.0,
+        s"edge $j rank=$rank target=$target")
+    }
+  }
+
   test("nulls are never counted") {
     val df = Seq[Option[Double]](Some(0.5), None, Some(1.5)).toDF("x")
     val h = Histogram.histogram(df, col("x"), Regular("x", 2, 0.0, 2.0),

@@ -251,6 +251,75 @@ class PipelineSpec extends SparkSpec {
       graft.pipeline.Sampling.clusterBalancedSample(many, 2, 3, "s").collect().toSet)
   }
 
+  test("cluster: pruned assignment == exact at full super coverage; close below it") {
+    // the q139 gate construction, pinned here on adversarial geometry:
+    // nCells=16 trains <= 16 centroids, grouped into round(sqrt(c)) <= 4
+    // supers, and superProbe=4 probes ALL of them -> level 2 scores every
+    // centroid and the (score desc, id asc) argmax is the exact path's.
+    val many = (1L to 120L).map { i =>
+      val a = (i % 7).toFloat * 0.31f
+      val b = (i % 11).toFloat * 0.17f
+      (i, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        math.cos(b).toFloat, math.sin(b).toFloat))
+    }.toDF("vec_id", "embedding")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(Similarity.cluster(many, nCells = 16))
+    val full = asMap(Similarity.cluster(many, nCells = 16, superProbe = Some(4)))
+    assert(full == exact)
+    // tighter probe: approximate by design, but superProbe=2 must stay
+    // close (the StressVec-measured regime the scaladoc promises)
+    val p2 = asMap(Similarity.cluster(many, nCells = 16, superProbe = Some(2)))
+    val agree = p2.count { case (k, v) => exact(k) == v }
+    assert(agree >= (0.9 * exact.size).toInt, s"agreement $agree/${exact.size}")
+  }
+
+  test("components: chain rounds ~ log2(diameter); no leaked blocks after run") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val n = 128L
+    val nodes = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val run = Dedup.componentsRun(nodes, pairs)
+    assert(run.converged)
+    assert(run.labels.collect().forall(_.getLong(1) == 1L))
+    // one round = neighbor-min + pointer jump (reach more than doubles),
+    // so a diameter-127 chain needs ~log2 rounds + 1 detection round
+    val bound = math.ceil(math.log(n.toDouble - 1) / math.log(2.0)).toInt + 2
+    assert(run.rounds <= bound, s"rounds=${run.rounds} bound=$bound")
+    // eviction contract: every intermediate round's localCheckpoint blocks
+    // were released as the loop advanced — what survives the run is ONLY
+    // the final labels' pin (edges were unpersisted explicitly)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked persistent RDDs: $leaked")
+  }
+
+  test("topFractionBySourceSketch: threshold semantics in the exact regime") {
+    // distinct scores -> the per-source threshold is exactly the value at
+    // ascending rank ceil(0.7*n); keep = score >= threshold (ties at the
+    // threshold would all be kept — the documented band vs the rank form)
+    val docs = (1L to 20L).map(i => (i, if (i <= 10) "a" else "b", i * 3L))
+      .toDF("doc_id", "source", "score")
+    val out = graft.pipeline.Curation.topFractionBySourceSketch(docs, 0.3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    // per source n=10: threshold = rank ceil(0.7*10)=7 ascending; with
+    // distinct scores that keeps the top 10-7+1 = 4 docs
+    for (src <- Seq("a", "b")) {
+      val rows = out.filter(_._2 == src)
+      val kept = rows.filter(_._4).map(_._3)
+      val dropped = rows.filterNot(_._4).map(_._3)
+      assert(kept.length == 4, s"$src kept ${kept.length}")
+      assert(kept.min > dropped.max) // a clean threshold split, never interleaved
+    }
+    // agreement with the exact rank form: sketch keep is a superset within
+    // the rank-boundary band (here: exactly one extra doc per source)
+    val exactKeep = graft.pipeline.Curation.topFractionBySource(docs, 0.3)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val sketchKeep = out.filter(_._4).map(_._1).toSet
+    assert(exactKeep.subsetOf(sketchKeep))
+    assert((sketchKeep -- exactKeep).size == 2) // one boundary doc per source
+  }
+
   test("brute-force top-k ranks by cosine desc with deterministic ties") {
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1), 3)
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))

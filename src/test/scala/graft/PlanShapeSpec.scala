@@ -247,6 +247,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("top-fraction sketch: thresholds broadcast back, corpus never shuffled") {
+    val scored = docs.withColumn("score", length($"text").cast("long"))
+    val plan = executedPlan(
+      graft.pipeline.Curation.topFractionBySourceSketch(scored, 0.3))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the per-source threshold relation joins back via broadcast — the
+    // corpus side must not shuffle on source, and (unlike the exact
+    // form) there is NO rank window anywhere in the plan
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("pruned cluster assignment: centroid/super tables broadcast, corpus never shuffled") {
+    val plan = executedPlan(
+      Similarity.cluster(emb, nCells = 8, superProbe = Some(2)))
+    // a non-broadcast cartesian would surface as CartesianProduct; the
+    // deliberate tiny-side broadcast cross joins plan as BNLJ and are fine
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both levels join the (tiny) centroid/super relations via broadcast;
+    // the corpus is never hash-shuffled into a join
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("asof join: one key exchange, a running window, zero join operators") {
     val left = Seq((100L, 1L, 50L)).toDF("event_id", "user_id", "ts")
     val right = Seq((1L, 1L, 20L, 1.0)).toDF("event_id", "user_id", "ts", "value")
