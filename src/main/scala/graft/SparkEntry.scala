@@ -1027,6 +1027,32 @@ object SparkEntry {
       graft.pipeline.Curation.topFractionBySourceSketch(
         t(dir, "documents").withColumn("score", col("n_chars").cast("long")),
         0.3)
+    },
+    "q143_winsorize" -> { (s, dir) =>
+      // per-source outlier clipping into the [p05, p95] band — thresholds
+      // from ONE two-quantile percentile_approx pass (exact regime, the
+      // q142 rule), broadcast back, clipped map-side
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.winsorizeBySource(
+        t(dir, "documents").withColumn("score", col("n_chars").cast("long")),
+        0.05, 0.95)
+    },
+    "q144_event_rate_anomaly" -> { (s, dir) =>
+      // pipeline monitoring: days whose per-type event count deviates
+      // >2 sample stds from the trailing-7-day mean; integer window sums
+      // + one fixed IEEE z-score tail (the q117 convention)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.eventRateAnomaly(ev, windowDays = 7, k = 2.0)
+    },
+    "q145_hard_negatives" -> { (s, dir) =>
+      // contrastive-training negative mining: top-5 most-similar
+      // DIFFERENT-label vectors per query — label exclusion is a join
+      // predicate (not a post-filter that would under-fill the heap)
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), 5)
     }
   )
 
@@ -1174,6 +1200,9 @@ object SparkEntry {
     "q107_temperature_mix" -> PipelineOracle.sampleTemperature(300L, 0.5, "tm1"),
     "q141_temperature_mix_a03" -> PipelineOracle.sampleTemperature(300L, 0.3, "tm3"),
     "q142_top_fraction_sketch" -> PipelineOracle.topFractionBySourceSketch(0.3),
+    "q143_winsorize" -> PipelineOracle.winsorizeBySource(0.05, 0.95),
+    "q144_event_rate_anomaly" -> PipelineOracle.eventRateAnomaly(7, 2.0),
+    "q145_hard_negatives" -> PipelineOracle.hardNegatives(5, 10),
     "q108_active_users" -> PipelineOracle.activeUsers(7),
     "q109_profile_hist" -> Oracle.profile("lineitem",
       Oracle.Spec("l_quantity", axQty10), "l_extendedprice",

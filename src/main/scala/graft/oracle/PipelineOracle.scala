@@ -454,6 +454,23 @@ object PipelineOracle {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
       s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
 
+  /** Mirrors Similarity.hardNegatives: annBruteForce with the
+    * different-label join predicate (positives and the query itself never
+    * become candidates). Same sequential-fold dot product, same
+    * (cosine desc, neighbor asc) rank. */
+  def hardNegatives(k: Int, queryMaxId: Long): String =
+    s"WITH $embBase, " +
+      s"q AS (SELECT vec_id, label FROM e WHERE vec_id < $queryMaxId), " +
+      "d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "SUM(eq.v * ec.v ORDER BY eq.i) AS dot " +
+      "FROM q JOIN e c ON c.vec_id <> q.vec_id AND c.label <> q.label " +
+      "JOIN el eq ON eq.vec_id = q.vec_id JOIN el ec ON ec.vec_id = c.vec_id AND ec.i = eq.i " +
+      "GROUP BY 1, 2), " +
+      "s AS (SELECT query_id, neighbor_id, dot / (na.nrm * nb.nrm) AS cosine " +
+      "FROM d JOIN nrm na ON na.vec_id = query_id JOIN nrm nb ON nb.vec_id = neighbor_id), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s) " +
+      s"SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= $k"
+
   /** Mirrors Similarity.annLsh: multi-table sign-LSH buckets, query-side
     * hamming<=probeHamming probes, distinct candidates, exact cosine
     * top-k. The probe set is expressed as one UNNEST over the flip masks
@@ -832,6 +849,49 @@ object PipelineOracle {
       s"WHERE rk.r = CAST(CEIL(CAST('$p' AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)) " +
       "SELECT s.doc_id, s.source, s.score, CAST(s.score AS DOUBLE) >= th.thr AS keep " +
       "FROM s JOIN th USING (source)"
+  }
+
+  /** Mirrors Curation.winsorizeBySource in the exact regime: both
+    * thresholds are the values at ranks ceil(pLo·n)/ceil(pHi·n) ascending
+    * (the GK query rule with every sample retained), then ONE
+    * least(greatest(score, lo), hi) clip — identical IEEE comparisons. */
+  def winsorizeBySource(pLo: Double, pHi: Double): String = {
+    val lo = java.lang.Double.toString(pLo)
+    val hi = java.lang.Double.toString(pHi)
+    "WITH s AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score FROM documents), " +
+      "n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY source), " +
+      "rk AS (SELECT source, CAST(score AS DOUBLE) AS v, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY CAST(score AS DOUBLE)) AS r FROM s), " +
+      "th AS (SELECT n.source, " +
+      s"MAX(CASE WHEN rk.r = CAST(CEIL(CAST('$lo' AS DOUBLE) * CAST(n.n AS DOUBLE)) AS BIGINT) THEN rk.v END) AS lo, " +
+      s"MAX(CASE WHEN rk.r = CAST(CEIL(CAST('$hi' AS DOUBLE) * CAST(n.n AS DOUBLE)) AS BIGINT) THEN rk.v END) AS hi " +
+      "FROM rk JOIN n USING (source) GROUP BY n.source) " +
+      "SELECT s.doc_id, s.source, s.score, " +
+      "LEAST(GREATEST(CAST(s.score AS DOUBLE), th.lo), th.hi) AS clipped " +
+      "FROM s JOIN th USING (source)"
+  }
+
+  /** Mirrors Funnel.eventRateAnomaly: per (type, day) counts, EXACT
+    * integer trailing-window sums, then the fixed IEEE z-score tail
+    * (mean, w·Σc²−(Σc)² clamp, sqrt, k·std compare) verbatim — identical
+    * doubles in, identical flag out. Partial windows yield NULLs. */
+  def eventRateAnomaly(windowDays: Int, k: Double): String = {
+    val kk = java.lang.Double.toString(k)
+    val w = windowDays
+    "WITH ev AS (SELECT event_type, (epoch_ns(ts) // 1000) // 86400000000 AS day " +
+      "FROM events WHERE ts IS NOT NULL), " +
+      "c AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2), " +
+      "a AS (SELECT event_type, day, n, " +
+      "CAST(COUNT(*) OVER win AS BIGINT) AS w, " +
+      "CAST(COALESCE(SUM(n) OVER win, 0) AS BIGINT) AS s, " +
+      "CAST(COALESCE(SUM(n * n) OVER win, 0) AS BIGINT) AS ss " +
+      "FROM c WINDOW win AS (PARTITION BY event_type ORDER BY day " +
+      s"ROWS BETWEEN $w PRECEDING AND 1 PRECEDING)) " +
+      "SELECT event_type, day, n, " +
+      s"CASE WHEN w = $w THEN CAST(s AS DOUBLE) / CAST(w AS DOUBLE) END AS mean, " +
+      s"CASE WHEN w = $w THEN SQRT(GREATEST(CAST(0.0 AS DOUBLE), CAST(w AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(w AS DOUBLE) * CAST(w - 1 AS DOUBLE))) END AS std, " +
+      s"CASE WHEN w = $w THEN ABS(CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / CAST(w AS DOUBLE)) > CAST('$kk' AS DOUBLE) * SQRT(GREATEST(CAST(0.0 AS DOUBLE), CAST(w AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / (CAST(w AS DOUBLE) * CAST(w - 1 AS DOUBLE))) END AS is_anomaly " +
+      "FROM a"
   }
 
   /** Per-source corpus profile (mirrors TextAnalysis.corpusStats). */

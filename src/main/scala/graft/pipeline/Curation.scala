@@ -102,6 +102,34 @@ object Curation {
         (col(scoreCol).cast("double") >= col("__thr")).as("keep"))
   }
 
+  /** Per-source winsorization (outlier clipping): clip each doc's score
+    * into [pLo, pHi] quantiles of its OWN source's distribution — the
+    * standard robustification before scores from heterogeneous sources
+    * feed a shared threshold or a weighted mixture (a crawler bug that
+    * yields one absurd length must not dominate a mean). Thresholds come
+    * from ONE percentile_approx aggregate (both quantiles in the same
+    * pass), broadcast back, clipped map-side — the corpus never
+    * shuffles; no rank window anywhere. Same exactness regime as
+    * [[topFractionBySourceSketch]]: with accuracy ≫ 2n the GK summary
+    * retains every sample and threshold q is EXACTLY the value at rank
+    * ceil(q·n) ascending (the gate rule, q143); at corpus scale the
+    * published ±relativeError·n rank band applies instead.
+    * Output: (doc_id, source, score, clipped). */
+  def winsorizeBySource(docs: DataFrame, pLo: Double, pHi: Double,
+      scoreCol: String = "score", accuracy: Int = 1 << 20): DataFrame = {
+    require(pLo > 0.0 && pHi < 1.0 && pLo < pHi,
+      s"need 0 < pLo < pHi < 1: ($pLo, $pHi)")
+    val thr = docs.groupBy(col("source"))
+      .agg(percentile_approx(col(scoreCol).cast("double"),
+        array(lit(pLo), lit(pHi)), lit(accuracy)).as("__q"))
+      .select(col("source"), col("__q")(0).as("__lo"), col("__q")(1).as("__hi"))
+    docs.select(col("doc_id"), col("source"), col(scoreCol))
+      .join(broadcast(thr), "source")
+      .select(col("doc_id"), col("source"), col(scoreCol),
+        least(greatest(col(scoreCol).cast("double"), col("__lo")), col("__hi"))
+          .as("clipped"))
+  }
+
   /** Per-column data-quality profile of any relation: row count, null
     * count and exact distinct count per profiled column — the sanity
     * pass a pipeline runs before training on a new drop. ONE scan:

@@ -208,4 +208,51 @@ object Funnel {
       .groupBy(col("day"))
       .agg(countDistinct(col(keyCol)).as("n_active"))
   }
+
+  /** Event-rate anomaly detection (pipeline monitoring: a collector
+    * outage or a bot flood shows up as a day whose event count deviates
+    * from its recent baseline): per (event_type, day), flag days whose
+    * count deviates from the trailing `windowDays`-day mean by more than
+    * `k` sample standard deviations. One corpus aggregate down to the
+    * tiny (type, day) relation; the trailing window runs entirely on it.
+    *
+    * Cross-engine exactness: the window sums (w, Σc, Σc²) are EXACT
+    * integer arithmetic over identical inputs; the z-score tail
+    * (mean, the w·Σc²−(Σc)² variance numerator, clamp, sqrt, the k·std
+    * compare) is ONE fixed IEEE sequence mirrored verbatim in the oracle
+    * — identical doubles in, identical flag out (the q117 pearson
+    * convention). Days with fewer than windowDays predecessors report
+    * NULL mean/std/flag rather than a noisy partial baseline. Σc² as
+    * int64 holds to ~1e9 events/type/day at windowDays=7; beyond that,
+    * swap the decimal-sum variant in. Gaps (zero-event days) don't emit
+    * rows — the baseline is over OBSERVED days, documented semantics. */
+  def eventRateAnomaly(events: DataFrame, windowDays: Int, k: Double,
+      tsCol: String = "event_time", typeCol: String = "event_type"): DataFrame = {
+    require(windowDays > 1, "windowDays must be > 1 (sample std needs w-1 > 0)")
+    val dayUs = 86400000000L
+    val day = expr(s"unix_micros($tsCol) div $dayUs")
+    val counts = events.filter(col(tsCol).isNotNull)
+      .select(col(typeCol).as("event_type"), day.as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-windowDays, -1)
+    val wd = lit(windowDays.toLong)
+    val agg = counts
+      .withColumn("__w", count(lit(1)).over(win))
+      .withColumn("__s", coalesce(sum(col("n")).over(win), lit(0L)))
+      .withColumn("__ss", coalesce(sum(col("n") * col("n")).over(win), lit(0L)))
+    val meanC = col("__s").cast("double") / col("__w").cast("double")
+    val num = col("__w").cast("double") * col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double")
+    val varC = greatest(lit(0.0), num) /
+      (col("__w").cast("double") * (col("__w") - lit(1L)).cast("double"))
+    val stdC = sqrt(varC)
+    val full = col("__w") === wd
+    agg.select(col("event_type"), col("day"), col("n"),
+      when(full, meanC).as("mean"),
+      when(full, stdC).as("std"),
+      when(full,
+        abs(col("n").cast("double") - meanC) > lit(k) * stdC).as("is_anomaly"))
+  }
 }

@@ -107,6 +107,29 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query vector, the
+    * k most COSINE-similar corpus vectors with a DIFFERENT label — the
+    * near-misses a contrastive objective learns most from (same-label
+    * vectors are positives, not negatives, and the query itself is
+    * excluded by construction). Same broadcast + bounded-heap shape as
+    * [[bruteForceTopK]]: the query set broadcasts, the corpus never
+    * shuffles, and the label exclusion is a join predicate evaluated
+    * before any scoring — not a post-filter that could leave a query
+    * with fewer than k survivors while excluded rows occupied heap slots.
+    * Deterministic (cosine desc, neighbor asc) ranking. At corpus scale,
+    * feed the LSH/IVF candidate generators through the same exclusion
+    * predicate; this exact form is the recall oracle. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = withNorm(corpus).as("c")
+    val q = withNorm(queries).as("q")
+    val scored = c.join(broadcast(q),
+      col("q.vec_id") =!= col("c.vec_id") && col("q.label") =!= col("c.label"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(col("q.embedding"), col("c.embedding"), col("q.nrm"), col("c.nrm"))
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** Bucket for LSH table `table` in a multi-table (OR-construction)
     * scheme: bit j tests the sign of element table*bits + j + 1, so every
     * table reads a DISJOINT slice of the vector (independent-ish

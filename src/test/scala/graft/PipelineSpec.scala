@@ -320,6 +320,59 @@ class PipelineSpec extends SparkSpec {
     assert((sketchKeep -- exactKeep).size == 2) // one boundary doc per source
   }
 
+  test("winsorizeBySource: rank thresholds clip, interior scores untouched") {
+    // n=20 distinct scores per source: lo = rank ceil(0.05*20)=1 (the
+    // min), hi = rank ceil(0.95*20)=19 (the 2nd largest) — so only the
+    // max clips down to the 19th value and nothing clips up
+    val docs = (1L to 20L).map(i => (i, "a", i * 10L))
+      .toDF("doc_id", "source", "score")
+    val out = graft.pipeline.Curation.winsorizeBySource(docs, 0.05, 0.95)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(20L) == 190.0) // max clipped to the hi threshold
+    assert(out(1L) == 10.0)   // min IS the lo threshold: unchanged
+    assert((2L to 19L).forall(i => out(i) == i * 10.0))
+  }
+
+  test("eventRateAnomaly: trailing z-score flags the spike, partial windows NULL") {
+    // 7 quiet days (count 2 each, one exception of 3 to give nonzero
+    // std), then a 40-event flood on day 8
+    val rows = (0 until 7).flatMap { d =>
+      val reps = if (d == 3) 3 else 2
+      (0 until reps).map(j => (d * 86400L + j, "click"))
+    } ++ (0 until 40).map(j => (7 * 86400L + j, "click"))
+    val ev = rows.toDF("sec", "event_type")
+      .withColumn("event_time", timestamp_seconds(col("sec")))
+    val out = graft.pipeline.Funnel.eventRateAnomaly(ev, windowDays = 7, k = 2.0)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Boolean]))))
+      .toMap
+    // days 0..6 have <7 predecessors: NULL flag; day 7 has exactly 7
+    (0L to 6L).foreach(d => assert(out(d)._2.isEmpty, s"day $d"))
+    assert(out(7L) == ((40L, Some(true))))
+    // and a quiet day after the baseline is NOT flagged: mean ~2.14,
+    // std ~0.38 — a count of 2 sits inside 2 sigma
+    val ev2 = (rows ++ Seq((8 * 86400L, "click"), (8 * 86400L + 1, "click")))
+      .toDF("sec", "event_type")
+      .withColumn("event_time", timestamp_seconds(col("sec")))
+    val out2 = graft.pipeline.Funnel.eventRateAnomaly(ev2, 7, 2.0)
+      .collect().map(r => r.getLong(1) -> Option(r.get(5))).toMap
+    assert(out2(8L).contains(true) == false) // day 8's window now holds the flood -> huge std
+  }
+
+  test("hardNegatives: same-label vectors never surface, ranks deterministic") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f), 0),  // nearest overall but SAME label
+      (3L, Array(0.9f, 0.2f), 1),
+      (4L, Array(0.8f, 0.3f), 1),
+      (5L, Array(0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, vecs.filter($"vec_id" === 1), 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // 2 is excluded despite highest cosine; 3 then 4 rank by cosine desc
+    assert(out.toSeq == Seq((3L, 1), (4L, 2)))
+  }
+
   test("brute-force top-k ranks by cosine desc with deterministic ties") {
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1), 3)
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))

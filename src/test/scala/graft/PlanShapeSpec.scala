@@ -272,6 +272,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("winsorize: one threshold aggregate broadcast back, no rank window") {
+    val scored = docs.withColumn("score", length($"text").cast("long"))
+    val plan = executedPlan(
+      graft.pipeline.Curation.winsorizeBySource(scored, 0.05, 0.95))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("hard negatives: query side broadcast, corpus never shuffled to score") {
+    val plan = executedPlan(
+      Similarity.hardNegatives(emb, emb.filter($"vec_id" <= 3), 2))
+    // the non-equi (id, label) exclusion predicate forces BNLJ — correct
+    // here BECAUSE the broadcast side is the query set; the corpus side
+    // must never sort-merge or hash-shuffle into the join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("event-rate anomaly: corpus collapses in one aggregate before any window") {
+    val ev = (1L to 50L).map(i => (i * 1000L, if (i % 2 == 0) "a" else "b"))
+      .toDF("sec", "event_type")
+      .withColumn("event_time", timestamp_seconds($"sec"))
+    val plan = executedPlan(
+      graft.pipeline.Funnel.eventRateAnomaly(ev, 7, 2.0))
+    // the window must run on the aggregated (type, day) relation — a plan
+    // where Window sits below the final HashAggregate pair would be
+    // sorting raw events
+    assert(plan.contains("Window"), plan)
+    val winIdx = plan.indexOf("Window")
+    assert(plan.substring(winIdx).contains("HashAggregate"), plan)
+  }
+
   test("asof join: one key exchange, a running window, zero join operators") {
     val left = Seq((100L, 1L, 50L)).toDF("event_id", "user_id", "ts")
     val right = Seq((1L, 1L, 20L, 1.0)).toDF("event_id", "user_id", "ts", "value")
