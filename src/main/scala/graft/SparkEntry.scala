@@ -1053,6 +1053,29 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val emb = t(dir, "embeddings")
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), 5)
+    },
+    "q146_stream_anomaly" -> { (s, dir) =>
+      // the STREAMING rate-anomaly operator on batch input (the q127
+      // precedent): bounded per-type state, flushOpen makes batch
+      // execution == the q144 oracle row-for-row
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val ev = t(dir, "events")
+        .filter(col("ts").isNotNull)
+        .select(col("event_type"), expr("ts div 1000").as("us"))
+        .as[graft.streaming.StreamingHist.RateEvent]
+      graft.streaming.StreamingHist
+        .streamingRateAnomaly(ev, windowDays = 7, k = 2.0, flushOpen = true)
+        .toDF()
+    },
+    "q147_hard_negatives_ivf" -> { (s, dir) =>
+      // the IVF-composed mining path, gated where it equals brute force
+      // by construction: nprobe = nCells probes every cell, so the
+      // candidate set IS the different-label corpus (same oracle as q145)
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Similarity.hardNegativesIvf(emb, emb.filter(col("vec_id") < 10), 5,
+        nCells = 8, nprobe = 8)
     }
   )
 
@@ -1203,6 +1226,11 @@ object SparkEntry {
     "q143_winsorize" -> PipelineOracle.winsorizeBySource(0.05, 0.95),
     "q144_event_rate_anomaly" -> PipelineOracle.eventRateAnomaly(7, 2.0),
     "q145_hard_negatives" -> PipelineOracle.hardNegatives(5, 10),
+    // the streaming operator is gated against the SAME SQL as batch q144
+    // (the q120/q127 convention)
+    "q146_stream_anomaly" -> PipelineOracle.eventRateAnomaly(7, 2.0),
+    // full-probe IVF == brute force by construction: same oracle as q145
+    "q147_hard_negatives_ivf" -> PipelineOracle.hardNegatives(5, 10),
     "q108_active_users" -> PipelineOracle.activeUsers(7),
     "q109_profile_hist" -> Oracle.profile("lineitem",
       Oracle.Spec("l_quantity", axQty10), "l_extendedprice",

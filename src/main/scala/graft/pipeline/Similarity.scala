@@ -312,20 +312,26 @@ object Similarity {
 
   /** Nearest `cells` centroids per vector via the bounded heap aggregate
     * (no window shuffle of the |corpus| x nCells scored relation). */
-  private def assignCells(df: DataFrame, cent: DataFrame, cells: Int): DataFrame = {
+  /** `extra`: passenger columns (e.g. a label) carried through the
+    * assignment untouched — they join the aggregate key, a semantic no-op
+    * because vec_id already keys the relation uniquely. */
+  private def assignCells(df: DataFrame, cent: DataFrame, cells: Int,
+      extra: Seq[String] = Nil): DataFrame = {
     val n = withNorm(df).as("v")
+    val ex = extra.map(c => col(s"v.$c").as(c))
+    val exOut = extra.map(col)
     n.join(broadcast(cent))
-      .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
+      .select(Seq(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
         col("v.nrm").as("nrm"), col("cent_id"),
         (graft.functions.VecDotFD.vec_dot_fd(col("v.embedding"), col("cvec")) /
-          (col("v.nrm") * col("cnrm"))).as("ccos"))
-      .groupBy(col("vec_id"), col("embedding"), col("nrm"))
+          (col("v.nrm") * col("cnrm"))).as("ccos")) ++ ex: _*)
+      .groupBy(col("vec_id") +: col("embedding") +: col("nrm") +: exOut: _*)
       .agg(graft.functions.TopKByScore.top_k(col("ccos"), col("cent_id"), cells)
         .as("__top"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(col("__top")).as("__s"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("__s.id").as("cell"), col("__s.score").as("ccos"))
+      .select(Seq(col("vec_id"), col("embedding"), col("nrm"),
+        explode(col("__top")).as("__s")) ++ exOut: _*)
+      .select(Seq(col("vec_id"), col("embedding"), col("nrm"),
+        col("__s.id").as("cell"), col("__s.score").as("ccos")) ++ exOut: _*)
   }
 
   /** Driver-side grouping of the (tiny) trained centroid set into
@@ -494,6 +500,34 @@ object Similarity {
     val q = assignCells(queries, cent, nprobe).as("q")
     val scored = c.join(broadcast(q),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(col("q.embedding"), col("c.embedding"), col("q.nrm"), col("c.nrm"))
+          .as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** The IVF-composed scale path of [[hardNegatives]]: candidates come
+    * from the trained quantizer's probed cells instead of the full
+    * corpus, with the SAME different-label join predicate — mining build
+    * cost drops from |Q|·N scores to |Q|·(nprobe/nCells)·N expected.
+    * At nprobe = nCells every cell is probed, the candidate set is
+    * exactly the different-label corpus, and the output equals
+    * [[hardNegatives]] by construction — the gated configuration
+    * (q147, against the same oracle SQL); smaller nprobe trades recall
+    * for build cost on the q52 recall curve. */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 8, nprobe: Int = 1, iters: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nCells)
+    val cents = kmeansCentroids(corpus, nCells, iters)
+    val cent = centroidsDf(corpus.sparkSession, cents)
+    val c = assignCells(corpus, cent, 1, extra = Seq("label")).as("c")
+    val q = assignCells(queries, cent, nprobe, extra = Seq("label")).as("q")
+    // a (query, neighbor) pair can surface at most once: the neighbor
+    // lives in exactly one cell, matched by at most one of the query's
+    // probes — no distinct needed (the annIvf argument)
+    val scored = c.join(broadcast(q),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id") &&
+          col("q.label") =!= col("c.label"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
         cosine(col("q.embedding"), col("c.embedding"), col("q.nrm"), col("c.nrm"))
           .as("cosine"))

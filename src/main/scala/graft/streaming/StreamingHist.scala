@@ -187,6 +187,76 @@ object StreamingHist {
     }
   }
 
+  case class RateEvent(event_type: String, us: Long)
+  case class RateState(openDay: Long, openCnt: Long, closed: List[Long])
+  case class RateVerdict(event_type: String, day: Long, n: Long,
+    mean: Option[Double], std: Option[Double], is_anomaly: Option[Boolean])
+
+  /** STREAMING event-rate anomaly: the live form of
+    * Funnel.eventRateAnomaly — per event type, each day's count is
+    * z-scored against the trailing `windowDays` CLOSED days and the
+    * verdict emits when the day closes (the first event of a LATER day
+    * arrives). State per type is one open (day, count) plus a bounded
+    * deque of the last windowDays closed counts — capacity-bounded by
+    * construction, independent of event volume (the q101 SpaceSaving
+    * state discipline).
+    *
+    * The z-score tail is the SAME fixed IEEE sequence as the batch
+    * operator (JVM doubles both sides), so a closed day's verdict is
+    * bit-identical to the batch row. Exactness contract (the q127
+    * precedent): equal to the batch operator on each key's closed-day
+    * prefix when events arrive day-monotonically across micro-batches
+    * (any order within a batch is fine); events for days BEFORE the open
+    * day are late data and are dropped (the watermark analogue,
+    * documented). `flushOpen` emits the still-open day's verdict at
+    * iterator end — the batch-execution config (gated, q146: output ==
+    * Funnel.eventRateAnomaly row-for-row); leave it false on a real
+    * stream, where Append semantics forbid re-emitting a day. */
+  def streamingRateAnomaly(events: Dataset[RateEvent], windowDays: Int,
+      k: Double, flushOpen: Boolean): Dataset[RateVerdict] = {
+    require(windowDays > 1, "windowDays must be > 1")
+    import events.sparkSession.implicits._
+    val dayUs = 86400000000L
+    def verdict(typ: String, day: Long, n: Long, closed: List[Long]): RateVerdict = {
+      val w = closed.size
+      if (w == windowDays) {
+        // mirrors the batch column expressions op-for-op: casts first,
+        // then multiply/subtract/clamp/divide/sqrt/compare
+        val wd = w.toDouble
+        val s = closed.sum
+        val ss = closed.map(c => c * c).sum
+        val mean = s.toDouble / wd
+        val num = wd * ss.toDouble - s.toDouble * s.toDouble
+        val v = math.max(0.0, num) / (wd * (w - 1).toDouble)
+        val std = math.sqrt(v)
+        RateVerdict(typ, day, n, Some(mean), Some(std),
+          Some(math.abs(n.toDouble - mean) > k * std))
+      } else RateVerdict(typ, day, n, None, None, None)
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, RateVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[RateEvent], state: GroupState[RateState]) =>
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateVerdict]
+          it.toSeq.sortBy(_.us).foreach { e =>
+            val d = Math.floorDiv(e.us, dayUs)
+            st match {
+              case None => st = Some(RateState(d, 1L, Nil))
+              case Some(RateState(od, oc, cl)) =>
+                if (d == od) st = Some(RateState(od, oc + 1L, cl))
+                else if (d > od) {
+                  out += verdict(typ, od, oc, cl)
+                  st = Some(RateState(d, 1L, (cl :+ oc).takeRight(windowDays)))
+                } // d < od: late beyond the open day — dropped (see scaladoc)
+            }
+          }
+          if (flushOpen) st.foreach(s => out += verdict(typ, s.openDay, s.openCnt, s.closed))
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class AsOfEvent(user_id: Long, us: Long, side: Int, event_id: Long,
     value: Option[Double])
   case class AsOfEnriched(event_id: Long, user_id: Long, us: Long,

@@ -315,4 +315,47 @@ class StreamingSpec extends SparkSpec {
       assert(stream == batchOut)
     } finally q2.stop()
   }
+
+  test("streaming rate anomaly: deque state carries baselines across micro-batches") {
+    import StreamingHist.{RateEvent, RateVerdict}
+    val dayUs = 86400000000L
+    // 8 quiet days (2 events, day 3 has 3) then a 40-event flood on day 8;
+    // a day 9 probe event closes day 8 so its verdict can emit
+    def mk(d: Int, n: Int) = (0 until n).map(j => RateEvent("click", d * dayUs + j))
+    val days = (0 until 7).flatMap(d => mk(d, if (d == 3) 3 else 2)) ++
+      mk(7, 40) ++ mk(8, 1)
+    // batch execution with flushOpen == the batch operator row-for-row
+    val fromStream = StreamingHist
+      .streamingRateAnomaly(days.toDS(), 7, 2.0, flushOpen = true).collect()
+    val ev = days.toDF("event_type", "us")
+      .withColumn("event_time", timestamp_micros(col("us")))
+    val fromBatch = graft.pipeline.Funnel.eventRateAnomaly(ev, 7, 2.0)
+      .collect().map(r => RateVerdict(r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getBoolean(5))))
+    assert(fromStream.toSet == fromBatch.toSet)
+    assert(fromStream.exists(v => v.day == 7L && v.is_anomaly.contains(true)))
+
+    // streamed in two micro-batches split MID-WINDOW: the closed-day
+    // verdicts must equal the batch rows (state deque carries the
+    // baseline over); the still-open day 8 stays silent (flushOpen=false)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RateEvent]
+    val q = StreamingHist.streamingRateAnomaly(input.toDS(), 7, 2.0, flushOpen = false)
+      .writeStream.format("memory").queryName("rate_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = days.splitAt(10) // split inside day 4
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("rate_stream").collect()
+        .map(r => RateVerdict(r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getBoolean(5)))).toSet
+      val closedBatch = fromBatch.filter(_.day < 8L).toSet // day 8 never closes
+      assert(streamed == closedBatch)
+    } finally q.stop()
+  }
 }
