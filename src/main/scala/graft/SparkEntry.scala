@@ -67,6 +67,7 @@ object SparkEntry {
 
   private val axCluster = IntegerAxis("c", 1L, 9L)
   private val axTokens = Regular("ws_tokens", 20, 0.0, 500.0)
+  private val axPropsK = Regular("k", 20, 0.0, 100.0)
 
   /** Training-mix rates for q58: oversample low-index sources. */
   private val mixRates: Map[String, Double] =
@@ -1076,6 +1077,22 @@ object SparkEntry {
       val emb = t(dir, "embeddings")
       Similarity.hardNegativesIvf(emb, emb.filter(col("vec_id") < 10), 5,
         nCells = 8, nprobe = 8)
+    },
+    "q148_props_stats" -> { (s, dir) =>
+      // schema-on-read promotion of the JSON props blob: one codegen'd
+      // parse in the scan project, corpus collapses to |types| rows in
+      // one map-combinable aggregate
+      implicit val sp: SparkSession = s
+      graft.pipeline.Funnel.jsonFieldStats(t(dir, "events"), "k")
+    },
+    "q149_props_hist" -> { (s, dir) =>
+      // the JSON field fed straight into the core histogram engine —
+      // extraction composes with every histogram feature because it is
+      // just a typed column
+      implicit val sp: SparkSession = s
+      val k = get_json_object(col("props"), "$.k").try_cast("long")
+      Histogram.histogram(t(dir, "events"), k, axPropsK,
+        opts = HistOptions(flow = true))
     }
   )
 
@@ -1231,6 +1248,19 @@ object SparkEntry {
     "q146_stream_anomaly" -> PipelineOracle.eventRateAnomaly(7, 2.0),
     // full-probe IVF == brute force by construction: same oracle as q145
     "q147_hard_negatives_ivf" -> PipelineOracle.hardNegatives(5, 10),
+    "q148_props_stats" ->
+      // DuckDB's ->> returns the field as text; TRY_CAST NULLs
+      // non-integers exactly like Spark's get_json_object + try_cast
+      ("WITH x AS (SELECT event_type, TRY_CAST(props->>'k' AS BIGINT) AS k " +
+        "FROM events WHERE props IS NOT NULL) " +
+        "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(k) AS BIGINT) AS k_sum, CAST(MIN(k) AS BIGINT) AS k_min, " +
+        "CAST(MAX(k) AS BIGINT) AS k_max, " +
+        "CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS k_mean " +
+        "FROM x WHERE k IS NOT NULL GROUP BY event_type"),
+    "q149_props_hist" -> Oracle.hist(
+      "(SELECT TRY_CAST(props->>'k' AS BIGINT) AS k FROM events) __pk",
+      Seq(Oracle.Spec("k", axPropsK)), flow = true),
     "q108_active_users" -> PipelineOracle.activeUsers(7),
     "q109_profile_hist" -> Oracle.profile("lineitem",
       Oracle.Spec("l_quantity", axQty10), "l_extendedprice",

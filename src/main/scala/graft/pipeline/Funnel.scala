@@ -209,6 +209,33 @@ object Funnel {
       .agg(countDistinct(col(keyCol)).as("n_active"))
   }
 
+  /** Schema-on-read promotion of a JSON properties field (every real
+    * event stream carries a semi-structured props blob; analytics needs
+    * typed columns): extract `field` as a long and aggregate per event
+    * type — count, sum, min, max, mean. The extraction is ONE codegen'd
+    * JSON parse per row (get_json_object; for several fields switch to a
+    * single from_json into a struct — same parse count, typed once),
+    * evaluated in the scan's project, so the corpus collapses to the
+    * per-type aggregate in a single map-combinable pass: one shuffle of
+    * |types| rows, nothing else. Rows where the field is missing or
+    * non-numeric drop out (documented): get_json_object yields NULL and
+    * try_cast NULLs non-integers — identically to the oracle's
+    * TRY_CAST(... AS BIGINT); a plain ANSI cast would hard-error the job
+    * on the first malformed blob. Integer sums are exact; the mean is
+    * one IEEE division (the q117 boundary convention). */
+  def jsonFieldStats(events: DataFrame, field: String,
+      propsCol: String = "props", typeCol: String = "event_type"): DataFrame = {
+    val k = get_json_object(col(propsCol), s"$$.$field").try_cast("long")
+    events.select(col(typeCol).as("event_type"), k.as("__k"))
+      .filter(col("__k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("__k")).as("k_sum"),
+        min(col("__k")).as("k_min"), max(col("__k")).as("k_max"))
+      .select(col("event_type"), col("n"), col("k_sum"), col("k_min"),
+        col("k_max"),
+        (col("k_sum").cast("double") / col("n").cast("double")).as("k_mean"))
+  }
+
   /** Event-rate anomaly detection (pipeline monitoring: a collector
     * outage or a bot flood shows up as a day whose event count deviates
     * from its recent baseline): per (event_type, day), flag days whose

@@ -373,6 +373,24 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((3L, 1), (4L, 2)))
   }
 
+  test("jsonFieldStats: typed extraction, missing/non-numeric fields drop") {
+    val ev = Seq(
+      ("click", """{"k": 3}"""),
+      ("click", """{"k": 5}"""),
+      ("click", """{"j": 9}"""),     // field missing -> dropped
+      ("view", """{"k": "abc"}"""),  // non-numeric -> dropped
+      ("view", """{"k": 7}"""),
+      ("view", null)                   // null props -> dropped
+    ).toDF("event_type", "props")
+    val out = graft.pipeline.Funnel.jsonFieldStats(ev, "k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out == Map(
+      "click" -> ((2L, 8L, 3L, 5L, 4.0)),
+      "view" -> ((1L, 7L, 7L, 7L, 7.0))))
+  }
+
   test("brute-force top-k ranks by cosine desc with deterministic ties") {
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1), 3)
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))
