@@ -1093,6 +1093,13 @@ object SparkEntry {
       val k = get_json_object(col("props"), "$.k").try_cast("long")
       Histogram.histogram(t(dir, "events"), k, axPropsK,
         opts = HistOptions(flow = true))
+    },
+    "q150_embed_quantize" -> { (s, dir) =>
+      // absmax int8 quantization — the 4x storage shrink for a 100 TB
+      // embedding corpus; entirely map-side (scale is an array fold in
+      // the projection), zero exchanges
+      implicit val sp: SparkSession = s
+      Similarity.quantizeInt8(t(dir, "embeddings"))
     }
   )
 
@@ -1261,6 +1268,17 @@ object SparkEntry {
     "q149_props_hist" -> Oracle.hist(
       "(SELECT TRY_CAST(props->>'k' AS BIGINT) AS k FROM events) __pk",
       Seq(Oracle.Spec("k", axPropsK)), flow = true),
+    "q150_embed_quantize" ->
+      // same float->double casts, same left-associated v/scale*127, and
+      // both engines' ROUND is half-away-from-zero
+      ("WITH el AS (SELECT vec_id, CAST(i AS INT) AS i, " +
+        "CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v " +
+        "FROM (SELECT vec_id, embedding, UNNEST(generate_series(1, len(embedding))) AS i FROM embeddings)), " +
+        "s AS (SELECT vec_id, MAX(ABS(v)) AS scale FROM el GROUP BY vec_id) " +
+        "SELECT el.vec_id, el.i, s.scale, " +
+        "CASE WHEN s.scale = CAST(0 AS DOUBLE) THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(ROUND(el.v / s.scale * CAST(127 AS DOUBLE)) AS BIGINT) END AS q " +
+        "FROM el JOIN s USING (vec_id)"),
     "q108_active_users" -> PipelineOracle.activeUsers(7),
     "q109_profile_hist" -> Oracle.profile("lineitem",
       Oracle.Spec("l_quantity", axQty10), "l_extendedprice",

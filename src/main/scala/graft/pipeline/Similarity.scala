@@ -534,6 +534,31 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Symmetric int8 embedding quantization (the storage path for a
+    * 100 TB embedding corpus — 4 bytes/dim down to 1, plus one scale per
+    * vector): q_i = round(x_i / scale · 127) with scale = max|x_i|, the
+    * standard absmax scheme; all-zero vectors quantize to zeros with
+    * scale 0. ENTIRELY map-side — the per-vector scale is an array fold
+    * inside the same projection, so the plan has zero exchanges and
+    * quantizing N vectors is embarrassingly parallel. Emitted one row
+    * per element (vec_id, i, scale, q): element rows gate exactly
+    * cross-engine, where an array column's rendering would not.
+    * Reconstruction error is bounded by scale/254 per element
+    * (spec-pinned). Cross-engine exactness: float→double casts are
+    * exact, /·· is one left-associated IEEE sequence mirrored verbatim,
+    * and both engines' round() is half-away-from-zero. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val scale = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    emb.select(col("vec_id"), scale.as("scale"),
+        posexplode(col("embedding")).as(Seq("__i", "__v")))
+      .select(col("vec_id"), (col("__i") + 1).cast("int").as("i"),
+        col("scale"),
+        when(col("scale") === lit(0.0), lit(0L))
+          .otherwise(round(col("__v").cast("double") / col("scale") * lit(127.0))
+            .cast("long")).as("q"))
+  }
+
   /** SemDeDup (semantic dedup via embedding clustering, Abbas et al.
     * 2023, arXiv:2303.09540): k-means-cluster the corpus, then within
     * each cell drop every vector with a higher-priority near-twin

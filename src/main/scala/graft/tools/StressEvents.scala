@@ -59,6 +59,15 @@ object StressEvents {
       us.withColumn("day", expr("us div 86400000000")),
       col("value"), col("event_type") === lit("view"),
       dims = Seq("day")).count())
+    // anomaly scan: corpus collapses to (type, day) in one aggregate, the
+    // z-score window runs on that tiny relation — cost must track the
+    // aggregate, not the window
+    time("rate_anomaly_7d")(graft.pipeline.Funnel.eventRateAnomaly(
+      ev, windowDays = 7, k = 2.0).count())
+    // schema-on-read JSON promotion: one codegen parse per row, one
+    // |types|-row aggregate
+    if (raw.columns.contains("props"))
+      time("props_stats")(graft.pipeline.Funnel.jsonFieldStats(ev, "k").count())
     spark.stop()
   }
 }

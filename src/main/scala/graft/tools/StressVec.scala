@@ -55,6 +55,11 @@ object StressVec {
         f"$agree/${exactAssign.size} = ${agree.toDouble / exactAssign.size}%.3f")
     }
     time("ann_bruteforce")(graft.pipeline.Similarity.bruteForceTopK(emb, q, 5).count())
+    time("hard_negatives")(graft.pipeline.Similarity.hardNegatives(emb, q, 5).count())
+    time("hard_negatives_ivf")(graft.pipeline.Similarity.hardNegativesIvf(
+      emb, q, 5, nCells = nCellsSqrt, nprobe = 4).count())
+    // map-only: must scale linearly with zero exchanges at any size
+    time("quantize_int8")(graft.pipeline.Similarity.quantizeInt8(emb).count())
     // SemDeDup at the paper's design point — nCells scaled to hold mean
     // cell size ~500 constant, so the within-cell pairwise work per
     // vector stays flat as the corpus grows (the output on a replicated

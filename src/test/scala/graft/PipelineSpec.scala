@@ -391,6 +391,36 @@ class PipelineSpec extends SparkSpec {
       "view" -> ((1L, 7L, 7L, 7L, 7.0))))
   }
 
+  test("quantizeInt8: absmax scheme, int8 range, reconstruction error bounded") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f)),             // all-zero: q = 0, scale = 0
+      (3L, Array(-2.0f))                    // single negative: q = -127
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(out((1L, 1)) == ((1.0, 64L)))   // round(0.5*127) = round(63.5) away from 0
+    assert(out((1L, 2)) == ((1.0, -127L)))
+    assert(out((1L, 3)) == ((1.0, 32L)))   // round(31.75)
+    assert(out((2L, 1)) == ((0.0, 0L)) && out((2L, 2)) == ((0.0, 0L)))
+    assert(out((3L, 1)) == ((2.0, -127L)))
+    // contract over a dense random batch: |q| <= 127 and the
+    // dequantized element sits within scale/254 of the original
+    val rnd = new scala.util.Random(7)
+    val many = (1L to 50L).map(i =>
+      (i, Array.fill(16)((rnd.nextFloat() - 0.5f) * 4.0f))).toDF("vec_id", "embedding")
+    val orig = many.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    Similarity.quantizeInt8(many).collect().foreach { r =>
+      val (id, i, sc, q) = (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))
+      assert(math.abs(q) <= 127L)
+      val x = orig(id)(i - 1).toDouble
+      assert(math.abs(q * sc / 127.0 - x) <= sc / 254.0 + 1e-12,
+        s"vec $id elem $i: x=$x q=$q scale=$sc")
+    }
+  }
+
   test("brute-force top-k ranks by cosine desc with deterministic ties") {
     val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1), 3)
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(3)))

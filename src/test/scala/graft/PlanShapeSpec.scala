@@ -306,6 +306,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.substring(winIdx).contains("HashAggregate"), plan)
   }
 
+  test("embed quantize: map-only — zero exchanges, no join, no window") {
+    val plan = executedPlan(Similarity.quantizeInt8(emb))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("json props stats: one aggregate exchange keyed by event type") {
+    val ev = Seq(("click", """{"k": 3}"""), ("view", """{"k": 5}"""))
+      .toDF("event_type", "props")
+    val plan = executedPlan(graft.pipeline.Funnel.jsonFieldStats(ev, "k"))
+    assert(!plan.contains("Join"), plan)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, plan)
+  }
+
   test("asof join: one key exchange, a running window, zero join operators") {
     val left = Seq((100L, 1L, 50L)).toDF("event_id", "user_id", "ts")
     val right = Seq((1L, 1L, 20L, 1.0)).toDF("event_id", "user_id", "ts", "value")
