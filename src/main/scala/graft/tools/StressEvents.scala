@@ -18,14 +18,11 @@ object StressEvents {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val raw = spark.read.parquet(path)
-    // stress copies may store ts as a real timestamp; testdata as nanos
-    // (same dual-type guard as StressHist)
-    val eventTime =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        timestamp_micros(expr("ts div 1000"))
-      else col("ts").cast("timestamp")
-    val ev = raw.withColumn("event_time", eventTime).persist()
+    // normalize whatever ts encoding the copy carries (nanos-long, NTZ,
+    // timestamp) to epoch-nanos long — the loader-point convention
+    val raw = graft.sources.Tables.normalizeEventsTs(spark.read.parquet(path))
+    val ev = raw.withColumn("event_time",
+      timestamp_micros(expr("ts div 1000"))).persist()
     println(s"events=${ev.count()} users=${ev.select("user_id").distinct().count()}")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -45,9 +42,7 @@ object StressEvents {
       "1 hour").count())
     // as-of join: union+window — cost must track the INPUT row count
     // (L+R per key), never the LxR candidate volume a range join pays
-    val us = ev.withColumn("us", expr(
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        "ts div 1000" else "unix_micros(ts)"))
+    val us = ev.withColumn("us", expr("ts div 1000"))
     time("asof_join")(graft.pipeline.AsOf.asOfJoin(
       us.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "us"),
