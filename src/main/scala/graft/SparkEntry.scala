@@ -1257,16 +1257,19 @@ object SparkEntry {
     "q147_hard_negatives_ivf" -> PipelineOracle.hardNegatives(5, 10),
     "q148_props_stats" ->
       // DuckDB's ->> returns the field as text; TRY_CAST NULLs
-      // non-integers exactly like Spark's get_json_object + try_cast
+      // non-integers exactly like Spark's get_json_object + try_cast.
+      // json_valid guards malformed blobs: Spark's get_json_object NULLs
+      // them silently where a bare ->> would ABORT the whole oracle query
       ("WITH x AS (SELECT event_type, TRY_CAST(props->>'k' AS BIGINT) AS k " +
-        "FROM events WHERE props IS NOT NULL) " +
+        "FROM events WHERE props IS NOT NULL AND json_valid(props)) " +
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
         "CAST(SUM(k) AS BIGINT) AS k_sum, CAST(MIN(k) AS BIGINT) AS k_min, " +
         "CAST(MAX(k) AS BIGINT) AS k_max, " +
         "CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS k_mean " +
         "FROM x WHERE k IS NOT NULL GROUP BY event_type"),
     "q149_props_hist" -> Oracle.hist(
-      "(SELECT TRY_CAST(props->>'k' AS BIGINT) AS k FROM events) __pk",
+      "(SELECT TRY_CAST(props->>'k' AS BIGINT) AS k FROM events " +
+        "WHERE json_valid(props)) __pk",
       Seq(Oracle.Spec("k", axPropsK)), flow = true),
     "q150_embed_quantize" ->
       // same float->double casts, same left-associated v/scale*127, and

@@ -221,8 +221,11 @@ object Funnel {
     * non-numeric drop out (documented): get_json_object yields NULL and
     * try_cast NULLs non-integers — identically to the oracle's
     * TRY_CAST(... AS BIGINT); a plain ANSI cast would hard-error the job
-    * on the first malformed blob. Integer sums are exact; the mean is
-    * one IEEE division (the q117 boundary convention). */
+    * on the first malformed blob. MALFORMED JSON also drops out here
+    * (get_json_object NULLs it), and the oracle mirrors that with a
+    * json_valid guard — DuckDB's bare ->> would abort on it instead.
+    * Integer sums are exact; the mean is one IEEE division (the q117
+    * boundary convention). */
   def jsonFieldStats(events: DataFrame, field: String,
       propsCol: String = "props", typeCol: String = "event_type"): DataFrame = {
     val k = get_json_object(col(propsCol), s"$$.$field").try_cast("long")

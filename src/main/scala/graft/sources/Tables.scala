@@ -42,28 +42,38 @@ object Tables {
   def registerViews(spark: SparkSession, dir: String): Unit =
     all(spark, dir).foreach { case (n, df) => df.createOrReplaceTempView(n) }
 
-  /** events schema matching the current TESTDATA generation: ts stored
-    * as TIMESTAMP(us), read as TIMESTAMP_NTZ (Structured Streaming
-    * requires an explicit schema — keep this in sync with the driver's
-    * parquet). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema for the streaming reader (Structured Streaming
+    * requires an explicit schema): the non-ts columns are fixed; ts takes
+    * whatever type `tsType` the actual files carry — hard-pinning one
+    * encoding here would break the stream on exactly the
+    * TIMESTAMP(NANOS)-as-long / TIMESTAMP(us) flips the batch loader's
+    * [[normalizeEventsTs]] was built to survive. */
+  def eventsSchema(tsType: DataType = TimestampNTZType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  /** Streaming reader over an events parquet directory: `ts` normalized
-    * to epoch-nanos long (same convention as the batch loader) plus a
-    * real timestamp column `event_time` for watermarks and windows.
-    * `maxFilesPerTrigger` bounds per-batch work. */
+  /** Streaming reader over an events parquet directory: the ts encoding
+    * is PROBED from the directory with one batch footer read (so the
+    * stream schema always matches the files — see [[eventsSchema]]),
+    * then `ts` is normalized to epoch-nanos long (the batch loader
+    * convention) plus a real timestamp column `event_time` for
+    * watermarks and windows. `maxFilesPerTrigger` bounds per-batch
+    * work. */
   def eventsStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame =
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: Throwable => TimestampNTZType }
     normalizeEventsTs(spark.readStream
-        .schema(eventsSchema)
+        .schema(eventsSchema(tsType))
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
         .parquet(dir))
       .withColumn("event_time",
         timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
 }
