@@ -1100,6 +1100,13 @@ object SparkEntry {
       // the projection), zero exchanges
       implicit val sp: SparkSession = s
       Similarity.quantizeInt8(t(dir, "embeddings"))
+    },
+    "q151_dedup_savings" -> { (s, dir) =>
+      // token-denominated dedup savings: the budget number (docs removed
+      // says little when duplicates skew short/long); same full-corpus
+      // canonical election as q135, token counter in the same projection
+      implicit val sp: SparkSession = s
+      graft.pipeline.Dedup.dedupTokenSavings(t(dir, "documents"))
     }
   )
 
@@ -1335,6 +1342,18 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical, " +
         "CAST(COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / " +
         "CAST(COUNT(*) AS DOUBLE) AS dup_rate FROM j GROUP BY source"),
+    "q151_dedup_savings" ->
+      ("WITH k AS (SELECT doc_id, keep FROM (" + PipelineOracle.dedupExact + ")), " +
+        "j AS (SELECT d.source, k.keep, " +
+        "CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS tok " +
+        "FROM documents d JOIN k USING (doc_id)) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(SUM(tok) AS BIGINT) AS tokens_total, " +
+        "CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept, " +
+        "CASE WHEN SUM(tok) > 0 THEN " +
+        "CAST(SUM(tok) - SUM(CASE WHEN keep THEN tok ELSE 0 END) AS DOUBLE) / CAST(SUM(tok) AS DOUBLE) " +
+        "END AS token_savings FROM j GROUP BY source"),
     "q136_embed_dim_hist" -> Oracle.hist(
       "(SELECT label, CAST(embedding[1] AS DOUBLE) AS dim0 FROM embeddings) __ed",
       Seq(Oracle.Spec("dim0", axDim0)), dims = Seq("label"), flow = true),

@@ -88,6 +88,32 @@ object Dedup {
         ((col("n_docs") - col("n_canonical")).cast("double") /
           col("n_docs").cast("double")).as("dup_rate"))
 
+  /** Token-denominated dedup savings (the number a training-budget
+    * review actually asks for — DOCS removed says little when duplicates
+    * skew short or long): per source, doc and whitespace-token totals
+    * against what the canonical copies retain, and the token savings
+    * fraction. Same full-corpus canonical election as [[dedupReport]]
+    * (cross-source duplicates debit the non-canonical holder); the token
+    * counter is the q49 codegen'd regexp_count in the same projection,
+    * so the added cost over dedupReport is zero extra passes. Exact
+    * integer sums; the fraction is one IEEE division, NULL for a
+    * token-less source rather than a fake 0/0. */
+  def dedupTokenSavings(docs: DataFrame): DataFrame =
+    exact(docs)
+      .join(docs.select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("__tok")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("__tok")).as("tokens_total"),
+        sum(when(col("keep"), col("__tok")).otherwise(0L)).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        when(col("tokens_total") > 0L,
+          (col("tokens_total") - col("tokens_kept")).cast("double") /
+            col("tokens_total").cast("double"))
+          .as("token_savings"))
+
   /** Exact dedup on NORMALIZED text (lowercase, collapsed whitespace):
     * same single-shuffle plan as `exact`, catching reformatted copies. */
   def exactNormalized(docs: DataFrame): DataFrame =
