@@ -1107,6 +1107,18 @@ object SparkEntry {
       // canonical election as q135, token counter in the same projection
       implicit val sp: SparkSession = s
       graft.pipeline.Dedup.dedupTokenSavings(t(dir, "documents"))
+    },
+    "q152_stream_quantiles" -> { (s, dir) =>
+      // the streaming windowed-quantile operator on batch input (the q53
+      // convention), gated in the provably-exact GK regime: accuracy 2^20
+      // >> 2n per window, so quantile q is EXACTLY the value at rank
+      // ceil(q*n) ascending per window (the q142 rule, per window)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.windowedQuantiles(
+          ev, "event_time", col("value"), "1 hour", Seq(0.5, 0.95))
+        .drop("window_end")
     }
   )
 
@@ -1214,6 +1226,13 @@ object SparkEntry {
          | g AS (SELECT window_start, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM f GROUP BY 1, 2)
          | SELECT CAST(window_start AS TIMESTAMP) AS window_start, ${axValue.labelSql("__i0")} AS value_bins, cnt FROM g""".stripMargin.replaceAll("\n", "")
     },
+    "q152_stream_quantiles" ->
+      """WITH e AS (SELECT time_bucket(INTERVAL '1 hour', make_timestamp(epoch_ns(ts) // 1000)) AS window_start, CAST(value AS DOUBLE) AS v FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        | n AS (SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        | rk AS (SELECT window_start, v, ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY v) AS r FROM e),
+        | qd AS (SELECT UNNEST([CAST('0.5' AS DOUBLE), CAST('0.95' AS DOUBLE)]) AS q),
+        | t AS (SELECT n.window_start, qd.q, CAST(CEIL(qd.q * CAST(n.n AS DOUBLE)) AS BIGINT) AS tr FROM n CROSS JOIN qd)
+        | SELECT CAST(t.window_start AS TIMESTAMP) AS window_start, t.q, rk.v AS quantile FROM t JOIN rk ON rk.window_start = t.window_start AND rk.r = t.tr""".stripMargin.replaceAll("\n", ""),
     "q48_quality" -> PipelineOracle.quality,
     "q49_tokens" -> PipelineOracle.tokens,
     "q50_fingerprint" -> PipelineOracle.fingerprint(),

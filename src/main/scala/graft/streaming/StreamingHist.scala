@@ -187,6 +187,50 @@ object StreamingHist {
     }
   }
 
+  /** Event-time windowed quantiles (the latency/size-percentile dashboard
+    * over a stream): per tumbling window, the requested quantiles of a
+    * value column via the map-combinable GK percentile_approx aggregate —
+    * bounded summary state per window where exact per-window ranks would
+    * buffer the window's full volume. Batch takes the integer floor-key
+    * route ([[windowedTopTerms]]'s dual form, same rows as window()).
+    * The gate (q152) runs the batch form in the provably-exact regime
+    * (accuracy ≫ 2·n per window retains every sample, so quantile q is
+    * EXACTLY the value at rank ceil(q·n) — the q142 rule, per window);
+    * at stream scale the same code runs with bounded accuracy under the
+    * published ±relErr·n rank contract. */
+  def windowedQuantiles(df: DataFrame, tsCol: String, value: Column,
+      windowDuration: String, qs: Seq[Double], accuracy: Int = 1 << 20,
+      watermark: String = "10 seconds"): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q < 1.0),
+      "quantiles must lie strictly inside (0, 1)")
+    val pa = percentile_approx(col("__v").cast("double"),
+      array(qs.map(lit): _*), lit(accuracy)).as("__qs")
+    def explodeQs(grouped: DataFrame, winStart: Column, winEnd: Column): DataFrame =
+      grouped
+        .select(winStart.as("window_start"), winEnd.as("window_end"),
+          posexplode(col("__qs")).as(Seq("__p", "quantile")))
+        .select(col("window_start"), col("window_end"),
+          element_at(array(qs.map(lit): _*), col("__p") + 1).as("q"),
+          col("quantile"))
+    if (df.isStreaming) {
+      val grouped = df.withWatermark(tsCol, watermark)
+        .select(window(col(tsCol), windowDuration).as("win"), value.as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(col("win")).agg(pa)
+      explodeQs(grouped, col("win.start"), col("win.end"))
+    } else {
+      val durUs = fixedWindowUs(windowDuration)
+      val us = unix_micros(col(tsCol))
+      val grouped = df.filter(col(tsCol).isNotNull)
+        .select((us - pmod(us, lit(durUs))).as("__ws"), value.as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(col("__ws")).agg(pa)
+      explodeQs(grouped,
+        timestamp_micros(col("__ws")),
+        timestamp_micros(col("__ws") + lit(durUs)))
+    }
+  }
+
   case class RateEvent(event_type: String, us: Long)
   case class RateState(openDay: Long, openCnt: Long, closed: List[Long])
   case class RateVerdict(event_type: String, day: Long, n: Long,

@@ -279,6 +279,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed quantiles: per-window GK summary, streaming == batch") {
+    // window [0,10): values 1..6 (n=6): p50 -> rank ceil(3.0)=3, p95 ->
+    // rank ceil(5.7)=6; window [10,20): 10,20,30 (n=3): ranks 2 and 3
+    val events = Seq(
+      (ts(1), 1.0), (ts(2), 2.0), (ts(3), 3.0), (ts(4), 4.0), (ts(5), 5.0),
+      (ts(6), 6.0), (ts(12), 10.0), (ts(13), 20.0), (ts(14), 30.0)
+    ).toDF("event_time", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime / 1000, r.getDouble(1), r.getDouble(2))
+    val batch = StreamingHist.windowedQuantiles(
+        events, "event_time", col("value"), "10 seconds", Seq(0.5, 0.95))
+      .drop("window_end").collect().map(key).toSet
+    assert(batch == Set(
+      (0L, 0.5, 3.0), (0L, 0.95, 6.0), (10L, 0.5, 20.0), (10L, 0.95, 30.0)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = StreamingHist.windowedQuantiles(
+      input.toDF().toDF("event_time", "value"),
+      "event_time", col("value"), "10 seconds", Seq(0.5, 0.95))
+    val q = out.drop("window_end").writeStream.format("memory")
+      .queryName("wq_stream").outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((ts(1), 1.0), (ts(3), 3.0), (ts(5), 5.0), (ts(12), 10.0))
+      q.processAllAvailable()
+      // the GK summary is window STATE: later micro-batches keep merging
+      input.addData((ts(2), 2.0), (ts(4), 4.0), (ts(6), 6.0),
+        (ts(13), 20.0), (ts(14), 30.0))
+      q.processAllAvailable()
+      val stream = spark.table("wq_stream").collect().map(key).toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("streaming as-of: state carries the latest right across micro-batches") {
     import StreamingHist.AsOfEvent
     // rights (side 0) and lefts (side 1) for two users
