@@ -1119,6 +1119,14 @@ object SparkEntry {
       graft.streaming.StreamingHist.windowedQuantiles(
           ev, "event_time", col("value"), "1 hour", Seq(0.5, 0.95))
         .drop("window_end")
+    },
+    "q153_score_standardize" -> { (s, dir) =>
+      // per-source z-scores (the parametric complement to q129's rank
+      // percentiles): one moment aggregate over exact integer sums,
+      // broadcast back, fixed IEEE tail — corpus never shuffles
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.standardizeBySource(
+        t(dir, "documents").withColumn("score", col("n_chars").cast("long")))
     }
   )
 
@@ -1226,6 +1234,15 @@ object SparkEntry {
          | g AS (SELECT window_start, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM f GROUP BY 1, 2)
          | SELECT CAST(window_start AS TIMESTAMP) AS window_start, ${axValue.labelSql("__i0")} AS value_bins, cnt FROM g""".stripMargin.replaceAll("\n", "")
     },
+    "q153_score_standardize" ->
+      ("WITH s AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score FROM documents), " +
+        "a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(score) AS BIGINT) AS sm, " +
+        "CAST(SUM(score * score) AS BIGINT) AS ss FROM s GROUP BY source) " +
+        "SELECT s.doc_id, s.source, s.score, " +
+        "CASE WHEN a.n >= 2 AND SQRT(GREATEST(CAST(0.0 AS DOUBLE), CAST(a.n AS DOUBLE) * CAST(a.ss AS DOUBLE) - CAST(a.sm AS DOUBLE) * CAST(a.sm AS DOUBLE)) / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE))) > CAST(0.0 AS DOUBLE) " +
+        "THEN (CAST(s.score AS DOUBLE) - CAST(a.sm AS DOUBLE) / CAST(a.n AS DOUBLE)) / " +
+        "SQRT(GREATEST(CAST(0.0 AS DOUBLE), CAST(a.n AS DOUBLE) * CAST(a.ss AS DOUBLE) - CAST(a.sm AS DOUBLE) * CAST(a.sm AS DOUBLE)) / (CAST(a.n AS DOUBLE) * CAST(a.n - 1 AS DOUBLE))) " +
+        "END AS z FROM s JOIN a USING (source)"),
     "q152_stream_quantiles" ->
       """WITH e AS (SELECT time_bucket(INTERVAL '1 hour', make_timestamp(epoch_ns(ts) // 1000)) AS window_start, CAST(value AS DOUBLE) AS v FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
         | n AS (SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),

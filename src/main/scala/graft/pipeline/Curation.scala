@@ -130,6 +130,36 @@ object Curation {
           .as("clipped"))
   }
 
+  /** Per-source z-score standardization of a quality score — the
+    * parametric complement to [[percentileBySource]] (use ranks when the
+    * distribution is unknown, z-scores when roughly bell-shaped scores
+    * should keep their spread): z = (x − mean)/std with the source's own
+    * sample mean/std. ONE count/sum/sum-of-squares aggregate (exact
+    * integer sums over long scores), broadcast back, map-side arithmetic
+    * — the corpus never shuffles. The tail (mean, the n·Σx²−(Σx)²
+    * variance numerator, clamp, sqrt, the division) is a fixed IEEE
+    * sequence mirrored verbatim in the oracle (the q117/q144
+    * convention); z is NULL for sources with n < 2 or zero variance
+    * rather than NaN/±inf. */
+  def standardizeBySource(docs: DataFrame,
+      scoreCol: String = "score"): DataFrame = {
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(scoreCol).cast("long")).as("__s"),
+        sum(col(scoreCol).cast("long") * col(scoreCol).cast("long")).as("__ss"))
+    val num = col("__n").cast("double") * col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double")
+    val varC = greatest(lit(0.0), num) /
+      (col("__n").cast("double") * (col("__n") - lit(1L)).cast("double"))
+    val stdC = sqrt(varC)
+    val meanC = col("__s").cast("double") / col("__n").cast("double")
+    docs.select(col("doc_id"), col("source"), col(scoreCol))
+      .join(broadcast(stats), "source")
+      .select(col("doc_id"), col("source"), col(scoreCol),
+        when(col("__n") >= 2L && stdC > lit(0.0),
+          (col(scoreCol).cast("double") - meanC) / stdC).as("z"))
+  }
+
   /** Per-column data-quality profile of any relation: row count, null
     * count and exact distinct count per profiled column — the sanity
     * pass a pipeline runs before training on a new drop. ONE scan:

@@ -322,6 +322,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, plan)
   }
 
+  test("score standardize: moment aggregate broadcast back, no window") {
+    val scored = docs.withColumn("score", length($"text").cast("long"))
+    val plan = executedPlan(
+      graft.pipeline.Curation.standardizeBySource(scored))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("asof join: one key exchange, a running window, zero join operators") {
     val left = Seq((100L, 1L, 50L)).toDF("event_id", "user_id", "ts")
     val right = Seq((1L, 1L, 20L, 1.0)).toDF("event_id", "user_id", "ts", "value")
