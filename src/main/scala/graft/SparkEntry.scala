@@ -1127,6 +1127,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.standardizeBySource(
         t(dir, "documents").withColumn("score", col("n_chars").cast("long")))
+    },
+    "q154_minhash_accuracy" -> { (s, dir) =>
+      // sketch-accuracy QA: per LSH candidate pair, the signature-slot
+      // agreement ESTIMATE beside the exact verified jaccard — the report
+      // read before trusting an estimate-only threshold; reuses q41/q54's
+      // memoized band join and gram sets
+      implicit val sp: SparkSession = s
+      graft.pipeline.Dedup.minhashAccuracy(t(dir, "documents"))
     }
   )
 
@@ -1234,6 +1242,8 @@ object SparkEntry {
          | g AS (SELECT window_start, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM f GROUP BY 1, 2)
          | SELECT CAST(window_start AS TIMESTAMP) AS window_start, ${axValue.labelSql("__i0")} AS value_bins, cnt FROM g""".stripMargin.replaceAll("\n", "")
     },
+    "q154_minhash_accuracy" -> PipelineOracle.minhashAccuracy(),
+    "q154_minhash_accuracy" -> PipelineOracle.minhashAccuracy(),
     "q153_score_standardize" ->
       ("WITH s AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score FROM documents), " +
         "a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(score) AS BIGINT) AS sm, " +

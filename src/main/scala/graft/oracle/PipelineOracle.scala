@@ -301,6 +301,33 @@ object PipelineOracle {
       s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
   }
 
+  /** Mirrors Dedup.minhashAccuracy: per LSH candidate pair, the
+    * signature-slot agreement estimate beside the exact k-gram jaccard.
+    * Signatures are md5-derived identically in both engines, so the
+    * agreement COUNT is engine-exact; the estimate and jaccard are one
+    * IEEE division each. */
+  def minhashAccuracy(k: Int = 5, bands: Int = 16,
+      rowsPerBand: Int = 4): String = {
+    val m = (1 to rowsPerBand)
+      .map(r => s"(CASE WHEN a.s$r = b.s$r THEN 1 ELSE 0 END)").mkString(" + ")
+    val jac = "CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)"
+    s"WITH ${minhashCandCtes(k, bands, rowsPerBand)}, " +
+      s"pb AS (SELECT cand.doc_a, cand.doc_b, $m AS m " +
+      "FROM cand JOIN banded a ON a.doc_id = cand.doc_a " +
+      "JOIN banded b ON b.doc_id = cand.doc_b AND b.band = a.band), " +
+      "ag AS (SELECT doc_a, doc_b, CAST(SUM(m) AS BIGINT) AS m FROM pb GROUP BY 1, 2), " +
+      s"g AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), $k) AS g " +
+      s"FROM (SELECT doc_id, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id), " +
+      "inter AS (SELECT ag.doc_a, ag.doc_b, COUNT(*) AS inter FROM ag " +
+      "JOIN g ga ON ga.doc_id = ag.doc_a " +
+      "JOIN g gb ON gb.doc_id = ag.doc_b AND gb.g = ga.g GROUP BY 1, 2) " +
+      s"SELECT ag.doc_a, ag.doc_b, CAST(ag.m AS DOUBLE) / CAST(${bands * rowsPerBand} AS DOUBLE) AS est_jaccard, " +
+      s"$jac AS jaccard " +
+      "FROM ag JOIN inter ON inter.doc_a = ag.doc_a AND inter.doc_b = ag.doc_b " +
+      "JOIN sz sa ON sa.doc_id = ag.doc_a JOIN sz sb ON sb.doc_id = ag.doc_b"
+  }
+
   /** Near-dup survivor set (mirrors Dedup.nearDupKeep). */
   def nearDupKeep(k: Int = 5, threshold: Double = 0.7, bands: Int = 16,
       rowsPerBand: Int = 4): String =

@@ -348,6 +348,52 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard"))
   }
 
+  /** Sketch-accuracy QA for the MinHash pipeline (how well is the
+    * signature estimating on THIS corpus?): for each LSH candidate pair,
+    * the MinHash ESTIMATE (fraction of the bands·rowsPerBand signature
+    * slots that agree — the standard unbiased jaccard estimator) beside
+    * the exact n-gram jaccard the verify stage computes. The report a
+    * pipeline reads before trusting a cheaper estimate-only threshold,
+    * or before re-sizing bands/rows. Cost: the band join and gram sets
+    * are the SAME memoized relations q41/q54 already built — the only
+    * new work is one candidate-keyed slot-compare aggregate. Signatures
+    * are md5-derived identically in both engines, so the agreement count
+    * (and the estimate) gates exactly. */
+  def minhashAccuracy(docs: DataFrame, k: Int = 5, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val rowNames = (1 to rowsPerBand).map(r => s"s$r")
+    val cand = minhashLsh(docs, k, bands, rowsPerBand)
+    val banded = memoPersist(bandedRelation(docs, k, bands, rowsPerBand, None))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val slotMatches = rowNames
+      .map(rn => when(col(s"a.$rn") === col(s"b.$rn"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand
+      .join(a, col("doc_a") === col("a.doc_id"))
+      .join(b, col("doc_b") === col("b.doc_id") && col("a.band") === col("b.band"))
+      .select(col("doc_a"), col("doc_b"), slotMatches.as("__m"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("__m")).as("__m"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__m").cast("double") / lit((bands * rowsPerBand).toDouble))
+          .as("est_jaccard"))
+    // exact jaccard over the same candidates: the q43-style codegen
+    // sorted-merge verify on the memoized gram sets
+    val gsets = memoPersist(widen(docs).select(col("doc_id"),
+      graft.functions.GramHashes.gram_hashes(col("text"), lit("g"), k).as("gset")))
+    val exactJ = cand
+      .join(gsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
+      .join(gsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount.sorted_intersect_count(col("ga"), col("gb")))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
+          .as("jaccard"))
+    est.join(exactJ, Seq("doc_a", "doc_b"))
+  }
+
   /** Near-dup DEDUP verdicts: the docs that survive near-duplicate removal
     * (every doc with a verified near-dup of lower doc_id is dropped). This
     * is the at-scale output shape — one row per surviving doc, linear in
