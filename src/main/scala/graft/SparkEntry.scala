@@ -1135,6 +1135,15 @@ object SparkEntry {
       // memoized band join and gram sets
       implicit val sp: SparkSession = s
       graft.pipeline.Dedup.minhashAccuracy(t(dir, "documents"))
+    },
+    "q155_semantic_decontaminate" -> { (s, dir) =>
+      // embedding-space decontamination (catches paraphrased benchmark
+      // leakage that shares no exact grams): benchmark = vec_id < 10
+      // broadcast, corpus = the rest scanned once, max-cos verdict
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Similarity.semanticContamination(
+        emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10), 0.8)
     }
   )
 
@@ -1243,7 +1252,35 @@ object SparkEntry {
          | SELECT CAST(window_start AS TIMESTAMP) AS window_start, ${axValue.labelSql("__i0")} AS value_bins, cnt FROM g""".stripMargin.replaceAll("\n", "")
     },
     "q154_minhash_accuracy" -> PipelineOracle.minhashAccuracy(),
+    "q155_semantic_decontaminate" ->
+      // same sequential-fold dot product CTEs as the ANN oracles; max of
+      // identical doubles and one >= compare — engine-exact
+      ("WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+        "el AS (SELECT vec_id, CAST(i AS INT) AS i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v " +
+        "FROM (SELECT vec_id, embedding, UNNEST(generate_series(1, len(embedding))) AS i FROM e)), " +
+        "nrm AS (SELECT vec_id, SQRT(SUM(v * v ORDER BY i)) AS nrm FROM el GROUP BY vec_id), " +
+        "d AS (SELECT c.vec_id AS cid, b.vec_id AS bid, SUM(ec.v * eb.v ORDER BY ec.i) AS dot " +
+        "FROM e c JOIN e b ON c.vec_id >= 10 AND b.vec_id < 10 " +
+        "JOIN el ec ON ec.vec_id = c.vec_id JOIN el eb ON eb.vec_id = b.vec_id AND eb.i = ec.i " +
+        "GROUP BY 1, 2), " +
+        "mx AS (SELECT cid AS vec_id, MAX(dot / (nc.nrm * nb.nrm)) AS max_cos " +
+        "FROM d JOIN nrm nc ON nc.vec_id = cid JOIN nrm nb ON nb.vec_id = bid GROUP BY 1) " +
+        "SELECT vec_id, max_cos, max_cos >= CAST('0.8' AS DOUBLE) AS contaminated FROM mx"),
     "q154_minhash_accuracy" -> PipelineOracle.minhashAccuracy(),
+    "q155_semantic_decontaminate" ->
+      // same sequential-fold dot product CTEs as the ANN oracles; max of
+      // identical doubles and one >= compare — engine-exact
+      ("WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
+        "el AS (SELECT vec_id, CAST(i AS INT) AS i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v " +
+        "FROM (SELECT vec_id, embedding, UNNEST(generate_series(1, len(embedding))) AS i FROM e)), " +
+        "nrm AS (SELECT vec_id, SQRT(SUM(v * v ORDER BY i)) AS nrm FROM el GROUP BY vec_id), " +
+        "d AS (SELECT c.vec_id AS cid, b.vec_id AS bid, SUM(ec.v * eb.v ORDER BY ec.i) AS dot " +
+        "FROM e c JOIN e b ON c.vec_id >= 10 AND b.vec_id < 10 " +
+        "JOIN el ec ON ec.vec_id = c.vec_id JOIN el eb ON eb.vec_id = b.vec_id AND eb.i = ec.i " +
+        "GROUP BY 1, 2), " +
+        "mx AS (SELECT cid AS vec_id, MAX(dot / (nc.nrm * nb.nrm)) AS max_cos " +
+        "FROM d JOIN nrm nc ON nc.vec_id = cid JOIN nrm nb ON nb.vec_id = bid GROUP BY 1) " +
+        "SELECT vec_id, max_cos, max_cos >= CAST('0.8' AS DOUBLE) AS contaminated FROM mx"),
     "q153_score_standardize" ->
       ("WITH s AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score FROM documents), " +
         "a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(score) AS BIGINT) AS sm, " +

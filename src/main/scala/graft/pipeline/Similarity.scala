@@ -534,6 +534,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** SEMANTIC decontamination (the embedding-space complement to the
+    * n-gram Dedup.decontaminate — catches paraphrased/translated
+    * benchmark leakage that shares no exact grams): flag every corpus
+    * vector whose max cosine against ANY benchmark vector reaches
+    * `threshold`; also returns that max for threshold tuning. The
+    * benchmark set is small by nature → broadcast; the corpus is
+    * scanned once, never shuffled (the verdict aggregate is map-combined
+    * per vector). Scale path: the same verdict over LSH/IVF candidates
+    * (compose annLsh/annIvf with the max-aggregate) when the benchmark
+    * outgrows a broadcast — this exact form is their recall oracle. */
+  def semanticContamination(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double): DataFrame = {
+    val c = withNorm(corpus).as("c")
+    val b = withNorm(benchmark).as("b")
+    c.join(broadcast(b))
+      .select(col("c.vec_id").as("vec_id"),
+        cosine(col("c.embedding"), col("b.embedding"), col("c.nrm"), col("b.nrm"))
+          .as("__cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("__cos")).as("max_cos"))
+      .select(col("vec_id"), col("max_cos"),
+        (col("max_cos") >= lit(threshold)).as("contaminated"))
+  }
+
   /** Symmetric int8 embedding quantization (the storage path for a
     * 100 TB embedding corpus — 4 bytes/dim down to 1, plus one scale per
     * vector): q_i = round(x_i / scale · 127) with scale = max|x_i|, the
