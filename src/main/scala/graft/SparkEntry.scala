@@ -1144,6 +1144,13 @@ object SparkEntry {
       val emb = t(dir, "embeddings")
       Similarity.semanticContamination(
         emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10), 0.8)
+    },
+    "q156_cluster_purity" -> { (s, dir) =>
+      // quantizer QA against ground-truth labels: per-cell majority-label
+      // fraction (log-free — the q113 rationale), broadcast assignment +
+      // tiny (cell, label) aggregate + struct-max argmax
+      implicit val sp: SparkSession = s
+      Similarity.clusterPurity(t(dir, "embeddings"), nCells = 8)
     }
   )
 
@@ -1252,6 +1259,18 @@ object SparkEntry {
          | SELECT CAST(window_start AS TIMESTAMP) AS window_start, ${axValue.labelSql("__i0")} AS value_bins, cnt FROM g""".stripMargin.replaceAll("\n", "")
     },
     "q154_minhash_accuracy" -> PipelineOracle.minhashAccuracy(),
+    "q156_cluster_purity" ->
+      // majority via min label among max-count labels (ties to LOWEST
+      // label, matching the Spark struct-max over (c, -label))
+      ("WITH a AS (" + PipelineOracle.clusterAssign(8) + "), " +
+        "j AS (SELECT a.cell, e.label FROM a JOIN embeddings e USING (vec_id)), " +
+        "c AS (SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1, 2), " +
+        "n AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1), " +
+        "m AS (SELECT cell, label AS majority_label, c AS majority_n, " +
+        "ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn FROM c) " +
+        "SELECT m.cell, n.n, CAST(m.majority_label AS INT) AS majority_label, m.majority_n, " +
+        "CAST(m.majority_n AS DOUBLE) / CAST(n.n AS DOUBLE) AS purity " +
+        "FROM m JOIN n USING (cell) WHERE m.rn = 1"),
     "q155_semantic_decontaminate" ->
       // same sequential-fold dot product CTEs as the ANN oracles; max of
       // identical doubles and one >= compare — engine-exact
@@ -1267,6 +1286,18 @@ object SparkEntry {
         "FROM d JOIN nrm nc ON nc.vec_id = cid JOIN nrm nb ON nb.vec_id = bid GROUP BY 1) " +
         "SELECT vec_id, max_cos, max_cos >= CAST('0.8' AS DOUBLE) AS contaminated FROM mx"),
     "q154_minhash_accuracy" -> PipelineOracle.minhashAccuracy(),
+    "q156_cluster_purity" ->
+      // majority via min label among max-count labels (ties to LOWEST
+      // label, matching the Spark struct-max over (c, -label))
+      ("WITH a AS (" + PipelineOracle.clusterAssign(8) + "), " +
+        "j AS (SELECT a.cell, e.label FROM a JOIN embeddings e USING (vec_id)), " +
+        "c AS (SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1, 2), " +
+        "n AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1), " +
+        "m AS (SELECT cell, label AS majority_label, c AS majority_n, " +
+        "ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn FROM c) " +
+        "SELECT m.cell, n.n, CAST(m.majority_label AS INT) AS majority_label, m.majority_n, " +
+        "CAST(m.majority_n AS DOUBLE) / CAST(n.n AS DOUBLE) AS purity " +
+        "FROM m JOIN n USING (cell) WHERE m.rn = 1"),
     "q155_semantic_decontaminate" ->
       // same sequential-fold dot product CTEs as the ANN oracles; max of
       // identical doubles and one >= compare — engine-exact

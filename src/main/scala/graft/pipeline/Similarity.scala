@@ -558,6 +558,31 @@ object Similarity {
         (col("max_cos") >= lit(threshold)).as("contaminated"))
   }
 
+  /** Label purity per trained cell (quantizer QA against ground truth —
+    * does the geometry recover the labeling?): per cell, its size, the
+    * majority label (ties to the LOWEST label — deterministic), that
+    * label's count, and the purity fraction. Deliberately LOG-FREE
+    * (majority fraction, not entropy: ln() carries no cross-engine bit
+    * guarantee — the q113 drift rationale). One broadcast-assign pass +
+    * one (cell, label) aggregate + one cell-keyed argmax (struct max, no
+    * per-group sort); everything after assignment runs on
+    * nCells·|labels| rows. */
+  def clusterPurity(corpus: DataFrame, nCells: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val asg = cluster(corpus, nCells, iters)
+      .join(corpus.select(col("vec_id"), col("label")), "vec_id")
+    val counts = asg.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("cell"))
+      .agg(sum(col("__c")).as("n"),
+        max(struct(col("__c").as("c"), (-col("label")).cast("long").as("negl")))
+          .as("__b"))
+      .select(col("cell"), col("n").cast("long").as("n"),
+        (-col("__b.negl")).cast("int").as("majority_label"),
+        col("__b.c").as("majority_n"),
+        (col("__b.c").cast("double") / col("n").cast("double")).as("purity"))
+  }
+
   /** Symmetric int8 embedding quantization (the storage path for a
     * 100 TB embedding corpus — 4 bytes/dim down to 1, plus one scale per
     * vector): q_i = round(x_i / scale · 127) with scale = max|x_i|, the
