@@ -1285,33 +1285,6 @@ object SparkEntry {
         "mx AS (SELECT cid AS vec_id, MAX(dot / (nc.nrm * nb.nrm)) AS max_cos " +
         "FROM d JOIN nrm nc ON nc.vec_id = cid JOIN nrm nb ON nb.vec_id = bid GROUP BY 1) " +
         "SELECT vec_id, max_cos, max_cos >= CAST('0.8' AS DOUBLE) AS contaminated FROM mx"),
-    "q154_minhash_accuracy" -> PipelineOracle.minhashAccuracy(),
-    "q156_cluster_purity" ->
-      // majority via min label among max-count labels (ties to LOWEST
-      // label, matching the Spark struct-max over (c, -label))
-      ("WITH a AS (" + PipelineOracle.clusterAssign(8) + "), " +
-        "j AS (SELECT a.cell, e.label FROM a JOIN embeddings e USING (vec_id)), " +
-        "c AS (SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1, 2), " +
-        "n AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1), " +
-        "m AS (SELECT cell, label AS majority_label, c AS majority_n, " +
-        "ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn FROM c) " +
-        "SELECT m.cell, n.n, CAST(m.majority_label AS INT) AS majority_label, m.majority_n, " +
-        "CAST(m.majority_n AS DOUBLE) / CAST(n.n AS DOUBLE) AS purity " +
-        "FROM m JOIN n USING (cell) WHERE m.rn = 1"),
-    "q155_semantic_decontaminate" ->
-      // same sequential-fold dot product CTEs as the ANN oracles; max of
-      // identical doubles and one >= compare — engine-exact
-      ("WITH e AS (SELECT vec_id, embedding FROM embeddings), " +
-        "el AS (SELECT vec_id, CAST(i AS INT) AS i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v " +
-        "FROM (SELECT vec_id, embedding, UNNEST(generate_series(1, len(embedding))) AS i FROM e)), " +
-        "nrm AS (SELECT vec_id, SQRT(SUM(v * v ORDER BY i)) AS nrm FROM el GROUP BY vec_id), " +
-        "d AS (SELECT c.vec_id AS cid, b.vec_id AS bid, SUM(ec.v * eb.v ORDER BY ec.i) AS dot " +
-        "FROM e c JOIN e b ON c.vec_id >= 10 AND b.vec_id < 10 " +
-        "JOIN el ec ON ec.vec_id = c.vec_id JOIN el eb ON eb.vec_id = b.vec_id AND eb.i = ec.i " +
-        "GROUP BY 1, 2), " +
-        "mx AS (SELECT cid AS vec_id, MAX(dot / (nc.nrm * nb.nrm)) AS max_cos " +
-        "FROM d JOIN nrm nc ON nc.vec_id = cid JOIN nrm nb ON nb.vec_id = bid GROUP BY 1) " +
-        "SELECT vec_id, max_cos, max_cos >= CAST('0.8' AS DOUBLE) AS contaminated FROM mx"),
     "q153_score_standardize" ->
       ("WITH s AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS score FROM documents), " +
         "a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(score) AS BIGINT) AS sm, " +

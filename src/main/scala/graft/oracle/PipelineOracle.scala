@@ -319,9 +319,16 @@ object PipelineOracle {
       s"g AS (SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), $k) AS g " +
       s"FROM (SELECT doc_id, text, UNNEST(generate_series(1, greatest(length(text) - ${k - 1}, 1))) AS i FROM documents)), " +
       "sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id), " +
-      "inter AS (SELECT ag.doc_a, ag.doc_b, COUNT(*) AS inter FROM ag " +
+      "inter0 AS (SELECT ag.doc_a, ag.doc_b, COUNT(*) AS inter FROM ag " +
       "JOIN g ga ON ga.doc_id = ag.doc_a " +
-      "JOIN g gb ON gb.doc_id = ag.doc_b AND gb.g = ga.g GROUP BY 1, 2) " +
+      "JOIN g gb ON gb.doc_id = ag.doc_b AND gb.g = ga.g GROUP BY 1, 2), " +
+      // LEFT join + COALESCE: unlike nearDupPairs there is no
+      // jaccard-threshold filter here, so a candidate pair with ZERO
+      // shared grams (possible via a gram-hash collision filling a band)
+      // must still emit a jaccard-0 row exactly like the Spark side's
+      // sorted_intersect_count = 0
+      "inter AS (SELECT ag.doc_a, ag.doc_b, CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter " +
+      "FROM ag LEFT JOIN inter0 i ON i.doc_a = ag.doc_a AND i.doc_b = ag.doc_b) " +
       s"SELECT ag.doc_a, ag.doc_b, CAST(ag.m AS DOUBLE) / CAST(${bands * rowsPerBand} AS DOUBLE) AS est_jaccard, " +
       s"$jac AS jaccard " +
       "FROM ag JOIN inter ON inter.doc_a = ag.doc_a AND inter.doc_b = ag.doc_b " +

@@ -331,21 +331,30 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4,
       bucketCap: Option[Int] = None): DataFrame = {
     val cand = minhashLsh(docs, k, bands, rowsPerBand, bucketCap = bucketCap)
+    // verified pairs are shared between nearDupPairs and nearDupKeep
+    memoPersist(verifiedJaccard(docs, cand, k)
+      .filter(col("jaccard") >= threshold))
+  }
+
+  /** The verify stage as a reusable relation: exact k-gram jaccard for
+    * every candidate pair, UNFILTERED (one row per candidate, jaccard may
+    * be 0). Gram sets are memoized per corpus, so every caller
+    * (nearDupPairs' thresholded form, minhashAccuracy's QA report) shares
+    * one signature pass and one codegen sorted-merge formula. */
+  private def verifiedJaccard(docs: DataFrame, cand: DataFrame,
+      k: Int): DataFrame = {
     // pinned + memoized: joined once per pair side below, and shared with
     // any other operator computing the same gram sets on this corpus
     val gsets = memoPersist(widen(docs).select(col("doc_id"),
       graft.functions.GramHashes.gram_hashes(col("text"), lit("g"), k).as("gset")))
-    val withSets = cand
+    cand
       .join(gsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
       .join(gsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
-    // verified pairs are shared between nearDupPairs and nearDupKeep
-    memoPersist(withSets
       .withColumn("inter",
         graft.functions.SortedIntersectCount.sorted_intersect_count(col("ga"), col("gb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard"))
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Sketch-accuracy QA for the MinHash pipeline (how well is the
@@ -378,20 +387,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("__m").cast("double") / lit((bands * rowsPerBand).toDouble))
           .as("est_jaccard"))
-    // exact jaccard over the same candidates: the q43-style codegen
-    // sorted-merge verify on the memoized gram sets
-    val gsets = memoPersist(widen(docs).select(col("doc_id"),
-      graft.functions.GramHashes.gram_hashes(col("text"), lit("g"), k).as("gset")))
-    val exactJ = cand
-      .join(gsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("gset", "ga"), "doc_a")
-      .join(gsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("gset", "gb"), "doc_b")
-      .withColumn("inter",
-        graft.functions.SortedIntersectCount.sorted_intersect_count(col("ga"), col("gb")))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
-          .as("jaccard"))
-    est.join(exactJ, Seq("doc_a", "doc_b"))
+    // exact jaccard over the same candidates: the shared verify-stage
+    // relation (unfiltered — a 0-jaccard candidate still reports)
+    est.join(verifiedJaccard(docs, cand, k), Seq("doc_a", "doc_b"))
   }
 
   /** Near-dup DEDUP verdicts: the docs that survive near-duplicate removal
