@@ -187,6 +187,32 @@ class EmptyInputSpec extends SparkSpec {
       emptyTypedEv2, "1 hour", "view", "purchase").count() == 0)
   }
 
+  test("round-7 operators on empty input: no throws, sane shapes") {
+    val scored = emptyDocs.withColumn("score", lit(1L))
+    assert(graft.pipeline.Curation.topFractionBySourceSketch(scored, 0.3).count() == 0)
+    assert(graft.pipeline.Curation.winsorizeBySource(scored, 0.05, 0.95).count() == 0)
+    assert(graft.pipeline.Curation.standardizeBySource(scored).count() == 0)
+    assert(Dedup.dedupTokenSavings(emptyDocs).count() == 0)
+    assert(Dedup.minhashAccuracy(emptyDocs).count() == 0)
+    assert(Similarity.hardNegatives(emptyEmb, emptyEmb, 3).count() == 0)
+    assert(Similarity.quantizeInt8(emptyEmb).count() == 0)
+    assert(Similarity.semanticContamination(emptyEmb, emptyEmb, 0.8).count() == 0)
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_type", StringType),
+        StructField("event_time", TimestampType),
+        StructField("props", StringType))))
+    assert(graft.pipeline.Funnel.eventRateAnomaly(emptyEv, 7, 2.0).count() == 0)
+    assert(graft.pipeline.Funnel.jsonFieldStats(emptyEv, "k").count() == 0)
+    assert(graft.streaming.StreamingHist.windowedQuantiles(
+      emptyEv, "event_time", col("event_type").cast("double"), "1 hour",
+      Seq(0.5)).count() == 0)
+    import spark.implicits._
+    assert(graft.streaming.StreamingHist.streamingRateAnomaly(
+      spark.emptyDataset[graft.streaming.StreamingHist.RateEvent],
+      7, 2.0, flushOpen = true).count() == 0)
+  }
+
   test("accessor arithmetic and multimodal on empty input") {
     val h = Histogram.histogram(emptyNum, col("x"), ax)
     assert(HistStats.add(h, h, ax, Nil).count() == 0)
