@@ -126,8 +126,16 @@ object Bench {
     // passes that succeeded (and stays in `errors` — loud either way).
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     val (r1, w1, f1) = runPass(orderOf(parsePrevTimes(outPath)))
-    val (results, wall, _) = (2 to passes).foldLeft((r1, w1, f1)) {
-      case ((accR, accW, accF), _) =>
+    // Wall discipline: only a pass with ZERO failures may compete in the
+    // wall min — a pass whose heavy query crashed early finishes an
+    // artificially short wall that would understate the round. If no pass
+    // ran clean, report the WORST wall (pessimistic, and the errors map is
+    // loud either way).
+    def wallCand(w: Double, f: Set[String]): Option[Double] =
+      if (f.isEmpty) Some(w) else None
+    val init = (r1, wallCand(w1, f1), w1, f1)
+    val (results, cleanWall, worstWall, _) = (2 to passes).foldLeft(init) {
+      case ((accR, accCW, accWW, accF), _) =>
         val (r, w, f) = runPass(orderOf(r1))
         val merged = accR.map { case (k, v) =>
           val prevOk = !accF.contains(k)
@@ -139,16 +147,31 @@ object Bench {
             case (false, false) => math.max(v, r.getOrElse(k, v)) // all passes failed: worst time, still in errors
           })
         }
-        (merged, math.min(accW, w), accF.intersect(f))
+        val cw = (accCW.toSeq ++ wallCand(w, f).toSeq)
+          .reduceOption(math.min(_, _))
+        (merged, cw, math.max(accWW, w), accF.intersect(f))
     }
+    val wall = cleanWall.getOrElse(worstWall)
     pool.shutdown()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    // Self-describing capture context: the add-opens/add-exports flags
+    // this JVM actually ran with (their absence degrades the Kryo/Unsafe
+    // paths ~8x — see SKILL.md) plus the clean-wall provenance, so a
+    // reader can tell a flagged solo capture from a degraded one without
+    // reconstructing the command line.
+    val jvmFlags = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+        .asScala.filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports"))
+        .map(a => "\"" + jsonEscape(a) + "\"").mkString("[", ",", "]")
+    }
+    val wallKind = if (cleanWall.isDefined) "min_over_clean_passes" else "max_over_failed_passes"
     val json =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","wall_kind":"$wallKind","passes":$passes,"jvm_flags":$jvmFlags}"""
     println(json)
     // Also persist the JSON line: the driver's stdout tail-capture truncates
     // long lines, losing the per-query numbers every round (and the next

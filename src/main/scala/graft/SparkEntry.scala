@@ -1090,7 +1090,11 @@ object SparkEntry {
       // extraction composes with every histogram feature because it is
       // just a typed column
       implicit val sp: SparkSession = s
-      val k = get_json_object(col("props"), "$.k").try_cast("long")
+      // integral-regex guard before the cast — the engines' bare casts
+      // disagree on '3.7' (Spark NULLs, DuckDB rounds); see
+      // Funnel.jsonFieldStats
+      val raw = get_json_object(col("props"), "$.k")
+      val k = when(raw.rlike("^-?[0-9]+$"), raw.try_cast("long"))
       Histogram.histogram(t(dir, "events"), k, axPropsK,
         opts = HistOptions(flow = true))
     },
@@ -1350,11 +1354,15 @@ object SparkEntry {
     // full-probe IVF == brute force by construction: same oracle as q145
     "q147_hard_negatives_ivf" -> PipelineOracle.hardNegatives(5, 10),
     "q148_props_stats" ->
-      // DuckDB's ->> returns the field as text; TRY_CAST NULLs
-      // non-integers exactly like Spark's get_json_object + try_cast.
-      // json_valid guards malformed blobs: Spark's get_json_object NULLs
-      // them silently where a bare ->> would ABORT the whole oracle query
-      ("WITH x AS (SELECT event_type, TRY_CAST(props->>'k' AS BIGINT) AS k " +
+      // DuckDB's ->> returns the field as text; the integral-regex guard
+      // mirrors the Spark side's (the engines' bare casts DISAGREE on
+      // non-integral numerics: TRY_CAST('3.7' AS BIGINT) rounds to 4 in
+      // DuckDB but NULLs in Spark's ANSI try_cast — the guard pins the
+      // semantics once). json_valid guards malformed blobs: Spark's
+      // get_json_object NULLs them silently where a bare ->> would ABORT
+      // the whole oracle query
+      ("WITH x AS (SELECT event_type, CASE WHEN regexp_matches(props->>'k', '^-?[0-9]+$') " +
+        "THEN TRY_CAST(props->>'k' AS BIGINT) END AS k " +
         "FROM events WHERE props IS NOT NULL AND json_valid(props)) " +
         "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, " +
         "CAST(SUM(k) AS BIGINT) AS k_sum, CAST(MIN(k) AS BIGINT) AS k_min, " +
@@ -1362,7 +1370,8 @@ object SparkEntry {
         "CAST(SUM(k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS k_mean " +
         "FROM x WHERE k IS NOT NULL GROUP BY event_type"),
     "q149_props_hist" -> Oracle.hist(
-      "(SELECT TRY_CAST(props->>'k' AS BIGINT) AS k FROM events " +
+      "(SELECT CASE WHEN regexp_matches(props->>'k', '^-?[0-9]+$') " +
+        "THEN TRY_CAST(props->>'k' AS BIGINT) END AS k FROM events " +
         "WHERE json_valid(props)) __pk",
       Seq(Oracle.Spec("k", axPropsK)), flow = true),
     "q150_embed_quantize" ->

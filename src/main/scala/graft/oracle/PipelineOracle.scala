@@ -1210,7 +1210,8 @@ object PipelineOracle {
   /** Mirrors Funnel.activeUsers: distinct (user, day) activity, each
     * user-day exploded into its windowDays trailing windows, exact
     * distinct-user count per window-end day. Day floor matches the
-    * retention oracle (non-negative epochs: // == truncating div). */
+    * retention oracle (`//` floor == Funnel.epochDay's exact floor on
+    * every epoch, negative included). */
   def activeUsers(windowDays: Int): String =
     "WITH a AS (SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS d " +
       "FROM events WHERE ts IS NOT NULL), " +

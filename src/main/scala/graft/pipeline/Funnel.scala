@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * after step 1, and so on — the standard conversion-funnel primitive,
   * complementing gap-based sessionization on the same events table.
   *
-  * Epoch assumption (funnel + retention): integer time arithmetic uses
-  * truncating `div` on Spark and floor `//` in the DuckDB oracle — these
-  * agree only for NON-NEGATIVE epochs. Pre-1970 timestamps would floor
-  * vs truncate differently; event streams are post-1970 by construction,
-  * but don't feed archaeological data through the day/window index math.
+  * Day-index arithmetic (retention / active-users / rate-anomaly): epoch
+  * micros floor-divide into day indices via [[epochDay]] — exact FLOOR
+  * division (one `div` plus a negative-remainder correction), matching
+  * the DuckDB oracle's `//` for negative epochs too. Pre-1970 timestamps
+  * therefore bucket identically in both engines; no post-1970 assumption
+  * remains in the day math.
   *
   * Per-step semantics: t_k = min event time of step k's type among events
   * later than t_{k-1} (strict: a tie at the same microsecond does not
@@ -27,6 +28,17 @@ import org.apache.spark.sql.functions._
   * user — never the raw event volume. k steps = k joins, not a per-user
   * event sort. */
 object Funnel {
+
+  private val DayUs = 86400000000L
+
+  /** Epoch-micros -> day index by exact integer FLOOR division (DuckDB's
+    * `//`): Spark's `div` truncates toward zero, so a negative epoch one
+    * microsecond before midnight would land in the wrong day under plain
+    * `div`. The remainder correction makes both engines agree on every
+    * epoch, positive or negative, with no double-precision detour. */
+  private[pipeline] def epochDay(tsCol: String): org.apache.spark.sql.Column =
+    expr(s"unix_micros($tsCol) div $DayUs - " +
+      s"(case when unix_micros($tsCol) % $DayUs < 0 then 1 else 0 end)")
 
   /** @param horizonUs when set, the WINDOWED funnel product analytics
     *   actually runs: steps 2..k must land within `horizonUs`
@@ -90,9 +102,7 @@ object Funnel {
     * two-level expansion is still bounded by user-days. */
   def retention(events: DataFrame, tsCol: String = "event_time",
       keyCol: String = "user_id"): DataFrame = {
-    val dayUs = 86400000000L
-    // `div`, not `/`: Spark's / on longs is DOUBLE division
-    val day = expr(s"unix_micros($tsCol) div $dayUs")
+    val day = epochDay(tsCol)
     val act = events.filter(col(tsCol).isNotNull)
       .select(col(keyCol), day.as("__day")).distinct()
     val first = act.groupBy(col(keyCol)).agg(min("__day").as("cohort_day"))
@@ -187,8 +197,8 @@ object Funnel {
     * (D - windowDays, D]. Output is sparse — a day appears iff some
     * user-day in its window exists, so trailing days after the last event
     * still appear (their windows are genuinely non-empty); day indices
-    * use the same truncating-div / non-negative-epoch contract as
-    * [[retention]].
+    * use the exact floor division of [[epochDay]] (oracle-identical for
+    * negative epochs too), as in [[retention]].
     *
     * Scale shape: activity collapses to (user, day) FIRST (one user-keyed
     * shuffle; one row per user-day, never raw event volume), then a
@@ -199,8 +209,7 @@ object Funnel {
   def activeUsers(events: DataFrame, windowDays: Int,
       tsCol: String = "event_time", keyCol: String = "user_id"): DataFrame = {
     require(windowDays > 0, "windowDays must be positive")
-    val dayUs = 86400000000L
-    val day = expr(s"unix_micros($tsCol) div $dayUs")
+    val day = epochDay(tsCol)
     events.filter(col(tsCol).isNotNull)
       .select(col(keyCol), day.as("__day")).distinct()
       .select(col(keyCol),
@@ -217,18 +226,23 @@ object Funnel {
     * single from_json into a struct — same parse count, typed once),
     * evaluated in the scan's project, so the corpus collapses to the
     * per-type aggregate in a single map-combinable pass: one shuffle of
-    * |types| rows, nothing else. Rows where the field is missing or
-    * non-numeric drop out (documented): get_json_object yields NULL and
-    * try_cast NULLs non-integers — identically to the oracle's
-    * TRY_CAST(... AS BIGINT); a plain ANSI cast would hard-error the job
-    * on the first malformed blob. MALFORMED JSON also drops out here
+    * |types| rows, nothing else. Rows where the field is missing or not
+    * an INTEGRAL literal drop out (documented): the extracted text must
+    * match `^-?[0-9]+$` before the long cast. The explicit regex guard
+    * exists because the engines' bare casts DISAGREE on non-integral
+    * numerics — Spark's try_cast (ANSI string-to-integral) NULLs '3.7'
+    * while DuckDB's TRY_CAST(... AS BIGINT) rounds it to 4 — so the
+    * semantics are pinned once, engine-independently, and the oracle
+    * carries the same regex. MALFORMED JSON also drops out here
     * (get_json_object NULLs it), and the oracle mirrors that with a
     * json_valid guard — DuckDB's bare ->> would abort on it instead.
+    * Values beyond int64 NULL out in both engines (try_cast / TRY_CAST).
     * Integer sums are exact; the mean is one IEEE division (the q117
     * boundary convention). */
   def jsonFieldStats(events: DataFrame, field: String,
       propsCol: String = "props", typeCol: String = "event_type"): DataFrame = {
-    val k = get_json_object(col(propsCol), s"$$.$field").try_cast("long")
+    val raw = get_json_object(col(propsCol), s"$$.$field")
+    val k = when(raw.rlike("^-?[0-9]+$"), raw.try_cast("long"))
     events.select(col(typeCol).as("event_type"), k.as("__k"))
       .filter(col("__k").isNotNull)
       .groupBy(col("event_type"))
@@ -259,8 +273,7 @@ object Funnel {
   def eventRateAnomaly(events: DataFrame, windowDays: Int, k: Double,
       tsCol: String = "event_time", typeCol: String = "event_type"): DataFrame = {
     require(windowDays > 1, "windowDays must be > 1 (sample std needs w-1 > 0)")
-    val dayUs = 86400000000L
-    val day = expr(s"unix_micros($tsCol) div $dayUs")
+    val day = epochDay(tsCol)
     val counts = events.filter(col(tsCol).isNotNull)
       .select(col(typeCol).as("event_type"), day.as("day"))
       .groupBy(col("event_type"), col("day"))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
   * library (TESTDATA.md layout), with explicit schemas for the streaming
   * reader (Structured Streaming requires a user-supplied schema).
   */
-object Tables {
+object Tables extends org.apache.spark.internal.Logging {
 
   val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -63,12 +63,30 @@ object Tables {
     * then `ts` is normalized to epoch-nanos long (the batch loader
     * convention) plus a real timestamp column `event_time` for
     * watermarks and windows. `maxFilesPerTrigger` bounds per-batch
-    * work. */
+    * work.
+    *
+    * Probe failure semantics: only the EXPECTED probe failures — the
+    * directory is missing or holds no parquet yet (the normal start
+    * state of a stream whose producer hasn't written) — fall back to the
+    * default TIMESTAMP_NTZ encoding, with a logged warning. A stream
+    * started over a dir that fills LATER therefore inherits that
+    * default; if the late-arriving files carry TIMESTAMP(NANOS)-as-long
+    * instead, the stream fails on schema mismatch at first batch —
+    * restart it once files exist so the probe can see them. Genuine read
+    * errors (permissions, corrupt footers) PROPAGATE instead of being
+    * silently swallowed into a default. */
   def eventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     val tsType =
       try spark.read.parquet(dir).schema("ts").dataType
-      catch { case _: Throwable => TimestampNTZType }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          // PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA: empty-or-absent dir
+          logWarning(s"eventsStream: cannot probe ts encoding from $dir " +
+            s"(${e.getCondition}); defaulting to TIMESTAMP_NTZ — restart " +
+            "the stream after files arrive if they carry a different encoding")
+          TimestampNTZType
+      }
     normalizeEventsTs(spark.readStream
         .schema(eventsSchema(tsType))
         .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -284,11 +284,10 @@ object StreamingHist {
           var st = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[RateVerdict]
           it.toSeq.sortBy(_.us).foreach { e =>
-            // TRUNCATING division, matching the batch operator's `div`
-            // and the oracle's post-1970 epoch assumption (Funnel.scala
-            // scaladoc) — floorDiv would silently bucket a pre-epoch
-            // event into a different day than the batch row
-            val d = e.us / dayUs
+            // FLOOR division, matching the batch operator's epochDay
+            // (exact floor) and the oracle's `//` — pre-epoch events
+            // bucket into the same day in all three places
+            val d = Math.floorDiv(e.us, dayUs)
             st match {
               case None => st = Some(RateState(d, 1L, Nil))
               case Some(RateState(od, oc, cl)) =>
