@@ -446,19 +446,23 @@ object SparkEntry {
         col("ws_tokens"), axTokens, opts = HistOptions(flow = true))
     },
     "q75_frame_sample" -> { (s, dir) =>
-      // every-24th-frame sampling of video payloads (stub frame bytes =
-      // deterministic rotated slice). Gated on md5(payload): the hash pins
-      // the exact bytes while keeping the compared column engine-hashable
+      // every-24th-frame sampling of REAL AVI containers: the frame count
+      // comes from the parsed avih header and the sliced bytes from the
+      // RIFF-walked movi chunk. Gated on md5(payload): the hash pins the
+      // exact bytes while keeping the compared column engine-hashable
       // (raw binary breaks the driver's pandas comparator).
       implicit val sp: SparkSession = s
       Multimodal.sampleFrames(Multimodal.asMedia(t(dir, "documents"))).toDF()
         .select(col("doc_id"), col("frame_idx"), md5(col("payload")).as("payload_md5"))
     },
     "q76_thumbnail" -> { (s, dir) =>
-      // bounded-size thumbnail transform (stub scaler = truncation)
+      // aspect-preserving thumbnail plan from the REAL parsed dims
+      // (integer-exact 128-box fit) + bounded body slice
       implicit val sp: SparkSession = s
       Multimodal.thumbnail(Multimodal.asMedia(t(dir, "documents"))).toDF()
-        .select(col("doc_id"), col("media_type"), md5(col("payload")).as("payload_md5"))
+        .select(col("doc_id"), col("media_type"), col("format"), col("width"),
+          col("height"), col("thumb_w"), col("thumb_h"),
+          md5(col("payload")).as("payload_md5"))
     },
     "q77_hist_density_flow" -> { (s, dir) =>
       // density + flow combined: flow bins ride along with area 1 but are
@@ -1250,7 +1254,7 @@ object SparkEntry {
     "q44_embed_neardup" -> PipelineOracle.embedNearDup(0.35),
     "q45_ann_bruteforce" -> PipelineOracle.annBruteForce(5, 10),
     "q46_ann_lsh" -> PipelineOracle.annLsh(3, 10)
-    // q47-q50 below; q51_multimodal is rows-only (stubbed decode, no oracle)
+    // q47-q51 and the other pipeline oracles follow below
   ) ++ Map(
     "q47_langid" -> PipelineOracle.langId,
     "q52_ann_ivf" -> PipelineOracle.annIvf(3, 10, nCells = 64, nprobe = 8),
@@ -1485,9 +1489,11 @@ object SparkEntry {
          | SELECT make_timestamp(ws) AS window_start, make_timestamp(ws + $dur) AS window_end, ${axValue.labelSql("__i0")} AS value_bins, cnt FROM g""".stripMargin.replaceAll("\n", "")
     },
     "q72_stream_dedup" -> PipelineOracle.streamDedup,
-    // q51: the stub decoder's closed-form hash is re-derived relationally,
-    // so even the multimodal pipeline is oracle-gated (the codec stays an
-    // honestly-documented stub)
+    // q51: the Spark side derives every field by PARSING real
+    // PNG/JPEG/GIF/WAV/AVI container bytes; the oracle re-derives them
+    // from the synthesis closed forms — a hash match proves the parsers
+    // invert the writers (MediaCodecSpec separately pins the parsers
+    // against hand-written spec fixtures)
     "q51_multimodal" -> PipelineOracle.multimodalMeta(),
     "q75_frame_sample" -> PipelineOracle.frameSample(),
     "q76_thumbnail" -> PipelineOracle.thumbnail(),

@@ -945,71 +945,82 @@ object PipelineOracle {
       "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h) " +
       s"SELECT source, doc_id FROM r WHERE rn <= $n"
 
-  /** 31^k mod 2^31 for k = 0..maxLen (FakeDecoder's rolling-hash powers:
-    * `(acc*31 + b) & 0x7fffffff` is linear mod 2^31, so
-    * h = (17*31^n + sum b_i * 31^(n-i)) mod 2^31). */
-  private def mediaPows(maxLen: Int): Seq[Long] = {
-    val m = 1L << 31
-    Iterator.iterate(1L)(p => p * 31 % m).take(maxLen + 1).toSeq
-  }
-
-  /** Mirrors Multimodal.pipeline (documents -> media records -> decoded
-    * metadata): payload = utf8 text bytes (corpus is ASCII, so byte i =
-    * ascii(char i), the q50-validated pattern), media_type from doc_id mod
-    * 3, and the STUB decoder's deterministic dimensions re-derived
-    * relationally from its closed-form rolling hash. Valid for docs up to
-    * `maxLen` chars (test corpora max out at ~600). The codec itself
-    * remains a stub — this gates the pipeline's plumbing and the stand-in
-    * math, which is exactly what runs. */
-  def multimodalMeta(maxLen: Int = 1024): String = {
-    val pows = mediaPows(maxLen).mkString("[", ", ", "]")
-    "WITH pw AS (SELECT " + pows + " AS p), " +
-      "ch AS (SELECT doc_id, CAST(i AS INT) AS i, " +
-      "CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT) AS b, " +
-      "CAST(length(text) AS BIGINT) AS n " +
-      "FROM (SELECT doc_id, text, UNNEST(generate_series(1, length(text))) AS i FROM documents)), " +
-      // LEFT JOIN from documents, not from the unnested bytes: an
-      // empty-text doc has zero ch rows but Spark's decoder still emits a
-      // row for it (h folds to the seed 17)
-      "s AS (SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n, " +
-      "COALESCE(SUM(ch.b * (SELECT p FROM pw)[CAST(ch.n - ch.i + 1 AS INT)]), 0) AS s " +
-      "FROM documents d LEFT JOIN ch ON ch.doc_id = d.doc_id GROUP BY d.doc_id, d.text), " +
-      "h AS (SELECT doc_id, n, " +
-      "(CAST(17 AS BIGINT) * (SELECT p FROM pw)[CAST(n + 1 AS INT)] + s) % 2147483648 AS h FROM s) " +
-      "SELECT doc_id, " +
+  /** Shared CTE for the media oracles: each doc's synthesis parameters
+    * as MediaCodec's closed forms — container format (doc_id mod 97 == 0
+    * is the deliberate corrupt slice; images rotate png/jpeg/gif by
+    * (doc_id/3) mod 3), dimensions 16 + (doc_id·37) mod 2000 ×
+    * 16 + (doc_id·59) mod 1200, WAV block align 2·(1 + doc_id mod 2),
+    * AVI frame count 1 + n mod 240. The Spark side derives every one of
+    * these numbers ONLY by parsing the synthesized bytes (MediaCodec
+    * walkers), so a hash match proves the parsers invert the writers. */
+  private def mediaBase: String =
+    "m AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n, " +
+      "CASE WHEN doc_id % 97 = 0 THEN 'unknown' " +
+      "WHEN doc_id % 3 = 0 THEN (CASE (doc_id // 3) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END) " +
+      "WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'avi' END AS fmt, " +
       "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type, " +
-      "n AS n_bytes, " +
-      "CAST(320 + h % 1600 AS INT) AS width, " +
-      "CAST(240 + (h // 1600) % 840 AS INT) AS height, " +
-      "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 " +
-      "WHEN doc_id % 3 = 1 THEN 1 + n % 48000 " +
-      "ELSE 1 + n % 240 END AS INT) AS n_frames, " +
-      "TRUE AS decoded_ok " +
-      "FROM h"
-  }
+      "CAST(16 + (doc_id * 37) % 2000 AS INT) AS dw, " +
+      "CAST(16 + (doc_id * 59) % 1200 AS INT) AS dh, " +
+      "CAST(2 * (1 + doc_id % 2) AS BIGINT) AS block_align " +
+      "FROM documents)"
 
-  /** Mirrors Multimodal.sampleFrames: video docs only (doc_id mod 3 = 2),
-    * frame indices 0, 24, 48... below the stub's frame count (1 + n mod
-    * 240), frame payload = the rotated byte slice (ASCII corpus: string
-    * rotation == byte rotation). */
+  /** Mirrors Multimodal.pipeline over the REAL container codecs:
+    * media_type from doc_id mod 3; format, dims, frame counts and total
+    * container sizes from the synthesis closed forms (size = header +
+    * trailer overhead per format + body + RIFF pad). decoded_ok is false
+    * exactly on the corrupt slice. */
+  def multimodalMeta(): String =
+    s"WITH $mediaBase " +
+      "SELECT doc_id, media_type, fmt AS format, " +
+      "CAST(CASE fmt WHEN 'unknown' THEN 1 + n WHEN 'png' THEN 57 + n " +
+      "WHEN 'jpeg' THEN 55 + n WHEN 'gif' THEN 14 + n " +
+      "WHEN 'wav' THEN 44 + n + n % 2 ELSE 108 + n + n % 2 END AS BIGINT) AS n_bytes, " +
+      "CAST(CASE WHEN fmt IN ('png', 'jpeg', 'gif', 'avi') THEN dw ELSE 0 END AS INT) AS width, " +
+      "CAST(CASE WHEN fmt IN ('png', 'jpeg', 'gif', 'avi') THEN dh ELSE 0 END AS INT) AS height, " +
+      "CAST(CASE WHEN fmt IN ('png', 'jpeg', 'gif') THEN 1 " +
+      "WHEN fmt = 'wav' THEN n // block_align " +
+      "WHEN fmt = 'avi' THEN 1 + n % 240 ELSE 0 END AS INT) AS n_frames, " +
+      "fmt <> 'unknown' AS decoded_ok " +
+      "FROM m"
+
+  /** Mirrors Multimodal.sampleFrames: parseable AVI videos only (doc_id
+    * mod 3 = 2, excluding the corrupt slice), frame indices 0, 24, 48...
+    * below the avih frame count (1 + n mod 240 by synthesis — the Spark
+    * side READS it from the parsed header), frame payload = the rotated
+    * slice of the movi stream body, which is the text bytes (ASCII
+    * corpus: string rotation == byte rotation). */
   def frameSample(everyN: Int = 24): String =
     "WITH v AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n " +
-      "FROM documents WHERE doc_id % 3 = 2), " +
+      "FROM documents WHERE doc_id % 3 = 2 AND doc_id % 97 <> 0), " +
       "f AS (SELECT doc_id, text, n, " +
       s"UNNEST(generate_series(0, CAST(1 + n % 240 AS BIGINT) - 1, $everyN)) AS fi FROM v) " +
-      // off mirrors Spark's empty-payload guard: fi % 0 would be NULL here
-      // while sampleFrames pins off = 0 for empty payloads
+      // off mirrors Spark's empty-body guard: fi % 0 would be NULL here
+      // while sampleFrames pins off = 0 for empty bodies
       "SELECT doc_id, CAST(fi AS INT) AS frame_idx, " +
       "md5(substring(text, CAST(CASE WHEN n = 0 THEN 0 ELSE fi % n END AS INT) + 1) || " +
       "substring(text, 1, CAST(CASE WHEN n = 0 THEN 0 ELSE fi % n END AS INT))) AS payload_md5 " +
       "FROM f"
 
-  /** Mirrors Multimodal.thumbnail over asMedia (stub scaler = byte
-    * truncation; ASCII corpus so char truncation == byte truncation). */
-  def thumbnail(maxBytes: Int = 256): String =
-    "SELECT doc_id, " +
-      "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type, " +
-      s"md5(substring(text, 1, $maxBytes)) AS payload_md5 FROM documents"
+  /** Mirrors Multimodal.thumbnail: images carry their PARSED dims scaled
+    * aspect-preserving into the bounding box with exact integer floors
+    * (greatest(1, d·box // maxDim)) plus the md5 of the truncated stream
+    * body; non-images and the corrupt slice pass through with zeroed
+    * thumb dims and an empty payload (md5 of '' on both engines). AVI
+    * records keep their parsed width/height but get no thumbnail. */
+  def thumbnail(box: Int = 128, maxBytes: Int = 256): String =
+    s"WITH $mediaBase " +
+      "SELECT doc_id, media_type, fmt AS format, " +
+      "CAST(CASE WHEN fmt IN ('png', 'jpeg', 'gif', 'avi') THEN dw ELSE 0 END AS INT) AS width, " +
+      "CAST(CASE WHEN fmt IN ('png', 'jpeg', 'gif', 'avi') THEN dh ELSE 0 END AS INT) AS height, " +
+      "CAST(CASE WHEN fmt NOT IN ('png', 'jpeg', 'gif') THEN 0 " +
+      s"WHEN GREATEST(dw, dh) <= $box THEN dw " +
+      s"ELSE GREATEST(1, (dw * $box) // GREATEST(dw, dh)) END AS INT) AS thumb_w, " +
+      "CAST(CASE WHEN fmt NOT IN ('png', 'jpeg', 'gif') THEN 0 " +
+      s"WHEN GREATEST(dw, dh) <= $box THEN dh " +
+      s"ELSE GREATEST(1, (dh * $box) // GREATEST(dw, dh)) END AS INT) AS thumb_h, " +
+      "CASE WHEN fmt IN ('png', 'jpeg', 'gif') " +
+      s"THEN md5(substring(text, 1, $maxBytes)) ELSE md5('') END AS payload_md5 " +
+      "FROM m"
 
   def fingerprint(maxLen: Int = 64): String = {
     val pows = TextAnalysis.fingerprintPows(maxLen).mkString("[", ", ", "]")

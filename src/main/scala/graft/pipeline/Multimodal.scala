@@ -6,53 +6,58 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed in batched per-partition passes.
   *
-  * The Spark-side shape is real and tested — binary payload column, schema,
-  * partition-batched processing (the Scala analog of mapInPandas batches),
-  * deterministic output schema. The actual codec call is STUBBED
-  * (FakeDecoder) because no image/audio libraries exist in this
-  * environment; swap `FakeDecoder.decode` for a real codec binding to
-  * productionize.
+  * The media payloads are REAL container files (PNG/JPEG/GIF/WAV/AVI —
+  * see [[MediaCodec]]): magic numbers, chunk/segment structure, CRCs and
+  * spec-defined header fields are genuine, synthesized deterministically
+  * from each doc and parsed back by real byte-level walkers. The only
+  * stand-in left is the pixel/sample stream INSIDE the containers (no
+  * image/audio codec libraries exist in this environment): the document
+  * text bytes ride as the embedded stream payload, so decode work is
+  * real container parsing plus a deterministic body slice where a pixel
+  * decoder would run in production.
+  *
+  * The Spark-side shape is the point: binary payload column, typed
+  * metadata schema, partition-batched processing (the Scala analog of
+  * mapInPandas batches), corrupt blobs flowing through as
+  * decoded_ok=false data rather than exceptions. All three operators are
+  * oracle-gated (q51/q75/q76): the DuckDB side re-derives every parsed
+  * field from the synthesis closed forms, so each gate run re-proves the
+  * parsers invert the writers on real bytes.
   */
 object Multimodal {
 
   case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
-  case class DecodedMeta(doc_id: Long, media_type: String, n_bytes: Long,
-      width: Int, height: Int, n_frames: Int, decoded_ok: Boolean)
+  case class DecodedMeta(doc_id: Long, media_type: String, format: String,
+      n_bytes: Long, width: Int, height: Int, n_frames: Int, decoded_ok: Boolean)
 
-  /** STUB decoder — deterministic fake standing in for the real codec.
-    * Derives "dimensions" from payload bytes so tests are stable. */
-  object FakeDecoder {
-    def decode(payload: Array[Byte], mediaType: String): (Int, Int, Int) = {
-      val h = payload.foldLeft(17L)((acc, b) => (acc * 31 + (b & 0xff)) & 0x7fffffffL)
-      val width = 320 + (h % 1600).toInt
-      val height = 240 + ((h / 1600) % 840).toInt
-      val frames = mediaType match {
-        case "video" => 1 + (payload.length % 240)
-        case "audio" => 1 + (payload.length % 48000)
-        case _ => 1
-      }
-      (width, height, frames)
-    }
-  }
-
-  /** Documents -> opaque binary payloads with a media_type column
-    * (deterministic synthesis: payload = utf8 bytes of text). */
+  /** Documents -> real media containers with a media_type column.
+    * media_type rotates by doc_id mod 3 (image/audio/video); the
+    * container format, dimensions and frame counts are MediaCodec's
+    * deterministic closed forms; the text bytes become the embedded
+    * stream body. Docs with doc_id mod 97 == 0 synthesize CORRUPT
+    * payloads (0x00-prefixed raw bytes) to exercise the failure path. */
   def asMedia(docs: DataFrame): Dataset[MediaRecord] = {
     val mt = when(col("doc_id") % 3 === 0, lit("image"))
       .when(col("doc_id") % 3 === 1, lit("audio")).otherwise(lit("video"))
     docs.select(col("doc_id"), mt.as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRecord](Encoders.product[MediaRecord])
+        col("text").cast("binary").as("body"))
+      .as[(Long, String, Array[Byte])](
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, m, body) => MediaRecord(id, m, MediaCodec.encode(id, body)) }
+      }(Encoders.product[MediaRecord])
   }
 
   /** Partition-batched decode: one iterator pass per partition (the Scala
-    * analog of a mapInPandas batch), emitting typed metadata. */
+    * analog of a mapInPandas batch), REAL header parsing per payload,
+    * emitting typed metadata. Unparseable payloads yield a zeroed row
+    * with decoded_ok=false — corrupt blobs are data, not exceptions. */
   def decodeMeta(media: Dataset[MediaRecord]): Dataset[DecodedMeta] =
     media.mapPartitions { it =>
       it.map { r =>
-        val (w, h, f) = FakeDecoder.decode(r.payload, r.media_type)
-        DecodedMeta(r.doc_id, r.media_type, r.payload.length.toLong, w, h, f,
-          decoded_ok = true)
+        val m = MediaCodec.decode(r.payload)
+        DecodedMeta(r.doc_id, r.media_type, m.format, r.payload.length.toLong,
+          m.width, m.height, m.nFrames, m.ok)
       }
     }(Encoders.product[DecodedMeta])
 
@@ -61,34 +66,61 @@ object Multimodal {
 
   case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
 
-  /** Frame sampling: every Nth frame of each video as its own row —
-    * flatMap inside one partition pass; output rows bounded by
-    * n_frames/everyN per video. Frame extraction itself is the stubbed
-    * codec step (deterministic byte slice standing in for the decoded
-    * frame). */
+  /** Frame sampling: every Nth frame of each parseable video as its own
+    * row. The frame COUNT is the real avih dwTotalFrames read from the
+    * container, and the sliced bytes come from the real movi stream
+    * chunk located by the RIFF walk; only the per-frame byte extraction
+    * (a deterministic rotated slice of the stream body) stands in for a
+    * video codec. Output rows are bounded by n_frames/everyN per
+    * video. */
   def sampleFrames(media: Dataset[MediaRecord], everyN: Int = 24): Dataset[Frame] = {
     require(everyN > 0)
     media.mapPartitions { it =>
       it.flatMap { r =>
         if (r.media_type != "video") Iterator.empty
         else {
-          val (_, _, frames) = FakeDecoder.decode(r.payload, r.media_type)
-          (0 until frames by everyN).iterator.map { f =>
-            // STUB frame bytes: rotated slice of the payload, deterministic
-            val off = if (r.payload.isEmpty) 0 else f % r.payload.length
-            Frame(r.doc_id, f, r.payload.drop(off) ++ r.payload.take(off))
+          val m = MediaCodec.decode(r.payload)
+          if (!m.ok || m.format != "avi") Iterator.empty
+          else {
+            val body = r.payload.slice(m.bodyOffset, m.bodyOffset + m.bodyLen)
+            (0 until m.nFrames by everyN).iterator.map { f =>
+              // stand-in frame bytes: rotated slice of the real stream body
+              val off = if (body.isEmpty) 0 else f % body.length
+              Frame(r.doc_id, f, body.drop(off) ++ body.take(off))
+            }
           }
         }
       }
     }(Encoders.product[Frame])
   }
 
-  /** Resize-shaped transform: payload -> bounded-size thumbnail payload
-    * (STUB: truncation standing in for a real scaler; the Spark-side
-    * contract — binary in, bounded binary out, schema preserved — is
-    * real). */
-  def thumbnail(media: Dataset[MediaRecord], maxBytes: Int = 256): Dataset[MediaRecord] =
+  case class Thumb(doc_id: Long, media_type: String, format: String,
+      width: Int, height: Int, thumb_w: Int, thumb_h: Int, payload: Array[Byte])
+
+  /** Thumbnail planning: REAL parsed dimensions scaled aspect-preserving
+    * into a `box`-pixel bounding square with exact integer arithmetic
+    * (floor(d * box / maxDim), min 1), plus a bounded-size payload slice
+    * of the real embedded stream body standing in for the re-encoded
+    * pixels. Non-image and unparseable records pass through with zeroed
+    * thumb dims and an empty payload. */
+  def thumbnail(media: Dataset[MediaRecord], box: Int = 128,
+      maxBytes: Int = 256): Dataset[Thumb] = {
+    require(box > 0 && maxBytes >= 0)
     media.mapPartitions { it =>
-      it.map(r => r.copy(payload = r.payload.take(maxBytes)))
-    }(Encoders.product[MediaRecord])
+      it.map { r =>
+        val m = MediaCodec.decode(r.payload)
+        val isImage = m.ok && (m.format == "png" || m.format == "jpeg" || m.format == "gif")
+        if (!isImage) Thumb(r.doc_id, r.media_type, m.format, m.width, m.height,
+          0, 0, Array.emptyByteArray)
+        else {
+          val maxDim = math.max(m.width, m.height)
+          val (tw, th) =
+            if (maxDim <= box) (m.width, m.height)
+            else (math.max(1, m.width * box / maxDim), math.max(1, m.height * box / maxDim))
+          val body = r.payload.slice(m.bodyOffset, m.bodyOffset + math.min(maxBytes, m.bodyLen))
+          Thumb(r.doc_id, r.media_type, m.format, m.width, m.height, tw, th, body)
+        }
+      }
+    }(Encoders.product[Thumb])
+  }
 }

@@ -568,12 +568,27 @@ class PipelineSpec extends SparkSpec {
       .collect().forall(_.getLong(3) == 0L))
   }
 
-  test("multimodal: binary plumbing with stubbed decode is deterministic") {
-    val out1 = Multimodal.pipeline(docs).orderBy("doc_id").collect()
-    val out2 = Multimodal.pipeline(docs).orderBy("doc_id").collect()
+  test("multimodal: real container decode is deterministic; corrupt slice flags") {
+    // doc 0 hits the doc_id % 97 == 0 corrupt-synthesis slice
+    val d6 = docs.union(Seq((0L, "corrupt body", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source"))
+    val out1 = Multimodal.pipeline(d6).orderBy("doc_id").collect()
+    val out2 = Multimodal.pipeline(d6).orderBy("doc_id").collect()
     assert(out1.sameElements(out2))
-    assert(out1.forall(_.getAs[Boolean]("decoded_ok")))
+    val m = out1.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!m(0L).getAs[Boolean]("decoded_ok") &&
+      m(0L).getAs[String]("format") == "unknown")
+    assert(out1.filter(_.getAs[Long]("doc_id") != 0L)
+      .forall(_.getAs[Boolean]("decoded_ok")))
     assert(out1.map(_.getAs[String]("media_type")).toSet == Set("image", "audio", "video"))
+    // doc 3 is an image rotating to jpeg ((3/3) % 3 == 1); dims are the
+    // synthesis closed forms READ BACK from the real SOF0 header
+    assert(m(3L).getAs[String]("format") == "jpeg")
+    assert(m(3L).getAs[Int]("width") == 16 + (3 * 37) % 2000)
+    assert(m(3L).getAs[Int]("height") == 16 + (3 * 59) % 1200)
+    // doc 1 is WAV: 43 body bytes / blockAlign 4 = 10 sample frames, from
+    // the parsed fmt + data chunks
+    assert(m(1L).getAs[String]("format") == "wav" && m(1L).getAs[Int]("n_frames") == 10)
   }
 
   test("span dedup: no repeated spans => kept text reconstructs the input") {
@@ -1223,5 +1238,11 @@ class PipelineSpec extends SparkSpec {
     val thumbs = Multimodal.thumbnail(media, maxBytes = 16).collect()
     assert(thumbs.forall(_.payload.length <= 16))
     assert(thumbs.map(_.doc_id).toSet == media.collect().map(_.doc_id).toSet)
+    // doc 3 (jpeg 127x193): aspect-fit into 128 => (127*128/193, 128)
+    val t3 = thumbs.find(_.doc_id == 3L).get
+    assert((t3.thumb_w, t3.thumb_h) == (127 * 128 / 193, 128))
+    // non-images carry no thumbnail
+    assert(thumbs.filter(t => t.format == "wav" || t.format == "avi")
+      .forall(t => t.thumb_w == 0 && t.payload.isEmpty))
   }
 }
