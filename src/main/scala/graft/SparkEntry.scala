@@ -1159,6 +1159,41 @@ object SparkEntry {
       // tiny (cell, label) aggregate + struct-max argmax
       implicit val sp: SparkSession = s
       Similarity.clusterPurity(t(dir, "embeddings"), nCells = 8)
+    },
+    "q157_gk_rank_contract" -> { (s, dir) =>
+      // the GK sketch at a GENUINELY approximate relErr: the gate hashes
+      // the per-edge rank-bound VERDICTS (a theorem of the sketch,
+      // deterministic where the edge values are not) — any bound
+      // violation on real data mismatches the oracle's TRUE rows
+      implicit val sp: SparkSession = s
+      graft.pipeline.Contracts.gkRankContract(
+        t(dir, "orders"), col("o_totalprice"), nBins = 8, relErr = 0.01)
+    },
+    "q158_spacesaving_contract" -> { (s, dir) =>
+      // SpaceSaving at capacity 16 << per-source vocabulary: bracket
+      // (cnt-err <= tf <= cnt) and completeness (tf*cap > N => present)
+      // verdicts per source, beside the exact token total
+      implicit val sp: SparkSession = s
+      graft.pipeline.Contracts.spaceSavingContract(
+        t(dir, "documents"), capacity = 16)
+    },
+    "q159_papprox_contract" -> { (s, dir) =>
+      // percentile_approx thresholds at accuracy 25 (rank error 4%):
+      // per (source, p) rank-bound verdicts over n_chars scores
+      implicit val sp: SparkSession = s
+      graft.pipeline.Contracts.percentileApproxContract(
+        t(dir, "documents").withColumn("score", col("n_chars").cast("long")),
+        Seq(0.25, 0.5, 0.75), accuracy = 25)
+    },
+    "q160_window_gk_contract" -> { (s, dir) =>
+      // the q152 knob at accuracy 20: per (hour window, q) rank-bound
+      // verdicts — each window checks only its own rows
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Contracts.windowedQuantilesContract(
+        ev, "event_time", col("value"), "1 hour", Seq(0.25, 0.5, 0.75),
+        accuracy = 20)
     }
   )
 
@@ -1562,6 +1597,31 @@ object SparkEntry {
         | ix AS (SELECT (SELECT COUNT(*) FROM ed WHERE ed.v <= src.v) - 1 AS i FROM src),
         | f AS (SELECT i FROM ix CROSS JOIN ec WHERE i >= 0 AND i <= nb - 1),
         | g AS (SELECT i, CAST(COUNT(*) AS DOUBLE) AS cnt FROM f GROUP BY i)
-        | SELECT er.v AS o_totalprice_bins, g.cnt FROM g JOIN er ON er.r = g.i + 1""".stripMargin.replaceAll("\n", "")
+        | SELECT er.v AS o_totalprice_bins, g.cnt FROM g JOIN er ON er.r = g.i + 1""".stripMargin.replaceAll("\n", ""),
+    // ---- approximate-contract gates (q157-q160): the oracle emits the
+    // CONTRACT — TRUE verdict rows over the same deterministic keys —
+    // so any error-bound violation by the sketch on real data
+    // hash-mismatches the gate even though the sketch outputs
+    // themselves are partitioning-dependent at these settings
+    "q157_gk_rank_contract" ->
+      ("SELECT CAST(j AS INT) AS j, CAST(j AS DOUBLE) / 8 AS p, " +
+        "TRUE AS within_bound FROM (SELECT UNNEST(generate_series(0, 8)) AS j)"),
+    "q158_spacesaving_contract" ->
+      ("SELECT source, CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_terms, " +
+        "TRUE AS all_within_bounds, TRUE AS all_heavy_present " +
+        "FROM documents GROUP BY source " +
+        "HAVING SUM(len(regexp_extract_all(text, '\\S+'))) > 0"),
+    "q159_papprox_contract" ->
+      ("SELECT source, p, TRUE AS within_bound " +
+        "FROM (SELECT DISTINCT source FROM documents WHERE n_chars IS NOT NULL) " +
+        "CROSS JOIN (SELECT UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE), " +
+        "CAST(0.75 AS DOUBLE)]) AS p)"),
+    "q160_window_gk_contract" ->
+      ("WITH w AS (SELECT DISTINCT (epoch_ns(ts) // 1000) - " +
+        "((epoch_ns(ts) // 1000) % 3600000000) AS ws FROM events " +
+        "WHERE ts IS NOT NULL AND value IS NOT NULL) " +
+        "SELECT make_timestamp(ws) AS window_start, p AS q, TRUE AS within_bound " +
+        "FROM w CROSS JOIN (SELECT UNNEST([CAST(0.25 AS DOUBLE), " +
+        "CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE)]) AS p)")
   )
 }

@@ -1,0 +1,180 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Error-bound CONTRACT gates for the approximate 100 TB paths.
+  *
+  * The sketch operators (GK quantiles, SpaceSaving heavy hitters,
+  * percentile_approx thresholds) are oracle-gated elsewhere only in
+  * their provably-exact regimes (q94/q140/q142/q152), because their
+  * outputs at genuinely approximate settings are partitioning-dependent
+  * by construction — no value-hash gate is possible. What IS
+  * deterministic at approximate settings is the published error
+  * CONTRACT: every emitted estimate must bracket the truth within the
+  * advertised bound, a theorem of the algorithm independent of merge
+  * order. Each operator here runs its sketch at a genuinely approximate
+  * setting, re-derives the exact truth with a second (gate-scale)
+  * relational pass, and emits the contract VERDICT rows; the DuckDB
+  * oracle emits the same rows with TRUE verdicts, so any contract
+  * violation on real data hash-mismatches the gate. This converts the
+  * 100 TB knobs' error bounds from spec-time claims into per-run,
+  * on-real-data regression gates (the q139 gating pattern applied to
+  * error bounds).
+  *
+  * Scale shape: each contract pass is one conditional aggregate or one
+  * small-relation join over the same keys the sketch already grouped
+  * by — QA cost proportional to one extra scan, run on samples or gate
+  * slices in production, never required for the sketch itself.
+  */
+object Contracts {
+
+  /** Rank interval [below+1, leq] (1-based positions of the returned
+    * value among the sorted data, or the gap position when the value is
+    * absent) intersects the contract interval
+    * [floor((p-e)·n), ceil((p+e)·n)]. Exposed package-private so the
+    * spec can prove the verdict actually FAILS on out-of-bound ranks —
+    * a gate that cannot go false gates nothing. */
+  private[graft] def rankBoundVerdict(below: Column, leq: Column, p: Column,
+      e: Double, n: Column): Column =
+    ((below + lit(1L)).cast("double") <= ceil((p + lit(e)) * n.cast("double")).cast("double")) &&
+      (leq.cast("double") >= floor((p - lit(e)) * n.cast("double")).cast("double"))
+
+  private def rankOk(below: Column, leq: Column, p: Double, e: Double,
+      n: Column): Column = rankBoundVerdict(below, leq, lit(p), e, n)
+
+  /** Greenwald-Khanna sketch rank contract (the q140 knob at a REAL
+    * relative error): approxQuantile at `relErr` must return, for every
+    * probability p = j/nBins, a value whose exact rank lies within
+    * ±relErr·n of p·n (Spark's published guarantee: floor((p-relErr)·n)
+    * <= rank <= ceil((p+relErr)·n)). The exact ranks come from ONE
+    * conditional-aggregate pass (2·(nBins+1) sums + the count — no sort,
+    * no per-edge jobs). Emits (j, p, within_bound) for every edge. */
+  def gkRankContract(df: DataFrame, x: Column, nBins: Int,
+      relErr: Double): DataFrame = {
+    require(nBins > 0 && relErr > 0.0, "use the exact gate (q59/q140) at relErr = 0")
+    val vals = df.select(x.cast("double").as("v")).filter(col("v").isNotNull)
+    val probs = (0 to nBins).map(_.toDouble / nBins).toArray
+    val edges = vals.stat.approxQuantile("v", probs, relErr)
+    val aggCols = edges.zipWithIndex.flatMap { case (ev, j) =>
+      Seq(sum(when(col("v") < ev, 1L).otherwise(0L)).as(s"__b$j"),
+        sum(when(col("v") <= ev, 1L).otherwise(0L)).as(s"__l$j"))
+    } :+ count(lit(1)).as("__n")
+    val one = vals.agg(aggCols.head, aggCols.tail: _*)
+    val rows = probs.indices.map { j =>
+      struct(lit(j).as("j"), lit(probs(j)).as("p"),
+        rankOk(col(s"__b$j"), col(s"__l$j"), probs(j), relErr, col("__n"))
+          .as("within_bound"))
+    }
+    one.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.j").as("j"), col("__r.p").as("p"),
+        col("__r.within_bound").as("within_bound"))
+  }
+
+  /** SpaceSaving contract (the q94 knob at a REAL capacity, i.e.
+    * capacity << per-source vocabulary): per source, every summary entry
+    * must bracket its exact term frequency (cnt - err <= tf <= cnt) and
+    * every term with tf·capacity > N must be PRESENT in the summary —
+    * the two Metwally guarantees, preserved across mergeable-summary
+    * combines (Agarwal et al.). Emits one verdict row per source with
+    * the exact total token count alongside (so the gate also pins that
+    * the data actually flowed). */
+  def spaceSavingContract(docs: DataFrame, capacity: Int): DataFrame = {
+    require(capacity > 0)
+    val terms = docs.select(col("source"),
+      explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+    val summ = terms.groupBy(col("source"))
+      .agg(graft.functions.HeavyHitters.heavy_hitters(col("term"), capacity).as("__hh"),
+        count(lit(1)).as("n_terms"))
+    val entries = summ.select(col("source"), col("n_terms"),
+        explode(col("__hh")).as("__e"))
+      .select(col("source"), col("n_terms"), col("__e.term").as("term"),
+        col("__e.cnt").as("cnt"), col("__e.err").as("err"))
+    val tf = terms.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // every summary term was offered at least once, so the join always hits
+    val bounds = entries.join(tf, Seq("source", "term"))
+      .withColumn("__ok",
+        col("cnt") - col("err") <= col("tf") && col("tf") <= col("cnt"))
+      .groupBy(col("source"))
+      .agg((sum(when(col("__ok"), 0L).otherwise(1L)) === 0L).as("all_within_bounds"))
+    val heavyMissing = tf
+      .join(summ.select(col("source"), col("n_terms")), Seq("source"))
+      .filter(col("tf") * lit(capacity.toLong) > col("n_terms"))
+      .join(entries.select(col("source"), col("term"), lit(1L).as("__present")),
+        Seq("source", "term"), "left")
+      .groupBy(col("source"))
+      .agg((sum(when(col("__present").isNull, 1L).otherwise(0L)) === 0L)
+        .as("all_heavy_present"))
+    summ.select(col("source"), col("n_terms"))
+      .join(bounds, Seq("source"))
+      // a source could in principle have no term above N/capacity; its
+      // completeness verdict is vacuously true
+      .join(heavyMissing, Seq("source"), "left")
+      .select(col("source"), col("n_terms"), col("all_within_bounds"),
+        coalesce(col("all_heavy_present"), lit(true)).as("all_heavy_present"))
+  }
+
+  /** percentile_approx threshold contract (the q142/q143 knob at a REAL
+    * accuracy): per source and probability p, the GK threshold at
+    * `accuracy` must have exact rank within ±n/accuracy of p·n (Spark's
+    * published 1/accuracy relative rank error). The exact ranks come
+    * from one source-keyed join of the corpus against the tiny
+    * (source, p, threshold) relation plus one aggregate — the corpus is
+    * touched once. Emits (source, p, within_bound). */
+  def percentileApproxContract(docs: DataFrame, ps: Seq[Double],
+      accuracy: Int, scoreCol: String = "score"): DataFrame = {
+    require(ps.nonEmpty && accuracy > 0)
+    val e = 1.0 / accuracy
+    val s = docs.select(col("source"), col(scoreCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val thr = s.groupBy(col("source"))
+      .agg(percentile_approx(col("__v"), array(ps.map(lit): _*),
+        lit(accuracy)).as("__t"))
+      .select(col("source"), posexplode(col("__t")).as(Seq("__i", "__thr")))
+      .select(col("source"),
+        element_at(array(ps.map(lit): _*), col("__i") + 1).as("p"), col("__thr"))
+    s.join(thr, Seq("source"))
+      .groupBy(col("source"), col("p"))
+      .agg(sum(when(col("__v") < col("__thr"), 1L).otherwise(0L)).as("__b"),
+        sum(when(col("__v") <= col("__thr"), 1L).otherwise(0L)).as("__l"),
+        count(lit(1)).as("__n"))
+      .select(col("source"), col("p"),
+        rankBoundVerdict(col("__b"), col("__l"), col("p"), e, col("__n"))
+          .as("within_bound"))
+  }
+
+  /** Per-window GK contract (the q152 knob at a REAL accuracy): for
+    * every event-time window and quantile q, the windowed
+    * percentile_approx value must have exact in-window rank within
+    * ±n_w/accuracy of q·n_w. The exact ranks come from one window-keyed
+    * join + aggregate (each window checks only its own rows). Emits
+    * (window_start, q, within_bound). */
+  def windowedQuantilesContract(events: DataFrame, tsCol: String,
+      value: Column, windowDuration: String, qs: Seq[Double],
+      accuracy: Int): DataFrame = {
+    require(qs.nonEmpty && accuracy > 0)
+    val e = 1.0 / accuracy
+    val wq = graft.streaming.StreamingHist.windowedQuantiles(
+      events, tsCol, value, windowDuration, qs, accuracy)
+    val durUs = windowDuration match {
+      case "1 hour" => 3600000000L
+      case other => throw new IllegalArgumentException(
+        s"contract gate supports '1 hour' windows, got '$other'")
+    }
+    val us = unix_micros(col(tsCol))
+    val ev = events.filter(col(tsCol).isNotNull)
+      .select(timestamp_micros(us - pmod(us, lit(durUs))).as("window_start"),
+        value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    ev.join(wq.select(col("window_start"), col("q"),
+        col("quantile").as("__thr")), Seq("window_start"))
+      .groupBy(col("window_start"), col("q"))
+      .agg(sum(when(col("__v") < col("__thr"), 1L).otherwise(0L)).as("__b"),
+        sum(when(col("__v") <= col("__thr"), 1L).otherwise(0L)).as("__l"),
+        count(lit(1)).as("__n"))
+      .select(col("window_start"), col("q"),
+        rankBoundVerdict(col("__b"), col("__l"), col("q"), e, col("__n"))
+          .as("within_bound"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.pipeline.Contracts
+import org.apache.spark.sql.functions._
+
+/** Pins the approximate-contract gates (q157-q160): the verdicts hold on
+  * real sketch runs at genuinely approximate settings, AND the verdict
+  * predicate goes FALSE on out-of-bound ranks — a gate that cannot fail
+  * gates nothing.
+  */
+class ContractsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rank-bound verdict flags out-of-bound ranks and passes in-bound ones") {
+    // (below, leq, p, n): rank interval [below+1, leq] vs
+    // [floor((p-e)n), ceil((p+e)n)] at e = 0.05, n = 1000 => p=0.5 gives
+    // [450, 550]
+    val cases = Seq(
+      (449L, 450L, 0.5, 1000L, true),   // rank 450 touches the lower edge
+      (550L, 551L, 0.5, 1000L, false),  // rank 551: one past the upper edge
+      (448L, 449L, 0.5, 1000L, false),  // entirely below
+      (551L, 552L, 0.5, 1000L, false),  // entirely above
+      (499L, 500L, 0.5, 1000L, true),   // dead center
+      (0L, 1L, 0.0, 1000L, true)        // p=0 edge: min value rank 1
+    ).toDF("below", "leq", "p", "n", "expect")
+    val out = cases.withColumn("got",
+      Contracts.rankBoundVerdict(col("below"), col("leq"), col("p"), 0.05, col("n")))
+      .collect()
+    out.foreach(r => assert(r.getBoolean(5) == r.getBoolean(4), s"case $r"))
+  }
+
+  test("GK rank contract holds at relErr=0.05 on a skewed column") {
+    val df = (1 to 5000).map(i => (i.toLong, math.pow(i.toDouble, 2.0)))
+      .toDF("id", "x")
+    val out = Contracts.gkRankContract(df, col("x"), nBins = 10, relErr = 0.05)
+      .collect()
+    assert(out.length == 11)
+    assert(out.forall(_.getAs[Boolean]("within_bound")))
+  }
+
+  test("SpaceSaving contract holds at capacity far below vocabulary") {
+    val rnd = new scala.util.Random(11)
+    // zipf-ish: term t_k with frequency ~ 1/k over a 200-term vocabulary
+    val docs = (1L to 300L).map { i =>
+      val words = Seq.fill(40)("t" + (math.sqrt(rnd.nextInt(40000)).toInt + 1))
+      (i, words.mkString(" "), "en", if (i % 2 == 0) "a" else "b")
+    }.toDF("doc_id", "text", "lang", "source")
+    val out = Contracts.spaceSavingContract(docs, capacity = 8).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => r.getAs[Boolean]("all_within_bounds") &&
+      r.getAs[Boolean]("all_heavy_present")))
+    assert(out.forall(_.getAs[Long]("n_terms") == 150L * 40L))
+    // partitioning-independent verdicts (the whole point of gating the
+    // contract instead of the summary)
+    val out7 = Contracts.spaceSavingContract(docs.repartition(7), capacity = 8)
+      .collect()
+    assert(out7.forall(r => r.getAs[Boolean]("all_within_bounds") &&
+      r.getAs[Boolean]("all_heavy_present")))
+  }
+
+  test("percentile_approx contract holds at accuracy 10") {
+    val docs = (1L to 2000L).map(i =>
+      (i, "x", "en", "s" + (i % 3), (i * i % 997).toInt))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("score", col("n_chars").cast("long"))
+    val out = Contracts.percentileApproxContract(
+      docs, Seq(0.25, 0.5, 0.75), accuracy = 10).collect()
+    assert(out.length == 9)
+    assert(out.forall(_.getAs[Boolean]("within_bound")))
+  }
+
+  test("windowed GK contract holds per window at accuracy 10") {
+    val hourUs = 3600000000L
+    val ev = (1 to 4000).map { i =>
+      (i.toLong, (i % 5) * hourUs * 1000L + i * 1000000L, (i * 37 % 499).toDouble)
+    }.toDF("event_id", "ts", "value")
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    val out = Contracts.windowedQuantilesContract(
+      ev, "event_time", col("value"), "1 hour", Seq(0.25, 0.5, 0.75),
+      accuracy = 10).collect()
+    assert(out.nonEmpty && out.length % 3 == 0)
+    assert(out.forall(_.getAs[Boolean]("within_bound")))
+  }
+}
