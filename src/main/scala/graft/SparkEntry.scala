@@ -1160,6 +1160,58 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Similarity.clusterPurity(t(dir, "embeddings"), nCells = 8)
     },
+    "q162_group_quantiles_sketch" -> { (s, dir) =>
+      // q116's documented 100 TB path as a gated operator: per-group GK
+      // percentile_approx (map-combinable — no per-group rank window),
+      // exact regime (accuracy 2^20 >> 2n per group), the q142/q152 rule
+      implicit val sp: SparkSession = s
+      graft.operators.QuantileBins.groupQuantilesSketch(
+        t(dir, "events"), col("value"), Seq("event_type"),
+        Seq(0.5, 0.95, 0.99))
+    },
+    "q163_ann_lsh_recall" -> { (s, dir) =>
+      // LSH recall as a regression contract: 8 tables x 8 bits, hamming<=2
+      // probes — the §6d config whose per-table catch stays meaningful on
+      // this gapless synthetic corpus (q46's 4x16 default is tuned for
+      // near-dup-regime gaps and measures ~0.1 here BY DESIGN — outside
+      // LSH's contract, documented in SURVEY §6d). Measured 0.93-1.0
+      // across sf0.001/0.01/0.1; pinned >= 0.8.
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      val qset = emb.filter(col("vec_id") < 10)
+      graft.pipeline.Contracts.annRecallContract(
+        Similarity.annLsh(emb, qset, 3, tables = 8, bits = 8, probeHamming = 2),
+        Similarity.bruteForceTopK(emb, qset, 3), bound = 0.8)
+    },
+    "q164_ann_ivf_recall" -> { (s, dir) =>
+      // the q52 (64-cell, 8-probe) recall contract vs exact top-k:
+      // measured 0.53-0.8 across sf0.001/0.01/0.1 on this gapless
+      // corpus (recall tracks probed-cell fraction — §6d); pinned >= 0.4
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      val qset = emb.filter(col("vec_id") < 10)
+      graft.pipeline.Contracts.annRecallContract(
+        Similarity.annIvf(emb, qset, 3, nCells = 64, nprobe = 8),
+        Similarity.bruteForceTopK(emb, qset, 3), bound = 0.4)
+    },
+    "q161_metadata_roundtrip" -> { (s, dir) =>
+      // the reference's attrs contract (accessor.py:34-52) end to end:
+      // histogram -> parquet -> FRESH reload -> axis reconstructed from
+      // the persisted column metadata ALONE -> accessor stat on it. The
+      // gate (same SQL as q28) only matches if the round-tripped axis
+      // drives normalize exactly like the original object — saved
+      // histograms are self-describing.
+      implicit val sp: SparkSession = s
+      val h = hist(dir, "events", col("value"), axValue, dims = Seq("event_type"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q161_" +
+        ProcessHandle.current().pid()
+      h.write.mode("overwrite").parquet(path)
+      val reloaded = s.read.parquet(path)
+      val ax = graft.axes.AxisMetadata.axisOf(reloaded, "value_bins")
+      require(ax == axValue,
+        s"metadata round-trip reconstructed a different axis: $ax != $axValue")
+      HistStats.normalize(reloaded, ax, Seq("event_type"))
+    },
     "q157_gk_rank_contract" -> { (s, dir) =>
       // the GK sketch at a GENUINELY approximate relErr: the gate hashes
       // the per-edge rank-bound VERDICTS (a theorem of the sketch,
@@ -1603,6 +1655,34 @@ object SparkEntry {
     // so any error-bound violation by the sketch on real data
     // hash-mismatches the gate even though the sketch outputs
     // themselves are partitioning-dependent at these settings
+    // the exact-regime GK rank rule per group (the q142/q152 convention):
+    // quantile q = value at 1-based rank ceil(q*n) ascending
+    "q162_group_quantiles_sketch" ->
+      ("WITH s AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY event_type), " +
+        "rk AS (SELECT event_type, v, ROW_NUMBER() OVER " +
+        "(PARTITION BY event_type ORDER BY v) AS r FROM s), " +
+        "qs AS (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE)]) AS q) " +
+        "SELECT rk.event_type, qs.q, rk.v AS quantile " +
+        "FROM rk JOIN n USING (event_type) CROSS JOIN qs " +
+        "WHERE rk.r = CAST(CEIL(qs.q * CAST(n.n AS DOUBLE)) AS BIGINT)"),
+    // recall contracts: the oracle pins the verdict (and the exact query
+    // count); the deterministic candidate generators make recall a pure
+    // function of the data, so a recall regression hash-mismatches
+    "q163_ann_lsh_recall" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
+        "FROM embeddings WHERE vec_id < 10"),
+    "q164_ann_ivf_recall" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
+        "FROM embeddings WHERE vec_id < 10"),
+    // round-trip gate: the reloaded-histogram normalize must equal the
+    // direct density histogram (the q28 SQL) — proves persisted metadata
+    // alone reconstructs the axis
+    "q161_metadata_roundtrip" -> Oracle.hist("events",
+      Seq(Oracle.Spec("value", axValue)), dims = Seq("event_type"),
+      density = true),
     "q157_gk_rank_contract" ->
       ("SELECT CAST(j AS INT) AS j, CAST(j AS DOUBLE) / 8 AS p, " +
         "TRUE AS within_bound FROM (SELECT UNNEST(generate_series(0, 8)) AS j)"),

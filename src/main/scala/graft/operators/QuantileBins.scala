@@ -113,6 +113,33 @@ object QuantileBins extends org.apache.spark.internal.Logging {
     * (event types, sources); for corpus-sized groups use per-group
     * percentile_approx (map-combinable GK sketch), the same exact/sketch
     * trade autoAxis makes. */
+  /** The corpus-scale form of [[groupQuantiles]] (the documented 100 TB
+    * path, now a gated operator — q162): per-group percentile_approx,
+    * whose GK summary is map-combinable — ONE aggregation pass, no
+    * per-group rank window, bounded state per group regardless of group
+    * size. Gated in the provably-exact regime (accuracy >> 2·n per group
+    * retains every sample, so quantile q is EXACTLY the value at 1-based
+    * rank ceil(q·n) ascending — the q142/q152 rule); at real accuracy
+    * the q157/q159 rank-bound contracts apply. NOTE the exact regime's
+    * rank rule differs from [[groupQuantiles]]'s interpolated
+    * convention: the sketch returns SAMPLES, never interpolates. */
+  def groupQuantilesSketch(df: DataFrame, value: Column,
+      groupCols: Seq[String], qs: Seq[Double],
+      accuracy: Int = 1 << 20): DataFrame = {
+    require(groupCols.nonEmpty && qs.nonEmpty && accuracy > 0)
+    require(qs.forall(q => q > 0.0 && q <= 1.0))
+    val g = groupCols.map(col)
+    df.filter(value.isNotNull)
+      .select(g :+ value.cast("double").as("__v"): _*)
+      .groupBy(g: _*)
+      .agg(percentile_approx(col("__v"), array(qs.map(lit): _*),
+        lit(accuracy)).as("__t"))
+      .select(g :+ posexplode(col("__t")).as(Seq("__i", "quantile")): _*)
+      .select(g ++ Seq(
+        element_at(array(qs.map(lit): _*), col("__i") + 1).as("q"),
+        col("quantile")): _*)
+  }
+
   def groupQuantiles(df: DataFrame, value: Column, groupCols: Seq[String],
       qs: Seq[Double]): DataFrame = {
     require(groupCols.nonEmpty && qs.nonEmpty)

@@ -144,6 +144,29 @@ object Contracts {
           .as("within_bound"))
   }
 
+  /** ANN recall contract (the q46/q52 knobs at their FIXED probe
+    * budgets): micro-averaged recall of an approximate top-k against the
+    * exact top-k — total hits over total expected, both exact longs, so
+    * the verdict is one IEEE multiply + compare and cannot drift with
+    * partitioning (a mean-of-means would sum doubles in shuffle order).
+    * The candidate generators are deterministic (md5-derived hyperplanes
+    * / the deterministic Lloyd quantizer), so recall is a pure function
+    * of the data; the gate pins it above `bound`, converting the
+    * measured recall curves (SURVEY §6d) into a regression contract.
+    * Emits ONE row: (n_queries, recall_ok). */
+  def annRecallContract(approx: DataFrame, exact: DataFrame,
+      bound: Double): DataFrame = {
+    val ap = approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(ap, Seq("query_id", "neighbor_id"), "left")
+      .agg(count_distinct(col("query_id")).as("n_queries"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__hits"),
+        count(lit(1)).as("__expected"))
+      .select(col("n_queries"),
+        (col("__hits").cast("double") >=
+          lit(bound) * col("__expected").cast("double")).as("recall_ok"))
+  }
+
   /** Per-window GK contract (the q152 knob at a REAL accuracy): for
     * every event-time window and quantile q, the windowed
     * percentile_approx value must have exact in-window rank within

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.Similarity
+
+/** Dev tool: measure q46/q52 recall vs exact top-k at each sf, to pick
+  * the q163/q164 recall-contract bounds with margin. */
+object ProbeRecall {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val qset = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, qset, 3)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def rec(ap: org.apache.spark.sql.DataFrame): Double = {
+        val s = ap.select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        exact.count(s.contains).toDouble / exact.size
+      }
+      val lsh = rec(Similarity.annLsh(emb, qset, 3, tables = 8, bits = 8, probeHamming = 2))
+      val ivf = rec(Similarity.annIvf(emb, qset, 3, nCells = 64, nprobe = 8))
+      println(s"RECALL $sf exact=${exact.size} lsh=$lsh ivf=$ivf")
+    }
+    spark.stop()
+  }
+}
