@@ -180,9 +180,37 @@ object HistStats {
     }
   }
 
+  /** Loud hand-off validation for histogram-input entry points
+    * (reference accessor.py:73-130 `_check_name`/`_check_bins`): every
+    * histogram this library produces carries [[graft.axes.AxisMetadata]]
+    * on its bins column, so when that metadata is present it must
+    * describe the SAME axis the caller passed — catching a mismatched
+    * (hist, axis) pair at the API boundary instead of letting it run as
+    * silently-wrong bin arithmetic. Comparison is metadata-to-metadata
+    * after a normalize round-trip (array-edged axes compare by value;
+    * legacy persisted keys normalize away). DataFrames without attached
+    * metadata (hand-built inputs, foreign sources) pass unchecked; a
+    * histogram whose bins column is named differently than the passed
+    * axis's fails downstream with the usual column-resolution error. */
+  private def requireAxisMatch(hist: DataFrame, ax: BinAxis): Unit =
+    hist.schema.find(_.name == ax.binsCol).foreach { f =>
+      if (f.metadata.contains("bin_type")) {
+        val attached = graft.axes.AxisMetadata.toMetadata(
+          graft.axes.AxisMetadata.fromMetadata(f.metadata))
+        val passed = graft.axes.AxisMetadata.toMetadata(ax)
+        require(attached == passed,
+          s"histogram/axis hand-off mismatch on column '${ax.binsCol}': " +
+            s"the DataFrame's attached axis is $attached but the caller " +
+            s"passed $passed — reconstruct the axis with " +
+            "AxisMetadata.axisOf(df, binsCol) or pass the axis the " +
+            "histogram was built with")
+      }
+    }
+
   /** Normalize a sparse labelled histogram (dims, bins, cnt) into a pdf —
     * the accessor's `normalize` over an already-computed histogram. */
   def normalize(hist: DataFrame, ax: BinAxis, dims: Seq[String]): DataFrame = {
+    requireAxisMatch(hist, ax)
     val isFlow = isFlowLabel(ax)
     val w = Window.partitionBy(dims.map(col): _*)
     val total = graft.util.Dec.exactDouble(
@@ -204,6 +232,7 @@ object HistStats {
   def normalizeOver(hist: DataFrame, axes: Seq[BinAxis], over: Seq[BinAxis],
       dims: Seq[String]): DataFrame = {
     require(over.nonEmpty && over.forall(axes.contains), "normalize variables must be axes")
+    axes.foreach(requireAxisMatch(hist, _))
     val loopAxes = axes.filterNot(over.contains)
     val loopBins = loopAxes.map(_.binsCol)
     // Rows whose LOOP-axis coordinate is a flow bin form partitions whose
@@ -250,8 +279,10 @@ object HistStats {
   }
 
   /** Remove flow bins from a labelled histogram (accessor.py:278-305). */
-  def removeFlow(hist: DataFrame, ax: BinAxis): DataFrame =
+  def removeFlow(hist: DataFrame, ax: BinAxis): DataFrame = {
+    requireAxisMatch(hist, ax)
     hist.filter(!isFlowLabel(ax))
+  }
 
   /** Remove flow bins across a LIST of variables — the reference's
     * `remove_flow(variables=[...])` N-D form (accessor.py:278-305): a row
@@ -260,12 +291,15 @@ object HistStats {
     * predicate pass. */
   def removeFlow(hist: DataFrame, axes: Seq[BinAxis]): DataFrame = {
     require(axes.nonEmpty, "removeFlow needs at least one axis")
+    axes.foreach(requireAxisMatch(hist, _))
     hist.filter(!axes.map(isFlowLabel).reduce(_ || _))
   }
 
   /** Scale the bins coordinate (accessor.scale, accessor.py:382-395). */
-  def scaleBins(hist: DataFrame, ax: BinAxis, factor: Double): DataFrame =
+  def scaleBins(hist: DataFrame, ax: BinAxis, factor: Double): DataFrame = {
+    requireAxisMatch(hist, ax)
     hist.withColumn(ax.binsCol, col(ax.binsCol) * lit(factor))
+  }
 
   /** Static per-axis bins metadata table: idx, left edge, center, width
     * (accessor edges/centers/widths, accessor.py:148-230). Pure metadata —

@@ -374,4 +374,25 @@ class HistStatsSpec extends SparkSpec {
       col("v"), col("a")).collect().head
     assert(g.getLong(0) == 3L && math.abs(g.getDouble(3) - 1.0 / 3.0) < 1e-15)
   }
+
+  test("hand-off validation: mismatched (hist, axis) pairs fail loudly") {
+    val ax = Regular("v", 4, 0.0, 8.0)
+    val other = Regular("v", 4, 0.0, 16.0) // same bins column, different axis
+    val df = Seq(1.0, 3.0, 5.0, 7.0).toDF("v")
+    val h = Histogram.histogram(df, col("v"), ax)
+    // the right axis (or the one reconstructed from metadata) passes
+    assert(HistStats.normalize(h, ax, Nil).count() > 0)
+    assert(HistStats.normalize(h,
+      graft.axes.AxisMetadata.axisOf(h, "v_bins"), Nil).count() > 0)
+    // a mismatched axis is rejected at the API boundary, before any job
+    val e = intercept[IllegalArgumentException] {
+      HistStats.normalize(h, other, Nil)
+    }
+    assert(e.getMessage.contains("hand-off mismatch"))
+    intercept[IllegalArgumentException] { HistStats.removeFlow(h, other) }
+    intercept[IllegalArgumentException] { HistStats.scaleBins(h, other, 2.0) }
+    // hand-built histograms without attached metadata stay unchecked
+    val bare = Seq((0.0, 1.0), (2.0, 3.0)).toDF("v_bins", "cnt")
+    assert(HistStats.normalize(bare, ax, Nil).count() == 2)
+  }
 }
