@@ -1697,8 +1697,11 @@ object SparkEntry {
         "CROSS JOIN (SELECT UNNEST([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE), " +
         "CAST(0.75 AS DOUBLE)]) AS p)"),
     "q160_window_gk_contract" ->
-      ("WITH w AS (SELECT DISTINCT (epoch_ns(ts) // 1000) - " +
-        "((epoch_ns(ts) // 1000) % 3600000000) AS ws FROM events " +
+      // '//' (floor) alignment, NOT '- (x % dur)': DuckDB's % truncates
+      // toward zero where the Spark side's pmod floors, and the two
+      // diverge on pre-1970 event times
+      ("WITH w AS (SELECT DISTINCT " +
+        "((epoch_ns(ts) // 1000) // 3600000000) * 3600000000 AS ws FROM events " +
         "WHERE ts IS NOT NULL AND value IS NOT NULL) " +
         "SELECT make_timestamp(ws) AS window_start, p AS q, TRUE AS within_bound " +
         "FROM w CROSS JOIN (SELECT UNNEST([CAST(0.25 AS DOUBLE), " +

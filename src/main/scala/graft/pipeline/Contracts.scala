@@ -56,6 +56,11 @@ object Contracts {
     val vals = df.select(x.cast("double").as("v")).filter(col("v").isNotNull)
     val probs = (0 to nBins).map(_.toDouble / nBins).toArray
     val edges = vals.stat.approxQuantile("v", probs, relErr)
+    // zero non-null rows: approxQuantile returns NO edges — degrade to an
+    // empty verdict frame (same schema) instead of referencing absent cols
+    if (edges.isEmpty)
+      return vals.limit(0).select(lit(0).as("j"), lit(0.0).as("p"),
+        lit(true).as("within_bound"))
     val aggCols = edges.zipWithIndex.flatMap { case (ev, j) =>
       Seq(sum(when(col("v") < ev, 1L).otherwise(0L)).as(s"__b$j"),
         sum(when(col("v") <= ev, 1L).otherwise(0L)).as(s"__l$j"))
@@ -81,8 +86,9 @@ object Contracts {
     * the data actually flowed). */
   def spaceSavingContract(docs: DataFrame, capacity: Int): DataFrame = {
     require(capacity > 0)
-    val terms = docs.select(col("source"),
-      explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+    // the SAME term relation the q94 operator aggregates — sharing the
+    // tokenizer is what keeps the contract certifying the real operator
+    val terms = TextAnalysis.sourceTerms(docs)
     val summ = terms.groupBy(col("source"))
       .agg(graft.functions.HeavyHitters.heavy_hitters(col("term"), capacity).as("__hh"),
         count(lit(1)).as("n_terms"))
@@ -180,11 +186,7 @@ object Contracts {
     val e = 1.0 / accuracy
     val wq = graft.streaming.StreamingHist.windowedQuantiles(
       events, tsCol, value, windowDuration, qs, accuracy)
-    val durUs = windowDuration match {
-      case "1 hour" => 3600000000L
-      case other => throw new IllegalArgumentException(
-        s"contract gate supports '1 hour' windows, got '$other'")
-    }
+    val durUs = graft.streaming.StreamingHist.fixedWindowUs(windowDuration)
     val us = unix_micros(col(tsCol))
     val ev = events.filter(col(tsCol).isNotNull)
       .select(timestamp_micros(us - pmod(us, lit(durUs))).as("window_start"),

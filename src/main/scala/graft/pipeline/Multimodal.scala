@@ -109,14 +109,21 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         val m = MediaCodec.decode(r.payload)
-        val isImage = m.ok && (m.format == "png" || m.format == "jpeg" || m.format == "gif")
+        // non-positive parsed dims (possible only on foreign/hostile
+        // containers — our writers emit 1..) fall through as unplannable
+        val isImage = m.ok && m.width > 0 && m.height > 0 &&
+          (m.format == "png" || m.format == "jpeg" || m.format == "gif")
         if (!isImage) Thumb(r.doc_id, r.media_type, m.format, m.width, m.height,
           0, 0, Array.emptyByteArray)
         else {
           val maxDim = math.max(m.width, m.height)
+          // Long arithmetic: w*box overflows Int for spec-legal foreign
+          // dims (e.g. a PNG declaring width 2e7 at box=128); the
+          // quotient itself is <= box, so the narrowing back is exact
           val (tw, th) =
             if (maxDim <= box) (m.width, m.height)
-            else (math.max(1, m.width * box / maxDim), math.max(1, m.height * box / maxDim))
+            else (math.max(1L, m.width.toLong * box / maxDim).toInt,
+              math.max(1L, m.height.toLong * box / maxDim).toInt)
           val body = r.payload.slice(m.bodyOffset, m.bodyOffset + math.min(maxBytes, m.bodyLen))
           Thumb(r.doc_id, r.media_type, m.format, m.width, m.height, tw, th, body)
         }

@@ -299,9 +299,16 @@ object TextAnalysis {
     * capacity >= the per-source vocabulary the summary never evicts and
     * the output equals the exact tf ranking with err = 0 — the regime
     * the oracle gate pins; the approximate regime's bounds are spec'd. */
-  def topTermsApprox(docs: DataFrame, k: Int = 5, capacity: Int = 256): DataFrame =
+  /** One (source, term) row per whitespace token — the term relation
+    * shared by topTermsApprox (q94) and its SpaceSaving contract gate
+    * (q158), so the contract always certifies the operator's actual
+    * tokenization. */
+  private[graft] def sourceTerms(docs: DataFrame): DataFrame =
     docs.select(col("source"),
-        explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+      explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+
+  def topTermsApprox(docs: DataFrame, k: Int = 5, capacity: Int = 256): DataFrame =
+    sourceTerms(docs)
       .groupBy(col("source"))
       .agg(graft.functions.HeavyHitters.heavy_hitters(col("term"), capacity).as("__hh"))
       .select(col("source"), posexplode(col("__hh")).as(Seq("__p", "__e")))

@@ -18,7 +18,7 @@ object StreamingHist {
   /** Parse a fixed-length tumbling-window duration to microseconds —
     * the batch branches' integer window key. Calendar months are not
     * fixed-length and must use the streaming `window()` path. */
-  private def fixedWindowUs(windowDuration: String): Long = {
+  private[graft] def fixedWindowUs(windowDuration: String): Long = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String
         .fromString(windowDuration))

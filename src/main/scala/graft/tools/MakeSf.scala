@@ -46,8 +46,19 @@ object MakeSf {
       t.withColumn("__r", explode(sequence(lit(0L), lit(factor - 1L))))
     def shift(c: String) = (col(c) + col("__r") * STRIDE).as(c)
 
+    // flat single-file layout, matching the driver's testdata dirs (so the
+    // DuckDB checker's read_parquet('<dir>/<name>.parquet') glob works);
+    // single files stay splittable for Spark via parquet row groups
     def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = s"$out/__tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.createDirectories(Paths.get(out))
+      Files.move(part, Paths.get(s"$out/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       println(s"[makesf] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 

@@ -29,6 +29,16 @@ class ContractsSpec extends SparkSpec {
     out.foreach(r => assert(r.getBoolean(5) == r.getBoolean(4), s"case $r"))
   }
 
+  test("GK rank contract degrades to an empty verdict frame on zero rows") {
+    val allNull = Seq[(Long, Option[Double])]((1L, None), (2L, None))
+      .toDF("id", "x")
+    val out = Contracts.gkRankContract(allNull, col("x"), nBins = 4, relErr = 0.05)
+    assert(out.columns.toSeq == Seq("j", "p", "within_bound"))
+    assert(out.collect().isEmpty)
+    assert(Contracts.gkRankContract(allNull.limit(0), col("x"), 4, 0.05)
+      .collect().isEmpty)
+  }
+
   test("GK rank contract holds at relErr=0.05 on a skewed column") {
     val df = (1 to 5000).map(i => (i.toLong, math.pow(i.toDouble, 2.0)))
       .toDF("id", "x")

@@ -1245,4 +1245,16 @@ class PipelineSpec extends SparkSpec {
     assert(thumbs.filter(t => t.format == "wav" || t.format == "avi")
       .forall(t => t.thumb_w == 0 && t.payload.isEmpty))
   }
+
+  test("multimodal: thumbnail aspect-fit survives foreign spec-limit dimensions") {
+    import graft.pipeline.{MediaCodec, Multimodal}
+    // a foreign-but-legal PNG declaring width 20,000,000: w*box overflows
+    // Int, the Long path must still land on (box, >=1)
+    val wide = Multimodal.MediaRecord(1L, "image",
+      MediaCodec.writePng(20000000, 5, Array[Byte](1, 2, 3)))
+    val out = spark.createDataset(Seq(wide))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRecord])
+    val t = Multimodal.thumbnail(out, box = 128).collect().head
+    assert((t.thumb_w, t.thumb_h) == (128, 1), s"got (${t.thumb_w}, ${t.thumb_h})")
+  }
 }
