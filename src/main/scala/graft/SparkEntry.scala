@@ -60,6 +60,7 @@ object SparkEntry {
   private val axHourCirc = Circular("ev_hour", 12, 0.0, 24.0)
   private val axValue = Regular("value", 16, 0.0, 512.0)
   private val axLatency = Regular("latency_s", 24, 0.0, 604800.0)
+  private val axGap = Regular("gap_s", 24, 0.0, 86400.0)
   private val axDim0 = Regular("dim0", 16, -0.4, 0.4)
   private val axJaccard = Regular("jaccard", 10, 0.0, 1.0)
   private val axValueSqrt = Regular("value", 16, 0.0, 512.0, transform = SqrtT)
@@ -1246,6 +1247,83 @@ object SparkEntry {
       graft.pipeline.Contracts.windowedQuantilesContract(
         ev, "event_time", col("value"), "1 hour", Seq(0.25, 0.5, 0.75),
         accuracy = 20)
+    },
+    "q165_transition_matrix" -> { (s, dir) =>
+      // journey analytics: first-order Markov matrix over each user's
+      // (time, id)-ordered stream — one user-keyed exchange, then the
+      // |types|^2 relation carries the conditional probabilities
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.transitionMatrix(ev)
+    },
+    "q166_vocab_growth" -> { (s, dir) =>
+      // Heaps'-law vocabulary growth per ingestion checkpoint: is the
+      // crawl still discovering vocabulary, or saturating into dups?
+      implicit val sp: SparkSession = s
+      TextAnalysis.vocabGrowth(t(dir, "documents"), bucketSize = 100L)
+    },
+    "q167_hash_embed" -> { (s, dir) =>
+      // the hashing-trick document embedding: fixed-dim signed token
+      // counts with no learned vocabulary, emitted per-element
+      implicit val sp: SparkSession = s
+      TextAnalysis.hashEmbed(t(dir, "documents"), dim = 16)
+    },
+    "q168_interevent_hist" -> { (s, dir) =>
+      // inter-event-gap distribution per event type (bot/instrumentation
+      // QA): lag gaps in whole seconds -> the core histogram engine,
+      // flow bins catching the beyond-a-day tail
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val gaps = graft.pipeline.Funnel.interEventGaps(ev)
+        .select(col("event_type"),
+          expr("gap_us div 1000000").cast("double").as("gap_s"))
+      Histogram.histogram(gaps, col("gap_s"), axGap,
+        dims = Seq("event_type"), opts = HistOptions(flow = true))
+    },
+    "q169_cohort_value" -> { (s, dir) =>
+      // the LTV triangle: per (cohort day, age), event count and the
+      // Dec-exact value sum — what each cohort is worth as it ages
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.cohortValue(ev)
+    },
+    "q170_hist2d_qbins" -> { (s, dir) =>
+      // equal-mass 2D grid: BOTH axes data-derived via exact rank-based
+      // quantile edges (the q59 rule per axis), then one histogramdd
+      // pass — the calibration-heatmap shape over skewed marginals
+      implicit val sp: SparkSession = s
+      val li = t(dir, "lineitem")
+      val ax = graft.operators.QuantileBins.quantileAxis(
+        li, col("l_quantity"), "l_quantity", 4)
+      val ay = graft.operators.QuantileBins.quantileAxis(
+        li, col("l_extendedprice"), "l_extendedprice", 4)
+      Histogram.histogramdd(li,
+        Seq(col("l_quantity") -> ax, col("l_extendedprice") -> ay))
+    },
+    "q171_stream_transitions" -> { (s, dir) =>
+      // the STREAMING transition feed on batch input (one state row per
+      // user); counting its emitted pairs IS the q165 matrix — gated
+      // against the SAME oracle SQL (the q127 convention)
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val ev = t(dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_id"), col("event_type"))
+        .as[graft.streaming.StreamingHist.TransEvent]
+      val pairs = graft.streaming.StreamingHist.streamingTransitions(ev).toDF()
+      val counts = pairs
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+      counts
+        .withColumn("p",
+          col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
+        .select(col("from_type"), col("to_type"), col("n"), col("p"))
     }
   )
 
@@ -1705,6 +1783,46 @@ object SparkEntry {
         "WHERE ts IS NOT NULL AND value IS NOT NULL) " +
         "SELECT make_timestamp(ws) AS window_start, p AS q, TRUE AS within_bound " +
         "FROM w CROSS JOIN (SELECT UNNEST([CAST(0.25 AS DOUBLE), " +
-        "CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE)]) AS p)")
+        "CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE)]) AS p)"),
+    "q165_transition_matrix" -> PipelineOracle.transitionMatrix,
+    // the streaming operator's batch execution equals the batch lag
+    // unconditionally — gated against the SAME SQL (the q127 convention)
+    "q171_stream_transitions" -> PipelineOracle.transitionMatrix,
+    "q166_vocab_growth" -> PipelineOracle.vocabGrowth(100L),
+    "q167_hash_embed" -> PipelineOracle.hashEmbed(16),
+    "q168_interevent_hist" -> Oracle.hist(PipelineOracle.interEventGapsSrc,
+      Seq(Oracle.Spec("gap_s", axGap)), dims = Seq("event_type"), flow = true),
+    "q169_cohort_value" -> PipelineOracle.cohortValue,
+    "q170_hist2d_qbins" ->
+      // both axes' rank-based quantile edges re-derived in SQL (the q59
+      // formulas per axis), then half-open 2D Variable binning; a NULL
+      // on either axis indexes to -1/-… and drops (flow=false)
+      """WITH sx AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_quantity IS NOT NULL),
+        | cx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sx),
+        | rkx AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM sx),
+        | tgx AS (SELECT GREATEST(CAST(1 AS BIGINT), CAST(CEIL(CAST(j AS DOUBLE) / CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)) AS r
+        |   FROM (SELECT UNNEST(generate_series(1, 3)) AS j) CROSS JOIN cx),
+        | qex AS (SELECT DISTINCT rkx.v FROM rkx JOIN tgx ON tgx.r = rkx.r),
+        | mmx AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM sx),
+        | edx AS (SELECT DISTINCT v FROM (SELECT lo AS v FROM mmx UNION ALL SELECT v FROM qex UNION ALL SELECT hi AS v FROM mmx)),
+        | ecx AS (SELECT CAST(COUNT(*) AS BIGINT) - 1 AS nb FROM edx),
+        | erx AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM edx),
+        | sy AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        | cy AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sy),
+        | rky AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM sy),
+        | tgy AS (SELECT GREATEST(CAST(1 AS BIGINT), CAST(CEIL(CAST(j AS DOUBLE) / CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)) AS r
+        |   FROM (SELECT UNNEST(generate_series(1, 3)) AS j) CROSS JOIN cy),
+        | qey AS (SELECT DISTINCT rky.v FROM rky JOIN tgy ON tgy.r = rky.r),
+        | mmy AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM sy),
+        | edy AS (SELECT DISTINCT v FROM (SELECT lo AS v FROM mmy UNION ALL SELECT v FROM qey UNION ALL SELECT hi AS v FROM mmy)),
+        | ecy AS (SELECT CAST(COUNT(*) AS BIGINT) - 1 AS nb FROM edy),
+        | ery AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM edy),
+        | src AS (SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+        | ix AS (SELECT (SELECT COUNT(*) FROM edx WHERE edx.v <= src.x) - 1 AS i,
+        |   (SELECT COUNT(*) FROM edy WHERE edy.v <= src.y) - 1 AS j FROM src),
+        | f AS (SELECT i, j FROM ix CROSS JOIN ecx CROSS JOIN ecy WHERE i >= 0 AND i <= ecx.nb - 1 AND j >= 0 AND j <= ecy.nb - 1),
+        | g AS (SELECT i, j, CAST(COUNT(*) AS DOUBLE) AS cnt FROM f GROUP BY i, j)
+        | SELECT erx.v AS l_quantity_bins, ery.v AS l_extendedprice_bins, g.cnt
+        | FROM g JOIN erx ON erx.r = g.i + 1 JOIN ery ON ery.r = g.j + 1""".stripMargin.replaceAll("\n", "")
   )
 }

@@ -1319,4 +1319,65 @@ object PipelineOracle {
       "md5(COALESCE(string_agg(span, ' ' ORDER BY si) FILTER (WHERE NOT bp), '')) AS kept_md5 " +
       "FROM m GROUP BY doc_id"
   }
+
+  /** Mirrors Funnel.transitionMatrix: LAG over the total (us, event_id)
+    * order per user, counts per (from, to), one IEEE division for the
+    * row-conditional probability. */
+  val transitionMatrix: String =
+    "WITH o AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type FROM events " +
+      "WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL), " +
+      "m AS (SELECT event_type AS to_type, LAG(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY us, event_id) AS from_type FROM o), " +
+      "c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n " +
+      "FROM m WHERE from_type IS NOT NULL GROUP BY from_type, to_type) " +
+      "SELECT from_type, to_type, n, CAST(n AS DOUBLE) / " +
+      "CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p FROM c"
+
+  /** Mirrors TextAnalysis.vocabGrowth: identical '\S+' tokenization,
+    * per-token first doc, checkpoint buckets by integer floor division
+    * (doc ids non-negative), cumulative windows over the tiny bucket
+    * relation. */
+  def vocabGrowth(bucketSize: Long): String =
+    "WITH tk AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS tok " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "ft AS (SELECT tok, MIN(doc_id) AS fd FROM tk GROUP BY tok), " +
+      s"nt AS (SELECT fd // $bucketSize AS bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM ft GROUP BY 1), " +
+      s"vol AS (SELECT doc_id // $bucketSize AS bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tk GROUP BY 1) " +
+      "SELECT vol.bucket, vol.n_tokens, CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types, " +
+      "CAST(SUM(vol.n_tokens) OVER (ORDER BY vol.bucket) AS BIGINT) AS cum_tokens, " +
+      "CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY vol.bucket) AS BIGINT) AS cum_types " +
+      "FROM vol LEFT JOIN nt USING (bucket)"
+
+  /** Mirrors TextAnalysis.hashEmbed: identical tokenization, md5-hex
+    * dimension/sign hashing (engine-identical), exact signed-count sum. */
+  def hashEmbed(dim: Int): String =
+    "WITH tk AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS tok " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "h AS (SELECT doc_id, " +
+      s"('0x' || substr(md5(tok), 1, 6))::BIGINT % $dim AS dim, " +
+      "CASE WHEN ('0x' || substr(md5(tok), 7, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS s " +
+      "FROM tk) " +
+      "SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS v FROM h GROUP BY doc_id, dim"
+
+  /** Mirrors Funnel.cohortValue: the retention triangle's floor-division
+    * day math and cohort join, count + the Dec DECIMAL(38,14) value sum
+    * rendered through the exactDbl boundary. */
+  val cohortValue: String =
+    "WITH a AS (SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS d, value " +
+      "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), " +
+      "f AS (SELECT user_id, MIN(d) AS cohort_day FROM a GROUP BY user_id) " +
+      "SELECT f.cohort_day, a.d - f.cohort_day AS offset_days, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_events, " +
+      Oracle.exactDbl("SUM(TRY_CAST(CAST(a.value AS VARCHAR) AS DECIMAL(38,14)))") +
+      " AS value_sum FROM a JOIN f USING (user_id) GROUP BY 1, 2"
+
+  /** The derived inter-event-gap relation (mirrors Funnel.interEventGaps
+    * composed into the q168 histogram): LAG over the (us, event_id)
+    * total order, whole-second gaps (non-negative, so `//` == `div`). */
+  val interEventGapsSrc: String =
+    "(SELECT event_type, CAST((us - pus) // 1000000 AS DOUBLE) AS gap_s FROM " +
+      "(SELECT event_type, us, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus FROM " +
+      "(SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events " +
+      "WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL) o) m " +
+      "WHERE pus IS NOT NULL) __gaps"
 }

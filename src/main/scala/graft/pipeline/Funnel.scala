@@ -298,4 +298,92 @@ object Funnel {
       when(full,
         abs(col("n").cast("double") - meanC) > lit(k) * stdC).as("is_anomaly"))
   }
+
+  /** First-order Markov transition matrix over each user's event stream
+    * (journey analytics: which step follows which — the aggregate-matrix
+    * complement to q115's whole-path top-k): per ordered consecutive
+    * event pair within a user, count transitions (from_type, to_type)
+    * and the row-conditional probability p = n / Σ_to n.
+    *
+    * Determinism: consecutive-ness is defined by the TOTAL order
+    * (event time, event id) — the id breaks same-microsecond ties, so
+    * the lag is a pure function of the data in both engines.
+    *
+    * Scale shape: ONE user-keyed exchange feeds the lag window (state =
+    * one previous row per partition-sorted stream), then the corpus
+    * collapses to the |types|² transition relation — the conditional
+    * probability runs entirely on that tiny relation (unpartitioned-by-
+    * necessity window over ≤ |types|² rows, never corpus rows). The
+    * division is one IEEE op on exact longs (the q117 boundary
+    * convention). */
+  def transitionMatrix(events: DataFrame, tsCol: String = "event_time",
+      keyCol: String = "user_id", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val ordered = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"), col(idCol),
+        col(typeCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(idCol))
+    val pairs = ordered
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("p",
+        col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+  }
+
+  /** Per-user inter-event gaps (instrumentation QA / bot triage: a human
+    * pauses between actions, a bot or a stuck collector does not): for
+    * each event with a predecessor in its user's (time, id)-ordered
+    * stream, the gap in microseconds, labeled with the LATER event's
+    * type. Feeds the core histogram engine for the per-type gap
+    * distribution (q168) — the same lag-window shape as
+    * [[transitionMatrix]], ONE user-keyed exchange, map-only after. */
+  def interEventGaps(events: DataFrame, tsCol: String = "event_time",
+      keyCol: String = "user_id", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val ordered = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"), col(idCol),
+        col(typeCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(idCol))
+    ordered.withColumn("__pus", lag(col("__us"), 1).over(w))
+      .filter(col("__pus").isNotNull)
+      .select(col(keyCol), col(idCol), col(typeCol),
+        (col("__us") - col("__pus")).as("gap_us"))
+  }
+
+  /** Value-weighted cohort triangle (the LTV complement to [[retention]]'s
+    * user counts — how much VALUE each cohort generates at each age): per
+    * (cohort day, offset days), event count and the exact sum of `valueCol`.
+    *
+    * Cross-engine exactness: the value sum goes through Dec's
+    * DECIMAL(38,14) accumulation (order-independent, engine-identical;
+    * NaN/overflow rows skip as NULL in both engines — the q87 sessionize
+    * convention); counts are exact longs. NULL values keep their row in
+    * the count but not the sum, like SQL SUM.
+    *
+    * Scale shape: the cohort relation is one user-keyed aggregate (one
+    * row per user), joined back user-keyed — AQE co-partitions the two
+    * shuffles — then the corpus collapses to the (cohorts × offsets)
+    * triangle in one map-combinable aggregate. Same two-exchange shape
+    * as [[retention]], carrying one decimal beside the count. */
+  def cohortValue(events: DataFrame, tsCol: String = "event_time",
+      keyCol: String = "user_id", valueCol: String = "value"): DataFrame = {
+    val day = epochDay(tsCol)
+    val act = events.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol), day.as("__d"), col(valueCol).as("__v"))
+    val cohorts = act.groupBy(col(keyCol))
+      .agg(min(col("__d")).as("cohort_day"))
+    act.join(cohorts, Seq(keyCol))
+      .groupBy(col("cohort_day"), (col("__d") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.Dec.sumDec(col("__v")).as("value_sum"))
+  }
 }

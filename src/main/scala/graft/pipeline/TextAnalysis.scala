@@ -350,4 +350,76 @@ object TextAnalysis {
       .select(col("source"), col("term"), col("tf"), col("df"),
         col("score"), col("rank"))
   }
+
+  /** Heaps'-law vocabulary growth curve (corpus health: is the crawl
+    * still discovering new vocabulary, or has it saturated into
+    * duplicates/boilerplate?): docs are bucketed into ingestion
+    * checkpoints of `bucketSize` consecutive doc ids; per checkpoint,
+    * the number of NEVER-SEEN-BEFORE token types (first occurrence =
+    * minimal doc id holding the type), the token volume, and the running
+    * cumulative (tokens, types) pairs — the (N, V) points a Heaps fit
+    * consumes, kept log-free per the q113 convention.
+    *
+    * Scale shape: the only corpus-sized exchange is the token-keyed
+    * min-aggregate (map-combinable, Zipf-collapsed to the vocabulary);
+    * token volume per bucket is map-combinable straight off the scan.
+    * Both collapse to the ≤ |buckets| relation the cumulative windows
+    * run on (unpartitioned-by-necessity over checkpoint counts, never
+    * corpus rows). Doc ids are assumed non-negative (ingestion
+    * sequence); the bucket index is plain integer division. */
+  def vocabGrowth(docs: DataFrame, bucketSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketSize > 0, "bucketSize must be positive")
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("tok"))
+    // integer `div`, not `/`: the double detour would lose exactness for
+    // 2^53+ ingestion ids
+    val bucket = expr(s"doc_id div ${bucketSize}L")
+    val newTypes = toks.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("__first"))
+      .groupBy(expr(s"__first div ${bucketSize}L").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val volume = toks.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    volume.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .select(col("bucket"), col("n_tokens"), col("new_types"),
+        col("cum_tokens"), col("cum_types"))
+  }
+
+  /** Feature-hashing document embedding (the hashing trick: a fixed
+    * `dim`-dimensional representation with NO learned vocabulary — the
+    * classifier-feature / cheap-clustering front-end where the trained
+    * paths are q90/q124): each token hashes to a dimension (first 6 md5
+    * hex chars mod dim) and a sign (7th hex char parity, the standard
+    * collision-debiasing), the vector is the signed count per dimension.
+    * Emitted per-element (doc_id, dim, v) with zero dims absent — the
+    * sparse form downstream joins consume directly, and exactly
+    * comparable in the gate (the q150 rendering rationale).
+    *
+    * Cross-engine exactness: md5 hex is engine-identical, the hex->long
+    * conversions and mod are integer-exact, v is an exact long sum.
+    *
+    * Scale shape: explode + ONE (doc, dim)-keyed exchange whose
+    * map-side partial aggregate collapses each doc's token volume to at
+    * most `dim` rows BEFORE the shuffle (a doc's exploded tokens stay in
+    * its scan partition), so the exchange carries O(docs·dim), never
+    * token volume. No window, no join. */
+  def hashEmbed(docs: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("tok"))
+    val h = conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long")
+    val parity = conv(substring(md5(col("tok")), 7, 1), 16, 10).cast("long")
+    val sign = when(parity % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    toks.select(col("doc_id"), (h % dim).as("dim"), sign.as("__s"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("__s")).as("v"))
+  }
 }

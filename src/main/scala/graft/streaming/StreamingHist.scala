@@ -352,4 +352,52 @@ object StreamingHist {
           out.iterator
       }
   }
+
+  case class TransEvent(user_id: Long, us: Long, event_id: Long,
+    event_type: String)
+  case class TransPair(user_id: Long, us: Long, event_id: Long,
+    from_type: String, to_type: String)
+
+  /** STREAMING journey transitions: emit, for each arriving event, the
+    * (previous type -> this type) edge of its user's stream — the
+    * incremental feed behind pipeline.Funnel.transitionMatrix's matrix
+    * (counting the emitted pairs per (from, to) IS the batch matrix).
+    *
+    * State is ONE row per key (the latest (us, id, type) seen) — bounded
+    * by key cardinality, never event volume (the q127 discipline).
+    * Within a micro-batch the group's rows are walked in (us, id) order,
+    * the exact total order the batch lag window uses.
+    *
+    * Exactness contract: equal to the batch lag when each key's events
+    * arrive event-time-monotonically across micro-batches (any order
+    * within a batch is fine); a cross-batch out-of-order event chains
+    * onto the latest SEEN predecessor instead of its true one —
+    * documented staleness, same contract as [[streamingAsOf]]. Batch
+    * execution walks each key's whole stream in one sorted pass and
+    * equals the batch operator unconditionally — the oracle-gated
+    * configuration (q171). */
+  def streamingTransitions(events: Dataset[TransEvent]): Dataset[TransPair] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), TransPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[TransEvent],
+         state: GroupState[(Long, Long, String)]) =>
+          var prev = state.getOption // (us, event_id, type) latest seen
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransPair]
+          it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            prev match {
+              case Some((pus, pid, ptype))
+                  if pus < e.us || (pus == e.us && pid < e.event_id) =>
+                out += TransPair(user, e.us, e.event_id, ptype, e.event_type)
+                prev = Some((e.us, e.event_id, e.event_type))
+              case None =>
+                prev = Some((e.us, e.event_id, e.event_type))
+              case _ => // out-of-order vs state: not the latest; skip
+            }
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
 }

@@ -213,6 +213,24 @@ class EmptyInputSpec extends SparkSpec {
       7, 2.0, flushOpen = true).count() == 0)
   }
 
+  test("round-8 operators on empty input: no throws, sane shapes") {
+    import spark.implicits._
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("event_time", TimestampType),
+        StructField("value", DoubleType))))
+    assert(graft.pipeline.Funnel.transitionMatrix(emptyEv).count() == 0)
+    assert(graft.pipeline.Funnel.interEventGaps(emptyEv).count() == 0)
+    assert(graft.pipeline.Funnel.cohortValue(emptyEv).count() == 0)
+    assert(TextAnalysis.vocabGrowth(emptyDocs, 100L).count() == 0)
+    assert(TextAnalysis.hashEmbed(emptyDocs, 16).count() == 0)
+    assert(graft.streaming.StreamingHist.streamingTransitions(
+      spark.emptyDataset[graft.streaming.StreamingHist.TransEvent]).count() == 0)
+  }
+
   test("accessor arithmetic and multimodal on empty input") {
     val h = Histogram.histogram(emptyNum, col("x"), ax)
     assert(HistStats.add(h, h, ax, Nil).count() == 0)

@@ -1257,4 +1257,84 @@ class PipelineSpec extends SparkSpec {
     val t = Multimodal.thumbnail(out, box = 128).collect().head
     assert((t.thumb_w, t.thumb_h) == (128, 1), s"got (${t.thumb_w}, ${t.thumb_h})")
   }
+
+  test("transitionMatrix: (us, id) total order, conditional p per from-row") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 10L, "view", ts(1)), (1L, 11L, "click", ts(2)),
+      (1L, 12L, "view", ts(3)), (1L, 13L, "click", ts(4)),
+      // user 2: same-second tie broken by event_id (20 before 21)
+      (2L, 20L, "view", ts(5)), (2L, 21L, "purchase", ts(5)),
+      (3L, 30L, "view", ts(9)) // single event: no transition
+    ).toDF("user_id", "event_id", "event_type", "event_time")
+    val out = graft.pipeline.Funnel.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      ("view", "click") -> ((2L, 2.0 / 3.0)),
+      ("view", "purchase") -> ((1L, 1.0 / 3.0)),
+      ("click", "view") -> ((1L, 1.0))))
+  }
+
+  test("interEventGaps: gap to predecessor, labeled with the later type") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 10L, "view", ts(0)), (1L, 11L, "click", ts(7)),
+      (1L, 12L, "view", ts(9)),
+      (2L, 20L, "view", ts(100)) // no predecessor
+    ).toDF("user_id", "event_id", "event_type", "event_time")
+    val out = graft.pipeline.Funnel.interEventGaps(ev).collect()
+      .map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(out == Map(11L -> (("click", 7000000L)), 12L -> (("view", 2000000L))))
+  }
+
+  test("cohortValue: triangle cells carry exact counts and Dec value sums") {
+    def ts(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    val ev = Seq(
+      (1L, ts(0), Some(1.5)), (1L, ts(0), Some(2.25)), // cohort 0, offset 0
+      (1L, ts(2), Some(0.5)),                          // cohort 0, offset 2
+      (2L, ts(2), None),                               // NULL value: counted, not summed
+      (2L, ts(2), Some(4.0))
+    ).toDF("user_id", "event_time", "value")
+    val out = graft.pipeline.Funnel.cohortValue(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out == Map(
+      (0L, 0L) -> ((2L, Some(3.75))),
+      (0L, 2L) -> ((1L, Some(0.5))),
+      (2L, 0L) -> ((2L, Some(4.0)))))
+  }
+
+  test("vocabGrowth: first-occurrence types per checkpoint, running totals") {
+    val d = Seq(
+      (0L, "a b a"), (1L, "b c"),     // bucket 0: types a,b,c; 5 tokens
+      (2L, "c d"), (3L, "a d e")      // bucket 1: new d,e; 5 tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(d, bucketSize = 2L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out == Map(
+      0L -> ((5L, 3L, 5L, 3L)),
+      1L -> ((5L, 2L, 10L, 5L))))
+  }
+
+  test("hashEmbed: signed counts match a driver-side md5 re-derivation") {
+    val d = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("doc_id", "text")
+    val dim = 8
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expected(toks: Seq[String]): Map[Long, Long] =
+      toks.groupBy(t => java.lang.Long.parseLong(md5hex(t).take(6), 16) % dim)
+        .map { case (k, ts) =>
+          k -> ts.map(t =>
+            if (java.lang.Long.parseLong(md5hex(t).substring(6, 7), 16) % 2 == 0) 1L
+            else -1L).sum
+        }
+    val out = TextAnalysis.hashEmbed(d, dim).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(out(1L) == expected(Seq("alpha", "beta", "alpha")))
+    assert(out(2L) == expected(Seq("gamma")))
+  }
 }

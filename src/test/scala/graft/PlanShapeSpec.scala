@@ -344,4 +344,40 @@ class PlanShapeSpec extends SparkSpec {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, plan) // exactly the one exchange keyed by user
   }
+
+  test("transition matrix: one corpus-sized exchange (the lag window's)") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq((1L, 10L, "view", ts(1)), (1L, 11L, "click", ts(2)))
+      .toDF("user_id", "event_id", "event_type", "event_time")
+    val plan = executedPlan(graft.pipeline.Funnel.transitionMatrix(ev))
+    assert(!plan.contains("Join"), plan)
+    // user-keyed window exchange + the tiny post-aggregate exchanges; the
+    // corpus feeds exactly ONE hashpartitioning keyed by user_id
+    val userEx = plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .count(_.contains("user_id"))
+    assert(userEx == 1, plan)
+  }
+
+  test("hashEmbed: map-side combine before the one (doc, dim) exchange; no window/join") {
+    val plan = executedPlan(graft.pipeline.TextAnalysis.hashEmbed(docs, 16))
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1, plan)
+    // partial aggregate below the exchange collapses token volume to
+    // <= dim rows per doc before any data moves
+    val agg = plan.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_sum"))
+    assert(agg >= 1, plan)
+  }
+
+  test("vocabGrowth: cumulative windows run on the bucket relation, not the corpus") {
+    val plan = executedPlan(graft.pipeline.TextAnalysis.vocabGrowth(docs, 10L))
+    // the single window (the cumsum) sits above both aggregates — the
+    // corpus-sized relations see only groupBy exchanges
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, plan)
+    // the bucket relation carries no doc/token columns — a Window touching
+    // doc_id would mean the cumsum slipped below the aggregates
+    assert(windowLines.forall(l => !l.contains("doc_id")), plan)
+  }
 }

@@ -392,4 +392,37 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == closedBatch)
     } finally q.stop()
   }
+
+  test("streaming transitions: one-row state chains edges across micro-batches") {
+    import StreamingHist.{TransEvent, TransPair}
+    val all = Seq(
+      TransEvent(1L, 10L, 100L, "view"),      // batch 1
+      TransEvent(1L, 20L, 101L, "click"),
+      TransEvent(2L, 15L, 200L, "view"),
+      TransEvent(1L, 30L, 102L, "purchase"),  // batch 2: chains onto batch-1 click
+      TransEvent(2L, 15L, 201L, "view"),      // same-us tie: id order decides
+      TransEvent(2L, 40L, 202L, "click"))
+    val expect = Set(
+      TransPair(1L, 20L, 101L, "view", "click"),
+      TransPair(1L, 30L, 102L, "click", "purchase"),
+      TransPair(2L, 15L, 201L, "view", "view"),
+      TransPair(2L, 40L, 202L, "view", "click"))
+    // batch execution: one sorted pass per key == the batch lag window
+    assert(StreamingHist.streamingTransitions(all.toDS()).collect().toSet == expect)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TransEvent]
+    val q = StreamingHist.streamingTransitions(input.toDS())
+      .writeStream.format("memory").queryName("trans_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(all.take(3): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("trans_stream").as[TransPair].collect().toSet
+      // event-time-monotone arrival per key: streaming == batch
+      assert(streamed == expect)
+    } finally q.stop()
+  }
 }
