@@ -69,6 +69,8 @@ object SparkEntry {
   private val axCluster = IntegerAxis("c", 1L, 9L)
   private val axTokens = Regular("ws_tokens", 20, 0.0, 500.0)
   private val axPropsK = Regular("k", 20, 0.0, 100.0)
+  private val axSessDur = Regular("dur_s", 24, 0.0, 86400.0)
+  private val axFert = Regular("fertility", 16, 1.0, 3.0)
 
   /** Training-mix rates for q58: oversample low-index sources. */
   private val mixRates: Map[String, Double] =
@@ -1324,6 +1326,86 @@ object SparkEntry {
         .withColumn("p",
           col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
         .select(col("from_type"), col("to_type"), col("n"), col("p"))
+    },
+    "q172_distinct_contract" -> { (s, dir) =>
+      // the COUNT(DISTINCT) 100 TB knob: HLL++ at rsd=0.05 must land
+      // within 15% of the exact per-type distinct-user count — the
+      // estimate is merge-order-independent but engine-specific, so the
+      // gate pins the contract verdict beside the exact count (q157
+      // convention)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Contracts.hllDistinctContract(
+        t(dir, "events"), "event_type", col("user_id"),
+        rsd = 0.05, bound = 0.15)
+    },
+    "q173_session_duration_hist" -> { (s, dir) =>
+      // session-length distribution (engagement dashboard): the q87
+      // sessions' active spans in whole seconds -> the core histogram
+      // engine, flow catching beyond-a-day sessions
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val gapUs = 6L * 3600 * 1000000
+      val dur = graft.streaming.StreamingHist.sessionize(
+          ev, "event_time", "user_id", "6 hours", col("value"))
+        .select(((unix_micros(col("session_end")) - lit(gapUs) -
+          unix_micros(col("session_start"))) / lit(1000000L))
+          .cast("long").cast("double").as("dur_s"))
+      Histogram.histogram(dur, col("dur_s"), axSessDur,
+        opts = HistOptions(flow = true))
+    },
+    "q174_score_blend" -> { (s, dir) =>
+      // multi-signal quality rank fusion: mean of the within-source
+      // percentiles of (n_chars, ws_tokens) — rank-normalize before
+      // blending so no signal's scale dominates
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.blendPercentiles(t(dir, "documents"), Seq(
+        "chars" -> col("n_chars").cast("double"),
+        "tokens" -> regexp_count(col("text"), lit("\\S+")).cast("double")))
+    },
+    "q175_corpus_rollup" -> { (s, dir) =>
+      // corpus dashboard with subtotals: docs/tokens per (source, lang),
+      // per source, and the grand total in ONE aggregate pass (Spark
+      // rollup == ANSI GROUP BY ROLLUP; exact longs)
+      implicit val sp: SparkSession = s
+      TextAnalysis.corpusRollup(t(dir, "documents"))
+    },
+    "q176_event_dedup" -> { (s, dir) =>
+      // rapid-fire duplicate suppression (double fires / retry storms):
+      // keep the first event of each (user, type) burst — one lag
+      // window over the (us, id) total order, kept subset out
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.suppressRapidFire(ev, gapSec = 60L)
+    },
+    "q177_stream_distinct" -> { (s, dir) =>
+      // windowed distinct users (the per-window DAU form): batch
+      // execution of the streaming operator — exact count_distinct over
+      // the integer window key; the streaming form chains watermarked
+      // dropDuplicates into an additive count (StreamingSpec pins
+      // streaming == batch across micro-batches)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.windowedDistinct(
+        ev, "event_time", "user_id", "1 hour")
+    },
+    "q178_embed_normalize" -> { (s, dir) =>
+      // unit-L2 normalization: every downstream cosine becomes a plain
+      // dot product, paid once per corpus — map-only (codegen vec_dot
+      // fold in the projection), zero exchanges, per-element rendering
+      implicit val sp: SparkSession = s
+      Similarity.normalizeL2(t(dir, "embeddings"))
+    },
+    "q179_tokenizer_fertility" -> { (s, dir) =>
+      // tokenizer fertility (tokens per whitespace word) per language:
+      // one map-only projection (langId argmax + both token counts),
+      // one IEEE division, then the histogram engine with flow
+      implicit val sp: SparkSession = s
+      Histogram.histogram(TextAnalysis.fertility(t(dir, "documents")),
+        col("fertility"), axFert, dims = Seq("lang"),
+        opts = HistOptions(flow = true))
     }
   )
 

@@ -1380,4 +1380,117 @@ object PipelineOracle {
       "(SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events " +
       "WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL) o) m " +
       "WHERE pus IS NOT NULL) __gaps"
+
+  /** The derived session-duration relation (mirrors
+    * StreamingHist.sessionize's lag/cumsum identity composed into the
+    * q173 histogram): active span MAX(us)-MIN(us) per session in whole
+    * seconds (non-negative, `//` == `div`). Same NULL-ts-only filter
+    * and us-ordered LAG as the q87 oracle. */
+  def sessionDurationSrc(gapUs: Long): String =
+    "(SELECT CAST((MAX(us) - MIN(us)) // 1000000 AS DOUBLE) AS dur_s FROM " +
+      "(SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id ORDER BY us " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM " +
+      "(SELECT user_id, us, CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) " +
+      s"> $gapUs THEN 1 ELSE 0 END AS brk FROM " +
+      "(SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events WHERE ts IS NOT NULL) o) m) s " +
+      "GROUP BY user_id, sid) __sd"
+
+  /** Mirrors Funnel.suppressRapidFire: LAG over the (us, event_id) total
+    * order within (user, type); kept = first-of-stream or gap strictly
+    * greater than the threshold. */
+  def suppressRapidFire(gapSec: Long): String =
+    "SELECT event_id, user_id, event_type, us, value FROM " +
+      "(SELECT event_id, user_id, event_type, us, value, " +
+      "LAG(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS pus FROM " +
+      "(SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us, value FROM events " +
+      "WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL " +
+      "AND event_id IS NOT NULL) o) m " +
+      s"WHERE pus IS NULL OR us - pus > ${gapSec * 1000000L}"
+
+  /** Mirrors TextAnalysis.corpusRollup: the langId argmax + whitespace
+    * token count per doc, then ANSI GROUP BY ROLLUP (source, lang) with
+    * exact BIGINT counts (DuckDB SUM(BIGINT) widens to HUGEINT — cast
+    * back at the boundary). */
+  def corpusRollup: String = {
+    def occ(pat: String): String = {
+      val esc = pat.replace("'", "''")
+      s"CAST((length(p) - length(replace(p, '$esc', ''))) / ${pat.length} AS BIGINT)"
+    }
+    val scores = TextAnalysis.langMarkers
+      .map { case (lang, pats) => pats.map(occ).mkString(" + ") + s" AS s_$lang" }
+      .mkString(", ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val pred = langs.map { lang =>
+      val isMax = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN s_$lang > 0 AND $isMax THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    "WITH s AS (SELECT source, " + scores +
+      ", CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok " +
+      "FROM (SELECT source, text, ' ' || text || ' ' AS p FROM documents)), " +
+      s"l AS (SELECT source, $pred AS lang, tok FROM s) " +
+      "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(tok) AS BIGINT) AS n_tokens FROM l GROUP BY ROLLUP (source, lang)"
+  }
+
+  /** The derived tokenizer-fertility relation (mirrors
+    * TextAnalysis.fertility composed into the q179 histogram): langId
+    * argmax + both token counts per doc, one IEEE division of exact
+    * longs, zero-word docs excluded. */
+  def fertilitySrc: String = {
+    def occ(pat: String): String = {
+      val esc = pat.replace("'", "''")
+      s"CAST((length(p) - length(replace(p, '$esc', ''))) / ${pat.length} AS BIGINT)"
+    }
+    val scores = TextAnalysis.langMarkers
+      .map { case (lang, pats) => pats.map(occ).mkString(" + ") + s" AS s_$lang" }
+      .mkString(", ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val pred = langs.map { lang =>
+      val isMax = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN s_$lang > 0 AND $isMax THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    "(WITH s AS (SELECT source, " + scores +
+      ", CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws, " +
+      "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe " +
+      "FROM (SELECT source, text, ' ' || text || ' ' AS p FROM documents)) " +
+      s"SELECT $pred AS lang, CAST(bpe AS DOUBLE) / CAST(ws AS DOUBLE) AS fertility " +
+      "FROM s WHERE ws > 0) __ft"
+  }
+
+  /** Mirrors Curation.blendPercentiles over (n_chars, ws_tokens): the
+    * same (value, doc_id) row_number ranks, the same left-associated
+    * (p_chars + p_tokens) / 2 IEEE blend. */
+  val blendPercentiles: String =
+    "WITH b AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS sc, " +
+      "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS st FROM documents), " +
+      "n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY source), " +
+      "r AS (SELECT doc_id, source, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY sc, doc_id) - 1 AS rc, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY st, doc_id) - 1 AS rt FROM b), " +
+      "p AS (SELECT r.doc_id, r.source, " +
+      "CASE WHEN n.n = 1 THEN CAST(0 AS DOUBLE) ELSE CAST(rc AS DOUBLE) / CAST(n.n - 1 AS DOUBLE) END AS pctl_chars, " +
+      "CASE WHEN n.n = 1 THEN CAST(0 AS DOUBLE) ELSE CAST(rt AS DOUBLE) / CAST(n.n - 1 AS DOUBLE) END AS pctl_tokens " +
+      "FROM r JOIN n USING (source)) " +
+      "SELECT doc_id, source, pctl_chars, pctl_tokens, " +
+      "(pctl_chars + pctl_tokens) / CAST(2 AS DOUBLE) AS blend FROM p"
+
+  /** Mirrors Similarity.normalizeL2: the q150 per-element rendering with
+    * the dot-product oracles' ordered-sum norm (SQRT(SUM(v*v ORDER BY
+    * i))); zero-norm components NULL. */
+  val normalizeL2: String =
+    "WITH el AS (SELECT vec_id, CAST(i AS INT) AS i, " +
+      "CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v " +
+      "FROM (SELECT vec_id, embedding, UNNEST(generate_series(1, len(embedding))) AS i FROM embeddings)), " +
+      "n AS (SELECT vec_id, SQRT(SUM(v * v ORDER BY i)) AS nrm FROM el GROUP BY vec_id) " +
+      "SELECT el.vec_id, el.i, n.nrm, " +
+      "CASE WHEN n.nrm = CAST(0 AS DOUBLE) THEN NULL ELSE el.v / n.nrm END AS x " +
+      "FROM el JOIN n USING (vec_id)"
+
+  /** Mirrors StreamingHist.windowedDistinct's batch form: floor-division
+    * tumbling window (pmod == `//` on any sign), exact COUNT(DISTINCT). */
+  def windowedDistinct(durUs: Long): String =
+    s"SELECT make_timestamp(ws) AS window_start, " +
+      "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys FROM " +
+      s"(SELECT ((epoch_ns(ts) // 1000) // $durUs) * $durUs AS ws, user_id FROM events " +
+      "WHERE ts IS NOT NULL AND user_id IS NOT NULL) w GROUP BY ws"
 }

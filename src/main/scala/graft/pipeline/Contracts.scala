@@ -150,6 +150,30 @@ object Contracts {
           .as("within_bound"))
   }
 
+  /** HyperLogLog++ distinct-count contract (the COUNT(DISTINCT) 100 TB
+    * knob): per key, `approx_count_distinct` at `rsd` must land within
+    * `bound` relative error of the exact distinct count. HLL++ registers
+    * merge by element-wise max, so the estimate is a pure function of
+    * the DATA — partitioning- and merge-order-independent — but it
+    * cannot value-hash against another engine's HLL implementation, so
+    * the gate pins the contract verdict beside the exact count (the
+    * q157 convention). The approx aggregate is the scale path (fixed
+    * register arrays per group, no distinct expand); the exact
+    * count_distinct is the gate-scale QA pass. NULL values skip in both
+    * aggregates (and in the oracle's COUNT(DISTINCT)); a key whose
+    * values are all NULL yields (0, true) in both engines. */
+  def hllDistinctContract(df: DataFrame, keyCol: String, value: Column,
+      rsd: Double, bound: Double): DataFrame = {
+    require(rsd > 0.0 && bound > 0.0, "rsd and bound must be positive")
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(approx_count_distinct(value, rsd).as("__est"),
+        count_distinct(value).as("n_exact"))
+      .select(col(keyCol), col("n_exact"),
+        (abs(col("__est") - col("n_exact")).cast("double") <=
+          lit(bound) * col("n_exact").cast("double")).as("within_bound"))
+  }
+
   /** ANN recall contract (the q46/q52 knobs at their FIXED probe
     * budgets): micro-averaged recall of an approximate top-k against the
     * exact top-k — total hits over total expected, both exact longs, so

@@ -208,4 +208,38 @@ object Curation {
           .otherwise((col("__r") - 1).cast("double") /
             (col("__n") - 1).cast("double")).as("pctl"))
   }
+
+  /** Multi-signal quality blend: the mean of each doc's within-source
+    * percentile ranks over several score signals — rank-normalizing
+    * every signal before blending so no signal's scale dominates (the
+    * rank-fusion complement to q153's parametric z-scores; the
+    * multi-signal form of [[percentileBySource]]). Each percentile uses
+    * the same deterministic (value, doc_id) row_number rule; the blend
+    * is one left-associated IEEE sum over the percentiles divided by
+    * the signal count, mirrored verbatim in the oracle.
+    *
+    * Scale shape: every rank window partitions by the SAME source key,
+    * so all of them (and the count) share ONE source-keyed exchange —
+    * Spark reuses the partitioning and only re-sorts per window. */
+  def blendPercentiles(docs: DataFrame,
+      scores: Seq[(String, Column)]): DataFrame = {
+    require(scores.nonEmpty, "need at least one score signal")
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy(col("source"))
+    val base = docs.select(col("doc_id") +: col("source") +:
+      scores.map { case (n, c) => c.as(s"__s_$n") }: _*)
+    val withP = scores.foldLeft(base.withColumn("__n", count(lit(1)).over(bySource))) {
+      case (df, (n, _)) =>
+        val ranked = Window.partitionBy(col("source"))
+          .orderBy(col(s"__s_$n"), col("doc_id"))
+        df.withColumn(s"pctl_$n",
+          when(col("__n") === 1L, lit(0.0))
+            .otherwise((row_number().over(ranked) - 1).cast("double") /
+              (col("__n") - 1).cast("double")))
+    }
+    val blend = scores.map { case (n, _) => col(s"pctl_$n") }.reduce(_ + _) /
+      lit(scores.size.toDouble)
+    withP.select(col("doc_id") +: col("source") +:
+      scores.map { case (n, _) => col(s"pctl_$n") } :+ blend.as("blend"): _*)
+  }
 }

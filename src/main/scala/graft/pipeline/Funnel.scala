@@ -359,6 +359,39 @@ object Funnel {
         (col("__us") - col("__pus")).as("gap_us"))
   }
 
+  /** Rapid-fire duplicate-event suppression (instrumentation QA: double
+    * fires, retry storms, bot bursts): keep an event iff it is the FIRST
+    * of its (user, type) stream or arrived more than `gapSec` after its
+    * raw predecessor in that stream. This is the burst-collapse rule —
+    * one survivor per activity burst, exactly the session STARTS of a
+    * gapSec sessionization of the (user, type) stream — so the verdict
+    * is a pure per-row function of the (time, id)-ordered data: one lag
+    * window, no iteration, deterministic under any partitioning. (The
+    * "last KEPT event" chained variant needs stateful recursion; the
+    * burst-collapse form is the one large pipelines use because it is
+    * declarative and idempotent.)
+    *
+    * Scale shape: one (user, type)-keyed exchange feeds the lag window;
+    * the filter and projection are map-side. Output is the kept subset
+    * with epoch-micro timestamps — linear in survivors. */
+  def suppressRapidFire(events: DataFrame, gapSec: Long,
+      tsCol: String = "event_time", keyCol: String = "user_id",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(gapSec > 0, s"gapSec must be positive: $gapSec")
+    val w = Window.partitionBy(col(keyCol), col(typeCol))
+      .orderBy(col("__us"), col(idCol))
+    events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull &&
+        col(typeCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol), col(keyCol), col(typeCol),
+        unix_micros(col(tsCol)).as("__us"), col("value"))
+      .withColumn("__pus", lag(col("__us"), 1).over(w))
+      .filter(col("__pus").isNull ||
+        col("__us") - col("__pus") > lit(gapSec * 1000000L))
+      .select(col(idCol), col(keyCol), col(typeCol),
+        col("__us").as("us"), col("value"))
+  }
+
   /** Value-weighted cohort triangle (the LTV complement to [[retention]]'s
     * user counts — how much VALUE each cohort generates at each age): per
     * (cohort day, offset days), event count and the exact sum of `valueCol`.

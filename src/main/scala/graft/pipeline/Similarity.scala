@@ -608,6 +608,23 @@ object Similarity {
             .cast("long")).as("q"))
   }
 
+  /** Unit-L2 normalization — the preprocessing step that turns every
+    * cosine downstream (ANN, SemDeDup, hard negatives) into a plain dot
+    * product, paid ONCE per corpus instead of per pair. Entirely
+    * map-side like [[quantizeInt8]]: the norm is the codegen'd
+    * vec_dot(v, v) left-to-right fold inside the projection (the same
+    * fold order the dot-product oracles pin with SUM(v*v ORDER BY i)),
+    * zero exchanges. Emitted per element so the gate compares exactly;
+    * zero-norm vectors yield NULL components (no ±inf/NaN), norm 0
+    * kept alongside for the caller's filter. */
+  def normalizeL2(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), norm(col("embedding")).as("nrm"),
+        posexplode(col("embedding")).as(Seq("__i", "__v")))
+      .select(col("vec_id"), (col("__i") + 1).cast("int").as("i"),
+        col("nrm"),
+        when(col("nrm") === lit(0.0), lit(null).cast("double"))
+          .otherwise(col("__v").cast("double") / col("nrm")).as("x"))
+
   /** SemDeDup (semantic dedup via embedding clustering, Abbas et al.
     * 2023, arXiv:2303.09540): k-means-cluster the corpus, then within
     * each cell drop every vector with a higher-priority near-twin

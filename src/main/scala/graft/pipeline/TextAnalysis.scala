@@ -42,20 +42,58 @@ object TextAnalysis {
     * input (q134) without a second scan or a doc-keyed join; the score
     * subexpressions repeat across the when-chain, which whole-stage
     * codegen's common-subexpression elimination collapses. */
-  def langTokens(docs: DataFrame): DataFrame = {
+  def langTokens(docs: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    docs.select(Seq(col("doc_id"), langPred.as("lang"),
+      regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens")) ++
+      extra.map(col): _*)
+
+  /** The [[langId]] argmax as one reusable Column (the score
+    * subexpressions repeat across the when-chain; codegen's CSE
+    * collapses them). */
+  private def langPred: Column = {
     val padded = concat(lit(" "), col("text"), lit(" "))
     val scores: Map[String, Column] = langMarkers.map { case (l, pats) =>
       l -> pats.map(p => occurrences(padded, p)).reduce(_ + _)
     }.toMap
     val langs = langMarkers.map(_._1)
-    val pred = langs.foldRight(lit("und")) { (lang, els) =>
+    langs.foldRight(lit("und")) { (lang, els) =>
       val isMax = langs.filter(_ != lang)
         .map(o => scores(lang) >= scores(o)).reduce(_ && _)
       when(scores(lang) > 0 && isMax, lit(lang)).otherwise(els)
     }
-    docs.select(col("doc_id"), pred.as("lang"),
-      regexp_count(col("text"), lit("\\S+")).cast("long").as("ws_tokens"))
   }
+
+  /** Corpus dashboard with subtotals: docs and whitespace tokens per
+    * (source, language), per source, and the grand total in ONE
+    * aggregate pass — Spark's `rollup` is ANSI GROUP BY ROLLUP, so the
+    * subtotal semantics gate directly. Subtotal rows carry NULL group
+    * keys; `lang` is never NULL ([[langId]] yields "und") and `source`
+    * is a generated key, so NULLs unambiguously mark the rollup levels.
+    * Exact long counts/sums only. Plan: one map-only projection (the
+    * langId argmax + token count), one Expand (3 grouping sets), one
+    * keyed exchange with map-side partial aggregation. */
+  def corpusRollup(docs: DataFrame): DataFrame =
+    langTokens(docs, Seq("source"))
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("n_tokens"))
+
+  /** Tokenizer fertility (tokens emitted per whitespace word) per
+    * language — the corpus-health number behind "this tokenizer is
+    * inefficient on language X" decisions. One map-only projection
+    * computes the language argmax and BOTH token counts ([[tokens]]'
+    * BPE-ish segmentation over [[langTokens]]' whitespace count); the
+    * ratio is one IEEE division of exact longs; zero-word docs are
+    * excluded (no 0/0). Feed the result to the histogram engine for the
+    * per-language fertility distribution (q179). */
+  def fertility(docs: DataFrame): DataFrame =
+    docs.select(langPred.as("lang"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("__ws"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+          .cast("long").as("__bpe"))
+      .filter(col("__ws") > 0L)
+      .select(col("lang"),
+        (col("__bpe").cast("double") / col("__ws").cast("double"))
+          .as("fertility"))
 
   /** English stopword markers for the quality stopword ratio (space-
     * delimited occurrence counting over ' '-padded text). */

@@ -231,6 +231,40 @@ object StreamingHist {
     }
   }
 
+  /** Event-time windowed distinct keys (the per-window DAU form over a
+    * stream): per tumbling window, the EXACT number of distinct
+    * `keyCol` values. Streaming chains two stateful operators: a
+    * watermarked dropDuplicates on (window, key) — state is one row per
+    * distinct key per open window, evicted with the watermark — feeding
+    * an additive windowed count, so the count aggregate itself never
+    * holds a set. Batch execution computes count_distinct over the
+    * integer window key (the windowedHistogram convention), identical
+    * rows. When per-window key cardinality itself is too large to
+    * state, the HLL sketch is the bounded-state alternative — its error
+    * contract is gated as q172. */
+  def windowedDistinct(df: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, watermark: String = "10 seconds"): DataFrame = {
+    if (df.isStreaming) {
+      df.withWatermark(tsCol, watermark)
+        .filter(col(keyCol).isNotNull)
+        .select(window(col(tsCol), windowDuration).as("win"),
+          col(keyCol).as("__k"))
+        .dropDuplicates("win", "__k")
+        .groupBy(col("win"))
+        .agg(count(lit(1)).as("n_keys"))
+        .select(col("win.start").as("window_start"), col("n_keys"))
+    } else {
+      val durUs = fixedWindowUs(windowDuration)
+      val us = unix_micros(col(tsCol))
+      df.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+        .select((us - pmod(us, lit(durUs))).as("__ws"), col(keyCol).as("__k"))
+        .groupBy(col("__ws"))
+        .agg(count_distinct(col("__k")).as("n_keys"))
+        .select(timestamp_micros(col("__ws")).as("window_start"),
+          col("n_keys"))
+    }
+  }
+
   case class RateEvent(event_type: String, us: Long)
   case class RateState(openDay: Long, openCnt: Long, closed: List[Long])
   case class RateVerdict(event_type: String, day: Long, n: Long,
