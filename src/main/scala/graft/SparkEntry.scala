@@ -1313,7 +1313,7 @@ object SparkEntry {
       import sp.implicits._
       val ev = t(dir, "events")
         .filter(col("ts").isNotNull && col("user_id").isNotNull &&
-          col("event_type").isNotNull)
+          col("event_type").isNotNull && col("event_id").isNotNull)
         .select(col("user_id"), expr("ts div 1000").as("us"),
           col("event_id"), col("event_type"))
         .as[graft.streaming.StreamingHist.TransEvent]
@@ -1905,6 +1905,23 @@ object SparkEntry {
         | f AS (SELECT i, j FROM ix CROSS JOIN ecx CROSS JOIN ecy WHERE i >= 0 AND i <= ecx.nb - 1 AND j >= 0 AND j <= ecy.nb - 1),
         | g AS (SELECT i, j, CAST(COUNT(*) AS DOUBLE) AS cnt FROM f GROUP BY i, j)
         | SELECT erx.v AS l_quantity_bins, ery.v AS l_extendedprice_bins, g.cnt
-        | FROM g JOIN erx ON erx.r = g.i + 1 JOIN ery ON ery.r = g.j + 1""".stripMargin.replaceAll("\n", "")
+        | FROM g JOIN erx ON erx.r = g.i + 1 JOIN ery ON ery.r = g.j + 1""".stripMargin.replaceAll("\n", ""),
+    // HLL++ estimates are engine-specific, so the gate pins the contract
+    // verdict beside the exact distinct count (the q157 convention);
+    // NULL values skip in both engines' distinct aggregates
+    "q172_distinct_contract" ->
+      ("SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, " +
+        "TRUE AS within_bound FROM events WHERE event_type IS NOT NULL " +
+        "GROUP BY event_type"),
+    "q173_session_duration_hist" -> Oracle.hist(
+      PipelineOracle.sessionDurationSrc(21600000000L),
+      Seq(Oracle.Spec("dur_s", axSessDur)), flow = true),
+    "q174_score_blend" -> PipelineOracle.blendPercentiles,
+    "q175_corpus_rollup" -> PipelineOracle.corpusRollup,
+    "q176_event_dedup" -> PipelineOracle.suppressRapidFire(60L),
+    "q177_stream_distinct" -> PipelineOracle.windowedDistinct(3600000000L),
+    "q178_embed_normalize" -> PipelineOracle.normalizeL2,
+    "q179_tokenizer_fertility" -> Oracle.hist(PipelineOracle.fertilitySrc,
+      Seq(Oracle.Spec("fertility", axFert)), dims = Seq("lang"), flow = true)
   )
 }

@@ -1325,7 +1325,8 @@ object PipelineOracle {
     * row-conditional probability. */
   val transitionMatrix: String =
     "WITH o AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type FROM events " +
-      "WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL), " +
+      "WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL " +
+      "AND event_id IS NOT NULL), " +
       "m AS (SELECT event_type AS to_type, LAG(event_type) OVER " +
       "(PARTITION BY user_id ORDER BY us, event_id) AS from_type FROM o), " +
       "c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n " +
@@ -1378,7 +1379,8 @@ object PipelineOracle {
     "(SELECT event_type, CAST((us - pus) // 1000000 AS DOUBLE) AS gap_s FROM " +
       "(SELECT event_type, us, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pus FROM " +
       "(SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events " +
-      "WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL) o) m " +
+      "WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL " +
+      "AND event_id IS NOT NULL) o) m " +
       "WHERE pus IS NOT NULL) __gaps"
 
   /** The derived session-duration relation (mirrors

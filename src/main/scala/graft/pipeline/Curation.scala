@@ -230,8 +230,11 @@ object Curation {
       scores.map { case (n, c) => c.as(s"__s_$n") }: _*)
     val withP = scores.foldLeft(base.withColumn("__n", count(lit(1)).over(bySource))) {
       case (df, (n, _)) =>
+        // asc_nulls_last: Spark's ASC default is NULLS FIRST where
+        // DuckDB's is NULLS LAST — a NULL score (e.g. NULL text) must
+        // rank identically in both engines or every rank shifts
         val ranked = Window.partitionBy(col("source"))
-          .orderBy(col(s"__s_$n"), col("doc_id"))
+          .orderBy(col(s"__s_$n").asc_nulls_last, col("doc_id"))
         df.withColumn(s"pctl_$n",
           when(col("__n") === 1L, lit(0.0))
             .otherwise((row_number().over(ranked) - 1).cast("double") /

@@ -320,8 +320,11 @@ object Funnel {
       keyCol: String = "user_id", typeCol: String = "event_type",
       idCol: String = "event_id"): DataFrame = {
     val ordered = events
+      // idCol is the same-microsecond tie-breaker: a NULL id would sort
+      // NULLS FIRST here but NULLS LAST in the oracle's LAG, so it is
+      // excluded like the other key columns (the suppressRapidFire rule)
       .filter(col(tsCol).isNotNull && col(keyCol).isNotNull &&
-        col(typeCol).isNotNull)
+        col(typeCol).isNotNull && col(idCol).isNotNull)
       .select(col(keyCol), unix_micros(col(tsCol)).as("__us"), col(idCol),
         col(typeCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(idCol))
@@ -348,8 +351,10 @@ object Funnel {
       keyCol: String = "user_id", typeCol: String = "event_type",
       idCol: String = "event_id"): DataFrame = {
     val ordered = events
+      // NULL idCol excluded for the same ordering-parity reason as
+      // [[transitionMatrix]]
       .filter(col(tsCol).isNotNull && col(keyCol).isNotNull &&
-        col(typeCol).isNotNull)
+        col(typeCol).isNotNull && col(idCol).isNotNull)
       .select(col(keyCol), unix_micros(col(tsCol)).as("__us"), col(idCol),
         col(typeCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(idCol))

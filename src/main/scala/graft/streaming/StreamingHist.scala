@@ -400,7 +400,13 @@ object StreamingHist {
     * State is ONE row per key (the latest (us, id, type) seen) — bounded
     * by key cardinality, never event volume (the q127 discipline).
     * Within a micro-batch the group's rows are walked in (us, id) order,
-    * the exact total order the batch lag window uses.
+    * the exact total order the batch lag window uses. NOTE: that walk
+    * materializes and sorts the key's rows for the CURRENT micro-batch
+    * (or, under batch execution, the key's whole stream), so transient
+    * per-task memory is bounded by the largest key's per-batch volume —
+    * the persisted STATE stays one row. For batch jobs with very hot
+    * keys, prefer pipeline.Funnel.transitionMatrix's lag window, which
+    * sorts by spillable shuffle instead of an in-memory buffer.
     *
     * Exactness contract: equal to the batch lag when each key's events
     * arrive event-time-monotonically across micro-batches (any order
