@@ -91,4 +91,17 @@ class ContractsSpec extends SparkSpec {
     assert(out.nonEmpty && out.length % 3 == 0)
     assert(out.forall(_.getAs[Boolean]("within_bound")))
   }
+
+  test("HLL distinct contract: bound holds per key; all-NULL key is (0, true)") {
+    val ev = ((1 to 2000).map(i => ("t" + (i % 2), Some((i % 97).toLong))) ++
+      Seq(("t9", None: Option[Long]), ("t9", None: Option[Long])))
+      .toDF("event_type", "user_id")
+    val out = Contracts.hllDistinctContract(
+        ev, "event_type", col("user_id"), rsd = 0.05, bound = 0.15)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // NULL values skip in both distinct aggregates: |0 - 0| <= 0.15*0 holds
+    assert(out("t9") == ((0L, true)))
+    assert(out("t0")._1 == 97L && out("t1")._1 == 97L) // exact side is exact
+    assert(out.values.forall(_._2)) // rsd=0.05 estimate within the 15% bound
+  }
 }

@@ -1337,4 +1337,62 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) == expected(Seq("alpha", "beta", "alpha")))
     assert(out(2L) == expected(Seq("gamma")))
   }
+
+  test("suppressRapidFire: gap exactly gapSec drops; raw-predecessor rule") {
+    import graft.pipeline.Funnel
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (100L, 1L, "click", ts(0), 1.0),
+      (101L, 1L, "click", ts(60), 2.0),  // gap EXACTLY 60 s: not > gap, dropped
+      // 61 s after its RAW predecessor (the dropped 101), only 121 s
+      // after the last KEPT one — burst-collapse keys off the raw stream
+      (102L, 1L, "click", ts(121), 3.0),
+      (103L, 1L, "view", ts(1), 4.0),    // separate (user, type) stream
+      (104L, 2L, "click", ts(2), 5.0)
+    ).toDF("event_id", "user_id", "event_type", "event_time", "value")
+    val kept = Funnel.suppressRapidFire(ev, gapSec = 60L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 102L, 103L, 104L))
+  }
+
+  test("blendPercentiles: single-doc source is 0; NULL score ranks last") {
+    import graft.pipeline.Curation
+    val d = Seq(
+      (1L, "aa", "s1"), (2L, "aaaa", "s1"),
+      (3L, null, "s1"),  // NULL text -> NULL score: must rank LAST (DuckDB parity)
+      (9L, "solo", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.blendPercentiles(d,
+        Seq("len" -> length(col("text")).cast("double")))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((0.0, 0.0)))
+    assert(out(2L) == ((0.5, 0.5)))
+    assert(out(3L) == ((1.0, 1.0))) // NULLS LAST: the NULL score takes the top rank
+    assert(out(9L) == ((0.0, 0.0))) // single-doc source: percentile 0 by definition
+  }
+
+  test("fertility: zero-word docs excluded; BPE-ish over whitespace ratio") {
+    val d = Seq((1L, "the fox"), (2L, "   "), (3L, "don't stop"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fertility(d).collect().map(_.getDouble(1)).sorted
+    // "the fox": 2 bpe / 2 ws = 1.0; "don't stop": don,',t,stop = 4 bpe / 2 ws
+    // = 2.0; the whitespace-only doc has ws=0 and must be excluded (no 0/0)
+    assert(out.toSeq == Seq(1.0, 2.0))
+  }
+
+  test("corpusRollup: leaf, per-source, and grand-total levels in one pass") {
+    val d = Seq(
+      (1L, "the quick fox", "s1"), (2L, "a b", "s1"), (3L, "x", "s2")
+    ).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.corpusRollup(d).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3)))
+    // grand total: NULL source+lang marks the rollup level (lang itself
+    // is never NULL — langId yields "und")
+    assert(rows.contains((None, None, 3L, 6L)))
+    val s1 = rows.filter(t => t._1.contains("s1") && t._2.isEmpty)
+    assert(s1.toSeq == Seq((Some("s1"), None, 2L, 5L)))
+    val leafTotals = rows.filter(t => t._1.nonEmpty && t._2.nonEmpty)
+    assert(leafTotals.map(_._3).sum == 3L && leafTotals.map(_._4).sum == 6L)
+  }
 }

@@ -425,4 +425,38 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == expect)
     } finally q.stop()
   }
+
+  test("windowed distinct: dedup state spans micro-batches, streaming == batch on closed windows") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime / 1000, r.getLong(1))
+    val events = Seq((ts(1), 7L), (ts(2), 7L), (ts(3), 8L), (ts(5), 8L),
+      (ts(12), 7L), (ts(35), 9L), (ts(50), 10L)).toDF("event_time", "user_id")
+    val batch = StreamingHist.windowedDistinct(
+        events, "event_time", "user_id", "10 seconds")
+      .collect().map(key).toSet
+    assert(batch == Set((0L, 2L), (10L, 1L), (30L, 1L), (50L, 1L)))
+
+    // streaming chains TWO stateful operators — watermarked dropDuplicates
+    // on (window, key) feeding an additive count — so a key re-arriving in
+    // a LATER micro-batch within the same open window must not recount
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = StreamingHist.windowedDistinct(
+      input.toDF().toDF("event_time", "user_id"),
+      "event_time", "user_id", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("wd_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 7L), (ts(2), 7L), (ts(3), 8L))
+      q.processAllAvailable()
+      // 8@5s duplicates a key first seen in the PREVIOUS batch: state hit
+      input.addData((ts(5), 8L), (ts(12), 7L), (ts(35), 9L))
+      q.processAllAvailable()
+      input.addData((ts(50), 10L)) // watermark 40: closes [10,20) and [30,40)
+      q.processAllAvailable()
+      val streamed = spark.table("wd_stream").collect().map(key).toSet
+      // append mode emits exactly the closed windows, each once, final counts
+      assert(streamed == Set((0L, 2L), (10L, 1L), (30L, 1L)))
+    } finally q.stop()
+  }
 }
