@@ -25,6 +25,49 @@ for p in glob.glob(f"{sf}/*.parquet"):
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 sql = json.load(open(f"{out}/oracle_sql.json"))[name]
+
+# The components oracles' one-shot recursive-CTE closure is quadratic in
+# component size and OOMs beyond sf0.1. For the large-sf sweep, replay
+# the SAME semantics as iterative temp-table min-label propagation
+# (materialize one bounded label relation per round, O(E) a round,
+# diameter rounds) — the single-SQL form in oracle_sql.json stays the
+# driver's sf0.01 gate, so the closed-form fixpoint is still cross-proven
+# there; this path only re-proves it at scales the CTE cannot reach.
+PAIR_MARKER = "), e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p)"
+ITERATIVE = {"q85_dup_components", "q104_components_keep_by"}
+
+def run_components_iteratively(con, sql, name):
+    head = "WITH RECURSIVE p AS ("
+    assert sql.startswith(head) and PAIR_MARKER in sql, "oracle shape changed"
+    pairs_sql = sql[len(head):sql.index(PAIR_MARKER)]
+    con.execute(f"CREATE TEMP TABLE e AS WITH p AS ({pairs_sql}) "
+                "SELECT doc_a AS u, doc_b AS v FROM p "
+                "UNION SELECT doc_b, doc_a FROM p")
+    con.execute("CREATE TEMP TABLE lab AS SELECT doc_id AS node, doc_id AS lab FROM documents")
+    while True:
+        con.execute(
+            "CREATE TEMP TABLE nl AS SELECT node, MIN(lab) AS lab FROM ("
+            "SELECT node, lab FROM lab "
+            "UNION ALL SELECT e.v AS node, l.lab FROM lab l JOIN e ON e.u = l.node"
+            ") GROUP BY node")
+        changed = con.execute(
+            "SELECT COUNT(*) FROM nl JOIN lab USING (node) "
+            "WHERE nl.lab <> lab.lab").fetchone()[0]
+        con.execute("DROP TABLE lab")
+        con.execute("ALTER TABLE nl RENAME TO lab")
+        if changed == 0:
+            break
+    if name == "q85_dup_components":
+        return con.execute(
+            "SELECT node AS doc_id, lab AS component, node = lab AS keep FROM lab").df()
+    return con.execute(
+        "WITH s AS (SELECT node AS doc_id, lab AS component, "
+        "CAST(d.n_chars AS BIGINT) AS score FROM lab JOIN documents d ON d.doc_id = lab.node), "
+        "b AS (SELECT component, doc_id AS best_id FROM s "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY component ORDER BY score DESC, doc_id) = 1) "
+        "SELECT s.doc_id, s.component, s.score, s.doc_id = b.best_id AS keep "
+        "FROM s JOIN b USING (component)").df()
+
 spark_dir = f"{out}/{name}"
 if not os.path.isdir(spark_dir):
     print(f"[MISS] {name}: no spark output"); sys.exit(1)
@@ -33,7 +76,10 @@ try:
 except Exception as e:
     print(f"[MISS] {name}: unreadable spark output: {e}"); sys.exit(1)
 try:
-    ddf = con.execute(sql).df()
+    if name in ITERATIVE:
+        ddf = run_components_iteratively(con, sql, name)
+    else:
+        ddf = con.execute(sql).df()
 except Exception as e:
     print(f"[ORACLE-ERR] {name}: {e}"); sys.exit(1)
 sdf = sdf.reindex(sorted(sdf.columns), axis=1)
