@@ -1406,6 +1406,17 @@ object SparkEntry {
       Histogram.histogram(TextAnalysis.fertility(t(dir, "documents")),
         col("fertility"), axFert, dims = Seq("lang"),
         opts = HistOptions(flow = true))
+    },
+    "q180_curate_blend" -> { (s, dir) =>
+      // the composed curation chain with a relative quality gate: the
+      // q89 criteria plus q174's blended percentile >= 0.5, one plan
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.pipeline.Curation.curateBlend(docs,
+        docs.filter(col("doc_id") < 20), Seq(
+          "chars" -> col("n_chars").cast("double"),
+          "tokens" -> regexp_count(col("text"), lit("\\S+")).cast("double")),
+        minBlend = 0.5)
     }
   )
 
@@ -1922,6 +1933,8 @@ object SparkEntry {
     "q177_stream_distinct" -> PipelineOracle.windowedDistinct(3600000000L),
     "q178_embed_normalize" -> PipelineOracle.normalizeL2,
     "q179_tokenizer_fertility" -> Oracle.hist(PipelineOracle.fertilitySrc,
-      Seq(Oracle.Spec("fertility", axFert)), dims = Seq("lang"), flow = true)
+      Seq(Oracle.Spec("fertility", axFert)), dims = Seq("lang"), flow = true),
+    "q180_curate_blend" -> PipelineOracle.curateBlend(
+      "0.5", 40L, 5, "doc_id < 20", 0.8, "cur")
   )
 }

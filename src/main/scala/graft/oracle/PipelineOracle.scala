@@ -1271,6 +1271,24 @@ object PipelineOracle {
       "SELECT ch.doc_id, ch.source FROM ch JOIN k USING (doc_id) JOIN c USING (doc_id)"
   }
 
+  /** Mirrors Curation.curateBlend: the [[curate]] chain plus the
+    * [[blendPercentiles]] relative-quality verdict as a fourth join —
+    * blend ranks computed over the FULL corpus (like the dedup
+    * election), `minBlend` rendered as the identical double literal on
+    * both engines. */
+  def curateBlend(minBlend: String, minTokens: Long, ngram: Int,
+      benchWhere: String, rate: Double, salt: String): String = {
+    import graft.pipeline.Sampling.threshold
+    s"WITH ch AS (SELECT doc_id, source FROM documents " +
+      s"WHERE CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) >= $minTokens " +
+      s"AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':' || ${q(salt)}), 1, 15))::BIGINT < ${threshold(rate)}), " +
+      s"k AS (SELECT doc_id FROM ($dedupExact) WHERE keep), " +
+      s"c AS (SELECT doc_id FROM (${decontaminate(ngram, benchWhere)}) WHERE NOT contaminated), " +
+      s"bl AS (SELECT doc_id, blend FROM ($blendPercentiles) __bp WHERE blend >= $minBlend) " +
+      "SELECT ch.doc_id, ch.source, bl.blend FROM ch JOIN k USING (doc_id) " +
+      "JOIN c USING (doc_id) JOIN bl USING (doc_id)"
+  }
+
   /** Mirrors AsOf.asOfJoin on events (left = `leftType`, right =
     * `rightType`, key = user, <=): the same tagged-union running
     * last_value(IGNORE NULLS) — rights sort before lefts at equal ts,

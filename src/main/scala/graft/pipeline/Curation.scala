@@ -245,4 +245,29 @@ object Curation {
     withP.select(col("doc_id") +: col("source") +:
       scores.map { case (n, _) => col(s"pctl_$n") } :+ blend.as("blend"): _*)
   }
+
+  /** [[curate]] with a RELATIVE quality gate: a fifth criterion requiring
+    * the doc's multi-signal blended percentile ([[blendPercentiles]]) to
+    * reach `minBlend` — the quality-filter stage of a published curation
+    * recipe, where "good enough" is defined against the doc's own
+    * source distribution rather than an absolute threshold.
+    *
+    * The blend ranks are computed over the FULL corpus, like the
+    * canonical-copy election: relative quality is a property of the
+    * source's whole distribution, so the sampling/dedup gates must not
+    * shift other docs' percentiles. Scale shape: the quality verdict
+    * adds ONE source-keyed exchange (all its rank windows share it);
+    * everything else is the [[curate]] plan, and the final intersection
+    * stays a doc_id-keyed equi-join chain. Output: (doc_id, source,
+    * blend) for the surviving docs. */
+  def curateBlend(docs: DataFrame, benchmark: DataFrame,
+      scores: Seq[(String, Column)], minBlend: Double = 0.5,
+      minTokens: Long = 40L, ngram: Int = 5, rate: Double = 0.8,
+      salt: String = "cur"): DataFrame = {
+    val quality = blendPercentiles(docs, scores)
+      .filter(col("blend") >= lit(minBlend))
+      .select(col("doc_id"), col("blend"))
+    curate(docs, benchmark, minTokens, ngram, rate, salt)
+      .join(quality, "doc_id")
+  }
 }

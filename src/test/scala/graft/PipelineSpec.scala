@@ -1395,4 +1395,26 @@ class PipelineSpec extends SparkSpec {
     val leafTotals = rows.filter(t => t._1.nonEmpty && t._2.nonEmpty)
     assert(leafTotals.map(_._3).sum == 3L && leafTotals.map(_._4).sum == 6L)
   }
+
+  test("curateBlend: relative quality gate composes; ranks span the full corpus") {
+    import graft.pipeline.Curation
+    val d = Seq(
+      (1L, "aa bb cc dd", "s1"),                      // pctl 1/3: below gate
+      (2L, "aa bb cc dd ee ff gg hh", "s1"),          // pctl 2/3: survives
+      (3L, "aa bb cc dd ee ff gg hh", "s1"),          // exact dup of 2: dropped
+      (4L, "x", "s1"),            // fails token floor, but STILL ranks (pctl 0)
+      (5L, "aa bb cc dd ee ff gg hh ii jj", "s2")     // solo source: pctl 0
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.curateBlend(d, d.filter($"doc_id" === 99L),
+        Seq("chars" -> length(col("text")).cast("double")),
+        minBlend = 0.5, minTokens = 2L, rate = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 3 ties doc 2 on score; the doc_id tie-break ranks it above the
+    // gate (pctl 1.0) — but the canonical-copy election still drops it.
+    // doc 4's presence is what makes doc 1's pctl 1/3 (ranks span the
+    // FULL corpus, not the token-floor survivors); the solo-source doc
+    // defines pctl 0 and falls below the gate.
+    assert(out.keySet == Set(2L))
+    assert(out(2L) == 2.0 / 3.0)
+  }
 }
