@@ -1417,6 +1417,30 @@ object SparkEntry {
           "chars" -> col("n_chars").cast("double"),
           "tokens" -> regexp_count(col("text"), lit("\\S+")).cast("double")),
         minBlend = 0.5)
+    },
+    "q181_distinct_contract_tight" -> { (s, dir) =>
+      // q172's knob at a SECOND rsd point (0.01, 16x the registers):
+      // the 3x-rsd error margin must hold at both ends, pinning the
+      // accuracy-vs-state curve the way q157-q160 pin GK/SpaceSaving
+      implicit val sp: SparkSession = s
+      graft.pipeline.Contracts.hllDistinctContract(
+        t(dir, "events"), "event_type", col("user_id"),
+        rsd = 0.01, bound = 0.03)
+    },
+    "q182_stream_event_dedup" -> { (s, dir) =>
+      // the STREAMING burst-collapse feed on batch input (one state row
+      // per (user, type)); batch execution equals q176's lag rule —
+      // gated against the SAME oracle SQL (the q127 convention)
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val ev = t(dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull && col("event_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"), col("value"))
+        .as[graft.streaming.StreamingHist.RfEvent]
+      graft.streaming.StreamingHist.streamingRapidFire(ev, gapSec = 60L)
+        .toDF()
     }
   )
 
@@ -1935,6 +1959,15 @@ object SparkEntry {
     "q179_tokenizer_fertility" -> Oracle.hist(PipelineOracle.fertilitySrc,
       Seq(Oracle.Spec("fertility", axFert)), dims = Seq("lang"), flow = true),
     "q180_curate_blend" -> PipelineOracle.curateBlend(
-      "0.5", 40L, 5, "doc_id < 20", 0.8, "cur")
+      "0.5", 40L, 5, "doc_id < 20", 0.8, "cur"),
+    // same pinned-verdict form as q172: the estimate is engine-specific,
+    // the CONTRACT (|est - exact| <= 3*rsd*exact) is what both must agree on
+    "q181_distinct_contract_tight" ->
+      ("SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact, " +
+        "TRUE AS within_bound FROM events WHERE event_type IS NOT NULL " +
+        "GROUP BY event_type"),
+    // batch execution of the streaming burst collapse == the q176 lag
+    // rule, so it gates against the IDENTICAL SQL (the q127 convention)
+    "q182_stream_event_dedup" -> PipelineOracle.suppressRapidFire(60L)
   )
 }

@@ -440,4 +440,53 @@ object StreamingHist {
           out.iterator
       }
   }
+
+  case class RfEvent(event_id: Long, user_id: Long, event_type: String,
+    us: Long, value: Option[Double])
+
+  /** STREAMING rapid-fire suppression: the live form of
+    * pipeline.Funnel.suppressRapidFire — emit an arriving event iff it
+    * is the first of its (user, type) stream or strictly more than
+    * `gapSec` after its RAW predecessor (the idempotent burst-collapse
+    * rule; the predecessor updates whether or not it was kept, so a
+    * sustained burst stays collapsed to its opening event).
+    *
+    * State is ONE row per (user, type) — the latest (us, id) seen —
+    * bounded by key cardinality (the q127 discipline). Within a
+    * micro-batch the group walks in (us, id) order, the exact total
+    * order of the batch lag window; the same transient per-batch
+    * buffering note as [[streamingTransitions]] applies. Cross-batch
+    * out-of-order events (older than the state) are dropped rather
+    * than retro-kept — documented staleness, same contract as
+    * [[streamingAsOf]]. Batch execution walks each key's whole stream
+    * in one sorted pass and equals the batch operator unconditionally —
+    * the oracle-gated configuration (q182, same SQL as q176). */
+  def streamingRapidFire(events: Dataset[RfEvent],
+      gapSec: Long): Dataset[RfEvent] = {
+    require(gapSec > 0, s"gapSec must be positive: $gapSec")
+    import events.sparkSession.implicits._
+    val gapUs = gapSec * 1000000L
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[(Long, Long), RfEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Long, String), it: Iterator[RfEvent],
+         state: GroupState[(Long, Long)]) =>
+          var prev = state.getOption // (us, event_id) latest RAW seen
+          val out = scala.collection.mutable.ArrayBuffer.empty[RfEvent]
+          it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            prev match {
+              case Some((pus, pid))
+                  if pus < e.us || (pus == e.us && pid < e.event_id) =>
+                if (e.us - pus > gapUs) out += e
+                prev = Some((e.us, e.event_id))
+              case None =>
+                out += e
+                prev = Some((e.us, e.event_id))
+              case _ => // out-of-order vs state: not the latest; skip
+            }
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
 }

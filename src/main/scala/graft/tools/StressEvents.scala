@@ -59,6 +59,17 @@ object StressEvents {
     // aggregate, not the window
     time("rate_anomaly_7d")(graft.pipeline.Funnel.eventRateAnomaly(
       ev, windowDays = 7, k = 2.0).count())
+    // windowed distinct: batch form is one count_distinct aggregate per
+    // tumbling window; in streaming the dedup state is one row per
+    // distinct (window, key) — this measures the batch cost AND prints
+    // the state bound (rows the streaming form would hold per window)
+    time("windowed_distinct_1h")(graft.streaming.StreamingHist
+      .windowedDistinct(ev, "event_time", "user_id", "1 hour").count())
+    val stateRows = ev.filter(col("user_id").isNotNull)
+      .select((expr("ts div 1000") - pmod(expr("ts div 1000"),
+        lit(3600000000L))).as("ws"), col("user_id"))
+      .distinct().count()
+    println(s"[stress] windowed_distinct_1h state bound: $stateRows distinct (window, key) rows")
     // schema-on-read JSON promotion: one codegen parse per row, one
     // |types|-row aggregate
     if (raw.columns.contains("props"))

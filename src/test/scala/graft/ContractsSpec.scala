@@ -104,4 +104,16 @@ class ContractsSpec extends SparkSpec {
     assert(out("t0")._1 == 97L && out("t1")._1 == 97L) // exact side is exact
     assert(out.values.forall(_._2)) // rsd=0.05 estimate within the 15% bound
   }
+
+  test("HLL distinct contract: tight rsd=0.01 point holds its 3x margin") {
+    // the q181 knob: 16x the registers of rsd=0.05 must buy a 5x tighter
+    // bound on a cardinality (10k) well past the linear-counting regime
+    val ev = (1 to 40000).map(i => ("t" + (i % 2), (i % 9973).toLong))
+      .toDF("event_type", "user_id")
+    val out = Contracts.hllDistinctContract(
+        ev, "event_type", col("user_id"), rsd = 0.01, bound = 0.03)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out("t0")._1 == 9973L || out("t1")._1 == 9973L)
+    assert(out.values.forall(_._2))
+  }
 }

@@ -459,4 +459,36 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == Set((0L, 2L), (10L, 1L), (30L, 1L)))
     } finally q.stop()
   }
+
+  test("streaming rapid-fire: RAW-predecessor state spans micro-batches") {
+    import StreamingHist.RfEvent
+    def e(id: Long, sec: Long) = RfEvent(id, 1L, "click", sec * 1000000L, None)
+    // full stream, gap 60s: 0s kept; 30s dropped (30<=60); 70s dropped
+    // vs its RAW predecessor 30s (40<=60) even though 70-0 > 60;
+    // 200s kept (130>60). The other key's stream is independent.
+    val all = Seq(e(1, 0), e(2, 30), e(3, 70), e(4, 200),
+      RfEvent(9L, 2L, "view", 5L * 1000000L, Some(1.0)))
+    val expect = Set(1L, 4L, 9L)
+    assert(StreamingHist.streamingRapidFire(all.toDS(), 60L)
+      .collect().map(_.event_id).toSet == expect)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RfEvent]
+    val q = StreamingHist.streamingRapidFire(input.toDS(), 60L)
+      .writeStream.format("memory").queryName("rf_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(e(1, 0), e(2, 30))
+      q.processAllAvailable()
+      // 70s arrives in a LATER batch: state must carry the RAW
+      // predecessor (30s) across the boundary and drop it; an
+      // out-of-order event older than the state (10s) is skipped
+      input.addData(e(3, 70), e(8, 10), e(4, 200),
+        RfEvent(9L, 2L, "view", 5L * 1000000L, Some(1.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("rf_stream").as[RfEvent]
+        .collect().map(_.event_id).toSet
+      assert(streamed == expect)
+    } finally q.stop()
+  }
 }
