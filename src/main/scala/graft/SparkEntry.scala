@@ -1441,6 +1441,54 @@ object SparkEntry {
         .as[graft.streaming.StreamingHist.RfEvent]
       graft.streaming.StreamingHist.streamingRapidFire(ev, gapSec = 60L)
         .toDF()
+    },
+    "q183_stream_funnel" -> { (s, dir) =>
+      // the LIVE conversion funnel on batch input (one k-slot state
+      // vector per user); batch execution equals q92's conditional-min
+      // chain — gated against the SAME oracle SQL (the q127 convention)
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val ev = t(dir, "events")
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_id"), col("event_type"))
+        .as[graft.streaming.StreamingHist.FunnelEvent]
+      graft.streaming.StreamingHist
+        .streamingFunnel(ev, Seq("view", "click", "purchase")).toDF()
+        .select(col("user_id"),
+          timestamp_micros(col("ts")(0)).as("t1"),
+          timestamp_micros(col("ts")(1)).as("t2"),
+          timestamp_micros(col("ts")(2)).as("t3"),
+          col("steps_completed"))
+    },
+    "q184_weighted_sample" -> { (s, dir) =>
+      // PPS training-mix draw: expected 500 docs, inclusion probability
+      // proportional to whitespace token count — exact DECIMAL(38,0)
+      // keep predicate, one scalar aggregate, map-side filter
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.sampleByWeight(t(dir, "documents"), 500L,
+        regexp_count(col("text"), lit("\\S+")).cast("long"), "pps")
+    },
+    "q185_bm25" -> { (s, dir) =>
+      // BM25 retrieval scoring against a fixed probe query — corpus
+      // shuffles only its matched (doc, term) rows; df and the corpus
+      // stats broadcast; per-doc fold bounded by |query|
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.bm25(t(dir, "documents"),
+        Seq("spark", "query", "fast"))
+    },
+    "q186_psi" -> { (s, dir) =>
+      // Population Stability Index between the view and click value
+      // distributions — the ln-weighted drift score monitoring
+      // thresholds are published against (q113's log-free complement)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      HistStats.psi(
+        Histogram.histogram(ev.filter(col("event_type") === "view"),
+          col("value"), axValue),
+        Histogram.histogram(ev.filter(col("event_type") === "click"),
+          col("value"), axValue),
+        axValue)
     }
   )
 
@@ -1968,6 +2016,13 @@ object SparkEntry {
         "GROUP BY event_type"),
     // batch execution of the streaming burst collapse == the q176 lag
     // rule, so it gates against the IDENTICAL SQL (the q127 convention)
-    "q182_stream_event_dedup" -> PipelineOracle.suppressRapidFire(60L)
+    "q182_stream_event_dedup" -> PipelineOracle.suppressRapidFire(60L),
+    // batch execution of the live funnel == the q92 conditional-min
+    // chain, so it gates against the IDENTICAL SQL
+    "q183_stream_funnel" -> PipelineOracle.funnel(Seq("view", "click", "purchase")),
+    "q184_weighted_sample" -> PipelineOracle.sampleByWeight(500L, "pps"),
+    "q185_bm25" -> PipelineOracle.bm25(Seq("spark", "query", "fast"), 1.2, 0.75),
+    "q186_psi" -> Oracle.psi("events", Oracle.Spec("value", axValue),
+      "event_type = 'view'", "event_type = 'click'", 1e-6)
   )
 }

@@ -150,6 +150,31 @@ object Oracle {
       "FROM p"
   }
 
+  /** Mirrors HistStats.psi: the [[drift]] prologue (same histogram CTEs,
+    * decimal-exact totals), then the eps-clamped 1e-9-quantized-LN PSI
+    * term summed in bin order. */
+  def psi(table: String, spec: Spec, whereA: String, whereB: String,
+      eps: Double): String = {
+    def histCte(name: String, where: String): String =
+      s"$name AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+        s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+        s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1} " +
+        "GROUP BY __i0)"
+    def dsum(e: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14)))")
+    val e = s"CAST('${java.lang.Double.toString(eps)}' AS DOUBLE)"
+    val nine = "CAST('1.0E9' AS DOUBLE)"
+    s"WITH ${histCte("ha", whereA)}, ${histCte("hb", whereB)}, " +
+      "j AS (SELECT COALESCE(ha.__i0, hb.__i0) AS i, " +
+      "COALESCE(ha.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hb.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM ha FULL OUTER JOIN hb ON hb.__i0 = ha.__i0), " +
+      s"t AS (SELECT ${dsum("ca")} AS ta, ${dsum("cb")} AS tb FROM j), " +
+      s"p AS (SELECT i, GREATEST(ca / ta, $e) AS ph, GREATEST(cb / tb, $e) AS qh " +
+      "FROM j CROSS JOIN t) " +
+      s"SELECT SUM((ph - qh) * (FLOOR(LN(ph / qh) * $nine) / $nine) ORDER BY i) AS psi FROM p"
+  }
+
   /** Mirrors HistStats.pull: the same two histogram CTEs as [[drift]],
     * full-outer-joined per bin, then the fixed (a−b)/√(a+b) IEEE tail
     * per row (NULL when both sides are empty). */

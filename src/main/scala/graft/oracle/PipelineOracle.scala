@@ -1271,6 +1271,44 @@ object PipelineOracle {
       "SELECT ch.doc_id, ch.source FROM ch JOIN k USING (doc_id) JOIN c USING (doc_id)"
   }
 
+  /** Mirrors Sampling.sampleByWeight: the same hash60·Σw < k·w·2^60
+    * integer keep predicate in HUGEINT (DuckDB's exact 128-bit lane for
+    * Spark's DECIMAL(38,0)); weight = whitespace token count; NULL
+    * weights drop the doc. */
+  def sampleByWeight(k: Long, salt: String): String = {
+    val two60 = "CAST(1152921504606846976 AS HUGEINT)" // 2^60, exact
+    s"WITH w AS (SELECT doc_id, source, " +
+      "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w " +
+      "FROM documents), " +
+      "f AS (SELECT * FROM w WHERE w IS NOT NULL AND w >= 0), " +
+      "t AS (SELECT CAST(SUM(w) AS HUGEINT) AS tot FROM f) " +
+      "SELECT f.doc_id, f.source, f.w FROM f CROSS JOIN t " +
+      s"WHERE CAST(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR) || ':' || f.source || ':' || ${q(salt)}), 1, 15))::BIGINT AS HUGEINT) * tot " +
+      s"< CAST($k AS HUGEINT) * CAST(f.w AS HUGEINT) * $two60"
+  }
+
+  /** Mirrors TextAnalysis.bm25: same tokenization, the 1e-9-quantized
+    * LN idf (the q141 pow convention), the identical pinned association
+    * order for every IEEE op, and SUM(c ORDER BY term) for the per-doc
+    * fold (the sequential-sum contract). */
+  def bm25(queryTerms: Seq[String], k1: Double, b: Double): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val terms = queryTerms.map(q).mkString(", ")
+    val idf = s"FLOOR(LN(${d(1.0)} + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + ${d(0.5)}) / " +
+      s"(CAST(df AS DOUBLE) + ${d(0.5)})) * ${d(1.0e9)}) / ${d(1.0e9)}"
+    val denom = s"CAST(tf AS DOUBLE) + ${d(k1)} * (${d(1.0 - b)} + ${d(b)} * " +
+      "(CAST(len AS DOUBLE) / (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE))))"
+    "WITH base AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS len, " +
+      "regexp_extract_all(text, '\\S+') AS toks FROM documents WHERE text IS NOT NULL), " +
+      "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(len) AS BIGINT) AS tl FROM base), " +
+      "tok AS (SELECT doc_id, len, UNNEST(toks) AS term FROM base), " +
+      s"tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok WHERE term IN ($terms) GROUP BY doc_id, len, term), " +
+      "dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+      s"c AS (SELECT tf.doc_id, tf.term, $idf * (CAST(tf AS DOUBLE) * ${d(k1 + 1.0)}) / ($denom) AS c " +
+      "FROM tf JOIN dfr USING (term) CROSS JOIN st) " +
+      "SELECT doc_id, SUM(c ORDER BY term) AS score FROM c GROUP BY doc_id"
+  }
+
   /** Mirrors Curation.curateBlend: the [[curate]] chain plus the
     * [[blendPercentiles]] relative-quality verdict as a fourth join —
     * blend ranks computed over the FULL corpus (like the dedup

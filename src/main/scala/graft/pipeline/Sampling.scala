@@ -234,4 +234,37 @@ object Sampling {
             floor(lit(fracTest) * col("__n").cast("double")), lit("test"))
           .otherwise(lit("train")).as("split"))
   }
+
+  /** Probability-proportional-to-size (PPS / Poisson) sampling: keep
+    * each doc with inclusion probability min(1, k·w/Σw), where `weight`
+    * is a per-doc NON-NEGATIVE INTEGER size (token count, char count) —
+    * "sample an expected k docs, long docs proportionally more likely",
+    * the doc-level weighting [[sampleTemperature]]'s source-level rates
+    * cannot express. E[docs kept] = k when no weight saturates.
+    *
+    * Exactness: the keep predicate is hash60·Σw < k·w·2^60 evaluated in
+    * DECIMAL(38,0) — pure integer arithmetic, no float division, no
+    * rounding knife-edges; the min(1,·) cap is implicit (hash60 < 2^60
+    * always). Magnitudes: hash60 < 2^60 ≈ 1.2e18, so Σw up to ~8e19
+    * stays inside 38 digits — beyond that, pre-scale the weights.
+    * NULL/negative weights drop the doc (no meaningful size).
+    *
+    * Scale shape: ONE scalar aggregate for Σw (map-combinable),
+    * broadcast back as a literal-free cross join; the keep filter is
+    * map-side — the corpus never shuffles. */
+  def sampleByWeight(docs: DataFrame, k: Long, weight: Column,
+      salt: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val dec = "decimal(38,0)"
+    val w = docs.select(col("doc_id"), col("source"),
+      weight.cast("long").as("__w"))
+      .filter(col("__w").isNotNull && col("__w") >= 0L)
+    val tot = w.agg(sum(col("__w")).cast(dec).as("__tot"))
+    w.crossJoin(broadcast(tot))
+      .filter(hash60(col("doc_id"), col("source"), salt).cast(dec) *
+        col("__tot") <
+        (lit(k).cast(dec) * col("__w").cast(dec) *
+          lit(Scale.toLong).cast(dec)))
+      .select(col("doc_id"), col("source"), col("__w").as("w"))
+  }
 }

@@ -460,4 +460,59 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("dim"))
       .agg(sum(col("__s")).as("v"))
   }
+
+  /** BM25 relevance of every document against a FIXED query term set —
+    * the retrieval scorer behind "find the training docs most relevant
+    * to this probe" (contamination triage, targeted corpus slicing):
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avgLen)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Emits (doc_id, score) for
+    * docs matching ≥1 query term.
+    *
+    * Cross-engine exactness: ln() is the only non-correctly-rounded op,
+    * and it runs |query| times on (N, df) scalars — quantized to 1e-9
+    * (floor), the q141 pow() convention, so every downstream bit is
+    * computed from identical inputs; everything else is single
+    * correctly-rounded IEEE ops in a pinned association order, and the
+    * per-doc sum is the sort_array fold in term order (the drift /
+    * dot-product sequential-sum contract; SUM(… ORDER BY term) on the
+    * oracle side).
+    *
+    * Scale shape: the corpus shuffles ONLY its matched (doc, term)
+    * rows (the IN filter runs before the explode's aggregate); doc
+    * length rides along map-side from the same projection; df and the
+    * (N, total-length) scalars are |query|-sized and broadcast. The
+    * per-doc fold buffers ≤ |query| entries. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(queryTerms.distinct == queryTerms, s"duplicate terms: $queryTerms")
+    require(k1 > 0.0 && b >= 0.0 && b <= 1.0, s"bad BM25 knobs: ($k1, $b)")
+    val k1p1 = k1 + 1.0 // driver-side, so both engines see ONE literal
+    val oneMb = 1.0 - b
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("__len"),
+        explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+    val stats = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("__nd"),
+        sum(regexp_count(col("text"), lit("\\S+")).cast("long")).as("__tl"))
+    val tf = base.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("__len"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val idf = floor(log(lit(1.0) +
+        (col("__nd").cast("double") - col("__df").cast("double") + lit(0.5)) /
+          (col("__df").cast("double") + lit(0.5))) * lit(1.0e9)) / lit(1.0e9)
+    val denom = col("__tf").cast("double") + lit(k1) * (lit(oneMb) +
+      lit(b) * (col("__len").cast("double") /
+        (col("__tl").cast("double") / col("__nd").cast("double"))))
+    val contrib = idf * (col("__tf").cast("double") * lit(k1p1)) / denom
+    tf.join(broadcast(dfRel), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), contrib.as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("__c")))).as("__a"))
+      .select(col("doc_id"), aggregate(col("__a"), lit(0.0),
+        (acc, x) => acc + x.getField("__c")).as("score"))
+  }
 }

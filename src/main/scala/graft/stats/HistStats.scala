@@ -400,6 +400,51 @@ object HistStats {
         fold(col("__terms"), "t2").as("chisq")): _*)
   }
 
+  /** Population Stability Index between two count histograms over the
+    * SAME axis — the industry-standard drift score model monitoring
+    * alarms on (PSI < 0.1 stable, > 0.25 shifted):
+    * Σ_bins (p̂_i − q̂_i)·ln(p̂_i/q̂_i) with both mass ratios clamped to
+    * ≥ `eps` (the standard zero-bin smoothing, making every term
+    * well-defined and the score finite). Complements [[drift]]'s
+    * log-free TVD/χ²: PSI's ln() weighting is what monitoring
+    * thresholds are published against.
+    *
+    * Cross-engine exactness: ln() runs once per BIN on identical
+    * clamped ratios and is 1e-9-floor-quantized (the q141/q185
+    * convention — ln carries no cross-engine bit guarantee); every
+    * other op is a correctly-rounded IEEE step in pinned order, and the
+    * per-group sum is the sequential bin-order fold [[drift]] pins.
+    * Same scale shape as [[drift]]: everything runs on already-
+    * aggregated histogram-sized relations. */
+  def psi(a: DataFrame, b: DataFrame, ax: BinAxis, eps: Double = 1e-6,
+      dims: Seq[String] = Nil): DataFrame = {
+    require(eps > 0.0, s"eps must be positive: $eps")
+    val aa = a.select(dims.map(col) ++
+      Seq(col(ax.binsCol).as("__bin"), col("cnt").as("__ca")): _*)
+    val bb = b.select(dims.map(col) ++
+      Seq(col(ax.binsCol).as("__bin"), col("cnt").as("__cb")): _*)
+    val j = aa.join(bb, dims :+ "__bin", "full_outer")
+      .na.fill(0.0, Seq("__ca", "__cb"))
+    val w = if (dims.isEmpty) Window.partitionBy()
+      else Window.partitionBy(dims.map(col): _*)
+    val ta = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__ca"))).over(w))
+    val tb = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__cb"))).over(w))
+    val pq = j.withColumn("__p", col("__ca") / ta)
+      .withColumn("__q", col("__cb") / tb)
+    val ph = greatest(col("__p"), lit(eps))
+    val qh = greatest(col("__q"), lit(eps))
+    val term = (ph - qh) *
+      (floor(log(ph / qh) * lit(1.0e9)) / lit(1.0e9))
+    val terms = sort_array(collect_list(struct(
+      col("__bin").as("k"), term.as("t"))))
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x.getField("t"))
+    grouped(pq, dims)(terms.as("__terms"))
+      .select(dims.map(col) :+ fold(col("__terms")).as("psi"): _*)
+  }
+
   /** Per-bin PULL between two count histograms (the ROOT-style residual
     * plot: which bins disagree, and by how many sigmas under Poisson
     * errors): pull_i = (a_i − b_i) / √(a_i + b_i), with the per-bin

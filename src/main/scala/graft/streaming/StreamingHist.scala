@@ -461,6 +461,63 @@ object StreamingHist {
     * [[streamingAsOf]]. Batch execution walks each key's whole stream
     * in one sorted pass and equals the batch operator unconditionally —
     * the oracle-gated configuration (q182, same SQL as q176). */
+  case class FunnelEvent(user_id: Option[Long], us: Long,
+    event_id: Option[Long], event_type: Option[String])
+  case class FunnelRow(user_id: Option[Long], ts: Seq[Option[Long]],
+    steps_completed: Long)
+
+  /** STREAMING conversion funnel: the live form of
+    * pipeline.Funnel.funnel — per user, the earliest strictly-ordered
+    * completion chain t1 < t2 < ... < tk over `steps`, updated as
+    * events arrive. Each micro-batch emits the user's CURRENT chain
+    * when it changed (or on first sight), so the latest row per user
+    * is the live funnel position and counting steps_completed over
+    * those rows is the live conversion report.
+    *
+    * State is ONE k-slot vector per user (k = |steps|) — bounded by
+    * key cardinality times funnel length, never event volume. The
+    * ascending (us, id) walk reproduces the batch operator's
+    * conditional-min semantics exactly: t1 is the running min of
+    * step-1 events (final once any later event is processed), and the
+    * first step-i event strictly after t_{i-1} in ascending order IS
+    * the min the batch's per-step join selects; equal-timestamp events
+    * cannot fill a slot (strict >), which also makes the walk
+    * insensitive to id order among ties. Users whose events carry no
+    * matching types still emit (ts all empty) — the batch operator's
+    * all-users accumulator. Cross-batch out-of-order step-1 events
+    * cannot lower an already-set t1 — documented staleness, the
+    * [[streamingAsOf]] contract. Batch execution walks each user's
+    * whole stream sorted and equals the batch operator unconditionally
+    * — the oracle-gated configuration (q183, same SQL as q92). */
+  def streamingFunnel(events: Dataset[FunnelEvent],
+      steps: Seq[String]): Dataset[FunnelRow] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    val k = steps.size
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Option[Long]], FunnelRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Option[Long], it: Iterator[FunnelEvent],
+         state: GroupState[Seq[Option[Long]]]) =>
+          val had = state.exists
+          val ts = state.getOption.getOrElse(Seq.fill(k)(None))
+            .toArray[Option[Long]]
+          var changed = false
+          it.toSeq.sortBy(e => (e.us, e.event_id.getOrElse(Long.MinValue)))
+            .foreach { e =>
+              val i = (0 until k).find(i => ts(i).isEmpty &&
+                e.event_type.contains(steps(i)) &&
+                (i == 0 || ts(i - 1).exists(_ < e.us)))
+              i.foreach { i => ts(i) = Some(e.us); changed = true }
+            }
+          state.update(ts.toSeq)
+          if (changed || !had)
+            Iterator.single(FunnelRow(user, ts.toSeq,
+              ts.takeWhile(_.isDefined).length.toLong))
+          else Iterator.empty
+      }
+  }
+
   def streamingRapidFire(events: Dataset[RfEvent],
       gapSec: Long): Dataset[RfEvent] = {
     require(gapSec > 0, s"gapSec must be positive: $gapSec")

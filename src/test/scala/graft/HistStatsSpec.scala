@@ -261,6 +261,26 @@ class HistStatsSpec extends SparkSpec {
     assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0)
   }
 
+  test("psi: positive for shifted distributions, exactly zero for identical") {
+    val ax = Regular("x", 4, 0.0, 4.0)
+    val da = Seq(0.5, 0.5, 1.5, 1.5).toDF("x")
+    val db = Seq(0.5, 2.5, 2.5, 3.5).toDF("x")
+    val ha = Histogram.histogram(da, col("x"), ax)
+    val hb = Histogram.histogram(db, col("x"), ax)
+    val r = HistStats.psi(ha, hb, ax).collect().head.getDouble(0)
+    // every term (p̂−q̂)·ln(p̂/q̂) is non-negative (same sign factors);
+    // these distributions diverge far past the 0.25 alarm threshold
+    assert(r > 0.25)
+    // eps-clamped hand computation: p=(.5,.5,e,e), q=(.25,e,.5,.25)
+    def qln(x: Double) = math.floor(math.log(x) * 1.0e9) / 1.0e9
+    val e = 1e-6
+    val expect = (0.5 - 0.25) * qln(0.5 / 0.25) + (0.5 - e) * qln(0.5 / e) +
+      (e - 0.5) * qln(e / 0.5) + (e - 0.25) * qln(e / 0.25)
+    assert(r == expect)
+    // identical inputs: p̂ == q̂ in every bin -> exactly zero
+    assert(HistStats.psi(ha, ha, ax).collect().head.getDouble(0) == 0.0)
+  }
+
   test("pearson: known correlations, NULL on zero variance, null pairs excluded") {
     val df = Seq(
       ("a", Some(1.0), Some(2.0)), ("a", Some(2.0), Some(4.0)),

@@ -1417,4 +1417,34 @@ class PipelineSpec extends SparkSpec {
     assert(out.keySet == Set(2L))
     assert(out(2L) == 2.0 / 3.0)
   }
+
+  test("sampleByWeight: saturated weights always keep, zero/NULL never") {
+    import graft.pipeline.Sampling
+    val d = Seq(
+      (1L, Some(10L), "s1"), // k*w = 20 >= tot = 11: saturated, always kept
+      (2L, Some(1L), "s1"),  // p = 2/11: probabilistic, not asserted
+      (3L, Some(0L), "s1"),  // zero weight: never kept
+      (4L, None, "s1")       // NULL weight: dropped before the draw
+    ).toDF("doc_id", "w", "source")
+    val kept = Sampling.sampleByWeight(d, 2L, col("w"), "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(3L) && !kept.contains(4L))
+    // deterministic: the same draw twice is identical
+    assert(Sampling.sampleByWeight(d, 2L, col("w"), "t")
+      .collect().map(_.getLong(0)).toSet == kept)
+  }
+
+  test("bm25: hand-computed scores; no-match docs absent") {
+    val d = Seq((1L, "a a b"), (2L, "a c c c"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(d, Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgLen=3, df(a)=2: idf = floor(ln(1 + 1.5/2.5)*1e9)/1e9
+    val idf = math.floor(math.log(1.6) * 1.0e9) / 1.0e9
+    val s1 = idf * (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * (3.0 / 3.0)))
+    val s2 = idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * (4.0 / 3.0)))
+    assert(out.keySet == Set(1L, 2L)) // d3 matches nothing: absent
+    assert(out(1L) == s1 && out(2L) == s2)
+    assert(out(1L) > out(2L)) // higher tf, shorter doc wins
+  }
 }

@@ -491,4 +491,42 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == expect)
     } finally q.stop()
   }
+
+  test("streaming funnel: chain advances across micro-batches; strict-after rule") {
+    import StreamingHist.{FunnelEvent, FunnelRow}
+    def e(u: Long, sec: Long, id: Long, t: String) =
+      FunnelEvent(Some(u), sec * 1000000L, Some(id), Some(t))
+    val steps = Seq("view", "click", "purchase")
+    val all = Seq(
+      e(1, 5, 1, "click"),  // before any view: can never fill a slot
+      e(1, 10, 2, "view"), e(1, 10, 3, "click"), // same us as t1: strict >
+      e(1, 20, 4, "click"), e(1, 30, 5, "purchase"),
+      FunnelEvent(Some(2L), 5L * 1000000L, Some(6L), Some("other")))
+    // batch execution: one final row per user
+    val batch = StreamingHist.streamingFunnel(all.toDS(), steps)
+      .collect().map(r => r.user_id.get -> ((r.ts, r.steps_completed))).toMap
+    assert(batch(1L) ==
+      ((Seq(Some(10000000L), Some(20000000L), Some(30000000L)), 3L)))
+    assert(batch(2L) == ((Seq(None, None, None), 0L)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingHist.streamingFunnel(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(e(1, 5, 1, "click"), e(1, 10, 2, "view"),
+        e(1, 10, 3, "click"), FunnelEvent(Some(2L), 5L * 1000000L, Some(6L), Some("other")))
+      q.processAllAvailable()
+      // t1 carried from the previous batch: click@20 must chain onto it
+      input.addData(e(1, 20, 4, "click"), e(1, 30, 5, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_stream").as[FunnelRow].collect()
+        .groupBy(_.user_id.get)
+      // user 1 emitted once per batch (changed both times): the live feed
+      assert(rows(1L).map(_.steps_completed).sorted.toSeq == Seq(1L, 3L))
+      // user 2 emitted exactly once (first sight), never again
+      assert(rows(2L).map(_.steps_completed).toSeq == Seq(0L))
+    } finally q.stop()
+  }
 }
