@@ -1489,6 +1489,18 @@ object SparkEntry {
         Histogram.histogram(ev.filter(col("event_type") === "click"),
           col("value"), axValue),
         axValue)
+    },
+    "q187_windowed_psi" -> { (s, dir) =>
+      // per-day PSI vs the whole-corpus reference — the rolling drift
+      // monitor in its published form (alarm when a day's PSI > 0.25);
+      // q114's windowed-drift shape with the ln-weighted score
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      HistStats.psiFrom(
+        Histogram.histogram(ev, col("value"), axValue, dims = Seq("day")),
+        Histogram.histogram(ev, col("value"), axValue),
+        axValue, dims = Seq("day"))
     }
   )
 
@@ -2023,6 +2035,9 @@ object SparkEntry {
     "q184_weighted_sample" -> PipelineOracle.sampleByWeight(500L, "pps"),
     "q185_bm25" -> PipelineOracle.bm25(Seq("spark", "query", "fast"), 1.2, 0.75),
     "q186_psi" -> Oracle.psi("events", Oracle.Spec("value", axValue),
-      "event_type = 'view'", "event_type = 'click'", 1e-6)
+      "event_type = 'view'", "event_type = 'click'", 1e-6),
+    "q187_windowed_psi" -> Oracle.psiByDim("events",
+      Oracle.Spec("value", axValue), "(epoch_ns(ts) // 1000) // 86400000000",
+      "day", 1e-6)
   )
 }

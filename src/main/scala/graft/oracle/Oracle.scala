@@ -222,6 +222,35 @@ object Oracle {
       "FROM p GROUP BY d"
   }
 
+  /** Mirrors HistStats.psiFrom over a single integer dim expression:
+    * the [[driftByDim]] prologue (per-dim histograms vs the dim×
+    * reference grid, decimal-exact per-dim totals), then the
+    * eps-clamped quantized-LN PSI term folded in bin order per dim. */
+  def psiByDim(table: String, spec: Spec, dimSql: String,
+      dimName: String, eps: Double): String = {
+    def dsum(e: String, part: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER ($part)")
+    val idx = spec.axis.indexSql(spec.valueSql)
+    val rng = s"__i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1}"
+    val e = s"CAST('${java.lang.Double.toString(eps)}' AS DOUBLE)"
+    val nine = "CAST('1.0E9' AS DOUBLE)"
+    s"WITH hx AS (SELECT d, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $dimSql AS d, $idx AS __i0 FROM $table) WHERE $rng GROUP BY d, __i0), " +
+      s"hr AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $idx AS __i0 FROM $table) WHERE $rng GROUP BY __i0), " +
+      "ds AS (SELECT DISTINCT d FROM hx), " +
+      "rb AS (SELECT ds.d, hr.__i0, hr.cnt FROM ds CROSS JOIN hr), " +
+      "j AS (SELECT COALESCE(hx.d, rb.d) AS d, COALESCE(hx.__i0, rb.__i0) AS i, " +
+      "COALESCE(hx.cnt, CAST(0 AS DOUBLE)) AS ca, COALESCE(rb.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM hx FULL OUTER JOIN rb ON rb.d = hx.d AND rb.__i0 = hx.__i0), " +
+      s"w AS (SELECT d, i, ca, cb, ${dsum("ca", "PARTITION BY d")} AS ta, " +
+      s"${dsum("cb", "PARTITION BY d")} AS tb FROM j), " +
+      s"p AS (SELECT d, i, GREATEST(ca / ta, $e) AS ph, GREATEST(cb / tb, $e) AS qh FROM w) " +
+      s"SELECT d AS $dimName, " +
+      s"SUM((ph - qh) * (FLOOR(LN(ph / qh) * $nine) / $nine) ORDER BY i) AS psi " +
+      "FROM p GROUP BY d"
+  }
+
   /** Mirrors HistStats.pearson: decimal-exact moment sums, identical
     * textbook tail, NULL on zero variance. */
   def pearson(table: String, xSql: String, ySql: String,

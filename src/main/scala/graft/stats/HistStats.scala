@@ -445,6 +445,20 @@ object HistStats {
       .select(dims.map(col) :+ fold(col("__terms")).as("psi"): _*)
   }
 
+  /** Per-group PSI against one shared reference histogram — the rolling
+    * drift monitor in its published form ("PSI of each day's score
+    * distribution vs the training snapshot; alarm past 0.25"): the
+    * [[psi]] metric with [[driftFrom]]'s broadcast reference grid. Same
+    * scale shape: the dims×bins grid is histogram-sized, the reference
+    * broadcasts. */
+  def psiFrom(a: DataFrame, ref: DataFrame, ax: BinAxis,
+      dims: Seq[String], eps: Double = 1e-6): DataFrame = {
+    require(dims.nonEmpty, "psiFrom scores per group; use psi for the global form")
+    val grid = a.select(dims.map(col): _*).distinct()
+      .crossJoin(broadcast(ref.select(col(ax.binsCol), col("cnt"))))
+    psi(a, grid, ax, eps, dims)
+  }
+
   /** Per-bin PULL between two count histograms (the ROOT-style residual
     * plot: which bins disagree, and by how many sigmas under Poisson
     * errors): pull_i = (a_i − b_i) / √(a_i + b_i), with the per-bin

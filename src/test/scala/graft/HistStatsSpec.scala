@@ -281,6 +281,22 @@ class HistStatsSpec extends SparkSpec {
     assert(HistStats.psi(ha, ha, ax).collect().head.getDouble(0) == 0.0)
   }
 
+  test("psiFrom: each group scored against the shared reference") {
+    val ax = Regular("x", 4, 0.0, 4.0)
+    val d = Seq(("g1", 0.5), ("g1", 1.5), ("g1", 2.5), ("g1", 3.5),
+      ("g2", 0.5), ("g2", 0.5), ("g2", 0.5), ("g2", 1.5))
+      .toDF("g", "x")
+    val byG = Histogram.histogram(d, col("x"), ax, dims = Seq("g"))
+    val ref = Histogram.histogram(d.select(col("x")), col("x"), ax)
+    val out = HistStats.psiFrom(byG, ref, ax, dims = Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // reference p = (.5, .25, .125, .125); g1 is uniform, g2 is skewed:
+    // both diverge, the skewed group more; every PSI is non-negative
+    assert(out.keySet == Set("g1", "g2"))
+    assert(out.values.forall(_ > 0.0))
+    assert(out("g2") > out("g1"))
+  }
+
   test("pearson: known correlations, NULL on zero variance, null pairs excluded") {
     val df = Seq(
       ("a", Some(1.0), Some(2.0)), ("a", Some(2.0), Some(4.0)),
