@@ -1501,6 +1501,24 @@ object SparkEntry {
         Histogram.histogram(ev, col("value"), axValue, dims = Seq("day")),
         Histogram.histogram(ev, col("value"), axValue),
         axValue, dims = Seq("day"))
+    },
+    "q188_snapshot_diff" -> { (s, dir) =>
+      // dataset-versioning diff: added/removed/changed/same per doc vs
+      // a synthesized previous drop (every 7th doc new, every 5th
+      // rewritten) — one doc_id-keyed full-outer join of hash scans
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.pipeline.Dedup.snapshotDiff(docs, old)
+    },
+    "q189_embed_outliers" -> { (s, dir) =>
+      // per-vector embedding outlier QA: cosine to the assigned
+      // centroid z-scored within the cell (quantized moments, exact
+      // integer sums), flagged below -2 sigma
+      implicit val sp: SparkSession = s
+      Similarity.embedOutliers(t(dir, "embeddings"), nCells = 16)
     }
   )
 
@@ -2038,6 +2056,19 @@ object SparkEntry {
       "event_type = 'view'", "event_type = 'click'", 1e-6),
     "q187_windowed_psi" -> Oracle.psiByDim("events",
       Oracle.Spec("value", axValue), "(epoch_ns(ts) // 1000) // 86400000000",
-      "day", 1e-6)
+      "day", 1e-6),
+    // || (not concat()) on the oracle side: DuckDB's concat skips NULLs
+    // where Spark's propagates them; || propagates like Spark
+    "q188_snapshot_diff" ->
+      ("WITH nw AS (SELECT doc_id, md5(text) AS h FROM documents), " +
+        "ol AS (SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h " +
+        "FROM documents WHERE doc_id % 7 <> 0) " +
+        "SELECT COALESCE(nw.doc_id, ol.doc_id) AS doc_id, " +
+        "CASE WHEN ol.doc_id IS NULL THEN 'added' " +
+        "WHEN nw.doc_id IS NULL THEN 'removed' " +
+        "WHEN nw.h IS NOT DISTINCT FROM ol.h THEN 'same' " +
+        "ELSE 'changed' END AS status " +
+        "FROM nw FULL OUTER JOIN ol ON ol.doc_id = nw.doc_id"),
+    "q189_embed_outliers" -> PipelineOracle.embedOutliers(nCells = 16, k = 2.0)
   )
 }

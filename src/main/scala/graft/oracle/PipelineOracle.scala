@@ -623,6 +623,32 @@ object PipelineOracle {
       "FROM st GROUP BY cell"
   }
 
+  /** Mirrors Similarity.embedOutliers: the rn=1 assignment keeps its
+    * ccos, quantized to the floor(·1e12) integer; per-cell moments as
+    * exact HUGEINT sums (Spark's DECIMAL(38,0) lane), then the q153
+    * fixed z-score IEEE tail; NULL z (and verdict) for n < 2 or zero
+    * variance. */
+  def embedOutliers(nCells: Int, k: Double, iters: Int = 2): String = {
+    val q12 = "CAST('1.0E12' AS DOUBLE)"
+    val negK = s"CAST('${java.lang.Double.toString(-k)}' AS DOUBLE)"
+    s"WITH ${ivfAsgCtes(nCells, iters)}, " +
+      s"st AS (SELECT vec_id, cent_id AS cell, CAST(FLOOR(ccos * $q12) AS BIGINT) AS qcos " +
+      "FROM rkd WHERE rn = 1), " +
+      "ag AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "SUM(CAST(qcos AS HUGEINT)) AS s, " +
+      "SUM(CAST(qcos AS HUGEINT) * CAST(qcos AS HUGEINT)) AS ss FROM st GROUP BY cell), " +
+      "zc AS (SELECT st.vec_id, st.cell, st.qcos, " +
+      "CASE WHEN n >= 2 AND SQRT(GREATEST(CAST(0.0 AS DOUBLE), " +
+      "CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) > CAST(0.0 AS DOUBLE) THEN " +
+      "(CAST(qcos AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+      "SQRT(GREATEST(CAST(0.0 AS DOUBLE), " +
+      "CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) END AS z " +
+      "FROM st JOIN ag USING (cell)) " +
+      s"SELECT vec_id, cell, qcos, z, z < $negK AS is_outlier FROM zc"
+  }
+
   /** Mirrors Similarity.semDedup: trained-quantizer assignment, within-
     * cell pairwise cosine (same ORDER BY i left-to-right dot), drop the
     * higher vec_id of every pair at/above threshold. */

@@ -114,6 +114,32 @@ object Dedup {
             col("tokens_total").cast("double"))
           .as("token_savings"))
 
+  /** Corpus snapshot diff (dataset versioning: what changed between two
+    * drops of the same corpus?): per doc_id, `added` (new only),
+    * `removed` (old only), `changed` (both, different content hash) or
+    * `same` — the review gate before swapping a training corpus
+    * version. Content equality is the [[contentHash]] md5, so a
+    * reformatted doc reads as changed exactly when exact dedup would
+    * treat it as different content; NULL text hashes to NULL and two
+    * NULLs compare equal (both-absent content is "same").
+    *
+    * Scale shape: ONE doc_id-keyed full-outer equi-join of two
+    * hash-projected scans (AQE co-partitions), map-side verdict —
+    * nothing else shuffles; output is corpus-sized, feed it to an
+    * aggregate for the per-source dashboard. */
+  def snapshotDiff(newDocs: DataFrame, oldDocs: DataFrame): DataFrame = {
+    def proj(df: DataFrame, h: String, p: String) =
+      df.select(col("doc_id"), contentHash(col("text")).as(h),
+        lit(true).as(p))
+    proj(newDocs, "__hn", "__in_new")
+      .join(proj(oldDocs, "__ho", "__in_old"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("__hn") <=> col("__ho"), lit("same"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Exact dedup on NORMALIZED text (lowercase, collapsed whitespace):
     * same single-shuffle plan as `exact`, catching reformatted copies. */
   def exactNormalized(docs: DataFrame): DataFrame =

@@ -446,6 +446,45 @@ object Similarity {
     assigned.select(col("vec_id"), col("cell"))
   }
 
+  /** Per-vector embedding outlier score (corpus QA: garbage vectors,
+    * mislabeled modalities, encoder failures sit FAR from every
+    * centroid): each vector's cosine to its assigned centroid,
+    * z-scored against its own cell's distribution — flagged when z
+    * drops below −k (low cosine = far from center). The per-vector
+    * companion to [[clusterStats]]'s per-cell report.
+    *
+    * Cross-engine exactness: the cosine is quantized to the
+    * floor(ccos·1e12) integer (the q123 convention) so the per-cell
+    * moments are EXACT integer sums in DECIMAL(38,0)/HUGEINT; the z
+    * tail is the q153 fixed IEEE sequence (NULL for cells with n < 2
+    * or zero variance). Scale shape: assignment is the trained
+    * quantizer's one pass; moments are one cell-keyed aggregate
+    * broadcast back; the scoring is map-side. */
+  def embedOutliers(corpus: DataFrame, nCells: Int = 8, iters: Int = 2,
+      k: Double = 2.0): DataFrame = {
+    require(k > 0.0, s"k must be positive: $k")
+    val cents = kmeansCentroids(corpus, nCells, iters)
+    val dec = "decimal(38,0)"
+    val asg = assignCells(corpus, centroidsDf(corpus.sparkSession, cents), 1)
+      .select(col("vec_id"), col("cell"),
+        floor(col("ccos") * lit(1.0e12)).cast("long").as("qcos"))
+    val stats = asg.groupBy(col("cell")).agg(
+      count(lit(1)).as("__n"),
+      sum(col("qcos").cast(dec)).as("__s"),
+      sum(col("qcos").cast(dec) * col("qcos").cast(dec)).as("__ss"))
+    val num = col("__n").cast("double") * col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double")
+    val varC = greatest(lit(0.0), num) /
+      (col("__n").cast("double") * (col("__n") - lit(1L)).cast("double"))
+    val stdC = sqrt(varC)
+    val meanC = col("__s").cast("double") / col("__n").cast("double")
+    val z = when(col("__n") >= 2L && stdC > lit(0.0),
+      (col("qcos").cast("double") - meanC) / stdC)
+    asg.join(broadcast(stats), "cell")
+      .select(col("vec_id"), col("cell"), col("qcos"), z.as("z"),
+        (z < lit(-k)).as("is_outlier"))
+  }
+
   /** Per-cell quality report for the trained quantizer (cluster QA:
     * which cells are tight, which are junk drawers): size, the weakest
     * and strongest member's cosine to the own centroid, and the mean

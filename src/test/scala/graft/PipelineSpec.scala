@@ -1447,4 +1447,34 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) == s1 && out(2L) == s2)
     assert(out(1L) > out(2L)) // higher tf, shorter doc wins
   }
+
+  test("snapshotDiff: all four statuses; NULL-text content compares equal") {
+    val nw = Seq((1L, Some("x")), (2L, Some("x v2")), (3L, Some("new")),
+      (5L, None: Option[String]), (6L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val ol = Seq((1L, Some("x")), (2L, Some("x")), (4L, Some("gone")),
+      (5L, None: Option[String]), (6L, Some("was text")))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.snapshotDiff(nw, ol)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "same", 2L -> "changed", 3L -> "added",
+      4L -> "removed", 5L -> "same", 6L -> "changed"))
+  }
+
+  test("embedOutliers: far-from-centroid vector flags; tight cell does not") {
+    // one tight direction with a single adversarial member pointing away
+    val vecs = ((1L to 20L).map { i =>
+      (i, Array(1.0f, (i % 3) * 0.01f, 0.0f, 0.0f))
+    } :+ ((99L, Array(-1.0f, 0.3f, 0.0f, 0.0f)))).toDF("vec_id", "embedding")
+    val out = Similarity.embedOutliers(vecs, nCells = 1, k = 2.0)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]), r.get(4)))).toMap
+    assert(out.size == 21)
+    // the adversarial vector is the flagged outlier
+    assert(out(99L)._2 == true)
+    // the tight members are not flagged
+    assert((1L to 20L).forall(i => out(i)._2 != true))
+    // z is centered: some member sits above the mean
+    assert(out.values.exists(_._1.exists(_ > 0.0)))
+  }
 }
