@@ -231,6 +231,33 @@ class EmptyInputSpec extends SparkSpec {
       spark.emptyDataset[graft.streaming.StreamingHist.TransEvent]).count() == 0)
   }
 
+  test("round-9 operators on empty input: no throws, sane shapes") {
+    import graft.pipeline.{Curation, Sampling, TextAnalysis}
+    import spark.implicits._
+    assert(Curation.blendPercentiles(emptyDocs,
+      Seq("len" -> length(col("text")).cast("double"))).count() == 0)
+    assert(Curation.curateBlend(emptyDocs, emptyDocs,
+      Seq("len" -> length(col("text")).cast("double"))).count() == 0)
+    assert(Sampling.sampleByWeight(emptyDocs, 5L,
+      length(col("text")).cast("long"), "s").count() == 0)
+    assert(TextAnalysis.bm25(emptyDocs, Seq("a")).count() == 0)
+    assert(graft.pipeline.Dedup.snapshotDiff(emptyDocs, emptyDocs).count() == 0)
+    // diff vs an empty old snapshot: everything is "added"
+    val nw = Seq((1L, "x")).toDF("doc_id", "text")
+    val d = graft.pipeline.Dedup.snapshotDiff(nw, emptyDocs).collect()
+    assert(d.length == 1 && d.head.getString(1) == "added")
+    // PSI of two empty histograms: no bins, empty result (not NaN rows)
+    val he = Histogram.histogram(emptyNum, col("x"), ax)
+    assert(HistStats.psi(he, he, ax).collect()
+      .forall(r => r.isNullAt(0) || r.getDouble(0) == 0.0))
+    assert(graft.streaming.StreamingHist.streamingRapidFire(
+      spark.emptyDataset[graft.streaming.StreamingHist.RfEvent], 60L)
+      .count() == 0)
+    assert(graft.streaming.StreamingHist.streamingFunnel(
+      spark.emptyDataset[graft.streaming.StreamingHist.FunnelEvent],
+      Seq("view")).count() == 0)
+  }
+
   test("accessor arithmetic and multimodal on empty input") {
     val h = Histogram.histogram(emptyNum, col("x"), ax)
     assert(HistStats.add(h, h, ax, Nil).count() == 0)
