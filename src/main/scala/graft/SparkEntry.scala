@@ -1519,6 +1519,14 @@ object SparkEntry {
       // integer sums), flagged below -2 sigma
       implicit val sp: SparkSession = s
       Similarity.embedOutliers(t(dir, "embeddings"), nCells = 16)
+    },
+    "q190_bm25_topk" -> { (s, dir) =>
+      // the retrieval form: 25 most relevant docs for the probe query,
+      // ranked — deterministic because the scores are bit-identical by
+      // construction and ties break by doc_id
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.bm25TopK(t(dir, "documents"),
+        Seq("spark", "query", "fast"), k = 25)
     }
   )
 
@@ -2069,6 +2077,8 @@ object SparkEntry {
         "WHEN nw.h IS NOT DISTINCT FROM ol.h THEN 'same' " +
         "ELSE 'changed' END AS status " +
         "FROM nw FULL OUTER JOIN ol ON ol.doc_id = nw.doc_id"),
-    "q189_embed_outliers" -> PipelineOracle.embedOutliers(nCells = 16, k = 2.0)
+    "q189_embed_outliers" -> PipelineOracle.embedOutliers(nCells = 16, k = 2.0),
+    "q190_bm25_topk" -> PipelineOracle.bm25TopK(
+      Seq("spark", "query", "fast"), 25, 1.2, 0.75)
   )
 }

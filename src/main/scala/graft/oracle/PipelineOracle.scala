@@ -1335,6 +1335,14 @@ object PipelineOracle {
       "SELECT doc_id, SUM(c ORDER BY term) AS score FROM c GROUP BY doc_id"
   }
 
+  /** Mirrors TextAnalysis.bm25TopK: the [[bm25]] scores (bit-identical
+    * by construction) ranked desc with the doc_id tie-break. */
+  def bm25TopK(queryTerms: Seq[String], k: Int, k1: Double,
+      b: Double): String =
+    s"SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (" +
+      s"SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank " +
+      s"FROM (${bm25(queryTerms, k1, b)}) __b) __r WHERE rank <= $k"
+
   /** Mirrors Curation.curateBlend: the [[curate]] chain plus the
     * [[blendPercentiles]] relative-quality verdict as a fourth join —
     * blend ranks computed over the FULL corpus (like the dedup

@@ -515,4 +515,22 @@ object TextAnalysis {
       .select(col("doc_id"), aggregate(col("__a"), lit(0.0),
         (acc, x) => acc + x.getField("__c")).as("score"))
   }
+
+  /** The retrieval form of [[bm25]]: the k most relevant docs for the
+    * query, ranked. Safe to rank cross-engine because every score
+    * double is bit-identical by construction (quantized idf + pinned
+    * IEEE order); ties break by doc_id ascending, so the ranking is
+    * fully deterministic. The top-k sort runs on the matched-docs
+    * relation (already corpus-scale-reduced by the query filter) —
+    * Catalyst turns the global rank-k into TakeOrderedAndProject, no
+    * full sort materializes. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Window.orderBy(col("score").desc, col("doc_id"))
+    bm25(docs, queryTerms, k1, b)
+      .withColumn("rank", row_number().over(ranked).cast("int"))
+      .filter(col("rank") <= k)
+  }
 }

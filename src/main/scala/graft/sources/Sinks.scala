@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed-layout sinks: the storage-side half of the 100 TB shuffle
+  * story. A corpus written bucketed by its join/group key gives every
+  * downstream equi-join, groupBy and dedup on that key a scan that
+  * already satisfies the required HashPartitioning — Catalyst's
+  * EnsureRequirements inserts NO exchange, so the per-run shuffle is
+  * paid ONCE at write time instead of on every query. The natural keys
+  * here: documents by doc_id (dedup verdict joins, curation
+  * intersections), events by user_id (funnel/session/as-of), embeddings
+  * by vec_id. PlanShapeSpec pins the no-exchange join plan as a
+  * regression guard. */
+object Sinks {
+
+  /** Write `df` as a bucketed (optionally sort-within-bucket) managed
+    * parquet table. `nBuckets` should match the downstream
+    * `spark.sql.shuffle.partitions` divisor on the cluster (both sides
+    * of a co-located join must agree on the bucket count). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
+}

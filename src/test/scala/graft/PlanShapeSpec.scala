@@ -370,6 +370,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(agg >= 1, plan)
   }
 
+  test("bucketed tables: co-located equi-join plans with ZERO exchanges") {
+    import graft.sources.Sinks
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Sinks.writeBucketed(docs, "psb_docs", "doc_id", 4, Seq("doc_id"))
+      Sinks.writeBucketed(docs.select($"doc_id", length($"text").as("len")),
+        "psb_lens", "doc_id", 4, Seq("doc_id"))
+      val j = spark.table("psb_docs").join(spark.table("psb_lens"), "doc_id")
+      val plan = executedPlan(j)
+      // the whole point of the bucketed layout: the join's required
+      // hash partitioning is satisfied by the SCAN — no shuffle at all
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("Join"), plan)
+      // and results are intact
+      assert(j.count() == 30L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS psb_docs")
+      spark.sql("DROP TABLE IF EXISTS psb_lens")
+    }
+  }
+
   test("vocabGrowth: cumulative windows run on the bucket relation, not the corpus") {
     val plan = executedPlan(graft.pipeline.TextAnalysis.vocabGrowth(docs, 10L))
     // the single window (the cumsum) sits above both aggregates — the
