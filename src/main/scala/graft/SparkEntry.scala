@@ -1527,6 +1527,17 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.TextAnalysis.bm25TopK(t(dir, "documents"),
         Seq("spark", "query", "fast"), k = 25)
+    },
+    "q191_stream_psi" -> { (s, dir) =>
+      // the LIVE drift monitor on batch input: hourly value-distribution
+      // PSI vs the whole-corpus reference; batch execution == psiFrom
+      // over the windowed histogram (streaming chains two stateful aggs)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val ref = Histogram.histogram(ev, col("value"), axValue)
+      graft.streaming.StreamingHist.windowedPsi(
+        ev, "event_time", col("value"), axValue, "1 hour", ref)
     }
   )
 
@@ -2079,6 +2090,12 @@ object SparkEntry {
         "FROM nw FULL OUTER JOIN ol ON ol.doc_id = nw.doc_id"),
     "q189_embed_outliers" -> PipelineOracle.embedOutliers(nCells = 16, k = 2.0),
     "q190_bm25_topk" -> PipelineOracle.bm25TopK(
-      Seq("spark", "query", "fast"), 25, 1.2, 0.75)
+      Seq("spark", "query", "fast"), 25, 1.2, 0.75),
+    // the window dim drops NULL event times (Spark's TimeWindowing
+    // inserts IsNotNull); the reference histogram keeps every row
+    "q191_stream_psi" -> Oracle.psiByDim("events",
+      Oracle.Spec("value", axValue),
+      "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
+      "window_start", 1e-6, where = "ts IS NOT NULL")
   )
 }

@@ -227,7 +227,8 @@ object Oracle {
     * reference grid, decimal-exact per-dim totals), then the
     * eps-clamped quantized-LN PSI term folded in bin order per dim. */
   def psiByDim(table: String, spec: Spec, dimSql: String,
-      dimName: String, eps: Double): String = {
+      dimName: String, eps: Double, where: String = "TRUE",
+      refWhere: String = "TRUE"): String = {
     def dsum(e: String, part: String): String =
       exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER ($part)")
     val idx = spec.axis.indexSql(spec.valueSql)
@@ -235,9 +236,9 @@ object Oracle {
     val e = s"CAST('${java.lang.Double.toString(eps)}' AS DOUBLE)"
     val nine = "CAST('1.0E9' AS DOUBLE)"
     s"WITH hx AS (SELECT d, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
-      s"(SELECT $dimSql AS d, $idx AS __i0 FROM $table) WHERE $rng GROUP BY d, __i0), " +
+      s"(SELECT $dimSql AS d, $idx AS __i0 FROM $table WHERE $where) WHERE $rng GROUP BY d, __i0), " +
       s"hr AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
-      s"(SELECT $idx AS __i0 FROM $table) WHERE $rng GROUP BY __i0), " +
+      s"(SELECT $idx AS __i0 FROM $table WHERE $refWhere) WHERE $rng GROUP BY __i0), " +
       "ds AS (SELECT DISTINCT d FROM hx), " +
       "rb AS (SELECT ds.d, hr.__i0, hr.cnt FROM ds CROSS JOIN hr), " +
       "j AS (SELECT COALESCE(hx.d, rb.d) AS d, COALESCE(hx.__i0, rb.__i0) AS i, " +

@@ -78,6 +78,82 @@ object StreamingHist {
     }
   }
 
+  /** Per-window Population Stability Index against a STATIC reference
+    * histogram — the LIVE drift monitor ("alarm when this hour's
+    * distribution drifts past 0.25 from the training snapshot").
+    *
+    * Batch execution is exactly HistStats.psiFrom over the batch
+    * windowed histogram (the oracle-gated configuration, q191).
+    * Streaming chains TWO stateful aggregations (the q177 discipline):
+    * the watermarked per-(window, bin) count — state #windows×#bins —
+    * feeding a per-window collect of its ≤ nBins closed rows, then the
+    * PSI arithmetic runs map-side over that array against the
+    * DRIVER-COLLECTED reference (bins-sized, embedded as literals).
+    *
+    * Streaming == batch BIT-EXACTLY, by construction: the streaming
+    * fold iterates the full static in-range label list in ascending
+    * order, while the batch fold covers only bins present in window or
+    * reference — but an absent-in-both bin contributes exactly
+    * (eps−eps)·qln(1) = +0.0, and inserting +0.0 into a left fold
+    * never changes an IEEE sum; window totals are sums of
+    * integer-valued doubles (exact in any order, equal to the batch
+    * side's decimal total); every other op is the same pinned IEEE
+    * sequence on identical inputs. StreamingSpec asserts the exact
+    * equality. */
+  def windowedPsi(df: DataFrame, tsCol: String, x: Column, ax: BinAxis,
+      windowDuration: String, ref: DataFrame, eps: Double = 1e-6,
+      watermark: String = "10 seconds"): DataFrame = {
+    require(eps > 0.0, s"eps must be positive: $eps")
+    if (!df.isStreaming) {
+      val wh = windowedHistogram(df, tsCol, x, ax, windowDuration)
+        .select(col("window_start"), col(ax.binsCol), col("cnt"))
+      graft.stats.HistStats.psiFrom(wh, ref, ax,
+        dims = Seq("window_start"), eps = eps)
+    } else {
+      // static, bins-sized driver-side work: the axis's in-range labels
+      // (ascending — the fold order the batch side sorts into) and the
+      // reference's clamped mass per label
+      val spark = df.sparkSession
+      val labels = spark.range(0, ax.nBins)
+        .select(ax.label(col("id")).cast("double")).collect()
+        .map(_.getDouble(0)).toSeq
+      val refRows = ref
+        .select(col(ax.binsCol).cast("double"), col("cnt").cast("double"))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      require(refRows.keySet.subsetOf(labels.toSet),
+        "reference histogram carries bins outside the axis (flow rows?)")
+      val refTot = refRows.values.sum // integer-valued doubles: exact
+      require(refTot > 0.0, "reference histogram is empty")
+      val qh = labels.map(l =>
+        math.max(refRows.getOrElse(l, 0.0) / refTot, eps))
+      // the first stateful agg keeps the event-time-tagged window struct
+      // so the second (the q177 chained-stateful pattern, via
+      // window_time) stays append-legal; rows otherwise identical to
+      // windowedHistogram's streaming branch
+      val kept = ax.keepPred(x, includeUnder = false, includeOver = false)
+      val agged = df.withWatermark(tsCol, watermark)
+        .filter(kept)
+        .select(window(col(tsCol), windowDuration).as("win"),
+          ax.index(x).as("__i0"))
+        .groupBy(col("win"), col("__i0"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .select(col("win"), ax.label(col("__i0")).cast("double").as("__b"),
+          col("cnt"))
+        .groupBy(window(window_time(col("win")), windowDuration).as("__w2"))
+        .agg(collect_list(struct(col("__b"), col("cnt"))).as("__a"))
+      val wmap = map_from_entries(col("__a"))
+      val total = aggregate(col("__a"), lit(0.0),
+        (acc, e) => acc + e.getField("cnt"))
+      val terms = labels.zip(qh).map { case (l, q) =>
+        val p = coalesce(element_at(wmap, lit(l)), lit(0.0)) / total
+        val ph = greatest(p, lit(eps))
+        (ph - lit(q)) * (floor(log(ph / lit(q)) * lit(1.0e9)) / lit(1.0e9))
+      }
+      agged.select(col("__w2.start").as("window_start"),
+        terms.reduceLeft(_ + _).as("psi"))
+    }
+  }
+
   case class DocEvent(doc_id: Long, content_hash: String)
   case class DedupVerdict(doc_id: Long, content_hash: String, first_seen: Boolean)
 

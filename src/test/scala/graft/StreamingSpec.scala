@@ -529,4 +529,42 @@ class StreamingSpec extends SparkSpec {
       assert(rows(2L).map(_.steps_completed).toSeq == Seq(0L))
     } finally q.stop()
   }
+
+  test("windowed PSI: streaming equals batch BIT-exactly on closed windows") {
+    val ax = Regular("value", 4, 0.0, 4.0)
+    val ref = graft.operators.Histogram.histogram(
+      Seq(0.5, 0.5, 1.5, 2.5, 3.5).toDF("value"), col("value"), ax)
+    val events = Seq((ts(1), 0.5), (ts(2), 0.5), (ts(3), 1.5), (ts(5), 2.5),
+      (ts(12), 3.5), (ts(14), 0.5), (ts(35), 1.5), (ts(50), 2.5))
+      .toDF("event_time", "value")
+    val batch = StreamingHist.windowedPsi(
+        events, "event_time", col("value"), ax, "10 seconds", ref)
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getDouble(1))
+      .toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = StreamingHist.windowedPsi(
+      input.toDF().toDF("event_time", "value"),
+      "event_time", col("value"), ax, "10 seconds", ref)
+    val q = out.writeStream.format("memory").queryName("psi_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the [0,10) window's bins arrive split across TWO micro-batches:
+      // the first stateful agg must merge them before the PSI fold sees
+      // the window
+      input.addData((ts(1), 0.5), (ts(2), 0.5), (ts(3), 1.5))
+      q.processAllAvailable()
+      input.addData((ts(5), 2.5), (ts(12), 3.5), (ts(14), 0.5), (ts(35), 1.5))
+      q.processAllAvailable()
+      input.addData((ts(50), 2.5)) // watermark 40: closes [0,10),[10,20),[30,40)
+      q.processAllAvailable()
+      val streamed = spark.table("psi_stream").collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 -> r.getDouble(1)).toMap
+      assert(streamed.keySet == Set(0L, 10L, 30L))
+      // bit-exact: the streaming static-label fold and the batch
+      // full-outer fold differ only by inserted +0.0 terms
+      streamed.foreach { case (w, p) => assert(p == batch(w), s"window $w") }
+    } finally q.stop()
+  }
 }
