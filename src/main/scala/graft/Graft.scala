@@ -98,14 +98,26 @@ object Graft {
     * as a union + running window — one exchange, no join operator. */
   val asOf: _root_.graft.pipeline.AsOf.type = _root_.graft.pipeline.AsOf
 
-  /** Binary media columns: batched decode plumbing, frame sampling,
-    * thumbnails (codec stubbed in this environment). */
+  /** Binary media columns: real PNG/JPEG/GIF/WAV/AVI container
+    * parsing, batched decode plumbing, frame sampling, thumbnails. */
   val multimodal: _root_.graft.pipeline.Multimodal.type =
     _root_.graft.pipeline.Multimodal
 
   /** Structured Streaming: watermarked windowed histograms, stateful
     * dedup (optional TTL), gap-based sessionization, capacity-bounded
-    * per-window frequent terms (SpaceSaving). */
+    * per-window frequent terms (SpaceSaving), live as-of/anomaly/
+    * quantiles/transitions/burst-collapse/funnel feeds, per-window
+    * distinct and the windowed PSI drift monitor. */
   val streaming: _root_.graft.streaming.StreamingHist.type =
     _root_.graft.streaming.StreamingHist
+
+  /** Sketch error-bound contracts (GK rank bounds, SpaceSaving
+    * brackets, percentile_approx, HLL distinct, ANN recall) — the QA
+    * gates that pin every approximate knob's accuracy on real data. */
+  val contracts: _root_.graft.pipeline.Contracts.type =
+    _root_.graft.pipeline.Contracts
+
+  /** Bucketed-table sinks: pay the join/group shuffle once at write
+    * time; co-located equi-joins then plan with zero exchanges. */
+  val sinks: _root_.graft.sources.Sinks.type = _root_.graft.sources.Sinks
 }

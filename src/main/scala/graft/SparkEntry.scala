@@ -1538,6 +1538,18 @@ object SparkEntry {
       val ref = Histogram.histogram(ev, col("value"), axValue)
       graft.streaming.StreamingHist.windowedPsi(
         ev, "event_time", col("value"), axValue, "1 hour", ref)
+    },
+    "q192_curate_explain" -> { (s, dir) =>
+      // curation EXPLAIN: every criterion's verdict per doc over the
+      // FULL corpus — the "why was my doc dropped" / loss-attribution
+      // surface; three-valued logic intact for NULL text
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.pipeline.Curation.curateExplain(docs,
+        docs.filter(col("doc_id") < 20), Seq(
+          "chars" -> col("n_chars").cast("double"),
+          "tokens" -> regexp_count(col("text"), lit("\\S+")).cast("double")),
+        minBlend = 0.5)
     }
   )
 
@@ -2096,6 +2108,8 @@ object SparkEntry {
     "q191_stream_psi" -> Oracle.psiByDim("events",
       Oracle.Spec("value", axValue),
       "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
-      "window_start", 1e-6, where = "ts IS NOT NULL")
+      "window_start", 1e-6, where = "ts IS NOT NULL"),
+    "q192_curate_explain" -> PipelineOracle.curateExplain(
+      "0.5", 40L, 5, "doc_id < 20", 0.8, "cur")
   )
 }

@@ -1313,6 +1313,24 @@ object PipelineOracle {
       s"< CAST($k AS HUGEINT) * CAST(f.w AS HUGEINT) * $two60"
   }
 
+  /** Mirrors Curation.curateExplain: every criterion's verdict per doc
+    * over the FULL corpus, three-valued logic intact (NULL text ->
+    * NULL token/quality flags; keep follows SQL AND). */
+  def curateExplain(minBlend: String, minTokens: Long, ngram: Int,
+      benchWhere: String, rate: Double, salt: String): String = {
+    import graft.pipeline.Sampling.threshold
+    s"WITH t AS (SELECT doc_id, source, " +
+      s"CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) >= $minTokens AS pass_tokens, " +
+      s"('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':' || ${q(salt)}), 1, 15))::BIGINT < ${threshold(rate)} AS pass_sample " +
+      "FROM documents), " +
+      s"k AS (SELECT doc_id, keep AS is_canonical FROM ($dedupExact)), " +
+      s"c AS (SELECT doc_id, NOT contaminated AS is_clean FROM (${decontaminate(ngram, benchWhere)})), " +
+      s"qy AS (SELECT doc_id, blend >= $minBlend AS pass_quality FROM ($blendPercentiles) __bp) " +
+      "SELECT t.doc_id, t.source, pass_tokens, pass_sample, is_canonical, is_clean, pass_quality, " +
+      "pass_tokens AND pass_sample AND is_canonical AND is_clean AND pass_quality AS keep " +
+      "FROM t JOIN k USING (doc_id) JOIN c USING (doc_id) JOIN qy USING (doc_id)"
+  }
+
   /** Mirrors TextAnalysis.bm25: same tokenization, the 1e-9-quantized
     * LN idf (the q141 pow convention), the identical pinned association
     * order for every IEEE op, and SUM(c ORDER BY term) for the per-doc

@@ -270,4 +270,37 @@ object Curation {
     curate(docs, benchmark, minTokens, ngram, rate, salt)
       .join(quality, "doc_id")
   }
+
+  /** Curation EXPLAIN: one row per doc with every criterion's verdict —
+    * the "why was my document dropped" debugging surface, and the input
+    * to loss-attribution dashboards ("decontamination costs us 3% of
+    * tokens, the quality gate 22%"). Unlike [[curate]]/[[curateBlend]]
+    * (which emit only survivors and pre-filter cheaply), every verdict
+    * here is computed over the FULL corpus so each flag is meaningful
+    * per doc. A NULL-text doc carries NULL token/quality flags (SQL
+    * three-valued logic) and `keep` follows AND's NULL rules — both
+    * engines agree bitwise.
+    *
+    * Scale shape: four doc_id-keyed verdict relations intersected by
+    * equi-join (AQE co-partitions); the blend adds its one source-keyed
+    * exchange; everything else is the [[curate]] machinery. */
+  def curateExplain(docs: DataFrame, benchmark: DataFrame,
+      scores: Seq[(String, Column)], minBlend: Double = 0.5,
+      minTokens: Long = 40L, ngram: Int = 5, rate: Double = 0.8,
+      salt: String = "cur"): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      (regexp_count(col("text"), lit("\\S+")).cast("long") >= minTokens)
+        .as("pass_tokens"),
+      (Sampling.hash60(col("doc_id"), col("source"), salt) <
+        lit(Sampling.threshold(rate))).as("pass_sample"))
+    val canon = Dedup.exact(docs)
+      .select(col("doc_id"), col("keep").as("is_canonical"))
+    val clean = Dedup.decontaminate(docs, benchmark, ngram)
+      .select(col("doc_id"), (!col("contaminated")).as("is_clean"))
+    val quality = blendPercentiles(docs, scores)
+      .select(col("doc_id"), (col("blend") >= lit(minBlend)).as("pass_quality"))
+    base.join(canon, "doc_id").join(clean, "doc_id").join(quality, "doc_id")
+      .withColumn("keep", col("pass_tokens") && col("pass_sample") &&
+        col("is_canonical") && col("is_clean") && col("pass_quality"))
+  }
 }

@@ -1418,6 +1418,33 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == 2.0 / 3.0)
   }
 
+  test("curateExplain: per-criterion verdicts agree with the composed gate") {
+    import graft.pipeline.Curation
+    val d = Seq(
+      (1L, "aa bb cc dd", "s1"),
+      (2L, "aa bb cc dd ee ff gg hh", "s1"),
+      (3L, "aa bb cc dd ee ff gg hh", "s1"),   // exact dup of 2
+      (4L, "x", "s1"),
+      (5L, "aa bb cc dd ee ff gg hh ii jj", "s2")
+    ).toDF("doc_id", "text", "source")
+    val scores = Seq("chars" -> length(col("text")).cast("double"))
+    val ex = Curation.curateExplain(d, d.filter($"doc_id" === 99L),
+        scores, minBlend = 0.5, minTokens = 2L, rate = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(4), r.getBoolean(6),
+          r.getBoolean(7)))).toMap // (pass_tokens, is_canonical, pass_quality, keep)
+    assert(ex(4L) == ((false, true, false, false))) // short AND low-quality
+    assert(ex(3L) == ((true, false, true, false)))  // only the dup kills it
+    assert(ex(1L) == ((true, true, false, false)))  // only quality kills it
+    assert(ex(2L) == ((true, true, true, true)))
+    assert(ex(5L) == ((true, true, false, false)))  // solo source: pctl 0
+    // keep column == the composed curateBlend survivor set
+    val kept = Curation.curateBlend(d, d.filter($"doc_id" === 99L),
+      scores, minBlend = 0.5, minTokens = 2L, rate = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(ex.filter(_._2._4).keySet == kept)
+  }
+
   test("sampleByWeight: saturated weights always keep, zero/NULL never") {
     import graft.pipeline.Sampling
     val d = Seq(
