@@ -1550,6 +1550,33 @@ object SparkEntry {
           "chars" -> col("n_chars").cast("double"),
           "tokens" -> regexp_count(col("text"), lit("\\S+")).cast("double")),
         minBlend = 0.5)
+    },
+    "q193_lm_score" -> { (s, dir) =>
+      // unigram LM quality score (the perplexity-style corpus filter):
+      // mean token log-prob under the corpus's own unigram model —
+      // vocabulary + tf aggregates, term-keyed join, doc-keyed fold
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.lmScore(t(dir, "documents"))
+    },
+    "q194_chunk_docs" -> { (s, dir) =>
+      // stride chunking into fixed-token windows (context-bounded
+      // training/embedding inputs) — purely narrow, zero exchanges
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.chunkDocs(t(dir, "documents"),
+        window = 64, stride = 48)
+    },
+    "q195_tfidf_topk" -> { (s, dir) =>
+      // per-doc keyword extraction: top-5 terms by tf·ln(N/df) —
+      // doc-partitioned rank windows over vocabulary-joined tf
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.tfidfTopK(t(dir, "documents"), k = 5)
+    },
+    "q196_robust_standardize" -> { (s, dir) =>
+      // per-source median/MAD robust z-score of doc length — the
+      // outlier-immune quality gate; corpus never shuffles
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.robustStandardizeBySource(
+        t(dir, "documents"), scoreCol = "n_chars")
     }
   )
 
@@ -2110,6 +2137,10 @@ object SparkEntry {
       "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
       "window_start", 1e-6, where = "ts IS NOT NULL"),
     "q192_curate_explain" -> PipelineOracle.curateExplain(
-      "0.5", 40L, 5, "doc_id < 20", 0.8, "cur")
+      "0.5", 40L, 5, "doc_id < 20", 0.8, "cur"),
+    "q193_lm_score" -> PipelineOracle.lmScore,
+    "q194_chunk_docs" -> PipelineOracle.chunkDocs(64, 48),
+    "q195_tfidf_topk" -> PipelineOracle.tfidfTopK(5),
+    "q196_robust_standardize" -> PipelineOracle.robustStandardize("n_chars")
   )
 }

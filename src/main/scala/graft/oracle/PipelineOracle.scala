@@ -1603,4 +1603,71 @@ object PipelineOracle {
       "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys FROM " +
       s"(SELECT ((epoch_ns(ts) // 1000) // $durUs) * $durUs AS ws, user_id FROM events " +
       "WHERE ts IS NOT NULL AND user_id IS NOT NULL) w GROUP BY ws"
+
+  /** Mirrors TextAnalysis.lmScore: same tokenization, the 1e-9-quantized
+    * LN of the corpus-trained unigram probability, SUM(c ORDER BY term)
+    * for the per-doc fold (the sequential-sum contract), and the mean
+    * as one IEEE division. */
+  def lmScore: String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    "WITH tok AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term), " +
+      "tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM tok), " +
+      "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term), " +
+      s"c AS (SELECT doc_id, term, tf, CAST(tf AS DOUBLE) * (FLOOR(LN(CAST(cnt AS DOUBLE) / CAST(tt AS DOUBLE)) * ${d(1.0e9)}) / ${d(1.0e9)}) AS c " +
+      "FROM tf JOIN v USING (term) CROSS JOIN tt) " +
+      "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+      "SUM(c ORDER BY term) / CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) AS lm_score " +
+      "FROM c GROUP BY doc_id"
+  }
+
+  /** Mirrors TextAnalysis.chunkDocs: identical tokenization, the same
+    * ceil-division last-start rule (operands positive, so `//` ==
+    * Spark's `div`), 1-based inclusive list_slice == Spark's
+    * (start, length) slice, single-space re-join. */
+  def chunkDocs(window: Int, stride: Int): String =
+    "WITH base AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t, " +
+      "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS len " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "b2 AS (SELECT doc_id, t, len, " +
+      s"UNNEST(generate_series(0, CASE WHEN len <= $window THEN 0 ELSE ((len - $window + $stride - 1) // $stride) * $stride END, $stride)) AS s " +
+      "FROM base WHERE len > 0) " +
+      s"SELECT doc_id, CAST(s // $stride AS INT) AS chunk_id, CAST(s AS BIGINT) AS start_tok, " +
+      s"CAST(LEAST($window, len - s) AS BIGINT) AS n_tok, " +
+      s"array_to_string(list_slice(t, s + 1, LEAST(s + $window, len)), ' ') AS chunk_text " +
+      "FROM b2"
+
+  /** Mirrors TextAnalysis.tfidfTopK: the 1e-9-quantized LN(N/df) idf,
+    * tf·idf as one IEEE multiply on bit-identical operands, rank ties
+    * by term ascending. */
+  def tfidfTopK(k: Int): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    "WITH tok AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL), " +
+      "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term), " +
+      "dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+      s"sc AS (SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) * (FLOOR(LN(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) * ${d(1.0e9)}) / ${d(1.0e9)}) AS score " +
+      "FROM tf JOIN dfr USING (term) CROSS JOIN n) " +
+      "SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank FROM (" +
+      "SELECT doc_id, term, tf, df, score, " +
+      "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc) r " +
+      s"WHERE rank <= $k"
+  }
+
+  /** Mirrors Curation.robustStandardizeBySource: integral scores make
+    * every interpolated median an exact multiple of 1/2 and the MAD an
+    * exact multiple of 1/4, so quantile_cont and Spark's percentile
+    * agree bit-exactly whatever each engine's interpolation formula;
+    * rz is one IEEE division, NULL when MAD = 0. */
+  def robustStandardize(scoreCol: String): String =
+    s"WITH m AS (SELECT source, quantile_cont(CAST($scoreCol AS BIGINT), 0.5) AS med " +
+      "FROM documents GROUP BY source), " +
+      "s AS (SELECT d.source, m.med, " +
+      s"quantile_cont(ABS(CAST(CAST($scoreCol AS BIGINT) AS DOUBLE) - m.med), 0.5) AS mad " +
+      "FROM documents d JOIN m USING (source) GROUP BY d.source, m.med) " +
+      s"SELECT doc_id, d.source, $scoreCol, med, mad, " +
+      s"CASE WHEN mad > CAST(0 AS DOUBLE) THEN (CAST(CAST($scoreCol AS BIGINT) AS DOUBLE) - med) / mad ELSE NULL END AS rz " +
+      "FROM documents d JOIN s USING (source)"
 }

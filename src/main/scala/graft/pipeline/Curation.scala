@@ -160,6 +160,45 @@ object Curation {
           (col(scoreCol).cast("double") - meanC) / stdC).as("z"))
   }
 
+  /** Per-source MEDIAN/MAD robust standardization of a quality score —
+    * the outlier-immune complement to [[standardizeBySource]] (one
+    * pathological doc can drag a mean/std z-score arbitrarily; the
+    * median and the median-absolute-deviation have 50% breakdown, so
+    * robust-z based gates survive heavy-tailed quality scores):
+    * rz = (x − median)/MAD, MAD = median(|x − median|), both within the
+    * doc's own source. Scores are integral (cast long, the
+    * [[standardizeBySource]] contract), so every interpolated median is
+    * an exact multiple of 1/2, every deviation an exact multiple of
+    * 1/2, the MAD an exact multiple of 1/4 — all bit-exact doubles in
+    * both engines regardless of each engine's interpolation formula —
+    * and rz is one IEEE division. rz is NULL when MAD = 0 (a
+    * majority-constant source has no robust spread) rather than
+    * NaN/±inf; NULL scores pass through with NULL rz.
+    *
+    * Scale shape: two exact per-source percentile aggregates (the
+    * second over the broadcast-joined deviations), each buffering one
+    * source's values per group — sources are few and the aggregate is
+    * sort-free at the plan level; at trillion-row scale swap in the GK
+    * sketch via [[topFractionBySourceSketch]]'s convention. The corpus
+    * itself never shuffles: both stat relations broadcast back and the
+    * final arithmetic is map-side. */
+  def robustStandardizeBySource(docs: DataFrame,
+      scoreCol: String = "score"): DataFrame = {
+    val x = col(scoreCol).cast("long")
+    val med = docs.groupBy(col("source"))
+      .agg(percentile(x, lit(0.5)).as("med"))
+    val mad = docs.select(col("source"), x.as("__x"))
+      .join(broadcast(med), "source")
+      .groupBy(col("source"))
+      .agg(max(col("med")).as("med"),
+        percentile(abs(col("__x").cast("double") - col("med")), lit(0.5)).as("mad"))
+    docs.select(col("doc_id"), col("source"), col(scoreCol))
+      .join(broadcast(mad), "source")
+      .select(col("doc_id"), col("source"), col(scoreCol), col("med"), col("mad"),
+        when(col("mad") > lit(0.0),
+          (x.cast("double") - col("med")) / col("mad")).as("rz"))
+  }
+
   /** Per-column data-quality profile of any relation: row count, null
     * count and exact distinct count per profiled column — the sanity
     * pass a pipeline runs before training on a new drop. ONE scan:

@@ -533,4 +533,120 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(ranked).cast("int"))
       .filter(col("rank") <= k)
   }
+
+  /** Unigram language-model quality score per document — the classic
+    * perplexity-style corpus filter (docs whose tokens are improbable
+    * under the corpus's own unigram distribution are gibberish,
+    * boilerplate or wrong-language candidates; published pipelines
+    * drop the most-surprising tail). Trained on the scored corpus
+    * itself: p(term) = cnt(term)/Σcnt; lm_score = Σ_t tf·ln p(t) / len
+    * — the mean token log-probability (always < 0 unless the corpus is
+    * a single repeated token; more negative = more surprising).
+    * Cross-engine bit-exactness: ln p is 1e-9-quantized (the q141
+    * convention), per-doc contributions fold in term order (the
+    * sequential-sum contract), and the mean is one IEEE division.
+    * Docs with NULL text or zero tokens produce no rows — there is
+    * nothing to score.
+    *
+    * Scale shape: token explode → two map-combinable aggregates (the
+    * Zipf-collapsed vocabulary; per-(doc, term) tf) equi-joined on
+    * term, then one doc-keyed fold whose per-group memory is the doc's
+    * distinct-term count; the single-row token total broadcasts. No
+    * corpus-scale sort, no driver collection — the model IS a
+    * DataFrame, never materialized driver-side. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+    val total = toks.agg(count(lit(1)).as("__tt"))
+    val lnp = floor(log(col("__cnt").cast("double") / col("__tt").cast("double")) *
+      lit(1.0e9)) / lit(1.0e9)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("__tf"))
+    tf.join(vocab, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"),
+        col("__tf"), (col("__tf").cast("double") * lnp).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("__c")))).as("__a"),
+        sum(col("__tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (aggregate(col("__a"), lit(0.0), (acc, x) => acc + x.getField("__c")) /
+          col("n_tokens").cast("double")).as("lm_score"))
+  }
+
+  /** Stride chunking: split each document into fixed-token windows for
+    * context-bounded training/embedding (`window` tokens per chunk,
+    * consecutive chunk starts `stride` apart, so adjacent chunks
+    * overlap by window − stride). The final start is the smallest
+    * multiple of stride whose window reaches the last token (the HF
+    * tokenizers stride rule) — full coverage, no chunk wholly contained
+    * in its predecessor. chunk_text re-joins the kept tokens with
+    * single spaces (original inter-token whitespace is not preserved —
+    * tokens, not bytes, are the unit). Docs with NULL text or zero
+    * tokens produce no chunks.
+    *
+    * Scale shape: PURELY NARROW — tokenize, a per-row integer sequence,
+    * one explode; zero exchanges, zero aggregates, streams through
+    * whole-stage codegen at scan speed. The one operator in the
+    * pipeline that is embarrassingly parallel at any scale. */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    require(stride > 0 && stride <= window,
+      s"need 0 < stride <= window: ($stride, $window)")
+    val w = window.toLong
+    val s = stride.toLong
+    val maxStart = when(col("__len") <= w, lit(0L)).otherwise(
+      expr(s"CAST(((__len - $w + $s - 1) div $s) AS BIGINT) * $s"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("""regexp_extract_all(text, '\\S+', 0)""").as("__t"))
+      .withColumn("__len", size(col("__t")).cast("long"))
+      .filter(col("__len") > 0L)
+      .select(col("doc_id"), col("__t"), col("__len"),
+        posexplode(sequence(lit(0L), maxStart, lit(s))).as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("start_tok"),
+        least(lit(w), col("__len") - col("start_tok")).as("n_tok"),
+        array_join(slice(col("__t"), (col("start_tok") + 1L).cast("int"),
+          lit(window)), " ").as("chunk_text"))
+  }
+
+  /** Per-document keyword extraction: the k most distinctive terms of
+    * each doc by tf-idf with log idf — score = tf · ln(N/df), N = docs
+    * with text, df = docs containing the term (the [[topTerms]]
+    * linear-idf complement at per-doc granularity: summarization,
+    * indexing, topic tagging). ln(N/df) ≥ 0 and 1e-9-quantized, so the
+    * score doubles are bit-identical cross-engine; ties break by term
+    * ascending — fully deterministic. Docs with NULL text or zero
+    * tokens produce no rows.
+    *
+    * Scale shape: token explode → per-(doc, term) tf (map-combinable;
+    * THE corpus-sized relation, same cost as tokenization), the
+    * vocabulary-sized df derived from it by a second map-combinable
+    * aggregate, equi-joined back on term; the single-row N broadcasts.
+    * The top-k window partitions by doc — each partition is one doc's
+    * distinct-term set, thousands of rows at most — so no corpus-scale
+    * global sort exists in the plan. */
+  def tfidfTopK(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+    val total = docs.filter(col("text").isNotNull).agg(count(lit(1)).as("__n"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = floor(log(col("__n").cast("double") / col("df").cast("double")) *
+      lit(1.0e9)) / lit(1.0e9)
+    tf.join(dfRel, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score", col("tf").cast("double") * idf)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
 }

@@ -1504,4 +1504,69 @@ class PipelineSpec extends SparkSpec {
     // z is centered: some member sits above the mean
     assert(out.values.exists(_._1.exists(_ > 0.0)))
   }
+
+  test("lmScore: hand-computed mean log-prob; tokenless docs absent") {
+    val d = Seq((1L, Some("a a b")), (2L, Some("b c")),
+      (3L, None: Option[String]), (4L, Some(""))).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: a:2 b:2 c:1, total 5
+    val lnA = math.floor(math.log(2.0 / 5.0) * 1.0e9) / 1.0e9
+    val lnC = math.floor(math.log(1.0 / 5.0) * 1.0e9) / 1.0e9
+    assert(out.keySet == Set(1L, 2L)) // NULL/empty text: nothing to score
+    assert(out(1L) == ((3L, (0.0 + 2.0 * lnA + 1.0 * lnA) / 3.0))) // a then b
+    assert(out(2L) == ((2L, (0.0 + 1.0 * lnA + 1.0 * lnC) / 2.0))) // b then c
+    // rarer tokens => more surprising
+    assert(out(2L)._2 < out(1L)._2)
+  }
+
+  test("chunkDocs: stride rule — full coverage, no contained tail chunk") {
+    val d = Seq((1L, Some("t1 t2 t3 t4 t5")), (2L, Some("u1 u2")),
+      (3L, None: Option[String]), (4L, Some("  "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(d, window = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // len 5, w 3, s 2: last start = ceil((5-3)/2)*2 = 2 — NOT 4
+    assert(out.keySet == Set((1L, 0), (1L, 1), (2L, 0)))
+    assert(out((1L, 0)) == ((0L, 3L, "t1 t2 t3")))
+    assert(out((1L, 1)) == ((2L, 3L, "t3 t4 t5"))) // overlap of w-s=1 token
+    assert(out((2L, 0)) == ((0L, 2L, "u1 u2"))) // short doc: one short chunk
+    // a partial tail chunk when coverage needs it: len 6 ends with n_tok 2
+    val d6 = Seq((9L, "v1 v2 v3 v4 v5 v6")).toDF("doc_id", "text")
+    val tail6 = TextAnalysis.chunkDocs(d6, 3, 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(tail6 == Set((0, 0L, 3L), (1, 2L, 3L), (2, 4L, 2L)))
+  }
+
+  test("tfidfTopK: rare terms outrank frequent ones; ties by term") {
+    val d = Seq((1L, "a a b"), (2L, "a c"), (3L, "d")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(d, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val ln3 = math.floor(math.log(3.0) * 1.0e9) / 1.0e9
+    val ln15 = math.floor(math.log(3.0 / 2.0) * 1.0e9) / 1.0e9
+    // doc1: b (1·ln3 ≈ 1.10) outranks a (2·ln1.5 ≈ 0.81)
+    assert(out((1L, 1)) == (("b", 1L, 1L, 1.0 * ln3)))
+    assert(out((1L, 2)) == (("a", 2L, 2L, 2.0 * ln15)))
+    // doc2: c unique outranks shared a
+    assert(out((2L, 1))._1 == "c" && out((2L, 2))._1 == "a")
+    assert(out((3L, 1)) == (("d", 1L, 1L, 1.0 * ln3)))
+  }
+
+  test("robustStandardize: median/MAD exact; MAD=0 and NULL scores -> NULL") {
+    val d = Seq((1L, "s1", Some(1L)), (2L, "s1", Some(2L)),
+      (3L, "s1", Some(3L)), (4L, "s1", Some(4L)),
+      (5L, "s2", Some(7L)), (6L, "s2", Some(7L)),
+      (7L, "s1", None: Option[Long])).toDF("doc_id", "source", "score")
+    val out = graft.pipeline.Curation.robustStandardizeBySource(d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(4), Option(r.get(5))))).toMap
+    // s1: median(1,2,3,4)=2.5, devs {1.5,.5,.5,1.5} -> MAD=1.0
+    assert(out(1L) == ((2.5, 1.0, Some(-1.5))))
+    assert(out(4L) == ((2.5, 1.0, Some(1.5))))
+    // constant source: MAD=0 -> NULL rz, never ±inf/NaN
+    assert(out(5L)._2 == 0.0 && out(5L)._3.isEmpty)
+    // NULL score flows through with NULL rz
+    assert(out(7L)._3.isEmpty)
+  }
 }

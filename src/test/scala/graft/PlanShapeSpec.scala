@@ -393,6 +393,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs: purely narrow — zero exchanges, codegen projection") {
+    val rangeDocs = spark.range(1, 31).select(col("id").as("doc_id"),
+      concat(lit("w1 w2 w3 w4 w5 w6 w7 tok"), (col("id") % 5).cast("string")).as("text"))
+    val plan = executedPlan(graft.pipeline.TextAnalysis.chunkDocs(rangeDocs, 4, 2))
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("Generate"), plan) // the one explode, still narrow
+  }
+
+  test("lmScore / tfidfTopK: term-keyed joins only; totals broadcast; rank window partitions by doc") {
+    val lm = executedPlan(graft.pipeline.TextAnalysis.lmScore(docs))
+    assert(lm.contains("BroadcastExchange"), lm) // the one-row total
+    assert(!lm.contains("Cartesian"), lm)
+    val tk = executedPlan(graft.pipeline.TextAnalysis.tfidfTopK(docs, 3))
+    // per-doc rank window — never a global (empty-partition) sort
+    val windowLines = tk.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, tk)
+    assert(tk.contains("doc_id"), tk)
+    assert(!tk.contains("Cartesian"), tk)
+  }
+
+  test("robustStandardize: both stat relations broadcast back, corpus never shuffled") {
+    val plan = executedPlan(
+      graft.pipeline.Curation.robustStandardizeBySource(
+        docs.withColumn("score", length(col("text")).cast("long"))))
+    // the doc-side join inputs are broadcasts; every hash exchange is the
+    // source-keyed aggregate, none is doc-keyed
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .forall(l => l.contains("source") && !l.contains("doc_id")), plan)
+  }
+
   test("vocabGrowth: cumulative windows run on the bucket relation, not the corpus") {
     val plan = executedPlan(graft.pipeline.TextAnalysis.vocabGrowth(docs, 10L))
     // the single window (the cumsum) sits above both aggregates — the
