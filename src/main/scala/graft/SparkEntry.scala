@@ -1577,6 +1577,30 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.robustStandardizeBySource(
         t(dir, "documents"), scoreCol = "n_chars")
+    },
+    "q197_lm_score_bigram" -> { (s, dir) =>
+      // context-aware LM quality score: mean bigram log-prob under the
+      // corpus's own counts — shuffled-boilerplate docs collapse here
+      // while scoring high under q193's unigram model
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.lmScoreBigram(t(dir, "documents"))
+    },
+    "q198_centroid_shift" -> { (s, dir) =>
+      // embedding-space drift: per-label L2 centroid shift vs a
+      // synthesized previous snapshot (every 7th vector new, every 5th
+      // reversed — a pure permutation, no float arithmetic)
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      val old = emb.filter(col("vec_id") % 7 =!= 0)
+        .withColumn("embedding", when(col("vec_id") % 5 === 0,
+          reverse(col("embedding"))).otherwise(col("embedding")))
+      Similarity.centroidShift(emb, old)
+    },
+    "q199_key_skew" -> { (s, dir) =>
+      // pre-flight join/groupBy skew probe: the 25 heaviest user keys
+      // with exact counts and share of total event volume
+      implicit val sp: SparkSession = s
+      graft.pipeline.Funnel.keySkew(t(dir, "events"), "user_id", k = 25)
     }
   )
 
@@ -2141,6 +2165,9 @@ object SparkEntry {
     "q193_lm_score" -> PipelineOracle.lmScore,
     "q194_chunk_docs" -> PipelineOracle.chunkDocs(64, 48),
     "q195_tfidf_topk" -> PipelineOracle.tfidfTopK(5),
-    "q196_robust_standardize" -> PipelineOracle.robustStandardize("n_chars")
+    "q196_robust_standardize" -> PipelineOracle.robustStandardize("n_chars"),
+    "q197_lm_score_bigram" -> PipelineOracle.lmScoreBigram,
+    "q198_centroid_shift" -> PipelineOracle.centroidShift,
+    "q199_key_skew" -> PipelineOracle.keySkew("user_id", 25)
   )
 }

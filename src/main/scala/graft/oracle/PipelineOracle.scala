@@ -1656,6 +1656,74 @@ object PipelineOracle {
       s"WHERE rank <= $k"
   }
 
+  /** Mirrors TextAnalysis.lmScoreBigram: positional tokenization
+    * (generate_subscripts, 0-based like posexplode), the same lag
+    * window, 1e-9-quantized conditional/unigram LN, SUM(lp ORDER BY
+    * pos) for the per-doc fold, mean as one IEEE division. */
+  def lmScoreBigram: String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    def qln(num: String, den: String) =
+      s"FLOOR(LN(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * ${d(1.0e9)}) / ${d(1.0e9)}"
+    "WITH base AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS a " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "tok AS (SELECT doc_id, UNNEST(a) AS term, " +
+      "CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos FROM base), " +
+      "lg AS (SELECT doc_id, pos, term, " +
+      "LAG(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok), " +
+      "uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY term), " +
+      "tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM tok), " +
+      "big AS (SELECT prev, term, CAST(COUNT(*) AS BIGINT) AS c2 FROM lg " +
+      "WHERE prev IS NOT NULL GROUP BY prev, term), " +
+      "lp AS (" +
+      s"SELECT doc_id, pos, ${qln("c1", "tt")} AS lp " +
+      "FROM lg JOIN uni USING (term) CROSS JOIN tt WHERE prev IS NULL " +
+      "UNION ALL " +
+      s"SELECT l.doc_id, l.pos, ${qln("c2", "u.c1")} AS lp " +
+      "FROM lg l JOIN big b ON b.prev = l.prev AND b.term = l.term " +
+      "JOIN uni u ON u.term = l.prev WHERE l.prev IS NOT NULL) " +
+      "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, " +
+      "SUM(lp ORDER BY pos) / CAST(COUNT(*) AS DOUBLE) AS lm2_score " +
+      "FROM lp GROUP BY doc_id"
+  }
+
+  /** Mirrors Similarity.centroidShift: floor(v·1e7) HUGEINT-exact
+    * component sums per (label, dim), two IEEE divisions + subtract per
+    * dimension, squares folded in dimension order, sqrt then /1e7. The
+    * old snapshot is synthesized as in the q188 convention (every 7th
+    * vector new, every 5th reversed — a pure permutation, no float
+    * arithmetic). */
+  def centroidShift: String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    def expl(src: String) =
+      s"SELECT label, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim, " +
+        s"CAST(UNNEST(embedding) AS DOUBLE) AS v FROM $src WHERE embedding IS NOT NULL"
+    "WITH nw AS (SELECT label, embedding FROM embeddings), " +
+      "ol AS (SELECT label, CASE WHEN vec_id % 5 = 0 THEN list_reverse(embedding) " +
+      "ELSE embedding END AS embedding FROM embeddings WHERE vec_id % 7 <> 0), " +
+      s"en AS (${expl("nw")}), " +
+      s"eo AS (${expl("ol")}), " +
+      s"an AS (SELECT label, dim, SUM(CAST(FLOOR(v * ${d(1.0e7)}) AS BIGINT)) AS sN, " +
+      "CAST(COUNT(*) AS BIGINT) AS nN FROM en GROUP BY label, dim), " +
+      s"ao AS (SELECT label, dim, SUM(CAST(FLOOR(v * ${d(1.0e7)}) AS BIGINT)) AS sO, " +
+      "CAST(COUNT(*) AS BIGINT) AS nO FROM eo GROUP BY label, dim), " +
+      "dd AS (SELECT an.label, an.dim, nN, nO, " +
+      "(CAST(sN AS DOUBLE) / CAST(nN AS DOUBLE) - CAST(sO AS DOUBLE) / CAST(nO AS DOUBLE)) AS delta " +
+      "FROM an JOIN ao ON ao.label = an.label AND ao.dim = an.dim) " +
+      "SELECT label, MAX(nO) AS n_old, MAX(nN) AS n_new, " +
+      s"SQRT(SUM(delta * delta ORDER BY dim)) / ${d(1.0e7)} AS shift " +
+      "FROM dd GROUP BY label"
+  }
+
+  /** Mirrors Funnel.keySkew: exact per-key counts, one-row total, rank
+    * ties by key ASC NULLS LAST (Spark asc_nulls_last aligned). */
+  def keySkew(keyCol: String, k: Int): String =
+    s"WITH c AS (SELECT $keyCol, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY $keyCol), " +
+      "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM events) " +
+      s"SELECT $keyCol, cnt, share, CAST(rank AS INT) AS rank FROM (" +
+      s"SELECT $keyCol, cnt, CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE) AS share, " +
+      s"ROW_NUMBER() OVER (ORDER BY cnt DESC, $keyCol ASC NULLS LAST) AS rank " +
+      s"FROM c CROSS JOIN t) r WHERE rank <= $k"
+
   /** Mirrors Curation.robustStandardizeBySource: integral scores make
     * every interpolated median an exact multiple of 1/2 and the MAD an
     * exact multiple of 1/4, so quantile_cont and Spark's percentile

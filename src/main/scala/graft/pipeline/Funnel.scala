@@ -424,4 +424,29 @@ object Funnel {
       .agg(count(lit(1)).as("n_events"),
         graft.util.Dec.sumDec(col("__v")).as("value_sum"))
   }
+
+  /** Key-skew report: the k heaviest keys by row count with their share
+    * of total volume — the pre-flight diagnostic a 100 TB join/groupBy
+    * needs (any key above ~1/partitions of the total will straggle or
+    * spill its reducer; the salting/AQE-skew decision wants NAMES and
+    * shares, not a boolean). Exact counts — the SpaceSaving top-terms
+    * family trades exactness for bounded state; a skew probe feeding a
+    * physical-plan decision should not guess. share = one IEEE division
+    * of exact longs; ties break by key ascending NULLS LAST in both
+    * engines (NULL is a real — often THE — skew key, so it is counted,
+    * not dropped). Scale shape: ONE map-combinable count aggregate
+    * (key-cardinality-sized output), the single-row total broadcast
+    * back; the rank-k window runs on the distinct-key relation, never
+    * the raw rows. */
+  def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("__t").cast("double")).as("share"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col(keyCol).asc_nulls_last)).cast("int"))
+      .filter(col("rank") <= k)
+  }
 }

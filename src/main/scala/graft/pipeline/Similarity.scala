@@ -751,4 +751,44 @@ object Similarity {
         cosine(col("qe"), col("ne"), col("qn"), col("nn")).as("cosine"))
     rankTopK(scored, k)
   }
+
+  /** Per-label embedding centroid shift between two snapshots — the
+    * embedding-space drift monitor (did re-encoding or a corpus drop
+    * move class centers?): for each label present in BOTH snapshots,
+    * the L2 distance between the old and new mean vectors, plus both
+    * member counts. The [[graft.pipeline.Dedup.snapshotDiff]]
+    * companion for the vector column. Cross-engine bit-exactness:
+    * components quantize to floor(v·1e7) integers summed EXACTLY in
+    * DECIMAL(38,0)/HUGEINT (the q189 convention; float→double is
+    * always exact), each per-dimension centroid delta is two IEEE
+    * divisions and one subtract on bit-identical operands, squares
+    * fold in DIMENSION order, and the final sqrt/1e7 are two more
+    * correctly-rounded ops. The DECIMAL→DOUBLE cast stays exact while
+    * |Σq| < 2^53 ≈ n·|v|·1e7 at 9e15 — fine to ~1e8 unit-scale vectors
+    * per (label, dim); beyond that, pre-divide the quantized sums.
+    *
+    * Scale shape: per-dimension explode (rows × dim, the unavoidable
+    * cost of exact per-dimension sums) → ONE map-combinable
+    * (label, dim) aggregate per snapshot, equi-joined label-keyed —
+    * the joined relation is |labels|·dim rows, microscopic; the final
+    * fold groups it by label. Corpora never join each other
+    * row-to-row. */
+  def centroidShift(nw: DataFrame, old: DataFrame): DataFrame = {
+    def sums(df: DataFrame, s: String, n: String): DataFrame = df
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "__v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(floor(col("__v").cast("double") * lit(1.0e7))
+        .cast("decimal(38,0)")).as(s), count(lit(1)).as(n))
+    val d = col(s"__sN").cast("double") / col("__nN").cast("double") -
+      col(s"__sO").cast("double") / col("__nO").cast("double")
+    sums(nw, "__sN", "__nN").join(sums(old, "__sO", "__nO"), Seq("label", "dim"))
+      .select(col("label"), col("dim"), col("__nN"), col("__nO"), (d * d).as("__d2"))
+      .groupBy(col("label"))
+      .agg(max(col("__nO")).as("n_old"), max(col("__nN")).as("n_new"),
+        sort_array(collect_list(struct(col("dim"), col("__d2")))).as("__a"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        (sqrt(aggregate(col("__a"), lit(0.0),
+          (acc, x) => acc + x.getField("__d2"))) / lit(1.0e7)).as("shift"))
+  }
 }

@@ -649,4 +649,54 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("score"), col("rank"))
   }
+
+  /** Bigram language-model quality score — [[lmScore]]'s context-aware
+    * upgrade (a doc of individually-common tokens in impossible ORDER —
+    * shuffled boilerplate, keyword stuffing — scores high under a
+    * unigram model but collapses here): mean token log-prob with
+    * p(tᵢ|tᵢ₋₁) = cnt(tᵢ₋₁tᵢ)/cnt(tᵢ₋₁) for each token after the
+    * first and the unigram p(t₀) for the first, trained on the scored
+    * corpus itself (every probability is well-defined: the counts come
+    * from the same tokens being scored). Cross-engine bit-exactness:
+    * each ln is 1e-9-quantized, per-doc contributions fold in POSITION
+    * order (unique within a doc), and the mean is one IEEE division.
+    * Docs with NULL text or zero tokens produce no rows.
+    *
+    * Scale shape: positional token explode → one doc-keyed lag window
+    * (partition = one doc's tokens), then the bigram/unigram count
+    * aggregates (map-combinable, vocabulary²-collapsed — Zipf makes the
+    * realized bigram table far smaller than |V|²) equi-joined back on
+    * their keys; the single-row total broadcasts; the final fold is
+    * doc-keyed with per-group memory = doc length. Corpus-sized
+    * relations move only through hash exchanges — no global sort, no
+    * driver state. */
+  def lmScoreBigram(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(expr("""regexp_extract_all(text, '\\S+', 0)"""))
+          .as(Seq("pos", "term")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val lg = tok.withColumn("prev", lag(col("term"), 1).over(w))
+    val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("__c1"))
+    val total = tok.agg(count(lit(1)).as("__tt"))
+    val big = lg.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("__c2"))
+    def qln(num: Column, den: Column): Column =
+      floor(log(num.cast("double") / den.cast("double")) * lit(1.0e9)) / lit(1.0e9)
+    val first = lg.filter(col("prev").isNull)
+      .join(uni, "term").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("pos"), qln(col("__c1"), col("__tt")).as("__lp"))
+    val rest = lg.filter(col("prev").isNotNull)
+      .join(big, Seq("prev", "term"))
+      .join(uni.select(col("term").as("prev"), col("__c1").as("__c1p")), Seq("prev"))
+      .select(col("doc_id"), col("pos"), qln(col("__c2"), col("__c1p")).as("__lp"))
+    first.unionByName(rest)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("__lp")))).as("__a"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (aggregate(col("__a"), lit(0.0), (acc, x) => acc + x.getField("__lp")) /
+          col("n_tokens").cast("double")).as("lm2_score"))
+  }
 }

@@ -1553,6 +1553,56 @@ class PipelineSpec extends SparkSpec {
     assert(out((3L, 1)) == (("d", 1L, 1L, 1.0 * ln3)))
   }
 
+  test("lmScoreBigram: hand-computed; order-sensitivity vs unigram") {
+    val d = Seq((1L, "a b a b"), (2L, "b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreBigram(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // uni a:3 b:3 (tt=6); bigrams (a,b):2 (b,a):2; c1(a)=c1(b)=3
+    val lnHalf = math.floor(math.log(3.0 / 6.0) * 1.0e9) / 1.0e9
+    val lnCond = math.floor(math.log(2.0 / 3.0) * 1.0e9) / 1.0e9
+    assert(out(1L) == ((4L, (0.0 + lnHalf + lnCond + lnCond + lnCond) / 4.0)))
+    assert(out(2L) == ((2L, (0.0 + lnHalf + lnCond) / 2.0)))
+    // common tokens in an order the corpus never uses score LOWER than
+    // the natural order, though a unigram model cannot tell them apart
+    val d2 = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "y x"))
+      .toDF("doc_id", "text")
+    val s2 = TextAnalysis.lmScoreBigram(d2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s2(4L) < s2(1L))
+    val u2 = TextAnalysis.lmScore(d2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(u2(4L) == u2(1L))
+  }
+
+  test("centroidShift: exact L2 shift; one-sided labels absent") {
+    val nw = Seq((1L, Array(2.0f, 0.0f), 0), (2L, Array(4.0f, 0.0f), 0),
+      (3L, Array(1.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val ol = Seq((11L, Array(1.0f, 0.0f), 0),
+      (12L, Array(5.0f, 5.0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = graft.pipeline.Similarity.centroidShift(nw, ol)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // label 0: new centroid (3,0), old (1,0) -> shift exactly 2.0
+    assert(out.keySet == Set(0)) // labels 1 and 2 are one-sided: absent
+    assert(out(0) == ((1L, 2L, 2.0)))
+  }
+
+  test("keySkew: exact counts and share; count ties break key ASC NULLS LAST") {
+    val d = (Seq.fill(3)(Option(1L)) ++ Seq.fill(2)(Option(2L)) ++
+      Seq(Option(3L)) ++ Seq.fill(2)(None: Option[Long]))
+      .map(Tuple1(_)).toDF("user_id")
+    val out = graft.pipeline.Funnel.keySkew(d, "user_id", 2)
+      .collect().map(r => r.getInt(3) ->
+        ((Option(r.get(0)), r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1) == ((Some(1L), 3L, 3.0 / 8.0)))
+    // the (2L count-2) vs (NULL count-2) tie: NULLS LAST puts 2L second
+    assert(out(2) == ((Some(2L), 2L, 2.0 / 8.0)))
+    // NULL is still a countable key: with k=3 it ranks third
+    val withNull = graft.pipeline.Funnel.keySkew(d, "user_id", 3)
+      .collect().map(r => r.getInt(3) -> Option(r.get(0))).toMap
+    assert(withNull(3).isEmpty)
+  }
+
   test("robustStandardize: median/MAD exact; MAD=0 and NULL scores -> NULL") {
     val d = Seq((1L, "s1", Some(1L)), (2L, "s1", Some(2L)),
       (3L, "s1", Some(3L)), (4L, "s1", Some(4L)),
