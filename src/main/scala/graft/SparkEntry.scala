@@ -1601,6 +1601,12 @@ object SparkEntry {
       // with exact counts and share of total event volume
       implicit val sp: SparkSession = s
       graft.pipeline.Funnel.keySkew(t(dir, "events"), "user_id", k = 25)
+    },
+    "q200_lm_filter" -> { (s, dir) =>
+      // the composed perplexity-gate curation stage: keep each source's
+      // least-surprising 70% by within-source LM-score percentile
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.lmFilter(t(dir, "documents"), minPctl = 0.3)
     }
   )
 
@@ -2168,6 +2174,7 @@ object SparkEntry {
     "q196_robust_standardize" -> PipelineOracle.robustStandardize("n_chars"),
     "q197_lm_score_bigram" -> PipelineOracle.lmScoreBigram,
     "q198_centroid_shift" -> PipelineOracle.centroidShift,
-    "q199_key_skew" -> PipelineOracle.keySkew("user_id", 25)
+    "q199_key_skew" -> PipelineOracle.keySkew("user_id", 25),
+    "q200_lm_filter" -> PipelineOracle.lmFilter("CAST('0.3' AS DOUBLE)")
   )
 }

@@ -1724,6 +1724,22 @@ object PipelineOracle {
       s"ROW_NUMBER() OVER (ORDER BY cnt DESC, $keyCol ASC NULLS LAST) AS rank " +
       s"FROM c CROSS JOIN t) r WHERE rank <= $k"
 
+  /** Mirrors Curation.lmFilter: the [[lmScore]] CTE joined back for the
+    * source, the percentileBySource rank rule ((rank−1)/(n−1),
+    * (score, doc_id) tie-break, single-row source = 0.0), filter at
+    * minPctl. Unscoreable docs drop via the inner join. */
+  def lmFilter(minPctl: String): String =
+    s"WITH ls AS (${lmScore}), " +
+      "j AS (SELECT d.doc_id, d.source, ls.lm_score FROM documents d " +
+      "JOIN ls ON ls.doc_id = d.doc_id), " +
+      "rk AS (SELECT doc_id, source, lm_score, " +
+      "COUNT(*) OVER (PARTITION BY source) AS n, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY lm_score, doc_id) AS r FROM j) " +
+      "SELECT doc_id, source, lm_score, pctl FROM (" +
+      "SELECT doc_id, source, lm_score, CASE WHEN n = 1 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pctl FROM rk) p " +
+      s"WHERE pctl >= $minPctl"
+
   /** Mirrors Curation.robustStandardizeBySource: integral scores make
     * every interpolated median an exact multiple of 1/2 and the MAD an
     * exact multiple of 1/4, so quantile_cont and Spark's percentile

@@ -285,6 +285,41 @@ object Curation {
       scores.map { case (n, _) => col(s"pctl_$n") } :+ blend.as("blend"): _*)
   }
 
+  /** The LM-filter curation stage (the perplexity-gate step of the
+    * classic crawl-cleaning recipe: score every doc under a language
+    * model, keep the least-surprising fraction of each source):
+    * [[graft.pipeline.TextAnalysis.lmScore]]'s mean token log-prob,
+    * rank-normalized within source by the [[percentileBySource]] rule
+    * ((rank−1)/(n−1), (score, doc_id) tie-break, single-row source =
+    * 0.0), keeping docs at or above `minPctl`. Ranking the score is
+    * safe cross-engine because the lm_score doubles are bit-identical
+    * by construction. Docs that produce no LM score (NULL text, zero
+    * tokens) have no rank and are dropped — unscoreable is not
+    * "good enough". Ranks are computed over the full scored corpus
+    * (the [[curateBlend]] rule: a gate must not shift other docs'
+    * percentiles).
+    *
+    * Scale shape: the q193 plan (token explode, two map-combinable
+    * aggregates, doc-keyed fold) + one doc_id equi-join to recover the
+    * source + ONE source-keyed exchange both rank windows share; the
+    * filter is map-side on the window output. */
+  def lmFilter(docs: DataFrame, minPctl: Double): DataFrame = {
+    require(minPctl >= 0.0 && minPctl <= 1.0, s"minPctl out of [0,1]: $minPctl")
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.pipeline.TextAnalysis.lmScore(docs)
+      .select(col("doc_id"), col("lm_score"))
+    val bySource = Window.partitionBy(col("source"))
+    val ranked = bySource.orderBy(col("lm_score"), col("doc_id"))
+    docs.select(col("doc_id"), col("source")).join(scored, "doc_id")
+      .withColumn("__n", count(lit(1)).over(bySource))
+      .withColumn("pctl",
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((row_number().over(ranked) - 1).cast("double") /
+            (col("__n") - 1).cast("double")))
+      .filter(col("pctl") >= minPctl)
+      .select(col("doc_id"), col("source"), col("lm_score"), col("pctl"))
+  }
+
   /** [[curate]] with a RELATIVE quality gate: a fifth criterion requiring
     * the doc's multi-signal blended percentile ([[blendPercentiles]]) to
     * reach `minBlend` — the quality-filter stage of a published curation

@@ -1603,6 +1603,21 @@ class PipelineSpec extends SparkSpec {
     assert(withNull(3).isEmpty)
   }
 
+  test("lmFilter: within-source percentile gate; unscoreable and lone docs drop") {
+    // s1 scores separate by construction: rarer vocabulary -> lower score
+    val d = Seq(
+      (1L, "a a a a", "s1"), (2L, "a a a b", "s1"),
+      (3L, "a a b c", "s1"), (4L, "b c d e", "s1"),
+      (5L, null.asInstanceOf[String], "s1"), // unscoreable: dropped
+      (6L, "a a", "s2") // single scored doc: pctl 0.0 < 0.5: dropped
+    ).toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Curation.lmFilter(d, minPctl = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // ranks ascend with rarity: doc4 (all rare) lowest, doc1 highest
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == 1.0 && out(2L) == 2.0 / 3.0)
+  }
+
   test("robustStandardize: median/MAD exact; MAD=0 and NULL scores -> NULL") {
     val d = Seq((1L, "s1", Some(1L)), (2L, "s1", Some(2L)),
       (3L, "s1", Some(3L)), (4L, "s1", Some(4L)),
