@@ -1607,6 +1607,19 @@ object SparkEntry {
       // least-surprising 70% by within-source LM-score percentile
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.lmFilter(t(dir, "documents"), minPctl = 0.3)
+    },
+    "q201_token_entropy" -> { (s, dir) =>
+      // lexical diversity: per-doc token-distribution entropy — the
+      // whole-distribution repetition signal; no corpus state at all
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.tokenEntropy(t(dir, "documents"))
+    },
+    "q202_trimmed_mean" -> { (s, dir) =>
+      // robust per-source location: mean of doc lengths after dropping
+      // the top/bottom 10% — the dashboard number outliers cannot move
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.trimmedMeanBySource(
+        t(dir, "documents"), p = 0.1, scoreCol = "n_chars")
     }
   )
 
@@ -2175,6 +2188,8 @@ object SparkEntry {
     "q197_lm_score_bigram" -> PipelineOracle.lmScoreBigram,
     "q198_centroid_shift" -> PipelineOracle.centroidShift,
     "q199_key_skew" -> PipelineOracle.keySkew("user_id", 25),
-    "q200_lm_filter" -> PipelineOracle.lmFilter("CAST('0.3' AS DOUBLE)")
+    "q200_lm_filter" -> PipelineOracle.lmFilter("CAST('0.3' AS DOUBLE)"),
+    "q201_token_entropy" -> PipelineOracle.tokenEntropy,
+    "q202_trimmed_mean" -> PipelineOracle.trimmedMean(0.1, "n_chars")
   )
 }

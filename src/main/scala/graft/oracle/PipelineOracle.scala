@@ -1724,6 +1724,38 @@ object PipelineOracle {
       s"ROW_NUMBER() OVER (ORDER BY cnt DESC, $keyCol ASC NULLS LAST) AS rank " +
       s"FROM c CROSS JOIN t) r WHERE rank <= $k"
 
+  /** Mirrors TextAnalysis.tokenEntropy: one (doc, term) tf aggregate,
+    * 1e-9-quantized LN(tf/len), SUM ORDER BY term, one division and
+    * negate. No corpus-wide state at all. */
+  def tokenEntropy: String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    "WITH tok AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term), " +
+      "n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY doc_id), " +
+      "c AS (SELECT tf.doc_id, term, n_tokens, " +
+      s"CAST(tf AS DOUBLE) * (FLOOR(LN(CAST(tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * ${d(1.0e9)}) / ${d(1.0e9)}) AS c " +
+      "FROM tf JOIN n USING (doc_id)) " +
+      "SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens, " +
+      "-(SUM(c ORDER BY term)) / CAST(MAX(n_tokens) AS DOUBLE) AS entropy " +
+      "FROM c GROUP BY doc_id"
+  }
+
+  /** Mirrors Curation.trimmedMeanBySource: the same (score, doc_id)
+    * rank, k = FLOOR(n·p) as one IEEE multiply, HUGEINT-exact sum of
+    * the kept band, one division. NULL scores excluded up front. */
+  def trimmedMean(p: Double, scoreCol: String): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    s"WITH b AS (SELECT doc_id, source, CAST($scoreCol AS BIGINT) AS x " +
+      s"FROM documents WHERE $scoreCol IS NOT NULL), " +
+      "rk AS (SELECT source, x, COUNT(*) OVER (PARTITION BY source) AS n, " +
+      s"CAST(FLOOR(CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE) * ${d(p)}) AS BIGINT) AS k, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY x, doc_id) AS r FROM b) " +
+      "SELECT source, CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k_trimmed, " +
+      "CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean " +
+      "FROM rk WHERE r > k AND r <= n - k GROUP BY source"
+  }
+
   /** Mirrors Curation.lmFilter: the [[lmScore]] CTE joined back for the
     * source, the percentileBySource rank rule ((rank−1)/(n−1),
     * (score, doc_id) tie-break, single-row source = 0.0), filter at

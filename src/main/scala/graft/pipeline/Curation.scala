@@ -285,6 +285,41 @@ object Curation {
       scores.map { case (n, _) => col(s"pctl_$n") } :+ blend.as("blend"): _*)
   }
 
+  /** Per-source symmetric TRIMMED MEAN of a quality score — the robust
+    * location estimate between [[winsorizeBySource]] (clip outliers to
+    * the fence) and [[robustStandardizeBySource]] (median): drop the
+    * lowest and highest k = floor(n·p) scores, average the rest. The
+    * dashboard number that doesn't move when a crawler bug injects a
+    * few million empty or giant docs. Deterministic: ranks use the
+    * (score, doc_id) tie-break; k = floor(double multiply) is the same
+    * IEEE op in both engines; NULL scores are excluded up front (a mean
+    * over NULLs is undefined, not zero). Exact: integral scores sum in
+    * DECIMAL(38,0); the mean is one division of exact operands. p < 0.5
+    * guarantees a non-empty kept band for every n ≥ 1.
+    *
+    * Scale shape: one source-keyed exchange shared by the count and
+    * rank windows, map-side band filter, then a map-combinable
+    * per-source aggregate. For trillion-row sources swap the rank
+    * windows for the GK-sketch band bounds (the
+    * [[topFractionBySourceSketch]] convention). */
+  def trimmedMeanBySource(docs: DataFrame, p: Double,
+      scoreCol: String = "score"): DataFrame = {
+    require(p >= 0.0 && p < 0.5, s"need 0 <= p < 0.5: $p")
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy(col("source"))
+    val ranked = bySource.orderBy(col("__x"), col("doc_id"))
+    docs.filter(col(scoreCol).isNotNull)
+      .select(col("doc_id"), col("source"), col(scoreCol).cast("long").as("__x"))
+      .withColumn("__n", count(lit(1)).over(bySource))
+      .withColumn("__k", floor(col("__n").cast("double") * lit(p)))
+      .withColumn("__r", row_number().over(ranked))
+      .filter(col("__r") > col("__k") && col("__r") <= col("__n") - col("__k"))
+      .groupBy(col("source"))
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("k_trimmed"),
+        (sum(col("__x").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double")).as("trimmed_mean"))
+  }
+
   /** The LM-filter curation stage (the perplexity-gate step of the
     * classic crawl-cleaning recipe: score every doc under a language
     * model, keep the least-surprising fraction of each source):

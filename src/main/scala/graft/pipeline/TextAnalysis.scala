@@ -650,6 +650,37 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Per-document token-distribution entropy (lexical diversity):
+    * H = −Σ_t (tf/len)·ln(tf/len) in nats — 0 for a single repeated
+    * token, ln(len) for all-distinct tokens. The scale-free repetition
+    * signal ([[repetition]] measures the worst single token; entropy
+    * measures the whole distribution — template spam with MANY repeated
+    * tokens scores low here while no single token dominates). Purely
+    * per-doc: no corpus model, unlike [[lmScore]]. Cross-engine
+    * bit-exactness: each ln(tf/len) is 1e-9-quantized, contributions
+    * fold in term order, and the final −Σ/len is one IEEE division and
+    * negate. Docs with NULL text or zero tokens produce no rows.
+    *
+    * Scale shape: token explode → ONE map-combinable (doc, term)
+    * aggregate → doc-keyed fold (per-group memory = the doc's
+    * distinct-term count). No joins at all — the len rides the
+    * tf aggregate as a second sum. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tf = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("__tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sort_array(collect_list(struct(col("term"), col("__tf")))).as("__a"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-aggregate(col("__a"), lit(0.0), (acc, x) =>
+          acc + x.getField("__tf").cast("double") *
+            (floor(log(x.getField("__tf").cast("double") /
+              col("n_tokens").cast("double")) * lit(1.0e9)) / lit(1.0e9))) /
+          col("n_tokens").cast("double")).as("entropy"))
+  }
+
   /** Bigram language-model quality score — [[lmScore]]'s context-aware
     * upgrade (a doc of individually-common tokens in impossible ORDER —
     * shuffled boilerplate, keyword stuffing — scores high under a

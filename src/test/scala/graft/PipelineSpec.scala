@@ -1618,6 +1618,32 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) == 1.0 && out(2L) == 2.0 / 3.0)
   }
 
+  test("tokenEntropy: 0 for constant docs; ln(len) for all-distinct; between for mixed") {
+    val d = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((4L, -0.0)) || out(1L) == ((4L, 0.0))) // ln 1 = 0
+    val q = (x: Double) => math.floor(math.log(x) * 1.0e9) / 1.0e9
+    assert(out(2L) == ((4L, -(4.0 * 1.0 * q(0.25)) / 4.0)))
+    assert(out(3L) == ((4L, -(2.0 * q(0.5) + 2.0 * q(0.5)) / 4.0)))
+    assert(out(2L)._2 > out(3L)._2 && out(3L)._2 > 0.0)
+  }
+
+  test("trimmedMean: outlier dropped; NULL excluded; lone doc kept whole") {
+    val d = Seq((1L, "s1", Some(0L)), (2L, "s1", Some(10L)),
+      (3L, "s1", Some(20L)), (4L, "s1", Some(30L)), (5L, "s1", Some(1000L)),
+      (6L, "s1", None: Option[Long]), (7L, "s2", Some(42L)))
+      .toDF("doc_id", "source", "score")
+    val out = graft.pipeline.Curation.trimmedMeanBySource(d, p = 0.2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // s1: n=5 (NULL excluded), k=1 -> keep {10,20,30}: the 1000 cannot move it
+    assert(out("s1") == ((5L, 1L, 20.0)))
+    assert(out("s2") == ((1L, 0L, 42.0)))
+  }
+
   test("robustStandardize: median/MAD exact; MAD=0 and NULL scores -> NULL") {
     val d = Seq((1L, "s1", Some(1L)), (2L, "s1", Some(2L)),
       (3L, "s1", Some(3L)), (4L, "s1", Some(4L)),
