@@ -1620,6 +1620,22 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.trimmedMeanBySource(
         t(dir, "documents"), p = 0.1, scoreCol = "n_chars")
+    },
+    "q203_pmi_collocations" -> { (s, dir) =>
+      // top-50 collocations by PMI with a count>=5 floor — set phrases
+      // and template fragments; rank-k is TakeOrdered on the
+      // bigram-vocabulary relation
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.pmiCollocations(t(dir, "documents"),
+        k = 50, minCount = 5L)
+    },
+    "q204_oov_rate" -> { (s, dir) =>
+      // per-doc out-of-vocabulary rate vs a 30% reference slice —
+      // domain-shift probe; vocab-keyed left join, corpus never joins
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.pipeline.TextAnalysis.oovRate(docs,
+        docs.filter(col("doc_id") % 10 < 3))
     }
   )
 
@@ -2190,6 +2206,8 @@ object SparkEntry {
     "q199_key_skew" -> PipelineOracle.keySkew("user_id", 25),
     "q200_lm_filter" -> PipelineOracle.lmFilter("CAST('0.3' AS DOUBLE)"),
     "q201_token_entropy" -> PipelineOracle.tokenEntropy,
-    "q202_trimmed_mean" -> PipelineOracle.trimmedMean(0.1, "n_chars")
+    "q202_trimmed_mean" -> PipelineOracle.trimmedMean(0.1, "n_chars"),
+    "q203_pmi_collocations" -> PipelineOracle.pmiCollocations(50, 5L),
+    "q204_oov_rate" -> PipelineOracle.oovRate("doc_id % 10 < 3")
   )
 }

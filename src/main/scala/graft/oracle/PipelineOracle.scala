@@ -1686,6 +1686,46 @@ object PipelineOracle {
       "FROM lp GROUP BY doc_id"
   }
 
+  /** Mirrors TextAnalysis.pmiCollocations: the same lag-window bigram
+    * counts, minCount floor, 1e-9-quantized PMI ln on exact integer
+    * ratios, ties (pmi DESC, prev, term). */
+  def pmiCollocations(k: Int, minCount: Long): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    "WITH base AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS a " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "tok AS (SELECT doc_id, UNNEST(a) AS term, " +
+      "CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos FROM base), " +
+      "lg AS (SELECT doc_id, pos, term, " +
+      "LAG(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok), " +
+      "uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY term), " +
+      "tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM tok), " +
+      "big AS (SELECT prev, term, CAST(COUNT(*) AS BIGINT) AS pair_count FROM lg " +
+      s"WHERE prev IS NOT NULL GROUP BY prev, term HAVING COUNT(*) >= $minCount), " +
+      "sc AS (SELECT b.prev, b.term, pair_count, " +
+      "FLOOR(LN((CAST(pair_count AS DOUBLE) * CAST(tt AS DOUBLE)) / " +
+      s"(CAST(up.c1 AS DOUBLE) * CAST(ut.c1 AS DOUBLE))) * ${d(1.0e9)}) / ${d(1.0e9)} AS pmi " +
+      "FROM big b JOIN uni up ON up.term = b.prev JOIN uni ut ON ut.term = b.term CROSS JOIN tt) " +
+      "SELECT prev, term, pair_count, pmi, CAST(rank AS INT) AS rank FROM (" +
+      "SELECT prev, term, pair_count, pmi, " +
+      "ROW_NUMBER() OVER (ORDER BY pmi DESC, prev, term) AS rank FROM sc) r " +
+      s"WHERE rank <= $k"
+  }
+
+  /** Mirrors TextAnalysis.oovRate: the reference's DISTINCT vocabulary,
+    * a term-keyed LEFT join of the target tf relation, occurrence-
+    * weighted OOV sum, one IEEE division. The reference is synthesized
+    * as the doc_id-modulo slice registered in SparkEntry. */
+  def oovRate(refWhere: String): String =
+    "WITH tf AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS term " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "tfc AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tf GROUP BY doc_id, term), " +
+      "v AS (SELECT DISTINCT UNNEST(regexp_extract_all(text, '\\S+')) AS term " +
+      s"FROM documents WHERE text IS NOT NULL AND ($refWhere)) " +
+      "SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(CASE WHEN v.term IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "CAST(SUM(CASE WHEN v.term IS NULL THEN tf ELSE 0 END) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS oov_rate " +
+      "FROM tfc LEFT JOIN v ON v.term = tfc.term GROUP BY doc_id"
+
   /** Mirrors Similarity.centroidShift: floor(v·1e7) HUGEINT-exact
     * component sums per (label, dim), two IEEE divisions + subtract per
     * dimension, squares folded in dimension order, sqrt then /1e7. The

@@ -681,6 +681,77 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("entropy"))
   }
 
+  /** Top-k collocations by pointwise mutual information: adjacent token
+    * pairs occurring at least `minCount` times, ranked by
+    * PMI = ln(c₂·T / (c₁(a)·c₁(b))) — how much more often the pair
+    * occurs than independence predicts (multi-word entities, set
+    * phrases, template fragments; the minCount floor removes the
+    * classic PMI pathology of rare-pair noise). Cross-engine
+    * bit-exactness: the PMI ln runs on exact integer ratios and is
+    * 1e-9-quantized; ties break by (prev, term) ascending. Reuses
+    * [[lmScoreBigram]]'s count relations.
+    *
+    * Scale shape: positional explode → doc-keyed lag window → bigram /
+    * unigram count aggregates (map-combinable, Zipf-collapsed); the
+    * two unigram joins are vocabulary-keyed; the global top-k on the
+    * bigram-vocabulary relation becomes TakeOrderedAndProject — no
+    * corpus-scale sort. */
+  def pmiCollocations(docs: DataFrame, k: Int, minCount: Long = 5L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(minCount >= 1L, s"minCount must be >= 1: $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(expr("""regexp_extract_all(text, '\\S+', 0)"""))
+          .as(Seq("pos", "term")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val lg = tok.withColumn("prev", lag(col("term"), 1).over(w))
+    val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("__c1"))
+    val total = tok.agg(count(lit(1)).as("__tt"))
+    val big = lg.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("term")).agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val pmi = floor(log((col("pair_count").cast("double") * col("__tt").cast("double")) /
+      (col("__c1p").cast("double") * col("__c1").cast("double"))) * lit(1.0e9)) / lit(1.0e9)
+    big.join(uni.select(col("term").as("prev"), col("__c1").as("__c1p")), Seq("prev"))
+      .join(uni, Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("prev"), col("term"), col("pair_count"), pmi.as("pmi"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("prev"), col("term"))).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Out-of-vocabulary rate per document against a REFERENCE corpus'
+    * vocabulary (domain-shift / tokenizer-fit probe: a doc whose tokens
+    * the reference never saw is out-of-domain for anything trained on
+    * the reference): oov_rate = tokens (occurrences, not types) absent
+    * from the reference vocabulary / doc token count — one IEEE
+    * division of exact longs. Docs with NULL text or zero tokens
+    * produce no rows.
+    *
+    * Scale shape: both sides tokenize; the reference collapses to its
+    * DISTINCT vocabulary (map-combinable); the membership probe is a
+    * term-keyed LEFT join of the target's (doc, term) tf relation
+    * against that vocabulary — Zipf-collapsed on both sides — then a
+    * doc-keyed map-combinable sum. No corpus-scale sort; the corpus
+    * rows themselves never join. */
+  def oovRate(docs: DataFrame, reference: DataFrame): DataFrame = {
+    val tf = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("__tf"))
+    val vocab = reference.filter(col("text").isNotNull)
+      .select(explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+      .distinct().withColumn("__in", lit(1))
+    tf.join(vocab, Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("__tf")).otherwise(lit(0L))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
   /** Bigram language-model quality score — [[lmScore]]'s context-aware
     * upgrade (a doc of individually-common tokens in impossible ORDER —
     * shuffled boilerplate, keyword stuffing — scores high under a

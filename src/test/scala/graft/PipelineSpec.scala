@@ -1644,6 +1644,34 @@ class PipelineSpec extends SparkSpec {
     assert(out("s2") == ((1L, 0L, 42.0)))
   }
 
+  test("pmiCollocations: hand-computed PMI; minCount floor; ties deterministic") {
+    val d = Seq((1L, "new york new york new york"), (2L, "x x x x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(d, k = 2, minCount = 2L)
+      .collect().map(r => r.getInt(4) ->
+        ((r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    val q = (x: Double) => math.floor(math.log(x) * 1.0e9) / 1.0e9
+    // uni new:3 york:3 x:4, tt=10; pairs (new,york):3 (york,new):2 (x,x):3
+    assert(out(1) == (("new", "york", 3L, q(3.0 * 10.0 / 9.0))))
+    assert(out(2) == (("york", "new", 2L, q(2.0 * 10.0 / 9.0))))
+    // minCount floors rare-pair noise: a once-off pair never appears
+    val rare = TextAnalysis.pmiCollocations(
+      Seq((1L, "p q r")).toDF("doc_id", "text"), k = 10, minCount = 2L)
+    assert(rare.count() == 0L)
+  }
+
+  test("oovRate: occurrence-weighted; in-vocab doc scores 0") {
+    val target = Seq((1L, "a b c c"), (2L, "a b"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ref = Seq((9L, "a b b")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(target, ref)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((4L, 2L, 0.5))) // both c occurrences count
+    assert(out(2L) == ((2L, 0L, 0.0)))
+  }
+
   test("robustStandardize: median/MAD exact; MAD=0 and NULL scores -> NULL") {
     val d = Seq((1L, "s1", Some(1L)), (2L, "s1", Some(2L)),
       (3L, "s1", Some(3L)), (4L, "s1", Some(4L)),
