@@ -71,13 +71,18 @@ object Graft {
   val dedup: _root_.graft.pipeline.Dedup.type = _root_.graft.pipeline.Dedup
 
   /** Embedding similarity: blocked near-dup, brute-force / LSH / IVF ANN,
-    * k-means corpus clustering, SemDeDup within-cell semantic dedup. */
+    * k-means corpus clustering, SemDeDup within-cell semantic dedup,
+    * per-vector outlier QA, per-label centroid drift between
+    * snapshots. */
   val similarity: _root_.graft.pipeline.Similarity.type =
     _root_.graft.pipeline.Similarity
 
   /** Text analysis: language id, quality scores, token counts (regex and
     * true-BPE), fingerprints, repetition stats, pattern counts / PII
-    * redaction, corpus stats, tf-idf / SpaceSaving top terms. */
+    * redaction, corpus stats, tf-idf / SpaceSaving top terms, unigram /
+    * bigram LM quality scores, token entropy, stride chunking, per-doc
+    * tf-idf keywords, PMI collocations, OOV-rate domain-shift probe,
+    * BM25 scoring and retrieval. */
   val text: _root_.graft.pipeline.TextAnalysis.type =
     _root_.graft.pipeline.TextAnalysis
 
@@ -86,11 +91,16 @@ object Graft {
     * and cluster-balanced sampling, concat-and-chunk sequence packing. */
   val sampling: _root_.graft.pipeline.Sampling.type = _root_.graft.pipeline.Sampling
 
-  /** The composed end-to-end curation chain as one declarative plan. */
+  /** The composed end-to-end curation chain as one declarative plan —
+    * plus score normalization (percentile / z-score / robust
+    * median-MAD), winsorize and trimmed means, multi-signal percentile
+    * blending, the LM perplexity-gate filter, and per-doc curation
+    * EXPLAIN. */
   val curation: _root_.graft.pipeline.Curation.type = _root_.graft.pipeline.Curation
 
   /** Conversion funnels (plain and horizon-windowed), retention
-    * cohorts, and rolling active users (DAU/WAU/MAU) over event
+    * cohorts, rolling active users (DAU/WAU/MAU), and the exact
+    * key-skew probe (pre-flight salting/AQE diagnostics) over event
     * streams. */
   val funnel: _root_.graft.pipeline.Funnel.type = _root_.graft.pipeline.Funnel
 
