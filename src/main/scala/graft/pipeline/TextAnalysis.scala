@@ -548,21 +548,25 @@ object TextAnalysis {
     * Docs with NULL text or zero tokens produce no rows — there is
     * nothing to score.
     *
-    * Scale shape: token explode → two map-combinable aggregates (the
-    * Zipf-collapsed vocabulary; per-(doc, term) tf) equi-joined on
-    * term, then one doc-keyed fold whose per-group memory is the doc's
-    * distinct-term count; the single-row token total broadcasts. No
-    * corpus-scale sort, no driver collection — the model IS a
-    * DataFrame, never materialized driver-side. */
+    * Scale shape: ONE corpus pass — token explode → the map-combinable
+    * (doc, term) tf aggregate; the vocabulary (Σtf per term) and the
+    * single-row token total (Σtf) both derive from that already
+    * Zipf-collapsed relation, so the text column is scanned and
+    * tokenized exactly once (the naive three-branch form re-scans it
+    * for each aggregate). Then one term-keyed equi-join, the one-row
+    * total broadcast, and a doc-keyed fold whose per-group memory is
+    * the doc's distinct-term count. No corpus-scale sort, no driver
+    * collection — the model IS a DataFrame, never materialized
+    * driver-side. */
   def lmScore(docs: DataFrame): DataFrame = {
-    val toks = docs.filter(col("text").isNotNull)
+    val tf = docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
-    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
-    val total = toks.agg(count(lit(1)).as("__tt"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("__tf"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("__tf")).as("__cnt"))
+    val total = vocab.agg(sum(col("__cnt")).as("__tt"))
     val lnp = floor(log(col("__cnt").cast("double") / col("__tt").cast("double")) *
       lit(1.0e9)) / lit(1.0e9)
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("__tf"))
     tf.join(vocab, "term")
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("term"),
