@@ -99,9 +99,10 @@ object Graft {
   val curation: _root_.graft.pipeline.Curation.type = _root_.graft.pipeline.Curation
 
   /** Conversion funnels (plain and horizon-windowed), retention
-    * cohorts, rolling active users (DAU/WAU/MAU), and the exact
-    * key-skew probe (pre-flight salting/AQE diagnostics) over event
-    * streams. */
+    * cohorts, rolling active users (DAU/WAU/MAU), the exact key-skew
+    * probe (pre-flight salting/AQE diagnostics), the two-sided
+    * coincidence interval join, and per-key-day rate limiting over
+    * event streams. */
   val funnel: _root_.graft.pipeline.Funnel.type = _root_.graft.pipeline.Funnel
 
   /** As-of join (latest right row at-or-before each left row, per key)

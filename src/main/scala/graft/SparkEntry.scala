@@ -1636,6 +1636,24 @@ object SparkEntry {
       val docs = t(dir, "documents")
       graft.pipeline.TextAnalysis.oovRate(docs,
         docs.filter(col("doc_id") % 10 < 3))
+    },
+    "q205_interval_join" -> { (s, dir) =>
+      // two-sided coincidence join: every (view, click) pair of a user
+      // within ±6 h — bucket-blocked equi-join, |Δ| filter map-side;
+      // the oracle runs UNBLOCKED, re-proving blocking completeness
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.intervalJoin(ev, "view", "click",
+        tolUs = 21600000000L)
+    },
+    "q206_rate_limit" -> { (s, dir) =>
+      // per-(user, day) quota: keep each user's first 5 events a day —
+      // the abuse throttle; one (key, day) exchange, rank, filter
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.rateLimit(ev, n = 5)
     }
   )
 
@@ -2208,6 +2226,8 @@ object SparkEntry {
     "q201_token_entropy" -> PipelineOracle.tokenEntropy,
     "q202_trimmed_mean" -> PipelineOracle.trimmedMean(0.1, "n_chars"),
     "q203_pmi_collocations" -> PipelineOracle.pmiCollocations(50, 5L),
-    "q204_oov_rate" -> PipelineOracle.oovRate("doc_id % 10 < 3")
+    "q204_oov_rate" -> PipelineOracle.oovRate("doc_id % 10 < 3"),
+    "q205_interval_join" -> PipelineOracle.intervalJoin("view", "click", 21600000000L),
+    "q206_rate_limit" -> PipelineOracle.rateLimit(5)
   )
 }

@@ -1754,6 +1754,28 @@ object PipelineOracle {
       "FROM dd GROUP BY label"
   }
 
+  /** Mirrors Funnel.intervalJoin — as the UNBLOCKED per-key form (plain
+    * key equi-join + |Δ| <= tol), so every gate re-proves the bucket
+    * blocking's completeness (the q42 discipline). */
+  def intervalJoin(leftType: String, rightType: String, tolUs: Long): String =
+    s"WITH l AS (SELECT user_id, event_id AS left_id, epoch_ns(ts) // 1000 AS lus " +
+      s"FROM events WHERE event_type = ${q(leftType)} AND ts IS NOT NULL AND user_id IS NOT NULL), " +
+      s"r AS (SELECT user_id, event_id AS right_id, epoch_ns(ts) // 1000 AS rus " +
+      s"FROM events WHERE event_type = ${q(rightType)} AND ts IS NOT NULL AND user_id IS NOT NULL) " +
+      "SELECT l.user_id, left_id, right_id, CAST(rus - lus AS BIGINT) AS dt_us " +
+      s"FROM l JOIN r ON r.user_id = l.user_id AND ABS(rus - lus) <= $tolUs"
+
+  /** Mirrors Funnel.rateLimit: the same (time, id) order, exact
+    * floor-division day, rank <= n. */
+  def rateLimit(n: Int): String =
+    "WITH b AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, " +
+      "(epoch_ns(ts) // 1000) // 86400000000 AS day FROM events " +
+      "WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id IS NOT NULL) " +
+      "SELECT user_id, day, event_id, CAST(rn AS INT) AS rn FROM (" +
+      "SELECT user_id, day, event_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY us, event_id) AS rn " +
+      s"FROM b) r WHERE rn <= $n"
+
   /** Mirrors Funnel.keySkew: exact per-key counts, one-row total, rank
     * ties by key ASC NULLS LAST (Spark asc_nulls_last aligned). */
   def keySkew(keyCol: String, k: Int): String =

@@ -425,6 +425,76 @@ object Funnel {
         graft.util.Dec.sumDec(col("__v")).as("value_sum"))
   }
 
+  /** Coincidence (interval) join: every (left, right) event pair of the
+    * same key whose times are within ±tolUs — the two-sided range-join
+    * primitive [[graft.pipeline.AsOf.asOfJoin]]'s latest-only rule
+    * cannot express (fraud coincidence rings, sensor cross-validation,
+    * view↔click attribution BOTH ways). Spark has no range-join
+    * operator; the naive form is a per-key cross join. Here: both
+    * sides bucket by floor(us/tolUs) (exact FLOOR division, the
+    * [[epochDay]] rule), the LEFT side probes its bucket ±1 (the
+    * pigeonhole cover of |Δ| ≤ tol — the q42 chunk discipline), the
+    * join is a plain (key, bucket) equi-join, and the |Δ| ≤ tol filter
+    * runs map-side. Each true pair matches in EXACTLY one probe (the
+    * right row's own bucket), so no dedup step exists. The oracle
+    * computes the UNBLOCKED per-key form, so every gate re-proves
+    * blocking completeness. NULL keys/times drop on both engines (an
+    * equi-join cannot match NULL).
+    *
+    * Scale shape: 3× explode of the (pruned, 3-column) left side, one
+    * (key, bucket) exchange each side; candidate volume is
+    * Σ_buckets |L_b|·(|R_{b-1}|+|R_b|+|R_{b+1}|) — bounded by per-key
+    * per-window event density, never |L|·|R|; a hostile hot
+    * (key, bucket) is AQE-skew-splittable like any equi-join. */
+  def intervalJoin(events: DataFrame, leftType: String, rightType: String,
+      tolUs: Long, tsCol: String = "event_time", keyCol: String = "user_id",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(tolUs > 0, s"tolUs must be positive: $tolUs")
+    def side(t: String, idAs: String, usAs: String): DataFrame = events
+      .filter(col(typeCol) === t && col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol), col(idCol).as(idAs),
+        unix_micros(col(tsCol)).as(usAs))
+    def bucket(usName: String): org.apache.spark.sql.Column =
+      expr(s"$usName div $tolUs - " +
+        s"(case when $usName % $tolUs < 0 then 1 else 0 end)")
+    val l = side(leftType, "left_id", "__lus")
+      .withColumn("__pb", explode(array(bucket("__lus") - 1L,
+        bucket("__lus"), bucket("__lus") + 1L)))
+    val r = side(rightType, "right_id", "__rus")
+      .withColumnRenamed(keyCol, "__rk")
+      .withColumn("__rb", bucket("__rus"))
+    l.join(r, col(keyCol) === col("__rk") && col("__pb") === col("__rb"))
+      .filter(abs(col("__rus") - col("__lus")) <= tolUs)
+      .select(col(keyCol), col("left_id"), col("right_id"),
+        (col("__rus") - col("__lus")).as("dt_us"))
+  }
+
+  /** Per-(key, day) rate limiting: keep each key's first `n` events of
+    * every day, drop the rest — the abuse-throttle / per-user quota
+    * pass a pipeline runs before event analytics so one runaway
+    * instrumentation loop cannot dominate a cohort. Deterministic: the
+    * kept set is defined by the (time, id) total order (the
+    * [[transitionMatrix]] ordering rule, NULL ordering columns
+    * excluded); day = exact floor division ([[epochDay]]).
+    *
+    * Scale shape: ONE (key, day)-keyed exchange, a rank window whose
+    * partitions are one key-day's events, map-side filter — linear in
+    * survivors, no state beyond the window sort. */
+  def rateLimit(events: DataFrame, n: Int, tsCol: String = "event_time",
+      keyCol: String = "user_id", idCol: String = "event_id"): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val base = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(keyCol), col(idCol),
+        unix_micros(col(tsCol)).as("__us"), epochDay(tsCol).as("day"))
+    val w = Window.partitionBy(col(keyCol), col("day"))
+      .orderBy(col("__us"), col(idCol))
+    base.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= n)
+      .select(col(keyCol), col("day"), col(idCol), col("rn"))
+  }
+
   /** Key-skew report: the k heaviest keys by row count with their share
     * of total volume — the pre-flight diagnostic a 100 TB join/groupBy
     * needs (any key above ~1/partitions of the total will straggle or

@@ -1672,6 +1672,38 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == ((2L, 0L, 0.0)))
   }
 
+  test("intervalJoin: pairs across bucket edges, both signs; no cross-user pairs") {
+    def ev(id: Long, u: Long, tp: String, us: Long) = (id, u, tp, us)
+    val rows = Seq(
+      ev(1, 1, "view", 0L), ev(2, 1, "click", 50L), ev(3, 1, "click", 150L),
+      ev(4, 1, "view", 99L), ev(5, 1, "click", 199L), // exactly tol apart, bucket 0 vs 1
+      ev(6, 2, "view", -50L), ev(7, 2, "click", 40L), // negative-us bucket floor
+      ev(8, 3, "click", 10L) // other user: never pairs with u1 views
+    )
+    val d = rows.toDF("event_id", "user_id", "event_type", "__us")
+      .withColumn("event_time", timestamp_micros(col("__us")))
+    val out = graft.pipeline.Funnel.intervalJoin(d, "view", "click", tolUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 1L, 2L, 50L),   // plain in-bucket pair
+      (1L, 4L, 2L, -49L),  // negative dt: the two-sided form
+      (1L, 4L, 3L, 51L),
+      (1L, 4L, 5L, 100L),  // |dt| == tol across the bucket edge
+      (2L, 6L, 7L, 90L)))  // negative us floors into the right bucket
+  }
+
+  test("rateLimit: first n per key-day; day boundary resets the quota") {
+    val day = 86400000000L
+    val rows = (1L to 7L).map(i => (i, 1L, i * 10L)) ++ // u1 day 0: 7 events
+      Seq((8L, 1L, day + 5L), (9L, 2L, 20L)) // u1 day 1 resets; u2 untouched
+    val d = rows.toDF("event_id", "user_id", "__us")
+      .withColumn("event_time", timestamp_micros(col("__us")))
+    val out = graft.pipeline.Funnel.rateLimit(d, n = 5)
+      .collect().map(r => r.getLong(2) -> ((r.getLong(1), r.getInt(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 8L, 9L)) // 6,7 throttled
+    assert(out(8L) == ((1L, 1)) && out(9L) == ((0L, 1)))
+  }
+
   test("robustStandardize: median/MAD exact; MAD=0 and NULL scores -> NULL") {
     val d = Seq((1L, "s1", Some(1L)), (2L, "s1", Some(2L)),
       (3L, "s1", Some(3L)), (4L, "s1", Some(4L)),
