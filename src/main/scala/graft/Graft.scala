@@ -117,7 +117,7 @@ object Graft {
   /** Structured Streaming: watermarked windowed histograms, stateful
     * dedup (optional TTL), gap-based sessionization, capacity-bounded
     * per-window frequent terms (SpaceSaving), live as-of/anomaly/
-    * quantiles/transitions/burst-collapse/funnel feeds, per-window
+    * quantiles/transitions/burst-collapse/funnel/rate-limit feeds, per-window
     * distinct and the windowed PSI drift monitor. */
   val streaming: _root_.graft.streaming.StreamingHist.type =
     _root_.graft.streaming.StreamingHist

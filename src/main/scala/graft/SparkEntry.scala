@@ -1654,6 +1654,19 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.rateLimit(ev, n = 5)
+    },
+    "q207_stream_rate_limit" -> { (s, dir) =>
+      // the STREAMING quota feed on batch input (one counter row per
+      // (user, day)); batch execution equals q206's rank rule — gated
+      // against the SAME oracle SQL (the q127 convention)
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val ev = t(dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+        .as[graft.streaming.StreamingHist.RlEvent]
+      graft.streaming.StreamingHist.streamingRateLimit(ev, n = 5).toDF()
     }
   )
 
@@ -2228,6 +2241,9 @@ object SparkEntry {
     "q203_pmi_collocations" -> PipelineOracle.pmiCollocations(50, 5L),
     "q204_oov_rate" -> PipelineOracle.oovRate("doc_id % 10 < 3"),
     "q205_interval_join" -> PipelineOracle.intervalJoin("view", "click", 21600000000L),
-    "q206_rate_limit" -> PipelineOracle.rateLimit(5)
+    "q206_rate_limit" -> PipelineOracle.rateLimit(5),
+    // batch execution of the live quota == the q206 rank rule, so it
+    // gates against the IDENTICAL SQL
+    "q207_stream_rate_limit" -> PipelineOracle.rateLimit(5)
   )
 }

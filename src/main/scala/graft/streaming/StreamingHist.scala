@@ -594,6 +594,50 @@ object StreamingHist {
       }
   }
 
+  case class RlEvent(event_id: Long, user_id: Long, us: Long)
+  case class RlKept(user_id: Long, day: Long, event_id: Long, rn: Int)
+
+  /** STREAMING per-(key, day) rate limiting: the live form of
+    * pipeline.Funnel.rateLimit — emit an arriving event with its rank
+    * iff fewer than `n` of its (user, day) have already been admitted;
+    * the quota decision is made ON ARRIVAL, which is exactly what a
+    * live abuse throttle needs (the batch form can only drop after the
+    * fact). Day = exact floor division of event-time micros.
+    *
+    * State is ONE (count, lastUs, lastId) row per (user, day) — key ×
+    * open-days bounded, never event volume; in production evict closed
+    * days with a state timeout (the count is final once the day's
+    * watermark passes). Within a micro-batch the group walks in
+    * (us, id) order — the batch rank's total order; cross-batch
+    * out-of-order events older than the state are skipped, not
+    * retro-ranked (documented staleness, the [[streamingAsOf]]
+    * contract). Batch execution walks each key-day's whole stream in
+    * one sorted pass and equals the batch operator unconditionally —
+    * the oracle-gated configuration (q207, same SQL as q206). */
+  def streamingRateLimit(events: Dataset[RlEvent], n: Int): Dataset[RlKept] = {
+    require(n > 0, s"n must be positive: $n")
+    import events.sparkSession.implicits._
+    val dayUs = 86400000000L
+    events.groupByKey(e => (e.user_id, Math.floorDiv(e.us, dayUs)))
+      .flatMapGroupsWithState[(Int, Long, Long), RlKept](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((user, day), it, state) =>
+          var (cnt, lastUs, lastId) =
+            state.getOption.getOrElse((0, Long.MinValue, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RlKept]
+          it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            val newer = e.us > lastUs || (e.us == lastUs && e.event_id > lastId)
+            if (newer) {
+              cnt += 1
+              if (cnt <= n) out += RlKept(user, day, e.event_id, cnt)
+              lastUs = e.us; lastId = e.event_id
+            } // else: out-of-order vs state — skipped, not retro-ranked
+          }
+          state.update((cnt, lastUs, lastId))
+          out.iterator
+      }
+  }
+
   def streamingRapidFire(events: Dataset[RfEvent],
       gapSec: Long): Dataset[RfEvent] = {
     require(gapSec > 0, s"gapSec must be positive: $gapSec")

@@ -492,6 +492,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rate limit: counter state spans micro-batches; day resets quota") {
+    import StreamingHist.{RlEvent, RlKept}
+    val day = 86400000000L
+    def e(id: Long, us: Long) = RlEvent(id, 1L, us)
+    val all = Seq(e(1, 10), e(2, 20), e(3, 30), e(4, day + 5),
+      RlEvent(9L, 2L, 15L))
+    // n=2: u1 day0 keeps ids 1,2 (3 over quota); day1 resets; u2 independent
+    assert(StreamingHist.streamingRateLimit(all.toDS(), 2)
+      .collect().map(k => (k.user_id, k.day, k.event_id, k.rn)).toSet
+      == Set((1L, 0L, 1L, 1), (1L, 0L, 2L, 2), (1L, 1L, 4L, 1),
+        (2L, 0L, 9L, 1)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RlEvent]
+    val q = StreamingHist.streamingRateLimit(input.toDS(), 2)
+      .writeStream.format("memory").queryName("rl_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(e(1, 10), e(2, 20))
+      q.processAllAvailable()
+      // id3 arrives in a LATER batch: the counter must carry across the
+      // boundary and reject it; an out-of-order event older than the
+      // state (us 5) is skipped, not retro-ranked; day+5 re-opens at rn 1
+      input.addData(e(3, 30), e(0, 5), e(4, day + 5), RlEvent(9L, 2L, 15L))
+      q.processAllAvailable()
+      val streamed = spark.table("rl_stream").as[RlKept]
+        .collect().map(k => (k.user_id, k.event_id, k.rn)).toSet
+      assert(streamed == Set((1L, 1L, 1), (1L, 2L, 2), (1L, 4L, 1), (2L, 9L, 1)))
+    } finally q.stop()
+  }
+
   test("streaming funnel: chain advances across micro-batches; strict-after rule") {
     import StreamingHist.{FunnelEvent, FunnelRow}
     def e(u: Long, sec: Long, id: Long, t: String) =
