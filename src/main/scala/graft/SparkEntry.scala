@@ -1667,6 +1667,13 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
         .as[graft.streaming.StreamingHist.RlEvent]
       graft.streaming.StreamingHist.streamingRateLimit(ev, n = 5).toDF()
+    },
+    "q208_type_cooccurrence" -> { (s, dir) =>
+      // behavior association mining: per event-type pair, users with
+      // both and the lift — corpus collapses to distinct (user, type),
+      // pair join bounded by the type vocabulary squared
+      implicit val sp: SparkSession = s
+      graft.pipeline.Funnel.typeCooccurrence(t(dir, "events"))
     }
   )
 
@@ -2244,6 +2251,7 @@ object SparkEntry {
     "q206_rate_limit" -> PipelineOracle.rateLimit(5),
     // batch execution of the live quota == the q206 rank rule, so it
     // gates against the IDENTICAL SQL
-    "q207_stream_rate_limit" -> PipelineOracle.rateLimit(5)
+    "q207_stream_rate_limit" -> PipelineOracle.rateLimit(5),
+    "q208_type_cooccurrence" -> PipelineOracle.typeCooccurrence
   )
 }

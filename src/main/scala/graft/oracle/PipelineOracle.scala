@@ -1776,6 +1776,21 @@ object PipelineOracle {
       "ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY us, event_id) AS rn " +
       s"FROM b) r WHERE rn <= $n"
 
+  /** Mirrors Funnel.typeCooccurrence: DISTINCT (key, type), self-join
+    * pair counts with a<b once, lift = (n_both·N)/(n_a·n_b) as the same
+    * two IEEE multiplies and one division — no transcendental. */
+  def typeCooccurrence: String =
+    "WITH kt AS (SELECT DISTINCT user_id AS k, event_type AS t FROM events " +
+      "WHERE user_id IS NOT NULL AND event_type IS NOT NULL), " +
+      "p1 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n1 FROM kt GROUP BY t), " +
+      "nk AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS nk FROM kt), " +
+      "pr AS (SELECT a.t AS type_a, b.t AS type_b, CAST(COUNT(*) AS BIGINT) AS n_both " +
+      "FROM kt a JOIN kt b ON b.k = a.k AND a.t < b.t GROUP BY a.t, b.t) " +
+      "SELECT type_a, type_b, n_both, pa.n1 AS n_a, pb.n1 AS n_b, " +
+      "CAST(n_both AS DOUBLE) * CAST(nk AS DOUBLE) / " +
+      "(CAST(pa.n1 AS DOUBLE) * CAST(pb.n1 AS DOUBLE)) AS lift " +
+      "FROM pr JOIN p1 pa ON pa.t = type_a JOIN p1 pb ON pb.t = type_b CROSS JOIN nk"
+
   /** Mirrors Funnel.keySkew: exact per-key counts, one-row total, rank
     * ties by key ASC NULLS LAST (Spark asc_nulls_last aligned). */
   def keySkew(keyCol: String, k: Int): String =

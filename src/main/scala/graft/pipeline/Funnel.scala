@@ -495,6 +495,45 @@ object Funnel {
       .select(col(keyCol), col("day"), col(idCol), col("rn"))
   }
 
+  /** Event-type co-occurrence with LIFT: for every ordered pair of
+    * distinct event types, how many keys exhibit BOTH, and
+    * lift = n_ab·N / (n_a·n_b) — association mining over behaviors
+    * ("users who export also share", feature-bundling and cannibalization
+    * analysis). lift > 1 = the types attract, < 1 = they repel. All
+    * arithmetic is two IEEE multiplies and one division on exact longs —
+    * no transcendental, so the doubles are bit-identical cross-engine.
+    * Pairs are emitted once with type_a < type_b (string order);
+    * NULL keys/types drop (a NULL key is not a behaving entity).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (key, type)
+    * relation (map-combinable pre-aggregation); the pair generator is a
+    * key-keyed self-join of that relation — per-key cost |types_k|²,
+    * bounded by the TYPE vocabulary squared, never event volume² — then
+    * one (a, b) aggregate over at most |types|² groups; the per-type
+    * and total counts ride broadcast joins. A hostile key exhibiting
+    * every type costs |types|² rows — still vocabulary-, not
+    * event-bounded. */
+  def typeCooccurrence(events: DataFrame, keyCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val kt = events
+      .filter(col(keyCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(typeCol).as("__t")).distinct()
+    val perType = kt.groupBy(col("__t")).agg(count(lit(1)).as("__n1"))
+    val total = kt.select(col("__k")).distinct().agg(count(lit(1)).as("__nk"))
+    val pairs = kt.join(kt.select(col("__k"), col("__t").as("__t2")), "__k")
+      .filter(col("__t") < col("__t2"))
+      .groupBy(col("__t").as("type_a"), col("__t2").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("__t").as("type_a"), col("__n1").as("__na"))), "type_a")
+      .join(broadcast(perType.select(col("__t").as("type_b"), col("__n1").as("__nb"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        (col("n_both").cast("double") * col("__nk").cast("double") /
+          (col("__na").cast("double") * col("__nb").cast("double"))).as("lift"))
+  }
+
   /** Key-skew report: the k heaviest keys by row count with their share
     * of total volume — the pre-flight diagnostic a 100 TB join/groupBy
     * needs (any key above ~1/partitions of the total will straggle or

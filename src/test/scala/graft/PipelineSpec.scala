@@ -1704,6 +1704,18 @@ class PipelineSpec extends SparkSpec {
     assert(out(8L) == ((1L, 1)) && out(9L) == ((0L, 1)))
   }
 
+  test("typeCooccurrence: distinct-user pair counts and lift; absent pairs omitted") {
+    val d = Seq((1L, "a"), (1L, "b"), (1L, "a"), // duplicate event: no double count
+      (2L, "a"), (2L, "b"), (3L, "a"), (4L, "c"))
+      .toDF("user_id", "event_type")
+    val out = graft.pipeline.Funnel.typeCooccurrence(d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // only (a,b) co-occurs; lift = 2*4/(3*2) — attraction > 1
+    assert(out.keySet == Set(("a", "b")))
+    assert(out(("a", "b")) == ((2L, 3L, 2L, 2.0 * 4.0 / (3.0 * 2.0))))
+  }
+
   test("robustStandardize: median/MAD exact; MAD=0 and NULL scores -> NULL") {
     val d = Seq((1L, "s1", Some(1L)), (2L, "s1", Some(2L)),
       (3L, "s1", Some(3L)), (4L, "s1", Some(4L)),
