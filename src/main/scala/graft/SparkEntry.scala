@@ -1674,6 +1674,18 @@ object SparkEntry {
       // pair join bounded by the type vocabulary squared
       implicit val sp: SparkSession = s
       graft.pipeline.Funnel.typeCooccurrence(t(dir, "events"))
+    },
+    "q209_source_gini" -> { (s, dir) =>
+      // corpus concentration: Gini of the source-size distribution —
+      // exact integer sums over the |sources| relation, one division
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.sourceGini(t(dir, "documents"))
+    },
+    "q210_zipf_fit" -> { (s, dir) =>
+      // Zipf slope + r² of the term-frequency curve — quantized-ln
+      // integer moments, exact DECIMAL sums, fixed IEEE tail
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.zipfFit(t(dir, "documents"))
     }
   )
 
@@ -2252,6 +2264,8 @@ object SparkEntry {
     // batch execution of the live quota == the q206 rank rule, so it
     // gates against the IDENTICAL SQL
     "q207_stream_rate_limit" -> PipelineOracle.rateLimit(5),
-    "q208_type_cooccurrence" -> PipelineOracle.typeCooccurrence
+    "q208_type_cooccurrence" -> PipelineOracle.typeCooccurrence,
+    "q209_source_gini" -> PipelineOracle.sourceGini,
+    "q210_zipf_fit" -> PipelineOracle.zipfFit
   )
 }

@@ -1776,6 +1776,42 @@ object PipelineOracle {
       "ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY us, event_id) AS rn " +
       s"FROM b) r WHERE rn <= $n"
 
+  /** Mirrors Curation.sourceGini: rank-sorted source sizes, HUGEINT-
+    * exact Σi·x and Σx, one IEEE division. */
+  def sourceGini: String =
+    "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS x FROM documents GROUP BY source), " +
+      "r AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, source) AS BIGINT) AS i FROM c), " +
+      "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS tx, " +
+      "SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS six FROM r) " +
+      "SELECT n AS n_sources, tx AS total_docs, " +
+      "CAST(2 * six - CAST(n + 1 AS HUGEINT) * CAST(tx AS HUGEINT) AS DOUBLE) / " +
+      "CAST(CAST(n AS HUGEINT) * CAST(tx AS HUGEINT) AS DOUBLE) AS gini FROM m"
+
+  /** Mirrors TextAnalysis.zipfFit: floor(ln·1e3) millinat integer
+    * moments — every sum below 2^53, so the int→double casts are exact
+    * in both engines — and the identical IEEE slope/r² tail. */
+  def zipfFit: String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    "WITH v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM (" +
+      "SELECT UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM documents " +
+      "WHERE text IS NOT NULL) t GROUP BY term), " +
+      "r AS (SELECT f, CAST(ROW_NUMBER() OVER (ORDER BY f DESC, term) AS BIGINT) AS rk FROM v), " +
+      s"q AS (SELECT CAST(FLOOR(LN(CAST(rk AS DOUBLE)) * ${d(1.0e3)}) AS BIGINT) AS x, " +
+      s"CAST(FLOOR(LN(CAST(f AS DOUBLE)) * ${d(1.0e3)}) AS BIGINT) AS y FROM r), " +
+      "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
+      "SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy FROM q) " +
+      "SELECT n AS n_terms, " +
+      "CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > CAST(0 AS DOUBLE) " +
+      "THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) ELSE NULL END AS slope, " +
+      "CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > CAST(0 AS DOUBLE) " +
+      "AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > CAST(0 AS DOUBLE) " +
+      "THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * " +
+      "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) / " +
+      "((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) ELSE NULL END AS r2 FROM m"
+  }
+
   /** Mirrors Funnel.typeCooccurrence: DISTINCT (key, type), self-join
     * pair counts with a<b once, lift = (n_both·N)/(n_a·n_b) as the same
     * two IEEE multiplies and one division — no transcendental. */

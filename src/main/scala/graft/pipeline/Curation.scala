@@ -320,6 +320,37 @@ object Curation {
           count(lit(1)).cast("double")).as("trimmed_mean"))
   }
 
+  /** Gini coefficient of the corpus' source-size distribution — the
+    * concentration number a mixture review leads with ("is the corpus
+    * one domain wearing twenty hats?"): 0 = every source equally
+    * sized, →1 = one source is the corpus. Computed from the
+    * rank-sorted source sizes x₁≤…≤x_n as
+    * G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) — every sum EXACT in
+    * DECIMAL(38,0)/HUGEINT, ONE final IEEE division; no
+    * transcendental anywhere, so the double is bit-identical
+    * cross-engine. Ties rank deterministically by (size, source).
+    *
+    * Scale shape: the corpus collapses to the per-source count
+    * aggregate (map-combinable); the rank window and the three sums
+    * run on that |sources|-sized relation — the unpartitioned sort is
+    * over sources, never rows. */
+  def sourceGini(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("__x"))
+    val ranked = counts.withColumn("__i",
+      row_number().over(Window.orderBy(col("__x"), col("source"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n_sources"),
+        sum(col("__x")).as("total_docs"),
+        sum(col("__i").cast("decimal(38,0)") * col("__x").cast("decimal(38,0)"))
+          .as("__six"))
+      .select(col("n_sources"), col("total_docs"),
+        ((lit(2).cast("decimal(38,0)") * col("__six") -
+          (col("n_sources") + lit(1L)).cast("decimal(38,0)") *
+            col("total_docs").cast("decimal(38,0)")).cast("double") /
+          (col("n_sources").cast("decimal(38,0)") *
+            col("total_docs").cast("decimal(38,0)")).cast("double")).as("gini"))
+  }
+
   /** The LM-filter curation stage (the perplexity-gate step of the
     * classic crawl-cleaning recipe: score every doc under a language
     * model, keep the least-surprising fraction of each source):

@@ -756,6 +756,52 @@ object TextAnalysis {
         (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
   }
 
+  /** Zipf-law fit of the corpus' term-frequency distribution: the
+    * least-squares slope (and r²) of ln(freq) against ln(rank) over
+    * the whole vocabulary — the canonical corpus-health curve (natural
+    * text slopes near −1; template/boilerplate corpora flatten or
+    * kink, [[vocabGrowth]]'s frequency-domain complement).
+    * Cross-engine bit-exactness: ln(rank) and ln(freq) quantize to
+    * floor(ln·1e3) INTEGERS (millinats — ample for a fit diagnostic),
+    * all five moment sums are EXACT integer accumulations
+    * (order-free), and the slope/r² tail is a fixed IEEE sequence on
+    * the sums cast to double once. The 1e3 scale is chosen so every
+    * sum stays below 2^53 to vocabulary ~2e7 — the int→double casts
+    * are then EXACT in both engines (a 1e9 scale pushes Σx·y past
+    * 2^53, where Spark's BigDecimal→double is not correctly rounded
+    * and the last bits diverge); beyond 2e7 terms pre-center the
+    * moments.
+    *
+    * Scale shape: token explode → the map-combinable vocabulary count;
+    * the rank sort and moment sums run on the |V|-sized relation —
+    * the one unpartitioned sort is over the vocabulary, never the
+    * corpus. Ties rank (freq DESC, term). */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs.filter(col("text").isNotNull)
+      .select(explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("__f"))
+    val ranked = vocab.withColumn("__r",
+      row_number().over(Window.orderBy(col("__f").desc, col("term"))).cast("long"))
+    def qlnL(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1.0e3))
+    val m = ranked
+      .select(qlnL(col("__r")).as("__x"), qlnL(col("__f")).as("__y"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val nD = col("n_terms").cast("double")
+    def d(name: String): Column = col(name).cast("double")
+    val cov = nD * d("__sxy") - d("__sx") * d("__sy")
+    val varX = nD * d("__sxx") - d("__sx") * d("__sx")
+    val varY = nD * d("__syy") - d("__sy") * d("__sy")
+    m.select(col("n_terms"),
+      when(col("n_terms") >= 2L && varX > lit(0.0), cov / varX).as("slope"),
+      when(col("n_terms") >= 2L && varX > lit(0.0) && varY > lit(0.0),
+        (cov * cov) / (varX * varY)).as("r2"))
+  }
+
   /** Bigram language-model quality score — [[lmScore]]'s context-aware
     * upgrade (a doc of individually-common tokens in impossible ORDER —
     * shuffled boilerplate, keyword stuffing — scores high under a

@@ -1716,6 +1716,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(("a", "b")) == ((2L, 3L, 2L, 2.0 * 4.0 / (3.0 * 2.0))))
   }
 
+  test("sourceGini: 0 for equal sources; hand-computed skew; exact arithmetic") {
+    val eq = Seq((1L, "s1"), (2L, "s2")).toDF("doc_id", "source")
+    val g0 = graft.pipeline.Curation.sourceGini(eq).collect()(0)
+    assert((g0.getLong(0), g0.getLong(1), g0.getDouble(2)) == ((2L, 2L, 0.0)))
+    // sizes (1, 9): G = (2*(1*1+2*9) - 3*10) / (2*10) = 8/20
+    val sk = (Seq((0L, "s1")) ++ (1L to 9L).map(i => (i, "s2")))
+      .toDF("doc_id", "source")
+    val g1 = graft.pipeline.Curation.sourceGini(sk).collect()(0)
+    assert(g1.getDouble(2) == 0.4)
+  }
+
+  test("zipfFit: negative slope on Zipf-ish text; flat corpus -> slope 0, r2 NULL") {
+    // freq ~ 24/rank: term t1 x24, t2 x12, t3 x8, t4 x6
+    val text = (Seq.fill(24)("t1") ++ Seq.fill(12)("t2") ++
+      Seq.fill(8)("t3") ++ Seq.fill(6)("t4")).mkString(" ")
+    val z = TextAnalysis.zipfFit(Seq((1L, text)).toDF("doc_id", "text")).collect()(0)
+    assert(z.getLong(0) == 4L)
+    assert(z.getDouble(1) < -0.8 && z.getDouble(1) > -1.2) // near the Zipf -1
+    assert(z.getDouble(2) > 0.95) // near-perfect fit
+    // every term equally frequent: slope exactly 0, r2 undefined
+    val flat = TextAnalysis.zipfFit(
+      Seq((1L, "a b c a b c")).toDF("doc_id", "text")).collect()(0)
+    assert(flat.getDouble(1) == 0.0 && flat.isNullAt(2))
+  }
+
   test("robustStandardize: median/MAD exact; MAD=0 and NULL scores -> NULL") {
     val d = Seq((1L, "s1", Some(1L)), (2L, "s1", Some(2L)),
       (3L, "s1", Some(3L)), (4L, "s1", Some(4L)),
