@@ -1686,6 +1686,19 @@ object SparkEntry {
       // integer moments, exact DECIMAL sums, fixed IEEE tail
       implicit val sp: SparkSession = s
       graft.pipeline.TextAnalysis.zipfFit(t(dir, "documents"))
+    },
+    "q211_emd_drift" -> { (s, dir) =>
+      // Wasserstein-1 between the view and click value distributions —
+      // the drift metric WITH UNITS, joining TVD/χ² (q113) and PSI
+      // (q186); exact cumulative-decimal CDFs, histogram-sized only
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      HistStats.emd(
+        Histogram.histogram(ev.filter(col("event_type") === "view"),
+          col("value"), axValue),
+        Histogram.histogram(ev.filter(col("event_type") === "click"),
+          col("value"), axValue),
+        axValue)
     }
   )
 
@@ -2266,6 +2279,8 @@ object SparkEntry {
     "q207_stream_rate_limit" -> PipelineOracle.rateLimit(5),
     "q208_type_cooccurrence" -> PipelineOracle.typeCooccurrence,
     "q209_source_gini" -> PipelineOracle.sourceGini,
-    "q210_zipf_fit" -> PipelineOracle.zipfFit
+    "q210_zipf_fit" -> PipelineOracle.zipfFit,
+    "q211_emd_drift" -> Oracle.emd("events", Oracle.Spec("value", axValue),
+      "event_type = 'view'", "event_type = 'click'")
   )
 }

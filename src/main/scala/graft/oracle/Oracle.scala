@@ -175,6 +175,31 @@ object Oracle {
       s"SELECT SUM((ph - qh) * (FLOOR(LN(ph / qh) * $nine) / $nine) ORDER BY i) AS psi FROM p"
   }
 
+  /** Mirrors HistStats.emd: the [[psi]] histogram CTEs, DECIMAL-exact
+    * totals AND running cumulatives (one double cast each), the
+    * |CDFa−CDFb|·width term per bin, SUM ORDER BY i. */
+  def emd(table: String, spec: Spec, whereA: String,
+      whereB: String): String = {
+    def histCte(name: String, where: String): String =
+      s"$name AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+        s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+        s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1} " +
+        "GROUP BY __i0)"
+    def dsum(e: String, over: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER ($over)")
+    val cum = "ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    s"WITH ${histCte("ha", whereA)}, ${histCte("hb", whereB)}, " +
+      // dense bin grid: an empty bin still carries |CDFa-CDFb|*width
+      s"bins AS (SELECT CAST(r AS BIGINT) AS i FROM range(0, ${spec.axis.nBins}) t(r)), " +
+      "j AS (SELECT bins.i, " +
+      "COALESCE(ha.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hb.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM bins LEFT JOIN ha ON ha.__i0 = bins.i LEFT JOIN hb ON hb.__i0 = bins.i), " +
+      s"c AS (SELECT i, ${dsum("ca", "")} AS ta, ${dsum("cb", "")} AS tb, " +
+      s"${dsum("ca", cum)} AS cca, ${dsum("cb", cum)} AS ccb FROM j) " +
+      s"SELECT SUM(ABS(cca / ta - ccb / tb) * (${spec.axis.widthSql("i")}) ORDER BY i) AS emd FROM c"
+  }
+
   /** Mirrors HistStats.pull: the same two histogram CTEs as [[drift]],
     * full-outer-joined per bin, then the fixed (a−b)/√(a+b) IEEE tail
     * per row (NULL when both sides are empty). */

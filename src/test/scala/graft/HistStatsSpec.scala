@@ -281,6 +281,21 @@ class HistStatsSpec extends SparkSpec {
     assert(HistStats.psi(ha, ha, ax).collect().head.getDouble(0) == 0.0)
   }
 
+  test("emd: exact mass-times-distance; zero for identical; TVD-blind shift separation") {
+    val ax = Regular("x", 4, 0.0, 8.0) // width 2
+    def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)
+    // all mass bin0 vs all mass bin3: |CDF diff| = 1,1,1,0 -> 3 bins * width 2
+    assert(HistStats.emd(h(1, 1, 1, 1), h(7, 7, 7, 7), ax)
+      .collect().head.getDouble(0) == 6.0)
+    // identical: exactly zero
+    assert(HistStats.emd(h(1, 3, 5), h(1, 3, 5), ax)
+      .collect().head.getDouble(0) == 0.0)
+    // one-bin nudge vs cross-range jump: equal TVD, EMD separates
+    val near = HistStats.emd(h(1, 1), h(3, 3), ax).collect().head.getDouble(0)
+    val far = HistStats.emd(h(1, 1), h(7, 7), ax).collect().head.getDouble(0)
+    assert(near == 2.0 && far == 6.0)
+  }
+
   test("psiFrom: each group scored against the shared reference") {
     val ax = Regular("x", 4, 0.0, 4.0)
     val d = Seq(("g1", 0.5), ("g1", 1.5), ("g1", 2.5), ("g1", 3.5),
