@@ -1699,6 +1699,23 @@ object SparkEntry {
         Histogram.histogram(ev.filter(col("event_type") === "click"),
           col("value"), axValue),
         axValue)
+    },
+    "q212_fk_audit" -> { (s, dir) =>
+      // referential-integrity pre-flight on orders→customer with a
+      // synthesized parent gap (every 10th customer missing): exact
+      // orphan/null counts and match rate before anyone inner-joins
+      implicit val sp: SparkSession = s
+      graft.pipeline.Funnel.fkAudit(t(dir, "orders"),
+        t(dir, "customer").filter(col("c_custkey") % 10 =!= 0),
+        "o_custkey", "c_custkey")
+    },
+    "q213_event_trigrams" -> { (s, dir) =>
+      // behavior-motif mining: the 25 most common three-step event
+      // paths across users — one user-keyed exchange, TakeOrdered
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.eventTrigrams(ev, k = 25)
     }
   )
 
@@ -2281,6 +2298,9 @@ object SparkEntry {
     "q209_source_gini" -> PipelineOracle.sourceGini,
     "q210_zipf_fit" -> PipelineOracle.zipfFit,
     "q211_emd_drift" -> Oracle.emd("events", Oracle.Spec("value", axValue),
-      "event_type = 'view'", "event_type = 'click'")
+      "event_type = 'view'", "event_type = 'click'"),
+    "q212_fk_audit" -> PipelineOracle.fkAudit("orders", "o_custkey",
+      "customer", "c_custkey", "c_custkey % 10 <> 0"),
+    "q213_event_trigrams" -> PipelineOracle.eventTrigrams(25)
   )
 }

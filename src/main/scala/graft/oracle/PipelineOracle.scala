@@ -1812,6 +1812,34 @@ object PipelineOracle {
       "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) ELSE NULL END AS r2 FROM m"
   }
 
+  /** Mirrors Funnel.fkAudit on orders→customer with the synthesized
+    * parent gap (`parentWhere`): exact counts, one IEEE division. */
+  def fkAudit(childTable: String, childKey: String, parentTable: String,
+      parentKey: String, parentWhere: String): String =
+    s"WITH pk AS (SELECT DISTINCT $parentKey AS k FROM $parentTable WHERE $parentWhere), " +
+      s"j AS (SELECT c.$childKey AS fk, pk.k FROM $childTable c LEFT JOIN pk ON pk.k = c.$childKey), " +
+      "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+      "CAST(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys, " +
+      "CAST(SUM(CASE WHEN fk IS NOT NULL AND k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans FROM j) " +
+      "SELECT n_rows, n_null_keys, n_orphans, " +
+      "CASE WHEN n_rows > 0 THEN CAST(n_rows - n_null_keys - n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE) " +
+      "ELSE NULL END AS match_rate FROM m"
+
+  /** Mirrors Funnel.eventTrigrams: the same (time, id) order, two lags,
+    * global triple counts, rank ties (n DESC, t1, t2, t3). */
+  def eventTrigrams(k: Int): String =
+    "WITH b AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type " +
+      "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL " +
+      "AND event_type IS NOT NULL AND event_id IS NOT NULL), " +
+      "lg AS (SELECT event_type AS t3, " +
+      "LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t2, " +
+      "LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t1 FROM b), " +
+      "c AS (SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n FROM lg " +
+      "WHERE t1 IS NOT NULL GROUP BY t1, t2, t3) " +
+      "SELECT t1, t2, t3, n, CAST(rank AS INT) AS rank FROM (" +
+      "SELECT t1, t2, t3, n, ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2, t3) AS rank FROM c) r " +
+      s"WHERE rank <= $k"
+
   /** Mirrors Funnel.typeCooccurrence: DISTINCT (key, type), self-join
     * pair counts with a<b once, lift = (n_both·N)/(n_a·n_b) as the same
     * two IEEE multiplies and one division — no transcendental. */

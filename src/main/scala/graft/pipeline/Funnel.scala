@@ -495,6 +495,67 @@ object Funnel {
       .select(col(keyCol), col("day"), col(idCol), col("rn"))
   }
 
+  /** Referential-integrity audit for a planned join: row count, NULL
+    * key count, ORPHAN count (non-NULL keys with no parent) and the
+    * match rate — the pre-flight check a 100 TB join deserves (an
+    * unnoticed 3% orphan rate silently drops 3 TB on an inner join;
+    * better to measure it first and choose inner/left/quarantine
+    * deliberately). Exact counts, one IEEE division for the rate
+    * (match = non-NULL and matched; rate = matched/rows; NULL when the
+    * child is empty).
+    *
+    * Scale shape: the parent collapses to DISTINCT keys
+    * (map-combinable); the probe is ONE key-keyed LEFT equi-join
+    * (AQE broadcasts small parents), then a single map-combinable
+    * aggregate. No row ever carries more than the key. */
+  def fkAudit(child: DataFrame, parent: DataFrame, childKey: String,
+      parentKey: String): DataFrame = {
+    val keys = parent.select(col(parentKey).as("__pk")).distinct()
+    child.select(col(childKey).as("__fk"))
+      .join(keys, col("__fk") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__fk").isNull, lit(1L)).otherwise(lit(0L))).as("n_null_keys"),
+        sum(when(col("__fk").isNotNull && col("__pk").isNull, lit(1L))
+          .otherwise(lit(0L))).as("n_orphans"))
+      .select(col("n_rows"), col("n_null_keys"), col("n_orphans"),
+        when(col("n_rows") > 0L,
+          (col("n_rows") - col("n_null_keys") - col("n_orphans")).cast("double") /
+            col("n_rows").cast("double")).as("match_rate"))
+  }
+
+  /** Top-k event-type TRIGRAMS across all keys (behavior-motif mining:
+    * the common three-step paths — "view → click → purchase" — without
+    * fixing a funnel up front; [[transitionMatrix]]'s order-3
+    * extension): each key's (time, id)-ordered stream yields its
+    * consecutive type triples, counted globally and ranked. The
+    * ordering rule and NULL-column exclusions are exactly
+    * [[transitionMatrix]]'s; ties rank (count DESC, t1, t2, t3).
+    *
+    * Scale shape: ONE key-keyed exchange (both lag windows share it),
+    * a map-combinable triple-count aggregate (≤ \|types\|³ groups),
+    * TakeOrdered for the rank-k — no corpus-scale sort. */
+  def eventTrigrams(events: DataFrame, k: Int, tsCol: String = "event_time",
+      keyCol: String = "user_id", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val ordered = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull &&
+        col(typeCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"), col(idCol),
+        col(typeCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(idCol))
+    ordered
+      .withColumn("__t2", lag(col(typeCol), 1).over(w))
+      .withColumn("__t1", lag(col(typeCol), 2).over(w))
+      .filter(col("__t1").isNotNull)
+      .groupBy(col("__t1").as("t1"), col("__t2").as("t2"),
+        col(typeCol).as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Event-type co-occurrence with LIFT: for every ordered pair of
     * distinct event types, how many keys exhibit BOTH, and
     * lift = n_ab·N / (n_a·n_b) — association mining over behaviors

@@ -1741,6 +1741,33 @@ class PipelineSpec extends SparkSpec {
     assert(flat.getDouble(1) == 0.0 && flat.isNullAt(2))
   }
 
+  test("fkAudit: nulls vs orphans counted apart; empty child rate NULL") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), None, None)
+      .map(Tuple1(_)).toDF("fk")
+    val parent = Seq(1L, 2L, 2L).map(Tuple1(_)).toDF("pk")
+    val r = graft.pipeline.Funnel.fkAudit(child, parent, "fk", "pk").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      == ((5L, 2L, 1L, 0.4)))
+    val empty = graft.pipeline.Funnel.fkAudit(
+      child.filter(lit(false)), parent, "fk", "pk").collect()(0)
+    assert(empty.getLong(0) == 0L && empty.isNullAt(3))
+  }
+
+  test("eventTrigrams: sliding triples per user; short streams contribute none") {
+    def e(id: Long, u: Long, tp: String, sec: Long) = (id, u, tp, sec * 1000000L)
+    val rows = Seq(e(1, 1, "a", 1), e(2, 1, "b", 2), e(3, 1, "c", 3),
+      e(4, 1, "a", 4), e(5, 1, "b", 5),
+      e(6, 2, "a", 1), e(7, 2, "b", 2), e(8, 2, "c", 3),
+      e(9, 3, "a", 1), e(10, 3, "b", 2)) // only 2 events: no trigram
+    val d = rows.toDF("event_id", "user_id", "event_type", "__us")
+      .withColumn("event_time", timestamp_micros(col("__us")))
+    val out = graft.pipeline.Funnel.eventTrigrams(d, k = 2)
+      .collect().map(r => r.getInt(4) ->
+        ((r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out(1) == (("a", "b", "c", 2L)))
+    assert(out(2) == (("b", "c", "a", 1L))) // count tie breaks by t1
+  }
+
   test("robustStandardize: median/MAD exact; MAD=0 and NULL scores -> NULL") {
     val d = Seq((1L, "s1", Some(1L)), (2L, "s1", Some(2L)),
       (3L, "s1", Some(3L)), (4L, "s1", Some(4L)),
