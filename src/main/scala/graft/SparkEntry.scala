@@ -1716,6 +1716,18 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.eventTrigrams(ev, k = 25)
+    },
+    "q214_stream_interval_join" -> { (s, dir) =>
+      // the LIVE coincidence join on batch input: Spark's native
+      // stream-stream range join; batch execution == q205's blocked
+      // batch operator — gated against the SAME oracle SQL
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.streamingIntervalJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"), tolUs = 21600000000L)
     }
   )
 
@@ -2301,6 +2313,10 @@ object SparkEntry {
       "event_type = 'view'", "event_type = 'click'"),
     "q212_fk_audit" -> PipelineOracle.fkAudit("orders", "o_custkey",
       "customer", "c_custkey", "c_custkey % 10 <> 0"),
-    "q213_event_trigrams" -> PipelineOracle.eventTrigrams(25)
+    "q213_event_trigrams" -> PipelineOracle.eventTrigrams(25),
+    // batch execution of the live coincidence join == the q205 blocked
+    // form, so it gates against the IDENTICAL SQL
+    "q214_stream_interval_join" ->
+      PipelineOracle.intervalJoin("view", "click", 21600000000L)
   )
 }

@@ -594,6 +594,35 @@ object StreamingHist {
       }
   }
 
+  /** STREAMING coincidence (interval) join — the one live operator in
+    * this file where Spark's BUILT-IN machinery is exactly right
+    * (preference-ladder rung (a)): a watermarked stream-stream inner
+    * join with a time-range condition. Both sides carry event-time
+    * watermarks; the ±tol range on the watermarked columns lets the
+    * join's state store evict buffered rows once the other side's
+    * watermark passes beyond reach, so state is bounded by
+    * (watermark + tol) event volume per side, not the stream. Late
+    * rows beyond the watermark drop (standard streaming contract).
+    * Batch execution is the plain (key equi + range) join and equals
+    * [[graft.pipeline.Funnel.intervalJoin]] unconditionally — the
+    * oracle-gated configuration (q214, same SQL as q205; the batch
+    * operator remains the SCALE path for bounded data, its bucket
+    * blocking replacing the naive per-key pair filter). */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame, tolUs: Long,
+      watermark: String = "1 hour", tsCol: String = "event_time",
+      keyCol: String = "user_id", idCol: String = "event_id"): DataFrame = {
+    require(tolUs > 0, s"tolUs must be positive: $tolUs")
+    val l = left.select(col(keyCol), col(idCol).as("left_id"),
+      col(tsCol).as("__lt")).withWatermark("__lt", watermark)
+    val r = right.select(col(keyCol).as("__rk"), col(idCol).as("right_id"),
+      col(tsCol).as("__rt")).withWatermark("__rt", watermark)
+    val tol = expr(s"INTERVAL $tolUs MICROSECOND")
+    l.join(r, col(keyCol) === col("__rk") &&
+        col("__rt") >= col("__lt") - tol && col("__rt") <= col("__lt") + tol)
+      .select(col(keyCol), col("left_id"), col("right_id"),
+        (unix_micros(col("__rt")) - unix_micros(col("__lt"))).as("dt_us"))
+  }
+
   case class RlEvent(event_id: Long, user_id: Long, us: Long)
   case class RlKept(user_id: Long, day: Long, event_id: Long, rn: Int)
 

@@ -70,6 +70,17 @@ object StressDocs {
     // distributed BPE training: the corpus pass is the word count; the 8
     // merge rounds after it run on the vocabulary-sized table only
     time("bpe_train")(graft.pipeline.TextAnalysis.bpeTrain(docs, 8).count())
+    // round-9 text/LM family
+    time("lm_score")(graft.pipeline.TextAnalysis.lmScore(docs).count())
+    time("lm_bigram")(graft.pipeline.TextAnalysis.lmScoreBigram(docs).count())
+    time("token_entropy")(graft.pipeline.TextAnalysis.tokenEntropy(docs).count())
+    time("chunk_docs")(graft.pipeline.TextAnalysis.chunkDocs(docs, 64, 48).count())
+    time("tfidf_topk")(graft.pipeline.TextAnalysis.tfidfTopK(docs, 5).count())
+    time("pmi")(graft.pipeline.TextAnalysis.pmiCollocations(docs, 50, 5L).count())
+    time("oov_rate")(graft.pipeline.TextAnalysis.oovRate(docs,
+      docs.filter(col("doc_id") % 10 < 3)).count())
+    time("zipf_fit")(graft.pipeline.TextAnalysis.zipfFit(docs).count())
+    time("lm_filter")(graft.pipeline.Curation.lmFilter(docs, 0.3).count())
     // a typo in the filter arg must fail loudly, not silently run nothing
     only.foreach { sel =>
       val unknown = sel -- ran

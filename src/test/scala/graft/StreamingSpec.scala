@@ -523,6 +523,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming interval join: pairs form across micro-batches via join state") {
+    import StreamingSpec.Ev
+    def ev(u: Long, id: Long, sec: Long) =
+      Ev(u, id, new java.sql.Timestamp(sec * 1000L))
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[Ev]
+    val rIn = MemoryStream[Ev]
+    val q = StreamingHist.streamingIntervalJoin(
+      lIn.toDF(), rIn.toDF(), tolUs = 100L * 1000000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ij_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // left arrives first; its matching right lands in a LATER batch —
+      // the buffered left row must still pair (join state carry)
+      lIn.addData(ev(1, 1, 100), ev(1, 2, 500))
+      q.processAllAvailable()
+      rIn.addData(ev(1, 11, 150), ev(1, 12, 560), ev(2, 13, 150))
+      q.processAllAvailable()
+      val got = spark.table("ij_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // |dt| <= 100 s pairs only; user 2's right has no left: absent
+      assert(got == Set((1L, 1L, 11L, 50000000L), (1L, 2L, 12L, 60000000L)))
+      // batch execution of the same operator = the plain range join
+      val lB = Seq(ev(1, 1, 100), ev(1, 2, 500)).toDF()
+      val rB = Seq(ev(1, 11, 150), ev(1, 12, 560), ev(2, 13, 150)).toDF()
+      val batch = StreamingHist.streamingIntervalJoin(lB, rB, 100L * 1000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("streaming funnel: chain advances across micro-batches; strict-after rule") {
     import StreamingHist.{FunnelEvent, FunnelRow}
     def e(u: Long, sec: Long, id: Long, t: String) =
@@ -598,4 +629,8 @@ class StreamingSpec extends SparkSpec {
       streamed.foreach { case (w, p) => assert(p == batch(w), s"window $w") }
     } finally q.stop()
   }
+}
+
+object StreamingSpec {
+  case class Ev(user_id: Long, event_id: Long, event_time: java.sql.Timestamp)
 }
