@@ -117,8 +117,10 @@ object Graft {
   /** Structured Streaming: watermarked windowed histograms, stateful
     * dedup (optional TTL), gap-based sessionization, capacity-bounded
     * per-window frequent terms (SpaceSaving), live as-of/anomaly/
-    * quantiles/transitions/burst-collapse/funnel/rate-limit feeds, per-window
-    * distinct and the windowed PSI drift monitor. */
+    * quantiles/transitions/burst-collapse/funnel/rate-limit feeds,
+    * per-window distinct, the windowed PSI drift monitor, and the
+    * live coincidence join (native watermarked stream-stream range
+    * join). */
   val streaming: _root_.graft.streaming.StreamingHist.type =
     _root_.graft.streaming.StreamingHist
 
