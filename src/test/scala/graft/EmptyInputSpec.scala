@@ -258,6 +258,55 @@ class EmptyInputSpec extends SparkSpec {
       Seq("view")).count() == 0)
   }
 
+  test("round-9 session-3 operators on empty input: no throws, sane shapes") {
+    import graft.pipeline.{Curation, Funnel}
+    import spark.implicits._
+    val emptyScored = emptyDocs.withColumn("score", col("doc_id"))
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("event_time", TimestampType))))
+    // text/LM family: empty corpus -> empty output (no div-by-zero on
+    // the empty model)
+    assert(TextAnalysis.lmScore(emptyDocs).count() == 0)
+    assert(TextAnalysis.lmScoreBigram(emptyDocs).count() == 0)
+    assert(TextAnalysis.tokenEntropy(emptyDocs).count() == 0)
+    assert(TextAnalysis.chunkDocs(emptyDocs, 4, 2).count() == 0)
+    assert(TextAnalysis.tfidfTopK(emptyDocs).count() == 0)
+    assert(TextAnalysis.pmiCollocations(emptyDocs, 5, 1L).count() == 0)
+    assert(TextAnalysis.oovRate(emptyDocs, emptyDocs).count() == 0)
+    // zipfFit on nothing: one NULL-slope row would be wrong — no terms,
+    // no fit: the aggregate yields n_terms=0 with NULL slope/r2
+    val z = TextAnalysis.zipfFit(emptyDocs).collect()
+    assert(z.length == 1 && z(0).getLong(0) == 0L && z(0).isNullAt(1))
+    // robust stats: empty source relation -> empty (never a NaN row)
+    assert(Curation.robustStandardizeBySource(emptyScored).count() == 0)
+    assert(Curation.trimmedMeanBySource(emptyScored, 0.1).count() == 0)
+    assert(Curation.lmFilter(emptyDocs, 0.5).count() == 0)
+    // gini of an empty corpus: one row, 0 sources, NULL gini (0/0 guard)
+    val g = Curation.sourceGini(emptyDocs).collect()
+    assert(g.length == 1 && g(0).getLong(0) == 0L)
+    // events family
+    assert(Funnel.keySkew(emptyEv, "user_id", 5).count() == 0)
+    assert(Funnel.intervalJoin(emptyEv, "view", "click", 100L).count() == 0)
+    assert(Funnel.rateLimit(emptyEv, 5).count() == 0)
+    assert(Funnel.typeCooccurrence(emptyEv).count() == 0)
+    assert(Funnel.eventTrigrams(emptyEv, 5).count() == 0)
+    val fk = Funnel.fkAudit(emptyEv, emptyEv, "user_id", "user_id").collect()
+    assert(fk.length == 1 && fk(0).getLong(0) == 0L && fk(0).isNullAt(3))
+    // drift with units: two empty histograms -> dense grid of zero
+    // terms on both sides -> NaN-free (0/0 -> NULL total propagates)
+    val he2 = Histogram.histogram(emptyNum, col("x"), ax)
+    assert(HistStats.emd(he2, he2, ax).collect()
+      .forall(r => r.isNullAt(0) || !r.getDouble(0).isNaN))
+    // streaming forms
+    assert(graft.streaming.StreamingHist.streamingRateLimit(
+      spark.emptyDataset[graft.streaming.StreamingHist.RlEvent], 5).count() == 0)
+    assert(graft.streaming.StreamingHist.streamingIntervalJoin(
+      emptyEv, emptyEv, 100L).count() == 0)
+  }
+
   test("accessor arithmetic and multimodal on empty input") {
     val h = Histogram.histogram(emptyNum, col("x"), ax)
     assert(HistStats.add(h, h, ax, Nil).count() == 0)
