@@ -1728,6 +1728,33 @@ object SparkEntry {
       graft.streaming.StreamingHist.streamingIntervalJoin(
         ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "click"), tolUs = 21600000000L)
+    },
+    "q215_emd_lifecycle" -> { (s, dir) =>
+      // group-lifecycle drift: per-event-type EMD where side B drops
+      // 'click' entirely — the dead group must yield NULL emd (no
+      // comparison), not crash or an eps-vs-everything score; this is
+      // the production day-over-day edge the zero-total guard exists for
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      HistStats.emd(
+        Histogram.histogram(ev, col("value"), axValue,
+          dims = Seq("event_type")),
+        Histogram.histogram(ev.filter(col("event_type") =!= "click"),
+          col("value"), axValue, dims = Seq("event_type")),
+        axValue, dims = Seq("event_type"))
+    },
+    "q216_psi_lifecycle" -> { (s, dir) =>
+      // the same born/dead-group edge for PSI: per-event-type PSI with
+      // side B missing 'click' — NULL psi for the dead group, real
+      // scores for the live ones, oracle-pinned NULL semantics
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      HistStats.psi(
+        Histogram.histogram(ev, col("value"), axValue,
+          dims = Seq("event_type")),
+        Histogram.histogram(ev.filter(col("event_type") =!= "click"),
+          col("value"), axValue, dims = Seq("event_type")),
+        axValue, eps = 1e-6, dims = Seq("event_type"))
     }
   )
 
@@ -2317,6 +2344,14 @@ object SparkEntry {
     // batch execution of the live coincidence join == the q205 blocked
     // form, so it gates against the IDENTICAL SQL
     "q214_stream_interval_join" ->
-      PipelineOracle.intervalJoin("view", "click", 21600000000L)
+      PipelineOracle.intervalJoin("view", "click", 21600000000L),
+    // lifecycle gates: side B drops 'click', so the dead group's NULL
+    // emd/psi is oracle-exercised, not just spec-exercised
+    "q215_emd_lifecycle" -> Oracle.emdByDim("events",
+      Oracle.Spec("value", axValue), "event_type", "event_type",
+      "TRUE", "event_type <> 'click'"),
+    "q216_psi_lifecycle" -> Oracle.psiGrouped("events",
+      Oracle.Spec("value", axValue), "event_type", "event_type",
+      "TRUE", "event_type <> 'click'", 1e-6)
   )
 }

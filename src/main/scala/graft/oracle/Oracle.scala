@@ -170,9 +170,12 @@ object Oracle {
       "COALESCE(hb.cnt, CAST(0 AS DOUBLE)) AS cb " +
       "FROM ha FULL OUTER JOIN hb ON hb.__i0 = ha.__i0), " +
       s"t AS (SELECT ${dsum("ca")} AS ta, ${dsum("cb")} AS tb FROM j), " +
-      s"p AS (SELECT i, GREATEST(ca / ta, $e) AS ph, GREATEST(cb / tb, $e) AS qh " +
+      s"p AS (SELECT i, ta, tb, GREATEST(ca / ta, $e) AS ph, GREATEST(cb / tb, $e) AS qh " +
       "FROM j CROSS JOIN t) " +
-      s"SELECT SUM((ph - qh) * (FLOOR(LN(ph / qh) * $nine) / $nine) ORDER BY i) AS psi FROM p"
+      // empty-side lifecycle guard (mirror of HistStats.psi): zero total
+      // mass on either side -> every term NULL -> SUM over all-NULL -> NULL
+      "SELECT SUM(CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE (ph - qh) * (FLOOR(LN(ph / qh) * $nine) / $nine) END ORDER BY i) AS psi FROM p"
   }
 
   /** Mirrors HistStats.emd: the [[psi]] histogram CTEs, DECIMAL-exact
@@ -197,7 +200,75 @@ object Oracle {
       "FROM bins LEFT JOIN ha ON ha.__i0 = bins.i LEFT JOIN hb ON hb.__i0 = bins.i), " +
       s"c AS (SELECT i, ${dsum("ca", "")} AS ta, ${dsum("cb", "")} AS tb, " +
       s"${dsum("ca", cum)} AS cca, ${dsum("cb", cum)} AS ccb FROM j) " +
-      s"SELECT SUM(ABS(cca / ta - ccb / tb) * (${spec.axis.widthSql("i")}) ORDER BY i) AS emd FROM c"
+      // zero-total lifecycle guard (mirror of HistStats.emd): an empty
+      // side has no CDF -> every term NULL -> SUM over all-NULL -> NULL
+      "SELECT SUM(CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE ABS(cca / ta - ccb / tb) * (${spec.axis.widthSql("i")}) END ORDER BY i) AS emd FROM c"
+  }
+
+  /** Mirrors HistStats.emd with `dims`: per-dim side histograms, the
+    * dense dim×bins grid over the UNION of keys from BOTH sides (so a
+    * group born/dead on one side appears with an all-zero side), per-dim
+    * DECIMAL-exact totals and cumulatives, and the lifecycle guard —
+    * zero total on either side NULLs every term, so SUM over the
+    * all-NULL group yields NULL emd, matching the Spark fold. */
+  def emdByDim(table: String, spec: Spec, dimSql: String, dimName: String,
+      whereA: String, whereB: String): String = {
+    def histCte(name: String, where: String): String =
+      s"$name AS (SELECT d, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+        s"(SELECT $dimSql AS d, ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+        s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1} " +
+        "GROUP BY d, __i0)"
+    def dsum(e: String, over: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER ($over)")
+    val cum = "PARTITION BY d ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    s"WITH ${histCte("ha", whereA)}, ${histCte("hb", whereB)}, " +
+      s"bins AS (SELECT CAST(r AS BIGINT) AS i FROM range(0, ${spec.axis.nBins}) t(r)), " +
+      "ds AS (SELECT DISTINCT d FROM (SELECT d FROM ha UNION ALL SELECT d FROM hb)), " +
+      "g AS (SELECT ds.d, bins.i FROM ds CROSS JOIN bins), " +
+      "j AS (SELECT g.d, g.i, " +
+      "COALESCE(ha.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hb.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM g LEFT JOIN ha ON ha.d = g.d AND ha.__i0 = g.i " +
+      "LEFT JOIN hb ON hb.d = g.d AND hb.__i0 = g.i), " +
+      s"c AS (SELECT d, i, ${dsum("ca", "PARTITION BY d")} AS ta, " +
+      s"${dsum("cb", "PARTITION BY d")} AS tb, " +
+      s"${dsum("ca", cum)} AS cca, ${dsum("cb", cum)} AS ccb FROM j) " +
+      s"SELECT d AS $dimName, " +
+      "SUM(CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE ABS(cca / ta - ccb / tb) * (${spec.axis.widthSql("i")}) END ORDER BY i) AS emd " +
+      "FROM c GROUP BY d"
+  }
+
+  /** Mirrors HistStats.psi with `dims`: per-dim side histograms
+    * full-outer-joined sparse (PSI's pointwise terms owe nothing to
+    * empty bins), per-dim DECIMAL-exact totals, eps-clamped
+    * quantized-ln terms, and the same lifecycle guard as [[emdByDim]]:
+    * a side with zero total mass NULLs the group's psi. */
+  def psiGrouped(table: String, spec: Spec, dimSql: String, dimName: String,
+      whereA: String, whereB: String, eps: Double): String = {
+    def histCte(name: String, where: String): String =
+      s"$name AS (SELECT d, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+        s"(SELECT $dimSql AS d, ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+        s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1} " +
+        "GROUP BY d, __i0)"
+    def dsum(e: String, over: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER ($over)")
+    val e = s"CAST('${java.lang.Double.toString(eps)}' AS DOUBLE)"
+    val nine = "CAST('1.0E9' AS DOUBLE)"
+    s"WITH ${histCte("ha", whereA)}, ${histCte("hb", whereB)}, " +
+      "j AS (SELECT COALESCE(ha.d, hb.d) AS d, COALESCE(ha.__i0, hb.__i0) AS i, " +
+      "COALESCE(ha.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hb.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM ha FULL OUTER JOIN hb ON hb.d = ha.d AND hb.__i0 = ha.__i0), " +
+      s"w AS (SELECT d, i, ${dsum("ca", "PARTITION BY d")} AS ta, " +
+      s"${dsum("cb", "PARTITION BY d")} AS tb, ca, cb FROM j), " +
+      s"p AS (SELECT d, i, ta, tb, GREATEST(ca / ta, $e) AS ph, " +
+      s"GREATEST(cb / tb, $e) AS qh FROM w) " +
+      s"SELECT d AS $dimName, " +
+      "SUM(CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE (ph - qh) * (FLOOR(LN(ph / qh) * $nine) / $nine) END ORDER BY i) AS psi " +
+      "FROM p GROUP BY d"
   }
 
   /** Mirrors HistStats.pull: the same two histogram CTEs as [[drift]],

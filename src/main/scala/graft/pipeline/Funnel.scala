@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -606,17 +606,35 @@ object Funnel {
     * engines (NULL is a real — often THE — skew key, so it is counted,
     * not dropped). Scale shape: ONE map-combinable count aggregate
     * (key-cardinality-sized output), the single-row total broadcast
-    * back; the rank-k window runs on the distinct-key relation, never
-    * the raw rows. */
+    * back; the top-k is orderBy+limit — TakeOrderedAndProject, a
+    * DISTRIBUTED partial top-k per partition then a k-bounded merge
+    * (the distinct-key relation is corpus-scale for high-cardinality
+    * keys like user ids, so a global rank window would drag ~1e9 rows
+    * through one WindowExec partition at 100 TB). Ranks then come from
+    * the position in ONE sorted ≤k-element array — no WindowExec in
+    * the plan (pinned by PlanShapeSpec). */
   def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
     val total = df.agg(count(lit(1)).as("__t"))
-    counts.crossJoin(broadcast(total))
+    val top = counts.crossJoin(broadcast(total))
       .select(col(keyCol), col("cnt"),
         (col("cnt").cast("double") / col("__t").cast("double")).as("share"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col(keyCol).asc_nulls_last)).cast("int"))
-      .filter(col("rank") <= k)
+      .orderBy(col("cnt").desc, col(keyCol).asc_nulls_last)
+      .limit(k)
+    // same total order as the TakeOrdered, replayed on the ≤k rows
+    val cmp = (l: Column, r: Column) => {
+      val (lk, rk) = (l.getField("k"), r.getField("k"))
+      when(l.getField("c") > r.getField("c"), lit(-1))
+        .when(l.getField("c") < r.getField("c"), lit(1))
+        .when(lk.isNull && rk.isNull, lit(0))
+        .when(lk.isNull, lit(1)).when(rk.isNull, lit(-1))
+        .when(lk < rk, lit(-1)).when(lk > rk, lit(1)).otherwise(lit(0))
+    }
+    top.agg(collect_list(struct(col("cnt").as("c"), col(keyCol).as("k"),
+        col("share").as("s"))).as("__a"))
+      .select(posexplode(array_sort(col("__a"), cmp)).as(Seq("__p", "__x")))
+      .select(col("__x.k").as(keyCol), col("__x.c").as("cnt"),
+        col("__x.s").as("share"), (col("__p") + lit(1)).cast("int").as("rank"))
   }
 }

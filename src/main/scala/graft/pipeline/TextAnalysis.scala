@@ -520,18 +520,23 @@ object TextAnalysis {
     * query, ranked. Safe to rank cross-engine because every score
     * double is bit-identical by construction (quantized idf + pinned
     * IEEE order); ties break by doc_id ascending, so the ranking is
-    * fully deterministic. The top-k sort runs on the matched-docs
-    * relation (already corpus-scale-reduced by the query filter) —
-    * Catalyst turns the global rank-k into TakeOrderedAndProject, no
-    * full sort materializes. */
+    * fully deterministic. Scale shape: the rank-k runs through the
+    * bounded-heap [[graft.functions.TopKByScore]] aggregate — map-side
+    * partial top-k, so at most k rows per map partition reach the
+    * single k-bounded reduce (a global row_number window would instead
+    * pull EVERY matched doc — corpus-scale for a common query term —
+    * through one WindowExec partition). Ranks 1..k then come free from
+    * the returned array's position: no WindowExec anywhere in the
+    * plan (pinned by PlanShapeSpec). */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    import org.apache.spark.sql.expressions.Window
-    val ranked = Window.orderBy(col("score").desc, col("doc_id"))
     bm25(docs, queryTerms, k1, b)
-      .withColumn("rank", row_number().over(ranked).cast("int"))
-      .filter(col("rank") <= k)
+      .agg(graft.functions.TopKByScore.top_k(
+        col("score"), col("doc_id"), k).as("__t"))
+      .select(posexplode(col("__t")).as(Seq("__p", "__x")))
+      .select(col("__x.id").as("doc_id"), col("__x.score").as("score"),
+        (col("__p") + lit(1)).cast("int").as("rank"))
   }
 
   /** Unigram language-model quality score per document — the classic
@@ -773,16 +778,24 @@ object TextAnalysis {
     * moments.
     *
     * Scale shape: token explode → the map-combinable vocabulary count;
-    * the rank sort and moment sums run on the |V|-sized relation —
-    * the one unpartitioned sort is over the vocabulary, never the
-    * corpus. Ties rank (freq DESC, term). */
+    * ranks come from a DISTRIBUTED range-partitioned sort +
+    * zipWithIndex (the QuantileBins.exactAxis pattern) — every term
+    * needs its rank (not a top-k), and a global row_number window
+    * would otherwise sort the full vocabulary (1e9+ terms at 100 TB)
+    * through ONE WindowExec partition; zipWithIndex instead pays one
+    * extra per-partition count job and keeps the sort range-parallel.
+    * The moment sums then collapse the |V|-sized relation
+    * map-combinably. Ties rank (freq DESC, term). */
   def zipfFit(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val sp = docs.sparkSession
+    import sp.implicits._
     val vocab = docs.filter(col("text").isNotNull)
       .select(explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("__f"))
-    val ranked = vocab.withColumn("__r",
-      row_number().over(Window.orderBy(col("__f").desc, col("term"))).cast("long"))
+    val ranked = vocab.orderBy(col("__f").desc, col("term"))
+      .select(col("__f")).as[Long].rdd
+      .zipWithIndex().map { case (f, i) => (i + 1L, f) }
+      .toDF("__r", "__f")
     def qlnL(c: Column): Column =
       floor(log(c.cast("double")) * lit(1.0e3))
     val m = ranked

@@ -431,18 +431,34 @@ object HistStats {
       sum(graft.util.Dec.toDec(col("__ca"))).over(w))
     val tb = graft.util.Dec.exactDouble(
       sum(graft.util.Dec.toDec(col("__cb"))).over(w))
-    val pq = j.withColumn("__p", col("__ca") / ta)
-      .withColumn("__q", col("__cb") / tb)
+    // Group lifecycle: a side with zero total mass (empty histogram, or
+    // a dims key born/dead on one side of the comparison) has NO
+    // distribution — its PSI is undefined, not "everything-vs-eps".
+    // The guard sits ON the division (ANSI double-divide throws on /0,
+    // and a Project computes unguarded columns eagerly even when a
+    // downstream CASE would mask them): NULL ratio -> NULL term -> the
+    // in-order fold propagates -> NULL psi for exactly the affected
+    // group. Pinned identically in Oracle.psi / Oracle.psiGrouped.
+    val dead = ta === lit(0.0) || tb === lit(0.0)
+    val pq = j
+      .withColumn("__p",
+        when(dead, lit(null).cast("double")).otherwise(col("__ca") / ta))
+      .withColumn("__q",
+        when(dead, lit(null).cast("double")).otherwise(col("__cb") / tb))
     val ph = greatest(col("__p"), lit(eps))
     val qh = greatest(col("__q"), lit(eps))
-    val term = (ph - qh) *
-      (floor(log(ph / qh) * lit(1.0e9)) / lit(1.0e9))
+    val term = when(col("__p").isNull || col("__q").isNull,
+        lit(null).cast("double"))
+      .otherwise((ph - qh) *
+        (floor(log(ph / qh) * lit(1.0e9)) / lit(1.0e9)))
     val terms = sort_array(collect_list(struct(
       col("__bin").as("k"), term.as("t"))))
     def fold(arr: Column): Column =
       aggregate(arr, lit(0.0), (acc, x) => acc + x.getField("t"))
     grouped(pq, dims)(terms.as("__terms"))
-      .select(dims.map(col) :+ fold(col("__terms")).as("psi"): _*)
+      .select(dims.map(col) :+
+        when(size(col("__terms")) === 0, lit(null).cast("double"))
+          .otherwise(fold(col("__terms"))).as("psi"): _*)
   }
 
   /** 1-D Earth Mover's Distance (Wasserstein-1) between two binned
@@ -469,6 +485,19 @@ object HistStats {
     // every pointwise drift metric, absence is NOT a zero term here
     val bins = binsTable(a.sparkSession, ax)
       .select(col("left_edge").as(ax.binsCol), col("width").as("__bw"))
+    // Transport cost is only defined ON the finite grid: a bin label the
+    // dense axis doesn't know (a flow row, or a histogram built on other
+    // edges) would silently vanish from both the terms AND the totals.
+    // Enforce the documented flow-free precondition instead of skewing
+    // (mirror of StreamingHist.windowedPsi's labels require). Inputs are
+    // histogram-sized, so this eager probe is a broadcast-join count.
+    val offGrid = aa.select(col(ax.binsCol))
+      .union(bb.select(col(ax.binsCol))).distinct()
+      .join(broadcast(bins.select(col(ax.binsCol))), Seq(ax.binsCol),
+        "left_anti").count()
+    require(offGrid == 0L,
+      s"emd requires flow-free histograms binned on the axis grid: " +
+        s"$offGrid bin label(s) outside the ${ax.nBins}-bin ${ax.binsCol} axis")
     val grid = if (dims.isEmpty) bins
       else aa.select(dims.map(col): _*)
         .union(bb.select(dims.map(col): _*)).distinct()
@@ -488,8 +517,16 @@ object HistStats {
       sum(graft.util.Dec.toDec(col("__ca"))).over(cw))
     val ccb = graft.util.Dec.exactDouble(
       sum(graft.util.Dec.toDec(col("__cb"))).over(cw))
+    // Group lifecycle: zero total mass on either side (empty input, or a
+    // dims key present in only one snapshot — the dense grid crossJoins
+    // the UNION of keys, so the absent side's total is exactly 0) has no
+    // CDF; 0/0 would poison the fold with NaN. NULL per term -> NULL emd
+    // for exactly that group — a drift monitor reports "no comparison",
+    // it does not crash. Pinned identically in Oracle.emd.
     val withTerm = j
-      .withColumn("__t", abs(cca / ta - ccb / tb) * col("__bw"))
+      .withColumn("__t", when(ta === lit(0.0) || tb === lit(0.0),
+          lit(null).cast("double"))
+        .otherwise(abs(cca / ta - ccb / tb) * col("__bw")))
     val terms = sort_array(collect_list(struct(
       col(ax.binsCol).as("k"), col("__t").as("t"))))
     def fold(arr: Column): Column =

@@ -434,4 +434,30 @@ class PlanShapeSpec extends SparkSpec {
     // doc_id would mean the cumsum slipped below the aggregates
     assert(windowLines.forall(l => !l.contains("doc_id")), plan)
   }
+
+  test("bm25TopK: bounded-heap aggregate, no WindowExec anywhere") {
+    val plan = executedPlan(
+      graft.pipeline.TextAnalysis.bm25TopK(docs, Seq("shared", "tok1"), 5))
+    // a global row_number window here would drag every matched doc
+    // (corpus-scale for a common query term) through ONE partition;
+    // TopKByScore does map-side partial top-k instead
+    assert(!plan.contains("Window"), plan)
+    assert(plan.toLowerCase.contains("topkbyscore"), plan)
+  }
+
+  test("keySkew: top-k is TakeOrderedAndProject, no WindowExec anywhere") {
+    val plan = executedPlan(graft.pipeline.Funnel.keySkew(docs, "source", 3))
+    // the distinct-key relation is corpus-scale for high-cardinality
+    // keys — the rank-k must stay a distributed partial top-k
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("zipfFit: no WindowExec — ranks come from the distributed sort") {
+    // the rank stage is a range-partitioned sort + zipWithIndex on the
+    // vocabulary RDD; the downstream moment plan must carry no window
+    // (a global row_number over |V| rows would be one-partition at scale)
+    val plan = executedPlan(graft.pipeline.TextAnalysis.zipfFit(docs))
+    assert(!plan.contains("Window"), plan)
+  }
 }
