@@ -1755,6 +1755,23 @@ object SparkEntry {
         Histogram.histogram(ev.filter(col("event_type") =!= "click"),
           col("value"), axValue, dims = Seq("event_type")),
         axValue, eps = 1e-6, dims = Seq("event_type"))
+    },
+    "q217_weighted_profile" -> { (s, dir) =>
+      // bh WeightedMean storage: per-quantity-bin price-weighted mean
+      // discount with the effective-count-corrected variance — the
+      // weighted companion of q109's Mean-storage profile
+      implicit val sp: SparkSession = s
+      Histogram.weightedProfile(t(dir, "lineitem"), col("l_quantity"),
+        axQty10, col("l_discount"), col("l_extendedprice"),
+        dims = Seq("l_returnflag"))
+    },
+    "q218_lm_filter_sketch" -> { (s, dir) =>
+      // mega-source-proof LM filter: per-source GK threshold instead of
+      // the per-source rank window; gated on the sketch's two one-sided
+      // rank-bound contract verdicts (q157-q160 discipline)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.lmFilterSketch(t(dir, "documents"),
+        minPctl = 0.5, accuracy = 25)
     }
   )
 
@@ -2352,6 +2369,18 @@ object SparkEntry {
       "TRUE", "event_type <> 'click'"),
     "q216_psi_lifecycle" -> Oracle.psiGrouped("events",
       Oracle.Spec("value", axValue), "event_type", "event_type",
-      "TRUE", "event_type <> 'click'", 1e-6)
+      "TRUE", "event_type <> 'click'", 1e-6),
+    "q217_weighted_profile" -> Oracle.weightedProfile("lineitem",
+      Oracle.Spec("l_quantity", axQty10), "l_discount", "l_extendedprice",
+      dims = Seq("l_returnflag")),
+    // contract gate (q157-q160 discipline): the oracle emits the TRUE
+    // verdicts for every source with >= 1 scored doc; any rank-bound
+    // violation of the sketch threshold on real data hash-mismatches
+    "q218_lm_filter_sketch" ->
+      ("SELECT source, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "TRUE AS lo_within_bound, TRUE AS hi_within_bound " +
+        "FROM documents WHERE text IS NOT NULL " +
+        "AND len(regexp_extract_all(text, '\\S+')) > 0 " +
+        "GROUP BY source")
   )
 }

@@ -160,6 +160,73 @@ object Histogram {
         col("cnt"), col("mean_y"), col("std_y")): _*)
   }
 
+  /** Weighted profile histogram (boost-histogram's WeightedMean storage —
+    * the weighted companion of [[profile]]'s Mean storage; the reference
+    * imports bh storages generally at core.py:29, and a user doing
+    * profile plots WITH weights lands exactly here): per x-bin entry
+    * count, Σw and Σw² (the WeightedMean accumulator's carried state),
+    * the w-weighted mean of y, and boost's WeightedMean variance
+    * Σw·(y−ȳ_w)² / (Σw − Σw²/Σw) — the frequency-weights unbiased
+    * variance whose denominator is the effective-count correction
+    * (reduces to the n−1 form for unit weights). Rows with NULL y or
+    * NULL w are not entries.
+    *
+    * Same ONE-pass plan as [[profile]]: five map-combinable aggregates
+    * in a single shuffle keyed by (dims, bin). Cross-engine exactness:
+    * Σw (a raw data column) takes the DECIMAL(38,14) string route; the
+    * PRODUCT moments w², wy, wy² are full-precision doubles whose
+    * decimal reps routinely exceed the string route's 14-digit
+    * round-trip window (the Dec scope note; found live by the sf0.001
+    * gate diverging one ulp), so they take the q123/q189 convention
+    * instead — floor-quantized on identical doubles to identical
+    * INTEGERS (wy, wy² at 1e-6 resolution; w² at 1.0), accumulated in
+    * DECIMAL(38,0) (exact, order-free), ONE final int-exact double cast
+    * + division. The quantization is the documented resolution, not
+    * engine noise. Int64/2^53 boundary (the clusterStats discipline):
+    * per row |w·y|·1e6 and |w·y²|·1e6 < 9.2e18; per (dims, bin) the
+    * quantized sums < 2^53 — size bins so a bin's Σ|wy|·1e6 stays
+    * under 9e15 (≈1e9 rows of unit-scale products per bin).
+    * The mean/variance tail is a fixed IEEE sequence mirrored verbatim
+    * in Oracle.weightedProfile. Degenerate denominators (Σw = 0, or
+    * all mass on one row: Σw − Σw²/Σw ≤ 0) yield NULL mean/variance —
+    * never a NaN row, and never an ANSI divide-by-zero (the guard sits
+    * ON each division). */
+  def weightedProfile(df: DataFrame, x: Column, ax: BinAxis, y: Column,
+      w: Column, dims: Seq[String] = Nil): DataFrame = {
+    val yd = y.cast("double")
+    val wd = w.cast("double")
+    val proj = df
+      .filter(ax.keepPred(x, includeUnder = false, includeOver = false) &&
+        yd.isNotNull && wd.isNotNull)
+      .select(dims.map(col) ++
+        Seq(ax.index(x).as("__i0"), yd.as("__y"), wd.as("__w")): _*)
+    def dsum(c: Column): Column =
+      graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(c)))
+    // exact integer accumulation of a quantized product moment; the
+    // final cast is exact while the sum stays below 2^53
+    def qsum(c: Column, q: Double): Column =
+      sum(floor(c * lit(q)).cast("decimal(38,0)")).cast("double") / lit(q)
+    val nullD = lit(null).cast("double")
+    val agg = proj.groupBy((dims :+ "__i0").map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("__w")).as("sum_w"),
+        qsum(col("__w") * col("__w"), 1.0).as("sum_w2"),
+        qsum(col("__w") * col("__y"), 1.0e6).as("__swy"),
+        qsum(col("__w") * col("__y") * col("__y"), 1.0e6).as("__swyy"))
+    val neff = when(col("sum_w") === lit(0.0), nullD)
+      .otherwise(col("sum_w") - col("sum_w2") / col("sum_w"))
+    val m2 = col("__swyy") - col("__swy") * col("wmean_y")
+    agg
+      .withColumn("wmean_y", when(col("sum_w") === lit(0.0), nullD)
+        .otherwise(col("__swy") / col("sum_w")))
+      .withColumn("wvar_y", when(neff > lit(0.0),
+        greatest(lit(0.0), m2) / neff).otherwise(nullD))
+      .select(dims.map(col) ++ Seq(
+        ax.label(col("__i0")).as(ax.binsCol, graft.axes.AxisMetadata.toMetadata(ax)),
+        col("cnt"), col("sum_w"), col("sum_w2"),
+        col("wmean_y"), col("wvar_y")): _*)
+  }
+
   /** Efficiency histogram (the pass/total ratio plot, ROOT TEfficiency):
     * per x-bin, the total count n, passing count k (rows satisfying
     * `passPred`), the efficiency k/n and its Wilson score interval at

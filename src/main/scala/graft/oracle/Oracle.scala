@@ -122,6 +122,40 @@ object Oracle {
       "FROM __m"
   }
 
+  /** Mirrors Histogram.weightedProfile: the [[profile]] index chain with
+    * a weight column; Σw decimal-exact via the string route, the product
+    * moments (w², wy, wy²) via the q123/q189 floor-quantized-integer
+    * route (identical doubles floor to identical integers; DECIMAL(38,0)
+    * sums are exact; one final int-exact double cast + division); then
+    * the identical fixed IEEE tail for the weighted mean and boost's
+    * WeightedMean variance (guards mirrored: Σw=0 → NULL mean,
+    * Σw−Σw²/Σw ≤ 0 → NULL variance). */
+  def weightedProfile(table: String, spec: Spec, ySql: String, wSql: String,
+      dims: Seq[String] = Nil): String = {
+    val dimsSel = if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
+    val groupCols = (dims :+ "__i0").mkString(", ")
+    def ds(e: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14)))")
+    def qs(e: String, q: Double): String =
+      s"(CAST(SUM(CAST(FLOOR(($e) * ${dbl(q)}) AS DECIMAL(38,0))) AS DOUBLE) / ${dbl(q)})"
+    s"WITH __idx AS (SELECT $dimsSel${spec.axis.indexSql(spec.valueSql)} AS __i0, " +
+      s"CAST($ySql AS DOUBLE) AS __y, CAST($wSql AS DOUBLE) AS __w FROM $table), " +
+      s"__f AS (SELECT * FROM __idx WHERE __i0 IS NOT NULL AND __i0 >= 0 " +
+      s"AND __i0 <= ${spec.axis.nBins - 1} AND __y IS NOT NULL AND __w IS NOT NULL), " +
+      s"__g AS (SELECT $groupCols, COUNT(*) AS cnt, ${ds("__w")} AS sum_w, " +
+      s"${qs("__w * __w", 1.0)} AS sum_w2, ${qs("__w * __y", 1.0e6)} AS __swy, " +
+      s"${qs("__w * __y * __y", 1.0e6)} AS __swyy FROM __f GROUP BY $groupCols), " +
+      "__m AS (SELECT *, " +
+      "CASE WHEN sum_w = CAST(0.0 AS DOUBLE) THEN CAST(NULL AS DOUBLE) ELSE __swy / sum_w END AS wmean_y, " +
+      "CASE WHEN sum_w = CAST(0.0 AS DOUBLE) THEN CAST(NULL AS DOUBLE) ELSE sum_w - sum_w2 / sum_w END AS __neff " +
+      "FROM __g) " +
+      s"SELECT $dimsSel(${spec.axis.labelSql("__i0")}) AS ${spec.axis.binsCol}, " +
+      "cnt, sum_w, sum_w2, wmean_y, " +
+      "CASE WHEN __neff > CAST(0.0 AS DOUBLE) THEN " +
+      "GREATEST(CAST(0.0 AS DOUBLE), __swyy - __swy * wmean_y) / __neff " +
+      "ELSE CAST(NULL AS DOUBLE) END AS wvar_y FROM __m"
+  }
+
   /** Mirrors HistStats.drift for two count histograms of `table` split by
     * whereA/whereB: same full-outer bin join, decimal-exact totals and
     * metric sums, identical IEEE tails. */

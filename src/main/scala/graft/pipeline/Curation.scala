@@ -386,6 +386,48 @@ object Curation {
       .select(col("doc_id"), col("source"), col("lm_score"), col("pctl"))
   }
 
+  /** The 100 TB form of [[lmFilter]]'s per-source percentile gate —
+    * mega-source hardening, generalizing the q202 straggler note:
+    * lmFilter's exact rank is a per-source sort window, so ONE
+    * pathological mega-source (a single crawl domain with 1e9 docs)
+    * drags its whole partition through one reducer. Here the per-source
+    * threshold comes from percentile_approx's map-combinable GK summary
+    * — bounded state per source regardless of source size, no rank
+    * window anywhere in the plan — and kept docs are a map-side
+    * `lm_score >= threshold` against the broadcast thresholds.
+    *
+    * Gating follows the q157–q160 contract discipline: the sketch's
+    * threshold VALUE is partitioning-dependent at approximate accuracy
+    * (no value gate possible), but its error CONTRACT is a theorem —
+    * the threshold's exact rank interval must intersect
+    * [floor((p−e)·n), ceil((p+e)·n)] with e = 1/accuracy. Emitted as
+    * TWO one-sided verdicts (threshold not ranked too high / too low)
+    * so a violation pins which side broke. The exact ranks come from
+    * one conditional-count aggregate per source — a scan, not a sort. */
+  def lmFilterSketch(docs: DataFrame, minPctl: Double,
+      accuracy: Int = 25): DataFrame = {
+    require(minPctl >= 0.0 && minPctl <= 1.0, s"minPctl out of [0,1]: $minPctl")
+    require(accuracy >= 2, s"accuracy must be >= 2: $accuracy")
+    val scored = graft.pipeline.TextAnalysis.lmScore(docs)
+      .select(col("doc_id"), col("lm_score"))
+    val src = docs.select(col("doc_id"), col("source")).join(scored, "doc_id")
+    val thr = src.groupBy(col("source"))
+      .agg(percentile_approx(col("lm_score"), lit(minPctl),
+        lit(accuracy)).as("__thr"))
+    val e = 1.0 / accuracy
+    val agg = src.join(broadcast(thr), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("lm_score") < col("__thr"), lit(1))).as("__below"),
+        count(when(col("lm_score") <= col("__thr"), lit(1))).as("__leq"))
+    val nD = col("n").cast("double")
+    agg.select(col("source"), col("n"),
+      ((col("__below") + lit(1L)).cast("double") <=
+        ceil((lit(minPctl) + lit(e)) * nD).cast("double")).as("lo_within_bound"),
+      (col("__leq").cast("double") >=
+        floor((lit(minPctl) - lit(e)) * nD).cast("double")).as("hi_within_bound"))
+  }
+
   /** [[curate]] with a RELATIVE quality gate: a fifth criterion requiring
     * the doc's multi-signal blended percentile ([[blendPercentiles]]) to
     * reach `minBlend` — the quality-filter stage of a published curation

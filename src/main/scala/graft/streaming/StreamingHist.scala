@@ -492,28 +492,40 @@ object StreamingHist {
     * execution walks each key's whole stream in one sorted pass and
     * equals the batch operator unconditionally — the oracle-gated
     * configuration (q171). */
-  def streamingTransitions(events: Dataset[TransEvent]): Dataset[TransPair] = {
+  def streamingTransitions(events: Dataset[TransEvent],
+      stateTtl: Option[String] = None): Dataset[TransPair] = {
     import events.sparkSession.implicits._
+    val timeout = stateTtl.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, String), TransPair](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (user: Long, it: Iterator[TransEvent],
          state: GroupState[(Long, Long, String)]) =>
-          var prev = state.getOption // (us, event_id, type) latest seen
-          val out = scala.collection.mutable.ArrayBuffer.empty[TransPair]
-          it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
-            prev match {
-              case Some((pus, pid, ptype))
-                  if pus < e.us || (pus == e.us && pid < e.event_id) =>
-                out += TransPair(user, e.us, e.event_id, ptype, e.event_type)
-                prev = Some((e.us, e.event_id, e.event_type))
-              case None =>
-                prev = Some((e.us, e.event_id, e.event_type))
-              case _ => // out-of-order vs state: not the latest; skip
+          if (state.hasTimedOut) {
+            // key went quiet for the horizon: forget its predecessor —
+            // the next event starts a fresh chain (emits no edge), the
+            // same contract as a first-seen key
+            state.remove()
+            Iterator.empty
+          } else {
+            var prev = state.getOption // (us, event_id, type) latest seen
+            val out = scala.collection.mutable.ArrayBuffer.empty[TransPair]
+            it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+              prev match {
+                case Some((pus, pid, ptype))
+                    if pus < e.us || (pus == e.us && pid < e.event_id) =>
+                  out += TransPair(user, e.us, e.event_id, ptype, e.event_type)
+                  prev = Some((e.us, e.event_id, e.event_type))
+                case None =>
+                  prev = Some((e.us, e.event_id, e.event_type))
+                case _ => // out-of-order vs state: not the latest; skip
+              }
             }
+            prev.foreach(state.update)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          prev.foreach(state.update)
-          out.iterator
       }
   }
 
@@ -565,32 +577,45 @@ object StreamingHist {
     * [[streamingAsOf]] contract. Batch execution walks each user's
     * whole stream sorted and equals the batch operator unconditionally
     * — the oracle-gated configuration (q183, same SQL as q92). */
-  def streamingFunnel(events: Dataset[FunnelEvent],
-      steps: Seq[String]): Dataset[FunnelRow] = {
+  def streamingFunnel(events: Dataset[FunnelEvent], steps: Seq[String],
+      stateTtl: Option[String] = None): Dataset[FunnelRow] = {
     require(steps.nonEmpty, "funnel needs at least one step")
     import events.sparkSession.implicits._
     val k = steps.size
+    val timeout = stateTtl.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[Option[Long]], FunnelRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (user: Option[Long], it: Iterator[FunnelEvent],
          state: GroupState[Seq[Option[Long]]]) =>
-          val had = state.exists
-          val ts = state.getOption.getOrElse(Seq.fill(k)(None))
-            .toArray[Option[Long]]
-          var changed = false
-          it.toSeq.sortBy(e => (e.us, e.event_id.getOrElse(Long.MinValue)))
-            .foreach { e =>
-              val i = (0 until k).find(i => ts(i).isEmpty &&
-                e.event_type.contains(steps(i)) &&
-                (i == 0 || ts(i - 1).exists(_ < e.us)))
-              i.foreach { i => ts(i) = Some(e.us); changed = true }
-            }
-          state.update(ts.toSeq)
-          if (changed || !had)
-            Iterator.single(FunnelRow(user, ts.toSeq,
-              ts.takeWhile(_.isDefined).length.toLong))
-          else Iterator.empty
+          if (state.hasTimedOut) {
+            // user went quiet for the horizon: the last emitted row
+            // remains their final funnel position; a post-eviction
+            // event restarts the chain from scratch (abandoned-journey
+            // semantics — the funnel window every published conversion
+            // report bounds anyway)
+            state.remove()
+            Iterator.empty
+          } else {
+            val had = state.exists
+            val ts = state.getOption.getOrElse(Seq.fill(k)(None))
+              .toArray[Option[Long]]
+            var changed = false
+            it.toSeq.sortBy(e => (e.us, e.event_id.getOrElse(Long.MinValue)))
+              .foreach { e =>
+                val i = (0 until k).find(i => ts(i).isEmpty &&
+                  e.event_type.contains(steps(i)) &&
+                  (i == 0 || ts(i - 1).exists(_ < e.us)))
+                i.foreach { i => ts(i) = Some(e.us); changed = true }
+              }
+            state.update(ts.toSeq)
+            stateTtl.foreach(state.setTimeoutDuration)
+            if (changed || !had)
+              Iterator.single(FunnelRow(user, ts.toSeq,
+                ts.takeWhile(_.isDefined).length.toLong))
+            else Iterator.empty
+          }
       }
   }
 
@@ -634,36 +659,51 @@ object StreamingHist {
     * fact). Day = exact floor division of event-time micros.
     *
     * State is ONE (count, lastUs, lastId) row per (user, day) — key ×
-    * open-days bounded, never event volume; in production evict closed
-    * days with a state timeout (the count is final once the day's
-    * watermark passes). Within a micro-batch the group walks in
+    * open-days bounded, never event volume; production deployments
+    * BOUND it by passing `stateTtl`: each (user, day)'s state carries a
+    * ProcessingTimeTimeout renewed on every arrival and is REMOVED once
+    * the day goes quiet for the horizon (the count is final once the
+    * day's events stop arriving; a pathological post-eviction straggler
+    * re-opens the day with a fresh quota — documented staleness,
+    * StreamingSpec-pinned as emission-invariant for quiet-day eviction).
+    * Within a micro-batch the group walks in
     * (us, id) order — the batch rank's total order; cross-batch
     * out-of-order events older than the state are skipped, not
     * retro-ranked (documented staleness, the [[streamingAsOf]]
     * contract). Batch execution walks each key-day's whole stream in
     * one sorted pass and equals the batch operator unconditionally —
     * the oracle-gated configuration (q207, same SQL as q206). */
-  def streamingRateLimit(events: Dataset[RlEvent], n: Int): Dataset[RlKept] = {
+  def streamingRateLimit(events: Dataset[RlEvent], n: Int,
+      stateTtl: Option[String] = None): Dataset[RlKept] = {
     require(n > 0, s"n must be positive: $n")
     import events.sparkSession.implicits._
     val dayUs = 86400000000L
+    val timeout = stateTtl.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
     events.groupByKey(e => (e.user_id, Math.floorDiv(e.us, dayUs)))
       .flatMapGroupsWithState[(Int, Long, Long), RlKept](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         case ((user, day), it, state) =>
-          var (cnt, lastUs, lastId) =
-            state.getOption.getOrElse((0, Long.MinValue, Long.MinValue))
-          val out = scala.collection.mutable.ArrayBuffer.empty[RlKept]
-          it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
-            val newer = e.us > lastUs || (e.us == lastUs && e.event_id > lastId)
-            if (newer) {
-              cnt += 1
-              if (cnt <= n) out += RlKept(user, day, e.event_id, cnt)
-              lastUs = e.us; lastId = e.event_id
-            } // else: out-of-order vs state — skipped, not retro-ranked
+          if (state.hasTimedOut) {
+            // day went quiet for the horizon: its quota count is final
+            state.remove()
+            Iterator.empty
+          } else {
+            var (cnt, lastUs, lastId) =
+              state.getOption.getOrElse((0, Long.MinValue, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[RlKept]
+            it.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+              val newer = e.us > lastUs || (e.us == lastUs && e.event_id > lastId)
+              if (newer) {
+                cnt += 1
+                if (cnt <= n) out += RlKept(user, day, e.event_id, cnt)
+                lastUs = e.us; lastId = e.event_id
+              } // else: out-of-order vs state — skipped, not retro-ranked
+            }
+            state.update((cnt, lastUs, lastId))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update((cnt, lastUs, lastId))
-          out.iterator
       }
   }
 

@@ -629,6 +629,127 @@ class StreamingSpec extends SparkSpec {
       streamed.foreach { case (w, p) => assert(p == batch(w), s"window $w") }
     } finally q.stop()
   }
+
+  test("rate-limit state TTL: quiet-day eviction changes no emitted rows and releases state") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingHist.{RlEvent, RlKept}
+    val input = MemoryStream[RlEvent]
+    val out = StreamingHist.streamingRateLimit(input.toDS(), n = 2,
+      stateTtl = Some("5 seconds"))
+    val q = out.writeStream.format("memory").queryName("rl_ttl_stream")
+      .outputMode(OutputMode.Append()).start()
+    def awaitEv(id: Long, deadlineMs: Long = 30000): Map[Long, Int] = {
+      val t0 = System.currentTimeMillis()
+      var rows = Map.empty[Long, Int]
+      while (!rows.contains(id)) {
+        assert(System.currentTimeMillis() - t0 < deadlineMs,
+          s"event $id not in sink after ${deadlineMs} ms (got $rows)")
+        Thread.sleep(50)
+        rows = spark.table("rl_ttl_stream").as[RlKept].collect()
+          .map(v => v.event_id -> v.rn).toMap
+      }
+      rows
+    }
+    try {
+      // day 0, user 1: quota 2 — events 1, 2 admitted, 3 over quota
+      input.addData(RlEvent(1L, 1L, 1000L), RlEvent(2L, 1L, 2000L),
+        RlEvent(3L, 1L, 3000L))
+      awaitEv(2)
+      Thread.sleep(10000) // (user 1, day 0) goes quiet past the horizon
+      // a later batch fires the pending timeout; the eviction itself
+      // must EMIT NOTHING — previously admitted rows are untouched
+      input.addData(RlEvent(4L, 9L, 5000L))
+      awaitEv(4)
+      // state released: the same (user, day) re-opens with a FRESH
+      // quota (rn restarts at 1) — proving removal actually happened;
+      // the documented post-eviction-straggler staleness
+      input.addData(RlEvent(5L, 1L, 6000L))
+      val rows = awaitEv(5)
+      assert(rows == Map(1L -> 1, 2L -> 2, 4L -> 1, 5L -> 1))
+    } finally q.stop()
+  }
+
+  test("transitions state TTL: eviction emits nothing; next event starts a fresh chain") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingHist.{TransEvent, TransPair}
+    val input = MemoryStream[TransEvent]
+    val out = StreamingHist.streamingTransitions(input.toDS(),
+      stateTtl = Some("5 seconds"))
+    val q = out.writeStream.format("memory").queryName("tr_ttl_stream")
+      .outputMode(OutputMode.Append()).start()
+    def awaitN(k: Int, deadlineMs: Long = 30000): Seq[TransPair] = {
+      val t0 = System.currentTimeMillis()
+      var rows = Seq.empty[TransPair]
+      while (rows.size < k) {
+        assert(System.currentTimeMillis() - t0 < deadlineMs,
+          s"sink has ${rows.size} rows (< $k) after ${deadlineMs} ms")
+        Thread.sleep(50)
+        rows = spark.table("tr_ttl_stream").as[TransPair].collect().toSeq
+      }
+      rows
+    }
+    try {
+      input.addData(TransEvent(1L, 10L, 100L, "view"),
+        TransEvent(1L, 20L, 101L, "click"))
+      awaitN(1) // one view->click edge
+      Thread.sleep(10000) // user 1 quiet past the horizon
+      input.addData(TransEvent(9L, 30L, 900L, "view")) // fires the timeout
+      // the eviction emitted nothing: still exactly one edge in the sink
+      // (user 9's first event has no predecessor)
+      val after = awaitN(1)
+      assert(after.map(p => (p.user_id, p.from_type, p.to_type)) ==
+        Seq((1L, "view", "click")))
+      // predecessor forgotten: user 1's next event emits NO edge (fresh
+      // chain), then the one after it chains normally
+      input.addData(TransEvent(1L, 40L, 102L, "purchase"))
+      input.addData(TransEvent(1L, 50L, 103L, "view"))
+      val rows = awaitN(2)
+      assert(rows.map(p => (p.user_id, p.from_type, p.to_type)).sortBy(_.toString) ==
+        Seq((1L, "purchase", "view"), (1L, "view", "click")).sortBy(_.toString))
+    } finally q.stop()
+  }
+
+  test("funnel state TTL: abandoned journey evicts; post-eviction event restarts the chain") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingHist.{FunnelEvent, FunnelRow}
+    def e(u: Long, sec: Long, id: Long, t: String) =
+      FunnelEvent(Some(u), sec * 1000000L, Some(id), Some(t))
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[FunnelEvent]
+    val out = StreamingHist.streamingFunnel(input.toDS(), steps,
+      stateTtl = Some("5 seconds"))
+    val q = out.writeStream.format("memory").queryName("fn_ttl_stream")
+      .outputMode(OutputMode.Append()).start()
+    def awaitRows(k: Int, deadlineMs: Long = 30000): Seq[FunnelRow] = {
+      val t0 = System.currentTimeMillis()
+      var rows = Seq.empty[FunnelRow]
+      while (rows.size < k) {
+        assert(System.currentTimeMillis() - t0 < deadlineMs,
+          s"sink has ${rows.size} rows (< $k) after ${deadlineMs} ms")
+        Thread.sleep(50)
+        rows = spark.table("fn_ttl_stream").as[FunnelRow].collect().toSeq
+      }
+      rows
+    }
+    try {
+      // user 1 reaches step 2 of 3, then abandons the journey
+      input.addData(e(1, 10, 1, "view"), e(1, 20, 2, "click"))
+      assert(awaitRows(1).map(_.steps_completed) == Seq(2L))
+      Thread.sleep(10000) // user 1 quiet past the horizon
+      input.addData(e(9, 30, 9, "view")) // a later batch fires the timeout
+      // eviction emitted nothing beyond user 9's own first-sight row
+      val mid = awaitRows(2)
+      assert(mid.map(r => (r.user_id.get, r.steps_completed)).sortBy(_._1) ==
+        Seq((1L, 2L), (9L, 1L)))
+      // chain forgotten: user 1's purchase does NOT complete the old
+      // journey — the restarted chain has no view/click, so the emitted
+      // first-sight row shows 0 completed (with intact state it would be 3)
+      input.addData(e(1, 40, 3, "purchase"))
+      val rows = awaitRows(3).filter(_.user_id.contains(1L))
+        .map(_.steps_completed).sorted
+      assert(rows == Seq(0L, 2L))
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {

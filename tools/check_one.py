@@ -36,6 +36,97 @@ sql = json.load(open(f"{out}/oracle_sql.json"))[name]
 PAIR_MARKER = "), e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p)"
 ITERATIVE = {"q85_dup_components", "q104_components_keep_by"}
 
+# The five pairwise-verify oracles build a per-candidate-pair element
+# join (candidate x ~300 grams, or x 64 vector dims) whose single-shot
+# intermediate exceeds memory+spill at sf1 (observed: 16.9M candidate
+# pairs x ~300 grams = ~5e9 rows for q43). Same q85/q104 precedent:
+# replay the IDENTICAL SQL text with the pair-stage CTE evaluated in
+# hash-partitioned chunks of its upstream relation — every CTE body is
+# executed verbatim (materialized as a temp table in declaration
+# order); the chunked CTE's GROUP BY / DISTINCT key starts with the
+# chunk column, so per-chunk evaluation partitions its output exactly
+# and the union equals the one-shot result row-for-row. The single-SQL
+# form in oracle_sql.json stays the driver's sf0.01 gate, so the
+# closed form is still cross-proven there; this path only re-proves it
+# at scales the one-shot plan cannot reach.
+# name -> [(cte_to_chunk, upstream_relation, chunk_column, n_chunks)]
+CHUNKED = {
+    "q43_ngram_jaccard": [("inter", "cand", "doc_a", 64)],
+    "q112_containment": [("cand", "pfx", "doc_id", 64),
+                         ("inter", "cand", "doc_a", 64)],
+    "q154_minhash_accuracy": [("pb", "cand", "doc_a", 16),
+                              ("inter0", "ag", "doc_a", 64)],
+    "q44_embed_neardup": [("cand", "pr", "vec_id", 16),
+                          ("d", "cand", "vec_a", 64)],
+    # p is a self-join of asg (both sides) — chunking its upstream would
+    # drop cross-chunk pairs; p itself is cell-bounded, so materialize
+    # it whole and chunk only the element-join stage d
+    "q111_semdedup": [("d", "p", "va", 64)],
+}
+
+
+def split_ctes(sql):
+    """Top-level CTE list of a 'WITH a AS (...), b AS (...) SELECT ...'
+    statement -> ([(name, body)], final_select). Paren matching skips
+    single-quoted strings (the '' escape included)."""
+    assert sql[:5].upper() == "WITH ", "not a WITH statement"
+    i, ctes = 5, []
+    while True:
+        while sql[i].isspace():
+            i += 1
+        j = i
+        while not sql[j].isspace():
+            j += 1
+        name = sql[i:j]
+        k = sql.index("(", j)  # the body paren (skips AS / MATERIALIZED)
+        depth, m, in_str = 0, k, False
+        while True:
+            c = sql[m]
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            m += 1
+        ctes.append((name, sql[k + 1:m]))
+        p = m + 1
+        while sql[p].isspace():
+            p += 1
+        if sql[p] == ",":
+            i = p + 1
+        else:
+            return ctes, sql[p:]
+
+
+def run_chunked(con, sql, plan):
+    ctes, final = split_ctes(sql)
+    steps = {c: (up, col, n) for c, up, col, n in plan}
+    for cte_name, body in ctes:
+        if cte_name in steps:
+            up, col, n = steps[cte_name]
+            con.execute(f"ALTER TABLE {up} RENAME TO {up}__all")
+            # empty accumulator with the body's exact schema: evaluate
+            # the body once over a WHERE FALSE view of the upstream
+            con.execute(
+                f"CREATE TEMP VIEW {up} AS SELECT * FROM {up}__all WHERE FALSE")
+            con.execute(f"CREATE TEMP TABLE {cte_name} AS {body}")
+            for i in range(n):
+                con.execute(
+                    f"CREATE OR REPLACE TEMP VIEW {up} AS SELECT * FROM "
+                    f"{up}__all WHERE hash({col}) % {n} = {i}")
+                con.execute(f"INSERT INTO {cte_name} {body}")
+            con.execute(f"DROP VIEW {up}")
+            con.execute(f"ALTER TABLE {up}__all RENAME TO {up}")
+        else:
+            con.execute(f"CREATE TEMP TABLE {cte_name} AS {body}")
+    return con.execute(final).df()
+
 def run_components_iteratively(con, sql, name):
     head = "WITH RECURSIVE p AS ("
     assert sql.startswith(head) and PAIR_MARKER in sql, "oracle shape changed"
@@ -78,6 +169,8 @@ except Exception as e:
 try:
     if name in ITERATIVE:
         ddf = run_components_iteratively(con, sql, name)
+    elif name in CHUNKED:
+        ddf = run_chunked(con, sql, CHUNKED[name])
     else:
         ddf = con.execute(sql).df()
 except Exception as e:
