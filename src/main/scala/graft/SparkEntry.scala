@@ -1772,6 +1772,48 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.lmFilterSketch(t(dir, "documents"),
         minPctl = 0.5, accuracy = 25)
+    },
+    "q219_is_normalized" -> { (s, dir) =>
+      // accessor.is_normalized (accessor.py:132) as a gated surface: the
+      // schema-derived flag on the same histogram before and after
+      // normalize, hashed against the oracle's TRUE/FALSE constants
+      // beside each variant's (event_type, bin) row count
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val h = hist(dir, "events", col("value"), axValue,
+        dims = Seq("event_type"))
+      val n = HistStats.normalize(h, axValue, Seq("event_type"))
+      Seq(("raw", HistStats.isNormalized(h), h.count()),
+        ("normalized", HistStats.isNormalized(n), n.count()))
+        .toDF("state", "is_normalized", "n_rows")
+    },
+    "q220_dsir_weights" -> { (s, dir) =>
+      // DSIR importance weights: candidate docs scored by hashed-unigram
+      // likelihood ratio vs the src0-src2 target slice
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.dsirWeights(t(dir, "documents"),
+        col("source").isin("src0", "src1", "src2"), buckets = 1024)
+    },
+    "q221_pq_encode" -> { (s, dir) =>
+      // product-quantization codes: 4 subspaces x 16 codewords over the
+      // 64-dim embeddings, trained L2 Lloyd, broadcast-encode
+      implicit val sp: SparkSession = s
+      graft.pipeline.Similarity.pqEncode(t(dir, "embeddings"),
+        m = 4, k = 16, iters = 2)
+    },
+    "q222_pq_search_recall" -> { (s, dir) =>
+      // PQ asymmetric-distance search (ADC + exact rerank of the top-100
+      // shortlist) gated as a recall contract vs the exact L2 top-k (the
+      // q163/q164 discipline). Measured recall@3: 1.0 / 1.0 / 0.67 / 1.0
+      // at sf0.001/0.01/0.1/sf1 (sf0.1 is the hard gapless-random case;
+      // sf1's planted near-twins rank first at any quantization) —
+      // pinned >= 0.4.
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      val qset = emb.filter(col("vec_id") < 10)
+      graft.pipeline.Contracts.annRecallContract(
+        Similarity.pqSearch(emb, qset, 3, m = 8, codes = 64, rerank = 100),
+        Similarity.bruteForceL2TopK(emb, qset, 3), bound = 0.4)
     }
   )
 
@@ -2381,6 +2423,25 @@ object SparkEntry {
         "TRUE AS lo_within_bound, TRUE AS hi_within_bound " +
         "FROM documents WHERE text IS NOT NULL " +
         "AND len(regexp_extract_all(text, '\\S+')) > 0 " +
-        "GROUP BY source")
+        "GROUP BY source"),
+    // the flag bits are the Spark side's isNormalized() verdicts; the
+    // row counts re-derive from the q28 oracle pair
+    "q219_is_normalized" ->
+      ("SELECT 'raw' AS state, FALSE AS is_normalized, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows FROM (" +
+        Oracle.hist("events", Seq(Oracle.Spec("value", axValue)),
+          dims = Seq("event_type")) + ") " +
+        "UNION ALL SELECT 'normalized', TRUE, CAST(COUNT(*) AS BIGINT) FROM (" +
+        Oracle.hist("events", Seq(Oracle.Spec("value", axValue)),
+          dims = Seq("event_type"), density = true) + ")"),
+    "q220_dsir_weights" -> PipelineOracle.dsirWeights(
+      "source IN ('src0', 'src1', 'src2')", 1024),
+    "q221_pq_encode" -> PipelineOracle.pqEncode(4, 16, iters = 2),
+    // recall-contract gate (q163/q164 discipline): deterministic codes +
+    // deterministic exact ranking make recall a pure function of the
+    // data; a regression below the pinned floor hash-mismatches
+    "q222_pq_search_recall" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
+        "FROM embeddings WHERE vec_id < 10")
   )
 }

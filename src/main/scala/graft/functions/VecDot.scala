@@ -81,3 +81,46 @@ object VecDotFD {
   def vec_dot_fd(a: Column, b: Column): Column =
     GraftShim.column(VecDotFD(GraftShim.expression(a), GraftShim.expression(b)))
 }
+
+/** Squared L2 distance between a SLICE of an Array[Float] data column
+  * (elements [offset, offset + |b|)) and an Array[Double] codeword —
+  * the product-quantization assignment kernel. Same codegen rationale
+  * as [[VecDot]]; the fold is `SUM((CAST(a[offset+j] AS DOUBLE) − b[j])
+  * * (CAST(a[offset+j] AS DOUBLE) − b[j]) ORDER BY j)` from 0.0 —
+  * subtract, multiply, add, each one correctly-rounded IEEE step,
+  * bit-identical to the DuckDB oracle. The offset is a plan-time
+  * constant (subspace origin), not a per-row expression. */
+case class VecL2FD(left: Expression, right: Expression, offset: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecL2FD.d2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], offset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecL2FD.d2($a, $b, $offset)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecL2FD =
+    copy(left = l, right = r)
+}
+
+object VecL2FD {
+  /** Out-of-range slices fail loudly, like VecDot's length check: a
+    * vector shorter than the subspace layout is corrupt embedding data,
+    * not a zero-distance match. */
+  def d2(a: ArrayData, b: ArrayData, offset: Int): Double = {
+    val n = b.numElements()
+    if (offset < 0 || offset + n > a.numElements())
+      throw new IllegalArgumentException(
+        s"vec_l2_fd: slice [$offset, ${offset + n}) out of range for " +
+          s"embedding of length ${a.numElements()}")
+    var s = 0.0
+    var j = 0
+    while (j < n) {
+      val d = a.getFloat(offset + j).toDouble - b.getDouble(j)
+      s += d * d
+      j += 1
+    }
+    s
+  }
+
+  def vec_l2_fd(a: Column, b: Column, offset: Int): Column =
+    GraftShim.column(VecL2FD(GraftShim.expression(a), GraftShim.expression(b), offset))
+}

@@ -589,6 +589,62 @@ object PipelineOracle {
       "asg AS (SELECT vec_id, cent_id AS cell FROM rkd WHERE rn = 1)"
   }
 
+  /** Mirrors Similarity.pqEncode: per-subspace independent L2 Lloyd on
+    * the shared ':pq' hash-rank sample — the ivfAsgCtes structure with
+    * Euclidean assignment (ORDER BY d2 ASC, cent_id; NaN greatest in
+    * both engines), the same decimal-exact per-dimension means, empty
+    * codes keeping the previous codeword — then every vector's nearest
+    * codeword per subspace, UNION ALL across subspaces. The d2 is the
+    * in-j-order SUM((v−cv)·(v−cv)) fold VecL2FD pins. */
+  def pqEncode(m: Int, k: Int, iters: Int = 2): String = {
+    val meanExpr = Oracle.exactDbl(
+      "SUM(TRY_CAST(CAST(t.v AS VARCHAR) AS DECIMAL(38,14)))") +
+      " / CAST(COUNT(*) AS DOUBLE)"
+    def d2Cte(name: String, rel: String, cents: String): String =
+      s"$name AS MATERIALIZED (SELECT r.vec_id, cn.cent_id, " +
+        "SUM((r.v - cn.cv) * (r.v - cn.cv) ORDER BY r.j) AS d2 " +
+        s"FROM $rel r JOIN $cents cn ON cn.j = r.j " +
+        "GROUP BY r.vec_id, cn.cent_id)"
+    def argmin(src: String): String =
+      "(SELECT vec_id, cent_id FROM (SELECT *, ROW_NUMBER() OVER " +
+        s"(PARTITION BY vec_id ORDER BY d2 ASC, cent_id) AS rn FROM $src) WHERE rn = 1)"
+    val perSub = (0 until m).map { ss =>
+      // the subspace element relation derives its own bounds from the
+      // vector length (dim/m contiguous elements starting at ss*dim/m)
+      val rounds = (1 to iters).map { it =>
+        val prev = s"c${it - 1}_$ss"
+        s"${d2Cte(s"s${it}_$ss", s"elt_$ss", prev)}, " +
+          s"a${it}_$ss AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM " +
+          s"(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cent_id) AS rn " +
+          s"FROM s${it}_$ss) WHERE rn = 1), " +
+          s"m${it}_$ss AS MATERIALIZED (SELECT a.cell, t.j, $meanExpr AS cv " +
+          s"FROM a${it}_$ss a JOIN elt_$ss t ON t.vec_id = a.vec_id GROUP BY a.cell, t.j), " +
+          s"c${it}_$ss AS MATERIALIZED (SELECT p.cent_id, p.j, COALESCE(mm.cv, p.cv) AS cv " +
+          s"FROM c${it - 1}_$ss p LEFT JOIN m${it}_$ss mm ON mm.cell = p.cent_id AND mm.j = p.j)"
+      }.mkString(", ")
+      s"el_$ss AS MATERIALIZED (SELECT vec_id, i - $ss * (dim // $m) AS j, v " +
+        s"FROM el CROSS JOIN dims WHERE i > $ss * (dim // $m) AND i <= ($ss + 1) * (dim // $m)), " +
+        s"elt_$ss AS MATERIALIZED (SELECT el_$ss.* FROM el_$ss JOIN smp ON smp.vec_id = el_$ss.vec_id), " +
+        s"c0_$ss AS MATERIALIZED (SELECT rk - 1 AS cent_id, el_$ss.j, el_$ss.v AS cv " +
+        s"FROM smp JOIN el_$ss ON el_$ss.vec_id = smp.vec_id WHERE rk <= $k), " +
+        s"$rounds, " +
+        s"${d2Cte(s"sf_$ss", s"el_$ss", s"c${iters}_$ss")}, " +
+        s"asg_$ss AS (SELECT vec_id, cent_id AS code FROM ${argmin(s"sf_$ss")})"
+    }.mkString(", ")
+    val union = (0 until m)
+      .map(ss => s"SELECT vec_id, $ss AS subspace, code FROM asg_$ss")
+      .mkString(" UNION ALL ")
+    "WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings), " +
+      "el AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS i, " +
+      "CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v " +
+      "FROM (SELECT vec_id, embedding, UNNEST(generate_series(1, len(embedding))) AS i FROM e)), " +
+      "dims AS (SELECT MAX(len(embedding)) AS dim FROM e), " +
+      "hs AS (SELECT vec_id, ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':pq'), 1, 15))::BIGINT AS hh FROM e), " +
+      "smp AS MATERIALIZED (SELECT vec_id, rk FROM (SELECT vec_id, " +
+      s"ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS rk FROM hs) WHERE rk <= ${k * 8L}), " +
+      s"$perSub $union"
+  }
+
   def annIvf(k: Int, queryMaxId: Long, nCells: Int = 8, nprobe: Int = 1,
       iters: Int = 2): String =
     s"WITH ${ivfAsgCtes(nCells, iters)}, " +
@@ -1467,6 +1523,26 @@ object PipelineOracle {
       "CASE WHEN ('0x' || substr(md5(tok), 7, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS s " +
       "FROM tk) " +
       "SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS v FROM h GROUP BY doc_id, dim"
+
+  /** Mirrors Curation.dsirWeights: identical md5 bucket hashing, exact
+    * integer bucket counts, Laplace +1 smoothing, 1e-9-floor-quantized
+    * LN per bucket×side, and the per-doc in-bucket-order sequential sum
+    * (SUM ... ORDER BY b — the dot-product oracles' contract). */
+  def dsirWeights(targetWhere: String, buckets: Int): String =
+    s"WITH tk AS (SELECT doc_id, ($targetWhere) AS t, " +
+      s"('0x' || substr(md5(tok), 1, 6))::BIGINT % $buckets AS b " +
+      "FROM (SELECT doc_id, source, UNNEST(regexp_extract_all(text, '\\S+')) AS tok " +
+      "FROM documents WHERE text IS NOT NULL)), " +
+      "tf AS (SELECT doc_id, t, b, COUNT(*) AS tf FROM tk GROUP BY 1, 2, 3), " +
+      "bs AS (SELECT b, SUM(CASE WHEN t THEN tf ELSE 0 END) AS ct, " +
+      "SUM(CASE WHEN NOT t THEN tf ELSE 0 END) AS cc FROM tf GROUP BY b), " +
+      "tot AS (SELECT SUM(ct) AS tt, SUM(cc) AS tc FROM bs), " +
+      "r AS (SELECT b, " +
+      s"FLOOR(LN(CAST(ct + 1 AS DOUBLE) / CAST(tt + $buckets AS DOUBLE)) * 1e9) / 1e9 - " +
+      s"FLOOR(LN(CAST(cc + 1 AS DOUBLE) / CAST(tc + $buckets AS DOUBLE)) * 1e9) / 1e9 AS r " +
+      "FROM bs CROSS JOIN tot) " +
+      "SELECT doc_id, SUM(CAST(tf.tf AS DOUBLE) * r.r ORDER BY tf.b) AS log_weight " +
+      "FROM tf JOIN r ON r.b = tf.b WHERE NOT t GROUP BY doc_id"
 
   /** Mirrors Funnel.cohortValue: the retention triangle's floor-division
     * day math and cohort join, count + the Dec DECIMAL(38,14) value sum

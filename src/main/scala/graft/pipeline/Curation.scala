@@ -428,6 +428,62 @@ object Curation {
         floor((lit(minPctl) - lit(e)) * nD).cast("double")).as("hi_within_bound"))
   }
 
+  /** DSIR-style importance weights (published method: Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score each candidate document by how much more likely its
+    * hashed-unigram features are under a small high-quality TARGET
+    * slice's distribution than under the candidate pool's own —
+    * log w(d) = Σ_tokens [ln p̂_t(b(tok)) − ln p̂_c(b(tok))], with
+    * tokens hashed into `buckets` feature buckets (the [[TextAnalysis
+    * .hashEmbed]] md5 convention) and Laplace +1 smoothing on both
+    * estimates (every bucket ratio finite, no corpus-coverage
+    * assumptions). Feed the weights to [[Sampling.weightedSample]] for
+    * the resampling step. Emits (doc_id, log_weight) for candidate
+    * (non-target) docs with ≥ 1 token.
+    *
+    * Cross-engine exactness: bucket counts and totals are exact
+    * integers; each p̂ is ONE IEEE division; ln is 1e-9-floor-quantized
+    * (the q141 convention) once per bucket×side; the per-doc sum folds
+    * tf·(lnp_t − lnp_c) in bucket order (the sequential-sum contract).
+    *
+    * Scale shape: ONE corpus tokenize pass → the map-combinable
+    * (doc, bucket) tf aggregate; the per-bucket ratio table is
+    * `buckets`-sized and BROADCAST, so scoring is a map-side join +
+    * a per-doc fold over ≤ distinct-buckets-per-doc entries. No rank
+    * windows, no corpus-sized shuffle beyond the tf aggregate. */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), isTarget.as("__t"),
+        explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("tok"))
+      .select(col("doc_id"), col("__t"),
+        (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long")
+          % buckets).as("__b"))
+    val tf = toks.groupBy(col("doc_id"), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__tf"))
+    // buckets-sized side table: smoothed per-bucket log-ratio
+    val bstats = tf.groupBy(col("__b"))
+      .agg(sum(when(col("__t"), col("__tf")).otherwise(0L)).as("__ct"),
+        sum(when(!col("__t"), col("__tf")).otherwise(0L)).as("__cc"))
+    val totals = bstats.agg(sum(col("__ct")).as("__tt"),
+      sum(col("__cc")).as("__tc"))
+    def qln(c: Column): Column = floor(log(c) * lit(1.0e9)) / lit(1.0e9)
+    val ratio = bstats.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (qln((col("__ct") + lit(1L)).cast("double") /
+            (col("__tt") + lit(buckets.toLong)).cast("double")) -
+          qln((col("__cc") + lit(1L)).cast("double") /
+            (col("__tc") + lit(buckets.toLong)).cast("double"))).as("__r"))
+    tf.filter(!col("__t"))
+      .join(broadcast(ratio), "__b")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("__b"),
+        (col("__tf").cast("double") * col("__r")).as("__w")))).as("__a"))
+      .select(col("doc_id"), aggregate(col("__a"), lit(0.0),
+        (acc, x) => acc + x.getField("__w")).as("log_weight"))
+  }
+
   /** [[curate]] with a RELATIVE quality gate: a fifth criterion requiring
     * the doc's multi-signal blended percentile ([[blendPercentiles]]) to
     * reach `minBlend` — the quality-filter stage of a published curation

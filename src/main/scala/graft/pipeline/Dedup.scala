@@ -126,7 +126,16 @@ object Dedup {
     * Scale shape: ONE doc_id-keyed full-outer equi-join of two
     * hash-projected scans (AQE co-partitions), map-side verdict —
     * nothing else shuffles; output is corpus-sized, feed it to an
-    * aggregate for the per-source dashboard. */
+    * aggregate for the per-source dashboard.
+    *
+    * PRECONDITION: doc_id is unique WITHIN each snapshot (the corpus
+    * primary key — run [[exact]] first if a drop can contain literal
+    * re-inserts). A duplicated doc_id fans the full-outer join out to
+    * m×n rows for that id and emits one (possibly conflicting) status
+    * row per hash pairing; this operator reports that corruption
+    * rather than silently collapsing it — gate ingest with
+    * [[graft.events.Funnel.fkAudit]]-style uniqueness checks when the
+    * upstream can't guarantee the key. */
   def snapshotDiff(newDocs: DataFrame, oldDocs: DataFrame): DataFrame = {
     def proj(df: DataFrame, h: String, p: String) =
       df.select(col("doc_id"), contentHash(col("text")).as(h),

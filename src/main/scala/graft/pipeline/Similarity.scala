@@ -791,4 +791,256 @@ object Similarity {
         (sqrt(aggregate(col("__a"), lit(0.0),
           (acc, x) => acc + x.getField("__d2"))) / lit(1.0e7)).as("shift"))
   }
+
+  /** Product-quantization codes (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): split every embedding
+    * into `m` contiguous subvectors, train an independent `k`-codeword
+    * codebook per subspace (L2 Lloyd — PQ's metric is Euclidean per
+    * subspace, unlike the IVF coarse quantizer's cosine), and emit each
+    * vector's nearest codeword per subspace: (vec_id, subspace, code).
+    * dim/m·log2(k) bits per vector instead of dim·32 — the memory-bound
+    * regime where 100 TB of raw embeddings become ~1 TB of codes that
+    * asymmetric-distance scans read instead of the vectors.
+    *
+    * Training mirrors [[kmeansCentroids]]' discipline with the ':pq'
+    * hash-rank sample (k·8 vectors, bounded driver work): init = first
+    * k subvectors in hash order, assignment by MIN squared L2 with ties
+    * to the lowest code (ORDER BY d2 ASC, cent_id — NaN greatest in
+    * both engines), per-dimension means decimal-exact (the Dec
+    * accumulation), empty codes keep their previous codeword. The
+    * assignment distance is the codegen'd [[graft.functions.VecL2FD]]
+    * slice fold — subtract, square, add per element in j order,
+    * bit-identical to SUM((v−cv)² ORDER BY j).
+    *
+    * Scale shape: the codebook is m·k rows and BROADCAST; encoding is a
+    * map-side join + one map-combinable min(struct(d2, code)) aggregate
+    * keyed by (vec_id, subspace) — partial aggregation collapses the
+    * m·k scored rows per vector to m before the shuffle, and the corpus
+    * itself is never shuffled. No windows. */
+  def pqEncode(corpus: DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook = pqCodebook(corpus, m, k, iters)
+    if (codebook.isEmpty)
+      return Seq.empty[(Long, Int, Long)].toDF("vec_id", "subspace", "code")
+    pqEncodeWith(corpus, codebook, m)
+  }
+
+  /** Encode against an already-trained codebook (shared by
+    * [[pqEncode]] and [[pqSearch]] so one training run serves both). */
+  private def pqEncodeWith(corpus: DataFrame,
+      codebook: Seq[(Int, Long, Array[Double])], m: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sub = codebook.head._3.length
+    val cb = codebook.map { case (ss, cid, c) => (ss, cid, c.toSeq) }
+      .toDF("__ss", "__cid", "__cvec")
+    // one scored projection per subspace (the offset is a plan constant),
+    // unioned — each branch is map-side against the broadcast codebook
+    val scored = (0 until m).map { ss =>
+      corpus.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cb.filter(col("__ss") === ss)))
+        .select(col("vec_id"), col("__ss"), col("__cid"),
+          graft.functions.VecL2FD.vec_l2_fd(
+            col("embedding"), col("__cvec"), ss * sub).as("__d2"))
+    }.reduce(_ unionAll _)
+    scored.groupBy(col("vec_id"), col("__ss"))
+      .agg(min(struct(col("__d2"), col("__cid"))).as("__b"))
+      .select(col("vec_id"), col("__ss").cast("int").as("subspace"),
+        col("__b.__cid").as("code"))
+  }
+
+  /** Exact squared-L2 top-k (the Euclidean companion of
+    * [[bruteForceTopK]]'s cosine): every query against every corpus
+    * vector, ranked by d2 ASC with ties to the lowest neighbor_id. The
+    * query side is SMALL and broadcast (its embedding pre-cast to
+    * double once per query row); the corpus — the 100 TB side — is
+    * never shuffled, and the rank-k runs through the bounded-heap
+    * TopKByScore on the NEGATED distance (max-heap ↔ min distance). */
+  def bruteForceL2TopK(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val q = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("__qv"))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VecL2FD.vec_l2_fd(
+          col("embedding"), col("__qv"), 0).as("__d2"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.top_k(
+        -col("__d2"), col("vec_id"), k).as("__t"))
+      .select(col("query_id"), posexplode(col("__t")).as(Seq("__p", "__x")))
+      .select(col("query_id"), col("__x.id").as("neighbor_id"),
+        (-col("__x.score")).as("d2"),
+        (col("__p") + lit(1)).cast("int").as("rank"))
+  }
+
+  /** PQ asymmetric-distance search (ADC, Jégou et al. 2011 §IV): the
+    * companion of [[pqEncode]] that proves the codes are USABLE — each
+    * query's approximate distance to vector v is Σ_ss LUT[ss][code(v,
+    * ss)], where the lookup table holds the query subvector's exact d2
+    * to every codeword. The scan reads the m-codes relation, never the
+    * raw vectors: the memory-bound regime PQ exists for.
+    *
+    * Scale shape: codebook trains once (driver-bounded); the corpus is
+    * encoded in [[pqEncodeWith]]'s broadcast pass; the |Q|·m·k LUT is
+    * tiny and BROADCAST, so scoring is a map-side equi-join on
+    * (subspace, code) + one map-combinable per-(query, vector) fold of
+    * m terms in subspace order + the bounded-heap rank-k. The corpus
+    * is never shuffled; no windows.
+    *
+    * Deliberately approximate (quantization error) — gate with
+    * [[graft.pipeline.Contracts.annRecallContract]] against
+    * [[bruteForceL2TopK]], the q163/q164 discipline.
+    *
+    * `rerank > 0` adds the production tail (IVFADC-R, Jégou et al.
+    * 2011 §V): the ADC scan shortlists the top-`rerank` codes per
+    * query, and only those shortlist rows read their RAW vectors for
+    * an exact-L2 re-rank to k — recall recovers most of the
+    * quantization loss while the full corpus is still scanned as
+    * codes. The shortlist join touches |Q|·rerank raw vectors, not
+    * the corpus. */
+  def pqSearch(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+      codes: Int = 16, iters: Int = 2, rerank: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(rerank == 0 || rerank >= k,
+      s"rerank shortlist must be 0 (off) or >= k: $rerank < $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook = pqCodebook(corpus, m, codes, iters)
+    if (codebook.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "neighbor_id", "approx_d2", "rank")
+    val sub = codebook.head._3.length
+    val cb = codebook.map { case (ss, cid, c) => (ss, cid, c.toSeq) }
+      .toDF("__ss", "__cid", "__cvec")
+    val enc = pqEncodeWith(corpus, codebook, m)
+    val lut = (0 until m).map { ss =>
+      queries.select(col("vec_id").as("query_id"), col("embedding"))
+        .join(broadcast(cb.filter(col("__ss") === ss)))
+        .select(col("query_id"), col("__ss").cast("int").as("subspace"),
+          col("__cid").as("code"),
+          graft.functions.VecL2FD.vec_l2_fd(
+            col("embedding"), col("__cvec"), ss * sub).as("__d2"))
+    }.reduce(_ unionAll _)
+    val summed = enc.join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("subspace"),
+        col("__d2")))).as("__a"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(col("__a"), lit(0.0),
+          (acc, x) => acc + x.getField("__d2")).as("__ad2"))
+    val adc = summed.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.top_k(
+        -col("__ad2"), col("vec_id"), if (rerank > 0) rerank else k).as("__t"))
+      .select(col("query_id"), posexplode(col("__t")).as(Seq("__p", "__x")))
+      .select(col("query_id"), col("__x.id").as("neighbor_id"),
+        (-col("__x.score")).as("approx_d2"),
+        (col("__p") + lit(1)).cast("int").as("rank"))
+    if (rerank == 0) adc
+    else {
+      val qv = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("__qv"))
+      adc.select(col("query_id"), col("neighbor_id"))
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.VecL2FD.vec_l2_fd(
+            col("embedding"), col("__qv"), 0).as("__d2"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKByScore.top_k(
+          -col("__d2"), col("neighbor_id"), k).as("__t"))
+        .select(col("query_id"), posexplode(col("__t")).as(Seq("__p", "__x")))
+        .select(col("query_id"), col("__x.id").as("neighbor_id"),
+          (-col("__x.score")).as("approx_d2"),
+          (col("__p") + lit(1)).cast("int").as("rank"))
+    }
+  }
+
+  /** The trained PQ codebook alone: (subspace, code, codeword). Exposed
+    * for the spec's exact argmin re-verification; [[pqEncode]] is the
+    * operator surface. */
+  private[graft] def pqCodebook(corpus: DataFrame, m: Int, k: Int,
+      iters: Int): Seq[(Int, Long, Array[Double])] = {
+    import java.math.{BigDecimal => JBD, BigInteger => JBI, RoundingMode}
+    require(m > 0 && k > 1, s"bad PQ shape: m=$m k=$k")
+    val trainHash = conv(substring(
+      md5(concat(col("vec_id").cast("string"), lit(":pq"))), 1, 15), 16, 10)
+      .cast("long")
+    val sample: Array[Array[Float]] =
+      corpus.select(col("embedding"), trainHash.as("__h"), col("vec_id"))
+        .orderBy(col("__h"), col("vec_id")).limit(k * 8)
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty) return Seq.empty
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(sample.forall(_.length == dim),
+      s"pq: ragged embedding lengths in the training sample (dim $dim)")
+    val sub = dim / m
+    def d2(v: Array[Float], lo: Int, c: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < sub) {
+        val d = v(lo + j).toDouble - c(j); s += d * d; j += 1
+      }
+      s
+    }
+    // per-subspace independent Lloyd on the shared sample
+    val codebook: Seq[(Int, Long, Array[Double])] = (0 until m).flatMap { ss =>
+      val lo = ss * sub
+      var cents: Array[Array[Double]] =
+        sample.take(k).map(_.slice(lo, lo + sub).map(_.toDouble))
+      for (_ <- 1 to iters) {
+        val assign = sample.indices.map { vi =>
+          var best = -1; var bestD = 0.0
+          var c = 0
+          while (c < cents.length) {
+            val d = d2(sample(vi), lo, cents(c))
+            if (best == -1 || java.lang.Double.compare(d, bestD) < 0) {
+              best = c; bestD = d
+            }
+            c += 1
+          }
+          best
+        }
+        cents = cents.zipWithIndex.map { case (old, cid) =>
+          val members = sample.indices.filter(assign(_) == cid)
+          if (members.isEmpty) old
+          else Array.tabulate(sub) { j =>
+            // the kmeansCentroids decimal-mean mirror (oracle: SUM(
+            // TRY_CAST(...DECIMAL(38,14))) / COUNT(*)): skipped
+            // non-castable elements, COUNT(*) denominator, NULL mean
+            // COALESCEs to the previous codeword value
+            var acc = JBI.ZERO
+            var valid = 0
+            members.foreach { vi =>
+              val x = sample(vi)(lo + j).toDouble
+              if (java.lang.Double.isFinite(x)) {
+                val d = new JBD(java.lang.Double.toString(x))
+                  .setScale(14, RoundingMode.HALF_UP)
+                if (d.precision() <= 38) {
+                  acc = acc.add(d.unscaledValue()); valid += 1
+                }
+              }
+            }
+            if (valid == 0) old(j)
+            else {
+              val s = new JBD(acc, 14)
+              val fl = s.setScale(0, RoundingMode.FLOOR)
+              val exact = fl.longValueExact().toDouble +
+                s.subtract(fl).movePointRight(14).longValueExact().toDouble / 1.0e14
+              exact / members.length.toDouble
+            }
+          }
+        }
+      }
+      cents.zipWithIndex.map { case (c, cid) => (ss, cid.toLong, c) }
+    }
+    codebook
+  }
 }

@@ -293,4 +293,32 @@ class HistogramSpec extends SparkSpec {
       .toMap
     assert(out7 == out)
   }
+
+  test("weightedProfile: bh WeightedMean accumulator; unit weights reduce to n-1 variance") {
+    val df = Seq(
+      // bin 0: y in {1, 3} with w = 2 each -> wmean 2, neff = 4 - 8/4 = 2,
+      // wvar = (2*1 + 2*1) / 2 = 2
+      (0.5, Some(1.0), Some(2.0)), (0.7, Some(3.0), Some(2.0)),
+      // bin 1: unit weights -> the n-1 sample variance of {1, 3} = 2
+      (1.5, Some(1.0), Some(1.0)), (1.6, Some(3.0), Some(1.0)),
+      // bin 2: single entry -> neff = 0 -> NULL variance, mean defined
+      (2.5, Some(7.0), Some(5.0)),
+      // bin 3: zero weight -> sum_w = 0 -> NULL mean and variance
+      (3.5, Some(9.0), Some(0.0)),
+      // NULL y / NULL w are not entries; out of range dropped
+      (0.1, None, Some(1.0)), (0.1, Some(1.0), None), (9.0, Some(1.0), Some(1.0))
+    ).toDF("x", "y", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Histogram.weightedProfile(d, col("x"), Regular("x", 4, 0.0, 4.0),
+          col("y"), col("w"))
+        .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3), Option(r.get(4)), Option(r.get(5))))).toMap
+    val out = run(df)
+    assert(out(0.0) == ((2L, 4.0, 8.0, Some(2.0), Some(2.0))))
+    assert(out(1.0) == ((2L, 2.0, 2.0, Some(2.0), Some(2.0))))
+    assert(out(2.0) == ((1L, 5.0, 25.0, Some(7.0), None)))
+    assert(out(3.0) == ((1L, 0.0, 0.0, None, None)))
+    // determinism across partitionings (decimal/quantized-integer sums)
+    assert(run(df.repartition(7)) == out)
+  }
 }

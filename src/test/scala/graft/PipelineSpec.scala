@@ -1784,4 +1784,116 @@ class PipelineSpec extends SparkSpec {
     // NULL score flows through with NULL rz
     assert(out(7L)._3.isEmpty)
   }
+
+  test("dsirWeights: identical docs tie; target-like docs outweigh; zero-token docs absent") {
+    val d = Seq(
+      (1L, "alpha beta alpha beta alpha", "en", "tgt"),  // target
+      (2L, "alpha beta gamma", "en", "tgt"),             // target
+      (10L, "alpha beta alpha", "en", "pool"),           // target-like candidate
+      (11L, "alpha beta alpha", "en", "pool"),           // identical content to 10
+      (12L, "zeta eta theta", "en", "pool"),             // pool-only vocabulary
+      (13L, "", "en", "pool"),                           // zero tokens
+      (14L, null.asInstanceOf[String], "en", "pool")     // NULL text
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.pipeline.Curation
+      .dsirWeights(d, col("source") === "tgt", buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // only candidate docs with >= 1 token are scored (never the target)
+    assert(out.keySet == Set(10L, 11L, 12L))
+    // identical token multisets score identically
+    assert(out(10L) == out(11L))
+    // tokens frequent in the target outweigh pool-only vocabulary
+    assert(out(10L) > out(12L))
+  }
+
+  test("pqEncode: argmin property vs the exposed codebook; identical vectors share codes") {
+    val vecs = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 100.0f
+      (i.toLong, Seq(base + i, base - i, -base + i, -base - i).map(_.toFloat))
+    }
+    val d = vecs.toDF("vec_id", "embedding")
+    val m = 2; val k = 4
+    val codes = Similarity.pqEncode(d, m = m, k = k, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(codes.size == vecs.size * m)
+    assert(codes.values.forall(c => c >= 0 && c < k))
+    val cb = Similarity.pqCodebook(d, m, k, iters = 2)
+      .groupBy(_._1).map { case (ss, cs) => ss -> cs.map(c => c._2 -> c._3).toMap }
+    val byId = vecs.toMap
+    // every assignment is the exact argmin (ties to the lowest code)
+    for (((vid, ss), code) <- codes) {
+      val v = byId(vid)
+      val sub = cb(ss).head._2.length
+      def d2(c: Array[Double]): Double =
+        (0 until sub).map(j => (v(ss * sub + j).toDouble - c(j)))
+          .map(x => x * x).sum
+      val best = cb(ss).toSeq.map { case (cid, c) => (d2(c), cid) }.min
+      assert(best._2 == code, s"vec $vid subspace $ss: got $code want $best")
+    }
+    // identical embeddings -> identical code tuples
+    val dup = Seq((100L, vecs.head._2), (101L, vecs.head._2))
+      .toDF("vec_id", "embedding")
+    val dupCodes = Similarity.pqEncode(d.unionAll(dup), m = m, k = k, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (0 until m).foreach { ss =>
+      assert(dupCodes((100L, ss)) == dupCodes((101L, ss)))
+    }
+  }
+
+  test("bruteForceL2TopK: exact distances, rank by d2 asc with id ties, self excluded") {
+    val d = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(3f, 4f)),  // d2(1,2) = 25
+      (3L, Seq(1f, 0f)), (4L, Seq(0f, 0f))   // 4 coincides with 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceL2TopK(d, d.filter(col("vec_id") === 1), 3)
+      .collect().map(r => (r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // neighbors of 1: 4 at d2=0, 3 at d2=1, 2 at d2=25; never itself
+    assert(out.toSeq == Seq((1, 4L, 0.0), (2, 3L, 1.0), (3, 2L, 25.0)))
+  }
+
+  test("pqSearch: ADC finds coincident vectors; rerank tail returns exact distances") {
+    // 24 vectors in two far clusters + a query twin: the twin must rank
+    // first under both pure ADC and the reranked tail
+    val vecs = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 100.0f
+      (i.toLong, Seq(base + i * 0.1f, base, base - i * 0.1f, base))
+    } :+ ((50L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+    val d = vecs.toDF("vec_id", "embedding")
+    val q0 = Seq((0L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val adc = Similarity.pqSearch(d, q0, 3, m = 2, codes = 4)
+      .collect().map(r => r.getInt(3) -> r.getLong(1)).toMap
+    // ADC distances depend only on CODES, so near-cluster vectors can
+    // tie the coincident twin — but every top-3 must come from the
+    // query's own cluster (even ids + 50), never the far one
+    val clusterA = (0 until 24 by 2).map(_.toLong).toSet + 50L
+    assert((1 to 3).forall(i => clusterA.contains(adc(i))), s"ADC: $adc")
+    // rerank must cover the whole tying cluster (12 vectors sharing the
+    // query's codes) or the id tie-break can evict the true twin from
+    // the shortlist — the documented shortlist-size/recall trade-off
+    val rr = Similarity.pqSearch(d, q0, 3, m = 2, codes = 4, rerank = 20)
+      .collect().map(r => r.getInt(3) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // the rerank tail recomputes EXACT d2: the twin scores 0.0 exactly
+    assert(rr(1) == ((50L, 0.0)))
+    // and the reranked ranking equals exact brute force on the shortlist
+    val exact = Similarity.bruteForceL2TopK(d, q0, 3)
+      .collect().map(r => r.getInt(3) -> r.getLong(1)).toMap
+    assert((1 to 3).forall(i => rr(i)._1 == exact(i)))
+  }
+
+  test("lmFilterSketch: rank-bound verdicts hold; empty/NULL docs never scored") {
+    val d = (1L to 40L).map { i =>
+      val src = if (i <= 20) "s1" else "s2"
+      (i, ("tok" + (i % 7) + " ") * (1 + (i % 5).toInt), "en", src)
+    } :+ ((41L, null.asInstanceOf[String], "en", "s1"))
+    val out = graft.pipeline.Curation
+      .lmFilterSketch(d.toDF("doc_id", "text", "lang", "source"),
+        minPctl = 0.5, accuracy = 25)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set("s1", "s2"))
+    assert(out("s1")._1 == 20L) // the NULL-text doc is not scored
+    assert(out("s2")._1 == 20L)
+    assert(out.values.forall(v => v._2 && v._3))
+  }
 }

@@ -104,28 +104,94 @@ def split_ctes(sql):
             return ctes, sql[p:]
 
 
-def run_chunked(con, sql, plan):
+# Executed with `python3 -c` per step: DuckDB's ordered aggregates
+# (SUM(x ORDER BY i)) retain buffer-pool memory across statements AND
+# across reconnects (the Python module caches the database instance per
+# path), so a 64-chunk loop in one process marches to the memory limit
+# and dies around chunk 4-14 regardless of GC. Process isolation is the
+# only clean allocator boundary; the file-backed DB carries state.
+CHUNK_WORKER = """
+import duckdb, json, sys
+spec = json.load(open(sys.argv[1]))
+c = duckdb.connect(spec["db"])
+c.execute("SET memory_limit='%s'" % spec["mem"])
+c.execute("SET threads=%s" % spec["threads"])
+c.execute("SET temp_directory='%s'" % spec["tmp"])
+for s in spec["stmts"]:
+    c.execute(s)
+c.execute("CHECKPOINT")
+c.close()
+"""
+
+
+def run_chunked(sql, plan, sf_dir):
+    """Replay the oracle SQL with the pair-stage CTEs evaluated in
+    hash-partitioned chunks of their upstream relation, ONE SUBPROCESS
+    per chunk (see CHUNK_WORKER). Every CTE body runs verbatim; the
+    chunked CTE's GROUP BY / DISTINCT key starts with the chunk column,
+    so the per-chunk union equals the one-shot result row-for-row."""
+    import subprocess, tempfile
+    mem = os.environ.get("GATE_MEM", "80GB")
+    threads = os.environ.get("GATE_THREADS", "8")
+    tmpdir = f"/tmp/duckdb_spill/{os.getpid()}"
+    dbpath = f"/tmp/duckdb_spill/chunked_{os.getpid()}.db"
+    result = f"/tmp/duckdb_spill/chunked_{os.getpid()}_result.parquet"
+    for f in (dbpath, dbpath + ".wal", result):
+        if os.path.exists(f):
+            os.remove(f)
+
+    def run_step(stmts):
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as f:
+            json.dump({"db": dbpath, "stmts": stmts, "mem": mem,
+                       "threads": threads, "tmp": tmpdir}, f)
+            spec = f.name
+        try:
+            r = subprocess.run([sys.executable, "-c", CHUNK_WORKER, spec],
+                               capture_output=True, text=True)
+            if r.returncode != 0:
+                raise RuntimeError(
+                    f"chunk step failed (rc={r.returncode}): "
+                    f"{(r.stderr or r.stdout)[-800:]}")
+        finally:
+            os.unlink(spec)
+
     ctes, final = split_ctes(sql)
-    steps = {c: (up, col, n) for c, up, col, n in plan}
+    steps = {cte: (up, col, n) for cte, up, col, n in plan}
+    batch = [f"CREATE VIEW {os.path.basename(p).removesuffix('.parquet')} "
+             f"AS SELECT * FROM read_parquet('{p}')"
+             for p in glob.glob(f"{sf_dir}/*.parquet")]
     for cte_name, body in ctes:
         if cte_name in steps:
             up, col, n = steps[cte_name]
-            con.execute(f"ALTER TABLE {up} RENAME TO {up}__all")
             # empty accumulator with the body's exact schema: evaluate
             # the body once over a WHERE FALSE view of the upstream
-            con.execute(
-                f"CREATE TEMP VIEW {up} AS SELECT * FROM {up}__all WHERE FALSE")
-            con.execute(f"CREATE TEMP TABLE {cte_name} AS {body}")
+            batch += [
+                f"ALTER TABLE {up} RENAME TO {up}__all",
+                f"CREATE VIEW {up} AS SELECT * FROM {up}__all WHERE FALSE",
+                f"CREATE TABLE {cte_name} AS {body}",
+                f"DROP VIEW {up}"]
+            run_step(batch)
             for i in range(n):
-                con.execute(
-                    f"CREATE OR REPLACE TEMP VIEW {up} AS SELECT * FROM "
-                    f"{up}__all WHERE hash({col}) % {n} = {i}")
-                con.execute(f"INSERT INTO {cte_name} {body}")
-            con.execute(f"DROP VIEW {up}")
-            con.execute(f"ALTER TABLE {up}__all RENAME TO {up}")
+                # the chunk is MATERIALIZED (not a filtered view) so the
+                # optimizer sees its true cardinality — a stats-less
+                # view can flip the join order into the element-squared
+                # cross product
+                run_step([
+                    f"CREATE OR REPLACE TABLE {up} AS SELECT * FROM "
+                    f"{up}__all WHERE hash({col}) % {n} = {i}",
+                    f"INSERT INTO {cte_name} {body}"])
+            batch = [f"DROP TABLE {up}",
+                     f"ALTER TABLE {up}__all RENAME TO {up}"]
         else:
-            con.execute(f"CREATE TEMP TABLE {cte_name} AS {body}")
-    return con.execute(final).df()
+            batch.append(f"CREATE TABLE {cte_name} AS {body}")
+    batch.append(f"COPY ({final}) TO '{result}' (FORMAT PARQUET)")
+    run_step(batch)
+    df = pd.read_parquet(result)
+    for f in (dbpath, dbpath + ".wal", result):
+        if os.path.exists(f):
+            os.remove(f)
+    return df
 
 def run_components_iteratively(con, sql, name):
     head = "WITH RECURSIVE p AS ("
@@ -170,7 +236,7 @@ try:
     if name in ITERATIVE:
         ddf = run_components_iteratively(con, sql, name)
     elif name in CHUNKED:
-        ddf = run_chunked(con, sql, CHUNKED[name])
+        ddf = run_chunked(sql, CHUNKED[name], sf)
     else:
         ddf = con.execute(sql).df()
 except Exception as e:
