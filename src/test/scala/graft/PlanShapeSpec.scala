@@ -460,4 +460,50 @@ class PlanShapeSpec extends SparkSpec {
     val plan = executedPlan(graft.pipeline.TextAnalysis.zipfFit(docs))
     assert(!plan.contains("Window"), plan)
   }
+
+  test("dsirWeights: bucket ratio table broadcast, no windows, corpus tokenized once") {
+    val plan = executedPlan(graft.pipeline.Curation.dsirWeights(
+      docs, col("source") === "s0", buckets = 64))
+    assert(!plan.contains("Window"), plan)
+    // scoring joins the broadcast buckets-sized ratio table map-side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("pqEncode: broadcast codebook, partial-aggregated assignment, no windows/sorts") {
+    val plan = executedPlan(Similarity.pqEncode(emb, m = 2, k = 4))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the m*k codebook joins broadcast; the corpus side never sort-merges
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("pqSearch: LUT broadcast, codes-relation scan, bounded-heap rank — no windows") {
+    val plan = executedPlan(Similarity.pqSearch(
+      emb, emb.filter($"vec_id" <= 3), 2, m = 2, codes = 4, rerank = 8))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.toLowerCase.contains("topkbyscore"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("lmFilterSketch: GK thresholds broadcast, no rank window anywhere") {
+    val plan = executedPlan(graft.pipeline.Curation.lmFilterSketch(
+      docs, minPctl = 0.5, accuracy = 25))
+    // the exact lmFilter carries a per-source sort window by design; the
+    // sketch form must not — that is its entire reason to exist
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("weightedProfile: one shuffle, map-side partial aggregation, no windows") {
+    val ax = graft.axes.Regular("x", 8, 0.0, 8.0)
+    val plan = executedPlan(graft.operators.Histogram.weightedProfile(
+      Seq((1.0, 2.0, 3.0)).toDF("x", "y", "w"), col("x"), ax,
+      col("y"), col("w")))
+    assert(!plan.contains("Window"), plan)
+    // partial_count/partial_sum before the exchange = map-side combine
+    assert(plan.contains("partial_"), plan)
+  }
 }
