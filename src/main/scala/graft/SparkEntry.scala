@@ -1814,6 +1814,20 @@ object SparkEntry {
       graft.pipeline.Contracts.annRecallContract(
         Similarity.pqSearch(emb, qset, 3, m = 8, codes = 64, rerank = 100),
         Similarity.bruteForceL2TopK(emb, qset, 3), bound = 0.4)
+    },
+    "q223_asof_forward" -> { (s, dir) =>
+      // FORWARD as-of: each purchase picks up the user's NEXT view within
+      // 1h (outcome attachment) — the q120 union-window plan traversed
+      // descending, ties to the lowest view id
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events").withColumn("ts", expr("ts div 1000"))
+      graft.pipeline.AsOf.asOfJoinForward(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", Seq("ts", "value"),
+        prefix = "next_view_", tolerance = Some(3600000000L))
     }
   )
 
@@ -2442,6 +2456,8 @@ object SparkEntry {
     // data; a regression below the pinned floor hash-mismatches
     "q222_pq_search_recall" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
-        "FROM embeddings WHERE vec_id < 10")
+        "FROM embeddings WHERE vec_id < 10"),
+    "q223_asof_forward" -> PipelineOracle.asOfJoinForward("purchase",
+      "view", tolUs = Some(3600000000L))
   )
 }

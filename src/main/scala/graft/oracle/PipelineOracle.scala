@@ -1467,6 +1467,33 @@ object PipelineOracle {
       s"${guard(field("ts"))} AS ${rightType}_ts, ${guard(field("val"))} AS ${rightType}_value FROM m WHERE side = 1"
   }
 
+  /** Mirrors AsOf.asOfJoinForward: the same tagged-union running window
+    * with the traversal flipped (tsn DESC, side, oid DESC), so the
+    * carried struct is the right row with the smallest (ts, id) at or
+    * after each left row; tolerance guards matches further AHEAD than
+    * the bound. */
+  def asOfJoinForward(leftType: String, rightType: String,
+      tolUs: Option[Long] = None): String = {
+    def field(f: String): String = s"struct_extract(mm, '$f')"
+    def guard(e: String): String = tolUs.fold(e)(t =>
+      s"CASE WHEN ${field("ts")} - l_ts <= $t THEN $e ELSE NULL END")
+
+    "WITH u AS (" +
+      "SELECT user_id AS k, epoch_ns(ts) // 1000 AS tsn, 1 AS side, CAST(0 AS BIGINT) AS oid, " +
+      "CAST(NULL AS STRUCT(eid BIGINT, ts BIGINT, val DOUBLE)) AS r, " +
+      "event_id, epoch_ns(ts) // 1000 AS l_ts " +
+      s"FROM events WHERE event_type = ${q(leftType)} AND ts IS NOT NULL AND user_id IS NOT NULL " +
+      "UNION ALL " +
+      "SELECT user_id, epoch_ns(ts) // 1000, 0, event_id, " +
+      "{'eid': event_id, 'ts': epoch_ns(ts) // 1000, 'val': value}, NULL, NULL " +
+      s"FROM events WHERE event_type = ${q(rightType)} AND ts IS NOT NULL AND user_id IS NOT NULL), " +
+      "m AS (SELECT *, last_value(r IGNORE NULLS) OVER w AS mm " +
+      "FROM u WINDOW w AS (PARTITION BY k ORDER BY tsn DESC, side, oid DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      s"SELECT event_id, k AS user_id, l_ts AS ts, ${guard(field("eid"))} AS next_${rightType}_event_id, " +
+      s"${guard(field("ts"))} AS next_${rightType}_ts, ${guard(field("val"))} AS next_${rightType}_value FROM m WHERE side = 1"
+  }
+
   /** Mirrors Dedup.spanDedup: same \\S+ tokens, same max(1, ceil(n/w))
     * span count (token-less docs keep one empty span), 1-based inclusive
     * array slices, document frequency > maxDocs = boilerplate, md5 of the

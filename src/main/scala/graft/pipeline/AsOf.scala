@@ -94,4 +94,70 @@ object AsOf {
         carried.map(n => when(fresh, col(s"__m.$n"))
           .otherwise(lit(null)).as(prefix + n)): _*)
   }
+
+  /** FORWARD as-of join: attach to each left row the NEXT right row of
+    * the same key at or after the left row's time — the label-joining
+    * primitive ("the first purchase after this recommendation", "the
+    * next error after this deploy"). The backward form enriches with
+    * history; this one attaches outcomes.
+    *
+    * Identical plan shape to [[asOfJoin]] (tagged union, ONE key-keyed
+    * exchange, running window, zero join operators): only the traversal
+    * order flips — the partition sorts (ts DESC, side, rightId DESC),
+    * so the running `last(…, ignoreNulls)` carries the right row with
+    * the SMALLEST (ts, rightId) among those at-or-after each left row
+    * (ties on the timestamp break toward the lowest right id — the
+    * deterministic mirror of the backward join's greatest-id rule).
+    * `strict` requires right.ts strictly after left.ts; `tolerance`
+    * discards matches further AHEAD than the bound (an outcome more
+    * than an hour out is not this action's outcome). */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightId: String, rightPayload: Seq[String],
+      prefix: String = "next_", strict: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(tolerance.forall(_ >= 0L), "tolerance must be non-negative")
+    val idType = right.schema(rightId).dataType
+    require(Seq("long", "integer", "short", "byte")
+        .contains(idType.typeName),
+      s"rightId '$rightId' must be an integral column (got $idType)")
+    val carried = rightId +: rightPayload
+    val clash = left.columns.toSet.intersect(carried.map(prefix + _).toSet)
+    require(clash.isEmpty, s"prefixed right columns collide with left: $clash")
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("__"))
+    require(reserved.isEmpty,
+      s"input columns starting with the reserved '__' prefix: ${reserved.toSeq}")
+
+    // descending traversal: at equal ts the right row must still sort
+    // BEFORE the left row to be matchable (<=); strict flips the order
+    val (lSide, rSide) = if (strict) (0, 1) else (1, 0)
+
+    val rStruct = struct(carried.map(col) :+ col(tsCol).as("__rts"): _*)
+    val rType = right.select(rStruct.as("r")).schema("r").dataType
+    val lStruct = struct(left.columns.map(col): _*)
+    val lType = left.select(lStruct.as("l")).schema("l").dataType
+
+    val lPart = left
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        lit(lSide).as("__side"), lit(0L).as("__oid"),
+        lit(null).cast(rType).as("__r"), lStruct.as("__row"))
+    val rPart = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+        lit(rSide).as("__side"), col(rightId).cast("long").as("__oid"),
+        rStruct.as("__r"), lit(null).cast(lType).as("__row"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").desc, col("__side"), col("__oid").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val fresh = tolerance.fold(col("__m").isNotNull)(t =>
+      col("__m").isNotNull && col("__m.__rts") - col("__ts") <= lit(t))
+    lPart.unionByName(rPart)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === lit(lSide))
+      .select(left.columns.map(n => col(s"__row.$n").as(n)) ++
+        carried.map(n => when(fresh, col(s"__m.$n"))
+          .otherwise(lit(null)).as(prefix + n)): _*)
+  }
 }

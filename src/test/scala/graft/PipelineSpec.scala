@@ -1087,6 +1087,45 @@ class PipelineSpec extends SparkSpec {
     assert(strictOut(100L) == Some(1L) && strictOut(101L) == None)
   }
 
+  test("forward asof: next-at-or-after match, LOWEST id tie-break, strict + tolerance") {
+    import graft.pipeline.AsOf
+    val left = Seq((100L, 1L, 50L), (101L, 1L, 70L), (102L, 2L, 50L),
+      (103L, 3L, 50L)).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, 20L, 1.0),  // before: never matched forward
+      (2L, 1L, 50L, 2.0),  // ties left ts=50 — included unless strict
+      (3L, 1L, 50L, 3.0),  // same ts: LOWEST id wins the forward tie
+      (4L, 1L, 60L, 4.0),  // the next right after 50 when strict
+      (5L, 2L, 40L, 5.0)   // before user 2's only left: no match
+    ).toDF("event_id", "user_id", "ts", "value")
+
+    val out = AsOf.asOfJoinForward(left, right, "user_id", "ts",
+        "event_id", Seq("ts", "value"), prefix = "n_")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(5)))))
+      .toMap
+    assert(out == Map(
+      100L -> Some((2L, 2.0)), // equal-ts rights included, MIN id wins
+      101L -> None,            // nothing at or after ts=70
+      102L -> None,            // user 2's right is before
+      103L -> None))           // user 3 has no rights at all
+
+    val strictOut = AsOf.asOfJoinForward(left, right, "user_id", "ts",
+        "event_id", Seq("ts", "value"), prefix = "n_", strict = true)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // strict skips the equal-ts rights: ts=50 advances to ts=60
+    assert(strictOut(100L) == Some(4L))
+
+    val tol = AsOf.asOfJoinForward(left, right, "user_id", "ts",
+        "event_id", Seq("ts", "value"), prefix = "n_", strict = true,
+        tolerance = Some(5L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // the next right (ts=60) is 10 ahead — outside the 5-unit bound
+    assert(tol(100L) == None)
+  }
+
   test("dedup report: cross-source duplicates debit the non-canonical holder") {
     val d = Seq(
       (1L, "same text", "a"),   // canonical (lowest id)
