@@ -1828,6 +1828,14 @@ object SparkEntry {
           .select("event_id", "user_id", "ts", "value"),
         "user_id", "ts", "event_id", Seq("ts", "value"),
         prefix = "next_view_", tolerance = Some(3600000000L))
+    },
+    "q224_pq_error" -> { (s, dir) =>
+      // PQ quantization-loss report: per-subspace mean/max assigned-
+      // codeword d2 — the size-m/k-right check run BEFORE discarding
+      // raw vectors
+      implicit val sp: SparkSession = s
+      graft.pipeline.Similarity.pqError(t(dir, "embeddings"),
+        m = 4, k = 16, iters = 2)
     }
   )
 
@@ -2458,6 +2466,7 @@ object SparkEntry {
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
         "FROM embeddings WHERE vec_id < 10"),
     "q223_asof_forward" -> PipelineOracle.asOfJoinForward("purchase",
-      "view", tolUs = Some(3600000000L))
+      "view", tolUs = Some(3600000000L)),
+    "q224_pq_error" -> PipelineOracle.pqError(4, 16, iters = 2)
   )
 }

@@ -596,7 +596,7 @@ object PipelineOracle {
     * codes keeping the previous codeword — then every vector's nearest
     * codeword per subspace, UNION ALL across subspaces. The d2 is the
     * in-j-order SUM((v−cv)·(v−cv)) fold VecL2FD pins. */
-  def pqEncode(m: Int, k: Int, iters: Int = 2): String = {
+  private def pqCtes(m: Int, k: Int, iters: Int): String = {
     val meanExpr = Oracle.exactDbl(
       "SUM(TRY_CAST(CAST(t.v AS VARCHAR) AS DECIMAL(38,14)))") +
       " / CAST(COUNT(*) AS DOUBLE)"
@@ -605,9 +605,6 @@ object PipelineOracle {
         "SUM((r.v - cn.cv) * (r.v - cn.cv) ORDER BY r.j) AS d2 " +
         s"FROM $rel r JOIN $cents cn ON cn.j = r.j " +
         "GROUP BY r.vec_id, cn.cent_id)"
-    def argmin(src: String): String =
-      "(SELECT vec_id, cent_id FROM (SELECT *, ROW_NUMBER() OVER " +
-        s"(PARTITION BY vec_id ORDER BY d2 ASC, cent_id) AS rn FROM $src) WHERE rn = 1)"
     val perSub = (0 until m).map { ss =>
       // the subspace element relation derives its own bounds from the
       // vector length (dim/m contiguous elements starting at ss*dim/m)
@@ -629,11 +626,10 @@ object PipelineOracle {
         s"FROM smp JOIN el_$ss ON el_$ss.vec_id = smp.vec_id WHERE rk <= $k), " +
         s"$rounds, " +
         s"${d2Cte(s"sf_$ss", s"el_$ss", s"c${iters}_$ss")}, " +
-        s"asg_$ss AS (SELECT vec_id, cent_id AS code FROM ${argmin(s"sf_$ss")})"
+        s"best_$ss AS (SELECT vec_id, cent_id, d2 FROM (SELECT *, ROW_NUMBER() OVER " +
+        s"(PARTITION BY vec_id ORDER BY d2 ASC, cent_id) AS rn FROM sf_$ss) WHERE rn = 1), " +
+        s"asg_$ss AS (SELECT vec_id, cent_id AS code FROM best_$ss)"
     }.mkString(", ")
-    val union = (0 until m)
-      .map(ss => s"SELECT vec_id, $ss AS subspace, code FROM asg_$ss")
-      .mkString(" UNION ALL ")
     "WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings), " +
       "el AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS i, " +
       "CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v " +
@@ -642,7 +638,27 @@ object PipelineOracle {
       "hs AS (SELECT vec_id, ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':pq'), 1, 15))::BIGINT AS hh FROM e), " +
       "smp AS MATERIALIZED (SELECT vec_id, rk FROM (SELECT vec_id, " +
       s"ROW_NUMBER() OVER (ORDER BY hh, vec_id) AS rk FROM hs) WHERE rk <= ${k * 8L}), " +
-      s"$perSub $union"
+      s"$perSub"
+  }
+
+  def pqEncode(m: Int, k: Int, iters: Int = 2): String = {
+    val union = (0 until m)
+      .map(ss => s"SELECT vec_id, $ss AS subspace, code FROM asg_$ss")
+      .mkString(" UNION ALL ")
+    s"${pqCtes(m, k, iters)} $union"
+  }
+
+  /** Mirrors Similarity.pqError: the best_ss argmin rows' d2 aggregated
+    * per subspace — floor(d2·1e9) integers in DECIMAL(38,0), one final
+    * double cast and the (s / 1e9) / n division order, raw MAX. */
+  def pqError(m: Int, k: Int, iters: Int = 2): String = {
+    val union = (0 until m).map { ss =>
+      s"SELECT $ss AS subspace, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(CAST(FLOOR(d2 * 1e9) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) " +
+        "/ 1e9 / CAST(COUNT(*) AS DOUBLE) AS mean_d2, " +
+        s"MAX(d2) AS max_d2 FROM best_$ss"
+    }.mkString(" UNION ALL ")
+    s"${pqCtes(m, k, iters)} $union"
   }
 
   def annIvf(k: Int, queryMaxId: Long, nCells: Int = 8, nprobe: Int = 1,

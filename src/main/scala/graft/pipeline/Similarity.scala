@@ -962,6 +962,45 @@ object Similarity {
     }
   }
 
+  /** PQ reconstruction-error report: per subspace, the vector count,
+    * the mean assigned-codeword squared-L2 distance (the quantization
+    * loss an ADC distance inherits — the number that tells you whether
+    * m/k are sized right BEFORE you throw away the raw vectors) and
+    * its max. Same broadcast-codebook scoring pass as [[pqEncode]];
+    * the per-subspace mean goes through the floor(d2·1e9) integer
+    * quantization summed in DECIMAL(38,0) (the q123/q189 convention —
+    * full-precision d2 doubles are outside the string route's
+    * round-trip window), max is order-free on raw doubles. */
+  def pqError(corpus: DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val codebook = pqCodebook(corpus, m, k, iters)
+    if (codebook.isEmpty)
+      return Seq.empty[(Int, Long, Double, Double)]
+        .toDF("subspace", "n", "mean_d2", "max_d2")
+    val sub = codebook.head._3.length
+    val cb = codebook.map { case (ss, cid, c) => (ss, cid, c.toSeq) }
+      .toDF("__ss", "__cid", "__cvec")
+    val scored = (0 until m).map { ss =>
+      corpus.select(col("vec_id"), col("embedding"))
+        .join(broadcast(cb.filter(col("__ss") === ss)))
+        .select(col("vec_id"), col("__ss"), col("__cid"),
+          graft.functions.VecL2FD.vec_l2_fd(
+            col("embedding"), col("__cvec"), ss * sub).as("__d2"))
+    }.reduce(_ unionAll _)
+    scored.groupBy(col("vec_id"), col("__ss"))
+      .agg(min(struct(col("__d2"), col("__cid"))).as("__b"))
+      .groupBy(col("__ss"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("__b.__d2") * lit(1.0e9)).cast("decimal(38,0)"))
+          .cast("double") / lit(1.0e9) / count(lit(1)).cast("double"))
+          .as("mean_d2"),
+        max(col("__b.__d2")).as("max_d2"))
+      .select(col("__ss").cast("int").as("subspace"), col("n"),
+        col("mean_d2"), col("max_d2"))
+  }
+
   /** The trained PQ codebook alone: (subspace, code, codeword). Exposed
     * for the spec's exact argmin re-verification; [[pqEncode]] is the
     * operator surface. */

@@ -1920,6 +1920,18 @@ class PipelineSpec extends SparkSpec {
     assert((1 to 3).forall(i => rr(i)._1 == exact(i)))
   }
 
+  test("pqError: zero loss when vectors coincide with codewords; counts cover the corpus") {
+    // one distinct vector per cluster, repeated: the decimal centroid
+    // mean of identical values is the value itself -> d2 = 0 exactly
+    val d = (0 until 24).map { i =>
+      val v = if (i % 2 == 0) Seq(1.5f, -2.5f) else Seq(40.0f, 7.25f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pqError(d, m = 1, k = 2, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0, 24L, 0.0, 0.0)))
+  }
+
   test("lmFilterSketch: rank-bound verdicts hold; empty/NULL docs never scored") {
     val d = (1L to 40L).map { i =>
       val src = if (i <= 20) "s1" else "s2"
