@@ -184,7 +184,10 @@ object Similarity {
   /** Drop memoized trained centroids (see kmeansCentroids' staleness
     * contract: identical plan over rewritten files returns stale
     * centroids until cleared). */
-  def clearCentroidCache(): Unit = centroidMemo.synchronized(centroidMemo.clear())
+  def clearCentroidCache(): Unit = {
+    centroidMemo.synchronized(centroidMemo.clear())
+    pqMemo.synchronized(pqMemo.clear())
+  }
 
   private val centroidMemo =
     new java.util.LinkedHashMap[Any, Seq[(Long, Array[Double])]](16, 0.75f, true) {
@@ -1005,6 +1008,29 @@ object Similarity {
     * for the spec's exact argmin re-verification; [[pqEncode]] is the
     * operator surface. */
   private[graft] def pqCodebook(corpus: DataFrame, m: Int, k: Int,
+      iters: Int): Seq[(Int, Long, Array[Double])] = {
+    // memoized like kmeansCentroids (same key discipline and staleness
+    // contract): encode, search and the error report over one corpus
+    // share ONE training run
+    val key = ("pq", System.identityHashCode(corpus.sparkSession),
+      corpus.queryExecution.analyzed.canonicalized.semanticHash(), m, k, iters)
+    pqMemo.synchronized {
+      val hit = pqMemo.get(key)
+      if (hit != null) return hit
+    }
+    val trained = trainPqCodebook(corpus, m, k, iters)
+    pqMemo.synchronized { pqMemo.put(key, trained) }
+    trained
+  }
+
+  private val pqMemo =
+    new java.util.LinkedHashMap[Any, Seq[(Int, Long, Array[Double])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, Seq[(Int, Long, Array[Double])]]): Boolean =
+        size() > 16 // codebooks are tiny (m x k x sub doubles)
+    }
+
+  private def trainPqCodebook(corpus: DataFrame, m: Int, k: Int,
       iters: Int): Seq[(Int, Long, Array[Double])] = {
     import java.math.{BigDecimal => JBD, BigInteger => JBI, RoundingMode}
     require(m > 0 && k > 1, s"bad PQ shape: m=$m k=$k")
