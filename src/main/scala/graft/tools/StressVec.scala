@@ -55,6 +55,15 @@ object StressVec {
         f"$agree/${exactAssign.size} = ${agree.toDouble / exactAssign.size}%.3f")
     }
     time("ann_bruteforce")(graft.pipeline.Similarity.bruteForceTopK(emb, q, 5).count())
+    // PQ family (r10): encode is the broadcast-codebook map pass — must
+    // scale linearly; ADC search reads the CODES relation (m rows per
+    // vector), shortlists per query, reranks |Q|*100 raw vectors
+    time("pq_encode_m8k64")(
+      graft.pipeline.Similarity.pqEncode(emb, m = 8, k = 64).count())
+    time("pq_search_m8k64_r100")(graft.pipeline.Similarity.pqSearch(
+      emb, q, 5, m = 8, codes = 64, rerank = 100).count())
+    time("pq_error_m8k64")(
+      graft.pipeline.Similarity.pqError(emb, m = 8, k = 64).count())
     time("hard_negatives")(graft.pipeline.Similarity.hardNegatives(emb, q, 5).count())
     time("hard_negatives_ivf")(graft.pipeline.Similarity.hardNegativesIvf(
       emb, q, 5, nCells = nCellsSqrt, nprobe = 4).count())
