@@ -1836,6 +1836,43 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Similarity.pqError(t(dir, "embeddings"),
         m = 4, k = 16, iters = 2)
+    },
+    "q225_decontaminate_bloom" -> { (s, dir) =>
+      // q82's 100 TB form: Bloom-prefiltered decontamination — the
+      // benchmark gram set rides as a ~1.2 B/gram filter instead of a
+      // broadcast set; exact verify of the screened survivors makes the
+      // output row-identical to q82, so the SAME oracle gates it (the
+      // no-false-negative theorem is what the hash match re-proves)
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      Dedup.decontaminateBloom(docs, docs.filter(col("doc_id") < 20),
+        n = 5, fpp = 0.01)
+    },
+    "q226_stream_emd" -> { (s, dir) =>
+      // the LIVE drift monitor with UNITS on batch input: hourly EMD vs
+      // the whole-corpus reference ("this hour's values sit N points
+      // from the snapshot"); batch execution == emdFrom over the
+      // windowed histogram (streaming chains two stateful aggs,
+      // StreamingSpec pins streaming == batch bit-exactly)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val ref = Histogram.histogram(ev, col("value"), axValue)
+      graft.streaming.StreamingHist.windowedEmd(
+        ev, "event_time", col("value"), axValue, "1 hour", ref)
+    },
+    "q227_stream_ks" -> { (s, dir) =>
+      // the drift family's third head on batch input: hourly binned KS
+      // (largest CDF gap, the 0..1 alarm with published critical values)
+      // vs the whole-corpus reference; batch execution == ksFrom over
+      // the windowed histogram (streaming chains two stateful aggs,
+      // StreamingSpec pins streaming == batch bit-exactly)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val ref = Histogram.histogram(ev, col("value"), axValue)
+      graft.streaming.StreamingHist.windowedKs(
+        ev, "event_time", col("value"), axValue, "1 hour", ref)
     }
   )
 
@@ -2467,6 +2504,21 @@ object SparkEntry {
         "FROM embeddings WHERE vec_id < 10"),
     "q223_asof_forward" -> PipelineOracle.asOfJoinForward("purchase",
       "view", tolUs = Some(3600000000L)),
-    "q224_pq_error" -> PipelineOracle.pqError(4, 16, iters = 2)
+    "q224_pq_error" -> PipelineOracle.pqError(4, 16, iters = 2),
+    // same oracle as q82: the bloom screen + exact verify is
+    // row-identical to the exact path (no-false-negative theorem)
+    "q225_decontaminate_bloom" -> PipelineOracle.decontaminate(5, "doc_id < 20"),
+    // the window dim drops NULL event times (Spark's TimeWindowing
+    // inserts IsNotNull); the reference histogram keeps every row
+    "q226_stream_emd" -> Oracle.emdFromByDim("events",
+      Oracle.Spec("value", axValue),
+      "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
+      "window_start", where = "ts IS NOT NULL"),
+    // the window dim drops NULL event times (Spark's TimeWindowing
+    // inserts IsNotNull); the reference histogram keeps every row
+    "q227_stream_ks" -> Oracle.ksFromByDim("events",
+      Oracle.Spec("value", axValue),
+      "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
+      "window_start", where = "ts IS NOT NULL")
   )
 }

@@ -274,6 +274,75 @@ object Oracle {
       "FROM c GROUP BY d"
   }
 
+  /** Mirrors HistStats.emdFrom over a single dim expression (and thereby
+    * StreamingHist.windowedEmd's gated batch path): per-dim histograms
+    * vs the dim×reference grid on the DENSE bin range, per-dim
+    * DECIMAL-exact totals and running cumulatives, the |CDFa−CDFb|·width
+    * term, SUM ORDER BY i per dim, and [[emdByDim]]'s zero-total
+    * lifecycle guard. */
+  def emdFromByDim(table: String, spec: Spec, dimSql: String,
+      dimName: String, where: String = "TRUE",
+      refWhere: String = "TRUE"): String = {
+    def dsum(e: String, over: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER ($over)")
+    val idx = spec.axis.indexSql(spec.valueSql)
+    val rng = s"__i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1}"
+    val cum = "PARTITION BY d ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    s"WITH hx AS (SELECT d, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $dimSql AS d, $idx AS __i0 FROM $table WHERE $where) WHERE $rng GROUP BY d, __i0), " +
+      s"hr AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $idx AS __i0 FROM $table WHERE $refWhere) WHERE $rng GROUP BY __i0), " +
+      s"bins AS (SELECT CAST(r AS BIGINT) AS i FROM range(0, ${spec.axis.nBins}) t(r)), " +
+      "ds AS (SELECT DISTINCT d FROM hx), " +
+      "g AS (SELECT ds.d, bins.i FROM ds CROSS JOIN bins), " +
+      "j AS (SELECT g.d, g.i, " +
+      "COALESCE(hx.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hr.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM g LEFT JOIN hx ON hx.d = g.d AND hx.__i0 = g.i " +
+      "LEFT JOIN hr ON hr.__i0 = g.i), " +
+      s"c AS (SELECT d, i, ${dsum("ca", "PARTITION BY d")} AS ta, " +
+      s"${dsum("cb", "PARTITION BY d")} AS tb, " +
+      s"${dsum("ca", cum)} AS cca, ${dsum("cb", cum)} AS ccb FROM j) " +
+      s"SELECT d AS $dimName, " +
+      "SUM(CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE ABS(cca / ta - ccb / tb) * (${spec.axis.widthSql("i")}) END ORDER BY i) AS emd " +
+      "FROM c GROUP BY d"
+  }
+
+  /** Mirrors HistStats.ksFrom over a single dim expression (and thereby
+    * StreamingHist.windowedKs's gated batch path): per-dim histograms
+    * vs the dim×reference grid on the DENSE bin range, per-dim
+    * DECIMAL-exact totals and running cumulatives, the |CDFa−CDFb| gap,
+    * order-free MAX per dim, and the zero-total lifecycle guard. */
+  def ksFromByDim(table: String, spec: Spec, dimSql: String,
+      dimName: String, where: String = "TRUE",
+      refWhere: String = "TRUE"): String = {
+    def dsum(e: String, over: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER ($over)")
+    val idx = spec.axis.indexSql(spec.valueSql)
+    val rng = s"__i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1}"
+    val cum = "PARTITION BY d ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    s"WITH hx AS (SELECT d, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $dimSql AS d, $idx AS __i0 FROM $table WHERE $where) WHERE $rng GROUP BY d, __i0), " +
+      s"hr AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $idx AS __i0 FROM $table WHERE $refWhere) WHERE $rng GROUP BY __i0), " +
+      s"bins AS (SELECT CAST(r AS BIGINT) AS i FROM range(0, ${spec.axis.nBins}) t(r)), " +
+      "ds AS (SELECT DISTINCT d FROM hx), " +
+      "g AS (SELECT ds.d, bins.i FROM ds CROSS JOIN bins), " +
+      "j AS (SELECT g.d, g.i, " +
+      "COALESCE(hx.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hr.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM g LEFT JOIN hx ON hx.d = g.d AND hx.__i0 = g.i " +
+      "LEFT JOIN hr ON hr.__i0 = g.i), " +
+      s"c AS (SELECT d, i, ${dsum("ca", "PARTITION BY d")} AS ta, " +
+      s"${dsum("cb", "PARTITION BY d")} AS tb, " +
+      s"${dsum("ca", cum)} AS cca, ${dsum("cb", cum)} AS ccb FROM j) " +
+      s"SELECT d AS $dimName, " +
+      "MAX(CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE ABS(cca / ta - ccb / tb) END) AS ks " +
+      "FROM c GROUP BY d"
+  }
+
   /** Mirrors HistStats.psi with `dims`: per-dim side histograms
     * full-outer-joined sparse (PSI's pointwise terms owe nothing to
     * empty bins), per-dim DECIMAL-exact totals, eps-clamped

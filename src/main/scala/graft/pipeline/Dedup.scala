@@ -201,6 +201,61 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("__c"), lit(false)).as("contaminated"))
   }
 
+  /** [[decontaminate]]'s 100 TB form: a Bloom-filter PREFILTER over the
+    * benchmark gram set, then exact verification of the survivors —
+    * row-identical output to `decontaminate` (a Bloom filter has NO
+    * false negatives, so every truly-contaminated gram survives the
+    * screen; the verify join then discards the false positives), gated
+    * by the SAME oracle.
+    *
+    * Why it exists: `decontaminate` BROADCASTS the distinct benchmark
+    * gram relation — right for eval sets, impossible when the
+    * "benchmark" is itself corpus-scale (decontaminating against a
+    * 1e9-gram held-out suite, or cross-corpus blocklists). Here the
+    * broadcast state is the Bloom filter: ~1.2 bytes/gram at fpp=0.01
+    * (1e9 grams ≈ 1.4 GB vs 100+ GB for the exact set), built by
+    * Spark's own runtime-filter machinery (BloomFilterAggregate — one
+    * map-combinable pass over the benchmark side, merged driver-side
+    * into one binary). The corpus-side screen is a map-side codegen'd
+    * might_contain on xxhash64(gram) — the corpus is scanned once and
+    * never shuffled; only the screened survivors (true contamination +
+    * ~fpp of corpus grams) reach the exact-verify equi-join, which
+    * shuffles survivor-sized relations, not the corpus.
+    *
+    * The filter binary rides through the plan as a LITERAL (the same
+    * shape Spark's InjectRuntimeFilter produces); its size is the
+    * designed broadcast budget, not driver data growth. */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 13, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.catalyst.expressions.{Literal, BloomFilterMightContain}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1): $fpp")
+    val bg = wordGrams(benchmark, n).select(col("g")).distinct()
+    // size the filter from the benchmark side (benchmark-sized action —
+    // the same count the exact path's broadcast would materialize anyway)
+    val est = math.max(bg.count(), 1L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(est, fpp)
+    val bloomBytes = bg
+      .select(GraftShim.column(new BloomFilterAggregate(
+          GraftShim.expression(xxhash64(col("g"))),
+          Literal(est), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val screened = wordGrams(docs, n).filter(GraftShim.column(
+      BloomFilterMightContain(
+        Literal.create(bloomBytes,
+          org.apache.spark.sql.types.BinaryType),
+        GraftShim.expression(xxhash64(col("g"))))))
+    // exact verify: survivors (tiny) vs the benchmark grams — a shuffle
+    // join of two SMALL relations; fpp only tunes its size, never the
+    // result
+    val bad = screened.join(bg, "g").select(col("doc_id")).distinct()
+    docs.select(col("doc_id"))
+      .join(bad.withColumn("__c", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__c"), lit(false)).as("contaminated"))
+  }
+
   /** Per-doc contamination SCORE against a benchmark (the GPT-3-style
     * report, beyond `decontaminate`'s boolean flag): distinct word
     * n-grams, how many of them appear in the benchmark, and the

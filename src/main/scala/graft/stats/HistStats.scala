@@ -549,6 +549,92 @@ object HistStats {
     psi(a, grid, ax, eps, dims)
   }
 
+  /** Per-group EMD against one shared reference histogram — [[emd]]'s
+    * units-carrying drift score in [[psiFrom]]'s rolling-monitor shape
+    * ("how many axis units did each day's distribution move from the
+    * training snapshot?"). Same scale shape: the dims×bins grid is
+    * histogram-sized, the reference broadcasts; the dense-grid and
+    * flow-free contracts are [[emd]]'s. */
+  def emdFrom(a: DataFrame, ref: DataFrame, ax: BinAxis,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "emdFrom scores per group; use emd for the global form")
+    val grid = a.select(dims.map(col): _*).distinct()
+      .crossJoin(broadcast(ref.select(col(ax.binsCol), col("cnt"))))
+    emd(a, grid, ax, dims)
+  }
+
+  /** Binned two-sample Kolmogorov–Smirnov statistic between two count
+    * histograms: D = maxᵢ |CDFa(i) − CDFb(i)| over the DENSE axis grid —
+    * the scale-free companion of [[emd]] (EMD carries axis units and
+    * weighs how FAR mass moved; KS is the largest single CDF gap, the
+    * classic 0..1 drift alarm with published critical values). The
+    * binned form is what a histogram supports — it lower-bounds the
+    * raw-value [[ksTest]] (coarsening can only shrink CDF gaps) and is
+    * the one a streaming monitor can compute from bounded state.
+    * Contracts are [[emd]]'s: ordered flow-free axis (off-grid bin
+    * labels raise), dense grid so gaps survive across empty bins, and
+    * the group-lifecycle guard — a side with zero total mass (empty
+    * input, or a dims key present in only one snapshot) has no CDF, so
+    * its ks is NULL, never 0/0. Cross-engine bit-exactness: totals and
+    * cumulatives are DECIMAL(38,14)-exact before ONE double cast each,
+    * each gap is one IEEE subtraction after one division per side, and
+    * MAX is order-free — no fold contract needed at all. Runs entirely
+    * on histogram-sized relations. */
+  def ks(a: DataFrame, b: DataFrame, ax: BinAxis,
+      dims: Seq[String] = Nil): DataFrame = {
+    val aa = a.select(dims.map(col) ++
+      Seq(col(ax.binsCol), col("cnt").as("__ca")): _*)
+    val bb = b.select(dims.map(col) ++
+      Seq(col(ax.binsCol), col("cnt").as("__cb")): _*)
+    val bins = binsTable(a.sparkSession, ax)
+      .select(col("left_edge").as(ax.binsCol))
+    // off-grid labels would vanish from both the gaps AND the totals —
+    // enforce the flow-free precondition (the emd/windowedPsi require)
+    val offGrid = aa.select(col(ax.binsCol))
+      .union(bb.select(col(ax.binsCol))).distinct()
+      .join(broadcast(bins), Seq(ax.binsCol), "left_anti").count()
+    require(offGrid == 0L,
+      s"ks requires flow-free histograms binned on the axis grid: " +
+        s"$offGrid bin label(s) outside the ${ax.nBins}-bin ${ax.binsCol} axis")
+    val grid = if (dims.isEmpty) bins
+      else aa.select(dims.map(col): _*)
+        .union(bb.select(dims.map(col): _*)).distinct()
+        .crossJoin(broadcast(bins))
+    val j = grid.join(aa, dims :+ ax.binsCol, "left")
+      .join(bb, dims :+ ax.binsCol, "left")
+      .na.fill(0.0, Seq("__ca", "__cb"))
+    val w = if (dims.isEmpty) Window.partitionBy()
+      else Window.partitionBy(dims.map(col): _*)
+    val cw = w.orderBy(col(ax.binsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ta = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__ca"))).over(w))
+    val tb = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__cb"))).over(w))
+    val cca = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__ca"))).over(cw))
+    val ccb = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__cb"))).over(cw))
+    // dead side -> every gap NULL -> MAX over all-NULL = NULL for
+    // exactly that group (max skips NULLs, and NULL gaps only occur
+    // group-wide). Pinned identically in Oracle.ksFromByDim.
+    val withGap = j.withColumn("__g",
+      when(ta === lit(0.0) || tb === lit(0.0), lit(null).cast("double"))
+        .otherwise(abs(cca / ta - ccb / tb)))
+    grouped(withGap, dims)(max(col("__g")).as("ks"))
+  }
+
+  /** Per-group binned KS against one shared reference histogram —
+    * [[ks]] in [[psiFrom]]'s rolling-monitor shape. Same scale shape:
+    * the dims×bins grid is histogram-sized, the reference broadcasts. */
+  def ksFrom(a: DataFrame, ref: DataFrame, ax: BinAxis,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "ksFrom scores per group; use ks for the global form")
+    val grid = a.select(dims.map(col): _*).distinct()
+      .crossJoin(broadcast(ref.select(col(ax.binsCol), col("cnt"))))
+    ks(a, grid, ax, dims)
+  }
+
   /** Per-bin PULL between two count histograms (the ROOT-style residual
     * plot: which bins disagree, and by how many sigmas under Poisson
     * errors): pull_i = (a_i − b_i) / √(a_i + b_i), with the per-bin

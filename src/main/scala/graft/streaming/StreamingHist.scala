@@ -154,6 +154,151 @@ object StreamingHist {
     }
   }
 
+  /** Per-window Earth Mover's Distance against a STATIC reference
+    * histogram — the [[windowedPsi]] monitor with HistStats.emd's
+    * units-carrying score ("this hour's scores sit ~12 points from the
+    * training snapshot", not just "drifted"). Batch execution is exactly
+    * HistStats.emdFrom over the batch windowed histogram (the
+    * oracle-gated configuration); streaming chains the same TWO stateful
+    * aggregations as windowedPsi and runs the CDF fold map-side against
+    * the driver-collected reference.
+    *
+    * Streaming == batch BIT-EXACTLY, by construction: window bin counts
+    * and their running cumulatives are sums of integer-valued doubles —
+    * exact below 2^53, so the streaming double running sum equals the
+    * batch side's DECIMAL-exact cumulative after its one double cast;
+    * the reference CDF is computed once driver-side from the same
+    * integer-valued counts; the per-bin |CDFa−CDFb|·width term is the
+    * identical IEEE sequence; terms fold in ascending bin order, and
+    * prepending 0.0 to a fold of non-negative terms never changes an
+    * IEEE sum. StreamingSpec asserts the exact equality.
+    *
+    * Same contracts as HistStats.emd: ordered flow-free axis (the
+    * keepPred drops out-of-range events; a reference carrying off-grid
+    * bins raises), non-empty reference. A window with zero in-range
+    * events emits no row on either path. */
+  def windowedEmd(df: DataFrame, tsCol: String, x: Column, ax: BinAxis,
+      windowDuration: String, ref: DataFrame,
+      watermark: String = "10 seconds"): DataFrame = {
+    if (!df.isStreaming) {
+      val wh = windowedHistogram(df, tsCol, x, ax, windowDuration)
+        .select(col("window_start"), col(ax.binsCol), col("cnt"))
+      graft.stats.HistStats.emdFrom(wh, ref, ax,
+        dims = Seq("window_start"))
+    } else {
+      // bins-sized driver-side work: ascending in-range (label, width)
+      // rows and the reference's cumulative mass per label
+      val spark = df.sparkSession
+      val bins = graft.stats.HistStats.binsTable(spark, ax)
+        .select(col("left_edge").cast("double"), col("width").cast("double"))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toSeq
+      val labels = bins.map(_._1)
+      val refRows = ref
+        .select(col(ax.binsCol).cast("double"), col("cnt").cast("double"))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      require(refRows.keySet.subsetOf(labels.toSet),
+        "reference histogram carries bins outside the axis (flow rows?)")
+      val refTot = refRows.values.sum // integer-valued doubles: exact
+      require(refTot > 0.0, "reference histogram is empty")
+      // reference CDF per label, in fold order (exact integer cumsum,
+      // one double division each — the same arithmetic the batch side's
+      // DECIMAL-exact cumulative reaches after its single double cast)
+      val refCdf = labels.scanLeft(0.0)((acc, l) =>
+        acc + refRows.getOrElse(l, 0.0)).tail.map(_ / refTot)
+      val kept = ax.keepPred(x, includeUnder = false, includeOver = false)
+      val agged = df.withWatermark(tsCol, watermark)
+        .filter(kept)
+        .select(window(col(tsCol), windowDuration).as("win"),
+          ax.index(x).as("__i0"))
+        .groupBy(col("win"), col("__i0"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .select(col("win"), ax.label(col("__i0")).cast("double").as("__b"),
+          col("cnt"))
+        .groupBy(window(window_time(col("win")), windowDuration).as("__w2"))
+        .agg(collect_list(struct(col("__b"), col("cnt"))).as("__a"))
+      val wmap = map_from_entries(col("__a"))
+      val total = aggregate(col("__a"), lit(0.0),
+        (acc, e) => acc + e.getField("cnt"))
+      // running window-side cumulative: a Column chain over the static
+      // ascending label list (bins-sized expression tree)
+      val cums = labels.scanLeft(lit(0.0))((acc, l) =>
+        acc + coalesce(element_at(wmap, lit(l)), lit(0.0))).tail
+      val terms = cums.lazyZip(refCdf).lazyZip(bins.map(_._2)).map {
+        (cum, q, w) => abs(cum / total - lit(q)) * lit(w)
+      }
+      agged.select(col("__w2.start").as("window_start"),
+        terms.reduceLeft(_ + _).as("emd"))
+    }
+  }
+
+  /** Per-window binned Kolmogorov–Smirnov statistic against a STATIC
+    * reference histogram — the third head of the drift-monitor family
+    * ([[windowedPsi]] = ln-weighted score, [[windowedEmd]] = units-
+    * carrying transport cost, this = the classic 0..1 largest-CDF-gap
+    * alarm). Batch execution is exactly HistStats.ksFrom over the batch
+    * windowed histogram (the oracle-gated configuration); streaming
+    * chains the same TWO stateful aggregations and takes the gap MAX
+    * map-side against the driver-collected reference.
+    *
+    * Streaming == batch BIT-EXACTLY, by construction: window bin counts
+    * and their running cumulatives are sums of integer-valued doubles —
+    * exact below 2^53, so the streaming double running sum equals the
+    * batch side's DECIMAL-exact cumulative after its one double cast;
+    * the reference CDF is computed once driver-side from the same
+    * integer-valued counts; each gap is one division + one subtraction
+    * (identical IEEE sequence), and MAX is order-free — the batch side
+    * needs no fold contract and neither does this one.
+    *
+    * Same contracts as HistStats.ks: ordered flow-free axis (the
+    * keepPred drops out-of-range events; a reference carrying off-grid
+    * bins raises), non-empty reference. A window with zero in-range
+    * events emits no row on either path. */
+  def windowedKs(df: DataFrame, tsCol: String, x: Column, ax: BinAxis,
+      windowDuration: String, ref: DataFrame,
+      watermark: String = "10 seconds"): DataFrame = {
+    if (!df.isStreaming) {
+      val wh = windowedHistogram(df, tsCol, x, ax, windowDuration)
+        .select(col("window_start"), col(ax.binsCol), col("cnt"))
+      graft.stats.HistStats.ksFrom(wh, ref, ax,
+        dims = Seq("window_start"))
+    } else {
+      val spark = df.sparkSession
+      val labels = graft.stats.HistStats.binsTable(spark, ax)
+        .select(col("left_edge").cast("double"))
+        .collect().map(_.getDouble(0)).toSeq
+      val refRows = ref
+        .select(col(ax.binsCol).cast("double"), col("cnt").cast("double"))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      require(refRows.keySet.subsetOf(labels.toSet),
+        "reference histogram carries bins outside the axis (flow rows?)")
+      val refTot = refRows.values.sum // integer-valued doubles: exact
+      require(refTot > 0.0, "reference histogram is empty")
+      val refCdf = labels.scanLeft(0.0)((acc, l) =>
+        acc + refRows.getOrElse(l, 0.0)).tail.map(_ / refTot)
+      val kept = ax.keepPred(x, includeUnder = false, includeOver = false)
+      val agged = df.withWatermark(tsCol, watermark)
+        .filter(kept)
+        .select(window(col(tsCol), windowDuration).as("win"),
+          ax.index(x).as("__i0"))
+        .groupBy(col("win"), col("__i0"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .select(col("win"), ax.label(col("__i0")).cast("double").as("__b"),
+          col("cnt"))
+        .groupBy(window(window_time(col("win")), windowDuration).as("__w2"))
+        .agg(collect_list(struct(col("__b"), col("cnt"))).as("__a"))
+      val wmap = map_from_entries(col("__a"))
+      val total = aggregate(col("__a"), lit(0.0),
+        (acc, e) => acc + e.getField("cnt"))
+      val cums = labels.scanLeft(lit(0.0))((acc, l) =>
+        acc + coalesce(element_at(wmap, lit(l)), lit(0.0))).tail
+      val gaps = cums.lazyZip(refCdf).map { (cum, q) =>
+        abs(cum / total - lit(q))
+      }
+      agged.select(col("__w2.start").as("window_start"),
+        (if (gaps.size == 1) gaps.head else greatest(gaps: _*)).as("ks"))
+    }
+  }
+
   case class DocEvent(doc_id: Long, content_hash: String)
   case class DedupVerdict(doc_id: Long, content_hash: String, first_seen: Boolean)
 

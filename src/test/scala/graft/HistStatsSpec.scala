@@ -296,6 +296,42 @@ class HistStatsSpec extends SparkSpec {
     assert(near == 2.0 && far == 6.0)
   }
 
+  test("ks: exact largest CDF gap; zero for identical; dead group is NULL") {
+    val ax = Regular("x", 4, 0.0, 8.0)
+    def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)
+    // all mass bin0 vs all mass bin3: gaps 1,1,1,0 -> D = 1
+    assert(HistStats.ks(h(1, 1), h(7, 7), ax).collect().head.getDouble(0) == 1.0)
+    // identical: exactly zero
+    assert(HistStats.ks(h(1, 3, 5), h(1, 3, 5), ax)
+      .collect().head.getDouble(0) == 0.0)
+    // (3,1)/(1,3) split across bins 0,1: CDFs (3/4, 1) vs (1/4, 1) -> 0.5
+    assert(HistStats.ks(h(1, 1, 1, 3), h(1, 3, 3, 3), ax)
+      .collect().head.getDouble(0) == 0.5)
+    // binned D lower-bounds EMD/width relation sanity: ks in [0,1]
+    val d = HistStats.ks(h(1, 1, 3), h(3, 5, 7), ax).collect().head.getDouble(0)
+    assert(d >= 0.0 && d <= 1.0)
+    // group lifecycle: a dims key on only one side -> NULL, not a crash
+    val byG = Histogram.histogram(
+      Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("g", "x"),
+      col("x"), ax, dims = Seq("g"))
+    val ref = Histogram.histogram(Seq(1.0, 3.0).toDF("x"), col("x"), ax)
+    val out = HistStats.ksFrom(byG, ref, ax, dims = Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("a") == Some(0.0) && out("b").exists(_ > 0.0))
+    val dead = HistStats.ks(byG,
+      byG.filter(col("g") === "a"), ax, dims = Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(dead("a") == Some(0.0) && dead("b").isEmpty)
+    // off-grid bin labels raise (the flow-free contract)
+    val bad = h(1.0).select(
+      (col(ax.binsCol) + lit(100.0)).as(ax.binsCol), col("cnt"))
+    intercept[IllegalArgumentException] {
+      HistStats.ks(bad, h(1.0), ax).collect()
+    }
+  }
+
   test("psiFrom: each group scored against the shared reference") {
     val ax = Regular("x", 4, 0.0, 4.0)
     val d = Seq(("g1", 0.5), ("g1", 1.5), ("g1", 2.5), ("g1", 3.5),

@@ -28,6 +28,34 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
   }
 
+  test("bloom decontamination is row-identical to the exact path") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely different text here ok"),
+      (3L, "xx the quick brown fox yy"),
+      (4L, "quick brown fox"),
+      (5L, "the  quick   brown fox ...")
+    ).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 1L)
+    val exact = graft.pipeline.Dedup.decontaminate(docs, bench, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the theorem under the q225 gate: bloom screen (NO false negatives)
+    // + exact verify (drops the false positives) == exact output — even
+    // at an absurd fpp where nearly every gram survives the screen
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = graft.pipeline.Dedup.decontaminateBloom(
+          docs, bench, n = 4, fpp = fpp)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+    // empty benchmark: nothing is contaminated, and the filter build
+    // must not crash on a zero-row aggregate
+    val none = graft.pipeline.Dedup.decontaminateBloom(
+        docs, docs.filter($"doc_id" < 0L), n = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(none.values.forall(_ == false) && none.size == 5)
+  }
+
   test("redaction rewrites PII in email -> URL -> digit-run order") {
     val docs = Seq(
       (1L, "mail me at bob.smith+x@corp.example.com today"),

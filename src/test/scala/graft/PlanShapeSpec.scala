@@ -506,4 +506,29 @@ class PlanShapeSpec extends SparkSpec {
     // partial_count/partial_sum before the exchange = map-side combine
     assert(plan.contains("partial_"), plan)
   }
+
+  test("decontaminateBloom: map-side might_contain screen, no corpus broadcast of the gram set") {
+    val plan = executedPlan(
+      Dedup.decontaminateBloom(docs, docs.filter($"doc_id" <= 3L), n = 2))
+    // the screen is the codegen'd bloom probe in a Filter, upstream of
+    // the (survivor-sized) exact-verify join
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("windowedEmd batch path: reference broadcast; windows partition by window_start only") {
+    val ax = graft.axes.Regular("value", 8, 0.0, 8.0)
+    val ev = Seq((java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), 1.0))
+      .toDF("event_time", "value")
+    val ref = graft.operators.Histogram.histogram(ev, col("value"), ax)
+    val plan = executedPlan(graft.streaming.StreamingHist.windowedEmd(
+      ev, "event_time", col("value"), ax, "1 hour", ref))
+    // the dims x bins grid rides a BROADCAST of the bins-sized reference;
+    // the cumulative windows partition by window_start (histogram-sized
+    // relation, no global single-partition sort)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(window_start"), plan)
+  }
 }

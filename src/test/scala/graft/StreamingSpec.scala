@@ -630,6 +630,90 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed EMD: streaming equals batch BIT-exactly on closed windows") {
+    val ax = Regular("value", 4, 0.0, 4.0)
+    val ref = graft.operators.Histogram.histogram(
+      Seq(0.5, 0.5, 1.5, 2.5, 3.5).toDF("value"), col("value"), ax)
+    val events = Seq((ts(1), 0.5), (ts(2), 0.5), (ts(3), 1.5), (ts(5), 2.5),
+      (ts(12), 3.5), (ts(14), 0.5), (ts(35), 1.5), (ts(50), 2.5))
+      .toDF("event_time", "value")
+    val batch = StreamingHist.windowedEmd(
+        events, "event_time", col("value"), ax, "10 seconds", ref)
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getDouble(1))
+      .toMap
+    // the [0,10) window (2x 0.5, 1x 1.5, 1x 2.5) vs ref (2,1,1,1): hand
+    // CDF gaps |2/4-2/5|, |3/4-3/5|, |4/4-4/5|, |1-1|, width 1 each
+    assert(batch(0L) == math.abs(2.0 / 4 - 2.0 / 5) +
+      math.abs(3.0 / 4 - 3.0 / 5) + math.abs(4.0 / 4 - 4.0 / 5))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = StreamingHist.windowedEmd(
+      input.toDF().toDF("event_time", "value"),
+      "event_time", col("value"), ax, "10 seconds", ref)
+    val q = out.writeStream.format("memory").queryName("emd_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the [0,10) window's bins arrive split across TWO micro-batches:
+      // the first stateful agg must merge them before the CDF fold sees
+      // the window
+      input.addData((ts(1), 0.5), (ts(2), 0.5), (ts(3), 1.5))
+      q.processAllAvailable()
+      input.addData((ts(5), 2.5), (ts(12), 3.5), (ts(14), 0.5), (ts(35), 1.5))
+      q.processAllAvailable()
+      input.addData((ts(50), 2.5)) // watermark 40: closes [0,10),[10,20),[30,40)
+      q.processAllAvailable()
+      val streamed = spark.table("emd_stream").collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 -> r.getDouble(1)).toMap
+      assert(streamed.keySet == Set(0L, 10L, 30L))
+      // bit-exact: the streaming running-cumulative fold reproduces the
+      // batch DECIMAL-exact CDF values (integer counts are exact in
+      // doubles) and folds the same term sequence
+      streamed.foreach { case (w, p) => assert(p == batch(w), s"window $w") }
+    } finally q.stop()
+  }
+
+  test("windowed KS: streaming equals batch BIT-exactly on closed windows") {
+    val ax = Regular("value", 4, 0.0, 4.0)
+    val ref = graft.operators.Histogram.histogram(
+      Seq(0.5, 0.5, 1.5, 2.5, 3.5).toDF("value"), col("value"), ax)
+    val events = Seq((ts(1), 0.5), (ts(2), 0.5), (ts(3), 1.5), (ts(5), 2.5),
+      (ts(12), 3.5), (ts(14), 0.5), (ts(35), 1.5), (ts(50), 2.5))
+      .toDF("event_time", "value")
+    val batch = StreamingHist.windowedKs(
+        events, "event_time", col("value"), ax, "10 seconds", ref)
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getDouble(1))
+      .toMap
+    // the [0,10) window (2x 0.5, 1x 1.5, 1x 2.5) vs ref (2,1,1,1): hand
+    // CDF gaps |2/4-2/5|, |3/4-3/5|, |4/4-4/5|, |1-1| -> max = 0.2
+    assert(batch(0L) == Seq(math.abs(2.0 / 4 - 2.0 / 5),
+      math.abs(3.0 / 4 - 3.0 / 5), math.abs(4.0 / 4 - 4.0 / 5), 0.0).max)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = StreamingHist.windowedKs(
+      input.toDF().toDF("event_time", "value"),
+      "event_time", col("value"), ax, "10 seconds", ref)
+    val q = out.writeStream.format("memory").queryName("ks_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window bins arrive split across micro-batches: the first stateful
+      // agg must merge them before the map-side gap MAX sees the window
+      input.addData((ts(1), 0.5), (ts(2), 0.5), (ts(3), 1.5))
+      q.processAllAvailable()
+      input.addData((ts(5), 2.5), (ts(12), 3.5), (ts(14), 0.5), (ts(35), 1.5))
+      q.processAllAvailable()
+      input.addData((ts(50), 2.5)) // watermark 40: closes [0,10),[10,20),[30,40)
+      q.processAllAvailable()
+      val streamed = spark.table("ks_stream").collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 -> r.getDouble(1)).toMap
+      assert(streamed.keySet == Set(0L, 10L, 30L))
+      // bit-exact: integer counts are exact in doubles, each gap is the
+      // identical IEEE division+subtraction, and MAX is order-free
+      streamed.foreach { case (w, p) => assert(p == batch(w), s"window $w") }
+    } finally q.stop()
+  }
+
   test("rate-limit state TTL: quiet-day eviction changes no emitted rows and releases state") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingHist.{RlEvent, RlKept}
