@@ -1873,6 +1873,14 @@ object SparkEntry {
       val ref = Histogram.histogram(ev, col("value"), axValue)
       graft.streaming.StreamingHist.windowedKs(
         ev, "event_time", col("value"), axValue, "1 hour", ref)
+    },
+    "q228_rrf_fusion" -> { (s, dir) =>
+      // hybrid-retrieval rank fusion: the BM25 and tf-idf heads' top-50
+      // lists fused by reciprocal rank (1/(60+r)), final top-25 — rank-
+      // space ensemble, no score calibration between heads
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.rrfFusion(t(dir, "documents"),
+        Seq("spark", "query", "fast"), k = 25, kList = 50)
     }
   )
 
@@ -2519,6 +2527,8 @@ object SparkEntry {
     "q227_stream_ks" -> Oracle.ksFromByDim("events",
       Oracle.Spec("value", axValue),
       "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
-      "window_start", where = "ts IS NOT NULL")
+      "window_start", where = "ts IS NOT NULL"),
+    "q228_rrf_fusion" -> PipelineOracle.rrfFusion(
+      Seq("spark", "query", "fast"), 25, 50, 60, 1.2, 0.75)
   )
 }

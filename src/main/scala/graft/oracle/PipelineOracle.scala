@@ -1433,6 +1433,47 @@ object PipelineOracle {
       s"SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank " +
       s"FROM (${bm25(queryTerms, k1, b)}) __b) __r WHERE rank <= $k"
 
+  /** Mirrors TextAnalysis.rrfFusion: BOTH heads' scores from the same
+    * tf CTEs ([[bm25]]'s exact arithmetic for head A, quantized
+    * tf·ln(N/df) for head B), head ranks via ROW_NUMBER (score DESC,
+    * doc_id) capped at kList, the two-term fused score in fixed order
+    * (BM25 head first, absent head COALESCEs to 0.0), final rank ties
+    * to doc_id. */
+  def rrfFusion(queryTerms: Seq[String], k: Int, kList: Int,
+      kRrf: Int, k1: Double, b: Double): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val terms = queryTerms.map(q).mkString(", ")
+    val idfA = s"FLOOR(LN(${d(1.0)} + (CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + ${d(0.5)}) / " +
+      s"(CAST(df AS DOUBLE) + ${d(0.5)})) * ${d(1.0e9)}) / ${d(1.0e9)}"
+    val denomA = s"CAST(tf AS DOUBLE) + ${d(k1)} * (${d(1.0 - b)} + ${d(b)} * " +
+      "(CAST(len AS DOUBLE) / (CAST(tl AS DOUBLE) / CAST(nd AS DOUBLE))))"
+    val idfB = s"FLOOR(LN(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) * ${d(1.0e9)}) / ${d(1.0e9)}"
+    val krd = s"CAST($kRrf AS DOUBLE)"
+    "WITH base AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS len, " +
+      "regexp_extract_all(text, '\\S+') AS toks FROM documents WHERE text IS NOT NULL), " +
+      "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(len) AS BIGINT) AS tl FROM base), " +
+      "tok AS (SELECT doc_id, len, UNNEST(toks) AS term FROM base), " +
+      s"tf AS (SELECT doc_id, len, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok WHERE term IN ($terms) GROUP BY doc_id, len, term), " +
+      "dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+      s"ca AS (SELECT tf.doc_id, tf.term, $idfA * (CAST(tf AS DOUBLE) * ${d(k1 + 1.0)}) / ($denomA) AS c " +
+      "FROM tf JOIN dfr USING (term) CROSS JOIN st), " +
+      "sa AS (SELECT doc_id, SUM(c ORDER BY term) AS score FROM ca GROUP BY doc_id), " +
+      s"cb AS (SELECT tf.doc_id, tf.term, CAST(tf AS DOUBLE) * ($idfB) AS c " +
+      "FROM tf JOIN dfr USING (term) CROSS JOIN st), " +
+      "sb AS (SELECT doc_id, SUM(c ORDER BY term) AS score FROM cb GROUP BY doc_id), " +
+      "ra AS (SELECT doc_id, rn FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn " +
+      s"FROM sa) __ra WHERE rn <= $kList), " +
+      "rb AS (SELECT doc_id, rn FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn " +
+      s"FROM sb) __rb WHERE rn <= $kList), " +
+      "f AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, " +
+      s"COALESCE(${d(1.0)} / ($krd + CAST(ra.rn AS DOUBLE)), ${d(0.0)}) + " +
+      s"COALESCE(${d(1.0)} / ($krd + CAST(rb.rn AS DOUBLE)), ${d(0.0)}) AS rrf " +
+      "FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id) " +
+      "SELECT doc_id, rrf AS rrf_score, CAST(rank AS INT) AS rank FROM (" +
+      "SELECT doc_id, rrf, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM f) __f " +
+      s"WHERE rank <= $k"
+  }
+
   /** Mirrors Curation.curateBlend: the [[curate]] chain plus the
     * [[blendPercentiles]] relative-quality verdict as a fourth join —
     * blend ranks computed over the FULL corpus (like the dedup

@@ -539,6 +539,88 @@ object TextAnalysis {
         (col("__p") + lit(1)).cast("int").as("rank"))
   }
 
+  /** Reciprocal-rank fusion of two lexical retrieval heads (Cormack et
+    * al. 2009): the documents ranked by BM25 and by query tf·idf are
+    * fused as rrf(d) = Σ_lists 1/(kRrf + rank_list(d)) — the standard
+    * hybrid-retrieval ensemble (rank-space fusion needs no score
+    * calibration between heads, which is why production RAG stacks fuse
+    * lexical + dense lists this way; both heads here are lexical
+    * because the corpus carries no doc-aligned embeddings).
+    *
+    * Determinism cross-engine: each head's scores are bit-identical by
+    * construction (quantized idf, pinned IEEE fold order), head ranks
+    * break ties by doc_id, the fused score is at most TWO terms added
+    * in fixed order (BM25 head first) with one IEEE division each, and
+    * the final ranking ties to doc_id again.
+    *
+    * Scale shape: ONE corpus pass — both heads score from the SAME
+    * persisted (doc, len, term) tf relation (Zipf-collapsed,
+    * query-term-filtered at the scan); df/stats broadcast; every rank-k
+    * runs through the bounded-heap TopKByScore (map-side partial
+    * top-k, no WindowExec anywhere); the fusion join holds ≤ 2·kList
+    * rows. */
+  def rrfFusion(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      kList: Int = 50, kRrf: Int = 60, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(queryTerms.distinct == queryTerms, s"duplicate terms: $queryTerms")
+    require(k > 0 && kList >= k, s"need kList >= k > 0: ($kList, $k)")
+    require(kRrf > 0, s"kRrf must be positive: $kRrf")
+    val k1p1 = k1 + 1.0
+    val oneMb = 1.0 - b
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("__len"),
+        explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+    val stats = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).as("__nd"),
+        sum(regexp_count(col("text"), lit("\\S+")).cast("long")).as("__tl"))
+    // both heads read this ONE relation — the corpus is tokenized once
+    val tf = graft.util.RelCache.persist(
+      base.filter(col("term").isin(queryTerms: _*))
+        .groupBy(col("doc_id"), col("__len"), col("term"))
+        .agg(count(lit(1)).as("__tf")))
+    val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val joined = tf.join(broadcast(dfRel), "term").crossJoin(broadcast(stats))
+    // head A: bm25()'s exact arithmetic (quantized idf, pinned fold)
+    val idfA = floor(log(lit(1.0) +
+        (col("__nd").cast("double") - col("__df").cast("double") + lit(0.5)) /
+          (col("__df").cast("double") + lit(0.5))) * lit(1.0e9)) / lit(1.0e9)
+    val denomA = col("__tf").cast("double") + lit(k1) * (lit(oneMb) +
+      lit(b) * (col("__len").cast("double") /
+        (col("__tl").cast("double") / col("__nd").cast("double"))))
+    val contribA = idfA * (col("__tf").cast("double") * lit(k1p1)) / denomA
+    // head B: query tf·idf with the 1e-9-quantized ln(N/df)
+    val contribB = col("__tf").cast("double") *
+      (floor(log(col("__nd").cast("double") / col("__df").cast("double")) *
+        lit(1.0e9)) / lit(1.0e9))
+    def headRanks(contrib: Column): DataFrame = joined
+      .select(col("doc_id"), col("term"), contrib.as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("term"), col("__c")))).as("__a"))
+      .select(col("doc_id"), aggregate(col("__a"), lit(0.0),
+        (acc, x) => acc + x.getField("__c")).as("__s"))
+      .agg(graft.functions.TopKByScore.top_k(
+        col("__s"), col("doc_id"), kList).as("__t"))
+      .select(posexplode(col("__t")).as(Seq("__p", "__x")))
+      .select(col("__x.id").as("doc_id"),
+        (col("__p") + lit(1)).cast("long").as("__r"))
+    val ra = headRanks(contribA).withColumnRenamed("__r", "__ra")
+    val rb = headRanks(contribB).withColumnRenamed("__r", "__rb")
+    val fused = ra.join(rb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) /
+            (lit(kRrf.toDouble) + col("__ra").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) /
+            (lit(kRrf.toDouble) + col("__rb").cast("double")), lit(0.0)))
+          .as("__rrf"))
+    fused.agg(graft.functions.TopKByScore.top_k(
+        col("__rrf"), col("doc_id"), k).as("__t"))
+      .select(posexplode(col("__t")).as(Seq("__p", "__x")))
+      .select(col("__x.id").as("doc_id"), col("__x.score").as("rrf_score"),
+        (col("__p") + lit(1)).cast("int").as("rank"))
+  }
+
   /** Unigram language-model quality score per document — the classic
     * perplexity-style corpus filter (docs whose tokens are improbable
     * under the corpus's own unigram distribution are gibberish,

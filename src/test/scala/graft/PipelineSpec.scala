@@ -56,6 +56,30 @@ class PipelineSpec extends SparkSpec {
     assert(none.values.forall(_ == false) && none.size == 5)
   }
 
+  test("rrfFusion: fused score is 1/(60+r) per head; absent docs drop") {
+    val docs = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark is here"),
+      (3L, "nothing relevant at all"),
+      (4L, "fast query"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.rrfFusion(
+        docs, Seq("spark", "query", "fast"), k = 4, kList = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // doc 3 (no query terms) and doc 5 (null text) never appear
+    assert(out.map(_._1).toSet.intersect(Set(3L, 5L)).isEmpty)
+    // doc 4 matches TWO terms -> tops both heads; doc 1 (3x spark) is
+    // second in both; doc 2 third in both: rrf = 2/(60+r) exactly
+    val byDoc = out.map(t => t._1 -> t._2).toMap
+    assert(byDoc(4L) == 1.0 / 61 + 1.0 / 61)
+    assert(byDoc(1L) == 1.0 / 62 + 1.0 / 62)
+    assert(byDoc(2L) == 1.0 / 63 + 1.0 / 63)
+    // ranks are contiguous from 1 in fused-score order
+    assert(out.sortBy(_._3).map(_._3).toSeq == (1 to out.length).toSeq)
+    assert(out.sortBy(_._3).map(_._1).toSeq == Seq(4L, 1L, 2L))
+  }
+
   test("redaction rewrites PII in email -> URL -> digit-run order") {
     val docs = Seq(
       (1L, "mail me at bob.smith+x@corp.example.com today"),

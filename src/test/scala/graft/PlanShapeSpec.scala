@@ -516,6 +516,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("rrfFusion: no WindowExec anywhere — every rank-k is the bounded heap") {
+    val plan = executedPlan(graft.pipeline.TextAnalysis.rrfFusion(
+      docs, Seq("alpha", "beta"), k = 3, kList = 5))
+    // head ranks AND the fused rank all run through TopKByScore; a
+    // window formulation would drag every scored doc through one
+    // reducer partition at corpus scale
+    assert(!plan.contains("Window ["), plan)
+    assert(plan.toLowerCase.contains("topkbyscore"), plan)
+  }
+
   test("windowedEmd batch path: reference broadcast; windows partition by window_start only") {
     val ax = graft.axes.Regular("value", 8, 0.0, 8.0)
     val ev = Seq((java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), 1.0))
