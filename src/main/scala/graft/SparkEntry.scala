@@ -1881,6 +1881,19 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.TextAnalysis.rrfFusion(t(dir, "documents"),
         Seq("spark", "query", "fast"), k = 25, kList = 50)
+    },
+    "q229_ivfpq_recall" -> { (s, dir) =>
+      // IVFADC-R (coarse cell pruning + residual PQ codes + exact
+      // rerank) gated as a recall contract vs exact L2 top-k — the
+      // production regime where even the codes relation is too big to
+      // scan per query
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      val qset = emb.filter(col("vec_id") < 10)
+      graft.pipeline.Contracts.annRecallContract(
+        Similarity.ivfPqSearch(emb, qset, 3, nCells = 16, nprobe = 8,
+          m = 8, codes = 64, rerank = 100),
+        Similarity.bruteForceL2TopK(emb, qset, 3), bound = 0.3)
     }
   )
 
@@ -2529,6 +2542,13 @@ object SparkEntry {
       "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
       "window_start", where = "ts IS NOT NULL"),
     "q228_rrf_fusion" -> PipelineOracle.rrfFusion(
-      Seq("spark", "query", "fast"), 25, 50, 60, 1.2, 0.75)
+      Seq("spark", "query", "fast"), 25, 50, 60, 1.2, 0.75),
+    // recall-contract gate (q163/q164/q222 discipline): deterministic
+    // coarse assignment + residual codes + deterministic exact ranking
+    // make recall a pure function of the data; a regression below the
+    // pinned floor hash-mismatches
+    "q229_ivfpq_recall" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
+        "FROM embeddings WHERE vec_id < 10")
   )
 }

@@ -1004,6 +1004,233 @@ object Similarity {
         col("mean_d2"), col("max_d2"))
   }
 
+  /** IVF-PQ search (IVFADC, Jégou et al. 2011 §V): the coarse
+    * quantizer's probed-cell pruning composed with PQ's memory-bound
+    * codes — the production ANN shape for corpora where even the CODES
+    * relation is too large to scan per query. The corpus is coarsely
+    * assigned to [[kmeansCentroids]] cells; PQ encodes each vector's
+    * RESIDUAL v − c(v) (residuals concentrate near 0, so the same m·k
+    * budget quantizes them far tighter than raw vectors); a query
+    * probes its `nprobe` nearest cells and ADC-scans ONLY the codes in
+    * those cells — expected (nprobe/nCells)·N code rows per query
+    * instead of N.
+    *
+    * The per-(cell, subspace, code) LUT entry is ||q_ss − (c_ss +
+    * cw)||², computed against a COMBINED centroid+codeword table
+    * (nCells·m·k rows, broadcast) — so both corpus encoding and query
+    * LUT stay on the codegen'd [[graft.functions.VecL2FD]] slice-fold
+    * and the corpus is never shuffled (broadcast coarse centroids,
+    * broadcast combined table, map-combinable min-struct argmin and
+    * bounded-heap rank-k; zero windows). `rerank` adds the exact-L2
+    * tail over the |Q|·rerank shortlist only (IVFADC-R).
+    *
+    * Deliberately approximate twice over (cell pruning + quantization)
+    * — gate with [[Contracts.annRecallContract]] against
+    * [[bruteForceL2TopK]], the q163/q164/q222 discipline. */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 4, codes: Int = 16,
+      iters: Int = 2, rerank: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nprobe >= 1 && nprobe <= nCells, s"bad nprobe: $nprobe/$nCells")
+    require(rerank == 0 || rerank >= k,
+      s"rerank shortlist must be 0 (off) or >= k: $rerank < $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, nCells, iters)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "neighbor_id", "approx_d2", "rank")
+    val codebook = residualPqCodebook(corpus, cents, m, codes)
+    val dim = cents.head._2.length
+    val sub = dim / m
+    // combined centroid+codeword vectors: the ADC target for cell x
+    // subspace x code — one broadcast relation serves corpus encoding
+    // AND every query's LUT
+    val combined = cents.flatMap { case (cell, cv) =>
+      codebook.map { case (ss, code, cw) =>
+        (cell, ss, code,
+          Array.tabulate(sub)(j => cv(ss * sub + j) + cw(j)).toSeq)
+      }
+    }.toDF("cell", "__ss", "__code", "__cvec")
+    val cent = centroidsDf(spark, cents)
+    val asg = graft.util.RelCache.persist(
+      assignCells(corpus, cent, 1).select(col("vec_id"),
+        col("embedding"), col("cell")))
+    // residual encoding: argmin_code ||v_ss - (c_ss + cw)||2 per
+    // (vector, subspace), cell-keyed against the broadcast combined set
+    val enc = (0 until m).map { ss =>
+      asg.join(broadcast(combined.filter(col("__ss") === ss)), "cell")
+        .select(col("vec_id"), col("cell"), col("__ss"), col("__code"),
+          graft.functions.VecL2FD.vec_l2_fd(
+            col("embedding"), col("__cvec"), ss * sub).as("__d2"))
+    }.reduce(_ unionAll _)
+      .groupBy(col("vec_id"), col("cell"), col("__ss"))
+      .agg(min(struct(col("__d2"), col("__code"))).as("__b"))
+      .select(col("vec_id"), col("cell"), col("__ss").as("subspace"),
+        col("__b.__code").as("code"))
+    // query LUT: exact d2 from the query subvector to every combined
+    // target in its nprobe probed cells
+    val qasg = assignCells(queries, cent, nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("cell"))
+    val lut = (0 until m).map { ss =>
+      qasg.join(broadcast(combined.filter(col("__ss") === ss)), "cell")
+        .select(col("query_id"), col("cell"),
+          col("__ss").as("subspace"), col("__code").as("code"),
+          graft.functions.VecL2FD.vec_l2_fd(
+            col("embedding"), col("__cvec"), ss * sub).as("__d2"))
+    }.reduce(_ unionAll _)
+    // ADC: only code rows in probed cells join a LUT entry — the scan
+    // IS the pruning; fold the m per-subspace terms in subspace order
+    val summed = enc.join(broadcast(lut), Seq("cell", "subspace", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("subspace"),
+        col("__d2")))).as("__a"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(col("__a"), lit(0.0),
+          (acc, x) => acc + x.getField("__d2")).as("__ad2"))
+    val adc = summed.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.top_k(
+        -col("__ad2"), col("vec_id"), if (rerank > 0) rerank else k).as("__t"))
+      .select(col("query_id"), posexplode(col("__t")).as(Seq("__p", "__x")))
+      .select(col("query_id"), col("__x.id").as("neighbor_id"),
+        (-col("__x.score")).as("approx_d2"),
+        (col("__p") + lit(1)).cast("int").as("rank"))
+    if (rerank == 0) adc
+    else {
+      val qv = queries.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("__qv"))
+      adc.select(col("query_id"), col("neighbor_id"))
+        .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+          "neighbor_id")
+        .join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.VecL2FD.vec_l2_fd(
+            col("embedding"), col("__qv"), 0).as("__d2"))
+        .groupBy(col("query_id"))
+        .agg(graft.functions.TopKByScore.top_k(
+          -col("__d2"), col("neighbor_id"), k).as("__t"))
+        .select(col("query_id"), posexplode(col("__t")).as(Seq("__p", "__x")))
+        .select(col("query_id"), col("__x.id").as("neighbor_id"),
+          (-col("__x.score")).as("approx_d2"),
+          (col("__p") + lit(1)).cast("int").as("rank"))
+    }
+  }
+
+  /** Residual PQ codebook for [[ivfPqSearch]]: the [[pqCodebook]] Lloyd
+    * run on coarse-assignment RESIDUALS of the ':ivfpq' hash-rank
+    * sample. Driver-bounded (codes·8 vectors); coarse assignment
+    * mirrors [[assignCells]]'s cosine rule (left-to-right double dot,
+    * ties to the lowest cent_id) so sample residuals are computed
+    * against exactly the cell the distributed path assigns. */
+  private[graft] def residualPqCodebook(corpus: DataFrame,
+      cents: Seq[(Long, Array[Double])], m: Int,
+      k: Int): Seq[(Int, Long, Array[Double])] = {
+    val trainHash = conv(substring(
+      md5(concat(col("vec_id").cast("string"), lit(":ivfpq"))), 1, 15), 16, 10)
+      .cast("long")
+    val sample: Array[Array[Float]] =
+      corpus.select(col("embedding"), trainHash.as("__h"), col("vec_id"))
+        .orderBy(col("__h"), col("vec_id")).limit(k * 8)
+        .collect()
+        .map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty) return Seq.empty
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(cents.forall(_._2.length == dim),
+      "centroid/embedding dimension mismatch")
+    def nrmF(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    def nrmD(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    def dotFD(v: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * c(i); i += 1 }
+      s
+    }
+    val sorted = cents.sortBy(_._1)
+    val residuals: Array[Array[Double]] = sample.map { v =>
+      val nv = nrmF(v)
+      var bestCos = Double.NegativeInfinity
+      var best: Array[Double] = sorted.head._2
+      sorted.foreach { case (_, c) =>
+        val cos = dotFD(v, c) / (nv * nrmD(c))
+        if (java.lang.Double.compare(cos, bestCos) > 0) {
+          bestCos = cos; best = c
+        }
+      }
+      Array.tabulate(dim)(j => v(j).toDouble - best(j))
+    }
+    trainPqLloydD(residuals, m, k)
+  }
+
+  /** Per-subspace driver Lloyd over double vectors (the
+    * [[trainPqCodebook]] arithmetic generalized to a residual sample):
+    * decimal-exact per-dim means, ties to the lowest code, empty codes
+    * keep their codeword, 2 refinement iterations. */
+  private def trainPqLloydD(sample: Array[Array[Double]], m: Int,
+      k: Int): Seq[(Int, Long, Array[Double])] = {
+    import java.math.{BigDecimal => JBD, BigInteger => JBI, RoundingMode}
+    val dim = sample.head.length
+    val sub = dim / m
+    def d2(v: Array[Double], lo: Int, c: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < sub) { val d = v(lo + j) - c(j); s += d * d; j += 1 }
+      s
+    }
+    (0 until m).flatMap { ss =>
+      val lo = ss * sub
+      var cs: Array[Array[Double]] = sample.take(k).map(_.slice(lo, lo + sub))
+      for (_ <- 1 to 2) {
+        val assign = sample.indices.map { vi =>
+          var best = -1; var bestD = 0.0
+          var c = 0
+          while (c < cs.length) {
+            val d = d2(sample(vi), lo, cs(c))
+            if (best == -1 || java.lang.Double.compare(d, bestD) < 0) {
+              best = c; bestD = d
+            }
+            c += 1
+          }
+          best
+        }
+        cs = cs.zipWithIndex.map { case (old, cid) =>
+          val members = sample.indices.filter(assign(_) == cid)
+          if (members.isEmpty) old
+          else Array.tabulate(sub) { j =>
+            var acc = JBI.ZERO
+            var valid = 0
+            members.foreach { vi =>
+              val x = sample(vi)(lo + j)
+              if (java.lang.Double.isFinite(x)) {
+                val d = new JBD(java.lang.Double.toString(x))
+                  .setScale(14, RoundingMode.HALF_UP)
+                if (d.precision() <= 38) {
+                  acc = acc.add(d.unscaledValue()); valid += 1
+                }
+              }
+            }
+            if (valid == 0) old(j)
+            else {
+              val s = new JBD(acc, 14)
+              val fl = s.setScale(0, RoundingMode.FLOOR)
+              val exact = fl.longValueExact().toDouble +
+                s.subtract(fl).movePointRight(14).longValueExact().toDouble / 1.0e14
+              exact / members.length.toDouble
+            }
+          }
+        }
+      }
+      cs.zipWithIndex.map { case (c, cid) => (ss, cid.toLong, c) }
+    }
+  }
+
   /** The trained PQ codebook alone: (subspace, code, codeword). Exposed
     * for the spec's exact argmin re-verification; [[pqEncode]] is the
     * operator surface. */

@@ -26,6 +26,18 @@ object ProbeRecall {
       val lsh = rec(Similarity.annLsh(emb, qset, 3, tables = 8, bits = 8, probeHamming = 2))
       val ivf = rec(Similarity.annIvf(emb, qset, 3, nCells = 64, nprobe = 8))
       println(s"RECALL $sf exact=${exact.size} lsh=$lsh ivf=$ivf")
+      // the q229 gated config, vs the L2 exact ranking it contracts against
+      val exactL2 = Similarity.bruteForceL2TopK(emb, qset, 3)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recL2(ap: org.apache.spark.sql.DataFrame): Double = {
+        val s = ap.select(col("query_id"), col("neighbor_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        exactL2.count(s.contains).toDouble / exactL2.size
+      }
+      val ivfpq = recL2(Similarity.ivfPqSearch(emb, qset, 3, nCells = 16,
+        nprobe = 8, m = 8, codes = 64, rerank = 100))
+      println(s"RECALL-L2 $sf ivfpq(nCells=16,nprobe=8,m=8,k=64,rr=100)=$ivfpq")
     }
     spark.stop()
   }

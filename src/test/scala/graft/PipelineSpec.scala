@@ -1972,6 +1972,35 @@ class PipelineSpec extends SparkSpec {
     assert((1 to 3).forall(i => rr(i)._1 == exact(i)))
   }
 
+  test("ivfPqSearch: all-cells probe + full rerank equals exact top-k; pruning stays in-cluster") {
+    // two far clusters; query sits in cluster A with a coincident twin
+    // (nonzero: the coarse assignment is cosine-based, so a zero vector
+    // has no cell)
+    val vecs = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) 1.0f else 100.0f
+      (i.toLong, Seq(base + i * 0.1f, base, base - i * 0.1f, base))
+    } :+ ((50L, Seq(1.0f, 1.0f, 1.0f, 1.0f)))
+    val d = vecs.toDF("vec_id", "embedding")
+    val q0 = Seq((0L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    // probe EVERY cell with a corpus-covering rerank: the shortlist holds
+    // every candidate and the exact-L2 tail re-ranks it — output must
+    // equal brute force row-for-row, distances included
+    val full = Similarity.ivfPqSearch(d, q0, 3, nCells = 4, nprobe = 4,
+        m = 2, codes = 4, rerank = 25)
+      .collect().map(r => r.getInt(3) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val exact = Similarity.bruteForceL2TopK(d, q0, 3)
+      .collect().map(r => r.getInt(3) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(full == exact)
+    assert(full(1) == ((50L, 0.0)))
+    // nprobe=1: the query's own cell is its nearest — every hit must
+    // come from the query's cluster, never the far one
+    val pruned = Similarity.ivfPqSearch(d, q0, 3, nCells = 2, nprobe = 1,
+        m = 2, codes = 4, rerank = 20)
+      .collect().map(r => r.getLong(1)).toSet
+    val clusterA = (0 until 24 by 2).map(_.toLong).toSet + 50L
+    assert(pruned.nonEmpty && pruned.subsetOf(clusterA), s"pruned: $pruned")
+  }
+
   test("pqError: zero loss when vectors coincide with codewords; counts cover the corpus") {
     // one distinct vector per cluster, repeated: the decimal centroid
     // mean of identical values is the value itself -> d2 = 0 exactly

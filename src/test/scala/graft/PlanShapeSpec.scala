@@ -488,6 +488,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("ivfPqSearch: combined table + LUT broadcast, corpus never sort-merged, no windows") {
+    val plan = executedPlan(Similarity.ivfPqSearch(
+      emb, emb.filter($"vec_id" <= 3), 2, nCells = 2, nprobe = 2,
+      m = 2, codes = 4, rerank = 8))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.toLowerCase.contains("topkbyscore"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("lmFilterSketch: GK thresholds broadcast, no rank window anywhere") {
     val plan = executedPlan(graft.pipeline.Curation.lmFilterSketch(
       docs, minPctl = 0.5, accuracy = 25))
