@@ -1894,6 +1894,13 @@ object SparkEntry {
         Similarity.ivfPqSearch(emb, qset, 3, nCells = 16, nprobe = 8,
           m = 8, codes = 64, rerank = 100),
         Similarity.bruteForceL2TopK(emb, qset, 3), bound = 0.3)
+    },
+    "q230_dup_ngram_rate" -> { (s, dir) =>
+      // Lee-et-al-style corpus diagnostic: per source, the fraction of
+      // word 8-gram instances duplicated anywhere in the corpus — the
+      // dedup-is-it-worth-it / who-carries-the-boilerplate report
+      implicit val sp: SparkSession = s
+      Dedup.dupNgramRate(t(dir, "documents"), n = 8)
     }
   )
 
@@ -2549,6 +2556,7 @@ object SparkEntry {
     // pinned floor hash-mismatches
     "q229_ivfpq_recall" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
-        "FROM embeddings WHERE vec_id < 10")
+        "FROM embeddings WHERE vec_id < 10"),
+    "q230_dup_ngram_rate" -> PipelineOracle.dupNgramRate(8)
   )
 }

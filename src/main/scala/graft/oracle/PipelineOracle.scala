@@ -847,6 +847,22 @@ object PipelineOracle {
       "FROM documents d LEFT JOIN bad ON bad.doc_id = d.doc_id"
   }
 
+  /** Mirrors Dedup.dupNgramRate: per-source gram-instance counts
+    * collapsed first, corpus-wide totals from the collapsed relation,
+    * exact integer sums, one IEEE division per source. */
+  def dupNgramRate(n: Int): String =
+    "WITH dt AS (SELECT source, regexp_extract_all(text, '\\S+') AS t FROM documents), " +
+      s"gr AS (SELECT source, array_to_string(t[CAST(i AS INT):CAST(i + ${n - 1} AS INT)], ' ') AS g " +
+      s"FROM (SELECT source, t, UNNEST(generate_series(1, len(t) - ${n - 1})) AS i " +
+      s"FROM dt WHERE len(t) >= $n)), " +
+      "sg AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c FROM gr GROUP BY source, g), " +
+      "gc AS (SELECT g, CAST(SUM(c) AS BIGINT) AS cg FROM sg GROUP BY g) " +
+      "SELECT source, CAST(SUM(c) AS BIGINT) AS total_grams, " +
+      "CAST(SUM(CASE WHEN cg > 1 THEN c ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dup_grams, " +
+      "CAST(SUM(CASE WHEN cg > 1 THEN c ELSE CAST(0 AS BIGINT) END) AS DOUBLE) / " +
+      "CAST(SUM(c) AS DOUBLE) AS dup_rate " +
+      "FROM sg JOIN gc USING (g) GROUP BY source"
+
   /** Mirrors Dedup.contaminationScore: distinct word n-grams per doc,
     * overlap with the benchmark's distinct gram set, exact fraction.
     * The relational string-gram form — the Spark side counts via sorted

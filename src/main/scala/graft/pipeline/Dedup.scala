@@ -256,6 +256,47 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("__c"), lit(false)).as("contaminated"))
   }
 
+  /** Corpus duplicate n-gram rate per source — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * corpus diagnostic: of all word n-gram INSTANCES a source
+    * contributes, what fraction are duplicated somewhere in the corpus
+    * (the mass near-dup and substring dedup would act on, measured
+    * BEFORE running them — the number that says whether dedup is worth
+    * the pass, and which sources carry the boilerplate). Reported per
+    * source with gram counts: (source, total_grams, dup_grams,
+    * dup_rate).
+    *
+    * Scale shape: ONE tokenize pass; the instance stream collapses
+    * immediately to the (source, gram) count relation (Zipf-collapsed —
+    * this is the relation the corpus-wide gram totals derive from too,
+    * so the raw instance explosion is never shuffled); the final join
+    * is collapsed-relation × collapsed-relation on the gram key. All
+    * counts are exact integers; dup_rate is one IEEE division per
+    * source. Docs with NULL text or fewer than n tokens contribute no
+    * instances; a source with no grams emits no row. */
+  def dupNgramRate(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    val grams = docs.select(col("source"),
+        expr("""regexp_extract_all(text, '\\S+', 0)""").as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("source"),
+        explode(expr(s"sequence(1, size(__t) - ${n - 1})")).as("__i"),
+        col("__t"))
+      .select(col("source"), expr(s"array_join(slice(__t, __i, $n), ' ')").as("g"))
+    // persisted: feeds both the corpus-wide gram totals and the
+    // per-source attribution join
+    val sg = memoPersist(grams.groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("__c")))
+    val gc = sg.groupBy(col("g")).agg(sum(col("__c")).as("__cg"))
+    sg.join(gc, "g")
+      .groupBy(col("source"))
+      .agg(sum(col("__c")).as("total_grams"),
+        sum(when(col("__cg") > 1, col("__c")).otherwise(lit(0L))).as("dup_grams"))
+      .select(col("source"), col("total_grams"), col("dup_grams"),
+        (col("dup_grams").cast("double") / col("total_grams").cast("double"))
+          .as("dup_rate"))
+  }
+
   /** Per-doc contamination SCORE against a benchmark (the GPT-3-style
     * report, beyond `decontaminate`'s boolean flag): distinct word
     * n-grams, how many of them appear in the benchmark, and the

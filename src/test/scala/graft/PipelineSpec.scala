@@ -80,6 +80,27 @@ class PipelineSpec extends SparkSpec {
     assert(out.sortBy(_._3).map(_._1).toSeq == Seq(4L, 1L, 2L))
   }
 
+  test("dupNgramRate: per-source instance attribution against corpus-wide gram counts") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"),   // grams: "a b", "b c", "c d"
+      (2L, "a b x", "s1"),     // grams: "a b", "b x"
+      (3L, "c d y", "s2"),     // grams: "c d", "d y"
+      (4L, "z", "s2"),         // < n tokens: no grams
+      (5L, null.asInstanceOf[String], "s3") // null text: no grams
+    ).toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Dedup.dupNgramRate(docs, n = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // corpus-wide: "a b" x2, "c d" x2, others x1
+    // s1: 5 instances, 3 dup ("a b" twice + "b c"? no — "b c" unique);
+    //     dup = the two "a b" instances + the "c d" instance = 3
+    assert(out("s1") == ((5L, 3L, 3.0 / 5.0)))
+    // s2: "c d" (dup) + "d y" (unique) = 2 total, 1 dup
+    assert(out("s2") == ((2L, 1L, 1.0 / 2.0)))
+    // s3 and gram-less docs emit no row
+    assert(out.keySet == Set("s1", "s2"))
+  }
+
   test("redaction rewrites PII in email -> URL -> digit-run order") {
     val docs = Seq(
       (1L, "mail me at bob.smith+x@corp.example.com today"),
