@@ -1901,6 +1901,14 @@ object SparkEntry {
       // dedup-is-it-worth-it / who-carries-the-boilerplate report
       implicit val sp: SparkSession = s
       Dedup.dupNgramRate(t(dir, "documents"), n = 8)
+    },
+    "q231_leak_free_split" -> { (s, dir) =>
+      // leakage-free split: the verdict is decided per near-dup
+      // COMPONENT and inherited by every member — a near-dup pair can
+      // never straddle train and test
+      implicit val sp: SparkSession = s
+      Dedup.leakFreeSplit(t(dir, "documents"), fracVal = 0.1,
+        fracTest = 0.1, salt = "lfs1")
     }
   )
 
@@ -2557,6 +2565,7 @@ object SparkEntry {
     "q229_ivfpq_recall" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
         "FROM embeddings WHERE vec_id < 10"),
-    "q230_dup_ngram_rate" -> PipelineOracle.dupNgramRate(8)
+    "q230_dup_ngram_rate" -> PipelineOracle.dupNgramRate(8),
+    "q231_leak_free_split" -> PipelineOracle.leakFreeSplit(0.1, 0.1, "lfs1")
   )
 }

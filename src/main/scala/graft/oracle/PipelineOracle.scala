@@ -863,6 +863,28 @@ object PipelineOracle {
       "CAST(SUM(c) AS DOUBLE) AS dup_rate " +
       "FROM sg JOIN gc USING (g) GROUP BY source"
 
+  /** Mirrors Dedup.leakFreeSplit: the [[dupComponents]] transitive
+    * closure, then the split CASE on the 60-bit md5 of (component,
+    * ':component:', salt) against the integer thresholds — the whole
+    * component inherits one verdict. (tools/check_one.py replays the
+    * closure iteratively at large sf, like q85/q104, with this tail.) */
+  def leakFreeSplit(fracVal: Double, fracTest: Double, salt: String,
+      k: Int = 5, threshold: Double = 0.7, bands: Int = 16,
+      rowsPerBand: Int = 4): String = {
+    import graft.pipeline.Sampling.{threshold => thr}
+    s"WITH RECURSIVE p AS (${nearDupPairs(k, threshold, bands, rowsPerBand)}), " +
+      "e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p), " +
+      "walk(node, lab) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT e.v, w.lab FROM walk w JOIN e ON e.u = w.node), " +
+      "c AS (SELECT node AS doc_id, MIN(lab) AS component FROM walk GROUP BY node) " +
+      "SELECT doc_id, component, " +
+      s"CASE WHEN h < ${thr(fracVal)} THEN 'val' " +
+      s"WHEN h < ${thr(fracVal + fracTest)} THEN 'test' ELSE 'train' END AS split " +
+      "FROM (SELECT doc_id, component, ('0x' || substr(md5(" +
+      s"CAST(component AS VARCHAR) || ':component:' || ${q(salt)}), 1, 15))::BIGINT AS h " +
+      "FROM c) __c"
+  }
+
   /** Mirrors Dedup.contaminationScore: distinct word n-grams per doc,
     * overlap with the benchmark's distinct gram set, exact fraction.
     * The relational string-gram form — the Spark side counts via sorted

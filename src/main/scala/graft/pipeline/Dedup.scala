@@ -256,6 +256,40 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("__c"), lit(false)).as("contaminated"))
   }
 
+  /** Leakage-free train/val/test split: the split is decided ONCE per
+    * near-duplicate COMPONENT (hash-threshold Bernoulli on the
+    * component label) and every member inherits it — so a near-dup pair
+    * can never straddle train and test, the contamination a plain
+    * per-doc split is structurally unable to prevent (Lewis et al.
+    * 2021 measured QA models answering test questions memorized from
+    * train-side near-dups). Components come from [[components]] over
+    * the verified [[nearDupPairs]] graph; singleton docs are their own
+    * component, so clean corpora degrade to an ordinary hash split.
+    *
+    * Semantics: expected fractions are of COMPONENTS, not docs (a
+    * mega-cluster lands whole on one side by design — that is the
+    * point); the hash is 60-bit md5 of (component, salt), the
+    * [[graft.pipeline.Sampling]] integer-threshold discipline — no
+    * float knife-edges cross-engine. Returns (doc_id, component,
+    * split). */
+  def leakFreeSplit(docs: DataFrame, fracVal: Double, fracTest: Double,
+      salt: String, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(fracVal >= 0.0 && fracTest >= 0.0 && fracVal + fracTest < 1.0,
+      "fractions must be non-negative and sum to less than 1 (train is the remainder)")
+    val comp = components(docs.select(col("doc_id")), nearDupPairs(docs),
+        maxIter, checkpointDir)
+      .select(col("doc_id"), col("component"))
+    val h = graft.pipeline.Sampling.hash60(
+      col("component"), lit("component"), salt)
+    val tVal = graft.pipeline.Sampling.threshold(fracVal)
+    val tTest = graft.pipeline.Sampling.threshold(fracVal + fracTest)
+    comp.select(col("doc_id"), col("component"),
+      when(h < lit(tVal), lit("val"))
+        .when(h < lit(tTest), lit("test"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** Corpus duplicate n-gram rate per source — the Lee et al. 2021
     * ("Deduplicating Training Data Makes Language Models Better")
     * corpus diagnostic: of all word n-gram INSTANCES a source

@@ -80,6 +80,26 @@ class PipelineSpec extends SparkSpec {
     assert(out.sortBy(_._3).map(_._1).toSeq == Seq(4L, 1L, 2L))
   }
 
+  test("leakFreeSplit: a near-dup component shares ONE split verdict") {
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, dupText), (2L, dupText), (3L, dupText + " extra"),
+      (10L, "completely different words here one two three four five six"),
+      (11L, "another unrelated document with its own tokens seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = Dedup.leakFreeSplit(docs, fracVal = 0.3, fracTest = 0.3,
+        salt = "s").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // docs 1-3 are one near-dup component: same component label (the
+    // minimum member) and — the whole point — the SAME split verdict
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size == 1)
+    // singletons are their own component; every verdict is a real label
+    assert(out(10L)._1 == 10L && out(11L)._1 == 11L)
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    assert(out.size == 5)
+  }
+
   test("dupNgramRate: per-source instance attribution against corpus-wide gram counts") {
     val docs = Seq(
       (1L, "a b c d", "s1"),   // grams: "a b", "b c", "c d"

@@ -7,7 +7,7 @@ Usage: python3 tools/check_one.py <name> [outDir] [sfDir]
 Prints one line: [OK]/[SCHEMA]/[ROWS]/[VALUE]/[ORACLE-ERR]/[MISS] like
 tools/check.py, and exits 0 only on [OK].
 """
-import sys, json, glob, os
+import sys, json, glob, os, math
 import duckdb
 import pandas as pd
 
@@ -34,7 +34,8 @@ sql = json.load(open(f"{out}/oracle_sql.json"))[name]
 # driver's sf0.01 gate, so the closed-form fixpoint is still cross-proven
 # there; this path only re-proves it at scales the CTE cannot reach.
 PAIR_MARKER = "), e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p)"
-ITERATIVE = {"q85_dup_components", "q104_components_keep_by"}
+ITERATIVE = {"q85_dup_components", "q104_components_keep_by",
+             "q231_leak_free_split"}
 
 # The five pairwise-verify oracles build a per-candidate-pair element
 # join (candidate x ~300 grams, or x 64 vector dims) whose single-shot
@@ -217,6 +218,19 @@ def run_components_iteratively(con, sql, name):
     if name == "q85_dup_components":
         return con.execute(
             "SELECT node AS doc_id, lab AS component, node = lab AS keep FROM lab").df()
+    if name == "q231_leak_free_split":
+        # the gated config's tail: fracVal=0.1, fracTest=0.1, salt lfs1
+        # (thresholds = floor(rate * 2.0^60) in DOUBLE arithmetic — the
+        # exact Sampling.threshold image; integer // differs by ulps)
+        t_val = math.floor(0.1 * float(2 ** 60))
+        t_test = math.floor(0.2 * float(2 ** 60))
+        return con.execute(
+            "SELECT node AS doc_id, lab AS component, "
+            f"CASE WHEN h < {t_val} THEN 'val' "
+            f"WHEN h < {t_test} THEN 'test' ELSE 'train' END AS split "
+            "FROM (SELECT node, lab, ('0x' || substr(md5("
+            "CAST(lab AS VARCHAR) || ':component:lfs1'), 1, 15))::BIGINT AS h "
+            "FROM lab) __l").df()
     return con.execute(
         "WITH s AS (SELECT node AS doc_id, lab AS component, "
         "CAST(d.n_chars AS BIGINT) AS score FROM lab JOIN documents d ON d.doc_id = lab.node), "
