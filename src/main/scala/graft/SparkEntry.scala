@@ -1909,6 +1909,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.leakFreeSplit(t(dir, "documents"), fracVal = 0.1,
         fracTest = 0.1, salt = "lfs1")
+    },
+    "q232_stream_decontaminate" -> { (s, dir) =>
+      // STATELESS live-ingest decontamination screen: row-local
+      // arrays_overlap against the driver-collected eval-set grams —
+      // exact batch parity by construction (one narrow projection),
+      // gated on the SAME oracle as q82
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.streaming.StreamingHist.decontaminateStream(
+        docs, docs.filter(col("doc_id") < 20), n = 5)
     }
   )
 
@@ -2566,6 +2576,9 @@ object SparkEntry {
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
         "FROM embeddings WHERE vec_id < 10"),
     "q230_dup_ngram_rate" -> PipelineOracle.dupNgramRate(8),
-    "q231_leak_free_split" -> PipelineOracle.leakFreeSplit(0.1, 0.1, "lfs1")
+    "q231_leak_free_split" -> PipelineOracle.leakFreeSplit(0.1, 0.1, "lfs1"),
+    // same oracle as q82: the stateless stream screen is row-identical
+    // to the batch broadcast-semi-join by construction
+    "q232_stream_decontaminate" -> PipelineOracle.decontaminate(5, "doc_id < 20")
   )
 }

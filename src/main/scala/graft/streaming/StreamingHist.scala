@@ -299,6 +299,45 @@ object StreamingHist {
     }
   }
 
+  /** STATELESS streaming decontamination — the live-ingest screen for
+    * Dedup.decontaminate's batch semantics: each arriving document is
+    * flagged row-locally against the (static, eval-set-sized) benchmark
+    * gram set, so the operator composes into any streaming pipeline
+    * with NO state, no watermark, and exact batch parity (same rows on
+    * the same input, batch or stream — it is one narrow projection).
+    *
+    * The benchmark's distinct word n-grams are collected ONCE
+    * driver-side and ride as an array literal: eval sets are small by
+    * nature (the same assumption Dedup.decontaminate's broadcast makes;
+    * the corpus-scale-benchmark regime belongs to decontaminateBloom,
+    * whose per-doc aggregation needs a batch pass). The per-row check
+    * is arrays_overlap(doc grams, benchmark grams) — builtins only,
+    * grams built with the same \\S+ tokenizer and space join as the
+    * batch path. Docs with NULL text or fewer than n tokens are clean
+    * by definition. */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 13): DataFrame = {
+    require(!benchmark.isStreaming,
+      "the benchmark side is a static eval set")
+    val bgRows = benchmark.filter(col("text").isNotNull)
+      .select(expr("""regexp_extract_all(text, '\\S+', 0)""").as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(__t) - ${n - 1}), " +
+          s"i -> array_join(slice(__t, i, $n), ' '))")).as("g"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val bg = typedLit(bgRows.toSeq)
+    val grams = expr(
+      s"transform(sequence(1, size(__t) - ${n - 1}), " +
+        s"i -> array_join(slice(__t, i, $n), ' '))")
+    docs.select(col("doc_id"),
+        expr("""regexp_extract_all(text, '\\S+', 0)""").as("__t"))
+      .select(col("doc_id"),
+        when(col("__t").isNull || size(col("__t")) < n, lit(false))
+          .otherwise(coalesce(arrays_overlap(grams, bg), lit(false)))
+          .as("contaminated"))
+  }
+
   case class DocEvent(doc_id: Long, content_hash: String)
   case class DedupVerdict(doc_id: Long, content_hash: String, first_seen: Boolean)
 

@@ -673,6 +673,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless streaming decontamination: stream rows equal batch rows") {
+    val bench = Seq((100L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val docsRows = Seq(
+      (1L, "xx the quick brown fox said yy"),   // contains a bench 4-gram
+      (2L, "completely unrelated words here"),
+      (3L, "short"),                            // < n tokens
+      (4L, null.asInstanceOf[String])
+    )
+    val batch = StreamingHist.decontaminateStream(
+        docsRows.toDF("doc_id", "text"), bench, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batch == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // and it matches the batch operator's verdicts on the same input
+    val exact = graft.pipeline.Dedup.decontaminate(
+        docsRows.toDF("doc_id", "text"), bench, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batch == exact)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingHist.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), bench, n = 4)
+    val q = out.writeStream.format("memory").queryName("deco_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "xx the quick brown fox said yy"),
+        (2L, "completely unrelated words here"))
+      q.processAllAvailable()
+      input.addData((3L, "short"))
+      q.processAllAvailable()
+      val streamed = spark.table("deco_stream").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      // stateless: every arriving doc is flagged identically to batch
+      assert(streamed == Map(1L -> true, 2L -> false, 3L -> false))
+    } finally q.stop()
+  }
+
   test("windowed KS: streaming equals batch BIT-exactly on closed windows") {
     val ax = Regular("value", 4, 0.0, 4.0)
     val ref = graft.operators.Histogram.histogram(
