@@ -1919,6 +1919,15 @@ object SparkEntry {
       val docs = t(dir, "documents")
       graft.streaming.StreamingHist.decontaminateStream(
         docs, docs.filter(col("doc_id") < 20), n = 5)
+    },
+    "q233_winnowing" -> { (s, dir) =>
+      // MOSS-style winnowing: per-doc window-min fingerprints (any
+      // shared w+k-1-token run shares a fingerprint), df-capped bucket
+      // join, pair counts — LOCAL overlap detection where MinHash's
+      // whole-doc Jaccard dilutes partial containment
+      implicit val sp: SparkSession = s
+      Dedup.winnowingPairs(t(dir, "documents"), k = 4, w = 4,
+        dfCap = 20, minShared = 2)
     }
   )
 
@@ -2579,6 +2588,7 @@ object SparkEntry {
     "q231_leak_free_split" -> PipelineOracle.leakFreeSplit(0.1, 0.1, "lfs1"),
     // same oracle as q82: the stateless stream screen is row-identical
     // to the batch broadcast-semi-join by construction
-    "q232_stream_decontaminate" -> PipelineOracle.decontaminate(5, "doc_id < 20")
+    "q232_stream_decontaminate" -> PipelineOracle.decontaminate(5, "doc_id < 20"),
+    "q233_winnowing" -> PipelineOracle.winnowingPairs(4, 4, 20, 2)
   )
 }

@@ -256,6 +256,60 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("__c"), lit(false)).as("contaminated"))
   }
 
+  /** Winnowing fingerprint matching (Schleimer, Wilkerson & Aiken 2003
+    * — the MOSS algorithm): per document, hash every word k-gram, slide
+    * a w-hash window and keep the MINIMUM hash of each window as a
+    * fingerprint — the guarantee the paper proves is that any shared
+    * run of w+k-1 tokens shares at least one fingerprint, at ~2/(w+1)
+    * of the gram density (LOCAL fingerprint selection, unlike MinHash's
+    * global signature: winnowing localizes WHERE documents overlap and
+    * detects partial containment MinHash's whole-doc Jaccard dilutes).
+    * Emits candidate pairs (doc_a, doc_b, shared) with `shared` =
+    * distinct shared fingerprints ≥ `minShared`.
+    *
+    * Scale shape: gram hashing and the window MIN are doc-partitioned
+    * (bounded by doc length — the q195 rank-window precedent), the
+    * instance stream collapses to DISTINCT (doc, fp); fingerprints with
+    * document frequency > `dfCap` are dropped BEFORE pairing (df-capped
+    * bucket join, the LSH bucketCap discipline — boilerplate
+    * fingerprints would otherwise quadratically explode the self-join;
+    * df=1 fingerprints can't pair and drop too), so pair volume is
+    * bounded by dfCap·Σdf. All arithmetic is exact integers; the gram
+    * hash is the 60-bit md5 image both engines share. */
+  def winnowingPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+      dfCap: Int = 20, minShared: Int = 2): DataFrame = {
+    require(k > 0 && w > 0, s"bad winnowing shape: k=$k w=$w")
+    require(dfCap >= 2 && minShared >= 1, s"bad caps: $dfCap/$minShared")
+    val grams = docs.select(col("doc_id"),
+        expr("""regexp_extract_all(text, '\\S+', 0)""").as("__t"))
+      .filter(size(col("__t")) >= k + w - 1)
+      .select(col("doc_id"), size(col("__t")).as("__n"),
+        explode(expr(s"sequence(1, size(__t) - ${k - 1})")).as("__p"),
+        col("__t"))
+      .select(col("doc_id"), col("__n"), col("__p"),
+        conv(substring(md5(
+          expr(s"array_join(slice(__t, __p, $k), ' ')")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("__p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = grams
+      .withColumn("__fp", min(col("__h")).over(win))
+      .filter(col("__p") <= col("__n") - lit(k + w - 2))
+      .select(col("doc_id"), col("__fp")).distinct()
+    val fpsP = memoPersist(fps)
+    val kept = fpsP.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= dfCap)
+      .select(col("__fp"))
+    val pairable = fpsP.join(kept, "__fp")
+    pairable.select(col("__fp"), col("doc_id").as("doc_a"))
+      .join(pairable.select(col("__fp"), col("doc_id").as("doc_b")), "__fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Leakage-free train/val/test split: the split is decided ONCE per
     * near-duplicate COMPONENT (hash-threshold Bernoulli on the
     * component label) and every member inherits it — so a near-dup pair

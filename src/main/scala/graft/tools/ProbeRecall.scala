@@ -12,8 +12,10 @@ object ProbeRecall {
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"/root/testdata/$s")
+    for (sf <- dirs) {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       val qset = emb.filter(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(emb, qset, 3)
         .select(col("query_id"), col("neighbor_id")).collect()

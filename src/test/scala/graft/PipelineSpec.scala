@@ -80,6 +80,34 @@ class PipelineSpec extends SparkSpec {
     assert(out.sortBy(_._3).map(_._1).toSeq == Seq(4L, 1L, 2L))
   }
 
+  test("winnowing: shared w+k-1 run guarantees a shared fingerprint; df cap drops boilerplate") {
+    val run = "the quick brown fox jumps over a lazy dog tonight" // 10 tokens
+    val docs = Seq(
+      (1L, s"intro words here $run and then some trailing text one"),
+      (2L, s"$run totally different continuation of this other document two"),
+      (3L, "nothing in common with anything else at all whatsoever blue"),
+      (4L, "tiny doc") // < k+w-1 tokens: no fingerprints
+    ).toDF("doc_id", "text")
+    // k=4, w=4: any shared run of >= 7 tokens shares >= 1 fingerprint
+    // (the winnowing theorem) — docs 1 and 2 share a 10-token run
+    val pairs = graft.pipeline.Dedup.winnowingPairs(docs, k = 4, w = 4,
+        dfCap = 20, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 1L)
+    assert(pairs.keySet == Set((1L, 2L))) // doc 3 pairs with nobody
+    // dfCap=2 with the run in THREE docs: the shared fingerprints now
+    // have df=3 > cap and are dropped -> no pairs survive
+    val docs3 = docs.unionAll(Seq((5L, s"$run yet another tail pad")).toDF("doc_id", "text"))
+    val capped = graft.pipeline.Dedup.winnowingPairs(docs3, k = 4, w = 4,
+      dfCap = 2, minShared = 1).collect()
+    assert(capped.forall { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      // any surviving pair may only ride fingerprints outside the
+      // 3-doc boilerplate run (df <= 2)
+      Set(a, b).subsetOf(Set(1L, 2L, 5L))
+    })
+  }
+
   test("leakFreeSplit: a near-dup component shares ONE split verdict") {
     val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
