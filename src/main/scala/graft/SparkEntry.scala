@@ -1928,6 +1928,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.winnowingPairs(t(dir, "documents"), k = 4, w = 4,
         dfCap = 20, minShared = 2)
+    },
+    "q234_mixed_lang" -> { (s, dir) =>
+      // code-switching detector: chunk-level langid votes per doc — the
+      // curation signal whole-doc argmax langid structurally cannot
+      // produce (a half-and-half doc sails through a lang filter)
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.mixedLang(t(dir, "documents"), window = 16)
     }
   )
 
@@ -2589,6 +2596,7 @@ object SparkEntry {
     // same oracle as q82: the stateless stream screen is row-identical
     // to the batch broadcast-semi-join by construction
     "q232_stream_decontaminate" -> PipelineOracle.decontaminate(5, "doc_id < 20"),
-    "q233_winnowing" -> PipelineOracle.winnowingPairs(4, 4, 20, 2)
+    "q233_winnowing" -> PipelineOracle.winnowingPairs(4, 4, 20, 2),
+    "q234_mixed_lang" -> PipelineOracle.mixedLang(16)
   )
 }

@@ -1855,6 +1855,45 @@ object PipelineOracle {
       s"array_to_string(list_slice(t, s + 1, LEAST(s + $window, len)), ' ') AS chunk_text " +
       "FROM b2"
 
+  /** Mirrors TextAnalysis.mixedLang: the [[chunkDocs]] non-overlapping
+    * chunk CTE feeding the [[langId]] marker argmax per chunk, per-doc
+    * language vote counts, majority via ORDER BY c DESC, lang (the
+    * struct-min mirror), one IEEE division. */
+  def mixedLang(window: Int): String = {
+    def occ(pat: String): String = {
+      val esc = pat.replace("'", "''")
+      s"CAST((length(p) - length(replace(p, '$esc', ''))) / ${pat.length} AS BIGINT)"
+    }
+    val scores = TextAnalysis.langMarkers
+      .map { case (lang, pats) => pats.map(occ).mkString(" + ") + s" AS s_$lang" }
+      .mkString(", ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val pred = langs.map { lang =>
+      val isMax = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+      s"WHEN s_$lang > 0 AND $isMax THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    "WITH base AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t, " +
+      "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS len " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "b2 AS (SELECT doc_id, t, len, " +
+      s"UNNEST(generate_series(0, CASE WHEN len <= $window THEN 0 ELSE ((len - $window + $window - 1) // $window) * $window END, $window)) AS s " +
+      "FROM base WHERE len > 0), " +
+      "ch AS (SELECT doc_id, ' ' || " +
+      s"array_to_string(list_slice(t, s + 1, LEAST(s + $window, len)), ' ') || ' ' AS p " +
+      "FROM b2), " +
+      s"sc AS (SELECT doc_id, $scores FROM ch), " +
+      s"l AS (SELECT doc_id, $pred AS lng FROM sc), " +
+      "bl AS (SELECT doc_id, lng, CAST(COUNT(*) AS BIGINT) AS c FROM l GROUP BY doc_id, lng), " +
+      "m AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chunks, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_langs FROM bl GROUP BY doc_id), " +
+      "b AS (SELECT doc_id, lng AS majority_lang, c AS mc FROM bl " +
+      "QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, lng) = 1) " +
+      "SELECT m.doc_id, m.n_chunks, m.n_langs, b.majority_lang, " +
+      "CAST(b.mc AS DOUBLE) / CAST(m.n_chunks AS DOUBLE) AS majority_frac, " +
+      "m.n_langs > 1 AS mixed " +
+      "FROM m JOIN b USING (doc_id)"
+  }
+
   /** Mirrors TextAnalysis.tfidfTopK: the 1e-9-quantized LN(N/df) idf,
     * tf·idf as one IEEE multiply on bit-identical operands, rank ties
     * by term ascending. */

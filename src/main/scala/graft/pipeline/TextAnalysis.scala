@@ -703,6 +703,39 @@ object TextAnalysis {
           lit(window)), " ").as("chunk_text"))
   }
 
+  /** Mixed-language / code-switching detector: [[chunkDocs]] the doc
+    * into NON-overlapping `window`-token chunks, [[langId]] each chunk,
+    * and report per doc how many languages the chunks predict — the
+    * curation signal whole-doc langid structurally cannot produce (a
+    * half-English-half-German doc argmaxes to ONE language and sails
+    * through a lang filter; chunk-level voting exposes it). Emits
+    * (doc_id, n_chunks, n_langs, majority_lang, majority_frac, mixed).
+    *
+    * Determinism: chunking and the marker argmax are exact; the
+    * majority chunk-language breaks count ties to the LEXICALLY
+    * SMALLEST language (min over (-count, lang) structs — mirrored by
+    * the oracle's ORDER BY c DESC, lang rank); majority_frac is one
+    * IEEE division. Scale shape: one narrow chunk explode (the
+    * [[chunkDocs]] plan) straight into two map-combinable aggregates —
+    * no joins, no windows; docs with NULL text or zero tokens emit no
+    * row (nothing to vote). */
+  def mixedLang(docs: DataFrame, window: Int = 32): DataFrame = {
+    val chunks = chunkDocs(docs, window, window)
+      .select(col("doc_id"), col("chunk_text").as("text"))
+    val byLang = chunks.select(col("doc_id"), langPred.as("__l"))
+      .groupBy(col("doc_id"), col("__l"))
+      .agg(count(lit(1)).as("__c"))
+    byLang.groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_chunks"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("__c")).as("__nc"), col("__l").as("__ll"))).as("__m"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("__m.__ll").as("majority_lang"),
+        ((-col("__m.__nc")).cast("double") /
+          col("n_chunks").cast("double")).as("majority_frac"),
+        (col("n_langs") > 1).as("mixed"))
+  }
+
   /** Per-document keyword extraction: the k most distinctive terms of
     * each doc by tf-idf with log idf — score = tf · ln(N/df), N = docs
     * with text, df = docs containing the term (the [[topTerms]]

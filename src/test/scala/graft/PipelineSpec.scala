@@ -80,6 +80,30 @@ class PipelineSpec extends SparkSpec {
     assert(out.sortBy(_._3).map(_._1).toSeq == Seq(4L, 1L, 2L))
   }
 
+  test("mixedLang: chunk-level votes expose code-switching whole-doc langid misses") {
+    // 8 English tokens then 8 German tokens: window=8 chunks vote en/de
+    val en = "the cat of the dog of a mouse"   // 8 tokens, en markers
+    val de = "der hund und die katze und der vogel" // 8 tokens, de markers
+    val docs = Seq(
+      (1L, s"$en $de"),
+      (2L, en),
+      (3L, "no markers at all just words")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.mixedLang(docs, window = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    // doc 1: two chunks, two languages, tie broken to 'de' < 'en'
+    assert(out(1L) == ((2L, 2L, "de", 0.5, true)))
+    assert(out(2L) == ((1L, 1L, "en", 1.0, false)))
+    assert(out(3L) == ((1L, 1L, "und", 1.0, false)))
+    // whole-doc langid on doc 1 argmaxes to ONE language — the signal
+    // mixedLang adds is exactly the n_langs > 1 bit
+    val whole = graft.pipeline.TextAnalysis.langId(docs.filter($"doc_id" === 1L))
+      .select("pred_lang").collect().head.getString(0)
+    assert(Set("en", "de").contains(whole))
+  }
+
   test("winnowing: shared w+k-1 run guarantees a shared fingerprint; df cap drops boilerplate") {
     val run = "the quick brown fox jumps over a lazy dog tonight" // 10 tokens
     val docs = Seq(
