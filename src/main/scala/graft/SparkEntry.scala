@@ -1935,6 +1935,18 @@ object SparkEntry {
       // produce (a half-and-half doc sails through a lang filter)
       implicit val sp: SparkSession = s
       graft.pipeline.TextAnalysis.mixedLang(t(dir, "documents"), window = 16)
+    },
+    "q235_stream_pull" -> { (s, dir) =>
+      // per-(window, bin) Poisson residuals vs the corpus reference —
+      // the drill-down beside the scalar windowed drift alarms (WHICH
+      // bins moved, by how many sigmas); batch == pullFrom over the
+      // windowed histogram, streaming chains two stateful aggs
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val ref = Histogram.histogram(ev, col("value"), axValue)
+      graft.streaming.StreamingHist.windowedPull(
+        ev, "event_time", col("value"), axValue, "1 hour", ref)
     }
   )
 
@@ -2597,6 +2609,12 @@ object SparkEntry {
     // to the batch broadcast-semi-join by construction
     "q232_stream_decontaminate" -> PipelineOracle.decontaminate(5, "doc_id < 20"),
     "q233_winnowing" -> PipelineOracle.winnowingPairs(4, 4, 20, 2),
-    "q234_mixed_lang" -> PipelineOracle.mixedLang(16)
+    "q234_mixed_lang" -> PipelineOracle.mixedLang(16),
+    // the window dim drops NULL event times (Spark's TimeWindowing
+    // inserts IsNotNull); the reference histogram keeps every row
+    "q235_stream_pull" -> Oracle.pullFromByDim("events",
+      Oracle.Spec("value", axValue),
+      "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
+      "window_start", where = "ts IS NOT NULL")
   )
 }

@@ -343,6 +343,32 @@ object Oracle {
       "FROM c GROUP BY d"
   }
 
+  /** Mirrors HistStats.pullFrom over a single dim expression (and
+    * thereby StreamingHist.windowedPull's gated batch path): per-dim
+    * in-range histograms FULL OUTER the dim×reference sparse grid on
+    * (dim, bin), absent sides 0, the (a−b)/√(a+b) Poisson-residual tail
+    * per row — no cumulative, no fold contract. */
+  def pullFromByDim(table: String, spec: Spec, dimSql: String,
+      dimName: String, where: String = "TRUE",
+      refWhere: String = "TRUE"): String = {
+    val idx = spec.axis.indexSql(spec.valueSql)
+    val rng = s"__i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1}"
+    s"WITH hx AS (SELECT d, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $dimSql AS d, $idx AS __i0 FROM $table WHERE $where) WHERE $rng GROUP BY d, __i0), " +
+      s"hr AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $idx AS __i0 FROM $table WHERE $refWhere) WHERE $rng GROUP BY __i0), " +
+      "ds AS (SELECT DISTINCT d FROM hx), " +
+      "g AS (SELECT ds.d, hr.__i0 AS i, hr.cnt FROM ds CROSS JOIN hr), " +
+      "j AS (SELECT COALESCE(hx.d, g.d) AS d, COALESCE(hx.__i0, g.i) AS i, " +
+      "COALESCE(hx.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(g.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM hx FULL OUTER JOIN g ON g.d = hx.d AND g.i = hx.__i0) " +
+      s"SELECT d AS $dimName, (${spec.axis.labelSql("i")}) AS ${spec.axis.binsCol}, " +
+      "ca AS cnt_a, cb AS cnt_b, " +
+      "CASE WHEN ca + cb > 0 THEN (ca - cb) / SQRT(ca + cb) " +
+      "ELSE CAST(NULL AS DOUBLE) END AS pull FROM j"
+  }
+
   /** Mirrors HistStats.psi with `dims`: per-dim side histograms
     * full-outer-joined sparse (PSI's pointwise terms owe nothing to
     * empty bins), per-dim DECIMAL-exact totals, eps-clamped

@@ -661,6 +661,19 @@ object HistStats {
           .otherwise(lit(null).cast("double")).as("pull")): _*)
   }
 
+  /** Per-group PULL against one shared reference histogram — [[pull]]'s
+    * per-bin residuals in [[psiFrom]]'s rolling-monitor shape (the
+    * drill-down beside the scalar drift scores: WHICH bins moved, by
+    * how many Poisson sigmas). Same scale shape: the dims×bins grid is
+    * histogram-sized, the reference broadcasts. */
+  def pullFrom(a: DataFrame, ref: DataFrame, ax: BinAxis,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "pullFrom scores per group; use pull for the global form")
+    val grid = a.select(dims.map(col): _*).distinct()
+      .crossJoin(broadcast(ref.select(col(ax.binsCol), col("cnt"))))
+    pull(a, grid, ax, dims)
+  }
+
   /** Grouped Pearson correlation over raw columns (the feature-QA
     * companion to Histogram.profile): one map-combinable aggregate pass
     * collecting n, Σx, Σy, Σxy, Σx², Σy² through DECIMAL(38,14) (exact,

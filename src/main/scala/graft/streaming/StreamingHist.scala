@@ -299,6 +299,67 @@ object StreamingHist {
     }
   }
 
+  /** Per-window per-bin PULL against a STATIC reference histogram — the
+    * drill-down beside [[windowedPsi]]/[[windowedEmd]]/[[windowedKs]]'s
+    * scalar alarms: WHICH bins moved this hour, and by how many Poisson
+    * sigmas. Batch execution is exactly HistStats.pullFrom over the
+    * batch windowed histogram (the oracle-gated configuration);
+    * streaming chains the same TWO stateful aggregations and computes
+    * the per-bin residuals map-side against the driver-collected
+    * reference — emitting a row for every bin the window OR the
+    * reference occupies (the batch full-outer semantics), so a bin that
+    * DISAPPEARED from live traffic still surfaces with cnt_a = 0.
+    *
+    * Streaming == batch BIT-EXACTLY: integer-valued counts are exact in
+    * doubles and the (a−b)/√(a+b) tail is one fixed IEEE sequence per
+    * row — no fold, no cumulative, no order contract at all. */
+  def windowedPull(df: DataFrame, tsCol: String, x: Column, ax: BinAxis,
+      windowDuration: String, ref: DataFrame,
+      watermark: String = "10 seconds"): DataFrame = {
+    if (!df.isStreaming) {
+      val wh = windowedHistogram(df, tsCol, x, ax, windowDuration)
+        .select(col("window_start"), col(ax.binsCol), col("cnt"))
+      graft.stats.HistStats.pullFrom(wh, ref, ax,
+        dims = Seq("window_start"))
+    } else {
+      val spark = df.sparkSession
+      val labels = graft.stats.HistStats.binsTable(spark, ax)
+        .select(col("left_edge").cast("double"))
+        .collect().map(_.getDouble(0)).toSeq
+      val refRows = ref
+        .select(col(ax.binsCol).cast("double"), col("cnt").cast("double"))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      require(refRows.keySet.subsetOf(labels.toSet),
+        "reference histogram carries bins outside the axis (flow rows?)")
+      val kept = ax.keepPred(x, includeUnder = false, includeOver = false)
+      val agged = df.withWatermark(tsCol, watermark)
+        .filter(kept)
+        .select(window(col(tsCol), windowDuration).as("win"),
+          ax.index(x).as("__i0"))
+        .groupBy(col("win"), col("__i0"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .select(col("win"), ax.label(col("__i0")).cast("double").as("__b"),
+          col("cnt"))
+        .groupBy(window(window_time(col("win")), windowDuration).as("__w2"))
+        .agg(collect_list(struct(col("__b"), col("cnt"))).as("__a"))
+      val wmap = map_from_entries(col("__a"))
+      // every axis label rides as a literal (label, refCnt) struct; the
+      // both-absent rows filter out, reproducing the batch full-outer
+      val binArr = array(labels.map(l => struct(lit(l).as("l"),
+        lit(refRows.getOrElse(l, 0.0)).as("cb"))): _*)
+      val ca = coalesce(element_at(wmap, col("__e.l")), lit(0.0))
+      agged.select(col("__w2.start").as("window_start"),
+          explode(binArr).as("__e"), col("__a"))
+        .select(col("window_start"), col("__e.l").as(ax.binsCol),
+          ca.as("cnt_a"), col("__e.cb").as("cnt_b"))
+        .filter(col("cnt_a") > 0.0 || col("cnt_b") > 0.0)
+        .withColumn("pull",
+          when(col("cnt_a") + col("cnt_b") > lit(0.0),
+            (col("cnt_a") - col("cnt_b")) / sqrt(col("cnt_a") + col("cnt_b")))
+            .otherwise(lit(null).cast("double")))
+    }
+  }
+
   /** STATELESS streaming decontamination — the live-ingest screen for
     * Dedup.decontaminate's batch semantics: each arriving document is
     * flagged row-locally against the (static, eval-set-sized) benchmark

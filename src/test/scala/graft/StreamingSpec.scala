@@ -751,6 +751,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed PULL: streaming equals batch per (window, bin); absent bins surface") {
+    val ax = Regular("value", 4, 0.0, 4.0)
+    val ref = graft.operators.Histogram.histogram(
+      Seq(0.5, 0.5, 1.5, 2.5).toDF("value"), col("value"), ax) // bin3 empty
+    val events = Seq((ts(1), 0.5), (ts(2), 0.5), (ts(3), 3.5),
+      (ts(12), 1.5), (ts(50), 2.5)).toDF("event_time", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime / 1000, r.getDouble(1))
+    val batch = StreamingHist.windowedPull(
+        events, "event_time", col("value"), ax, "10 seconds", ref)
+      .collect().map(r => key(r) ->
+        ((r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+    // window [0,10): bins 0 (ca=2, cb=2 -> pull 0), 3 (ca=1, cb=0 -> +1),
+    // and the DISAPPEARED ref bins 1, 2 (ca=0, cb=1 -> -1)
+    assert(batch((0L, 0.0)) == ((2.0, 2.0, 0.0)))
+    assert(batch((0L, 3.0)) == ((1.0, 0.0, 1.0)))
+    assert(batch((0L, 1.0)) == ((0.0, 1.0, -1.0)))
+    assert(batch((0L, 2.0)) == ((0.0, 1.0, -1.0)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = StreamingHist.windowedPull(
+      input.toDF().toDF("event_time", "value"),
+      "event_time", col("value"), ax, "10 seconds", ref)
+    val q = out.writeStream.format("memory").queryName("pull_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 0.5), (ts(2), 0.5))
+      q.processAllAvailable()
+      input.addData((ts(3), 3.5), (ts(12), 1.5))
+      q.processAllAvailable()
+      input.addData((ts(50), 2.5)) // watermark 40: closes [0,10),[10,20)
+      q.processAllAvailable()
+      val streamed = spark.table("pull_stream").collect()
+        .map(r => key(r) -> ((r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))).toMap
+      // closed windows only; every (window, bin) row equals batch
+      assert(streamed.keySet == batch.keySet.filter(_._1 < 20L))
+      streamed.foreach { case (k, v) => assert(v == batch(k), s"at $k") }
+    } finally q.stop()
+  }
+
   test("rate-limit state TTL: quiet-day eviction changes no emitted rows and releases state") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingHist.{RlEvent, RlKept}
