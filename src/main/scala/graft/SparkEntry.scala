@@ -1947,6 +1947,13 @@ object SparkEntry {
       val ref = Histogram.histogram(ev, col("value"), axValue)
       graft.streaming.StreamingHist.windowedPull(
         ev, "event_time", col("value"), axValue, "1 hour", ref)
+    },
+    "q236_burstiness" -> { (s, dir) =>
+      // inter-event burstiness per user (Goh & Barabási): (σ−μ)/(σ+μ)
+      // over microsecond gaps — the bot/scraper discriminator an event
+      // count misses (cron scrapers -> −1, humans bursty -> > 0)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Funnel.burstiness(t(dir, "events"))
     }
   )
 
@@ -2615,6 +2622,7 @@ object SparkEntry {
     "q235_stream_pull" -> Oracle.pullFromByDim("events",
       Oracle.Spec("value", axValue),
       "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
-      "window_start", where = "ts IS NOT NULL")
+      "window_start", where = "ts IS NOT NULL"),
+    "q236_burstiness" -> PipelineOracle.burstiness
   )
 }

@@ -2121,6 +2121,26 @@ object PipelineOracle {
       s"ROW_NUMBER() OVER (ORDER BY cnt DESC, $keyCol ASC NULLS LAST) AS rank " +
       s"FROM c CROSS JOIN t) r WHERE rank <= $k"
 
+  /** Mirrors Funnel.burstiness: microsecond gaps from the same
+    * user-partitioned lag order (us, event_id), Σg / Σg² as exact
+    * integer DECIMAL(38,0) sums with ONE double cast each (the
+    * q123/q189 integer route — g² ≈ 1e22 is past every long window),
+    * the identical GREATEST-clamped √ tail, NULL when σ + μ = 0. */
+  val burstiness: String = {
+    val sig = "SQRT(GREATEST(CAST(0 AS DOUBLE), sgg / n - (sg / n) * (sg / n)))"
+    "WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us " +
+      "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), " +
+      "g AS (SELECT user_id, us - LAG(us) OVER (" +
+      "PARTITION BY user_id ORDER BY us, event_id) AS gp FROM e), " +
+      "a AS (SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS n, " +
+      "CAST(SUM(CAST(gp AS DECIMAL(38,0))) AS DOUBLE) AS sg, " +
+      "CAST(SUM(CAST(gp AS DECIMAL(19,0)) * CAST(gp AS DECIMAL(19,0))) AS DOUBLE) AS sgg " +
+      "FROM g WHERE gp IS NOT NULL GROUP BY user_id) " +
+      "SELECT user_id, CAST(n AS BIGINT) AS n_gaps, sg / n AS mean_gap_us, " +
+      s"CASE WHEN $sig + sg / n > 0 THEN ($sig - sg / n) / ($sig + sg / n) " +
+      "ELSE CAST(NULL AS DOUBLE) END AS burstiness FROM a"
+  }
+
   /** Mirrors TextAnalysis.tokenEntropy: one (doc, term) tf aggregate,
     * 1e-9-quantized LN(tf/len), SUM ORDER BY term, one division and
     * negate. No corpus-wide state at all. */

@@ -613,6 +613,47 @@ object Funnel {
     * through one WindowExec partition at 100 TB). Ranks then come from
     * the position in ONE sorted ≤k-element array — no WindowExec in
     * the plan (pinned by PlanShapeSpec). */
+  /** Per-user inter-event burstiness index (Goh & Barabási 2008): B =
+    * (σ − μ)/(σ + μ) over the user's inter-arrival gaps in
+    * MICROSECONDS — B → −1 for clockwork-periodic traffic (σ ≪ μ), ~0
+    * for Poisson arrivals (σ ≈ μ), → +1 for extreme burst-and-silence
+    * patterns (σ ≫ μ). The bot/scraper discriminator a plain event
+    * count misses: a cron scraper and a human can fire the SAME number
+    * of events with opposite B.
+    *
+    * Exactness: gaps are exact integer microseconds from a
+    * user-partitioned lag (ordered by ts, event_id — bounded by the
+    * user's history, the q87 precedent); Σg and Σg² are EXACT INTEGER
+    * arithmetic in DECIMAL(38,0) (g² ≈ 1e22 overflows a long and sits
+    * past the 2^53 window where decimal(38,14)'s split-cast would
+    * overflow ITS long too — the q123/q189 integer route, one final
+    * double cast each, identical round-to-nearest in both engines);
+    * the tail (two divisions, GREATEST-clamped √, one ratio) is a
+    * fixed IEEE sequence. Users with < 2 events have no gaps and emit
+    * no row; an all-zero-gap user (σ + μ = 0) yields NULL. */
+  def burstiness(events: DataFrame): DataFrame = {
+    val usExpr = expr("ts div 1000")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    val gaps = events.filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), usExpr.as("__us"))
+      .withColumn("__g", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__g").isNotNull)
+    val gd = col("__g").cast("decimal(19,0)")
+    val agg = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__g").cast("decimal(38,0)")).cast("double").as("__sg"),
+        sum(gd * gd).cast("double").as("__sgg"))
+    val mean = col("__sg") / col("__n")
+    val variance = greatest(lit(0.0),
+      col("__sgg") / col("__n") - mean * mean)
+    val sigma = sqrt(variance)
+    agg.select(col("user_id"), col("__n").cast("long").as("n_gaps"),
+      mean.as("mean_gap_us"),
+      when(sigma + mean > lit(0.0), (sigma - mean) / (sigma + mean))
+        .otherwise(lit(null).cast("double")).as("burstiness"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))

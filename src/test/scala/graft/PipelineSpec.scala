@@ -80,6 +80,27 @@ class PipelineSpec extends SparkSpec {
     assert(out.sortBy(_._3).map(_._1).toSeq == Seq(4L, 1L, 2L))
   }
 
+  test("burstiness: -1 for clockwork, positive for burst-and-silence, NULL degenerate") {
+    def us(s: Long) = s * 1000000L * 1000L // ns
+    val events = Seq(
+      // user 1: perfectly periodic (gaps 10s, 10s, 10s) -> sigma=0, B=-1
+      (1L, 10L, us(0)), (2L, 10L, us(10)), (3L, 10L, us(20)), (4L, 10L, us(30)),
+      // user 2: burst then silence (gaps 1, 1, 58) -> sigma >> mu? B > 0
+      (5L, 20L, us(0)), (6L, 20L, us(1)), (7L, 20L, us(2)), (8L, 20L, us(60)),
+      // user 3: a single event -> no gaps, no row
+      (9L, 30L, us(5)),
+      // user 4: two events at the SAME ts -> one zero gap -> sigma+mu=0 -> NULL
+      (10L, 40L, us(7)), (11L, 40L, us(7))
+    ).toDF("event_id", "user_id", "ts")
+    val out = graft.pipeline.Funnel.burstiness(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(10L) == ((3L, Some(-1.0))))
+    assert(out(20L)._1 == 3L && out(20L)._2.exists(_ > 0.0))
+    assert(!out.contains(30L))
+    assert(out(40L) == ((1L, None)))
+  }
+
   test("mixedLang: chunk-level votes expose code-switching whole-doc langid misses") {
     // 8 English tokens then 8 German tokens: window=8 chunks vote en/de
     val en = "the cat of the dog of a mouse"   // 8 tokens, en markers
