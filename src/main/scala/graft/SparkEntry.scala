@@ -1954,6 +1954,17 @@ object SparkEntry {
       // count misses (cron scrapers -> −1, humans bursty -> > 0)
       implicit val sp: SparkSession = s
       graft.pipeline.Funnel.burstiness(t(dir, "events"))
+    },
+    "q237_attribution" -> { (s, dir) =>
+      // U-shaped multi-touch attribution: each purchase splits credit
+      // 40/20/40 over the user's views in the preceding hour — the
+      // position-based model between last-touch (as-of) and linear;
+      // bucket-blocked candidate join, oracle runs the unblocked range
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.attribution(ev, "purchase", "view",
+        tolUs = 3600000000L)
     }
   )
 
@@ -2623,6 +2634,8 @@ object SparkEntry {
       Oracle.Spec("value", axValue),
       "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
       "window_start", where = "ts IS NOT NULL"),
-    "q236_burstiness" -> PipelineOracle.burstiness
+    "q236_burstiness" -> PipelineOracle.burstiness,
+    "q237_attribution" -> PipelineOracle.attribution("purchase", "view",
+      3600000000L)
   )
 }

@@ -2141,6 +2141,29 @@ object PipelineOracle {
       "ELSE CAST(NULL AS DOUBLE) END AS burstiness FROM a"
   }
 
+  /** Mirrors Funnel.attribution with the UNBLOCKED range join (the gate
+    * re-proves the bucket blocking's completeness, the q205 pattern):
+    * one-sided window [conv − tol, conv), position/count windows keyed
+    * by conversion, the identical 40/20/40 CASE with one division. */
+  def attribution(convType: String, touchType: String, tolUs: Long): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    def side(t: String, idAs: String, usAs: String): String =
+      s"SELECT user_id, event_id AS $idAs, epoch_ns(ts) // 1000 AS $usAs " +
+        s"FROM events WHERE event_type = ${q(t)} AND ts IS NOT NULL AND user_id IS NOT NULL"
+    s"WITH c AS (${side(convType, "conv_id", "cus")}), " +
+      s"t AS (${side(touchType, "touch_id", "tus")}), " +
+      "j AS (SELECT c.user_id, conv_id, touch_id, tus FROM c JOIN t " +
+      s"ON t.user_id = c.user_id AND t.tus >= c.cus - $tolUs AND t.tus < c.cus), " +
+      "r AS (SELECT user_id, conv_id, touch_id, " +
+      "ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tus, touch_id) AS pos, " +
+      "COUNT(*) OVER (PARTITION BY conv_id) AS m FROM j) " +
+      "SELECT user_id, conv_id, touch_id, CAST(pos AS INT) AS position, " +
+      "CAST(m AS BIGINT) AS n_touches, " +
+      s"CASE WHEN m = 1 THEN ${d(1.0)} WHEN m = 2 THEN ${d(0.5)} " +
+      s"WHEN pos = 1 OR pos = m THEN ${d(0.4)} " +
+      s"ELSE ${d(0.2)} / CAST(m - 2 AS DOUBLE) END AS credit FROM r"
+  }
+
   /** Mirrors TextAnalysis.tokenEntropy: one (doc, term) tf aggregate,
     * 1e-9-quantized LN(tf/len), SUM ORDER BY term, one division and
     * negate. No corpus-wide state at all. */

@@ -469,6 +469,57 @@ object Funnel {
         (col("__rus") - col("__lus")).as("dt_us"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution: every
+    * conversion collects the user's touch events in the preceding
+    * `tolUs` window and splits credit 40/20/40 — first touch 0.4, last
+    * touch 0.4, the middle touches share 0.2 (1 touch takes 1.0, 2
+    * touches split 0.5/0.5) — the standard position-based model
+    * between last-touch (the [[graft.pipeline.AsOf]] join) and linear.
+    * Emits one row per (conversion, touch) with position, n_touches
+    * and credit; a credit sum grouped by any touch dimension is then a
+    * plain aggregate.
+    *
+    * Scale shape: the candidate join is the [[intervalJoin]] bucket
+    * blocking specialized one-sided (touch in [conv − tol, conv)) —
+    * the oracle runs the UNBLOCKED range join, so every gate re-proves
+    * blocking completeness; position/count run in a conversion-keyed
+    * window (bounded by one conversion's touch volume — tol × the
+    * user's event rate). Credit is a CASE of double literals with ONE
+    * division (0.2/(m−2)); ties order by (touch time, touch id). */
+  def attribution(events: DataFrame, convType: String, touchType: String,
+      tolUs: Long, tsCol: String = "event_time", keyCol: String = "user_id",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(tolUs > 0, s"tolUs must be positive: $tolUs")
+    def side(t: String, idAs: String, usAs: String): DataFrame = events
+      .filter(col(typeCol) === t && col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol), col(idCol).as(idAs),
+        unix_micros(col(tsCol)).as(usAs))
+    def bucket(usName: String): Column =
+      expr(s"$usName div $tolUs - " +
+        s"(case when $usName % $tolUs < 0 then 1 else 0 end)")
+    val c = side(convType, "conv_id", "__cus")
+      .withColumn("__pb", explode(array(bucket("__cus") - 1L, bucket("__cus"))))
+    val t = side(touchType, "touch_id", "__tus")
+      .withColumnRenamed(keyCol, "__tk")
+      .withColumn("__tb", bucket("__tus"))
+    val j = c.join(t, col(keyCol) === col("__tk") && col("__pb") === col("__tb"))
+      .filter(col("__tus") >= col("__cus") - lit(tolUs) &&
+        col("__tus") < col("__cus"))
+      .select(col(keyCol), col("conv_id"), col("touch_id"), col("__tus"))
+    val byConv = Window.partitionBy(col("conv_id"))
+    val pos = row_number().over(byConv.orderBy(col("__tus"), col("touch_id")))
+    val m = count(lit(1)).over(byConv)
+    j.select(col(keyCol), col("conv_id"), col("touch_id"),
+        pos.as("position"), m.as("n_touches"))
+      .withColumn("credit",
+        when(col("n_touches") === 1, lit(1.0))
+          .when(col("n_touches") === 2, lit(0.5))
+          .when(col("position") === 1 || col("position") === col("n_touches"),
+            lit(0.4))
+          .otherwise(lit(0.2) /
+            (col("n_touches") - lit(2)).cast("double")))
+  }
+
   /** Per-(key, day) rate limiting: keep each key's first `n` events of
     * every day, drop the rest — the abuse-throttle / per-user quota
     * pass a pipeline runs before event analytics so one runaway

@@ -80,6 +80,36 @@ class PipelineSpec extends SparkSpec {
     assert(out.sortBy(_._3).map(_._1).toSeq == Seq(4L, 1L, 2L))
   }
 
+  test("attribution: 40/20/40 position credit; 1 and 2 touch degenerate; window one-sided") {
+    def tsv(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: 4 views then a purchase at t=100 (tol 60s covers t>=40)
+      (1L, 1L, "view", tsv(50)), (2L, 1L, "view", tsv(60)),
+      (3L, 1L, "view", tsv(70)), (4L, 1L, "view", tsv(80)),
+      (5L, 1L, "purchase", tsv(100)),
+      // view AT the purchase instant: excluded (strictly before)
+      (6L, 1L, "view", tsv(100)),
+      // view too old for the window
+      (7L, 1L, "view", tsv(10)),
+      // user 2: single touch takes full credit
+      (8L, 2L, "view", tsv(95)), (9L, 2L, "purchase", tsv(100)),
+      // user 3: two touches split 0.5/0.5
+      (10L, 3L, "view", tsv(90)), (11L, 3L, "view", tsv(95)),
+      (12L, 3L, "purchase", tsv(100))
+    ).toDF("event_id", "user_id", "event_type", "event_time")
+    val out = graft.pipeline.Funnel.attribution(ev, "purchase", "view",
+        tolUs = 60000000L)
+      .collect().map(r => (r.getLong(2), // touch_id
+        (r.getInt(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((1, 4L, 0.4)) && out(4L) == ((4, 4L, 0.4)))
+    assert(out(2L) == ((2, 4L, 0.2 / 2)) && out(3L) == ((3, 4L, 0.2 / 2)))
+    assert(!out.contains(6L) && !out.contains(7L))
+    assert(out(8L) == ((1, 1L, 1.0)))
+    assert(out(10L) == ((1, 2L, 0.5)) && out(11L) == ((2, 2L, 0.5)))
+    // credit conserves: each conversion's credits sum to 1.0
+    assert(math.abs(out.values.map(_._3).sum - 3.0) < 1e-12)
+  }
+
   test("burstiness: -1 for clockwork, positive for burst-and-silence, NULL degenerate") {
     def us(s: Long) = s * 1000000L * 1000L // ns
     val events = Seq(
