@@ -1965,6 +1965,15 @@ object SparkEntry {
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.attribution(ev, "purchase", "view",
         tolUs = 3600000000L)
+    },
+    "q238_winnowing_containment" -> { (s, dir) =>
+      // the MOSS similarity report on the q233 candidates: containment
+      // = shared/min(|A|,|B|) over each doc's TOTAL selected
+      // fingerprints — the partial-overlap rank whole-doc Jaccard
+      // cannot express
+      implicit val sp: SparkSession = s
+      Dedup.winnowingContainment(t(dir, "documents"), k = 4, w = 4,
+        dfCap = 20, minShared = 2)
     }
   )
 
@@ -2636,6 +2645,8 @@ object SparkEntry {
       "window_start", where = "ts IS NOT NULL"),
     "q236_burstiness" -> PipelineOracle.burstiness,
     "q237_attribution" -> PipelineOracle.attribution("purchase", "view",
-      3600000000L)
+      3600000000L),
+    "q238_winnowing_containment" ->
+      PipelineOracle.winnowingContainment(4, 4, 20, 2)
   )
 }

@@ -904,6 +904,31 @@ object PipelineOracle {
       "FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
       s"GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= $minShared"
 
+  /** Mirrors Dedup.winnowingContainment: the [[winnowingPairs]] CTEs
+    * plus per-doc TOTAL selected-fingerprint counts and the
+    * shared/min(|A|, |B|) division. */
+  def winnowingContainment(k: Int, w: Int, dfCap: Int,
+      minShared: Int): String =
+    s"WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), " +
+      "g AS (SELECT doc_id, n, p, ('0x' || substr(md5(" +
+      s"array_to_string(t[CAST(p AS INT):CAST(p + ${k - 1} AS INT)], ' ')), 1, 15))::BIGINT AS h " +
+      s"FROM (SELECT doc_id, t, len(t) AS n, UNNEST(generate_series(1, len(t) - ${k - 1})) AS p " +
+      s"FROM toks WHERE len(t) >= ${k + w - 1})), " +
+      "f AS (SELECT DISTINCT doc_id, fp FROM (SELECT doc_id, p, n, " +
+      s"MIN(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp " +
+      s"FROM g) __w WHERE p <= n - ${k + w - 2}), " +
+      "cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM f GROUP BY doc_id), " +
+      "kept AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM f GROUP BY fp) __d " +
+      s"WHERE df >= 2 AND df <= $dfCap), " +
+      "pf AS (SELECT f.doc_id, f.fp FROM f JOIN kept USING (fp)), " +
+      "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared " +
+      "FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      s"GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= $minShared) " +
+      "SELECT doc_a, doc_b, shared, ca.nf AS fp_a, cb.nf AS fp_b, " +
+      "CAST(shared AS DOUBLE) / CAST(LEAST(ca.nf, cb.nf) AS DOUBLE) AS containment " +
+      "FROM pr JOIN cnts ca ON ca.doc_id = pr.doc_a " +
+      "JOIN cnts cb ON cb.doc_id = pr.doc_b"
+
   /** Mirrors Dedup.contaminationScore: distinct word n-grams per doc,
     * overlap with the benchmark's distinct gram set, exact fraction.
     * The relational string-gram form — the Spark side counts via sorted

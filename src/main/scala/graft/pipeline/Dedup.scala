@@ -310,6 +310,59 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** [[winnowingPairs]] with the MOSS similarity report: per candidate
+    * pair, the shared-fingerprint count plus each side's TOTAL selected
+    * fingerprint count and the containment score shared/min(|A|, |B|) —
+    * the number MOSS ranks matches by ("83% of the smaller document's
+    * fingerprints appear in the other"), which localized partial
+    * containment needs and whole-doc Jaccard can't express. Denominators
+    * count ALL of a doc's selected fingerprints (including df-capped and
+    * unshared ones), so the score is a property of the documents, not of
+    * the pairing policy. Same scale shape as [[winnowingPairs]] plus two
+    * doc-keyed joins of the (dfCap-bounded) pair relation against the
+    * per-doc count relation; one IEEE division per pair. */
+  def winnowingContainment(docs: DataFrame, k: Int = 4, w: Int = 4,
+      dfCap: Int = 20, minShared: Int = 2): DataFrame = {
+    require(k > 0 && w > 0, s"bad winnowing shape: k=$k w=$w")
+    require(dfCap >= 2 && minShared >= 1, s"bad caps: $dfCap/$minShared")
+    val grams = docs.select(col("doc_id"),
+        expr("""regexp_extract_all(text, '\\S+', 0)""").as("__t"))
+      .filter(size(col("__t")) >= k + w - 1)
+      .select(col("doc_id"), size(col("__t")).as("__n"),
+        explode(expr(s"sequence(1, size(__t) - ${k - 1})")).as("__p"),
+        col("__t"))
+      .select(col("doc_id"), col("__n"), col("__p"),
+        conv(substring(md5(
+          expr(s"array_join(slice(__t, __p, $k), ' ')")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("__p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = memoPersist(grams
+      .withColumn("__fp", min(col("__h")).over(win))
+      .filter(col("__p") <= col("__n") - lit(k + w - 2))
+      .select(col("doc_id"), col("__fp")).distinct())
+    val counts = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("__nf"))
+    val kept = fps.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= dfCap)
+      .select(col("__fp"))
+    val pairable = fps.join(kept, "__fp")
+    pairable.select(col("__fp"), col("doc_id").as("doc_a"))
+      .join(pairable.select(col("__fp"), col("doc_id").as("doc_b")), "__fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(counts.select(col("doc_id").as("doc_a"), col("__nf").as("fp_a")),
+        "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("__nf").as("fp_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("fp_a"), col("fp_b"),
+        (col("shared").cast("double") /
+          least(col("fp_a"), col("fp_b")).cast("double")).as("containment"))
+  }
+
   /** Leakage-free train/val/test split: the split is decided ONCE per
     * near-duplicate COMPONENT (hash-threshold Bernoulli on the
     * component label) and every member inherits it — so a near-dup pair

@@ -183,6 +183,28 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("winnowingContainment: full containment of the smaller doc scores 1.0") {
+    val core = "alpha beta gamma delta epsilon zeta eta theta"  // 8 tokens
+    val docs = Seq(
+      (1L, core),                                        // entirely inside doc 2
+      (2L, s"prefix words go here $core and a long suffix tail follows now"),
+      (3L, "unrelated content entirely different from the others completely")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.winnowingContainment(docs, k = 4, w = 4,
+        dfCap = 20, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // doc 1 is a verbatim substring of doc 2: every one of its selected
+    // fingerprints also gets selected in doc 2 only if window phase
+    // aligns — winnowing guarantees at least ONE shared; containment is
+    // shared over the SMALLER side's total
+    val (shared, fpA, fpB, cont) = out((1L, 2L))
+    assert(shared >= 1L && fpA <= fpB)
+    assert(cont == shared.toDouble / math.min(fpA, fpB))
+    assert(cont > 0.0 && cont <= 1.0)
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("leakFreeSplit: a near-dup component shares ONE split verdict") {
     val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
