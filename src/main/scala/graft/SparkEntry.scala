@@ -1974,6 +1974,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.winnowingContainment(t(dir, "documents"), k = 4, w = 4,
         dfCap = 20, minShared = 2)
+    },
+    "q239_curriculum_mix" -> { (s, dir) =>
+      // quality-temperature curriculum: per-source deciles by n_chars,
+      // decile d kept at ((d+1)/10)^2 — concentrates on top quality
+      // WITHOUT zeroing any decile (temperature beats a hard cutoff)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.curriculumMix(t(dir, "documents"),
+        col("n_chars").cast("double"), alpha = 2.0, salt = "cur1")
     }
   )
 
@@ -2647,6 +2655,7 @@ object SparkEntry {
     "q237_attribution" -> PipelineOracle.attribution("purchase", "view",
       3600000000L),
     "q238_winnowing_containment" ->
-      PipelineOracle.winnowingContainment(4, 4, 20, 2)
+      PipelineOracle.winnowingContainment(4, 4, 20, 2),
+    "q239_curriculum_mix" -> PipelineOracle.curriculumMix(2.0, "cur1")
   )
 }

@@ -1812,6 +1812,29 @@ object PipelineOracle {
   /** Mirrors Curation.blendPercentiles over (n_chars, ws_tokens): the
     * same (value, doc_id) row_number ranks, the same left-associated
     * (p_chars + p_tokens) / 2 IEEE blend. */
+  /** Mirrors Curation.curriculumMix over the n_chars score: the
+    * [[blendPercentiles]] per-source rank percentile, decile =
+    * LEAST(FLOOR(pctl·10), 9), and the ten driver-computed integer
+    * thresholds as a CASE — the identical hash60 keep rule. */
+  def curriculumMix(alpha: Double, salt: String): String = {
+    import graft.pipeline.Sampling.threshold
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val cases = (0 to 9).map(dd =>
+      s"WHEN $dd THEN ${threshold(math.pow((dd + 1) / 10.0, alpha))}")
+      .mkString(" ")
+    "WITH b AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS sc FROM documents), " +
+      "n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY source), " +
+      "r AS (SELECT doc_id, source, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY sc, doc_id) - 1 AS rc FROM b), " +
+      "p AS (SELECT r.doc_id, r.source, " +
+      "CASE WHEN n.n = 1 THEN CAST(0 AS DOUBLE) ELSE CAST(rc AS DOUBLE) / CAST(n.n - 1 AS DOUBLE) END AS pctl " +
+      "FROM r JOIN n USING (source)), " +
+      s"dd AS (SELECT doc_id, source, LEAST(CAST(FLOOR(pctl * ${d(10.0)}) AS INT), 9) AS decile FROM p) " +
+      "SELECT doc_id, source, decile FROM dd " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':' || " +
+      s"${q(salt)}), 1, 15))::BIGINT < CASE decile $cases ELSE 0 END"
+  }
+
   val blendPercentiles: String =
     "WITH b AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS sc, " +
       "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS st FROM documents), " +

@@ -285,6 +285,37 @@ object Curation {
       scores.map { case (n, _) => col(s"pctl_$n") } :+ blend.as("blend"): _*)
   }
 
+  /** Curriculum / quality-temperature mix: rank docs by a quality score
+    * into per-source DECILES (the [[blendPercentiles]] percentile
+    * machinery) and keep each decile at rate ((d+1)/10)^alpha — alpha=0
+    * keeps everything (uniform), alpha=1 keeps linearly-by-quality,
+    * larger alpha concentrates the kept corpus on the top deciles while
+    * NEVER zeroing a decile (the published data-mixing finding that
+    * hard quality cutoffs hurt diversity; a temperature knob beats a
+    * threshold). Emits the kept (doc_id, source, decile).
+    *
+    * Determinism: decile = LEAST(floor(pctl·10), 9) on the exact
+    * rank-percentile; the keep decision is the integer-threshold
+    * hash60 rule with the ten thresholds computed driver-side and
+    * rendered as literals — no float knife-edges cross-engine. Scale
+    * shape: the rank windows are source-partitioned (the q174/q180
+    * family; the GK-sketch swap documented at q218 applies to
+    * mega-sources), everything after is map-side. */
+  def curriculumMix(docs: DataFrame, score: Column, alpha: Double,
+      salt: String): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be non-negative: $alpha")
+    val p = blendPercentiles(docs, Seq("s" -> score))
+    val dec = least(floor(col("pctl_s") * lit(10.0)).cast("int"), lit(9))
+    val thr = (0 to 9).map(d =>
+      graft.pipeline.Sampling.threshold(math.pow((d + 1) / 10.0, alpha)))
+    val thrCol = (0 to 9).foldRight(lit(0L): Column) { (d, els) =>
+      when(col("decile") === d, lit(thr(d))).otherwise(els)
+    }
+    p.select(col("doc_id"), col("source"), dec.as("decile"))
+      .filter(graft.pipeline.Sampling.hash60(
+        col("doc_id"), col("source"), salt) < thrCol)
+  }
+
   /** Per-source symmetric TRIMMED MEAN of a quality score — the robust
     * location estimate between [[winsorizeBySource]] (clip outliers to
     * the fence) and [[robustStandardizeBySource]] (median): drop the

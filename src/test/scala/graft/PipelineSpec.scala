@@ -183,6 +183,28 @@ class PipelineSpec extends SparkSpec {
     })
   }
 
+  test("curriculumMix: alpha=0 keeps all; kept sets shrink monotonically; top decile always survives") {
+    val docs = (1L to 40L).map(i =>
+      (i, "x " * i.toInt, "s" + (i % 2), i * 10)).toDF("doc_id", "text", "source", "n_chars")
+    def kept(alpha: Double): Map[Long, Int] =
+      graft.pipeline.Curation.curriculumMix(docs,
+          col("n_chars").cast("double"), alpha, "t")
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val k0 = kept(0.0)
+    val k2 = kept(2.0)
+    val k5 = kept(5.0)
+    // alpha=0: every decile rate is 1.0 -> all docs kept
+    assert(k0.size == 40)
+    // per-doc threshold decreases with alpha (top decile stays 1.0):
+    // kept sets are nested
+    assert(k5.keySet.subsetOf(k2.keySet) && k2.keySet.subsetOf(k0.keySet))
+    // the top decile survives any temperature
+    val topDecile = k0.filter(_._2 == 9).keySet
+    assert(topDecile.nonEmpty && topDecile.subsetOf(k5.keySet))
+    // deciles span the full range per source (20 docs/source, distinct scores)
+    assert(k0.values.toSet == (0 to 9).toSet)
+  }
+
   test("winnowingContainment: full containment of the smaller doc scores 1.0") {
     val core = "alpha beta gamma delta epsilon zeta eta theta"  // 8 tokens
     val docs = Seq(

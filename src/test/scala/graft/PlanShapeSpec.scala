@@ -499,6 +499,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dupNgramRate: instances collapse before any join; no doc-keyed shuffle of raw grams") {
+    val plan = executedPlan(Dedup.dupNgramRate(docs, n = 2))
+    // the instance explosion feeds a partial-aggregated (source, gram)
+    // collapse; the only join is collapsed x collapsed on the gram key
+    assert(plan.contains("partial_count") || plan.contains("partial_"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("attribution: one conversion-keyed exchange shared by both windows") {
+    val ev = Seq((1L, 1L, "view", java.sql.Timestamp.valueOf("2026-01-01 00:00:01")),
+      (2L, 1L, "purchase", java.sql.Timestamp.valueOf("2026-01-01 00:00:02")))
+      .toDF("event_id", "user_id", "event_type", "event_time")
+    val plan = executedPlan(graft.pipeline.Funnel.attribution(
+      ev, "purchase", "view", tolUs = 60000000L))
+    // position AND count run over the same conv_id partitioning: exactly
+    // ONE hashpartitioning(conv_id...) exchange feeds both WindowExecs
+    val convExchanges = "hashpartitioning\\(conv_id".r
+      .findAllIn(plan).length
+    assert(convExchanges == 1, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("lmFilterSketch: GK thresholds broadcast, no rank window anywhere") {
     val plan = executedPlan(graft.pipeline.Curation.lmFilterSketch(
       docs, minPctl = 0.5, accuracy = 25))
