@@ -307,6 +307,62 @@ class EmptyInputSpec extends SparkSpec {
       emptyEv, emptyEv, 100L).count() == 0)
   }
 
+  test("round-10 continuation operators on empty input: no throws, sane shapes") {
+    import graft.pipeline.{Curation, Funnel}
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("event_time", TimestampType), StructField("ts", LongType))))
+    val someDocs = spark.range(2).select(col("id").as("doc_id"),
+      lit("a b c d e f g h i j").as("text"), lit("en").as("lang"),
+      lit("s").as("source"), lit(10L).as("n_chars"))
+    // bloom decontamination: empty docs -> empty; empty benchmark covered
+    // by PipelineSpec (no crash on the zero-row filter aggregate)
+    assert(Dedup.decontaminateBloom(emptyDocs, someDocs, n = 2).count() == 0)
+    // gram diagnostics / fingerprints: nothing to hash, nothing emitted
+    assert(Dedup.dupNgramRate(emptyDocs, n = 2).count() == 0)
+    assert(Dedup.winnowingPairs(emptyDocs, k = 2, w = 2).count() == 0)
+    assert(Dedup.winnowingContainment(emptyDocs, k = 2, w = 2).count() == 0)
+    // component split over an empty graph: every doc its own singleton —
+    // over an empty corpus: no rows
+    assert(Dedup.leakFreeSplit(emptyDocs, 0.1, 0.1, "s").count() == 0)
+    // retrieval / text: no docs, no heads, no votes
+    assert(TextAnalysis.rrfFusion(emptyDocs, Seq("a", "b"), k = 3,
+      kList = 5).count() == 0)
+    assert(TextAnalysis.mixedLang(emptyDocs, window = 4).count() == 0)
+    assert(Curation.curriculumMix(emptyDocs,
+      col("doc_id").cast("double"), 2.0, "s").count() == 0)
+    // events family: no gaps, no touches
+    assert(Funnel.burstiness(emptyEv).count() == 0)
+    assert(Funnel.attribution(emptyEv, "purchase", "view",
+      tolUs = 1000L).count() == 0)
+    // streaming heads on empty batch input: no windows, no rows (the
+    // reference is non-empty by contract)
+    val ax2 = Regular("value", 4, 0.0, 4.0)
+    val ref = Histogram.histogram(
+      spark.range(2).select((col("id") + lit(0.5)).cast("double").as("value")),
+      col("value"), ax2)
+    val emptyW = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_time", TimestampType),
+        StructField("value", DoubleType))))
+    assert(graft.streaming.StreamingHist.windowedEmd(
+      emptyW, "event_time", col("value"), ax2, "1 hour", ref).count() == 0)
+    assert(graft.streaming.StreamingHist.windowedKs(
+      emptyW, "event_time", col("value"), ax2, "1 hour", ref).count() == 0)
+    assert(graft.streaming.StreamingHist.windowedPull(
+      emptyW, "event_time", col("value"), ax2, "1 hour", ref).count() == 0)
+    assert(graft.streaming.StreamingHist.decontaminateStream(
+      emptyDocs, someDocs, n = 2).count() == 0)
+    // ks on two empty histograms: dense grid of zero totals -> NULL, no 0/0
+    val he = Histogram.histogram(emptyNum, col("x"), ax)
+    assert(HistStats.ks(he, he, ax).collect()
+      .forall(r => r.isNullAt(0) || !r.getDouble(0).isNaN))
+    // ANN: empty corpus trains nothing and returns the empty relation
+    assert(Similarity.ivfPqSearch(emptyEmb, emptyEmb, k = 2).count() == 0)
+  }
+
   test("accessor arithmetic and multimodal on empty input") {
     val h = Histogram.histogram(emptyNum, col("x"), ax)
     assert(HistStats.add(h, h, ax, Nil).count() == 0)
