@@ -1982,6 +1982,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.curriculumMix(t(dir, "documents"),
         col("n_chars").cast("double"), alpha = 2.0, salt = "cur1")
+    },
+    "q240_top_terms_churn" -> { (s, dir) =>
+      // trending-term turnover per hour: jaccard churn between
+      // consecutive windows' exact top-3 event-type sets — epoch-shift
+      // equi-join, no lag window, no single-partition sort
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.topTermsChurn(ev, "event_time",
+        col("event_type"), "1 hour", k = 3, capacity = 64)
     }
   )
 
@@ -2656,6 +2666,7 @@ object SparkEntry {
       3600000000L),
     "q238_winnowing_containment" ->
       PipelineOracle.winnowingContainment(4, 4, 20, 2),
-    "q239_curriculum_mix" -> PipelineOracle.curriculumMix(2.0, "cur1")
+    "q239_curriculum_mix" -> PipelineOracle.curriculumMix(2.0, "cur1"),
+    "q240_top_terms_churn" -> PipelineOracle.topTermsChurn(3600000000L, 3)
   )
 }

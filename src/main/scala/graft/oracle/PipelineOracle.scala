@@ -1398,6 +1398,30 @@ object PipelineOracle {
       s"SELECT make_timestamp(ws) AS window_start, make_timestamp(ws + $durUs) AS window_end, " +
       s"term, cnt, CAST(0 AS BIGINT) AS err, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k"
 
+  /** Mirrors Funnel.topTermsChurn over event types: the
+    * [[windowedTopTerms]] exact ranking, consecutive windows paired by
+    * the epoch-shift key, shared = term equi-join count, |A∪B| = |A| +
+    * |B| − shared, one division. Windows without an immediate
+    * predecessor emit nothing. */
+  def topTermsChurn(durUs: Long, k: Int): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    "WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type AS term " +
+      "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL), " +
+      s"w AS (SELECT (us // $durUs) * $durUs AS ws, term FROM e), " +
+      "tf AS (SELECT ws, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY ws, term), " +
+      "rk AS (SELECT ws, term FROM (SELECT *, ROW_NUMBER() OVER (" +
+      s"PARTITION BY ws ORDER BY cnt DESC, term) AS rn FROM tf) __r WHERE rn <= $k), " +
+      "cn AS (SELECT ws, CAST(COUNT(*) AS BIGINT) AS n FROM rk GROUP BY ws), " +
+      s"sh AS (SELECT a.ws, CAST(COUNT(*) AS BIGINT) AS s FROM rk a JOIN rk b " +
+      s"ON b.ws = a.ws - $durUs AND b.term = a.term GROUP BY a.ws) " +
+      "SELECT make_timestamp(c.ws) AS window_start, c.n AS n_terms, " +
+      "COALESCE(sh.s, CAST(0 AS BIGINT)) AS n_shared, " +
+      s"${d(1.0)} - CAST(COALESCE(sh.s, CAST(0 AS BIGINT)) AS DOUBLE) / " +
+      "CAST(c.n + p.n - COALESCE(sh.s, CAST(0 AS BIGINT)) AS DOUBLE) AS churn " +
+      s"FROM cn c JOIN cn p ON p.ws = c.ws - $durUs " +
+      "LEFT JOIN sh ON sh.ws = c.ws"
+  }
+
   /** Mirrors Funnel.activeUsers: distinct (user, day) activity, each
     * user-day exploded into its windowDays trailing windows, exact
     * distinct-user count per window-end day. Day floor matches the

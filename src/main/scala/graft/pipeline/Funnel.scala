@@ -520,6 +520,43 @@ object Funnel {
             (col("n_touches") - lit(2)).cast("double")))
   }
 
+  /** Trending-terms CHURN monitor: per tumbling window, how much the
+    * top-k term set turned over vs the IMMEDIATELY PRECEDING window —
+    * churn = 1 − |A∩B|/|A∪B| over the two windows' top-k sets (0 =
+    * stable leaderboard, 1 = complete turnover; the "did the trending
+    * topics flip this hour" alarm a per-window top-k list doesn't
+    * answer by itself). Consumes
+    * [[graft.streaming.StreamingHist.windowedTopTerms]] in its exact
+    * regime (capacity ≥ per-window distinct terms), so the sets — and
+    * therefore the churn — are exact. Windows with no immediate
+    * predecessor (traffic gaps, the first window) emit nothing: churn
+    * against silence is undefined, not 1.0.
+    *
+    * Scale shape: the top-k relation is #windows×k; consecutive windows
+    * pair by an EPOCH-SHIFT EQUI-JOIN (predecessor key = window_start −
+    * duration) — no global sort, no lag window, no single-partition
+    * anything. Set sizes are exact ints; churn is one IEEE division. */
+  def topTermsChurn(df: DataFrame, tsCol: String, term: Column,
+      windowDuration: String, k: Int, capacity: Int): DataFrame = {
+    val durUs = graft.streaming.StreamingHist.fixedWindowUs(windowDuration)
+    val sets = graft.streaming.StreamingHist
+      .windowedTopTerms(df, tsCol, term, windowDuration, k, capacity)
+      .groupBy(col("window_start"))
+      .agg(sort_array(collect_list(col("term"))).as("__terms"))
+    val cur = sets.select(unix_micros(col("window_start")).as("__k"),
+      col("window_start"), col("__terms"))
+    val prev = sets.select(
+      (unix_micros(col("window_start")) + lit(durUs)).as("__k"),
+      col("__terms").as("__prev"))
+    val shared = size(array_intersect(col("__terms"), col("__prev")))
+    val union = size(array_union(col("__terms"), col("__prev")))
+    cur.join(prev, "__k")
+      .select(col("window_start"),
+        size(col("__terms")).cast("long").as("n_terms"),
+        shared.cast("long").as("n_shared"),
+        (lit(1.0) - shared.cast("double") / union.cast("double")).as("churn"))
+  }
+
   /** Per-(key, day) rate limiting: keep each key's first `n` events of
     * every day, drop the rest — the abuse-throttle / per-user quota
     * pass a pipeline runs before event analytics so one runaway

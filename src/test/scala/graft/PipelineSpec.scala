@@ -80,6 +80,30 @@ class PipelineSpec extends SparkSpec {
     assert(out.sortBy(_._3).map(_._1).toSeq == Seq(4L, 1L, 2L))
   }
 
+  test("topTermsChurn: exact set turnover between consecutive windows; gaps emit nothing") {
+    def tsv(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // window [0,10): {a,b}; [10,20): {b,c} -> churn 1 - 1/3; [20,30)
+    // silent; [30,40): {a} -> NO row (predecessor window absent)
+    val ev = Seq(
+      (tsv(1), "a"), (tsv(2), "a"), (tsv(3), "b"),
+      (tsv(11), "b"), (tsv(12), "c"), (tsv(13), "c"),
+      (tsv(31), "a")
+    ).toDF("event_time", "term")
+    val out = graft.pipeline.Funnel.topTermsChurn(ev, "event_time",
+        col("term"), "10 seconds", k = 2, capacity = 16)
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(10L))
+    assert(out(10L) == ((2L, 1L, 1.0 - 1.0 / 3.0)))
+    // identical windows churn exactly 0
+    val stable = Seq((tsv(1), "x"), (tsv(11), "x"))
+      .toDF("event_time", "term")
+    val s0 = graft.pipeline.Funnel.topTermsChurn(stable, "event_time",
+        col("term"), "10 seconds", k = 2, capacity = 16)
+      .collect().map(_.getDouble(3))
+    assert(s0.toSeq == Seq(0.0))
+  }
+
   test("attribution: 40/20/40 position credit; 1 and 2 touch degenerate; window one-sided") {
     def tsv(s: Long) = new java.sql.Timestamp(s * 1000L)
     val ev = Seq(
