@@ -1992,6 +1992,15 @@ object SparkEntry {
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.topTermsChurn(ev, "event_time",
         col("event_type"), "1 hour", k = 3, capacity = 64)
+    },
+    "q241_stream_mixed_lang" -> { (s, dir) =>
+      // the q234 detector in its ROW-LOCAL form: chunk votes computed
+      // entirely inside the row (HOFs — no explode, no doc-keyed agg,
+      // no state) — the live screen AND the wide-row batch scale shape;
+      // gated on the SAME oracle as q234
+      implicit val sp: SparkSession = s
+      graft.streaming.StreamingHist.mixedLangStream(
+        t(dir, "documents"), window = 16)
     }
   )
 
@@ -2667,6 +2676,9 @@ object SparkEntry {
     "q238_winnowing_containment" ->
       PipelineOracle.winnowingContainment(4, 4, 20, 2),
     "q239_curriculum_mix" -> PipelineOracle.curriculumMix(2.0, "cur1"),
-    "q240_top_terms_churn" -> PipelineOracle.topTermsChurn(3600000000L, 3)
+    "q240_top_terms_churn" -> PipelineOracle.topTermsChurn(3600000000L, 3),
+    // same oracle as q234: the row-local HOF form is row-identical to
+    // the explode+groupBy batch operator by construction
+    "q241_stream_mixed_lang" -> PipelineOracle.mixedLang(16)
   )
 }

@@ -381,10 +381,20 @@ object Dedup {
     * split). */
   def leakFreeSplit(docs: DataFrame, fracVal: Double, fracTest: Double,
       salt: String, maxIter: Int = 50,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      bucketCap: Option[Int] = None): DataFrame = {
     require(fracVal >= 0.0 && fracTest >= 0.0 && fracVal + fracTest < 1.0,
       "fractions must be non-negative and sum to less than 1 (train is the remainder)")
-    val comp = components(docs.select(col("doc_id")), nearDupPairs(docs),
+    // bucketCap: the nearDupPairs hot-bucket guard for corpora with
+    // massively-replicated documents, where the UNCAPPED pair graph is
+    // quadratic per LSH bucket (measured 911 s uncapped at 500k docs
+    // with 10x replication). Same documented trade-off as the other cap
+    // consumers: docs beyond a bucket's cap lose that bucket's edges
+    // and an over-cap clique can fragment into several components —
+    // each still split ATOMICALLY, so the leak-free guarantee holds for
+    // every pair the capped graph knows about
+    val comp = components(docs.select(col("doc_id")),
+        nearDupPairs(docs, bucketCap = bucketCap),
         maxIter, checkpointDir)
       .select(col("doc_id"), col("component"))
     val h = graft.pipeline.Sampling.hash60(

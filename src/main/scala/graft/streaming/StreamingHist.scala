@@ -399,6 +399,70 @@ object StreamingHist {
           .as("contaminated"))
   }
 
+  /** STATELESS streaming mixed-language detector — the row-local form
+    * of TextAnalysis.mixedLang (same semantics, gated on the SAME
+    * oracle): each arriving doc's chunk votes are computed entirely
+    * inside the row with higher-order array functions — chunk slicing,
+    * per-chunk marker scores, the langId argmax, vote counts, the
+    * lexically-smallest-majority rule, all with NO explode, NO doc-keyed
+    * aggregation and NO state. That makes it simultaneously the live
+    * screen (composes into any streaming pipeline) AND the better batch
+    * scale shape for wide rows (the explode+groupBy form shuffles one
+    * row per chunk; this shuffles nothing).
+    *
+    * Row-identical to the batch operator by construction: the chunk
+    * starts are chunkDocs' rule at stride = window, per-chunk scores are
+    * langId's marker counts, the argmax folds languages in the same
+    * declaration order, majority ties break to the lexically smallest
+    * language, and the majority fraction is the same single division. */
+  def mixedLangStream(docs: DataFrame, window: Int = 32): DataFrame = {
+    require(window > 0, s"window must be positive: $window")
+    val w = window
+    def occ(p: String): String = {
+      val esc = p.replace("'", "''")
+      s"CAST((length(c) - length(replace(c, '$esc', ''))) / ${p.length} AS BIGINT)"
+    }
+    val markers = graft.pipeline.TextAnalysis.langMarkers
+    val langs = markers.map(_._1)
+    val scoreFields = markers.map { case (l, pats) =>
+      s"${pats.map(occ).mkString(" + ")} AS $l"
+    }.mkString(", ")
+    // langId's argmax in declaration order, 'und' when all scores 0
+    val pred = langs.map { l =>
+      val isMax = langs.filter(_ != l).map(o => s"s.$l >= s.$o").mkString(" AND ")
+      s"WHEN s.$l > 0 AND $isMax THEN '${l}'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    val allLangs = (langs :+ "und").sorted // lexical order for the tie rule
+    val cnts = allLangs.map(l =>
+      s"CAST(size(filter(__preds, p -> p = '$l')) AS BIGINT) AS $l")
+      .mkString(", ")
+    val majority = allLangs.init.map(l =>
+      s"WHEN __c.$l = __m THEN '$l'").mkString(
+      "CASE ", " ", s" ELSE '${allLangs.last}' END")
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("""regexp_extract_all(text, '\\S+', 0)""").as("__t"))
+      .withColumn("__len", size(col("__t")).cast("long"))
+      .filter(col("__len") > 0L)
+      .withColumn("__maxStart", when(col("__len") <= w, lit(0L))
+        .otherwise(expr(s"CAST(((__len - $w + $w - 1) div $w) AS BIGINT) * $w")))
+      .withColumn("__chunks", expr(
+        s"transform(sequence(CAST(0 AS BIGINT), __maxStart, CAST($w AS BIGINT)), " +
+          s"st -> ' ' || array_join(slice(__t, CAST(st + 1 AS INT), $w), ' ') || ' ')"))
+      .withColumn("__preds", expr(
+        s"transform(transform(__chunks, c -> struct($scoreFields)), s -> $pred)"))
+      .withColumn("__c", expr(s"struct($cnts)"))
+      .withColumn("__m", expr(
+        s"greatest(${allLangs.map(l => s"__c.$l").mkString(", ")})"))
+      .select(col("doc_id"),
+        size(col("__preds")).cast("long").as("n_chunks"),
+        size(array_distinct(col("__preds"))).cast("long").as("n_langs"),
+        expr(majority).as("majority_lang"),
+        (col("__m").cast("double") /
+          size(col("__preds")).cast("double")).as("majority_frac"),
+        (size(array_distinct(col("__preds"))) > 1).as("mixed"))
+  }
+
   case class DocEvent(doc_id: Long, content_hash: String)
   case class DedupVerdict(doc_id: Long, content_hash: String, first_seen: Boolean)
 

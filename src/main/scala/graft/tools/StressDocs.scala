@@ -81,6 +81,30 @@ object StressDocs {
       docs.filter(col("doc_id") % 10 < 3)).count())
     time("zipf_fit")(graft.pipeline.TextAnalysis.zipfFit(docs).count())
     time("lm_filter")(graft.pipeline.Curation.lmFilter(docs, 0.3).count())
+    // round-10 text/dedup family
+    time("dup_ngram_rate")(graft.pipeline.Dedup.dupNgramRate(docs, n = 8).count())
+    // winnowing on a replicated corpus: every fingerprint's df is >= the
+    // replication factor, so the df cap is the load-bearing guard here
+    time("winnowing_pairs")(graft.pipeline.Dedup.winnowingPairs(
+      docs, k = 4, w = 4, dfCap = 20, minShared = 2).count())
+    time("winnowing_containment")(graft.pipeline.Dedup.winnowingContainment(
+      docs, k = 4, w = 4, dfCap = 20, minShared = 2).count())
+    time("decontaminate_bloom")(graft.pipeline.Dedup.decontaminateBloom(
+      docs, docs.filter(col("doc_id") < 20), n = 5).count())
+    time("rrf_fusion")(graft.pipeline.TextAnalysis.rrfFusion(
+      docs, Seq("spark", "query", "fast"), k = 25, kList = 50).count())
+    time("mixed_lang")(graft.pipeline.TextAnalysis.mixedLang(docs, 16).count())
+    time("curriculum_mix")(graft.pipeline.Curation.curriculumMix(
+      docs, col("n_chars").cast("double"), 2.0, "cur1").count())
+    time("leak_free_split")(graft.pipeline.Dedup.leakFreeSplit(
+      docs, 0.1, 0.1, "lfs1").count())
+    // the bucketCap guard: on this 10x-replicated corpus the uncapped
+    // pair graph is quadratic per LSH bucket (911 s measured); capped,
+    // the split costs what components_keep costs
+    time("leak_free_split_capped")(graft.pipeline.Dedup.leakFreeSplit(
+      docs, 0.1, 0.1, "lfs1", bucketCap = Some(20)).count())
+    time("stream_mixed_lang")(graft.streaming.StreamingHist
+      .mixedLangStream(docs, 16).count())
     // a typo in the filter arg must fail loudly, not silently run nothing
     only.foreach { sel =>
       val unknown = sel -- ran

@@ -673,6 +673,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("row-local mixed-lang: equals the batch operator row-for-row; streams statelessly") {
+    val en = "the cat of the dog of a mouse"
+    val de = "der hund und die katze und der vogel"
+    val docsRows = Seq(
+      (1L, s"$en $de"), (2L, en), (3L, "no markers at all just words"),
+      (4L, null.asInstanceOf[String]),
+      (5L, ((en + " ") * 3) + de) // 3:1 majority across 4 chunks
+    )
+    val docs = docsRows.toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4), r.getBoolean(5)))
+    val batch = graft.pipeline.TextAnalysis.mixedLang(docs, window = 8)
+      .collect().map(key).toMap
+    val local = StreamingHist.mixedLangStream(docs, window = 8)
+      .collect().map(key).toMap
+    assert(local == batch)
+    assert(local(5L) == ((4L, 2L, "en", 0.75, true)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingHist.mixedLangStream(
+      input.toDF().toDF("doc_id", "text"), window = 8)
+    val q = out.writeStream.format("memory").queryName("ml_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docsRows.filter(_._2 != null): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ml_stream").collect().map(key).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stateless streaming decontamination: stream rows equal batch rows") {
     val bench = Seq((100L, "the quick brown fox jumps over")).toDF("doc_id", "text")
     val docsRows = Seq(
