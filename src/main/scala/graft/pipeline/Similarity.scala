@@ -1117,6 +1117,45 @@ object Similarity {
     }
   }
 
+  /** Truncated-dimension search with full-dimension rerank — the
+    * adaptive-retrieval pattern for Matryoshka-style embeddings
+    * (Kusupati et al. 2022; "funnel retrieval"): the shortlist scan
+    * scores only the first `dPrefix` dimensions of every corpus vector
+    * (a dPrefix/dim fraction of the memory bandwidth — with
+    * dimension-sliced storage, of the BYTES READ), then the exact
+    * full-dimension rerank touches the |Q|·rerank shortlist only. The
+    * same cost split as [[pqSearch]]'s ADC+rerank with truncation
+    * instead of quantization — no training step at all.
+    *
+    * Deliberately approximate (prefix dims must carry the signal — they
+    * do for MRL-trained embeddings, and measurably for these synthetic
+    * ones) — gate with [[Contracts.annRecallContract]] against
+    * [[bruteForceL2TopK]], the q163/q164/q222/q229 discipline. */
+  def truncatedSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+      dPrefix: Int, rerank: Int): DataFrame = {
+    require(k > 0 && dPrefix > 0, s"bad shape: k=$k dPrefix=$dPrefix")
+    require(rerank >= k, s"rerank shortlist must be >= k: $rerank < $k")
+    def trunc(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      expr(s"slice(embedding, 1, $dPrefix)").as("embedding"))
+    val shortlist = bruteForceL2TopK(trunc(corpus), trunc(queries), rerank)
+    val qv = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("__qv"))
+    shortlist.select(col("query_id"), col("neighbor_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.VecL2FD.vec_l2_fd(
+          col("embedding"), col("__qv"), 0).as("__d2"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.top_k(
+        -col("__d2"), col("neighbor_id"), k).as("__t"))
+      .select(col("query_id"), posexplode(col("__t")).as(Seq("__p", "__x")))
+      .select(col("query_id"), col("__x.id").as("neighbor_id"),
+        (-col("__x.score")).as("d2"),
+        (col("__p") + lit(1)).cast("int").as("rank"))
+  }
+
   /** Residual PQ codebook for [[ivfPqSearch]]: the [[pqCodebook]] Lloyd
     * run on coarse-assignment RESIDUALS of the ':ivfpq' hash-rank
     * sample. Driver-bounded (codes·8 vectors); coarse assignment

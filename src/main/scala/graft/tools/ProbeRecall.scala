@@ -40,6 +40,9 @@ object ProbeRecall {
       val ivfpq = recL2(Similarity.ivfPqSearch(emb, qset, 3, nCells = 16,
         nprobe = 8, m = 8, codes = 64, rerank = 100))
       println(s"RECALL-L2 $sf ivfpq(nCells=16,nprobe=8,m=8,k=64,rr=100)=$ivfpq")
+      val trunc = recL2(Similarity.truncatedSearch(emb, qset, 3,
+        dPrefix = 32, rerank = 100))
+      println(s"RECALL-L2 $sf truncated(dPrefix=32,rr=100)=$trunc")
     }
     spark.stop()
   }

@@ -2213,6 +2213,28 @@ class PipelineSpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned.subsetOf(clusterA), s"pruned: $pruned")
   }
 
+  test("truncatedSearch: full-prefix equals exact; prefix shortlist + full rerank returns exact d2") {
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else 50.0f
+      (i.toLong, Seq(base + i * 0.1f, base, base - i * 0.1f, base))
+    }
+    val d = vecs.toDF("vec_id", "embedding")
+    val q0 = Seq((0L, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceL2TopK(d, q0, 3)
+      .collect().map(r => r.getInt(3) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // dPrefix = full dim: the shortlist IS the exact ranking; rerank is
+    // a no-op re-derivation -> row-identical output
+    val full = Similarity.truncatedSearch(d, q0, 3, dPrefix = 4, rerank = 20)
+      .collect().map(r => r.getInt(3) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(full == exact)
+    // dPrefix = 2 with a corpus-covering shortlist: prefix dims are a
+    // lower bound, the full-dim rerank recovers the exact ranking AND
+    // the exact distances
+    val half = Similarity.truncatedSearch(d, q0, 3, dPrefix = 2, rerank = 20)
+      .collect().map(r => r.getInt(3) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(half == exact)
+  }
+
   test("pqError: zero loss when vectors coincide with codewords; counts cover the corpus") {
     // one distinct vector per cluster, repeated: the decimal centroid
     // mean of identical values is the value itself -> d2 = 0 exactly
