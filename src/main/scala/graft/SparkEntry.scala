@@ -2013,6 +2013,16 @@ object SparkEntry {
       graft.pipeline.Contracts.annRecallContract(
         Similarity.truncatedSearch(emb, qset, 3, dPrefix = 32, rerank = 100),
         Similarity.bruteForceL2TopK(emb, qset, 3), bound = 0.4)
+    },
+    "q243_windowed_profile" -> { (s, dir) =>
+      // Deequ-style data-quality drift monitor: per hourly window and
+      // column, exact row/NULL/distinct counts — catches "ingest broke
+      // at 14:00" failures the global q133 profile averages away
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Curation.profileWindowed(ev,
+        "event_time", "1 hour", Seq("user_id", "event_type", "value"))
     }
   )
 
@@ -2695,6 +2705,8 @@ object SparkEntry {
     // recall-contract gate (q163/q164/q222/q229 discipline)
     "q242_truncated_recall" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
-        "FROM embeddings WHERE vec_id < 10")
+        "FROM embeddings WHERE vec_id < 10"),
+    "q243_windowed_profile" -> PipelineOracle.profileWindowed(
+      3600000000L, Seq("user_id", "event_type", "value"))
   )
 }

@@ -1344,6 +1344,19 @@ object PipelineOracle {
         s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM $table"
     }.mkString(" UNION ALL ")
 
+  /** Mirrors Curation.profileWindowed over events: the [[profileTable]]
+    * branches grouped by the same microsecond window floor. */
+  def profileWindowed(durUs: Long, cols: Seq[String]): String = {
+    val base = "(SELECT *, ((epoch_ns(ts) // 1000) // " +
+      s"$durUs) * $durUs AS __ws FROM events WHERE ts IS NOT NULL) __b"
+    cols.map { c =>
+      s"SELECT make_timestamp(__ws) AS window_start, '$c' AS column, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null, " +
+        s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM $base GROUP BY __ws"
+    }.mkString(" UNION ALL ")
+  }
+
   /** Mirrors Funnel.funnel over events: per-step conditional-min CTEs
     * (t_k = min time of step k strictly after t_{k-1}), microsecond
     * precision like the Spark side's `ts div 1000` event_time. */

@@ -316,6 +316,43 @@ object Curation {
         col("doc_id"), col("source"), salt) < thrCol)
   }
 
+  /** Per-WINDOW data-quality profile — [[profileTable]] with the time
+    * dimension (the Deequ-style monitor that catches "ingest broke at
+    * 14:00: a column went all-NULL / cardinality collapsed" — the
+    * schema-drift class of failure the global profile averages away):
+    * per tumbling event-time window and column, exact row/NULL/distinct
+    * counts. Long format (window_start, column, n, n_null, n_distinct)
+    * so new columns are rows, not schema changes.
+    *
+    * Scale shape: ONE window-keyed aggregation pass (map-combinable
+    * counts; the exact distincts expand one pass per column — the
+    * documented [[profileTable]] cost, per window here); rows with NULL
+    * event time are excluded (no window to attribute data quality to —
+    * ts-NULL-rate itself belongs to the global profile). */
+  def profileWindowed(df: DataFrame, tsCol: String,
+      windowDuration: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct == cols, s"duplicate profiled columns: $cols")
+    require(cols.forall(!_.contains(".")),
+      "dotted column names would parse as struct access in the aliases")
+    val durUs = graft.streaming.StreamingHist.fixedWindowUs(windowDuration)
+    val us = unix_micros(col(tsCol))
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"), countDistinct(col(c)).as(s"__nd_$c"))
+    }
+    df.filter(col(tsCol).isNotNull)
+      .withColumn("__ws", us - pmod(us, lit(durUs)))
+      .groupBy(col("__ws"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(timestamp_micros(col("__ws")).as("window_start"),
+        explode(array(cols.map(c => struct(
+          lit(c).as("column"), col("__n").as("n"),
+          (col("__n") - col(s"__nn_$c")).as("n_null"),
+          col(s"__nd_$c").as("n_distinct"))): _*)).as("__p"))
+      .select(col("window_start"), col("__p.column"), col("__p.n"),
+        col("__p.n_null"), col("__p.n_distinct"))
+  }
+
   /** Per-source symmetric TRIMMED MEAN of a quality score — the robust
     * location estimate between [[winsorizeBySource]] (clip outliers to
     * the fence) and [[robustStandardizeBySource]] (median): drop the

@@ -80,6 +80,28 @@ class PipelineSpec extends SparkSpec {
     assert(out.sortBy(_._3).map(_._1).toSeq == Seq(4L, 1L, 2L))
   }
 
+  test("profileWindowed: per-window exact null/distinct counts catch an ingest break") {
+    def tsv(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (tsv(1), java.lang.Long.valueOf(1L), "a"),
+      (tsv(2), java.lang.Long.valueOf(2L), "b"),
+      // second window: user_id goes all-NULL, types collapse to one
+      (tsv(11), null.asInstanceOf[java.lang.Long], "a"),
+      (tsv(12), null.asInstanceOf[java.lang.Long], "a"),
+      // NULL event time: excluded (no window to attribute)
+      (null.asInstanceOf[java.sql.Timestamp], java.lang.Long.valueOf(9L), "z")
+    ).toDF("event_time", "user_id", "event_type")
+    val out = graft.pipeline.Curation.profileWindowed(ev, "event_time",
+        "10 seconds", Seq("user_id", "event_type"))
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out((0L, "user_id")) == ((2L, 0L, 2L)))
+    assert(out((0L, "event_type")) == ((2L, 0L, 2L)))
+    assert(out((10L, "user_id")) == ((2L, 2L, 0L)))   // the break, visible
+    assert(out((10L, "event_type")) == ((2L, 0L, 1L))) // cardinality collapse
+    assert(out.size == 4)
+  }
+
   test("topTermsChurn: exact set turnover between consecutive windows; gaps emit nothing") {
     def tsv(s: Long) = new java.sql.Timestamp(s * 1000L)
     // window [0,10): {a,b}; [10,20): {b,c} -> churn 1 - 1/3; [20,30)
