@@ -2023,6 +2023,15 @@ object SparkEntry {
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Curation.profileWindowed(ev,
         "event_time", "1 hour", Seq("user_id", "event_type", "value"))
+    },
+    "q244_retention_halflife" -> { (s, dir) =>
+      // exponential half-life of each cohort's retention curve: OLS of
+      // quantized ln(rate) on offset over the q138 triangle — the
+      // scalar form of "how fast does this cohort decay?"
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.retentionHalfLife(ev)
     }
   )
 
@@ -2707,6 +2716,7 @@ object SparkEntry {
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
         "FROM embeddings WHERE vec_id < 10"),
     "q243_windowed_profile" -> PipelineOracle.profileWindowed(
-      3600000000L, Seq("user_id", "event_type", "value"))
+      3600000000L, Seq("user_id", "event_type", "value")),
+    "q244_retention_halflife" -> PipelineOracle.retentionHalfLife
   )
 }

@@ -1458,6 +1458,32 @@ object PipelineOracle {
       "CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users " +
       "FROM a JOIN f USING (user_id) GROUP BY cohort_day, d - cohort_day"
 
+  /** Mirrors Funnel.retentionHalfLife: the retention triangle → rates →
+    * per-cohort OLS of 1e-3-quantized ln(rate) on offset, slope → λ →
+    * half-life, with ln 2 as the same literal double. Exact BIGINT
+    * moments; identical IEEE op sequence. */
+  val retentionHalfLife: String =
+    s"WITH r AS ($retention), " +
+      "b AS (SELECT cohort_day, n_users AS n0 FROM r WHERE offset_days = 0), " +
+      "q AS (SELECT r.cohort_day, CAST(r.offset_days AS BIGINT) AS x, " +
+      "CAST(FLOOR(LN(CAST(r.n_users AS DOUBLE) / CAST(b.n0 AS DOUBLE)) * " +
+      "CAST('1000.0' AS DOUBLE)) AS BIGINT) AS y FROM r JOIN b USING (cohort_day)), " +
+      "m AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_points, " +
+      "SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx " +
+      "FROM q GROUP BY cohort_day), " +
+      "s AS (SELECT cohort_day, n_points, " +
+      "CASE WHEN n_points >= 2 AND (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > CAST(0 AS DOUBLE) " +
+      "THEN -((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / CAST('1000.0' AS DOUBLE) " +
+      "ELSE NULL END AS decay_rate FROM m) " +
+      "SELECT cohort_day, n_points, decay_rate, " +
+      "CASE WHEN decay_rate > CAST(0 AS DOUBLE) " +
+      "THEN CAST('0.6931471805599453' AS DOUBLE) / decay_rate " +
+      "ELSE NULL END AS half_life_days FROM s"
+
   /** Mirrors TextAnalysis.topTerms: score = tf * N / df in double-FIRST
     * arithmetic (exactly representable longs, two correctly-rounded IEEE
     * ops — bit-identical doubles, no ln, no BIGINT overflow at corpus

@@ -742,6 +742,50 @@ object Funnel {
         .otherwise(lit(null).cast("double")).as("burstiness"))
   }
 
+  /** Exponential half-life fit of each cohort's retention curve — the
+    * scalar a growth team actually tracks ("how many days until half
+    * the cohort is gone?"): per cohort, OLS of quantized ln(rate) on
+    * offset_days over the [[retentionRates]] triangle (rate decays
+    * ~exp(-λ·t) ⇒ ln rate is linear in t; half-life = ln2/λ). One row
+    * per cohort: point count, decay rate λ (per day, ≥ along the fit),
+    * and half_life_days (NULL when the fit is degenerate — fewer than
+    * 2 points, zero x-variance, or a non-decaying slope).
+    *
+    * Cross-engine bit-exactness: rates are one IEEE division of exact
+    * longs, each ln is 1e-3-quantized to a long (the q210 Zipf
+    * discipline — absorbs last-ulp ln() differences between engines),
+    * the OLS moments are exact BIGINT sums, and the final slope /
+    * λ / half-life are a fixed sequence of correctly-rounded IEEE
+    * ops on those exact longs (ln 2 enters as a literal double, not
+    * an engine's log call).
+    *
+    * Scale shape: everything downstream of [[retention]]'s triangle
+    * (cohort×offset-bounded — tiny) is a map-combinable cohort-keyed
+    * aggregate; no window, no sort, no driver state. */
+  def retentionHalfLife(events: DataFrame, tsCol: String = "event_time",
+      keyCol: String = "user_id"): DataFrame = {
+    val r = retentionRates(events, tsCol, keyCol)
+    val q = r.select(col("cohort_day"),
+      col("offset_days").cast("long").as("__x"),
+      floor(log(col("retention_rate")) * lit(1.0e3)).cast("long").as("__y"))
+    val m = q.groupBy(col("cohort_day")).agg(
+      count(lit(1)).as("n_points"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val nD = col("n_points").cast("double")
+    def d(name: String): Column = col(name).cast("double")
+    val cov = nD * d("__sxy") - d("__sx") * d("__sy")
+    val varX = nD * d("__sxx") - d("__sx") * d("__sx")
+    // slope is in quantized-ln units (×1e3) per day; λ = −slope/1e3
+    val decay = when(col("n_points") >= 2L && varX > lit(0.0),
+      -(cov / varX) / lit(1.0e3))
+    m.select(col("cohort_day"), col("n_points"),
+      decay.as("decay_rate"),
+      when(decay > lit(0.0), lit(0.6931471805599453) / decay)
+        .as("half_life_days"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))

@@ -1064,6 +1064,26 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("retention half-life: OLS on quantized ln(rate), degenerate cohorts NULL") {
+    def at(day: Int, user: Long) = new java.sql.Timestamp(day * 86400000L + user * 1000L)
+    // cohort 0: 8 users day0, 4 back day1, 2 back day2, 1 back day3 —
+    // rate = 2^-t, so the fitted half-life is ~1 day (quantization-exact
+    // slope 693.3 in 1e-3-ln units). cohort 5: one user, one point.
+    val ev = ((1L to 8L).map(u => (u, at(0, u))) ++
+      (1L to 4L).map(u => (u, at(1, u))) ++
+      (1L to 2L).map(u => (u, at(2, u))) ++
+      Seq((1L, at(3, 1L)), (99L, at(5, 99L)))).toDF("user_id", "event_time")
+    val out = graft.pipeline.Funnel.retentionHalfLife(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val c0 = out(0L)
+    assert(c0.getLong(1) == 4L)
+    // y = floor(ln(2^-t)*1e3) = (0, -694, -1387, -2080); OLS slope -693.3
+    assert(math.abs(c0.getDouble(2) - 0.6933) < 1e-12)
+    assert(math.abs(c0.getDouble(3) - 0.6931471805599453 / 0.6933) < 1e-12)
+    val c5 = out(5L)
+    assert(c5.getLong(1) == 1L && c5.isNullAt(2) && c5.isNullAt(3))
+  }
+
   test("session paths: ordered journeys per session, top-k with ties to first path") {
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
     val ev = Seq(
