@@ -2032,6 +2032,14 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.retentionHalfLife(ev)
+    },
+    "q245_skipgram_counts" -> { (s, dir) =>
+      // word2vec/GloVe prep: ordered co-occurrence pairs within a ±3
+      // token span (q203 sees only ADJACENT bigrams), global top-20
+      // as TakeOrdered — never a single-partition rank window
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.skipgramCounts(
+        t(dir, "documents"), window = 3, k = 20)
     }
   )
 
@@ -2717,6 +2725,7 @@ object SparkEntry {
         "FROM embeddings WHERE vec_id < 10"),
     "q243_windowed_profile" -> PipelineOracle.profileWindowed(
       3600000000L, Seq("user_id", "event_type", "value")),
-    "q244_retention_halflife" -> PipelineOracle.retentionHalfLife
+    "q244_retention_halflife" -> PipelineOracle.retentionHalfLife,
+    "q245_skipgram_counts" -> PipelineOracle.skipgramCounts(3, 20)
   )
 }

@@ -2023,6 +2023,26 @@ object PipelineOracle {
       s"WHERE rank <= $k"
   }
 
+  /** Mirrors TextAnalysis.skipgramCounts: positional tokenization, one
+    * LAG per distance 1..window, exact pair counts, top-k with the same
+    * total order (n DESC, t1, t2). */
+  def skipgramCounts(window: Int, k: Int): String = {
+    val lags = (1 to window).map(j =>
+      s"LAG(term, $j) OVER (PARTITION BY doc_id ORDER BY pos) AS l$j").mkString(", ")
+    val arms = (1 to window).map(j =>
+      s"SELECT l$j AS t1, term AS t2 FROM lg WHERE l$j IS NOT NULL").mkString(" UNION ALL ")
+    "WITH base AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS a " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "tok AS (SELECT doc_id, UNNEST(a) AS term, " +
+      "CAST(generate_subscripts(a, 1) - 1 AS INT) AS pos FROM base), " +
+      s"lg AS (SELECT doc_id, pos, term, $lags FROM tok), " +
+      s"p AS ($arms), " +
+      "c AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY t1, t2) " +
+      "SELECT t1, t2, n, CAST(rn AS INT) AS rank FROM " +
+      "(SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, t1, t2) AS rn FROM c) " +
+      s"WHERE rn <= $k"
+  }
+
   /** Mirrors TextAnalysis.lmScoreBigram: positional tokenization
     * (generate_subscripts, 0-based like posexplode), the same lag
     * window, 1e-9-quantized conditional/unigram LN, SUM(lp ORDER BY

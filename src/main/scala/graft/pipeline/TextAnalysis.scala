@@ -979,4 +979,58 @@ object TextAnalysis {
         (aggregate(col("__a"), lit(0.0), (acc, x) => acc + x.getField("__lp")) /
           col("n_tokens").cast("double")).as("lm2_score"))
   }
+
+  /** Skip-gram co-occurrence counts — the word2vec/GloVe training-data
+    * prep [[pmiCollocations]] can't produce (that op sees only ADJACENT
+    * bigrams; embedding training wants every ordered (context, center)
+    * pair within a ±`window` token span): for each token t_j and each
+    * 1 ≤ d ≤ window, the pair (t_{j-d}, t_j) counts once, and the k
+    * most frequent pairs are kept (ties: n DESC, t1, t2). Symmetric
+    * contexts need no second direction — (a before b) at distance d IS
+    * (b after a) at distance d, so the ordered-pair counts carry both.
+    *
+    * Scale shape: positional token explode → ONE doc-keyed window pass
+    * computing all `window` lags (partition = one doc's tokens, the
+    * q197 shape), an in-row array explode (×window fan-out of the
+    * token relation — linear, never the corpus self-join on doc_id
+    * whose output is the same rows built through a shuffle join), the
+    * map-combinable pair count (vocabulary²-bounded groups, Zipf-small
+    * in practice), and the global top-k as TakeOrdered via
+    * orderBy+limit — k rows per partition to the driver, NEVER a
+    * single-partition rank window (the q190/q199 lesson). The rank
+    * column replays the same total order on the ≤k survivors. */
+  def skipgramCounts(docs: DataFrame, window: Int, k: Int): DataFrame = {
+    require(window >= 1, s"window must be positive: $window")
+    require(k >= 1, s"k must be positive: $k")
+    val tok = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(expr("""regexp_extract_all(text, '\\S+', 0)"""))
+          .as(Seq("pos", "term")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withLags = (1 to window).foldLeft(tok) { (d, j) =>
+      d.withColumn(s"__l$j", lag(col("term"), j).over(w))
+    }
+    val pairs = withLags
+      .select(explode(array((1 to window).map(j =>
+        struct(col(s"__l$j").as("t1"), col("term").as("t2"))): _*)).as("__p"))
+      .select(col("__p.t1").as("t1"), col("__p.t2").as("t2"))
+      .filter(col("t1").isNotNull)
+    val top = pairs.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2")).limit(k)
+    // replay the same total order on the ≤k survivors for the rank
+    // column (strings are non-null here — filtered above / tokenized)
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("c") > r.getField("c"), lit(-1))
+        .when(l.getField("c") < r.getField("c"), lit(1))
+        .when(l.getField("a") < r.getField("a"), lit(-1))
+        .when(l.getField("a") > r.getField("a"), lit(1))
+        .when(l.getField("b") < r.getField("b"), lit(-1))
+        .when(l.getField("b") > r.getField("b"), lit(1)).otherwise(lit(0))
+    top.agg(collect_list(struct(col("n").as("c"), col("t1").as("a"),
+        col("t2").as("b"))).as("__a"))
+      .select(posexplode(array_sort(col("__a"), cmp)).as(Seq("__p", "__x")))
+      .select(col("__x.a").as("t1"), col("__x.b").as("t2"),
+        col("__x.c").as("n"), (col("__p") + lit(1)).cast("int").as("rank"))
+  }
 }

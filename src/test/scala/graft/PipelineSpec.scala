@@ -2005,6 +2005,23 @@ class PipelineSpec extends SparkSpec {
     assert(rare.count() == 0L)
   }
 
+  test("skipgramCounts: ±window pairs, doc-bounded, window-1 == adjacent bigrams") {
+    // doc 1 "a b c": w=2 pairs (a,b) (b,c) d1; (a,c) d2. doc 2 "a b":
+    // (a,b) d1 only — pairs never cross doc boundaries.
+    val d = Seq((1L, "a b c"), (2L, "a b"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.skipgramCounts(d, window = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getInt(3)))).toMap
+    assert(out == Map(("a", "b") -> ((2L, 1)), ("a", "c") -> ((1L, 2)),
+      ("b", "c") -> ((1L, 3))))
+    // window=1 degenerates to adjacent bigram counts; k truncates on
+    // the (n DESC, t1, t2) order
+    val one = TextAnalysis.skipgramCounts(d, window = 1, k = 1).collect()
+    assert(one.length == 1 && one(0).getString(0) == "a" &&
+      one(0).getString(1) == "b" && one(0).getLong(2) == 2L)
+  }
+
   test("oovRate: occurrence-weighted; in-vocab doc scores 0") {
     val target = Seq((1L, "a b c c"), (2L, "a b"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "text")

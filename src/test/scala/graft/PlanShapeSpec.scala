@@ -453,6 +453,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("skipgramCounts: global top-k is TakeOrdered; only the doc-keyed lag window") {
+    val plan = executedPlan(
+      graft.pipeline.TextAnalysis.skipgramCounts(docs, window = 2, k = 5))
+    // the pair relation is corpus-scale — its top-k must be a
+    // distributed partial top-k, never a global rank window
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the ONLY window is the per-doc lag pass (partitioned by doc_id)
+    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")), plan)
+  }
+
   test("zipfFit: no WindowExec — ranks come from the distributed sort") {
     // the rank stage is a range-partitioned sort + zipWithIndex on the
     // vocabulary RDD; the downstream moment plan must carry no window
