@@ -2040,6 +2040,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.TextAnalysis.skipgramCounts(
         t(dir, "documents"), window = 3, k = 20)
+    },
+    "q246_embed_covariance" -> { (s, dir) =>
+      // the PCA/whitening input of a SemDeDup-style pipeline: exact
+      // upper-triangle covariance, in-row pair terms, corpus never
+      // shuffled (the only exchange is d²-bounded)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Similarity.embedCovariance(t(dir, "embeddings"))
     }
   )
 
@@ -2726,6 +2733,7 @@ object SparkEntry {
     "q243_windowed_profile" -> PipelineOracle.profileWindowed(
       3600000000L, Seq("user_id", "event_type", "value")),
     "q244_retention_halflife" -> PipelineOracle.retentionHalfLife,
-    "q245_skipgram_counts" -> PipelineOracle.skipgramCounts(3, 20)
+    "q245_skipgram_counts" -> PipelineOracle.skipgramCounts(3, 20),
+    "q246_embed_covariance" -> PipelineOracle.embedCovariance
   )
 }

@@ -2023,6 +2023,26 @@ object PipelineOracle {
       s"WHERE rank <= $k"
   }
 
+  /** Mirrors Similarity.embedCovariance: 1e-4 floor-quantized longs,
+    * in-row upper-triangle pair terms (1-based list slice), exact
+    * HUGEINT sums cast through DOUBLE in the same IEEE op order. */
+  val embedCovariance: String =
+    "WITH q AS (SELECT list_transform(embedding, " +
+      "v -> CAST(FLOOR(CAST(v AS DOUBLE) * CAST('10000.0' AS DOUBLE)) AS BIGINT)) AS qa " +
+      "FROM embeddings WHERE embedding IS NOT NULL), " +
+      "x AS (SELECT CAST(generate_subscripts(qa, 1) - 1 AS INT) AS i, " +
+      "UNNEST(qa) AS qi, qa FROM q), " +
+      "p AS (SELECT i, qi, CAST(generate_subscripts(qa[i+1:], 1) - 1 AS INT) AS o, " +
+      "UNNEST(qa[i+1:]) AS qj FROM x), " +
+      "c AS (SELECT i AS dim_i, i + o AS dim_j, CAST(COUNT(*) AS BIGINT) AS n_vecs, " +
+      "SUM(qi * qj) AS sxy FROM p GROUP BY 1, 2), " +
+      "m AS (SELECT i, SUM(qi) AS sx FROM x GROUP BY i) " +
+      "SELECT c.dim_i, c.dim_j, c.n_vecs, " +
+      "(CAST(c.sxy AS DOUBLE) / CAST(c.n_vecs AS DOUBLE) - " +
+      "(CAST(mi.sx AS DOUBLE) / CAST(c.n_vecs AS DOUBLE)) * " +
+      "(CAST(mj.sx AS DOUBLE) / CAST(c.n_vecs AS DOUBLE))) / CAST('1.0e8' AS DOUBLE) AS cov " +
+      "FROM c JOIN m mi ON mi.i = c.dim_i JOIN m mj ON mj.i = c.dim_j"
+
   /** Mirrors TextAnalysis.skipgramCounts: positional tokenization, one
     * LAG per distance 1..window, exact pair counts, top-k with the same
     * total order (n DESC, t1, t2). */

@@ -1374,4 +1374,48 @@ object Similarity {
     }
     codebook
   }
+
+  /** Exact d×d covariance of the embedding coordinates — the input
+    * every whitening / PCA step of a SemDeDup-style pipeline needs
+    * (and a drift diagnostic in its own right: a collapsing covariance
+    * spectrum means the encoder is degenerating). Emits the upper
+    * triangle (dim_i ≤ dim_j): vector count and the population
+    * covariance of the 1e-4-quantized coordinates.
+    *
+    * Cross-engine bit-exactness: each coordinate is floor-quantized to
+    * an exact long (the centroidShift discipline), the (i,j) product
+    * sums and per-dimension marginal sums are exact DECIMAL(38,0), and
+    * cov = (Σqq/n − (Σqi/n)·(Σqj/n)) / 1e8 is a fixed IEEE op
+    * sequence. Exactness bound: N·(1e4·max|x|)² must stay below 2^53
+    * — at |x|<1 that is N < ~9e7 vectors; beyond it, pre-center the
+    * coordinates (the q210 note) or lower the quantization scale.
+    *
+    * Scale shape: the d(d+1)/2 pair terms are generated IN-ROW (a
+    * posexplode + a per-row slice — never a corpus self-join on
+    * vec_id), the (i,j) aggregate is map-combinable (d²-bounded
+    * groups), and the d-row marginal relation rides a broadcast join.
+    * The corpus is read once and never shuffled; the only exchange
+    * carries ≤ d²·partitions partial rows. */
+  def embedCovariance(emb: DataFrame): DataFrame = {
+    val q = emb.filter(col("embedding").isNotNull)
+      .select(transform(col("embedding"),
+        v => floor(v.cast("double") * lit(1.0e4)).cast("long")).as("__q"))
+    val ex = q.select(posexplode(col("__q")).as(Seq("i", "__qi")), col("__q"))
+    val pairs = ex.select(col("i"), col("__qi"),
+        posexplode(slice(col("__q"), col("i") + lit(1),
+          size(col("__q")) - col("i"))).as(Seq("__o", "__qj")))
+      .groupBy(col("i").as("dim_i"), (col("i") + col("__o")).as("dim_j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("__qi") * col("__qj")).cast("decimal(38,0)")).as("__sxy"))
+    val marg = ex.groupBy(col("i"))
+      .agg(sum(col("__qi").cast("decimal(38,0)")).as("__sx"))
+    val nD = col("n_vecs").cast("double")
+    pairs
+      .join(broadcast(marg.select(col("i").as("dim_i"), col("__sx").as("__si"))), "dim_i")
+      .join(broadcast(marg.select(col("i").as("dim_j"), col("__sx").as("__sj"))), "dim_j")
+      .select(col("dim_i"), col("dim_j"), col("n_vecs"),
+        ((col("__sxy").cast("double") / nD -
+          (col("__si").cast("double") / nD) * (col("__sj").cast("double") / nD)) /
+          lit(1.0e8)).as("cov"))
+  }
 }

@@ -481,6 +481,31 @@ class PipelineSpec extends SparkSpec {
     assert(out5.toSet == out.toSet)
   }
 
+  test("embedCovariance: hand-computed 2-D upper triangle, NULL vectors dropped") {
+    val outCov = {
+      // hand-computed 2-D covariance: x=(0.1,0.3), y=(0.2,0.6) →
+      // var(x)=0.01, cov(x,y)=0.02, var(y)=0.04 (population, n=2);
+      // quantization is exact here (0.1f*1e4 floors to 999 — floats!)
+      val e = Seq((1L, Array(0.1f, 0.2f)), (2L, Array(0.3f, 0.6f)),
+        (3L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+      Similarity.embedCovariance(e).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    }
+    assert(outCov.keySet == Set((0, 0), (0, 1), (1, 1)))
+    def q(v: Float): Long = math.floor(v.toDouble * 1.0e4).toLong
+    def cov(a: Seq[Float], b: Seq[Float]): Double = {
+      val (qa, qb) = (a.map(q), b.map(q))
+      val n = qa.length.toDouble
+      (qa.zip(qb).map { case (x, y) => x * y }.sum / n -
+        (qa.sum / n) * (qb.sum / n)) / 1.0e8
+    }
+    val (xs, ys) = (Seq(0.1f, 0.3f), Seq(0.2f, 0.6f))
+    assert(outCov((0, 0)) == ((2L, cov(xs, xs))))
+    assert(outCov((0, 1)) == ((2L, cov(xs, ys))))
+    assert(outCov((1, 1)) == ((2L, cov(ys, ys))))
+    assert(math.abs(outCov((0, 1))._2 - 0.02) < 1e-4)
+  }
+
   test("semDedup drops the higher id of every within-cell near-twin") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

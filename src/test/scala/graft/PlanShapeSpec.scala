@@ -464,6 +464,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")), plan)
   }
 
+  test("embedCovariance: marginals broadcast, no sort-merge join, no window") {
+    val plan = executedPlan(Similarity.embedCovariance(emb))
+    // the pair terms are generated in-row; the only joins attach the
+    // d-row marginal relation — they must stay broadcast
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("zipfFit: no WindowExec — ranks come from the distributed sort") {
     // the rank stage is a range-partitioned sort + zipWithIndex on the
     // vocabulary RDD; the downstream moment plan must carry no window
