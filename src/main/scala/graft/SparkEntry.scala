@@ -2047,6 +2047,17 @@ object SparkEntry {
       // shuffled (the only exchange is d²-bounded)
       implicit val sp: SparkSession = s
       graft.pipeline.Similarity.embedCovariance(t(dir, "embeddings"))
+    },
+    "q247_stream_profile" -> { (s, dir) =>
+      // the q243 data-quality monitor in its LIVE form: batch execution
+      // of the streaming operator (identical rows by delegation); the
+      // streaming plan chains two stateful aggs — StreamingSpec pins
+      // streaming == batch on closed windows
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.streamingProfile(ev,
+        "event_time", "1 hour", Seq("user_id", "event_type", "value"))
     }
   )
 
@@ -2734,6 +2745,10 @@ object SparkEntry {
       3600000000L, Seq("user_id", "event_type", "value")),
     "q244_retention_halflife" -> PipelineOracle.retentionHalfLife,
     "q245_skipgram_counts" -> PipelineOracle.skipgramCounts(3, 20),
-    "q246_embed_covariance" -> PipelineOracle.embedCovariance
+    "q246_embed_covariance" -> PipelineOracle.embedCovariance,
+    // same oracle as q243: batch execution delegates to the batch
+    // operator; the streaming plan is pinned by StreamingSpec
+    "q247_stream_profile" -> PipelineOracle.profileWindowed(
+      3600000000L, Seq("user_id", "event_type", "value"))
   )
 }

@@ -650,6 +650,52 @@ object StreamingHist {
     }
   }
 
+  /** STREAMING per-window data-quality profile — the live form of
+    * Curation.profileWindowed (q243): per event-time window and
+    * profiled column, exact row / NULL / distinct counts, emitted once
+    * when the window closes. The monitor that pages on "ingest broke
+    * at 14:00" DURING the 14:00 window's close, not at the nightly
+    * batch run.
+    *
+    * Streaming plan: one long-format explode (window, column, value)
+    * — values carried as canonical strings so heterogeneous columns
+    * share one relation; distinctness is over that canonical form —
+    * then TWO chained stateful aggregations in append mode (the q177
+    * discipline): per-(window, column, value) counts, re-aggregated
+    * per (window, column) into n = Σcnt, n_null = the NULL-value
+    * group's cnt, n_distinct = non-NULL group count. State per window
+    * is bounded by Σ per-column distinct values — the same bound the
+    * batch operator's hash aggregate carries per window.
+    *
+    * Batch execution delegates to the batch operator (identical rows —
+    * the gate runs that path; StreamingSpec pins streaming == batch on
+    * the closed windows across micro-batches). */
+  def streamingProfile(df: DataFrame, tsCol: String, windowDuration: String,
+      cols: Seq[String], watermark: String = "10 seconds"): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct == cols, s"duplicate profiled columns: $cols")
+    if (df.isStreaming) {
+      val longDf = df.withWatermark(tsCol, watermark)
+        .filter(col(tsCol).isNotNull)
+        .select(window(col(tsCol), windowDuration).as("win"),
+          explode(array(cols.map(c => struct(lit(c).as("column"),
+            col(c).cast("string").as("__v"))): _*)).as("__p"))
+        .select(col("win"), col("__p.column").as("column"),
+          col("__p.__v").as("__v"))
+      longDf.groupBy(col("win"), col("column"), col("__v"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(window(window_time(col("win")), windowDuration).as("__w2"),
+          col("column"))
+        .agg(sum(col("__cnt")).as("n"),
+          sum(when(col("__v").isNull, col("__cnt")).otherwise(lit(0L))).as("n_null"),
+          count(when(col("__v").isNotNull, lit(1))).as("n_distinct"))
+        .select(col("__w2.start").as("window_start"), col("column"),
+          col("n"), col("n_null"), col("n_distinct"))
+    } else {
+      graft.pipeline.Curation.profileWindowed(df, tsCol, windowDuration, cols)
+    }
+  }
+
   case class RateEvent(event_type: String, us: Long)
   case class RateState(openDay: Long, openCnt: Long, closed: List[Long])
   case class RateVerdict(event_type: String, day: Long, n: Long,

@@ -460,6 +460,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming profile: chained aggs match batch on closed windows") {
+    def key(r: org.apache.spark.sql.Row) =
+      ((r.getTimestamp(0).getTime / 1000L, r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // window [0,10): u=(7,7,null), t=("a",null,"a"); [10,20): u=(8);
+    // [30,40): u=(9) — NULLs count in n and n_null, not n_distinct
+    val rows = Seq(
+      (ts(1), java.lang.Long.valueOf(7L), "a"),
+      (ts(2), java.lang.Long.valueOf(7L), null.asInstanceOf[String]),
+      (ts(3), null.asInstanceOf[java.lang.Long], "a"),
+      (ts(12), java.lang.Long.valueOf(8L), "b"),
+      (ts(35), java.lang.Long.valueOf(9L), "b"))
+    val batchDf = rows.toDF("event_time", "user_id", "event_type")
+    val batch = graft.streaming.StreamingHist.streamingProfile(
+        batchDf, "event_time", "10 seconds", Seq("user_id", "event_type"))
+      .collect().map(key).toMap
+    assert(batch((0L, "user_id")) == ((3L, 1L, 1L)))
+    assert(batch((0L, "event_type")) == ((3L, 1L, 1L)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, java.lang.Long, String)]
+    val out = graft.streaming.StreamingHist.streamingProfile(
+      input.toDF().toDF("event_time", "user_id", "event_type"),
+      "event_time", "10 seconds", Seq("user_id", "event_type"))
+    val q = out.writeStream.format("memory").queryName("sp_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the first window's rows split across TWO micro-batches: the
+      // per-value counts must accumulate in state, not re-emit
+      input.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      input.addData(rows(2), rows(3), rows(4))
+      q.processAllAvailable()
+      input.addData((ts(60), java.lang.Long.valueOf(1L), "z")) // watermark 50
+      q.processAllAvailable()
+      val streamed = spark.table("sp_stream").collect().map(key).toMap
+      val closed = batch.filter { case ((ws, _), _) => ws < 40L }
+      assert(streamed == closed, s"streamed=$streamed closed=$closed")
+    } finally q.stop()
+  }
+
   test("streaming rapid-fire: RAW-predecessor state spans micro-batches") {
     import StreamingHist.RfEvent
     def e(id: Long, sec: Long) = RfEvent(id, 1L, "click", sec * 1000000L, None)
