@@ -2058,6 +2058,14 @@ object SparkEntry {
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.streaming.StreamingHist.streamingProfile(ev,
         "event_time", "1 hour", Seq("user_id", "event_type", "value"))
+    },
+    "q248_pca_power" -> { (s, dir) =>
+      // the PCA step itself: top principal component by quantized power
+      // iteration over the q246 covariance — corpus work is the one
+      // never-shuffled covariance pass; the d×d eigen math is
+      // driver-bounded (the kmeans-Lloyd precedent)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Similarity.pcaPower(t(dir, "embeddings"), iters = 12)
     }
   )
 
@@ -2749,6 +2757,7 @@ object SparkEntry {
     // same oracle as q243: batch execution delegates to the batch
     // operator; the streaming plan is pinned by StreamingSpec
     "q247_stream_profile" -> PipelineOracle.profileWindowed(
-      3600000000L, Seq("user_id", "event_type", "value"))
+      3600000000L, Seq("user_id", "event_type", "value")),
+    "q248_pca_power" -> PipelineOracle.pcaPower(12)
   )
 }

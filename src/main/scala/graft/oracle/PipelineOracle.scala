@@ -2043,6 +2043,35 @@ object PipelineOracle {
       "(CAST(mj.sx AS DOUBLE) / CAST(c.n_vecs AS DOUBLE))) / CAST('1.0e8' AS DOUBLE) AS cov " +
       "FROM c JOIN m mi ON mi.i = c.dim_i JOIN m mj ON mj.i = c.dim_j"
 
+  /** Mirrors Similarity.pcaPower: the q246 covariance CTE, `iters`
+    * unrolled quantized power-iteration rounds (ordered j-fold
+    * matrix·vector, order-free L∞ MAX, the same floor(y/m·1e6)/1e6
+    * normalize), trace folded in dim order. */
+  def pcaPower(iters: Int): String = {
+    val six = "CAST('1000000.0' AS DOUBLE)"
+    // MATERIALIZED everywhere: DuckDB inlines plain CTEs, and a chain
+    // of k rounds each referencing the previous would expand into a
+    // 2^k-leaf plan re-opening the parquet per leaf
+    val rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "x0" else s"x${k - 1}"
+      s"y$k AS MATERIALIZED (SELECT a.i AS dim, SUM(a.cov * p.v ORDER BY a.j) AS y " +
+        s"FROM a JOIN $prev p ON p.dim = a.j GROUP BY a.i), " +
+        s"m$k AS MATERIALIZED (SELECT MAX(ABS(y)) AS m FROM y$k), " +
+        s"x$k AS MATERIALIZED (SELECT dim, CASE WHEN m > CAST(0 AS DOUBLE) " +
+        s"THEN FLOOR(y / m * $six) / $six ELSE CAST(0 AS DOUBLE) END AS v " +
+        s"FROM y$k CROSS JOIN m$k)"
+    }.mkString(", ")
+    s"WITH c AS MATERIALIZED ($embedCovariance), " +
+      "a AS MATERIALIZED (SELECT dim_i AS i, dim_j AS j, cov FROM c " +
+      "UNION ALL SELECT dim_j, dim_i, cov FROM c WHERE dim_i <> dim_j), " +
+      "x0 AS MATERIALIZED (SELECT DISTINCT dim_i AS dim, CAST(1 AS DOUBLE) AS v FROM c), " +
+      s"$rounds, " +
+      "t AS (SELECT SUM(cov ORDER BY dim_i) AS tr FROM c WHERE dim_i = dim_j) " +
+      s"SELECT x$iters.dim, x$iters.v AS loading, m$iters.m AS eigenvalue, " +
+      "CASE WHEN tr > CAST(0 AS DOUBLE) THEN m / tr ELSE NULL END AS explained_share " +
+      s"FROM x$iters CROSS JOIN m$iters CROSS JOIN t"
+  }
+
   /** Mirrors TextAnalysis.skipgramCounts: positional tokenization, one
     * LAG per distance 1..window, exact pair counts, top-k with the same
     * total order (n DESC, t1, t2). */

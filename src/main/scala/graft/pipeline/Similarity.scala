@@ -1418,4 +1418,64 @@ object Similarity {
           (col("__si").cast("double") / nD) * (col("__sj").cast("double") / nD)) /
           lit(1.0e8)).as("cov"))
   }
+
+  /** Top principal component of the embedding cloud by POWER ITERATION
+    * over [[embedCovariance]] — the PCA step itself (SemDeDup whitening,
+    * anisotropy diagnostics: one dominant direction swallowing the
+    * variance means the encoder collapsed): `iters` rounds of
+    * x ← quantize(C·x / ‖C·x‖∞), emitting the final loading per
+    * dimension, the eigenvalue estimate (the last pre-normalization
+    * L∞ norm — exact once the iterate has ‖x‖∞ = 1, which the
+    * quantizer guarantees from round 1), and the explained-variance
+    * share λ/tr(C).
+    *
+    * Cross-engine bit-exactness: the covariance entries are already
+    * gated bit-exact (q246); each matrix·vector entry folds in
+    * ascending j order (Scala while-loop == SUM(... ORDER BY j), both
+    * sequential left folds); the L∞ norm is an order-free MAX; the
+    * normalize step floor-quantizes every loading to the 1e-6 grid
+    * (floor(y/m·1e6)/1e6 — identical IEEE op sequence both engines),
+    * so the iterate entering each round is exactly representable and
+    * identical cross-engine; the trace folds in dim order. No
+    * convergence tolerance enters the contract — both engines produce
+    * the SAME iterate whether or not it has converged.
+    *
+    * Scale shape: the corpus-sized work is [[embedCovariance]]'s
+    * single never-shuffled pass; the d×d matrix (bins-sized, d ≤ a few
+    * thousand) collects to the driver and the iteration is
+    * driver-bounded pure arithmetic — the kmeans-Lloyd precedent. The
+    * result is d rows. */
+  def pcaPower(emb: DataFrame, iters: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters must be positive: $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val covRows = embedCovariance(emb).collect()
+    if (covRows.isEmpty)
+      return Seq.empty[(Int, Double, Double, Option[Double])]
+        .toDF("dim", "loading", "eigenvalue", "explained_share")
+    val d = covRows.iterator.map(_.getInt(1)).max + 1
+    val a = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(3))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    var x = Array.fill(d)(1.0)
+    var m = 0.0
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += a(i)(j) * x(j); j += 1 }
+        s
+      }
+      m = y.iterator.map(math.abs).max
+      x = if (m > 0.0) y.map(v => math.floor(v / m * 1.0e6) / 1.0e6)
+          else Array.fill(d)(0.0)
+    }
+    var trace = 0.0
+    var i = 0
+    while (i < d) { trace += a(i)(i); i += 1 }
+    val share: Option[Double] = if (trace > 0.0) Some(m / trace) else None
+    (0 until d).map(i => (i, x(i), m, share))
+      .toDF("dim", "loading", "eigenvalue", "explained_share")
+  }
 }

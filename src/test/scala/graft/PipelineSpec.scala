@@ -506,6 +506,27 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(outCov((0, 1))._2 - 0.02) < 1e-4)
   }
 
+  test("pcaPower: dominant direction recovered; eigenvalue ~ top variance") {
+    // points along y = 2x (plus a tiny off-axis one): the top component
+    // must load ~(1, 2)/‖·‖∞ = (0.5, 1) and explain almost everything
+    val e = Seq(
+      (1L, Array(0.1f, 0.2f)), (2L, Array(-0.1f, -0.2f)),
+      (3L, Array(0.3f, 0.6f)), (4L, Array(-0.3f, -0.6f)),
+      (5L, Array(0.02f, -0.01f))).toDF("vec_id", "embedding")
+    val out = Similarity.pcaPower(e, iters = 12).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val (l0, l1) = (out(0).getDouble(1), out(1).getDouble(1))
+    // ‖x‖∞ = 1 by construction; direction ratio ~ 0.5 (allow quantizer
+    // + off-axis noise slack)
+    assert(math.abs(math.abs(l1) - 1.0) < 1e-9, s"l1=$l1")
+    assert(math.abs(l0 / l1 - 0.5) < 0.02, s"ratio=${l0 / l1}")
+    val share = out(0).getDouble(3)
+    assert(out(0).getDouble(2) > 0.0 && share > 0.95 && share <= 1.0001, s"share=$share")
+    // empty input: no rows, no crash
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.pcaPower(empty).count() == 0L)
+  }
+
   test("semDedup drops the higher id of every within-cell near-twin") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
