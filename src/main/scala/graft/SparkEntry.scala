@@ -2066,6 +2066,13 @@ object SparkEntry {
       // driver-bounded (the kmeans-Lloyd precedent)
       implicit val sp: SparkSession = s
       graft.pipeline.Similarity.pcaPower(t(dir, "embeddings"), iters = 12)
+    },
+    "q249_pca_project" -> { (s, dir) =>
+      // the 1-D shadow stratified semantic dedup consumes: per-vector
+      // score along the q248 component — a map-only codegen'd pass,
+      // the component baked in as a literal
+      implicit val sp: SparkSession = s
+      graft.pipeline.Similarity.pcaProject(t(dir, "embeddings"), iters = 12)
     }
   )
 
@@ -2758,6 +2765,7 @@ object SparkEntry {
     // operator; the streaming plan is pinned by StreamingSpec
     "q247_stream_profile" -> PipelineOracle.profileWindowed(
       3600000000L, Seq("user_id", "event_type", "value")),
-    "q248_pca_power" -> PipelineOracle.pcaPower(12)
+    "q248_pca_power" -> PipelineOracle.pcaPower(12),
+    "q249_pca_project" -> PipelineOracle.pcaProject(12)
   )
 }

@@ -2072,6 +2072,15 @@ object PipelineOracle {
       s"FROM x$iters CROSS JOIN m$iters CROSS JOIN t"
   }
 
+  /** Mirrors Similarity.pcaProject: the pcaPower CTE joined back onto
+    * the unnested embeddings, projection = ordered j-fold dot. */
+  def pcaProject(iters: Int): String =
+    s"WITH comp AS MATERIALIZED (${pcaPower(iters)}), " +
+      "e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j, " +
+      "CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings WHERE embedding IS NOT NULL) " +
+      "SELECT e.vec_id, SUM(e.v * comp.loading ORDER BY e.j) AS projection " +
+      "FROM e JOIN comp ON comp.dim = e.j GROUP BY e.vec_id"
+
   /** Mirrors TextAnalysis.skipgramCounts: positional tokenization, one
     * LAG per distance 1..window, exact pair counts, top-k with the same
     * total order (n DESC, t1, t2). */

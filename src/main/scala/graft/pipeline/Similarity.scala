@@ -1478,4 +1478,32 @@ object Similarity {
     (0 until d).map(i => (i, x(i), m, share))
       .toDF("dim", "loading", "eigenvalue", "explained_share")
   }
+
+  /** Every vector's score along the [[pcaPower]] top component — the
+    * 1-D shadow of the embedding cloud that stratified semantic dedup /
+    * curriculum bucketing actually consumes (and the cheapest "which
+    * docs sit in the collapsed direction?" drill-down). One row per
+    * non-NULL vector: (vec_id, projection = Σ_j e_j·x_j).
+    *
+    * Cross-engine bit-exactness: the loadings are the gated 1e-6-grid
+    * doubles (q248), and the projection is the codegen'd
+    * [[graft.functions.VecDotFD]] left fold — bit-identical to
+    * SUM(CAST(e[j] AS DOUBLE)·x_j ORDER BY j) from 0.0.
+    *
+    * Scale shape: the component fits in a literal array (d doubles)
+    * baked into the plan — the projection pass is map-only over the
+    * corpus, inside WholeStageCodegen, no join, no shuffle. The eigen
+    * step's cost is [[pcaPower]]'s (one covariance pass). */
+  def pcaProject(emb: DataFrame, iters: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val comp = pcaPower(emb, iters).collect()
+    if (comp.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("vec_id", "projection")
+    val x = comp.sortBy(_.getInt(0)).map(_.getDouble(1))
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        graft.functions.VecDotFD.vec_dot_fd(col("embedding"),
+          lit(x)).as("projection"))
+  }
 }

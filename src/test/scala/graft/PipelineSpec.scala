@@ -527,6 +527,28 @@ class PipelineSpec extends SparkSpec {
     assert(Similarity.pcaPower(empty).count() == 0L)
   }
 
+  test("pcaProject: projection = dot with the recovered component; NULLs dropped") {
+    val e = Seq(
+      (1L, Array(0.1f, 0.2f)), (2L, Array(-0.1f, -0.2f)),
+      (3L, Array(0.3f, 0.6f)), (4L, Array(-0.3f, -0.6f)),
+      (5L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val comp = Similarity.pcaPower(e, iters = 12).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    val out = Similarity.pcaProject(e, iters = 12).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    def dot(v: Array[Float]): Double = {
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j).toDouble * comp(j); j += 1 }
+      s
+    }
+    assert(out(1L) == dot(Array(0.1f, 0.2f)))
+    assert(out(3L) == dot(Array(0.3f, 0.6f)))
+    // opposite points project to exact negations only if the fold does —
+    // here the sign symmetry holds at the float level
+    assert(out(3L) > 0 != (out(4L) > 0))
+  }
+
   test("semDedup drops the higher id of every within-cell near-twin") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
