@@ -2073,6 +2073,20 @@ object SparkEntry {
       // the component baked in as a literal
       implicit val sp: SparkSession = s
       graft.pipeline.Similarity.pcaProject(t(dir, "embeddings"), iters = 12)
+    },
+    "q250_profile_sketch" -> { (s, dir) =>
+      // q243's sketch-distinct scale path: HLL++ registers instead of
+      // per-window distinct-value state, accuracy pinned as a contract
+      // verdict beside the exact count (q172 convention). Unlike
+      // q172/q181's handful of groups, this gate has ~720 window rows
+      // per column — a 3-sigma per-row bound WILL fail somewhere, so
+      // the contract runs at 7.5 sigma (rsd 0.02, bound 0.15)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Curation.profileWindowedSketch(ev,
+        "event_time", "1 hour", Seq("user_id", "event_type", "value"),
+        rsd = 0.02, bound = 0.15)
     }
   )
 
@@ -2766,6 +2780,8 @@ object SparkEntry {
     "q247_stream_profile" -> PipelineOracle.profileWindowed(
       3600000000L, Seq("user_id", "event_type", "value")),
     "q248_pca_power" -> PipelineOracle.pcaPower(12),
-    "q249_pca_project" -> PipelineOracle.pcaProject(12)
+    "q249_pca_project" -> PipelineOracle.pcaProject(12),
+    "q250_profile_sketch" -> PipelineOracle.profileWindowedSketch(
+      3600000000L, Seq("user_id", "event_type", "value"))
   )
 }

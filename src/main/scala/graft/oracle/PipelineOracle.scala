@@ -1357,6 +1357,21 @@ object PipelineOracle {
     }.mkString(" UNION ALL ")
   }
 
+  /** Mirrors Curation.profileWindowedSketch: the exact profile columns
+    * plus the pinned contract verdict (q172 convention — the HLL
+    * estimate is engine-specific; TRUE is what both must agree on). */
+  def profileWindowedSketch(durUs: Long, cols: Seq[String]): String = {
+    val base = "(SELECT *, ((epoch_ns(ts) // 1000) // " +
+      s"$durUs) * $durUs AS __ws FROM events WHERE ts IS NOT NULL) __b"
+    cols.map { c =>
+      s"SELECT make_timestamp(__ws) AS window_start, '$c' AS column, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null, " +
+        s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+        s"TRUE AS within_bound FROM $base GROUP BY __ws"
+    }.mkString(" UNION ALL ")
+  }
+
   /** Mirrors Funnel.funnel over events: per-step conditional-min CTEs
     * (t_k = min time of step k strictly after t_{k-1}), microsecond
     * precision like the Spark side's `ts div 1000` event_time. */

@@ -353,6 +353,52 @@ object Curation {
         col("__p.n_null"), col("__p.n_distinct"))
   }
 
+  /** [[profileWindowed]]'s SKETCH-distinct scale path with a pinned
+    * accuracy contract: per (window, column), exact row/NULL counts
+    * plus an HLL++ distinct estimate checked against the exact
+    * distinct (|est − exact| ≤ bound·exact, the q172 convention —
+    * the estimate itself is engine-specific, the verdict is the
+    * cross-engine contract). At 100 TB the exact distinct state per
+    * window is Σ per-column distinct VALUES (unbounded for an id
+    * column); the sketch caps state at a fixed register array per
+    * (window, column) — this gate converts the accuracy claim into a
+    * regression contract, the exact count staying in the output as
+    * the gate-scale QA pass. The bound is relative-plus-additive
+    * (|est − exact| ≤ bound·exact + slack): Spark's HLL++ has no
+    * exact sparse mode, so a near-empty window's estimate can miss a
+    * purely relative bound by a couple of registers while being
+    * operationally perfect — the additive term absorbs that floor,
+    * the relative term governs at scale. */
+  def profileWindowedSketch(df: DataFrame, tsCol: String,
+      windowDuration: String, cols: Seq[String], rsd: Double,
+      bound: Double, slack: Double = 5.0): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(cols.distinct == cols, s"duplicate profiled columns: $cols")
+    require(rsd > 0.0 && bound > 0.0, "rsd and bound must be positive")
+    val durUs = graft.streaming.StreamingHist.fixedWindowUs(windowDuration)
+    val us = unix_micros(col(tsCol))
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__est_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+    }
+    df.filter(col(tsCol).isNotNull)
+      .withColumn("__ws", us - pmod(us, lit(durUs)))
+      .groupBy(col("__ws"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(timestamp_micros(col("__ws")).as("window_start"),
+        explode(array(cols.map(c => struct(
+          lit(c).as("column"), col("__n").as("n"),
+          (col("__n") - col(s"__nn_$c")).as("n_null"),
+          col(s"__nd_$c").as("n_distinct"),
+          (abs(col(s"__est_$c") - col(s"__nd_$c")).cast("double") <=
+            lit(bound) * col(s"__nd_$c").cast("double") + lit(slack))
+            .as("within_bound"))): _*))
+          .as("__p"))
+      .select(col("window_start"), col("__p.column"), col("__p.n"),
+        col("__p.n_null"), col("__p.n_distinct"), col("__p.within_bound"))
+  }
+
   /** Per-source symmetric TRIMMED MEAN of a quality score — the robust
     * location estimate between [[winsorizeBySource]] (clip outliers to
     * the fence) and [[robustStandardizeBySource]] (median): drop the

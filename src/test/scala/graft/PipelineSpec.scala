@@ -102,6 +102,24 @@ class PipelineSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("profileWindowedSketch: exact columns match profileWindowed; contract holds") {
+    def tsv(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (tsv(1), java.lang.Long.valueOf(1L), "a"),
+      (tsv(2), java.lang.Long.valueOf(2L), "b"),
+      (tsv(11), null.asInstanceOf[java.lang.Long], "a"),
+      (tsv(12), null.asInstanceOf[java.lang.Long], "a")
+    ).toDF("event_time", "user_id", "event_type")
+    val out = graft.pipeline.Curation.profileWindowedSketch(ev, "event_time",
+        "10 seconds", Seq("user_id", "event_type"), rsd = 0.05, bound = 0.15)
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out((0L, "user_id")) == ((2L, 0L, 2L, true)))
+    assert(out((10L, "user_id")) == ((2L, 2L, 0L, true))) // all-NULL: est 0 == exact 0
+    assert(out((10L, "event_type")) == ((2L, 0L, 1L, true)))
+    assert(out.size == 4)
+  }
+
   test("topTermsChurn: exact set turnover between consecutive windows; gaps emit nothing") {
     def tsv(s: Long) = new java.sql.Timestamp(s * 1000L)
     // window [0,10): {a,b}; [10,20): {b,c} -> churn 1 - 1/3; [20,30)
