@@ -2087,6 +2087,12 @@ object SparkEntry {
       graft.pipeline.Curation.profileWindowedSketch(ev,
         "event_time", "1 hour", Seq("user_id", "event_type", "value"),
         rsd = 0.02, bound = 0.15)
+    },
+    "q251_mutual_info" -> { (s, dir) =>
+      // the split/label leakage audit in one number: MI(lang; source)
+      // with both marginal entropies — q208's per-pair lift summarized
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.mutualInfo(t(dir, "documents"), "lang", "source")
     }
   )
 
@@ -2782,6 +2788,8 @@ object SparkEntry {
     "q248_pca_power" -> PipelineOracle.pcaPower(12),
     "q249_pca_project" -> PipelineOracle.pcaProject(12),
     "q250_profile_sketch" -> PipelineOracle.profileWindowedSketch(
-      3600000000L, Seq("user_id", "event_type", "value"))
+      3600000000L, Seq("user_id", "event_type", "value")),
+    "q251_mutual_info" -> PipelineOracle.mutualInfo(
+      "documents", "lang", "source")
   )
 }

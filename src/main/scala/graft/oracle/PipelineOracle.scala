@@ -1372,6 +1372,31 @@ object PipelineOracle {
     }.mkString(" UNION ALL ")
   }
 
+  /** Mirrors Curation.mutualInfo: exact cell/marginal counts, 1e-9
+    * quantized ln, cell-ordered folds (SUM ORDER BY == the Spark
+    * sorted-array fold; acc−x ≡ acc+(−x) in IEEE). */
+  def mutualInfo(table: String, aCol: String, bCol: String): String = {
+    def d(s: String) = s"CAST($s AS DOUBLE)"
+    def qln(x: String) =
+      s"FLOOR(LN($x) * CAST('1.0e9' AS DOUBLE)) / CAST('1.0e9' AS DOUBLE)"
+    s"WITH cells AS (SELECT $aCol AS a, $bCol AS b, CAST(COUNT(*) AS BIGINT) AS nab " +
+      s"FROM $table WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL GROUP BY 1, 2), " +
+      "ma AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM cells GROUP BY a), " +
+      "mb AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM cells GROUP BY b), " +
+      "tot AS (SELECT CAST(COALESCE(SUM(nab), 0) AS BIGINT) AS n FROM cells), " +
+      "m AS (SELECT COALESCE(SUM(" +
+      s"(${d("nab")} / ${d("n")}) * (${qln(s"${d("nab")} * ${d("n")} / (${d("na")} * ${d("nb")})")}) " +
+      "ORDER BY a, b), CAST(0 AS DOUBLE)) AS mi " +
+      "FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot), " +
+      "ha AS (SELECT COALESCE(SUM(" +
+      s"-(${d("na")} / ${d("n")}) * (${qln(s"${d("na")} / ${d("n")}")}) " +
+      "ORDER BY a), CAST(0 AS DOUBLE)) AS h_a FROM ma CROSS JOIN tot), " +
+      "hb AS (SELECT COALESCE(SUM(" +
+      s"-(${d("nb")} / ${d("n")}) * (${qln(s"${d("nb")} / ${d("n")}")}) " +
+      "ORDER BY b), CAST(0 AS DOUBLE)) AS h_b FROM mb CROSS JOIN tot) " +
+      "SELECT n AS n_rows, mi, h_a, h_b FROM tot CROSS JOIN m CROSS JOIN ha CROSS JOIN hb"
+  }
+
   /** Mirrors Funnel.funnel over events: per-step conditional-min CTEs
     * (t_k = min time of step k strictly after t_{k-1}), microsecond
     * precision like the Spark side's `ts div 1000` event_time. */

@@ -636,6 +636,63 @@ object Curation {
     * Scale shape: four doc_id-keyed verdict relations intersected by
     * equi-join (AQE co-partitions); the blend adds its one source-keyed
     * exchange; everything else is the [[curate]] machinery. */
+  /** Mutual information between two categorical columns — the leakage /
+    * association audit ("is `lang` secretly a proxy for `source`? is a
+    * supposedly-random split correlated with the label?") that the
+    * per-pair lift of q208 can't summarize in one number:
+    * MI = Σ_ij p_ij·ln(p_ij·N²/(n_i·n_j·N)) over the non-NULL cells,
+    * plus both marginal entropies (so normalized variants are one
+    * division away). MI ≥ 0 up to quantization; 0 ⇔ independent.
+    *
+    * Cross-engine bit-exactness: counts are exact longs; each ln is
+    * 1e-9-quantized (the lmScore discipline — the ln ARGUMENT
+    * n_ij·N/(n_i·n_j) is a quotient of exact-in-double longs, one IEEE
+    * divide after two multiplies); the cell terms fold in (a, b) cell
+    * order through one sorted-array aggregate (cells are
+    * |A|·|B|-bounded, so the collect is bins-sized); entropies fold the
+    * same way over each marginal. NULL in either column drops the row
+    * (a missing category is not a category).
+    *
+    * Scale shape: one map-combinable (a, b) cell count, marginals and
+    * the total derived FROM the cell relation (the corpus is read
+    * once), everything after operates on the bounded cell table —
+    * broadcast joins, one single-row fold. */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def qln(x: Column): Column =
+      floor(log(x) * lit(1.0e9)) / lit(1.0e9)
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__nab"))
+    val ma = cells.groupBy(col("__a")).agg(sum(col("__nab")).as("__na"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("__nab")).as("__nb"))
+    val tot = cells.agg(coalesce(sum(col("__nab")), lit(0L)).as("__n"))
+    // fold -Σ p·ln(p) in key order over the bounded marginal array
+    def entropyFrame(m: DataFrame, keyCol: String, cnt: String,
+        out: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .agg(coalesce(max(col("__n")), lit(0L)).as("__n"),
+          sort_array(collect_list(struct(col(keyCol), col(cnt)))).as("__m"))
+        .select(aggregate(col("__m"), lit(0.0), (acc, x) =>
+          acc - (x.getField(cnt).cast("double") / col("__n").cast("double")) *
+            qln(x.getField(cnt).cast("double") / col("__n").cast("double")))
+          .as(out))
+    val mi = cells
+      .join(broadcast(ma), "__a").join(broadcast(mb), "__b")
+      .crossJoin(broadcast(tot))
+      .agg(coalesce(max(col("__n")), lit(0L)).as("__n"),
+        sort_array(collect_list(struct(col("__a"), col("__b"),
+          col("__nab"), col("__na"), col("__nb")))).as("__cells"))
+      .select(col("__n"),
+        aggregate(col("__cells"), lit(0.0), (acc, x) =>
+          acc + (x.getField("__nab").cast("double") / col("__n").cast("double")) *
+            qln(x.getField("__nab").cast("double") * col("__n").cast("double") /
+              (x.getField("__na").cast("double") * x.getField("__nb").cast("double"))))
+          .as("mi"))
+    mi.crossJoin(broadcast(entropyFrame(ma, "__a", "__na", "h_a")))
+      .crossJoin(broadcast(entropyFrame(mb, "__b", "__nb", "h_b")))
+      .select(col("__n").as("n_rows"), col("mi"), col("h_a"), col("h_b"))
+  }
+
   def curateExplain(docs: DataFrame, benchmark: DataFrame,
       scores: Seq[(String, Column)], minBlend: Double = 0.5,
       minTokens: Long = 40L, ngram: Int = 5, rate: Double = 0.8,

@@ -120,6 +120,27 @@ class PipelineSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("mutualInfo: independent -> ~0; deterministic map -> MI == H; NULLs drop") {
+    // independent 2x2 (uniform product distribution)
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val r1 = graft.pipeline.Curation.mutualInfo(ind, "a", "b").collect()(0)
+    assert(r1.getLong(0) == 4L)
+    assert(math.abs(r1.getDouble(1)) < 1e-8, s"mi=${r1.getDouble(1)}")
+    assert(math.abs(r1.getDouble(2) - math.log(2.0)) < 1e-8)
+    // b is a function of a (and both marginals uniform): MI = H(a) = ln 2
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"),
+      ("y", "q"), (null.asInstanceOf[String], "p")).toDF("a", "b")
+    val r2 = graft.pipeline.Curation.mutualInfo(dep, "a", "b").collect()(0)
+    assert(r2.getLong(0) == 4L) // the NULL-a row dropped
+    assert(math.abs(r2.getDouble(1) - math.log(2.0)) < 1e-8)
+    assert(math.abs(r2.getDouble(1) - r2.getDouble(2)) < 1e-8)
+    // empty input: one zero row, no crash
+    val r3 = graft.pipeline.Curation.mutualInfo(
+      Seq.empty[(String, String)].toDF("a", "b"), "a", "b").collect()(0)
+    assert(r3.getLong(0) == 0L && r3.getDouble(1) == 0.0 && r3.getDouble(2) == 0.0)
+  }
+
   test("topTermsChurn: exact set turnover between consecutive windows; gaps emit nothing") {
     def tsv(s: Long) = new java.sql.Timestamp(s * 1000L)
     // window [0,10): {a,b}; [10,20): {b,c} -> churn 1 - 1/3; [20,30)
