@@ -2093,6 +2093,13 @@ object SparkEntry {
       // with both marginal entropies — q208's per-pair lift summarized
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.mutualInfo(t(dir, "documents"), "lang", "source")
+    },
+    "q252_source_overlap" -> { (s, dir) =>
+      // mirror detection: source-pair Jaccard of distinct-content sets
+      // — q135 says how dirty each source is, this says WHERE the dirt
+      // comes from; per-hash self-join bounded by |sources|²
+      implicit val sp: SparkSession = s
+      graft.pipeline.Dedup.sourceOverlap(t(dir, "documents"))
     }
   )
 
@@ -2790,6 +2797,7 @@ object SparkEntry {
     "q250_profile_sketch" -> PipelineOracle.profileWindowedSketch(
       3600000000L, Seq("user_id", "event_type", "value")),
     "q251_mutual_info" -> PipelineOracle.mutualInfo(
-      "documents", "lang", "source")
+      "documents", "lang", "source"),
+    "q252_source_overlap" -> PipelineOracle.sourceOverlap
   )
 }

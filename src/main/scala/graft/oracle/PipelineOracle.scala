@@ -1372,6 +1372,18 @@ object PipelineOracle {
     }.mkString(" UNION ALL ")
   }
 
+  /** Mirrors Dedup.sourceOverlap: distinct (md5, source), self-join
+    * pair counts with a < b, Jaccard as one IEEE division. */
+  val sourceOverlap: String =
+    "WITH hs AS (SELECT DISTINCT md5(text) AS h, source AS s FROM documents " +
+      "WHERE text IS NOT NULL AND source IS NOT NULL), " +
+      "sz AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM hs GROUP BY s), " +
+      "p AS (SELECT x.s AS source_a, y.s AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared " +
+      "FROM hs x JOIN hs y ON y.h = x.h AND x.s < y.s GROUP BY 1, 2) " +
+      "SELECT p.source_a, p.source_b, a.n AS n_a, b.n AS n_b, p.n_shared, " +
+      "CAST(p.n_shared AS DOUBLE) / CAST(a.n + b.n - p.n_shared AS DOUBLE) AS jaccard " +
+      "FROM p JOIN sz a ON a.s = p.source_a JOIN sz b ON b.s = p.source_b"
+
   /** Mirrors Curation.mutualInfo: exact cell/marginal counts, 1e-9
     * quantized ln, cell-ordered folds (SUM ORDER BY == the Spark
     * sorted-array fold; acc−x ≡ acc+(−x) in IEEE). */

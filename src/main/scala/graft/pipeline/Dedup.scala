@@ -65,6 +65,42 @@ object Dedup {
   /** Content hash per document. */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
+  /** Source×source duplicate-content overlap matrix — "which sources
+    * copy from each other?" ([[dedupReport]] says how dirty each source
+    * is; this says WHERE the dirt comes from — mirror detection, feed
+    * provenance, which domains to collapse before mixing weights are
+    * set): for every unordered source pair (a < b), the Jaccard of
+    * their distinct-content sets |A∩B| / |A∪B| with the exact
+    * intersection and both set sizes. Pairs with zero overlap are
+    * omitted (at corpus scale the matrix is overlap-sparse; absent row
+    * == jaccard 0).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (content_hash,
+    * source) relation (map-combinable pre-aggregation — duplicate
+    * copies within a source count once); the pair generator is a
+    * hash-keyed self-join of that relation — per-hash cost
+    * |sources_h|², bounded by the source vocabulary squared, never
+    * corpus², the typeCooccurrence shape; per-source set sizes ride a
+    * broadcast join; jaccard = one IEEE division of exact longs. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val hs = docs.filter(col("text").isNotNull && col("source").isNotNull)
+      .select(contentHash(col("text")).as("__h"), col("source").as("__s"))
+      .distinct()
+    val sizes = hs.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val pairs = hs.join(hs.select(col("__h"), col("__s").as("__s2")), "__h")
+      .filter(col("__s") < col("__s2"))
+      .groupBy(col("__s").as("source_a"), col("__s2").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(sizes.select(col("__s").as("source_a"), col("__n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("__s").as("source_b"), col("__n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Exact dedup: keep the lowest doc_id per identical content
     * (hash-groupBy; single shuffle by content hash). */
   def exact(docs: DataFrame): DataFrame =

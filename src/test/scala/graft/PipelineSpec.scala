@@ -120,6 +120,22 @@ class PipelineSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("sourceOverlap: pair Jaccard of distinct-content sets; within-source dups count once") {
+    val d = Seq(
+      (1L, "alpha", "s1"), (2L, "alpha", "s1"),  // within-source dup: one set element
+      (3L, "alpha", "s2"), (4L, "beta", "s2"),
+      (5L, "beta", "s3"), (6L, "gamma", "s3"), (7L, "delta", "s3"),
+      (8L, null.asInstanceOf[String], "s1")
+    ).toDF("doc_id", "text", "source")
+    val out = graft.pipeline.Dedup.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // s1={alpha}, s2={alpha,beta}, s3={beta,gamma,delta}
+    assert(out(("s1", "s2")) == ((1L, 2L, 1L, 0.5)))
+    assert(out(("s2", "s3")) == ((2L, 3L, 1L, 0.25)))
+    assert(!out.contains(("s1", "s3"))) // zero overlap omitted
+  }
+
   test("mutualInfo: independent -> ~0; deterministic map -> MI == H; NULLs drop") {
     // independent 2x2 (uniform product distribution)
     val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
