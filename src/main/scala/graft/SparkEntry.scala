@@ -2100,6 +2100,14 @@ object SparkEntry {
       // comes from; per-hash self-join bounded by |sources|²
       implicit val sp: SparkSession = s
       graft.pipeline.Dedup.sourceOverlap(t(dir, "documents"))
+    },
+    "q253_neg_sampling" -> { (s, dir) =>
+      // the other half of word2vec prep beside q245: unigram^0.75
+      // negative-sampling distribution, quantized pow, broadcast
+      // normalizer
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.negSamplingTable(
+        t(dir, "documents"), alpha = 0.75)
     }
   )
 
@@ -2798,6 +2806,7 @@ object SparkEntry {
       3600000000L, Seq("user_id", "event_type", "value")),
     "q251_mutual_info" -> PipelineOracle.mutualInfo(
       "documents", "lang", "source"),
-    "q252_source_overlap" -> PipelineOracle.sourceOverlap
+    "q252_source_overlap" -> PipelineOracle.sourceOverlap,
+    "q253_neg_sampling" -> PipelineOracle.negSamplingTable(0.75)
   )
 }

@@ -1372,6 +1372,21 @@ object PipelineOracle {
     }.mkString(" UNION ALL ")
   }
 
+  /** Mirrors TextAnalysis.negSamplingTable: exact vocabulary counts,
+    * 1e6 floor-quantized POWER, exact HUGEINT normalizer, one IEEE
+    * division. */
+  def negSamplingTable(alpha: Double): String = {
+    val a = s"CAST('${java.lang.Double.toString(alpha)}' AS DOUBLE)"
+    "WITH v AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f FROM (" +
+      "SELECT UNNEST(regexp_extract_all(text, '\\S+')) AS term FROM documents " +
+      "WHERE text IS NOT NULL) t GROUP BY term), " +
+      s"w AS (SELECT term, f, CAST(FLOOR(POWER(CAST(f AS DOUBLE), $a) * " +
+      "CAST('1000000.0' AS DOUBLE)) AS BIGINT) AS wq FROM v), " +
+      "tot AS (SELECT SUM(wq) AS t FROM w) " +
+      "SELECT term, f, CAST(wq AS DOUBLE) / CAST(t AS DOUBLE) AS p_neg " +
+      "FROM w CROSS JOIN tot"
+  }
+
   /** Mirrors Dedup.sourceOverlap: distinct (md5, source), self-join
     * pair counts with a < b, Jaccard as one IEEE division. */
   val sourceOverlap: String =

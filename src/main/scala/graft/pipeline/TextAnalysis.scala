@@ -980,6 +980,38 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("lm2_score"))
   }
 
+  /** Negative-sampling distribution — the OTHER half of word2vec data
+    * prep beside [[skipgramCounts]]: the unigram distribution raised to
+    * `alpha` (0.75 in the published recipe — damps stopwords, lifts the
+    * tail) and renormalized, p(w) = f_w^α / Σ f^α. One row per
+    * vocabulary term: (term, f, p_neg).
+    *
+    * Cross-engine bit-exactness: counts are exact longs; f^α is
+    * floor-quantized to an exact long at 1e6 (pow is not correctly
+    * rounded across libms — the quantizer absorbs the last-ulp
+    * divergence, the ln/pow discipline everywhere in this repo); the
+    * normalizer Σ is an exact DECIMAL(38,0) sum; p_neg is one IEEE
+    * division of exact-in-double longs. Bound: Σ floor(f^α·1e6) must
+    * stay below 2^53 for the final division's operands — at α=0.75
+    * that is ~10^9 distinct terms of corpus frequency 10^6; beyond it,
+    * lower the quantization scale.
+    *
+    * Scale shape: one map-combinable vocabulary count, the quantized
+    * weight map-side, the single-row normalizer broadcast. No windows,
+    * no sort, no driver state. */
+  def negSamplingTable(docs: DataFrame, alpha: Double = 0.75): DataFrame = {
+    require(alpha > 0.0, s"alpha must be positive: $alpha")
+    val vocab = docs.filter(col("text").isNotNull)
+      .select(explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .withColumn("__w",
+        floor(pow(col("f").cast("double"), lit(alpha)) * lit(1.0e6)).cast("long"))
+    val tot = vocab.agg(sum(col("__w").cast("decimal(38,0)")).as("__t"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("term"), col("f"),
+        (col("__w").cast("double") / col("__t").cast("double")).as("p_neg"))
+  }
+
   /** Skip-gram co-occurrence counts — the word2vec/GloVe training-data
     * prep [[pmiCollocations]] can't produce (that op sees only ADJACENT
     * bigrams; embedding training wants every ordered (context, center)

@@ -120,6 +120,18 @@ class PipelineSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("negSamplingTable: unigram^0.75 renormalized; probabilities sum to ~1") {
+    val d = Seq((1L, "a a a a a a a a a a a a a a a a b"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.negSamplingTable(d, alpha = 0.75)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // f(a)=16, f(b)=1: weights 16^.75=8 vs 1 -> p = 8/9, 1/9 exactly
+    // (both powers land on the 1e-6 grid: 8000000 and 1000000)
+    assert(out("a") == ((16L, 8000000.0 / 9000000.0)))
+    assert(out("b") == ((1L, 1000000.0 / 9000000.0)))
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
   test("sourceOverlap: pair Jaccard of distinct-content sets; within-source dups count once") {
     val d = Seq(
       (1L, "alpha", "s1"), (2L, "alpha", "s1"),  // within-source dup: one set element
