@@ -2108,6 +2108,19 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.TextAnalysis.negSamplingTable(
         t(dir, "documents"), alpha = 0.75)
+    },
+    "q254_cvm_drift" -> { (s, dir) =>
+      // the drift quartet's integrated-gap head (PSI/EMD/KS + CvM):
+      // Σ(CDFa−CDFb)² — many moderate gaps that never trip KS's max;
+      // same dense-grid decimal-exact plumbing as q211
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      HistStats.cvm(
+        Histogram.histogram(ev.filter(col("event_type") === "view"),
+          col("value"), axValue),
+        Histogram.histogram(ev.filter(col("event_type") === "click"),
+          col("value"), axValue),
+        axValue)
     }
   )
 
@@ -2807,6 +2820,8 @@ object SparkEntry {
     "q251_mutual_info" -> PipelineOracle.mutualInfo(
       "documents", "lang", "source"),
     "q252_source_overlap" -> PipelineOracle.sourceOverlap,
-    "q253_neg_sampling" -> PipelineOracle.negSamplingTable(0.75)
+    "q253_neg_sampling" -> PipelineOracle.negSamplingTable(0.75),
+    "q254_cvm_drift" -> Oracle.cvm("events", Oracle.Spec("value", axValue),
+      "event_type = 'view'", "event_type = 'click'")
   )
 }

@@ -240,6 +240,31 @@ object Oracle {
       s"ELSE ABS(cca / ta - ccb / tb) * (${spec.axis.widthSql("i")}) END ORDER BY i) AS emd FROM c"
   }
 
+  /** Mirrors HistStats.cvm: the [[emd]] CTEs with the squared-gap term
+    * (g·g after one subtraction, no width factor), SUM ORDER BY i, the
+    * same zero-total lifecycle NULL. */
+  def cvm(table: String, spec: Spec, whereA: String,
+      whereB: String): String = {
+    def histCte(name: String, where: String): String =
+      s"$name AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+        s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+        s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1} " +
+        "GROUP BY __i0)"
+    def dsum(e: String, over: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER ($over)")
+    val cum = "ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    s"WITH ${histCte("ha", whereA)}, ${histCte("hb", whereB)}, " +
+      s"bins AS (SELECT CAST(r AS BIGINT) AS i FROM range(0, ${spec.axis.nBins}) t(r)), " +
+      "j AS (SELECT bins.i, " +
+      "COALESCE(ha.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hb.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM bins LEFT JOIN ha ON ha.__i0 = bins.i LEFT JOIN hb ON hb.__i0 = bins.i), " +
+      s"c AS (SELECT i, ${dsum("ca", "")} AS ta, ${dsum("cb", "")} AS tb, " +
+      s"${dsum("ca", cum)} AS cca, ${dsum("cb", cum)} AS ccb FROM j) " +
+      "SELECT SUM(CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE (cca / ta - ccb / tb) * (cca / ta - ccb / tb) END ORDER BY i) AS cvm FROM c"
+  }
+
   /** Mirrors HistStats.emd with `dims`: per-dim side histograms, the
     * dense dim×bins grid over the UNION of keys from BOTH sides (so a
     * group born/dead on one side appears with an all-zero side), per-dim

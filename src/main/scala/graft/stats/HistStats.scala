@@ -535,6 +535,76 @@ object HistStats {
       .select(dims.map(col) :+ fold(col("__terms")).as("emd"): _*)
   }
 
+  /** Binned two-sample Cramér–von Mises criterion between two count
+    * histograms: Σᵢ (CDFa(i) − CDFb(i))² over the DENSE axis grid — the
+    * drift quartet's integrated-gap head ([[psi]] = ln-weighted score,
+    * [[emd]] = units-carrying transport cost, [[ks]] = the single
+    * largest gap, CvM = the WHOLE CDF discrepancy: sensitive to many
+    * moderate gaps that never trip KS's max). Unnormalized binned form
+    * — comparable across windows/groups on the same axis. Contracts are
+    * [[emd]]'s: ordered flow-free axis (off-grid labels raise), dense
+    * grid, zero-total lifecycle → NULL, never 0/0. Cross-engine:
+    * DECIMAL-exact totals/cumulatives (one double cast each), each term
+    * g·g after one subtraction, the terms folded in bin order (the emd
+    * sorted-array fold == SUM ORDER BY i). Histogram-sized relations
+    * only. */
+  def cvm(a: DataFrame, b: DataFrame, ax: BinAxis,
+      dims: Seq[String] = Nil): DataFrame = {
+    val aa = a.select(dims.map(col) ++
+      Seq(col(ax.binsCol), col("cnt").as("__ca")): _*)
+    val bb = b.select(dims.map(col) ++
+      Seq(col(ax.binsCol), col("cnt").as("__cb")): _*)
+    val bins = binsTable(a.sparkSession, ax)
+      .select(col("left_edge").as(ax.binsCol))
+    val offGrid = aa.select(col(ax.binsCol))
+      .union(bb.select(col(ax.binsCol))).distinct()
+      .join(broadcast(bins), Seq(ax.binsCol), "left_anti").count()
+    require(offGrid == 0L,
+      s"cvm requires flow-free histograms binned on the axis grid: " +
+        s"$offGrid bin label(s) outside the ${ax.nBins}-bin ${ax.binsCol} axis")
+    val grid = if (dims.isEmpty) bins
+      else aa.select(dims.map(col): _*)
+        .union(bb.select(dims.map(col): _*)).distinct()
+        .crossJoin(broadcast(bins))
+    val j = grid.join(aa, dims :+ ax.binsCol, "left")
+      .join(bb, dims :+ ax.binsCol, "left")
+      .na.fill(0.0, Seq("__ca", "__cb"))
+    val w = if (dims.isEmpty) Window.partitionBy()
+      else Window.partitionBy(dims.map(col): _*)
+    val cw = w.orderBy(col(ax.binsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ta = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__ca"))).over(w))
+    val tb = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__cb"))).over(w))
+    val cca = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__ca"))).over(cw))
+    val ccb = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__cb"))).over(cw))
+    val gap = cca / ta - ccb / tb
+    val withTerm = j
+      .withColumn("__t", when(ta === lit(0.0) || tb === lit(0.0),
+          lit(null).cast("double"))
+        .otherwise(gap * gap))
+    val terms = sort_array(collect_list(struct(
+      col(ax.binsCol).as("k"), col("__t").as("t"))))
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x.getField("t"))
+    grouped(withTerm, dims)(terms.as("__terms"))
+      .select(dims.map(col) :+ fold(col("__terms")).as("cvm"): _*)
+  }
+
+  /** Per-group binned CvM against one shared reference histogram —
+    * [[cvm]] in [[psiFrom]]'s rolling-monitor shape. Same scale shape:
+    * the dims×bins grid is histogram-sized, the reference broadcasts. */
+  def cvmFrom(a: DataFrame, ref: DataFrame, ax: BinAxis,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "cvmFrom scores per group; use cvm for the global form")
+    val grid = a.select(dims.map(col): _*).distinct()
+      .crossJoin(broadcast(ref.select(col(ax.binsCol), col("cnt"))))
+    cvm(a, grid, ax, dims)
+  }
+
   /** Per-group PSI against one shared reference histogram — the rolling
     * drift monitor in its published form ("PSI of each day's score
     * distribution vs the training snapshot; alarm past 0.25"): the

@@ -296,6 +296,39 @@ class HistStatsSpec extends SparkSpec {
     assert(near == 2.0 && far == 6.0)
   }
 
+  test("cvm: summed squared CDF gaps; zero for identical; dead group is NULL") {
+    val ax = Regular("x", 4, 0.0, 8.0)
+    def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)
+    // all mass bin0 vs bin3: gaps 1,1,1,0 -> Σg² = 3 (KS only sees 1)
+    assert(HistStats.cvm(h(1, 1), h(7, 7), ax).collect().head.getDouble(0) == 3.0)
+    assert(HistStats.cvm(h(1, 3, 5), h(1, 3, 5), ax)
+      .collect().head.getDouble(0) == 0.0)
+    // one-bin nudge: gaps 1,0,0,0 -> 1; many moderate gaps beat KS:
+    // (3,1)/(1,3): gaps 0.5,0,0,0... CDFs (3/4,1,1,1) vs (1/4,1,1,1) -> 0.25
+    assert(HistStats.cvm(h(1, 1, 1, 3), h(1, 3, 3, 3), ax)
+      .collect().head.getDouble(0) == 0.25)
+    // group lifecycle: a dims key on only one side -> NULL, not a crash
+    val byG = Histogram.histogram(
+      Seq(("a", 1.0), ("a", 3.0), ("b", 5.0)).toDF("g", "x"),
+      col("x"), ax, dims = Seq("g"))
+    val dead = HistStats.cvm(byG,
+      byG.filter(col("g") === "a"), ax, dims = Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(dead("a") == Some(0.0) && dead("b").isEmpty)
+    // cvmFrom: per-group vs a broadcast reference
+    val ref = Histogram.histogram(Seq(1.0, 3.0).toDF("x"), col("x"), ax)
+    val out = HistStats.cvmFrom(byG, ref, ax, dims = Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 0.0 && out("b") > 0.0)
+    // off-grid bin labels raise (the flow-free contract)
+    val bad = h(1.0).select(
+      (col(ax.binsCol) + lit(100.0)).as(ax.binsCol), col("cnt"))
+    intercept[IllegalArgumentException] {
+      HistStats.cvm(bad, h(1.0), ax).collect()
+    }
+  }
+
   test("ks: exact largest CDF gap; zero for identical; dead group is NULL") {
     val ax = Regular("x", 4, 0.0, 8.0)
     def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)
