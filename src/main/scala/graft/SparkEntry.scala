@@ -2121,6 +2121,17 @@ object SparkEntry {
         Histogram.histogram(ev.filter(col("event_type") === "click"),
           col("value"), axValue),
         axValue)
+    },
+    "q255_stream_cvm" -> { (s, dir) =>
+      // the q254 integrated-gap head in its LIVE per-window form; batch
+      // execution == cvmFrom over the windowed histogram (streaming
+      // chains two stateful aggs, StreamingSpec pins bit-exact parity)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val ref = Histogram.histogram(ev, col("value"), axValue)
+      graft.streaming.StreamingHist.windowedCvm(
+        ev, "event_time", col("value"), axValue, "1 hour", ref)
     }
   )
 
@@ -2822,6 +2833,10 @@ object SparkEntry {
     "q252_source_overlap" -> PipelineOracle.sourceOverlap,
     "q253_neg_sampling" -> PipelineOracle.negSamplingTable(0.75),
     "q254_cvm_drift" -> Oracle.cvm("events", Oracle.Spec("value", axValue),
-      "event_type = 'view'", "event_type = 'click'")
+      "event_type = 'view'", "event_type = 'click'"),
+    "q255_stream_cvm" -> Oracle.cvmFromByDim("events",
+      Oracle.Spec("value", axValue),
+      "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
+      "window_start", where = "ts IS NOT NULL")
   )
 }

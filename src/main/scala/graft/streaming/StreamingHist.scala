@@ -299,6 +299,70 @@ object StreamingHist {
     }
   }
 
+  /** Per-window binned Cramér–von Mises against a STATIC reference
+    * histogram — the drift quartet's integrated-gap head in its live
+    * form ([[windowedPsi]]/[[windowedEmd]]/[[windowedKs]] + this; CvM
+    * sums EVERY squared CDF gap, catching many moderate gaps that
+    * never trip KS's max). Batch execution is exactly HistStats.cvmFrom
+    * over the batch windowed histogram (the oracle-gated
+    * configuration); streaming chains the same TWO stateful
+    * aggregations and folds the squared gaps map-side against the
+    * driver-collected reference CDF.
+    *
+    * Streaming == batch BIT-EXACTLY: the [[windowedEmd]] argument —
+    * integer-valued counts are exact in doubles so the streaming
+    * running sums equal the batch DECIMAL-exact cumulatives after
+    * their one double cast; each term is one division, one
+    * subtraction, one multiply (g·g); the terms fold left-to-right in
+    * label order, matching the batch sorted-array fold (prepending the
+    * 0.0 seed is IEEE-neutral). Same contracts as HistStats.cvm. */
+  def windowedCvm(df: DataFrame, tsCol: String, x: Column, ax: BinAxis,
+      windowDuration: String, ref: DataFrame,
+      watermark: String = "10 seconds"): DataFrame = {
+    if (!df.isStreaming) {
+      val wh = windowedHistogram(df, tsCol, x, ax, windowDuration)
+        .select(col("window_start"), col(ax.binsCol), col("cnt"))
+      graft.stats.HistStats.cvmFrom(wh, ref, ax,
+        dims = Seq("window_start"))
+    } else {
+      val spark = df.sparkSession
+      val labels = graft.stats.HistStats.binsTable(spark, ax)
+        .select(col("left_edge").cast("double"))
+        .collect().map(_.getDouble(0)).toSeq
+      val refRows = ref
+        .select(col(ax.binsCol).cast("double"), col("cnt").cast("double"))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      require(refRows.keySet.subsetOf(labels.toSet),
+        "reference histogram carries bins outside the axis (flow rows?)")
+      val refTot = refRows.values.sum // integer-valued doubles: exact
+      require(refTot > 0.0, "reference histogram is empty")
+      val refCdf = labels.scanLeft(0.0)((acc, l) =>
+        acc + refRows.getOrElse(l, 0.0)).tail.map(_ / refTot)
+      val kept = ax.keepPred(x, includeUnder = false, includeOver = false)
+      val agged = df.withWatermark(tsCol, watermark)
+        .filter(kept)
+        .select(window(col(tsCol), windowDuration).as("win"),
+          ax.index(x).as("__i0"))
+        .groupBy(col("win"), col("__i0"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .select(col("win"), ax.label(col("__i0")).cast("double").as("__b"),
+          col("cnt"))
+        .groupBy(window(window_time(col("win")), windowDuration).as("__w2"))
+        .agg(collect_list(struct(col("__b"), col("cnt"))).as("__a"))
+      val wmap = map_from_entries(col("__a"))
+      val total = aggregate(col("__a"), lit(0.0),
+        (acc, e) => acc + e.getField("cnt"))
+      val cums = labels.scanLeft(lit(0.0))((acc, l) =>
+        acc + coalesce(element_at(wmap, lit(l)), lit(0.0))).tail
+      val terms = cums.lazyZip(refCdf).map { (cum, q) =>
+        val g = cum / total - lit(q)
+        g * g
+      }
+      agged.select(col("__w2.start").as("window_start"),
+        terms.reduceLeft(_ + _).as("cvm"))
+    }
+  }
+
   /** Per-window per-bin PULL against a STATIC reference histogram — the
     * drill-down beside [[windowedPsi]]/[[windowedEmd]]/[[windowedKs]]'s
     * scalar alarms: WHICH bins moved this hour, and by how many Poisson
