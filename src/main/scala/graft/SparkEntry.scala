@@ -2132,6 +2132,16 @@ object SparkEntry {
       val ref = Histogram.histogram(ev, col("value"), axValue)
       graft.streaming.StreamingHist.windowedCvm(
         ev, "event_time", col("value"), axValue, "1 hour", ref)
+    },
+    "q256_stream_gini" -> { (s, dir) =>
+      // the live diversity-collapse alarm beside q209: per hourly
+      // window, Gini of the event-type mix; batch = the q209 formula
+      // per window (streaming folds sorted cells with exact longs)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.windowedGini(
+        ev, "event_time", "event_type", "1 hour")
     }
   )
 
@@ -2837,6 +2847,7 @@ object SparkEntry {
     "q255_stream_cvm" -> Oracle.cvmFromByDim("events",
       Oracle.Spec("value", axValue),
       "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
-      "window_start", where = "ts IS NOT NULL")
+      "window_start", where = "ts IS NOT NULL"),
+    "q256_stream_gini" -> PipelineOracle.windowedGini(3600000000L)
   )
 }

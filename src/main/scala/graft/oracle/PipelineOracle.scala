@@ -2299,6 +2299,20 @@ object PipelineOracle {
       "CAST(2 * six - CAST(n + 1 AS HUGEINT) * CAST(tx AS HUGEINT) AS DOUBLE) / " +
       "CAST(CAST(n AS HUGEINT) * CAST(tx AS HUGEINT) AS DOUBLE) AS gini FROM m"
 
+  /** Mirrors StreamingHist.windowedGini over events: the [[sourceGini]]
+    * formula per microsecond window floor, ranks PARTITIONED BY
+    * window. */
+  def windowedGini(durUs: Long): String =
+    s"WITH c AS (SELECT ((epoch_ns(ts) // 1000) // $durUs) * $durUs AS ws, " +
+      "event_type AS k, CAST(COUNT(*) AS BIGINT) AS x FROM events " +
+      "WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2), " +
+      "r AS (SELECT ws, x, CAST(ROW_NUMBER() OVER (PARTITION BY ws ORDER BY x, k) AS BIGINT) AS i FROM c), " +
+      "m AS (SELECT ws, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS tx, " +
+      "SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS six FROM r GROUP BY ws) " +
+      "SELECT make_timestamp(ws) AS window_start, n AS n_keys, tx AS total_rows, " +
+      "CAST(2 * six - CAST(n + 1 AS HUGEINT) * CAST(tx AS HUGEINT) AS DOUBLE) / " +
+      "CAST(CAST(n AS HUGEINT) * CAST(tx AS HUGEINT) AS DOUBLE) AS gini FROM m"
+
   /** Mirrors TextAnalysis.zipfFit: floor(ln·1e3) millinat integer
     * moments — every sum below 2^53, so the int→double casts are exact
     * in both engines — and the identical IEEE slope/r² tail. */

@@ -760,6 +760,74 @@ object StreamingHist {
     }
   }
 
+  /** Per-window Gini of the key-mix — the live DIVERSITY-COLLAPSE
+    * alarm beside q209's corpus-wide number ("this hour the feed
+    * became one event type wearing twenty hats"): per event-time
+    * window, the Gini coefficient of the per-key count distribution,
+    * with the key count and total. 0 = perfectly even mix, →1 = one
+    * key dominates.
+    *
+    * Batch execution: per-window counts, rank window PARTITIONED BY
+    * the time window (the q209 formula G = (2Σi·xᵢ − (n+1)Σx)/(nΣx)
+    * with DECIMAL-exact sums, one IEEE division). Streaming: the
+    * chained two-stateful-agg shape — per-(window, key) counts
+    * re-collected per window, then the SAME formula as an in-row fold
+    * over the (count, key)-sorted cell array with exact LONG
+    * accumulators. Streaming == batch BIT-exactly: both reach the
+    * identical exact integers (Σi·x < 2^63 by the per-window key
+    * bound; division operands < 2^53 documented), and the final
+    * division is the same IEEE op. NULL keys and NULL timestamps
+    * drop. */
+  def windowedGini(df: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, watermark: String = "10 seconds"): DataFrame = {
+    if (!df.isStreaming) {
+      import org.apache.spark.sql.expressions.Window
+      val durUs = fixedWindowUs(windowDuration)
+      val us = unix_micros(col(tsCol))
+      val counts = df.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+        .select((us - pmod(us, lit(durUs))).as("__ws"), col(keyCol).as("__k"))
+        .groupBy(col("__ws"), col("__k")).agg(count(lit(1)).as("__x"))
+      val ranked = counts.withColumn("__i",
+        row_number().over(Window.partitionBy(col("__ws"))
+          .orderBy(col("__x"), col("__k"))).cast("long"))
+      ranked.groupBy(col("__ws"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("__x")).as("total_rows"),
+          sum(col("__i").cast("decimal(38,0)") * col("__x").cast("decimal(38,0)"))
+            .as("__six"))
+        .select(timestamp_micros(col("__ws")).as("window_start"),
+          col("n_keys"), col("total_rows"),
+          ((lit(2).cast("decimal(38,0)") * col("__six") -
+            (col("n_keys") + lit(1L)).cast("decimal(38,0)") *
+              col("total_rows").cast("decimal(38,0)")).cast("double") /
+            (col("n_keys").cast("decimal(38,0)") *
+              col("total_rows").cast("decimal(38,0)")).cast("double")).as("gini"))
+    } else {
+      val agged = df.withWatermark(tsCol, watermark)
+        .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+        .select(window(col(tsCol), windowDuration).as("win"),
+          col(keyCol).as("__k"))
+        .groupBy(col("win"), col("__k"))
+        .agg(count(lit(1)).as("__x"))
+        .groupBy(window(window_time(col("win")), windowDuration).as("__w2"))
+        .agg(sort_array(collect_list(struct(col("__x"), col("__k")))).as("__a"))
+      // fold Σi·xᵢ over the (count, key)-sorted cells with exact longs
+      val acc0 = struct(lit(0L).as("i"), lit(0L).as("six"), lit(0L).as("sx"))
+      val folded = aggregate(col("__a"), acc0, (acc, e) =>
+        struct((acc.getField("i") + lit(1L)).as("i"),
+          (acc.getField("six") + (acc.getField("i") + lit(1L)) *
+            e.getField("__x")).as("six"),
+          (acc.getField("sx") + e.getField("__x")).as("sx")))
+      agged.select(col("__w2.start").as("window_start"),
+          size(col("__a")).cast("long").as("n_keys"),
+          folded.as("__f"))
+        .select(col("window_start"), col("n_keys"),
+          col("__f.sx").as("total_rows"),
+          ((lit(2L) * col("__f.six") - (col("n_keys") + lit(1L)) *
+            col("__f.sx")).cast("double") /
+            (col("n_keys") * col("__f.sx")).cast("double")).as("gini"))
+    }
+  }
+
   case class RateEvent(event_type: String, us: Long)
   case class RateState(openDay: Long, openCnt: Long, closed: List[Long])
   case class RateVerdict(event_type: String, day: Long, n: Long,

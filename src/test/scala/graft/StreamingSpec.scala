@@ -783,6 +783,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed Gini: streaming long-fold equals batch decimal form bit-exactly") {
+    def key(r: org.apache.spark.sql.Row) =
+      r.getTimestamp(0).getTime / 1000 ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // [0,10): a,a,a,b -> sorted x=(1,3): G=(2(1·1+2·3)−3·4)/(2·4)=2/8
+    // [10,20): c alone -> G = 0 exactly
+    val events = Seq((ts(1), "a"), (ts(2), "a"), (ts(3), "a"), (ts(5), "b"),
+      (ts(12), "c"), (ts(13), "c"))
+      .toDF("event_time", "event_type")
+    val batch = StreamingHist.windowedGini(
+        events, "event_time", "event_type", "10 seconds")
+      .collect().map(key).toMap
+    assert(batch(0L) == ((2L, 4L, 0.25)))
+    assert(batch(10L) == ((1L, 2L, 0.0)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamingHist.windowedGini(
+      input.toDF().toDF("event_time", "event_type"),
+      "event_time", "event_type", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("gini_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the dominant key's count accrues across micro-batches
+      input.addData((ts(1), "a"), (ts(5), "b"))
+      q.processAllAvailable()
+      input.addData((ts(2), "a"), (ts(3), "a"), (ts(12), "c"), (ts(13), "c"))
+      q.processAllAvailable()
+      input.addData((ts(50), "z")) // watermark 40: closes both windows
+      q.processAllAvailable()
+      val streamed = spark.table("gini_stream").collect().map(key).toMap
+      assert(streamed == batch.filter { case (w, _) => w < 40L },
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("windowed CvM: streaming equals batch BIT-exactly on closed windows") {
     val ax = Regular("value", 4, 0.0, 4.0)
     val ref = graft.operators.Histogram.histogram(
