@@ -2142,6 +2142,21 @@ object SparkEntry {
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.streaming.StreamingHist.windowedGini(
         ev, "event_time", "event_type", "1 hour")
+    },
+    "q257_lexical_richness" -> { (s, dir) =>
+      // corpus-linguistics QA: type-token ratio + hapax rate per source
+      // (machine-generated text reads low-TTR; word-salad reads
+      // high-hapax)
+      implicit val sp: SparkSession = s
+      graft.pipeline.TextAnalysis.lexicalRichness(t(dir, "documents"))
+    },
+    "q258_rolling_retention" -> { (s, dir) =>
+      // the OTHER retention definition: active at offset t OR LATER —
+      // churn's survival function, monotone by construction
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.rollingRetention(ev)
     }
   )
 
@@ -2848,6 +2863,8 @@ object SparkEntry {
       Oracle.Spec("value", axValue),
       "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
       "window_start", where = "ts IS NOT NULL"),
-    "q256_stream_gini" -> PipelineOracle.windowedGini(3600000000L)
+    "q256_stream_gini" -> PipelineOracle.windowedGini(3600000000L),
+    "q257_lexical_richness" -> PipelineOracle.lexicalRichness,
+    "q258_rolling_retention" -> PipelineOracle.rollingRetention
   )
 }

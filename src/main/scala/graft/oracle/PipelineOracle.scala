@@ -1525,6 +1525,16 @@ object PipelineOracle {
       "CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users " +
       "FROM a JOIN f USING (user_id) GROUP BY cohort_day, d - cohort_day"
 
+  /** Mirrors Funnel.rollingRetention: per-user (cohort, max offset),
+    * generate_series explode, exact counts. */
+  val rollingRetention: String =
+    "WITH a AS (SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS d " +
+      "FROM events WHERE ts IS NOT NULL), " +
+      "s AS (SELECT user_id, MIN(d) AS cohort, MAX(d) - MIN(d) AS mo FROM a GROUP BY user_id), " +
+      "e AS (SELECT cohort, UNNEST(generate_series(0, mo)) AS offset_days FROM s) " +
+      "SELECT cohort AS cohort_day, CAST(offset_days AS BIGINT) AS offset_days, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_users FROM e GROUP BY 1, 2"
+
   /** Mirrors Funnel.retentionHalfLife: the retention triangle → rates →
     * per-cohort OLS of 1e-3-quantized ln(rate) on offset, slope → λ →
     * half-life, with ln 2 as the same literal double. Exact BIGINT
@@ -2298,6 +2308,20 @@ object PipelineOracle {
       "SELECT n AS n_sources, tx AS total_docs, " +
       "CAST(2 * six - CAST(n + 1 AS HUGEINT) * CAST(tx AS HUGEINT) AS DOUBLE) / " +
       "CAST(CAST(n AS HUGEINT) * CAST(tx AS HUGEINT) AS DOUBLE) AS gini FROM m"
+
+  /** Mirrors TextAnalysis.lexicalRichness: exact (source, term)
+    * counts, two IEEE divisions. */
+  val lexicalRichness: String =
+    "WITH t AS (SELECT source, UNNEST(regexp_extract_all(text, '\\S+')) AS term " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2), " +
+      "m AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_types, " +
+      "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax " +
+      "FROM c GROUP BY source) " +
+      "SELECT source, n_tokens, n_types, " +
+      "CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr, " +
+      "CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_rate FROM m"
 
   /** Mirrors StreamingHist.windowedGini over events: the [[sourceGini]]
     * formula per microsecond window floor, ranks PARTITIONED BY

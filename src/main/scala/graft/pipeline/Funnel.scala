@@ -742,6 +742,33 @@ object Funnel {
         .otherwise(lit(null).cast("double")).as("burstiness"))
   }
 
+  /** ROLLING (unbounded) retention — the other retention definition
+    * dashboards plot beside [[retention]]'s classic form: a user counts
+    * at offset t if they were active at t OR ANY LATER day ("will they
+    * ever come back?"), so the curve is monotone non-increasing and
+    * reads as the survival function of churn. Per (cohort, offset ≤
+    * cohort's max observed offset): users whose LAST activity offset is
+    * ≥ the offset.
+    *
+    * Scale shape: the corpus collapses to one (user → cohort, max
+    * offset) row (two map-combinable aggregates over distinct
+    * user-days); each user then explodes to max_offset+1 rows —
+    * bounded by the observation window in DAYS, never event volume —
+    * and one (cohort, offset) count finishes. Exact longs only. */
+  def rollingRetention(events: DataFrame, tsCol: String = "event_time",
+      keyCol: String = "user_id"): DataFrame = {
+    val day = epochDay(tsCol)
+    val act = events.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), day.as("__day")).distinct()
+    val span = act.groupBy(col(keyCol))
+      .agg(min("__day").as("__cohort"), max("__day").as("__last"))
+      .select(col("__cohort"), (col("__last") - col("__cohort")).as("__maxOff"))
+    span.select(col("__cohort"),
+        explode(sequence(lit(0L), col("__maxOff"))).as("offset_days"))
+      .groupBy(col("__cohort").as("cohort_day"), col("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Exponential half-life fit of each cohort's retention curve — the
     * scalar a growth team actually tracks ("how many days until half
     * the cohort is gone?"): per cohort, OLS of quantized ln(rate) on

@@ -980,6 +980,29 @@ object TextAnalysis {
           col("n_tokens").cast("double")).as("lm2_score"))
   }
 
+  /** Per-source lexical richness — the corpus-linguistics QA card
+    * ("machine-generated feeds have freakishly low type-token ratios;
+    * scraped word-salad has freakishly high hapax rates"): per source,
+    * exact token and type counts, type-token ratio, and the hapax rate
+    * (share of the source's vocabulary occurring exactly once in it).
+    * Both ratios are single IEEE divisions of exact longs; NULL text
+    * contributes nothing.
+    *
+    * Scale shape: one positional-free token explode → the
+    * map-combinable (source, term) count → one source-keyed aggregate
+    * over the vocabulary-sized relation. No windows, no sort. */
+  def lexicalRichness(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("source"))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double")).as("hapax_rate"))
+
   /** Negative-sampling distribution — the OTHER half of word2vec data
     * prep beside [[skipgramCounts]]: the unigram distribution raised to
     * `alpha` (0.75 in the published recipe — damps stopwords, lifts the

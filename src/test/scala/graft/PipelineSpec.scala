@@ -1199,6 +1199,31 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("lexicalRichness: TTR and hapax rate per source; NULL text skipped") {
+    val d = Seq(
+      (1L, "a a a b", "s1"),          // s1: 4 tokens, 2 types, hapax {b}
+      (2L, "c d e", "s2"), (3L, "c", "s2"), // s2: 4 tokens, 3 types, hapax {d,e}
+      (4L, null.asInstanceOf[String], "s1")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lexicalRichness(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("s1") == ((4L, 2L, 0.5, 0.5)))
+    assert(out("s2") == ((4L, 3L, 0.75, 2.0 / 3.0)))
+  }
+
+  test("rollingRetention: active-at-or-after counts; monotone; dense offsets") {
+    def at(day: Int, sec: Int) = new java.sql.Timestamp(day * 86400000L + sec * 1000L)
+    // u1: days 0,2 (max off 2); u2: day 0 only; u3: days 1,3 (cohort 1)
+    val ev = Seq((1L, at(0, 1)), (1L, at(2, 0)), (2L, at(0, 5)),
+      (3L, at(1, 0)), (3L, at(3, 0))).toDF("user_id", "event_time")
+    val out = graft.pipeline.Funnel.rollingRetention(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cohort 0: off0 = both users; off1, off2 = u1 only (came back at 2)
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L, (1L, 2L) -> 1L))
+  }
+
   test("retention half-life: OLS on quantized ln(rate), degenerate cohorts NULL") {
     def at(day: Int, user: Long) = new java.sql.Timestamp(day * 86400000L + user * 1000L)
     // cohort 0: 8 users day0, 4 back day1, 2 back day2, 1 back day3 —
