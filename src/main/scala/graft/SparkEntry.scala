@@ -2157,6 +2157,13 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.rollingRetention(ev)
+    },
+    "q259_pca_deflate" -> { (s, dir) =>
+      // the q248 eigen step continued one rank down by deflation: the
+      // 2-D shadow embedding-cloud grids want; same quantized-iteration
+      // bit-exact contract, corpus work still one covariance pass
+      implicit val sp: SparkSession = s
+      graft.pipeline.Similarity.pcaDeflate(t(dir, "embeddings"), iters = 12)
     }
   )
 
@@ -2865,6 +2872,7 @@ object SparkEntry {
       "window_start", where = "ts IS NOT NULL"),
     "q256_stream_gini" -> PipelineOracle.windowedGini(3600000000L),
     "q257_lexical_richness" -> PipelineOracle.lexicalRichness,
-    "q258_rolling_retention" -> PipelineOracle.rollingRetention
+    "q258_rolling_retention" -> PipelineOracle.rollingRetention,
+    "q259_pca_deflate" -> PipelineOracle.pcaDeflate(12)
   )
 }

@@ -2149,6 +2149,49 @@ object PipelineOracle {
       s"FROM x$iters CROSS JOIN m$iters CROSS JOIN t"
   }
 
+  /** One unrolled quantized power-iteration chain over matrix CTE
+    * `mat` with CTE-name prefix `p` (shared by [[pcaPower]] /
+    * [[pcaDeflate]]). */
+  private def powerRounds(mat: String, p: String, iters: Int): String = {
+    val six = "CAST('1000000.0' AS DOUBLE)"
+    (1 to iters).map { k =>
+      val prev = if (k == 1) s"${p}x0" else s"${p}x${k - 1}"
+      s"${p}y$k AS MATERIALIZED (SELECT a.i AS dim, SUM(a.cov * q.v ORDER BY a.j) AS y " +
+        s"FROM $mat a JOIN $prev q ON q.dim = a.j GROUP BY a.i), " +
+        s"${p}m$k AS MATERIALIZED (SELECT MAX(ABS(y)) AS m FROM ${p}y$k), " +
+        s"${p}x$k AS MATERIALIZED (SELECT dim, CASE WHEN m > CAST(0 AS DOUBLE) " +
+        s"THEN FLOOR(y / m * $six) / $six ELSE CAST(0 AS DOUBLE) END AS v " +
+        s"FROM ${p}y$k CROSS JOIN ${p}m$k)"
+    }.mkString(", ")
+  }
+
+  /** Mirrors Similarity.pcaDeflate: the pcaPower chain, an L2-normalized
+    * u (ordered sum of squares, correctly-rounded SQRT), the deflated
+    * matrix cov − (λ·uᵢ)·uⱼ, and a second identical chain. */
+  def pcaDeflate(iters: Int): String =
+    s"WITH c AS MATERIALIZED ($embedCovariance), " +
+      "a AS MATERIALIZED (SELECT dim_i AS i, dim_j AS j, cov FROM c " +
+      "UNION ALL SELECT dim_j, dim_i, cov FROM c WHERE dim_i <> dim_j), " +
+      "x0 AS MATERIALIZED (SELECT DISTINCT dim_i AS dim, CAST(1 AS DOUBLE) AS v FROM c), " +
+      s"${powerRounds("a", "", iters)}, " +
+      s"nrm AS MATERIALIZED (SELECT SQRT(SUM(v * v ORDER BY dim)) AS s FROM x$iters), " +
+      s"u AS MATERIALIZED (SELECT dim, CASE WHEN s > CAST(0 AS DOUBLE) THEN v / s " +
+      s"ELSE CAST(0 AS DOUBLE) END AS v FROM x$iters CROSS JOIN nrm), " +
+      "a2 AS MATERIALIZED (SELECT a.i, a.j, " +
+      s"a.cov - (m$iters.m * ui.v) * uj.v AS cov FROM a " +
+      s"JOIN u ui ON ui.dim = a.i JOIN u uj ON uj.dim = a.j CROSS JOIN m$iters), " +
+      "bx0 AS MATERIALIZED (SELECT DISTINCT dim_i AS dim, CAST(1 AS DOUBLE) AS v FROM c), " +
+      s"${powerRounds("a2", "b", iters)}, " +
+      "t AS (SELECT SUM(cov ORDER BY dim_i) AS tr FROM c WHERE dim_i = dim_j) " +
+      s"SELECT CAST(0 AS INT) AS component, x$iters.dim, x$iters.v AS loading, " +
+      s"m$iters.m AS eigenvalue, CASE WHEN tr > CAST(0 AS DOUBLE) " +
+      s"THEN m$iters.m / tr ELSE NULL END AS explained_share " +
+      s"FROM x$iters CROSS JOIN m$iters CROSS JOIN t " +
+      "UNION ALL " +
+      s"SELECT CAST(1 AS INT), bx$iters.dim, bx$iters.v, bm$iters.m, " +
+      s"CASE WHEN tr > CAST(0 AS DOUBLE) THEN bm$iters.m / tr ELSE NULL END " +
+      s"FROM bx$iters CROSS JOIN bm$iters CROSS JOIN t"
+
   /** Mirrors Similarity.pcaProject: the pcaPower CTE joined back onto
     * the unnested embeddings, projection = ordered j-fold dot. */
   def pcaProject(iters: Int): String =

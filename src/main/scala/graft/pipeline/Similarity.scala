@@ -1479,6 +1479,69 @@ object Similarity {
       .toDF("dim", "loading", "eigenvalue", "explained_share")
   }
 
+  /** TOP-TWO principal components by power iteration + DEFLATION —
+    * [[pcaPower]] continued one rank down (the 2-D shadow most
+    * embedding-cloud visualizations and stratified-dedup grids want):
+    * extract x₁ as in pcaPower, L2-normalize it (u = x₁/‖x₁‖₂ — sqrt
+    * is correctly rounded IEEE, so u is deterministic), deflate
+    * C' = C − λ₁·u·uᵀ, and run the same `iters` quantized rounds on
+    * C'. Emits (component ∈ {0,1}, dim, loading, eigenvalue,
+    * explained_share).
+    *
+    * Cross-engine bit-exactness: everything [[pcaPower]] pins, plus —
+    * ‖x₁‖₂² folds in dim order, each deflated entry is
+    * cov − (λ·uᵢ)·uⱼ in that exact association, and the second
+    * iteration quantizes every round like the first. Degenerate
+    * inputs (λ₁ = 0) deflate by nothing and legitimately re-find the
+    * zero vector. Scale shape: [[pcaPower]]'s — one never-shuffled
+    * covariance pass, d×d driver-bounded eigen math. */
+  def pcaDeflate(emb: DataFrame, iters: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters must be positive: $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val covRows = embedCovariance(emb).collect()
+    if (covRows.isEmpty)
+      return Seq.empty[(Int, Int, Double, Double, Option[Double])]
+        .toDF("component", "dim", "loading", "eigenvalue", "explained_share")
+    val d = covRows.iterator.map(_.getInt(1)).max + 1
+    val a = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(3))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    def power(m: Array[Array[Double]]): (Array[Double], Double) = {
+      var x = Array.fill(d)(1.0)
+      var lam = 0.0
+      for (_ <- 1 to iters) {
+        val y = Array.tabulate(d) { i =>
+          var s = 0.0; var j = 0
+          while (j < d) { s += m(i)(j) * x(j); j += 1 }
+          s
+        }
+        lam = y.iterator.map(math.abs).max
+        x = if (lam > 0.0) y.map(v => math.floor(v / lam * 1.0e6) / 1.0e6)
+            else Array.fill(d)(0.0)
+      }
+      (x, lam)
+    }
+    val (x1, l1) = power(a)
+    var s2 = 0.0
+    var j = 0
+    while (j < d) { s2 += x1(j) * x1(j); j += 1 }
+    val s = math.sqrt(s2)
+    val u = if (s > 0.0) x1.map(_ / s) else Array.fill(d)(0.0)
+    val a2 = Array.tabulate(d, d)((i, k) => a(i)(k) - (l1 * u(i)) * u(k))
+    val (x2, l2) = power(a2)
+    var trace = 0.0
+    var i = 0
+    while (i < d) { trace += a(i)(i); i += 1 }
+    def share(l: Double): Option[Double] =
+      if (trace > 0.0) Some(l / trace) else None
+    ((0 until d).map(i => (0, i, x1(i), l1, share(l1))) ++
+      (0 until d).map(i => (1, i, x2(i), l2, share(l2))))
+      .toDF("component", "dim", "loading", "eigenvalue", "explained_share")
+  }
+
   /** Every vector's score along the [[pcaPower]] top component — the
     * 1-D shadow of the embedding cloud that stratified semantic dedup /
     * curriculum bucketing actually consumes (and the cheapest "which

@@ -594,6 +594,26 @@ class PipelineSpec extends SparkSpec {
     assert(Similarity.pcaPower(empty).count() == 0L)
   }
 
+  test("pcaDeflate: second component orthogonal-ish to the first; eigenvalues ordered") {
+    // variance concentrated on dim0, then dim1, dim2 nearly silent
+    val e = Seq(
+      (1L, Array(0.4f, 0.0f, 0.01f)), (2L, Array(-0.4f, 0.0f, -0.01f)),
+      (3L, Array(0.0f, 0.2f, 0.0f)), (4L, Array(0.0f, -0.2f, 0.0f)),
+      (5L, Array(0.4f, 0.2f, 0.0f)), (6L, Array(-0.4f, -0.2f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pcaDeflate(e, iters = 16).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val l1 = out((0, 0))._2
+    val l2 = out((1, 0))._2
+    assert(l1 > l2 && l2 > 0.0, s"l1=$l1 l2=$l2")
+    // comp0 dominated by dim0; comp1 by dim1 once comp0 is deflated out
+    assert(math.abs(out((0, 0))._1) == 1.0)
+    assert(math.abs(out((1, 1))._1) == 1.0, s"c1=${(0 to 2).map(d => out((1, d))._1)}")
+    assert(math.abs(out((1, 0))._1) < 0.35)
+    // 2×d rows, exactly two components
+    assert(out.keySet.map(_._1) == Set(0, 1) && out.size == 6)
+  }
+
   test("pcaProject: projection = dot with the recovered component; NULLs dropped") {
     val e = Seq(
       (1L, Array(0.1f, 0.2f)), (2L, Array(-0.1f, -0.2f)),
