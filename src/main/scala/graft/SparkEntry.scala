@@ -2164,6 +2164,12 @@ object SparkEntry {
       // bit-exact contract, corpus work still one covariance pass
       implicit val sp: SparkSession = s
       graft.pipeline.Similarity.pcaDeflate(t(dir, "embeddings"), iters = 12)
+    },
+    "q260_pca_project2d" -> { (s, dir) =>
+      // the 2-D embedding-cloud map itself: coordinates in the q259
+      // plane — two codegen'd literal-component dots, map-only
+      implicit val sp: SparkSession = s
+      graft.pipeline.Similarity.pcaProject2d(t(dir, "embeddings"), iters = 12)
     }
   )
 
@@ -2873,6 +2879,7 @@ object SparkEntry {
     "q256_stream_gini" -> PipelineOracle.windowedGini(3600000000L),
     "q257_lexical_richness" -> PipelineOracle.lexicalRichness,
     "q258_rolling_retention" -> PipelineOracle.rollingRetention,
-    "q259_pca_deflate" -> PipelineOracle.pcaDeflate(12)
+    "q259_pca_deflate" -> PipelineOracle.pcaDeflate(12),
+    "q260_pca_project2d" -> PipelineOracle.pcaProject2d(12)
   )
 }

@@ -2192,6 +2192,19 @@ object PipelineOracle {
       s"CASE WHEN tr > CAST(0 AS DOUBLE) THEN bm$iters.m / tr ELSE NULL END " +
       s"FROM bx$iters CROSS JOIN bm$iters CROSS JOIN t"
 
+  /** Mirrors Similarity.pcaProject2d: the pcaDeflate CTE pivoted into
+    * two loading relations, ordered j-fold dots. */
+  def pcaProject2d(iters: Int): String =
+    s"WITH comp AS MATERIALIZED (${pcaDeflate(iters)}), " +
+      "e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j, " +
+      "CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings WHERE embedding IS NOT NULL) " +
+      "SELECT e.vec_id, " +
+      "SUM(e.v * c0.loading ORDER BY e.j) AS proj0, " +
+      "SUM(e.v * c1.loading ORDER BY e.j) AS proj1 " +
+      "FROM e JOIN (SELECT dim, loading FROM comp WHERE component = 0) c0 ON c0.dim = e.j " +
+      "JOIN (SELECT dim, loading FROM comp WHERE component = 1) c1 ON c1.dim = e.j " +
+      "GROUP BY e.vec_id"
+
   /** Mirrors Similarity.pcaProject: the pcaPower CTE joined back onto
     * the unnested embeddings, projection = ordered j-fold dot. */
   def pcaProject(iters: Int): String =

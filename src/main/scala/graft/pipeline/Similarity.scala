@@ -1542,6 +1542,30 @@ object Similarity {
       .toDF("component", "dim", "loading", "eigenvalue", "explained_share")
   }
 
+  /** Every vector's 2-D coordinates in the [[pcaDeflate]] plane — the
+    * scatter-plot / density-grid input itself (embedding-cloud maps,
+    * 2-D stratified dedup cells): (vec_id, proj0, proj1), each
+    * projection the codegen'd [[graft.functions.VecDotFD]] ordered
+    * fold against the corresponding component baked in as a literal.
+    * Scale shape: [[pcaProject]]'s — the eigen step costs one
+    * covariance pass; the projection pass is map-only inside
+    * WholeStageCodegen, no join, no shuffle. */
+  def pcaProject2d(emb: DataFrame, iters: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val comp = pcaDeflate(emb, iters).collect()
+    if (comp.isEmpty)
+      return Seq.empty[(Long, Double, Double)]
+        .toDF("vec_id", "proj0", "proj1")
+    def loadings(c: Int): Array[Double] = comp.filter(_.getInt(0) == c)
+      .sortBy(_.getInt(1)).map(_.getDouble(2))
+    val (x0, x1) = (loadings(0), loadings(1))
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        graft.functions.VecDotFD.vec_dot_fd(col("embedding"), lit(x0)).as("proj0"),
+        graft.functions.VecDotFD.vec_dot_fd(col("embedding"), lit(x1)).as("proj1"))
+  }
+
   /** Every vector's score along the [[pcaPower]] top component — the
     * 1-D shadow of the embedding cloud that stratified semantic dedup /
     * curriculum bucketing actually consumes (and the cheapest "which

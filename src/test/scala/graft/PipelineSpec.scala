@@ -614,6 +614,30 @@ class PipelineSpec extends SparkSpec {
     assert(out.keySet.map(_._1) == Set(0, 1) && out.size == 6)
   }
 
+  test("pcaProject2d: coordinates = dots with both deflated components") {
+    val e = Seq(
+      (1L, Array(0.4f, 0.0f, 0.01f)), (2L, Array(-0.4f, 0.0f, -0.01f)),
+      (3L, Array(0.0f, 0.2f, 0.0f)), (4L, Array(0.0f, -0.2f, 0.0f)),
+      (5L, Array(0.4f, 0.2f, 0.0f)), (6L, Array(-0.4f, -0.2f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val comp = Similarity.pcaDeflate(e, iters = 12).collect()
+    def load(c: Int) = comp.filter(_.getInt(0) == c)
+      .sortBy(_.getInt(1)).map(_.getDouble(2))
+    val (c0, c1) = (load(0), load(1))
+    def dot(v: Array[Float], u: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += v(j).toDouble * u(j); j += 1 }
+      s
+    }
+    val out = Similarity.pcaProject2d(e, iters = 12).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((dot(Array(0.4f, 0.0f, 0.01f), c0),
+      dot(Array(0.4f, 0.0f, 0.01f), c1))))
+    assert(out(3L) == ((dot(Array(0.0f, 0.2f, 0.0f), c0),
+      dot(Array(0.0f, 0.2f, 0.0f), c1))))
+    assert(out.size == 6)
+  }
+
   test("pcaProject: projection = dot with the recovered component; NULLs dropped") {
     val e = Seq(
       (1L, Array(0.1f, 0.2f)), (2L, Array(-0.1f, -0.2f)),
