@@ -2170,6 +2170,15 @@ object SparkEntry {
       // plane — two codegen'd literal-component dots, map-only
       implicit val sp: SparkSession = s
       graft.pipeline.Similarity.pcaProject2d(t(dir, "embeddings"), iters = 12)
+    },
+    "q261_session_perplexity" -> { (s, dir) =>
+      // behavioral anomaly: each user's event sequence scored under the
+      // corpus-trained first-order Markov model — a bot replaying an
+      // impossible ORDER of common events scores low only here
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.sessionPerplexity(ev)
     }
   )
 
@@ -2880,6 +2889,7 @@ object SparkEntry {
     "q257_lexical_richness" -> PipelineOracle.lexicalRichness,
     "q258_rolling_retention" -> PipelineOracle.rollingRetention,
     "q259_pca_deflate" -> PipelineOracle.pcaDeflate(12),
-    "q260_pca_project2d" -> PipelineOracle.pcaProject2d(12)
+    "q260_pca_project2d" -> PipelineOracle.pcaProject2d(12),
+    "q261_session_perplexity" -> PipelineOracle.sessionPerplexity
   )
 }

@@ -1525,6 +1525,36 @@ object PipelineOracle {
       "CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users " +
       "FROM a JOIN f USING (user_id) GROUP BY cohort_day, d - cohort_day"
 
+  /** Mirrors Funnel.sessionPerplexity: the (time, id) total order, the
+    * same transition/unigram model (transition denominator = outgoing
+    * transitions, so rows sum to 1), 1e-9-quantized ln, per-user
+    * position-ordered fold, one IEEE division. */
+  val sessionPerplexity: String = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    def qln(num: String, den: String) =
+      s"FLOOR(LN(${d(num)} / ${d(den)}) * CAST('1.0e9' AS DOUBLE)) / CAST('1.0e9' AS DOUBLE)"
+    "WITH b AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type AS t " +
+      "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL " +
+      "AND event_type IS NOT NULL AND event_id IS NOT NULL), " +
+      "lg AS (SELECT user_id, us, event_id, t, " +
+      "LAG(t) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM b), " +
+      "uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c1 FROM b GROUP BY t), " +
+      "tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM b), " +
+      "big AS (SELECT prev, t, CAST(COUNT(*) AS BIGINT) AS c2 FROM lg " +
+      "WHERE prev IS NOT NULL GROUP BY prev, t), " +
+      "ft AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS cf FROM big GROUP BY prev), " +
+      "lp AS (" +
+      s"SELECT user_id, us, event_id, ${qln("c1", "tt")} AS lp " +
+      "FROM lg JOIN uni USING (t) CROSS JOIN tt WHERE prev IS NULL " +
+      "UNION ALL " +
+      s"SELECT l.user_id, l.us, l.event_id, ${qln("c2", "cf")} AS lp " +
+      "FROM lg l JOIN big g ON g.prev = l.prev AND g.t = l.t " +
+      "JOIN ft ON ft.prev = l.prev WHERE l.prev IS NOT NULL) " +
+      "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, " +
+      "SUM(lp ORDER BY us, event_id) / CAST(COUNT(*) AS DOUBLE) AS markov_score " +
+      "FROM lp GROUP BY user_id"
+  }
+
   /** Mirrors Funnel.rollingRetention: per-user (cohort, max offset),
     * generate_series explode, exact counts. */
   val rollingRetention: String =

@@ -813,6 +813,61 @@ object Funnel {
         .as("half_life_days"))
   }
 
+  /** Per-user BEHAVIORAL perplexity — the q197 bigram-LM discipline on
+    * event streams: score every user's event-type sequence under the
+    * first-order Markov model trained on the corpus itself (transition
+    * p(tᵢ|tᵢ₋₁) = cnt(tᵢ₋₁→tᵢ)/cnt(tᵢ₋₁→·), the unigram start
+    * p(t₀)), emitting (user_id, n_events, markov_score = mean token
+    * log-prob). A bot replaying an impossible ORDER of individually
+    * common events scores low here and normal everywhere else — the
+    * behavioral-anomaly complement of q144's volume z-score.
+    *
+    * Event order is the engine-independent (time, event_id) total
+    * order. Cross-engine: each ln 1e-9-quantized, per-user
+    * contributions fold in that order (sorted-array fold == SUM would
+    * not do — the mean is over per-position doubles), one IEEE
+    * division. NULL user/type/time rows drop.
+    *
+    * Scale shape: one user-keyed lag window (partition = one user's
+    * events), map-combinable transition/unigram counts equi-joined
+    * back, single-row total broadcast, per-user fold with memory =
+    * user's event count. No global sort. */
+  def sessionPerplexity(events: DataFrame, tsCol: String = "event_time",
+      keyCol: String = "user_id", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val base = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull &&
+        col(typeCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"), col(idCol),
+        col(typeCol).as("__t"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(idCol))
+    val lg = base.withColumn("__prev", lag(col("__t"), 1).over(w))
+    val uni = base.groupBy(col("__t")).agg(count(lit(1)).as("__c1"))
+    val total = base.agg(count(lit(1)).as("__tt"))
+    val big = lg.filter(col("__prev").isNotNull)
+      .groupBy(col("__prev"), col("__t")).agg(count(lit(1)).as("__c2"))
+    val fromTot = big.groupBy(col("__prev")).agg(sum(col("__c2")).as("__cf"))
+    def qln(num: Column, den: Column): Column =
+      floor(log(num.cast("double") / den.cast("double")) * lit(1.0e9)) / lit(1.0e9)
+    val first = lg.filter(col("__prev").isNull)
+      .join(uni, "__t").crossJoin(broadcast(total))
+      .select(col(keyCol), col("__us"), col(idCol),
+        qln(col("__c1"), col("__tt")).as("__lp"))
+    val rest = lg.filter(col("__prev").isNotNull)
+      .join(big, Seq("__prev", "__t"))
+      .join(broadcast(fromTot), Seq("__prev"))
+      .select(col(keyCol), col("__us"), col(idCol),
+        qln(col("__c2"), col("__cf")).as("__lp"))
+    first.unionByName(rest)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("__us"), col(idCol),
+          col("__lp")))).as("__a"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("n_events"),
+        (aggregate(col("__a"), lit(0.0), (acc, x) => acc + x.getField("__lp")) /
+          col("n_events").cast("double")).as("markov_score"))
+  }
+
   def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
