@@ -2179,6 +2179,13 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.sessionPerplexity(ev)
+    },
+    "q262_quantile_calibrate" -> { (s, dir) =>
+      // equipercentile calibration: every doc keeps its within-source
+      // percentile but is assigned the GLOBAL score at that percentile
+      // — one common scale across per-source scorers
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.quantileCalibrate(t(dir, "documents"), "n_chars")
     }
   )
 
@@ -2890,6 +2897,7 @@ object SparkEntry {
     "q258_rolling_retention" -> PipelineOracle.rollingRetention,
     "q259_pca_deflate" -> PipelineOracle.pcaDeflate(12),
     "q260_pca_project2d" -> PipelineOracle.pcaProject2d(12),
-    "q261_session_perplexity" -> PipelineOracle.sessionPerplexity
+    "q261_session_perplexity" -> PipelineOracle.sessionPerplexity,
+    "q262_quantile_calibrate" -> PipelineOracle.quantileCalibrate
   )
 }

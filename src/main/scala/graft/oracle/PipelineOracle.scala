@@ -1399,6 +1399,23 @@ object PipelineOracle {
       "CAST(p.n_shared AS DOUBLE) / CAST(a.n + b.n - p.n_shared AS DOUBLE) AS jaccard " +
       "FROM p JOIN sz a ON a.s = p.source_a JOIN sz b ON b.s = p.source_b"
 
+  /** Mirrors Curation.quantileCalibrate over documents.n_chars: the
+    * (score, doc_id) percentile rule, the floor(p·(N−1))+1 global rank,
+    * the exact-rank equi-join. */
+  val quantileCalibrate: String =
+    "WITH b AS (SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS s " +
+      "FROM documents WHERE n_chars IS NOT NULL), " +
+      "p AS (SELECT doc_id, source, s, CASE WHEN cnt = 1 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(rn - 1 AS DOUBLE) / CAST(cnt - 1 AS DOUBLE) END AS pctl FROM (" +
+      "SELECT doc_id, source, s, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY s, doc_id) AS rn, " +
+      "COUNT(*) OVER (PARTITION BY source) AS cnt FROM b)), " +
+      "g AS (SELECT s AS gs, CAST(ROW_NUMBER() OVER (ORDER BY s, doc_id) AS BIGINT) AS rg FROM b), " +
+      "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b) " +
+      "SELECT p.doc_id, p.source, p.s AS score, p.pctl, g.gs AS calibrated " +
+      "FROM p CROSS JOIN tot JOIN g " +
+      "ON g.rg = CAST(FLOOR(p.pctl * CAST(n - 1 AS DOUBLE)) + 1 AS BIGINT)"
+
   /** Mirrors Curation.mutualInfo: exact cell/marginal counts, 1e-9
     * quantized ln, cell-ordered folds (SUM ORDER BY == the Spark
     * sorted-array fold; acc−x ≡ acc+(−x) in IEEE). */

@@ -636,6 +636,55 @@ object Curation {
     * Scale shape: four doc_id-keyed verdict relations intersected by
     * equi-join (AQE co-partitions); the blend adds its one source-keyed
     * exchange; everything else is the [[curate]] machinery. */
+  /** Equipercentile cross-source score CALIBRATION — the fix for "every
+    * source's scorer has its own scale" that [[percentileBySource]]'s
+    * raw ranks only half-solve: each doc keeps its within-source
+    * percentile but is assigned the GLOBAL score at that percentile
+    * (the exact global order statistic of rank ⌊p·(N−1)⌋+1), so
+    * calibrated values live on one common, interpretable scale. The
+    * classic equating recipe, interpolation-free.
+    *
+    * Determinism: the percentile is the (score, doc_id) row_number
+    * rule ((r−1)/(n−1), single-row source → 0); the global rank is
+    * floor(p·(N−1))+1 — one IEEE multiply + floor on exact-in-double
+    * operands; the lookup is an exact integer equi-join. NULL scores
+    * drop.
+    *
+    * Scale shape: the per-source rank windows share ONE source-keyed
+    * exchange (the q174 family; GK swap documented for mega-sources);
+    * the global order statistics come from a DISTRIBUTED
+    * range-partitioned sort + zipWithIndex (the q210 pattern — never a
+    * global row_number window), and the lookup is a rank equi-join. */
+  def quantileCalibrate(docs: DataFrame, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.filter(col(scoreCol).isNotNull)
+      .select(col("doc_id"), col("source"), col(scoreCol).cast("double").as("__s"))
+    val bySource = Window.partitionBy(col("source"))
+    val ranked = Window.partitionBy(col("source"))
+      .orderBy(col("__s"), col("doc_id"))
+    val withP = base
+      .withColumn("__n", count(lit(1)).over(bySource))
+      .withColumn("__r", row_number().over(ranked))
+      .select(col("doc_id"), col("source"), col("__s"),
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("__r") - 1).cast("double") /
+            (col("__n") - 1).cast("double")).as("pctl"))
+    val globalRanked = base
+      .select(struct(col("__s"), col("doc_id")).as("__k"))
+      .orderBy(col("__k")).select(col("__k.__s")).as[Double].rdd
+      .zipWithIndex().map { case (s, i) => (i + 1L, s) }
+      .toDF("__rg", "__gs")
+    val tot = base.agg(count(lit(1)).as("__N"))
+    withP.crossJoin(broadcast(tot))
+      .withColumn("__rg",
+        (floor(col("pctl") * (col("__N") - 1L).cast("double")) + 1L).cast("long"))
+      .join(globalRanked, "__rg")
+      .select(col("doc_id"), col("source"), col("__s").as("score"),
+        col("pctl"), col("__gs").as("calibrated"))
+  }
+
   /** Mutual information between two categorical columns — the leakage /
     * association audit ("is `lang` secretly a proxy for `source`? is a
     * supposedly-random split correlated with the label?") that the

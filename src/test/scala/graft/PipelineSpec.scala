@@ -1243,6 +1243,21 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("quantileCalibrate: per-source percentile mapped to the global order statistic") {
+    // s1 scores (10, 20, 30); s2 scores (100, 200, 300). Global sorted:
+    // 10,20,30,100,200,300 (N=6). A doc at source-percentile 0.5 maps to
+    // global rank floor(0.5*5)+1 = 3 -> calibrated 30, for BOTH sources.
+    val d = Seq((1L, 10L, "s1"), (2L, 20L, "s1"), (3L, 30L, "s1"),
+      (4L, 100L, "s2"), (5L, 200L, "s2"), (6L, 300L, "s2"))
+      .toDF("doc_id", "n_chars", "source")
+    val out = graft.pipeline.Curation.quantileCalibrate(d, "n_chars")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(2L) == ((0.5, 30.0)))
+    assert(out(5L) == ((0.5, 30.0))) // the calibration: 200 and 20 now agree
+    assert(out(1L) == ((0.0, 10.0)) && out(4L) == ((0.0, 10.0)))
+    assert(out(3L) == ((1.0, 300.0)) && out(6L) == ((1.0, 300.0)))
+  }
+
   test("sessionPerplexity: hand-computed Markov scores; impossible order scores lower") {
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
     // corpus: u1 a>b, u2 a>b, u3 b>a — transitions a>b:2, b>a:1
