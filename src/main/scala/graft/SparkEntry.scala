@@ -2186,6 +2186,14 @@ object SparkEntry {
       // — one common scale across per-source scorers
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.quantileCalibrate(t(dir, "documents"), "n_chars")
+    },
+    "q263_profile2d" -> { (s, dir) =>
+      // TProfile2D / Mean storage on two axes: per (quantity, tax) cell,
+      // count + mean/std of extendedprice — the heat-map whose cell is a
+      // response mean, not a count
+      implicit val sp: SparkSession = s
+      Histogram.profile2d(t(dir, "lineitem"), col("l_quantity"), axQty10,
+        col("l_tax"), axTax, col("l_extendedprice"))
     }
   )
 
@@ -2898,6 +2906,9 @@ object SparkEntry {
     "q259_pca_deflate" -> PipelineOracle.pcaDeflate(12),
     "q260_pca_project2d" -> PipelineOracle.pcaProject2d(12),
     "q261_session_perplexity" -> PipelineOracle.sessionPerplexity,
-    "q262_quantile_calibrate" -> PipelineOracle.quantileCalibrate
+    "q262_quantile_calibrate" -> PipelineOracle.quantileCalibrate,
+    "q263_profile2d" -> Oracle.profile2d("lineitem",
+      Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_tax", axTax),
+      "l_extendedprice")
   )
 }

@@ -160,6 +160,40 @@ object Histogram {
         col("cnt"), col("mean_y"), col("std_y")): _*)
   }
 
+  /** 2-D profile histogram — [[profile]] with TWO binned coordinates
+    * (boost-histogram's Mean storage on a 2-axis histogram; ROOT's
+    * TProfile2D): per (x-bin, y-bin) entry count, mean and population
+    * std of a third variable z. The heat-map whose CELL VALUE is a
+    * response mean, not a count — "average spend by (quantity, tax)
+    * cell". Rows with NULL z are not entries; out-of-range rows on
+    * EITHER axis drop (flow excluded, the [[profile]] rule).
+    *
+    * Same single partial-agg one-shuffle plan keyed by
+    * (dims, i, j); the DECIMAL(38,14) Σz/Σz² discipline and the fixed
+    * IEEE mean/std tail are [[profile]]'s verbatim. */
+  def profile2d(df: DataFrame, x: Column, ax: BinAxis, y: Column,
+      ay: BinAxis, z: Column, dims: Seq[String] = Nil): DataFrame = {
+    val zd = z.cast("double")
+    val proj = df
+      .filter(ax.keepPred(x, includeUnder = false, includeOver = false) &&
+        ay.keepPred(y, includeUnder = false, includeOver = false) &&
+        zd.isNotNull)
+      .select(dims.map(col) ++ Seq(ax.index(x).as("__i0"),
+        ay.index(y).as("__i1"), zd.as("__z")): _*)
+    val sz = graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(col("__z"))))
+    val szz = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__z") * col("__z"))))
+    proj.groupBy((dims ++ Seq("__i0", "__i1")).map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sz.as("__sz"), szz.as("__szz"))
+      .withColumn("mean_z", col("__sz") / col("cnt").cast("double"))
+      .withColumn("std_z", sqrt(greatest(lit(0.0),
+        col("__szz") / col("cnt").cast("double") - col("mean_z") * col("mean_z"))))
+      .select(dims.map(col) ++ Seq(
+        ax.label(col("__i0")).as(ax.binsCol, graft.axes.AxisMetadata.toMetadata(ax)),
+        ay.label(col("__i1")).as(ay.binsCol, graft.axes.AxisMetadata.toMetadata(ay)),
+        col("cnt"), col("mean_z"), col("std_z")): _*)
+  }
+
   /** Weighted profile histogram (boost-histogram's WeightedMean storage —
     * the weighted companion of [[profile]]'s Mean storage; the reference
     * imports bh storages generally at core.py:29, and a user doing

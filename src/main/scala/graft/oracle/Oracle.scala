@@ -122,6 +122,29 @@ object Oracle {
       "FROM __m"
   }
 
+  /** Mirrors Histogram.profile2d: the [[profile]] chain with two index
+    * columns, both-in-range filter, identical Σz/Σz² and IEEE tail. */
+  def profile2d(table: String, specX: Spec, specY: Spec, zSql: String,
+      dims: Seq[String] = Nil): String = {
+    val dimsSel = if (dims.isEmpty) "" else dims.mkString("", ", ", ", ")
+    val groupCols = (dims ++ Seq("__i0", "__i1")).mkString(", ")
+    val sz = exactDbl("SUM(TRY_CAST(CAST(__z AS VARCHAR) AS DECIMAL(38,14)))")
+    val szz = exactDbl("SUM(TRY_CAST(CAST(__z * __z AS VARCHAR) AS DECIMAL(38,14)))")
+    s"WITH __idx AS (SELECT $dimsSel${specX.axis.indexSql(specX.valueSql)} AS __i0, " +
+      s"${specY.axis.indexSql(specY.valueSql)} AS __i1, " +
+      s"CAST($zSql AS DOUBLE) AS __z FROM $table), " +
+      s"__f AS (SELECT * FROM __idx WHERE __i0 IS NOT NULL AND __i0 >= 0 " +
+      s"AND __i0 <= ${specX.axis.nBins - 1} AND __i1 IS NOT NULL AND __i1 >= 0 " +
+      s"AND __i1 <= ${specY.axis.nBins - 1} AND __z IS NOT NULL), " +
+      s"__g AS (SELECT $groupCols, COUNT(*) AS cnt, $sz AS __sz, $szz AS __szz " +
+      s"FROM __f GROUP BY $groupCols), " +
+      "__m AS (SELECT *, __sz / CAST(cnt AS DOUBLE) AS mean_z FROM __g) " +
+      s"SELECT $dimsSel(${specX.axis.labelSql("__i0")}) AS ${specX.axis.binsCol}, " +
+      s"(${specY.axis.labelSql("__i1")}) AS ${specY.axis.binsCol}, cnt, mean_z, " +
+      "SQRT(GREATEST(CAST(0.0 AS DOUBLE), __szz / CAST(cnt AS DOUBLE) - mean_z * mean_z)) AS std_z " +
+      "FROM __m"
+  }
+
   /** Mirrors Histogram.weightedProfile: the [[profile]] index chain with
     * a weight column; Σw decimal-exact via the string route, the product
     * moments (w², wy, wy²) via the q123/q189 floor-quantized-integer

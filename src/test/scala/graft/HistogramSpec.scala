@@ -294,6 +294,20 @@ class HistogramSpec extends SparkSpec {
     assert(out7 == out)
   }
 
+  test("profile2d: per-(x,y)-cell count/mean/std of z; out-of-range on either axis drops") {
+    val df = Seq(
+      (0.5, 0.5, Some(2.0)), (0.7, 0.3, Some(4.0)),  // cell (0,0): mean 3
+      (0.5, 1.5, Some(10.0)),                         // cell (0,1)
+      (1.5, 0.5, None),                               // null z: not an entry
+      (9.0, 0.5, Some(50.0)), (0.5, 9.0, Some(60.0))  // out of range either axis
+    ).toDF("x", "y", "z")
+    val out = Histogram.profile2d(df, col("x"), Regular("x", 2, 0.0, 2.0),
+        col("y"), Regular("y", 2, 0.0, 2.0), col("z"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out == Map((0.0, 0.0) -> ((2L, 3.0, 1.0)), (0.0, 1.0) -> ((1L, 10.0, 0.0))))
+  }
+
   test("weightedProfile: bh WeightedMean accumulator; unit weights reduce to n-1 variance") {
     val df = Seq(
       // bin 0: y in {1, 3} with w = 2 each -> wmean 2, neff = 4 - 8/4 = 2,
