@@ -2194,6 +2194,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Histogram.profile2d(t(dir, "lineitem"), col("l_quantity"), axQty10,
         col("l_tax"), axTax, col("l_extendedprice"))
+    },
+    "q264_remove_top_component" -> { (s, dir) =>
+      // "all-but-the-top" (Mu & Viswanath 2018): strip each vector's
+      // projection onto the dominant (frequency-noise) direction —
+      // map-only, component baked in as a literal
+      implicit val sp: SparkSession = s
+      graft.pipeline.Similarity.removeTopComponent(
+        t(dir, "embeddings"), iters = 12)
     }
   )
 
@@ -2909,6 +2917,7 @@ object SparkEntry {
     "q262_quantile_calibrate" -> PipelineOracle.quantileCalibrate,
     "q263_profile2d" -> Oracle.profile2d("lineitem",
       Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_tax", axTax),
-      "l_extendedprice")
+      "l_extendedprice"),
+    "q264_remove_top_component" -> PipelineOracle.removeTopComponent(12)
   )
 }

@@ -2252,6 +2252,22 @@ object PipelineOracle {
       "JOIN (SELECT dim, loading FROM comp WHERE component = 1) c1 ON c1.dim = e.j " +
       "GROUP BY e.vec_id"
 
+  /** Mirrors Similarity.removeTopComponent: the pcaPower CTE, the
+    * deflation-normalized u, ordered projection folds, one
+    * multiply+subtract per coordinate. */
+  def removeTopComponent(iters: Int): String =
+    s"WITH comp AS MATERIALIZED (${pcaPower(iters)}), " +
+      "nrm AS (SELECT SQRT(SUM(loading * loading ORDER BY dim)) AS s FROM comp), " +
+      "u AS MATERIALIZED (SELECT dim, CASE WHEN s > CAST(0 AS DOUBLE) " +
+      "THEN loading / s ELSE CAST(0 AS DOUBLE) END AS v FROM comp CROSS JOIN nrm), " +
+      "e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j, " +
+      "CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings WHERE embedding IS NOT NULL), " +
+      "p AS MATERIALIZED (SELECT e.vec_id, SUM(e.v * u.v ORDER BY e.j) AS projection " +
+      "FROM e JOIN u ON u.dim = e.j GROUP BY e.vec_id) " +
+      "SELECT e.vec_id, CAST(e.j + 1 AS INT) AS i, p.projection, " +
+      "e.v - p.projection * u.v AS x " +
+      "FROM e JOIN u ON u.dim = e.j JOIN p ON p.vec_id = e.vec_id"
+
   /** Mirrors Similarity.pcaProject: the pcaPower CTE joined back onto
     * the unnested embeddings, projection = ordered j-fold dot. */
   def pcaProject(iters: Int): String =

@@ -1542,6 +1542,44 @@ object Similarity {
       .toDF("component", "dim", "loading", "eigenvalue", "explained_share")
   }
 
+  /** "All-but-the-top" embedding postprocess (Mu & Viswanath 2018,
+    * arXiv:1702.01417): remove each vector's projection onto the TOP
+    * principal direction — e′ = e − (e·u)·u with u the L2-normalized
+    * [[pcaPower]] component. Published fix for anisotropic embedding
+    * clouds (the dominant direction is usually frequency noise;
+    * removing it measurably improves cosine-similarity tasks). Long
+    * format like q178: (vec_id, i (1-based), projection, x).
+    *
+    * Cross-engine: u is deterministic ([[pcaDeflate]]'s ordered
+    * sum-of-squares + correctly-rounded sqrt over the 1e-6-grid
+    * loadings), the projection is the codegen'd VecDotFD ordered fold,
+    * and each coordinate is one multiply + subtract in fixed order.
+    * Scale shape: the component is a literal; the pass is map-only
+    * (one generator + scalar math), no join, no shuffle. */
+  def removeTopComponent(emb: DataFrame, iters: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val comp = pcaPower(emb, iters).collect()
+    if (comp.isEmpty)
+      return Seq.empty[(Long, Int, Double, Double)]
+        .toDF("vec_id", "i", "projection", "x")
+    val x1 = comp.sortBy(_.getInt(0)).map(_.getDouble(1))
+    var s2 = 0.0
+    var j = 0
+    while (j < x1.length) { s2 += x1(j) * x1(j); j += 1 }
+    val s = math.sqrt(s2)
+    val u = if (s > 0.0) x1.map(_ / s) else x1.map(_ => 0.0)
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        graft.functions.VecDotFD.vec_dot_fd(col("embedding"), lit(u))
+          .as("projection"),
+        posexplode(col("embedding")).as(Seq("__i", "__v")))
+      .select(col("vec_id"), (col("__i") + 1).cast("int").as("i"),
+        col("projection"),
+        (col("__v").cast("double") -
+          col("projection") * element_at(lit(u), col("__i") + 1)).as("x"))
+  }
+
   /** Every vector's 2-D coordinates in the [[pcaDeflate]] plane — the
     * scatter-plot / density-grid input itself (embedding-cloud maps,
     * 2-D stratified dedup cells): (vec_id, proj0, proj1), each

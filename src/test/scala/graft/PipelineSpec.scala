@@ -614,6 +614,28 @@ class PipelineSpec extends SparkSpec {
     assert(out.keySet.map(_._1) == Set(0, 1) && out.size == 6)
   }
 
+  test("removeTopComponent: residuals orthogonal to the top direction") {
+    val e = Seq(
+      (1L, Array(0.4f, 0.0f)), (2L, Array(-0.4f, 0.0f)),
+      (3L, Array(0.4f, 0.1f)), (4L, Array(-0.4f, -0.1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.removeTopComponent(e, iters = 12).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out.size == 8)
+    // the residual re-projected onto u must be ~0 for every vector:
+    // x·u = (e − (e·u)u)·u = e·u − (e·u)·‖u‖² ≈ 0
+    val comp = Similarity.pcaPower(e, iters = 12).collect()
+      .sortBy(_.getInt(0)).map(_.getDouble(1))
+    val s = math.sqrt(comp.map(v => v * v).sum)
+    val u = comp.map(_ / s)
+    for (v <- Seq(1L, 2L, 3L, 4L)) {
+      val resid = (1 to 2).map(i => out((v, i))._2)
+      val reproj = resid.zip(u).map { case (a, b) => a * b }.sum
+      assert(math.abs(reproj) < 1e-9, s"vec $v reproj=$reproj")
+    }
+  }
+
   test("pcaProject2d: coordinates = dots with both deflated components") {
     val e = Seq(
       (1L, Array(0.4f, 0.0f, 0.01f)), (2L, Array(-0.4f, 0.0f, -0.01f)),
