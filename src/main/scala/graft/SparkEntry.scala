@@ -2202,6 +2202,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Similarity.removeTopComponent(
         t(dir, "embeddings"), iters = 12)
+    },
+    "q265_attribution_decay" -> { (s, dir) =>
+      // time-decay attribution (third standard model beside last-touch
+      // and q237's U-shape): weight 2^(-dt/30min), normalized per
+      // conversion; quantized pow, exact long normalizer
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.attributionTimeDecay(ev, "purchase", "view",
+        tolUs = 3600000000L, halfLifeUs = 1800000000L)
     }
   )
 
@@ -2918,6 +2928,8 @@ object SparkEntry {
     "q263_profile2d" -> Oracle.profile2d("lineitem",
       Oracle.Spec("l_quantity", axQty10), Oracle.Spec("l_tax", axTax),
       "l_extendedprice"),
-    "q264_remove_top_component" -> PipelineOracle.removeTopComponent(12)
+    "q264_remove_top_component" -> PipelineOracle.removeTopComponent(12),
+    "q265_attribution_decay" -> PipelineOracle.attributionTimeDecay(
+      "purchase", "view", 3600000000L, 1800000000L)
   )
 }

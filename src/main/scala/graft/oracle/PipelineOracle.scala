@@ -2577,6 +2577,27 @@ object PipelineOracle {
       s"ELSE ${d(0.2)} / CAST(m - 2 AS DOUBLE) END AS credit FROM r"
   }
 
+  /** Mirrors Funnel.attributionTimeDecay with the UNBLOCKED range join:
+    * 1e6 floor-quantized POWER(2, −Δt/h), exact per-conversion long
+    * normalizer, one IEEE division, zero-weight conversions NULL. */
+  def attributionTimeDecay(convType: String, touchType: String,
+      tolUs: Long, halfLifeUs: Long): String = {
+    def side(t: String, idAs: String, usAs: String): String =
+      s"SELECT user_id, event_id AS $idAs, epoch_ns(ts) // 1000 AS $usAs " +
+        s"FROM events WHERE event_type = ${q(t)} AND ts IS NOT NULL AND user_id IS NOT NULL"
+    val h = s"CAST('${java.lang.Double.toString(halfLifeUs.toDouble)}' AS DOUBLE)"
+    s"WITH c AS (${side(convType, "conv_id", "cus")}), " +
+      s"t AS (${side(touchType, "touch_id", "tus")}), " +
+      "j AS (SELECT c.user_id, conv_id, touch_id, cus - tus AS dt_us FROM c JOIN t " +
+      s"ON t.user_id = c.user_id AND t.tus >= c.cus - $tolUs AND t.tus < c.cus), " +
+      "w AS (SELECT *, CAST(FLOOR(POWER(CAST(2 AS DOUBLE), " +
+      s"-(CAST(dt_us AS DOUBLE) / $h)) * CAST('1000000.0' AS DOUBLE)) AS BIGINT) AS wq FROM j), " +
+      "s AS (SELECT *, CAST(SUM(wq) OVER (PARTITION BY conv_id) AS BIGINT) AS sw FROM w) " +
+      "SELECT user_id, conv_id, touch_id, CAST(dt_us AS BIGINT) AS dt_us, " +
+      "CASE WHEN sw = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE CAST(wq AS DOUBLE) / CAST(sw AS DOUBLE) END AS credit FROM s"
+  }
+
   /** Mirrors TextAnalysis.tokenEntropy: one (doc, term) tf aggregate,
     * 1e-9-quantized LN(tf/len), SUM ORDER BY term, one division and
     * negate. No corpus-wide state at all. */

@@ -520,6 +520,59 @@ object Funnel {
             (col("n_touches") - lit(2)).cast("double")))
   }
 
+  /** TIME-DECAY multi-touch attribution — the third standard model
+    * beside last-touch (as-of) and [[attribution]]'s U-shape: each
+    * touch in the window earns weight 2^(−Δt/halfLife) (a touch a
+    * half-life before the conversion counts half as much as one at the
+    * buzzer) and credits are the weights normalized per conversion.
+    * Emits (user, conv_id, touch_id, dt_us, credit).
+    *
+    * Cross-engine: the weight's pow is floor-quantized to an exact
+    * long at 1e6 (the repo's pow discipline); the per-conversion
+    * normalizer is an exact long sum; credit is one IEEE division.
+    * A conversion whose every touch quantizes to weight 0 (all touches
+    * ≳20 half-lives stale) yields NULL credits, not 0/0.
+    *
+    * Scale shape: the same bucket-blocked candidate join as
+    * [[attribution]] (the oracle runs the UNBLOCKED range join — every
+    * gate re-proves blocking completeness); the normalizer runs in a
+    * conversion-keyed window bounded by one conversion's touch
+    * volume. */
+  def attributionTimeDecay(events: DataFrame, convType: String,
+      touchType: String, tolUs: Long, halfLifeUs: Long,
+      tsCol: String = "event_time", keyCol: String = "user_id",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(tolUs > 0, s"tolUs must be positive: $tolUs")
+    require(halfLifeUs > 0, s"halfLifeUs must be positive: $halfLifeUs")
+    def side(t: String, idAs: String, usAs: String): DataFrame = events
+      .filter(col(typeCol) === t && col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol), col(idCol).as(idAs),
+        unix_micros(col(tsCol)).as(usAs))
+    def bucket(usName: String): Column =
+      expr(s"$usName div $tolUs - " +
+        s"(case when $usName % $tolUs < 0 then 1 else 0 end)")
+    val c = side(convType, "conv_id", "__cus")
+      .withColumn("__pb", explode(array(bucket("__cus") - 1L, bucket("__cus"))))
+    val t = side(touchType, "touch_id", "__tus")
+      .withColumnRenamed(keyCol, "__tk")
+      .withColumn("__tb", bucket("__tus"))
+    val j = c.join(t, col(keyCol) === col("__tk") && col("__pb") === col("__tb"))
+      .filter(col("__tus") >= col("__cus") - lit(tolUs) &&
+        col("__tus") < col("__cus"))
+      .select(col(keyCol), col("conv_id"), col("touch_id"),
+        (col("__cus") - col("__tus")).as("dt_us"))
+    val wq = floor(pow(lit(2.0),
+      -(col("dt_us").cast("double") / lit(halfLifeUs.toDouble))) *
+      lit(1.0e6)).cast("long")
+    val byConv = Window.partitionBy(col("conv_id"))
+    j.withColumn("__wq", wq)
+      .withColumn("__sw", sum(col("__wq")).over(byConv))
+      .select(col(keyCol), col("conv_id"), col("touch_id"), col("dt_us"),
+        when(col("__sw") === 0L, lit(null).cast("double"))
+          .otherwise(col("__wq").cast("double") / col("__sw").cast("double"))
+          .as("credit"))
+  }
+
   /** Trending-terms CHURN monitor: per tumbling window, how much the
     * top-k term set turned over vs the IMMEDIATELY PRECEDING window —
     * churn = 1 − |A∩B|/|A∪B| over the two windows' top-k sets (0 =

@@ -1265,6 +1265,24 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("attributionTimeDecay: half-life weights normalized per conversion") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // conversion at 100s; touches at 40s (dt=60s) and 70s (dt=30s);
+    // halfLife 30s -> weights 2^-2=0.25, 2^-1=0.5 -> credits 1/3, 2/3
+    val ev = Seq(
+      (1L, 10L, "view", ts(40)), (1L, 11L, "view", ts(70)),
+      (1L, 12L, "purchase", ts(100)),
+      (2L, 20L, "purchase", ts(50))  // no touches: no rows
+    ).toDF("user_id", "event_id", "event_type", "event_time")
+    val out = graft.pipeline.Funnel.attributionTimeDecay(ev, "purchase",
+        "view", tolUs = 3600000000L, halfLifeUs = 30000000L)
+      .collect().map(r => r.getLong(2) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(10L) == ((60000000L, 250000.0 / 750000.0)))
+    assert(out(11L) == ((30000000L, 500000.0 / 750000.0)))
+    assert(out.size == 2)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
   test("quantileCalibrate: per-source percentile mapped to the global order statistic") {
     // s1 scores (10, 20, 30); s2 scores (100, 200, 300). Global sorted:
     // 10,20,30,100,200,300 (N=6). A doc at source-percentile 0.5 maps to
