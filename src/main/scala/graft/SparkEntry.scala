@@ -2212,6 +2212,14 @@ object SparkEntry {
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.attributionTimeDecay(ev, "purchase", "view",
         tolUs = 3600000000L, halfLifeUs = 1800000000L)
+    },
+    "q266_seasonality" -> { (s, dir) =>
+      // the (dow × hour) traffic matrix every capacity plan / anomaly
+      // baseline starts from; pure integer microsecond arithmetic
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.seasonality(ev)
     }
   )
 
@@ -2930,6 +2938,7 @@ object SparkEntry {
       "l_extendedprice"),
     "q264_remove_top_component" -> PipelineOracle.removeTopComponent(12),
     "q265_attribution_decay" -> PipelineOracle.attributionTimeDecay(
-      "purchase", "view", 3600000000L, 1800000000L)
+      "purchase", "view", 3600000000L, 1800000000L),
+    "q266_seasonality" -> PipelineOracle.seasonality
   )
 }

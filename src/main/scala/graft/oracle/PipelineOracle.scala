@@ -2577,6 +2577,19 @@ object PipelineOracle {
       s"ELSE ${d(0.2)} / CAST(m - 2 AS DOUBLE) END AS credit FROM r"
   }
 
+  /** Mirrors Funnel.seasonality: integer microsecond day/hour
+    * arithmetic ((d+4) mod 7, 0=Sunday), exact counts, one IEEE
+    * division per cell. */
+  val seasonality: String =
+    "WITH b AS (SELECT epoch_ns(ts) // 1000 AS us FROM events " +
+      "WHERE ts IS NOT NULL AND epoch_ns(ts) // 1000 >= 0), " +
+      "c AS (SELECT CAST((us // 86400000000 + 4) % 7 AS INT) AS dow, " +
+      "CAST((us % 86400000000) // 3600000000 AS INT) AS hour, " +
+      "CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2), " +
+      "t AS (SELECT SUM(n) AS tt FROM c) " +
+      "SELECT dow, hour, n, CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS share " +
+      "FROM c CROSS JOIN t"
+
   /** Mirrors Funnel.attributionTimeDecay with the UNBLOCKED range join:
     * 1e6 floor-quantized POWER(2, −Δt/h), exact per-conversion long
     * normalizer, one IEEE division, zero-weight conversions NULL. */

@@ -520,6 +520,32 @@ object Funnel {
             (col("n_touches") - lit(2)).cast("double")))
   }
 
+  /** Calendar seasonality profile — the (day-of-week × hour-of-day)
+    * traffic matrix every capacity plan and anomaly baseline starts
+    * from ("is Tuesday 14:00 supposed to be this quiet?"): exact event
+    * counts per cell and each cell's share of total traffic. Day/hour
+    * come from INTEGER microsecond arithmetic (floor days since epoch;
+    * (d+4) mod 7 puts 0=Sunday — 1970-01-01 was a Thursday), identical
+    * in both engines — no timezone, no calendar library. NULL
+    * timestamps drop. Negative epochs are rejected (pre-1970 calendar
+    * cells are not this operator's contract).
+    *
+    * Scale shape: one map-combinable 168-cell aggregate; the single-row
+    * total broadcasts. */
+  def seasonality(events: DataFrame, tsCol: String = "event_time"): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val cells = events.filter(col(tsCol).isNotNull && us >= 0L)
+      .select(us.as("__us"))
+      .select(((expr("__us div 86400000000") + lit(4L)) % lit(7L))
+          .cast("int").as("dow"),
+        expr("(__us % 86400000000) div 3600000000").cast("int").as("hour"))
+      .groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("__t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double")).as("share"))
+  }
+
   /** TIME-DECAY multi-touch attribution — the third standard model
     * beside last-touch (as-of) and [[attribution]]'s U-shape: each
     * touch in the window earns weight 2^(−Δt/halfLife) (a touch a

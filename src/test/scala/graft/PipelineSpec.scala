@@ -1265,6 +1265,22 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("seasonality: (dow, hour) cells from integer arithmetic; epoch day 0 is Thursday") {
+    def at(day: Int, hour: Int) =
+      new java.sql.Timestamp(day * 86400000L + hour * 3600000L)
+    val ev = Seq((1L, at(0, 0)), (2L, at(0, 0)), (3L, at(0, 23)),
+      (4L, at(3, 5)), // day 3 = Sunday (dow 0)
+      (5L, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("event_id", "event_time")
+    val out = graft.pipeline.Funnel.seasonality(ev).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // 1970-01-01 = Thursday -> dow (0+4)%7 = 4
+    assert(out((4, 0)) == ((2L, 0.5)))
+    assert(out((4, 23)) == ((1L, 0.25)))
+    assert(out((0, 5)) == ((1L, 0.25)))
+    assert(out.size == 3)
+  }
+
   test("attributionTimeDecay: half-life weights normalized per conversion") {
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
     // conversion at 100s; touches at 40s (dt=60s) and 70s (dt=30s);
