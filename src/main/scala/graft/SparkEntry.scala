@@ -2220,6 +2220,15 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.seasonality(ev)
+    },
+    "q267_seasonal_anomaly" -> { (s, dir) =>
+      // "traffic is low FOR A TUESDAY 2PM": each hourly window z-scored
+      // against its (dow, hour) seasonal cell — q144's alarm with
+      // q266's baseline
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.seasonalAnomaly(ev)
     }
   )
 
@@ -2939,6 +2948,7 @@ object SparkEntry {
     "q264_remove_top_component" -> PipelineOracle.removeTopComponent(12),
     "q265_attribution_decay" -> PipelineOracle.attributionTimeDecay(
       "purchase", "view", 3600000000L, 1800000000L),
-    "q266_seasonality" -> PipelineOracle.seasonality
+    "q266_seasonality" -> PipelineOracle.seasonality,
+    "q267_seasonal_anomaly" -> PipelineOracle.seasonalAnomaly
   )
 }

@@ -2590,6 +2590,29 @@ object PipelineOracle {
       "SELECT dow, hour, n, CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS share " +
       "FROM c CROSS JOIN t"
 
+  /** Mirrors Funnel.seasonalAnomaly: hourly counts, (dow, hour)
+    * DECIMAL-exact cell moments, identical IEEE z tail. */
+  val seasonalAnomaly: String =
+    "WITH b AS (SELECT epoch_ns(ts) // 1000 AS us FROM events " +
+      "WHERE ts IS NOT NULL AND epoch_ns(ts) // 1000 >= 0), " +
+      "w AS (SELECT us // 3600000000 AS wh, CAST(COUNT(*) AS BIGINT) AS n " +
+      "FROM b GROUP BY 1), " +
+      "wd AS (SELECT wh, n, CAST((wh // 24 + 4) % 7 AS INT) AS dow, " +
+      "CAST(wh % 24 AS INT) AS hour FROM w), " +
+      "c AS (SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS m, " +
+      "SUM(CAST(n AS HUGEINT)) AS sn, SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS snn " +
+      "FROM wd GROUP BY 1, 2), " +
+      "cm AS (SELECT dow, hour, " +
+      "CAST(sn AS DOUBLE) / CAST(m AS DOUBLE) AS cell_mean, " +
+      "SQRT(GREATEST(CAST(0 AS DOUBLE), CAST(snn AS DOUBLE) / CAST(m AS DOUBLE) - " +
+      "(CAST(sn AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(sn AS DOUBLE) / CAST(m AS DOUBLE)))) AS cell_std " +
+      "FROM c) " +
+      "SELECT make_timestamp(wh * 3600000000) AS window_start, wd.dow, wd.hour, " +
+      "n, cell_mean, cell_std, " +
+      "CASE WHEN cell_std = CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE) " +
+      "ELSE (CAST(n AS DOUBLE) - cell_mean) / cell_std END AS z " +
+      "FROM wd JOIN cm ON cm.dow = wd.dow AND cm.hour = wd.hour"
+
   /** Mirrors Funnel.attributionTimeDecay with the UNBLOCKED range join:
     * 1e6 floor-quantized POWER(2, −Δt/h), exact per-conversion long
     * normalizer, one IEEE division, zero-weight conversions NULL. */

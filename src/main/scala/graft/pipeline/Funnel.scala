@@ -546,6 +546,52 @@ object Funnel {
         (col("n").cast("double") / col("__t").cast("double")).as("share"))
   }
 
+  /** SEASONALLY-ADJUSTED rate anomaly — q144's z-score with
+    * [[seasonality]]'s baseline ("traffic is low FOR A TUESDAY 2PM" —
+    * a raw-rate monitor either misses seasonal dips or alarms on every
+    * weekend): each hourly window's event count is z-scored against
+    * the mean/std of ALL windows sharing its (day-of-week, hour-of-day)
+    * cell. Emits (window_start, dow, hour, n, cell_mean, cell_std,
+    * z) — z NULL when the cell has no variance (a single observation,
+    * or a perfectly regular feed: nothing to standardize against).
+    *
+    * Only OBSERVED windows enter the baseline (an all-quiet hour is
+    * absent, not zero — the [[retention]]-family convention; a
+    * zero-filled calendar would need the observation span as an
+    * argument). Exactness: counts are exact longs; cell mean/std come
+    * from DECIMAL(38,0)-exact Σn/Σn²; the z tail is a fixed IEEE
+    * sequence. Scale shape: one hourly-window count (map-combinable),
+    * one 168-cell aggregate over the #windows-sized relation, a
+    * broadcast join back. */
+  def seasonalAnomaly(events: DataFrame,
+      tsCol: String = "event_time"): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val wins = events.filter(col(tsCol).isNotNull && us >= 0L)
+      .select(us.as("__us"))
+      .select(expr("__us div 3600000000").as("__wh"))
+      .groupBy(col("__wh")).agg(count(lit(1)).as("n"))
+      .select(col("__wh"), col("n"),
+        ((expr("(__wh div 24)") + lit(4L)) % lit(7L)).cast("int").as("dow"),
+        (col("__wh") % lit(24L)).cast("int").as("hour"))
+    val nd = col("n").cast("decimal(38,0)")
+    val cells = wins.groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("__m"), sum(nd).as("__sn"),
+        sum(nd * nd).as("__snn"))
+      .select(col("dow"), col("hour"), col("__m"),
+        (col("__sn").cast("double") / col("__m").cast("double")).as("cell_mean"),
+        sqrt(greatest(lit(0.0),
+          col("__snn").cast("double") / col("__m").cast("double") -
+            (col("__sn").cast("double") / col("__m").cast("double")) *
+            (col("__sn").cast("double") / col("__m").cast("double"))))
+          .as("cell_std"))
+    wins.join(broadcast(cells), Seq("dow", "hour"))
+      .select(timestamp_micros(col("__wh") * lit(3600000000L)).as("window_start"),
+        col("dow"), col("hour"), col("n"), col("cell_mean"), col("cell_std"),
+        when(col("cell_std") === lit(0.0), lit(null).cast("double"))
+          .otherwise((col("n").cast("double") - col("cell_mean")) / col("cell_std"))
+          .as("z"))
+  }
+
   /** TIME-DECAY multi-touch attribution — the third standard model
     * beside last-touch (as-of) and [[attribution]]'s U-shape: each
     * touch in the window earns weight 2^(−Δt/halfLife) (a touch a

@@ -1281,6 +1281,24 @@ class PipelineSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("seasonalAnomaly: windows z-scored against their (dow, hour) cell") {
+    def at(day: Int, hour: Int, k: Int) =
+      new java.sql.Timestamp(day * 86400000L + hour * 3600000L + k * 1000L)
+    // same (dow=4+?,0) cell on epoch days 0 and 7 (both Thursday 00):
+    // counts 2 and 4 -> mean 3, std 1 -> z = -1 and +1. Day 1 hour 0:
+    // single observation -> z NULL.
+    val ev = (Seq.tabulate(2)(k => (1L, at(0, 0, k))) ++
+      Seq.tabulate(4)(k => (1L, at(7, 0, k))) ++
+      Seq((1L, at(1, 0, 0)))).toDF("event_id", "event_time")
+    val out = graft.pipeline.Funnel.seasonalAnomaly(ev).collect()
+      .map(r => r.getTimestamp(0).getTime / 3600000L ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    assert(out(0L) == ((4, 0, 2L, Some(-1.0))))
+    assert(out(7L * 24) == ((4, 0, 4L, Some(1.0))))
+    assert(out(24L) == ((5, 0, 1L, None)))
+  }
+
   test("attributionTimeDecay: half-life weights normalized per conversion") {
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
     // conversion at 100s; touches at 40s (dt=60s) and 70s (dt=30s);
