@@ -2229,6 +2229,15 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.seasonalAnomaly(ev)
+    },
+    "q268_welch_t" -> { (s, dir) =>
+      // the drift family's mean-level significance head: did the MEAN
+      // move more than sampling noise explains (unequal variances)?
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      HistStats.welchT(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"), "value")
     }
   )
 
@@ -2949,6 +2958,8 @@ object SparkEntry {
     "q265_attribution_decay" -> PipelineOracle.attributionTimeDecay(
       "purchase", "view", 3600000000L, 1800000000L),
     "q266_seasonality" -> PipelineOracle.seasonality,
-    "q267_seasonal_anomaly" -> PipelineOracle.seasonalAnomaly
+    "q267_seasonal_anomaly" -> PipelineOracle.seasonalAnomaly,
+    "q268_welch_t" -> Oracle.welchT("events", "value",
+      "event_type = 'view'", "event_type = 'click'")
   )
 }

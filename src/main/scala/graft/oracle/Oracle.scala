@@ -263,6 +263,34 @@ object Oracle {
       s"ELSE ABS(cca / ta - ccb / tb) * (${spec.axis.widthSql("i")}) END ORDER BY i) AS emd FROM c"
   }
 
+  /** Mirrors HistStats.welchT: DECIMAL-exact Σx/Σx² per side, n−1
+    * sample variances clamped at 0, identical IEEE t / Welch df
+    * tails, degenerate sides NULL. */
+  def welchT(table: String, valueSql: String, whereA: String,
+      whereB: String): String = {
+    def sums(name: String, where: String, p: String): String = {
+      val s = exactDbl("SUM(TRY_CAST(CAST(__v AS VARCHAR) AS DECIMAL(38,14)))")
+      val ss = exactDbl("SUM(TRY_CAST(CAST(__v * __v AS VARCHAR) AS DECIMAL(38,14)))")
+      s"$name AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_$p, $s AS s_$p, $ss AS ss_$p " +
+        s"FROM (SELECT CAST($valueSql AS DOUBLE) AS __v FROM $table WHERE $where) " +
+        "WHERE __v IS NOT NULL)"
+    }
+    def m(p: String) = s"(s_$p / CAST(n_$p AS DOUBLE))"
+    def v(p: String) =
+      s"GREATEST(CAST(0 AS DOUBLE), (ss_$p - s_$p * ${m(p)}) / CAST(n_$p - 1 AS DOUBLE))"
+    val se2 = s"(${v("a")} / CAST(n_a AS DOUBLE) + ${v("b")} / CAST(n_b AS DOUBLE))"
+    val dfDen = s"((${v("a")} / CAST(n_a AS DOUBLE)) * (${v("a")} / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) + " +
+      s"(${v("b")} / CAST(n_b AS DOUBLE)) * (${v("b")} / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))"
+    val degenerate = s"(n_a < 2 OR n_b < 2 OR $se2 = CAST(0 AS DOUBLE))"
+    s"WITH ${sums("sa", whereA, "a")}, ${sums("sb", whereB, "b")} " +
+      s"SELECT n_a, n_b, ${m("a")} AS mean_a, ${m("b")} AS mean_b, " +
+      s"CASE WHEN $degenerate THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE (${m("a")} - ${m("b")}) / SQRT($se2) END AS t_stat, " +
+      s"CASE WHEN $degenerate THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE ($se2 * $se2) / $dfDen END AS df " +
+      "FROM sa CROSS JOIN sb"
+  }
+
   /** Mirrors HistStats.cvm: the [[emd]] CTEs with the squared-gap term
     * (g·g after one subtraction, no width factor), SUM ORDER BY i, the
     * same zero-total lifecycle NULL. */

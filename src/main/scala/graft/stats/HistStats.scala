@@ -605,6 +605,50 @@ object HistStats {
     cvm(a, grid, ax, dims)
   }
 
+  /** Two-sample WELCH t-test between two value populations — the drift
+    * family's mean-level significance head (PSI/EMD/KS/CvM say the
+    * DISTRIBUTION moved; this says whether the MEAN moved more than
+    * sampling noise explains, without assuming equal variances):
+    * t = (x̄₁−x̄₂)/√(s₁²/n₁+s₂²/n₂) with the Welch–Satterthwaite
+    * degrees of freedom. Emits one row: n/mean per side, t_stat, df —
+    * both NULL when either side has < 2 observations or both sample
+    * variances are exactly 0 (no noise model to test against).
+    *
+    * Cross-engine: Σx and Σx² take the DECIMAL(38,14) string route
+    * (the profile discipline — exact, order-free), sample variances
+    * use the n−1 form clamped at 0, and the t/df tails are fixed IEEE
+    * sequences on those exact-derived doubles, mirrored verbatim in
+    * the oracle. Scale shape: ONE pass over the union with two
+    * conditional map-combinable aggregates; a single output row. */
+  def welchT(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def sums(df: DataFrame, p: String): DataFrame = {
+      val v = col(valueCol).cast("double")
+      val s = graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(v)))
+      val ss = graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(v * v)))
+      df.filter(v.isNotNull)
+        .agg(count(lit(1)).as(s"n_$p"), s.as(s"__s_$p"), ss.as(s"__ss_$p"))
+    }
+    val j = sums(a, "a").crossJoin(sums(b, "b"))
+    def m(p: String): Column = col(s"__s_$p") / col(s"n_$p").cast("double")
+    // sample variance, n−1 denominator, clamped at 0
+    def v(p: String): Column = greatest(lit(0.0),
+      (col(s"__ss_$p") - col(s"__s_$p") * m(p)) /
+        (col(s"n_$p") - 1L).cast("double"))
+    val se2 = v("a") / col("n_a").cast("double") + v("b") / col("n_b").cast("double")
+    val dfNum = se2 * se2
+    val dfDen =
+      (v("a") / col("n_a").cast("double")) * (v("a") / col("n_a").cast("double")) /
+        (col("n_a") - 1L).cast("double") +
+      (v("b") / col("n_b").cast("double")) * (v("b") / col("n_b").cast("double")) /
+        (col("n_b") - 1L).cast("double")
+    val degenerate = col("n_a") < 2L || col("n_b") < 2L || se2 === lit(0.0)
+    j.select(col("n_a"), col("n_b"), m("a").as("mean_a"), m("b").as("mean_b"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise((m("a") - m("b")) / sqrt(se2)).as("t_stat"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(dfNum / dfDen).as("df"))
+  }
+
   /** Per-group PSI against one shared reference histogram — the rolling
     * drift monitor in its published form ("PSI of each day's score
     * distribution vs the training snapshot; alarm past 0.25"): the

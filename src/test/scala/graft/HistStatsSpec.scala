@@ -296,6 +296,28 @@ class HistStatsSpec extends SparkSpec {
     assert(near == 2.0 && far == 6.0)
   }
 
+  test("welchT: hand-computed t and Welch df; degenerate sides NULL") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("value")          // mean 2, var 1
+    val b = Seq(4.0, 6.0).toDF("value")               // mean 5, var 2
+    val r = graft.stats.HistStats.welchT(a, b, "value").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    val se2 = 1.0 / 3.0 + 2.0 / 2.0
+    assert(math.abs(r.getDouble(4) - (2.0 - 5.0) / math.sqrt(se2)) < 1e-12)
+    val dfExp = se2 * se2 /
+      ((1.0 / 3.0) * (1.0 / 3.0) / 2.0 + 1.0 * 1.0 / 1.0)
+    assert(math.abs(r.getDouble(5) - dfExp) < 1e-12)
+    // single observation on one side: NULL t/df, means still emitted
+    val one = graft.stats.HistStats.welchT(a, Seq(7.0).toDF("value"), "value")
+      .collect().head
+    assert(one.getDouble(3) == 7.0 && one.isNullAt(4) && one.isNullAt(5))
+    // identical constants on both sides: zero variance -> NULL
+    val const = graft.stats.HistStats.welchT(
+      Seq(5.0, 5.0).toDF("value"), Seq(5.0, 5.0).toDF("value"), "value")
+      .collect().head
+    assert(const.isNullAt(4) && const.isNullAt(5))
+  }
+
   test("cvm: summed squared CDF gaps; zero for identical; dead group is NULL") {
     val ax = Regular("x", 4, 0.0, 8.0)
     def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)
