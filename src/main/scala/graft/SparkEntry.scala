@@ -2238,6 +2238,15 @@ object SparkEntry {
       HistStats.welchT(
         ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "click"), "value")
+    },
+    "q269_mean_shift_scan" -> { (s, dir) =>
+      // the q268 test per event type between the observation span's
+      // two time halves — "which types' value level shifted
+      // significantly mid-period?"; one conditional-aggregate pass
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      HistStats.meanShiftScan(ev, "event_time", "event_type", "value")
     }
   )
 
@@ -2960,6 +2969,8 @@ object SparkEntry {
     "q266_seasonality" -> PipelineOracle.seasonality,
     "q267_seasonal_anomaly" -> PipelineOracle.seasonalAnomaly,
     "q268_welch_t" -> Oracle.welchT("events", "value",
-      "event_type = 'view'", "event_type = 'click'")
+      "event_type = 'view'", "event_type = 'click'"),
+    "q269_mean_shift_scan" -> Oracle.meanShiftScan("events",
+      "epoch_ns(ts) // 1000", "event_type", "value", "event_type")
   )
 }

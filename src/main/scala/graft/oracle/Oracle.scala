@@ -291,6 +291,36 @@ object Oracle {
       "FROM sa CROSS JOIN sb"
   }
 
+  /** Mirrors HistStats.meanShiftScan over events: integer midpoint,
+    * per-key conditional DECIMAL sums, the [[welchT]] tails. */
+  def meanShiftScan(table: String, tsUsSql: String, keySql: String,
+      valueSql: String, keyName: String): String = {
+    def cs(cond: String, e: String): String =
+      exactDbl(s"SUM(CASE WHEN $cond THEN TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14)) END)")
+    def m(p: String) = s"(s_$p / CAST(n_$p AS DOUBLE))"
+    def v(p: String) =
+      s"GREATEST(CAST(0 AS DOUBLE), (ss_$p - s_$p * ${m(p)}) / CAST(n_$p - 1 AS DOUBLE))"
+    val se2 = s"(${v("a")} / CAST(n_a AS DOUBLE) + ${v("b")} / CAST(n_b AS DOUBLE))"
+    val dfDen = s"((${v("a")} / CAST(n_a AS DOUBLE)) * (${v("a")} / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) + " +
+      s"(${v("b")} / CAST(n_b AS DOUBLE)) * (${v("b")} / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE))"
+    val degenerate = s"(n_a < 2 OR n_b < 2 OR $se2 = CAST(0 AS DOUBLE))"
+    s"WITH b AS (SELECT $keySql AS k, $tsUsSql AS us, CAST($valueSql AS DOUBLE) AS v " +
+      s"FROM $table WHERE ($tsUsSql) IS NOT NULL AND ($keySql) IS NOT NULL " +
+      s"AND ($valueSql) IS NOT NULL), " +
+      "mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS m FROM b), " +
+      "g AS (SELECT k, " +
+      "CAST(SUM(CASE WHEN us <= m THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+      "CAST(SUM(CASE WHEN us > m THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+      s"${cs("us <= m", "v")} AS s_a, ${cs("us <= m", "v * v")} AS ss_a, " +
+      s"${cs("us > m", "v")} AS s_b, ${cs("us > m", "v * v")} AS ss_b " +
+      "FROM b CROSS JOIN mid GROUP BY k) " +
+      s"SELECT k AS $keyName, n_a, n_b, ${m("a")} AS mean_a, ${m("b")} AS mean_b, " +
+      s"CASE WHEN $degenerate THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE (${m("a")} - ${m("b")}) / SQRT($se2) END AS t_stat, " +
+      s"CASE WHEN $degenerate THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE ($se2 * $se2) / $dfDen END AS df FROM g"
+  }
+
   /** Mirrors HistStats.cvm: the [[emd]] CTEs with the squared-gap term
     * (g·g after one subtraction, no width factor), SUM ORDER BY i, the
     * same zero-total lifecycle NULL. */

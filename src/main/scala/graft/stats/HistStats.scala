@@ -649,6 +649,58 @@ object HistStats {
         .otherwise(dfNum / dfDen).as("df"))
   }
 
+  /** Mean-shift SCAN — [[welchT]] run per key between the observation
+    * span's two time halves ("which event types' value level shifted
+    * significantly mid-period?"): the corpus midpoint is
+    * (min+max) div 2 over event times (exact integer microseconds,
+    * broadcast), side A = at-or-before, side B = after, and each key
+    * gets the full Welch t + df with the same degenerate-NULL rule. A
+    * key alive in only one half is degenerate by construction (its
+    * other side has n = 0) — it reports its means and NULL t, exactly
+    * the drift-family lifecycle convention.
+    *
+    * Scale shape: one single-row min/max aggregate broadcast, then ONE
+    * key-keyed pass of conditional map-combinable aggregates — no
+    * second scan, no join of two filtered corpora, no windows. */
+  def meanShiftScan(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val v = col(valueCol).cast("double")
+    val base = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull && v.isNotNull)
+      .select(col(keyCol), us.as("__us"), v.as("__v"))
+    val span = base.agg(min(col("__us")).as("__mn"), max(col("__us")).as("__mx"))
+      .select(expr("(__mn + __mx) div 2").as("__mid"))
+    def decSum(c: Column): Column =
+      graft.util.Dec.exactDouble(sum(graft.util.Dec.toDec(c)))
+    val inA = col("__us") <= col("__mid")
+    val agg = base.crossJoin(broadcast(span))
+      .groupBy(col(keyCol))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!inA, 1L).otherwise(0L)).as("n_b"),
+        decSum(when(inA, col("__v"))).as("__s_a"),
+        decSum(when(inA, col("__v") * col("__v"))).as("__ss_a"),
+        decSum(when(!inA, col("__v"))).as("__s_b"),
+        decSum(when(!inA, col("__v") * col("__v"))).as("__ss_b"))
+    def m(p: String): Column = col(s"__s_$p") / col(s"n_$p").cast("double")
+    def sv(p: String): Column = greatest(lit(0.0),
+      (col(s"__ss_$p") - col(s"__s_$p") * m(p)) /
+        (col(s"n_$p") - 1L).cast("double"))
+    val se2 = sv("a") / col("n_a").cast("double") + sv("b") / col("n_b").cast("double")
+    val dfDen =
+      (sv("a") / col("n_a").cast("double")) * (sv("a") / col("n_a").cast("double")) /
+        (col("n_a") - 1L).cast("double") +
+      (sv("b") / col("n_b").cast("double")) * (sv("b") / col("n_b").cast("double")) /
+        (col("n_b") - 1L).cast("double")
+    val degenerate = col("n_a") < 2L || col("n_b") < 2L || se2 === lit(0.0)
+    agg.select(col(keyCol), col("n_a"), col("n_b"),
+      m("a").as("mean_a"), m("b").as("mean_b"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise((m("a") - m("b")) / sqrt(se2)).as("t_stat"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(se2 * se2 / dfDen).as("df"))
+  }
+
   /** Per-group PSI against one shared reference histogram — the rolling
     * drift monitor in its published form ("PSI of each day's score
     * distribution vs the training snapshot; alarm past 0.25"): the

@@ -318,6 +318,27 @@ class HistStatsSpec extends SparkSpec {
     assert(const.isNullAt(4) && const.isNullAt(5))
   }
 
+  test("meanShiftScan: per-key halves split at the span midpoint; one-half keys NULL") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // span [0, 100] -> mid 50. Type x: A=(1,2,3)@<=50, B=(4,6)@>50 —
+    // the welchT fixture per key. Type y lives only in half A.
+    val ev = Seq(
+      ("x", 1.0, ts(0)), ("x", 2.0, ts(10)), ("x", 3.0, ts(20)),
+      ("x", 4.0, ts(60)), ("x", 6.0, ts(100)),
+      ("y", 9.0, ts(5)), ("y", 9.0, ts(6))
+    ).toDF("event_type", "value", "event_time")
+    val out = graft.stats.HistStats.meanShiftScan(
+        ev, "event_time", "event_type", "value")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert(x.getLong(1) == 3L && x.getLong(2) == 2L)
+    val se2 = 1.0 / 3.0 + 2.0 / 2.0
+    assert(math.abs(x.getDouble(5) - (2.0 - 5.0) / math.sqrt(se2)) < 1e-12)
+    val y = out("y")
+    assert(y.getLong(1) == 2L && y.getLong(2) == 0L &&
+      y.getDouble(3) == 9.0 && y.isNullAt(4) && y.isNullAt(5) && y.isNullAt(6))
+  }
+
   test("cvm: summed squared CDF gaps; zero for identical; dead group is NULL") {
     val ax = Regular("x", 4, 0.0, 8.0)
     def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)
