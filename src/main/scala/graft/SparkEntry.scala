@@ -2247,6 +2247,15 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       HistStats.meanShiftScan(ev, "event_time", "event_type", "value")
+    },
+    "q270_cusum" -> { (s, dir) =>
+      // the SEQUENTIAL drift head: two-sided CUSUM over hourly counts
+      // (accumulates slow leaks the memoryless per-window alarms miss);
+      // prefix-identity form — window functions, not a loop
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.cusum(ev, k = 5.0, h = 50.0)
     }
   )
 
@@ -2971,6 +2980,7 @@ object SparkEntry {
     "q268_welch_t" -> Oracle.welchT("events", "value",
       "event_type = 'view'", "event_type = 'click'"),
     "q269_mean_shift_scan" -> Oracle.meanShiftScan("events",
-      "epoch_ns(ts) // 1000", "event_type", "value", "event_type")
+      "epoch_ns(ts) // 1000", "event_type", "value", "event_type"),
+    "q270_cusum" -> PipelineOracle.cusum(5.0, 50.0)
   )
 }

@@ -592,6 +592,58 @@ object Funnel {
           .as("z"))
   }
 
+  /** CUSUM change-point monitor over hourly event counts — the
+    * SEQUENTIAL drift detector the per-window family lacks (PSI/KS/z
+    * score each window in isolation; CUSUM accumulates small
+    * persistent shifts until they cross a threshold — the classic
+    * "slow leak" alarm): two-sided, S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ−μ−k)) and
+    * S⁻ₜ = max(0, S⁻ₜ₋₁ − (xₜ−μ)−k), alarm when either exceeds `h`.
+    * μ is the span's mean hourly count; `k` (allowance) and `h`
+    * (threshold) are in events.
+    *
+    * Computed by the prefix identity S⁺ₜ = Pₜ − min₀≤ⱼ≤ₜ Pⱼ (P the
+    * running sum of deviations, P₀ = 0), so the recursion becomes one
+    * cumulative sum + one running extremum — window functions, not a
+    * sequential loop. Cross-engine: each deviation is floor-quantized
+    * to an exact long at 1e6 BEFORE accumulating (cumulative DOUBLE
+    * window sums have engine-specific association; exact longs are
+    * order-free), the running min/max are order-free, and the final
+    * /1e6 is one IEEE division per row.
+    *
+    * Scale shape: the corpus collapses to the hourly-count relation
+    * (map-combinable); the cumulative windows run over that
+    * #windows-sized relation — the one unpartitioned sort is over
+    * HOURS, never rows (the q209 |sources| convention). */
+  def cusum(events: DataFrame, k: Double, h: Double,
+      tsCol: String = "event_time"): DataFrame = {
+    require(k >= 0.0 && h > 0.0, s"need k >= 0 and h > 0: k=$k h=$h")
+    val us = unix_micros(col(tsCol))
+    val wins = events.filter(col(tsCol).isNotNull && us >= 0L)
+      .select(us.as("__us"))
+      .select(expr("__us div 3600000000").as("__wh"))
+      .groupBy(col("__wh")).agg(count(lit(1)).as("n"))
+    val mu = wins.agg(
+      (sum(col("n").cast("decimal(38,0)")).cast("double") /
+        count(lit(1)).cast("double")).as("__mu"))
+    val dev = wins.crossJoin(broadcast(mu))
+      .withColumn("__dqp", floor((col("n").cast("double") - col("__mu") -
+        lit(k)) * lit(1.0e6)).cast("long"))
+      .withColumn("__dqm", floor((col("n").cast("double") - col("__mu") +
+        lit(k)) * lit(1.0e6)).cast("long"))
+    val byTime = Window.orderBy(col("__wh"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = sum(col("__dqp")).over(byTime)
+    val pm = sum(col("__dqm")).over(byTime)
+    val runMin = least(lit(0L), min(p).over(byTime))
+    val runMax = greatest(lit(0L), max(pm).over(byTime))
+    dev.select(timestamp_micros(col("__wh") * lit(3600000000L)).as("window_start"),
+        col("n"),
+        ((p - runMin).cast("double") / lit(1.0e6)).as("cusum_pos"),
+        ((runMax - pm).cast("double") / lit(1.0e6)).as("cusum_neg"))
+      .withColumn("alarm",
+        col("cusum_pos") > lit(h) || col("cusum_neg") > lit(h))
+  }
+
   /** TIME-DECAY multi-touch attribution — the third standard model
     * beside last-touch (as-of) and [[attribution]]'s U-shape: each
     * touch in the window earns weight 2^(−Δt/halfLife) (a touch a

@@ -1265,6 +1265,25 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("cusum: accumulates a persistent shift; resets at zero; two-sided") {
+    def at(hour: Int, k: Int) =
+      new java.sql.Timestamp(hour * 3600000L + k * 1000L)
+    // hours 0..3 with counts 4,4,10,10: mu=7. k=1 -> devs -4,-4,2,2.
+    // S+ : max(0,·+d): 0,0,2,4. S-(d'=n-mu+1: -2,-2,4,4; S-=max(0,S- -d')):
+    // 2,4,0,0.
+    val ev = (Seq.tabulate(4)(k => (1L, at(0, k))) ++
+      Seq.tabulate(4)(k => (1L, at(1, k))) ++
+      Seq.tabulate(10)(k => (1L, at(2, k))) ++
+      Seq.tabulate(10)(k => (1L, at(3, k)))).toDF("event_id", "event_time")
+    val out = graft.pipeline.Funnel.cusum(ev, k = 1.0, h = 3.0).collect()
+      .map(r => r.getTimestamp(0).getTime / 3600000L ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(0L) == ((4L, 0.0, 2.0, false)))
+    assert(out(1L) == ((4L, 0.0, 4.0, true)))   // downward leak alarms
+    assert(out(2L) == ((10L, 2.0, 0.0, false)))
+    assert(out(3L) == ((10L, 4.0, 0.0, true)))  // upward leak alarms
+  }
+
   test("seasonality: (dow, hour) cells from integer arithmetic; epoch day 0 is Thursday") {
     def at(day: Int, hour: Int) =
       new java.sql.Timestamp(day * 86400000L + hour * 3600000L)
