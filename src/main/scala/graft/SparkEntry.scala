@@ -2256,6 +2256,16 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.cusum(ev, k = 5.0, h = 50.0)
+    },
+    "q271_stream_cusum" -> { (s, dir) =>
+      // the live CUSUM chart against a TRAINED baseline: batch = the
+      // q270 prefix identity with mu as a literal; the streaming
+      // recursion carries two longs across micro-batches
+      // (StreamingSpec pins bit-exact parity on closed hours)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.cusumFrom(ev, mu = 100.0, k = 5.0, h = 50.0)
     }
   )
 
@@ -2981,6 +2991,7 @@ object SparkEntry {
       "event_type = 'view'", "event_type = 'click'"),
     "q269_mean_shift_scan" -> Oracle.meanShiftScan("events",
       "epoch_ns(ts) // 1000", "event_type", "value", "event_type"),
-    "q270_cusum" -> PipelineOracle.cusum(5.0, 50.0)
+    "q270_cusum" -> PipelineOracle.cusum(5.0, 50.0),
+    "q271_stream_cusum" -> PipelineOracle.cusumFrom(100.0, 5.0, 50.0)
   )
 }

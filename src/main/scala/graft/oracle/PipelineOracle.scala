@@ -2577,6 +2577,29 @@ object PipelineOracle {
       s"ELSE ${d(0.2)} / CAST(m - 2 AS DOUBLE) END AS credit FROM r"
   }
 
+  /** Mirrors Funnel.cusumFrom (and thereby streamingCusum's gated
+    * batch path): the [[cusum]] SQL with the trained baseline mean as
+    * a literal. */
+  def cusumFrom(mu: Double, k: Double, h: Double): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val cum = "ORDER BY wh ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    "WITH b AS (SELECT epoch_ns(ts) // 1000 AS us FROM events " +
+      "WHERE ts IS NOT NULL AND epoch_ns(ts) // 1000 >= 0), " +
+      "w AS (SELECT us // 3600000000 AS wh, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1), " +
+      "dv AS (SELECT wh, n, " +
+      s"CAST(FLOOR((CAST(n AS DOUBLE) - ${d(mu)} - ${d(k)}) * ${d(1.0e6)}) AS BIGINT) AS dqp, " +
+      s"CAST(FLOOR((CAST(n AS DOUBLE) - ${d(mu)} + ${d(k)}) * ${d(1.0e6)}) AS BIGINT) AS dqm " +
+      "FROM w), " +
+      s"c AS (SELECT wh, n, SUM(dqp) OVER ($cum) AS p, SUM(dqm) OVER ($cum) AS pm FROM dv), " +
+      s"r AS (SELECT wh, n, p, pm, LEAST(CAST(0 AS HUGEINT), MIN(p) OVER ($cum)) AS rmin, " +
+      s"GREATEST(CAST(0 AS HUGEINT), MAX(pm) OVER ($cum)) AS rmax FROM c) " +
+      "SELECT make_timestamp(wh * 3600000000) AS window_start, n, " +
+      s"CAST(p - rmin AS DOUBLE) / ${d(1.0e6)} AS cusum_pos, " +
+      s"CAST(rmax - pm AS DOUBLE) / ${d(1.0e6)} AS cusum_neg, " +
+      s"(CAST(p - rmin AS DOUBLE) / ${d(1.0e6)} > ${d(h)} OR " +
+      s"CAST(rmax - pm AS DOUBLE) / ${d(1.0e6)} > ${d(h)}) AS alarm FROM r"
+  }
+
   /** Mirrors Funnel.cusum: hourly counts, exact-decimal mean, 1e6
     * floor-quantized deviations, exact-long prefix sums + running
     * extrema, one IEEE division per row. */

@@ -644,6 +644,38 @@ object Funnel {
         col("cusum_pos") > lit(h) || col("cusum_neg") > lit(h))
   }
 
+  /** [[cusum]] against a FIXED trained baseline mean — the
+    * rolling-monitor form (psiFrom's convention): production CUSUM
+    * charts run against the in-control μ estimated on a reference
+    * period, not the contaminated live mean. Same prefix-identity
+    * plan; `mu` enters as a literal. */
+  def cusumFrom(events: DataFrame, mu: Double, k: Double, h: Double,
+      tsCol: String = "event_time"): DataFrame = {
+    require(k >= 0.0 && h > 0.0, s"need k >= 0 and h > 0: k=$k h=$h")
+    val us = unix_micros(col(tsCol))
+    val wins = events.filter(col(tsCol).isNotNull && us >= 0L)
+      .select(us.as("__us"))
+      .select(expr("__us div 3600000000").as("__wh"))
+      .groupBy(col("__wh")).agg(count(lit(1)).as("n"))
+    val dev = wins
+      .withColumn("__dqp", floor((col("n").cast("double") - lit(mu) -
+        lit(k)) * lit(1.0e6)).cast("long"))
+      .withColumn("__dqm", floor((col("n").cast("double") - lit(mu) +
+        lit(k)) * lit(1.0e6)).cast("long"))
+    val byTime = Window.orderBy(col("__wh"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = sum(col("__dqp")).over(byTime)
+    val pm = sum(col("__dqm")).over(byTime)
+    val runMin = least(lit(0L), min(p).over(byTime))
+    val runMax = greatest(lit(0L), max(pm).over(byTime))
+    dev.select(timestamp_micros(col("__wh") * lit(3600000000L)).as("window_start"),
+        col("n"),
+        ((p - runMin).cast("double") / lit(1.0e6)).as("cusum_pos"),
+        ((runMax - pm).cast("double") / lit(1.0e6)).as("cusum_neg"))
+      .withColumn("alarm",
+        col("cusum_pos") > lit(h) || col("cusum_neg") > lit(h))
+  }
+
   /** TIME-DECAY multi-touch attribution — the third standard model
     * beside last-touch (as-of) and [[attribution]]'s U-shape: each
     * touch in the window earns weight 2^(−Δt/halfLife) (a touch a

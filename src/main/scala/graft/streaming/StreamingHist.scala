@@ -901,6 +901,65 @@ object StreamingHist {
       }
   }
 
+  case class CusumEvent(us: Long, cnt: Long)
+  case class CusumState(openWh: Long, openCnt: Long, sPos: Long, sNeg: Long)
+  case class CusumPoint(wh: Long, n: Long, cusum_pos: Double,
+    cusum_neg: Double, alarm: Boolean)
+
+  /** STREAMING two-sided CUSUM against a trained baseline — the live
+    * form of Funnel.cusumFrom: per closed hour, S⁺ ← max(0, S⁺ + dqp),
+    * S⁻ ← max(0, S⁻ − dqm) with the SAME 1e6-quantized exact-long
+    * deviations as the batch prefix identity, so a closed hour's row
+    * is BIT-identical to the batch row (the recursion and the
+    * prefix-minimum identity are equal in exact arithmetic). State is
+    * one open (hour, count) plus two longs — constant, independent of
+    * volume. Events carry a `cnt` weight so the upstream can feed
+    * per-partition PARTIAL counts (the one-group shuffle then moves
+    * #partitions rows per hour, never raw events — the documented
+    * scale shape for a single-chart monitor). Exactness contract (the
+    * q127/q146 convention): equal to batch on the closed-hour prefix
+    * under hour-monotone arrival; late events for hours before the
+    * open one drop. `flushOpen` emits the still-open hour (batch
+    * execution; leave false on a real stream). */
+  def streamingCusum(events: Dataset[CusumEvent], mu: Double, k: Double,
+      h: Double, flushOpen: Boolean): Dataset[CusumPoint] = {
+    require(k >= 0.0 && h > 0.0, s"need k >= 0 and h > 0: k=$k h=$h")
+    import events.sparkSession.implicits._
+    val hourUs = 3600000000L
+    def close(st: CusumState): (CusumState, CusumPoint) = {
+      val dqp = math.floor((st.openCnt.toDouble - mu - k) * 1.0e6).toLong
+      val dqm = math.floor((st.openCnt.toDouble - mu + k) * 1.0e6).toLong
+      val sp = math.max(0L, st.sPos + dqp)
+      val sn = math.max(0L, st.sNeg - dqm)
+      val (cp, cn) = (sp.toDouble / 1.0e6, sn.toDouble / 1.0e6)
+      (st.copy(sPos = sp, sNeg = sn),
+        CusumPoint(st.openWh, st.openCnt, cp, cn, cp > h || cn > h))
+    }
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, it: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumPoint]
+          it.toSeq.sortBy(_.us).foreach { e =>
+            val wh = Math.floorDiv(e.us, hourUs)
+            st match {
+              case None => st = Some(CusumState(wh, e.cnt, 0L, 0L))
+              case Some(s) =>
+                if (wh == s.openWh) st = Some(s.copy(openCnt = s.openCnt + e.cnt))
+                else if (wh > s.openWh) {
+                  val (closed, pt) = close(s)
+                  out += pt
+                  st = Some(closed.copy(openWh = wh, openCnt = e.cnt))
+                } // wh < openWh: late beyond the open hour — dropped
+            }
+          }
+          if (flushOpen) st.foreach(s => out += close(s)._2)
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class AsOfEvent(user_id: Long, us: Long, side: Int, event_id: Long,
     value: Option[Double])
   case class AsOfEnriched(event_id: Long, user_id: Long, us: Long,

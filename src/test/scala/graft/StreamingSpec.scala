@@ -783,6 +783,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: recursion state equals the batch prefix identity") {
+    import StreamingHist.{CusumEvent, CusumPoint}
+    def at(hour: Int, k: Int) =
+      new java.sql.Timestamp(hour * 3600000L + k * 1000L)
+    // the q270 spec trace with a FIXED baseline mu=7, k=1: counts
+    // 4,4,10,10 -> S+: 0,0,2,4; S-: 2,4,0,0
+    val evRows = (Seq.tabulate(4)(k => (1L, at(0, k))) ++
+      Seq.tabulate(4)(k => (1L, at(1, k))) ++
+      Seq.tabulate(10)(k => (1L, at(2, k))) ++
+      Seq.tabulate(10)(k => (1L, at(3, k))))
+    val batch = graft.pipeline.Funnel.cusumFrom(
+        evRows.toDF("event_id", "event_time"), mu = 7.0, k = 1.0, h = 3.0)
+      .collect().map(r => r.getTimestamp(0).getTime / 3600000L ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(batch(1L) == ((4L, 0.0, 4.0, true)))
+    // streaming: the same events as CusumEvent(us, 1), split so hour 1
+    // spans TWO micro-batches — the open count and both accumulators
+    // must carry in state
+    val all = evRows.map { case (_, ts) => CusumEvent(ts.getTime * 1000L, 1L) }
+    val (b1, b2) = all.splitAt(6)
+    val streamed = {
+      // batch execution of the stateful operator (the q146 flushOpen
+      // convention) over the full input equals batch rows
+      StreamingHist.streamingCusum(all.toDS(), mu = 7.0, k = 1.0, h = 3.0,
+          flushOpen = true)
+        .collect().map(p => p.wh -> ((p.n, p.cusum_pos, p.cusum_neg, p.alarm))).toMap
+    }
+    assert(streamed == batch.map { case (k, v) => k -> v },
+      s"streamed=$streamed batch=$batch")
+    // cross-micro-batch state carry through a MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CusumEvent]
+    val q = StreamingHist.streamingCusum(input.toDS(), mu = 7.0, k = 1.0,
+        h = 3.0, flushOpen = false)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val live = spark.table("cusum_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getBoolean(4)))).toMap
+      // hours 0..2 closed (3 still open); every closed row == batch
+      assert(live.keySet == Set(0L, 1L, 2L))
+      live.foreach { case (w, v) => assert(v == batch(w), s"hour $w") }
+    } finally q.stop()
+  }
+
   test("windowed Gini: streaming long-fold equals batch decimal form bit-exactly") {
     def key(r: org.apache.spark.sql.Row) =
       r.getTimestamp(0).getTime / 1000 ->
