@@ -2266,6 +2266,17 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.cusumFrom(ev, mu = 100.0, k = 5.0, h = 50.0)
+    },
+    "q272_skyline" -> { (s, dir) =>
+      // the Skyline operator (Börzsönyi et al.): rows unbeaten on BOTH
+      // price and discount — distributed staircase (partition-offset
+      // running max), never O(n²), never a corpus-scale window
+      implicit val sp: SparkSession = s
+      graft.pipeline.Skyline.skyline2d(
+          t(dir, "lineitem"), "l_extendedprice", "l_discount")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("double").as("price"),
+          col("l_discount").cast("double").as("discount"))
     }
   )
 
@@ -2992,6 +3003,7 @@ object SparkEntry {
     "q269_mean_shift_scan" -> Oracle.meanShiftScan("events",
       "epoch_ns(ts) // 1000", "event_type", "value", "event_type"),
     "q270_cusum" -> PipelineOracle.cusum(5.0, 50.0),
-    "q271_stream_cusum" -> PipelineOracle.cusumFrom(100.0, 5.0, 50.0)
+    "q271_stream_cusum" -> PipelineOracle.cusumFrom(100.0, 5.0, 50.0),
+    "q272_skyline" -> PipelineOracle.skylineLineitem
   )
 }

@@ -2577,6 +2577,21 @@ object PipelineOracle {
       s"ELSE ${d(0.2)} / CAST(m - 2 AS DOUBLE) END AS credit FROM r"
   }
 
+  /** Mirrors Skyline.skyline2d over lineitem (maximize price,
+    * discount): per-distinct-x max-y candidates, strict staircase over
+    * x DESC, join-back on (x, y = maxY). Comparisons only — no float
+    * arithmetic. */
+  val skylineLineitem: String =
+    "WITH b AS (SELECT l_orderkey, l_linenumber, " +
+      "CAST(l_extendedprice AS DOUBLE) AS x, CAST(l_discount AS DOUBLE) AS y " +
+      "FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL), " +
+      "dx AS (SELECT x, MAX(y) AS my FROM b GROUP BY x), " +
+      "st AS (SELECT x, my, MAX(my) OVER (ORDER BY x DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM dx), " +
+      "sv AS (SELECT x, my FROM st WHERE pm IS NULL OR my > pm) " +
+      "SELECT l_orderkey, l_linenumber, b.x AS price, b.y AS discount " +
+      "FROM b JOIN sv ON sv.x = b.x AND sv.my = b.y"
+
   /** Mirrors Funnel.cusumFrom (and thereby streamingCusum's gated
     * batch path): the [[cusum]] SQL with the trained baseline mean as
     * a literal. */

@@ -1265,6 +1265,26 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("skyline2d: exact Pareto frontier; equal-point ties kept; dominated dropped") {
+    val d = Seq(
+      (1L, Some(10.0), 1.0), // frontier (best x)
+      (2L, Some(8.0), 3.0),  // frontier
+      (3L, Some(8.0), 2.0),  // dominated by 2 (same x, lower y)
+      (4L, Some(5.0), 3.0),  // dominated by 2 (lower x, same y)
+      (5L, Some(4.0), 9.0),  // frontier
+      (6L, Some(4.0), 9.0),  // exact tie of 5: BOTH kept
+      (7L, Some(1.0), 1.0),  // dominated by everything
+      (8L, None: Option[Double], 5.0) // NULL drops
+    ).toDF("id", "x", "y")
+    val out = graft.pipeline.Skyline.skyline2d(d, "x", "y")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 5L, 6L))
+    // determinism across partitionings (the two-pass prefix combine)
+    val out9 = graft.pipeline.Skyline.skyline2d(d.repartition(9), "x", "y")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(out9 == out)
+  }
+
   test("cusum: accumulates a persistent shift; resets at zero; two-sided") {
     def at(hour: Int, k: Int) =
       new java.sql.Timestamp(hour * 3600000L + k * 1000L)
