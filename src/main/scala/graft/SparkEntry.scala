@@ -2277,6 +2277,13 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice").cast("double").as("price"),
           col("l_discount").cast("double").as("discount"))
+    },
+    "q273_blocking_report" -> { (s, dir) =>
+      // the entity-resolution pre-flight: is the LSH banding pruning,
+      // or is one hot bucket about to do m² work? — the pair join
+      // itself never runs
+      implicit val sp: SparkSession = s
+      graft.pipeline.Dedup.blockingReport(t(dir, "documents"))
     }
   )
 
@@ -3004,6 +3011,7 @@ object SparkEntry {
       "epoch_ns(ts) // 1000", "event_type", "value", "event_type"),
     "q270_cusum" -> PipelineOracle.cusum(5.0, 50.0),
     "q271_stream_cusum" -> PipelineOracle.cusumFrom(100.0, 5.0, 50.0),
-    "q272_skyline" -> PipelineOracle.skylineLineitem
+    "q272_skyline" -> PipelineOracle.skylineLineitem,
+    "q273_blocking_report" -> PipelineOracle.blockingReport()
   )
 }

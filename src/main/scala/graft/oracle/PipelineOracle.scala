@@ -248,6 +248,26 @@ object PipelineOracle {
   def minhashLsh(k: Int = 5, bands: Int = 16, rowsPerBand: Int = 4): String =
     s"WITH ${minhashCandCtes(k, bands, rowsPerBand)} SELECT doc_a, doc_b FROM cand"
 
+  /** Mirrors Dedup.blockingReport: the banded CTEs, per-bucket exact
+    * s(s−1)/2, HUGEINT totals, the identical ratio op order. */
+  def blockingReport(k: Int = 5, bands: Int = 16,
+      rowsPerBand: Int = 4): String = {
+    val keys = ("band" +: (1 to rowsPerBand).map(r => s"s$r")).mkString(", ")
+    s"WITH ${minhashBandCtes(k, bands, rowsPerBand)}, " +
+      s"bu AS (SELECT $keys, CAST(COUNT(*) AS BIGINT) AS s FROM banded GROUP BY $keys), " +
+      "nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM banded), " +
+      "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets, " +
+      "CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons, " +
+      "CAST(MAX(s) AS BIGINT) AS max_bucket, " +
+      "SUM(CAST(s * (s - 1) // 2 AS HUGEINT)) AS cand FROM bu) " +
+      "SELECT n_docs, n_buckets, n_singletons, max_bucket, " +
+      "CAST(cand AS BIGINT) AS candidate_pairs, " +
+      "CASE WHEN n_docs < 2 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE CAST(cand AS DOUBLE) / " +
+      "(CAST(CAST(n_docs AS HUGEINT) * CAST(n_docs - 1 AS HUGEINT) AS DOUBLE) / " +
+      "CAST('2.0' AS DOUBLE)) END AS reduction_ratio FROM m CROSS JOIN nd"
+  }
+
   /** Mirrors Dedup.crossNearDup: same signature/banding CTEs computed over
     * the full documents table (A and B are doc_id slices of it, and
     * per-doc signatures are side-independent), each side carved out by an

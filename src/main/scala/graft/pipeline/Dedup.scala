@@ -605,6 +605,42 @@ object Dedup {
     }
   }
 
+  /** LSH blocking-quality report — the entity-resolution diagnostic a
+    * dedup operator needs reviewed BEFORE the pair join runs ("is the
+    * banding actually pruning, or is one hot bucket about to do m²
+    * work?"): over the band-bucket relation, the bucket count,
+    * singleton share, the largest bucket, the CANDIDATE-PAIR count
+    * Σ s(s−1)/2 (the actual join work, multiplicity across bands —
+    * the cost metric, not the distinct-pair recall metric), and the
+    * reduction ratio vs the all-pairs n(n−1)/2. One row.
+    *
+    * Exact longs per bucket (s(s−1)/2 stays under 2^63 for any bucket
+    * below ~3e9 docs), DECIMAL(38,0) totals, ratio = one IEEE division
+    * (NULL below 2 docs). Scale shape: the signature pass is
+    * [[minhashLsh]]'s; the report is two map-combinable aggregates
+    * over the banded relation — the pair join itself NEVER runs. */
+  def blockingReport(docs: DataFrame, k: Int = 5, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val banded = bandedRelation(docs, k, bands, rowsPerBand)
+    val keyCols = banded.columns.filter(_ != "doc_id").map(col).toSeq
+    val buckets = banded.groupBy(keyCols: _*).agg(count(lit(1)).as("__s"))
+    val nd = banded.agg(count_distinct(col("doc_id")).as("n_docs"))
+    buckets
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        max(col("__s")).as("max_bucket"),
+        sum(expr("__s * (__s - 1) div 2").cast("decimal(38,0)"))
+          .as("__cand"))
+      .crossJoin(broadcast(nd))
+      .select(col("n_docs"), col("n_buckets"), col("n_singletons"),
+        col("max_bucket"), col("__cand").cast("long").as("candidate_pairs"),
+        when(col("n_docs") < 2L, lit(null).cast("double"))
+          .otherwise(col("__cand").cast("double") /
+            ((col("n_docs").cast("decimal(38,0)") *
+              (col("n_docs") - 1L).cast("decimal(38,0)")).cast("double") /
+              lit(2.0))).as("reduction_ratio"))
+  }
+
   /** MinHash+LSH candidate pairs: band signatures (rows-per-band hashes
     * concatenated) bucket the corpus; docs sharing any band bucket are
     * candidates. bands*rowsPerBand = numHashes.

@@ -1265,6 +1265,25 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("blockingReport: candidate pairs and reduction ratio over the band buckets") {
+    // two identical docs (same signature -> share every band bucket)
+    // plus one distinct doc: 16 bands, cap-free
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "completely different words here entirely unrelated"))
+      .toDF("doc_id", "text")
+    val r = graft.pipeline.Dedup.blockingReport(d, k = 5, bands = 16,
+      rowsPerBand = 4).collect().head
+    assert(r.getLong(0) == 3L)                 // n_docs
+    // the twin pair collides in all 16 bands -> >= 16 candidate pairs
+    assert(r.getLong(4) >= 16L, s"cand=${r.getLong(4)}")
+    val ratio = r.getDouble(5)
+    // all-pairs would be 3 pairs x 16 bands = 48 units of work; the
+    // banding must not exceed it and must price the twin collision
+    assert(ratio > 0.0 && r.getLong(4) <= 48L)
+    assert(r.getLong(3) >= 2L)                 // max bucket holds the twins
+  }
+
   test("skyline2d: exact Pareto frontier; equal-point ties kept; dominated dropped") {
     val d = Seq(
       (1L, Some(10.0), 1.0), // frontier (best x)
