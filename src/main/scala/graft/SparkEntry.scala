@@ -2284,6 +2284,20 @@ object SparkEntry {
       // itself never runs
       implicit val sp: SparkSession = s
       graft.pipeline.Dedup.blockingReport(t(dir, "documents"))
+    },
+    "q274_hist_smooth" -> { (s, dir) =>
+      // binned KDE with a ±2 triangular INTEGER kernel: exact numerator
+      // + truncated edge mass (no boundary dent) — pure long arithmetic
+      implicit val sp: SparkSession = s
+      val h = Histogram.histogram(t(dir, "events"), col("value"), axValue)
+      HistStats.smooth(h, axValue, w = 2)
+    },
+    "q275_hist_peaks" -> { (s, dir) =>
+      // "is the distribution bimodal?" as a query: dense-grid local
+      // maxima, left-biased plateau rule, integer comparisons only
+      implicit val sp: SparkSession = s
+      val h = Histogram.histogram(t(dir, "events"), col("value"), axValue)
+      HistStats.peaks(h, axValue)
     }
   )
 
@@ -3012,6 +3026,10 @@ object SparkEntry {
     "q270_cusum" -> PipelineOracle.cusum(5.0, 50.0),
     "q271_stream_cusum" -> PipelineOracle.cusumFrom(100.0, 5.0, 50.0),
     "q272_skyline" -> PipelineOracle.skylineLineitem,
-    "q273_blocking_report" -> PipelineOracle.blockingReport()
+    "q273_blocking_report" -> PipelineOracle.blockingReport(),
+    "q274_hist_smooth" -> Oracle.smooth("events",
+      Oracle.Spec("value", axValue), 2),
+    "q275_hist_peaks" -> Oracle.peaks("events",
+      Oracle.Spec("value", axValue))
   )
 }

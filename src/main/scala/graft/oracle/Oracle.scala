@@ -321,6 +321,43 @@ object Oracle {
       s"ELSE ($se2 * $se2) / $dfDen END AS df FROM g"
   }
 
+  /** Mirrors HistStats.smooth: in-range counts, the ±w triangular
+    * integer convolution, per-bin truncated kernel mass — exact longs
+    * only. */
+  def smooth(table: String, spec: Spec, w: Int, where: String = "TRUE"): String = {
+    val nb = spec.axis.nBins
+    s"WITH hx AS (SELECT __i0 AS i, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+      s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+      s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${nb - 1} GROUP BY __i0), " +
+      s"ks AS (SELECT UNNEST(generate_series(-$w, $w)) AS d), " +
+      "co AS (SELECT i + d AS j, " +
+      s"CAST(SUM(cnt * ($w + 1 - ABS(d))) AS BIGINT) AS num " +
+      s"FROM hx CROSS JOIN ks WHERE i + d BETWEEN 0 AND ${nb - 1} GROUP BY 1), " +
+      s"bins AS (SELECT CAST(r AS BIGINT) AS i FROM range(0, $nb) t(r)), " +
+      s"ms AS (SELECT b.i AS j, CAST(SUM($w + 1 - ABS(d)) AS BIGINT) AS kernel_mass " +
+      s"FROM bins b CROSS JOIN ks WHERE b.i + d BETWEEN 0 AND ${nb - 1} GROUP BY 1) " +
+      s"SELECT (${spec.axis.labelSql("bins.i")}) AS ${spec.axis.binsCol}, " +
+      "CAST(COALESCE(num, 0) AS BIGINT) AS smoothed_num, kernel_mass " +
+      "FROM bins LEFT JOIN co ON co.j = bins.i JOIN ms ON ms.j = bins.i"
+  }
+
+  /** Mirrors HistStats.peaks: dense grid, lag/lead with virtual −1
+    * outside, the left-biased plateau rule — integer comparisons
+    * only. */
+  def peaks(table: String, spec: Spec, where: String = "TRUE"): String = {
+    val nb = spec.axis.nBins
+    s"WITH hx AS (SELECT __i0 AS i, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
+      s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+      s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${nb - 1} GROUP BY __i0), " +
+      s"bins AS (SELECT CAST(r AS BIGINT) AS i FROM range(0, $nb) t(r)), " +
+      "j AS (SELECT bins.i, COALESCE(hx.cnt, 0) AS c FROM bins " +
+      "LEFT JOIN hx ON hx.i = bins.i), " +
+      "p AS (SELECT i, c, COALESCE(LAG(c) OVER (ORDER BY i), -1) AS l, " +
+      "COALESCE(LEAD(c) OVER (ORDER BY i), -1) AS r FROM j) " +
+      s"SELECT (${spec.axis.labelSql("i")}) AS ${spec.axis.binsCol}, " +
+      "CAST(c AS BIGINT) AS cnt, (c > l AND c >= r) AS is_peak FROM p"
+  }
+
   /** Mirrors HistStats.cvm: the [[emd]] CTEs with the squared-gap term
     * (g·g after one subtraction, no width factor), SUM ORDER BY i, the
     * same zero-total lifecycle NULL. */

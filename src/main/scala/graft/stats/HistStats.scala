@@ -988,6 +988,97 @@ object HistStats {
         col("cnt")): _*)
   }
 
+  /** Integer-kernel histogram SMOOTHING — the binned KDE a noisy
+    * histogram gets before peak-finding or plotting (UHI's smoothing
+    * convention): each dense-grid bin is replaced by the triangular
+    * convolution Σ_{|d|≤w} (w+1−|d|)·cnt_{i+d}, emitted as the exact
+    * INTEGER numerator plus the kernel mass actually applied (edge
+    * bins see a truncated kernel — dividing by the full mass would
+    * dent the boundary; the caller divides numerator/mass for the
+    * smoothed value). Flow-free dense-grid contract (off-grid labels
+    * raise — the emd/ks require).
+    *
+    * Everything is exact long arithmetic — no float op at all, so
+    * cross-engine equality is structural. Scale shape: the offset
+    * explode is a ×(2w+1) fan-out of the HISTOGRAM-sized relation,
+    * then one map-combinable bin-keyed aggregate. */
+  def smooth(hist: DataFrame, ax: BinAxis, w: Int,
+      dims: Seq[String] = Nil): DataFrame = {
+    require(w >= 1, s"smoothing half-width must be positive: $w")
+    val bins = binsTable(hist.sparkSession, ax)
+      .select(col("left_edge").as(ax.binsCol))
+    val offGrid = hist.select(col(ax.binsCol)).distinct()
+      .join(broadcast(bins), Seq(ax.binsCol), "left_anti").count()
+    require(offGrid == 0L,
+      s"smooth requires flow-free histograms binned on the axis grid: " +
+        s"$offGrid bin label(s) outside the ${ax.nBins}-bin ${ax.binsCol} axis")
+    // index each contributing row, explode its (target bin, weight)
+    // pairs, aggregate; the dense grid left-join fills silent bins
+    val idxTable = hist.sparkSession.range(0, ax.nBins)
+      .select(col("id").as("__i"), ax.label(col("__i")).as("__lbl"))
+    val contrib = hist
+      .join(broadcast(idxTable), col(ax.binsCol) === col("__lbl"))
+      .select(dims.map(col) ++ Seq(col("__i"), col("cnt")): _*)
+      .select(dims.map(col) ++ Seq(explode(array((-w to w).map(d =>
+          struct(lit(d).as("d"), lit(w + 1 - math.abs(d)).as("wt"))): _*))
+          .as("__k"), col("__i"), col("cnt")): _*)
+      .select(dims.map(col) ++ Seq((col("__i") + col("__k.d")).as("__j"),
+        (col("cnt").cast("long") * col("__k.wt")).as("__num"),
+        col("__k.wt").cast("long").as("__wt")): _*)
+      .filter(col("__j") >= 0L && col("__j") <= lit(ax.nBins - 1L))
+      .groupBy((dims :+ "__j").map(col): _*)
+      .agg(sum(col("__num")).as("smoothed_num"))
+    // the kernel mass applied at bin j depends only on j (edge
+    // truncation), not on the data — derive it from the grid
+    val mass = hist.sparkSession.range(0, ax.nBins).select(col("id").as("__j"))
+      .select(col("__j"), explode(array((-w to w).map(d =>
+        struct(lit(d).as("d"), lit(w + 1 - math.abs(d)).as("wt"))): _*)).as("__k"))
+      .filter(col("__j") + col("__k.d") >= 0L &&
+        col("__j") + col("__k.d") <= lit(ax.nBins - 1L))
+      .groupBy(col("__j")).agg(sum(col("__k.wt").cast("long")).as("kernel_mass"))
+    val grid = if (dims.isEmpty)
+        hist.sparkSession.range(0, ax.nBins).select(col("id").as("__j"))
+      else hist.select(dims.map(col): _*).distinct()
+        .crossJoin(hist.sparkSession.range(0, ax.nBins).select(col("id").as("__j")))
+    grid.join(contrib, (dims :+ "__j"), "left")
+      .join(broadcast(mass), "__j")
+      .select(dims.map(col) ++ Seq(
+        ax.label(col("__j")).as(ax.binsCol, graft.axes.AxisMetadata.toMetadata(ax)),
+        coalesce(col("smoothed_num"), lit(0L)).as("smoothed_num"),
+        col("kernel_mass")): _*)
+  }
+
+  /** Local-maxima PEAKS of a histogram — "is this distribution
+    * bimodal?" as a query: over the DENSE grid (silent bins are 0), a
+    * bin is a peak iff its count strictly exceeds the bin to its left
+    * and is at least the bin to its right (the left-biased plateau
+    * rule: a flat-topped peak reports its leftmost bin exactly once;
+    * grid edges see a virtual −1 outside). Pure integer comparisons —
+    * no float anywhere. Emits (bins, cnt, is_peak) for every grid bin.
+    * Scale shape: the dense grid is histogram-sized; one lag/lead
+    * window partitioned by dims (bins-bounded partitions). */
+  def peaks(hist: DataFrame, ax: BinAxis,
+      dims: Seq[String] = Nil): DataFrame = {
+    val bins = binsTable(hist.sparkSession, ax)
+      .select(col("left_edge").as(ax.binsCol))
+    val offGrid = hist.select(col(ax.binsCol)).distinct()
+      .join(broadcast(bins), Seq(ax.binsCol), "left_anti").count()
+    require(offGrid == 0L,
+      s"peaks requires flow-free histograms binned on the axis grid: " +
+        s"$offGrid bin label(s) outside the ${ax.nBins}-bin ${ax.binsCol} axis")
+    val grid = if (dims.isEmpty) bins
+      else hist.select(dims.map(col): _*).distinct().crossJoin(broadcast(bins))
+    val j = grid.join(hist, dims :+ ax.binsCol, "left")
+      .na.fill(0.0, Seq("cnt"))
+      .withColumn("__c", col("cnt").cast("long"))
+    val w = (if (dims.isEmpty) Window.partitionBy()
+      else Window.partitionBy(dims.map(col): _*)).orderBy(col(ax.binsCol))
+    j.select(dims.map(col) ++ Seq(col(ax.binsCol), col("__c").as("cnt"),
+        (col("__c") > coalesce(lag(col("__c"), 1).over(w), lit(-1L)) &&
+          col("__c") >= coalesce(lead(col("__c"), 1).over(w), lit(-1L)))
+          .as("is_peak")): _*)
+  }
+
   /** Marginalize an N-D histogram onto a subset of its axes (boost
     * `h.project(...)`): sum counts over the dropped bin coordinates.
     * Decimal-exact so the result is bit-identical to histogramming the

@@ -296,6 +296,39 @@ class HistStatsSpec extends SparkSpec {
     assert(near == 2.0 && far == 6.0)
   }
 
+  test("smooth: triangular integer convolution; edge mass truncated") {
+    val ax = Regular("x", 4, 0.0, 8.0)
+    // counts per bin: 4, 0, 2, 0; w=1 kernel (1,2,1), full mass 4
+    val h = Histogram.histogram(
+      Seq(1.0, 1.0, 1.0, 1.0, 5.0, 5.0).toDF("x"), col("x"), ax)
+    val out = graft.stats.HistStats.smooth(h, ax, w = 1).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // bin0: 2*4 + 1*0 = 8, mass 3 (left truncated); bin1: 4+0+2=6, mass 4
+    assert(out(0.0) == ((8L, 3L)))
+    assert(out(2.0) == ((6L, 4L)))
+    assert(out(4.0) == ((4L, 4L)))
+    assert(out(6.0) == ((2L, 3L)))
+    // off-grid labels raise
+    val bad = h.select((col(ax.binsCol) + lit(100.0)).as(ax.binsCol), col("cnt"))
+    intercept[IllegalArgumentException] {
+      graft.stats.HistStats.smooth(bad, ax, w = 1).collect()
+    }
+  }
+
+  test("peaks: strict-left / at-least-right rule; plateaus report leftmost") {
+    val ax = Regular("x", 5, 0.0, 10.0)
+    // counts: 1, 3, 3, 0, 2 -> peaks at bin1 (plateau leftmost) and bin4
+    val xs = Seq(1.0) ++ Seq.fill(3)(3.0) ++ Seq.fill(3)(5.0) ++ Seq.fill(2)(9.0)
+    val h = Histogram.histogram(xs.toDF("x"), col("x"), ax)
+    val out = graft.stats.HistStats.peaks(h, ax).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(0.0) == ((1L, false)))
+    assert(out(2.0) == ((3L, true)))   // plateau leftmost
+    assert(out(4.0) == ((3L, false)))  // plateau continuation
+    assert(out(6.0) == ((0L, false)))
+    assert(out(8.0) == ((2L, true)))   // right edge peak
+  }
+
   test("welchT: hand-computed t and Welch df; degenerate sides NULL") {
     val a = Seq(1.0, 2.0, 3.0).toDF("value")          // mean 2, var 1
     val b = Seq(4.0, 6.0).toDF("value")               // mean 5, var 2
