@@ -2298,6 +2298,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val h = Histogram.histogram(t(dir, "events"), col("value"), axValue)
       HistStats.peaks(h, axValue)
+    },
+    "q276_ab_test" -> { (s, dir) =>
+      // the experiment readout: pooled two-proportion z on user-level
+      // conversion (arm = user parity, conversion = ever purchased)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Funnel.abTest(t(dir, "events"),
+        col("user_id") % 2 === 1, "purchase")
     }
   )
 
@@ -3030,6 +3037,7 @@ object SparkEntry {
     "q274_hist_smooth" -> Oracle.smooth("events",
       Oracle.Spec("value", axValue), 2),
     "q275_hist_peaks" -> Oracle.peaks("events",
-      Oracle.Spec("value", axValue))
+      Oracle.Spec("value", axValue)),
+    "q276_ab_test" -> PipelineOracle.abTest("purchase")
   )
 }

@@ -2659,6 +2659,29 @@ object PipelineOracle {
       s"CAST(rmax - pm AS DOUBLE) / ${d(1.0e6)} > ${d(h)}) AS alarm FROM r"
   }
 
+  /** Mirrors Funnel.abTest (arm = user_id parity, conversion =
+    * `convType`): exact user-level collapse, identical IEEE z tail. */
+  def abTest(convType: String): String = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val pa = s"(${d("conv_a")} / ${d("n_a")})"
+    val pb = s"(${d("conv_b")} / ${d("n_b")})"
+    val pp = s"((${d("conv_a")} + ${d("conv_b")}) / (${d("n_a")} + ${d("n_b")}))"
+    val se2 = s"($pp * (CAST(1 AS DOUBLE) - $pp) * " +
+      s"(CAST(1 AS DOUBLE) / ${d("n_a")} + CAST(1 AS DOUBLE) / ${d("n_b")}))"
+    "WITH u AS (SELECT user_id, CAST(MAX(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS INT) AS b, " +
+      s"MAX(CASE WHEN event_type = ${q(convType)} THEN 1 ELSE 0 END) AS c " +
+      "FROM events WHERE user_id IS NOT NULL GROUP BY user_id), " +
+      "a AS (SELECT CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+      "CAST(SUM(CASE WHEN b = 0 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a, " +
+      "CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+      "CAST(SUM(CASE WHEN b = 1 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b FROM u) " +
+      "SELECT n_a, conv_a, n_b, conv_b, " +
+      s"CASE WHEN n_a = 0 THEN CAST(NULL AS DOUBLE) ELSE $pa END AS rate_a, " +
+      s"CASE WHEN n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE $pb END AS rate_b, " +
+      s"CASE WHEN n_a = 0 OR n_b = 0 OR $se2 = CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE ($pb - $pa) / SQRT($se2) END AS z FROM a"
+  }
+
   /** Mirrors Funnel.seasonality: integer microsecond day/hour
     * arithmetic ((d+4) mod 7, 0=Sunday), exact counts, one IEEE
     * division per cell. */

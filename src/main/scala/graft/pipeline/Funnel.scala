@@ -592,6 +592,46 @@ object Funnel {
           .as("z"))
   }
 
+  /** Two-proportion A/B z-test — the experiment-readout operator
+    * ([[graft.stats.HistStats.welchT]] is for means; conversion is a
+    * PROPORTION, and the pooled two-proportion z is its standard
+    * test): users are assigned by `groupExpr` (boolean — true = B),
+    * a user converts if they ever emit `convType`, and
+    * z = (p_b − p_a)/√(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled rate.
+    * Emits one row: users/conversions/rate per arm and z (NULL when
+    * either arm is empty or the pooled variance is 0 — everyone or
+    * no-one converts).
+    *
+    * Exactness: user-level conversion is one distinct-user collapse
+    * (max of a 0/1), the counts are exact longs, and the z tail is a
+    * fixed IEEE sequence. Scale shape: one user-keyed map-combinable
+    * collapse, one 2-row arm aggregate, a single output row. */
+  def abTest(events: DataFrame, groupExpr: Column, convType: String,
+      tsCol: String = "event_time", keyCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val users = events
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(groupExpr.cast("int")).as("__b"),
+        max(when(col(typeCol) === convType, 1).otherwise(0)).as("__c"))
+    val arms = users.agg(
+      sum(when(col("__b") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__b") === 0 && col("__c") === 1, 1L).otherwise(0L)).as("conv_a"),
+      sum(when(col("__b") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__b") === 1 && col("__c") === 1, 1L).otherwise(0L)).as("conv_b"))
+    def d(name: String): Column = col(name).cast("double")
+    val pa = d("conv_a") / d("n_a")
+    val pb = d("conv_b") / d("n_b")
+    val pp = (d("conv_a") + d("conv_b")) / (d("n_a") + d("n_b"))
+    val se2 = pp * (lit(1.0) - pp) * (lit(1.0) / d("n_a") + lit(1.0) / d("n_b"))
+    arms.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") === 0L, lit(null).cast("double")).otherwise(pa).as("rate_a"),
+      when(col("n_b") === 0L, lit(null).cast("double")).otherwise(pb).as("rate_b"),
+      when(col("n_a") === 0L || col("n_b") === 0L || se2 === lit(0.0),
+          lit(null).cast("double"))
+        .otherwise((pb - pa) / sqrt(se2)).as("z"))
+  }
+
   /** CUSUM change-point monitor over hourly event counts — the
     * SEQUENTIAL drift detector the per-window family lacks (PSI/KS/z
     * score each window in isolation; CUSUM accumulates small

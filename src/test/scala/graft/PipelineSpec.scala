@@ -1265,6 +1265,25 @@ class PipelineSpec extends SparkSpec {
     assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("abTest: pooled two-proportion z; user-level conversion collapse") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // arm A (even ids): users 2, 4 — user 2 converts (twice: counts once).
+    // arm B (odd ids): users 1, 3, 5 — users 1 and 3 convert.
+    val ev = Seq(
+      (2L, "view", ts(1)), (2L, "purchase", ts(2)), (2L, "purchase", ts(3)),
+      (4L, "view", ts(1)),
+      (1L, "purchase", ts(1)), (3L, "purchase", ts(2)), (5L, "view", ts(3))
+    ).toDF("user_id", "event_type", "event_time")
+    val r = graft.pipeline.Funnel.abTest(ev, col("user_id") % 2 === 1,
+      "purchase").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 3L, 2L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 2.0 / 3.0)
+    val pp = 3.0 / 5.0
+    val se2 = pp * (1.0 - pp) * (1.0 / 2.0 + 1.0 / 3.0)
+    assert(math.abs(r.getDouble(6) - (2.0 / 3.0 - 0.5) / math.sqrt(se2)) < 1e-12)
+  }
+
   test("blockingReport: candidate pairs and reduction ratio over the band buckets") {
     // two identical docs (same signature -> share every band bucket)
     // plus one distinct doc: 16 bands, cap-free
