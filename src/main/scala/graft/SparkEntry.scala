@@ -2305,6 +2305,15 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Funnel.abTest(t(dir, "events"),
         col("user_id") % 2 === 1, "purchase")
+    },
+    "q277_ab_trajectory" -> { (s, dir) =>
+      // the peeking diagnostic: what the q276 readout would have said
+      // at every hour — cumulative arms + pooled z per observed hour
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.abTrajectory(ev,
+        col("user_id") % 2 === 1, "purchase")
     }
   )
 
@@ -3038,6 +3047,7 @@ object SparkEntry {
       Oracle.Spec("value", axValue), 2),
     "q275_hist_peaks" -> Oracle.peaks("events",
       Oracle.Spec("value", axValue)),
-    "q276_ab_test" -> PipelineOracle.abTest("purchase")
+    "q276_ab_test" -> PipelineOracle.abTest("purchase"),
+    "q277_ab_trajectory" -> PipelineOracle.abTrajectory("purchase")
   )
 }

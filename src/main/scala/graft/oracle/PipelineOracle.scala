@@ -2682,6 +2682,42 @@ object PipelineOracle {
       s"ELSE ($pb - $pa) / SQRT($se2) END AS z FROM a"
   }
 
+  /** Mirrors Funnel.abTrajectory (arm = user parity): per-user firsts,
+    * hourly deltas over the observed-hours grid, exact cumulative
+    * longs, the abTest IEEE tail per row. */
+  def abTrajectory(convType: String): String = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val pa = s"(${d("conv_a")} / ${d("n_a")})"
+    val pb = s"(${d("conv_b")} / ${d("n_b")})"
+    val pp = s"((${d("conv_a")} + ${d("conv_b")}) / (${d("n_a")} + ${d("n_b")}))"
+    val se2 = s"($pp * (CAST(1 AS DOUBLE) - $pp) * " +
+      s"(CAST(1 AS DOUBLE) / ${d("n_a")} + CAST(1 AS DOUBLE) / ${d("n_b")}))"
+    val cum = "ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    "WITH b AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us, " +
+      "CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm FROM events " +
+      "WHERE user_id IS NOT NULL AND ts IS NOT NULL), " +
+      "u AS (SELECT user_id, MAX(arm) AS arm, MIN(us) // 3600000000 AS h0, " +
+      s"MIN(CASE WHEN event_type = ${q(convType)} THEN us END) // 3600000000 AS hc " +
+      "FROM b GROUP BY user_id), " +
+      "hrs AS (SELECT DISTINCT us // 3600000000 AS h FROM b), " +
+      "dna AS (SELECT h0 AS h, CAST(COUNT(*) AS BIGINT) AS v FROM u WHERE arm = 0 GROUP BY h0), " +
+      "dca AS (SELECT hc AS h, CAST(COUNT(*) AS BIGINT) AS v FROM u WHERE arm = 0 AND hc IS NOT NULL GROUP BY hc), " +
+      "dnb AS (SELECT h0 AS h, CAST(COUNT(*) AS BIGINT) AS v FROM u WHERE arm = 1 GROUP BY h0), " +
+      "dcb AS (SELECT hc AS h, CAST(COUNT(*) AS BIGINT) AS v FROM u WHERE arm = 1 AND hc IS NOT NULL GROUP BY hc), " +
+      "g AS (SELECT hrs.h, COALESCE(dna.v, 0) AS xna, COALESCE(dca.v, 0) AS xca, " +
+      "COALESCE(dnb.v, 0) AS xnb, COALESCE(dcb.v, 0) AS xcb FROM hrs " +
+      "LEFT JOIN dna ON dna.h = hrs.h LEFT JOIN dca ON dca.h = hrs.h " +
+      "LEFT JOIN dnb ON dnb.h = hrs.h LEFT JOIN dcb ON dcb.h = hrs.h), " +
+      s"c AS (SELECT h, CAST(SUM(xna) OVER ($cum) AS BIGINT) AS n_a, " +
+      s"CAST(SUM(xca) OVER ($cum) AS BIGINT) AS conv_a, " +
+      s"CAST(SUM(xnb) OVER ($cum) AS BIGINT) AS n_b, " +
+      s"CAST(SUM(xcb) OVER ($cum) AS BIGINT) AS conv_b FROM g) " +
+      "SELECT make_timestamp(h * 3600000000) AS window_start, " +
+      "n_a, conv_a, n_b, conv_b, " +
+      s"CASE WHEN n_a = 0 OR n_b = 0 OR $se2 = CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE ($pb - $pa) / SQRT($se2) END AS z FROM c"
+  }
+
   /** Mirrors Funnel.seasonality: integer microsecond day/hour
     * arithmetic ((d+4) mod 7, 0=Sunday), exact counts, one IEEE
     * division per cell. */

@@ -632,6 +632,60 @@ object Funnel {
         .otherwise((pb - pa) / sqrt(se2)).as("z"))
   }
 
+  /** A/B z TRAJECTORY — the live-experiment dashboard curve [[abTest]]
+    * collapses to one number ("what would the readout have said at
+    * every hour?" — the peeking/early-stopping diagnostic): per
+    * observed hour, the CUMULATIVE-to-date users and conversions per
+    * arm (a user joins their arm at their FIRST event; converts at
+    * their first conversion event) and the pooled two-proportion z at
+    * that point. Same degenerate-NULL rule as [[abTest]] per row.
+    *
+    * Scale shape: one user-keyed map-combinable collapse to (arm,
+    * first-seen hour, first-conversion hour), four hourly delta
+    * aggregates, and cumulative sums over the HOURS-sized relation
+    * (the q209 convention — the one unpartitioned sort is over hours);
+    * exact longs throughout, one IEEE tail per row. */
+  def abTrajectory(events: DataFrame, groupExpr: Column, convType: String,
+      tsCol: String = "event_time", keyCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val base = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(typeCol), us.as("__us"), groupExpr.cast("int").as("__b"))
+    val users = base.groupBy(col(keyCol))
+      .agg(max(col("__b")).as("__b"),
+        expr("min(__us) div 3600000000").as("__h0"),
+        expr(s"min(case when ${typeCol} = '${convType}' then __us end) div 3600000000")
+          .as("__hc"))
+    val hours = base.select(expr("__us div 3600000000").as("__h")).distinct()
+    def deltas(cond: Column, hCol: String, name: String): DataFrame =
+      users.filter(cond && col(hCol).isNotNull)
+        .groupBy(col(hCol).as("__h")).agg(count(lit(1)).as(name))
+    val d = hours
+      .join(deltas(col("__b") === 0, "__h0", "__dna"), Seq("__h"), "left")
+      .join(deltas(col("__b") === 0 && col("__hc").isNotNull, "__hc", "__dca"), Seq("__h"), "left")
+      .join(deltas(col("__b") === 1, "__h0", "__dnb"), Seq("__h"), "left")
+      .join(deltas(col("__b") === 1 && col("__hc").isNotNull, "__hc", "__dcb"), Seq("__h"), "left")
+      .na.fill(0L, Seq("__dna", "__dca", "__dnb", "__dcb"))
+    val cum = Window.orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = d.select(col("__h"),
+      sum(col("__dna")).over(cum).as("n_a"),
+      sum(col("__dca")).over(cum).as("conv_a"),
+      sum(col("__dnb")).over(cum).as("n_b"),
+      sum(col("__dcb")).over(cum).as("conv_b"))
+    def dd(name: String): Column = col(name).cast("double")
+    val pa = dd("conv_a") / dd("n_a")
+    val pb = dd("conv_b") / dd("n_b")
+    val pp = (dd("conv_a") + dd("conv_b")) / (dd("n_a") + dd("n_b"))
+    val se2 = pp * (lit(1.0) - pp) * (lit(1.0) / dd("n_a") + lit(1.0) / dd("n_b"))
+    withCum.select(
+      timestamp_micros(col("__h") * lit(3600000000L)).as("window_start"),
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") === 0L || col("n_b") === 0L || se2 === lit(0.0),
+          lit(null).cast("double"))
+        .otherwise((pb - pa) / sqrt(se2)).as("z"))
+  }
+
   /** CUSUM change-point monitor over hourly event counts — the
     * SEQUENTIAL drift detector the per-window family lacks (PSI/KS/z
     * score each window in isolation; CUSUM accumulates small

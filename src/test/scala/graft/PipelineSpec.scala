@@ -1284,6 +1284,32 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - (2.0 / 3.0 - 0.5) / math.sqrt(se2)) < 1e-12)
   }
 
+  test("abTrajectory: cumulative arms per hour; final row equals abTest") {
+    def at(hour: Int, sec: Int) =
+      new java.sql.Timestamp(hour * 3600000L + sec * 1000L)
+    val ev = Seq(
+      (2L, "view", at(0, 1)), (2L, "purchase", at(1, 2)),
+      (4L, "view", at(0, 3)),
+      (1L, "purchase", at(0, 1)), (3L, "purchase", at(1, 2)),
+      (5L, "view", at(2, 3))
+    ).toDF("user_id", "event_type", "event_time")
+    val out = graft.pipeline.Funnel.abTrajectory(ev,
+        col("user_id") % 2 === 1, "purchase")
+      .collect().map(r => r.getTimestamp(0).getTime / 3600000L ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // hour 0: arm A users {2,4}, conv {}; arm B {1}, conv {1}
+    assert(out(0L) == ((2L, 0L, 1L, 1L)))
+    // hour 1: user 2 converts; user 3 joins+converts
+    assert(out(1L) == ((2L, 1L, 2L, 2L)))
+    // hour 2: user 5 joins arm B
+    assert(out(2L) == ((2L, 1L, 3L, 2L)))
+    // the final trajectory row equals the one-shot abTest readout
+    val finalRow = graft.pipeline.Funnel.abTest(ev,
+      col("user_id") % 2 === 1, "purchase").collect().head
+    assert((finalRow.getLong(0), finalRow.getLong(1), finalRow.getLong(2),
+      finalRow.getLong(3)) == out(2L).copy())
+  }
+
   test("blockingReport: candidate pairs and reduction ratio over the band buckets") {
     // two identical docs (same signature -> share every band bucket)
     // plus one distinct doc: 16 bands, cap-free
