@@ -2314,6 +2314,15 @@ object SparkEntry {
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.abTrajectory(ev,
         col("user_id") % 2 === 1, "purchase")
+    },
+    "q278_pagerank" -> { (s, dir) =>
+      // damped PageRank on the event-type transition graph — the q165
+      // matrix's stationary view; |types|²-bounded, driver iteration
+      // (kmeans/pcaPower precedent), q248 quantized bit-exact contract
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.pagerank(ev, damping = 0.85, iters = 20)
     }
   )
 
@@ -3048,6 +3057,7 @@ object SparkEntry {
     "q275_hist_peaks" -> Oracle.peaks("events",
       Oracle.Spec("value", axValue)),
     "q276_ab_test" -> PipelineOracle.abTest("purchase"),
-    "q277_ab_trajectory" -> PipelineOracle.abTrajectory("purchase")
+    "q277_ab_trajectory" -> PipelineOracle.abTrajectory("purchase"),
+    "q278_pagerank" -> PipelineOracle.pagerank(0.85, 20)
   )
 }

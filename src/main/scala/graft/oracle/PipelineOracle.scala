@@ -2718,6 +2718,41 @@ object PipelineOracle {
       s"ELSE ($pb - $pa) / SQRT($se2) END AS z FROM c"
   }
 
+  /** Mirrors Funnel.pagerank: the lag-window transition counts,
+    * row-stochastic edges, `iters` unrolled MATERIALIZED damped
+    * rounds with ordered folds and 1e-9 quantization. */
+  def pagerank(damping: Double, iters: Int): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val base1 = d((1.0 - damping) / 1.0) // (1−d) literal; /n applied in SQL
+    val rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"d$k AS MATERIALIZED (SELECT COALESCE(SUM(v ORDER BY od.i), CAST(0 AS DOUBLE)) AS dang " +
+        s"FROM $prev r JOIN od ON od.i = r.j WHERE od.o = 0), " +
+        s"s$k AS MATERIALIZED (SELECT e.j, SUM(r.v * e.p ORDER BY e.i) AS s " +
+        s"FROM e JOIN $prev r ON r.j = e.i GROUP BY e.j), " +
+        s"r$k AS MATERIALIZED (SELECT ty.t AS j, " +
+        s"FLOOR(($base1 / CAST(n AS DOUBLE) + ${d(damping)} * " +
+        s"(COALESCE(s, CAST(0 AS DOUBLE)) + dang / CAST(n AS DOUBLE))) * ${d(1.0e9)}) / ${d(1.0e9)} AS v " +
+        s"FROM ty LEFT JOIN s$k ON s$k.j = ty.t CROSS JOIN d$k CROSS JOIN nn)"
+    }.mkString(", ")
+    "WITH b AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type AS t " +
+      "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL " +
+      "AND event_type IS NOT NULL AND event_id IS NOT NULL), " +
+      "lg AS (SELECT t, LAG(t) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM b), " +
+      "tc AS MATERIALIZED (SELECT prev AS i, t AS j, CAST(COUNT(*) AS BIGINT) AS c " +
+      "FROM lg WHERE prev IS NOT NULL GROUP BY 1, 2), " +
+      "ty AS MATERIALIZED (SELECT DISTINCT t FROM b), " +
+      "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ty), " +
+      "od AS MATERIALIZED (SELECT ty.t AS i, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS o " +
+      "FROM ty LEFT JOIN tc ON tc.i = ty.t GROUP BY ty.t), " +
+      "e AS MATERIALIZED (SELECT tc.i, tc.j, CAST(c AS DOUBLE) / CAST(od.o AS DOUBLE) AS p " +
+      "FROM tc JOIN od ON od.i = tc.i), " +
+      "r0 AS MATERIALIZED (SELECT t AS j, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS v " +
+      "FROM ty CROSS JOIN nn), " +
+      s"$rounds " +
+      s"SELECT j AS event_type, v AS pagerank FROM r$iters"
+  }
+
   /** Mirrors Funnel.seasonality: integer microsecond day/hour
     * arithmetic ((d+4) mod 7, 0=Sunday), exact counts, one IEEE
     * division per cell. */

@@ -686,6 +686,74 @@ object Funnel {
         .otherwise((pb - pa) / sqrt(se2)).as("z"))
   }
 
+  /** PAGERANK over the event-type transition graph — "where does user
+    * behavior settle?" as one score per type (the q165 transition
+    * matrix's stationary view, damped): r ← (1−d)/n + d·(Mᵀr +
+    * dangling/n) for `iters` rounds, M the row-stochastic transition
+    * matrix from per-user consecutive-event pairs, dangling mass
+    * redistributed uniformly (a type that never precedes anything is
+    * a dangling node).
+    *
+    * Cross-engine bit-exactness (the q248 discipline): transition
+    * probabilities are single IEEE divisions of exact longs; each
+    * incoming-mass fold runs in ascending source-type order (Scala
+    * sorted loop == SUM ORDER BY); the dangling fold likewise; every
+    * iterate is floor-quantized to the 1e-9 grid, so both engines
+    * carry the SAME vector whether or not it has converged; damping
+    * enters as two literals ((1−d) precomputed — no subtraction-order
+    * ambiguity).
+    *
+    * Scale shape: the corpus collapses to the |types|²-bounded
+    * transition-count relation (one user-keyed lag window + a
+    * map-combinable count); the iteration is driver-bounded on that
+    * tiny matrix — the kmeans-Lloyd / pcaPower precedent. */
+  def pagerank(events: DataFrame, damping: Double = 0.85, iters: Int = 20,
+      tsCol: String = "event_time", keyCol: String = "user_id",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(damping > 0.0 && damping < 1.0, s"damping in (0,1): $damping")
+    require(iters >= 1, s"iters must be positive: $iters")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull &&
+        col(typeCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__us"), col(idCol),
+        col(typeCol).as("__t"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(idCol))
+    val trans = base.withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev"), col("__t")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val typeRows = base.select(col("__t")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (typeRows.isEmpty)
+      return Seq.empty[(String, Double)].toDF("event_type", "pagerank")
+    val n = typeRows.length
+    val nD = n.toDouble
+    val out = typeRows.map(i =>
+      typeRows.iterator.map(j => trans.getOrElse((i, j), 0L)).sum)
+    val base1 = (1.0 - damping) / nD
+    var r = Array.fill(n)(1.0 / nD)
+    for (_ <- 1 to iters) {
+      var dang = 0.0
+      var i = 0
+      while (i < n) { if (out(i) == 0L) dang += r(i); i += 1 }
+      val rNew = Array.tabulate(n) { j =>
+        var s = 0.0
+        var i2 = 0
+        while (i2 < n) {
+          val c = trans.getOrElse((typeRows(i2), typeRows(j)), 0L)
+          if (c > 0L) s += r(i2) * (c.toDouble / out(i2).toDouble)
+          i2 += 1
+        }
+        val v = base1 + damping * (s + dang / nD)
+        math.floor(v * 1.0e9) / 1.0e9
+      }
+      r = rNew
+    }
+    typeRows.zip(r).toSeq.toDF("event_type", "pagerank")
+  }
+
   /** CUSUM change-point monitor over hourly event counts — the
     * SEQUENTIAL drift detector the per-window family lacks (PSI/KS/z
     * score each window in isolation; CUSUM accumulates small

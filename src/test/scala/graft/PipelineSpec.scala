@@ -1284,6 +1284,25 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - (2.0 / 3.0 - 0.5) / math.sqrt(se2)) < 1e-12)
   }
 
+  test("pagerank: sink type accumulates mass; scores sum to ~1") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // every user flows a -> b -> c and stops: c is a dangling sink and
+    // must out-rank a (which only receives teleport mass)
+    val ev = (1L to 5L).flatMap(u => Seq(
+      (u, u * 10L + 1L, "a", ts(1)), (u, u * 10L + 2L, "b", ts(2)),
+      (u, u * 10L + 3L, "c", ts(3))))
+      .toDF("user_id", "event_id", "event_type", "event_time")
+    val out = graft.pipeline.Funnel.pagerank(ev, damping = 0.85, iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("a", "b", "c"))
+    assert(out("c") > out("b") && out("b") > out("a"), out.toString)
+    assert(math.abs(out.values.sum - 1.0) < 1e-6, out.toString)
+    // empty input: no rows
+    val empty = Seq.empty[(Long, Long, String, java.sql.Timestamp)]
+      .toDF("user_id", "event_id", "event_type", "event_time")
+    assert(graft.pipeline.Funnel.pagerank(empty).count() == 0L)
+  }
+
   test("abTrajectory: cumulative arms per hour; final row equals abTest") {
     def at(hour: Int, sec: Int) =
       new java.sql.Timestamp(hour * 3600000L + sec * 1000L)
