@@ -2323,6 +2323,12 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.pagerank(ev, damping = 0.85, iters = 20)
+    },
+    "q279_lorenz" -> { (s, dir) =>
+      // the curve behind q209's Gini: "the bottom 80% of sources hold
+      // x% of the corpus" — exact cumulative longs over source ranks
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.lorenzCurve(t(dir, "documents"))
     }
   )
 
@@ -3058,6 +3064,7 @@ object SparkEntry {
       Oracle.Spec("value", axValue)),
     "q276_ab_test" -> PipelineOracle.abTest("purchase"),
     "q277_ab_trajectory" -> PipelineOracle.abTrajectory("purchase"),
-    "q278_pagerank" -> PipelineOracle.pagerank(0.85, 20)
+    "q278_pagerank" -> PipelineOracle.pagerank(0.85, 20),
+    "q279_lorenz" -> PipelineOracle.lorenzCurve
   )
 }

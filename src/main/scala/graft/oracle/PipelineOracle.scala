@@ -2476,6 +2476,18 @@ object PipelineOracle {
       "CAST(2 * six - CAST(n + 1 AS HUGEINT) * CAST(tx AS HUGEINT) AS DOUBLE) / " +
       "CAST(CAST(n AS HUGEINT) * CAST(tx AS HUGEINT) AS DOUBLE) AS gini FROM m"
 
+  /** Mirrors Curation.lorenzCurve: (size, source) rank order, exact
+    * cumulative longs, two IEEE divisions per row. */
+  val lorenzCurve: String =
+    "WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS x FROM documents GROUP BY source), " +
+      "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns, CAST(SUM(x) AS BIGINT) AS ndocs FROM c), " +
+      "r AS (SELECT source, x, CAST(ROW_NUMBER() OVER (ORDER BY x, source) AS BIGINT) AS rank, " +
+      "CAST(SUM(x) OVER (ORDER BY x, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cd FROM c) " +
+      "SELECT source, x AS n_docs, rank, " +
+      "CAST(rank AS DOUBLE) / CAST(ns AS DOUBLE) AS cum_source_frac, " +
+      "CAST(cd AS DOUBLE) / CAST(ndocs AS DOUBLE) AS cum_doc_frac " +
+      "FROM r CROSS JOIN t"
+
   /** Mirrors TextAnalysis.zipfFit: floor(ln·1e3) millinat integer
     * moments — every sum below 2^53, so the int→double casts are exact
     * in both engines — and the identical IEEE slope/r² tail. */

@@ -685,6 +685,32 @@ object Curation {
         col("pctl"), col("__gs").as("calibrated"))
   }
 
+  /** LORENZ CURVE of the source-size distribution — the curve behind
+    * [[sourceGini]]'s scalar ("the bottom 80% of sources hold x% of
+    * the corpus"): sources ranked by ascending size, each row the
+    * cumulative fraction of sources and of documents up to that rank.
+    * The diagonal is perfect equality; Gini = 2·(area between).
+    * Exact long cumulatives (ties ranked by (size, source) — the
+    * q209 order), two IEEE divisions per row. The one unpartitioned
+    * sort is over SOURCES (the q209 convention). */
+  def lorenzCurve(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("__x"))
+    val w = Window.orderBy(col("__x"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(count(lit(1)).as("__ns"), sum(col("__x")).as("__nd"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("__x").as("n_docs"),
+        row_number().over(Window.orderBy(col("__x"), col("source")))
+          .cast("long").as("rank"),
+        (sum(col("__x")).over(w)).as("__cd"), col("__ns"), col("__nd"))
+      .select(col("source"), col("n_docs"), col("rank"),
+        (col("rank").cast("double") / col("__ns").cast("double"))
+          .as("cum_source_frac"),
+        (col("__cd").cast("double") / col("__nd").cast("double"))
+          .as("cum_doc_frac"))
+  }
+
   /** Mutual information between two categorical columns — the leakage /
     * association audit ("is `lang` secretly a proxy for `source`? is a
     * supposedly-random split correlated with the label?") that the

@@ -1284,6 +1284,16 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - (2.0 / 3.0 - 0.5) / math.sqrt(se2)) < 1e-12)
   }
 
+  test("lorenzCurve: cumulative fractions over ascending source ranks") {
+    val d = (Seq.fill(1)("s1") ++ Seq.fill(3)("s2") ++ Seq.fill(6)("s3"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val out = graft.pipeline.Curation.lorenzCurve(d).collect()
+      .map(r => r.getLong(2) -> ((r.getString(0), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == (("s1", 1.0 / 3.0, 0.1)))
+    assert(out(2L) == (("s2", 2.0 / 3.0, 0.4)))
+    assert(out(3L) == (("s3", 1.0, 1.0)))
+  }
+
   test("pagerank: sink type accumulates mass; scores sum to ~1") {
     def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
     // every user flows a -> b -> c and stops: c is a dangling sink and
