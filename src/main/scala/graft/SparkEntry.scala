@@ -2329,6 +2329,19 @@ object SparkEntry {
       // x% of the corpus" — exact cumulative longs over source ranks
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.lorenzCurve(t(dir, "documents"))
+    },
+    "q280_hellinger" -> { (s, dir) =>
+      // the drift family's bounded symmetric metric: BC = Σ√(p·q),
+      // H = √(1−BC) — a true [0,1] distance, no epsilon floor (an
+      // empty-on-one-side bin contributes exactly 0, not a clamped ln)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      HistStats.hellinger(
+        Histogram.histogram(ev.filter(col("event_type") === "view"),
+          col("value"), axValue),
+        Histogram.histogram(ev.filter(col("event_type") === "click"),
+          col("value"), axValue),
+        axValue)
     }
   )
 
@@ -3065,6 +3078,9 @@ object SparkEntry {
     "q276_ab_test" -> PipelineOracle.abTest("purchase"),
     "q277_ab_trajectory" -> PipelineOracle.abTrajectory("purchase"),
     "q278_pagerank" -> PipelineOracle.pagerank(0.85, 20),
-    "q279_lorenz" -> PipelineOracle.lorenzCurve
+    "q279_lorenz" -> PipelineOracle.lorenzCurve,
+    "q280_hellinger" -> Oracle.hellinger("events",
+      Oracle.Spec("value", axValue),
+      "event_type = 'view'", "event_type = 'click'")
   )
 }

@@ -358,6 +358,31 @@ object Oracle {
       "CAST(c AS BIGINT) AS cnt, (c > l AND c >= r) AS is_peak FROM p"
   }
 
+  /** Mirrors HistStats.hellinger: the [[emd]] histogram CTEs, per-bin
+    * √(p·q) (correctly-rounded SQRT, no quantization), SUM ORDER BY i,
+    * H = √(max(0, 1−BC)), zero-total NULL. */
+  def hellinger(table: String, spec: Spec, whereA: String,
+      whereB: String): String = {
+    def histCte(name: String, where: String): String =
+      s"$name AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+        s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+        s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1} " +
+        "GROUP BY __i0)"
+    def dsum(e: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER ()")
+    s"WITH ${histCte("ha", whereA)}, ${histCte("hb", whereB)}, " +
+      s"bins AS (SELECT CAST(r AS BIGINT) AS i FROM range(0, ${spec.axis.nBins}) t(r)), " +
+      "j AS (SELECT bins.i, " +
+      "COALESCE(ha.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hb.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM bins LEFT JOIN ha ON ha.__i0 = bins.i LEFT JOIN hb ON hb.__i0 = bins.i), " +
+      s"c AS (SELECT i, ca, cb, ${dsum("ca")} AS ta, ${dsum("cb")} AS tb FROM j), " +
+      "m AS (SELECT SUM(CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE SQRT((ca / ta) * (cb / tb)) END ORDER BY i) AS bc FROM c) " +
+      "SELECT bc, CASE WHEN bc IS NULL THEN CAST(NULL AS DOUBLE) " +
+      "ELSE SQRT(GREATEST(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - bc)) END AS hellinger FROM m"
+  }
+
   /** Mirrors HistStats.cvm: the [[emd]] CTEs with the squared-gap term
     * (g·g after one subtraction, no width factor), SUM ORDER BY i, the
     * same zero-total lifecycle NULL. */

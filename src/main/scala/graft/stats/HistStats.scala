@@ -605,6 +605,64 @@ object HistStats {
     cvm(a, grid, ax, dims)
   }
 
+  /** Bhattacharyya coefficient + HELLINGER distance between two count
+    * histograms — the drift family's bounded symmetric metric
+    * (BC = Σ√(pᵢ·qᵢ) ∈ [0,1], H = √(1−BC) ∈ [0,1]: a truly metric
+    * distance, unlike PSI's unbounded score, with no epsilon floor —
+    * a bin empty on one side contributes exactly 0, not a clamped ln):
+    * over the dense axis grid, per-bin probabilities from
+    * DECIMAL-exact totals, term √(p·q) (sqrt is correctly rounded —
+    * no quantization needed anywhere), terms folded in bin order, and
+    * H = √(max(0, 1−BC)) (the clamp absorbs the last-ulp BC > 1 of an
+    * identical pair). Zero-total lifecycle → NULL (the emd rule);
+    * off-grid labels raise. Histogram-sized relations only. */
+  def hellinger(a: DataFrame, b: DataFrame, ax: BinAxis,
+      dims: Seq[String] = Nil): DataFrame = {
+    val aa = a.select(dims.map(col) ++
+      Seq(col(ax.binsCol), col("cnt").as("__ca")): _*)
+    val bb = b.select(dims.map(col) ++
+      Seq(col(ax.binsCol), col("cnt").as("__cb")): _*)
+    val bins = binsTable(a.sparkSession, ax)
+      .select(col("left_edge").as(ax.binsCol))
+    val offGrid = aa.select(col(ax.binsCol))
+      .union(bb.select(col(ax.binsCol))).distinct()
+      .join(broadcast(bins), Seq(ax.binsCol), "left_anti").count()
+    require(offGrid == 0L,
+      s"hellinger requires flow-free histograms binned on the axis grid: " +
+        s"$offGrid bin label(s) outside the ${ax.nBins}-bin ${ax.binsCol} axis")
+    val grid = if (dims.isEmpty) bins
+      else aa.select(dims.map(col): _*)
+        .union(bb.select(dims.map(col): _*)).distinct()
+        .crossJoin(broadcast(bins))
+    val j = grid.join(aa, dims :+ ax.binsCol, "left")
+      .join(bb, dims :+ ax.binsCol, "left")
+      .na.fill(0.0, Seq("__ca", "__cb"))
+    val w = if (dims.isEmpty) Window.partitionBy()
+      else Window.partitionBy(dims.map(col): _*)
+    val ta = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__ca"))).over(w))
+    val tb = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__cb"))).over(w))
+    val withTerm = j
+      .withColumn("__t", when(ta === lit(0.0) || tb === lit(0.0),
+          lit(null).cast("double"))
+        .otherwise(sqrt((col("__ca") / ta) * (col("__cb") / tb))))
+    val terms = sort_array(collect_list(struct(
+      col(ax.binsCol).as("k"), col("__t").as("t"))))
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x.getField("t"))
+    grouped(withTerm, dims)(terms.as("__terms"))
+      .select(dims.map(col) ++ {
+        val bc = fold(col("__terms"))
+        // greatest() SKIPS NULLs in both engines — guard the lifecycle
+        // NULL explicitly or a dead side would read hellinger = 0
+        Seq(bc.as("bc"),
+          when(bc.isNull, lit(null).cast("double"))
+            .otherwise(sqrt(greatest(lit(0.0), lit(1.0) - bc)))
+            .as("hellinger"))
+      }: _*)
+  }
+
   /** Two-sample WELCH t-test between two value populations — the drift
     * family's mean-level significance head (PSI/EMD/KS/CvM say the
     * DISTRIBUTION moved; this says whether the MEAN moved more than

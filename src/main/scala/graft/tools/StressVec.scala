@@ -69,6 +69,17 @@ object StressVec {
       emb, q, 5, nCells = nCellsSqrt, nprobe = 4).count())
     // map-only: must scale linearly with zero exchanges at any size
     time("quantize_int8")(graft.pipeline.Similarity.quantizeInt8(emb).count())
+    // PCA family (r10 third session): the covariance pass is the whole
+    // corpus cost (in-row pair generation, never shuffled); the eigen
+    // math is d×d driver-bounded; projections are map-only literals
+    time("embed_covariance")(
+      graft.pipeline.Similarity.embedCovariance(emb).count())
+    time("pca_power_12it")(
+      graft.pipeline.Similarity.pcaPower(emb, iters = 12).count())
+    time("pca_project")(
+      graft.pipeline.Similarity.pcaProject(emb, iters = 12).count())
+    time("remove_top_component")(
+      graft.pipeline.Similarity.removeTopComponent(emb, iters = 12).count())
     // SemDeDup at the paper's design point — nCells scaled to hold mean
     // cell size ~500 constant, so the within-cell pairwise work per
     // vector stays flat as the corpus grows (the output on a replicated

@@ -329,6 +329,30 @@ class HistStatsSpec extends SparkSpec {
     assert(out(8.0) == ((2L, true)))   // right edge peak
   }
 
+  test("hellinger: identical -> 0; disjoint -> 1; dead group NULL, not 0") {
+    val ax = Regular("x", 4, 0.0, 8.0)
+    def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)
+    val same = HistStats.hellinger(h(1, 3, 5), h(1, 3, 5), ax).collect().head
+    assert(same.getDouble(1) == 0.0 && math.abs(same.getDouble(0) - 1.0) < 1e-12)
+    val disj = HistStats.hellinger(h(1, 1), h(7, 7), ax).collect().head
+    assert(disj.getDouble(0) == 0.0 && disj.getDouble(1) == 1.0)
+    // hand case: (2,2)/4 vs (1,3)/4 over bins 0,1:
+    // BC = sqrt(0.5*0.25) + sqrt(0.5*0.75)
+    val half = HistStats.hellinger(h(1, 1, 3, 3), h(1, 3, 3, 3), ax)
+      .collect().head
+    val bcExp = math.sqrt(0.5 * 0.25) + math.sqrt(0.5 * 0.75)
+    assert(math.abs(half.getDouble(0) - bcExp) < 1e-12)
+    // dead group: NULL bc AND NULL hellinger (greatest() would skip the
+    // NULL and silently report distance 0 — the guarded edge)
+    val byG = Histogram.histogram(
+      Seq(("a", 1.0), ("b", 5.0)).toDF("g", "x"), col("x"), ax, dims = Seq("g"))
+    val dead = HistStats.hellinger(byG,
+      byG.filter(col("g") === "a"), ax, dims = Seq("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.isNullAt(1), r.isNullAt(2)))).toMap
+    assert(dead("b") == ((true, true)))
+  }
+
   test("welchT: hand-computed t and Welch df; degenerate sides NULL") {
     val a = Seq(1.0, 2.0, 3.0).toDF("value")          // mean 2, var 1
     val b = Seq(4.0, 6.0).toDF("value")               // mean 5, var 2
