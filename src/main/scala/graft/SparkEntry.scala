@@ -2342,6 +2342,14 @@ object SparkEntry {
         Histogram.histogram(ev.filter(col("event_type") === "click"),
           col("value"), axValue),
         axValue)
+    },
+    "q281_rfm" -> { (s, dir) =>
+      // the classic churn/LTV feature row: recency (vs the corpus' last
+      // day), frequency (active days + events), monetary (exact sum)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.rfm(ev)
     }
   )
 
@@ -3081,6 +3089,7 @@ object SparkEntry {
     "q279_lorenz" -> PipelineOracle.lorenzCurve,
     "q280_hellinger" -> Oracle.hellinger("events",
       Oracle.Spec("value", axValue),
-      "event_type = 'view'", "event_type = 'click'")
+      "event_type = 'view'", "event_type = 'click'"),
+    "q281_rfm" -> PipelineOracle.rfm
   )
 }

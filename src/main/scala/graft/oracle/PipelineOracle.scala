@@ -2730,6 +2730,22 @@ object PipelineOracle {
       s"ELSE ($pb - $pa) / SQRT($se2) END AS z FROM c"
   }
 
+  /** Mirrors Funnel.rfm: floor day indices, corpus max day broadcast,
+    * exact counts, the DECIMAL(38,14) monetary sum. */
+  val rfm: String = {
+    val mon = Oracle.exactDbl(
+      "SUM(TRY_CAST(CAST(CAST(value AS DOUBLE) AS VARCHAR) AS DECIMAL(38,14)))")
+    "WITH b AS (SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS d, value " +
+      "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), " +
+      "mx AS (SELECT MAX(d) AS maxd FROM b), " +
+      "g AS (SELECT user_id, MAX(d) AS lastd, " +
+      "CAST(COUNT(DISTINCT d) AS BIGINT) AS active_days, " +
+      s"CAST(COUNT(*) AS BIGINT) AS n_events, $mon AS monetary " +
+      "FROM b GROUP BY user_id) " +
+      "SELECT user_id, maxd - lastd AS recency_days, active_days, n_events, " +
+      "COALESCE(monetary, CAST(0 AS DOUBLE)) AS monetary FROM g CROSS JOIN mx"
+  }
+
   /** Mirrors Funnel.pagerank: the lag-window transition counts,
     * row-stochastic edges, `iters` unrolled MATERIALIZED damped
     * rounds with ordered folds and 1e-9 quantization. */

@@ -686,6 +686,35 @@ object Funnel {
         .otherwise((pb - pa) / sqrt(se2)).as("z"))
   }
 
+  /** RFM feature table — the classic churn/LTV feature generator
+    * (recency, frequency, monetary; the per-user row every simple
+    * churn model trains on): per user, days since last activity
+    * (relative to the corpus' last observed day — a batch table has no
+    * "now"), distinct active days, total event count, and the exact
+    * DECIMAL sum of `value` cast once to double. NULL users drop;
+    * NULL values contribute 0 to monetary but still count as events.
+    *
+    * Scale shape: ONE user-keyed map-combinable aggregate (the
+    * distinct-day count is the only two-level expansion — bounded by
+    * user-days); the single-row corpus max broadcasts. */
+  def rfm(events: DataFrame, tsCol: String = "event_time",
+      keyCol: String = "user_id", valueCol: String = "value"): DataFrame = {
+    val day = epochDay(tsCol)
+    val base = events.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol), day.as("__d"), col(valueCol).cast("double").as("__v"))
+    val maxDay = base.agg(max(col("__d")).as("__maxd"))
+    base.groupBy(col(keyCol))
+      .agg(max(col("__d")).as("__last"),
+        countDistinct(col("__d")).as("active_days"),
+        count(lit(1)).as("n_events"),
+        graft.util.Dec.exactDouble(
+          sum(graft.util.Dec.toDec(col("__v")))).as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .select(col(keyCol), (col("__maxd") - col("__last")).as("recency_days"),
+        col("active_days"), col("n_events"),
+        coalesce(col("monetary"), lit(0.0)).as("monetary"))
+  }
+
   /** PAGERANK over the event-type transition graph — "where does user
     * behavior settle?" as one score per type (the q165 transition
     * matrix's stationary view, damped): r ← (1−d)/n + d·(Mᵀr +

@@ -1284,6 +1284,20 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - (2.0 / 3.0 - 0.5) / math.sqrt(se2)) < 1e-12)
   }
 
+  test("rfm: recency vs corpus max day; NULL values count as events, not money") {
+    def at(day: Int, sec: Int) =
+      new java.sql.Timestamp(day * 86400000L + sec * 1000L)
+    val ev = Seq(
+      (1L, at(0, 1), Some(2.0)), (1L, at(0, 2), Some(3.0)), (1L, at(2, 0), None),
+      (2L, at(5, 0), Some(10.0))
+    ).toDF("user_id", "event_time", "value")
+    val out = graft.pipeline.Funnel.rfm(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((3L, 2L, 3L, 5.0))) // last day 2, max 5 -> recency 3
+    assert(out(2L) == ((0L, 1L, 1L, 10.0)))
+  }
+
   test("lorenzCurve: cumulative fractions over ascending source ranks") {
     val d = (Seq.fill(1)("s1") ++ Seq.fill(3)("s2") ++ Seq.fill(6)("s3"))
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
