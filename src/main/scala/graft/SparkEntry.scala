@@ -2350,6 +2350,17 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.Funnel.rfm(ev)
+    },
+    "q282_stream_hellinger" -> { (s, dir) =>
+      // the bounded drift metric in its LIVE per-window form; batch ==
+      // hellinger per window vs the whole-corpus reference (streaming
+      // chains two stateful aggs, StreamingSpec pins bit-exact parity)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val ref = Histogram.histogram(ev, col("value"), axValue)
+      graft.streaming.StreamingHist.windowedHellinger(
+        ev, "event_time", col("value"), axValue, "1 hour", ref)
     }
   )
 
@@ -3090,6 +3101,10 @@ object SparkEntry {
     "q280_hellinger" -> Oracle.hellinger("events",
       Oracle.Spec("value", axValue),
       "event_type = 'view'", "event_type = 'click'"),
-    "q281_rfm" -> PipelineOracle.rfm
+    "q281_rfm" -> PipelineOracle.rfm,
+    "q282_stream_hellinger" -> Oracle.hellingerFromByDim("events",
+      Oracle.Spec("value", axValue),
+      "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
+      "window_start", where = "ts IS NOT NULL")
   )
 }

@@ -544,6 +544,36 @@ object Oracle {
       "FROM c GROUP BY d"
   }
 
+  /** Mirrors HistStats.hellinger per dim vs a shared reference (and
+    * thereby StreamingHist.windowedHellinger's gated batch path): the
+    * [[ksFromByDim]] CTEs with the √(p·q) term, SUM ORDER BY i per
+    * dim, the √(max(0,1−BC)) tail. */
+  def hellingerFromByDim(table: String, spec: Spec, dimSql: String,
+      dimName: String, where: String = "TRUE",
+      refWhere: String = "TRUE"): String = {
+    def dsum(e: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER (PARTITION BY d)")
+    val idx = spec.axis.indexSql(spec.valueSql)
+    val rng = s"__i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1}"
+    s"WITH hx AS (SELECT d, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $dimSql AS d, $idx AS __i0 FROM $table WHERE $where) WHERE $rng GROUP BY d, __i0), " +
+      s"hr AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $idx AS __i0 FROM $table WHERE $refWhere) WHERE $rng GROUP BY __i0), " +
+      s"bins AS (SELECT CAST(r AS BIGINT) AS i FROM range(0, ${spec.axis.nBins}) t(r)), " +
+      "ds AS (SELECT DISTINCT d FROM hx), " +
+      "g AS (SELECT ds.d, bins.i FROM ds CROSS JOIN bins), " +
+      "j AS (SELECT g.d, g.i, " +
+      "COALESCE(hx.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hr.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM g LEFT JOIN hx ON hx.d = g.d AND hx.__i0 = g.i " +
+      "LEFT JOIN hr ON hr.__i0 = g.i), " +
+      s"c AS (SELECT d, i, ca, cb, ${dsum("ca")} AS ta, ${dsum("cb")} AS tb FROM j), " +
+      "m AS (SELECT d, SUM(CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE SQRT((ca / ta) * (cb / tb)) END ORDER BY i) AS bc FROM c GROUP BY d) " +
+      s"SELECT d AS $dimName, bc, CASE WHEN bc IS NULL THEN CAST(NULL AS DOUBLE) " +
+      "ELSE SQRT(GREATEST(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - bc)) END AS hellinger FROM m"
+  }
+
   /** Mirrors HistStats.pullFrom over a single dim expression (and
     * thereby StreamingHist.windowedPull's gated batch path): per-dim
     * in-range histograms FULL OUTER the dim×reference sparse grid on

@@ -363,6 +363,66 @@ object StreamingHist {
     }
   }
 
+  /** Per-window HELLINGER distance against a STATIC reference histogram
+    * — the drift quintet's bounded symmetric metric in its live form
+    * (PSI score / EMD units / KS max gap / CvM integrated gap / H ∈
+    * [0,1] true metric, no epsilon floor). Batch execution is exactly
+    * HistStats.hellinger over the batch windowed histogram per window;
+    * streaming chains the same TWO stateful aggregations and folds the
+    * √(p·q) terms map-side against the driver-collected reference.
+    *
+    * Streaming == batch BIT-EXACTLY: integer counts exact in doubles,
+    * each term is one division per side, one multiply, one
+    * correctly-rounded sqrt; terms fold left-to-right in label order
+    * (the batch sorted-array fold; 0.0 seed IEEE-neutral); the final
+    * H = √(max(0, 1−BC)) is the same fixed tail. Contracts are
+    * HistStats.hellinger's. */
+  def windowedHellinger(df: DataFrame, tsCol: String, x: Column,
+      ax: BinAxis, windowDuration: String, ref: DataFrame,
+      watermark: String = "10 seconds"): DataFrame = {
+    if (!df.isStreaming) {
+      val wh = windowedHistogram(df, tsCol, x, ax, windowDuration)
+        .select(col("window_start"), col(ax.binsCol), col("cnt"))
+      val grid = wh.select(col("window_start")).distinct()
+        .crossJoin(broadcast(ref.select(col(ax.binsCol), col("cnt"))))
+      graft.stats.HistStats.hellinger(wh, grid, ax,
+        dims = Seq("window_start"))
+    } else {
+      val spark = df.sparkSession
+      val labels = graft.stats.HistStats.binsTable(spark, ax)
+        .select(col("left_edge").cast("double"))
+        .collect().map(_.getDouble(0)).toSeq
+      val refRows = ref
+        .select(col(ax.binsCol).cast("double"), col("cnt").cast("double"))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      require(refRows.keySet.subsetOf(labels.toSet),
+        "reference histogram carries bins outside the axis (flow rows?)")
+      val refTot = refRows.values.sum // integer-valued doubles: exact
+      require(refTot > 0.0, "reference histogram is empty")
+      val refP = labels.map(l => refRows.getOrElse(l, 0.0) / refTot)
+      val kept = ax.keepPred(x, includeUnder = false, includeOver = false)
+      val agged = df.withWatermark(tsCol, watermark)
+        .filter(kept)
+        .select(window(col(tsCol), windowDuration).as("win"),
+          ax.index(x).as("__i0"))
+        .groupBy(col("win"), col("__i0"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .select(col("win"), ax.label(col("__i0")).cast("double").as("__b"),
+          col("cnt"))
+        .groupBy(window(window_time(col("win")), windowDuration).as("__w2"))
+        .agg(collect_list(struct(col("__b"), col("cnt"))).as("__a"))
+      val wmap = map_from_entries(col("__a"))
+      val total = aggregate(col("__a"), lit(0.0),
+        (acc, e) => acc + e.getField("cnt"))
+      val terms = labels.lazyZip(refP).map { (l, q) =>
+        sqrt((coalesce(element_at(wmap, lit(l)), lit(0.0)) / total) * lit(q))
+      }
+      val bc = terms.reduceLeft(_ + _)
+      agged.select(col("__w2.start").as("window_start"), bc.as("bc"),
+        sqrt(greatest(lit(0.0), lit(1.0) - bc)).as("hellinger"))
+    }
+  }
+
   /** Per-window per-bin PULL against a STATIC reference histogram — the
     * drill-down beside [[windowedPsi]]/[[windowedEmd]]/[[windowedKs]]'s
     * scalar alarms: WHICH bins moved this hour, and by how many Poisson

@@ -867,6 +867,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed Hellinger: streaming equals batch BIT-exactly on closed windows") {
+    val ax = Regular("value", 4, 0.0, 4.0)
+    val ref = graft.operators.Histogram.histogram(
+      Seq(0.5, 0.5, 1.5, 2.5, 3.5).toDF("value"), col("value"), ax)
+    val events = Seq((ts(1), 0.5), (ts(2), 0.5), (ts(3), 1.5), (ts(5), 2.5),
+      (ts(12), 3.5), (ts(14), 0.5), (ts(35), 1.5), (ts(50), 2.5))
+      .toDF("event_time", "value")
+    val batch = StreamingHist.windowedHellinger(
+        events, "event_time", col("value"), ax, "10 seconds", ref)
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    // [0,10): (2,1,1,0)/4 vs (2,1,1,1)/5: BC = Σ√(p·q) over the grid
+    val hand = (Seq(2.0, 1.0, 1.0, 0.0).map(_ / 4), Seq(2.0, 1.0, 1.0, 1.0).map(_ / 5))
+      .zipped.map((p, q) => math.sqrt(p * q))
+    assert(batch(0L)._1 == (((0.0 + hand(0)) + hand(1)) + hand(2)) + hand(3))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = StreamingHist.windowedHellinger(
+      input.toDF().toDF("event_time", "value"),
+      "event_time", col("value"), ax, "10 seconds", ref)
+    val q = out.writeStream.format("memory").queryName("hel_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 0.5), (ts(2), 0.5), (ts(3), 1.5))
+      q.processAllAvailable()
+      input.addData((ts(5), 2.5), (ts(12), 3.5), (ts(14), 0.5), (ts(35), 1.5))
+      q.processAllAvailable()
+      input.addData((ts(50), 2.5)) // watermark 40: closes [0,10),[10,20),[30,40)
+      q.processAllAvailable()
+      val streamed = spark.table("hel_stream").collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 ->
+          ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(streamed.keySet == Set(0L, 10L, 30L))
+      streamed.foreach { case (w, p) => assert(p == batch(w), s"window $w") }
+    } finally q.stop()
+  }
+
   test("windowed CvM: streaming equals batch BIT-exactly on closed windows") {
     val ax = Regular("value", 4, 0.0, 4.0)
     val ref = graft.operators.Histogram.histogram(
