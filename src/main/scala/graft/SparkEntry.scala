@@ -2361,6 +2361,14 @@ object SparkEntry {
       val ref = Histogram.histogram(ev, col("value"), axValue)
       graft.streaming.StreamingHist.windowedHellinger(
         ev, "event_time", col("value"), axValue, "1 hour", ref)
+    },
+    "q283_es_sample" -> { (s, dir) =>
+      // Efraimidis-Spirakis: EXACTLY 200 docs without replacement,
+      // long-doc-weighted — the exact-k complement of q184's Poisson
+      // PPS; top-k as TakeOrdered
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.sampleWeightedExactK(t(dir, "documents"),
+        200, regexp_count(col("text"), lit("\\S+")).cast("long"), "es")
     }
   )
 
@@ -3105,6 +3113,7 @@ object SparkEntry {
     "q282_stream_hellinger" -> Oracle.hellingerFromByDim("events",
       Oracle.Spec("value", axValue),
       "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
-      "window_start", where = "ts IS NOT NULL")
+      "window_start", where = "ts IS NOT NULL"),
+    "q283_es_sample" -> PipelineOracle.sampleWeightedExactK(200, "es")
   )
 }

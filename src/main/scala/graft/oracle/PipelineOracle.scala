@@ -1674,6 +1674,21 @@ object PipelineOracle {
       s"< CAST($k AS HUGEINT) * CAST(f.w AS HUGEINT) * $two60"
   }
 
+  /** Mirrors Sampling.sampleWeightedExactK: the q184 hash60 uniform,
+    * the 1e12 floor-quantized u^(1/w) key, ORDER BY key DESC, doc_id
+    * LIMIT k. */
+  def sampleWeightedExactK(k: Int, salt: String): String = {
+    val two60 = "CAST(1152921504606846976 AS DOUBLE)" // 2^60 exact
+    s"WITH w AS (SELECT doc_id, source, " +
+      "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS w " +
+      "FROM documents), " +
+      "f AS (SELECT * FROM w WHERE w IS NOT NULL AND w >= 0), " +
+      "kq AS (SELECT doc_id, source, w, CAST(FLOOR(POWER(" +
+      s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source || ':' || ${q(salt)}), 1, 15))::BIGINT AS DOUBLE) / $two60, " +
+      "CAST(1 AS DOUBLE) / CAST(w AS DOUBLE)) * CAST('1.0e12' AS DOUBLE)) AS BIGINT) AS kk FROM f) " +
+      s"SELECT doc_id, source, w FROM kq ORDER BY kk DESC, doc_id LIMIT $k"
+  }
+
   /** Mirrors Curation.curateExplain: every criterion's verdict per doc
     * over the FULL corpus, three-valued logic intact (NULL text ->
     * NULL token/quality flags; keep follows SQL AND). */

@@ -252,6 +252,38 @@ object Sampling {
     * Scale shape: ONE scalar aggregate for Σw (map-combinable),
     * broadcast back as a literal-free cross join; the keep filter is
     * map-side — the corpus never shuffles. */
+  /** Weighted sampling WITHOUT replacement, exactly k rows
+    * (Efraimidis–Spirakis 2006): each doc draws key = u^(1/w) from its
+    * deterministic hash-uniform u and the k LARGEST keys win — the
+    * exact-k complement of [[sampleByWeight]]'s Poisson PPS (that op
+    * returns a RANDOM NUMBER of docs near k; an eval-set builder needs
+    * exactly k, still long-doc-weighted).
+    *
+    * Determinism: u = hash60/2^60 (the double rounding of an exact
+    * integer is identical IEEE in both engines), the key is
+    * floor-quantized to an exact long at 1e12 (pow discipline), ties
+    * break by doc_id. Zero-weight docs draw key 0 (pow(u, ∞) = 0 —
+    * both engines) and lose to any positive weight. NULL/negative
+    * weights drop.
+    *
+    * Scale shape: map-side key computation, global top-k as
+    * TakeOrdered (k rows per partition to the driver — never a rank
+    * window). */
+  def sampleWeightedExactK(docs: DataFrame, k: Int, weight: Column,
+      salt: String): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val w = docs.select(col("doc_id"), col("source"),
+        weight.cast("long").as("w"))
+      .filter(col("w").isNotNull && col("w") >= 0L)
+    val u = hash60(col("doc_id"), col("source"), salt).cast("double") /
+      lit(Scale.toLong).cast("double")
+    w.withColumn("__key",
+        floor(pow(u, lit(1.0) / col("w").cast("double")) * lit(1.0e12))
+          .cast("long"))
+      .orderBy(col("__key").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("source"), col("w"))
+  }
+
   def sampleByWeight(docs: DataFrame, k: Long, weight: Column,
       salt: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")

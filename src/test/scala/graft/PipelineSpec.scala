@@ -1284,6 +1284,22 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r.getDouble(6) - (2.0 / 3.0 - 0.5) / math.sqrt(se2)) < 1e-12)
   }
 
+  test("sampleWeightedExactK: exactly k; heavy docs win on average; deterministic") {
+    val d = (1L to 100L).map(i =>
+      (i, (if (i <= 50) "w " * 100 else "w ").trim, s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val w = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val out = graft.pipeline.Sampling.sampleWeightedExactK(d, 20, w, "t").collect()
+    assert(out.length == 20)
+    // the 100-token docs (ids <= 50) should dominate a 20-draw
+    val heavy = out.count(_.getLong(0) <= 50L)
+    assert(heavy >= 15, s"heavy=$heavy")
+    // deterministic across partitionings
+    val out7 = graft.pipeline.Sampling.sampleWeightedExactK(d.repartition(7), 20, w, "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(out7 == out.map(_.getLong(0)).toSet)
+  }
+
   test("rfm: recency vs corpus max day; NULL values count as events, not money") {
     def at(day: Int, sec: Int) =
       new java.sql.Timestamp(day * 86400000L + sec * 1000L)
