@@ -2369,6 +2369,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Sampling.sampleWeightedExactK(t(dir, "documents"),
         200, regexp_count(col("text"), lit("\\S+")).cast("long"), "es")
+    },
+    "q284_hist_subtract" -> { (s, dir) =>
+      // boost h1 -= h2, the UHI algebra's other half beside q68: the
+      // snapshot DELTA (negative counts representable)
+      implicit val sp: SparkSession = s
+      val li = t(dir, "lineitem")
+      val hAll = Histogram.histogram(li, col("l_quantity"), axQty)
+      val hO = Histogram.histogram(li.filter(col("l_linestatus") === "O"),
+        col("l_quantity"), axQty)
+      HistStats.subtract(hAll, hO, axQty, Nil)
     }
   )
 
@@ -3114,6 +3124,8 @@ object SparkEntry {
       Oracle.Spec("value", axValue),
       "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
       "window_start", where = "ts IS NOT NULL"),
-    "q283_es_sample" -> PipelineOracle.sampleWeightedExactK(200, "es")
+    "q283_es_sample" -> PipelineOracle.sampleWeightedExactK(200, "es"),
+    "q284_hist_subtract" -> Oracle.histSubtract("lineitem",
+      Oracle.Spec("l_quantity", axQty), "TRUE", "l_linestatus = 'O'")
   )
 }

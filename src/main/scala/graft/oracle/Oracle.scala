@@ -321,6 +321,22 @@ object Oracle {
       s"ELSE ($se2 * $se2) / $dfDen END AS df FROM g"
   }
 
+  /** Mirrors HistStats.subtract over two filters of one table: per-bin
+    * cnt_a − cnt_b via FULL OUTER over occupied bins (absent side 0;
+    * bins occupied by neither are absent). */
+  def histSubtract(table: String, spec: Spec, whereA: String,
+      whereB: String): String = {
+    def histCte(name: String, where: String): String =
+      s"$name AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+        s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+        s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1} " +
+        "GROUP BY __i0)"
+    s"WITH ${histCte("ha", whereA)}, ${histCte("hb", whereB)} " +
+      s"SELECT (${spec.axis.labelSql("COALESCE(ha.__i0, hb.__i0)")}) AS ${spec.axis.binsCol}, " +
+      "COALESCE(ha.cnt, CAST(0 AS DOUBLE)) - COALESCE(hb.cnt, CAST(0 AS DOUBLE)) AS cnt " +
+      "FROM ha FULL OUTER JOIN hb ON hb.__i0 = ha.__i0"
+  }
+
   /** Mirrors HistStats.smooth: in-range counts, the ±w triangular
     * integer convolution, per-bin truncated kernel mass — exact longs
     * only. */

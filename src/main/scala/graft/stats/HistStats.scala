@@ -1157,6 +1157,23 @@ object HistStats {
       .agg(graft.util.Dec.sumDec(col("cnt")).as("cnt"))
   }
 
+  /** Histogram SUBTRACTION — boost `h1 -= h2` (the UHI algebra's other
+    * half beside [[add]]): per (dims, bin), cnt_a − cnt_b over the
+    * union of occupied bins, absent sides contributing 0 — so negative
+    * counts are REPRESENTABLE (the UHI convention; a snapshot DELTA is
+    * the use: today's histogram minus yesterday's, negative = mass
+    * left the bin). DECIMAL-exact per-term negation and sum; bins
+    * occupied by neither side are absent (0 − 0 is not a row). Same
+    * single union + one map-combinable aggregate as [[add]]. */
+  def subtract(a: DataFrame, b: DataFrame, ax: BinAxis,
+      dims: Seq[String]): DataFrame = {
+    val keys = dims :+ ax.binsCol
+    a.unionByName(
+        b.withColumn("cnt", -col("cnt")))
+      .groupBy(keys.map(col): _*)
+      .agg(graft.util.Dec.sumDec(col("cnt")).as("cnt"))
+  }
+
   /** Cumulative histogram: running total of counts along the bins axis,
     * per group (ECDF numerator). */
   def cumulative(hist: DataFrame, ax: BinAxis, dims: Seq[String]): DataFrame = {

@@ -329,6 +329,20 @@ class HistStatsSpec extends SparkSpec {
     assert(out(8.0) == ((2L, true)))   // right edge peak
   }
 
+  test("subtract: per-bin delta with negatives; neither-side bins absent") {
+    val ax = Regular("x", 4, 0.0, 8.0)
+    def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)
+    val out = HistStats.subtract(h(1, 1, 3), h(1, 3, 3, 5), ax, Nil)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // bin0: 2-1=1; bin1: 1-2=-1 (negative representable); bin2: 0-1=-1;
+    // bin3 occupied by neither: absent
+    assert(out == Map(0.0 -> 1.0, 2.0 -> -1.0, 4.0 -> -1.0))
+    // h - h == all-zero rows on occupied bins (a delta of nothing)
+    val zero = HistStats.subtract(h(1, 3), h(1, 3), ax, Nil)
+      .collect().map(r => r.getDouble(1))
+    assert(zero.forall(_ == 0.0) && zero.length == 2)
+  }
+
   test("hellinger: identical -> 0; disjoint -> 1; dead group NULL, not 0") {
     val ax = Regular("x", 4, 0.0, 8.0)
     def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)
