@@ -2379,6 +2379,14 @@ object SparkEntry {
       val hO = Histogram.histogram(li.filter(col("l_linestatus") === "O"),
         col("l_quantity"), axQty)
       HistStats.subtract(hAll, hO, axQty, Nil)
+    },
+    "q285_bootstrap_ci" -> { (s, dir) =>
+      // Poisson bootstrap: the one-pass CI for a corpus mean at any
+      // scale (classical resampling re-reads the corpus per replica);
+      // 32 deterministic hash-weight replicas, ±2σ interval
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.bootstrapCi(t(dir, "documents"),
+        col("n_chars"), b = 32, salt = "bs")
     }
   )
 
@@ -3126,6 +3134,7 @@ object SparkEntry {
       "window_start", where = "ts IS NOT NULL"),
     "q283_es_sample" -> PipelineOracle.sampleWeightedExactK(200, "es"),
     "q284_hist_subtract" -> Oracle.histSubtract("lineitem",
-      Oracle.Spec("l_quantity", axQty), "TRUE", "l_linestatus = 'O'")
+      Oracle.Spec("l_quantity", axQty), "TRUE", "l_linestatus = 'O'"),
+    "q285_bootstrap_ci" -> PipelineOracle.bootstrapCi(32, "bs")
   )
 }

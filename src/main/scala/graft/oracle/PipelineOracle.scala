@@ -1689,6 +1689,38 @@ object PipelineOracle {
       s"SELECT doc_id, source, w FROM kq ORDER BY kk DESC, doc_id LIMIT $k"
   }
 
+  /** Mirrors Sampling.bootstrapCi over documents.n_chars: the same
+    * per-(doc, replica) hash60 uniform, the identical Poisson(1) CDF
+    * threshold literals, DECIMAL replica sums, ordered replica folds,
+    * the fixed sd/CI tail. */
+  def bootstrapCi(b: Int, salt: String): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val e = math.exp(-1.0)
+    val thr = Seq(e, e * 2.0, e * 2.5, e * (2.5 + 1.0 / 6.0))
+    val two60 = "CAST(1152921504606846976 AS DOUBLE)"
+    val u = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || " +
+      s"source || ':' || CAST(rb AS VARCHAR) || ':' || ${q(salt)}), 1, 15))::BIGINT AS DOUBLE) / $two60"
+    s"WITH base AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x " +
+      "FROM documents WHERE n_chars IS NOT NULL), " +
+      s"rep AS (SELECT doc_id, source, x, UNNEST(generate_series(1, $b)) AS rb FROM base), " +
+      s"wts AS (SELECT rb, x, CASE WHEN $u < ${d(thr(0))} THEN 0 " +
+      s"WHEN $u < ${d(thr(1))} THEN 1 WHEN $u < ${d(thr(2))} THEN 2 " +
+      s"WHEN $u < ${d(thr(3))} THEN 3 ELSE 4 END AS w FROM rep), " +
+      "pr AS (SELECT rb, CAST(SUM(CAST(w AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) / " +
+      "CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) AS m FROM wts GROUP BY rb), " +
+      "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS point_mean FROM base), " +
+      "f AS (SELECT SUM(m ORDER BY rb) AS sm, SUM(m * m ORDER BY rb) AS smm FROM pr) " +
+      s"SELECT n_docs, point_mean, sm / ${d(b.toDouble)} AS boot_mean, " +
+      s"SQRT(GREATEST(${d(0.0)}, (smm * ${d(b.toDouble)} - sm * sm) / " +
+      s"(${d(b.toDouble)} * (${d(b.toDouble)} - ${d(1.0)})))) AS boot_sd, " +
+      s"sm / ${d(b.toDouble)} - ${d(2.0)} * SQRT(GREATEST(${d(0.0)}, (smm * ${d(b.toDouble)} - sm * sm) / " +
+      s"(${d(b.toDouble)} * (${d(b.toDouble)} - ${d(1.0)})))) AS ci_lo, " +
+      s"sm / ${d(b.toDouble)} + ${d(2.0)} * SQRT(GREATEST(${d(0.0)}, (smm * ${d(b.toDouble)} - sm * sm) / " +
+      s"(${d(b.toDouble)} * (${d(b.toDouble)} - ${d(1.0)})))) AS ci_hi " +
+      "FROM f CROSS JOIN nt"
+  }
+
   /** Mirrors Curation.curateExplain: every criterion's verdict per doc
     * over the FULL corpus, three-valued logic intact (NULL text ->
     * NULL token/quality flags; keep follows SQL AND). */

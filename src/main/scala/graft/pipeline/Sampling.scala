@@ -284,6 +284,71 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("w"))
   }
 
+  /** Poisson-BOOTSTRAP confidence interval for a corpus mean — the
+    * published way to bootstrap data too big to resample (one pass, B
+    * independent hash-derived Poisson(1) weights per row; classical
+    * resampling needs the full dataset per replica): B replica
+    * weighted means, their spread, and the ±2σ interval. Deterministic
+    * end to end — the "randomness" is the per-(doc, replica) hash60
+    * uniform cut by fixed Poisson(1) CDF thresholds (literal doubles
+    * shared verbatim with the oracle; weights capped at 4, the
+    * P>4 ≈ 0.37% tail folded into 4 — documented bias, far below
+    * bootstrap noise).
+    *
+    * Exactness: weights and values are exact longs, replica sums are
+    * DECIMAL(38,0), each replica mean is one IEEE division; the
+    * across-replica moments fold in replica order (sorted-array
+    * aggregate == SUM ORDER BY b) and the sd/CI tail is a fixed IEEE
+    * sequence. Scale shape: the ×B explode is in-row, the (replica)
+    * aggregate is map-combinable with B groups, and the final fold
+    * runs on B rows. */
+  def bootstrapCi(docs: DataFrame, value: Column, b: Int,
+      salt: String): DataFrame = {
+    require(b >= 2, s"need at least 2 replicas: $b")
+    // Poisson(1) CDF thresholds: P(X<=k) for k = 0..3
+    val e = math.exp(-1.0)
+    val thr = Seq(e, e * 2.0, e * 2.5, e * (2.5 + 1.0 / 6.0))
+    val base = docs.select(col("doc_id"), col("source"),
+        value.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val rep = base.select(col("doc_id"), col("source"), col("__x"),
+      explode(array((1 to b).map(i => lit(i)): _*)).as("__b"))
+    val uCol = hash60(col("doc_id"),
+      concat(col("source"), lit(":"), col("__b").cast("string")), salt)
+      .cast("double") / lit(Scale.toLong).cast("double")
+    val w = when(uCol < lit(thr(0)), 0L)
+      .when(uCol < lit(thr(1)), 1L)
+      .when(uCol < lit(thr(2)), 2L)
+      .when(uCol < lit(thr(3)), 3L)
+      .otherwise(4L)
+    val perRep = rep.withColumn("__w", w)
+      .groupBy(col("__b"))
+      .agg(sum((col("__w") * col("__x")).cast("decimal(38,0)")).as("__swx"),
+        sum(col("__w").cast("decimal(38,0)")).as("__sw"))
+      .select(col("__b"),
+        (col("__swx").cast("double") / col("__sw").cast("double")).as("__m"))
+    val nTot = base.agg(count(lit(1)).as("n_docs"),
+      (sum(col("__x").cast("decimal(38,0)")).cast("double") /
+        count(lit(1)).cast("double")).as("point_mean"))
+    val folded = perRep
+      .agg(sort_array(collect_list(struct(col("__b"), col("__m")))).as("__a"))
+      .select(
+        aggregate(col("__a"), lit(0.0), (acc, x) => acc + x.getField("__m"))
+          .as("__sm"),
+        aggregate(col("__a"), lit(0.0), (acc, x) =>
+          acc + x.getField("__m") * x.getField("__m")).as("__smm"))
+    val bD = lit(b.toDouble)
+    val bootMean = col("__sm") / bD
+    val bootVar = greatest(lit(0.0),
+      (col("__smm") * bD - col("__sm") * col("__sm")) / (bD * (bD - lit(1.0))))
+    val sd = sqrt(bootVar)
+    folded.crossJoin(broadcast(nTot))
+      .select(col("n_docs"), col("point_mean"), bootMean.as("boot_mean"),
+        sd.as("boot_sd"),
+        (bootMean - lit(2.0) * sd).as("ci_lo"),
+        (bootMean + lit(2.0) * sd).as("ci_hi"))
+  }
+
   def sampleByWeight(docs: DataFrame, k: Long, weight: Column,
       salt: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")

@@ -1300,6 +1300,22 @@ class PipelineSpec extends SparkSpec {
     assert(out7 == out.map(_.getLong(0)).toSet)
   }
 
+  test("bootstrapCi: CI brackets the point mean; shrinks with corpus size") {
+    def mk(n: Int) = (1L to n.toLong).map(i => (i, "s", 100L + (i % 21)))
+      .toDF("doc_id", "source", "n_chars")
+    val small = graft.pipeline.Sampling.bootstrapCi(
+      mk(200), col("n_chars"), b = 32, salt = "t").collect().head
+    assert(small.getLong(0) == 200L)
+    val pm = small.getDouble(1)
+    assert(small.getDouble(4) < pm && pm < small.getDouble(5),
+      s"ci=[${small.getDouble(4)}, ${small.getDouble(5)}] pm=$pm")
+    val big = graft.pipeline.Sampling.bootstrapCi(
+      mk(5000), col("n_chars"), b = 32, salt = "t").collect().head
+    // bootstrap sd shrinks roughly as 1/sqrt(n)
+    assert(big.getDouble(3) < small.getDouble(3),
+      s"big sd=${big.getDouble(3)} small sd=${small.getDouble(3)}")
+  }
+
   test("rfm: recency vs corpus max day; NULL values count as events, not money") {
     def at(day: Int, sec: Int) =
       new java.sql.Timestamp(day * 86400000L + sec * 1000L)
