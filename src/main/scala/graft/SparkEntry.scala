@@ -2387,6 +2387,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Sampling.bootstrapCi(t(dir, "documents"),
         col("n_chars"), b = 32, salt = "bs")
+    },
+    "q286_covariance_agg" -> { (s, dir) =>
+      // q246's dense-buffer scale path: CovVectorAgg carries one
+      // Array[Long] of exact moments per task — zero row fan-out (the
+      // declarative path explodes 2080 pair rows per vector); output
+      // BIT-identical, gated on the SAME oracle
+      implicit val sp: SparkSession = s
+      graft.pipeline.Similarity.embedCovarianceAgg(t(dir, "embeddings"))
     }
   )
 
@@ -3135,6 +3143,8 @@ object SparkEntry {
     "q283_es_sample" -> PipelineOracle.sampleWeightedExactK(200, "es"),
     "q284_hist_subtract" -> Oracle.histSubtract("lineitem",
       Oracle.Spec("l_quantity", axQty), "TRUE", "l_linestatus = 'O'"),
-    "q285_bootstrap_ci" -> PipelineOracle.bootstrapCi(32, "bs")
+    "q285_bootstrap_ci" -> PipelineOracle.bootstrapCi(32, "bs"),
+    // same oracle as q246: the aggregate path must be bit-identical
+    "q286_covariance_agg" -> PipelineOracle.embedCovariance
   )
 }

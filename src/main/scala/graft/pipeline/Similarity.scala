@@ -1419,6 +1419,48 @@ object Similarity {
           lit(1.0e8)).as("cov"))
   }
 
+  /** [[embedCovariance]]'s dense-buffer SCALE PATH: the same exact
+    * quantized moments accumulated by
+    * [[graft.operators.CovVectorAgg]] — one Array[Long] per map task,
+    * ZERO row fan-out (the declarative path explodes d(d+1)/2 pair
+    * rows per vector; at d = 64 that is a 2080× fan-out the aggregate
+    * eliminates, the HistVectorAgg trade) — then the identical
+    * covariance arithmetic on the identical exact integers, so the
+    * output is BIT-identical to [[embedCovariance]] (spec-pinned). The
+    * single moment row is bins-sized (1 + d + d(d+1)/2 longs) and the
+    * d²-bounded result materializes driver-side (the pcaPower
+    * precedent). */
+  def embedCovarianceAgg(emb: DataFrame, d: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.filter(col("embedding").isNotNull)
+      .agg(graft.operators.CovVectorAgg.cov_moments(col("embedding"), d)
+        .as("__m"))
+      .collect()
+    val m = rows.head.getSeq[Long](0).toArray
+    val n = m(0)
+    if (n == 0L)
+      return Seq.empty[(Int, Int, Long, Double)]
+        .toDF("dim_i", "dim_j", "n_vecs", "cov")
+    val nD = n.toDouble
+    val marg = Array.tabulate(d)(i => m(1 + i))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
+    var p = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val cov = (m(p).toDouble / nD -
+          (marg(i).toDouble / nD) * (marg(j).toDouble / nD)) / 1.0e8
+        out += ((i, j, n, cov))
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq.toDF("dim_i", "dim_j", "n_vecs", "cov")
+  }
+
   /** Top principal component of the embedding cloud by POWER ITERATION
     * over [[embedCovariance]] — the PCA step itself (SemDeDup whitening,
     * anisotropy diagnostics: one dominant direction swallowing the

@@ -660,6 +660,21 @@ class PipelineSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("embedCovarianceAgg: bit-identical to the declarative path across partitionings") {
+    val rnd = new scala.util.Random(7)
+    val e = (1L to 60L).map(i =>
+      (i, Array.fill(8)((rnd.nextFloat() - 0.5f) * 0.8f))).toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))
+    val declarative = Similarity.embedCovariance(e).collect().map(key).toMap
+    val agg = Similarity.embedCovarianceAgg(e, d = 8).collect().map(key).toMap
+    assert(agg == declarative)
+    // merge path: many partitions -> many buffers merged
+    val agg9 = Similarity.embedCovarianceAgg(e.repartition(9), d = 8)
+      .collect().map(key).toMap
+    assert(agg9 == declarative)
+  }
+
   test("pcaProject: projection = dot with the recovered component; NULLs dropped") {
     val e = Seq(
       (1L, Array(0.1f, 0.2f)), (2L, Array(-0.1f, -0.2f)),
