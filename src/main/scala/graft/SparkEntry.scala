@@ -2395,6 +2395,12 @@ object SparkEntry {
       // BIT-identical, gated on the SAME oracle
       implicit val sp: SparkSession = s
       graft.pipeline.Similarity.embedCovarianceAgg(t(dir, "embeddings"))
+    },
+    "q287_media_qa" -> { (s, dir) =>
+      // the asset-QA dashboard over the real container decode: per
+      // (media_type, format) decode rate, bytes, decoded-only dims
+      implicit val sp: SparkSession = s
+      Multimodal.qaReport(t(dir, "documents"))
     }
   )
 
@@ -3145,6 +3151,7 @@ object SparkEntry {
       Oracle.Spec("l_quantity", axQty), "TRUE", "l_linestatus = 'O'"),
     "q285_bootstrap_ci" -> PipelineOracle.bootstrapCi(32, "bs"),
     // same oracle as q246: the aggregate path must be bit-identical
-    "q286_covariance_agg" -> PipelineOracle.embedCovariance
+    "q286_covariance_agg" -> PipelineOracle.embedCovariance,
+    "q287_media_qa" -> PipelineOracle.mediaQa()
   )
 }

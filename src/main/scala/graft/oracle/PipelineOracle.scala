@@ -1183,6 +1183,24 @@ object PipelineOracle {
       "fmt <> 'unknown' AS decoded_ok " +
       "FROM m"
 
+  /** Mirrors Multimodal.qaReport: the [[multimodalMeta]] relation
+    * aggregated per (media_type, format) — exact longs, two IEEE
+    * divisions, decoded-only dimension means. */
+  def mediaQa(): String =
+    s"WITH meta AS (${multimodalMeta()}), " +
+      "g AS (SELECT media_type, format, CAST(COUNT(*) AS BIGINT) AS n_assets, " +
+      "CAST(SUM(CASE WHEN decoded_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok, " +
+      "CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, " +
+      "CAST(SUM(CASE WHEN decoded_ok THEN CAST(width AS BIGINT) END) AS BIGINT) AS sw, " +
+      "CAST(SUM(CASE WHEN decoded_ok THEN CAST(height AS BIGINT) END) AS BIGINT) AS sh " +
+      "FROM meta GROUP BY 1, 2) " +
+      "SELECT media_type, format, n_assets, n_ok, " +
+      "CAST(n_ok AS DOUBLE) / CAST(n_assets AS DOUBLE) AS ok_rate, total_bytes, " +
+      "CASE WHEN n_ok = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE CAST(sw AS DOUBLE) / CAST(n_ok AS DOUBLE) END AS mean_width, " +
+      "CASE WHEN n_ok = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE CAST(sh AS DOUBLE) / CAST(n_ok AS DOUBLE) END AS mean_height FROM g"
+
   /** Mirrors Multimodal.sampleFrames: parseable AVI videos only (doc_id
     * mod 3 = 2, excluding the corrupt slice), frame indices 0, 24, 48...
     * below the avih frame count (1 + n mod 240 by synthesis — the Spark

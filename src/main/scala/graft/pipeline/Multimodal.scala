@@ -64,6 +64,34 @@ object Multimodal {
   /** Full pipeline: documents -> media -> decoded metadata DataFrame. */
   def pipeline(docs: DataFrame): DataFrame = decodeMeta(asMedia(docs)).toDF()
 
+  /** Asset-QA rollup — the dashboard over [[pipeline]]'s decode run
+    * ("which format from which feed is breaking, and how big is the
+    * broken slice?"): per (media_type, format), asset count, decode
+    * successes, the decode rate, exact total bytes, and the mean
+    * width/height over DECODED rows (a failed decode has no
+    * dimensions; averaging its zeros would understate real assets).
+    * Exact longs + two IEEE divisions; one map-combinable aggregate
+    * over the decode output. */
+  def qaReport(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val meta = pipeline(docs)
+    meta.groupBy(col("media_type"), col("format"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(col("decoded_ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(when(col("decoded_ok"), col("width").cast("long"))).as("__sw"),
+        sum(when(col("decoded_ok"), col("height").cast("long"))).as("__sh"))
+      .select(col("media_type"), col("format"), col("n_assets"), col("n_ok"),
+        (col("n_ok").cast("double") / col("n_assets").cast("double"))
+          .as("ok_rate"),
+        col("total_bytes"),
+        when(col("n_ok") === 0L, lit(null).cast("double"))
+          .otherwise(col("__sw").cast("double") / col("n_ok").cast("double"))
+          .as("mean_width"),
+        when(col("n_ok") === 0L, lit(null).cast("double"))
+          .otherwise(col("__sh").cast("double") / col("n_ok").cast("double"))
+          .as("mean_height"))
+  }
+
   case class Frame(doc_id: Long, frame_idx: Int, payload: Array[Byte])
 
   /** Frame sampling: every Nth frame of each parseable video as its own

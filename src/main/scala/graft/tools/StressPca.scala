@@ -24,6 +24,8 @@ object StressPca {
       val c = f
       println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
     }
+    time("embed_covariance_agg")(
+      graft.pipeline.Similarity.embedCovarianceAgg(emb).count())
     time("embed_covariance")(
       graft.pipeline.Similarity.embedCovariance(emb).count())
     time("pca_power_12it")(

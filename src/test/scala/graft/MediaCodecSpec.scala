@@ -144,4 +144,5 @@ class MediaCodecSpec extends AnyFunSuite {
       assert(len == expect, s"doc $docId n $n: $len != $expect")
     }
   }
+
 }

@@ -1315,6 +1315,21 @@ class PipelineSpec extends SparkSpec {
     assert(out7 == out.map(_.getLong(0)).toSet)
   }
 
+  test("media qaReport: decode rates per (type, format); corrupt slice isolated") {
+    // ids 3,6 image; 1,4 audio; 2,5 video; 97*3=291 image-slot corrupt
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L, 291L).map(i => (i, s"body text $i"))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Multimodal.qaReport(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val unknown = out.keys.filter(_._2 == "unknown")
+    assert(unknown.size == 1 && out(unknown.head)._1 == 1L &&
+      out(unknown.head)._2 == 0L && out(unknown.head)._3 == 0.0)
+    out.filterNot(_._1._2 == "unknown").values.foreach { case (n, ok, rate) =>
+      assert(n == ok && rate == 1.0)
+    }
+  }
+
   test("bootstrapCi: CI brackets the point mean; shrinks with corpus size") {
     def mk(n: Int) = (1L to n.toLong).map(i => (i, "s", 100L + (i % 21)))
       .toDF("doc_id", "source", "n_chars")
