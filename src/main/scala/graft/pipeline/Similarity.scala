@@ -1491,7 +1491,12 @@ object Similarity {
     require(iters >= 1, s"iters must be positive: $iters")
     val spark = emb.sparkSession
     import spark.implicits._
-    val covRows = embedCovariance(emb).collect()
+    // the moments come from the dense-buffer aggregate (bit-identical
+    // to the declarative covariance, 16x faster at 1M vectors — the
+    // q286 measurement); the declarative path stays the gated q246
+    val covRows = probeDim(emb)
+      .map(d0 => embedCovarianceAgg(emb, d0).collect())
+      .getOrElse(Array.empty)
     if (covRows.isEmpty)
       return Seq.empty[(Int, Double, Double, Option[Double])]
         .toDF("dim", "loading", "eigenvalue", "explained_share")
@@ -1537,11 +1542,19 @@ object Similarity {
     * inputs (λ₁ = 0) deflate by nothing and legitimately re-find the
     * zero vector. Scale shape: [[pcaPower]]'s — one never-shuffled
     * covariance pass, d×d driver-bounded eigen math. */
+  /** First non-NULL embedding's length — one limit(1) probe job. */
+  private def probeDim(emb: DataFrame): Option[Int] =
+    emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding")).as("__d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+
   def pcaDeflate(emb: DataFrame, iters: Int = 12): DataFrame = {
     require(iters >= 1, s"iters must be positive: $iters")
     val spark = emb.sparkSession
     import spark.implicits._
-    val covRows = embedCovariance(emb).collect()
+    val covRows = probeDim(emb)
+      .map(d0 => embedCovarianceAgg(emb, d0).collect())
+      .getOrElse(Array.empty)
     if (covRows.isEmpty)
       return Seq.empty[(Int, Int, Double, Double, Option[Double])]
         .toDF("component", "dim", "loading", "eigenvalue", "explained_share")
