@@ -2401,6 +2401,38 @@ object SparkEntry {
       // (media_type, format) decode rate, bytes, decoded-only dims
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
+    },
+    "q288_auc" -> { (s, dir) =>
+      // ML-eval head: does `value` rank purchases above everything
+      // else? midrank ROC AUC via the exact integer 2U identity over
+      // the distinct-score relation + distributed prefix sums
+      implicit val sp: SparkSession = s
+      graft.pipeline.RankStats.auc(t(dir, "events"), "value",
+        col("event_type") === "purchase")
+    },
+    "q289_mann_whitney" -> { (s, dir) =>
+      // the nonparametric two-sample test beside Welch's t (q268):
+      // rank-sum U + tie-corrected normal z, same prefix-sum machinery
+      implicit val sp: SparkSession = s
+      graft.pipeline.RankStats.mannWhitney(t(dir, "events"), "value",
+        col("event_type") === "purchase")
+    },
+    "q290_reliability" -> { (s, dir) =>
+      // score-calibration reliability diagram + ECE over the clamped
+      // value/512 score predicting purchase
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("score", col("value") / lit(512.0))
+      graft.pipeline.RankStats.reliability(ev, "score",
+        col("event_type") === "purchase")
+    },
+    "q291_km_survival" -> { (s, dir) =>
+      // churn done right: Kaplan-Meier over per-user lifetimes with
+      // end-of-window censoring; survival = pinned-order product
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.RankStats.kmSurvival(ev)
     }
   )
 
@@ -3152,6 +3184,10 @@ object SparkEntry {
     "q285_bootstrap_ci" -> PipelineOracle.bootstrapCi(32, "bs"),
     // same oracle as q246: the aggregate path must be bit-identical
     "q286_covariance_agg" -> PipelineOracle.embedCovariance,
-    "q287_media_qa" -> PipelineOracle.mediaQa()
+    "q287_media_qa" -> PipelineOracle.mediaQa(),
+    "q288_auc" -> PipelineOracle.auc("event_type = 'purchase'"),
+    "q289_mann_whitney" -> PipelineOracle.mannWhitney("event_type = 'purchase'"),
+    "q290_reliability" -> PipelineOracle.reliability("event_type = 'purchase'"),
+    "q291_km_survival" -> PipelineOracle.kmSurvival(2)
   )
 }

@@ -2951,6 +2951,106 @@ object PipelineOracle {
       "ELSE CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pctl FROM rk) p " +
       s"WHERE pctl >= $minPctl"
 
+  /** Mirrors RankStats.auc: the distinct-score relation with pos/neg
+    * counts, an exact strictly-below window cumsum (the oracle may use
+    * the window — row count = distinct scores; Spark uses the
+    * distributed two-pass prefix sum), the integer 2U identity, and
+    * ONE IEEE division. */
+  def auc(posCond: String): String =
+    "WITH s AS (SELECT CAST(value AS DOUBLE) AS v, " +
+      s"CAST(SUM(CASE WHEN $posCond THEN 1 ELSE 0 END) AS BIGINT) AS p, " +
+      s"CAST(SUM(CASE WHEN $posCond THEN 0 ELSE 1 END) AS BIGINT) AS n " +
+      "FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) " +
+      "GROUP BY CAST(value AS DOUBLE)), " +
+      "c AS (SELECT v, p, n, CAST(COALESCE(SUM(n) OVER (ORDER BY v " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cn FROM s), " +
+      "t AS (SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pos, " +
+      "CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_neg, " +
+      "CAST(COALESCE(SUM(p * (cn * 2 + n)), 0) AS BIGINT) AS u2 FROM c) " +
+      "SELECT n_pos, n_neg, CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE CAST(u2 AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE) * " +
+      "CAST(n_neg AS DOUBLE)) END AS auc FROM t"
+
+  /** Mirrors RankStats.mannWhitney: the [[auc]] CTEs plus the
+    * DECIMAL tie-correction sum Σ(t³−t), then the pinned IEEE σ²/z
+    * sequence — every subexpression associated exactly as the Spark
+    * Column tree. */
+  def mannWhitney(posCond: String): String = {
+    val pd = "CAST(n_pos AS DOUBLE)"; val nd = "CAST(n_neg AS DOUBLE)"
+    val td = s"($pd + $nd)"
+    val sig2 = s"($pd * $nd / CAST(12 AS DOUBLE)) * " +
+      s"(($td + CAST(1 AS DOUBLE)) - CAST(st3 AS DOUBLE) / " +
+      s"($td * ($td - CAST(1 AS DOUBLE))))"
+    "WITH s AS (SELECT CAST(value AS DOUBLE) AS v, " +
+      s"CAST(SUM(CASE WHEN $posCond THEN 1 ELSE 0 END) AS BIGINT) AS p, " +
+      s"CAST(SUM(CASE WHEN $posCond THEN 0 ELSE 1 END) AS BIGINT) AS n " +
+      "FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) " +
+      "GROUP BY CAST(value AS DOUBLE)), " +
+      "c AS (SELECT v, p, n, CAST(COALESCE(SUM(n) OVER (ORDER BY v " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cn, " +
+      "CAST(p + n AS DECIMAL(12,0)) AS tdv FROM s), " +
+      "t AS (SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pos, " +
+      "CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_neg, " +
+      "CAST(COALESCE(SUM(p * (cn * 2 + n)), 0) AS BIGINT) AS u2, " +
+      "CAST(COALESCE(SUM(tdv * tdv * tdv - tdv), 0) AS DECIMAL(38,0)) AS st3 FROM c) " +
+      "SELECT n_pos, n_neg, " +
+      "CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE CAST(u2 AS DOUBLE) / CAST(2 AS DOUBLE) END AS u, " +
+      s"CASE WHEN n_pos = 0 OR n_neg = 0 OR n_pos + n_neg < 2 OR $sig2 <= CAST(0 AS DOUBLE) " +
+      "THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE (CAST(u2 AS DOUBLE) - $pd * $nd) / (CAST(2 AS DOUBLE) * SQRT($sig2)) END AS z " +
+      "FROM t"
+  }
+
+  /** Mirrors RankStats.reliability over score = value/512 clamped to
+    * [0,1]: the nBins-sized per-bin relation (DECIMAL score sums →
+    * exact-double conf), and the ECE fold as SUM(term ORDER BY bin) —
+    * the ordered-aggregate mirror of Spark's sorted-array fold. */
+  def reliability(posCond: String, nBins: Int = 10): String = {
+    val s = "LEAST(GREATEST(CAST(value AS DOUBLE) / CAST(512 AS DOUBLE), " +
+      "CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE))"
+    val conf = Oracle.exactDbl("SUM(TRY_CAST(CAST(s AS VARCHAR) AS DECIMAL(38,14)))") +
+      " / CAST(COUNT(*) AS DOUBLE)"
+    s"WITH b AS (SELECT LEAST(CAST(FLOOR($s * CAST($nBins AS DOUBLE)) AS BIGINT), " +
+      s"${nBins - 1}) AS bin, $s AS s, " +
+      s"CASE WHEN $posCond THEN 1 ELSE 0 END AS y FROM events " +
+      "WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))), " +
+      "r AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, " +
+      s"CAST(SUM(y) AS BIGINT) AS pos, $conf AS conf, " +
+      s"CAST(SUM(y) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS acc, " +
+      s"ABS($conf - CAST(SUM(y) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)) AS gap " +
+      "FROM b GROUP BY bin), " +
+      "tt AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS tot FROM r), " +
+      "e AS (SELECT SUM(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * gap ORDER BY bin) AS ece " +
+      "FROM r CROSS JOIN tt) " +
+      "SELECT r.bin, r.n, r.pos, r.conf, r.acc, r.gap, e.ece FROM r CROSS JOIN e"
+  }
+
+  /** Mirrors RankStats.kmSurvival: per-key lifetime days with the
+    * end-of-window censoring rule, the lifetimes-sized at-risk
+    * cumsum, and the cumulative product as an ordered PRODUCT in a
+    * correlated subquery — sequential multiplies in lifetime order,
+    * the exact sequence of Spark's slice-fold. */
+  def kmSurvival(censorDays: Int): String =
+    "WITH k AS (SELECT user_id, CAST(MIN(epoch_ns(ts) // 1000) AS BIGINT) AS lo, " +
+      "CAST(MAX(epoch_ns(ts) // 1000) AS BIGINT) AS hi " +
+      "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id), " +
+      "e AS (SELECT CAST(MAX(hi) AS BIGINT) AS fin FROM k), " +
+      "l AS (SELECT (hi // 86400000000) - (lo // 86400000000) AS life, " +
+      s"(hi // 86400000000) >= (fin // 86400000000) - $censorDays AS cens FROM k CROSS JOIN e), " +
+      "p AS (SELECT life, CAST(SUM(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS deaths, " +
+      "CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS censored FROM l GROUP BY life), " +
+      "c AS (SELECT life, deaths, censored, " +
+      "CAST((SELECT COALESCE(SUM(deaths + censored), 0) FROM p) AS BIGINT) - " +
+      "CAST(COALESCE(SUM(deaths + censored) OVER (ORDER BY life " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS at_risk FROM p), " +
+      "f AS (SELECT life, at_risk, deaths, censored, " +
+      "CASE WHEN deaths > 0 THEN CAST(1 AS DOUBLE) - CAST(deaths AS DOUBLE) / " +
+      "CAST(at_risk AS DOUBLE) ELSE CAST(1 AS DOUBLE) END AS fac FROM c) " +
+      "SELECT life, at_risk, deaths, censored, " +
+      "(SELECT COALESCE(PRODUCT(f2.fac ORDER BY f2.life), CAST(1 AS DOUBLE)) " +
+      "FROM f f2 WHERE f2.life <= f.life) AS survival FROM f"
+
   /** Mirrors Curation.robustStandardizeBySource: integral scores make
     * every interpolated median an exact multiple of 1/2 and the MAD an
     * exact multiple of 1/4, so quantile_cont and Spark's percentile

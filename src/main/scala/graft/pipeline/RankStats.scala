@@ -1,0 +1,236 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Rank-based evaluation statistics over raw value populations: ROC
+  * AUC, the Mann–Whitney U test, score-calibration reliability (ECE),
+  * and the Kaplan–Meier survival curve.
+  *
+  * These complete the engine's ML-evaluation surface next to the
+  * distribution-drift family (PSI/KS/CvM/EMD/Hellinger say two
+  * populations DIFFER; AUC/MWU say how well a score SEPARATES two
+  * classes, and whether the separation beats chance), and the
+  * churn/retention family (retention counts WHO came back; KM says how
+  * long users SURVIVE, with censoring done right).
+  *
+  * Scale discipline shared by [[auc]] and [[mannWhitney]]: both need
+  * ranks over the full score population — the textbook form is a
+  * global sort of every row. Here the corpus first collapses to the
+  * DISTINCT-SCORE relation (one map-combinable groupBy: score →
+  * (pos_count, neg_count)), and the rank information is recovered from
+  * an EXACT distributed prefix-sum over that collapsed relation:
+  * RDD.sortBy (range partitioner frozen at construction, so every
+  * job over the sorted RDD sees the same boundaries), one pass for
+  * per-partition totals (driver state = numPartitions longs), one
+  * pass adding broadcast offsets. No single-partition WindowExec
+  * anywhere — the q210 zipf-rank fix generalized to cumulative sums. */
+object RankStats {
+
+  /** Collapse to the distinct-score relation and attach exact
+    * strictly-below prefix sums: (score, p, n) → (__v, __p, __n,
+    * __cp, __cn) where __cp/__cn are the pos/neg totals over scores
+    * STRICTLY below __v. Two jobs over one sorted RDD (the shuffle
+    * map output is reused; the range partitioner is constructed
+    * eagerly by sortBy, so partition boundaries cannot drift between
+    * the totals pass and the offset pass). */
+  private[graft] def cumBeforeCounts(counts: DataFrame): DataFrame = {
+    val sp = counts.sparkSession
+    import sp.implicits._
+    val sorted = counts.as[(Double, Long, Long)].rdd.sortBy(_._1)
+    val totals = sorted.mapPartitionsWithIndex { (i, it) =>
+      var tp = 0L; var tn = 0L
+      it.foreach { case (_, p, n) => tp += p; tn += n }
+      Iterator((i, tp, tn))
+    }.collect().sortBy(_._1)
+    val offP = new Array[Long](totals.length + 1)
+    val offN = new Array[Long](totals.length + 1)
+    totals.foreach { case (i, tp, tn) =>
+      offP(i + 1) = offP(i) + tp; offN(i + 1) = offN(i) + tn
+    }
+    val bp = sp.sparkContext.broadcast((offP, offN))
+    val out = sorted.mapPartitionsWithIndex { (i, it) =>
+      var cp = bp.value._1(i); var cn = bp.value._2(i)
+      it.map { case (v, p, n) =>
+        val r = (v, p, n, cp, cn); cp += p; cn += n; r
+      }
+    }
+    out.toDF("__v", "__p", "__n", "__cp", "__cn")
+  }
+
+  private def scoreCounts(df: DataFrame, scoreCol: String,
+      isPos: Column): DataFrame = {
+    val v = col(scoreCol).cast("double")
+    df.filter(v.isNotNull && !isnan(v))
+      .groupBy(v.as("__v"))
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("__p"),
+        sum(when(isPos, 0L).otherwise(1L)).as("__n"))
+  }
+
+  /** ROC AUC of a numeric score predicting a binary condition — "does
+    * the score rank positives above negatives?" (AUC = P(s⁺ > s⁻) +
+    * ½·P(s⁺ = s⁻), the probabilistic/midrank form — ties count half,
+    * the Hanley–McNeil convention every ML library implements).
+    *
+    * Exact arithmetic: 2U = Σ_v p(v)·(2·negBelow(v) + n(v)) is an
+    * INTEGER identity over the distinct-score relation, summed as a
+    * long (headroom 2·n⁺·n⁻ < 2⁶³ ≈ 9.2e18, i.e. ~2e9 rows per side;
+    * past that swap the sum to DECIMAL(38,0)); AUC is then ONE IEEE
+    * division of exact-cast doubles — bit-identical cross-engine.
+    * NULL when either class is empty (the lifecycle convention). */
+  def auc(df: DataFrame, scoreCol: String, isPos: Column): DataFrame = {
+    val c = cumBeforeCounts(scoreCounts(df, scoreCol, isPos))
+    val t = c.agg(
+      coalesce(sum(col("__p")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("__n")), lit(0L)).as("n_neg"),
+      coalesce(sum(col("__p") * (col("__cn") * lit(2L) + col("__n"))),
+        lit(0L)).as("__u2"))
+    t.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+        .otherwise(col("__u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
+  /** Mann–Whitney U test (Wilcoxon rank-sum) between the positive and
+    * negative populations of a score — the NONPARAMETRIC two-sample
+    * location test beside [[graft.stats.HistStats.welchT]] (Welch
+    * assumes means are the story; MWU only assumes ranks, so a heavy
+    * tail or an outlier burst can't fake or mask a shift). U is the
+    * same integer statistic as [[auc]]'s (U = AUC·n⁺·n⁻); z is the
+    * tie-corrected normal approximation
+    * z = (U − n⁺n⁻/2) / √(σ²),
+    * σ² = (n⁺n⁻/12)·[(T+1) − Σ(t³−t)/(T(T−1))] over tie groups t.
+    *
+    * Cross-engine: U from the exact long 2U; Σ(t³−t) in DECIMAL —
+    * (12,0)·(12,0)·(12,0) products, so a tie group up to 1e12 rows
+    * stays exact — then one pinned IEEE sequence for σ² and z,
+    * mirrored verbatim in the oracle. NULL z when a class is empty
+    * or every score is tied (σ² = 0: no rank information). */
+  def mannWhitney(df: DataFrame, scoreCol: String,
+      isPos: Column): DataFrame = {
+    val c = cumBeforeCounts(scoreCounts(df, scoreCol, isPos))
+    val tDec = (col("__p") + col("__n")).cast(DecimalType(12, 0))
+    val t = c.agg(
+      coalesce(sum(col("__p")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("__n")), lit(0L)).as("n_neg"),
+      coalesce(sum(col("__p") * (col("__cn") * lit(2L) + col("__n"))),
+        lit(0L)).as("__u2"),
+      coalesce(sum(tDec * tDec * tDec - tDec),
+        lit(0L).cast(DecimalType(38, 0))).as("__st3"))
+    def d(name: String): Column = col(name).cast("double")
+    val pd = d("n_pos"); val nd = d("n_neg")
+    val td = pd + nd
+    val sig2 = (pd * nd / lit(12.0)) *
+      ((td + lit(1.0)) - d("__st3") / (td * (td - lit(1.0))))
+    val degenerate = col("n_pos") === 0L || col("n_neg") === 0L ||
+      col("n_pos") + col("n_neg") < 2L || sig2 <= lit(0.0)
+    t.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") === 0L || col("n_neg") === 0L,
+          lit(null).cast("double"))
+        .otherwise(d("__u2") / lit(2.0)).as("u"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise((d("__u2") - pd * nd) / (lit(2.0) * sqrt(sig2)))
+        .as("z"))
+  }
+
+  /** Score-calibration RELIABILITY table + expected calibration error
+    * — "when the score says 0.8, does the event happen 80% of the
+    * time?": scores clamped to [0,1], bucketed into `nBins` equal
+    * bins (the last bin closed so 1.0 lands in it), per-bin count,
+    * positives, mean score (confidence) and positive rate (accuracy),
+    * and ECE = Σ_b (n_b/N)·|conf_b − acc_b| repeated on every row.
+    *
+    * Cross-engine: the per-bin score sum takes the DECIMAL(38,14)
+    * route, conf/acc are single IEEE divisions of exact values, and
+    * the ECE fold runs in pinned bin order (sorted array + HOF fold
+    * vs SUM ORDER BY). Scale shape: ONE map-combinable groupBy to an
+    * nBins-sized relation; the total and the fold run on that bounded
+    * table (the histogram convention — bounded by construction). */
+  def reliability(df: DataFrame, scoreCol: String, isPos: Column,
+      nBins: Int = 10): DataFrame = {
+    val raw = col(scoreCol).cast("double")
+    val s = least(greatest(raw, lit(0.0)), lit(1.0))
+    val bin = least(floor(s * lit(nBins.toDouble)).cast("long"),
+      lit(nBins.toLong - 1L))
+    val perBin = df.filter(raw.isNotNull && !isnan(raw))
+      .select(bin.as("bin"), s.as("__s"),
+        when(isPos, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"),
+        graft.util.Dec.sumDec(col("__s")).as("__ss"))
+    val conf = col("__ss") / col("n").cast("double")
+    val acc = col("pos").cast("double") / col("n").cast("double")
+    val r = perBin.select(col("bin"), col("n"), col("pos"),
+      conf.as("conf"), acc.as("acc"), abs(conf - acc).as("gap"))
+    val total = r.agg(coalesce(sum(col("n")), lit(0L)).as("__tot"),
+      sort_array(collect_list(struct(col("bin").as("k"),
+        col("n").as("nb"), col("gap").as("g")))).as("__arr"))
+    val ece = aggregate(col("__arr"), lit(0.0), (a, x) =>
+      a + x.getField("nb").cast("double") / col("__tot").cast("double") *
+        x.getField("g"))
+    r.crossJoin(broadcast(total.select(ece.as("ece"))))
+  }
+
+  /** Kaplan–Meier survival curve over per-key observation lifetimes —
+    * the churn question retention tables can't answer ("how long does
+    * a user last?") asked correctly: a user still active at the end
+    * of the observation window is CENSORED (their lifetime is a lower
+    * bound, not a death), and KM uses exactly the information each
+    * lifetime carries. Lifetime = last-event day − first-event day; a
+    * key whose last event falls within `censorDays` of the corpus'
+    * last day is censored. Per distinct lifetime d: at_risk (keys with
+    * lifetime ≥ d), deaths, censored, and
+    * S(d) = Π_{d'≤d} (1 − deaths_{d'}/at_risk_{d'}).
+    *
+    * Cross-engine: every count is an exact long; each factor is one
+    * IEEE division; the cumulative product folds in pinned lifetime
+    * order (slice-fold over the sorted factor array vs an ordered
+    * PRODUCT in a correlated subquery). Scale shape: one key-keyed
+    * map-combinable collapse (min/max microseconds), one single-row
+    * max broadcast, then ALL remaining relations are bounded by the
+    * number of distinct lifetimes — calendar days, not data (the q209
+    * convention: the one unpartitioned window runs over days). */
+  def kmSurvival(events: DataFrame, tsCol: String = "event_time",
+      keyCol: String = "user_id", censorDays: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col(tsCol))
+    val perKey = events.filter(col(keyCol).isNotNull && us.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(us).as("__lo"), max(us).as("__hi"))
+    val corpus = perKey.agg(max(col("__hi")).as("__end"))
+    val day = 86400000000L
+    val lives = perKey.crossJoin(broadcast(corpus))
+      .select(
+        (expr(s"__hi div $day") - expr(s"__lo div $day")).as("life"),
+        (expr(s"__hi div $day") >=
+          expr(s"__end div $day") - lit(censorDays.toLong)).as("__cens"))
+    val perLife = lives.groupBy(col("life"))
+      .agg(sum(when(col("__cens"), 0L).otherwise(1L)).as("deaths"),
+        sum(when(col("__cens"), 1L).otherwise(0L)).as("censored"))
+    // bounded by distinct lifetimes (calendar days): the window and the
+    // fold below run over that bounded relation, never the corpus
+    val w = Window.orderBy(col("life"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withRisk = perLife.withColumn("__gone",
+        coalesce(sum(col("deaths") + col("censored")).over(w), lit(0L)))
+      .crossJoin(broadcast(perLife.agg(
+        coalesce(sum(col("deaths") + col("censored")), lit(0L))
+          .as("__tot"))))
+      .withColumn("at_risk", col("__tot") - col("__gone"))
+    val factor = when(col("deaths") > 0L,
+      lit(1.0) - col("deaths").cast("double") /
+        col("at_risk").cast("double")).otherwise(lit(1.0))
+    val facts = withRisk.select(col("life"), factor.as("__f"))
+      .agg(sort_array(collect_list(struct(col("life").as("k"),
+        col("__f").as("f")))).as("__facts"))
+    val out = withRisk.crossJoin(broadcast(facts))
+    val surv = aggregate(
+      filter(col("__facts"), x => x.getField("k") <= col("life")),
+      lit(1.0), (a, x) => a * x.getField("f"))
+    out.select(col("life"), col("at_risk"), col("deaths"),
+      col("censored"), surv.as("survival"))
+  }
+}

@@ -363,6 +363,30 @@ class EmptyInputSpec extends SparkSpec {
     assert(Similarity.ivfPqSearch(emptyEmb, emptyEmb, k = 2).count() == 0)
   }
 
+  test("rank-statistics family on empty and one-class input") {
+    import spark.implicits._
+    import graft.pipeline.RankStats
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("s", DoubleType), StructField("y", BooleanType))))
+    // AUC/MWU on empty input: counts 0, statistic NULL (never 0/0)
+    val a = RankStats.auc(empty, "s", col("y")).collect()(0)
+    assert(a.getLong(0) == 0L && a.getLong(1) == 0L && a.isNullAt(2))
+    val m = RankStats.mannWhitney(empty, "s", col("y")).collect()(0)
+    assert(m.isNullAt(2) && m.isNullAt(3))
+    // one-class input: defined counts, NULL statistic
+    val onePos = Seq((0.5, true), (0.7, true)).toDF("s", "y")
+    val a1 = RankStats.auc(onePos, "s", col("y")).collect()(0)
+    assert(a1.getLong(0) == 2L && a1.getLong(1) == 0L && a1.isNullAt(2))
+    // reliability and KM on empty input: empty relations, no crash
+    assert(RankStats.reliability(empty, "s", col("y")).count() == 0)
+    val emptyT = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_time", TimestampType))))
+    assert(RankStats.kmSurvival(emptyT).count() == 0)
+  }
+
   test("accessor arithmetic and multimodal on empty input") {
     val h = Histogram.histogram(emptyNum, col("x"), ax)
     assert(HistStats.add(h, h, ax, Nil).count() == 0)

@@ -2835,6 +2835,110 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((0, 24L, 0.0, 0.0)))
   }
 
+  test("cumBeforeCounts matches a window cumsum on every partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map { _ =>
+      (rnd.nextInt(40).toDouble, rnd.nextInt(3).toLong, rnd.nextInt(5).toLong)
+    }
+    for (parts <- Seq(1, 3, 11)) {
+      val counts = rows.toDF("__v", "__p", "__n")
+        .groupBy("__v").agg(sum("__p").as("__p"), sum("__n").as("__n"))
+        .repartition(parts)
+      val got = graft.pipeline.RankStats.cumBeforeCounts(counts)
+        .collect()
+        .map(r => r.getDouble(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+      val w = Window.orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = counts
+        .withColumn("cp", coalesce(sum("__p").over(w), lit(0L)))
+        .withColumn("cn", coalesce(sum("__n").over(w), lit(0L)))
+        .collect()
+        .map(r => r.getDouble(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("auc: hand case with ties (midrank convention); perfect and inverted scores") {
+    def mk(pos: Seq[Double], neg: Seq[Double]) =
+      (pos.map((_, true)) ++ neg.map((_, false))).toDF("s", "y")
+    def a(pos: Seq[Double], neg: Seq[Double]): Double =
+      graft.pipeline.RankStats.auc(mk(pos, neg), "s", col("y"))
+        .collect()(0).getDouble(2)
+    // pos {1,2,2,3}, neg {1,2}: 8 pairs; wins 4 + half-ties 3 -> U = 5.5
+    assert(a(Seq(1, 2, 2, 3), Seq(1, 2)) == 5.5 / 8.0)
+    assert(a(Seq(5, 6), Seq(1, 2)) == 1.0)
+    assert(a(Seq(1, 2), Seq(5, 6)) == 0.0)
+    assert(a(Seq(3, 3), Seq(3, 3)) == 0.5) // all tied: pure midrank
+    // one-class lifecycle -> NULL
+    val r = graft.pipeline.RankStats.auc(mk(Seq(1.0), Seq()), "s", col("y"))
+      .collect()(0)
+    assert(r.isNullAt(2))
+  }
+
+  test("mannWhitney: z sign tracks direction; all-tied and one-class are NULL") {
+    def mk(pos: Seq[Double], neg: Seq[Double]) =
+      (pos.map((_, true)) ++ neg.map((_, false))).toDF("s", "y")
+    val up = graft.pipeline.RankStats
+      .mannWhitney(mk(Seq(5, 6, 7, 8), Seq(1, 2, 3, 4)), "s", col("y"))
+      .collect()(0)
+    assert(up.getDouble(2) == 16.0) // U = n+ * n- : total separation
+    assert(up.getDouble(3) > 2.0)
+    val down = graft.pipeline.RankStats
+      .mannWhitney(mk(Seq(1, 2, 3, 4), Seq(5, 6, 7, 8)), "s", col("y"))
+      .collect()(0)
+    assert(down.getDouble(2) == 0.0 && down.getDouble(3) < -2.0)
+    val tied = graft.pipeline.RankStats
+      .mannWhitney(mk(Seq(3, 3), Seq(3, 3)), "s", col("y")).collect()(0)
+    assert(tied.isNullAt(3)) // sigma^2 = 0: no rank information
+  }
+
+  test("reliability: ece is the n-weighted mean gap; bins partition the corpus") {
+    val d = Seq(
+      (0.05, false), (0.05, false), (0.05, true),  // bin 0: conf .05 acc 1/3
+      (0.95, true), (0.95, true), (0.95, false),   // bin 9: conf .95 acc 2/3
+      (1.0, true)                                   // clamps into bin 9
+    ).toDF("s", "y")
+    val out = graft.pipeline.RankStats.reliability(d, "s", col("y"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(6)))).toMap
+    assert(out.keySet == Set(0L, 9L))
+    assert(out(0L)._1 == 3L && out(0L)._2 == 1L)
+    assert(out(9L)._1 == 4L && out(9L)._2 == 3L)
+    val eces = out.values.map(_._3).toSet
+    assert(eces.size == 1) // the scalar repeats on every row
+    val conf9 = (0.95 * 3 + 1.0) / 4
+    val expected = 3.0 / 7 * math.abs(0.05 - 1.0 / 3) +
+      4.0 / 7 * math.abs(conf9 - 3.0 / 4)
+    assert(math.abs(eces.head - expected) < 1e-12)
+  }
+
+  test("kmSurvival: survival steps only at deaths, never increases, censoring respected") {
+    import java.sql.Timestamp
+    def ts(day: Int): Timestamp = new Timestamp(day * 86400000L)
+    // users: lifetimes 0,0,1,2 (deaths), one user alive through the end (censored)
+    val ev = Seq(
+      (1L, ts(0)), (2L, ts(1)),                     // life 0, die
+      (3L, ts(0)), (3L, ts(1)),                     // life 1, die
+      (4L, ts(0)), (4L, ts(2)),                     // life 2, die
+      (5L, ts(3)), (5L, ts(9)),                     // life 6, last day = end -> censored
+      (6L, ts(9))                                   // life 0 at end -> censored
+    ).toDF("user_id", "event_time")
+    val out = graft.pipeline.RankStats.kmSurvival(ev, censorDays = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L, 6L))
+    val m = out.toMap
+    assert(m(0L) == ((6L, 2L, 1L, 1.0 - 2.0 / 6.0)))
+    assert(m(1L) == ((3L, 1L, 0L, (1.0 - 2.0 / 6.0) * (1 - 1.0 / 3.0))))
+    val s2 = (1.0 - 2.0 / 6.0) * (1 - 1.0 / 3.0) * (1 - 1.0 / 2.0)
+    assert(m(2L) == ((2L, 1L, 0L, s2)))
+    assert(m(6L) == ((1L, 0L, 1L, s2))) // censor-only row: no step
+    val survs = out.map(_._2._4)
+    assert(survs.zip(survs.tail).forall { case (a, b) => b <= a })
+  }
+
   test("lmFilterSketch: rank-bound verdicts hold; empty/NULL docs never scored") {
     val d = (1L to 40L).map { i =>
       val src = if (i <= 20) "s1" else "s2"
