@@ -2433,6 +2433,18 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.RankStats.kmSurvival(ev)
+    },
+    "q292_js_drift" -> { (s, dir) =>
+      // the drift family's information-theoretic head: symmetric,
+      // finite on empty bins, bounded by ln 2 - thresholds transfer
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      HistStats.jsDivergence(
+        Histogram.histogram(ev.filter(col("event_type") === "view"),
+          col("value"), axValue),
+        Histogram.histogram(ev.filter(col("event_type") === "click"),
+          col("value"), axValue),
+        axValue)
     }
   )
 
@@ -3188,6 +3200,9 @@ object SparkEntry {
     "q288_auc" -> PipelineOracle.auc("event_type = 'purchase'"),
     "q289_mann_whitney" -> PipelineOracle.mannWhitney("event_type = 'purchase'"),
     "q290_reliability" -> PipelineOracle.reliability("event_type = 'purchase'"),
-    "q291_km_survival" -> PipelineOracle.kmSurvival(2)
+    "q291_km_survival" -> PipelineOracle.kmSurvival(2),
+    "q292_js_drift" -> Oracle.jsDivergence("events",
+      Oracle.Spec("value", axValue),
+      "event_type = 'view'", "event_type = 'click'")
   )
 }

@@ -399,6 +399,40 @@ object Oracle {
       "ELSE SQRT(GREATEST(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - bc)) END AS hellinger FROM m"
   }
 
+  /** Mirrors HistStats.jsDivergence: the [[hellinger]] CTEs, per-bin
+    * ½-decomposed KL terms with 1e-9-quantized LN (the lmScore
+    * discipline) and 0·ln0 ≡ 0, SUM ORDER BY i, final ÷2, the same
+    * zero-total lifecycle NULL. */
+  def jsDivergence(table: String, spec: Spec, whereA: String,
+      whereB: String): String = {
+    def histCte(name: String, where: String): String =
+      s"$name AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+        s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+        s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1} " +
+        "GROUP BY __i0)"
+    def dsum(e: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER ()")
+    // outer parens are load-bearing: without them `p * qln / 1e9`
+    // reassociates to `(p * floor) / 1e9`, off Spark's tree by an ulp
+    def qln(x: String): String =
+      s"(FLOOR(LN($x) * CAST('1.0E9' AS DOUBLE)) / CAST('1.0E9' AS DOUBLE))"
+    val p = "(ca / ta)"; val q = "(cb / tb)"
+    val m = s"(($p + $q) / CAST(2 AS DOUBLE))"
+    val term =
+      s"(CASE WHEN ca > CAST(0 AS DOUBLE) THEN $p * ${qln(s"$p / $m")} ELSE CAST(0 AS DOUBLE) END + " +
+      s"CASE WHEN cb > CAST(0 AS DOUBLE) THEN $q * ${qln(s"$q / $m")} ELSE CAST(0 AS DOUBLE) END)"
+    s"WITH ${histCte("ha", whereA)}, ${histCte("hb", whereB)}, " +
+      s"bins AS (SELECT CAST(r AS BIGINT) AS i FROM range(0, ${spec.axis.nBins}) t(r)), " +
+      "j AS (SELECT bins.i, " +
+      "COALESCE(ha.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hb.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM bins LEFT JOIN ha ON ha.__i0 = bins.i LEFT JOIN hb ON hb.__i0 = bins.i), " +
+      s"c AS (SELECT i, ca, cb, ${dsum("ca")} AS ta, ${dsum("cb")} AS tb FROM j), " +
+      "m AS (SELECT SUM(CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE $term END ORDER BY i) AS s FROM c) " +
+      "SELECT s / CAST(2 AS DOUBLE) AS js FROM m"
+  }
+
   /** Mirrors HistStats.cvm: the [[emd]] CTEs with the squared-gap term
     * (g·g after one subtraction, no width factor), SUM ORDER BY i, the
     * same zero-total lifecycle NULL. */

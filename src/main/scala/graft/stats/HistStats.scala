@@ -663,6 +663,66 @@ object HistStats {
       }: _*)
   }
 
+  /** Jensen–Shannon DIVERGENCE between two count histograms — the
+    * drift family's information-theoretic head (PSI needs an epsilon
+    * floor to survive empty bins and is unbounded; JS is finite by
+    * construction — a bin empty on one side contributes q·ln2, not a
+    * clamp — symmetric, and bounded by ln 2, so thresholds transfer
+    * across metrics): JS = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m) with
+    * m = (p+q)/2 and 0·ln(0/m) ≡ 0.
+    *
+    * Cross-engine: p/q from DECIMAL-exact totals; each ln is
+    * 1e-9-quantized (ln is the one libm call engines disagree on —
+    * the lmScore discipline); per-bin terms fold in pinned bin order.
+    * Zero-total lifecycle → NULL (the emd rule); off-grid labels
+    * raise. Histogram-sized relations only. */
+  def jsDivergence(a: DataFrame, b: DataFrame, ax: BinAxis,
+      dims: Seq[String] = Nil): DataFrame = {
+    val aa = a.select(dims.map(col) ++
+      Seq(col(ax.binsCol), col("cnt").as("__ca")): _*)
+    val bb = b.select(dims.map(col) ++
+      Seq(col(ax.binsCol), col("cnt").as("__cb")): _*)
+    val bins = binsTable(a.sparkSession, ax)
+      .select(col("left_edge").as(ax.binsCol))
+    val offGrid = aa.select(col(ax.binsCol))
+      .union(bb.select(col(ax.binsCol))).distinct()
+      .join(broadcast(bins), Seq(ax.binsCol), "left_anti").count()
+    require(offGrid == 0L,
+      s"jsDivergence requires flow-free histograms binned on the axis grid: " +
+        s"$offGrid bin label(s) outside the ${ax.nBins}-bin ${ax.binsCol} axis")
+    val grid = if (dims.isEmpty) bins
+      else aa.select(dims.map(col): _*)
+        .union(bb.select(dims.map(col): _*)).distinct()
+        .crossJoin(broadcast(bins))
+    val j = grid.join(aa, dims :+ ax.binsCol, "left")
+      .join(bb, dims :+ ax.binsCol, "left")
+      .na.fill(0.0, Seq("__ca", "__cb"))
+    val w = if (dims.isEmpty) Window.partitionBy()
+      else Window.partitionBy(dims.map(col): _*)
+    val ta = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__ca"))).over(w))
+    val tb = graft.util.Dec.exactDouble(
+      sum(graft.util.Dec.toDec(col("__cb"))).over(w))
+    def qln(x: Column): Column = floor(log(x) * lit(1.0e9)) / lit(1.0e9)
+    val p = col("__ca") / ta
+    val q = col("__cb") / tb
+    val m = (p + q) / lit(2.0)
+    val term =
+      when(col("__ca") > lit(0.0), p * qln(p / m)).otherwise(lit(0.0)) +
+      when(col("__cb") > lit(0.0), q * qln(q / m)).otherwise(lit(0.0))
+    val withTerm = j
+      .withColumn("__t", when(ta === lit(0.0) || tb === lit(0.0),
+          lit(null).cast("double"))
+        .otherwise(term))
+    val terms = sort_array(collect_list(struct(
+      col(ax.binsCol).as("k"), col("__t").as("t"))))
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x.getField("t"))
+    grouped(withTerm, dims)(terms.as("__terms"))
+      .select(dims.map(col) :+
+        (fold(col("__terms")) / lit(2.0)).as("js"): _*)
+  }
+
   /** Two-sample WELCH t-test between two value populations — the drift
     * family's mean-level significance head (PSI/EMD/KS/CvM say the
     * DISTRIBUTION moved; this says whether the MEAN moved more than

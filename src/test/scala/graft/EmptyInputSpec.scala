@@ -359,6 +359,9 @@ class EmptyInputSpec extends SparkSpec {
     val he = Histogram.histogram(emptyNum, col("x"), ax)
     assert(HistStats.ks(he, he, ax).collect()
       .forall(r => r.isNullAt(0) || !r.getDouble(0).isNaN))
+    // js divergence: zero-total lifecycle -> NULL, never -inf/NaN
+    assert(HistStats.jsDivergence(he, he, ax).collect()
+      .forall(r => r.isNullAt(0)))
     // ANN: empty corpus trains nothing and returns the empty relation
     assert(Similarity.ivfPqSearch(emptyEmb, emptyEmb, k = 2).count() == 0)
   }

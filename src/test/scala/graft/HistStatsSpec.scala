@@ -367,6 +367,36 @@ class HistStatsSpec extends SparkSpec {
     assert(dead("b") == ((true, true)))
   }
 
+  test("jsDivergence: identical -> 0; disjoint -> ln2; symmetric; dead group NULL") {
+    val ax = Regular("x", 4, 0.0, 8.0)
+    def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)
+    val same = HistStats.jsDivergence(h(1, 3, 5), h(1, 3, 5), ax)
+      .collect().head.getDouble(0)
+    assert(same == 0.0)
+    // disjoint supports: JS = ln 2 (the bound), up to ln quantization
+    val disj = HistStats.jsDivergence(h(1, 1), h(7, 7), ax)
+      .collect().head.getDouble(0)
+    assert(math.abs(disj - math.log(2.0)) < 1e-8)
+    // symmetric: JS(a,b) == JS(b,a), and bounded in [0, ln 2]
+    val ab = HistStats.jsDivergence(h(1, 1, 3, 3), h(1, 3, 3, 3), ax)
+      .collect().head.getDouble(0)
+    val ba = HistStats.jsDivergence(h(1, 3, 3, 3), h(1, 1, 3, 3), ax)
+      .collect().head.getDouble(0)
+    assert(ab == ba && ab > 0.0 && ab < math.log(2.0))
+    // dead group: NULL js, never a clamped finite score
+    val byG = Histogram.histogram(
+      Seq(("a", 1.0), ("b", 5.0)).toDF("g", "x"), col("x"), ax, dims = Seq("g"))
+    val dead = HistStats.jsDivergence(byG,
+      byG.filter(col("g") === "a"), ax, dims = Seq("g"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(dead("b"))
+    // off-grid labels raise (the windowedPsi require)
+    val flow = h(1, 3).withColumn(ax.binsCol, col(ax.binsCol) + lit(100.0))
+    intercept[IllegalArgumentException] {
+      HistStats.jsDivergence(flow, h(1, 3), ax).collect()
+    }
+  }
+
   test("welchT: hand-computed t and Welch df; degenerate sides NULL") {
     val a = Seq(1.0, 2.0, 3.0).toDF("value")          // mean 2, var 1
     val b = Seq(4.0, 6.0).toDF("value")               // mean 5, var 2
