@@ -2445,6 +2445,12 @@ object SparkEntry {
         Histogram.histogram(ev.filter(col("event_type") === "click"),
           col("value"), axValue),
         axValue)
+    },
+    "q293_heaps_fit" -> { (s, dir) =>
+      // is the vocabulary still growing like natural text? OLS of
+      // ln(cum_types) on ln(cum_tokens) over the q166 growth curve
+      implicit val sp: SparkSession = s
+      TextAnalysis.heapsFit(t(dir, "documents"), bucketSize = 100L)
     }
   )
 
@@ -3203,6 +3209,7 @@ object SparkEntry {
     "q291_km_survival" -> PipelineOracle.kmSurvival(2),
     "q292_js_drift" -> Oracle.jsDivergence("events",
       Oracle.Spec("value", axValue),
-      "event_type = 'view'", "event_type = 'click'")
+      "event_type = 'view'", "event_type = 'click'"),
+    "q293_heaps_fit" -> PipelineOracle.heapsFit(100L)
   )
 }

@@ -2578,6 +2578,36 @@ object PipelineOracle {
       "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) ELSE NULL END AS r2 FROM m"
   }
 
+  /** Mirrors TextAnalysis.heapsFit: the [[vocabGrowth]] CTEs, millinat
+    * integer quantization of both lns, exact moment sums, the zipfFit
+    * IEEE slope/r² tail verbatim. */
+  def heapsFit(bucketSize: Long): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    "WITH tk AS (SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS tok " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "ft AS (SELECT tok, MIN(doc_id) AS fd FROM tk GROUP BY tok), " +
+      s"nt AS (SELECT fd // $bucketSize AS bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM ft GROUP BY 1), " +
+      s"vol AS (SELECT doc_id // $bucketSize AS bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tk GROUP BY 1), " +
+      "g AS (SELECT CAST(SUM(vol.n_tokens) OVER (ORDER BY vol.bucket) AS BIGINT) AS ct, " +
+      "CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY vol.bucket) AS BIGINT) AS cv " +
+      "FROM vol LEFT JOIN nt USING (bucket)), " +
+      s"q AS (SELECT CAST(FLOOR(LN(CAST(ct AS DOUBLE)) * ${d(1.0e3)}) AS BIGINT) AS x, " +
+      s"CAST(FLOOR(LN(CAST(cv AS DOUBLE)) * ${d(1.0e3)}) AS BIGINT) AS y " +
+      "FROM g WHERE ct > 0 AND cv > 0), " +
+      "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy, " +
+      "SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy FROM q) " +
+      "SELECT n AS n_points, " +
+      "CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > CAST(0 AS DOUBLE) " +
+      "THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) ELSE NULL END AS beta, " +
+      "CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > CAST(0 AS DOUBLE) " +
+      "AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > CAST(0 AS DOUBLE) " +
+      "THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * " +
+      "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) / " +
+      "((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+      "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) ELSE NULL END AS r2 FROM m"
+  }
+
   /** Mirrors Funnel.fkAudit on orders→customer with the synthesized
     * parent gap (`parentWhere`): exact counts, one IEEE division. */
   def fkAudit(childTable: String, childKey: String, parentTable: String,

@@ -930,6 +930,40 @@ object TextAnalysis {
         (cov * cov) / (varX * varY)).as("r2"))
   }
 
+  /** HEAPS' LAW fit over the [[vocabGrowth]] curve — the growth-side
+    * complement of [[zipfFit]] (Zipf reads the settled frequency curve;
+    * Heaps asks whether the vocabulary is still GROWING like natural
+    * text: V ≈ k·N^β with β ≈ 0.4–0.6 for prose — template/boilerplate
+    * corpora saturate early (β → 0), id-heavy or OCR-noise corpora run
+    * hot (β → 1)): OLS of ln(cum_types) on ln(cum_tokens) over the
+    * growth checkpoints, both lns quantized to millinat INTEGERS (the
+    * q210 discipline — the moment sums stay exact in both engines),
+    * fixed IEEE slope/r² tail, degenerate (< 2 points or flat x)
+    * → NULL. Scale shape: [[vocabGrowth]]'s (one corpus tokenize, two
+    * map-combinable aggregates, a buckets-sized cumsum) plus one
+    * 6-sum moment aggregate over the buckets relation. */
+  def heapsFit(docs: DataFrame, bucketSize: Long): DataFrame = {
+    val growth = vocabGrowth(docs, bucketSize)
+      .filter(col("cum_tokens") > 0L && col("cum_types") > 0L)
+    def qlnL(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1.0e3))
+    val m = growth
+      .select(qlnL(col("cum_tokens")).as("__x"), qlnL(col("cum_types")).as("__y"))
+      .agg(count(lit(1)).as("n_points"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val nD = col("n_points").cast("double")
+    def d(name: String): Column = col(name).cast("double")
+    val cov = nD * d("__sxy") - d("__sx") * d("__sy")
+    val varX = nD * d("__sxx") - d("__sx") * d("__sx")
+    val varY = nD * d("__syy") - d("__sy") * d("__sy")
+    m.select(col("n_points"),
+      when(col("n_points") >= 2L && varX > lit(0.0), cov / varX).as("beta"),
+      when(col("n_points") >= 2L && varX > lit(0.0) && varY > lit(0.0),
+        (cov * cov) / (varX * varY)).as("r2"))
+  }
+
   /** Bigram language-model quality score — [[lmScore]]'s context-aware
     * upgrade (a doc of individually-common tokens in impossible ORDER —
     * shuffled boilerplate, keyword stuffing — scores high under a

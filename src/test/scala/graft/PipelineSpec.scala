@@ -2939,6 +2939,22 @@ class PipelineSpec extends SparkSpec {
     assert(survs.zip(survs.tail).forall { case (a, b) => b <= a })
   }
 
+  test("heapsFit: growing vocabulary fits 0 < beta <= 1; single point is NULL") {
+    val rnd = new scala.util.Random(11)
+    // vocabulary grows sublinearly: doc i draws from a pool ~ sqrt-sized
+    val grow = (0L until 400L).map { i =>
+      val pool = 5 + math.sqrt(20.0 * i).toInt
+      (i, (1 to 12).map(_ => "w" + rnd.nextInt(pool)).mkString(" "), "en", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.heapsFit(grow, bucketSize = 50L).collect()(0)
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) <= 1.0)
+    assert(r.getDouble(2) > 0.5) // log-log growth is near-linear
+    val one = Seq((1L, "a b c", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val r1 = TextAnalysis.heapsFit(one, bucketSize = 50L).collect()(0)
+    assert(r1.getLong(0) == 1L && r1.isNullAt(1) && r1.isNullAt(2))
+  }
+
   test("lmFilterSketch: rank-bound verdicts hold; empty/NULL docs never scored") {
     val d = (1L to 40L).map { i =>
       val src = if (i <= 20) "s1" else "s2"
