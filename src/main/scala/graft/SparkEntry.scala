@@ -2451,6 +2451,13 @@ object SparkEntry {
       // ln(cum_types) on ln(cum_tokens) over the q166 growth curve
       implicit val sp: SparkSession = s
       TextAnalysis.heapsFit(t(dir, "documents"), bucketSize = 100L)
+    },
+    "q294_cms_contract" -> { (s, dir) =>
+      // count-min sketch at a REAL squeeze (width 8 << vocabulary):
+      // never-underestimate + epsilon-overshoot census, oracle-rebuilt
+      implicit val sp: SparkSession = s
+      graft.pipeline.Contracts.cmsContract(t(dir, "documents"),
+        width = 8, depth = 4)
     }
   )
 
@@ -3210,6 +3217,7 @@ object SparkEntry {
     "q292_js_drift" -> Oracle.jsDivergence("events",
       Oracle.Spec("value", axValue),
       "event_type = 'view'", "event_type = 'click'"),
-    "q293_heaps_fit" -> PipelineOracle.heapsFit(100L)
+    "q293_heaps_fit" -> PipelineOracle.heapsFit(100L),
+    "q294_cms_contract" -> PipelineOracle.cmsContract(8, 4)
   )
 }

@@ -2608,6 +2608,34 @@ object PipelineOracle {
       "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) ELSE NULL END AS r2 FROM m"
   }
 
+  /** Mirrors Contracts.cmsContract: the sketch REBUILT from the same
+    * md5 row hashes (depth bucket aggregations over the tf relation,
+    * est = LEAST over depth sums), verdicts re-derived with the
+    * identical all-integer overshoot inequality. */
+  def cmsContract(width: Int, depth: Int): String = {
+    def h(j: Int): String =
+      s"('0x' || substr(md5('$j:' || term), 1, 8))::BIGINT % $width"
+    val bucketCtes = (0 until depth).map { j =>
+      s"b$j AS (SELECT ${h(j)} AS b, CAST(SUM(tf) AS BIGINT) AS s$j FROM tf GROUP BY 1)"
+    }.mkString(", ")
+    val joins = (0 until depth).map { j =>
+      s"JOIN b$j ON b$j.b = ${h(j)}"
+    }.mkString(" ")
+    val est = s"LEAST(${(0 until depth).map(j => s"s$j").mkString(", ")})"
+    "WITH tk AS (SELECT UNNEST(regexp_extract_all(text, '\\S+')) AS term " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY term), " +
+      bucketCtes + ", " +
+      s"e AS (SELECT tf.term, tf.tf, $est AS est FROM tf $joins), " +
+      "t AS (SELECT CAST(COALESCE(SUM(tf), 0) AS BIGINT) AS n FROM tf) " +
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, " +
+      "CAST(COALESCE(SUM(tf), 0) AS BIGINT) AS n_tokens, " +
+      "COALESCE(BOOL_AND(est >= tf), TRUE) AS never_under, " +
+      s"CAST(COALESCE(SUM(CASE WHEN (est - tf) * $width > 2 * t.n " +
+      "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_over_eps " +
+      "FROM e CROSS JOIN t"
+  }
+
   /** Mirrors Funnel.fkAudit on orders→customer with the synthesized
     * parent gap (`parentWhere`): exact counts, one IEEE division. */
   def fkAudit(childTable: String, childKey: String, parentTable: String,

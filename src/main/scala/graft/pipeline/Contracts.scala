@@ -121,6 +121,54 @@ object Contracts {
         coalesce(col("all_heavy_present"), lit(true)).as("all_heavy_present"))
   }
 
+  /** COUNT-MIN SKETCH point-query contract — the third sketch family
+    * beside SpaceSaving (top-k) and GK (quantiles): CMS answers "how
+    * often did THIS key occur?" in width·depth counters regardless of
+    * key cardinality, with the two Cormode–Muthukrishnan guarantees —
+    * est ≥ true ALWAYS (a key's own count is inside every one of its
+    * buckets: deterministic, not probabilistic), and
+    * P(est − true > εN) ≤ e^−depth at ε = e/width per key. The
+    * contract materializes the sketch DECLARATIVELY — depth hashed
+    * groupBys over the already-collapsed term-frequency relation, each
+    * bucket table width-sized and BROADCAST back (zero extra corpus
+    * shuffles; est = least over depth sums) — and emits one row:
+    * exact key/token counts, the never-underestimate verdict, and the
+    * exact number of keys overshooting the 2N/width bound, compared as
+    * the all-integer inequality (est−true)·width > 2N (no float
+    * knife-edge). Because the hashes are md5-deterministic, the oracle
+    * REBUILDS the identical sketch and re-derives every verdict —
+    * unlike the TRUE-literal contracts, this gate re-proves the CMS
+    * arithmetic end to end. */
+  def cmsContract(docs: DataFrame, width: Int = 256,
+      depth: Int = 4): DataFrame = {
+    require(width > 0 && depth > 0)
+    val tf = TextAnalysis.sourceTerms(docs)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    def h(j: Int): Column =
+      conv(substring(md5(concat(lit(s"$j:"), col("term"))), 1, 8), 16, 10)
+        .cast("long") % lit(width.toLong)
+    var joined = tf
+    for (j <- 0 until depth) {
+      val buckets = tf.groupBy(h(j).as("__b"))
+        .agg(sum(col("tf")).as(s"__s$j"))
+      joined = joined.withColumn("__b", h(j))
+        .join(broadcast(buckets), Seq("__b")).drop("__b")
+    }
+    val est = if (depth == 1) col("__s0")
+      else least((0 until depth).map(j => col(s"__s$j")): _*)
+    val total = tf.agg(coalesce(sum(col("tf")), lit(0L)).as("__n"))
+    joined.select(col("tf"), est.as("__est"))
+      .crossJoin(broadcast(total))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(col("tf")), lit(0L)).as("n_tokens"),
+        coalesce(bool_and(col("__est") >= col("tf")), lit(true))
+          .as("never_under"),
+        coalesce(sum(when(
+          (col("__est") - col("tf")) * lit(width.toLong) >
+            lit(2L) * col("__n"), 1L).otherwise(0L)), lit(0L))
+          .as("n_over_eps"))
+  }
+
   /** percentile_approx threshold contract (the q142/q143 knob at a REAL
     * accuracy): per source and probability p, the GK threshold at
     * `accuracy` must have exact rank within ±n/accuracy of p·n (Spark's

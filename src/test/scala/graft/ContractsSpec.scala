@@ -105,6 +105,30 @@ class ContractsSpec extends SparkSpec {
     assert(out.values.forall(_._2)) // rsd=0.05 estimate within the 15% bound
   }
 
+  test("CMS contract: never-underestimate holds under forced collisions") {
+    // width 1 is the degenerate total-collision sketch: est = N for every
+    // key -- the never-under theorem still holds and nothing overshoots
+    // the (vacuously huge) 2N bound
+    val d = Seq((1L, "a a a b", "en", "s"), (2L, "b c", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val w1 = Contracts.cmsContract(d, width = 1, depth = 1).collect()(0)
+    assert(w1.getLong(0) == 3L && w1.getLong(1) == 6L)
+    assert(w1.getBoolean(2) && w1.getLong(3) == 0L)
+    // a real squeeze: 40 keys into 4 buckets, 3 rows -- theorem holds,
+    // overshoot census bounded by the key count
+    val many = (1L to 40L).map(i => (i, ("k" + i + " ") * (1 + (i % 7)).toInt, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val sq = Contracts.cmsContract(many, width = 4, depth = 3).collect()(0)
+    assert(sq.getLong(0) == 40L && sq.getBoolean(2))
+    assert(sq.getLong(3) >= 0L && sq.getLong(3) <= 40L)
+    // empty corpus: zero counts, vacuous verdicts
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val e = Contracts.cmsContract(empty).collect()(0)
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.getBoolean(2)
+      && e.getLong(3) == 0L)
+  }
+
   test("HLL distinct contract: tight rsd=0.01 point holds its 3x margin") {
     // the q181 knob: 16x the registers of rsd=0.05 must buy a 5x tighter
     // bound on a cardinality (10k) well past the linear-counting regime
