@@ -2458,6 +2458,12 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Contracts.cmsContract(t(dir, "documents"),
         width = 8, depth = 4)
+    },
+    "q295_dup_triangles" -> { (s, dir) =>
+      // dedup-graph QA: is near-duplication clique-like (safe to keep
+      // one per component) or chain-like (components over-merge)?
+      implicit val sp: SparkSession = s
+      Dedup.dupGraphStats(t(dir, "documents"))
     }
   )
 
@@ -3218,6 +3224,7 @@ object SparkEntry {
       Oracle.Spec("value", axValue),
       "event_type = 'view'", "event_type = 'click'"),
     "q293_heaps_fit" -> PipelineOracle.heapsFit(100L),
-    "q294_cms_contract" -> PipelineOracle.cmsContract(8, 4)
+    "q294_cms_contract" -> PipelineOracle.cmsContract(8, 4),
+    "q295_dup_triangles" -> PipelineOracle.dupTriangles()
   )
 }

@@ -321,6 +321,25 @@ object PipelineOracle {
       s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
   }
 
+  /** Mirrors Dedup.dupGraphStats: the [[nearDupPairs]] SQL nested as
+    * the edge CTE, degree/wedge aggregates, the oriented a<b<c
+    * triangle join, one IEEE division for transitivity. */
+  def dupTriangles(k: Int = 5, threshold: Double = 0.7, bands: Int = 16,
+      rowsPerBand: Int = 4): String =
+    s"WITH e AS (${nearDupPairs(k, threshold, bands, rowsPerBand)}), " +
+      "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM " +
+      "(SELECT doc_a AS v FROM e UNION ALL SELECT doc_b AS v FROM e) u GROUP BY v), " +
+      "w AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg), " +
+      "tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM e e1 " +
+      "JOIN e e2 ON e2.doc_a = e1.doc_b " +
+      "JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b), " +
+      "ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e) " +
+      "SELECT n_nodes, n_edges, n_wedges, n_triangles, " +
+      "CASE WHEN n_wedges = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) END AS transitivity " +
+      "FROM w CROSS JOIN tr CROSS JOIN ne"
+
   /** Mirrors Dedup.minhashAccuracy: per LSH candidate pair, the
     * signature-slot agreement estimate beside the exact k-gram jaccard.
     * Signatures are md5-derived identically in both engines, so the

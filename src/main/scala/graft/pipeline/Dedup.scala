@@ -1222,4 +1222,54 @@ object Dedup {
           "collect_list(struct(si, span, __bp))), x -> NOT x.__bp), " +
           "x -> x.span), ' ')").cast("binary")).as("kept_md5"))
   }
+
+  /** TRIANGLE census of the verified near-dup pair graph — the dedup
+    * QA the component report (q135) can't see: transitivity
+    * = 3·triangles/wedges says whether near-duplication behaves like an
+    * equivalence relation on this corpus (→ 1: clusters are cliques —
+    * canonical-copy election is safe; → 0: long chains — A~B~C with
+    * A≁C, where keep-one-per-component silently drops NON-duplicates
+    * and a threshold bump splits clusters). Nodes/edges/wedges/
+    * triangles as exact longs, transitivity one IEEE division, NULL
+    * when no wedges exist.
+    *
+    * Scale shape: edges are the [[nearDupPairs]] output (threshold-
+    * verified, so the graph is sparse by construction — bucketCap
+    * bounds any LSH bucket blowup upstream). Triangles via the
+    * oriented edge-join (a<b<c once each): two hash joins keyed on a
+    * shared VERTEX — the standard distributed triangle plan; a hot
+    * vertex is exactly an over-merged dup cluster, which AQE skew
+    * splitting absorbs and this report is the tool that surfaces.
+    * Wedges from one degree aggregate; all single-row tails
+    * broadcast. */
+  def dupGraphStats(docs: DataFrame, k: Int = 5, threshold: Double = 0.7,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      bucketCap: Option[Int] = None): DataFrame =
+    graphStats(nearDupPairs(docs, k, threshold, bands, rowsPerBand, bucketCap)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** The census over an explicit undirected edge set (doc_a < doc_b,
+    * no duplicates) — [[dupGraphStats]] without the pair generation,
+    * for any pair relation (simhash, containment, cross-corpus). */
+  private[graft] def graphStats(edges: DataFrame): DataFrame = {
+    val e = edges
+    val deg = e.select(col("doc_a").as("v"))
+      .unionByName(e.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val w = deg.agg(
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
+      .join(e.as("e3"), col("e3.doc_a") === col("e1.doc_a") &&
+        col("e3.doc_b") === col("e2.doc_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    w.crossJoin(broadcast(tri)).crossJoin(broadcast(ne))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0L, lit(null).cast("double"))
+          .otherwise((lit(3L) * col("n_triangles")).cast("double") /
+            col("n_wedges").cast("double")).as("transitivity"))
+  }
 }

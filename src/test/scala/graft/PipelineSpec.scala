@@ -2939,6 +2939,19 @@ class PipelineSpec extends SparkSpec {
     assert(survs.zip(survs.tail).forall { case (a, b) => b <= a })
   }
 
+  test("graphStats: triangle + chain hand graph; empty graph NULL transitivity") {
+    // triangle 1-2-3 plus chain 4-5-6: wedges 3+1, triangles 1 -> 3/4
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val r = Dedup.graphStats(e).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 5L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 3.0 / 4.0)
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val r0 = Dedup.graphStats(empty).collect()(0)
+    assert(r0.getLong(0) == 0L && r0.getLong(3) == 0L && r0.isNullAt(4))
+  }
+
   test("heapsFit: growing vocabulary fits 0 < beta <= 1; single point is NULL") {
     val rnd = new scala.util.Random(11)
     // vocabulary grows sublinearly: doc i draws from a pool ~ sqrt-sized
