@@ -2464,6 +2464,16 @@ object SparkEntry {
       // one per component) or chain-like (components over-merge)?
       implicit val sp: SparkSession = s
       Dedup.dupGraphStats(t(dir, "documents"))
+    },
+    "q296_stream_ece" -> { (s, dir) =>
+      // the q290 calibration scalar in its LIVE per-window form; batch
+      // == streaming bit-exactly (same two aggs, StreamingSpec-pinned)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.windowedEce(ev, "event_time",
+        col("value") / lit(512.0), col("event_type") === "purchase",
+        "1 hour")
     }
   )
 
@@ -3225,6 +3235,7 @@ object SparkEntry {
       "event_type = 'view'", "event_type = 'click'"),
     "q293_heaps_fit" -> PipelineOracle.heapsFit(100L),
     "q294_cms_contract" -> PipelineOracle.cmsContract(8, 4),
-    "q295_dup_triangles" -> PipelineOracle.dupTriangles()
+    "q295_dup_triangles" -> PipelineOracle.dupTriangles(),
+    "q296_stream_ece" -> PipelineOracle.windowedEce("event_type = 'purchase'")
   )
 }

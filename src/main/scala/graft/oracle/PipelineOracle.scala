@@ -3103,6 +3103,30 @@ object PipelineOracle {
       "SELECT r.bin, r.n, r.pos, r.conf, r.acc, r.gap, e.ece FROM r CROSS JOIN e"
   }
 
+  /** Mirrors StreamingHist.windowedEce over score = value/512 clamped:
+    * hourly windows, per-(window, bin) exact counts + DECIMAL score
+    * sums, per-window ECE as SUM(term ORDER BY bin) — the
+    * [[reliability]] arithmetic per window. */
+  def windowedEce(posCond: String, nBins: Int = 10): String = {
+    val s = "LEAST(GREATEST(CAST(value AS DOUBLE) / CAST(512 AS DOUBLE), " +
+      "CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE))"
+    val conf = Oracle.exactDbl("SUM(TRY_CAST(CAST(s AS VARCHAR) AS DECIMAL(38,14)))") +
+      " / CAST(COUNT(*) AS DOUBLE)"
+    val acc = "CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+    "WITH b AS (SELECT make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000) AS ws, " +
+      s"LEAST(CAST(FLOOR(s * CAST($nBins AS DOUBLE)) AS BIGINT), ${nBins - 1}) AS bin, s, y " +
+      s"FROM (SELECT ts, $s AS s, CASE WHEN $posCond THEN 1 ELSE 0 END AS y " +
+      "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL " +
+      "AND NOT isnan(CAST(value AS DOUBLE))) src), " +
+      "r AS (SELECT ws, bin, CAST(COUNT(*) AS BIGINT) AS n, " +
+      s"$conf AS conf, $acc AS acc FROM b GROUP BY ws, bin), " +
+      "t AS (SELECT ws, CAST(SUM(n) AS BIGINT) AS tot FROM r GROUP BY ws) " +
+      "SELECT r.ws AS window_start, t.tot AS n, " +
+      "SUM(CAST(r.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * ABS(r.conf - r.acc) " +
+      "ORDER BY r.bin) AS ece " +
+      "FROM r JOIN t ON t.ws = r.ws GROUP BY r.ws, t.tot"
+  }
+
   /** Mirrors RankStats.kmSurvival: per-key lifetime days with the
     * end-of-window censoring rule, the lifetimes-sized at-risk
     * cumsum, and the cumulative product as an ordered PRODUCT in a

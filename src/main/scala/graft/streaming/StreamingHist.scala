@@ -888,6 +888,55 @@ object StreamingHist {
     }
   }
 
+  /** Per-window score-calibration monitor — the LIVE form of
+    * RankStats.reliability's ECE scalar ("is the model drifting out of
+    * calibration right now?" — the production alarm a daily batch
+    * reliability table answers a day late): per event-time window,
+    * ECE = Σ_b (n_b/N)·|conf_b − acc_b| over `nBins` clamped score
+    * buckets, plus the window's row count.
+    *
+    * Batch and streaming execute the SAME two aggregations — per
+    * (window, bin) counts/positives/DECIMAL score sum (map-combinable,
+    * at most nBins rows per window), then a per-window pinned-bin-order
+    * fold — so streaming == batch BIT-exactly: counts are exact longs,
+    * the decimal sum is order-free, and the fold is the identical IEEE
+    * sequence. Streaming chains the two stateful aggregations (the
+    * windowedCvm shape); state per window is nBins bounded rows. */
+  def windowedEce(df: DataFrame, tsCol: String, score: Column,
+      isPos: Column, windowDuration: String, nBins: Int = 10,
+      watermark: String = "10 seconds"): DataFrame = {
+    val raw = score.cast("double")
+    val s = least(greatest(raw, lit(0.0)), lit(1.0))
+    val bin = least(floor(s * lit(nBins.toDouble)).cast("long"),
+      lit(nBins.toLong - 1L))
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val base = src
+      .filter(col(tsCol).isNotNull && raw.isNotNull && !isnan(raw))
+      .select(window(col(tsCol), windowDuration).as("win"),
+        bin.as("__bin"), s.as("__s"),
+        when(isPos, 1L).otherwise(0L).as("__y"))
+    val perBin = base.groupBy(col("win"), col("__bin"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"),
+        sum(graft.util.Dec.toDec(col("__s"))).as("__ss"))
+    val regroup = if (df.isStreaming)
+      perBin.groupBy(window(window_time(col("win")), windowDuration).as("__w2"))
+    else perBin.groupBy(col("win").as("__w2"))
+    val agged = regroup.agg(sum(col("__n")).as("n"),
+      sort_array(collect_list(struct(col("__bin").as("k"),
+        col("__n").as("nb"), col("__pos").as("p"), col("__ss").as("ss"))))
+        .as("__arr"))
+    def conf(x: Column): Column =
+      graft.util.Dec.exactDouble(x.getField("ss")) /
+        x.getField("nb").cast("double")
+    def acc(x: Column): Column =
+      x.getField("p").cast("double") / x.getField("nb").cast("double")
+    val ece = aggregate(col("__arr"), lit(0.0), (a, x) =>
+      a + x.getField("nb").cast("double") / col("n").cast("double") *
+        abs(conf(x) - acc(x)))
+    agged.select(col("__w2.start").as("window_start"), col("n"),
+      ece.as("ece"))
+  }
+
   case class RateEvent(event_type: String, us: Long)
   case class RateState(openDay: Long, openCnt: Long, closed: List[Long])
   case class RateVerdict(event_type: String, day: Long, n: Long,

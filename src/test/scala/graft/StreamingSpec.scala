@@ -943,6 +943,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed ECE: streaming equals batch BIT-exactly; hand window checks out") {
+    val events = Seq(
+      (ts(1), 0.05, true), (ts(2), 0.05, false), (ts(3), 0.05, false),
+      (ts(5), 0.95, true), (ts(7), 0.95, true), (ts(8), 0.95, false),
+      (ts(12), 0.55, true), (ts(35), 0.25, false), (ts(50), 0.75, true)
+    ).toDF("event_time", "score", "y")
+    val batch = StreamingHist.windowedEce(
+        events, "event_time", col("score"), col("y"), "10 seconds")
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    // [0,10): bin0 (3 rows, 1 pos, conf .05) + bin9 (3 rows, 2 pos,
+    // conf .95); ece = 3/6*|conf0 - 1/3| + 3/6*|conf9 - 2/3|
+    val conf0 = 0.15 / 3.0 // decimal-exact sum then one division
+    val conf9 = (0.95 * 3) / 3.0
+    val hand = 3.0 / 6.0 * math.abs(conf0 - 1.0 / 3.0) +
+      3.0 / 6.0 * math.abs(conf9 - 2.0 / 3.0)
+    assert(batch(0L)._1 == 6L && math.abs(batch(0L)._2 - hand) < 1e-15)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double, Boolean)]
+    val out = StreamingHist.windowedEce(
+      input.toDF().toDF("event_time", "score", "y"),
+      "event_time", col("score"), col("y"), "10 seconds")
+    val q = out.writeStream.format("memory").queryName("ece_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 0.05, true), (ts(2), 0.05, false),
+        (ts(3), 0.05, false), (ts(5), 0.95, true))
+      q.processAllAvailable()
+      input.addData((ts(7), 0.95, true), (ts(8), 0.95, false),
+        (ts(12), 0.55, true), (ts(35), 0.25, false))
+      q.processAllAvailable()
+      input.addData((ts(50), 0.75, true)) // closes [0,10),[10,20),[30,40)
+      q.processAllAvailable()
+      val streamed = spark.table("ece_stream").collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed.keySet == Set(0L, 10L, 30L))
+      streamed.foreach { case (w, p) => assert(p == batch(w), s"window $w") }
+    } finally q.stop()
+  }
+
   test("windowed KS: streaming equals batch BIT-exactly on closed windows") {
     val ax = Regular("value", 4, 0.0, 4.0)
     val ref = graft.operators.Histogram.histogram(
