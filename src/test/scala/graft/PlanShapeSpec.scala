@@ -596,4 +596,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window [") ||
       plan.contains("windowspecdefinition(window_start"), plan)
   }
+
+  test("auc/mannWhitney: no WindowExec — ranks come from the distributed prefix sum") {
+    val ev = (1L to 60L).map(i => (i.toDouble % 13, i % 3 == 0))
+      .toDF("value", "y")
+    for (df <- Seq(graft.pipeline.RankStats.auc(ev, "value", col("y")),
+        graft.pipeline.RankStats.mannWhitney(ev, "value", col("y")))) {
+      val plan = executedPlan(df)
+      // the textbook rank form is a global row_number over every score —
+      // corpus-scale through one partition; the two-pass RDD prefix sum
+      // keeps the collapsed distinct-score relation range-partitioned
+      assert(!plan.contains("Window"), plan)
+    }
+  }
+
+  test("cmsContract: every bucket table joins broadcast; no corpus-side windows/sorts") {
+    val plan = executedPlan(graft.pipeline.Contracts.cmsContract(docs,
+      width = 8, depth = 4))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("windowedEce batch path: windows partition the per-bin relation, nothing global") {
+    val ev = (1L to 40L).map(i =>
+      (new java.sql.Timestamp(i * 1000L), i.toDouble / 40.0, i % 4 == 0))
+      .toDF("event_time", "score", "y")
+    val plan = executedPlan(graft.streaming.StreamingHist.windowedEce(
+      ev, "event_time", col("score"), col("y"), "10 seconds"))
+    // two hash aggregations; no WindowExec at all (the fold is in-row)
+    assert(!plan.contains("Window ["), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }
