@@ -2474,6 +2474,13 @@ object SparkEntry {
       graft.streaming.StreamingHist.windowedEce(ev, "event_time",
         col("value") / lit(512.0), col("event_type") === "purchase",
         "1 hour")
+    },
+    "q297_grid_density" -> { (s, dir) =>
+      // density clustering over an embedding-space slice: dense grid
+      // cells connect into arbitrarily-shaped clusters, sparse = noise
+      implicit val sp: SparkSession = s
+      Similarity.gridDensityClusters(t(dir, "embeddings"),
+        dimX = 1, dimY = 2, n = 16, minCount = 5L)
     }
   )
 
@@ -3236,6 +3243,7 @@ object SparkEntry {
     "q293_heaps_fit" -> PipelineOracle.heapsFit(100L),
     "q294_cms_contract" -> PipelineOracle.cmsContract(8, 4),
     "q295_dup_triangles" -> PipelineOracle.dupTriangles(),
-    "q296_stream_ece" -> PipelineOracle.windowedEce("event_type = 'purchase'")
+    "q296_stream_ece" -> PipelineOracle.windowedEce("event_type = 'purchase'"),
+    "q297_grid_density" -> PipelineOracle.gridDensity(16, 5L)
   )
 }

@@ -321,6 +321,34 @@ object PipelineOracle {
       s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
   }
 
+  /** Mirrors Similarity.gridDensityClusters (dims 1,2): the q02
+    * auto-range bin formula per axis, exact cell counts, 8-neighbor
+    * adjacency, and the min-label components as a recursive-CTE
+    * transitive closure over the ≤ n² dense cells. */
+  def gridDensity(n: Int, minCount: Long): String = {
+    def idx(v: String, lo: String, hi: String): String =
+      s"CASE WHEN $hi = $lo THEN CAST(0 AS BIGINT) ELSE " +
+        s"LEAST(CAST(FLOOR(($v - $lo) / ($hi - $lo) * CAST($n AS DOUBLE)) AS BIGINT), " +
+        s"CAST(${n - 1} AS BIGINT)) END"
+    "WITH RECURSIVE p AS (SELECT CAST(embedding[1] AS DOUBLE) AS x, " +
+      "CAST(embedding[2] AS DOUBLE) AS y FROM embeddings " +
+      "WHERE embedding IS NOT NULL AND len(embedding) >= 2), " +
+      "r AS (SELECT MIN(x) AS lox, MAX(x) AS hix, MIN(y) AS loy, MAX(y) AS hiy FROM p), " +
+      s"c AS (SELECT ${idx("x", "lox", "hix")} AS ci, ${idx("y", "loy", "hiy")} AS cj " +
+      "FROM p CROSS JOIN r), " +
+      "cells AS (SELECT ci, cj, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY ci, cj), " +
+      s"dense AS (SELECT ci, cj, ci * $n + cj AS id FROM cells WHERE cnt >= $minCount), " +
+      "edges AS (SELECT a.id AS s, b.id AS t FROM dense a JOIN dense b " +
+      "ON ABS(a.ci - b.ci) <= 1 AND ABS(a.cj - b.cj) <= 1 AND a.id <> b.id), " +
+      "rr(id, comp) AS (SELECT id, id FROM dense " +
+      "UNION SELECT e.t, rr.comp FROM rr JOIN edges e ON e.s = rr.id), " +
+      "reach AS (SELECT id, CAST(MIN(comp) AS BIGINT) AS cluster FROM rr GROUP BY id) " +
+      "SELECT cells.ci, cells.cj, cells.cnt, dense.id IS NOT NULL AS is_dense, " +
+      "reach.cluster FROM cells " +
+      "LEFT JOIN dense ON dense.ci = cells.ci AND dense.cj = cells.cj " +
+      "LEFT JOIN reach ON reach.id = dense.id"
+  }
+
   /** Mirrors Dedup.dupGraphStats: the [[nearDupPairs]] SQL nested as
     * the edge CTE, degree/wedge aggregates, the oriented a<b<c
     * triangle join, one IEEE division for transitivity. */

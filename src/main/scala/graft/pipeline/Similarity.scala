@@ -1686,4 +1686,63 @@ object Similarity {
         graft.functions.VecDotFD.vec_dot_fd(col("embedding"),
           lit(x)).as("projection"))
   }
+
+  /** GRID-DENSITY clustering (DBSCAN-lite) over a 2-D slice of the
+    * embedding space — the corpus-map complement of k-means (q90):
+    * k-means imposes k convex cells; density clustering finds however
+    * many arbitrarily-shaped dense REGIONS exist and leaves sparse
+    * cells unlabeled (noise), which is what "what modes does this
+    * corpus have?" actually asks. Standard grid formulation (the
+    * CLIQUE/STING family): auto-ranged n×n histogram over two
+    * embedding coordinates, cells with count ≥ minCount are dense,
+    * dense cells sharing an edge or corner connect, connected
+    * components (lowest-cell-id label — the [[Dedup.components]]
+    * convention) are the clusters. Emits every OCCUPIED cell:
+    * (ci, cj, cnt, is_dense, cluster — NULL for sparse cells).
+    *
+    * Scale shape: ONE map-combinable groupBy collapses the corpus to
+    * ≤ n² cells; everything after (dense filter, 8-neighbor equi-join,
+    * label propagation) runs on that n²-bounded relation — the
+    * histogram convention, bounded by construction, never by data.
+    * Cross-engine: the auto-range bin index is the q02 formula
+    * (min/max broadcast, LEAST(floor, n−1) clamp, flat range → cell
+    * 0); counts exact; the component labels are deterministic min-ids
+    * (oracle: recursive-CTE transitive closure over the same cells). */
+  def gridDensityClusters(emb: DataFrame, dimX: Int = 1, dimY: Int = 2,
+      n: Int = 16, minCount: Long = 5L): DataFrame = {
+    require(n > 0 && minCount > 0)
+    val x = element_at(col("embedding"), dimX).cast("double")
+    val y = element_at(col("embedding"), dimY).cast("double")
+    val pts = emb.filter(col("embedding").isNotNull &&
+        size(col("embedding")) >= math.max(dimX, dimY))
+      .select(x.as("__x"), y.as("__y"))
+    val rng = pts.agg(min(col("__x")).as("__lox"), max(col("__x")).as("__hix"),
+      min(col("__y")).as("__loy"), max(col("__y")).as("__hiy"))
+    def idx(v: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L)).otherwise(
+        least(floor((v - lo) / (hi - lo) * lit(n.toDouble)).cast("long"),
+          lit(n.toLong - 1L)))
+    val cells = pts.crossJoin(broadcast(rng))
+      .select(idx(col("__x"), col("__lox"), col("__hix")).as("ci"),
+        idx(col("__y"), col("__loy"), col("__hiy")).as("cj"))
+      .groupBy(col("ci"), col("cj")).agg(count(lit(1)).as("cnt"))
+    val dense = cells.filter(col("cnt") >= minCount)
+      .withColumn("__id", col("ci") * lit(n.toLong) + col("cj"))
+    val offsets = Seq((0, 1), (1, -1), (1, 0), (1, 1)) // forward half: a < b once
+    val pairs = offsets.map { case (di, dj) =>
+      dense.as("a").join(dense.as("b"),
+        col("b.ci") === col("a.ci") + lit(di.toLong) &&
+          col("b.cj") === col("a.cj") + lit(dj.toLong))
+        .select(least(col("a.__id"), col("b.__id")).as("doc_a"),
+          greatest(col("a.__id"), col("b.__id")).as("doc_b"))
+    }.reduce(_ unionByName _)
+    val labels = Dedup.components(
+      dense.select(col("__id").as("doc_id")), pairs)
+      .select(col("doc_id").as("__id"), col("component").as("cluster"))
+    cells.join(dense.select(col("__id"), col("ci"), col("cj")),
+        Seq("ci", "cj"), "left")
+      .join(broadcast(labels), Seq("__id"), "left")
+      .select(col("ci"), col("cj"), col("cnt"),
+        col("__id").isNotNull.as("is_dense"), col("cluster"))
+  }
 }

@@ -2939,6 +2939,28 @@ class PipelineSpec extends SparkSpec {
     assert(survs.zip(survs.tail).forall { case (a, b) => b <= a })
   }
 
+  test("gridDensityClusters: two separated blobs -> two clusters; sparse cells unlabeled") {
+    val rnd = new scala.util.Random(3)
+    def blob(cx: Double, cy: Double, n: Int, id0: Long) =
+      (0 until n).map { i =>
+        (id0 + i, Seq((cx + rnd.nextGaussian() * 0.02).toFloat,
+          (cy + rnd.nextGaussian() * 0.02).toFloat))
+      }
+    // blobs at opposite corners + a lone stray point (sparse noise)
+    val emb = (blob(0.1, 0.1, 60, 0L) ++ blob(0.9, 0.9, 60, 100L) ++
+      Seq((200L, Seq(0.5f, 0.5f)))).toDF("vec_id", "embedding")
+    val out = Similarity.gridDensityClusters(emb, n = 8, minCount = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    val dense = out.filter(_._4)
+    assert(dense.nonEmpty)
+    assert(dense.map(_._5).distinct.length == 2) // two separated clusters
+    val sparse = out.filter(!_._4)
+    assert(sparse.forall(_._5 == -1L)) // noise cells stay unlabeled
+    // counts cover every point
+    assert(out.map(_._3).sum == 121L)
+  }
+
   test("graphStats: triangle + chain hand graph; empty graph NULL transitivity") {
     // triangle 1-2-3 plus chain 4-5-6: wedges 3+1, triangles 1 -> 3/4
     val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L))
