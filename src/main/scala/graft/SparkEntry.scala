@@ -2481,6 +2481,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Similarity.gridDensityClusters(t(dir, "embeddings"),
         dimX = 1, dimY = 2, n = 16, minCount = 5L)
+    },
+    "q298_hist_regrid" -> { (s, dir) =>
+      // flux-conserving rebin onto ARBITRARY irregular edges: counts
+      // split proportionally by overlap, mass conserved where covered
+      implicit val sp: SparkSession = s
+      HistStats.regrid(
+        Histogram.histogram(t(dir, "lineitem"), col("l_quantity"), axQty),
+        axQty, Seq(0.0, 7.5, 20.0, 35.0, 51.0))
     }
   )
 
@@ -3244,6 +3252,8 @@ object SparkEntry {
     "q294_cms_contract" -> PipelineOracle.cmsContract(8, 4),
     "q295_dup_triangles" -> PipelineOracle.dupTriangles(),
     "q296_stream_ece" -> PipelineOracle.windowedEce("event_type = 'purchase'"),
-    "q297_grid_density" -> PipelineOracle.gridDensity(16, 5L)
+    "q297_grid_density" -> PipelineOracle.gridDensity(16, 5L),
+    "q298_hist_regrid" -> Oracle.regrid("lineitem",
+      Oracle.Spec("l_quantity", axQty), Seq(0.0, 7.5, 20.0, 35.0, 51.0))
   )
 }

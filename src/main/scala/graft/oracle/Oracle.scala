@@ -399,6 +399,31 @@ object Oracle {
       "ELSE SQRT(GREATEST(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - bc)) END AS hellinger FROM m"
   }
 
+  /** Mirrors HistStats.regrid: the standard hist CTE, source bins with
+    * label/width from the axis formulas, overlap fractions on exact
+    * edge literals, SUM(cnt·frac ORDER BY source bin) per new bin. */
+  def regrid(table: String, spec: Spec, newEdges: Seq[Double],
+      where: String = "TRUE"): String = {
+    val nb = spec.axis.nBins
+    val dstRows = newEdges.init.zip(newEdges.tail).zipWithIndex.map {
+      case ((l, r), i) => s"($i, ${dbl(l)}, ${dbl(r)})"
+    }.mkString(", ")
+    s"WITH hx AS (SELECT __i0 AS i, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+      s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${nb - 1} GROUP BY __i0), " +
+      s"bins AS (SELECT CAST(r AS BIGINT) AS i, " +
+      s"(${spec.axis.labelSql("CAST(r AS BIGINT)")}) AS l, " +
+      s"(${spec.axis.widthSql("CAST(r AS BIGINT)")}) AS w FROM range(0, $nb) t(r)), " +
+      s"dst AS (SELECT * FROM (VALUES $dstRows) v(di, dl, dr)), " +
+      "ov AS (SELECT bins.i, dst.dl, " +
+      "((LEAST(bins.l + bins.w, dst.dr) - GREATEST(bins.l, dst.dl)) / bins.w) AS frac " +
+      "FROM bins CROSS JOIN dst " +
+      "WHERE LEAST(bins.l + bins.w, dst.dr) > GREATEST(bins.l, dst.dl)) " +
+      s"SELECT ov.dl AS ${spec.axis.name}_regrid_bins, " +
+      "SUM(hx.cnt * ov.frac ORDER BY ov.i) AS cnt " +
+      "FROM hx JOIN ov ON ov.i = hx.i GROUP BY ov.dl"
+  }
+
   /** Mirrors HistStats.jsDivergence: the [[hellinger]] CTEs, per-bin
     * ½-decomposed KL terms with 1e-9-quantized LN (the lmScore
     * discipline) and 0·ln0 ≡ 0, SUM ORDER BY i, final ÷2, the same

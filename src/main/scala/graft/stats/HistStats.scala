@@ -320,6 +320,56 @@ object HistStats {
       ax.width(col("id")).as("width"))
   }
 
+  /** Flux-conserving REGRID of a histogram onto arbitrary new edges —
+    * the interpolating completion of the rebin algebra (q110's rebin
+    * merges whole integer groups of bins; scale/apply_func move the
+    * coordinate without touching counts; regrid redistributes counts
+    * onto a DIFFERENT grid, the astronomy/spectroscopy convention for
+    * comparing histograms binned by different tools): each source
+    * bin's count splits across the new bins proportionally to overlap
+    * length, so total mass is conserved wherever the new grid covers
+    * the old (counts become fractional doubles — the density
+    * convention). New bins with zero overlap are absent.
+    *
+    * Cross-engine: overlap fractions are single IEEE sequences on
+    * exact edge literals ((min(r)−max(l))/srcWidth), each term one
+    * multiply, per-new-bin terms folded in SOURCE-bin order (sorted
+    * array + HOF fold vs SUM ORDER BY). Scale shape: the overlap join
+    * is bins×newBins — metadata-sized, broadcast; the histogram
+    * relation is touched once, keyed by its bin label. */
+  def regrid(h: DataFrame, ax: BinAxis, newEdges: Seq[Double],
+      dims: Seq[String] = Nil): DataFrame = {
+    require(newEdges.size >= 2 && newEdges.sliding(2).forall(p => p(0) < p(1)),
+      "newEdges must be at least two strictly increasing edges")
+    val spark = h.sparkSession
+    val src = binsTable(spark, ax)
+      .select(col("idx").as("__si"), col("left_edge").as(ax.binsCol),
+        col("width").as("__w"))
+    val dst = newEdges.init.zip(newEdges.tail).zipWithIndex.map {
+      case ((l, r), i) => (i.toLong, l, r)
+    }
+    import spark.implicits._
+    val dstDf = dst.toDF("__di", "__dl", "__dr")
+    val ov = src.crossJoin(dstDf)
+      .withColumn("__lo", greatest(col(ax.binsCol), col("__dl")))
+      .withColumn("__hi", least(col(ax.binsCol) + col("__w"), col("__dr")))
+      .filter(col("__hi") > col("__lo"))
+      .select(col("__si"), col(ax.binsCol), col("__di"), col("__dl"),
+        ((col("__hi") - col("__lo")) / col("__w")).as("__frac"))
+    val joined = h.select(dims.map(col) ++
+        Seq(col(ax.binsCol), col("cnt")): _*)
+      .join(broadcast(ov), Seq(ax.binsCol))
+      .withColumn("__t", col("cnt") * col("__frac"))
+    val terms = sort_array(collect_list(struct(
+      col("__si").as("k"), col("__t").as("t"))))
+    val folded = grouped(joined, dims :+ "__dl")(terms.as("__terms"))
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x.getField("t"))
+    folded.select(dims.map(col) ++ Seq(
+      col("__dl").as(s"${ax.name}_regrid_bins"),
+      fold(col("__terms")).as("cnt")): _*)
+  }
+
   /** Bin areas over multiple axes: the cross product of the axes' bin
     * tables with area = product of widths (accessor.areas,
     * accessor.py:231-250). Metadata-only; broadcastable. */

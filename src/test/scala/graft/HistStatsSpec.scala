@@ -367,6 +367,30 @@ class HistStatsSpec extends SparkSpec {
     assert(dead("b") == ((true, true)))
   }
 
+  test("regrid: mass conserved on covering grids; proportional split; identity grid exact") {
+    val ax = Regular("x", 4, 0.0, 8.0)
+    val h = Histogram.histogram(
+      Seq(1.0, 1.0, 3.0, 5.0, 7.0).toDF("x"), col("x"), ax)
+    // identity edges: every source bin maps 1:1 (frac = 1)
+    val id = HistStats.regrid(h, ax, Seq(0.0, 2.0, 4.0, 6.0, 8.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(id == Map(0.0 -> 2.0, 2.0 -> 1.0, 4.0 -> 1.0, 6.0 -> 1.0))
+    // a splitting edge at 3.0 cuts bin [2,4) in half: 0.5 each side
+    val cut = HistStats.regrid(h, ax, Seq(0.0, 3.0, 8.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(cut(0.0) == 2.0 + 0.5 && cut(3.0) == 0.5 + 1.0 + 1.0)
+    // mass conservation on any covering grid
+    assert(cut.values.sum == 5.0)
+    // a grid covering only part of the axis keeps only overlapped mass
+    val part = HistStats.regrid(h, ax, Seq(0.0, 2.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(part == Map(0.0 -> 2.0))
+    // degenerate edges raise
+    intercept[IllegalArgumentException] {
+      HistStats.regrid(h, ax, Seq(1.0))
+    }
+  }
+
   test("jsDivergence: identical -> 0; disjoint -> ln2; symmetric; dead group NULL") {
     val ax = Regular("x", 4, 0.0, 8.0)
     def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)
