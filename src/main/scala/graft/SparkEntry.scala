@@ -2489,6 +2489,20 @@ object SparkEntry {
       HistStats.regrid(
         Histogram.histogram(t(dir, "lineitem"), col("l_quantity"), axQty),
         axQty, Seq(0.0, 7.5, 20.0, 35.0, 51.0))
+    },
+    "q299_ndcg_ann" -> { (s, dir) =>
+      // rank-AWARE ANN QA beside the recall contracts: where do the
+      // true neighbors land in the approximate ranking?
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Similarity.ndcgAnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    "q300_classifier_eval" -> { (s, dir) =>
+      // the committed-threshold readout: confusion matrix + P/R/F1 for
+      // "value >= 256 predicts purchase" (q288's AUC is threshold-free)
+      implicit val sp: SparkSession = s
+      graft.pipeline.RankStats.classifierEval(t(dir, "events"), "value",
+        col("event_type") === "purchase", threshold = 256.0)
     }
   )
 
@@ -3254,6 +3268,9 @@ object SparkEntry {
     "q296_stream_ece" -> PipelineOracle.windowedEce("event_type = 'purchase'"),
     "q297_grid_density" -> PipelineOracle.gridDensity(16, 5L),
     "q298_hist_regrid" -> Oracle.regrid("lineitem",
-      Oracle.Spec("l_quantity", axQty), Seq(0.0, 7.5, 20.0, 35.0, 51.0))
+      Oracle.Spec("l_quantity", axQty), Seq(0.0, 7.5, 20.0, 35.0, 51.0)),
+    "q299_ndcg_ann" -> PipelineOracle.ndcgAnn(5, 10),
+    "q300_classifier_eval" ->
+      PipelineOracle.classifierEval("event_type = 'purchase'", 256.0)
   )
 }

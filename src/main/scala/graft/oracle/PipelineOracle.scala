@@ -321,6 +321,55 @@ object PipelineOracle {
       s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
   }
 
+  /** Mirrors RankStats.classifierEval: exact confusion counts, the
+    * identical IEEE precision/recall/F1/accuracy tails with per-rate
+    * NULL-on-zero-denominator. */
+  def classifierEval(posCond: String, threshold: Double): String = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val thr = s"CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
+    val prec = s"(${d("tp")} / (${d("tp")} + ${d("fp")}))"
+    val rec = s"(${d("tp")} / (${d("tp")} + ${d("fn")}))"
+    "WITH m AS (SELECT " +
+      s"CAST(COALESCE(SUM(CASE WHEN pred AND pos THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp, " +
+      s"CAST(COALESCE(SUM(CASE WHEN pred AND NOT pos THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp, " +
+      s"CAST(COALESCE(SUM(CASE WHEN NOT pred AND pos THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn, " +
+      s"CAST(COALESCE(SUM(CASE WHEN NOT pred AND NOT pos THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn " +
+      s"FROM (SELECT CAST(value AS DOUBLE) >= $thr AS pred, ($posCond) AS pos " +
+      "FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)))) " +
+      s"SELECT $thr AS threshold, tp, fp, fn, tn, " +
+      s"CASE WHEN tp + fp = 0 THEN CAST(NULL AS DOUBLE) ELSE $prec END AS precision, " +
+      s"CASE WHEN tp + fn = 0 THEN CAST(NULL AS DOUBLE) ELSE $rec END AS recall, " +
+      s"CASE WHEN tp + fp = 0 OR tp + fn = 0 OR $prec + $rec = CAST(0 AS DOUBLE) " +
+      s"THEN CAST(NULL AS DOUBLE) ELSE CAST(2 AS DOUBLE) * $prec * $rec / ($prec + $rec) END AS f1, " +
+      "CASE WHEN tp + fp + fn + tn = 0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE ${d("tp + tn")} / ${d("tp + fp + fn + tn")} END AS accuracy FROM m"
+  }
+
+  /** Mirrors Similarity.ndcgAnn: the [[annBruteForce]] and [[annLsh]]
+    * rankings nested as CTEs, graded gains k+1−exact_rank, quantized-ln
+    * DCG/IDCG folds in rank order, NDCG one division (zero-result
+    * queries score 0 via the left join). */
+  def ndcgAnn(k: Int, queryMaxId: Long, tables: Int = 4, bits: Int = 16,
+      probeHamming: Int = 2): String = {
+    def qln(rank: String): String =
+      s"(FLOOR(LN(CAST($rank AS DOUBLE) + CAST(1 AS DOUBLE)) * " +
+        "CAST('1.0E9' AS DOUBLE)) / CAST('1.0E9' AS DOUBLE))"
+    s"WITH ex AS (${annBruteForce(k, queryMaxId)}), " +
+      s"ap AS (${annLsh(k, queryMaxId, tables, bits, probeHamming)}), " +
+      s"rel AS (SELECT query_id, neighbor_id, CAST(${k + 1} - rank AS BIGINT) AS rel FROM ex), " +
+      "g AS (SELECT ap.query_id, ap.rank, " +
+      s"CAST(COALESCE(rel.rel, 0) AS DOUBLE) / ${qln("ap.rank")} AS t " +
+      "FROM ap LEFT JOIN rel ON rel.query_id = ap.query_id " +
+      "AND rel.neighbor_id = ap.neighbor_id), " +
+      "d AS (SELECT query_id, SUM(t ORDER BY rank) AS dcg FROM g GROUP BY query_id), " +
+      s"ig AS (SELECT query_id, rank, CAST(CAST(${k + 1} - rank AS BIGINT) AS DOUBLE) / " +
+      s"${qln("rank")} AS t FROM ex), " +
+      "i AS (SELECT query_id, SUM(t ORDER BY rank) AS idcg FROM ig GROUP BY query_id) " +
+      "SELECT i.query_id, COALESCE(d.dcg, CAST(0 AS DOUBLE)) AS dcg, i.idcg, " +
+      "COALESCE(d.dcg, CAST(0 AS DOUBLE)) / i.idcg AS ndcg " +
+      "FROM i LEFT JOIN d ON d.query_id = i.query_id"
+  }
+
   /** Mirrors Similarity.gridDensityClusters (dims 1,2): the q02
     * auto-range bin formula per axis, exact cell counts, 8-neighbor
     * adjacency, and the min-label components as a recursive-CTE

@@ -174,6 +174,41 @@ object RankStats {
     r.crossJoin(broadcast(total.select(ece.as("ece"))))
   }
 
+  /** Thresholded-classifier evaluation — the confusion matrix and its
+    * derived rates for "score ≥ t predicts the condition": exact
+    * tp/fp/fn/tn longs from ONE map-combinable pass, then precision,
+    * recall, F1 and accuracy as pinned IEEE sequences (each NULL when
+    * its denominator is 0 — no 0/0 smuggled as 0 or 1). [[auc]] ranks
+    * the score threshold-free; this is the committed-threshold readout
+    * a deployed filter actually runs. */
+  def classifierEval(df: DataFrame, scoreCol: String, isPos: Column,
+      threshold: Double): DataFrame = {
+    val v = col(scoreCol).cast("double")
+    val pred = v >= lit(threshold)
+    val t = df.filter(v.isNotNull && !isnan(v))
+      .agg(
+        coalesce(sum(when(pred && isPos, 1L).otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(pred && !isPos, 1L).otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(!pred && isPos, 1L).otherwise(0L)), lit(0L)).as("fn"),
+        coalesce(sum(when(!pred && !isPos, 1L).otherwise(0L)), lit(0L)).as("tn"))
+    def d(name: String): Column = col(name).cast("double")
+    val prec = d("tp") / (d("tp") + d("fp"))
+    val rec = d("tp") / (d("tp") + d("fn"))
+    val total = col("tp") + col("fp") + col("fn") + col("tn")
+    t.select(lit(threshold).as("threshold"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") === 0L, lit(null).cast("double"))
+        .otherwise(prec).as("precision"),
+      when(col("tp") + col("fn") === 0L, lit(null).cast("double"))
+        .otherwise(rec).as("recall"),
+      when(col("tp") + col("fp") === 0L || col("tp") + col("fn") === 0L ||
+          prec + rec === lit(0.0), lit(null).cast("double"))
+        .otherwise(lit(2.0) * prec * rec / (prec + rec)).as("f1"),
+      when(total === 0L, lit(null).cast("double"))
+        .otherwise((col("tp") + col("tn")).cast("double") /
+          total.cast("double")).as("accuracy"))
+  }
+
   /** Kaplan–Meier survival curve over per-key observation lifetimes —
     * the churn question retention tables can't answer ("how long does
     * a user last?") asked correctly: a user still active at the end

@@ -1687,6 +1687,51 @@ object Similarity {
           lit(x)).as("projection"))
   }
 
+  /** NDCG@k of the LSH ANN ranking against exact brute-force cosine —
+    * the RANK-AWARE retrieval QA beside the recall contracts
+    * (q163/q164 count how many true neighbors come back; NDCG scores
+    * WHERE they land — an ANN that returns all five true neighbors in
+    * reverse order passes recall and fails ranking): graded relevance
+    * of a returned neighbor = k+1−its exact rank (0 if outside the
+    * exact top-k), DCG = Σ rel/ln(rank+1) in rank order, IDCG the same
+    * sum over the ideal (exact) ordering, NDCG = DCG/IDCG per query.
+    * A query the ANN returns nothing for scores 0, not absent.
+    *
+    * Cross-engine: relevance gains are exact longs; each ln is
+    * 1e-9-quantized (natural log — the base cancels in no ratio but
+    * both engines use the same one); per-query folds run in rank
+    * order. Scale shape: both rankings are the existing broadcast +
+    * bounded-heap operators; everything after is k-rows-per-query. */
+  def ndcgAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      tables: Int = 4, bits: Int = 16, probeHamming: Int = 2): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+    val approx = annLsh(corpus, queries, k, tables, bits, probeHamming)
+    def qlnDen(r: Column): Column =
+      floor(log(r.cast("double") + lit(1.0)) * lit(1.0e9)) / lit(1.0e9)
+    val rel = exact.select(col("query_id"), col("neighbor_id"),
+      (lit(k + 1L) - col("rank").cast("long")).as("__rel"))
+    val gains = approx.join(rel, Seq("query_id", "neighbor_id"), "left")
+      .na.fill(0L, Seq("__rel"))
+      .select(col("query_id"), col("rank"),
+        (col("__rel").cast("double") / qlnDen(col("rank"))).as("__t"))
+    def foldByQuery(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col("query_id"))
+        .agg(sort_array(collect_list(struct(col("rank").as("k"),
+          col("__t").as("t")))).as("__arr"))
+        .select(col("query_id"),
+          aggregate(col("__arr"), lit(0.0),
+            (a, x) => a + x.getField("t")).as(out))
+    val dcg = foldByQuery(gains, "dcg")
+    val ideal = exact.select(col("query_id"), col("rank"),
+      ((lit(k + 1L) - col("rank").cast("long")).cast("double") /
+        qlnDen(col("rank"))).as("__t"))
+    val idcg = foldByQuery(ideal, "idcg")
+    idcg.join(dcg, Seq("query_id"), "left")
+      .na.fill(0.0, Seq("dcg"))
+      .select(col("query_id"), col("dcg"), col("idcg"),
+        (col("dcg") / col("idcg")).as("ndcg"))
+  }
+
   /** GRID-DENSITY clustering (DBSCAN-lite) over a 2-D slice of the
     * embedding space — the corpus-map complement of k-means (q90):
     * k-means imposes k convex cells; density clustering finds however

@@ -2939,6 +2939,42 @@ class PipelineSpec extends SparkSpec {
     assert(survs.zip(survs.tail).forall { case (a, b) => b <= a })
   }
 
+  test("ndcgAnn: full-recall LSH settings give ndcg == 1; bounds hold") {
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 40L).map { i =>
+      (i, (1 to 8).map(_ => rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    // bits=2, probeHamming=2 probes every one of the 4 buckets per
+    // table -> candidates = the whole corpus -> approx == exact
+    val full = Similarity.ndcgAnn(emb, emb.filter(col("vec_id") < 4),
+        k = 3, tables = 2, bits = 2, probeHamming = 2)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(full.length == 4)
+    assert(full.forall { case (dcg, idcg, ndcg) =>
+      ndcg == 1.0 && dcg == idcg })
+    // realistic settings: 0 <= ndcg <= 1, dcg <= idcg
+    val part = Similarity.ndcgAnn(emb, emb.filter(col("vec_id") < 4), k = 3)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(part.forall { case (dcg, idcg, ndcg) =>
+      ndcg >= 0.0 && ndcg <= 1.0 + 1e-15 && dcg <= idcg + 1e-12 })
+  }
+
+  test("classifierEval: hand confusion matrix; degenerate denominators NULL") {
+    val d = Seq((0.9, true), (0.8, false), (0.3, true), (0.1, false))
+      .toDF("s", "y")
+    val r = graft.pipeline.RankStats.classifierEval(d, "s", col("y"), 0.5)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((1L, 1L, 1L, 1L)))
+    assert(r.getDouble(5) == 0.5 && r.getDouble(6) == 0.5)
+    assert(r.getDouble(7) == 0.5 && r.getDouble(8) == 0.5)
+    // threshold above every score: no predicted positives -> NULL precision/f1
+    val none = graft.pipeline.RankStats.classifierEval(d, "s", col("y"), 2.0)
+      .collect()(0)
+    assert(none.getLong(1) == 0L && none.isNullAt(5) && none.isNullAt(7))
+    assert(none.getDouble(6) == 0.0) // recall defined: 0 of 2 positives found
+  }
+
   test("gridDensityClusters: two separated blobs -> two clusters; sparse cells unlabeled") {
     val rnd = new scala.util.Random(3)
     def blob(cx: Double, cy: Double, n: Int, id0: Long) =
