@@ -2503,6 +2503,19 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.RankStats.classifierEval(t(dir, "events"), "value",
         col("event_type") === "purchase", threshold = 256.0)
+    },
+    "q301_benford" -> { (s, dir) =>
+      // fabrication/pipeline-bug tripwire: leading-digit distribution
+      // of value vs Benford expectation, chi-square alongside
+      implicit val sp: SparkSession = s
+      graft.pipeline.RankStats.benfordAudit(t(dir, "events"), "value")
+    },
+    "q302_knn_classify" -> { (s, dir) =>
+      // leave-one-out kNN label prediction: does the neighborhood
+      // predict the label? (the local complement of q156's purity)
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Similarity.knnClassify(emb, emb.filter(col("vec_id") < 10), k = 5)
     }
   )
 
@@ -3271,6 +3284,8 @@ object SparkEntry {
       Oracle.Spec("l_quantity", axQty), Seq(0.0, 7.5, 20.0, 35.0, 51.0)),
     "q299_ndcg_ann" -> PipelineOracle.ndcgAnn(5, 10),
     "q300_classifier_eval" ->
-      PipelineOracle.classifierEval("event_type = 'purchase'", 256.0)
+      PipelineOracle.classifierEval("event_type = 'purchase'", 256.0),
+    "q301_benford" -> PipelineOracle.benfordAudit(),
+    "q302_knn_classify" -> PipelineOracle.knnClassify(5, 10)
   )
 }

@@ -321,6 +321,35 @@ object PipelineOracle {
       s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
   }
 
+  /** Mirrors RankStats.benfordAudit: integer-space leading digit via
+    * the BIGINT decimal string, identical expectation literals, dense
+    * 1–9 grid, χ² as SUM(term ORDER BY digit). */
+  def benfordAudit(): String = {
+    val gridRows = (1 to 9).map { d =>
+      val e = java.lang.Double.toString(math.log10(1.0 + 1.0 / d))
+      s"($d, CAST('$e' AS DOUBLE))"
+    }.mkString(", ")
+    "WITH c AS (SELECT CAST(SUBSTRING(CAST(CAST(ROUND(CAST(value AS DOUBLE) * " +
+      "CAST(100 AS DOUBLE)) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit " +
+      "FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) " +
+      "AND CAST(value AS DOUBLE) > CAST(0 AS DOUBLE)), " +
+      "g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY digit), " +
+      s"grid AS (SELECT * FROM (VALUES $gridRows) v(digit, exp_share)), " +
+      "dense AS (SELECT CAST(grid.digit AS BIGINT) AS digit, grid.exp_share, " +
+      "CAST(COALESCE(g.cnt, 0) AS BIGINT) AS cnt FROM grid LEFT JOIN g ON g.digit = grid.digit), " +
+      "t AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM dense), " +
+      "r AS (SELECT digit, cnt, exp_share, " +
+      "CASE WHEN t.n = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE CAST(cnt AS DOUBLE) / CAST(t.n AS DOUBLE) END AS obs_share, " +
+      "CASE WHEN t.n = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE (CAST(cnt AS DOUBLE) - exp_share * CAST(t.n AS DOUBLE)) * " +
+      "(CAST(cnt AS DOUBLE) - exp_share * CAST(t.n AS DOUBLE)) / " +
+      "(exp_share * CAST(t.n AS DOUBLE)) END AS term FROM dense CROSS JOIN t), " +
+      "x AS (SELECT SUM(term ORDER BY digit) AS chi2 FROM r) " +
+      "SELECT r.digit, r.cnt, r.exp_share, r.obs_share, x.chi2 " +
+      "FROM r CROSS JOIN x"
+  }
+
   /** Mirrors RankStats.classifierEval: exact confusion counts, the
     * identical IEEE precision/recall/F1/accuracy tails with per-rate
     * NULL-on-zero-denominator. */
@@ -344,6 +373,19 @@ object PipelineOracle {
       "CASE WHEN tp + fp + fn + tn = 0 THEN CAST(NULL AS DOUBLE) " +
       s"ELSE ${d("tp + tn")} / ${d("tp + fp + fn + tn")} END AS accuracy FROM m"
   }
+
+  /** Mirrors Similarity.knnClassify: the [[annBruteForce]] top-k
+    * nested, neighbor labels joined, majority vote with the (votes
+    * desc, label asc) tie-break as a row_number pick. */
+  def knnClassify(k: Int, queryMaxId: Long): String =
+    s"WITH ex AS (${annBruteForce(k, queryMaxId)}), " +
+      "v AS (SELECT ex.query_id, e.label AS nl, CAST(COUNT(*) AS BIGINT) AS c " +
+      "FROM ex JOIN embeddings e ON e.vec_id = ex.neighbor_id GROUP BY 1, 2), " +
+      "p AS (SELECT query_id, nl AS predicted FROM " +
+      "(SELECT query_id, nl, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY c DESC, nl) AS r FROM v) rv WHERE r = 1) " +
+      "SELECT p.query_id, e.label, p.predicted, e.label = p.predicted AS correct " +
+      "FROM p JOIN embeddings e ON e.vec_id = p.query_id"
 
   /** Mirrors Similarity.ndcgAnn: the [[annBruteForce]] and [[annLsh]]
     * rankings nested as CTEs, graded gains k+1−exact_rank, quantized-ln

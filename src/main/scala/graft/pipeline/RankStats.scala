@@ -209,6 +209,50 @@ object RankStats {
           total.cast("double")).as("accuracy"))
   }
 
+  /** BENFORD'S-LAW audit of a positive 2-decimal numeric column — the
+    * classic entry-fabrication / pipeline-bug tripwire (organically
+    * generated magnitudes follow P(d) = log₁₀(1+1/d); uniform or
+    * hand-entered values don't): per first-significant-digit observed
+    * count and share beside the Benford expectation, plus the χ²
+    * statistic (8 df) repeated on each row.
+    *
+    * Cross-engine: values scale into INTEGER space (·100, round —
+    * unambiguous because inputs are 2-decimal), the leading digit
+    * comes from the BIGINT's decimal string (engine-identical
+    * formatting — no log/pow knife-edges), expectations are injected
+    * as identical literals, and the χ² fold runs in digit order over
+    * the dense 1–9 grid (an absent digit still contributes its full
+    * expected term). ONE map-combinable groupBy to ≤ 9 rows. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val n = round(v * lit(100.0)).cast("long")
+    val digit = substring(n.cast("string"), 1, 1).cast("long")
+    val counts = df.filter(v.isNotNull && !isnan(v) && v > lit(0.0))
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = (1L to 9L).map(d => (d, math.log10(1.0 + 1.0 / d)))
+      .toDF("digit", "exp_share")
+    val dense = broadcast(grid).join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val total = dense.agg(coalesce(sum(col("cnt")), lit(0L)).as("__n"))
+    val r = dense.crossJoin(broadcast(total))
+    val en = col("exp_share") * col("__n").cast("double")
+    val diff = col("cnt").cast("double") - en
+    val withTerm = r.select(col("digit"), col("cnt"), col("exp_share"),
+      when(col("__n") === 0L, lit(null).cast("double"))
+        .otherwise(col("cnt").cast("double") / col("__n").cast("double"))
+        .as("obs_share"),
+      when(col("__n") === 0L, lit(null).cast("double"))
+        .otherwise(diff * diff / en).as("__t"))
+    val chi = withTerm.agg(sort_array(collect_list(struct(
+        col("digit").as("k"), col("__t").as("t")))).as("__arr"))
+      .select(aggregate(col("__arr"), lit(0.0),
+        (a, x) => a + x.getField("t")).as("chi2"))
+    withTerm.drop("__t").crossJoin(broadcast(chi))
+  }
+
   /** Kaplan–Meier survival curve over per-key observation lifetimes —
     * the churn question retention tables can't answer ("how long does
     * a user last?") asked correctly: a user still active at the end

@@ -1732,6 +1732,33 @@ object Similarity {
         (col("dcg") / col("idcg")).as("ndcg"))
   }
 
+  /** k-NN majority-vote CLASSIFICATION over the embedding space — the
+    * label-quality probe beside cluster purity (q156 asks "do k-means
+    * cells agree with labels?"; kNN accuracy asks the sharper local
+    * question: "does a vector's neighborhood predict its label?" — the
+    * standard embedding-quality eval, and the leave-one-out form since
+    * [[bruteForceTopK]] excludes the query itself): per query, the
+    * majority label among its k exact nearest neighbors (ties → most
+    * votes, then smallest label — an argmax struct-min, NO per-group
+    * sort or window), emitted beside the true label and the verdict.
+    * Scale shape: the broadcast + bounded-heap top-k, one
+    * neighbor-keyed label join, two k-bounded per-query aggregates. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val topk = bruteForceTopK(corpus.select(col("vec_id"), col("embedding")),
+      queries.select(col("vec_id"), col("embedding")), k)
+    val votes = topk.join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").as("__nl")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__nl")).agg(count(lit(1)).as("__c"))
+    val pred = votes.groupBy(col("query_id"))
+      .agg(min(struct((-col("__c")).as("nc"), col("__nl").as("l"))).as("__m"))
+      .select(col("query_id"), col("__m.l").as("predicted"))
+    pred.join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("label"))), Seq("query_id"))
+      .select(col("query_id"), col("label"), col("predicted"),
+        (col("label") === col("predicted")).as("correct"))
+  }
+
   /** GRID-DENSITY clustering (DBSCAN-lite) over a 2-D slice of the
     * embedding space — the corpus-map complement of k-means (q90):
     * k-means imposes k convex cells; density clustering finds however

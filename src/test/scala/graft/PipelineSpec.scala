@@ -2959,6 +2959,40 @@ class PipelineSpec extends SparkSpec {
       ndcg >= 0.0 && ndcg <= 1.0 + 1e-15 && dcg <= idcg + 1e-12 })
   }
 
+  test("benfordAudit: known digit counts; a Benford-ish corpus scores low chi2") {
+    // 1.00 -> digit 1, 2.50 -> 2, 0.19 -> 1 (19 cents), 9.99 -> 9
+    val d = Seq(1.00, 2.50, 0.19, 9.99).toDF("v")
+    val out = graft.pipeline.RankStats.benfordAudit(d, "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 0L,
+      6L -> 0L, 7L -> 0L, 8L -> 0L, 9L -> 1L))
+    // exponentially spread magnitudes approximate Benford: chi2 small
+    // relative to a uniform-digit corpus
+    val rnd = new scala.util.Random(9)
+    val benfordish = (1 to 4000)
+      .map(_ => math.pow(10.0, rnd.nextDouble() * 4.0 - 2.0)).toDF("v")
+    val uniform = (1 to 4000)
+      .map(i => (1.0 + i % 9).toDouble).toDF("v")
+    def chi(df: org.apache.spark.sql.DataFrame): Double =
+      graft.pipeline.RankStats.benfordAudit(df, "v").collect()(0).getDouble(4)
+    assert(chi(benfordish) < chi(uniform) / 10.0)
+  }
+
+  test("knnClassify: separable blobs classify perfectly; tie-break deterministic") {
+    val rnd = new scala.util.Random(13)
+    // cosine is direction-based: separate the classes by ANGLE, not
+    // offset (a blob at the origin has random directions)
+    val emb = (0L until 60L).map { i =>
+      val (cx, cy) = if (i % 2 == 0) (1.0, 0.0) else (0.0, 1.0)
+      (i, Seq((cx + rnd.nextGaussian() * 0.05).toFloat,
+        (cy + rnd.nextGaussian() * 0.05).toFloat), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    assert(out.length == 8)
+    assert(out.forall(_._4)) // well-separated blobs: every query correct
+  }
+
   test("classifierEval: hand confusion matrix; degenerate denominators NULL") {
     val d = Seq((0.9, true), (0.8, false), (0.3, true), (0.1, false))
       .toDF("s", "y")
