@@ -1798,21 +1798,34 @@ object Similarity {
       .select(idx(col("__x"), col("__lox"), col("__hix")).as("ci"),
         idx(col("__y"), col("__loy"), col("__hiy")).as("cj"))
       .groupBy(col("ci"), col("cj")).agg(count(lit(1)).as("cnt"))
-    val dense = cells.filter(col("cnt") >= minCount)
-      .withColumn("__id", col("ci") * lit(n.toLong) + col("cj"))
-    val offsets = Seq((0, 1), (1, -1), (1, 0), (1, 1)) // forward half: a < b once
-    val pairs = offsets.map { case (di, dj) =>
-      dense.as("a").join(dense.as("b"),
-        col("b.ci") === col("a.ci") + lit(di.toLong) &&
-          col("b.cj") === col("a.cj") + lit(dj.toLong))
-        .select(least(col("a.__id"), col("b.__id")).as("doc_a"),
-          greatest(col("a.__id"), col("b.__id")).as("doc_b"))
-    }.reduce(_ unionByName _)
-    val labels = Dedup.components(
-      dense.select(col("__id").as("doc_id")), pairs)
-      .select(col("doc_id").as("__id"), col("component").as("cluster"))
-    cells.join(dense.select(col("__id"), col("ci"), col("cj")),
-        Seq("ci", "cj"), "left")
+    // the dense-cell graph is <= n^2 NODES BY CONSTRUCTION (metadata-
+    // sized, like a bins table — bounded by the grid, never by data):
+    // label it with one driver-side union-find instead of the iterative
+    // Dedup.components loop, whose log-diameter SPARK ROUNDS cost real
+    // wall for a graph this small (measured 20 s -> sub-second at sf0.1)
+    val denseCells = cells.filter(col("cnt") >= minCount)
+      .select(col("ci"), col("cj")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val id = denseCells.map { case (ci, cj) => (ci, cj) -> (ci * n + cj) }.toMap
+    val parent = scala.collection.mutable.Map(id.values.map(v => v -> v).toSeq: _*)
+    def find(v: Long): Long = {
+      var r = v
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    for ((ci, cj) <- denseCells; di <- -1L to 1L; dj <- -1L to 1L
+         if (di, dj) != ((0L, 0L))) {
+      id.get((ci + di, cj + dj)).foreach { nb =>
+        val (ra, rb) = (find(id((ci, cj))), find(nb))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val labels = id.values.toSeq.map(v => (v, find(v))).toDF("__id", "cluster")
+    cells.withColumn("__id",
+        when(col("cnt") >= minCount, col("ci") * lit(n.toLong) + col("cj"))
+          .otherwise(lit(null).cast("long")))
       .join(broadcast(labels), Seq("__id"), "left")
       .select(col("ci"), col("cj"), col("cnt"),
         col("__id").isNotNull.as("is_dense"), col("cluster"))
