@@ -2516,6 +2516,31 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val emb = t(dir, "embeddings")
       Similarity.knnClassify(emb, emb.filter(col("vec_id") < 10), k = 5)
+    },
+    "q303_ab_power" -> { (s, dir) =>
+      // could the q276 test even have SEEN the effect? observed-arm
+      // MDE at alpha=.05/power=.8 + required n for the observed delta
+      implicit val sp: SparkSession = s
+      graft.pipeline.RankStats.abPower(t(dir, "events"),
+        col("user_id") % 2 === 1, "purchase")
+    },
+    "q304_daily_auc" -> { (s, dir) =>
+      // the model-quality TREND: per-day AUC of value -> purchase
+      // (cumsum window partitioned by day — distributed across days)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.RankStats.aucByGroup(ev,
+        expr("unix_micros(event_time) div 86400000000"), "day",
+        "value", col("event_type") === "purchase")
+    },
+    "q305_km_summary" -> { (s, dir) =>
+      // the dashboard scalars off the q291 curve: median lifetime
+      // (NULL under heavy censoring) + restricted mean survival time
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.RankStats.kmSummary(ev)
     }
   )
 
@@ -3286,6 +3311,9 @@ object SparkEntry {
     "q300_classifier_eval" ->
       PipelineOracle.classifierEval("event_type = 'purchase'", 256.0),
     "q301_benford" -> PipelineOracle.benfordAudit(),
-    "q302_knn_classify" -> PipelineOracle.knnClassify(5, 10)
+    "q302_knn_classify" -> PipelineOracle.knnClassify(5, 10),
+    "q303_ab_power" -> PipelineOracle.abPower("purchase"),
+    "q304_daily_auc" -> PipelineOracle.aucByDay("event_type = 'purchase'"),
+    "q305_km_summary" -> PipelineOracle.kmSummary(2)
   )
 }

@@ -321,6 +321,65 @@ object PipelineOracle {
       s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
   }
 
+  /** Mirrors RankStats.aucByGroup keyed by event day: the [[auc]] CTEs
+    * with the cumsum window PARTITIONED BY day. */
+  def aucByDay(posCond: String): String =
+    "WITH s AS (SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day, " +
+      "CAST(value AS DOUBLE) AS v, " +
+      s"CAST(SUM(CASE WHEN $posCond THEN 1 ELSE 0 END) AS BIGINT) AS p, " +
+      s"CAST(SUM(CASE WHEN $posCond THEN 0 ELSE 1 END) AS BIGINT) AS n " +
+      "FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) " +
+      "AND ts IS NOT NULL GROUP BY 1, 2), " +
+      "c AS (SELECT day, v, p, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY day " +
+      "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cn FROM s), " +
+      "t AS (SELECT day, CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pos, " +
+      "CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_neg, " +
+      "CAST(COALESCE(SUM(p * (cn * 2 + n)), 0) AS BIGINT) AS u2 FROM c GROUP BY day) " +
+      "SELECT day, n_pos, n_neg, CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE CAST(u2 AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE) * " +
+      "CAST(n_neg AS DOUBLE)) END AS auc FROM t"
+
+  /** Mirrors RankStats.abPower: the [[abTest]] user/arm CTEs, the
+    * injected z-quantile literal, and the pinned MDE / required-n
+    * IEEE tails. */
+  def abPower(convType: String): String = {
+    val z = s"CAST('${java.lang.Double.toString(1.959963984540054 + 0.8416212335729143)}' AS DOUBLE)"
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val pp = s"((${d("conv_a")} + ${d("conv_b")}) / (${d("n_a")} + ${d("n_b")}))"
+    val mde = s"($z * SQRT($pp * (CAST(1 AS DOUBLE) - $pp) * " +
+      s"(CAST(1 AS DOUBLE) / ${d("n_a")} + CAST(1 AS DOUBLE) / ${d("n_b")})))"
+    val delta = s"ABS(${d("conv_b")} / ${d("n_b")} - ${d("conv_a")} / ${d("n_a")})"
+    val reqN = s"($z * $z * CAST(2 AS DOUBLE) * $pp * (CAST(1 AS DOUBLE) - $pp) / " +
+      s"($delta * $delta))"
+    "WITH u AS (SELECT user_id, CAST(MAX(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS INT) AS b, " +
+      s"MAX(CASE WHEN event_type = ${q(convType)} THEN 1 ELSE 0 END) AS c " +
+      "FROM events WHERE user_id IS NOT NULL GROUP BY user_id), " +
+      "a AS (SELECT CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+      "CAST(SUM(CASE WHEN b = 0 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a, " +
+      "CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+      "CAST(SUM(CASE WHEN b = 1 AND c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b FROM u) " +
+      "SELECT n_a, n_b, " +
+      s"CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE $pp END AS pooled_rate, " +
+      s"CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE $mde END AS mde, " +
+      s"CASE WHEN n_a = 0 OR n_b = 0 OR $delta = CAST(0 AS DOUBLE) THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE $reqN END AS required_n_per_arm FROM a"
+  }
+
+  /** Mirrors RankStats.kmSummary: the [[kmSurvival]] SQL nested, the
+    * step-function RMST as an ordered sum of S·Δlife plus the leading
+    * full-survival segment, median as the first ≤ 0.5 crossing. */
+  def kmSummary(censorDays: Int): String =
+    s"WITH km AS (${kmSurvival(censorDays)}), " +
+      "st AS (SELECT life, survival, LEAD(life) OVER (ORDER BY life) AS nxt FROM km), " +
+      "tl AS (SELECT COALESCE(SUM(survival * CAST(nxt - life AS DOUBLE) ORDER BY life), " +
+      "CAST(0 AS DOUBLE)) AS tail FROM st WHERE nxt IS NOT NULL), " +
+      "hd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lifetimes, MIN(life) AS lo, " +
+      "CAST(MAX(life) AS BIGINT) AS max_life, " +
+      "CAST(MIN(CASE WHEN survival <= CAST('0.5' AS DOUBLE) THEN life END) AS BIGINT) AS median_life FROM km) " +
+      "SELECT n_lifetimes, max_life, median_life, " +
+      "CASE WHEN n_lifetimes = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE CAST(lo AS DOUBLE) + tl.tail END AS rmst FROM hd CROSS JOIN tl"
+
   /** Mirrors RankStats.benfordAudit: integer-space leading digit via
     * the BIGINT decimal string, identical expectation literals, dense
     * 1–9 grid, χ² as SUM(term ORDER BY digit). */

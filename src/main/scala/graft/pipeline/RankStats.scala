@@ -174,6 +174,39 @@ object RankStats {
     r.crossJoin(broadcast(total.select(ece.as("ece"))))
   }
 
+  /** Kaplan–Meier SUMMARY scalars — the two numbers a dashboard wants
+    * from the [[kmSurvival]] curve: MEDIAN lifetime (the first
+    * lifetime where survival drops to ≤ 0.5 — the discrete step
+    * convention, NULL under heavy censoring when the curve never
+    * crosses) and the RESTRICTED MEAN survival time
+    * RMST = ∫₀^maxLife S(t)dt (S is a step function: 1 before the
+    * first observed lifetime, then constant between steps), the
+    * average lifetime credited only over the observed horizon — the
+    * honest mean when censoring truncates the tail. Every term is one
+    * IEEE product of exact-derived values, folded in lifetime order;
+    * all relations stay bounded by distinct lifetimes. */
+  def kmSummary(events: DataFrame, tsCol: String = "event_time",
+      keyCol: String = "user_id", censorDays: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val km = kmSurvival(events, tsCol, keyCol, censorDays)
+    val w = Window.orderBy(col("life"))
+    val stepped = km.withColumn("__next", lead(col("life"), 1).over(w))
+    val terms = stepped.filter(col("__next").isNotNull)
+      .select(col("life"), (col("survival") *
+        (col("__next") - col("life")).cast("double")).as("__t"))
+    val fold = terms.agg(sort_array(collect_list(struct(
+        col("life").as("k"), col("__t").as("t")))).as("__arr"))
+      .select(aggregate(col("__arr"), lit(0.0),
+        (a, x) => a + x.getField("t")).as("__tail"))
+    val heads = km.agg(count(lit(1)).as("n_lifetimes"),
+      min(col("life")).as("__lo"), max(col("life")).as("max_life"),
+      min(when(col("survival") <= lit(0.5), col("life"))).as("median_life"))
+    heads.crossJoin(broadcast(fold))
+      .select(col("n_lifetimes"), col("max_life"), col("median_life"),
+        when(col("n_lifetimes") === 0L, lit(null).cast("double"))
+          .otherwise(col("__lo").cast("double") + col("__tail")).as("rmst"))
+  }
+
   /** Thresholded-classifier evaluation — the confusion matrix and its
     * derived rates for "score ≥ t predicts the condition": exact
     * tp/fp/fn/tn longs from ONE map-combinable pass, then precision,
@@ -207,6 +240,75 @@ object RankStats {
       when(total === 0L, lit(null).cast("double"))
         .otherwise((col("tp") + col("tn")).cast("double") /
           total.cast("double")).as("accuracy"))
+  }
+
+  /** Per-group ROC AUC — [[auc]] with a partition key, for the daily
+    * model-quality trend ("is the score's ranking power decaying?") or
+    * per-segment fairness readouts: the same exact 2U identity per
+    * group, with the strictly-below negative cumsum as a window
+    * PARTITIONED BY the group (distributed across groups — each
+    * group's distinct-score relation sorts within its own partition;
+    * for a pathological mega-group swap in the two-pass prefix sum or
+    * a GK-binned approximation, the q202 note). NULL AUC for a group
+    * with one class. */
+  def aucByGroup(df: DataFrame, groupCol: Column, groupName: String,
+      scoreCol: String, isPos: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(scoreCol).cast("double")
+    val counts = df.filter(v.isNotNull && !isnan(v) && groupCol.isNotNull)
+      .groupBy(groupCol.as("__g"), v.as("__v"))
+      .agg(sum(when(isPos, 1L).otherwise(0L)).as("__p"),
+        sum(when(isPos, 0L).otherwise(1L)).as("__n"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = counts.withColumn("__cn", coalesce(sum(col("__n")).over(w), lit(0L)))
+    c.groupBy(col("__g"))
+      .agg(coalesce(sum(col("__p")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("__n")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("__p") * (col("__cn") * lit(2L) + col("__n"))),
+          lit(0L)).as("__u2"))
+      .select(col("__g").as(groupName), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0L || col("n_neg") === 0L,
+            lit(null).cast("double"))
+          .otherwise(col("__u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))).as("auc"))
+  }
+
+  /** A/B POWER ANALYSIS — the pre-committal readout beside the q276
+    * z-test ("the test says not significant — could it even have SEEN
+    * the effect you care about?"): from the observed arms, the minimum
+    * detectable absolute effect at α = 0.05 (two-sided) / power = 0.8,
+    * MDE = (z_{0.975}+z_{0.8})·√(p̄(1−p̄)(1/n_a+1/n_b)), and the
+    * per-arm sample size the OBSERVED effect would need,
+    * n = (z_{0.975}+z_{0.8})²·2·p̄(1−p̄)/δ². The z quantiles are
+    * literals injected identically into both engines (no erf anywhere);
+    * everything else is exact counts + one pinned IEEE tail. NULL when
+    * an arm is empty; required_n NULL when the observed δ is 0. */
+  def abPower(events: DataFrame, groupExpr: Column, convType: String,
+      keyCol: String = "user_id", typeCol: String = "event_type"): DataFrame = {
+    val z = lit(1.959963984540054 + 0.8416212335729143)
+    val users = events.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(groupExpr.cast("int")).as("__b"),
+        max(when(col(typeCol) === convType, 1).otherwise(0)).as("__c"))
+    val arms = users.agg(
+      sum(when(col("__b") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__b") === 0 && col("__c") === 1, 1L).otherwise(0L)).as("conv_a"),
+      sum(when(col("__b") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__b") === 1 && col("__c") === 1, 1L).otherwise(0L)).as("conv_b"))
+    def d(name: String): Column = col(name).cast("double")
+    val pp = (d("conv_a") + d("conv_b")) / (d("n_a") + d("n_b"))
+    val mde = z * sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / d("n_a") + lit(1.0) / d("n_b")))
+    val delta = abs(d("conv_b") / d("n_b") - d("conv_a") / d("n_a"))
+    val reqN = z * z * lit(2.0) * pp * (lit(1.0) - pp) / (delta * delta)
+    val dead = col("n_a") === 0L || col("n_b") === 0L
+    arms.select(col("n_a"), col("n_b"),
+      when(dead, lit(null).cast("double")).otherwise(pp).as("pooled_rate"),
+      when(dead, lit(null).cast("double")).otherwise(mde).as("mde"),
+      when(dead || delta === lit(0.0), lit(null).cast("double"))
+        .otherwise(reqN).as("required_n_per_arm"))
   }
 
   /** BENFORD'S-LAW audit of a positive 2-decimal numeric column — the

@@ -2959,6 +2959,61 @@ class PipelineSpec extends SparkSpec {
       ndcg >= 0.0 && ndcg <= 1.0 + 1e-15 && dcg <= idcg + 1e-12 })
   }
 
+  test("aucByGroup: single group equals global auc; one-class group NULL") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 300).map(_ => (rnd.nextInt(40).toDouble, rnd.nextBoolean()))
+    val d = rows.map { case (v, y) => ("g1", v, y) }.toDF("g", "s", "y")
+    val grouped = graft.pipeline.RankStats
+      .aucByGroup(d, col("g"), "g", "s", col("y")).collect()(0)
+    val global = graft.pipeline.RankStats.auc(d, "s", col("y")).collect()(0)
+    assert(grouped.getDouble(3) == global.getDouble(2))
+    val oneClass = Seq(("g1", 1.0, true), ("g2", 1.0, true), ("g2", 2.0, false))
+      .toDF("g", "s", "y")
+    val out = graft.pipeline.RankStats
+      .aucByGroup(oneClass, col("g"), "g", "s", col("y"))
+      .collect().map(r => r.getString(0) -> r.isNullAt(3)).toMap
+    assert(out("g1") && !out("g2"))
+  }
+
+  test("abPower: MDE shrinks with n; equal rates give NULL required_n") {
+    import java.sql.Timestamp
+    def ev(users: Int) = (1 to users).flatMap { u =>
+      val conv = u % 10 == 0 != (u % 2 == 1 && u % 20 < 6) // arm-skewed
+      Seq((u.toLong, if (conv) "purchase" else "view"))
+    }.toDF("user_id", "event_type")
+    val small = graft.pipeline.RankStats
+      .abPower(ev(100), col("user_id") % 2 === 1, "purchase").collect()(0)
+    val big = graft.pipeline.RankStats
+      .abPower(ev(2000), col("user_id") % 2 === 1, "purchase").collect()(0)
+    assert(small.getDouble(3) > big.getDouble(3)) // more users, smaller MDE
+    // identical arms: delta 0 -> required_n NULL, mde still defined
+    // u%4 in {0,1} converts: one even + one odd per block of 4 -> both
+    // arms convert at exactly 1/2, delta == 0
+    val flat = (1 to 40).map(u => (u.toLong, if (u % 4 < 2) "purchase" else "view"))
+      .toDF("user_id", "event_type")
+    val r = graft.pipeline.RankStats
+      .abPower(flat, col("user_id") % 2 === 1, "purchase").collect()(0)
+    assert(!r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("kmSummary: hand median and step-function RMST off the q291 fixture") {
+    import java.sql.Timestamp
+    def ts(day: Int): Timestamp = new Timestamp(day * 86400000L)
+    val ev = Seq(
+      (1L, ts(0)), (2L, ts(1)), (3L, ts(0)), (3L, ts(1)),
+      (4L, ts(0)), (4L, ts(2)), (5L, ts(3)), (5L, ts(9)), (6L, ts(9))
+    ).toDF("user_id", "event_time")
+    val r = graft.pipeline.RankStats.kmSummary(ev, censorDays = 1).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L)
+    // S(0)=2/3 > .5; S(1)=(2/3)(2/3) <= .5 -> median 1
+    assert(r.getLong(2) == 1L)
+    val s0 = 1.0 - 2.0 / 6.0
+    val s1 = s0 * (1 - 1.0 / 3.0)
+    val s2 = s1 * (1 - 1.0 / 2.0)
+    val rmst = 0.0 + s0 * 1 + s1 * 1 + s2 * 4
+    assert(math.abs(r.getDouble(3) - rmst) < 1e-12)
+  }
+
   test("benfordAudit: known digit counts; a Benford-ish corpus scores low chi2") {
     // 1.00 -> digit 1, 2.50 -> 2, 0.19 -> 1 (19 cents), 9.99 -> 9
     val d = Seq(1.00, 2.50, 0.19, 9.99).toDF("v")
