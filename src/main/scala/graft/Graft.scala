@@ -125,10 +125,19 @@ object Graft {
     _root_.graft.streaming.StreamingHist
 
   /** Sketch error-bound contracts (GK rank bounds, SpaceSaving
-    * brackets, percentile_approx, HLL distinct, ANN recall) — the QA
-    * gates that pin every approximate knob's accuracy on real data. */
+    * brackets, percentile_approx, HLL distinct, count-min point
+    * queries, ANN recall) — the QA gates that pin every approximate
+    * knob's accuracy on real data. */
   val contracts: _root_.graft.pipeline.Contracts.type =
     _root_.graft.pipeline.Contracts
+
+  /** Rank statistics and ML evaluation: ROC AUC (global and per-group)
+    * via exact distributed midranks, Mann–Whitney U, calibration
+    * reliability/ECE, thresholded confusion/P/R/F1, A/B power (MDE /
+    * required n), Benford first-digit audit, and Kaplan–Meier
+    * survival with censoring + median/RMST summary. */
+  val rankStats: _root_.graft.pipeline.RankStats.type =
+    _root_.graft.pipeline.RankStats
 
   /** Bucketed-table sinks: pay the join/group shuffle once at write
     * time; co-located equi-joins then plan with zero exchanges. */
