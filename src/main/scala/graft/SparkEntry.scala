@@ -2541,6 +2541,34 @@ object SparkEntry {
       val ev = t(dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.pipeline.RankStats.kmSummary(ev)
+    },
+    "q306_best_threshold" -> { (s, dir) =>
+      // the threshold SWEEP q300 reads one point of: F1-argmax
+      // operating point over every observed score, one prefix-sum pass
+      implicit val sp: SparkSession = s
+      graft.pipeline.RankStats.bestThreshold(t(dir, "events"), "value",
+        col("event_type") === "purchase")
+    },
+    "q307_hist_convolve" -> { (s, dir) =>
+      // distribution of X+Y from the two marginals alone — histogram
+      // algebra, never row-level pairs (the bins x bins join)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      HistStats.convolve(
+        Histogram.histogram(ev.filter(col("event_type") === "view"),
+          col("value"), axValue),
+        Histogram.histogram(ev.filter(col("event_type") === "click"),
+          col("value"), axValue),
+        axValue, axValue)
+    },
+    "q308_stream_benford" -> { (s, dir) =>
+      // the q301 fabrication tripwire in its LIVE per-window form;
+      // batch == streaming by construction (same two aggregations)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.windowedBenford(ev, "event_time",
+        "value", "1 hour")
     }
   )
 
@@ -3314,6 +3342,12 @@ object SparkEntry {
     "q302_knn_classify" -> PipelineOracle.knnClassify(5, 10),
     "q303_ab_power" -> PipelineOracle.abPower("purchase"),
     "q304_daily_auc" -> PipelineOracle.aucByDay("event_type = 'purchase'"),
-    "q305_km_summary" -> PipelineOracle.kmSummary(2)
+    "q305_km_summary" -> PipelineOracle.kmSummary(2),
+    "q306_best_threshold" ->
+      PipelineOracle.bestThreshold("event_type = 'purchase'"),
+    "q307_hist_convolve" -> Oracle.convolve("events",
+      Oracle.Spec("value", axValue), Oracle.Spec("value", axValue),
+      "event_type = 'view'", "event_type = 'click'", "value_value_sum_bins"),
+    "q308_stream_benford" -> PipelineOracle.windowedBenford()
   )
 }

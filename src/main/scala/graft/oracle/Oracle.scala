@@ -424,6 +424,28 @@ object Oracle {
       "FROM hx JOIN ov ON ov.i = hx.i GROUP BY ov.dl"
   }
 
+  /** Mirrors HistStats.convolve: two hist CTEs, bins×bins cross join,
+    * exact pair-mass products DECIMAL-summed per k = i+j, sum-axis
+    * labels from injected literals. */
+  def convolve(table: String, specA: Spec, specB: Spec, whereA: String,
+      whereB: String, outCol: String): String = {
+    def histCte(name: String, spec: Spec, where: String): String =
+      s"$name AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+        s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
+        s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1} " +
+        "GROUP BY __i0)"
+    val aA = specA.axis.asInstanceOf[graft.axes.Regular]
+    val aB = specB.axis.asInstanceOf[graft.axes.Regular]
+    val w = (aA.hi - aA.lo) / aA.nBins
+    val loSum = aA.lo + aB.lo
+    s"WITH ${histCte("ha", specA, whereA)}, ${histCte("hb", specB, whereB)}, " +
+      "j AS (SELECT ha.__i0 + hb.__i0 AS k, ha.cnt * hb.cnt AS m " +
+      "FROM ha CROSS JOIN hb) " +
+      s"SELECT ${dbl(loSum)} + CAST(k AS DOUBLE) * ${dbl(w)} AS $outCol, " +
+      exactDbl("SUM(TRY_CAST(CAST(m AS VARCHAR) AS DECIMAL(38,14)))") +
+      " AS cnt FROM j GROUP BY k"
+  }
+
   /** Mirrors HistStats.jsDivergence: the [[hellinger]] CTEs, per-bin
     * ½-decomposed KL terms with 1e-9-quantized LN (the lmScore
     * discipline) and 0·ln0 ≡ 0, SUM ORDER BY i, final ÷2, the same

@@ -321,6 +321,33 @@ object PipelineOracle {
       s"WHERE $jac >= CAST('${java.lang.Double.toString(threshold)}' AS DOUBLE)"
   }
 
+  /** Mirrors RankStats.bestThreshold: the [[auc]] CTEs plus totals,
+    * the per-candidate tp/fp/fn identities, the identical IEEE
+    * precision/recall/F1 tail, argmax as ORDER BY f1 DESC, v LIMIT 1. */
+  def bestThreshold(posCond: String): String = {
+    val prec = "(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))"
+    val rec = "(CAST(tp AS DOUBLE) / CAST(pt AS DOUBLE))"
+    val f1 = s"(CAST(2 AS DOUBLE) * $prec * $rec / ($prec + $rec))"
+    "WITH s AS (SELECT CAST(value AS DOUBLE) AS v, " +
+      s"CAST(SUM(CASE WHEN $posCond THEN 1 ELSE 0 END) AS BIGINT) AS p, " +
+      s"CAST(SUM(CASE WHEN $posCond THEN 0 ELSE 1 END) AS BIGINT) AS n " +
+      "FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) " +
+      "GROUP BY CAST(value AS DOUBLE)), " +
+      "c AS (SELECT v, p, n, " +
+      "CAST(COALESCE(SUM(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cp, " +
+      "CAST(COALESCE(SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cn FROM s), " +
+      "tot AS (SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS pt, " +
+      "CAST(COALESCE(SUM(n), 0) AS BIGINT) AS nt FROM s), " +
+      "r AS (SELECT v, pt - cp AS tp, nt - cn AS fp, cp AS fn, pt " +
+      "FROM c CROSS JOIN tot WHERE pt > 0 AND nt > 0), " +
+      "x AS (SELECT v AS threshold, tp, fp, fn, " +
+      s"CASE WHEN tp = 0 THEN CAST(NULL AS DOUBLE) ELSE $prec END AS precision, " +
+      s"$rec AS recall, " +
+      s"CASE WHEN tp = 0 THEN CAST(0 AS DOUBLE) ELSE $f1 END AS f1 FROM r) " +
+      "SELECT threshold, tp, fp, fn, precision, recall, f1 FROM x " +
+      "ORDER BY f1 DESC, threshold ASC LIMIT 1"
+  }
+
   /** Mirrors RankStats.aucByGroup keyed by event day: the [[auc]] CTEs
     * with the cumsum window PARTITIONED BY day. */
   def aucByDay(posCond: String): String =
@@ -379,6 +406,31 @@ object PipelineOracle {
       "SELECT n_lifetimes, max_life, median_life, " +
       "CASE WHEN n_lifetimes = 0 THEN CAST(NULL AS DOUBLE) " +
       "ELSE CAST(lo AS DOUBLE) + tl.tail END AS rmst FROM hd CROSS JOIN tl"
+
+  /** Mirrors StreamingHist.windowedBenford: hourly windows, per-window
+    * digit counts, the dense 1–9 grid with identical expectation
+    * literals, χ² as SUM(term ORDER BY digit) per window. */
+  def windowedBenford(): String = {
+    val gridRows = (1 to 9).map { d =>
+      val e = java.lang.Double.toString(math.log10(1.0 + 1.0 / d))
+      s"($d, CAST('$e' AS DOUBLE))"
+    }.mkString(", ")
+    "WITH c AS (SELECT make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000) AS ws, " +
+      "CAST(SUBSTRING(CAST(CAST(ROUND(CAST(value AS DOUBLE) * CAST(100 AS DOUBLE)) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit " +
+      "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL " +
+      "AND NOT isnan(CAST(value AS DOUBLE)) AND CAST(value AS DOUBLE) > CAST(0 AS DOUBLE)), " +
+      "g AS (SELECT ws, digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY ws, digit), " +
+      "t AS (SELECT ws, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY ws), " +
+      s"grid AS (SELECT * FROM (VALUES $gridRows) v(digit, exp_share)), " +
+      "dense AS (SELECT t.ws, t.n, CAST(grid.digit AS BIGINT) AS digit, grid.exp_share, " +
+      "CAST(COALESCE(g.cnt, 0) AS BIGINT) AS cnt FROM t CROSS JOIN grid " +
+      "LEFT JOIN g ON g.ws = t.ws AND g.digit = grid.digit) " +
+      "SELECT ws AS window_start, n, " +
+      "SUM((CAST(cnt AS DOUBLE) - exp_share * CAST(n AS DOUBLE)) * " +
+      "(CAST(cnt AS DOUBLE) - exp_share * CAST(n AS DOUBLE)) / " +
+      "(exp_share * CAST(n AS DOUBLE)) ORDER BY digit) AS chi2 " +
+      "FROM dense GROUP BY ws, n"
+  }
 
   /** Mirrors RankStats.benfordAudit: integer-space leading digit via
     * the BIGINT decimal string, identical expectation literals, dense

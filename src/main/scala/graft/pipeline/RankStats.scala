@@ -242,6 +242,52 @@ object RankStats {
           total.cast("double")).as("accuracy"))
   }
 
+  /** F1-OPTIMAL decision threshold — the sweep [[classifierEval]]
+    * reads one point of: every observed distinct score is a candidate
+    * threshold for "predict positive at score ≥ t"; the cumulative
+    * class counts below each score (the [[auc]] prefix-sum machinery)
+    * give tp/fp/fn at every candidate in one pass, and the emitted row
+    * is the F1 argmax (ties → the smallest threshold — prefer the
+    * higher-recall operating point). F1 ≡ 0 when tp = 0 (the sklearn
+    * zero-division convention). Empty output when either class is
+    * absent — there is no operating point to choose.
+    *
+    * Scale shape: the corpus collapses to the distinct-score relation
+    * (pinned — it feeds the totals AND the sweep), prefix sums are the
+    * distributed two-pass form, and the argmax is ONE struct-min
+    * aggregate — never a sort or rank window over the sweep. */
+  def bestThreshold(df: DataFrame, scoreCol: String,
+      isPos: Column): DataFrame = {
+    val counts = graft.util.RelCache.persist(
+      scoreCounts(df, scoreCol, isPos))
+    val c = cumBeforeCounts(counts)
+    val tot = counts.agg(coalesce(sum(col("__p")), lit(0L)).as("__totp"),
+      coalesce(sum(col("__n")), lit(0L)).as("__totn"))
+    val r = c.crossJoin(broadcast(tot))
+      .filter(col("__totp") > 0L && col("__totn") > 0L)
+    val tp = col("__totp") - col("__cp")
+    val fp = col("__totn") - col("__cn")
+    val prec = tp.cast("double") / (tp + fp).cast("double")
+    val rec = tp.cast("double") / col("__totp").cast("double")
+    val f1 = when(tp === 0L, lit(0.0))
+      .otherwise(lit(2.0) * prec * rec / (prec + rec))
+    val sweep = r.select(col("__v"), tp.as("tp"), fp.as("fp"),
+      col("__cp").as("fn"),
+      when(tp === 0L, lit(null).cast("double")).otherwise(prec)
+        .as("precision"),
+      rec.as("recall"), f1.as("__f1"))
+    sweep.agg(min(struct((-col("__f1")).as("nf"), col("__v").as("v"),
+        col("tp").as("tp"), col("fp").as("fp"), col("fn").as("fn"),
+        col("precision").as("precision"), col("recall").as("recall")))
+        .as("__best"))
+      .filter(col("__best").isNotNull)
+      .select(col("__best.v").as("threshold"), col("__best.tp").as("tp"),
+        col("__best.fp").as("fp"), col("__best.fn").as("fn"),
+        col("__best.precision").as("precision"),
+        col("__best.recall").as("recall"),
+        (-col("__best.nf")).as("f1"))
+  }
+
   /** Per-group ROC AUC — [[auc]] with a partition key, for the daily
     * model-quality trend ("is the score's ranking power decaying?") or
     * per-segment fairness readouts: the same exact 2U identity per

@@ -320,6 +320,58 @@ object HistStats {
       ax.width(col("id")).as("width"))
   }
 
+  /** Histogram CONVOLUTION — the distribution of X + Y from the two
+    * marginals under independence, without touching row-level data
+    * (the algebra move behind synthetic-total modeling: latency =
+    * queue + service, spend = base + surcharge): for equal-width
+    * Regular axes, c[k] = Σ_{i+j=k} a[i]·b[j] on the sum axis
+    * [lo_a+lo_b, hi_a+hi_b) with n_a+n_b−1 bins; the output carries
+    * PAIR mass (Σc = |A|·|B| — normalize downstream for a pdf).
+    *
+    * Cross-engine: per-pair products of integer-valued counts are
+    * exact in doubles, summed per output bin through DECIMAL; the bin
+    * label is lo_a+lo_b + k·w with the literals computed once in Scala
+    * and injected identically. Off-grid labels raise (the drift-family
+    * require). Scale shape: the join is bins_a×bins_b — metadata-sized
+    * regardless of corpus size; histogram relations are touched
+    * once each. */
+  def convolve(a: DataFrame, b: DataFrame, axA: graft.axes.Regular,
+      axB: graft.axes.Regular): DataFrame = {
+    val wA = (axA.hi - axA.lo) / axA.nBins
+    val wB = (axB.hi - axB.lo) / axB.nBins
+    require(wA == wB,
+      s"convolve needs equal bin widths: $wA vs $wB")
+    def checked(h: DataFrame, ax: BinAxis, side: String): DataFrame = {
+      val bins = binsTable(h.sparkSession, ax)
+        .select(col("left_edge").as(ax.binsCol))
+      val offGrid = h.select(col(ax.binsCol)).distinct()
+        .join(broadcast(bins), Seq(ax.binsCol), "left_anti").count()
+      require(offGrid == 0L,
+        s"convolve requires flow-free histograms on the axis grid " +
+          s"($side: $offGrid off-grid label(s))")
+      h
+    }
+    // recover bin indices by EXACT label equality against the bins
+    // table (running the value->index formula on an edge label risks a
+    // one-ulp misbin; labels come from the same formula, so they match)
+    def indexed(h: DataFrame, ax: BinAxis, out: String,
+        cntOut: String): DataFrame =
+      h.join(broadcast(binsTable(h.sparkSession, ax)
+          .select(col("left_edge").as(ax.binsCol), col("idx").as(out))),
+          Seq(ax.binsCol))
+        .select(col(out), col("cnt").as(cntOut))
+    val ia = indexed(checked(a, axA, "left"), axA, "__i", "__ca")
+    val ib = indexed(checked(b, axB, "right"), axB, "__j", "__cb")
+    val loSum = axA.lo + axB.lo
+    ia.crossJoin(broadcast(ib))
+      .select((col("__i") + col("__j")).as("__k"),
+        (col("__ca") * col("__cb")).as("__m"))
+      .groupBy(col("__k"))
+      .agg(graft.util.Dec.sumDec(col("__m")).as("cnt"))
+      .select((lit(loSum) + col("__k").cast("double") * lit(wA))
+        .as(s"${axA.name}_${axB.name}_sum_bins"), col("cnt"))
+  }
+
   /** Flux-conserving REGRID of a histogram onto arbitrary new edges —
     * the interpolating completion of the rebin algebra (q110's rebin
     * merges whole integer groups of bins; scale/apply_func move the

@@ -937,6 +937,48 @@ object StreamingHist {
       ece.as("ece"))
   }
 
+  /** Per-window BENFORD χ² monitor — the live form of
+    * RankStats.benfordAudit ("did a bot / a broken feed start injecting
+    * fabricated amounts THIS hour?"): per event-time window, the
+    * leading-digit distribution's χ² against the Benford expectation,
+    * beside the window's row count. Same integer-space digit
+    * extraction as the batch audit (·100, BIGINT decimal string — no
+    * log/pow knife-edges); the dense 1–9 grid is applied in-row over
+    * the collected digit cells, expectation literals identical in both
+    * engines, terms added in digit order.
+    *
+    * Batch and streaming execute the same two aggregations (per-
+    * (window, digit) counts, then the per-window fold) — parity by
+    * construction; state per window ≤ 9 rows. */
+  def windowedBenford(df: DataFrame, tsCol: String, valueCol: String,
+      windowDuration: String, watermark: String = "10 seconds"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val digit = substring(round(v * lit(100.0)).cast("long")
+      .cast("string"), 1, 1).cast("long")
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val base = src
+      .filter(col(tsCol).isNotNull && v.isNotNull && !isnan(v) && v > lit(0.0))
+      .select(window(col(tsCol), windowDuration).as("win"), digit.as("__d"))
+    val perDigit = base.groupBy(col("win"), col("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val regroup = if (df.isStreaming)
+      perDigit.groupBy(window(window_time(col("win")), windowDuration).as("__w2"))
+    else perDigit.groupBy(col("win").as("__w2"))
+    val agged = regroup.agg(sum(col("__c")).as("n"),
+      map_from_entries(collect_list(struct(col("__d"), col("__c"))))
+        .as("__m"))
+    val nD = col("n").cast("double")
+    val terms = (1L to 9L).map { d =>
+      val exp = lit(math.log10(1.0 + 1.0 / d))
+      val cnt = coalesce(element_at(col("__m"), lit(d)), lit(0L))
+      val en = exp * nD
+      val diff = cnt.cast("double") - en
+      diff * diff / en
+    }
+    agged.select(col("__w2.start").as("window_start"), col("n"),
+      terms.reduceLeft(_ + _).as("chi2"))
+  }
+
   case class RateEvent(event_type: String, us: Long)
   case class RateState(openDay: Long, openCnt: Long, closed: List[Long])
   case class RateVerdict(event_type: String, day: Long, n: Long,

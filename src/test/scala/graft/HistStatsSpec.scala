@@ -391,6 +391,26 @@ class HistStatsSpec extends SparkSpec {
     }
   }
 
+  test("convolve: hand sum-distribution; total mass |A|x|B|; width mismatch raises") {
+    val ax = Regular("x", 4, 0.0, 8.0)
+    // A: bins {0:2, 1:1}; B: bins {0:1, 2:1}
+    val ha = Histogram.histogram(Seq(1.0, 1.0, 3.0).toDF("x"), col("x"), ax)
+    val hb = Histogram.histogram(Seq(0.5, 4.5).toDF("x"), col("x"), ax)
+    val out = HistStats.convolve(ha, hb, ax, ax)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // k = i+j: (0,0)->2, (1,0)->1, (0,2)->2, (1,2)->1; label = 0 + k*2
+    assert(out == Map(0.0 -> 2.0, 2.0 -> 1.0, 4.0 -> 2.0, 6.0 -> 1.0))
+    assert(out.values.sum == 3.0 * 2.0)
+    intercept[IllegalArgumentException] {
+      HistStats.convolve(ha, hb, ax, Regular("x", 8, 0.0, 8.0))
+    }
+    // off-grid labels raise
+    val flow = ha.withColumn(ax.binsCol, col(ax.binsCol) + lit(100.0))
+    intercept[IllegalArgumentException] {
+      HistStats.convolve(flow, hb, ax, ax)
+    }
+  }
+
   test("jsDivergence: identical -> 0; disjoint -> ln2; symmetric; dead group NULL") {
     val ax = Regular("x", 4, 0.0, 8.0)
     def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)

@@ -3014,6 +3014,21 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - rmst) < 1e-12)
   }
 
+  test("bestThreshold: picks the known F1-optimal cut; one-class input empty") {
+    // pos at {3,4,5}, neg at {1,2,4}: t=3 -> tp3 fp1 (f1 = 6/7); t=4 ->
+    // tp2 fp1 fn1 (f1 = 2/3); t=1 -> tp3 fp3 (f1 = .667) => best t=3
+    val d = (Seq(3.0, 4.0, 5.0).map((_, true)) ++
+      Seq(1.0, 2.0, 4.0).map((_, false))).toDF("s", "y")
+    val r = graft.pipeline.RankStats.bestThreshold(d, "s", col("y"))
+      .collect()(0)
+    assert(r.getDouble(0) == 3.0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 1L, 0L)))
+    assert(r.getDouble(6) == 2.0 * 0.75 * 1.0 / (0.75 + 1.0))
+    val one = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    assert(graft.pipeline.RankStats.bestThreshold(one, "s", col("y"))
+      .count() == 0)
+  }
+
   test("benfordAudit: known digit counts; a Benford-ish corpus scores low chi2") {
     // 1.00 -> digit 1, 2.50 -> 2, 0.19 -> 1 (19 cents), 9.99 -> 9
     val d = Seq(1.00, 2.50, 0.19, 9.99).toDF("v")

@@ -986,6 +986,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed Benford: streaming equals batch BIT-exactly on closed windows") {
+    val events = Seq(
+      (ts(1), 1.23), (ts(2), 1.99), (ts(3), 2.50), (ts(5), 9.01),
+      (ts(12), 3.30), (ts(35), 1.11), (ts(50), 7.77)
+    ).toDF("event_time", "value")
+    val batch = StreamingHist.windowedBenford(
+        events, "event_time", "value", "10 seconds")
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(batch(0L)._1 == 4L) // digits 1,1,2,9 in the first window
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = StreamingHist.windowedBenford(
+      input.toDF().toDF("event_time", "value"),
+      "event_time", "value", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("benford_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 1.23), (ts(2), 1.99))
+      q.processAllAvailable()
+      input.addData((ts(3), 2.50), (ts(5), 9.01), (ts(12), 3.30), (ts(35), 1.11))
+      q.processAllAvailable()
+      input.addData((ts(50), 7.77)) // closes [0,10),[10,20),[30,40)
+      q.processAllAvailable()
+      val streamed = spark.table("benford_stream").collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed.keySet == Set(0L, 10L, 30L))
+      streamed.foreach { case (w, p) => assert(p == batch(w), s"window $w") }
+    } finally q.stop()
+  }
+
   test("windowed KS: streaming equals batch BIT-exactly on closed windows") {
     val ax = Regular("value", 4, 0.0, 4.0)
     val ref = graft.operators.Histogram.histogram(
