@@ -2569,6 +2569,13 @@ object SparkEntry {
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.streaming.StreamingHist.windowedBenford(ev, "event_time",
         "value", "1 hour")
+    },
+    "q309_pr_curve" -> { (s, dir) =>
+      // the 11-point interpolated PR curve + average precision (VOC
+      // convention): eleven conditional maxes over the q306 sweep
+      implicit val sp: SparkSession = s
+      graft.pipeline.RankStats.prCurve(t(dir, "events"), "value",
+        col("event_type") === "purchase")
     }
   )
 
@@ -3348,6 +3355,7 @@ object SparkEntry {
     "q307_hist_convolve" -> Oracle.convolve("events",
       Oracle.Spec("value", axValue), Oracle.Spec("value", axValue),
       "event_type = 'view'", "event_type = 'click'", "value_value_sum_bins"),
-    "q308_stream_benford" -> PipelineOracle.windowedBenford()
+    "q308_stream_benford" -> PipelineOracle.windowedBenford(),
+    "q309_pr_curve" -> PipelineOracle.prCurve("event_type = 'purchase'")
   )
 }

@@ -348,6 +348,40 @@ object PipelineOracle {
       "ORDER BY f1 DESC, threshold ASC LIMIT 1"
   }
 
+  /** Mirrors RankStats.prCurve: the [[bestThreshold]] sweep CTEs,
+    * eleven conditional maxes with the integer cross-multiplied recall
+    * comparisons, AP as the ordered 11-point mean. */
+  def prCurve(posCond: String): String = {
+    val prec = "(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))"
+    val maxes = (0 to 10).map { l =>
+      s"MAX(CASE WHEN tp * 10 >= $l * pt THEN $prec END) AS m$l"
+    }.mkString(", ")
+    val gridRows = (0 to 10).map { l =>
+      s"(CAST('${java.lang.Double.toString(l.toDouble / 10.0)}' AS DOUBLE), $l)"
+    }.mkString(", ")
+    val pick = "CASE gl " + (0 to 10).map(l => s"WHEN $l THEN m$l")
+      .mkString(" ", " ", " END")
+    "WITH s AS (SELECT CAST(value AS DOUBLE) AS v, " +
+      s"CAST(SUM(CASE WHEN $posCond THEN 1 ELSE 0 END) AS BIGINT) AS p, " +
+      s"CAST(SUM(CASE WHEN $posCond THEN 0 ELSE 1 END) AS BIGINT) AS n " +
+      "FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) " +
+      "GROUP BY CAST(value AS DOUBLE)), " +
+      "c AS (SELECT v, p, n, " +
+      "CAST(COALESCE(SUM(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cp, " +
+      "CAST(COALESCE(SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cn FROM s), " +
+      "tot AS (SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS pt, " +
+      "CAST(COALESCE(SUM(n), 0) AS BIGINT) AS nt FROM s), " +
+      "r AS (SELECT pt - cp AS tp, nt - cn AS fp " +
+      "FROM c CROSS JOIN tot WHERE pt > 0 AND nt > 0), " +
+      s"m AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt, $maxes FROM r CROSS JOIN tot " +
+      "WHERE pt > 0 AND nt > 0), " +
+      s"g AS (SELECT * FROM (VALUES $gridRows) v(recall_level, gl)), " +
+      s"curve AS (SELECT recall_level, COALESCE($pick, CAST(0 AS DOUBLE)) AS precision " +
+      "FROM g CROSS JOIN m WHERE cnt > 0), " +
+      "a AS (SELECT SUM(precision ORDER BY recall_level) / CAST(11 AS DOUBLE) AS ap FROM curve) " +
+      "SELECT curve.recall_level, curve.precision, a.ap FROM curve CROSS JOIN a"
+  }
+
   /** Mirrors RankStats.aucByGroup keyed by event day: the [[auc]] CTEs
     * with the cumsum window PARTITIONED BY day. */
   def aucByDay(posCond: String): String =

@@ -288,6 +288,51 @@ object RankStats {
         (-col("__best.nf")).as("f1"))
   }
 
+  /** 11-point interpolated PRECISION–RECALL curve + average precision
+    * (the Pascal-VOC convention): at each recall level r ∈ {0, 0.1,
+    * …, 1.0}, the interpolated precision max{prec(t) : recall(t) ≥ r}
+    * over every candidate threshold, and AP = their mean. The
+    * interpolation max is ELEVEN CONDITIONAL MAX AGGREGATES over the
+    * threshold sweep (map-combinable — no suffix scan, no sort, no
+    * window), the sweep itself is the [[bestThreshold]] prefix-sum
+    * relation. Recall comparisons use the integer cross-multiplied
+    * form tp·10 ≥ level·P — no float recall knife-edge at the grid
+    * points. Empty output when either class is absent. */
+  def prCurve(df: DataFrame, scoreCol: String, isPos: Column): DataFrame = {
+    val counts = graft.util.RelCache.persist(
+      scoreCounts(df, scoreCol, isPos))
+    val c = cumBeforeCounts(counts)
+    val tot = counts.agg(coalesce(sum(col("__p")), lit(0L)).as("__totp"),
+      coalesce(sum(col("__n")), lit(0L)).as("__totn"))
+    val r = c.crossJoin(broadcast(tot))
+      .filter(col("__totp") > 0L && col("__totn") > 0L)
+    val tp = col("__totp") - col("__cp")
+    val fp = col("__totn") - col("__cn")
+    val prec = tp.cast("double") / (tp + fp).cast("double")
+    val maxes = (0 to 10).map { level =>
+      max(when(tp * lit(10L) >= lit(level.toLong) * col("__totp"), prec))
+        .as(s"__m$level")
+    }
+    val allAggs = count(lit(1)).as("__cnt") +: maxes
+    val agged = r.agg(allAggs.head, allAggs.tail: _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = (0 to 10).map(l => l.toDouble / 10.0).toDF("recall_level")
+      .withColumn("__l", (col("recall_level") * lit(10.0)).cast("int"))
+    val rows = grid.crossJoin(broadcast(agged))
+      .filter(col("__cnt") > 0L)
+    val precAt = (0 to 10).foldLeft(lit(null).cast("double")) {
+      (acc, l) => when(col("__l") === l, col(s"__m$l")).otherwise(acc)
+    }
+    val curve = rows.select(col("recall_level"),
+      coalesce(precAt, lit(0.0)).as("precision"))
+    val ap = curve.agg(sort_array(collect_list(struct(
+        col("recall_level").as("k"), col("precision").as("t")))).as("__arr"))
+      .select((aggregate(col("__arr"), lit(0.0),
+        (a, x) => a + x.getField("t")) / lit(11.0)).as("ap"))
+    curve.crossJoin(broadcast(ap))
+  }
+
   /** Per-group ROC AUC — [[auc]] with a partition key, for the daily
     * model-quality trend ("is the score's ranking power decaying?") or
     * per-segment fairness readouts: the same exact 2U identity per

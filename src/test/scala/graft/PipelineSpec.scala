@@ -3029,6 +3029,22 @@ class PipelineSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("prCurve: hand 11-point interpolated curve and AP; one-class input empty") {
+    val d = (Seq(3.0, 4.0, 5.0).map((_, true)) ++
+      Seq(1.0, 2.0, 4.0).map((_, false))).toDF("s", "y")
+    val out = graft.pipeline.RankStats.prCurve(d, "s", col("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(out.length == 11)
+    // recall <= 1/3 -> interpolated precision 1.0 (t=5); above -> 0.75 (t=3)
+    out.foreach { case (r, p, _) =>
+      if (r <= 0.3) assert(p == 1.0, s"r=$r") else assert(p == 0.75, s"r=$r")
+    }
+    assert(math.abs(out.head._3 - (4 * 1.0 + 7 * 0.75) / 11.0) < 1e-15)
+    val one = Seq((1.0, true)).toDF("s", "y")
+    assert(graft.pipeline.RankStats.prCurve(one, "s", col("y")).count() == 0)
+  }
+
   test("benfordAudit: known digit counts; a Benford-ish corpus scores low chi2") {
     // 1.00 -> digit 1, 2.50 -> 2, 0.19 -> 1 (19 cents), 9.99 -> 9
     val d = Seq(1.00, 2.50, 0.19, 9.99).toDF("v")
