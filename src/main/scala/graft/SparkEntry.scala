@@ -2576,6 +2576,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.RankStats.prCurve(t(dir, "events"), "value",
         col("event_type") === "purchase")
+    },
+    "q310_logistic_fit" -> { (s, dir) =>
+      // TRAINS the calibrated P(purchase|value) in-engine: 8 unrolled
+      // gradient rounds over the distinct-feature relation, oracle
+      // replays every round bit-exactly (the q248 precedent)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("x", col("value") / lit(512.0))
+      graft.pipeline.RankStats.logisticFit(ev, "x",
+        col("event_type") === "purchase")
     }
   )
 
@@ -3356,6 +3366,8 @@ object SparkEntry {
       Oracle.Spec("value", axValue), Oracle.Spec("value", axValue),
       "event_type = 'view'", "event_type = 'click'", "value_value_sum_bins"),
     "q308_stream_benford" -> PipelineOracle.windowedBenford(),
-    "q309_pr_curve" -> PipelineOracle.prCurve("event_type = 'purchase'")
+    "q309_pr_curve" -> PipelineOracle.prCurve("event_type = 'purchase'"),
+    "q310_logistic_fit" ->
+      PipelineOracle.logisticFit("event_type = 'purchase'", 8, 1.0)
   )
 }

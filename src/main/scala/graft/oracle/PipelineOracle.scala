@@ -348,6 +348,53 @@ object PipelineOracle {
       "ORDER BY f1 DESC, threshold ASC LIMIT 1"
   }
 
+  /** Mirrors RankStats.logisticFit over x = value/512: the distinct-
+    * feature CTE, `iters` unrolled MATERIALIZED gradient rounds
+    * (1e-9-quantized sigmoid, 1e-6-integer gradient sums, the
+    * identical IEEE update sequence), and the final quantized-ln
+    * cross-entropy. */
+  def logisticFit(posCond: String, iters: Int, lr: Double): String = {
+    val six = "CAST('1000000.0' AS DOUBLE)"
+    val nine = "CAST('1.0E9' AS DOUBLE)"
+    val lrL = s"CAST('${java.lang.Double.toString(lr)}' AS DOUBLE)"
+    def qsig(z: String) =
+      s"(FLOOR((CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-($z)))) * $nine) / $nine)"
+    def qln(x: String) = s"(FLOOR(LN($x) * $nine) / $nine)"
+    def resid(wb: String) =
+      s"(CAST(p AS DOUBLE) - CAST(p + n AS DOUBLE) * ${qsig(wb)})"
+    val rounds = (1 to iters).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      val rd = resid("w * v + b")
+      s"g$k AS MATERIALIZED (SELECT w, b, " +
+        s"CAST(SUM(CAST(FLOOR($rd * v * $six) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sw, " +
+        s"CAST(SUM(CAST(FLOOR($rd * $six) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sb " +
+        s"FROM s CROSS JOIN $prev GROUP BY w, b), " +
+        s"r$k AS MATERIALIZED (SELECT w + $lrL * (CAST(sw AS DOUBLE) / $six / nd) AS w, " +
+        s"b + $lrL * (CAST(sb AS DOUBLE) / $six / nd) AS b FROM g$k CROSS JOIN t)"
+    }.mkString(", ")
+    val sC = s"LEAST(GREATEST(${qsig("w * v + b")}, CAST('1.0E-9' AS DOUBLE)), " +
+      s"CAST('${java.lang.Double.toString(1.0 - 1.0e-9)}' AS DOUBLE))"
+    val lterm = s"(-(CAST(p AS DOUBLE) * ${qln("sc")} + " +
+      s"CAST(n AS DOUBLE) * ${qln("CAST(1 AS DOUBLE) - sc")}))"
+    "WITH s AS MATERIALIZED (SELECT CAST(value AS DOUBLE) / CAST(512 AS DOUBLE) AS v, " +
+      s"CAST(SUM(CASE WHEN $posCond THEN 1 ELSE 0 END) AS BIGINT) AS p, " +
+      s"CAST(SUM(CASE WHEN $posCond THEN 0 ELSE 1 END) AS BIGINT) AS n " +
+      "FROM events WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) " +
+      "GROUP BY CAST(value AS DOUBLE) / CAST(512 AS DOUBLE)), " +
+      "t AS MATERIALIZED (SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS pt, " +
+      "CAST(COALESCE(SUM(n), 0) AS BIGINT) AS nt, " +
+      "CAST(CAST(COALESCE(SUM(p), 0) + COALESCE(SUM(n), 0) AS BIGINT) AS DOUBLE) AS nd FROM s), " +
+      "r0 AS (SELECT CAST(0 AS DOUBLE) AS w, CAST(0 AS DOUBLE) AS b), " +
+      s"$rounds, " +
+      s"lf AS (SELECT w, b, sc, p, n FROM (SELECT w, b, $sC AS sc, p, n " +
+      s"FROM s CROSS JOIN r$iters) q), " +
+      "ls AS (SELECT w, b, " +
+      s"CAST(SUM(CAST(FLOOR($lterm * $six) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sl " +
+      "FROM lf GROUP BY w, b) " +
+      "SELECT t.pt AS n_pos, t.nt AS n_neg, ls.w, ls.b, " +
+      s"CAST(ls.sl AS DOUBLE) / $six / t.nd AS loss FROM ls CROSS JOIN t"
+  }
+
   /** Mirrors RankStats.prCurve: the [[bestThreshold]] sweep CTEs,
     * eleven conditional maxes with the integer cross-multiplied recall
     * comparisons, AP as the ordered 11-point mean. */

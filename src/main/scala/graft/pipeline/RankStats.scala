@@ -402,6 +402,69 @@ object RankStats {
         .otherwise(reqN).as("required_n_per_arm"))
   }
 
+  /** In-engine LOGISTIC REGRESSION (one feature + bias, fixed
+    * gradient-ascent rounds) — the trained counterpart of the
+    * evaluation family: [[auc]]/[[reliability]] SCORE a given model;
+    * this FITS the calibrated probability P(y|x) = σ(wx+b) itself,
+    * entirely inside the engine (the q248 power-iteration precedent:
+    * a fixed-round iterative optimizer whose every round is replayed
+    * bit-exactly by the oracle's unrolled materialized CTEs).
+    *
+    * Per round: residuals y−σ(wx+b) over the DISTINCT-FEATURE relation
+    * (the corpus collapses once and is pinned — a round costs
+    * |distinct x|, not |rows|), σ 1e-9-quantized (exp is the one libm
+    * call engines disagree on), per-row gradient terms quantized to
+    * 1e-6 INTEGERS and summed in DECIMAL (order-free exact), then one
+    * identical IEEE update sequence on the driver. Emits one row:
+    * class counts, w, b, and the final mean cross-entropy (quantized
+    * lns, σ clamped away from 0/1). Empty input → empty output.
+    * Driver state: two doubles; `iters` jobs over the pinned
+    * relation. */
+  def logisticFit(df: DataFrame, scoreCol: String, isPos: Column,
+      iters: Int = 8, lr: Double = 1.0): DataFrame = {
+    require(iters >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = graft.util.RelCache.persist(
+      scoreCounts(df, scoreCol, isPos))
+    val tot = counts.agg(coalesce(sum(col("__p")), lit(0L)),
+      coalesce(sum(col("__n")), lit(0L))).collect()(0)
+    val (pTot, nTot) = (tot.getLong(0), tot.getLong(1))
+    if (pTot + nTot == 0L)
+      return Seq.empty[(Long, Long, Double, Double, Double)]
+        .toDF("n_pos", "n_neg", "w", "b", "loss")
+    val nD = (pTot + nTot).toDouble
+    def qsig(z: Column): Column =
+      floor(lit(1.0) / (lit(1.0) + exp(-z)) * lit(1.0e9)) / lit(1.0e9)
+    var w = 0.0; var b = 0.0
+    for (_ <- 1 to iters) {
+      val z = lit(w) * col("__v") + lit(b)
+      val s = qsig(z)
+      val resid = col("__p").cast("double") -
+        (col("__p") + col("__n")).cast("double") * s
+      val g = counts.agg(
+        sum(floor(resid * col("__v") * lit(1.0e6))
+          .cast(DecimalType(38, 0))).as("__gw"),
+        sum(floor(resid * lit(1.0e6))
+          .cast(DecimalType(38, 0))).as("__gb")).collect()(0)
+      val gw = g.getDecimal(0).doubleValue() / 1.0e6 / nD
+      val gb = g.getDecimal(1).doubleValue() / 1.0e6 / nD
+      w = w + lr * gw
+      b = b + lr * gb
+    }
+    def qln(x: Column): Column =
+      floor(log(x) * lit(1.0e9)) / lit(1.0e9)
+    val zF = lit(w) * col("__v") + lit(b)
+    val sC = least(greatest(qsig(zF), lit(1.0e-9)), lit(1.0 - 1.0e-9))
+    val lterm = -(col("__p").cast("double") * qln(sC) +
+      col("__n").cast("double") * qln(lit(1.0) - sC))
+    val lsum = counts.agg(
+      sum(floor(lterm * lit(1.0e6)).cast(DecimalType(38, 0))).as("__l"))
+      .collect()(0).getDecimal(0).doubleValue()
+    val loss = lsum / 1.0e6 / nD
+    Seq((pTot, nTot, w, b, loss)).toDF("n_pos", "n_neg", "w", "b", "loss")
+  }
+
   /** BENFORD'S-LAW audit of a positive 2-decimal numeric column — the
     * classic entry-fabrication / pipeline-bug tripwire (organically
     * generated magnitudes follow P(d) = log₁₀(1+1/d); uniform or

@@ -3045,6 +3045,24 @@ class PipelineSpec extends SparkSpec {
     assert(graft.pipeline.RankStats.prCurve(one, "s", col("y")).count() == 0)
   }
 
+  test("logisticFit: learns the sign of a separable feature; beats chance loss") {
+    val rnd = new scala.util.Random(21)
+    val rows = (1 to 2000).map { _ =>
+      val x = rnd.nextInt(10).toDouble / 10.0
+      val pTrue = 1.0 / (1.0 + math.exp(-(6.0 * x - 3.0)))
+      (x, rnd.nextDouble() < pTrue)
+    }
+    val d = rows.toDF("x", "y")
+    val r = graft.pipeline.RankStats.logisticFit(d, "x", col("y"))
+      .collect()(0)
+    assert(r.getLong(0) + r.getLong(1) == 2000L)
+    assert(r.getDouble(2) > 0.0) // slope sign recovered
+    assert(r.getDouble(4) < math.log(2.0)) // better than coin-flip loss
+    val empty = Seq.empty[(Double, Boolean)].toDF("x", "y")
+    assert(graft.pipeline.RankStats.logisticFit(empty, "x", col("y"))
+      .count() == 0)
+  }
+
   test("benfordAudit: known digit counts; a Benford-ish corpus scores low chi2") {
     // 1.00 -> digit 1, 2.50 -> 2, 0.19 -> 1 (19 cents), 9.99 -> 9
     val d = Seq(1.00, 2.50, 0.19, 9.99).toDF("v")
