@@ -118,4 +118,33 @@ class PipelinePropertySpec extends SparkSpec {
         assert(r.getDouble(3) == 1.0))
     }
   }
+
+  test("auc invariants: class-complement and score-negation flip around 0.5") {
+    import graft.pipeline.RankStats
+    (1 to 6).foreach { _ =>
+      val rows = (1 to 60 + rng.nextInt(200)).map { _ =>
+        (rng.nextInt(25).toDouble, rng.nextBoolean())
+      }
+      // guarantee both classes
+      val d = (rows :+ ((99.0, true)) :+ ((98.0, false))).toDF("s", "y")
+      val a = RankStats.auc(d, "s", col("y")).collect()(0).getDouble(2)
+      // swapping the class label mirrors AUC around 1/2
+      val aSwap = RankStats.auc(d, "s", !col("y")).collect()(0).getDouble(2)
+      assert(math.abs(a + aSwap - 1.0) < 1e-12)
+      // negating the score mirrors AUC around 1/2
+      val neg = d.withColumn("s", -col("s"))
+      val aNeg = RankStats.auc(neg, "s", col("y")).collect()(0).getDouble(2)
+      assert(math.abs(a + aNeg - 1.0) < 1e-12)
+      // MWU z flips sign under class swap (tie machinery is symmetric)
+      val z = RankStats.mannWhitney(d, "s", col("y")).collect()(0)
+      val zSwap = RankStats.mannWhitney(d, "s", !col("y")).collect()(0)
+      if (!z.isNullAt(3))
+        assert(math.abs(z.getDouble(3) + zSwap.getDouble(3)) < 1e-9)
+      // best threshold's F1 is attainable: re-evaluating it agrees
+      val bt = RankStats.bestThreshold(d, "s", col("y")).collect()(0)
+      val ce = RankStats.classifierEval(d, "s", col("y"), bt.getDouble(0))
+        .collect()(0)
+      assert(math.abs(bt.getDouble(6) - ce.getDouble(7)) < 1e-12)
+    }
+  }
 }
