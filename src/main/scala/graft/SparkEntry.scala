@@ -2586,6 +2586,16 @@ object SparkEntry {
         .withColumn("x", col("value") / lit(512.0))
       graft.pipeline.RankStats.logisticFit(ev, "x",
         col("event_type") === "purchase")
+    },
+    "q311_stream_auc" -> { (s, dir) =>
+      // the q304 ranking-power trend LIVE: per-window midrank AUC of
+      // the 64-binned score; batch == streaming by construction
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.windowedAuc(ev, "event_time",
+        col("value") / lit(512.0), col("event_type") === "purchase",
+        "1 hour")
     }
   )
 
@@ -3368,6 +3378,8 @@ object SparkEntry {
     "q308_stream_benford" -> PipelineOracle.windowedBenford(),
     "q309_pr_curve" -> PipelineOracle.prCurve("event_type = 'purchase'"),
     "q310_logistic_fit" ->
-      PipelineOracle.logisticFit("event_type = 'purchase'", 8, 1.0)
+      PipelineOracle.logisticFit("event_type = 'purchase'", 8, 1.0),
+    "q311_stream_auc" ->
+      PipelineOracle.windowedAuc("event_type = 'purchase'")
   )
 }

@@ -348,6 +348,28 @@ object PipelineOracle {
       "ORDER BY f1 DESC, threshold ASC LIMIT 1"
   }
 
+  /** Mirrors StreamingHist.windowedAuc over score = value/512: hourly
+    * windows, per-(window, bin) class counts, the per-window 2U fold
+    * as a window cumsum partitioned by window, one IEEE division. */
+  def windowedAuc(posCond: String, nBins: Int = 64): String = {
+    val s = "LEAST(GREATEST(CAST(value AS DOUBLE) / CAST(512 AS DOUBLE), " +
+      "CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE))"
+    "WITH b AS (SELECT make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000) AS ws, " +
+      s"LEAST(CAST(FLOOR($s * CAST($nBins AS DOUBLE)) AS BIGINT), ${nBins - 1}) AS bin, " +
+      s"CASE WHEN $posCond THEN 1 ELSE 0 END AS y FROM events " +
+      "WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))), " +
+      "g AS (SELECT ws, bin, CAST(SUM(y) AS BIGINT) AS p, " +
+      "CAST(SUM(1 - y) AS BIGINT) AS n FROM b GROUP BY ws, bin), " +
+      "c AS (SELECT ws, bin, p, n, CAST(COALESCE(SUM(n) OVER (PARTITION BY ws " +
+      "ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cn FROM g), " +
+      "t AS (SELECT ws, CAST(SUM(p) AS BIGINT) AS tp, CAST(SUM(n) AS BIGINT) AS tn, " +
+      "CAST(SUM(p * (cn * 2 + n)) AS BIGINT) AS u2 FROM c GROUP BY ws) " +
+      "SELECT ws AS window_start, tp AS n_pos, tn AS n_neg, " +
+      "CASE WHEN tp = 0 OR tn = 0 THEN CAST(NULL AS DOUBLE) " +
+      "ELSE CAST(u2 AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(tp AS DOUBLE) * " +
+      "CAST(tn AS DOUBLE)) END AS auc FROM t"
+  }
+
   /** Mirrors RankStats.logisticFit over x = value/512: the distinct-
     * feature CTE, `iters` unrolled MATERIALIZED gradient rounds
     * (1e-9-quantized sigmoid, 1e-6-integer gradient sums, the

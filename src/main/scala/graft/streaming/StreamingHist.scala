@@ -979,6 +979,60 @@ object StreamingHist {
       terms.reduceLeft(_ + _).as("chi2"))
   }
 
+  /** Per-window BINNED AUC monitor — the live ranking-power trend
+    * ("is the score still separating conversions THIS hour?"): scores
+    * clamp-bucket into `nBins` bins (each bin is a tie group), and the
+    * window's AUC is the exact midrank AUC of the BINNED score — a
+    * well-defined statistic in its own right (the binning is the
+    * operator's published quantization, not an unstated approximation
+    * of the raw-score AUC; finer bins converge to it). Per window the
+    * 2U identity folds over the ≤ nBins sorted cells with exact long
+    * accumulators — the windowedGini in-row shape — then ONE IEEE
+    * division. NULL AUC for a window with one class.
+    *
+    * Batch and streaming run the SAME two aggregations (per-(window,
+    * bin) class counts, then the per-window fold): parity by
+    * construction; state per window ≤ nBins rows. */
+  def windowedAuc(df: DataFrame, tsCol: String, score: Column,
+      isPos: Column, windowDuration: String, nBins: Int = 64,
+      watermark: String = "10 seconds"): DataFrame = {
+    val raw = score.cast("double")
+    val s = least(greatest(raw, lit(0.0)), lit(1.0))
+    val bin = least(floor(s * lit(nBins.toDouble)).cast("long"),
+      lit(nBins.toLong - 1L))
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    val base = src
+      .filter(col(tsCol).isNotNull && raw.isNotNull && !isnan(raw))
+      .select(window(col(tsCol), windowDuration).as("win"),
+        bin.as("__bin"), when(isPos, 1L).otherwise(0L).as("__y"))
+    val perBin = base.groupBy(col("win"), col("__bin"))
+      .agg(sum(col("__y")).as("__p"),
+        sum(lit(1L) - col("__y")).as("__n"))
+    val regroup = if (df.isStreaming)
+      perBin.groupBy(window(window_time(col("win")), windowDuration).as("__w2"))
+    else perBin.groupBy(col("win").as("__w2"))
+    val agged = regroup.agg(sort_array(collect_list(struct(
+      col("__bin").as("k"), col("__p").as("p"), col("__n").as("n"))))
+      .as("__a"))
+    // fold in bin order: cn = negatives strictly below; u2 += p*(2cn+n)
+    val acc0 = struct(lit(0L).as("cn"), lit(0L).as("u2"),
+      lit(0L).as("tp"), lit(0L).as("tn"))
+    val folded = aggregate(col("__a"), acc0, (a, e) =>
+      struct((a.getField("cn") + e.getField("n")).as("cn"),
+        (a.getField("u2") + e.getField("p") *
+          (a.getField("cn") * lit(2L) + e.getField("n"))).as("u2"),
+        (a.getField("tp") + e.getField("p")).as("tp"),
+        (a.getField("tn") + e.getField("n")).as("tn")))
+    agged.select(col("__w2.start").as("window_start"), folded.as("__f"))
+      .select(col("window_start"), col("__f.tp").as("n_pos"),
+        col("__f.tn").as("n_neg"),
+        when(col("__f.tp") === 0L || col("__f.tn") === 0L,
+            lit(null).cast("double"))
+          .otherwise(col("__f.u2").cast("double") /
+            (lit(2.0) * col("__f.tp").cast("double") *
+              col("__f.tn").cast("double"))).as("auc"))
+  }
+
   case class RateEvent(event_type: String, us: Long)
   case class RateState(openDay: Long, openCnt: Long, closed: List[Long])
   case class RateVerdict(event_type: String, day: Long, n: Long,

@@ -986,6 +986,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed AUC: streaming equals batch BIT-exactly; hand window checks out") {
+    val events = Seq(
+      // [0,10): pos at .8,.9, neg at .1,.2 -> perfectly separated
+      (ts(1), 0.8, true), (ts(2), 0.9, true), (ts(3), 0.1, false),
+      (ts(5), 0.2, false),
+      // [10,20): one of each, inverted -> auc 0
+      (ts(12), 0.1, true), (ts(14), 0.9, false),
+      // [30,40): a pure same-bin tie -> midrank 1/2
+      (ts(35), 0.5, true), (ts(36), 0.5, false),
+      (ts(70), 0.9, true)
+    ).toDF("event_time", "score", "y")
+    val batch = StreamingHist.windowedAuc(
+        events, "event_time", col("score"), col("y"), "10 seconds")
+      .collect()
+      .map(r => r.getTimestamp(0).getTime / 1000 ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(batch(0L) == ((2L, 2L, 1.0)))
+    assert(batch(10L) == ((1L, 1L, 0.0)))
+    assert(batch(30L) == ((1L, 1L, 0.5)))
+    assert(batch(70L) == ((1L, 0L, -1.0))) // one-class window: NULL
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double, Boolean)]
+    val out = StreamingHist.windowedAuc(
+      input.toDF().toDF("event_time", "score", "y"),
+      "event_time", col("score"), col("y"), "10 seconds")
+    val q = out.writeStream.format("memory").queryName("auc_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 0.8, true), (ts(2), 0.9, true))
+      q.processAllAvailable()
+      input.addData((ts(3), 0.1, false), (ts(5), 0.2, false),
+        (ts(12), 0.1, true), (ts(14), 0.9, false), (ts(35), 0.5, true))
+      q.processAllAvailable()
+      input.addData((ts(36), 0.5, false), (ts(70), 0.9, true))
+      q.processAllAvailable()
+      val streamed = spark.table("auc_stream").collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+      assert(streamed.keySet == Set(0L, 10L, 30L))
+      streamed.foreach { case (w, p) => assert(p == batch(w), s"window $w") }
+    } finally q.stop()
+  }
+
   test("windowed Benford: streaming equals batch BIT-exactly on closed windows") {
     val events = Seq(
       (ts(1), 1.23), (ts(2), 1.99), (ts(3), 2.50), (ts(5), 9.01),
