@@ -139,6 +139,10 @@ object Graft {
   val rankStats: _root_.graft.pipeline.RankStats.type =
     _root_.graft.pipeline.RankStats
 
+  /** Distributed 2-D skyline (Pareto frontier): per-partition local
+    * frontiers, broadcast-merged candidate filter. */
+  val skyline: _root_.graft.pipeline.Skyline.type = _root_.graft.pipeline.Skyline
+
   /** Bucketed-table sinks: pay the join/group shuffle once at write
     * time; co-located equi-joins then plan with zero exchanges. */
   val sinks: _root_.graft.sources.Sinks.type = _root_.graft.sources.Sinks
