@@ -383,6 +383,25 @@ class EmptyInputSpec extends SparkSpec {
     assert(a1.getLong(0) == 2L && a1.getLong(1) == 0L && a1.isNullAt(2))
     // reliability and KM on empty input: empty relations, no crash
     assert(RankStats.reliability(empty, "s", col("y")).count() == 0)
+    assert(RankStats.bestThreshold(empty, "s", col("y")).count() == 0)
+    assert(RankStats.prCurve(empty, "s", col("y")).count() == 0)
+    assert(RankStats.logisticFit(empty, "s", col("y")).count() == 0)
+    // benford on empty: the dense grid still emits its 9 rows, NULL stats
+    val bf = RankStats.benfordAudit(empty
+      .withColumnRenamed("s", "v"), "v").collect()
+    assert(bf.length == 9 && bf.forall(r => r.getLong(1) == 0L &&
+      r.isNullAt(3) && r.isNullAt(4)))
+    val emptyTs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_time", TimestampType),
+        StructField("s", DoubleType), StructField("y", BooleanType))))
+    assert(graft.streaming.StreamingHist.windowedAuc(
+      emptyTs, "event_time", col("s"), col("y"), "1 hour").count() == 0)
+    assert(graft.streaming.StreamingHist.windowedEce(
+      emptyTs, "event_time", col("s"), col("y"), "1 hour").count() == 0)
+    assert(graft.streaming.StreamingHist.windowedBenford(
+      emptyTs.withColumnRenamed("s", "value"), "event_time", "value",
+      "1 hour").count() == 0)
     val emptyT = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField("user_id", LongType),

@@ -618,6 +618,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("windowedAuc/windowedBenford batch paths: two hash aggs, no WindowExec") {
+    val ev = (1L to 40L).map(i =>
+      (new java.sql.Timestamp(i * 1000L), i.toDouble / 40.0, i % 4 == 0))
+      .toDF("event_time", "score", "y")
+    val aucPlan = executedPlan(graft.streaming.StreamingHist.windowedAuc(
+      ev, "event_time", col("score"), col("y"), "10 seconds"))
+    assert(!aucPlan.contains("Window ["), aucPlan)
+    assert(aucPlan.contains("HashAggregate"), aucPlan)
+    val ben = ev.withColumn("value", col("score") * lit(100.0))
+    val benPlan = executedPlan(graft.streaming.StreamingHist.windowedBenford(
+      ben, "event_time", "value", "10 seconds"))
+    assert(!benPlan.contains("Window ["), benPlan)
+    assert(benPlan.contains("HashAggregate"), benPlan)
+  }
+
   test("windowedEce batch path: windows partition the per-bin relation, nothing global") {
     val ev = (1L to 40L).map(i =>
       (new java.sql.Timestamp(i * 1000L), i.toDouble / 40.0, i % 4 == 0))
