@@ -42,6 +42,12 @@ object StressRank {
     time("benford")(RankStats.benfordAudit(ev, "value").count())
     time("km_survival")(RankStats.kmSurvival(ev).count())
     time("km_summary")(RankStats.kmSummary(ev).count())
+    time("best_threshold")(RankStats.bestThreshold(ev, "value", pos).count())
+    time("pr_curve")(RankStats.prCurve(ev, "value", pos).count())
+    time("logistic_fit")(RankStats.logisticFit(
+      scored, "score", pos).count())
+    time("windowed_auc")(graft.streaming.StreamingHist.windowedAuc(
+      ev, "event_time", col("value") / lit(512.0), pos, "1 hour").count())
     spark.stop()
   }
 }
