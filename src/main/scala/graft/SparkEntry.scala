@@ -2596,6 +2596,15 @@ object SparkEntry {
       graft.streaming.StreamingHist.windowedAuc(ev, "event_time",
         col("value") / lit(512.0), col("event_type") === "purchase",
         "1 hour")
+    },
+    "q312_calibrated_eval" -> { (s, dir) =>
+      // the closed loop: q310's fit applied to every row, then the
+      // q290 reliability of the CALIBRATED probabilities, one gate
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("x", col("value") / lit(512.0))
+      graft.pipeline.RankStats.calibratedEval(ev, "x",
+        col("event_type") === "purchase")
     }
   )
 
@@ -3380,6 +3389,8 @@ object SparkEntry {
     "q310_logistic_fit" ->
       PipelineOracle.logisticFit("event_type = 'purchase'", 8, 1.0),
     "q311_stream_auc" ->
-      PipelineOracle.windowedAuc("event_type = 'purchase'")
+      PipelineOracle.windowedAuc("event_type = 'purchase'"),
+    "q312_calibrated_eval" ->
+      PipelineOracle.calibratedEval("event_type = 'purchase'", 8, 1.0)
   )
 }

@@ -417,6 +417,37 @@ object PipelineOracle {
       s"CAST(ls.sl AS DOUBLE) / $six / t.nd AS loss FROM ls CROSS JOIN t"
   }
 
+  /** Mirrors RankStats.calibratedEval: the full unrolled
+    * [[logisticFit]] nested as the `fit` CTE, every row scored with
+    * the quantized σ(w·x+b), then the [[reliability]] arithmetic on
+    * the calibrated score with w/b carried through. */
+  def calibratedEval(posCond: String, iters: Int, lr: Double,
+      nBins: Int = 10): String = {
+    val nine = "CAST('1.0E9' AS DOUBLE)"
+    val x = "(CAST(value AS DOUBLE) / CAST(512 AS DOUBLE))"
+    val sRaw = s"(FLOOR((CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + " +
+      s"EXP(-(fit.w * $x + fit.b)))) * $nine) / $nine)"
+    val s = s"LEAST(GREATEST($sRaw, CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE))"
+    val conf = Oracle.exactDbl("SUM(TRY_CAST(CAST(s AS VARCHAR) AS DECIMAL(38,14)))") +
+      " / CAST(COUNT(*) AS DOUBLE)"
+    s"WITH fit AS (${logisticFit(posCond, iters, lr)}), " +
+      s"b0 AS (SELECT LEAST(CAST(FLOOR(s * CAST($nBins AS DOUBLE)) AS BIGINT), " +
+      s"${nBins - 1}) AS bin, s, y, w, b FROM " +
+      s"(SELECT $s AS s, CASE WHEN $posCond THEN 1 ELSE 0 END AS y, " +
+      "fit.w AS w, fit.b AS b FROM events CROSS JOIN fit " +
+      "WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))) src), " +
+      "r AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, " +
+      s"CAST(SUM(y) AS BIGINT) AS pos, $conf AS conf, " +
+      s"CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS acc, " +
+      s"ABS($conf - CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS gap, " +
+      "MAX(w) AS w, MAX(b) AS b FROM b0 GROUP BY bin), " +
+      "tt AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS tot FROM r), " +
+      "e AS (SELECT SUM(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * gap ORDER BY bin) AS ece " +
+      "FROM r CROSS JOIN tt) " +
+      "SELECT r.bin, r.n, r.pos, r.conf, r.acc, r.gap, e.ece, r.w, r.b " +
+      "FROM r CROSS JOIN e"
+  }
+
   /** Mirrors RankStats.prCurve: the [[bestThreshold]] sweep CTEs,
     * eleven conditional maxes with the integer cross-multiplied recall
     * comparisons, AP as the ordered 11-point mean. */

@@ -465,6 +465,32 @@ object RankStats {
     Seq((pTot, nTot, w, b, loss)).toDF("n_pos", "n_neg", "w", "b", "loss")
   }
 
+  /** Train → apply → evaluate, all in-engine: fit the [[logisticFit]]
+    * calibrator, score every row with the quantized
+    * σ(w·x+b), and emit the [[reliability]] table + ECE of the
+    * CALIBRATED probabilities — the closed loop a model pipeline runs
+    * ("after calibration, does 0.8 mean 80%?"), with the fitted w/b
+    * on every row so the gate pins the model AND its evaluation
+    * together. Everything inherits the components' exactness
+    * contracts; the oracle nests the full unrolled fit. */
+  def calibratedEval(df: DataFrame, scoreCol: String, isPos: Column,
+      iters: Int = 8, lr: Double = 1.0, nBins: Int = 10): DataFrame = {
+    val fit = logisticFit(df, scoreCol, isPos, iters, lr).collect()
+    if (fit.isEmpty) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Double, Double, Double, Double,
+        Double, Double)].toDF("bin", "n", "pos", "conf", "acc", "gap",
+        "ece", "w", "b")
+    }
+    val (w, b) = (fit(0).getDouble(2), fit(0).getDouble(3))
+    val z = lit(w) * col(scoreCol).cast("double") + lit(b)
+    val calibrated = floor(lit(1.0) / (lit(1.0) + exp(-z)) * lit(1.0e9)) /
+      lit(1.0e9)
+    reliability(df.withColumn("__cal", calibrated), "__cal", isPos, nBins)
+      .withColumn("w", lit(w)).withColumn("b", lit(b))
+  }
+
   /** BENFORD'S-LAW audit of a positive 2-decimal numeric column — the
     * classic entry-fabrication / pipeline-bug tripwire (organically
     * generated magnitudes follow P(d) = log₁₀(1+1/d); uniform or

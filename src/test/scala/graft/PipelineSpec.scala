@@ -3063,6 +3063,28 @@ class PipelineSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("calibratedEval: calibrated probabilities land near observed rates") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 3000).map { _ =>
+      val x = rnd.nextInt(10).toDouble / 10.0
+      val pTrue = 1.0 / (1.0 + math.exp(-(6.0 * x - 3.0)))
+      (x, rnd.nextDouble() < pTrue)
+    }
+    val d = rows.toDF("x", "y")
+    val out = graft.pipeline.RankStats.calibratedEval(d, "x", col("y"))
+      .collect()
+    assert(out.nonEmpty)
+    // all rows carry the same fitted (w, b); ece bounded sane
+    assert(out.map(r => (r.getDouble(7), r.getDouble(8))).distinct.length == 1)
+    val ece = out.head.getDouble(6)
+    assert(ece >= 0.0 && ece < 0.5)
+    // occupied bins partition the corpus
+    assert(out.map(_.getLong(1)).sum == 3000L)
+    val empty = Seq.empty[(Double, Boolean)].toDF("x", "y")
+    assert(graft.pipeline.RankStats.calibratedEval(empty, "x", col("y"))
+      .count() == 0)
+  }
+
   test("benfordAudit: known digit counts; a Benford-ish corpus scores low chi2") {
     // 1.00 -> digit 1, 2.50 -> 2, 0.19 -> 1 (19 cents), 9.99 -> 9
     val d = Seq(1.00, 2.50, 0.19, 9.99).toDF("v")
