@@ -181,17 +181,24 @@ object TextAnalysis {
     *
     * Scale shape: the CORPUS is touched exactly once — one map-combinable
     * word count (Zipf collapse; state is vocabulary-sized from then on).
-    * Each round is: one pair-count aggregate over the word table (pairs
-    * explode bounded by total symbol count, map-side combined), ONE
-    * TakeOrdered(1) for the argmax (no full sort, bounded driver data —
-    * nMerges rows total ever reach the driver), one codegen MergePair
-    * projection, localCheckpoint to truncate lineage with exact block
-    * eviction (the components pattern). nMerges rounds of vocabulary-
-    * sized work — at a real 50k-merge scale the word table is hashed
-    * across executors and every round stays map-combine + TakeOrdered. */
-  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    * Each ROUND then accepts a BATCH of up to `batchCap` merges from one
+    * pair-count aggregate, so the number of sequential Spark rounds is
+    * merges-per-round smaller than nMerges while the output is provably
+    * the iterated-argmax (sequential) merge table — see [[acceptBatch]]
+    * for the acceptance proof obligations. A round is: one pair-count
+    * aggregate over the word table (pairs explode bounded by total symbol
+    * count, map-side combined) collected as top-k candidates UNION
+    * per-symbol adjacency maxima (driver data is top-k + vocabulary-sized
+    * maxima — same boundedness class as the bins/boilerplate tables),
+    * then ONE chained codegen MergePair projection applying the whole
+    * accepted batch, localCheckpoint to truncate lineage with exact block
+    * eviction (the components pattern). At a real 50k-merge scale the
+    * word table is hashed across executors and every round stays
+    * map-combine + one bounded collect. */
+  def bpeTrain(docs: DataFrame, nMerges: Int, batchCap: Int = 16): DataFrame = {
     import graft.functions.{BpeVocab, CodePoints, MergePair}
     require(nMerges >= 1, "nMerges must be positive")
+    require(batchCap >= 1, "batchCap must be positive")
     val spark = docs.sparkSession
     val sc = spark.sparkContext
     def evict(df: DataFrame): Unit =
@@ -206,32 +213,116 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(CodePoints.code_points(col("w")).as("toks"), col("cnt"))
       .localCheckpoint(true)
+    // checkpoint cadence: materializing every round costs one extra job;
+    // a ≤3-deep chain of map-only MergePair projections over the
+    // vocabulary-sized table is cheaper to recompute than to persist
+    var anchor = words
+    var depth = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var step = 1
     var done = false
-    while (!done && step <= nMerges) {
-      val best = words.filter(size(col("toks")) >= 2)
+    while (!done && merges.size < nMerges) {
+      if (depth >= 3) {
+        val ck = words.localCheckpoint(true)
+        evict(anchor)
+        anchor = ck
+        words = ck
+        depth = 0
+      }
+      val pairs = words.filter(size(col("toks")) >= 2)
         .select(col("cnt"), col("toks"),
           explode(expr("sequence(0, size(toks) - 2)")).as("i"))
         .select(col("cnt"), expr("toks[i]").as("l"), expr("toks[i + 1]").as("r"))
         .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val k = math.max(32, 4 * batchCap)
+      // One action for the round's driver data: the top-k candidate pairs
+      // (TakeOrderedAndProject — no full sort) plus, for the acceptance
+      // ceiling, each symbol's max adjacent-pair count in both directions.
+      val topDf = pairs
+        .orderBy(col("c").desc, col("l").asc, col("r").asc).limit(k)
+        .select(lit("t").as("kind"), col("l").as("a"), col("r").as("b"), col("c"))
+      val maxima = pairs.groupBy(col("r").as("a")).agg(max(col("c")).as("c"))
+        .select(lit("i").as("kind"), col("a"),
+          lit(null).cast("string").as("b"), col("c"))
+        .unionAll(pairs.groupBy(col("l").as("a")).agg(max(col("c")).as("c"))
+          .select(lit("o").as("kind"), col("a"),
+            lit(null).cast("string").as("b"), col("c")))
+      val rows = topDf.unionAll(maxima).collect()
+      pairs.unpersist(false)
+      val top = rows.view.filter(_.getString(0) == "t")
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toVector
+        .sortBy { case (l, r, c) => (-c, l, r) }
+      if (top.isEmpty) done = true
       else {
-        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((step, l, r, c))
-        val next = words.select(
-          MergePair.merge_pair(col("toks"), lit(l), lit(r)).as("toks"),
-          col("cnt")).localCheckpoint(true)
-        evict(words)
-        words = next
-        step += 1
+        val maxIn = rows.view.filter(_.getString(0) == "i")
+          .map(r => r.getString(1) -> r.getLong(3)).toMap
+        val maxOut = rows.view.filter(_.getString(0) == "o")
+          .map(r => r.getString(1) -> r.getLong(3)).toMap
+        val batch = acceptBatch(top, maxIn, maxOut,
+          math.min(batchCap, nMerges - merges.size))
+        batch.foreach { case (l, r, c) => merges += ((merges.size + 1, l, r, c)) }
+        // the whole batch is ONE chained codegen projection: rank order ==
+        // sequential apply order, and pairwise symbol-disjointness makes
+        // each link see exactly the word state sequential step i saw
+        val mergedToks = batch.foldLeft(col("toks")) { case (cl, (l, r, _)) =>
+          MergePair.merge_pair(cl, lit(l), lit(r))
+        }
+        words = words.select(mergedToks.as("toks"), col("cnt"))
+        depth += 1
       }
     }
-    evict(words)
+    evict(anchor)
     import spark.implicits._
     merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Greedy PREFIX of `top` (sorted by count DESC, lhs, rhs — the
+    * trainer's tie-break) that is provably the next |prefix| merges of the
+    * iterated-argmax trainer, from one round's pair counts alone.
+    *
+    * Pair j (count c_j) is accepted after pairs 1..j-1 iff
+    *   (a) its symbols l_j, r_j and its new token t_j = l_j+r_j are
+    *       disjoint from every earlier accepted {l_i, r_i, t_i}, and
+    *   (b) c_j strictly exceeds the ceiling max_i U_i, where
+    *       U_i = max(maxIn(l_i) + maxIn(t_i), maxOut(r_i) + maxOut(t_i))
+    *       bounds any pair whose count merge i can RAISE (created pairs
+    *       (x,t_i) ≤ count(x,l_i) + any pre-existing (x,t_i) when the t_i
+    *       string collides with a live symbol; symmetrically (t_i,y)).
+    *
+    * Why that reproduces sequential: at sequential step j, (1) c_j is
+    * unchanged — p_j shares no symbol with earlier merges and no t_i can
+    * recreate or extend it; (2) every pair sorting before p_j at round
+    * start was accepted (prefix) and mergeAll leaves zero occurrences of
+    * a just-merged pair; (3) unchanged pairs sorting after p_j still lose
+    * by the same (count, lex) order; (4) raised/created pairs are < c_j
+    * by the strict ceiling. First rejection stops the batch — sequential's
+    * next argmax is then unknowable from round-start counts (worst case
+    * the round degrades to the classic one-merge step, never to a wrong
+    * table). */
+  private[graft] def acceptBatch(top: Vector[(String, String, Long)],
+      maxIn: Map[String, Long], maxOut: Map[String, Long],
+      cap: Int): Vector[(String, String, Long)] = {
+    val acc = Vector.newBuilder[(String, String, Long)]
+    val used = scala.collection.mutable.HashSet.empty[String]
+    var ceiling = 0L
+    var n = 0
+    var stop = false
+    var i = 0
+    while (!stop && i < top.length && n < cap) {
+      val (l, r, c) = top(i)
+      val t = l + r
+      if (n > 0 && (used(l) || used(r) || used(t) || c <= ceiling)) stop = true
+      else {
+        acc += ((l, r, c))
+        used += l; used += r; used += t
+        ceiling = math.max(ceiling,
+          math.max(maxIn.getOrElse(l, 0L) + maxIn.getOrElse(t, 0L),
+            maxOut.getOrElse(r, 0L) + maxOut.getOrElse(t, 0L)))
+        n += 1
+        i += 1
+      }
+    }
+    acc.result()
   }
 
   private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -1874,6 +1874,68 @@ class PipelineSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("doc_id", "text"), 5).count() == 0L)
   }
 
+  test("bpe train: batched rounds equal the sequential trainer on adversarial corpora") {
+    import graft.functions.BpeVocab
+    // each fixture stresses one batching hazard; the gate is always
+    // byte-equality with the driver-side iterated-argmax reference
+    val fixtures = Seq(
+      // cross-round dependency: (ab,c) only exists after (a,b) merges
+      "abc abc abc abc abc abc abc abc abc abc ab ab ab ab ab de de de de de de de de",
+      // count ties broken lexicographically across an overlap stop
+      "ab ab ab ac ac ac",
+      // created-pair overtake: merging (a,b) births (x,ab) at count 9 > (c,d)=6
+      ("xab " * 9) + ("ab " * 1) + ("cd " * 6),
+      // t-string collision: both a+bc and ab+c can mint the symbol "abc"
+      ("ab " * 5) + ("bc " * 3) + ("abc " * 4) + ("abcd " * 2) + ("zq " * 7))
+    fixtures.foreach { text =>
+      val docs = Seq((1L, text)).toDF("doc_id", "text")
+      (1 to 10).by(3).foreach { n =>
+        val expect = BpeVocab.train(text, n)
+        val got = TextAnalysis.bpeTrain(docs, n).collect()
+          .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toVector
+        assert(got == expect, s"n=$n text=${text.take(40)}: $got vs $expect")
+      }
+    }
+    // batchCap = 1 degenerates to the classic one-merge round — same table
+    val t0 = fixtures.head
+    val d0 = Seq((1L, t0)).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(d0, 6, batchCap = 1).collect().toSeq ==
+      TextAnalysis.bpeTrain(d0, 6).collect().toSeq)
+  }
+
+  test("bpe acceptBatch: prefix stops on overlap, ceiling, and collision terms") {
+    // overlap: (h,e) shares h with accepted (t,h) — batch is exactly [th]
+    val topA = Vector(("t", "h", 100L), ("h", "e", 90L), ("i", "n", 80L))
+    val accA = TextAnalysis.acceptBatch(topA,
+      Map("h" -> 100L, "e" -> 90L, "n" -> 80L),
+      Map("t" -> 100L, "h" -> 90L, "i" -> 80L), 16)
+    assert(accA == Vector(("t", "h", 100L)))
+    // ceiling: merging (y,z) can raise some (x,yz) to maxIn(y)=9 — the
+    // disjoint (c,d)=9 is NOT strictly above it, so the batch stops
+    val topB = Vector(("y", "z", 10L), ("c", "d", 9L))
+    val accB = TextAnalysis.acceptBatch(topB,
+      Map("z" -> 10L, "y" -> 9L, "d" -> 9L), Map("y" -> 10L, "c" -> 9L, "x" -> 9L), 16)
+    assert(accB == Vector(("y", "z", 10L)))
+    // collision term: pre-existing symbol "yz" contributes maxIn(t)=5, so
+    // a raised (x,yz) can reach 5+5=10 and (c,d)=9 must be rejected even
+    // though maxIn(y)=5 alone would admit it
+    val topC = Vector(("y", "z", 12L), ("c", "d", 9L))
+    val accC = TextAnalysis.acceptBatch(topC,
+      Map("z" -> 12L, "y" -> 5L, "yz" -> 5L, "d" -> 9L),
+      Map("y" -> 12L, "c" -> 9L), 16)
+    assert(accC == Vector(("y", "z", 12L)))
+    // clean disjoint run: all three accepted in sorted order, counts kept
+    val topD = Vector(("e", "r", 50L), ("i", "n", 40L), ("s", "t", 30L))
+    val accD = TextAnalysis.acceptBatch(topD,
+      Map("r" -> 50L, "n" -> 40L, "t" -> 30L),
+      Map("e" -> 50L, "i" -> 40L, "s" -> 30L), 16)
+    assert(accD == topD)
+    // cap truncates the prefix
+    assert(TextAnalysis.acceptBatch(topD,
+      Map("r" -> 50L, "n" -> 40L, "t" -> 30L),
+      Map("e" -> 50L, "i" -> 40L, "s" -> 30L), 2) == topD.take(2))
+  }
+
   test("novelty: unseen-gram fraction vs a reference corpus") {
     val newDocs = Seq(
       (1L, "a b c d e"),       // grams(3): abc bcd cde — abc/bcd in ref
