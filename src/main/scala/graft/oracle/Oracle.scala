@@ -425,12 +425,14 @@ object Oracle {
   }
 
   /** Mirrors HistStats.convolve: two hist CTEs, bins×bins cross join,
-    * exact pair-mass products DECIMAL-summed per k = i+j, sum-axis
-    * labels from injected literals. */
+    * pair-mass products taken in DECIMAL(19,0) (exact past 2^53, where
+    * a double product would round; 19,0 x 19,0 -> 38,0 is exact here
+    * too), DECIMAL-summed per k = i+j, sum-axis labels from injected
+    * literals. */
   def convolve(table: String, specA: Spec, specB: Spec, whereA: String,
       whereB: String, outCol: String): String = {
     def histCte(name: String, spec: Spec, where: String): String =
-      s"$name AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"$name AS (SELECT __i0, CAST(COUNT(*) AS BIGINT) AS cnt FROM " +
         s"(SELECT ${spec.axis.indexSql(spec.valueSql)} AS __i0 FROM $table WHERE $where) " +
         s"WHERE __i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1} " +
         "GROUP BY __i0)"
@@ -439,7 +441,8 @@ object Oracle {
     val w = (aA.hi - aA.lo) / aA.nBins
     val loSum = aA.lo + aB.lo
     s"WITH ${histCte("ha", specA, whereA)}, ${histCte("hb", specB, whereB)}, " +
-      "j AS (SELECT ha.__i0 + hb.__i0 AS k, ha.cnt * hb.cnt AS m " +
+      "j AS (SELECT ha.__i0 + hb.__i0 AS k, " +
+      "CAST(ha.cnt AS DECIMAL(19,0)) * CAST(hb.cnt AS DECIMAL(19,0)) AS m " +
       "FROM ha CROSS JOIN hb) " +
       s"SELECT ${dbl(loSum)} + CAST(k AS DOUBLE) * ${dbl(w)} AS $outCol, " +
       exactDbl("SUM(TRY_CAST(CAST(m AS VARCHAR) AS DECIMAL(38,14)))") +

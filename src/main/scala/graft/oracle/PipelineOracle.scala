@@ -553,7 +553,8 @@ object PipelineOracle {
       "CAST(SUBSTRING(CAST(CAST(ROUND(CAST(value AS DOUBLE) * CAST(100 AS DOUBLE)) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit " +
       "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL " +
       "AND NOT isnan(CAST(value AS DOUBLE)) AND CAST(value AS DOUBLE) > CAST(0 AS DOUBLE)), " +
-      "g AS (SELECT ws, digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY ws, digit), " +
+      "g AS (SELECT ws, digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM c " +
+      "WHERE digit BETWEEN 1 AND 9 GROUP BY ws, digit), " +
       "t AS (SELECT ws, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY ws), " +
       s"grid AS (SELECT * FROM (VALUES $gridRows) v(digit, exp_share)), " +
       "dense AS (SELECT t.ws, t.n, CAST(grid.digit AS BIGINT) AS digit, grid.exp_share, " +

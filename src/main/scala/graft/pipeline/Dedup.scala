@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * both engines share binary collation), so every step has an exact DuckDB
   * oracle.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
 
   /** Small single-file inputs arrive as one partition, serializing the
     * per-doc compute (signatures, gram sets). Spread them to the session's
@@ -598,11 +598,76 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id") +: col("bs.band").as("band") +:
         rowNames.map(rn => col(s"bs.$rn").as(rn)): _*)
-    bucketCap.fold(banded) { cap =>
-      banded.withColumn("__rn", row_number().over(
-          Window.partitionBy(("band" +: rowNames).map(col): _*).orderBy("doc_id")))
-        .filter(col("__rn") <= cap).drop("__rn")
-    }
+    bucketCap.fold(banded)(capBuckets(banded, rowNames, _))
+  }
+
+  /** The bucketCap filter as a standalone stage, so the auto skew guard
+    * can cap an ALREADY-pinned band relation without re-running the
+    * signature pass. Per-bucket window (never single-partition); lowest
+    * doc_ids survive — deterministic, so an oracle can mirror it. */
+  private def capBuckets(banded: DataFrame, rowNames: Seq[String],
+      cap: Int): DataFrame =
+    banded.withColumn("__rn", row_number().over(
+        Window.partitionBy(("band" +: rowNames).map(col): _*).orderBy("doc_id")))
+      .filter(col("__rn") <= cap).drop("__rn")
+
+  /** Auto skew-guard default: the candidate-pair budget above which an
+    * UNCAPPED band self-join is refused and a bucketCap is derived from
+    * the measured bucket-size distribution instead. 100M verified pairs
+    * is minutes of codegen jaccard on one node and trivially parallel on
+    * a cluster; the guard exists for the corpus that would otherwise
+    * produce billions (a hot bucket of m near-identical docs is m²/2
+    * pairs — the one way LSH degenerates at 100 TB). Gated scales stay
+    * far below it (sf1 documents: 18.2M measured), so oracle parity is
+    * untouched. */
+  val AutoCapPairs: Long = 100000000L
+
+  /** Candidate caps the guard may choose from, largest first: the guard
+    * picks the LARGEST cap whose capped pair count Σ min(s,c)·(min(s,c)−1)/2
+    * fits the budget — least recall loss that restores bounded work. */
+  private val AutoCapChoices = Seq(1024, 256, 64, 16)
+
+  // decision memo: the guard's sizing aggregate is one cheap job over the
+  // pinned band relation, but pipelines call minhashLsh many times on one
+  // corpus (nearDupPairs, nearDupKeep, dupComponents share it) — decide once
+  // per (session, banded plan, budget)
+  private val capDecisions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Any, Long), Option[Int]]()
+
+  /** Measures the blocking cost of a pinned band relation (the q273
+    * blocking-report metric: Σ s(s−1)/2 over band buckets) and returns the
+    * bucketCap to apply — None when the uncapped join fits `budget`. */
+  private def decideAutoCap(banded: DataFrame, rowNames: Seq[String],
+      budget: Long): Option[Int] = {
+    val key = (banded.sparkSession,
+      banded.queryExecution.analyzed.canonicalized, budget)
+    capDecisions.computeIfAbsent(key, _ => {
+      val sizes = banded
+        .groupBy(("band" +: rowNames).map(col): _*)
+        .agg(count(lit(1)).as("__s"))
+      val pairCols =
+        sum(expr("__s * (__s - 1) div 2").cast("decimal(38,0)")).as("c_all") +:
+          AutoCapChoices.map(c => sum(
+            expr(s"least(__s, $c) * (least(__s, $c) - 1) div 2")
+              .cast("decimal(38,0)")).as(s"c_$c"))
+      val row = sizes.agg(pairCols.head, pairCols.tail: _*).head()
+      def cand(i: Int): BigDecimal =
+        Option(row.getDecimal(i)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+      if (cand(0) <= BigDecimal(budget)) None
+      else {
+        val chosen = AutoCapChoices.zipWithIndex
+          .collectFirst { case (c, i) if cand(i + 1) <= BigDecimal(budget) => c }
+          .getOrElse(AutoCapChoices.last)
+        logWarning(s"minhashLsh skew guard: ${cand(0)} candidate pairs " +
+          s"exceed budget=$budget (hot band buckets — near-identical " +
+          s"docs); applying bucketCap=$chosen " +
+          s"(capped pairs=${cand(AutoCapChoices.indexOf(chosen) + 1)}, " +
+          "lowest doc_ids kept per bucket; bounded recall loss). Pass " +
+          "bucketCap=Some(n) explicitly, or raise autoCapPairs to force " +
+          "the exact join.")
+        Some(chosen)
+      }
+    })
   }
 
   /** LSH blocking-quality report — the entity-resolution diagnostic a
@@ -656,14 +721,28 @@ object Dedup {
     *   bucket take part in pair generation (lowest doc_ids kept —
     *   deterministic, so an oracle can mirror it). Giant buckets of
     *   near-identical docs otherwise produce m^2 candidate pairs; capping
-    *   trades bounded recall loss for bounded work. None = exact. */
+    *   trades bounded recall loss for bounded work. None engages the
+    *   AUTO skew guard: the blocking cost Σ s(s−1)/2 is measured on the
+    *   pinned band relation (the q273 blocking-report metric — two
+    *   map-combinable aggregates, the join itself never runs) and a cap
+    *   is derived + logged only when it exceeds `autoCapPairs`; below
+    *   the budget the join is exact, so gated scales are byte-identical
+    *   to the pre-guard plan.
+    * @param autoCapPairs candidate-pair budget for the auto guard (see
+    *   [[AutoCapPairs]]); Long.MaxValue disables it. */
   def minhashLsh(docs: DataFrame, k: Int = 5, bands: Int = 16,
-      rowsPerBand: Int = 4, bucketCap: Option[Int] = None): DataFrame = {
+      rowsPerBand: Int = 4, bucketCap: Option[Int] = None,
+      autoCapPairs: Long = AutoCapPairs): DataFrame = {
     val rowNames = (1 to rowsPerBand).map(r => s"s$r")
     val keys = "band" +: rowNames
     // persisted: the self-join below would otherwise run the signature
     // (md5 per distinct shingle) once per join side
-    val bandedPinned = memoPersist(bandedRelation(docs, k, bands, rowsPerBand, bucketCap))
+    val bandedRaw = memoPersist(bandedRelation(docs, k, bands, rowsPerBand, bucketCap))
+    val bandedPinned = bucketCap match {
+      case Some(_) => bandedRaw            // explicit cap: caller decided
+      case None => decideAutoCap(bandedRaw, rowNames, autoCapPairs)
+        .fold(bandedRaw)(c => memoPersist(capBuckets(bandedRaw, rowNames, c)))
+    }
     val a = bandedPinned.as("a")
     val b = bandedPinned.as("b")
     val joinCond = keys.map(kc => col(s"a.$kc") === col(s"b.$kc"))
@@ -683,8 +762,10 @@ object Dedup {
     * hash-sorted gram arrays). */
   def nearDupPairs(docs: DataFrame, k: Int = 5, threshold: Double = 0.7,
       bands: Int = 16, rowsPerBand: Int = 4,
-      bucketCap: Option[Int] = None): DataFrame = {
-    val cand = minhashLsh(docs, k, bands, rowsPerBand, bucketCap = bucketCap)
+      bucketCap: Option[Int] = None,
+      autoCapPairs: Long = AutoCapPairs): DataFrame = {
+    val cand = minhashLsh(docs, k, bands, rowsPerBand, bucketCap = bucketCap,
+      autoCapPairs = autoCapPairs)
     // verified pairs are shared between nearDupPairs and nearDupKeep
     memoPersist(verifiedJaccard(docs, cand, k)
       .filter(col("jaccard") >= threshold))

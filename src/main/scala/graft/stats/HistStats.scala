@@ -328,8 +328,14 @@ object HistStats {
     * [lo_a+lo_b, hi_a+hi_b) with n_a+n_b−1 bins; the output carries
     * PAIR mass (Σc = |A|·|B| — normalize downstream for a pdf).
     *
-    * Cross-engine: per-pair products of integer-valued counts are
-    * exact in doubles, summed per output bin through DECIMAL; the bin
+    * Cross-engine: integer-valued counts cast to DECIMAL(19,0) BEFORE
+    * the pair multiply (a double product rounds past 2^53 — e.g. two
+    * ~1e8-count bins; 19,0 x 19,0 is exact in both engines and the
+    * product always fits 38 digits), summed per output bin through
+    * DECIMAL(38,14) (pair products >= 1e24 would null-skip — far
+    * beyond any physical count). Fractional weighted counts are NOT
+    * supported: the decimal cast rounds them (the count-histogram
+    * contract, as before, just now enforced at full precision); the bin
     * label is lo_a+lo_b + k·w with the literals computed once in Scala
     * and injected identically. Off-grid labels raise (the drift-family
     * require). Scale shape: the join is bins_a×bins_b — metadata-sized
@@ -363,9 +369,10 @@ object HistStats {
     val ia = indexed(checked(a, axA, "left"), axA, "__i", "__ca")
     val ib = indexed(checked(b, axB, "right"), axB, "__j", "__cb")
     val loSum = axA.lo + axB.lo
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
     ia.crossJoin(broadcast(ib))
       .select((col("__i") + col("__j")).as("__k"),
-        (col("__ca") * col("__cb")).as("__m"))
+        (col("__ca").cast(d19) * col("__cb").cast(d19)).as("__m"))
       .groupBy(col("__k"))
       .agg(graft.util.Dec.sumDec(col("__m")).as("cnt"))
       .select((lit(loSum) + col("__k").cast("double") * lit(wA))

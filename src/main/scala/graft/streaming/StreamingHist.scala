@@ -956,9 +956,13 @@ object StreamingHist {
     val digit = substring(round(v * lit(100.0)).cast("long")
       .cast("string"), 1, 1).cast("long")
     val src = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+    // digit BETWEEN 1 AND 9, like the batch audit's dense 1-9 grid: a
+    // 0 < v < 0.005 row rounds to leading digit 0 and must not inflate
+    // the per-window n the chi-square expectations scale by
     val base = src
       .filter(col(tsCol).isNotNull && v.isNotNull && !isnan(v) && v > lit(0.0))
       .select(window(col(tsCol), windowDuration).as("win"), digit.as("__d"))
+      .where(col("__d").between(lit(1L), lit(9L)))
     val perDigit = base.groupBy(col("win"), col("__d"))
       .agg(count(lit(1)).as("__c"))
     val regroup = if (df.isStreaming)

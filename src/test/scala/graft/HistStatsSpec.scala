@@ -411,6 +411,25 @@ class HistStatsSpec extends SparkSpec {
     }
   }
 
+  test("convolve: pair mass exact past 2^53 (DECIMAL products, one final rounding)") {
+    // counts chosen so each k=1 pair product exceeds 2^53: a double
+    // product per pair rounds before the sum and lands one ulp off;
+    // the DECIMAL(19,0) path sums exactly and rounds ONCE at the end
+    val ax = Regular("x", 2, 0.0, 2.0)
+    val ha = Seq((0.0, 164714297.0), (1.0, 128870700.0))
+      .toDF(ax.binsCol, "cnt")
+    val hb = Seq((0.0, 146255890.0), (1.0, 107874421.0))
+      .toDF(ax.binsCol, "cnt")
+    val out = HistStats.convolve(ha, hb, ax, ax)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    def exact(ps: Seq[(Long, Long)]): Double =
+      ps.map { case (a, b) => BigInt(a) * BigInt(b) }.sum.toLong.toDouble
+    assert(out(0.0) == exact(Seq((164714297L, 146255890L))))
+    assert(out(1.0) == exact(Seq((164714297L, 107874421L),
+      (128870700L, 146255890L))))   // 3.661655834272004e16, not ...03e16
+    assert(out(2.0) == exact(Seq((128870700L, 107874421L))))
+  }
+
   test("jsDivergence: identical -> 0; disjoint -> ln2; symmetric; dead group NULL") {
     val ax = Regular("x", 4, 0.0, 8.0)
     def h(xs: Double*) = Histogram.histogram(xs.toDF("x"), col("x"), ax)

@@ -455,6 +455,30 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("minhashLsh auto skew guard: engages above the pair budget, exact below") {
+    // 30 identical docs = a hot bucket: every band bucket holds all 30,
+    // so the uncapped blocking cost is 16 * 30*29/2 = 6960 candidate pairs
+    val hot = ((1L to 30L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog")) ++ Seq(
+        (41L, "completely different text about databases!"),
+        (42L, "another unrelated document mentioning spark")))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // budget 2000: 6960 > 2000 triggers the guard; cap=16 is the largest
+    // choice whose capped cost 16 * 16*15/2 = 1920 fits -> identical to
+    // the explicit bucketCap=Some(16) relation
+    assert(pairs(Dedup.minhashLsh(hot, autoCapPairs = 2000L)) ==
+      pairs(Dedup.minhashLsh(hot, bucketCap = Some(16))))
+    // a budget above the uncapped cost leaves the join exact
+    assert(pairs(Dedup.minhashLsh(hot, autoCapPairs = 7000L)) ==
+      pairs(Dedup.minhashLsh(hot, autoCapPairs = Long.MaxValue)))
+    // and the guarded default on a small clean corpus is byte-identical
+    // to the unguarded exact join (the gated-query regime)
+    assert(pairs(Dedup.minhashLsh(docs)) ==
+      pairs(Dedup.minhashLsh(docs, autoCapPairs = Long.MaxValue)))
+  }
+
   test("nearDupPairs: two-stage minhash candidates + exact jaccard verify") {
     val pairs = Dedup.nearDupPairs(docs, threshold = 0.7).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -1064,6 +1064,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed Benford: leading-digit-0 rows (v < 0.005) don't inflate n") {
+    // 0.001 rounds to integer 0 -> digit 0: outside the 1-9 grid, so it
+    // must not count toward the n the chi-square expectations scale by
+    // (the batch audit's dense-grid convention)
+    val events = Seq(
+      (ts(1), 1.23), (ts(2), 0.001), (ts(3), 2.50), (ts(4), 0.004)
+    ).toDF("event_time", "value")
+    val clean = Seq((ts(1), 1.23), (ts(3), 2.50))
+      .toDF("event_time", "value")
+    val withZeros = StreamingHist.windowedBenford(
+        events, "event_time", "value", "10 seconds")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val without = StreamingHist.windowedBenford(
+        clean, "event_time", "value", "10 seconds")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(withZeros.toSeq == without.toSeq)
+    assert(withZeros.head._1 == 2L)
+  }
+
   test("windowed KS: streaming equals batch BIT-exactly on closed windows") {
     val ax = Regular("value", 4, 0.0, 4.0)
     val ref = graft.operators.Histogram.histogram(
