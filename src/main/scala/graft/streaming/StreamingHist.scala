@@ -1063,9 +1063,12 @@ object StreamingHist {
     * Funnel.eventRateAnomaly row-for-row); leave it false on a real
     * stream, where Append semantics forbid re-emitting a day. */
   def streamingRateAnomaly(events: Dataset[RateEvent], windowDays: Int,
-      k: Double, flushOpen: Boolean): Dataset[RateVerdict] = {
+      k: Double, flushOpen: Boolean,
+      stateTtl: Option[String] = None): Dataset[RateVerdict] = {
     require(windowDays > 1, "windowDays must be > 1")
     import events.sparkSession.implicits._
+    val timeout = stateTtl.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
     val dayUs = 86400000000L
     def verdict(typ: String, day: Long, n: Long, closed: List[Long]): RateVerdict = {
       val w = closed.size
@@ -1085,8 +1088,15 @@ object StreamingHist {
     }
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState[RateState, RateVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (typ: String, it: Iterator[RateEvent], state: GroupState[RateState]) =>
+          if (state.hasTimedOut) {
+            // event_type went quiet past the horizon: drop its rolling
+            // baseline — a reappearing type retrains from scratch, the
+            // same contract as a first-seen type
+            state.remove()
+            Iterator.empty[RateVerdict]
+          } else {
           var st = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[RateVerdict]
           it.toSeq.sortBy(_.us).foreach { e =>
@@ -1106,7 +1116,9 @@ object StreamingHist {
           }
           if (flushOpen) st.foreach(s => out += verdict(typ, s.openDay, s.openCnt, s.closed))
           st.foreach(state.update)
+          stateTtl.foreach(state.setTimeoutDuration)
           out.iterator
+          }
       }
   }
 
@@ -1131,9 +1143,12 @@ object StreamingHist {
     * open one drop. `flushOpen` emits the still-open hour (batch
     * execution; leave false on a real stream). */
   def streamingCusum(events: Dataset[CusumEvent], mu: Double, k: Double,
-      h: Double, flushOpen: Boolean): Dataset[CusumPoint] = {
+      h: Double, flushOpen: Boolean,
+      stateTtl: Option[String] = None): Dataset[CusumPoint] = {
     require(k >= 0.0 && h > 0.0, s"need k >= 0 and h > 0: k=$k h=$h")
     import events.sparkSession.implicits._
+    val timeout = stateTtl.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
     val hourUs = 3600000000L
     def close(st: CusumState): (CusumState, CusumPoint) = {
       val dqp = math.floor((st.openCnt.toDouble - mu - k) * 1.0e6).toLong
@@ -1146,8 +1161,14 @@ object StreamingHist {
     }
     events.groupByKey(_ => 0)
       .flatMapGroupsWithState[CusumState, CusumPoint](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (_: Int, it: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          if (state.hasTimedOut) {
+            // chart went quiet past the horizon: reset the accumulators —
+            // monitoring resumes from S=0 on the next event
+            state.remove()
+            Iterator.empty[CusumPoint]
+          } else {
           var st = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[CusumPoint]
           it.toSeq.sortBy(_.us).foreach { e =>
@@ -1165,7 +1186,9 @@ object StreamingHist {
           }
           if (flushOpen) st.foreach(s => out += close(s)._2)
           st.foreach(state.update)
+          stateTtl.foreach(state.setTimeoutDuration)
           out.iterator
+          }
       }
   }
 
@@ -1193,28 +1216,49 @@ object StreamingHist {
     * only if still the best; a cross-batch newer-than-left right is
     * never used: the us <= left.us guard holds always). Batch execution
     * processes everything as one group pass and equals asOfJoin
-    * unconditionally — the oracle-gated configuration (q127). */
-  def streamingAsOf(events: Dataset[AsOfEvent]): Dataset[AsOfEnriched] = {
+    * unconditionally — the oracle-gated configuration (q127).
+    *
+    * @param stateTtl optional processing-time eviction horizon (e.g.
+    *   "30 days"): user_id is the one UNBOUNDED key domain in the
+    *   streaming family, so without a TTL the one-row-per-key state
+    *   grows forever on a real user stream. A key quiet past the
+    *   horizon forgets its last right; the next left of that key
+    *   matches nothing (the first-seen contract) until a new right
+    *   arrives. None (the gated batch configuration) keeps state
+    *   indefinitely. */
+  def streamingAsOf(events: Dataset[AsOfEvent],
+      stateTtl: Option[String] = None): Dataset[AsOfEnriched] = {
     import events.sparkSession.implicits._
+    val timeout = stateTtl.fold(GroupStateTimeout.NoTimeout())(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout())
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, Option[Double]), AsOfEnriched](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         (user: Long, it: Iterator[AsOfEvent],
          state: GroupState[(Long, Long, Option[Double])]) =>
-          var cur = state.getOption // (us, event_id, value) of best right
-          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfEnriched]
-          it.toSeq.sortBy(e => (e.us, e.side, e.event_id)).foreach { e =>
-            if (e.side == 0) {
-              if (cur.forall(c => c._1 < e.us || (c._1 == e.us && c._2 < e.event_id)))
-                cur = Some((e.us, e.event_id, e.value))
-            } else {
-              val m = cur.filter(_._1 <= e.us)
-              out += AsOfEnriched(e.event_id, user, e.us,
-                m.map(_._2), m.map(_._1), m.flatMap(_._3))
+          if (state.hasTimedOut) {
+            // key went quiet for the horizon: forget its last right —
+            // the next left matches nothing until a fresh right arrives,
+            // the same contract as a first-seen key
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption // (us, event_id, value) of best right
+            val out = scala.collection.mutable.ArrayBuffer.empty[AsOfEnriched]
+            it.toSeq.sortBy(e => (e.us, e.side, e.event_id)).foreach { e =>
+              if (e.side == 0) {
+                if (cur.forall(c => c._1 < e.us || (c._1 == e.us && c._2 < e.event_id)))
+                  cur = Some((e.us, e.event_id, e.value))
+              } else {
+                val m = cur.filter(_._1 <= e.us)
+                out += AsOfEnriched(e.event_id, user, e.us,
+                  m.map(_._2), m.map(_._1), m.flatMap(_._3))
+              }
             }
+            cur.foreach(state.update)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 

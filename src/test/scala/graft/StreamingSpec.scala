@@ -1246,6 +1246,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asof state TTL: eviction emits nothing; a re-opened key matches nothing until a fresh right") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingHist.{AsOfEvent, AsOfEnriched}
+    val input = MemoryStream[AsOfEvent]
+    val out = StreamingHist.streamingAsOf(input.toDS(),
+      stateTtl = Some("5 seconds"))
+    val q = out.writeStream.format("memory").queryName("asof_ttl_stream")
+      .outputMode(OutputMode.Append()).start()
+    def awaitN(k: Int, deadlineMs: Long = 30000): Seq[AsOfEnriched] = {
+      val t0 = System.currentTimeMillis()
+      var rows = Seq.empty[AsOfEnriched]
+      while (rows.size < k) {
+        assert(System.currentTimeMillis() - t0 < deadlineMs,
+          s"sink has ${rows.size} rows (< $k) after ${deadlineMs} ms")
+        Thread.sleep(50)
+        rows = spark.table("asof_ttl_stream").as[AsOfEnriched].collect().toSeq
+      }
+      rows
+    }
+    try {
+      input.addData(AsOfEvent(1L, 10L, 0, 100L, Some(1.5)),
+        AsOfEvent(1L, 20L, 1, 101L, None))
+      val first = awaitN(1)
+      assert(first.head.match_id == Some(100L)) // right attached
+      Thread.sleep(10000) // user 1 quiet past the horizon
+      input.addData(AsOfEvent(9L, 25L, 0, 900L, None)) // fires the timeout
+      // eviction emitted nothing: still exactly one enriched row (a
+      // right event never emits; user 9's is state-only)
+      assert(awaitN(1).map(_.event_id) == Seq(101L))
+      // the last right is forgotten: user 1's next left matches NOTHING
+      input.addData(AsOfEvent(1L, 30L, 1, 102L, None))
+      val second = awaitN(2)
+      assert(second.find(_.event_id == 102L).get.match_id.isEmpty)
+      // a fresh right re-seeds the key and the following left matches it
+      input.addData(AsOfEvent(1L, 40L, 0, 103L, Some(2.5)))
+      input.addData(AsOfEvent(1L, 50L, 1, 104L, None))
+      val third = awaitN(3)
+      assert(third.find(_.event_id == 104L).get.match_id == Some(103L))
+      assert(third.find(_.event_id == 104L).get.match_value == Some(2.5))
+    } finally q.stop()
+  }
+
   test("funnel state TTL: abandoned journey evicts; post-eviction event restarts the chain") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingHist.{FunnelEvent, FunnelRow}
