@@ -1293,15 +1293,18 @@ object SparkEntry {
       graft.pipeline.Funnel.cohortValue(ev)
     },
     "q170_hist2d_qbins" -> { (s, dir) =>
-      // equal-mass 2D grid: BOTH axes data-derived via exact rank-based
-      // quantile edges (the q59 rule per axis), then one histogramdd
-      // pass — the calibration-heatmap shape over skewed marginals
+      // equal-mass 2D grid: BOTH axes data-derived through the SIZE
+      // SWITCH (autoAxisTagged: exact rank edges below the row
+      // threshold — the gated regime here — GK sketch edges above it,
+      // logged; q313 gates the sketch branch itself), then one
+      // histogramdd pass — the calibration-heatmap shape over skewed
+      // marginals
       implicit val sp: SparkSession = s
       val li = t(dir, "lineitem")
-      val ax = graft.operators.QuantileBins.quantileAxis(
-        li, col("l_quantity"), "l_quantity", 4)
-      val ay = graft.operators.QuantileBins.quantileAxis(
-        li, col("l_extendedprice"), "l_extendedprice", 4)
+      val ax = graft.operators.QuantileBins.autoAxisTagged(
+        li, col("l_quantity"), "l_quantity", 4).axis
+      val ay = graft.operators.QuantileBins.autoAxisTagged(
+        li, col("l_extendedprice"), "l_extendedprice", 4).axis
       Histogram.histogramdd(li,
         Seq(col("l_quantity") -> ax, col("l_extendedprice") -> ay))
     },
@@ -2605,6 +2608,21 @@ object SparkEntry {
         .withColumn("x", col("value") / lit(512.0))
       graft.pipeline.RankStats.calibratedEval(ev, "x",
         col("event_type") === "purchase")
+    },
+    "q313_hist2d_qbins_sketch" -> { (s, dir) =>
+      // the q170 grid on the 100 TB quantile lever: BOTH axes' edges
+      // from the GK sketch (ONE aggregation pass per axis, no global
+      // sort) gated in its provably-exact regime (q140 rule per axis:
+      // at relativeError = 0 edge j is EXACTLY the value at 1-based
+      // rank ceil(j/nBins * n))
+      implicit val sp: SparkSession = s
+      val li = t(dir, "lineitem")
+      def sk(c: String) = graft.operators.QuantileBins.sketchAxis(
+        li.select(col(c).cast("double").as("v")).filter(col("v").isNotNull),
+        "v", c, 6, relativeError = 0.0)
+      Histogram.histogramdd(li,
+        Seq(col("l_quantity") -> sk("l_quantity"),
+          col("l_extendedprice") -> sk("l_extendedprice")))
     }
   )
 
@@ -3391,6 +3409,38 @@ object SparkEntry {
     "q311_stream_auc" ->
       PipelineOracle.windowedAuc("event_type = 'purchase'"),
     "q312_calibrated_eval" ->
-      PipelineOracle.calibratedEval("event_type = 'purchase'", 8, 1.0)
+      PipelineOracle.calibratedEval("event_type = 'purchase'", 8, 1.0),
+    "q313_hist2d_qbins_sketch" ->
+      // both axes' GK-exact-regime edges re-derived in SQL (the q140
+      // rank rule per axis: edge j = value at 1-based rank
+      // ceil(j/6 * n); p=0 -> min, p=1 -> max), then half-open 2D
+      // Variable binning exactly like q170
+      """WITH sx AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_quantity IS NOT NULL),
+        | cx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sx),
+        | rkx AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM sx),
+        | tgx AS (SELECT CAST(CEIL(CAST(j AS DOUBLE) / CAST(6 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) AS r
+        |   FROM (SELECT UNNEST(generate_series(1, 5)) AS j) CROSS JOIN cx),
+        | qex AS (SELECT DISTINCT rkx.v FROM rkx JOIN tgx ON tgx.r = rkx.r),
+        | mmx AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM sx),
+        | edx AS (SELECT DISTINCT v FROM (SELECT lo AS v FROM mmx UNION ALL SELECT v FROM qex UNION ALL SELECT hi AS v FROM mmx)),
+        | ecx AS (SELECT CAST(COUNT(*) AS BIGINT) - 1 AS nb FROM edx),
+        | erx AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM edx),
+        | sy AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        | cy AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sy),
+        | rky AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM sy),
+        | tgy AS (SELECT CAST(CEIL(CAST(j AS DOUBLE) / CAST(6 AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) AS r
+        |   FROM (SELECT UNNEST(generate_series(1, 5)) AS j) CROSS JOIN cy),
+        | qey AS (SELECT DISTINCT rky.v FROM rky JOIN tgy ON tgy.r = rky.r),
+        | mmy AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM sy),
+        | edy AS (SELECT DISTINCT v FROM (SELECT lo AS v FROM mmy UNION ALL SELECT v FROM qey UNION ALL SELECT hi AS v FROM mmy)),
+        | ecy AS (SELECT CAST(COUNT(*) AS BIGINT) - 1 AS nb FROM edy),
+        | ery AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM edy),
+        | src AS (SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem),
+        | ix AS (SELECT (SELECT COUNT(*) FROM edx WHERE edx.v <= src.x) - 1 AS i,
+        |   (SELECT COUNT(*) FROM edy WHERE edy.v <= src.y) - 1 AS j FROM src),
+        | f AS (SELECT i, j FROM ix CROSS JOIN ecx CROSS JOIN ecy WHERE i >= 0 AND i <= ecx.nb - 1 AND j >= 0 AND j <= ecy.nb - 1),
+        | g AS (SELECT i, j, CAST(COUNT(*) AS DOUBLE) AS cnt FROM f GROUP BY i, j)
+        | SELECT erx.v AS l_quantity_bins, ery.v AS l_extendedprice_bins, g.cnt
+        | FROM g JOIN erx ON erx.r = g.i + 1 JOIN ery ON ery.r = g.j + 1""".stripMargin.replaceAll("\n", "")
   )
 }
