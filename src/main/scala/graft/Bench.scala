@@ -153,7 +153,29 @@ object Bench {
     }
     val wall = cleanWall.getOrElse(worstWall)
     pool.shutdown()
+    // SOLO pass (sequential, machine to itself): per-query times without
+    // pool contention — the concurrent map above prices the WALL, but
+    // 16 queries racing 32 cores inflate individual timings 3-10x, which
+    // made r9->r10 per-query regression attribution unreadable. One
+    // uncontended run per query, recorded beside the concurrent map
+    // (and, being last in the JSON, it is what the next run's
+    // longest-first ordering reads back). SPARK_GRAFT_BENCH_SOLO=0 skips.
+    val soloOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO", "1").toInt > 0
+    val solo: Map[String, Double] =
+      if (!soloOn) Map.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors.putIfAbsent(name, jsonEscape(e.toString.take(300)))
+            System.err.println(s"[bench] SOLO QUERY FAILED: $name")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsSolo = solo.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
@@ -171,7 +193,7 @@ object Bench {
     }
     val wallKind = if (cleanWall.isDefined) "min_over_clean_passes" else "max_over_failed_passes"
     val json =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","wall_kind":"$wallKind","passes":$passes,"jvm_flags":$jvmFlags}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"queries_solo":$qsSolo,"errors":$errJson,"sf":"$sfDir","wall_kind":"$wallKind","passes":$passes,"jvm_flags":$jvmFlags}"""
     println(json)
     // Also persist the JSON line: the driver's stdout tail-capture truncates
     // long lines, losing the per-query numbers every round (and the next

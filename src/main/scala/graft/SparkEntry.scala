@@ -2623,6 +2623,14 @@ object SparkEntry {
       Histogram.histogramdd(li,
         Seq(col("l_quantity") -> sk("l_quantity"),
           col("l_extendedprice") -> sk("l_extendedprice")))
+    },
+    "q314_repeated_spans" -> { (s, dir) =>
+      // exact-substring dedup (Lee et al. 2022): every MAXIMAL token
+      // range inside any verbatim-repeated span of >= 8 tokens anywhere
+      // in the corpus — the variable-length completion of q86's fixed
+      // windows; sliding repeated-L-gram coverage merged per doc
+      implicit val sp: SparkSession = s
+      graft.pipeline.Dedup.repeatedSpans(t(dir, "documents"), 8)
     }
   )
 
@@ -3441,6 +3449,7 @@ object SparkEntry {
         | f AS (SELECT i, j FROM ix CROSS JOIN ecx CROSS JOIN ecy WHERE i >= 0 AND i <= ecx.nb - 1 AND j >= 0 AND j <= ecy.nb - 1),
         | g AS (SELECT i, j, CAST(COUNT(*) AS DOUBLE) AS cnt FROM f GROUP BY i, j)
         | SELECT erx.v AS l_quantity_bins, ery.v AS l_extendedprice_bins, g.cnt
-        | FROM g JOIN erx ON erx.r = g.i + 1 JOIN ery ON ery.r = g.j + 1""".stripMargin.replaceAll("\n", "")
+        | FROM g JOIN erx ON erx.r = g.i + 1 JOIN ery ON ery.r = g.j + 1""".stripMargin.replaceAll("\n", ""),
+    "q314_repeated_spans" -> PipelineOracle.repeatedSpans(8)
   )
 }

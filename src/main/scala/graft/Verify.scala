@@ -28,6 +28,17 @@ object Verify {
     // histograms of <= nBins rows (bounded by construction, not by data).
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // memory pressure valve: a full-surface sweep accumulates pinned
+    // RelCache relations and spent broadcast blocks across 300+ queries
+    // in ONE JVM (local mode: driver == executor), which at sf1 left the
+    // embedding-family queries (q44/q52/q91/q156) OOMing late in the
+    // sweep yet green solo. When used heap crosses the threshold after a
+    // query, drop the relation memo and GC (letting the ContextCleaner
+    // reap unreferenced broadcasts) — the memo refills on demand, so
+    // results are unchanged and small-sf sweeps never trigger it.
+    val rt = Runtime.getRuntime
+    def heapFrac: Double =
+      (rt.totalMemory - rt.freeMemory).toDouble / rt.maxMemory
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -35,6 +46,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      if (heapFrac > 0.6) {
+        System.err.println(f"[verify] heap at ${heapFrac * 100}%.0f%% " +
+          s"after $name: clearing the relation memo")
+        graft.util.RelCache.clear()
+        System.gc()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -2289,6 +2289,29 @@ object PipelineOracle {
       s"${guard(field("ts"))} AS next_${rightType}_ts, ${guard(field("val"))} AS next_${rightType}_value FROM m WHERE side = 1"
   }
 
+  /** Mirrors Dedup.repeatedSpans: the same \\S+ tokens and 60-bit
+    * sliding L-gram hash, total-occurrence count >= 2 marks repeated
+    * positions, then the identical LAG-based interval union (new island
+    * when p > prev + L) and per-island MIN/MAX span bounds. */
+  def repeatedSpans(spanTokens: Int = 8): String = {
+    val L = spanTokens
+    "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents), " +
+      "w AS (SELECT doc_id, p, ('0x' || substr(md5(" +
+      s"array_to_string(t[CAST(p AS INT):CAST(p + ${L - 1} AS INT)], ' ')), 1, 15))::BIGINT AS h " +
+      s"FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - ${L - 1})) AS p " +
+      s"FROM toks WHERE len(t) >= $L)), " +
+      "dup AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM w GROUP BY h) __c WHERE c >= 2), " +
+      "dp AS (SELECT doc_id, p FROM w JOIN dup USING (h)), " +
+      "br AS (SELECT doc_id, p, CASE WHEN p > LAG(p) OVER " +
+      s"(PARTITION BY doc_id ORDER BY p) + $L THEN 1 ELSE 0 END AS b FROM dp), " +
+      "gr AS (SELECT doc_id, p, SUM(b) OVER " +
+      "(PARTITION BY doc_id ORDER BY p) AS g FROM br) " +
+      "SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start, " +
+      s"CAST(MAX(p) + ${L - 1} AS BIGINT) AS span_end, " +
+      s"CAST(MAX(p) - MIN(p) + $L AS BIGINT) AS span_len " +
+      "FROM gr GROUP BY doc_id, g"
+  }
+
   /** Mirrors Dedup.spanDedup: same \\S+ tokens, same max(1, ceil(n/w))
     * span count (token-less docs keep one empty span), 1-based inclusive
     * array slices, document frequency > maxDocs = boilerplate, md5 of the

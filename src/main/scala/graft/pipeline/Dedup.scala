@@ -1304,6 +1304,71 @@ object Dedup extends org.apache.spark.internal.Logging {
           "x -> x.span), ' ')").cast("binary")).as("kept_md5"))
   }
 
+  /** EXACT-SUBSTRING dedup at the token level (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * ExactSubstr): flag every MAXIMAL token range lying inside any
+    * VERBATIM-repeated span of ≥ `spanTokens` tokens anywhere in the
+    * corpus (another doc OR another position of the same doc). The
+    * variable-length completion of [[spanDedup]]'s fixed non-overlapping
+    * windows: a repeated 200-token quote is reported as ONE maximal
+    * span with its true extent, not as whichever aligned w-blocks it
+    * happens to overlap.
+    *
+    * Identity (why sliding windows suffice — no suffix array needed): a
+    * token lies inside a repeated span of length ≥ L iff it is covered
+    * by some repeated L-gram window, so the UNION of repeated-window
+    * coverage IS the removal set of the published suffix-array pass;
+    * merging overlapping/adjacent windows yields the maximal ranges.
+    * Output: (doc_id, span_start, span_end, span_len) — 1-based token
+    * indices, inclusive; clean docs are absent.
+    *
+    * Cross-engine: grams are whitespace tokens joined by ' ' (the q49
+    * convention), identified by the shared 60-bit md5 image; positions
+    * and span bounds are exact integers; repetition counts ALL
+    * occurrences (multiplicity, within-doc repeats included).
+    *
+    * Scale shape: the window relation is |corpus tokens| rows — the
+    * tokenizer-pass cost; repetition is ONE hash-keyed map-combinable
+    * count over it; membership is an equi-join of that relation against
+    * the (tiny) repeated-gram set — NO pair join anywhere, so no
+    * quadratic regime exists (the suffix-array alternative pays a
+    * global sort of the same row count); the island merge is a per-doc
+    * window, bounded by doc length. */
+  def repeatedSpans(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
+    val L = spanTokens
+    val wins = widen(docs)
+      .select(col("doc_id"),
+        expr("""regexp_extract_all(text, '\\S+', 0)""").as("__t"))
+      .filter(size(col("__t")) >= L)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, size(__t) - ${L - 1})")).as("__p"),
+        col("__t"))
+      .select(col("doc_id"), col("__p"),
+        conv(substring(md5(
+          expr(s"array_join(slice(__t, __p, $L), ' ')")), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+    // persisted: feeds both the repetition count and the membership join
+    val winsP = memoPersist(wins)
+    val dupGrams = winsP.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2L).select(col("__h"))
+    val dupPos = winsP.join(dupGrams, "__h")
+      .select(col("doc_id"), col("__p"))
+    // interval union of [p, p+L-1]: a new island starts when the next
+    // repeated position begins beyond the previous covered end + 1
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("__p"))
+    dupPos
+      .withColumn("__brk",
+        when(col("__p") > lag(col("__p"), 1).over(ord) + lit(L), 1L)
+          .otherwise(0L))
+      .withColumn("__g", sum(col("__brk")).over(ord))
+      .groupBy(col("doc_id"), col("__g"))
+      .agg(min(col("__p")).cast("long").as("span_start"),
+        (max(col("__p")) + lit(L - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
   /** TRIANGLE census of the verified near-dup pair graph — the dedup
     * QA the component report (q135) can't see: transitivity
     * = 3·triangles/wedges says whether near-duplication behaves like an

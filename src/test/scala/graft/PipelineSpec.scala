@@ -479,6 +479,35 @@ class PipelineSpec extends SparkSpec {
       pairs(Dedup.minhashLsh(docs, autoCapPairs = Long.MaxValue)))
   }
 
+  test("repeatedSpans: maximal cross-doc and within-doc repeated spans; clean docs absent") {
+    // L=3. Doc 1 and 2 share the verbatim 5-token run "a b c d e" at
+    // different offsets -> ONE maximal span each, full extent. Doc 3
+    // repeats "x y z" WITHIN itself (positions 1 and 5, gap) -> two
+    // separate spans. Doc 4 shares nothing.
+    val corpus = Seq(
+      (1L, "a b c d e p q r s"),
+      (2L, "m n a b c d e"),
+      (3L, "x y z w x y z"),
+      (4L, "entirely novel words only here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 1L, 5L, 5L),   // "a b c d e" — maximal, not three 3-grams
+      (2L, 3L, 7L, 5L),
+      (3L, 1L, 3L, 3L), (3L, 5L, 7L, 3L))) // within-doc repeat, split
+    // adjacent windows merge: doc 5/6 share two TOUCHING 3-grams whose
+    // union is one contiguous covered range
+    val touch = Seq(
+      (5L, "a b c d e f"),
+      (6L, "a b c q d e f")
+    ).toDF("doc_id", "text")
+    val t2 = Dedup.repeatedSpans(touch, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t2 == Set((5L, 1L, 6L), (6L, 1L, 3L), (6L, 5L, 7L)))
+  }
+
   test("nearDupPairs: two-stage minhash candidates + exact jaccard verify") {
     val pairs = Dedup.nearDupPairs(docs, threshold = 0.7).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
