@@ -630,9 +630,15 @@ object Dedup extends org.apache.spark.internal.Logging {
   // decision memo: the guard's sizing aggregate is one cheap job over the
   // pinned band relation, but pipelines call minhashLsh many times on one
   // corpus (nearDupPairs, nearDupKeep, dupComponents share it) — decide once
-  // per (session, banded plan, budget)
-  private val capDecisions =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Any, Long), Option[Int]]()
+  // per (session, banded plan, budget). LRU-bounded: keys retain the
+  // analyzed plan tree, which must not accumulate across corpora in a
+  // long-lived driver (the RelCache discipline).
+  private val capDecisions = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, Any, Long), Option[Int]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Any, Long), Option[Int]]): Boolean =
+        size() > 64
+    })
 
   /** Measures the blocking cost of a pinned band relation (the q273
     * blocking-report metric: Σ s(s−1)/2 over band buckets) and returns the

@@ -435,6 +435,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(windowLines.forall(l => !l.contains("doc_id")), plan)
   }
 
+  test("repeatedSpans: no pair join, no cartesian; only per-doc windows") {
+    val plan = executedPlan(graft.pipeline.Dedup.repeatedSpans(docs, 3))
+    // the coverage identity keeps this linear: one hash-keyed count over
+    // the window relation + an equi-join back — a doc x doc join here
+    // would be the quadratic regime the operator exists to avoid
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // every window (the LAG island merge) is doc-partitioned — bounded
+    // by doc length, never global
+    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")), plan)
+  }
+
   test("bm25TopK: bounded-heap aggregate, no WindowExec anywhere") {
     val plan = executedPlan(
       graft.pipeline.TextAnalysis.bm25TopK(docs, Seq("shared", "tok1"), 5))
