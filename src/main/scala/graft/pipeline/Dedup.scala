@@ -676,6 +676,45 @@ object Dedup extends org.apache.spark.internal.Logging {
     })
   }
 
+  /** The bipartite form of [[decideAutoCap]] for [[crossNearDup]]: the
+    * blocking cost is Σ sA·sB over SHARED band buckets (one bucket-keyed
+    * join of the two bucket-size relations — bucket-cardinality work),
+    * and the capped candidates are Σ min(sA,c)·min(sB,c). */
+  private def decideAutoCapCross(bandedA: DataFrame, bandedB: DataFrame,
+      rowNames: Seq[String], budget: Long): Option[Int] = {
+    val key = (bandedA.sparkSession,
+      (bandedA.queryExecution.analyzed.canonicalized,
+        bandedB.queryExecution.analyzed.canonicalized): Any, budget)
+    capDecisions.computeIfAbsent(key, _ => {
+      val keyCols = ("band" +: rowNames).map(col)
+      def sizes(banded: DataFrame, out: String) = banded
+        .groupBy(keyCols: _*).agg(count(lit(1)).as(out))
+      val joined = sizes(bandedA, "__sa")
+        .join(sizes(bandedB, "__sb"), "band" +: rowNames)
+      val pairCols =
+        sum(expr("__sa * __sb").cast("decimal(38,0)")).as("c_all") +:
+          AutoCapChoices.map(c => sum(
+            expr(s"least(__sa, $c) * least(__sb, $c)").cast("decimal(38,0)"))
+            .as(s"c_$c"))
+      val row = joined.agg(pairCols.head, pairCols.tail: _*).head()
+      def cand(i: Int): BigDecimal =
+        Option(row.getDecimal(i)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+      if (cand(0) <= BigDecimal(budget)) None
+      else {
+        val chosen = AutoCapChoices.zipWithIndex
+          .collectFirst { case (c, i) if cand(i + 1) <= BigDecimal(budget) => c }
+          .getOrElse(AutoCapChoices.last)
+        logWarning(s"crossNearDup skew guard: ${cand(0)} bipartite " +
+          s"candidate pairs exceed budget=$budget; applying " +
+          s"bucketCap=$chosen to both sides " +
+          s"(capped pairs=${cand(AutoCapChoices.indexOf(chosen) + 1)}). " +
+          "Pass bucketCap=Some(n) explicitly, or raise autoCapPairs to " +
+          "force the exact join.")
+        Some(chosen)
+      }
+    })
+  }
+
   /** LSH blocking-quality report — the entity-resolution diagnostic a
     * dedup operator needs reviewed BEFORE the pair join runs ("is the
     * banding actually pruning, or is one hot bucket about to do m²
@@ -867,14 +906,31 @@ object Dedup extends org.apache.spark.internal.Logging {
     *   mirrorable): a boilerplate-heavy bucket otherwise emits
     *   |A_bucket|x|B_bucket| candidates, which AQE's skew split
     *   redistributes but cannot shrink. With the cap, any bucket
-    *   contributes at most cap^2 pairs. None = exact. */
+    *   contributes at most cap^2 pairs. None engages the AUTO guard on
+    *   the BIPARTITE cost Σ sA·sB over shared buckets (one bucket-keyed
+    *   join of the two bucket-size relations — the join itself never
+    *   runs): above `autoCapPairs`, the largest cap whose capped cost
+    *   Σ min(sA,c)·min(sB,c) fits is applied to both sides and logged;
+    *   below it the join is exact (the minhashLsh contract).
+    * @param autoCapPairs candidate-pair budget for the auto guard;
+    *   Long.MaxValue disables it. */
   def crossNearDup(corpusA: DataFrame, corpusB: DataFrame, k: Int = 5,
       threshold: Double = 0.7, bands: Int = 16, rowsPerBand: Int = 4,
-      bucketCap: Option[Int] = None): DataFrame = {
+      bucketCap: Option[Int] = None,
+      autoCapPairs: Long = AutoCapPairs): DataFrame = {
     val rowNames = (1 to rowsPerBand).map(r => s"s$r")
     val keys = "band" +: rowNames
-    val ba = memoPersist(bandedRelation(corpusA, k, bands, rowsPerBand, bucketCap)).as("a")
-    val bb = memoPersist(bandedRelation(corpusB, k, bands, rowsPerBand, bucketCap)).as("b")
+    val baRaw = memoPersist(bandedRelation(corpusA, k, bands, rowsPerBand, bucketCap))
+    val bbRaw = memoPersist(bandedRelation(corpusB, k, bands, rowsPerBand, bucketCap))
+    val (baG, bbG) = bucketCap match {
+      case Some(_) => (baRaw, bbRaw)       // explicit cap: caller decided
+      case None => decideAutoCapCross(baRaw, bbRaw, rowNames, autoCapPairs)
+        .fold((baRaw, bbRaw))(c =>
+          (memoPersist(capBuckets(baRaw, rowNames, c)),
+            memoPersist(capBuckets(bbRaw, rowNames, c))))
+    }
+    val ba = baG.as("a")
+    val bb = bbG.as("b")
     val joinCond = keys.map(kc => col(s"a.$kc") === col(s"b.$kc"))
       .reduce(_ && _) && col("a.doc_id") =!= col("b.doc_id")
     val cand = memoPersist(ba.join(bb, joinCond)

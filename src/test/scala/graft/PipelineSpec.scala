@@ -508,6 +508,24 @@ class PipelineSpec extends SparkSpec {
     assert(t2 == Set((5L, 1L, 6L), (6L, 1L, 3L), (6L, 5L, 7L)))
   }
 
+  test("crossNearDup auto skew guard: bipartite cost triggers; exact below budget") {
+    val hotA = (1L to 20L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val hotB = (101L to 130L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bipartite cost = 16 bands * 20*30 = 9600; budget 5000 triggers and
+    // cap=16 (capped cost 16 * 16*16 = 4096) is the largest that fits
+    assert(pairs(Dedup.crossNearDup(hotA, hotB, autoCapPairs = 5000L)) ==
+      pairs(Dedup.crossNearDup(hotA, hotB, bucketCap = Some(16))))
+    // above the uncapped cost the join stays exact
+    assert(pairs(Dedup.crossNearDup(hotA, hotB, autoCapPairs = 10000L)) ==
+      pairs(Dedup.crossNearDup(hotA, hotB, autoCapPairs = Long.MaxValue)))
+  }
+
   test("nearDupPairs: two-stage minhash candidates + exact jaccard verify") {
     val pairs = Dedup.nearDupPairs(docs, threshold = 0.7).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

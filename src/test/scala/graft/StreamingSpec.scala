@@ -1288,6 +1288,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate-anomaly state TTL: evicted type retrains from scratch, emitting nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingHist.{RateEvent, RateVerdict}
+    val dayUs = 86400000000L
+    val input = MemoryStream[RateEvent]
+    val out = StreamingHist.streamingRateAnomaly(input.toDS(), 2, 3.0,
+      flushOpen = false, stateTtl = Some("5 seconds"))
+    val q = out.writeStream.format("memory").queryName("rate_ttl_stream")
+      .outputMode(OutputMode.Append()).start()
+    def awaitN(k: Int, deadlineMs: Long = 30000): Seq[RateVerdict] = {
+      val t0 = System.currentTimeMillis()
+      var rows = Seq.empty[RateVerdict]
+      while (rows.size < k) {
+        assert(System.currentTimeMillis() - t0 < deadlineMs,
+          s"sink has ${rows.size} rows (< $k) after ${deadlineMs} ms")
+        Thread.sleep(50)
+        rows = spark.table("rate_ttl_stream").as[RateVerdict].collect().toSeq
+      }
+      rows
+    }
+    try {
+      // type "a": days 0 and 1 close (window still filling -> null stats);
+      // day 2 stays open with closed=[1, 2] banked in state
+      input.addData(RateEvent("a", 0L), RateEvent("a", dayUs),
+        RateEvent("a", dayUs + 1L), RateEvent("a", 2L * dayUs))
+      assert(awaitN(2).map(_.day).sorted == Seq(0L, 1L))
+      Thread.sleep(10000) // type "a" quiet past the horizon
+      input.addData(RateEvent("z", 0L)) // fires the timeout for "a"
+      // the eviction emitted nothing: still two verdicts, both "a"
+      assert(awaitN(2).map(v => (v.event_type, v.day)).sorted ==
+        Seq(("a", 0L), ("a", 1L)))
+      // baseline forgotten: the open day-2 count is gone, day 3 starts a
+      // FRESH chain, so closing it yields the fills-from-scratch nulls
+      // (surviving state would close day 2 first and give day 3 a full
+      // 2-day window with real mean/std)
+      input.addData(RateEvent("a", 3L * dayUs))
+      input.addData(RateEvent("a", 4L * dayUs))
+      val rows = awaitN(3).filter(_.event_type == "a")
+      assert(!rows.exists(_.day == 2L)) // day 2 was never emitted
+      val d3 = rows.find(_.day == 3L).get
+      assert(d3.n == 1L && d3.mean.isEmpty && d3.std.isEmpty)
+    } finally q.stop()
+  }
+
   test("funnel state TTL: abandoned journey evicts; post-eviction event restarts the chain") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingHist.{FunnelEvent, FunnelRow}
