@@ -95,6 +95,100 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Distributed k-NN GRAPH construction by NN-Descent (Dong, Moses &
+    * Li 2011, "Efficient k-nearest neighbor graph construction for
+    * generic similarity measures") — the all-nodes ANN structure the
+    * per-query searchers (annLsh/annIvf) don't build: every vector's k
+    * most-cosine-similar neighbors, the backbone relation for semantic
+    * dedup sweeps, graph clustering, and hub/outlier analysis.
+    *
+    * Spark-first shape (no sequential graph traversal — HNSW's insert
+    * loop has no distributed form; NN-Descent is the published
+    * alternative built ENTIRELY from joins):
+    *  - INIT: sign-LSH bucket CHAINS — within each (table, bucket) each
+    *    vector links to the next `initDegree` vectors in vec_id order
+    *    (a row_number + rank-offset equi-join — linear in corpus size,
+    *    never the m² within-bucket pair join; a degenerate one-bucket
+    *    corpus costs one hot sort partition, not a quadratic join).
+    *  - ROUNDS: the NN-Descent step — candidates = current edges ∪
+    *    reverse edges ∪ neighbors-of-neighbors through the UNDIRECTED
+    *    graph, re-scored and re-ranked per node. Reverse edges are
+    *    capped at k by cosine (the paper's reverse sampling): an
+    *    in-degree hub would otherwise square its row count in the NoN
+    *    join. Candidate volume per round is ≤ 4nk² by construction.
+    *  - Fixed `rounds` (the q248/q124 fixed-iteration discipline); each
+    *    round's graph is EAGERLY localCheckpoint-pinned and the prior
+    *    round's blocks are released (the components-loop discipline) —
+    *    a lazily-persisted loop re-executes every prior round once per
+    *    use of the graph relation (g + rev = 2 uses/round → 2^rounds
+    *    blowup, measured 13 s → 260 s from r=2 to r=4 before the pin).
+    *
+    * Deterministic end-to-end: LSH buckets are sign tests on fixed
+    * coordinates, ranking is (cosine desc, id asc) via the bounded-heap
+    * TopKByScore, chain init is vec_id-ordered — no RNG anywhere, so
+    * the recall contract (q315) gates reproducibly.
+    * Output: (query_id, neighbor_id, cosine, rank) — k rows per node
+    * (fewer for nodes whose candidate closure is smaller). */
+  def knnGraph(emb: DataFrame, k: Int, rounds: Int = 2, tables: Int = 8,
+      bits: Int = 8, initDegree: Int = 0): DataFrame = {
+    require(k > 0 && rounds >= 0 && tables > 0 && bits > 0,
+      s"bad knnGraph shape: k=$k rounds=$rounds tables=$tables bits=$bits")
+    val c = if (initDegree > 0) initDegree else k
+    val n = graft.util.RelCache.persist(withNorm(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm")))
+    val bk = n.select(col("vec_id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            lshTableBucket(col("embedding"), t, bits).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
+    val withRn = graft.util.RelCache.persist(
+      bk.withColumn("__rn", row_number().over(rn)))
+    val fwd = withRn
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"),
+        explode(expr(s"sequence(__rn + 1, __rn + $c)")).as("__trn"))
+      .join(withRn.select(col("vec_id").as("neighbor_id"), col("tbl"),
+        col("bucket"), col("__rn").as("__trn")), Seq("tbl", "bucket", "__trn"))
+      .select(col("query_id"), col("neighbor_id"))
+    val initCand = fwd.union(
+        fwd.select(col("neighbor_id").as("query_id"),
+          col("query_id").as("neighbor_id")))
+      .distinct()
+    def score(cand: DataFrame): DataFrame = cand
+      .join(n.select(col("vec_id").as("query_id"), col("embedding").as("__ea"),
+        col("nrm").as("__na")), "query_id")
+      .join(n.select(col("vec_id").as("neighbor_id"), col("embedding").as("__eb"),
+        col("nrm").as("__nb")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__ea"), col("__eb"), col("__na"), col("__nb")).as("cosine"))
+    def blocks(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectLeaves().collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    var graph = rankTopK(score(initCand), k).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val g = graph.select(col("query_id"), col("neighbor_id"))
+      // reverse edges capped at k by cosine — the paper's reverse
+      // sampling; an uncapped in-degree hub squares in the NoN join
+      val rev = rankTopK(graph.select(col("neighbor_id").as("query_id"),
+          col("query_id").as("neighbor_id"), col("cosine")), k)
+        .select(col("query_id"), col("neighbor_id"))
+      val und = g.union(rev)
+      val non = und.as("x").join(und.as("y"),
+          col("x.neighbor_id") === col("y.query_id") &&
+            col("x.query_id") =!= col("y.neighbor_id"))
+        .select(col("x.query_id").as("query_id"),
+          col("y.neighbor_id").as("neighbor_id"))
+      val cand = g.union(non).distinct()
+      val next = rankTopK(score(cand), k).localCheckpoint(true)
+      blocks(graph).foreach(_.unpersist(false))
+      graph = next
+    }
+    graph
+  }
+
   /** Brute-force cosine top-k: broadcast the query set against the corpus;
     * rank by (cosine desc, vec_id asc) for determinism. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

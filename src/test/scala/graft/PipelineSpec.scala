@@ -587,6 +587,28 @@ class PipelineSpec extends SparkSpec {
     (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1)
   ).toDF("vec_id", "embedding", "label")
 
+  test("knnGraph: clustered corpus recovers exact top-k; deterministic across partitionings") {
+    // 3 well-separated clusters of 4 — the manifold regime NN-Descent is
+    // built for: every vector's true top-3 are its cluster mates
+    val vecs = (0 until 12).map { i =>
+      val c = i / 4
+      val base = Array.fill(8)(0.0f)
+      base(c) = 1.0f
+      base(3 + c) = 0.05f * (i % 4) // within-cluster variation
+      ((i + 1).toLong, base)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = Similarity.knnGraph(df, 3, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(g.map(t => (t._1, t._2)).toSet == exact) // recall 1.0, rank-for-rank size
+    // partitioning must not change the graph (no RNG anywhere)
+    val g2 = Similarity.knnGraph(df.repartition(7), 3, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(g.sorted.toSeq == g2.sorted.toSeq)
+  }
+
   test("cosine near-dup finds the close same-label pair only") {
     val pairs = Similarity.nearDup(emb, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
