@@ -2646,6 +2646,13 @@ object SparkEntry {
           .filter(col("query_id") < 10),
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 3),
         bound = 0.15)
+    },
+    "q316_repeated_span_removal" -> { (s, dir) =>
+      // the APPLY side of q314 — Lee et al. 2022's removal itself:
+      // covered tokens dropped, per-doc kept-token md5 gates the whole
+      // cleaned text (the q86 kept-hash convention); every doc appears
+      implicit val sp: SparkSession = s
+      graft.pipeline.Dedup.removeRepeatedSpans(t(dir, "documents"), 8)
     }
   )
 
@@ -3471,6 +3478,7 @@ object SparkEntry {
     // violation on real data hash-mismatches
     "q315_knn_graph_recall" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
-        "FROM embeddings WHERE vec_id < 10")
+        "FROM embeddings WHERE vec_id < 10"),
+    "q316_repeated_span_removal" -> PipelineOracle.removeRepeatedSpans(8)
   )
 }

@@ -2312,6 +2312,36 @@ object PipelineOracle {
       "FROM gr GROUP BY doc_id, g"
   }
 
+  /** Mirrors Dedup.removeRepeatedSpans: the [[repeatedSpans]] window/
+    * count CTEs give the repeated positions; a token at 1-based index i
+    * is covered iff some repeated position p has p <= i <= p+L-1; kept
+    * tokens rejoin in order and hash (the q86 kept-md5 convention);
+    * every doc appears via the left join, clean docs keeping all. */
+  def removeRepeatedSpans(spanTokens: Int = 8): String = {
+    val L = spanTokens
+    "WITH toks AS (SELECT doc_id, COALESCE(regexp_extract_all(text, '\\S+'), []) AS t FROM documents), " +
+      "w AS (SELECT doc_id, p, ('0x' || substr(md5(" +
+      s"array_to_string(t[CAST(p AS INT):CAST(p + ${L - 1} AS INT)], ' ')), 1, 15))::BIGINT AS h " +
+      s"FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - ${L - 1})) AS p " +
+      s"FROM toks WHERE len(t) >= $L)), " +
+      "dup AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM w GROUP BY h) __c WHERE c >= 2), " +
+      "dp AS (SELECT doc_id, p FROM w JOIN dup USING (h)), " +
+      "pos AS (SELECT doc_id, UNNEST(generate_series(1, len(t))) AS i, t " +
+      "FROM toks WHERE len(t) >= 1), " +
+      "cov AS (SELECT DISTINCT pos.doc_id, pos.i FROM pos JOIN dp " +
+      s"ON dp.doc_id = pos.doc_id AND dp.p <= pos.i AND pos.i <= dp.p + ${L - 1}), " +
+      "kept AS (SELECT pos.doc_id, " +
+      "COALESCE(string_agg(CASE WHEN cov.i IS NULL THEN pos.t[pos.i] END, ' ' ORDER BY pos.i) " +
+      "FILTER (WHERE cov.i IS NULL), '') AS ktxt, " +
+      "CAST(COUNT(*) FILTER (WHERE cov.i IS NOT NULL) AS BIGINT) AS n_rm " +
+      "FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.i = pos.i " +
+      "GROUP BY pos.doc_id) " +
+      "SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens, " +
+      "COALESCE(kept.n_rm, 0) AS n_removed, " +
+      "md5(COALESCE(kept.ktxt, '')) AS kept_md5 " +
+      "FROM toks LEFT JOIN kept ON kept.doc_id = toks.doc_id"
+  }
+
   /** Mirrors Dedup.spanDedup: same \\S+ tokens, same max(1, ceil(n/w))
     * span count (token-less docs keep one empty span), 1-based inclusive
     * array slices, document frequency > maxDocs = boilerplate, md5 of the

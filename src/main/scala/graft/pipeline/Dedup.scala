@@ -1399,6 +1399,25 @@ object Dedup extends org.apache.spark.internal.Logging {
   def repeatedSpans(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
     require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
     val L = spanTokens
+    // interval union of [p, p+L-1]: a new island starts when the next
+    // repeated position begins beyond the previous covered end + 1
+    val ord = Window.partitionBy(col("doc_id")).orderBy(col("__p"))
+    repeatedPositions(docs, L)
+      .withColumn("__brk",
+        when(col("__p") > lag(col("__p"), 1).over(ord) + lit(L), 1L)
+          .otherwise(0L))
+      .withColumn("__g", sum(col("__brk")).over(ord))
+      .groupBy(col("doc_id"), col("__g"))
+      .agg(min(col("__p")).cast("long").as("span_start"),
+        (max(col("__p")) + lit(L - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
+
+  /** The (doc_id, __p) positions whose L-gram repeats anywhere in the
+    * corpus — the shared first stage of [[repeatedSpans]] (report form)
+    * and [[removeRepeatedSpans]] (apply form). */
+  private def repeatedPositions(docs: DataFrame, L: Int): DataFrame = {
     val wins = widen(docs)
       .select(col("doc_id"),
         expr("""regexp_extract_all(text, '\\S+', 0)""").as("__t"))
@@ -1414,21 +1433,40 @@ object Dedup extends org.apache.spark.internal.Logging {
     val winsP = memoPersist(wins)
     val dupGrams = winsP.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2L).select(col("__h"))
-    val dupPos = winsP.join(dupGrams, "__h")
-      .select(col("doc_id"), col("__p"))
-    // interval union of [p, p+L-1]: a new island starts when the next
-    // repeated position begins beyond the previous covered end + 1
-    val ord = Window.partitionBy(col("doc_id")).orderBy(col("__p"))
-    dupPos
-      .withColumn("__brk",
-        when(col("__p") > lag(col("__p"), 1).over(ord) + lit(L), 1L)
-          .otherwise(0L))
-      .withColumn("__g", sum(col("__brk")).over(ord))
-      .groupBy(col("doc_id"), col("__g"))
-      .agg(min(col("__p")).cast("long").as("span_start"),
-        (max(col("__p")) + lit(L - 1)).cast("long").as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1L).as("span_len"))
+    winsP.join(dupGrams, "__h").select(col("doc_id"), col("__p"))
+  }
+
+  /** The APPLY side of [[repeatedSpans]] — Lee et al. 2022's ExactSubstr
+    * removal itself: every token covered by a verbatim-repeated span of
+    * ≥ `spanTokens` tokens is dropped, and each doc reports its token
+    * count, removed count, and the md5 of the surviving tokens rejoined
+    * in order (the q86 kept-hash convention — a full-strength gate over
+    * the cleaned text without shipping it). EVERY input doc appears;
+    * clean and token-less docs keep everything (n_removed = 0).
+    *
+    * Scale shape: [[repeatedPositions]]'s linear window pass, then the
+    * covered-position set collapses per doc (bounded by doc length) and
+    * one left join attaches it; the keep filter and the hash run IN-ROW
+    * over codegen array HOFs — no second shuffle of the corpus. */
+  def removeRepeatedSpans(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
+    val L = spanTokens
+    val covered = repeatedPositions(docs, L)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+    widen(docs)
+      .select(col("doc_id"),
+        coalesce(expr("""regexp_extract_all(text, '\\S+', 0)"""),
+          expr("CAST(array() AS ARRAY<STRING>)"))
+          .as("__t")) // NULL text = zero tokens, not NULLs
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
+        expr(("CASE WHEN __ps IS NULL THEN __t ELSE " +
+          "filter(__t, (tok, i) -> NOT exists(__ps, " +
+          s"p -> p <= i + 1 AND i + 1 <= p + ${L - 1})) END")).as("__kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept")).cast("long")).as("n_removed"),
+        md5(expr("array_join(__kept, ' ')").cast("binary")).as("kept_md5"))
   }
 
   /** TRIANGLE census of the verified near-dup pair graph — the dedup

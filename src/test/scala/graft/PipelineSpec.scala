@@ -526,6 +526,25 @@ class PipelineSpec extends SparkSpec {
       pairs(Dedup.crossNearDup(hotA, hotB, autoCapPairs = Long.MaxValue)))
   }
 
+  test("removeRepeatedSpans: covered tokens drop, kept hash matches, clean docs intact") {
+    val corpus = Seq(
+      (1L, "a b c d e p q r s"),   // shares "a b c d e" with doc 2
+      (2L, "m n a b c d e"),
+      (3L, "entirely novel words only here"),
+      (4L, "")                      // token-less: appears, keeps nothing
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(corpus, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def h(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(1L) == ((9L, 5L, h("p q r s"))))   // span [1,5] removed
+    assert(out(2L) == ((7L, 5L, h("m n"))))       // span [3,7] removed
+    assert(out(3L) == ((5L, 0L, h("entirely novel words only here"))))
+    assert(out(4L) == ((0L, 0L, h(""))))
+  }
+
   test("nearDupPairs: two-stage minhash candidates + exact jaccard verify") {
     val pairs = Dedup.nearDupPairs(docs, threshold = 0.7).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
