@@ -448,6 +448,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")), plan)
   }
 
+  test("removeRepeatedSpans: no pair join; keep filter is in-row (no extra corpus shuffle)") {
+    val plan = executedPlan(Dedup.removeRepeatedSpans(docs, 3))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the only window-shaped work is upstream of the covered-position
+    // aggregate; the keep filter + hash are projections over array HOFs
+    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("doc_id")), plan)
+  }
+
   test("bm25TopK: bounded-heap aggregate, no WindowExec anywhere") {
     val plan = executedPlan(
       graft.pipeline.TextAnalysis.bm25TopK(docs, Seq("shared", "tok1"), 5))
