@@ -105,6 +105,10 @@ object StressDocs {
       docs, 0.1, 0.1, "lfs1", bucketCap = Some(20)).count())
     time("stream_mixed_lang")(graft.streaming.StreamingHist
       .mixedLangStream(docs, 16).count())
+    time("repeated_spans")(
+      graft.pipeline.Dedup.repeatedSpans(docs, 8).count())
+    time("repeated_span_removal")(
+      graft.pipeline.Dedup.removeRepeatedSpans(docs, 8).count())
     // a typo in the filter arg must fail loudly, not silently run nothing
     only.foreach { sel =>
       val unknown = sel -- ran
