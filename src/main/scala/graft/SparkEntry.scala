@@ -2653,6 +2653,23 @@ object SparkEntry {
       // cleaned text (the q86 kept-hash convention); every doc appears
       implicit val sp: SparkSession = s
       graft.pipeline.Dedup.removeRepeatedSpans(t(dir, "documents"), 8)
+    },
+    "q317_graph_ann_search" -> { (s, dir) =>
+      // the QUERY side of the q315 NN-Descent graph — synchronous beam
+      // search (HNSW/NSG-style, level-synchronous batch form): LSH +
+      // bucket-head + global entry seeds, graph-edge expansion rounds,
+      // bounded-heap beam; recall contract vs exact top-3 over the
+      // fixed query ids (q315 discipline; same 0.15 floor — measured
+      // 1.0/0.967/0.467 at sf0.001/0.01/0.1; the clustered regime is
+      // pinned at recall 1.0 rank-for-rank in PipelineSpec)
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      graft.pipeline.Contracts.annRecallContract(
+        Similarity.graphSearch(emb, queries, 3,
+          Similarity.knnGraph(emb, 10, rounds = 2), rounds = 2, beam = 8),
+        Similarity.bruteForceTopK(emb, queries, 3),
+        bound = 0.15)
     }
   )
 
@@ -3479,6 +3496,12 @@ object SparkEntry {
     "q315_knn_graph_recall" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
         "FROM embeddings WHERE vec_id < 10"),
-    "q316_repeated_span_removal" -> PipelineOracle.removeRepeatedSpans(8)
+    "q316_repeated_span_removal" -> PipelineOracle.removeRepeatedSpans(8),
+    // contract gate (q315 discipline): the oracle emits the TRUE verdict
+    // rows over the deterministic query ids, so a recall-bound violation
+    // on real data hash-mismatches
+    "q317_graph_ann_search" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
+        "FROM embeddings WHERE vec_id < 10")
   )
 }

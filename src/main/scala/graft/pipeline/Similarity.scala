@@ -189,6 +189,113 @@ object Similarity {
     graph
   }
 
+  /** Per-query ANN SEARCH over a prebuilt k-NN graph — the query side of
+    * [[knnGraph]] (HNSW/NSG-style beam search, in its one distributable
+    * form): ALL queries advance together through `rounds` of synchronous
+    * beam expansion, each round one equi-join against the graph relation
+    * plus one bounded-heap re-rank — never a per-query sequential walk
+    * (a greedy walk is a driver loop per query; the level-synchronous
+    * frontier is how batch engines evaluate NSG/Vamana-style search).
+    *
+    *  - ENTRY: each query seeds its beam from three deterministic
+    *    sources — (a) the first `beam` corpus vectors per (table,
+    *    bucket) of ITS OWN sign-LSH buckets (the graph's init
+    *    geometry: precision), (b) every bucket's HEAD vector (first in
+    *    vec_id order — at most tables·2^bits rows total, the IVF-style
+    *    coarse routing that gives entry DIVERSITY: a k-NN graph of
+    *    well-separated clusters is disconnected, so a query whose own
+    *    bucket is a singleton can never walk into the right basin from
+    *    a foreign entry; bucket heads guarantee one entry per populated
+    *    region), and (c) the globally smallest `beam` vec_ids (so no
+    *    query ever starts empty).
+    *  - ROUNDS: candidates = current beam ⋈ graph edges, anti-joined
+    *    against everything already scored (per-round work stays
+    *    proportional to NEW candidates), scored against the broadcast
+    *    query embeddings, union'd into the scored set, re-ranked per
+    *    query to `beam` by the bounded-heap TopKByScore. Per-round
+    *    candidate volume ≤ |Q|·beam·graph_degree; the query relation
+    *    broadcasts, the corpus never shuffles more than the candidate
+    *    rows joined TO it on neighbor_id.
+    *  - The accumulated scored set is EAGERLY localCheckpoint-pinned
+    *    each round with prior-round release (the [[knnGraph]]
+    *    discipline — a lazily-persisted loop re-executes 2^rounds).
+    *
+    * Deterministic end-to-end (LSH sign tests, vec_id-ordered seeds,
+    * (cosine desc, id asc) heap ranking — no RNG), so the recall
+    * contract (q317) gates reproducibly. Self-hits are excluded to
+    * match [[bruteForceTopK]]. Output: (query_id, neighbor_id, cosine,
+    * rank) — k rows per query. */
+  def graphSearch(emb: DataFrame, queries: DataFrame, k: Int,
+      graph: DataFrame, rounds: Int = 2, beam: Int = 8,
+      tables: Int = 8, bits: Int = 8): DataFrame = {
+    require(k > 0 && rounds >= 0 && beam >= k && tables > 0 && bits > 0,
+      s"bad graphSearch shape: k=$k rounds=$rounds beam=$beam")
+    val n = graft.util.RelCache.persist(withNorm(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm")))
+    val q = withNorm(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qe"),
+        col("nrm").as("__qn"))
+    // corpus bucket relation with a per-(table, bucket) rank — the
+    // knnGraph chain-init geometry reused as the entry index; only the
+    // first `beam` rows per bucket survive, so the seed join is bounded
+    val bk = n.select(col("vec_id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            lshTableBucket(col("embedding"), t, bits).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val rn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
+    val ranked = graft.util.RelCache.persist(
+      bk.withColumn("__rn", row_number().over(rn)))
+    val entryIdx = ranked.filter(col("__rn") <= beam)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id"))
+    val qb = q.select(col("query_id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            lshTableBucket(col("__qe"), t, bits).as("bucket"))): _*)).as("tb"))
+      .select(col("query_id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val lshSeeds = broadcast(qb).join(entryIdx, Seq("tbl", "bucket"))
+      .select(col("query_id"), col("neighbor_id"))
+    // bucket heads: one representative per populated (table, bucket) —
+    // ≤ tables·2^bits rows, the bounded entry-diversity set
+    val headSeeds = q.select(col("query_id"))
+      .crossJoin(broadcast(ranked.filter(col("__rn") === 1)
+        .select(col("vec_id").as("neighbor_id")).distinct()))
+    val globalSeeds = q.select(col("query_id"))
+      .crossJoin(broadcast(n.select(col("vec_id").as("neighbor_id"))
+        .orderBy(col("neighbor_id")).limit(beam)))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(n.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__eb"), col("nrm").as("__nb")), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qe"), col("__eb"), col("__qn"), col("__nb")).as("cosine"))
+    def blocks(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectLeaves().collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    val edges = graph.select(col("query_id").as("__node"),
+      col("neighbor_id").as("__next"))
+    var seen = score(lshSeeds.union(headSeeds).union(globalSeeds).distinct())
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val frontier = rankTopK(seen, beam)
+        .select(col("query_id"), col("neighbor_id").as("__node"))
+      val fresh = frontier.join(edges, "__node")
+        .select(col("query_id"), col("__next").as("neighbor_id"))
+        .distinct()
+        .join(seen.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      val next = seen.union(score(fresh)).localCheckpoint(true)
+      blocks(seen).foreach(_.unpersist(false))
+      seen = next
+    }
+    rankTopK(seen, k)
+  }
+
   /** Brute-force cosine top-k: broadcast the query set against the corpus;
     * rank by (cosine desc, vec_id asc) for determinism. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

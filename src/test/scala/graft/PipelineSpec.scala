@@ -628,6 +628,35 @@ class PipelineSpec extends SparkSpec {
     assert(g.sorted.toSeq == g2.sorted.toSeq)
   }
 
+  test("graphSearch: clustered corpus recovers exact top-k; full-beam equals brute force; deterministic") {
+    val vecs = (0 until 12).map { i =>
+      val c = i / 4
+      val base = Array.fill(8)(0.0f)
+      base(c) = 1.0f
+      base(3 + c) = 0.05f * (i % 4)
+      ((i + 1).toLong, base)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val graph = Similarity.knnGraph(df, 3, rounds = 2)
+    val exact = Similarity.bruteForceTopK(df, df, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    // beam 4 = cluster size: LSH entry finds the right cluster, graph
+    // rounds complete it — recall 1.0 rank-for-rank on the manifold regime
+    val got = Similarity.graphSearch(df, df, 3, graph, rounds = 2, beam = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(got == exact)
+    // beam >= n: entry seeds score the whole corpus — MUST equal brute
+    // force row-for-row with zero rounds (the exactness degeneracy)
+    val full = Similarity.graphSearch(df, df, 3, graph, rounds = 0, beam = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(full == exact)
+    // partitioning must not change the result (no RNG anywhere)
+    val got2 = Similarity.graphSearch(df.repartition(7), df, 3, graph,
+      rounds = 2, beam = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(got2 == got)
+  }
+
   test("cosine near-dup finds the close same-label pair only") {
     val pairs = Similarity.nearDup(emb, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
