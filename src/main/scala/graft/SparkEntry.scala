@@ -2174,6 +2174,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Similarity.pcaProject2d(t(dir, "embeddings"), iters = 12)
     },
+    "q318_pca_whiten" -> { (s, dir) =>
+      // PCA + whitening (the retrieval/PQ preprocessing stage): the
+      // q260 projections scaled to unit variance by 1/sqrt(lambda_c) —
+      // one map-only corpus scan, both components as in-row literals
+      implicit val sp: SparkSession = s
+      graft.pipeline.Similarity.pcaWhiten(t(dir, "embeddings"), iters = 12)
+    },
     "q261_session_perplexity" -> { (s, dir) =>
       // behavioral anomaly: each user's event sequence scored under the
       // corpus-trained first-order Markov model — a bot replaying an
@@ -3381,6 +3388,7 @@ object SparkEntry {
     "q258_rolling_retention" -> PipelineOracle.rollingRetention,
     "q259_pca_deflate" -> PipelineOracle.pcaDeflate(12),
     "q260_pca_project2d" -> PipelineOracle.pcaProject2d(12),
+    "q318_pca_whiten" -> PipelineOracle.pcaWhiten(12),
     "q261_session_perplexity" -> PipelineOracle.sessionPerplexity,
     "q262_quantile_calibrate" -> PipelineOracle.quantileCalibrate,
     "q263_profile2d" -> Oracle.profile2d("lineitem",

@@ -2790,6 +2790,24 @@ object PipelineOracle {
       "e.v - p.projection * u.v AS x " +
       "FROM e JOIN u ON u.dim = e.j JOIN p ON p.vec_id = e.vec_id"
 
+  /** Mirrors Similarity.pcaWhiten: the pcaDeflate CTE, per-component
+    * L2 normalization (ordered sum of squares, correctly-rounded SQRT),
+    * ordered projection folds, one IEEE divide by √λ; λ ≤ 0 whitens to
+    * NULL. */
+  def pcaWhiten(iters: Int): String =
+    s"WITH comp AS MATERIALIZED (${pcaDeflate(iters)}), " +
+      "nrm AS (SELECT component, SQRT(SUM(loading * loading ORDER BY dim)) AS s " +
+      "FROM comp GROUP BY component), " +
+      "u AS MATERIALIZED (SELECT comp.component, dim, CASE WHEN s > CAST(0 AS DOUBLE) " +
+      "THEN loading / s ELSE CAST(0 AS DOUBLE) END AS v, eigenvalue " +
+      "FROM comp JOIN nrm ON nrm.component = comp.component), " +
+      "e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS j, " +
+      "CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings WHERE embedding IS NOT NULL) " +
+      "SELECT e.vec_id, CAST(u.component AS INT) AS component, " +
+      "CASE WHEN u.eigenvalue > CAST(0 AS DOUBLE) " +
+      "THEN SUM(e.v * u.v ORDER BY e.j) / SQRT(u.eigenvalue) ELSE NULL END AS y " +
+      "FROM e JOIN u ON u.dim = e.j GROUP BY e.vec_id, u.component, u.eigenvalue"
+
   /** Mirrors Similarity.pcaProject: the pcaPower CTE joined back onto
     * the unnested embeddings, projection = ordered j-fold dot. */
   def pcaProject(iters: Int): String =

@@ -1860,6 +1860,59 @@ object Similarity {
         graft.functions.VecDotFD.vec_dot_fd(col("embedding"), lit(x1)).as("proj1"))
   }
 
+  /** PCA-WHITENED top-2 projection (the "PCA + whitening" stage of
+    * retrieval/PQ pipelines, Jégou et al.; also the standard embedding
+    * isotropy fix one step past [[removeTopComponent]]): per vector and
+    * component c ∈ {0,1}, y_c = (e·u_c)/√λ_c with u_c the L2-normalized
+    * [[pcaDeflate]] loadings — the projected cloud has unit variance
+    * along each kept direction, so downstream cosine/L2 stop being
+    * dominated by the anisotropic top component. Long output
+    * (vec_id, component, y); a zero-variance component (λ_c ≤ 0)
+    * whitens to NULL rather than dividing by zero.
+    *
+    * Cross-engine bit-exactness: u_c is [[pcaDeflate]]'s 1e-6-grid
+    * loadings normalized by the dim-ordered sum of squares
+    * (correctly-rounded sqrt), the projection is the codegen'd
+    * [[graft.functions.VecDotFD]] ordered fold, and the whitening is
+    * ONE IEEE divide by the correctly-rounded √λ_c — each step
+    * reproducible in SQL.
+    *
+    * Scale shape: both components are literals baked into the plan; the
+    * pass is ONE map-only corpus scan (both projections computed per
+    * row, unpivoted in-row by a 2-element generator) — no join, no
+    * shuffle. The eigen step costs one covariance pass. */
+  def pcaWhiten(emb: DataFrame, iters: Int = 12): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val comp = pcaDeflate(emb, iters).collect()
+    if (comp.isEmpty)
+      return Seq.empty[(Long, Int, Option[Double])]
+        .toDF("vec_id", "component", "y")
+    def arm(c: Int): (Array[Double], Double) = {
+      val rows = comp.filter(_.getInt(0) == c).sortBy(_.getInt(1))
+      val x = rows.map(_.getDouble(2))
+      val lam = rows.head.getDouble(3)
+      var s2 = 0.0
+      var j = 0
+      while (j < x.length) { s2 += x(j) * x(j); j += 1 }
+      val s = math.sqrt(s2)
+      (if (s > 0.0) x.map(_ / s) else x.map(_ => 0.0), lam)
+    }
+    val cols = Seq(0, 1).map { c =>
+      val (u, lam) = arm(c)
+      val y =
+        if (lam > 0.0)
+          graft.functions.VecDotFD.vec_dot_fd(col("embedding"), lit(u)) /
+            lit(math.sqrt(lam))
+        else lit(null).cast("double")
+      struct(lit(c).as("component"), y.as("y"))
+    }
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), explode(array(cols: _*)).as("cy"))
+      .select(col("vec_id"), col("cy.component").as("component"),
+        col("cy.y").as("y"))
+  }
+
   /** Every vector's score along the [[pcaPower]] top component — the
     * 1-D shadow of the embedding cloud that stratified semantic dedup /
     * curriculum bucketing actually consumes (and the cheapest "which

@@ -801,6 +801,28 @@ class PipelineSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("pcaWhiten: unit variance along both kept directions; deterministic") {
+    val e = Seq(
+      (1L, Array(0.4f, 0.0f, 0.01f)), (2L, Array(-0.4f, 0.0f, -0.01f)),
+      (3L, Array(0.0f, 0.2f, 0.0f)), (4L, Array(0.0f, -0.2f, 0.0f)),
+      (5L, Array(0.4f, 0.2f, 0.0f)), (6L, Array(-0.4f, -0.2f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pcaWhiten(e, iters = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 12) // 6 vecs x 2 components
+    // whitening contract: population variance of y_c == u'Cu/lambda ~= 1
+    for (c <- Seq(0, 1)) {
+      val ys = (1L to 6L).map(v => out((v, c)))
+      val m = ys.sum / ys.size
+      val v = ys.map(y => (y - m) * (y - m)).sum / ys.size
+      assert(math.abs(v - 1.0) < 0.05, s"component $c variance $v")
+    }
+    // deterministic across partitionings (quantized loadings, IEEE ops)
+    val out7 = Similarity.pcaWhiten(e.repartition(7), iters = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out7 == out)
+  }
+
   test("embedCovarianceAgg: bit-identical to the declarative path across partitionings") {
     val rnd = new scala.util.Random(7)
     val e = (1L to 60L).map(i =>
