@@ -2677,6 +2677,16 @@ object SparkEntry {
           Similarity.knnGraph(emb, 10, rounds = 2), rounds = 2, beam = 8),
         Similarity.bruteForceTopK(emb, queries, 3),
         bound = 0.15)
+    },
+    "q319_cartography" -> { (s, dir) =>
+      // dataset cartography (Swayamdipta et al. 2020): per-example
+      // confidence/variability/correctness over the score trajectory +
+      // easy/ambiguous/hard region map — one map-combinable aggregate;
+      // thresholds sit at the corpus's per-user medians so all three
+      // regions populate
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.cartography(t(dir, "events"),
+        "user_id", "value", thr = 50.0, cHi = 49.0, vLo = 47.0)
     }
   )
 
@@ -3510,6 +3520,7 @@ object SparkEntry {
     // on real data hash-mismatches
     "q317_graph_ann_search" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
-        "FROM embeddings WHERE vec_id < 10")
+        "FROM embeddings WHERE vec_id < 10"),
+    "q319_cartography" -> PipelineOracle.cartography(50.0, 49.0, 47.0)
   )
 }

@@ -804,4 +804,49 @@ object Curation {
       .withColumn("keep", col("pass_tokens") && col("pass_sample") &&
         col("is_canonical") && col("is_clean") && col("pass_quality"))
   }
+
+  /** DATASET CARTOGRAPHY (Swayamdipta et al. 2020, "Dataset Cartography:
+    * Mapping and Diagnosing Datasets with Training Dynamics",
+    * arXiv:2009.10795): per training example, summarize its score
+    * trajectory across training steps into the paper's three map
+    * coordinates — confidence (mean score), variability (population
+    * std of the score), correctness (fraction of steps the score
+    * cleared `thr`) — and classify the example into the paper's
+    * regions: 'ambiguous' when variability ≥ vLo (the model keeps
+    * changing its mind — the most informative examples), else 'easy'
+    * (confidence ≥ cHi: consistently well-scored) or 'hard'
+    * (consistently low — the label-error screening set). Here a key's
+    * event stream IS its trajectory: (keyCol, scoreCol) rows, one per
+    * observation.
+    *
+    * Cross-engine determinism: Σv and Σv² take the DECIMAL(38,14)
+    * route (order-free, exact), mean = s/n one IEEE divide,
+    * variability = √max(0, ss/n − mean·mean) in that exact op order,
+    * correctness an exact-long ratio; region thresholds compare
+    * those reproducible doubles.
+    *
+    * Scale shape: ONE map-combinable aggregate keyed by the example —
+    * no windows, no self-joins, no sorting; the trajectory never
+    * materializes per key. */
+  def cartography(events: DataFrame, keyCol: String, scoreCol: String,
+      thr: Double, cHi: Double, vLo: Double): DataFrame = {
+    val v = col(scoreCol).cast("double")
+    val agg = events.filter(col(keyCol).isNotNull && v.isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        graft.util.Dec.sumDec(v).as("__s"),
+        graft.util.Dec.sumDec(v * v).as("__ss"),
+        sum(when(v > lit(thr), 1L).otherwise(0L)).as("__c"))
+    val mean = col("__s") / col("n").cast("double")
+    val variability = sqrt(greatest(lit(0.0),
+      col("__ss") / col("n").cast("double") - mean * mean))
+    agg.select(col(keyCol), col("n"),
+        mean.as("confidence"),
+        variability.as("variability"),
+        (col("__c").cast("double") / col("n").cast("double")).as("correctness"))
+      .withColumn("region",
+        when(col("variability") >= lit(vLo), lit("ambiguous"))
+          .when(col("confidence") >= lit(cHi), lit("easy"))
+          .otherwise(lit("hard")))
+  }
 }

@@ -2884,6 +2884,28 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == (("b", "c", "a", 1L))) // count tie breaks by t1
   }
 
+  test("cartography: easy/ambiguous/hard regions from trajectory moments; NULLs dropped") {
+    val ev = Seq(
+      (Some(1L), Some(10.0)), (Some(1L), Some(10.0)), (Some(1L), Some(10.0)),
+      (Some(2L), Some(90.0)), (Some(2L), Some(90.0)),
+      (Some(3L), Some(0.0)), (Some(3L), Some(100.0)),
+      (Some(4L), None: Option[Double]),           // all-NULL key vanishes
+      (None: Option[Long], Some(5.0))             // NULL key dropped
+    ).toDF("user_id", "value")
+    val out = graft.pipeline.Curation.cartography(ev, "user_id", "value",
+      thr = 50.0, cHi = 49.0, vLo = 47.0).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getString(5)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // consistently low: confidence 10, variability 0, correctness 0 -> hard
+    assert(out(1L) == ((3L, 10.0, 0.0, 0.0, "hard")))
+    // consistently high: confidence 90, variability 0, correctness 1 -> easy
+    assert(out(2L) == ((2L, 90.0, 0.0, 1.0, "easy")))
+    // oscillating: confidence 50, variability 50 >= vLo -> ambiguous
+    assert(out(3L) == ((2L, 50.0, 50.0, 0.5, "ambiguous")))
+  }
+
   test("robustStandardize: median/MAD exact; MAD=0 and NULL scores -> NULL") {
     val d = Seq((1L, "s1", Some(1L)), (2L, "s1", Some(2L)),
       (3L, "s1", Some(3L)), (4L, "s1", Some(4L)),
