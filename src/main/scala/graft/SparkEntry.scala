@@ -2687,6 +2687,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.cartography(t(dir, "events"),
         "user_id", "value", thr = 50.0, cHi = 49.0, vLo = 47.0)
+    },
+    "q320_excess_loss_select" -> { (s, dir) =>
+      // RHO-loss-style learnability gate: excess = bigram minus unigram
+      // per-token log-prob (context gain over the irreducible-loss
+      // proxy), top 60% per source kept by the exact-rank discipline
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.excessLossSelect(t(dir, "documents"),
+        minPctl = 0.4)
     }
   )
 
@@ -3521,6 +3529,8 @@ object SparkEntry {
     "q317_graph_ann_search" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
         "FROM embeddings WHERE vec_id < 10"),
-    "q319_cartography" -> PipelineOracle.cartography(50.0, 49.0, 47.0)
+    "q319_cartography" -> PipelineOracle.cartography(50.0, 49.0, 47.0),
+    "q320_excess_loss_select" ->
+      PipelineOracle.excessLossSelect("CAST('0.4' AS DOUBLE)")
   )
 }

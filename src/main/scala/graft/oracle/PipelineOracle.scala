@@ -3485,6 +3485,22 @@ object PipelineOracle {
       "ELSE CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pctl FROM rk) p " +
       s"WHERE pctl >= $minPctl"
 
+  /** Mirrors Curation.excessLossSelect: both LM-score CTEs, excess =
+    * one IEEE subtract, the lmFilter rank discipline per source. */
+  def excessLossSelect(minPctl: String): String =
+    s"WITH u AS MATERIALIZED (${lmScore}), " +
+      s"b AS MATERIALIZED (${lmScoreBigram}), " +
+      "j AS (SELECT d.doc_id, d.source, b.lm2_score - u.lm_score AS excess " +
+      "FROM documents d JOIN u ON u.doc_id = d.doc_id " +
+      "JOIN b ON b.doc_id = d.doc_id), " +
+      "rk AS (SELECT doc_id, source, excess, " +
+      "COUNT(*) OVER (PARTITION BY source) AS n, " +
+      "ROW_NUMBER() OVER (PARTITION BY source ORDER BY excess, doc_id) AS r FROM j) " +
+      "SELECT doc_id, source, excess, pctl FROM (" +
+      "SELECT doc_id, source, excess, CASE WHEN n = 1 THEN CAST(0 AS DOUBLE) " +
+      "ELSE CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pctl FROM rk) p " +
+      s"WHERE pctl >= $minPctl"
+
   /** Mirrors RankStats.auc: the distinct-score relation with pos/neg
     * counts, an exact strictly-below window cumsum (the oracle may use
     * the window — row count = distinct scores; Spark uses the

@@ -805,6 +805,51 @@ object Curation {
         col("is_canonical") && col("is_clean") && col("pass_quality"))
   }
 
+  /** EXCESS-LOSS (learnability) selection — the RHO-LOSS idea
+    * (Mindermann et al. 2022, "Prioritized Training on Points that are
+    * Learnable, Worth Learning, and Not Yet Learnt", arXiv:2206.07137)
+    * instantiated with the engine's two reference models: per document,
+    * excess = lm2_score − lm_score, the per-token log-prob GAIN of the
+    * in-corpus bigram model over the unigram "irreducible loss" proxy.
+    * High excess = context makes the doc much more predictable =
+    * structured, learnable text; low excess = word salad the bigram
+    * model cannot compress, or pure stopword boilerplate. Keeps docs
+    * whose excess sits at or above `minPctl` within their SOURCE (the
+    * [[lmFilter]] rank discipline: exact (rank−1)/(n−1) percentile,
+    * (excess, doc_id) tie-break, single-doc source = 0.0; unscoreable
+    * docs are dropped, ranks run over the full scored corpus so the
+    * gate never shifts other docs' percentiles).
+    *
+    * Cross-engine: both LM scores are bit-identical by construction
+    * (quantized-ln per-token ordered folds), excess is ONE IEEE
+    * subtract of those doubles, and the rank math is exact-integer.
+    *
+    * Scale shape: the q193 + q197 plans (one token pass each + map-
+    * combinable aggregates; the bigram lag window is doc-bounded), one
+    * doc_id equi-join, ONE source-keyed exchange shared by the two
+    * rank windows, map-side filter. Mega-source hardening would follow
+    * [[lmFilterSketch]]'s GK-threshold form. */
+  def excessLossSelect(docs: DataFrame, minPctl: Double): DataFrame = {
+    require(minPctl >= 0.0 && minPctl <= 1.0, s"minPctl out of [0,1]: $minPctl")
+    import org.apache.spark.sql.expressions.Window
+    val uni = graft.pipeline.TextAnalysis.lmScore(docs)
+      .select(col("doc_id"), col("lm_score"))
+    val big = graft.pipeline.TextAnalysis.lmScoreBigram(docs)
+      .select(col("doc_id"), col("lm2_score"))
+    val scored = uni.join(big, "doc_id")
+      .select(col("doc_id"), (col("lm2_score") - col("lm_score")).as("excess"))
+    val bySource = Window.partitionBy(col("source"))
+    val ranked = bySource.orderBy(col("excess"), col("doc_id"))
+    docs.select(col("doc_id"), col("source")).join(scored, "doc_id")
+      .withColumn("__n", count(lit(1)).over(bySource))
+      .withColumn("pctl",
+        when(col("__n") === 1L, lit(0.0))
+          .otherwise((row_number().over(ranked) - 1).cast("double") /
+            (col("__n") - 1).cast("double")))
+      .filter(col("pctl") >= minPctl)
+      .select(col("doc_id"), col("source"), col("excess"), col("pctl"))
+  }
+
   /** DATASET CARTOGRAPHY (Swayamdipta et al. 2020, "Dataset Cartography:
     * Mapping and Diagnosing Datasets with Training Dynamics",
     * arXiv:2009.10795): per training example, summarize its score

@@ -2884,6 +2884,35 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == (("b", "c", "a", 1L))) // count tie breaks by t1
   }
 
+  test("excessLossSelect: excess = bigram - unigram gain; top fraction per source kept") {
+    val d = Seq(
+      (1L, "x y x y x y x y", "en", "s1"),   // context-compressible
+      (2L, "a b c d e f g h", "en", "s1"),
+      (3L, "p p p p p p p p", "en", "s1"),   // unigram already perfect
+      (4L, "solo doc here", "en", "s2")      // single-doc source -> pctl 0
+    ).toDF("doc_id", "text", "lang", "source")
+    val uni = graft.pipeline.TextAnalysis.lmScore(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val big = graft.pipeline.TextAnalysis.lmScoreBigram(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val all = graft.pipeline.Curation.excessLossSelect(d, 0.0).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(all.keySet == Set(1L, 2L, 3L, 4L))
+    for (id <- Seq(1L, 2L, 3L, 4L))
+      assert(all(id)._2 == big(id) - uni(id), s"doc $id")
+    // rare-token docs gain most from context (deterministic bigrams
+    // lift a rock-bottom unigram baseline); the all-same-token doc
+    // gains nothing (unigram is already perfect)
+    assert(Seq(1L, 2L, 3L).maxBy(id => all(id)._2) == 2L)
+    assert(Seq(1L, 2L, 3L).minBy(id => all(id)._2) == 3L)
+    // pctl >= 0.67 over 3 ranked docs keeps rank 1.0 only; the solo
+    // source doc sits at pctl 0 and is dropped
+    val kept = graft.pipeline.Curation.excessLossSelect(d, 0.67).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("cartography: easy/ambiguous/hard regions from trajectory moments; NULLs dropped") {
     val ev = Seq(
       (Some(1L), Some(10.0)), (Some(1L), Some(10.0)), (Some(1L), Some(10.0)),
