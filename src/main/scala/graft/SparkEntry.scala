@@ -2695,6 +2695,21 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.excessLossSelect(t(dir, "documents"),
         minPctl = 0.4)
+    },
+    "q321_zorder_cells" -> { (s, dir) =>
+      // the Z-order layout key cross-engine: per (cell_q, cell_p) the
+      // Morton-interleaved zkey + row count — pins the quantizer AND
+      // the bit interleave; the write side (range-partitioned
+      // disjointness) is pinned in LayoutSpec
+      implicit val sp: SparkSession = s
+      val li = t(dir, "lineitem")
+        .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
+      val cq = graft.sources.Layout.cell(col("l_quantity"), 1.0, 51.0, 8)
+      val cp = graft.sources.Layout.cell(col("l_extendedprice"), 900.0, 105000.0, 8)
+      li.select(cq.as("cell_q"), cp.as("cell_p"),
+          graft.sources.Layout.interleave(Seq(cq, cp), 8).as("zkey"))
+        .groupBy(col("cell_q"), col("cell_p"), col("zkey"))
+        .agg(count(lit(1)).as("cnt"))
     }
   )
 
@@ -3531,6 +3546,8 @@ object SparkEntry {
         "FROM embeddings WHERE vec_id < 10"),
     "q319_cartography" -> PipelineOracle.cartography(50.0, 49.0, 47.0),
     "q320_excess_loss_select" ->
-      PipelineOracle.excessLossSelect("CAST('0.4' AS DOUBLE)")
+      PipelineOracle.excessLossSelect("CAST('0.4' AS DOUBLE)"),
+    "q321_zorder_cells" ->
+      PipelineOracle.zorderCells(8, 1.0, 51.0, 900.0, 105000.0)
   )
 }

@@ -3485,6 +3485,33 @@ object PipelineOracle {
       "ELSE CAST(r - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pctl FROM rk) p " +
       s"WHERE pctl >= $minPctl"
 
+  /** Mirrors Layout.cell + Layout.interleave over lineitem
+    * (l_quantity, l_extendedprice): the same IEEE quantizer sequence
+    * ((v − lo) / (hi − lo) · 2^bits, FLOOR, BIGINT cast, clamp) and the
+    * same Morton shift/and/or bit math. */
+  def zorderCells(bits: Int, loQ: Double, hiQ: Double,
+      loP: Double, hiP: Double): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val maxCell = (1L << bits) - 1L
+    val scale = (1L << bits).toDouble
+    def cell(v: String, lo: Double, hi: Double): String =
+      s"LEAST($maxCell, GREATEST(0, CAST(FLOOR((CAST($v AS DOUBLE) - ${d(lo)}) / " +
+        s"${d(hi - lo)} * ${d(scale)}) AS BIGINT)))"
+    def interleave(cells: Seq[String]): String = {
+      val n = cells.size
+      (for {
+        (c, i) <- cells.zipWithIndex
+        j <- 0 until bits
+      } yield s"((($c >> $j) & 1) << ${j * n + i})").mkString("(", " | ", ")")
+    }
+    "WITH c AS (SELECT " +
+      s"${cell("l_quantity", loQ, hiQ)} AS cell_q, " +
+      s"${cell("l_extendedprice", loP, hiP)} AS cell_p " +
+      "FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL) " +
+      s"SELECT cell_q, cell_p, ${interleave(Seq("cell_q", "cell_p"))} AS zkey, " +
+      "CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY cell_q, cell_p"
+  }
+
   /** Mirrors Curation.excessLossSelect: both LM-score CTEs, excess =
     * one IEEE subtract, the lmFilter rank discipline per source. */
   def excessLossSelect(minPctl: String): String =

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-ORDER (Morton) clustering — the
+  * storage-side answer to "my scans filter on TWO columns": a
+  * range-partitioned, sorted write on a bit-interleaved key gives every
+  * file/row-group a min/max zkey interval that maps to a BOUNDED
+  * rectangle in value space, so parquet min/max pruning skips on both
+  * filter columns at once (a single-column sort gives perfect pruning on
+  * one column and none on the other). The same key the Delta/Iceberg
+  * OPTIMIZE ZORDER implementations use, built from plain codegen
+  * expressions.
+  *
+  * Pipeline fit: after curation the training corpus is re-laid-out once
+  * (quality score × token length, or lang × source) so downstream
+  * mixture sampling ("quality ≥ q AND length ∈ [a, b)") reads a small
+  * fraction of files instead of the corpus.
+  *
+  * Cross-engine determinism: the cell quantizer is a fixed IEEE sequence
+  * ((v − lo) / (hi − lo) · 2^bits, floor, clamp) and the interleave is
+  * pure integer bit math — both expressible identically in SQL. */
+object Layout {
+
+  /** Quantized cell index in [0, 2^bits): clamp(floor((v − lo) /
+    * (hi − lo) · 2^bits)). Out-of-range values clamp to the edge cells
+    * (layout keys must never drop rows); NULL stays NULL. */
+  def cell(v: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(bits > 0 && bits <= 20, s"bits out of (0,20]: $bits")
+    require(hi > lo, s"need hi > lo: ($lo, $hi)")
+    val scale = (1L << bits).toDouble
+    val raw = floor((v.cast("double") - lit(lo)) / lit(hi - lo) * lit(scale))
+      .cast("long")
+    // explicit NULL guard: Spark's greatest/least IGNORE nulls, which
+    // would silently clamp a NULL value into cell 0
+    when(v.isNull, lit(null).cast("long"))
+      .otherwise(least(lit((1L << bits) - 1L), greatest(lit(0L), raw)))
+  }
+
+  /** Morton interleave of `cells` (each already in [0, 2^bits)): bit j
+    * of dimension i lands at position j·n + i, so the key's high bits
+    * cut value space into quadrants recursively. Pure shift/and/or —
+    * one codegen expression, no UDF. Total key width bits·n must fit a
+    * long. */
+  def interleave(cells: Seq[Column], bits: Int): Column = {
+    require(cells.nonEmpty && bits * cells.size <= 63,
+      s"zorder key too wide: $bits bits x ${cells.size} dims")
+    val n = cells.size
+    val terms = for {
+      (c, i) <- cells.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * n + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered parquet write: range-partition by the zorder key (so
+    * files own disjoint key intervals = disjoint value-space
+    * rectangles), sort within partitions (so row groups inside a file
+    * are tight too), write. `nFiles` sizes the output files — at 100 TB
+    * pick corpus_bytes / target_file_bytes. */
+  def writeZOrdered(df: DataFrame, path: String, zkey: Column,
+      nFiles: Int): Unit = {
+    require(nFiles > 0, s"nFiles must be positive: $nFiles")
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+}

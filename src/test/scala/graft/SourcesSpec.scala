@@ -56,4 +56,54 @@ class SourcesSpec extends SparkSpec {
       assert(got.values.sum == 2.0) // 513.0 overflows, dropped
     }
   }
+
+  test("zorder: interleave matches a reference Morton code; cells clamp; NULL stays NULL") {
+    import graft.sources.Layout
+    import spark.implicits._
+    // reference Morton interleave in plain Scala
+    def morton(cells: Seq[Long], bits: Int): Long =
+      (for {
+        (c, i) <- cells.zipWithIndex
+        j <- 0 until bits
+      } yield ((c >> j) & 1L) << (j * cells.size + i)).foldLeft(0L)(_ | _)
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map(_ =>
+      (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val df = rows.toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+        Layout.interleave(Seq(col("a"), col("b")), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (a, b) =>
+      assert(got((a, b)) == morton(Seq(a, b), 8), s"($a, $b)")
+    }
+    // quantizer: in-range values hit their cell; out-of-range clamps;
+    // NULL propagates
+    val q = Seq(Some(0.0), Some(5.0), Some(9.999), Some(-3.0), Some(42.0),
+        None: Option[Double]).toDF("v")
+      .select(Layout.cell(col("v"), 0.0, 10.0, 4).as("c"))
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    assert(q.toSeq == Seq(Some(0L), Some(8L), Some(15L), Some(0L), Some(15L), None))
+  }
+
+  test("writeZOrdered: files own disjoint zkey intervals (range partitioning)") {
+    import graft.sources.Layout
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 2000).map(_ =>
+      (rnd.nextDouble() * 10.0, rnd.nextDouble() * 10.0)).toDF("x", "y")
+    val zk = Layout.interleave(Seq(
+      Layout.cell(col("x"), 0.0, 10.0, 8), Layout.cell(col("y"), 0.0, 10.0, 8)), 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Layout.writeZOrdered(df, dir, zk, nFiles = 4)
+    // re-read per file: zkey intervals must not overlap across files
+    val back = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), zk.as("z"))
+      .groupBy(col("f")).agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(back.length > 1)
+    back.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, back.toSeq)
+      case _ =>
+    }
+  }
 }
