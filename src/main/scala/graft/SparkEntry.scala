@@ -2696,6 +2696,16 @@ object SparkEntry {
       graft.pipeline.Curation.excessLossSelect(t(dir, "documents"),
         minPctl = 0.4)
     },
+    "q322_stream_novelty" -> { (s, dir) =>
+      // per-window FIRST-EVER-SEEN key count (live Heaps growth: new
+      // users per hour): batch execution of the streaming operator —
+      // exact min-window per key, map-combinable, no window functions
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.windowedNovelty(
+        ev, "event_time", "user_id", "1 hour")
+    },
     "q321_zorder_cells" -> { (s, dir) =>
       // the Z-order layout key cross-engine: per (cell_q, cell_p) the
       // Morton-interleaved zkey + row count — pins the quantizer AND
@@ -3548,6 +3558,7 @@ object SparkEntry {
     "q320_excess_loss_select" ->
       PipelineOracle.excessLossSelect("CAST('0.4' AS DOUBLE)"),
     "q321_zorder_cells" ->
-      PipelineOracle.zorderCells(8, 1.0, 51.0, 900.0, 105000.0)
+      PipelineOracle.zorderCells(8, 1.0, 51.0, 900.0, 105000.0),
+    "q322_stream_novelty" -> PipelineOracle.windowedNovelty(3600000000L)
   )
 }

@@ -2599,6 +2599,16 @@ object PipelineOracle {
       s"(SELECT ((epoch_ns(ts) // 1000) // $durUs) * $durUs AS ws, user_id FROM events " +
       "WHERE ts IS NOT NULL AND user_id IS NOT NULL) w GROUP BY ws"
 
+  /** Mirrors StreamingHist.windowedNovelty's batch form: exact
+    * min-window per key (floor-division tumbling window), count per
+    * first-window. */
+  def windowedNovelty(durUs: Long): String =
+    "SELECT make_timestamp(fw) AS window_start, " +
+      "CAST(COUNT(*) AS BIGINT) AS novel_keys FROM " +
+      s"(SELECT user_id, MIN(((epoch_ns(ts) // 1000) // $durUs) * $durUs) AS fw " +
+      "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL " +
+      "GROUP BY user_id) f GROUP BY fw"
+
   /** Mirrors TextAnalysis.lmScore: same tokenization, the 1e-9-quantized
     * LN of the corpus-trained unigram probability, SUM(c ORDER BY term)
     * for the per-doc fold (the sequential-sum contract), and the mean

@@ -774,6 +774,51 @@ object StreamingHist {
     }
   }
 
+  /** Event-time windowed NOVELTY — per tumbling window, how many keys
+    * appear for the FIRST TIME EVER (the Heaps'-law growth curve of
+    * q166, live, with keys instead of token types: new-user rate,
+    * new-document-hash rate — "is the stream still discovering, or
+    * saturating into repeats?").
+    *
+    * Streaming chains an UNKEYED-window dropDuplicates on the key —
+    * state is one row per ever-seen key, deliberately NOT
+    * watermark-evicted (novelty is an all-time property; the eviction
+    * variant would measure "not seen within the horizon", which is
+    * [[streamingDedup]]'s TTL semantics) — into an additive windowed
+    * count of the surviving first-occurrence rows. First occurrence is
+    * by PROCESSING order, so a late out-of-order duplicate can credit
+    * the wrong window; the batch form (and the gate) uses the exact
+    * min-window per key, and StreamingSpec pins parity on in-order
+    * feeds plus state carry across micro-batches.
+    *
+    * Batch/scale shape: ONE map-combinable key-keyed min aggregate
+    * (Zipf-collapsed to key cardinality) + ONE window-keyed count of
+    * that collapsed relation — never a window function, never a
+    * corpus-sized second exchange. */
+  def windowedNovelty(df: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, watermark: String = "10 seconds"): DataFrame = {
+    if (df.isStreaming) {
+      df.withWatermark(tsCol, watermark)
+        .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+        .select(col(tsCol), col(keyCol).as("__k"))
+        .dropDuplicates("__k")
+        .groupBy(window(col(tsCol), windowDuration))
+        .agg(count(lit(1)).as("novel_keys"))
+        .select(col("window.start").as("window_start"), col("novel_keys"))
+    } else {
+      val durUs = fixedWindowUs(windowDuration)
+      val us = unix_micros(col(tsCol))
+      df.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+        .select((us - pmod(us, lit(durUs))).as("__ws"), col(keyCol).as("__k"))
+        .groupBy(col("__k"))
+        .agg(min(col("__ws")).as("__fw"))
+        .groupBy(col("__fw"))
+        .agg(count(lit(1)).as("novel_keys"))
+        .select(timestamp_micros(col("__fw")).as("window_start"),
+          col("novel_keys"))
+    }
+  }
+
   /** STREAMING per-window data-quality profile — the live form of
     * Curation.profileWindowed (q243): per event-time window and
     * profiled column, exact row / NULL / distinct counts, emitted once

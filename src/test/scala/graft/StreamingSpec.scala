@@ -460,6 +460,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed novelty: first-ever-seen state spans micro-batches, streaming == batch") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime / 1000, r.getLong(1))
+    val events = Seq((ts(1), 7L), (ts(2), 8L), (ts(3), 7L), (ts(12), 7L),
+      (ts(13), 9L), (ts(35), 8L), (ts(50), 10L)).toDF("event_time", "user_id")
+    // batch: exact min-window per key — 7,8 first in [0,10), 9 in [10,20),
+    // nothing novel in [30,40) (8 is a repeat), 10 in [50,60)
+    val batch = StreamingHist.windowedNovelty(
+        events, "event_time", "user_id", "10 seconds")
+      .collect().map(key).toSet
+    assert(batch == Set((0L, 2L), (10L, 1L), (50L, 1L)))
+
+    // streaming: the ever-seen dropDuplicates state must span
+    // micro-batches — a key re-arriving in a LATER batch emits nothing
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = StreamingHist.windowedNovelty(
+      input.toDF().toDF("event_time", "user_id"),
+      "event_time", "user_id", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("wn_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 7L), (ts(2), 8L), (ts(3), 7L))
+      q.processAllAvailable()
+      // 7@12s is a cross-batch repeat: state hit, not novel; 9 is new
+      input.addData((ts(12), 7L), (ts(13), 9L), (ts(35), 8L))
+      q.processAllAvailable()
+      input.addData((ts(50), 10L)) // watermark 40: closes [0,10) and [10,20)
+      q.processAllAvailable()
+      val streamed = spark.table("wn_stream").collect().map(key).toSet
+      assert(streamed == Set((0L, 2L), (10L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming profile: chained aggs match batch on closed windows") {
     def key(r: org.apache.spark.sql.Row) =
       ((r.getTimestamp(0).getTime / 1000L, r.getString(1)),
