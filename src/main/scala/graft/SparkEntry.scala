@@ -2696,6 +2696,13 @@ object SparkEntry {
       graft.pipeline.Curation.excessLossSelect(t(dir, "documents"),
         minPctl = 0.4)
     },
+    "q323_jl_project" -> { (s, dir) =>
+      // Johnson-Lindenstrauss +-1 projection to 16 dims: the
+      // no-training-pass reduction (pure map-side; deterministic
+      // md5-parity hyperplanes baked in as plan literals)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Similarity.jlProject(t(dir, "embeddings"), k = 16)
+    },
     "q322_stream_novelty" -> { (s, dir) =>
       // per-window FIRST-EVER-SEEN key count (live Heaps growth: new
       // users per hour): batch execution of the streaming operator —
@@ -3559,6 +3566,7 @@ object SparkEntry {
       PipelineOracle.excessLossSelect("CAST('0.4' AS DOUBLE)"),
     "q321_zorder_cells" ->
       PipelineOracle.zorderCells(8, 1.0, 51.0, 900.0, 105000.0),
-    "q322_stream_novelty" -> PipelineOracle.windowedNovelty(3600000000L)
+    "q322_stream_novelty" -> PipelineOracle.windowedNovelty(3600000000L),
+    "q323_jl_project" -> PipelineOracle.jlProject(16)
   )
 }

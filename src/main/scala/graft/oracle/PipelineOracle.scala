@@ -2821,6 +2821,23 @@ object PipelineOracle {
       "e.v - p.projection * u.v AS x " +
       "FROM e JOIN u ON u.dim = e.j JOIN p ON p.vec_id = e.vec_id"
 
+  /** Mirrors Similarity.jlProject: the md5-parity ±1 hyperplanes
+    * (hashEmbed convention), ordered i-fold dots, one IEEE multiply by
+    * the 1/√k literal. */
+  def jlProject(k: Int): String = {
+    val inv = s"CAST('${java.lang.Double.toString(1.0 / math.sqrt(k.toDouble))}' AS DOUBLE)"
+    "WITH e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i, " +
+      "CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings WHERE embedding IS NOT NULL), " +
+      s"js AS (SELECT UNNEST(generate_series(0, ${k - 1})) AS j), " +
+      "h AS (SELECT i, j, CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || " +
+      "CAST(j AS VARCHAR)), 1, 1))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) " +
+      "ELSE CAST(-1 AS DOUBLE) END AS s " +
+      "FROM (SELECT DISTINCT i FROM e) CROSS JOIN js) " +
+      "SELECT e.vec_id, CAST(h.j AS INT) AS j, " +
+      s"SUM(e.v * h.s ORDER BY e.i) * $inv AS y " +
+      "FROM e JOIN h ON h.i = e.i GROUP BY e.vec_id, h.j"
+  }
+
   /** Mirrors Similarity.pcaWhiten: the pcaDeflate CTE, per-component
     * L2 normalization (ordered sum of squares, correctly-rounded SQRT),
     * ordered projection folds, one IEEE divide by √λ; λ ≤ 0 whitens to

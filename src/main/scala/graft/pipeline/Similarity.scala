@@ -1913,6 +1913,55 @@ object Similarity {
         col("cy.y").as("y"))
   }
 
+  /** Johnson–Lindenstrauss RANDOM projection to `k` dims — the
+    * DATA-INDEPENDENT dimensionality reduction beside the trained PCA
+    * family (q248/q259): y_j = (e·h_j)/√k with h_j a deterministic ±1
+    * hyperplane (Achlioptas 2003's database-friendly JL: ±1 entries
+    * preserve pairwise distances with the same guarantee as Gaussians).
+    * The 100 TB significance is exactly that NO training pass exists —
+    * no covariance scan, no eigen step, no coordination: a pure
+    * map-side transform any executor can apply from day one, and the
+    * standard front-end that makes brute-force/LSH/IVF distance work
+    * O(k) instead of O(d).
+    *
+    * Determinism: h(i, j) = +1 iff the first hex char of md5("i:j") is
+    * even (the hashEmbed md5 convention — reproducible in any engine,
+    * no RNG). Long output (vec_id, j, y).
+    *
+    * Cross-engine: the dot is the codegen'd [[graft.functions
+    * .VecDotFD]] ordered fold against the literal sign vector, then ONE
+    * IEEE multiply by the driver-computed 1/√k literal. Scale shape:
+    * all k hyperplanes are plan literals; ONE map-only corpus scan with
+    * an in-row k-element unpivot — no join, no shuffle, no training. */
+  def jlProject(emb: DataFrame, k: Int): DataFrame = {
+    require(k > 0 && k <= 256, s"k out of (0,256]: $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d0 = probeDim(emb)
+    if (d0.isEmpty)
+      return Seq.empty[(Long, Int, Double)].toDF("vec_id", "j", "y")
+    val d = d0.get
+    val inv = 1.0 / math.sqrt(k.toDouble)
+    val cols = (0 until k).map { j =>
+      val hj = Array.tabulate(d)(i => jlSign(i, j))
+      struct(lit(j).as("j"),
+        (graft.functions.VecDotFD.vec_dot_fd(col("embedding"), lit(hj)) *
+          lit(inv)).as("y"))
+    }
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), explode(array(cols: _*)).as("jy"))
+      .select(col("vec_id"), col("jy.j").as("j"), col("jy.y").as("y"))
+  }
+
+  /** The [[jlProject]] hyperplane entry: +1 iff the first hex char of
+    * md5("i:j") is even — byte-identical to the SQL
+    * ('0x' || substr(md5(i || ':' || j), 1, 1))::BIGINT % 2 = 0. */
+  private[graft] def jlSign(i: Int, j: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    if ((((h(0) >> 4) & 0xF) % 2) == 0) 1.0 else -1.0
+  }
+
   /** Every vector's score along the [[pcaPower]] top component — the
     * 1-D shadow of the embedding cloud that stratified semantic dedup /
     * curriculum bucketing actually consumes (and the cheapest "which

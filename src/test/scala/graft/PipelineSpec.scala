@@ -801,6 +801,36 @@ class PipelineSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("jlProject: exact vs driver reference; norms preserved in expectation") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (1L to 8L).map(id =>
+      (id, Array.fill(24)(rnd.nextFloat() * 2.0f - 1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 16
+    val out = Similarity.jlProject(df, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 8 * k)
+    // exact: y_j must equal the driver-side fold with the same signs
+    val inv = 1.0 / math.sqrt(k.toDouble)
+    vecs.foreach { case (id, e) =>
+      for (j <- 0 until k) {
+        var s = 0.0
+        var i = 0
+        while (i < e.length) {
+          s += e(i).toDouble * Similarity.jlSign(i, j); i += 1
+        }
+        assert(out((id, j)) == s * inv, s"vec $id dim $j")
+      }
+    }
+    // JL contract: E||y||^2 == ||x||^2 — mean relative error small
+    val relErrs = vecs.map { case (id, e) =>
+      val nx = e.map(v => v.toDouble * v.toDouble).sum
+      val ny = (0 until k).map(j => out((id, j)) * out((id, j))).sum
+      math.abs(ny - nx) / nx
+    }
+    assert(relErrs.sum / relErrs.size < 0.5, relErrs)
+  }
+
   test("pcaWhiten: unit variance along both kept directions; deterministic") {
     val e = Seq(
       (1L, Array(0.4f, 0.0f, 0.01f)), (2L, Array(-0.4f, 0.0f, -0.01f)),
