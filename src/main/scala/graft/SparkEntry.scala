@@ -2696,6 +2696,12 @@ object SparkEntry {
       graft.pipeline.Curation.excessLossSelect(t(dir, "documents"),
         minPctl = 0.4)
     },
+    "q324_doremi_weights" -> { (s, dir) =>
+      // one DoReMi/Group-DRO exponentiated-gradient step: domain
+      // weights ∝ exp(eta · mean excess loss per source)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.doremiWeights(t(dir, "documents"), eta = 1.0)
+    },
     "q323_jl_project" -> { (s, dir) =>
       // Johnson-Lindenstrauss +-1 projection to 16 dims: the
       // no-training-pass reduction (pure map-side; deterministic
@@ -3567,6 +3573,7 @@ object SparkEntry {
     "q321_zorder_cells" ->
       PipelineOracle.zorderCells(8, 1.0, 51.0, 900.0, 105000.0),
     "q322_stream_novelty" -> PipelineOracle.windowedNovelty(3600000000L),
-    "q323_jl_project" -> PipelineOracle.jlProject(16)
+    "q323_jl_project" -> PipelineOracle.jlProject(16),
+    "q324_doremi_weights" -> PipelineOracle.doremiWeights(1.0)
   )
 }

@@ -3539,6 +3539,27 @@ object PipelineOracle {
       "CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY cell_q, cell_p"
   }
 
+  /** Mirrors Curation.doremiWeights: the two LM CTEs, per-doc excess
+    * floor-quantized to 1e-9 longs, exact integer sums cast through
+    * DOUBLE in the pinned /1e9/n sequence, 1e-9-floor-quantized EXP,
+    * source-ordered softmax fold. */
+  def doremiWeights(eta: Double): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    s"WITH u AS MATERIALIZED (${lmScore}), " +
+      s"b AS MATERIALIZED (${lmScoreBigram}), " +
+      "ex AS (SELECT d.source, " +
+      s"CAST(FLOOR((b.lm2_score - u.lm_score) * ${d(1.0e9)}) AS BIGINT) AS q " +
+      "FROM documents d JOIN u ON u.doc_id = d.doc_id " +
+      "JOIN b ON b.doc_id = d.doc_id), " +
+      "per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      s"CAST(SUM(q) AS DOUBLE) / ${d(1.0e9)} / CAST(COUNT(*) AS DOUBLE) AS mean_excess " +
+      "FROM ex GROUP BY source), " +
+      "w AS (SELECT source, n_docs, mean_excess, " +
+      s"FLOOR(EXP(${d(eta)} * mean_excess) * ${d(1.0e9)}) / ${d(1.0e9)} AS wr FROM per), " +
+      "ws AS (SELECT SUM(wr ORDER BY source) AS s FROM w) " +
+      "SELECT source, n_docs, mean_excess, wr / s AS weight FROM w CROSS JOIN ws"
+  }
+
   /** Mirrors Curation.excessLossSelect: both LM-score CTEs, excess =
     * one IEEE subtract, the lmFilter rank discipline per source. */
   def excessLossSelect(minPctl: String): String =

@@ -850,6 +850,53 @@ object Curation {
       .select(col("doc_id"), col("source"), col("excess"), col("pctl"))
   }
 
+  /** DOMAIN MIXTURE WEIGHTS by one exponentiated-gradient step — the
+    * DoReMi update rule (Xie et al. 2023, "DoReMi: Optimizing Data
+    * Mixtures Speeds Up Language Model Pretraining", arXiv:2305.10429;
+    * the underlying Group-DRO step is Sagawa et al. 2020): domains
+    * whose EXCESS loss (here [[excessLossSelect]]'s bigram-over-unigram
+    * gain as the proxy/reference pair) is highest get upweighted,
+    * w_s ∝ exp(η · mean_excess_s), normalized over sources. One step of
+    * the published iteration — the full DoReMi loop re-trains the proxy
+    * between steps, which is the caller's outer loop.
+    *
+    * Cross-engine determinism: per-doc excess (bit-identical doubles)
+    * is floor-quantized to 1e-9 longs, summed EXACTLY (order-free
+    * integer sum; bound: |excess|·1e9·docs_per_source must fit int64 —
+    * ~9e18, i.e. excess ≤ 30 supports 3e8 docs/source), mean is the
+    * pinned CAST(sum)/1e9/n sequence, exp is 1e-9-floor-quantized (the
+    * pow/ln convention — exp is not correctly rounded across libms),
+    * and the softmax denominator folds the sources-sized relation in
+    * source order (the sequential-sum contract).
+    *
+    * Scale shape: the q320 plans + ONE source-keyed map-combinable
+    * aggregate; everything after runs on the sources-sized relation. */
+  def doremiWeights(docs: DataFrame, eta: Double): DataFrame = {
+    require(eta > 0.0, s"eta must be positive: $eta")
+    val uni = graft.pipeline.TextAnalysis.lmScore(docs)
+      .select(col("doc_id"), col("lm_score"))
+    val big = graft.pipeline.TextAnalysis.lmScoreBigram(docs)
+      .select(col("doc_id"), col("lm2_score"))
+    val ex = uni.join(big, "doc_id")
+      .select(col("doc_id"), (col("lm2_score") - col("lm_score")).as("__ex"))
+    val per = docs.select(col("doc_id"), col("source")).join(ex, "doc_id")
+      .select(col("source"),
+        floor(col("__ex") * lit(1.0e9)).cast("long").as("__q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__q")).as("__sq"))
+      .withColumn("mean_excess",
+        col("__sq").cast("double") / lit(1.0e9) / col("n_docs").cast("double"))
+    val withW = per.withColumn("__w",
+      floor(exp(lit(eta) * col("mean_excess")) * lit(1.0e9)) / lit(1.0e9))
+    val wSum = withW
+      .agg(sort_array(collect_list(struct(col("source"), col("__w")))).as("__a"))
+      .select(aggregate(col("__a"), lit(0.0),
+        (acc, x) => acc + x.getField("__w")).as("__ws"))
+    withW.crossJoin(broadcast(wSum))
+      .select(col("source"), col("n_docs"), col("mean_excess"),
+        (col("__w") / col("__ws")).as("weight"))
+  }
+
   /** DATASET CARTOGRAPHY (Swayamdipta et al. 2020, "Dataset Cartography:
     * Mapping and Diagnosing Datasets with Training Dynamics",
     * arXiv:2009.10795): per training example, summarize its score

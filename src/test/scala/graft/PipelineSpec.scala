@@ -2943,6 +2943,28 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("doremiWeights: high-excess source upweighted; weights normalize; eta sharpens") {
+    val d = Seq(
+      (1L, "x y x y x y x y", "en", "s1"),
+      (2L, "a b c d e f g h", "en", "s1"),   // rare tokens: big gain
+      (3L, "p p p p p p p p", "en", "s2"),   // no gain
+      (4L, "p p q q p p q q", "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.pipeline.Curation.doremiWeights(d, eta = 1.0).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet == Set("s1", "s2"))
+    assert(out("s1")._1 == 2L && out("s2")._1 == 2L)
+    // s1's docs gain more from context -> larger mean excess -> more weight
+    assert(out("s1")._2 > out("s2")._2)
+    assert(out("s1")._3 > out("s2")._3)
+    assert(math.abs(out("s1")._3 + out("s2")._3 - 1.0) < 1e-12)
+    // a hotter eta sharpens the same ordering
+    val hot = graft.pipeline.Curation.doremiWeights(d, eta = 4.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(hot("s1") > out("s1")._3)
+  }
+
   test("cartography: easy/ambiguous/hard regions from trajectory moments; NULLs dropped") {
     val ev = Seq(
       (Some(1L), Some(10.0)), (Some(1L), Some(10.0)), (Some(1L), Some(10.0)),
