@@ -2696,6 +2696,19 @@ object SparkEntry {
       graft.pipeline.Curation.excessLossSelect(t(dir, "documents"),
         minPctl = 0.4)
     },
+    "q325_jl_search_recall" -> { (s, dir) =>
+      // two-stage ANN through the JL sketch (shortlist in 32-dim
+      // reduced space + exact full-dim rerank, the q222 rerank
+      // discipline): recall contract vs exact top-3, floor 0.15 —
+      // measured 0.833/0.833/0.600 at sf0.001/0.01/0.1
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      graft.pipeline.Contracts.annRecallContract(
+        Similarity.jlSearchTopK(emb, queries, 3, dims = 32, shortlist = 100),
+        Similarity.bruteForceTopK(emb, queries, 3),
+        bound = 0.15)
+    },
     "q324_doremi_weights" -> { (s, dir) =>
       // one DoReMi/Group-DRO exponentiated-gradient step: domain
       // weights ∝ exp(eta · mean excess loss per source)
@@ -3574,6 +3587,9 @@ object SparkEntry {
       PipelineOracle.zorderCells(8, 1.0, 51.0, 900.0, 105000.0),
     "q322_stream_novelty" -> PipelineOracle.windowedNovelty(3600000000L),
     "q323_jl_project" -> PipelineOracle.jlProject(16),
-    "q324_doremi_weights" -> PipelineOracle.doremiWeights(1.0)
+    "q324_doremi_weights" -> PipelineOracle.doremiWeights(1.0),
+    "q325_jl_search_recall" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
+        "FROM embeddings WHERE vec_id < 10")
   )
 }

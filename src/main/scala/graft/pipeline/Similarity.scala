@@ -1953,6 +1953,63 @@ object Similarity {
       .select(col("vec_id"), col("jy.j").as("j"), col("jy.y").as("y"))
   }
 
+  /** [[jlProject]] packed as an Array[Float] embedding column — the
+    * drop-in reduced-dimension corpus every downstream searcher
+    * (bruteForceTopK / annLsh / IVF) consumes directly. Computed
+    * entirely IN-ROW (k literal-hyperplane dots into one array
+    * constructor — no explode, no re-grouping shuffle); the
+    * double→float cast is correctly rounded, hence deterministic. The
+    * q325 recall contract measures what the 4× compression costs
+    * end-to-end. */
+  def jlPack(emb: DataFrame, k: Int): DataFrame = {
+    require(k > 0 && k <= 256, s"k out of (0,256]: $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d0 = probeDim(emb)
+    if (d0.isEmpty) return Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    val d = d0.get
+    val inv = 1.0 / math.sqrt(k.toDouble)
+    val ys = (0 until k).map { j =>
+      val hj = Array.tabulate(d)(i => jlSign(i, j))
+      (graft.functions.VecDotFD.vec_dot_fd(col("embedding"), lit(hj)) *
+        lit(inv)).cast("float")
+    }
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), array(ys: _*).as("embedding"))
+  }
+
+  /** Two-stage ANN through the JL sketch — shortlist in the reduced
+    * space, EXACT rerank in the original (the rerank discipline of
+    * IVFADC-R / q222, with [[jlPack]] as the compressor): stage 1
+    * broadcasts the JL-packed queries against the JL-packed corpus
+    * (dims-wide dots — the 100 TB win is stage 1 reads dims/d of the
+    * bytes and needs NO training pass), keeps `shortlist` candidates
+    * per query by the bounded heap; stage 2 reads full-dim vectors for
+    * the |Q|·shortlist candidate rows ONLY and exact-cosine re-ranks
+    * to k. Deterministic end-to-end ([[jlSign]] hyperplanes,
+    * correctly-rounded float casts, (cosine desc, id asc) heaps).
+    * Output: (query_id, neighbor_id, cosine, rank) with EXACT cosines —
+    * approximation only costs recall, never score fidelity. */
+  def jlSearchTopK(emb: DataFrame, queries: DataFrame, k: Int, dims: Int,
+      shortlist: Int): DataFrame = {
+    require(k > 0 && shortlist >= k,
+      s"bad jlSearchTopK shape: k=$k shortlist=$shortlist")
+    val short = bruteForceTopK(jlPack(emb, dims), jlPack(queries, dims),
+        shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val n = withNorm(emb)
+    val q = withNorm(queries)
+    val scored = short
+      .join(n.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__eb"), col("nrm").as("__nb")), "neighbor_id")
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("__ea"), col("nrm").as("__na"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__ea"), col("__eb"), col("__na"), col("__nb")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** The [[jlProject]] hyperplane entry: +1 iff the first hex char of
     * md5("i:j") is even — byte-identical to the SQL
     * ('0x' || substr(md5(i || ':' || j), 1, 1))::BIGINT % 2 = 0. */

@@ -831,6 +831,33 @@ class PipelineSpec extends SparkSpec {
     assert(relErrs.sum / relErrs.size < 0.5, relErrs)
   }
 
+  test("jlSearchTopK: full shortlist == brute force; clustered corpus exact; deterministic") {
+    val vecs = (0 until 12).map { i =>
+      val c = i / 4
+      val base = Array.fill(8)(0.0f)
+      base(c) = 1.0f
+      base(3 + c) = 0.05f * (i % 4)
+      ((i + 1).toLong, base)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(df, df, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    // shortlist >= corpus: stage 2 reranks everything — MUST equal
+    // brute force row-for-row (scores are exact by construction)
+    val full = Similarity.jlSearchTopK(df, df, 3, dims = 16, shortlist = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(full == exact)
+    // tight shortlist on well-separated clusters still recovers top-k
+    val tight = Similarity.jlSearchTopK(df, df, 3, dims = 16, shortlist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(tight == exact)
+    // deterministic across partitionings
+    val tight7 = Similarity.jlSearchTopK(df.repartition(7), df, 3,
+      dims = 16, shortlist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(tight7 == tight)
+  }
+
   test("pcaWhiten: unit variance along both kept directions; deterministic") {
     val e = Seq(
       (1L, Array(0.4f, 0.0f, 0.01f)), (2L, Array(-0.4f, 0.0f, -0.01f)),
