@@ -2372,6 +2372,17 @@ object SparkEntry {
       graft.streaming.StreamingHist.windowedHellinger(
         ev, "event_time", col("value"), axValue, "1 hour", ref)
     },
+    "q326_stream_js" -> { (s, dir) =>
+      // JS divergence in its LIVE per-window form — the last drift
+      // member windowed (symmetric, finite on empty bins, ln2-bounded);
+      // batch == jsDivergence per window vs the whole-corpus reference
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val ref = Histogram.histogram(ev, col("value"), axValue)
+      graft.streaming.StreamingHist.windowedJs(
+        ev, "event_time", col("value"), axValue, "1 hour", ref)
+    },
     "q283_es_sample" -> { (s, dir) =>
       // Efraimidis-Spirakis: EXACTLY 200 docs without replacement,
       // long-doc-weighted — the exact-k complement of q184's Poisson
@@ -3489,6 +3500,10 @@ object SparkEntry {
       "event_type = 'view'", "event_type = 'click'"),
     "q281_rfm" -> PipelineOracle.rfm,
     "q282_stream_hellinger" -> Oracle.hellingerFromByDim("events",
+      Oracle.Spec("value", axValue),
+      "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
+      "window_start", where = "ts IS NOT NULL"),
+    "q326_stream_js" -> Oracle.jsDivergenceByDim("events",
       Oracle.Spec("value", axValue),
       "make_timestamp(((epoch_ns(ts) // 1000) // 3600000000) * 3600000000)",
       "window_start", where = "ts IS NOT NULL"),

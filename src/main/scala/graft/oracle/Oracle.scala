@@ -674,6 +674,43 @@ object Oracle {
       "ELSE SQRT(GREATEST(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - bc)) END AS hellinger FROM m"
   }
 
+  /** Mirrors HistStats.jsDivergence with dims = one expression (and
+    * thereby StreamingHist.windowedJs's gated batch path): per-dim
+    * in-range histogram vs the shared reference on the dim×bins grid,
+    * DECIMAL-exact per-dim totals, the 0·ln0-free JS term with the
+    * 1e-9-quantized ln, SUM ORDER BY i, final /2. */
+  def jsDivergenceByDim(table: String, spec: Spec, dimSql: String,
+      dimName: String, where: String = "TRUE",
+      refWhere: String = "TRUE"): String = {
+    def dsum(e: String): String =
+      exactDbl(s"SUM(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(38,14))) OVER (PARTITION BY d)")
+    def qln(x: String): String =
+      s"(FLOOR(LN($x) * CAST('1.0E9' AS DOUBLE)) / CAST('1.0E9' AS DOUBLE))"
+    val idx = spec.axis.indexSql(spec.valueSql)
+    val rng = s"__i0 IS NOT NULL AND __i0 >= 0 AND __i0 <= ${spec.axis.nBins - 1}"
+    val p = "(ca / ta)"; val q = "(cb / tb)"
+    val m = s"(($p + $q) / CAST(2 AS DOUBLE))"
+    val term =
+      s"(CASE WHEN ca > CAST(0 AS DOUBLE) THEN $p * ${qln(s"$p / $m")} ELSE CAST(0 AS DOUBLE) END + " +
+      s"CASE WHEN cb > CAST(0 AS DOUBLE) THEN $q * ${qln(s"$q / $m")} ELSE CAST(0 AS DOUBLE) END)"
+    s"WITH hx AS (SELECT d, __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $dimSql AS d, $idx AS __i0 FROM $table WHERE $where) WHERE $rng GROUP BY d, __i0), " +
+      s"hr AS (SELECT __i0, CAST(COUNT(*) AS DOUBLE) AS cnt FROM " +
+      s"(SELECT $idx AS __i0 FROM $table WHERE $refWhere) WHERE $rng GROUP BY __i0), " +
+      s"bins AS (SELECT CAST(r AS BIGINT) AS i FROM range(0, ${spec.axis.nBins}) t(r)), " +
+      "ds AS (SELECT DISTINCT d FROM hx), " +
+      "g AS (SELECT ds.d, bins.i FROM ds CROSS JOIN bins), " +
+      "j AS (SELECT g.d, g.i, " +
+      "COALESCE(hx.cnt, CAST(0 AS DOUBLE)) AS ca, " +
+      "COALESCE(hr.cnt, CAST(0 AS DOUBLE)) AS cb " +
+      "FROM g LEFT JOIN hx ON hx.d = g.d AND hx.__i0 = g.i " +
+      "LEFT JOIN hr ON hr.__i0 = g.i), " +
+      s"c AS (SELECT d, i, ca, cb, ${dsum("ca")} AS ta, ${dsum("cb")} AS tb FROM j), " +
+      "m AS (SELECT d, SUM(CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS DOUBLE) " +
+      s"ELSE $term END ORDER BY i) AS s FROM c GROUP BY d) " +
+      s"SELECT d AS $dimName, s / CAST(2 AS DOUBLE) AS js FROM m"
+  }
+
   /** Mirrors HistStats.pullFrom over a single dim expression (and
     * thereby StreamingHist.windowedPull's gated batch path): per-dim
     * in-range histograms FULL OUTER the dim×reference sparse grid on

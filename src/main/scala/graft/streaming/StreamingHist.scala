@@ -423,6 +423,73 @@ object StreamingHist {
     }
   }
 
+  /** Per-window Jensen–Shannon divergence against a STATIC reference
+    * histogram — the windowed form of HistStats.jsDivergence (q292) and
+    * the last member of the live drift family beside
+    * [[windowedPsi]]/[[windowedEmd]]/[[windowedKs]]/[[windowedCvm]]/
+    * [[windowedHellinger]]: symmetric, finite on empty bins (a bin
+    * empty on one side contributes q·ln2, not an epsilon clamp), and
+    * bounded by ln 2, so alert thresholds transfer across deployments.
+    *
+    * Batch execution delegates to the gated jsDivergence per window
+    * (the oracle-gated configuration); streaming chains the same TWO
+    * stateful aggregations as the Hellinger/PSI family and computes the
+    * per-bin terms in-row against the driver-collected reference —
+    * integer-valued counts are exact in doubles, divisions and the
+    * 1e-9-quantized ln run on bit-identical operands, and the per-bin
+    * fold is the same left association, so streaming == batch
+    * BIT-exactly (StreamingSpec-pinned). */
+  def windowedJs(df: DataFrame, tsCol: String, x: Column,
+      ax: BinAxis, windowDuration: String, ref: DataFrame,
+      watermark: String = "10 seconds"): DataFrame = {
+    if (!df.isStreaming) {
+      val wh = windowedHistogram(df, tsCol, x, ax, windowDuration)
+        .select(col("window_start"), col(ax.binsCol), col("cnt"))
+      val grid = wh.select(col("window_start")).distinct()
+        .crossJoin(broadcast(ref.select(col(ax.binsCol), col("cnt"))))
+      graft.stats.HistStats.jsDivergence(wh, grid, ax,
+        dims = Seq("window_start"))
+    } else {
+      val spark = df.sparkSession
+      val labels = graft.stats.HistStats.binsTable(spark, ax)
+        .select(col("left_edge").cast("double"))
+        .collect().map(_.getDouble(0)).toSeq
+      val refRows = ref
+        .select(col(ax.binsCol).cast("double"), col("cnt").cast("double"))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      require(refRows.keySet.subsetOf(labels.toSet),
+        "reference histogram carries bins outside the axis (flow rows?)")
+      val refTot = refRows.values.sum // integer-valued doubles: exact
+      require(refTot > 0.0, "reference histogram is empty")
+      val kept = ax.keepPred(x, includeUnder = false, includeOver = false)
+      val agged = df.withWatermark(tsCol, watermark)
+        .filter(kept)
+        .select(window(col(tsCol), windowDuration).as("win"),
+          ax.index(x).as("__i0"))
+        .groupBy(col("win"), col("__i0"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .select(col("win"), ax.label(col("__i0")).cast("double").as("__b"),
+          col("cnt"))
+        .groupBy(window(window_time(col("win")), windowDuration).as("__w2"))
+        .agg(collect_list(struct(col("__b"), col("cnt"))).as("__a"))
+      val wmap = map_from_entries(col("__a"))
+      val total = aggregate(col("__a"), lit(0.0),
+        (acc, e) => acc + e.getField("cnt"))
+      def qln(c: Column): Column = floor(log(c) * lit(1.0e9)) / lit(1.0e9)
+      val terms = labels.map { l =>
+        val ca = coalesce(element_at(wmap, lit(l)), lit(0.0))
+        val cb = lit(refRows.getOrElse(l, 0.0))
+        val p = ca / total
+        val q = cb / lit(refTot)
+        val m = (p + q) / lit(2.0)
+        when(ca > lit(0.0), p * qln(p / m)).otherwise(lit(0.0)) +
+          when(cb > lit(0.0), q * qln(q / m)).otherwise(lit(0.0))
+      }
+      agged.select(col("__w2.start").as("window_start"),
+        (terms.reduceLeft(_ + _) / lit(2.0)).as("js"))
+    }
+  }
+
   /** Per-window per-bin PULL against a STATIC reference histogram — the
     * drill-down beside [[windowedPsi]]/[[windowedEmd]]/[[windowedKs]]'s
     * scalar alarms: WHICH bins moved this hour, and by how many Poisson

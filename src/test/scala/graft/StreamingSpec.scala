@@ -901,6 +901,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed JS: streaming equals batch BIT-exactly on closed windows") {
+    val ax = Regular("value", 4, 0.0, 4.0)
+    val ref = graft.operators.Histogram.histogram(
+      Seq(0.5, 0.5, 1.5, 2.5, 3.5).toDF("value"), col("value"), ax)
+    val events = Seq((ts(1), 0.5), (ts(2), 0.5), (ts(3), 1.5), (ts(5), 2.5),
+      (ts(12), 3.5), (ts(14), 0.5), (ts(35), 1.5), (ts(50), 2.5))
+      .toDF("event_time", "value")
+    val batch = StreamingHist.windowedJs(
+        events, "event_time", col("value"), ax, "10 seconds", ref)
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getDouble(1))
+      .toMap
+    // hand check [0,10): p=(2,1,1,0)/4, q=(2,1,1,1)/5, the 0·ln0-free
+    // JS term per bin with the 1e-9-quantized ln, folded left, /2
+    def qln(x: Double): Double = math.floor(math.log(x) * 1.0e9) / 1.0e9
+    val p = Seq(2.0, 1.0, 1.0, 0.0).map(_ / 4)
+    val q0 = Seq(2.0, 1.0, 1.0, 1.0).map(_ / 5)
+    val hand = p.lazyZip(q0).map { (pp, qq) =>
+      val m = (pp + qq) / 2.0
+      (if (pp > 0.0) pp * qln(pp / m) else 0.0) +
+        (if (qq > 0.0) qq * qln(qq / m) else 0.0)
+    }
+    assert(batch(0L) == ((((0.0 + hand(0)) + hand(1)) + hand(2)) + hand(3)) / 2.0)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val out = StreamingHist.windowedJs(
+      input.toDF().toDF("event_time", "value"),
+      "event_time", col("value"), ax, "10 seconds", ref)
+    val q = out.writeStream.format("memory").queryName("js_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 0.5), (ts(2), 0.5), (ts(3), 1.5))
+      q.processAllAvailable()
+      input.addData((ts(5), 2.5), (ts(12), 3.5), (ts(14), 0.5), (ts(35), 1.5))
+      q.processAllAvailable()
+      input.addData((ts(50), 2.5)) // watermark 40: closes [0,10),[10,20),[30,40)
+      q.processAllAvailable()
+      val streamed = spark.table("js_stream").collect()
+        .map(r => r.getTimestamp(0).getTime / 1000 -> r.getDouble(1)).toMap
+      assert(streamed.keySet == Set(0L, 10L, 30L))
+      streamed.foreach { case (w, v) => assert(v == batch(w), s"window $w") }
+    } finally q.stop()
+  }
+
   test("windowed Hellinger: streaming equals batch BIT-exactly on closed windows") {
     val ax = Regular("value", 4, 0.0, 4.0)
     val ref = graft.operators.Histogram.histogram(
