@@ -2707,6 +2707,23 @@ object SparkEntry {
       graft.pipeline.Curation.excessLossSelect(t(dir, "documents"),
         minPctl = 0.4)
     },
+    "q327_graph_diversify_search" -> { (s, dir) =>
+      // the full Vamana-style stack: NN-Descent build -> RobustPrune
+      // diversify (r=6 from k=10: 40% fewer edges) -> beam search;
+      // recall contract vs exact top-3 — measured 1.0/0.967/0.467 at
+      // sf0.001/0.01/0.1, IDENTICAL to the unpruned q317 graph (the
+      // pruning's selling point), floor 0.15
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val g = Similarity.knnGraph(emb, 10, rounds = 2)
+      graft.pipeline.Contracts.annRecallContract(
+        Similarity.graphSearch(emb, queries, 3,
+          Similarity.diversifyGraph(emb, g, r = 6, alpha = 1.2),
+          rounds = 2, beam = 8),
+        Similarity.bruteForceTopK(emb, queries, 3),
+        bound = 0.15)
+    },
     "q325_jl_search_recall" -> { (s, dir) =>
       // two-stage ANN through the JL sketch (shortlist in 32-dim
       // reduced space + exact full-dim rerank, the q222 rerank
@@ -3604,6 +3621,9 @@ object SparkEntry {
     "q323_jl_project" -> PipelineOracle.jlProject(16),
     "q324_doremi_weights" -> PipelineOracle.doremiWeights(1.0),
     "q325_jl_search_recall" ->
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
+        "FROM embeddings WHERE vec_id < 10"),
+    "q327_graph_diversify_search" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
         "FROM embeddings WHERE vec_id < 10")
   )

@@ -189,6 +189,72 @@ object Similarity {
     graph
   }
 
+  /** Edge DIVERSIFICATION of a k-NN graph — RobustPrune (Subramanya et
+    * al. 2019, DiskANN / Vamana; the α-pruning NSG and HNSW's heuristic
+    * select share): per node, walk its candidates best-first and KEEP a
+    * candidate v only if no already-kept w dominates it —
+    * α·d(w, v) ≤ d(u, v) with d = 1 − cosine — capping out-degree at
+    * `r`. A raw k-NN graph wastes its degree budget on mutually-close
+    * near-duplicates of the same direction; pruning spends it on
+    * DIVERSE directions, which is what gives greedy/beam search its
+    * long-range hops. α > 1 relaxes domination (keeps more, longer
+    * edges).
+    *
+    * Distributed shape (no per-node driver loop): the k×k
+    * neighbor-pair relation per node — ≤ n·k² rows, the NN-Descent
+    * round budget — is scored by ONE equi-join pass against the corpus
+    * relation, collapsed in-row into a pair-cosine map per node, and
+    * the sequential greedy walk runs INSIDE the row as a HOF fold over
+    * the (cosine desc, id) sorted candidate array (≤ k elements — the
+    * bounded-state analog of the windowedGini in-row fold). Zero RNG;
+    * the closest candidate is always kept (nothing can dominate it).
+    * Output: (query_id, neighbor_id, cosine, rank ≤ r). */
+  def diversifyGraph(emb: DataFrame, graph: DataFrame, r: Int,
+      alpha: Double = 1.2): DataFrame = {
+    require(r > 0 && alpha >= 1.0, s"bad diversify shape: r=$r alpha=$alpha")
+    val n = graft.util.RelCache.persist(withNorm(emb)
+      .select(col("vec_id"), col("embedding"), col("nrm")))
+    val g = graph.select(col("query_id").as("__u"),
+      col("neighbor_id").as("__v"), col("cosine").as("__cuv"))
+    // all ordered neighbor pairs (v, w) per node, scored in one pass
+    val pairs = g.as("a").join(g.as("b"),
+        col("a.__u") === col("b.__u") && col("a.__v") =!= col("b.__v"))
+      .select(col("a.__u").as("__u"), col("a.__v").as("__v"),
+        col("b.__v").as("__w"))
+      .join(n.select(col("vec_id").as("__v"), col("embedding").as("__ev"),
+        col("nrm").as("__nv")), "__v")
+      .join(n.select(col("vec_id").as("__w"), col("embedding").as("__ew"),
+        col("nrm").as("__nw")), "__w")
+      .select(col("__u"),
+        concat_ws(":", col("__v"), col("__w")).as("__k"),
+        cosine(col("__ev"), col("__ew"), col("__nv"), col("__nw")).as("__c"))
+    val pm = pairs.groupBy(col("__u"))
+      .agg(map_from_entries(collect_list(struct(col("__k"), col("__c"))))
+        .as("__pm"))
+    val cands = g.groupBy(col("__u"))
+      .agg(sort_array(collect_list(struct((-col("__cuv")).as("s"),
+        col("__v").as("v"), col("__cuv").as("c")))).as("__cands"))
+    val d = lit(1.0)
+    // the greedy walk: keep c unless some kept k dominates it
+    val keepExpr =
+      s"""aggregate(__cands,
+         |  CAST(array() AS ARRAY<STRUCT<v: BIGINT, c: DOUBLE>>),
+         |  (acc, cd) -> CASE
+         |    WHEN size(acc) >= $r THEN acc
+         |    WHEN exists(acc, k ->
+         |      $alpha * (1.0D - element_at(__pm, concat(k.v, ':', cd.v)))
+         |        <= (1.0D - cd.c)) THEN acc
+         |    ELSE array_append(acc, struct(cd.v AS v, cd.c AS c)) END)
+         |""".stripMargin.replaceAll("\n", " ")
+    cands.join(pm, Seq("__u"), "left")
+      .withColumn("__pm", coalesce(col("__pm"),
+        expr("CAST(map() AS MAP<STRING, DOUBLE>)")))
+      .select(col("__u").as("query_id"),
+        posexplode(expr(keepExpr)).as(Seq("__r", "__kv")))
+      .select(col("query_id"), col("__kv.v").as("neighbor_id"),
+        col("__kv.c").as("cosine"), (col("__r") + 1).cast("int").as("rank"))
+  }
+
   /** Per-query ANN SEARCH over a prebuilt k-NN graph — the query side of
     * [[knnGraph]] (HNSW/NSG-style beam search, in its one distributable
     * form): ALL queries advance together through `rounds` of synchronous

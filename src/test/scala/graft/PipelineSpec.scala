@@ -628,6 +628,39 @@ class PipelineSpec extends SparkSpec {
     assert(g.sorted.toSeq == g2.sorted.toSeq)
   }
 
+  test("diversifyGraph: near-duplicate of a kept edge pruned; degree capped; deterministic") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),     // u
+      (2L, Array(0.99f, 0.14f, 0.0f)),   // closest to u
+      (3L, Array(0.98f, 0.17f, 0.0f)),   // near-duplicate of 2 — dominated
+      (4L, Array(0.0f, 1.0f, 0.0f))      // orthogonal: never dominated
+    ).toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val vecs = Map(1L -> Array(1.0f, 0.0f, 0.0f), 2L -> Array(0.99f, 0.14f, 0.0f),
+      3L -> Array(0.98f, 0.17f, 0.0f), 4L -> Array(0.0f, 1.0f, 0.0f))
+    val g = Seq(2L, 3L, 4L).map(v => (1L, v, cos(vecs(1L), vecs(v))))
+      .toDF("query_id", "neighbor_id", "cosine")
+    val pruned = Similarity.diversifyGraph(e, g, r = 2, alpha = 1.2).collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    // 2 kept (closest can't be dominated), 3 dominated by 2, 4 diverse
+    assert(pruned.toSeq.sorted == Seq((2L, 1), (4L, 2)), pruned.toSeq)
+    // r = 1 keeps only the closest
+    val one = Similarity.diversifyGraph(e, g, r = 1, alpha = 1.2).collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(one.toSeq == Seq((2L, 1)))
+    // alpha high enough keeps everything (domination never fires at 3's gap)
+    val loose = Similarity.diversifyGraph(e, g, r = 3, alpha = 100.0).collect()
+    assert(loose.length == 3)
+    // deterministic across partitionings
+    val p7 = Similarity.diversifyGraph(e.repartition(7), g.repartition(3),
+      r = 2, alpha = 1.2).collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(p7.toSeq.sorted == pruned.toSeq.sorted)
+  }
+
   test("graphSearch: clustered corpus recovers exact top-k; full-beam equals brute force; deterministic") {
     val vecs = (0 until 12).map { i =>
       val c = i / 4
