@@ -2423,6 +2423,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
     },
+    "q328_auc_ci" -> { (s, dir) =>
+      // the q288 AUC with its Hanley-McNeil standard error and 95%
+      // interval - the error bar every AUC report should carry
+      implicit val sp: SparkSession = s
+      graft.pipeline.RankStats.aucCi(t(dir, "events"), "value",
+        col("event_type") === "purchase")
+    },
     "q288_auc" -> { (s, dir) =>
       // ML-eval head: does `value` rank purchases above everything
       // else? midrank ROC AUC via the exact integer 2U identity over
@@ -3532,6 +3539,8 @@ object SparkEntry {
     "q286_covariance_agg" -> PipelineOracle.embedCovariance,
     "q287_media_qa" -> PipelineOracle.mediaQa(),
     "q288_auc" -> PipelineOracle.auc("event_type = 'purchase'"),
+    "q328_auc_ci" ->
+      PipelineOracle.aucCi("event_type = 'purchase'", 1.959963984540054),
     "q289_mann_whitney" -> PipelineOracle.mannWhitney("event_type = 'purchase'"),
     "q290_reliability" -> PipelineOracle.reliability("event_type = 'purchase'"),
     "q291_km_survival" -> PipelineOracle.kmSurvival(2),

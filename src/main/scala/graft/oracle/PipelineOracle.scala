@@ -3539,6 +3539,22 @@ object PipelineOracle {
       "CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY cell_q, cell_p"
   }
 
+  /** Mirrors RankStats.aucCi: the [[auc]] CTE plus the Hanley–McNeil
+    * tail in the same IEEE sequence; NULL AUC propagates. */
+  def aucCi(posCond: String, z: Double): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val np = "CAST(n_pos AS DOUBLE)"
+    val nn = "CAST(n_neg AS DOUBLE)"
+    val q1 = s"(auc / (${d(2.0)} - auc))"
+    val q2 = s"(((${d(2.0)} * auc) * auc) / (${d(1.0)} + auc))"
+    val se = s"SQRT((auc * (${d(1.0)} - auc) + " +
+      s"($np - ${d(1.0)}) * ($q1 - auc * auc) + " +
+      s"($nn - ${d(1.0)}) * ($q2 - auc * auc)) / ($np * $nn))"
+    s"WITH a AS (${auc(posCond)}) " +
+      s"SELECT n_pos, n_neg, auc, $se AS se, " +
+      s"auc - ${d(z)} * $se AS ci_lo, auc + ${d(z)} * $se AS ci_hi FROM a"
+  }
+
   /** Mirrors Curation.doremiWeights: the two LM CTEs, per-doc excess
     * floor-quantized to 1e-9 longs, exact integer sums cast through
     * DOUBLE in the pinned /1e9/n sequence, 1e-9-floor-quantized EXP,

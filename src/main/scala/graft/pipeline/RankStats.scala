@@ -94,6 +94,35 @@ object RankStats {
             col("n_neg").cast("double"))).as("auc"))
   }
 
+  /** [[auc]] with its Hanley–McNeil confidence interval (Hanley &
+    * McNeil 1982, "The meaning and use of the area under a receiver
+    * operating characteristic curve"): the standard error every AUC
+    * report should carry —
+    * SE² = (A(1−A) + (n⁺−1)(Q₁−A²) + (n⁻−1)(Q₂−A²)) / (n⁺n⁻) with
+    * Q₁ = A/(2−A), Q₂ = 2A²/(1+A) — and the z·SE interval (unclamped:
+    * a bound outside [0,1] is the formula's own small-sample signal).
+    * A degenerate AUC (one class empty) propagates NULL through
+    * se/ci_lo/ci_hi.
+    *
+    * Cross-engine: A is [[auc]]'s exact-integer-derived double; the
+    * tail is one fixed IEEE sequence on (A, n⁺, n⁻), mirrored verbatim
+    * in the oracle. Scale shape: [[auc]]'s (distributed prefix sums on
+    * the distinct-score relation) + a single-row tail. */
+  def aucCi(df: DataFrame, scoreCol: String, isPos: Column,
+      z: Double = 1.959963984540054): DataFrame = {
+    val a = auc(df, scoreCol, isPos)
+    val A = col("auc")
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    val q1 = A / (lit(2.0) - A)
+    val q2 = lit(2.0) * A * A / (lit(1.0) + A)
+    val se = sqrt((A * (lit(1.0) - A) +
+      (np - lit(1.0)) * (q1 - A * A) +
+      (nn - lit(1.0)) * (q2 - A * A)) / (np * nn))
+    a.select(col("n_pos"), col("n_neg"), A, se.as("se"),
+      (A - lit(z) * se).as("ci_lo"), (A + lit(z) * se).as("ci_hi"))
+  }
+
   /** Mann–Whitney U test (Wilcoxon rank-sum) between the positive and
     * negative populations of a score — the NONPARAMETRIC two-sample
     * location test beside [[graft.stats.HistStats.welchT]] (Welch

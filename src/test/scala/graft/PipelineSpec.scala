@@ -3264,6 +3264,33 @@ class PipelineSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("aucCi: Hanley-McNeil tail matches the formula; perfect AUC has zero width; NULL propagates") {
+    def mk(pos: Seq[Double], neg: Seq[Double]) =
+      (pos.map((_, true)) ++ neg.map((_, false))).toDF("s", "y")
+    // pos {2,4}, neg {1,3}: A = 3/4 over 4 pairs
+    val r = graft.pipeline.RankStats.aucCi(mk(Seq(2, 4), Seq(1, 3)), "s", col("y"))
+      .collect()(0)
+    val a = r.getDouble(2)
+    assert(a == 0.75)
+    val (np, nn) = (2.0, 2.0)
+    val q1 = a / (2.0 - a)
+    val q2 = 2.0 * a * a / (1.0 + a)
+    val se = math.sqrt((a * (1.0 - a) +
+      (np - 1.0) * (q1 - a * a) + (nn - 1.0) * (q2 - a * a)) / (np * nn))
+    val z = 1.959963984540054
+    assert(r.getDouble(3) == se)
+    assert(r.getDouble(4) == a - z * se && r.getDouble(5) == a + z * se)
+    // perfect separation: SE collapses to 0, CI = [1, 1]
+    val p = graft.pipeline.RankStats.aucCi(mk(Seq(5, 6), Seq(1, 2)), "s", col("y"))
+      .collect()(0)
+    assert(p.getDouble(2) == 1.0 && p.getDouble(3) == 0.0 &&
+      p.getDouble(4) == 1.0 && p.getDouble(5) == 1.0)
+    // one-class: NULL auc propagates through se and both bounds
+    val n = graft.pipeline.RankStats.aucCi(mk(Seq(1.0), Seq()), "s", col("y"))
+      .collect()(0)
+    assert(n.isNullAt(2) && n.isNullAt(3) && n.isNullAt(4) && n.isNullAt(5))
+  }
+
   test("mannWhitney: z sign tracks direction; all-tied and one-class are NULL") {
     def mk(pos: Seq[Double], neg: Seq[Double]) =
       (pos.map((_, true)) ++ neg.map((_, false))).toDF("s", "y")
