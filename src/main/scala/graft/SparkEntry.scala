@@ -2423,6 +2423,12 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
     },
+    "q329_center_embeddings" -> { (s, dir) =>
+      // mean-centering of the embedding cloud: the sign-LSH family's
+      // assumed preprocessing and stage 1 of the Mu & Viswanath chain
+      implicit val sp: SparkSession = s
+      graft.pipeline.Similarity.centerEmbeddings(t(dir, "embeddings"))
+    },
     "q328_auc_ci" -> { (s, dir) =>
       // the q288 AUC with its Hanley-McNeil standard error and 95%
       // interval - the error bar every AUC report should carry
@@ -3541,6 +3547,7 @@ object SparkEntry {
     "q288_auc" -> PipelineOracle.auc("event_type = 'purchase'"),
     "q328_auc_ci" ->
       PipelineOracle.aucCi("event_type = 'purchase'", 1.959963984540054),
+    "q329_center_embeddings" -> PipelineOracle.centerEmbeddings,
     "q289_mann_whitney" -> PipelineOracle.mannWhitney("event_type = 'purchase'"),
     "q290_reliability" -> PipelineOracle.reliability("event_type = 'purchase'"),
     "q291_km_survival" -> PipelineOracle.kmSurvival(2),

@@ -2821,6 +2821,18 @@ object PipelineOracle {
       "e.v - p.projection * u.v AS x " +
       "FROM e JOIN u ON u.dim = e.j JOIN p ON p.vec_id = e.vec_id"
 
+  /** Mirrors Similarity.centerEmbeddings: per-dim 1e-9-floor-quantized
+    * exact long sums cast through DOUBLE in the pinned /1e9/n sequence,
+    * one subtract per coordinate. */
+  val centerEmbeddings: String =
+    "WITH e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i, " +
+      "CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings WHERE embedding IS NOT NULL), " +
+      "m AS (SELECT i, CAST(SUM(CAST(FLOOR(v * CAST('1.0E9' AS DOUBLE)) AS BIGINT)) AS DOUBLE) " +
+      "/ CAST('1.0E9' AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m " +
+      "FROM e WHERE v IS NOT NULL GROUP BY i) " +
+      "SELECT e.vec_id, CAST(e.i + 1 AS INT) AS i, e.v - m.m AS x " +
+      "FROM e JOIN m ON m.i = e.i"
+
   /** Mirrors Similarity.jlProject: the md5-parity ±1 hyperplanes
     * (hashEmbed convention), ordered i-fold dots, one IEEE multiply by
     * the 1/√k literal. */

@@ -128,7 +128,14 @@ object Similarity {
     * TopKByScore, chain init is vec_id-ordered — no RNG anywhere, so
     * the recall contract (q315) gates reproducibly.
     * Output: (query_id, neighbor_id, cosine, rank) — k rows per node
-    * (fewer for nodes whose candidate closure is smaller). */
+    * (fewer for nodes whose candidate closure is smaller).
+    *
+    * ROUNDS SIZING (measured in StressGraph): NN-Descent converges in
+    * O(log n) rounds from a local init — on a 1000-cluster 50k-vector
+    * corpus, edge recall vs exact top-k goes 0.29 → 0.85 from
+    * rounds = 2 → 4. Size `rounds` ≈ log₂(n)/4 and verify with the
+    * q315-style contract; under-rounding shows up as an unconverged
+    * graph, not an error. */
   def knnGraph(emb: DataFrame, k: Int, rounds: Int = 2, tables: Int = 8,
       bits: Int = 8, initDegree: Int = 0): DataFrame = {
     require(k > 0 && rounds >= 0 && tables > 0 && bits > 0,
@@ -290,7 +297,17 @@ object Similarity {
     * (cosine desc, id asc) heap ranking — no RNG), so the recall
     * contract (q317) gates reproducibly. Self-hits are excluded to
     * match [[bruteForceTopK]]. Output: (query_id, neighbor_id, cosine,
-    * rank) — k rows per query. */
+    * rank) — k rows per query.
+    *
+    * CENTERING CAVEAT (applies to the whole sign-LSH entry family,
+    * measured in StressGraph): embeddings whose coordinates are all
+    * one sign — common for some encoder models — hash every vector
+    * into the single all-ones bucket per table, collapsing bucket
+    * heads and chains to one region; entry then degenerates to the
+    * global fallback and recall craters. Center such corpora first
+    * (subtract the coordinate means — one [[embedCovarianceAgg]]-style
+    * pass; [[jlSearchTopK]] is the centering-free alternative, its
+    * hyperplanes don't test signs of raw coordinates alone). */
   def graphSearch(emb: DataFrame, queries: DataFrame, k: Int,
       graph: DataFrame, rounds: Int = 2, beam: Int = 8,
       tables: Int = 8, bits: Int = 8): DataFrame = {
@@ -1924,6 +1941,47 @@ object Similarity {
       .select(col("vec_id"),
         graft.functions.VecDotFD.vec_dot_fd(col("embedding"), lit(x0)).as("proj0"),
         graft.functions.VecDotFD.vec_dot_fd(col("embedding"), lit(x1)).as("proj1"))
+  }
+
+  /** Mean-CENTERING of the embedding cloud — e′ᵢ = eᵢ − μᵢ with μ the
+    * per-coordinate corpus mean: the preprocessing step the sign-LSH
+    * family assumes (see the [[graphSearch]] centering caveat: a
+    * single-signed coordinate hashes every vector into one bucket per
+    * table and the bucketed operators degenerate), and the first stage
+    * of the standard embedding postprocess chain (center →
+    * [[removeTopComponent]] → [[pcaWhiten]], Mu & Viswanath 2018's
+    * recipe). Long format like q264: (vec_id, i (1-based), x).
+    *
+    * Cross-engine: per-dim values are 1e-9-floor-quantized to exact
+    * longs (the embedCovariance moment convention — tiny-magnitude
+    * floats overflow the DECIMAL(38,14) string route's 14 fractional
+    * digits and diverge in the last ulp), summed exactly order-free
+    * (bound: 1e9·|v|·n per dim must fit int64 — |v| ≤ 1 supports 9e9
+    * rows), and μᵢ is the pinned CAST(sum)/1e9/n sequence; the apply is
+    * one subtract per coordinate. The ≤ 1e-9 quantization of μ is the
+    * documented semantics, not an accident. Scale shape: one explode +
+    * the map-combinable per-dim aggregate collapsing to d rows, means
+    * baked back as a plan LITERAL, apply map-only — no join, no second
+    * shuffle. */
+  def centerEmbeddings(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val means = emb.filter(col("embedding").isNotNull)
+      .select(posexplode(col("embedding")).as(Seq("__i", "__v")))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__i"))
+      .agg(sum(floor(col("__v").cast("double") * lit(1.0e9)).cast("long"))
+        .as("__s"), count(lit(1)).as("__n"))
+      .select(col("__i"), (col("__s").cast("double") / lit(1.0e9) /
+        col("__n").cast("double")).as("__m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    if (means.isEmpty)
+      return Seq.empty[(Long, Int, Double)].toDF("vec_id", "i", "x")
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("__i", "__v")))
+      .select(col("vec_id"), (col("__i") + 1).cast("int").as("i"),
+        (col("__v").cast("double") -
+          element_at(lit(means), col("__i") + 1)).as("x"))
   }
 
   /** PCA-WHITENED top-2 projection (the "PCA + whitening" stage of

@@ -834,6 +834,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("centerEmbeddings: per-dim means removed exactly; NULL rows dropped") {
+    val e = Seq(
+      (1L, Some(Array(1.0f, 4.0f))),
+      (2L, Some(Array(3.0f, 8.0f))),
+      (3L, None: Option[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val out = graft.pipeline.Similarity.centerEmbeddings(e).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 4)
+    // means: dim1 = 2.0, dim2 = 6.0 — exact in decimals
+    assert(out((1L, 1)) == -1.0 && out((2L, 1)) == 1.0)
+    assert(out((1L, 2)) == -2.0 && out((2L, 2)) == 2.0)
+    // centered corpus re-centers to itself (means now 0)
+    val sums = out.toSeq.groupBy(_._1._2).view.mapValues(_.map(_._2).sum)
+    assert(sums.values.forall(s => math.abs(s) < 1e-12))
+  }
+
   test("jlProject: exact vs driver reference; norms preserved in expectation") {
     val rnd = new scala.util.Random(17)
     val vecs = (1L to 8L).map(id =>
