@@ -2423,6 +2423,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
     },
+    "q330_stream_neardup" -> { (s, dir) =>
+      // live fuzzy decontamination: arriving docs near-dup-matched
+      // against a static benchmark slice (batch == crossNearDup, the
+      // q95 semantics; streaming is one stream-static band join with
+      // in-row signatures + gram verify, StreamingSpec pins parity)
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      graft.pipeline.Dedup.nearDupStream(docs,
+        docs.filter(col("doc_id") < 50))
+    },
     "q329_center_embeddings" -> { (s, dir) =>
       // mean-centering of the embedding cloud: the sign-LSH family's
       // assumed preprocessing and stage 1 of the Mu & Viswanath chain
@@ -3548,6 +3558,7 @@ object SparkEntry {
     "q328_auc_ci" ->
       PipelineOracle.aucCi("event_type = 'purchase'", 1.959963984540054),
     "q329_center_embeddings" -> PipelineOracle.centerEmbeddings,
+    "q330_stream_neardup" -> PipelineOracle.crossNearDup("TRUE", "doc_id < 50"),
     "q289_mann_whitney" -> PipelineOracle.mannWhitney("event_type = 'purchase'"),
     "q290_reliability" -> PipelineOracle.reliability("event_type = 'purchase'"),
     "q291_km_survival" -> PipelineOracle.kmSurvival(2),

@@ -951,6 +951,76 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** STREAMING fuzzy decontamination — [[crossNearDup]] with a live
+    * left side: flag each ARRIVING document's verified near-duplicates
+    * in a static reference corpus (benchmark protection at the
+    * near-dup level — the fuzzy sibling of the exact-13-gram
+    * decontaminateStream, catching paraphrased/perturbed benchmark
+    * copies exact grams miss). Batch execution delegates to
+    * [[crossNearDup]] (the oracle-gated semantics).
+    *
+    * Streaming plan — stateless until the final dedup: the MinHash
+    * signature, band structs AND the verify gram-set are all computed
+    * IN-ROW on the arriving doc (codegen MinhashSig/GramHashes — no
+    * explode-shuffle on the stream side); candidates come from ONE
+    * stream-static equi-join against the reference's banded relation
+    * (pre-joined with its gram sets and memo-persisted — built once,
+    * reused every micro-batch); the jaccard verify is the same codegen
+    * SortedIntersectCount; multi-band hits collapse through a
+    * dropDuplicates keyed (doc_a, doc_b) AFTER the threshold filter, so
+    * state is one row per EMITTED match, not per candidate. A hot
+    * stream band bucket's join volume is bounded by the STATIC side's
+    * bucket size (the reference corpus) — the skew guard the batch self
+    * -join needs is structural here. Emits (doc_a, doc_b, jaccard). */
+  def nearDupStream(docs: DataFrame, corpus: DataFrame, k: Int = 5,
+      threshold: Double = 0.7, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(!corpus.isStreaming, "the reference side is a static corpus")
+    if (!docs.isStreaming)
+      return crossNearDup(docs, corpus, k, threshold, bands, rowsPerBand,
+        bucketCap = None)
+    val rowNames = (1 to rowsPerBand).map(r => s"s$r")
+    val keys = "band" +: rowNames
+    val bbg = memoPersist(
+      bandedRelation(corpus, k, bands, rowsPerBand)
+        .withColumnRenamed("doc_id", "doc_b")
+        .join(widen(corpus).select(col("doc_id").as("doc_b"),
+          graft.functions.GramHashes.gram_hashes(col("text"), lit("g"), k)
+            .as("__gb")), "doc_b"))
+    val sig = graft.functions.MinhashSig.minhash_sig(col("text"), k,
+      bands * rowsPerBand)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until rowsPerBand).map(r =>
+          element_at(col("__sig"), b * rowsPerBand + r + 1)
+            .as(rowNames(r))): _*)
+    }
+    // no widen() on the stream side: its stats probe forces batch
+    // planning (illegal on a streaming relation), and micro-batches
+    // arrive pre-partitioned anyway
+    val ba = docs
+      .select(col("doc_id"),
+        graft.functions.GramHashes.gram_hashes(col("text"), lit("g"), k)
+          .as("__ga"),
+        explode(array(sig)).as("__sig"))
+      .select(col("doc_id"), col("__ga"),
+        explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id") +: col("__ga") +: col("bs.band").as("band") +:
+        rowNames.map(rn => col(s"bs.$rn").as(rn)): _*)
+      .as("a")
+    val joinCond = keys.map(kc => col(s"a.$kc") === col(s"b.$kc"))
+      .reduce(_ && _) && col("a.doc_id") =!= col("b.doc_b")
+    val inter = graft.functions.SortedIntersectCount
+      .sorted_intersect_count(col("__ga"), col("__gb"))
+    ba.join(bbg.as("b"), joinCond)
+      .withColumn("__inter", inter)
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__ga")) + size(col("__gb")) - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("doc_b"), col("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** 64-bit SimHash per doc over distinct space-separated tokens: bit b is
     * set when the signed sum of token-hash bit b is positive. One codegen'd
     * pass per doc (graft.functions.SimhashSig) — no token explode, no

@@ -901,6 +901,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup vs static corpus: matches == batch; re-arrival doesn't re-emit") {
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val base2 = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val corpus = Seq((1L, base1, "en", "s1"), (2L, base2, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val streamRows = Seq(
+      (10L, base1 + " changed", "en", "s1"),  // near-dup of 1
+      (11L, "totally different words with no overlap at all here " +
+        "whatsoever in any shingle of this document text body", "en", "s1"),
+      (12L, base2 + " changed", "en", "s1")   // near-dup of 2
+    )
+    val batch = graft.pipeline.Dedup.nearDupStream(
+        streamRows.toDF("doc_id", "text", "lang", "source"), corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((10L, 1L), (12L, 2L)), batch)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String)]
+    val out = graft.pipeline.Dedup.nearDupStream(
+      input.toDF().toDF("doc_id", "text", "lang", "source"), corpus)
+    val q = out.writeStream.format("memory").queryName("nd_stream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((10L, base1 + " changed", "en", "s1"),
+        (11L, streamRows(1)._2, "en", "s1"))
+      q.processAllAvailable()
+      // doc 10 re-arrives: the (doc_a, doc_b) dedup state must swallow it
+      input.addData((12L, base2 + " changed", "en", "s1"),
+        (10L, base1 + " changed", "en", "s1"))
+      q.processAllAvailable()
+      val streamed = spark.table("nd_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.length == streamed.distinct.length, "re-emit detected")
+      assert(streamed.toSet == batch)
+    } finally q.stop()
+  }
+
   test("windowed JS: streaming equals batch BIT-exactly on closed windows") {
     val ax = Regular("value", 4, 0.0, 4.0)
     val ref = graft.operators.Histogram.histogram(
