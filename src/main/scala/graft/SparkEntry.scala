@@ -2423,6 +2423,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
     },
+    "q331_zorder_qcells" -> { (s, dir) =>
+      // BALANCED Z-order: equal-frequency cells from the q59 exact
+      // quantile edges (autoAxisTagged - the size switch picks GK
+      // sketch edges past the row threshold) + the q321 Morton key -
+      // every z-cell holds ~n/64 rows, so the range-partitioned layout
+      // gets balanced files on skewed marginals
+      implicit val sp: SparkSession = s
+      graft.sources.Layout.zorderQCells(t(dir, "lineitem"),
+        "l_quantity", "l_extendedprice", 8)
+    },
     "q330_stream_neardup" -> { (s, dir) =>
       // live fuzzy decontamination: arriving docs near-dup-matched
       // against a static benchmark slice (batch == crossNearDup, the
@@ -3559,6 +3569,7 @@ object SparkEntry {
       PipelineOracle.aucCi("event_type = 'purchase'", 1.959963984540054),
     "q329_center_embeddings" -> PipelineOracle.centerEmbeddings,
     "q330_stream_neardup" -> PipelineOracle.crossNearDup("TRUE", "doc_id < 50"),
+    "q331_zorder_qcells" -> PipelineOracle.zorderQCells(8, 3),
     "q289_mann_whitney" -> PipelineOracle.mannWhitney("event_type = 'purchase'"),
     "q290_reliability" -> PipelineOracle.reliability("event_type = 'purchase'"),
     "q291_km_survival" -> PipelineOracle.kmSurvival(2),

@@ -2833,6 +2833,36 @@ object PipelineOracle {
       "SELECT e.vec_id, CAST(e.i + 1 AS INT) AS i, e.v - m.m AS x " +
       "FROM e JOIN m ON m.i = e.i"
 
+  /** Mirrors the q331 equal-frequency Z-order cells: both axes' exact
+    * rank-based quantile edges re-derived in SQL (the q170 CTEs at
+    * `nBins`), per-row half-open Variable indexes, Morton interleave of
+    * the in-range (i, j) cells, exact counts. */
+  def zorderQCells(nBins: Int, bits: Int): String = {
+    require((1 << bits) >= nBins, s"bits=$bits too narrow for $nBins cells")
+    def axisCtes(p: String, colSql: String): String =
+      s"s$p AS (SELECT CAST($colSql AS DOUBLE) AS v FROM lineitem WHERE $colSql IS NOT NULL), " +
+        s"c$p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s$p), " +
+        s"rk$p AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM s$p), " +
+        s"tg$p AS (SELECT GREATEST(CAST(1 AS BIGINT), CAST(CEIL(CAST(j AS DOUBLE) / CAST($nBins AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)) AS r " +
+        s"FROM (SELECT UNNEST(generate_series(1, ${nBins - 1})) AS j) CROSS JOIN c$p), " +
+        s"qe$p AS (SELECT DISTINCT rk$p.v FROM rk$p JOIN tg$p ON tg$p.r = rk$p.r), " +
+        s"mm$p AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM s$p), " +
+        s"ed$p AS (SELECT DISTINCT v FROM (SELECT lo AS v FROM mm$p UNION ALL SELECT v FROM qe$p UNION ALL SELECT hi AS v FROM mm$p)), " +
+        s"ec$p AS (SELECT CAST(COUNT(*) AS BIGINT) - 1 AS nb FROM ed$p)"
+    val zkey = (for {
+      (c, o) <- Seq(("i", 0), ("j", 1))
+      b <- 0 until bits
+    } yield s"((($c >> $b) & 1) << ${b * 2 + o})").mkString("(", " | ", ")")
+    s"WITH ${axisCtes("x", "l_quantity")}, ${axisCtes("y", "l_extendedprice")}, " +
+      "src AS (SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem), " +
+      "ix AS (SELECT (SELECT COUNT(*) FROM edx WHERE edx.v <= src.x) - 1 AS i, " +
+      "(SELECT COUNT(*) FROM edy WHERE edy.v <= src.y) - 1 AS j FROM src), " +
+      "f AS (SELECT i, j FROM ix CROSS JOIN ecx CROSS JOIN ecy " +
+      "WHERE i >= 0 AND i <= ecx.nb - 1 AND j >= 0 AND j <= ecy.nb - 1) " +
+      "SELECT CAST(i AS BIGINT) AS cell_q, CAST(j AS BIGINT) AS cell_p, " +
+      s"$zkey AS zkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM f GROUP BY i, j"
+  }
+
   /** Mirrors Similarity.jlProject: the md5-parity ±1 hyperplanes
     * (hashEmbed convention), ordered i-fold dots, one IEEE multiply by
     * the 1/√k literal. */

@@ -54,6 +54,35 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** BALANCED Z-order cell report: equal-frequency cells from the
+    * exact/sketch quantile-edge size switch (QuantileBins.autoAxisTagged
+    * — the q59/q140 regime per axis) Morton-interleaved into the q321
+    * key. Every z-cell holds ~n/nBins² rows by construction, so a
+    * range-partitioned layout on this key gets BALANCED files even on
+    * heavily skewed marginals (fixed-range cells would pile the mass
+    * into a few cells and starve the rest). Rows outside the half-open
+    * edge span drop (the q170 Variable-index convention). Output:
+    * (cell_q, cell_p, zkey, cnt). */
+  def zorderQCells(df: DataFrame, xCol: String, yCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins > 1 && (nBins & (nBins - 1)) == 0,
+      s"nBins must be a power of two: $nBins")
+    val bits = java.lang.Integer.numberOfTrailingZeros(nBins)
+    val ax = graft.operators.QuantileBins.autoAxisTagged(
+      df, col(xCol), xCol, nBins).axis
+    val ay = graft.operators.QuantileBins.autoAxisTagged(
+      df, col(yCol), yCol, nBins).axis
+    df.select(ax.index(col(xCol)).as("__i"), ay.index(col(yCol)).as("__j"))
+      .filter(col("__i") >= 0 && col("__i") <= ax.nBins - 1 &&
+        col("__j") >= 0 && col("__j") <= ay.nBins - 1)
+      .select(col("__i").cast("long").as("cell_q"),
+        col("__j").cast("long").as("cell_p"))
+      .select(col("cell_q"), col("cell_p"),
+        interleave(Seq(col("cell_q"), col("cell_p")), bits).as("zkey"))
+      .groupBy(col("cell_q"), col("cell_p"), col("zkey"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Z-ordered parquet write: range-partition by the zorder key (so
     * files own disjoint key intervals = disjoint value-space
     * rectangles), sort within partitions (so row groups inside a file

@@ -85,6 +85,27 @@ class SourcesSpec extends SparkSpec {
     assert(q.toSeq == Seq(Some(0L), Some(8L), Some(15L), Some(0L), Some(15L), None))
   }
 
+  test("zorderQCells: equal-frequency cells balance a skewed marginal") {
+    import graft.sources.Layout
+    import spark.implicits._
+    // x uniform, y heavily skewed (quadratic) — fixed-range cells would
+    // pile y's mass into a few rows of the grid; quantile cells don't
+    val df = (0 until 4096).map(i => (i.toDouble, (i.toDouble / 64) * (i / 64)))
+      .toDF("x", "y")
+    val cells = Layout.zorderQCells(df, "x", "y", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // marginal masses per axis bin are ~n/8 despite the skew
+    val perQ = cells.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+    val perP = cells.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    assert(perQ.values.forall(c => c >= 256 && c <= 1024), perQ.toMap)
+    assert(perP.values.forall(c => c >= 256 && c <= 1024), perP.toMap)
+    // the zkey is the Morton code of the cell pair
+    def morton(a: Long, b: Long): Long =
+      (0 until 3).map(j => (((a >> j) & 1L) << (j * 2)) |
+        (((b >> j) & 1L) << (j * 2 + 1))).foldLeft(0L)(_ | _)
+    cells.foreach { case (q, p, z, _) => assert(z == morton(q, p)) }
+  }
+
   test("writeZOrdered: files own disjoint zkey intervals (range partitioning)") {
     import graft.sources.Layout
     import spark.implicits._
