@@ -1683,21 +1683,23 @@ object PipelineOracle {
       Oracle.exactDbl("SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,14)))") +
       " AS sum_value FROM s GROUP BY user_id, sid"
 
-  /** Mirrors Curation.cartography over events keyed by user_id: Σv and
-    * Σv² through the DECIMAL(38,14) route, mean = s/n one divide,
-    * variability = √max(0, ss/n − (s/n)·(s/n)) in that op order,
-    * correctness an exact-long ratio, the region CASE on those
-    * reproducible doubles. */
+  /** Mirrors Curation.cartography over events keyed by user_id:
+    * 1e-6-floor-quantized exact long scores, Σq / Σq² in DECIMAL(38,0)
+    * (no double→string round-trip), the pinned CAST/1e6/n and
+    * CAST/1e12/n sequences, correctness an exact-long ratio, the
+    * region CASE on those reproducible doubles. */
   def cartography(thr: Double, cHi: Double, vLo: Double): String = {
     def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val q6 = s"CAST(FLOOR(value * ${d(1.0e6)}) AS BIGINT)"
     "WITH a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, " +
-      Oracle.exactDbl("SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(38,14)))") + " AS s, " +
-      Oracle.exactDbl("SUM(TRY_CAST(CAST(value * value AS VARCHAR) AS DECIMAL(38,14)))") + " AS ss, " +
+      s"SUM(CAST($q6 AS DECIMAL(38,0))) AS s, " +
+      s"SUM(CAST(CAST($q6 AS DECIMAL(13,0)) * CAST($q6 AS DECIMAL(13,0)) AS DECIMAL(38,0))) AS ss, " +
       s"CAST(SUM(CASE WHEN value > ${d(thr)} THEN 1 ELSE 0 END) AS BIGINT) AS c " +
       "FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY user_id), " +
-      "b AS (SELECT user_id, n, s / CAST(n AS DOUBLE) AS confidence, " +
-      "SQRT(GREATEST(CAST(0 AS DOUBLE), ss / CAST(n AS DOUBLE) - " +
-      "(s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))) AS variability, " +
+      s"b AS (SELECT user_id, n, CAST(s AS DOUBLE) / ${d(1.0e6)} / CAST(n AS DOUBLE) AS confidence, " +
+      s"SQRT(GREATEST(CAST(0 AS DOUBLE), CAST(ss AS DOUBLE) / ${d(1.0e12)} / CAST(n AS DOUBLE) - " +
+      s"(CAST(s AS DOUBLE) / ${d(1.0e6)} / CAST(n AS DOUBLE)) * " +
+      s"(CAST(s AS DOUBLE) / ${d(1.0e6)} / CAST(n AS DOUBLE)))) AS variability, " +
       "CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS correctness FROM a) " +
       "SELECT user_id, n, confidence, variability, correctness, " +
       s"CASE WHEN variability >= ${d(vLo)} THEN 'ambiguous' " +

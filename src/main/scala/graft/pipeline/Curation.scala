@@ -911,11 +911,17 @@ object Curation {
     * event stream IS its trajectory: (keyCol, scoreCol) rows, one per
     * observation.
     *
-    * Cross-engine determinism: Σv and Σv² take the DECIMAL(38,14)
-    * route (order-free, exact), mean = s/n one IEEE divide,
-    * variability = √max(0, ss/n − mean·mean) in that exact op order,
-    * correctness an exact-long ratio; region thresholds compare
-    * those reproducible doubles.
+    * Cross-engine determinism: scores are 1e-6-floor-quantized to
+    * exact longs and Σq / Σq² accumulate in DECIMAL(38,0) — exact and
+    * order-free with NO double→string round-trip (a first draft summed
+    * v² through the DECIMAL(38,14) string route and diverged in the
+    * last ulp at sf0.3: squares of sub-unit scores need more than 14
+    * fractional digits, the route's documented boundary). The ≤ 1e-6
+    * moment quantization is the documented semantics (the q329/q246
+    * convention; |score| ≤ ~3e6 fits the DECIMAL(13,0) square).
+    * mean = (CAST(Σq)/1e6)/n, variability = √max(0, (CAST(Σq²)/1e12)/n
+    * − mean·mean) — pinned IEEE sequences; correctness an exact-long
+    * ratio; region thresholds compare those reproducible doubles.
     *
     * Scale shape: ONE map-combinable aggregate keyed by the example —
     * no windows, no self-joins, no sorting; the trajectory never
@@ -923,15 +929,20 @@ object Curation {
   def cartography(events: DataFrame, keyCol: String, scoreCol: String,
       thr: Double, cHi: Double, vLo: Double): DataFrame = {
     val v = col(scoreCol).cast("double")
+    val q6 = floor(v * lit(1.0e6)).cast("long")
+    val qd = q6.cast(org.apache.spark.sql.types.DecimalType(13, 0))
     val agg = events.filter(col(keyCol).isNotNull && v.isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
-        graft.util.Dec.sumDec(v).as("__s"),
-        graft.util.Dec.sumDec(v * v).as("__ss"),
+        sum(q6.cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__s"),
+        sum((qd * qd).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("__ss"),
         sum(when(v > lit(thr), 1L).otherwise(0L)).as("__c"))
-    val mean = col("__s") / col("n").cast("double")
+    val mean = col("__s").cast("double") / lit(1.0e6) /
+      col("n").cast("double")
     val variability = sqrt(greatest(lit(0.0),
-      col("__ss") / col("n").cast("double") - mean * mean))
+      col("__ss").cast("double") / lit(1.0e12) / col("n").cast("double") -
+        mean * mean))
     agg.select(col(keyCol), col("n"),
         mean.as("confidence"),
         variability.as("variability"),
