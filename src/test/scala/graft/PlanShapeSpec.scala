@@ -656,6 +656,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(benPlan.contains("HashAggregate"), benPlan)
   }
 
+  test("jlProject/jlPack/centerEmbeddings: map-only — zero exchanges, zero joins") {
+    for (df <- Seq(Similarity.jlProject(emb, 8), Similarity.jlPack(emb, 8),
+        Similarity.centerEmbeddings(emb))) {
+      val plan = executedPlan(df)
+      // the apply pass must stay a pure projection over the scan: the
+      // hyperplanes/means are plan literals, not joined relations
+      assert(!plan.contains("Exchange"), plan)
+      assert(!plan.contains("Join"), plan)
+      assert(!plan.contains("Window ["), plan)
+    }
+  }
+
+  test("zorder cells: one hash aggregate, no joins/windows; key math in-row") {
+    import graft.sources.Layout
+    val li = (1L to 40L).map(i => (i.toDouble % 7, i.toDouble * 3))
+      .toDF("l_quantity", "l_extendedprice")
+    val cq = Layout.cell(col("l_quantity"), 0.0, 7.0, 4)
+    val cp = Layout.cell(col("l_extendedprice"), 0.0, 120.0, 4)
+    val plan = executedPlan(li
+      .select(cq.as("cell_q"), cp.as("cell_p"),
+        Layout.interleave(Seq(cq, cp), 4).as("zkey"))
+      .groupBy("cell_q", "cell_p", "zkey").count())
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window ["), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("graphSearch: every join is an equi-join (hash or broadcast), no cartesian") {
+    val g = Similarity.knnGraph(emb, 3, rounds = 1)
+    val plan = executedPlan(Similarity.graphSearch(
+      emb, emb.filter($"vec_id" <= 3), 2, g, rounds = 1, beam = 4))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("diversifyGraph: pair scoring is an equi-join; the greedy walk is in-row (no window)") {
+    val g = Similarity.knnGraph(emb, 3, rounds = 1)
+    val plan = executedPlan(Similarity.diversifyGraph(emb, g, r = 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window ["), plan)
+  }
+
   test("windowedEce batch path: windows partition the per-bin relation, nothing global") {
     val ev = (1L to 40L).map(i =>
       (new java.sql.Timestamp(i * 1000L), i.toDouble / 40.0, i % 4 == 0))
