@@ -2423,6 +2423,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
     },
+    "q332_hist_cube" -> { (s, dir) =>
+      // the q05 histogram at EVERY dim granularity in ONE pass: native
+      // grouping sets (one Expand + one hash agg with map-side
+      // partials, not 2^d scans); gid disambiguates cube NULLs
+      implicit val sp: SparkSession = s
+      graft.operators.Histogram.histogramCube(t(dir, "lineitem"),
+        col("l_quantity"), axQty10, Seq("l_returnflag", "l_linestatus"))
+    },
     "q331_zorder_qcells" -> { (s, dir) =>
       // BALANCED Z-order: equal-frequency cells from the q59 exact
       // quantile edges (autoAxisTagged - the size switch picks GK
@@ -3570,6 +3578,8 @@ object SparkEntry {
     "q329_center_embeddings" -> PipelineOracle.centerEmbeddings,
     "q330_stream_neardup" -> PipelineOracle.crossNearDup("TRUE", "doc_id < 50"),
     "q331_zorder_qcells" -> PipelineOracle.zorderQCells(8, 3),
+    "q332_hist_cube" -> Oracle.histCube("lineitem",
+      Oracle.Spec("l_quantity", axQty10), Seq("l_returnflag", "l_linestatus")),
     "q289_mann_whitney" -> PipelineOracle.mannWhitney("event_type = 'purchase'"),
     "q290_reliability" -> PipelineOracle.reliability("event_type = 'purchase'"),
     "q291_km_survival" -> PipelineOracle.kmSurvival(2),

@@ -59,6 +59,36 @@ object Histogram {
     graft.axes.Regular(name, n, row.getDouble(0), row.getDouble(1))
   }
 
+  /** Multi-level histogram ROLLUP in ONE pass — the OLAP cube over the
+    * group dims: every subset of `dims` gets its own histogram (the
+    * drill-down ladder "per (flag, status) → per flag → per status →
+    * overall" a dashboard wants), computed through Spark's native
+    * grouping sets (one Expand + one hash aggregate with map-side
+    * partials — NOT 2^d separate scans; the row multiplication is
+    * 2^d ×, the documented cost). `gid` is the grouping bitmask (first
+    * dim = most significant bit; 0 = the fully-grouped leaf), the
+    * standard disambiguator between a cube NULL (aggregated-away dim)
+    * and a data NULL. Flow rows are excluded (the q05 dims
+    * convention). */
+  def histogramCube(df: DataFrame, x: Column, axis: BinAxis,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty && dims.size <= 8, s"cube dims out of range: $dims")
+    val kept = axis.keepPred(x, includeUnder = false, includeOver = false)
+    val base = df.filter(kept)
+      .select(dims.map(col) :+ axis.index(x).as("__i"): _*)
+    val subsets = (0 until (1 << dims.size)).map { m =>
+      dims.zipWithIndex.collect { case (d, j) if (m & (1 << j)) != 0 => col(d) }
+    }
+    val sets: Seq[Seq[Column]] = subsets.map(_ :+ col("__i"))
+    val gid = dims.zipWithIndex.map { case (d, j) =>
+      grouping(col(d)).cast("long") * lit(1L << (dims.size - 1 - j))
+    }.reduce(_ + _)
+    base.groupingSets(sets, dims.map(col) :+ col("__i"): _*)
+      .agg(gid.as("gid"), count(lit(1)).cast("double").as("cnt"))
+      .select(dims.map(col) ++ Seq(col("gid"),
+        axis.label(col("__i")).as(axis.binsCol), col("cnt")): _*)
+  }
+
   /** 2-D convenience form (reference core.py:110 `histogram2d`). */
   def histogram2d(df: DataFrame, x: Column, xAxis: BinAxis,
       y: Column, yAxis: BinAxis,

@@ -674,6 +674,27 @@ object Oracle {
       "ELSE SQRT(GREATEST(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - bc)) END AS hellinger FROM m"
   }
 
+  /** Mirrors Histogram.histogramCube: in-range bin indexes, GROUP BY
+    * GROUPING SETS over every dim subset (each with the bin key), the
+    * explicit first-dim-MSB grouping bitmask, exact counts in doubles. */
+  def histCube(table: String, spec: Spec, dims: Seq[String]): String = {
+    val idx = spec.axis.indexSql(spec.valueSql)
+    val rng = s"__i IS NOT NULL AND __i >= 0 AND __i <= ${spec.axis.nBins - 1}"
+    val gid = dims.zipWithIndex.map { case (d, j) =>
+      s"CAST(GROUPING($d) AS BIGINT) * ${1L << (dims.size - 1 - j)}"
+    }.mkString(" + ")
+    val sets = (0 until (1 << dims.size)).map { m =>
+      (dims.zipWithIndex.collect {
+        case (d, j) if (m & (1 << j)) != 0 => d
+      } :+ "__i").mkString("(", ", ", ")")
+    }.mkString(", ")
+    s"WITH b AS (SELECT ${dims.mkString(", ")}, $idx AS __i FROM $table), " +
+      s"f AS (SELECT * FROM b WHERE $rng) " +
+      s"SELECT ${dims.mkString(", ")}, $gid AS gid, " +
+      s"${spec.axis.labelSql("__i")} AS ${spec.axis.binsCol}, " +
+      s"CAST(COUNT(*) AS DOUBLE) AS cnt FROM f GROUP BY GROUPING SETS ($sets)"
+  }
+
   /** Mirrors HistStats.jsDivergence with dims = one expression (and
     * thereby StreamingHist.windowedJs's gated batch path): per-dim
     * in-range histogram vs the shared reference on the dim×bins grid,

@@ -335,4 +335,34 @@ class HistogramSpec extends SparkSpec {
     // determinism across partitionings (decimal/quantized-integer sums)
     assert(run(df.repartition(7)) == out)
   }
+
+  test("histogramCube: every grouping level equals its standalone histogram") {
+    val ax = Regular("v", 4, 0.0, 4.0)
+    val df = Seq(
+      ("a", "x", 0.5), ("a", "x", 1.5), ("a", "y", 1.5), ("a", "y", 2.5),
+      ("b", "x", 0.5), ("b", "y", 3.5), ("b", "y", 3.5)
+    ).toDF("g1", "g2", "v")
+    val cube = Histogram.histogramCube(df, col("v"), ax, Seq("g1", "g2"))
+      .collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2),
+        r.getDouble(3)) -> r.getDouble(4)).toMap
+    def level(dims: Seq[String], gid: Long): Unit = {
+      val h = Histogram.histogram(df, col("v"), ax, dims = dims).collect()
+      h.foreach { r =>
+        val g1 = if (dims.contains("g1")) Some(r.getString(dims.indexOf("g1")))
+          else None
+        val g2 = if (dims.contains("g2")) Some(r.getString(dims.indexOf("g2")))
+          else None
+        val bin = r.getDouble(dims.size)
+        val cnt = r.getDouble(dims.size + 1)
+        assert(cube((g1, g2, gid, bin)) == cnt, s"dims=$dims bin=$bin")
+      }
+    }
+    level(Seq("g1", "g2"), 0L)
+    level(Seq("g1"), 1L)       // g2 grouped away -> bit 0 set
+    level(Seq("g2"), 2L)       // g1 grouped away -> bit 1 (MSB) set
+    level(Nil, 3L)
+    // 4 levels of the same mass, nothing extra
+    assert(cube.keys.map(_._3).toSet == Set(0L, 1L, 2L, 3L))
+  }
 }
