@@ -2423,6 +2423,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
     },
+    "q333_theil_sen" -> { (s, dir) =>
+      // robust daily trend: median of pairwise day-mean slopes (29%
+      // breakdown point - one corrupted day can't fake or mask a trend)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      HistStats.theilSen(ev, "event_time", "value")
+    },
     "q332_hist_cube" -> { (s, dir) =>
       // the q05 histogram at EVERY dim granularity in ONE pass: native
       // grouping sets (one Expand + one hash agg with map-side
@@ -3578,6 +3586,7 @@ object SparkEntry {
     "q329_center_embeddings" -> PipelineOracle.centerEmbeddings,
     "q330_stream_neardup" -> PipelineOracle.crossNearDup("TRUE", "doc_id < 50"),
     "q331_zorder_qcells" -> PipelineOracle.zorderQCells(8, 3),
+    "q333_theil_sen" -> PipelineOracle.theilSen,
     "q332_hist_cube" -> Oracle.histCube("lineitem",
       Oracle.Spec("l_quantity", axQty10), Seq("l_returnflag", "l_linestatus")),
     "q289_mann_whitney" -> PipelineOracle.mannWhitney("event_type = 'purchase'"),

@@ -3583,6 +3583,31 @@ object PipelineOracle {
       "CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY cell_q, cell_p"
   }
 
+  /** Mirrors HistStats.theilSen: 1e-6-quantized exact daily means, the
+    * bounded pairwise-slope relation, the q116 median interpolation
+    * over rank-ordered slopes. */
+  def theilSen: String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    "WITH dd AS (SELECT ((epoch_ns(ts) // 1000) // 86400000000) AS d, " +
+      s"CAST(FLOOR(value * ${d(1.0e6)}) AS BIGINT) AS q " +
+      "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), " +
+      s"m AS (SELECT d, CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / ${d(1.0e6)} " +
+      "/ CAST(COUNT(*) AS DOUBLE) AS m FROM dd GROUP BY d), " +
+      "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM m), " +
+      "p AS (SELECT (b.m - a.m) / CAST(b.d - a.d AS DOUBLE) AS s " +
+      "FROM m a JOIN m b ON a.d < b.d), " +
+      "np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p), " +
+      "r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM p), " +
+      s"c AS (SELECT CAST(n_pairs - 1 AS DOUBLE) * ${d(0.5)} AS h, " +
+      "CAST(FLOOR(CAST(n_pairs - 1 AS DOUBLE) * " + d(0.5) +
+      ") AS BIGINT) AS l, n_pairs FROM np), " +
+      "e AS (SELECT c.n_pairs, c.h, c.l, rl.s AS xl, COALESCE(ru.s, rl.s) AS xu " +
+      "FROM c LEFT JOIN r rl ON rl.rn = c.l + 1 LEFT JOIN r ru ON ru.rn = c.l + 2) " +
+      "SELECT nd.n_days, e.n_pairs, CASE WHEN e.n_pairs = 0 THEN NULL " +
+      "ELSE e.xl + (e.h - CAST(e.l AS DOUBLE)) * (e.xu - e.xl) END AS trend_per_day " +
+      "FROM nd CROSS JOIN e"
+  }
+
   /** Mirrors RankStats.aucCi: the [[auc]] CTE plus the Hanley–McNeil
     * tail in the same IEEE sequence; NULL AUC propagates. */
   def aucCi(posCond: String, z: Double): String = {

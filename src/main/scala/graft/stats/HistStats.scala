@@ -928,6 +928,52 @@ object HistStats {
         .otherwise(se2 * se2 / dfDen).as("df"))
   }
 
+  /** THEIL–SEN robust trend of the daily mean — the drift family's
+    * SLOPE head ([[welchT]]/[[meanShiftScan]] ask "did the level
+    * shift?"; this asks "what is the trend?", robustly: the median of
+    * all pairwise day-mean slopes has a 29% breakdown point, so one
+    * corrupted day cannot fake or mask a trend the way it drags OLS):
+    * trend = median over day pairs i < j of (m_j − m_i)/(d_j − d_i),
+    * with per-day means from 1e-6-floor-quantized exact long sums (the
+    * q319/q329 moment convention — no double→string round-trip) and
+    * the median interpolated by the q116 rule over the sorted slope
+    * array. One row: (n_days, n_pairs, trend_per_day); NULL trend
+    * below two days.
+    *
+    * Scale shape: ONE day-keyed map-combinable aggregate collapses the
+    * corpus to ≤ calendar-days rows; the pairwise-slope join runs on
+    * that bounded relation ONLY (a decade ≈ 3.7k days → 6.7M pairs —
+    * tiny; the corpus never self-joins); the median folds in-row. */
+  def theilSen(events: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val q6 = floor(v * lit(1.0e6)).cast("long")
+    val daily = events.filter(col(tsCol).isNotNull && v.isNotNull)
+      .select(unix_micros(col(tsCol)).as("__us"), q6.as("__q"))
+      .select(expr("__us div 86400000000").as("__d"), col("__q"))
+      .groupBy(col("__d"))
+      .agg(sum(col("__q").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("__s"), count(lit(1)).as("__n"))
+      .select(col("__d"), (col("__s").cast("double") / lit(1.0e6) /
+        col("__n").cast("double")).as("__m"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.__d") < col("b.__d"))
+      .select(((col("b.__m") - col("a.__m")) /
+        (col("b.__d") - col("a.__d")).cast("double")).as("__slope"))
+    val agg = pairs.agg(sort_array(collect_list(col("__slope"))).as("__a"),
+      count(lit(1)).as("n_pairs"))
+    val h = (col("n_pairs") - 1L).cast("double") * lit(0.5)
+    val l = floor(h).cast("long")
+    val xl = element_at(col("__a"), (l + 1L).cast("int"))
+    val xu = coalesce(element_at(col("__a"), (l + 2L).cast("int")), xl)
+    nd.crossJoin(agg)
+      .select(col("n_days"), col("n_pairs"),
+        when(col("n_pairs") === 0L, lit(null).cast("double"))
+          .otherwise(xl + (h - l.cast("double")) * (xu - xl))
+          .as("trend_per_day"))
+  }
+
   /** Per-group PSI against one shared reference histogram — the rolling
     * drift monitor in its published form ("PSI of each day's score
     * distribution vs the training snapshot; alarm past 0.25"): the

@@ -3281,6 +3281,22 @@ class PipelineSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("theilSen: outlier day rejected (median slope); degenerate inputs NULL") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    // days 0..3 trend exactly +1/day; day 4 is corrupted to 100 — six
+    // of ten pairwise slopes are 1.0, so the median is exactly 1.0
+    val ev = (0L to 3L).map(d => (ts(d), d.toDouble)) :+ ((ts(4L), 100.0))
+    val out = graft.stats.HistStats.theilSen(
+      ev.toDF("event_time", "value"), "event_time", "value").collect()(0)
+    assert(out.getLong(0) == 5L && out.getLong(1) == 10L)
+    assert(out.getDouble(2) == 1.0)
+    // single day: no pairs -> NULL trend
+    val one = graft.stats.HistStats.theilSen(
+      Seq((ts(0L), 7.0), (ts(0L), 9.0)).toDF("event_time", "value"),
+      "event_time", "value").collect()(0)
+    assert(one.getLong(0) == 1L && one.getLong(1) == 0L && one.isNullAt(2))
+  }
+
   test("aucCi: Hanley-McNeil tail matches the formula; perfect AUC has zero width; NULL propagates") {
     def mk(pos: Seq[Double], neg: Seq[Double]) =
       (pos.map((_, true)) ++ neg.map((_, false))).toDF("s", "y")
