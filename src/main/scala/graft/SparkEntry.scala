@@ -2423,6 +2423,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
     },
+    "q334_top_terms_rbo" -> { (s, dir) =>
+      // rank-aware trending-term stability: truncated RBO between
+      // consecutive hourly top-3 RANKINGS (churn treats top-k as a set;
+      // RBO weights depth d by p^(d-1)/d so #1 instability dominates)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.pipeline.Funnel.topTermsRbo(ev, "event_time",
+        col("event_type"), "1 hour", k = 3, capacity = 64, p = 0.9)
+    },
     "q333_theil_sen" -> { (s, dir) =>
       // robust daily trend: median of pairwise day-mean slopes (29%
       // breakdown point - one corrupted day can't fake or mask a trend)
@@ -3587,6 +3597,7 @@ object SparkEntry {
     "q330_stream_neardup" -> PipelineOracle.crossNearDup("TRUE", "doc_id < 50"),
     "q331_zorder_qcells" -> PipelineOracle.zorderQCells(8, 3),
     "q333_theil_sen" -> PipelineOracle.theilSen,
+    "q334_top_terms_rbo" -> PipelineOracle.topTermsRbo(3600000000L, 3, 0.9),
     "q332_hist_cube" -> Oracle.histCube("lineitem",
       Oracle.Spec("l_quantity", axQty10), Seq("l_returnflag", "l_linestatus")),
     "q289_mann_whitney" -> PipelineOracle.mannWhitney("event_type = 'purchase'"),

@@ -1940,6 +1940,29 @@ object PipelineOracle {
       s"SELECT make_timestamp(ws) AS window_start, make_timestamp(ws + $durUs) AS window_end, " +
       s"term, cnt, CAST(0 AS BIGINT) AS err, CAST(rn AS INT) AS rank FROM r WHERE rn <= $k"
 
+  /** Mirrors Funnel.topTermsRbo over event types: the exact-regime
+    * windowed ranking, rank-ordered term lists, epoch-shift pairing,
+    * and the truncated-RBO weighted sum with the SAME driver-computed
+    * (1−p)·p^(d−1)/d literals folded in fixed depth order. */
+  def topTermsRbo(durUs: Long, k: Int, p: Double): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val rboExpr = (1 to k).map { dep =>
+      val w = (1.0 - p) * math.pow(p, dep - 1) / dep
+      s"${d(w)} * CAST(len(list_intersect(c.t[1:$dep], pr.t[1:$dep])) AS DOUBLE)"
+    }.mkString(" + ")
+    "WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type AS term " +
+      "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL), " +
+      s"w AS (SELECT (us // $durUs) * $durUs AS ws, term FROM e), " +
+      "tf AS (SELECT ws, term, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY ws, term), " +
+      "rk AS (SELECT ws, term, rn FROM (SELECT *, ROW_NUMBER() OVER (" +
+      s"PARTITION BY ws ORDER BY cnt DESC, term) AS rn FROM tf) __r WHERE rn <= $k), " +
+      "l AS (SELECT ws, list(term ORDER BY rn) AS t FROM rk GROUP BY ws) " +
+      "SELECT make_timestamp(c.ws) AS window_start, " +
+      "CAST(len(c.t) AS BIGINT) AS n_cur, CAST(len(pr.t) AS BIGINT) AS n_prev, " +
+      s"$rboExpr AS rbo " +
+      s"FROM l c JOIN l pr ON pr.ws = c.ws - $durUs"
+  }
+
   /** Mirrors Funnel.topTermsChurn over event types: the
     * [[windowedTopTerms]] exact ranking, consecutive windows paired by
     * the epoch-shift key, shared = term equi-join count, |A∪B| = |A| +

@@ -957,6 +957,54 @@ object Funnel {
         (lit(1.0) - shared.cast("double") / union.cast("double")).as("churn"))
   }
 
+  /** Rank-Biased Overlap between consecutive windows' top-term RANKINGS
+    * (Webber, Moffat & Zobel 2010, "A similarity measure for indefinite
+    * rankings") — [[topTermsChurn]]'s rank-aware upgrade: Jaccard churn
+    * treats the top-k as a SET, so the #1 and #k terms swapping ranks
+    * reads as zero churn; RBO weights agreement at depth d by
+    * p^(d−1)/d, so top-rank instability dominates the score. Truncated
+    * (prefix) form: RBO = (1−p)·Σ_{d=1..k} p^(d−1)·X_d/d with X_d the
+    * overlap of the two depth-d prefixes — the published lower bound
+    * for indefinite rankings, exact for the monitored top-k itself.
+    *
+    * Cross-engine: rankings are the exact-regime [[graft.streaming
+    * .StreamingHist.windowedTopTerms]] rows; prefixes/intersections are
+    * exact integer ops; the weights (1−p)·p^(d−1)/d are DRIVER-computed
+    * literals (no pow in either engine) and the weighted sum folds in
+    * fixed depth order. Scale shape: the q240 shape — per-window
+    * rankings collapse to ≤ k-row lists, consecutive windows pair by
+    * the epoch-shift equi-join (no lag window), RBO is in-row. Windows
+    * without an immediate predecessor emit nothing. */
+  def topTermsRbo(df: DataFrame, tsCol: String, term: Column,
+      windowDuration: String, k: Int, capacity: Int,
+      p: Double = 0.9): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p out of (0,1): $p")
+    val durUs = graft.streaming.StreamingHist.fixedWindowUs(windowDuration)
+    val sets = graft.streaming.StreamingHist
+      .windowedTopTerms(df, tsCol, term, windowDuration, k, capacity)
+      .groupBy(col("window_start"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("term"))))
+        .as("__a"))
+      .select(col("window_start"),
+        expr("transform(__a, x -> x.term)").as("__terms"))
+    val cur = sets.select(unix_micros(col("window_start")).as("__k"),
+      col("window_start"), col("__terms"))
+    val prev = sets.select(
+      (unix_micros(col("window_start")) + lit(durUs)).as("__k"),
+      col("__terms").as("__prev"))
+    val rbo = (1 to k).map { d =>
+      val w = (1.0 - p) * math.pow(p, d - 1) / d
+      lit(w) * size(array_intersect(
+        slice(col("__terms"), 1, d), slice(col("__prev"), 1, d)))
+        .cast("double")
+    }.reduceLeft(_ + _)
+    cur.join(prev, "__k")
+      .select(col("window_start"),
+        size(col("__terms")).cast("long").as("n_cur"),
+        size(col("__prev")).cast("long").as("n_prev"),
+        rbo.as("rbo"))
+  }
+
   /** Per-(key, day) rate limiting: keep each key's first `n` events of
     * every day, drop the rest — the abuse-throttle / per-user quota
     * pass a pipeline runs before event analytics so one runaway

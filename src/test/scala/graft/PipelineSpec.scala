@@ -3281,6 +3281,35 @@ class PipelineSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("topTermsRbo: identical rankings = 1-p^k; a #1 swap is penalized where churn is blind; disjoint = 0") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    def win(start: Long, freqs: Seq[(String, Int)]) =
+      freqs.flatMap { case (t, n) => (0 until n).map(i => (ts(start + i), t)) }
+    val ev = (win(0, Seq("a" -> 3, "b" -> 2, "c" -> 1)) ++
+      win(10, Seq("a" -> 3, "b" -> 2, "c" -> 1)) ++   // identical ranking
+      win(20, Seq("b" -> 3, "a" -> 2, "c" -> 1)) ++   // #1/#2 swapped
+      win(30, Seq("d" -> 3, "e" -> 2, "f" -> 1))      // disjoint
+    ).toDF("event_time", "term")
+    val out = graft.pipeline.Funnel.topTermsRbo(ev, "event_time",
+        col("term"), "10 seconds", k = 3, capacity = 64, p = 0.9)
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getDouble(3))
+      .toMap
+    val p = 0.9
+    def w(d: Int) = (1.0 - p) * math.pow(p, d - 1) / d
+    // identical: X_d = d at every depth
+    assert(out(10L) == w(1) * 1 + w(2) * 2 + w(3) * 3)
+    // swap: X_1 = 0, X_2 = 2, X_3 = 3 — penalized at depth 1
+    assert(out(20L) == w(1) * 0 + w(2) * 2 + w(3) * 3)
+    assert(out(20L) < out(10L))
+    // set-identical but rank-swapped: Jaccard churn reads 0 (blind)
+    val churn = graft.pipeline.Funnel.topTermsChurn(ev, "event_time",
+        col("term"), "10 seconds", k = 3, capacity = 64)
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getDouble(3))
+      .toMap
+    assert(churn(20L) == 0.0 && out(20L) < out(10L))
+    assert(out(30L) == 0.0)
+  }
+
   test("theilSen: outlier day rejected (median slope); degenerate inputs NULL") {
     def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
     // days 0..3 trend exactly +1/day; day 4 is corrupted to 100 — six
