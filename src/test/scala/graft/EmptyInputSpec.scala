@@ -423,4 +423,43 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.pipeline.Multimodal.decodeMeta(media).count() == 0)
     assert(graft.pipeline.Multimodal.sampleFrames(media).count() == 0)
   }
+
+  test("round-11 operators on empty inputs") {
+    // reduction / postprocess family: empty in, empty out, right schema
+    assert(Similarity.jlProject(emptyEmb, 4).count() == 0)
+    assert(Similarity.jlPack(emptyEmb, 4).count() == 0)
+    assert(Similarity.pcaWhiten(emptyEmb).count() == 0)
+    assert(Similarity.centerEmbeddings(emptyEmb).count() == 0)
+    // graph family: empty corpus gives an empty graph and empty searches
+    val g = Similarity.knnGraph(emptyEmb, 3, rounds = 1)
+    assert(g.count() == 0)
+    assert(Similarity.diversifyGraph(emptyEmb, g, r = 2).count() == 0)
+    assert(Similarity.graphSearch(emptyEmb, emptyEmb, 2, g).count() == 0)
+    assert(Similarity.jlSearchTopK(emptyEmb, emptyEmb, 2, 4, 8).count() == 0)
+    // curation/eval family
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_time", TimestampType),
+        StructField("user_id", LongType), StructField("value", DoubleType))))
+    assert(graft.pipeline.Curation.cartography(
+      emptyEv, "user_id", "value", 1.0, 1.0, 1.0).count() == 0)
+    assert(graft.pipeline.Curation.excessLossSelect(emptyDocs, 0.5).count() == 0)
+    assert(graft.pipeline.Curation.doremiWeights(emptyDocs, 1.0).count() == 0)
+    val ts = graft.stats.HistStats.theilSen(emptyEv, "event_time", "value")
+      .collect()(0)
+    assert(ts.getLong(0) == 0L && ts.getLong(1) == 0L && ts.isNullAt(2))
+    val ci = graft.pipeline.RankStats.aucCi(emptyEv, "value",
+      col("user_id") > 0L).collect()(0)
+    assert(ci.isNullAt(2) && ci.isNullAt(3))
+    // streaming-family batch forms and layout
+    assert(graft.streaming.StreamingHist.windowedNovelty(
+      emptyEv, "event_time", "user_id", "1 hour").count() == 0)
+    assert(graft.pipeline.Dedup.nearDupStream(emptyDocs, emptyDocs).count() == 0)
+    assert(graft.sources.Layout.zorderQCells _ != null) // needs data: guarded below
+    intercept[IllegalArgumentException] {
+      // quantile edges need data — the documented require, not a crash
+      graft.sources.Layout.zorderQCells(emptyNum.withColumnRenamed("x", "a")
+        .withColumn("b", col("a")), "a", "b", 4).count()
+    }
+  }
 }
