@@ -2893,16 +2893,20 @@ object PipelineOracle {
     * the 1/√k literal. */
   def jlProject(k: Int): String = {
     val inv = s"CAST('${java.lang.Double.toString(1.0 / math.sqrt(k.toDouble))}' AS DOUBLE)"
+    // one GROUP BY vec_id pass with k aggregate expressions (the q249
+    // memory class), NOT a (vec, j)-keyed join: the k-times-larger
+    // ordered aggregate OOMs DuckDB's allocator at sf1 (131M rows)
+    def sign(j: Int): String =
+      s"CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || ':$j'), 1, 1))::BIGINT % 2 = 0 " +
+        "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+    val ys = (0 until k).map(j =>
+      s"SUM(v * ${sign(j)} ORDER BY i) * $inv AS y$j").mkString(", ")
+    val arms = (0 until k).map(j =>
+      s"SELECT vec_id, CAST($j AS INT) AS j, y$j AS y FROM a").mkString(" UNION ALL ")
     "WITH e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i, " +
       "CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings WHERE embedding IS NOT NULL), " +
-      s"js AS (SELECT UNNEST(generate_series(0, ${k - 1})) AS j), " +
-      "h AS (SELECT i, j, CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || " +
-      "CAST(j AS VARCHAR)), 1, 1))::BIGINT % 2 = 0 THEN CAST(1 AS DOUBLE) " +
-      "ELSE CAST(-1 AS DOUBLE) END AS s " +
-      "FROM (SELECT DISTINCT i FROM e) CROSS JOIN js) " +
-      "SELECT e.vec_id, CAST(h.j AS INT) AS j, " +
-      s"SUM(e.v * h.s ORDER BY e.i) * $inv AS y " +
-      "FROM e JOIN h ON h.i = e.i GROUP BY e.vec_id, h.j"
+      s"a AS MATERIALIZED (SELECT vec_id, $ys FROM e GROUP BY vec_id) " +
+      arms
   }
 
   /** Mirrors Similarity.pcaWhiten: the pcaDeflate CTE, per-component
