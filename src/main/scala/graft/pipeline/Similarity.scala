@@ -140,6 +140,19 @@ object Similarity {
       bits: Int = 8, initDegree: Int = 0): DataFrame = {
     require(k > 0 && rounds >= 0 && tables > 0 && bits > 0,
       s"bad knnGraph shape: k=$k rounds=$rounds tables=$tables bits=$bits")
+    // memoized per (corpus, parameters): the build is the expensive
+    // artifact every graph consumer (q315 contract, q317 search, q327
+    // diversify+search) shares — a checkpointed result's plan hides the
+    // input, so the explicit key does what plan-keyed RelCache can't
+    graft.util.RelCache.memo(("knnGraph", emb.sparkSession,
+      emb.queryExecution.analyzed.canonicalized,
+      k, rounds, tables, bits, initDegree)) {
+      knnGraphBuild(emb, k, rounds, tables, bits, initDegree)
+    }
+  }
+
+  private def knnGraphBuild(emb: DataFrame, k: Int, rounds: Int,
+      tables: Int, bits: Int, initDegree: Int): DataFrame = {
     val c = if (initDegree > 0) initDegree else k
     val n = graft.util.RelCache.persist(withNorm(emb)
       .select(col("vec_id"), col("embedding"), col("nrm")))

@@ -50,5 +50,36 @@ object RelCache {
   def clear(): Unit = synchronized {
     cache.values.forEach(_.unpersist())
     cache.clear()
+    keyed.clear()
+  }
+
+  // Explicit-key memo for relations whose OUTPUT plan hides their input
+  // (localCheckpoint'd iterative builds like knnGraph: the result scans
+  // an RDD, so plan-keyed equality can never dedupe two builds). Keys
+  // must embed the session, the input's canonicalized plan, and every
+  // parameter. Eviction drops the reference only — checkpoint blocks
+  // are reaped by the ContextCleaner once unreferenced.
+  private val keyed =
+    new java.util.LinkedHashMap[Any, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, DataFrame]): Boolean = size() > MaxEntries
+    }
+
+  /** Memoize `build` under `key`. The build runs OUTSIDE the lock (it
+    * launches Spark jobs; holding the memo lock would serialize
+    * concurrent Bench queries through one build) — two racers may build
+    * twice, the first registration wins and the loser's blocks are
+    * cleaner-reaped. */
+  def memo(key: Any)(build: => DataFrame): DataFrame = {
+    val hit = synchronized(keyed.get(key))
+    if (hit != null) hit
+    else {
+      val built = build
+      synchronized {
+        val again = keyed.get(key)
+        if (again != null) again
+        else { keyed.put(key, built); built }
+      }
+    }
   }
 }
