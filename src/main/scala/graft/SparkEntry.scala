@@ -2423,6 +2423,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
     },
+    "q335_brier_decomposition" -> { (s, dir) =>
+      // Murphy's accounting identity for the q290 calibration setup:
+      // Brier ~ reliability - resolution + uncertainty over the binned
+      // value/512 score predicting purchase
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("score", col("value") / lit(512.0))
+      graft.pipeline.RankStats.brierDecomposition(ev, "score",
+        col("event_type") === "purchase")
+    },
     "q334_top_terms_rbo" -> { (s, dir) =>
       // rank-aware trending-term stability: truncated RBO between
       // consecutive hourly top-3 RANKINGS (churn treats top-k as a set;
@@ -3598,6 +3608,8 @@ object SparkEntry {
     "q331_zorder_qcells" -> PipelineOracle.zorderQCells(8, 3),
     "q333_theil_sen" -> PipelineOracle.theilSen,
     "q334_top_terms_rbo" -> PipelineOracle.topTermsRbo(3600000000L, 3, 0.9),
+    "q335_brier_decomposition" ->
+      PipelineOracle.brierDecomposition("event_type = 'purchase'"),
     "q332_hist_cube" -> Oracle.histCube("lineitem",
       Oracle.Spec("l_quantity", axQty10), Seq("l_returnflag", "l_linestatus")),
     "q289_mann_whitney" -> PipelineOracle.mannWhitney("event_type = 'purchase'"),

@@ -3763,6 +3763,45 @@ object PipelineOracle {
       "SELECT r.bin, r.n, r.pos, r.conf, r.acc, r.gap, e.ece FROM r CROSS JOIN e"
   }
 
+  /** Mirrors RankStats.brierDecomposition over score = value/512
+    * clamped: 1e-6-quantized exact longs for Σs and Σ(s−y)², pinned
+    * CAST/1e6/n means, bin-ordered REL/RES sums, the N = 0 NULL
+    * guard. */
+  def brierDecomposition(posCond: String, nBins: Int = 10): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val s = "LEAST(GREATEST(CAST(value AS DOUBLE) / CAST(512 AS DOUBLE), " +
+      "CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE))"
+    s"WITH b AS (SELECT LEAST(CAST(FLOOR(s * CAST($nBins AS DOUBLE)) AS BIGINT), " +
+      s"${nBins - 1}) AS bin, " +
+      s"CAST(FLOOR(s * ${d(1.0e6)}) AS BIGINT) AS q, y FROM " +
+      s"(SELECT $s AS s, CASE WHEN $posCond THEN 1 ELSE 0 END AS y FROM events " +
+      "WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)))), " +
+      "r AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(y) AS BIGINT) AS pos, " +
+      "SUM(CAST(q AS DECIMAL(38,0))) AS sq, " +
+      "SUM(CAST(CAST(q - y * 1000000 AS DECIMAL(13,0)) * " +
+      "CAST(q - y * 1000000 AS DECIMAL(13,0)) AS DECIMAL(38,0))) AS se2 " +
+      "FROM b GROUP BY bin), " +
+      "t AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS N, " +
+      "CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS P, " +
+      "COALESCE(SUM(se2), CAST(0 AS DECIMAL(38,0))) AS SE2 FROM r), " +
+      s"m AS (SELECT bin, n, CAST(sq AS DOUBLE) / ${d(1.0e6)} / CAST(n AS DOUBLE) AS cf, " +
+      "CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS ac FROM r), " +
+      "rel AS (SELECT SUM(CAST(n AS DOUBLE) * ((cf - ac) * (cf - ac)) ORDER BY bin) AS v FROM m), " +
+      "res AS (SELECT SUM(CAST(m.n AS DOUBLE) * " +
+      "((m.ac - CAST(t.P AS DOUBLE) / CAST(t.N AS DOUBLE)) * " +
+      "(m.ac - CAST(t.P AS DOUBLE) / CAST(t.N AS DOUBLE))) ORDER BY m.bin) AS v " +
+      "FROM m CROSS JOIN t) " +
+      "SELECT t.N AS n, " +
+      "CASE WHEN t.N = 0 THEN NULL ELSE CAST(t.P AS DOUBLE) / CAST(t.N AS DOUBLE) END AS base_rate, " +
+      s"CASE WHEN t.N = 0 THEN NULL ELSE CAST(t.SE2 AS DOUBLE) / ${d(1.0e12)} / CAST(t.N AS DOUBLE) END AS brier, " +
+      "CASE WHEN t.N = 0 THEN NULL ELSE rel.v / CAST(t.N AS DOUBLE) END AS reliability, " +
+      "CASE WHEN t.N = 0 THEN NULL ELSE res.v / CAST(t.N AS DOUBLE) END AS resolution, " +
+      "CASE WHEN t.N = 0 THEN NULL ELSE (CAST(t.P AS DOUBLE) / CAST(t.N AS DOUBLE)) * " +
+      "(CAST(1 AS DOUBLE) - CAST(t.P AS DOUBLE) / CAST(t.N AS DOUBLE)) END AS uncertainty " +
+      "FROM t CROSS JOIN rel CROSS JOIN res"
+  }
+
   /** Mirrors StreamingHist.windowedEce over score = value/512 clamped:
     * hourly windows, per-(window, bin) exact counts + DECIMAL score
     * sums, per-window ECE as SUM(term ORDER BY bin) — the

@@ -203,6 +203,70 @@ object RankStats {
     r.crossJoin(broadcast(total.select(ece.as("ece"))))
   }
 
+  /** BRIER SCORE with Murphy's decomposition (Murphy 1973, "A new
+    * vector partition of the probability score") — the calibration
+    * family's accounting identity beside [[reliability]]'s ECE: over
+    * the binned forecasts, Brier ≈ RELIABILITY − RESOLUTION +
+    * UNCERTAINTY, splitting the error into "my probabilities are
+    * miscalibrated" (REL = Σ n_k(f̄_k − o_k)²/N, smaller better),
+    * "my forecasts actually separate outcomes" (RES = Σ n_k(o_k − ō)²/N,
+    * larger better) and the irreducible base-rate noise
+    * (UNC = ō(1 − ō)). The raw Brier is reported from the UNBINNED
+    * per-row (s − y)², so the identity's binning residual is visible
+    * rather than silently absorbed. One row: (n, base_rate, brier,
+    * reliability, resolution, uncertainty); empty input → n = 0 with
+    * NULL metrics.
+    *
+    * Cross-engine: scores and the per-row error are 1e-6-floor-
+    * quantized exact longs with DECIMAL(38,0) sums (the q319/q329
+    * moment convention — (s−y)² of sub-unit scores is exactly the
+    * DECIMAL-string route's boundary case), per-bin means are pinned
+    * CAST/1e6/n sequences, and the REL/RES terms fold over the
+    * ≤ nBins sorted bins. Scale shape: ONE bin-keyed map-combinable
+    * aggregate, then everything runs on the ≤ nBins relation. */
+  def brierDecomposition(df: DataFrame, scoreCol: String, isPos: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    val d13 = DecimalType(13, 0)
+    val d38 = DecimalType(38, 0)
+    val raw = col(scoreCol).cast("double")
+    val s = least(greatest(raw, lit(0.0)), lit(1.0))
+    val bin = least(floor(s * lit(nBins.toDouble)).cast("long"),
+      lit(nBins.toLong - 1L))
+    val q = floor(s * lit(1.0e6)).cast("long")
+    val y = when(isPos, 1L).otherwise(0L)
+    val perBin = df.filter(raw.isNotNull && !isnan(raw))
+      .select(bin.as("bin"), q.as("__q"), y.as("__y"),
+        (q - y * lit(1000000L)).as("__e"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"),
+        sum(col("__q").cast(d38)).as("__sq"),
+        sum((col("__e").cast(d13) * col("__e").cast(d13)).cast(d38))
+          .as("__se2"))
+    val conf = col("__sq").cast("double") / lit(1.0e6) / col("n").cast("double")
+    val acc = col("pos").cast("double") / col("n").cast("double")
+    val t = perBin.agg(coalesce(sum(col("n")), lit(0L)).as("__N"),
+      coalesce(sum(col("pos")), lit(0L)).as("__P"),
+      coalesce(sum(col("__se2")), lit(0L).cast(d38)).as("__SE2"),
+      sort_array(collect_list(struct(col("bin").as("k"), col("n").as("nb"),
+        conf.as("cf"), acc.as("ac")))).as("__a"))
+    val nD = col("__N").cast("double")
+    val baseRate = col("__P").cast("double") / nD
+    def guarded(c: Column): Column =
+      when(col("__N") === 0L, lit(null).cast("double")).otherwise(c)
+    val rel = aggregate(col("__a"), lit(0.0), (a, x) =>
+      a + x.getField("nb").cast("double") *
+        ((x.getField("cf") - x.getField("ac")) *
+          (x.getField("cf") - x.getField("ac")))) / nD
+    val res = aggregate(col("__a"), lit(0.0), (a, x) =>
+      a + x.getField("nb").cast("double") *
+        ((x.getField("ac") - baseRate) * (x.getField("ac") - baseRate))) / nD
+    t.select(col("__N").as("n"), guarded(baseRate).as("base_rate"),
+      guarded(col("__SE2").cast("double") / lit(1.0e12) / nD).as("brier"),
+      guarded(rel).as("reliability"), guarded(res).as("resolution"),
+      guarded(baseRate * (lit(1.0) - baseRate)).as("uncertainty"))
+  }
+
   /** Kaplan–Meier SUMMARY scalars — the two numbers a dashboard wants
     * from the [[kmSurvival]] curve: MEDIAN lifetime (the first
     * lifetime where survival drops to ≤ 0.5 — the discrete step

@@ -3281,6 +3281,23 @@ class PipelineSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("brierDecomposition: Murphy identity exact when bins are pure; hand values") {
+    // two pure forecast bins: s=0.2 (1 of 4 positive), s=0.7 (3 of 4)
+    val d = (Seq((0.2, true)) ++ Seq.fill(3)((0.2, false)) ++
+      Seq.fill(3)((0.7, true)) ++ Seq((0.7, false))).toDF("s", "y")
+    val r = graft.pipeline.RankStats.brierDecomposition(d, "s", col("y"))
+      .collect()(0)
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(1) == 0.5)             // base rate
+    assert(math.abs(r.getDouble(2) - 0.19) < 1e-12)    // raw brier
+    assert(math.abs(r.getDouble(3) - 0.0025) < 1e-12)  // reliability
+    assert(math.abs(r.getDouble(4) - 0.0625) < 1e-12)  // resolution
+    assert(r.getDouble(5) == 0.25)            // uncertainty
+    // within-bin-constant forecasts: the identity holds exactly
+    assert(math.abs(r.getDouble(2) -
+      (r.getDouble(3) - r.getDouble(4) + r.getDouble(5))) < 1e-12)
+  }
+
   test("topTermsRbo: identical rankings = 1-p^k; a #1 swap is penalized where churn is blind; disjoint = 0") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     def win(start: Long, freqs: Seq[(String, Int)]) =
