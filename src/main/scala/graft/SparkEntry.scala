@@ -2423,6 +2423,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
     },
+    "q336_spearman" -> { (s, dir) =>
+      // rank agreement between quantity and extended price: midrank
+      // Spearman via the AUC prefix-sum machinery, no rank windows
+      implicit val sp: SparkSession = s
+      graft.pipeline.RankStats.spearman(t(dir, "lineitem"),
+        "l_quantity", "l_extendedprice")
+    },
     "q335_brier_decomposition" -> { (s, dir) =>
       // Murphy's accounting identity for the q290 calibration setup:
       // Brier ~ reliability - resolution + uncertainty over the binned
@@ -3610,6 +3617,7 @@ object SparkEntry {
     "q334_top_terms_rbo" -> PipelineOracle.topTermsRbo(3600000000L, 3, 0.9),
     "q335_brier_decomposition" ->
       PipelineOracle.brierDecomposition("event_type = 'purchase'"),
+    "q336_spearman" -> PipelineOracle.spearman,
     "q332_hist_cube" -> Oracle.histCube("lineitem",
       Oracle.Spec("l_quantity", axQty10), Seq("l_returnflag", "l_linestatus")),
     "q289_mann_whitney" -> PipelineOracle.mannWhitney("event_type = 'purchase'"),

@@ -3763,6 +3763,41 @@ object PipelineOracle {
       "SELECT r.bin, r.n, r.pos, r.conf, r.acc, r.gap, e.ece FROM r CROSS JOIN e"
   }
 
+  /** Mirrors RankStats.spearman over (l_quantity, l_extendedprice):
+    * doubled midranks from distinct-value cumulative counts (the
+    * window runs over distinct values only — the auc oracle license),
+    * the same explicit-width DECIMAL moment arithmetic, one IEEE
+    * tail. */
+  def spearman: String = {
+    def rankCte(c: String, p: String): String =
+      s"c$p AS (SELECT $c AS v, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY $c), " +
+        s"r$p AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2 " +
+        s"FROM c$p)"
+    def mom(a: String, bb: String): String =
+      s"SUM(CAST(CAST($a AS DECIMAL(13,0)) * CAST($bb AS DECIMAL(13,0)) AS DECIMAL(38,0)))"
+    def cross(m: String, s1: String, s2: String): String =
+      s"(CAST(n AS DECIMAL(13,0)) * CAST($m AS DECIMAL(25,0)) - " +
+        s"CAST($s1 AS DECIMAL(19,0)) * CAST($s2 AS DECIMAL(19,0)))"
+    "WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS x, " +
+      "CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem " +
+      "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL), " +
+      s"${rankCte("x", "x")}, ${rankCte("y", "y")}, " +
+      "j AS (SELECT rx.r2 AS a, ry.r2 AS bb FROM b " +
+      "JOIN rx ON rx.v = b.x JOIN ry ON ry.v = b.y), " +
+      "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(COALESCE(SUM(a), 0) AS BIGINT) AS sa, " +
+      "CAST(COALESCE(SUM(bb), 0) AS BIGINT) AS sb, " +
+      s"COALESCE(${mom("a", "bb")}, CAST(0 AS DECIMAL(38,0))) AS sab, " +
+      s"COALESCE(${mom("a", "a")}, CAST(0 AS DECIMAL(38,0))) AS sa2, " +
+      s"COALESCE(${mom("bb", "bb")}, CAST(0 AS DECIMAL(38,0))) AS sb2 FROM j) " +
+      "SELECT n, CASE WHEN n = 0 OR " +
+      s"${cross("sa2", "sa", "sa")} = 0 OR ${cross("sb2", "sb", "sb")} = 0 " +
+      s"THEN NULL ELSE CAST(${cross("sab", "sa", "sb")} AS DOUBLE) / " +
+      s"SQRT(CAST(${cross("sa2", "sa", "sa")} AS DOUBLE) * " +
+      s"CAST(${cross("sb2", "sb", "sb")} AS DOUBLE)) END AS rho FROM s"
+  }
+
   /** Mirrors RankStats.brierDecomposition over score = value/512
     * clamped: 1e-6-quantized exact longs for Σs and Σ(s−y)², pinned
     * CAST/1e6/n means, bin-ordered REL/RES sums, the N = 0 NULL

@@ -3281,6 +3281,26 @@ class PipelineSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("spearman: monotone-invariant +1/-1; hand tie case; constant column NULL") {
+    def rho(pairs: Seq[(Double, Double)]): Option[Double] = {
+      val r = graft.pipeline.RankStats.spearman(
+        pairs.toDF("x", "y"), "x", "y").collect()(0)
+      if (r.isNullAt(1)) None else Some(r.getDouble(1))
+    }
+    // perfect monotone agreement survives a wild nonlinear transform
+    val xs = Seq(1.0, 2.0, 5.0, 9.0, 20.0)
+    assert(rho(xs.map(v => (v, math.exp(v)))) == Some(1.0))
+    assert(rho(xs.map(v => (v, -math.exp(v)))) == Some(-1.0))
+    // hand tie case: x = (1,2,2,3), y = (1,3,2,4) — midranks
+    // (1, 2.5, 2.5, 4) and (1, 3, 2, 4): cov = 18/4, var = 18/4 and
+    // 20/4 → rho = 18/√360 (exact in the decimal arithmetic)
+    val tied = rho(Seq((1.0, 1.0), (2.0, 3.0), (2.0, 2.0), (3.0, 4.0)))
+    assert(tied.exists(v => math.abs(v - 18.0 / math.sqrt(360.0)) < 1e-12),
+      tied)
+    // constant column: zero rank variance -> NULL
+    assert(rho(Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0))).isEmpty)
+  }
+
   test("brierDecomposition: Murphy identity exact when bins are pure; hand values") {
     // two pure forecast bins: s=0.2 (1 of 4 positive), s=0.7 (3 of 4)
     val d = (Seq((0.2, true)) ++ Seq.fill(3)((0.2, false)) ++
