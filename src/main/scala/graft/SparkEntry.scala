@@ -2423,6 +2423,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
     },
+    "q337_dsir_ess" -> { (s, dir) =>
+      // the health check importance resampling requires before use:
+      // ESS = (sum w)^2 / sum w^2 of the q220 weights (Kong 1992) -
+      // ESS << n means a few outlier docs would dominate the resample
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.dsirEss(t(dir, "documents"),
+        col("source").isin("src0", "src1", "src2"), buckets = 1024)
+    },
     "q336_spearman" -> { (s, dir) =>
       // rank agreement between quantity and extended price: midrank
       // Spearman via the AUC prefix-sum machinery, no rank windows
@@ -3618,6 +3626,8 @@ object SparkEntry {
     "q335_brier_decomposition" ->
       PipelineOracle.brierDecomposition("event_type = 'purchase'"),
     "q336_spearman" -> PipelineOracle.spearman,
+    "q337_dsir_ess" -> PipelineOracle.dsirEss(
+      "source IN ('src0', 'src1', 'src2')", 1024),
     "q332_hist_cube" -> Oracle.histCube("lineitem",
       Oracle.Spec("l_quantity", axQty10), Seq("l_returnflag", "l_linestatus")),
     "q289_mann_whitney" -> PipelineOracle.mannWhitney("event_type = 'purchase'"),

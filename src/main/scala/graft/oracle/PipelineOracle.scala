@@ -3651,6 +3651,28 @@ object PipelineOracle {
       s"auc - ${d(z)} * $se AS ci_lo, auc + ${d(z)} * $se AS ci_hi FROM a"
   }
 
+  /** Mirrors Curation.dsirEss: the dsirWeights CTE, the max-shifted
+    * 1e-9-quantized exp, explicit-width DECIMAL moment sums, one IEEE
+    * division (and the derived ess_frac). */
+  def dsirEss(targetWhere: String, buckets: Int): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    s"WITH w AS MATERIALIZED (${dsirWeights(targetWhere, buckets)}), " +
+      "mx AS (SELECT MAX(log_weight) AS m FROM w), " +
+      s"q AS (SELECT CAST(FLOOR(EXP(log_weight - m) * ${d(1.0e9)}) AS BIGINT) AS q " +
+      "FROM w CROSS JOIN mx), " +
+      "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+      "CAST(COALESCE(SUM(q), 0) AS BIGINT) AS s, " +
+      "COALESCE(SUM(CAST(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)) " +
+      "AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0))) AS s2 FROM q) " +
+      "SELECT n_docs, " +
+      "CASE WHEN n_docs = 0 THEN NULL ELSE " +
+      "CAST(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)) AS DOUBLE) / " +
+      "CAST(s2 AS DOUBLE) END AS ess, " +
+      "CASE WHEN n_docs = 0 THEN NULL ELSE " +
+      "(CAST(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)) AS DOUBLE) / " +
+      "CAST(s2 AS DOUBLE)) / CAST(n_docs AS DOUBLE) END AS ess_frac FROM t"
+  }
+
   /** Mirrors Curation.doremiWeights: the two LM CTEs, per-doc excess
     * floor-quantized to 1e-9 longs, exact integer sums cast through
     * DOUBLE in the pinned /1e9/n sequence, 1e-9-floor-quantized EXP,

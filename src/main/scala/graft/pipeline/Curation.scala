@@ -850,6 +850,47 @@ object Curation {
       .select(col("doc_id"), col("source"), col("excess"), col("pctl"))
   }
 
+  /** EFFECTIVE SAMPLE SIZE of the [[dsirWeights]] importance weights —
+    * the health check importance resampling REQUIRES before use
+    * (Kong 1992; the standard particle-filter degeneracy diagnostic):
+    * ESS = (Σw)²/Σw². ESS ≈ n means the weights are nearly uniform
+    * (resampling is safe but pointless); ESS ≪ n means a handful of
+    * documents dominate — the resampled corpus would be near-duplicates
+    * of a few outliers, and the right move is softer weights (more
+    * hash buckets, temperature) not a bigger sample. One row:
+    * (n_docs, ess, ess_frac = ESS/n); empty candidate set → NULL.
+    *
+    * Cross-engine: weights are scale-invariant in ESS, so each
+    * log-weight is shifted by the corpus max (one scalar broadcast —
+    * also the overflow guard) before exp; exp is 1e-9-floor-quantized
+    * to exact longs (the q324 convention), and both Σq and Σq² sum
+    * exactly in explicit-width DECIMAL, leaving ONE IEEE division.
+    * Scale shape: the q220 plans + one single-row max broadcast + one
+    * map-combinable moment aggregate. */
+  def dsirEss(docs: DataFrame, isTarget: Column,
+      buckets: Int = 1024): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lw = dsirWeights(docs, isTarget, buckets)
+      .select(col("log_weight"))
+    val mx = lw.agg(max(col("log_weight")).as("__mx"))
+    val q = floor(exp(col("log_weight") - col("__mx")) * lit(1.0e9))
+      .cast("long")
+    val t = lw.crossJoin(broadcast(mx))
+      .select(q.as("__q"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__q")), lit(0L)).as("__s"),
+        coalesce(sum((col("__q").cast(d19) * col("__q").cast(d19)).cast(d38)),
+          lit(0L).cast(d38)).as("__s2"))
+    val num = col("__s").cast(d19) * col("__s").cast(d19)
+    val ess = num.cast("double") / col("__s2").cast("double")
+    t.select(col("n_docs"),
+      when(col("n_docs") === 0L, lit(null).cast("double")).otherwise(ess)
+        .as("ess"),
+      when(col("n_docs") === 0L, lit(null).cast("double"))
+        .otherwise(ess / col("n_docs").cast("double")).as("ess_frac"))
+  }
+
   /** DOMAIN MIXTURE WEIGHTS by one exponentiated-gradient step — the
     * DoReMi update rule (Xie et al. 2023, "DoReMi: Optimizing Data
     * Mixtures Speeds Up Language Model Pretraining", arXiv:2305.10429;

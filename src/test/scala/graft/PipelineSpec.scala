@@ -3281,6 +3281,31 @@ class PipelineSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("dsirEss: uniform weights give ESS = n; a dominant doc collapses it") {
+    // identical candidate docs -> identical weights -> ESS == n exactly
+    val uniform = Seq(
+      (1L, "target tokens here", "en", "t"), (2L, "target tokens here", "en", "t"),
+      (10L, "same candidate text", "en", "c"), (11L, "same candidate text", "en", "c"),
+      (12L, "same candidate text", "en", "c")
+    ).toDF("doc_id", "text", "lang", "source")
+    val u = graft.pipeline.Curation.dsirEss(uniform, col("source") === "t",
+      buckets = 64).collect()(0)
+    assert(u.getLong(0) == 3L && u.getDouble(1) == 3.0 && u.getDouble(2) == 1.0)
+    // one candidate aligned with the target dominates: ESS collapses
+    // toward 1 (the resample would be near-copies of that doc)
+    val skewed = Seq(
+      (1L, "alpha beta gamma delta", "en", "t"),
+      (2L, "alpha beta gamma delta", "en", "t"),
+      (10L, "alpha beta gamma delta", "en", "c"),  // target-aligned
+      (11L, "zz yy xx ww vv uu", "en", "c"),
+      (12L, "qq rr ss tt uu vv", "en", "c")
+    ).toDF("doc_id", "text", "lang", "source")
+    val sk = graft.pipeline.Curation.dsirEss(skewed, col("source") === "t",
+      buckets = 64).collect()(0)
+    assert(sk.getLong(0) == 3L)
+    assert(sk.getDouble(2) < 0.5, sk.getDouble(2)) // far from uniform
+  }
+
   test("spearman: monotone-invariant +1/-1; hand tie case; constant column NULL") {
     def rho(pairs: Seq[(Double, Double)]): Option[Double] = {
       val r = graft.pipeline.RankStats.spearman(
