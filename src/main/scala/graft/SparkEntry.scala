@@ -2423,6 +2423,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
     },
+    "q338_theil_sen_by_key" -> { (s, dir) =>
+      // WHICH metric is trending: the q333 robust slope per event type
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      HistStats.theilSenByKey(ev, "event_time", "event_type", "value")
+    },
     "q337_dsir_ess" -> { (s, dir) =>
       // the health check importance resampling requires before use:
       // ESS = (sum w)^2 / sum w^2 of the q220 weights (Kong 1992) -
@@ -3626,6 +3633,7 @@ object SparkEntry {
     "q335_brier_decomposition" ->
       PipelineOracle.brierDecomposition("event_type = 'purchase'"),
     "q336_spearman" -> PipelineOracle.spearman,
+    "q338_theil_sen_by_key" -> PipelineOracle.theilSenByKey,
     "q337_dsir_ess" -> PipelineOracle.dsirEss(
       "source IN ('src0', 'src1', 'src2')", 1024),
     "q332_hist_cube" -> Oracle.histCube("lineitem",

@@ -3635,6 +3635,33 @@ object PipelineOracle {
       "FROM nd CROSS JOIN e"
   }
 
+  /** Mirrors HistStats.theilSenByKey over event_type: the [[theilSen]]
+    * CTEs keyed, per-key rank-ordered slopes, the same median
+    * interpolation, single-day keys NULL. */
+  def theilSenByKey: String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    "WITH dd AS (SELECT event_type AS k, ((epoch_ns(ts) // 1000) // 86400000000) AS d, " +
+      s"CAST(FLOOR(value * ${d(1.0e6)}) AS BIGINT) AS q " +
+      "FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL), " +
+      s"m AS (SELECT k, d, CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / ${d(1.0e6)} " +
+      "/ CAST(COUNT(*) AS DOUBLE) AS m FROM dd GROUP BY k, d), " +
+      "nd AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_days FROM m GROUP BY k), " +
+      "p AS (SELECT a.k, (b.m - a.m) / CAST(b.d - a.d AS DOUBLE) AS s " +
+      "FROM m a JOIN m b ON a.k = b.k AND a.d < b.d), " +
+      "np AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p GROUP BY k), " +
+      "r AS (SELECT k, s, ROW_NUMBER() OVER (PARTITION BY k ORDER BY s) AS rn FROM p), " +
+      s"c AS (SELECT k, n_pairs, CAST(n_pairs - 1 AS DOUBLE) * ${d(0.5)} AS h, " +
+      s"CAST(FLOOR(CAST(n_pairs - 1 AS DOUBLE) * ${d(0.5)}) AS BIGINT) AS l FROM np), " +
+      "e AS (SELECT c.k, c.n_pairs, c.h, c.l, rl.s AS xl, COALESCE(ru.s, rl.s) AS xu " +
+      "FROM c LEFT JOIN r rl ON rl.k = c.k AND rl.rn = c.l + 1 " +
+      "LEFT JOIN r ru ON ru.k = c.k AND ru.rn = c.l + 2) " +
+      "SELECT nd.k AS event_type, nd.n_days, " +
+      "CAST(COALESCE(e.n_pairs, 0) AS BIGINT) AS n_pairs, " +
+      "CASE WHEN COALESCE(e.n_pairs, 0) = 0 THEN NULL " +
+      "ELSE e.xl + (e.h - CAST(e.l AS DOUBLE)) * (e.xu - e.xl) END AS trend_per_day " +
+      "FROM nd LEFT JOIN e ON e.k = nd.k"
+  }
+
   /** Mirrors RankStats.aucCi: the [[auc]] CTE plus the Hanley–McNeil
     * tail in the same IEEE sequence; NULL AUC propagates. */
   def aucCi(posCond: String, z: Double): String = {

@@ -974,6 +974,54 @@ object HistStats {
           .as("trend_per_day"))
   }
 
+  /** [[theilSen]] per key — the "WHICH metric is trending?" dashboard
+    * ([[meanShiftScan]]'s keyed analog for slopes): every key gets the
+    * robust median-of-pairwise-slopes trend of its own daily mean, with
+    * the identical quantized-moment and q116-median arithmetic. A key
+    * alive on a single day reports NULL trend (no pairs). Output:
+    * (key, n_days, n_pairs, trend_per_day).
+    *
+    * Scale shape: ONE (key, day)-keyed map-combinable aggregate
+    * collapses the corpus to ≤ keys·days rows; the pair join is
+    * key-equi + day-range on that bounded relation; medians fold
+    * in-row per key. */
+  def theilSenByKey(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val q6 = floor(v * lit(1.0e6)).cast("long")
+    val daily = graft.util.RelCache.persist(
+      events.filter(col(tsCol).isNotNull && col(keyCol).isNotNull &&
+          v.isNotNull)
+        .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__us"),
+          q6.as("__q"))
+        .select(col("__k"), expr("__us div 86400000000").as("__d"), col("__q"))
+        .groupBy(col("__k"), col("__d"))
+        .agg(sum(col("__q").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("__s"), count(lit(1)).as("__n"))
+        .select(col("__k"), col("__d"), (col("__s").cast("double") / lit(1.0e6) /
+          col("__n").cast("double")).as("__m")))
+    val nd = daily.groupBy(col("__k")).agg(count(lit(1)).as("n_days"))
+    val slopes = daily.as("a").join(daily.as("b"),
+        col("a.__k") === col("b.__k") && col("a.__d") < col("b.__d"))
+      .select(col("a.__k").as("__k"),
+        ((col("b.__m") - col("a.__m")) /
+          (col("b.__d") - col("a.__d")).cast("double")).as("__slope"))
+    val agg = slopes.groupBy(col("__k"))
+      .agg(sort_array(collect_list(col("__slope"))).as("__a"),
+        count(lit(1)).as("n_pairs"))
+    val h = (col("n_pairs") - 1L).cast("double") * lit(0.5)
+    val l = floor(h).cast("long")
+    val xl = element_at(col("__a"), (l + 1L).cast("int"))
+    val xu = coalesce(element_at(col("__a"), (l + 2L).cast("int")), xl)
+    nd.join(agg, Seq("__k"), "left")
+      .select(col("__k").as(keyCol), col("n_days"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(coalesce(col("n_pairs"), lit(0L)) === 0L,
+            lit(null).cast("double"))
+          .otherwise(xl + (h - l.cast("double")) * (xu - xl))
+          .as("trend_per_day"))
+  }
+
   /** Per-group PSI against one shared reference histogram — the rolling
     * drift monitor in its published form ("PSI of each day's score
     * distribution vs the training snapshot; alarm past 0.25"): the

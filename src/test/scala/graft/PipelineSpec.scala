@@ -3372,6 +3372,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(30L) == 0.0)
   }
 
+  test("theilSenByKey: per-key trends independent; single-day key NULL") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    val ev = ((0L to 3L).map(d => (ts(d), "up", d.toDouble * 2.0)) ++
+      (0L to 3L).map(d => (ts(d), "down", 10.0 - d.toDouble)) :+
+      ((ts(0L), "solo", 5.0))).toDF("event_time", "event_type", "value")
+    val out = graft.stats.HistStats.theilSenByKey(
+        ev, "event_time", "event_type", "value").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out("up") == ((4L, 6L, Some(2.0))))
+    assert(out("down") == ((4L, 6L, Some(-1.0))))
+    assert(out("solo") == ((1L, 0L, None)))
+  }
+
   test("theilSen: outlier day rejected (median slope); degenerate inputs NULL") {
     def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
     // days 0..3 trend exactly +1/day; day 4 is corrupted to 100 — six
