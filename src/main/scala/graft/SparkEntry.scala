@@ -2423,6 +2423,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Multimodal.qaReport(t(dir, "documents"))
     },
+    "q339_daily_acf1" -> { (s, dir) =>
+      // do daily anomalies PERSIST? lag-1 autocorrelation of the daily
+      // mean (near +1 drift, 0 noise, negative mean-reversion)
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      HistStats.dailyAcf1(ev, "event_time", "value")
+    },
     "q338_theil_sen_by_key" -> { (s, dir) =>
       // WHICH metric is trending: the q333 robust slope per event type
       implicit val sp: SparkSession = s
@@ -3634,6 +3642,7 @@ object SparkEntry {
       PipelineOracle.brierDecomposition("event_type = 'purchase'"),
     "q336_spearman" -> PipelineOracle.spearman,
     "q338_theil_sen_by_key" -> PipelineOracle.theilSenByKey,
+    "q339_daily_acf1" -> PipelineOracle.dailyAcf1,
     "q337_dsir_ess" -> PipelineOracle.dsirEss(
       "source IN ('src0', 'src1', 'src2')", 1024),
     "q332_hist_cube" -> Oracle.histCube("lineitem",

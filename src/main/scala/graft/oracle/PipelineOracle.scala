@@ -3635,6 +3635,34 @@ object PipelineOracle {
       "FROM nd CROSS JOIN e"
   }
 
+  /** Mirrors HistStats.dailyAcf1: quantized daily means, day-ordered
+    * folds for m̄ / denominator / numerator (LAG pairs; non-consecutive
+    * rows contribute an exact 0.0, matching the Spark fold), the
+    * zero-denominator / no-pair NULL. */
+  def dailyAcf1: String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    "WITH dd AS (SELECT ((epoch_ns(ts) // 1000) // 86400000000) AS d, " +
+      s"CAST(FLOOR(value * ${d(1.0e6)}) AS BIGINT) AS q " +
+      "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), " +
+      s"m AS (SELECT d, CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / ${d(1.0e6)} " +
+      "/ CAST(COUNT(*) AS DOUBLE) AS m FROM dd GROUP BY d), " +
+      "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM m), " +
+      "mb AS (SELECT SUM(m ORDER BY d) / CAST(ANY_VALUE(n_days) AS DOUBLE) AS mb " +
+      "FROM m CROSS JOIN n), " +
+      "de AS (SELECT SUM((m - mb) * (m - mb) ORDER BY d) AS den " +
+      "FROM m CROSS JOIN mb), " +
+      "l AS (SELECT d, m, LAG(d) OVER (ORDER BY d) AS pd, " +
+      "LAG(m) OVER (ORDER BY d) AS pm FROM m), " +
+      "np AS (SELECT CAST(COALESCE(SUM(CASE WHEN d = pd + 1 THEN 1 ELSE 0 END), 0) " +
+      "AS BIGINT) AS n_pairs FROM l), " +
+      "nu AS (SELECT SUM(CASE WHEN d = pd + 1 THEN (pm - mb) * (m - mb) " +
+      s"ELSE ${d(0.0)} END ORDER BY d) AS num FROM l CROSS JOIN mb) " +
+      "SELECT n.n_days, np.n_pairs, " +
+      s"CASE WHEN np.n_pairs = 0 OR de.den = ${d(0.0)} THEN NULL " +
+      "ELSE nu.num / de.den END AS acf1 " +
+      "FROM n CROSS JOIN np CROSS JOIN de CROSS JOIN nu"
+  }
+
   /** Mirrors HistStats.theilSenByKey over event_type: the [[theilSen]]
     * CTEs keyed, per-key rank-ordered slopes, the same median
     * interpolation, single-day keys NULL. */

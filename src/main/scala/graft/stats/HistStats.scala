@@ -974,6 +974,60 @@ object HistStats {
           .as("trend_per_day"))
   }
 
+  /** Lag-1 AUTOCORRELATION of the daily mean — the drift family's
+    * persistence head ([[theilSen]] asks "what is the trend?"; this
+    * asks "do deviations PERSIST?" — r₁ near +1 = drifting/sticky
+    * regime where yesterday's anomaly predicts today's, near 0 =
+    * independent noise, negative = oscillation/mean-reversion, e.g. a
+    * retry storm alternating with its backoff): the sample ACF
+    * r₁ = Σ_consecutive (m_t − m̄)(m_{t+1} − m̄) / Σ_all (m_t − m̄)²,
+    * with only CALENDAR-consecutive day pairs contributing to the
+    * numerator (gap days break the chain, not bridge it) while the
+    * mean and denominator run over all observed days. One row:
+    * (n_days, n_pairs, acf1); NULL when the denominator is zero
+    * (constant series) or no consecutive pair exists.
+    *
+    * Cross-engine: daily means from the quantized-long moment
+    * convention (q333); m̄, the denominator and the numerator all fold
+    * in day order (Spark: in-row HOF folds over the sorted array; SQL:
+    * SUM(… ORDER BY d) — same left association, non-consecutive rows
+    * contribute an exact 0.0). Scale shape: the corpus collapses to
+    * ≤ calendar-days rows; everything after is in-row. */
+  def dailyAcf1(events: DataFrame, tsCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val q6 = floor(v * lit(1.0e6)).cast("long")
+    val daily = events.filter(col(tsCol).isNotNull && v.isNotNull)
+      .select(unix_micros(col(tsCol)).as("__us"), q6.as("__q"))
+      .select(expr("__us div 86400000000").as("__d"), col("__q"))
+      .groupBy(col("__d"))
+      .agg(sum(col("__q").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("__s"), count(lit(1)).as("__n"))
+      .select(col("__d"), (col("__s").cast("double") / lit(1.0e6) /
+        col("__n").cast("double")).as("__m"))
+    daily.agg(sort_array(collect_list(struct(col("__d"), col("__m"))))
+        .as("__a"))
+      .withColumn("n_days", size(col("__a")).cast("long"))
+      .withColumn("__mb", expr(
+        "aggregate(__a, 0.0D, (a, x) -> a + x.__m) / CAST(n_days AS DOUBLE)"))
+      .withColumn("__den", expr(
+        "aggregate(__a, 0.0D, (a, x) -> a + (x.__m - __mb) * (x.__m - __mb))"))
+      .withColumn("__idx", expr(
+        "CASE WHEN size(__a) < 2 THEN CAST(array() AS ARRAY<INT>) " +
+          "ELSE sequence(1, size(__a) - 1) END"))
+      .withColumn("n_pairs", expr(
+        "CAST(size(filter(__idx, i -> __a[i].__d = __a[i - 1].__d + 1)) AS BIGINT)"))
+      .withColumn("__num", expr(
+        "aggregate(__idx, 0.0D, (a, i) -> a + " +
+          "CASE WHEN __a[i].__d = __a[i - 1].__d + 1 " +
+          "THEN (__a[i - 1].__m - __mb) * (__a[i].__m - __mb) " +
+          "ELSE 0.0D END)"))
+      .select(col("n_days"), col("n_pairs"),
+        when(col("n_pairs") === 0L || col("__den") === lit(0.0),
+            lit(null).cast("double"))
+          .otherwise(col("__num") / col("__den")).as("acf1"))
+  }
+
   /** [[theilSen]] per key — the "WHICH metric is trending?" dashboard
     * ([[meanShiftScan]]'s keyed analog for slopes): every key gets the
     * robust median-of-pairwise-slopes trend of its own daily mean, with

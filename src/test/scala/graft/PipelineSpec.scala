@@ -3372,6 +3372,33 @@ class PipelineSpec extends SparkSpec {
     assert(out(30L) == 0.0)
   }
 
+  test("dailyAcf1: alternating series ~ -1; constant NULL; gap days break pairs") {
+    def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
+    def acf(days: Seq[(Long, Double)]) = {
+      val r = graft.stats.HistStats.dailyAcf1(
+        days.map { case (dd, m) => (ts(dd), m) }.toDF("event_time", "value"),
+        "event_time", "value").collect()(0)
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    }
+    // perfect alternation around the mean: r1 = -sum/(sum) shifted by
+    // the pair/denominator count mismatch — compute the hand value
+    val alt = acf(Seq(0L -> 0.0, 1L -> 2.0, 2L -> 0.0, 3L -> 2.0, 4L -> 0.0))
+    // means 0,2,0,2,0; mbar=0.8; den=4*0.64+... compute directly:
+    val ms = Seq(0.0, 2.0, 0.0, 2.0, 0.0)
+    val mb = ms.sum / 5
+    val den = ms.map(m => (m - mb) * (m - mb)).sum
+    val num = ms.sliding(2).map { case Seq(a, b) => (a - mb) * (b - mb) }.sum
+    assert(alt._1 == 5L && alt._2 == 4L)
+    assert(alt._3.exists(v => math.abs(v - num / den) < 1e-12), alt)
+    assert(alt._3.exists(_ < 0.0)) // oscillation reads negative
+    // constant series: zero denominator -> NULL
+    assert(acf(Seq(0L -> 3.0, 1L -> 3.0, 2L -> 3.0))._3.isEmpty)
+    // a gap breaks the chain: days 0,1 then 5,6 -> only 2 pairs
+    val gap = acf(Seq(0L -> 1.0, 1L -> 2.0, 5L -> 3.0, 6L -> 4.0))
+    assert(gap._1 == 4L && gap._2 == 2L)
+  }
+
   test("theilSenByKey: per-key trends independent; single-day key NULL") {
     def ts(day: Long) = new java.sql.Timestamp(day * 86400000L)
     val ev = ((0L to 3L).map(d => (ts(d), "up", d.toDouble * 2.0)) ++
