@@ -153,17 +153,29 @@ object Bench {
     }
     val wall = cleanWall.getOrElse(worstWall)
     pool.shutdown()
-    // SOLO pass (sequential, machine to itself): per-query times without
-    // pool contention — the concurrent map above prices the WALL, but
-    // 16 queries racing 32 cores inflate individual timings 3-10x, which
-    // made r9->r10 per-query regression attribution unreadable. One
-    // uncontended run per query, recorded beside the concurrent map
-    // (and, being last in the JSON, it is what the next run's
-    // longest-first ordering reads back). SPARK_GRAFT_BENCH_SOLO=0 skips.
-    val soloOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO", "1").toInt > 0
-    val solo: Map[String, Double] =
-      if (!soloOn) Map.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SOLO passes (sequential, machine to itself): per-query times
+    // without pool contention — the concurrent map above prices the
+    // WALL, but 16 queries racing 32 cores inflate individual timings
+    // 3-10x, which made r9->r10 per-query regression attribution
+    // unreadable. Since r12 the solo capture is MEDIAN-OF-3 (r11
+    // verdict #8: single captures swung 29.7-53 s with page-cache
+    // state, confounding round-over-round regression lists): three
+    // full sequential passes, each recorded raw alongside the
+    // per-query MEDIAN, plus the page cache size read from
+    // /proc/meminfo before each pass so a cold-cache capture is
+    // distinguishable from a regression. SPARK_GRAFT_BENCH_SOLO sets
+    // the pass count (0 skips; default 3).
+    def pageCacheKb(): Long = try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("Cached:") =>
+          l.split("\\s+")(1).toLong }
+        .getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+    val soloPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO", "3").toInt
+    val soloCaches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val soloRuns: Seq[Map[String, Double]] = (1 to soloPasses).map { _ =>
+      soloCaches += pageCacheKb()
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -173,10 +185,22 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
+    }
+    val solo: Map[String, Double] =
+      if (soloRuns.isEmpty) Map.empty
+      else soloRuns.head.keys.map { name =>
+        val ts = soloRuns.map(_(name)).sorted
+        name -> ts(ts.size / 2) // median (middle of 3; lower-middle if even)
+      }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsSolo = solo.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsSoloRuns = soloRuns.map(run =>
+        run.map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
+    val cachesJson = soloCaches.mkString("[", ",", "]")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -193,7 +217,7 @@ object Bench {
     }
     val wallKind = if (cleanWall.isDefined) "min_over_clean_passes" else "max_over_failed_passes"
     val json =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"queries_solo":$qsSolo,"errors":$errJson,"sf":"$sfDir","wall_kind":"$wallKind","passes":$passes,"jvm_flags":$jvmFlags}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"queries_solo":$qsSolo,"queries_solo_runs":$qsSoloRuns,"page_cache_kb_before_solo":$cachesJson,"errors":$errJson,"sf":"$sfDir","wall_kind":"$wallKind","passes":$passes,"jvm_flags":$jvmFlags}"""
     println(json)
     // Also persist the JSON line: the driver's stdout tail-capture truncates
     // long lines, losing the per-query numbers every round (and the next

@@ -18,11 +18,35 @@ object SparkEntry {
 
   // Memoized per (session, path): queries re-use one logical scan instead
   // of re-listing/re-footer-reading the same parquet 45 times per run.
+  // LRU-bounded (the RelCache discipline, r11 verdict #6): a long-lived
+  // driver sweeping many sf dirs/sessions otherwise pins every scan —
+  // and cacheTables-persisted relations' storage — for the session
+  // lifetime; the evictee is unpersisted (a plain scan's unpersist is a
+  // no-op, a cacheTables-pinned one releases its blocks and would
+  // simply re-persist on the next cacheTables call).
+  private[graft] val TableCacheMax = 32
   private val tableCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
-    tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"),
-      graft.sources.Tables.table(s, dir, name))
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = {
+        val evict = size() > TableCacheMax
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
+  private[graft] def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
+    tableCache.synchronized {
+      val key = (s, s"$dir/$name.parquet")
+      val hit = tableCache.get(key)
+      if (hit != null) hit
+      else {
+        val df = graft.sources.Tables.table(s, dir, name)
+        tableCache.put(key, df)
+        df
+      }
+    }
+  private[graft] def tableCacheSize: Int =
+    tableCache.synchronized(tableCache.size())
 
   /** Pin the benchmark inputs in memory (the reference computes over
     * in-memory numpy/dask arrays, so the comparable starting state is
@@ -2751,15 +2775,18 @@ object SparkEntry {
     },
     "q315_knn_graph_recall" -> { (s, dir) =>
       // NN-Descent k-NN GRAPH (all-nodes ANN) recall contract vs exact
-      // top-3 for the fixed query ids: measured 0.93/0.70/1.0 at
-      // sf0.01/sf0.3/sf1 and 0.23 on the organic sf0.1 — the gapless
-      // uniform corpus is the algorithm's published worst case (its
-      // clustered regime is pinned at recall 1.0 in PipelineSpec) —
-      // bound 0.15 holds at every scale with margin (q164 discipline)
+      // top-3 for the fixed query ids, at the AUTO rounds default
+      // (budget max(4, ceil(log2 n / 4)) + <1% edge-churn early stop —
+      // the scale-safe default q340 pins at 200k vectors): measured
+      // 0.93/0.70/1.0 at sf0.01/sf0.3/sf1 and 0.23 on the organic
+      // sf0.1 — the gapless uniform corpus is the algorithm's
+      // published worst case (its clustered regime is pinned at recall
+      // 1.0 in PipelineSpec) — bound 0.15 holds at every scale with
+      // margin (q164 discipline)
       implicit val sp: SparkSession = s
       val emb = t(dir, "embeddings")
       graft.pipeline.Contracts.annRecallContract(
-        Similarity.knnGraph(emb, 10, rounds = 4)
+        Similarity.knnGraph(emb, 10)
           .filter(col("query_id") < 10),
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 3),
         bound = 0.15)
@@ -2778,13 +2805,15 @@ object SparkEntry {
       // bounded-heap beam; recall contract vs exact top-3 over the
       // fixed query ids (q315 discipline; same 0.15 floor — measured
       // 1.0/0.967/0.467 at sf0.001/0.01/0.1; the clustered regime is
-      // pinned at recall 1.0 rank-for-rank in PipelineSpec)
+      // pinned at recall 1.0 rank-for-rank in PipelineSpec); the graph
+      // build rides the AUTO rounds default, shared (memoized) with
+      // q315/q327
       implicit val sp: SparkSession = s
       val emb = t(dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
       graft.pipeline.Contracts.annRecallContract(
         Similarity.graphSearch(emb, queries, 3,
-          Similarity.knnGraph(emb, 10, rounds = 2), rounds = 2, beam = 8),
+          Similarity.knnGraph(emb, 10), rounds = 2, beam = 8),
         Similarity.bruteForceTopK(emb, queries, 3),
         bound = 0.15)
     },
@@ -2811,11 +2840,12 @@ object SparkEntry {
       // diversify (r=6 from k=10: 40% fewer edges) -> beam search;
       // recall contract vs exact top-3 — measured 1.0/0.967/0.467 at
       // sf0.001/0.01/0.1, IDENTICAL to the unpruned q317 graph (the
-      // pruning's selling point), floor 0.15
+      // pruning's selling point), floor 0.15; AUTO-rounds build shared
+      // (memoized) with q315/q317
       implicit val sp: SparkSession = s
       val emb = t(dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
-      val g = Similarity.knnGraph(emb, 10, rounds = 2)
+      val g = Similarity.knnGraph(emb, 10)
       graft.pipeline.Contracts.annRecallContract(
         Similarity.graphSearch(emb, queries, 3,
           Similarity.diversifyGraph(emb, g, r = 6, alpha = 1.2),
@@ -2873,8 +2903,129 @@ object SparkEntry {
           graft.sources.Layout.interleave(Seq(cq, cp), 8).as("zkey"))
         .groupBy(col("cell_q"), col("cell_p"), col("zkey"))
         .agg(count(lit(1)).as("cnt"))
+    },
+    "q340_knn_graph_scale" -> { (s, _) =>
+      // the ≥200k-vector SCALE gate for the graph-ANN family's AUTO
+      // rounds default (r11 verdict #1): NN-Descent at 200k
+      // deterministic clustered vectors (analytic mate truth — exact
+      // brute force at this n is quadratic), edge recall vs the n·k
+      // true mate edges must clear 0.8 with NO caller-supplied rounds
+      // (measured 1.0; the churn stop exits after round 1 on this
+      // converged-init regime, and the budget max(4, ceil(log2 n / 4))
+      // = 5 is logged). sf-independent by design — the corpus and the
+      // verdict are pure functions of (n, dim, clusterSize)
+      graft.pipeline.Contracts.graphEdgeRecallContract(
+        Similarity.knnGraph(scaleCorpus(s), 4),
+        clusterSize = 5, k = 4, nNodes = ScaleN, bound = 0.8)
+    },
+    "q341_graph_search_scale" -> { (s, _) =>
+      // beam search over the (memoized) q340 graph at 200k: per-query
+      // mate recall ≥ 0.8 over the 200 fixed probe queries — pins the
+      // POSITION-LOCAL chain entry (a position-blind entry measured
+      // 0.035 on this corpus: the per-cluster graph components are
+      // unreachable from foreign seeds); measured 1.0
+      val emb = scaleCorpus(s)
+      graft.pipeline.Contracts.searchMateRecallContract(
+        Similarity.graphSearch(emb, scaleQueries(emb), 4,
+          Similarity.knnGraph(emb, 4), rounds = 2, beam = 8),
+        clusterSize = 5, k = 4, nQueries = 200L, bound = 0.8)
+    },
+    "q342_ann_lsh_scale" -> { (s, _) =>
+      // sign-LSH searcher recall floor at 200k (r11 verdict #4: the
+      // measured recall curves lived only in SURVEY prose/dev tools):
+      // the corpus is MIXED-SIGN (centered) by construction — the
+      // regime the LSH family requires (the uncentered degeneracy is
+      // the documented graphSearch caveat + the annLsh sign guard);
+      // floor 0.9, measured 1.0
+      val emb = scaleCorpus(s)
+      graft.pipeline.Contracts.searchMateRecallContract(
+        Similarity.annLsh(emb, scaleQueries(emb), 4),
+        clusterSize = 5, k = 4, nQueries = 200L, bound = 0.9)
+    },
+    "q343_ann_ivf_scale" -> { (s, _) =>
+      // IVF searcher recall floor at 200k, at a REAL cell grid
+      // (nCells=64, nprobe=4 — not the exhaustive-probe exact regime
+      // q52/q147 gate): floor 0.9, measured 1.0
+      val emb = scaleCorpus(s)
+      graft.pipeline.Contracts.searchMateRecallContract(
+        Similarity.annIvf(emb, scaleQueries(emb), 4,
+          nCells = 64, nprobe = 4),
+        clusterSize = 5, k = 4, nQueries = 200L, bound = 0.9)
+    },
+    "q344_jl_search_scale" -> { (s, _) =>
+      // JL two-stage searcher recall floor at 200k (64 dims -> 16-dim
+      // shortlist of 64 + exact rerank): floor 0.9, measured 1.0
+      val emb = scaleCorpus(s)
+      graft.pipeline.Contracts.searchMateRecallContract(
+        Similarity.jlSearchTopK(emb, scaleQueries(emb), 4,
+          dims = 16, shortlist = 64),
+        clusterSize = 5, k = 4, nQueries = 200L, bound = 0.9)
+    },
+    "q345_bucketed_dedup_join" -> { (s, dir) =>
+      // Sinks.writeBucketed gated END-TO-END (r11 verdict #2 — the one
+      // §2 component with no CORRECTNESS row): documents + their
+      // exact-dup keeper verdicts are each written as doc_id-bucketed
+      // tables, the downstream verdict join runs OFF THE BUCKETED
+      // COPIES (merge-hinted so the small gate tables take the same
+      // sort-merge path a 100 TB corpus would), and the per-source
+      // rollup is value-gated against the same join over the FLAT
+      // parquet in DuckDB. The plan pin rides INSIDE the gate: the
+      // zero_exchange column is computed from the join's physical plan
+      // (no ShuffleExchange anywhere — both sides' hash requirement is
+      // satisfied by the bucketed SCAN), and the oracle says TRUE, so
+      // a silently-reintroduced shuffle hash-mismatches the gate.
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val dTab = s"graft_q345_docs_$sfx"
+      val vTab = s"graft_q345_verd_$sfx"
+      val nb = 8
+      graft.sources.Sinks.writeBucketed(
+        docs.select(col("doc_id"), col("source"), col("n_chars")),
+        dTab, "doc_id", nb, Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      graft.sources.Sinks.writeBucketed(
+        docs.select(col("doc_id"),
+          (col("doc_id") === min(col("doc_id")).over(w)).as("keeper")),
+        vTab, "doc_id", nb, Seq("doc_id"))
+      val joined = s.table(dTab).join(s.table(vTab).hint("merge"), "doc_id")
+      val zeroEx = !joined.queryExecution.sparkPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      joined.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keeper"), 1L).otherwise(0L)).as("n_keepers"),
+          sum(when(col("keeper"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .withColumn("zero_exchange", lit(zeroEx))
+    },
+    "q346_novelty_bounded" -> { (s, dir) =>
+      // BOUNDED-memory novelty (r11 verdict #3 — the one streaming
+      // state with no bound and no knob): "first time within horizon"
+      // semantics whose streaming state is watermark-EVICTED
+      // (dropDuplicatesWithinWatermark) instead of ever-growing; batch
+      // contract = per-key lag over the (key, ts)-collapsed relation,
+      // novel iff no prior occurrence within 4 hours; q322 (the exact
+      // all-time form) is unchanged
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.StreamingHist.windowedNoveltyBounded(
+        ev, "event_time", "user_id", "1 hour", "4 hours")
     }
   )
+
+  /** Fixed shape of the ≥200k-vector scale gates (q340–q344): one
+    * deterministic clustered corpus shared via the plan-keyed RelCache
+    * (all five gates persist the SAME generator plan) and a fixed
+    * 200-query probe set. sf-independent: these gates price the
+    * ALGORITHMS' recall at a scale the organic test tables can't reach,
+    * not the data. */
+  private val ScaleN = 200000L
+  private def scaleCorpus(s: SparkSession): DataFrame =
+    graft.util.RelCache.persist(
+      graft.pipeline.Contracts.clusteredCorpus(s, ScaleN, 64, 5))
+  private def scaleQueries(emb: DataFrame): DataFrame =
+    emb.filter(pmod(col("vec_id"), lit(1000L)) === 0L)
 
   def oracleSql: Map[String, String] = Map(
     "q01_hist_regular" -> Oracle.hist("lineitem", Seq(Oracle.Spec("l_quantity", axQty))),
@@ -3740,6 +3891,33 @@ object SparkEntry {
         "FROM embeddings WHERE vec_id < 10"),
     "q327_graph_diversify_search" ->
       ("SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, TRUE AS recall_ok " +
-        "FROM embeddings WHERE vec_id < 10")
+        "FROM embeddings WHERE vec_id < 10"),
+    // ≥200k-vector scale contracts (q315/q157 discipline at 100× the
+    // organic scale): the corpus is synthetic and deterministic, the
+    // ground truth analytic, so the oracle is the constant TRUE verdict
+    // — any recall/completeness regression hash-mismatches
+    "q340_knn_graph_scale" ->
+      "SELECT CAST(200000 AS BIGINT) AS n_nodes, TRUE AS recall_ok",
+    "q341_graph_search_scale" ->
+      "SELECT CAST(200 AS BIGINT) AS n_queries, TRUE AS recall_ok",
+    "q342_ann_lsh_scale" ->
+      "SELECT CAST(200 AS BIGINT) AS n_queries, TRUE AS recall_ok",
+    "q343_ann_ivf_scale" ->
+      "SELECT CAST(200 AS BIGINT) AS n_queries, TRUE AS recall_ok",
+    "q344_jl_search_scale" ->
+      "SELECT CAST(200 AS BIGINT) AS n_queries, TRUE AS recall_ok",
+    // the bucketed-layout sink gated end-to-end: the oracle runs the
+    // SAME verdict join + rollup off the FLAT parquet; zero_exchange is
+    // the Spark-side plan pin (TRUE constant here)
+    "q345_bucketed_dedup_join" ->
+      ("WITH keep AS (SELECT doc_id, source, n_chars, " +
+        "CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) " +
+        "THEN 1 ELSE 0 END AS k FROM documents) " +
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
+        "CAST(SUM(k) AS BIGINT) AS n_keepers, " +
+        "CAST(SUM(CASE WHEN k = 1 THEN n_chars ELSE 0 END) AS BIGINT) " +
+        "AS kept_chars, TRUE AS zero_exchange FROM keep GROUP BY source"),
+    "q346_novelty_bounded" ->
+      PipelineOracle.windowedNoveltyBounded(3600000000L, 14400000000L)
   )
 }

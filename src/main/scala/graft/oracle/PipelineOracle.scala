@@ -2634,6 +2634,20 @@ object PipelineOracle {
       "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL " +
       "GROUP BY user_id) f GROUP BY fw"
 
+  /** Mirrors StreamingHist.windowedNoveltyBounded's batch contract:
+    * (key, ts) ties collapse first (DISTINCT), an occurrence is novel
+    * iff it has no same-key predecessor within `horUs`, then the q322
+    * windowed count. */
+  def windowedNoveltyBounded(durUs: Long, horUs: Long): String =
+    "SELECT make_timestamp(ws) AS window_start, " +
+      "CAST(COUNT(*) AS BIGINT) AS novel_keys FROM " +
+      s"(SELECT ((us // $durUs) * $durUs) AS ws FROM " +
+      "(SELECT user_id, us, " +
+      "LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev FROM " +
+      "(SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) AS us FROM events " +
+      "WHERE ts IS NOT NULL AND user_id IS NOT NULL) o) l " +
+      s"WHERE prev IS NULL OR us - prev > $horUs) n GROUP BY ws"
+
   /** Mirrors TextAnalysis.lmScore: same tokenization, the 1e-9-quantized
     * LN of the corpus-trained unigram probability, SUM(c ORDER BY term)
     * for the per-doc fold (the sequential-sum contract), and the mean

@@ -274,4 +274,78 @@ object Contracts {
         rankBoundVerdict(col("__b"), col("__l"), col("q"), e, col("__n"))
           .as("within_bound"))
   }
+
+  /** Deterministic CLUSTERED corpus for the ≥200k-vector scale gates —
+    * the synthetic regime where ground-truth neighbors are ANALYTIC,
+    * so recall contracts run at a scale where exact brute force over
+    * all nodes would be quadratic and the organic test tables (≤2k
+    * vectors) say nothing. Vector i belongs to cluster i div
+    * clusterSize (CONTIGUOUS ids — the mate test is integer division,
+    * no join); each cluster has a pseudo-random center with
+    * coordinates in {±1, ±2, ±3}/3 (never 0, so the ±0.02 per-vector
+    * jitter can never flip a sign — axis-sign LSH buckets mates
+    * together deterministically, and the corpus is mixed-sign, i.e.
+    * CENTERED, the regime the sign-LSH family requires — see the
+    * graphSearch centering caveat). Within-cluster cosine ≈ 0.999;
+    * cross-cluster centers are independent draws from 6^dim
+    * combinations (collision odds ~3e-4 at 40k clusters, dim 64, and a
+    * collision perturbs the truth of ~clusterSize nodes out of n), so
+    * every vector's true top-(clusterSize−1) = its cluster mates.
+    * Everything derives from Murmur3 hash(cluster, dim) / hash(id,
+    * dim) — no RNG state, bit-stable across runs and partitionings. */
+  def clusteredCorpus(spark: org.apache.spark.sql.SparkSession, n: Long,
+      dim: Int, clusterSize: Int): DataFrame = {
+    require(n > 0 && dim > 0 && clusterSize > 1,
+      s"bad corpus shape: n=$n dim=$dim clusterSize=$clusterSize")
+    spark.range(0, n).select(col("id").as("vec_id"))
+      .withColumn("__c", expr(s"vec_id div $clusterSize"))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(1, $dim), i -> CAST(
+           |  (CASE WHEN pmod(hash(__c, i), 6) < 3
+           |        THEN pmod(hash(__c, i), 6) - 3
+           |        ELSE pmod(hash(__c, i), 6) - 2 END) / 3.0D
+           |  + 0.01D * (pmod(hash(vec_id, i), 5) - 2) AS FLOAT))
+           |""".stripMargin.replaceAll("\n", " ")).as("embedding"))
+  }
+
+  /** Edge-recall contract of a k-NN GRAPH over [[clusteredCorpus]]:
+    * the fraction of the n·k true mate edges the graph found (a node's
+    * true top-k are its cluster mates whenever k < clusterSize — the
+    * analytic ground truth; missing edges count against recall, so an
+    * under-built graph fails). Emits ONE row (n_nodes, recall_ok) —
+    * the oracle is the constant TRUE verdict, so a recall regression
+    * hash-mismatches the gate (q315 discipline at 100× its scale). */
+  def graphEdgeRecallContract(graph: DataFrame, clusterSize: Int, k: Int,
+      nNodes: Long, bound: Double): DataFrame = {
+    require(k < clusterSize, s"truth needs k < clusterSize: $k, $clusterSize")
+    graph.filter(col("rank") <= k)
+      .agg(sum(when(
+          expr(s"query_id div $clusterSize = neighbor_id div $clusterSize"),
+          1L).otherwise(0L)).as("__hits"))
+      .select(lit(nNodes).as("n_nodes"),
+        (coalesce(col("__hits"), lit(0L)).cast("double") >=
+          lit(bound * (nNodes * k).toDouble)).as("recall_ok"))
+  }
+
+  /** Per-query mate-recall contract of an ANN SEARCHER over
+    * [[clusteredCorpus]]: of the nQueries·k expected mate hits
+    * (self excluded — every searcher here excludes self by
+    * construction), the fraction the approximate top-k found.
+    * `nQueries` is the EXPECTED query count, asserted via the emitted
+    * n_queries (a searcher silently dropping a query fails the hash,
+    * not just the recall). One row (n_queries, recall_ok). */
+  def searchMateRecallContract(approx: DataFrame, clusterSize: Int, k: Int,
+      nQueries: Long, bound: Double): DataFrame = {
+    require(k < clusterSize, s"truth needs k < clusterSize: $k, $clusterSize")
+    approx.filter(col("rank") <= k)
+      .agg(count_distinct(col("query_id")).as("n_queries"),
+        sum(when(
+          expr(s"query_id div $clusterSize = neighbor_id div $clusterSize") &&
+            col("query_id") =!= col("neighbor_id"), 1L).otherwise(0L))
+          .as("__hits"))
+      .select(col("n_queries"),
+        (col("n_queries") === lit(nQueries) &&
+          coalesce(col("__hits"), lit(0L)).cast("double") >=
+            lit(bound * (nQueries * k).toDouble)).as("recall_ok"))
+  }
 }

@@ -971,10 +971,23 @@ object Dedup extends org.apache.spark.internal.Logging {
     * state is one row per EMITTED match, not per candidate. A hot
     * stream band bucket's join volume is bounded by the STATIC side's
     * bucket size (the reference corpus) — the skew guard the batch self
-    * -join needs is structural here. Emits (doc_a, doc_b, jaccard). */
+    * -join needs is structural here. Emits (doc_a, doc_b, jaccard).
+    *
+    * STATE BOUND: the default (doc_a, doc_b) dropDuplicates keeps one
+    * state row per match EVER EMITTED for the stream's lifetime —
+    * acceptable for rare decontamination hits, unbounded on a
+    * high-overlap stream. Long-lived deployments pass `tsCol` (the
+    * stream's event-time column) + `matchTtl`: the dedup becomes
+    * dropDuplicatesWithinWatermark keyed (doc_a, doc_b), so a match's
+    * state is EVICTED once the watermark passes its event time +
+    * matchTtl — state is bounded by the horizon's match arrival rate.
+    * A pair re-matching after eviction re-emits, by design (the
+    * [[graft.streaming.StreamingHist.streamingDedup]] TTL semantics).
+    * Batch execution is identical either way (the gated q330 form). */
   def nearDupStream(docs: DataFrame, corpus: DataFrame, k: Int = 5,
       threshold: Double = 0.7, bands: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, tsCol: Option[String] = None,
+      matchTtl: String = "1 hour"): DataFrame = {
     require(!corpus.isStreaming, "the reference side is a static corpus")
     if (!docs.isStreaming)
       return crossNearDup(docs, corpus, k, threshold, bands, rowsPerBand,
@@ -998,27 +1011,36 @@ object Dedup extends org.apache.spark.internal.Logging {
     // no widen() on the stream side: its stats probe forces batch
     // planning (illegal on a streaming relation), and micro-batches
     // arrive pre-partitioned anyway
-    val ba = docs
-      .select(col("doc_id"),
+    val withTs = tsCol.fold(docs)(c => docs.withWatermark(c, matchTtl))
+    val tsCols = tsCol.map(col(_)).toSeq
+    val ba = withTs
+      .select((col("doc_id") +: tsCols) ++ Seq(
         graft.functions.GramHashes.gram_hashes(col("text"), lit("g"), k)
           .as("__ga"),
-        explode(array(sig)).as("__sig"))
-      .select(col("doc_id"), col("__ga"),
-        explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id") +: col("__ga") +: col("bs.band").as("band") +:
-        rowNames.map(rn => col(s"bs.$rn").as(rn)): _*)
+        explode(array(sig)).as("__sig")): _*)
+      .select((col("doc_id") +: tsCols) ++ Seq(col("__ga"),
+        explode(array(bandStructs: _*)).as("bs")): _*)
+      .select((col("doc_id") +: tsCols) ++ (col("__ga") +:
+        col("bs.band").as("band") +:
+        rowNames.map(rn => col(s"bs.$rn").as(rn))): _*)
       .as("a")
     val joinCond = keys.map(kc => col(s"a.$kc") === col(s"b.$kc"))
       .reduce(_ && _) && col("a.doc_id") =!= col("b.doc_b")
     val inter = graft.functions.SortedIntersectCount
       .sorted_intersect_count(col("__ga"), col("__gb"))
-    ba.join(bbg.as("b"), joinCond)
+    val matched = ba.join(bbg.as("b"), joinCond)
       .withColumn("__inter", inter)
       .withColumn("jaccard", col("__inter").cast("double") /
         (size(col("__ga")) + size(col("__gb")) - col("__inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a.doc_id").as("doc_a"), col("doc_b"), col("jaccard"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select((col("a.doc_id").as("doc_a") +: col("doc_b") +:
+        col("jaccard") +: tsCols): _*)
+    tsCol match {
+      case Some(c) => matched
+        .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+        .drop(c)
+      case None => matched.dropDuplicates("doc_a", "doc_b")
+    }
   }
 
   /** 64-bit SimHash per doc over distinct space-separated tokens: bit b is

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  // NOT the Logging trait: its `log` member would shadow functions.log
+  // used by the score transforms below
+  private val logger =
+    org.slf4j.LoggerFactory.getLogger("graft.pipeline.Similarity")
+  private def logWarning(msg: => String): Unit = logger.warn(msg)
+
   /** Left-to-right dot product of two float vectors, in double —
     * codegen'd native expression (see graft.functions.VecDot). */
   def dot(a: Column, b: Column): Column = graft.functions.VecDot.vec_dot(a, b)
@@ -133,12 +139,23 @@ object Similarity {
     * ROUNDS SIZING (measured in StressGraph): NN-Descent converges in
     * O(log n) rounds from a local init — on a 1000-cluster 50k-vector
     * corpus, edge recall vs exact top-k goes 0.29 → 0.85 from
-    * rounds = 2 → 4. Size `rounds` ≈ log₂(n)/4 and verify with the
-    * q315-style contract; under-rounding shows up as an unconverged
-    * graph, not an error. */
-  def knnGraph(emb: DataFrame, k: Int, rounds: Int = 2, tables: Int = 8,
+    * rounds = 2 → 4; a FIXED small default silently under-converges as
+    * n grows (a caller at 10M vectors would get a bad graph and no
+    * error). The default is therefore AUTO (rounds < 0): the round
+    * budget is max(4, ⌈log₂(n)/4⌉) — at least the measured-converged
+    * 50k budget, growing with n — and each round measures its own EDGE
+    * CHURN (fraction of (query, neighbor) edges that changed), the
+    * NN-Descent paper's own stop rule: refinement stops early once
+    * churn < 1%, so converged corpora never pay the full budget. Both
+    * the derived budget and the per-round churn are logged the way the
+    * LSH pair-budget guard logs (one warning line per decision), and
+    * the ≥200k-vector recall gate (q340) pins the auto default's
+    * quality. Passing an explicit rounds ≥ 0 keeps the fixed-iteration
+    * behavior (and skips the churn counts). Determinism holds either
+    * way: churn is a pure function of the data. */
+  def knnGraph(emb: DataFrame, k: Int, rounds: Int = -1, tables: Int = 8,
       bits: Int = 8, initDegree: Int = 0): DataFrame = {
-    require(k > 0 && rounds >= 0 && tables > 0 && bits > 0,
+    require(k > 0 && rounds >= -1 && tables > 0 && bits > 0,
       s"bad knnGraph shape: k=$k rounds=$rounds tables=$tables bits=$bits")
     // memoized per (corpus, parameters): the build is the expensive
     // artifact every graph consumer (q315 contract, q317 search, q327
@@ -187,8 +204,25 @@ object Similarity {
       df.queryExecution.analyzed.collectLeaves().collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
+    // AUTO budget: max(4, ceil(log2(n)/4)) — the StressGraph-measured
+    // convergence scaling; the count job runs on the already-persisted
+    // corpus relation (one cached scan)
+    val auto = rounds < 0
+    val budget =
+      if (!auto) rounds
+      else {
+        val nRows = n.count()
+        val r = math.max(4, math.ceil(
+          math.log(math.max(nRows, 2L).toDouble) / math.log(2.0) / 4.0).toInt)
+        logWarning(s"knnGraph auto rounds: n=$nRows -> budget=$r " +
+          "(stops early at <1% edge churn)")
+        r
+      }
     var graph = rankTopK(score(initCand), k).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var converged = false
+    while (round < budget && !converged) {
+      round += 1
       val g = graph.select(col("query_id"), col("neighbor_id"))
       // reverse edges capped at k by cosine — the paper's reverse
       // sampling; an uncapped in-degree hub squares in the NoN join
@@ -203,6 +237,19 @@ object Similarity {
           col("y.neighbor_id").as("neighbor_id"))
       val cand = g.union(non).distinct()
       val next = rankTopK(score(cand), k).localCheckpoint(true)
+      if (auto) {
+        // edge churn = fraction of the new graph's edges absent from
+        // the previous graph — one anti-join count on two n·k-row
+        // checkpointed relations, cheap next to the round it prices;
+        // the NN-Descent stop rule (churn < delta) ends refinement
+        val total = next.count()
+        val kept = next.select(col("query_id"), col("neighbor_id"))
+          .join(g, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val churn =
+          if (total == 0L) 0.0 else (total - kept).toDouble / total.toDouble
+        logWarning(f"knnGraph round $round/$budget: edge churn $churn%.4f")
+        converged = churn < 0.01
+      }
       blocks(graph).foreach(_.unpersist(false))
       graph = next
     }
@@ -254,15 +301,20 @@ object Similarity {
     val cands = g.groupBy(col("__u"))
       .agg(sort_array(collect_list(struct((-col("__cuv")).as("s"),
         col("__v").as("v"), col("__cuv").as("c")))).as("__cands"))
-    val d = lit(1.0)
-    // the greedy walk: keep c unless some kept k dominates it
+    // the greedy walk: keep c unless some kept k dominates it. A pair
+    // key absent from __pm means the graph references a vec_id the
+    // corpus doesn't hold (inconsistent graph/emb inputs) — fail LOUDLY
+    // instead of letting the NULL predicate silently keep the candidate
+    // and skew pruning (raise_error is reached only on the missing key;
+    // a kept-set member always came through the same pair relation).
     val keepExpr =
       s"""aggregate(__cands,
          |  CAST(array() AS ARRAY<STRUCT<v: BIGINT, c: DOUBLE>>),
          |  (acc, cd) -> CASE
          |    WHEN size(acc) >= $r THEN acc
          |    WHEN exists(acc, k ->
-         |      $alpha * (1.0D - element_at(__pm, concat(k.v, ':', cd.v)))
+         |      $alpha * (1.0D - coalesce(element_at(__pm, concat(k.v, ':', cd.v)),
+         |        CAST(raise_error('diversifyGraph: graph neighbor pair absent from emb') AS DOUBLE)))
          |        <= (1.0D - cd.c)) THEN acc
          |    ELSE array_append(acc, struct(cd.v AS v, cd.c AS c)) END)
          |""".stripMargin.replaceAll("\n", " ")
@@ -283,13 +335,22 @@ object Similarity {
     * (a greedy walk is a driver loop per query; the level-synchronous
     * frontier is how batch engines evaluate NSG/Vamana-style search).
     *
-    *  - ENTRY: each query seeds its beam from three deterministic
+    *  - ENTRY: each query seeds its beam from four deterministic
     *    sources — (a) the first `beam` corpus vectors per (table,
     *    bucket) of ITS OWN sign-LSH buckets (the graph's init
-    *    geometry: precision), (b) every bucket's HEAD vector (first in
+    *    geometry: precision), (a2) for a query that IS a corpus member,
+    *    its bucket CHAIN NEIGHBORS — the ≤ beam corpus vectors on
+    *    either side of its own rank position in each bucket's vec_id
+    *    order, exactly the rows the graph's chain init linked it to
+    *    (POSITION-LOCAL entry: on a well-separated corpus the k-NN
+    *    graph is DISCONNECTED per cluster, and the position-blind
+    *    first-rows seed lands every walk in a foreign component —
+    *    measured 0.035 vs 1.0 search recall at 200k clustered vectors;
+    *    one equi-join on vec_id + the chain-init rank explode, ≤
+    *    tables·(2·beam+1) seeds per query, nothing for out-of-corpus
+    *    queries), (b) every bucket's HEAD vector (first in
     *    vec_id order — at most tables·2^bits rows total, the IVF-style
-    *    coarse routing that gives entry DIVERSITY: a k-NN graph of
-    *    well-separated clusters is disconnected, so a query whose own
+    *    coarse routing that gives entry DIVERSITY: a query whose own
     *    bucket is a singleton can never walk into the right basin from
     *    a foreign entry; bucket heads guarantee one entry per populated
     *    region), and (c) the globally smallest `beam` vec_ids (so no
@@ -354,6 +415,18 @@ object Similarity {
         col("tb.bucket").as("bucket"))
     val lshSeeds = broadcast(qb).join(entryIdx, Seq("tbl", "bucket"))
       .select(col("query_id"), col("neighbor_id"))
+    // (a2) position-local chain seeds: the query's own row in each
+    // bucket (equi-join on vec_id — empty for out-of-corpus queries)
+    // exploded to the chain-init rank window around its position
+    val chainSeeds = broadcast(qb)
+      .join(ranked.withColumnRenamed("vec_id", "query_id"),
+        Seq("query_id", "tbl", "bucket"))
+      .select(col("query_id"), col("tbl"), col("bucket"),
+        explode(expr(s"sequence(greatest(1, __rn - $beam), __rn + $beam)"))
+          .as("__trn"))
+      .join(ranked.select(col("vec_id").as("neighbor_id"), col("tbl"),
+        col("bucket"), col("__rn").as("__trn")), Seq("tbl", "bucket", "__trn"))
+      .select(col("query_id"), col("neighbor_id"))
     // bucket heads: one representative per populated (table, bucket) —
     // ≤ tables·2^bits rows, the bounded entry-diversity set
     val headSeeds = q.select(col("query_id"))
@@ -375,7 +448,8 @@ object Similarity {
       }
     val edges = graph.select(col("query_id").as("__node"),
       col("neighbor_id").as("__next"))
-    var seen = score(lshSeeds.union(headSeeds).union(globalSeeds).distinct())
+    var seen = score(lshSeeds.union(chainSeeds).union(headSeeds)
+        .union(globalSeeds).distinct())
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val frontier = rankTopK(seen, beam)
@@ -1018,9 +1092,40 @@ object Similarity {
     * single-table revision lacked. Recall at a given neighbor cosine:
     * per-table catch sum_{i<=probeHamming} C(bits,i) p^(bits-i) (1-p)^i
     * with p = 1 - theta/pi, OR'd over tables; measured against
-    * bruteForceTopK in SURVEY §6. */
+    * bruteForceTopK in SURVEY §6.
+    *
+    * CENTERING GUARD: a single-signed corpus (all coordinates one sign
+    * — some encoder models) hashes EVERY vector into the all-ones
+    * bucket per table, collapsing the split and cratering recall (the
+    * graphSearch centering caveat; measured 0.95 → 0.05 uncentered).
+    * `signGuard` (default on) runs one tiny aggregate over a
+    * deterministic ~1% corpus sample and LOGS a warning when the
+    * sampled positive-coordinate fraction is outside [0.05, 0.95] —
+    * log-only (results unchanged), so production pipelines get told to
+    * [[centerEmbeddings]] first instead of silently losing recall. */
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int, tables: Int = 4,
-      bits: Int = 16, probeHamming: Int = 2): DataFrame = {
+      bits: Int = 16, probeHamming: Int = 2,
+      signGuard: Boolean = true): DataFrame = {
+    if (signGuard) {
+      val d = tables * bits
+      val frac = corpus
+        .filter(pmod(hash(col("vec_id")), lit(101)) === 0 &&
+          col("embedding").isNotNull && size(col("embedding")) > 0)
+        .select(avg(expr(
+          s"""aggregate(slice(embedding, 1, $d), 0.0D,
+             |  (a, x) -> a + CASE WHEN x > 0.0 THEN 1.0D ELSE 0.0D END)
+             |  / least(size(embedding), $d)""".stripMargin
+            .replaceAll("\n", " "))).as("f"))
+        .collect()(0)
+      if (!frac.isNullAt(0)) {
+        val f = frac.getDouble(0)
+        if (f > 0.95 || f < 0.05) logWarning(
+          f"annLsh sign guard: sampled positive-coordinate fraction $f%.3f" +
+            " — a single-signed corpus collapses sign-LSH buckets and " +
+            "craters recall; center the embeddings first " +
+            "(Similarity.centerEmbeddings)")
+      }
+    }
     def bucketed(df: DataFrame): DataFrame =
       df.select(col("vec_id"), col("embedding"), col("nrm"),
         explode(array((0 until tables).map(t =>
@@ -1979,7 +2084,7 @@ object Similarity {
   def centerEmbeddings(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val means = emb.filter(col("embedding").isNotNull)
+    val meanRows = emb.filter(col("embedding").isNotNull)
       .select(posexplode(col("embedding")).as(Seq("__i", "__v")))
       .filter(col("__v").isNotNull)
       .groupBy(col("__i"))
@@ -1987,14 +2092,22 @@ object Similarity {
         .as("__s"), count(lit(1)).as("__n"))
       .select(col("__i"), (col("__s").cast("double") / lit(1.0e9) /
         col("__n").cast("double")).as("__m"))
-      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
-    if (means.isEmpty)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    if (meanRows.isEmpty)
       return Seq.empty[(Long, Int, Double)].toDF("vec_id", "i", "x")
+    // DENSE positional array up to the max observed dim: a dim with zero
+    // non-null values (ragged / all-NULL coordinate) must hold a NULL
+    // GAP, not be compacted away — positional element_at against a
+    // compacted array would apply dim j's mean to every dim > j,
+    // silently diverging from the oracle's join ON m.i = e.i (whose
+    // missing-dim semantics is NULL x, mirrored here).
+    val means: Seq[Column] = (0 to meanRows.keys.max).map(i =>
+      meanRows.get(i).fold(lit(null).cast("double"))(lit(_)))
     emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("__i", "__v")))
       .select(col("vec_id"), (col("__i") + 1).cast("int").as("i"),
         (col("__v").cast("double") -
-          element_at(lit(means), col("__i") + 1)).as("x"))
+          try_element_at(array(means: _*), col("__i") + 1)).as("x"))
   }
 
   /** PCA-WHITENED top-2 projection (the "PCA + whitening" stage of

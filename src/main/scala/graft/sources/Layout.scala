@@ -25,17 +25,26 @@ object Layout {
 
   /** Quantized cell index in [0, 2^bits): clamp(floor((v − lo) /
     * (hi − lo) · 2^bits)). Out-of-range values clamp to the edge cells
-    * (layout keys must never drop rows); NULL stays NULL. */
+    * (layout keys must never drop rows): the clamp happens in DOUBLE,
+    * BEFORE the long cast — a value past the long range (or ±Infinity)
+    * would otherwise cast to NULL and Spark's null-ignoring
+    * greatest/least would silently re-clamp it to cell 0, landing a
+    * huge POSITIVE outlier in the LOW edge cell. NULL stays NULL, and
+    * NaN maps to NULL too (NaN sorts above every double in Spark, so a
+    * clamp would silently file it as the top cell of every axis). */
   def cell(v: Column, lo: Double, hi: Double, bits: Int): Column = {
     require(bits > 0 && bits <= 20, s"bits out of (0,20]: $bits")
     require(hi > lo, s"need hi > lo: ($lo, $hi)")
     val scale = (1L << bits).toDouble
-    val raw = floor((v.cast("double") - lit(lo)) / lit(hi - lo) * lit(scale))
-      .cast("long")
-    // explicit NULL guard: Spark's greatest/least IGNORE nulls, which
-    // would silently clamp a NULL value into cell 0
-    when(v.isNull, lit(null).cast("long"))
-      .otherwise(least(lit((1L << bits) - 1L), greatest(lit(0L), raw)))
+    val vd = v.cast("double")
+    val raw = floor((vd - lit(lo)) / lit(hi - lo) * lit(scale))
+    val clamped = least(lit(((1L << bits) - 1L).toDouble),
+      greatest(lit(0.0), raw))
+    // explicit NULL/NaN guard: greatest/least IGNORE nulls (a NULL raw
+    // would clamp to cell 0) and treat NaN as the LARGEST double (it
+    // would clamp to the top cell)
+    when(v.isNull || isnan(vd), lit(null).cast("long"))
+      .otherwise(clamped.cast("long"))
   }
 
   /** Morton interleave of `cells` (each already in [0, 2^bits)): bit j

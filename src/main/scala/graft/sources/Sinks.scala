@@ -17,10 +17,25 @@ object Sinks {
   /** Write `df` as a bucketed (optionally sort-within-bucket) managed
     * parquet table. `nBuckets` should match the downstream
     * `spark.sql.shuffle.partitions` divisor on the cluster (both sides
-    * of a co-located join must agree on the bucket count). */
+    * of a co-located join must agree on the bucket count).
+    *
+    * Overwrite means OVERWRITE across sessions too: a managed table's
+    * location can outlive the (in-memory) catalog entry that created it
+    * — a fresh session's saveAsTable then fails LOCATION_ALREADY_EXISTS
+    * on a table it has never heard of. An orphaned location (directory
+    * present, no catalog entry) is deleted before the write; a location
+    * the CURRENT catalog knows is left for saveAsTable's own
+    * overwrite path. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val s = df.sparkSession
+    if (!s.catalog.tableExists(table)) {
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)

@@ -851,7 +851,10 @@ object StreamingHist {
     * state is one row per ever-seen key, deliberately NOT
     * watermark-evicted (novelty is an all-time property; the eviction
     * variant would measure "not seen within the horizon", which is
-    * [[streamingDedup]]'s TTL semantics) — into an additive windowed
+    * [[streamingDedup]]'s TTL semantics — long-lived deployments whose
+    * key domain outgrows memory use [[windowedNoveltyBounded]], the
+    * horizon-semantics form with watermark-evicted state) — into an
+    * additive windowed
     * count of the surviving first-occurrence rows. First occurrence is
     * by PROCESSING order, so a late out-of-order duplicate can credit
     * the wrong window; the batch form (and the gate) uses the exact
@@ -882,6 +885,59 @@ object StreamingHist {
         .groupBy(col("__fw"))
         .agg(count(lit(1)).as("novel_keys"))
         .select(timestamp_micros(col("__fw")).as("window_start"),
+          col("novel_keys"))
+    }
+  }
+
+  /** BOUNDED-memory novelty — the operational valve for
+    * [[windowedNovelty]], whose exact all-time semantics needs one
+    * state row per key EVER SEEN (all-time novelty needs all-time
+    * memory; at 100× the key domain that is the one unbounded
+    * streaming state). This variant answers "first time within
+    * `horizon`" instead: a key counts as novel again once `horizon`
+    * has passed since its previous occurrence. State is
+    * dropDuplicatesWithinWatermark keyed on the key — each key's row
+    * is EVICTED once the watermark passes its event time + horizon, so
+    * state is bounded by the horizon's distinct-key arrival rate, not
+    * all-time cardinality.
+    *
+    * Batch form (the deterministic contract): ties at one (key, ts)
+    * collapse first, then an occurrence is novel iff it has no earlier
+    * same-key occurrence within `horizon` (strictly: ts − prev ≤
+    * horizon suppresses) — one lag window partitioned BY KEY (never a
+    * global sort) over the (key, ts)-collapsed relation, then the same
+    * additive windowed count. On a feed whose repeats all arrive
+    * within the horizon and in event-time order, bounded == exact
+    * (pinned in StreamingSpec); streaming may additionally suppress a
+    * repeat arriving JUST past the horizon whose state the watermark
+    * has not yet evicted — the documented one-sided slack (streaming
+    * never re-counts EARLIER than batch). */
+  def windowedNoveltyBounded(df: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, horizon: String): DataFrame = {
+    if (df.isStreaming) {
+      df.withWatermark(tsCol, horizon)
+        .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+        .select(col(tsCol), col(keyCol).as("__k"))
+        .dropDuplicatesWithinWatermark("__k")
+        .groupBy(window(col(tsCol), windowDuration))
+        .agg(count(lit(1)).as("novel_keys"))
+        .select(col("window.start").as("window_start"), col("novel_keys"))
+    } else {
+      val durUs = fixedWindowUs(windowDuration)
+      val horUs = fixedWindowUs(horizon)
+      val us = unix_micros(col(tsCol))
+      val occ = df.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+        .select(col(keyCol).as("__k"), us.as("__ts"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__k")).orderBy(col("__ts"))
+      occ.withColumn("__prev", lag(col("__ts"), 1).over(w))
+        .filter(col("__prev").isNull ||
+          col("__ts") - col("__prev") > lit(horUs))
+        .select((col("__ts") - pmod(col("__ts"), lit(durUs))).as("__ws"))
+        .groupBy(col("__ws"))
+        .agg(count(lit(1)).as("novel_keys"))
+        .select(timestamp_micros(col("__ws")).as("window_start"),
           col("novel_keys"))
     }
   }

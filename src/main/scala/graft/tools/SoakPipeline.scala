@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** FULL-PIPELINE soak at 5M docs (r11 verdict #5 — 10× the StressDocs
+  * scale, in ONE session): curate → auto-guarded near-dup dedup →
+  * components → leakage-free split → sequence packing, recording
+  * per-stage wall, PEAK heap (sampled by a daemon thread), and the auto
+  * pair-budget guard's firings (visible as Dedup logWarnings at WARN
+  * level). The corpus is the measured pathological shape at 10× its r11
+  * size: sf0.1's 5k documents replicated 1000× — 10% verbatim copies
+  * (exact-dup work) + 90% suffix-perturbed near-copies, so every
+  * original's 1000 copies form one near-dup cluster and the UNCAPPED
+  * band join would be quadratic per bucket (the guard's reason to
+  * exist). args: [replication] [docsParquet] */
+object SoakPipeline {
+  def main(args: Array[String]): Unit = {
+    val rep = if (args.nonEmpty) args(0).toInt else 1000
+    val src = if (args.length > 1) args(1)
+      else "/root/testdata/sf0.1/documents.parquet"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "134217728")
+      .getOrCreate()
+    // WARN so the auto-guard / auto-rounds logWarnings land in the soak log
+    spark.sparkContext.setLogLevel("WARN")
+    val rt = Runtime.getRuntime
+    @volatile var peakHeap = 0L
+    val sampler = new Thread(() => {
+      while (true) {
+        peakHeap = math.max(peakHeap, rt.totalMemory - rt.freeMemory)
+        Thread.sleep(200)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+    val t00 = System.nanoTime()
+    val docs = spark.read.parquet(src)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .withColumn("__r", explode(expr(s"sequence(0, ${rep - 1})")))
+      .select((col("doc_id") * rep + col("__r")).as("doc_id"),
+        when(col("__r") % 10 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v"), col("__r"))).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + when(col("__r") % 10 === 0, 0)
+          .otherwise(length(concat(lit(" v"), col("__r"))))).as("n_chars"))
+      .persist()
+    println(s"[soak] docs=${docs.count()} (rep=$rep)")
+    def stage(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val c = f
+      println(f"[soak] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"($c rows, peak heap ${peakHeap / (1L << 30)}%d GiB)")
+    }
+    val bench = docs.filter(col("doc_id") % (5000L * rep / 20) === 0)
+    stage("curate")(graft.pipeline.Curation.curate(docs, bench).count())
+    // auto-guarded near-dup pair graph: NO manual bucketCap — the
+    // Σ s(s−1)/2 budget guard must derive one itself (watch for the
+    // 'skew guard' logWarning above)
+    val pairs = graft.pipeline.Dedup.nearDupPairs(docs)
+    stage("neardup_pairs_autoguard")(pairs.count())
+    val comps = graft.pipeline.Dedup.components(
+      docs.select(col("doc_id")), pairs)
+    stage("components")(comps.filter(col("keep")).count())
+    stage("leak_free_split")(graft.pipeline.Dedup.leakFreeSplit(
+      docs, 0.1, 0.1, "soak1").count())
+    stage("pack_sequences")(graft.pipeline.Sampling.packSequences(
+      docs, 2048L, 32, "soakpk").count())
+    println(f"[soak] TOTAL: ${(System.nanoTime() - t00) / 1e9}%.1f s, " +
+      f"peak heap ${peakHeap / (1L << 30)}%d GiB, " +
+      f"max heap ${rt.maxMemory / (1L << 30)}%d GiB")
+    spark.stop()
+  }
+}

@@ -53,23 +53,42 @@ object RelCache {
     keyed.clear()
   }
 
+  /** Storage blocks behind a localCheckpoint'd relation: its plan's
+    * LogicalRDD leaves. Released EXPLICITLY on eviction — GC + the
+    * ContextCleaner reap unreferenced blocks eventually, but a
+    * long-lived driver building >MaxEntries distinct graphs can exhaust
+    * executor storage before a full GC runs. A released relation is NOT
+    * recomputable (checkpointing truncated its lineage), which is why
+    * only entries LEAVING the memo are released, never live ones. */
+  private def releaseBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   // Explicit-key memo for relations whose OUTPUT plan hides their input
   // (localCheckpoint'd iterative builds like knnGraph: the result scans
   // an RDD, so plan-keyed equality can never dedupe two builds). Keys
   // must embed the session, the input's canonicalized plan, and every
-  // parameter. Eviction drops the reference only — checkpoint blocks
-  // are reaped by the ContextCleaner once unreferenced.
+  // parameter. Eviction unpersists the evictee's checkpoint blocks
+  // (mirroring the plan-keyed cache) — the eldest of MaxEntries live
+  // graph builds is cold by construction.
   private val keyed =
     new java.util.LinkedHashMap[Any, DataFrame](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Any, DataFrame]): Boolean = size() > MaxEntries
+          e: java.util.Map.Entry[Any, DataFrame]): Boolean = {
+        val evict = size() > MaxEntries
+        if (evict) releaseBlocks(e.getValue)
+        evict
+      }
     }
 
   /** Memoize `build` under `key`. The build runs OUTSIDE the lock (it
     * launches Spark jobs; holding the memo lock would serialize
     * concurrent Bench queries through one build) — two racers may build
     * twice, the first registration wins and the loser's blocks are
-    * cleaner-reaped. */
+    * released immediately (they were never returned to anyone). */
   def memo(key: Any)(build: => DataFrame): DataFrame = {
     val hit = synchronized(keyed.get(key))
     if (hit != null) hit
@@ -77,7 +96,7 @@ object RelCache {
       val built = build
       synchronized {
         val again = keyed.get(key)
-        if (again != null) again
+        if (again != null) { releaseBlocks(built); again }
         else { keyed.put(key, built); built }
       }
     }

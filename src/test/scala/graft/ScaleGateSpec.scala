@@ -1,0 +1,157 @@
+package graft
+
+import graft.pipeline.{Contracts, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Unit pins for the round-12 scale gates (q340–q346) and the r11
+  * ADVICE fixes: the synthetic clustered corpus's analytic-truth
+  * premises, the recall contracts' ability to go RED, the Layout.cell
+  * NaN/overflow guard, centerEmbeddings' dense-means gap semantics,
+  * diversifyGraph's loud inconsistent-input failure, and the cache
+  * eviction bounds. */
+class ScaleGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusteredCorpus: deterministic, mixed-sign, mates dominate cross-cluster cosine") {
+    val emb = Contracts.clusteredCorpus(spark, 200L, 16, 5)
+    val a = emb.orderBy("vec_id").collect()
+    val b = Contracts.clusteredCorpus(spark, 200L, 16, 5)
+      .orderBy("vec_id").collect()
+    // bit-deterministic across builds
+    assert(a.map(_.getSeq[Float](1)).toSeq == b.map(_.getSeq[Float](1)).toSeq)
+    val vecs = a.map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i) }
+      d / math.sqrt(nx * ny)
+    }
+    // the analytic-truth premise: every mate cosine beats every
+    // cross-cluster cosine for a sample of nodes
+    for (u <- Seq(0L, 37L, 123L)) {
+      val c = u / 5
+      val mates = (c * 5 until (c + 1) * 5).filter(_ != u)
+        .map(v => cos(vecs(u), vecs(v)))
+      val foreign = vecs.keys.filter(_ / 5 != c).take(80)
+        .map(v => cos(vecs(u), vecs(v)))
+      assert(mates.min > foreign.max + 0.05,
+        s"u=$u mates ${mates.min} vs foreign ${foreign.max}")
+    }
+    // mixed-sign (centered regime): positive-coordinate fraction well
+    // inside (0.05, 0.95) — the sign-LSH guard's healthy band
+    val frac = emb.select(explode(col("embedding")).as("x"))
+      .agg(avg(when(col("x") > 0.0f, 1.0).otherwise(0.0)))
+      .collect()(0).getDouble(0)
+    assert(frac > 0.3 && frac < 0.7, s"sign fraction $frac")
+  }
+
+  test("recall contracts can go RED: wrong edges / dropped queries fail the verdict") {
+    // a graph whose every edge points one cluster over: recall 0
+    val badGraph = spark.range(0, 100)
+      .select(col("id").as("query_id"),
+        ((col("id") + lit(5)) % 100).as("neighbor_id"),
+        lit(0.9).as("cosine"), lit(1).cast("int").as("rank"))
+    val v1 = Contracts.graphEdgeRecallContract(badGraph, 5, 1, 100L, 0.8)
+      .collect()(0)
+    assert(!v1.getBoolean(1), "shifted-edge graph must fail the contract")
+    // a searcher that silently drops queries fails on n_queries even
+    // with perfect per-emitted-query recall
+    val partial = spark.range(0, 3)
+      .select((col("id") * 5).as("query_id"),
+        (col("id") * 5 + 1).as("neighbor_id"),
+        lit(0.99).as("cosine"), lit(1).cast("int").as("rank"))
+    val v2 = Contracts.searchMateRecallContract(partial, 5, 1,
+      nQueries = 4L, bound = 0.5).collect()(0)
+    assert(!v2.getBoolean(1), "dropped query must fail the contract")
+  }
+
+  test("knnGraph AUTO default: budget from n, churn early-stop, perfect edges on the clustered regime") {
+    val emb = Contracts.clusteredCorpus(spark, 500L, 16, 5)
+    // dim 16 -> 4 tables x 4 bits keeps every hyperplane on a real coord
+    val g = Similarity.knnGraph(emb, 4, tables = 4, bits = 4)
+    val verdict = Contracts.graphEdgeRecallContract(g, 5, 4, 500L, 0.8)
+      .collect()(0)
+    assert(verdict.getLong(0) == 500L && verdict.getBoolean(1))
+  }
+
+  test("Layout.cell: NaN/NULL -> NULL, +-Infinity and out-of-long-range clamp to EDGE cells") {
+    val rows = Seq(
+      Option(25.0), None, Option(Double.NaN),
+      Option(Double.PositiveInfinity), Option(Double.NegativeInfinity),
+      Option(1.0e300), Option(-1.0e300)).toDF("v")
+    val got = rows.select(graft.sources.Layout.cell(col("v"), 0.0, 50.0, 8)
+      .as("c")).collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0))
+    // 25.0 -> cell 128; NULL/NaN -> NULL; +Inf/huge -> TOP cell 255
+    // (not silently cell 0 — the r11 ADVICE finding); -Inf/-huge -> 0
+    assert(got.toSeq == Seq(128L, -1L, -1L, 255L, 0L, 255L, 0L), got.toSeq)
+  }
+
+  test("centerEmbeddings: an all-NULL dim leaves a GAP (NULL mean), not a compacted array") {
+    val emb = Seq(
+      (1L, Seq[java.lang.Float](1.0f, null, 10.0f)),
+      (2L, Seq[java.lang.Float](3.0f, null, 30.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centerEmbeddings(emb)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSet
+    // dim 1 mean 2.0, dim 2 all-NULL -> NULL x (NOT dim 3's mean 20
+    // shifted down — the r11 ADVICE compaction bug), dim 3 mean 20.0
+    def n(d: Double) = d.isNaN
+    assert(out.exists(t => t._1 == 1L && t._2 == 1 && t._3 == -1.0))
+    assert(out.exists(t => t._1 == 2L && t._2 == 1 && t._3 == 1.0))
+    assert(out.exists(t => t._1 == 1L && t._2 == 3 && t._3 == -10.0))
+    assert(out.exists(t => t._1 == 2L && t._2 == 3 && t._3 == 10.0))
+    assert(out.count(t => t._2 == 2 && n(t._3)) == 2, out)
+  }
+
+  test("diversifyGraph: a graph neighbor absent from emb fails LOUDLY") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    // node 1 has neighbors 2 and 99; 99 is not in emb, so the pair
+    // cosine map misses (2, 99) — must raise, not silently keep
+    val g = Seq((1L, 2L, 0.95), (1L, 99L, 0.90))
+      .toDF("query_id", "neighbor_id", "cosine")
+    val e = intercept[Exception] {
+      Similarity.diversifyGraph(emb, g, r = 2).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).toSeq
+    assert(chain(e).exists(_.contains("absent from emb")), chain(e))
+  }
+
+  test("RelCache keyed memo: eviction and race-loser release checkpoint blocks") {
+    graft.util.RelCache.clear()
+    val first = graft.util.RelCache.memo(("sgs-evict", 0)) {
+      spark.range(0, 10).toDF("x").localCheckpoint(true)
+    }
+    def level(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectLeaves().collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getStorageLevel
+      }.head
+    assert(level(first) != StorageLevel.NONE)
+    // flood the memo past MaxEntries (48): the eldest must be released
+    (1 to 48).foreach { i =>
+      graft.util.RelCache.memo(("sgs-evict", i)) {
+        spark.range(0, 2).toDF("x").localCheckpoint(true)
+      }
+    }
+    assert(level(first) == StorageLevel.NONE,
+      "evicted memo entry's checkpoint blocks were not unpersisted")
+    graft.util.RelCache.clear()
+  }
+
+  test("SparkEntry.tableCache: LRU-bounded, scans evicted past the cap") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tc").toString
+    val one = Seq((1L, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    (0 until SparkEntry.TableCacheMax + 5).foreach { i =>
+      one.write.mode("overwrite").parquet(s"$base/d$i/documents.parquet")
+      assert(SparkEntry.t(s"$base/d$i", "documents").count() == 1L)
+    }
+    assert(SparkEntry.tableCacheSize <= SparkEntry.TableCacheMax,
+      s"tableCache grew past the cap: ${SparkEntry.tableCacheSize}")
+  }
+}

@@ -494,6 +494,92 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded novelty: horizon semantics, watermark-evicted state, parity with exact on sub-horizon feeds") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime / 1000, r.getLong(1))
+    // batch contract: novel iff no same-key occurrence within 10 s —
+    // k7@35 is novel AGAIN (34 s since k7@1), unlike exact windowedNovelty
+    val events = Seq((ts(1), 7L), (ts(2), 8L), (ts(5), 7L), (ts(30), 9L),
+      (ts(31), 10L), (ts(35), 7L), (ts(60), 11L))
+      .toDF("event_time", "user_id")
+    val bounded = StreamingHist.windowedNoveltyBounded(
+        events, "event_time", "user_id", "10 seconds", "10 seconds")
+      .collect().map(key).toSet
+    assert(bounded == Set((0L, 2L), (30L, 3L), (60L, 1L)), bounded)
+    // exact form on the same feed does NOT re-count k7
+    val exact = StreamingHist.windowedNovelty(
+        events, "event_time", "user_id", "10 seconds")
+      .collect().map(key).toSet
+    assert(exact == Set((0L, 2L), (30L, 2L), (60L, 1L)), exact)
+
+    // streaming: sub-horizon repeats suppressed across micro-batches;
+    // state EVICTED once the watermark passes ts+horizon, after which
+    // the key counts novel again — the capacity bound in action
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = StreamingHist.windowedNoveltyBounded(
+      input.toDF().toDF("event_time", "user_id"),
+      "event_time", "user_id", "10 seconds", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("wnb_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(1), 7L), (ts(2), 8L))
+      q.processAllAvailable()
+      // k7@5 repeats within horizon in a LATER batch: state must carry
+      input.addData((ts(5), 7L))
+      q.processAllAvailable()
+      // advance the watermark past k7's expiry (1+10) so its state drops
+      input.addData((ts(30), 9L))
+      q.processAllAvailable()
+      input.addData((ts(31), 10L))
+      q.processAllAvailable()
+      // k7@35: state evicted -> novel again
+      input.addData((ts(35), 7L))
+      q.processAllAvailable()
+      input.addData((ts(60), 11L)) // watermark 50: closes [0,10) and [30,40)
+      q.processAllAvailable()
+      val streamed = spark.table("wnb_stream").collect().map(key).toSet
+      assert(streamed == Set((0L, 2L), (30L, 3L)), streamed)
+    } finally q.stop()
+  }
+
+  test("streaming near-dup TTL: matched-pair state is watermark-evicted; re-match re-emits") {
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq((1L, base1, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Timestamp)]
+    val out = graft.pipeline.Dedup.nearDupStream(
+      input.toDF().toDF("doc_id", "text", "lang", "source", "event_time"),
+      corpus, tsCol = Some("event_time"), matchTtl = "10 seconds")
+    assert(out.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"))
+    val q = out.writeStream.format("memory").queryName("ndttl_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((10L, base1 + " changed", "en", "s1", ts(1)))
+      q.processAllAvailable()
+      // same pair re-arrives WITHIN the horizon: swallowed by state
+      input.addData((10L, base1 + " changed", "en", "s1", ts(5)))
+      q.processAllAvailable()
+      assert(spark.table("ndttl_stream").count() == 1L)
+      // push the watermark past the pair's expiry (1+10), then re-match:
+      // state was EVICTED, so the pair re-emits — the documented
+      // bounded-state semantics (one row per match per horizon)
+      input.addData((99L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll " +
+        "kk jj ii hh gg", "en", "s1", ts(40)))
+      q.processAllAvailable()
+      input.addData((98L, "q8 q7 q6 q5 q4 q3 q2 q1 q0 p9 p8 p7 p6 p5 p4 " +
+        "p3 p2 p1 p0 r1", "en", "s1", ts(41)))
+      q.processAllAvailable()
+      input.addData((10L, base1 + " changed", "en", "s1", ts(45)))
+      q.processAllAvailable()
+      val rows = spark.table("ndttl_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.count(_ == (10L, 1L)) == 2, rows)
+    } finally q.stop()
+  }
+
   test("streaming profile: chained aggs match batch on closed windows") {
     def key(r: org.apache.spark.sql.Row) =
       ((r.getTimestamp(0).getTime / 1000L, r.getString(1)),
