@@ -3011,6 +3011,52 @@ object SparkEntry {
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       graft.streaming.StreamingHist.windowedNoveltyBounded(
         ev, "event_time", "user_id", "1 hour", "4 hours")
+    },
+    "q347_mmr_rerank" -> { (s, dir) =>
+      // MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+      // 1998) — the diversity-aware top-k between ANN candidates and
+      // the context window: greedy lam*rel − (1−lam)*max-sim-to-
+      // selected over the bounded candidate set, unrolled k−1 in-row
+      // fold steps (the diversifyGraph discipline — no per-query
+      // driver loop); oracle unrolls the same stages relationally
+      implicit val sp: SparkSession = s
+      val emb = t(dir, "embeddings")
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 10),
+        k = 5, n = 10, lam = 0.7)
+    },
+    "q348_unimax" -> { (s, dir) =>
+      // UniMax budget allocation (Chung et al. 2023): token budget
+      // split as uniformly as the per-source epoch cap allows —
+      // waterfilling over sources ascending by size, cap predicate in
+      // DECIMAL(38,0) (overflows int64 at exactly the 100 TB regime),
+      // ONE shared IEEE division for the uncapped share
+      implicit val sp: SparkSession = s
+      graft.pipeline.Sampling.unimax(t(dir, "documents"),
+        budget = 50000L, epochCap = 2)
+    },
+    "q349_ivfpq_scale" -> { (s, _) =>
+      // IVFADC(+rerank) recall floor at 200k — completes the ANN
+      // family's scale gates (q342 LSH / q343 IVF / q344 JL): trained
+      // coarse quantizer (64 cells, 4 probed) + 4×16 product codes +
+      // exact rerank of 16; mate recall ≥ 0.8 (measured 0.9325 — the
+      // PQ distortion is the real loss, which is the point of gating)
+      val emb = scaleCorpus(s)
+      graft.pipeline.Contracts.searchMateRecallContract(
+        Similarity.ivfPqSearch(emb, scaleQueries(emb), 4,
+          nCells = 64, nprobe = 4, m = 4, codes = 16, rerank = 16),
+        clusterSize = 5, k = 4, nQueries = 200L, bound = 0.8)
+    },
+    "q350_matryoshka_scale" -> { (s, _) =>
+      // MATRYOSHKA truncation audit at 200k (Kusupati et al. 2022):
+      // recall of prefix-truncated search (8/16/32 of 64 dims) vs the
+      // full-dim exact top-4 — the "how small can I store?" curve,
+      // gated as per-dims floors (measured 0.99/1.0/1.0)
+      val emb = scaleCorpus(s)
+      val q = scaleQueries(emb)
+      Similarity.matryoshkaRecall(emb, q, 4, Seq(8, 16, 32))
+        .select(col("dims"), col("n_queries"),
+          (col("n_queries") === 200L && col("recall") >=
+            when(col("dims") === 8, 0.9).otherwise(0.95)).as("recall_ok"))
     }
   )
 
@@ -3918,6 +3964,14 @@ object SparkEntry {
         "CAST(SUM(CASE WHEN k = 1 THEN n_chars ELSE 0 END) AS BIGINT) " +
         "AS kept_chars, TRUE AS zero_exchange FROM keep GROUP BY source"),
     "q346_novelty_bounded" ->
-      PipelineOracle.windowedNoveltyBounded(3600000000L, 14400000000L)
+      PipelineOracle.windowedNoveltyBounded(3600000000L, 14400000000L),
+    "q347_mmr_rerank" -> PipelineOracle.mmrRerank(5, 10, 10L, 0.7),
+    "q348_unimax" -> PipelineOracle.unimax(50000L, 2),
+    "q349_ivfpq_scale" ->
+      "SELECT CAST(200 AS BIGINT) AS n_queries, TRUE AS recall_ok",
+    "q350_matryoshka_scale" ->
+      ("SELECT * FROM (VALUES (8, CAST(200 AS BIGINT), TRUE), " +
+        "(16, CAST(200 AS BIGINT), TRUE), (32, CAST(200 AS BIGINT), TRUE)) " +
+        "t(dims, n_queries, recall_ok)")
   )
 }

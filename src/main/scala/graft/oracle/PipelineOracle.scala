@@ -841,6 +841,96 @@ object PipelineOracle {
       "FROM (SELECT vec_id, embedding, UNNEST(generate_series(1, len(embedding))) AS i FROM e)), " +
       "nrm AS (SELECT vec_id, SQRT(SUM(v * v ORDER BY i)) AS nrm FROM el GROUP BY vec_id)"
 
+  /** Mirrors Similarity.mmrRerank: the annBruteForce candidate CTE at
+    * top-n, candidate-pair cosines (canonical x < y, same ordered-fold
+    * dots), then k−1 UNROLLED greedy stages — stage j scores every
+    * unselected candidate lam·rel − (1−lam)·MAX(pair cosine to the
+    * selected set) and picks by (score DESC, id), exactly the Spark
+    * side's in-row fold (MAX over a non-empty set == the greatest
+    * fold; the score is the same multiply-multiply-subtract on the
+    * same literal lambda). */
+  def mmrRerank(k: Int, n: Int, queryMaxId: Long, lam: Double): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val lamS = d(lam)
+    val mumS = d(1.0 - lam)
+    val base =
+      s"WITH $embBase, " +
+        s"q AS (SELECT vec_id FROM e WHERE vec_id < $queryMaxId), " +
+        "bd AS MATERIALIZED (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "SUM(eq.v * ec.v ORDER BY eq.i) AS dot " +
+        "FROM q JOIN e c ON c.vec_id <> q.vec_id " +
+        "JOIN el eq ON eq.vec_id = q.vec_id " +
+        "JOIN el ec ON ec.vec_id = c.vec_id AND ec.i = eq.i GROUP BY 1, 2), " +
+        "bs AS (SELECT query_id, neighbor_id, dot / (na.nrm * nb.nrm) AS cosine " +
+        "FROM bd JOIN nrm na ON na.vec_id = query_id " +
+        "JOIN nrm nb ON nb.vec_id = neighbor_id), " +
+        "cand AS MATERIALIZED (SELECT query_id, neighbor_id AS id, cosine AS rel FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY cosine DESC, neighbor_id) AS rank FROM bs) " +
+        s"WHERE rank <= $n), " +
+        "pd AS (SELECT a.query_id, a.id AS x, b.id AS y, " +
+        "SUM(ex.v * ey.v ORDER BY ex.i) AS dot " +
+        "FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id < b.id " +
+        "JOIN el ex ON ex.vec_id = a.id " +
+        "JOIN el ey ON ey.vec_id = b.id AND ey.i = ex.i GROUP BY 1, 2, 3), " +
+        "pc AS MATERIALIZED (SELECT query_id, x, y, dot / (nx.nrm * ny.nrm) AS pcos " +
+        "FROM pd JOIN nrm nx ON nx.vec_id = x JOIN nrm ny ON ny.vec_id = y), " +
+        "sel1 AS MATERIALIZED (SELECT query_id, id, rel, 1 AS r FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        "ORDER BY rel DESC, id) AS rn FROM cand) WHERE rn = 1)"
+    val stages = (2 to k).map { j =>
+      val prevU = (1 until j)
+        .map(i => s"SELECT query_id, id, rel, r FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"selu${j - 1} AS MATERIALIZED ($prevU), " +
+        s"sc$j AS (SELECT c.query_id, c.id, c.rel, " +
+        s"$lamS * c.rel - $mumS * (SELECT MAX(pc.pcos) FROM pc " +
+        "WHERE pc.query_id = c.query_id AND " +
+        s"((pc.x = c.id AND pc.y IN (SELECT id FROM selu${j - 1} u " +
+        "WHERE u.query_id = c.query_id)) OR " +
+        s"(pc.y = c.id AND pc.x IN (SELECT id FROM selu${j - 1} u " +
+        "WHERE u.query_id = c.query_id)))) AS score " +
+        s"FROM cand c WHERE NOT EXISTS (SELECT 1 FROM selu${j - 1} u " +
+        "WHERE u.query_id = c.query_id AND u.id = c.id)), " +
+        s"sel$j AS MATERIALIZED (SELECT query_id, id, rel, $j AS r FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+        s"ORDER BY score DESC, id) AS rn FROM sc$j) WHERE rn = 1)"
+    }.mkString(", ")
+    val finalU = (1 to k)
+      .map(i => s"SELECT query_id, id, rel, r FROM sel$i")
+      .mkString(" UNION ALL ")
+    base + ", " + stages + " SELECT query_id, id AS neighbor_id, rel, " +
+      s"CAST(r AS INT) AS mmr_rank FROM ($finalU) fin"
+  }
+
+  /** Mirrors Sampling.unimax: per-source exact whitespace-token sizes,
+    * the waterfilling cap predicate in HUGEINT (== Spark's
+    * DECIMAL(38,0)), capped allocations as exact longs, the uncapped
+    * share as ONE division of exact longs. */
+  def unimax(budget: Long, epochCap: Int): String =
+    "WITH s AS (SELECT source, CAST(COALESCE(" +
+      "SUM(len(regexp_extract_all(text, '\\S+'))), 0) AS BIGINT) AS tokens " +
+      "FROM documents GROUP BY source), " +
+      "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY tokens, source) AS i, " +
+      "COUNT(*) OVER () AS n, " +
+      s"CAST(COALESCE(SUM(tokens * $epochCap) OVER (ORDER BY tokens, source " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+      "AS cumBefore FROM s), " +
+      s"c AS (SELECT *, (CAST(tokens AS HUGEINT) * $epochCap * (n - i + 1) <= " +
+      s"CAST($budget AS HUGEINT) - cumBefore) AS capped FROM r), " +
+      "g AS (SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN " +
+      s"tokens * $epochCap END), 0) AS BIGINT) AS cappedSum, " +
+      "SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS nUn FROM c) " +
+      "SELECT source, tokens, " +
+      s"CASE WHEN capped THEN CAST(tokens * $epochCap AS DOUBLE) " +
+      s"ELSE CAST($budget - cappedSum AS DOUBLE) / CAST(nUn AS DOUBLE) END " +
+      "AS allocated, " +
+      "CASE WHEN tokens > 0 THEN CASE WHEN capped THEN " +
+      s"CAST($epochCap AS DOUBLE) " +
+      s"ELSE CAST($budget - cappedSum AS DOUBLE) / CAST(nUn AS DOUBLE) / " +
+      "CAST(tokens AS DOUBLE) END END AS epochs " +
+      "FROM c CROSS JOIN g"
+
   /** Bucket expression for LSH table `t` with `bits` hyperplanes (mirrors
     * Similarity.lshTableBucket: bit j = sign of element t*bits+j+1;
     * out-of-range indexing yields NULL > 0 = NULL -> ELSE 0, matching the

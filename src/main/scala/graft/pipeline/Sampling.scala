@@ -364,4 +364,80 @@ object Sampling {
           lit(Scale.toLong).cast(dec)))
       .select(col("doc_id"), col("source"), col("__w").as("w"))
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total token budget B across sources as
+    * UNIFORMLY as possible subject to a per-source epoch cap — no
+    * source is repeated more than `epochCap` times, and the budget
+    * freed by small (capped) sources is re-split uniformly among the
+    * rest. The published waterfilling form: sources ascending by size,
+    * source i is CAPPED iff its full cap fits its fair share of the
+    * budget left assuming all smaller sources capped —
+    * epochCap·s_i·(n−i+1) ≤ B − epochCap·Σ_{j<i}s_j (cappedness is a
+    * PREFIX of the ascending order, the standard waterfilling
+    * argument); capped sources get epochCap·s_i tokens, the rest split
+    * the remainder equally.
+    *
+    * Cross-engine exactness: sizes are exact whitespace-token longs
+    * (the q49 convention), the cap predicate is pure DECIMAL(38,0)
+    * integer arithmetic (epochCap·s·(n−i+1) overflows int64 around
+    * 2e13 tokens × 1e5 sources — exactly the 100 TB regime), capped
+    * allocations are exact longs, and the uncapped share is ONE IEEE
+    * division of two exact longs shared by every uncapped row. Empty
+    * sources allocate 0 with NULL epochs.
+    *
+    * Scale shape: one map-combinable source aggregate collapses the
+    * corpus to |sources| rows; the sort + windows run on that tiny
+    * relation (the q209 convention). Output: (source, tokens,
+    * allocated, epochs). */
+  def unimax(docs: DataFrame, budget: Long, epochCap: Int): DataFrame = {
+    require(budget >= 0 && epochCap > 0,
+      s"bad unimax shape: budget=$budget epochCap=$epochCap")
+    val dec = "decimal(38,0)"
+    val sizes = docs
+      .select(col("source"),
+        coalesce(regexp_count(col("text"), lit("\\S+")).cast("long"), lit(0L))
+          .as("__t"))
+      .groupBy(col("source"))
+      .agg(sum(col("__t")).as("tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tokens"), col("source"))
+    val full = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tokens"), col("source"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ranked = sizes
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(full))
+      .withColumn("__cumBefore",
+        coalesce(sum(col("tokens") * lit(epochCap.toLong)).over(w) -
+          col("tokens") * lit(epochCap.toLong), lit(0L)))
+      .withColumn("__capped",
+        (col("tokens") * lit(epochCap.toLong)).cast(dec) *
+          (col("__n") - col("__i") + 1).cast(dec) <=
+          lit(budget).cast(dec) - col("__cumBefore").cast(dec))
+    // remainder after the capped prefix, split equally among the rest —
+    // both operands exact longs, ONE shared IEEE division
+    val agg = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    ranked
+      .withColumn("__cappedSum", coalesce(sum(when(col("__capped"),
+        col("tokens") * lit(epochCap.toLong))).over(agg), lit(0L)))
+      .withColumn("__nUncapped",
+        sum(when(col("__capped"), 0L).otherwise(1L)).over(agg))
+      .select(col("source"), col("tokens"),
+        when(col("__capped"),
+          (col("tokens") * lit(epochCap.toLong)).cast("double"))
+          .otherwise((lit(budget) - col("__cappedSum")).cast("double") /
+            col("__nUncapped").cast("double")).as("allocated"),
+        when(col("tokens") > 0L,
+          when(col("__capped"), lit(epochCap.toDouble))
+            .otherwise((lit(budget) - col("__cappedSum")).cast("double") /
+              col("__nUncapped").cast("double") /
+              col("tokens").cast("double")))
+          .as("epochs"))
+  }
 }

@@ -2440,4 +2440,137 @@ object Similarity {
       .select(col("ci"), col("cj"), col("cnt"),
         col("__id").isNotNull.as("is_dense"), col("cluster"))
   }
+
+  /** MATRYOSHKA truncation audit (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): for each prefix length d in `dims`, the
+    * top-k recall of searching with only the FIRST d coordinates
+    * against the full-dimension exact top-k — the "how small can I
+    * truncate my embeddings?" curve a storage/latency budget decision
+    * reads. Truncation is a zero-cost slice (MRL models front-load
+    * information; for non-MRL models the curve IS the evidence they
+    * don't). One row per d: (dims, n_queries, hits, expected, recall).
+    *
+    * Cross-engine exactness: both searches are [[bruteForceTopK]]
+    * (codegen ordered-fold dots, (cosine desc, id) heap ranks), hits
+    * and expected are exact longs, recall is ONE IEEE division.
+    *
+    * Scale shape: per d, the query side broadcasts against the corpus
+    * (never shuffled) — the full-dim truth pass is shared across all
+    * d. At 100 TB the truncated scans read d/D of the bytes when the
+    * embedding column is stored dimension-sliced (the jlPack
+    * argument); this exact form is the recall oracle for that path. */
+  def matryoshkaRecall(emb: DataFrame, queries: DataFrame, k: Int,
+      dims: Seq[Int]): DataFrame = {
+    require(k > 0 && dims.nonEmpty && dims.forall(_ > 0),
+      s"bad matryoshka shape: k=$k dims=$dims")
+    val exact = graft.util.RelCache.persist(
+      bruteForceTopK(emb, queries, k)
+        .select(col("query_id"), col("neighbor_id")))
+    def trunc(df: DataFrame, d: Int): DataFrame =
+      df.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), expr(s"slice(embedding, 1, $d)").as("embedding"))
+    dims.map { d =>
+      val approx = bruteForceTopK(
+        graft.util.RelCache.persist(trunc(emb, d)), trunc(queries, d), k)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count_distinct(col("query_id")).as("n_queries"),
+          sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+          count(lit(1)).as("expected"))
+        .select(lit(d).as("dims"), col("n_queries"), col("hits"),
+          col("expected"),
+          (col("hits").cast("double") / col("expected").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity-aware top-k every retrieval/RAG stack puts
+    * between ANN candidates and the context window: greedily select k
+    * of the n candidates maximizing λ·rel(c) − (1−λ)·max_{s∈S}
+    * sim(c, s) — high relevance, penalized by similarity to what's
+    * already selected (λ=1 is plain top-k; λ→0 pure diversity). The
+    * first pick is the most relevant candidate (the empty-set penalty
+    * is zero for every candidate, so relevance alone decides — ties by
+    * id).
+    *
+    * Distributed shape (the [[diversifyGraph]] discipline): candidates
+    * come from ONE bounded search ([[bruteForceTopK]] here — swap in
+    * any ANN searcher at corpus scale), the n² per-query candidate
+    * pair cosines are scored in ONE equi-join pass and collapsed to an
+    * in-row map, and the inherently sequential greedy loop runs
+    * UNROLLED over in-row arrays (k−1 chained column steps, each a
+    * bounded HOF fold over ≤ n elements) — no per-query driver loop,
+    * no iterative join. A candidate pair absent from the map raises
+    * (inconsistent inputs), never silently skews.
+    *
+    * Cross-engine exactness: rel and pair sims are the pinned cosine
+    * machinery; each score is two IEEE multiplies + one subtract on
+    * literal λ both engines parse identically; argmax ties break by
+    * id; the SQL mirror unrolls the same k stages. Output: (query_id,
+    * neighbor_id, rel, mmr_rank ≤ k). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int, n: Int,
+      lam: Double): DataFrame = {
+    require(k > 0 && n >= k && lam >= 0.0 && lam <= 1.0,
+      s"bad mmr shape: k=$k n=$n lam=$lam")
+    val lamS = java.lang.Double.toString(lam)
+    val mumS = java.lang.Double.toString(1.0 - lam)
+    val cands = bruteForceTopK(corpus, queries, n)
+    val cg = cands.select(col("query_id"), col("neighbor_id"))
+    val nw = graft.util.RelCache.persist(withNorm(corpus)
+      .select(col("vec_id"), col("embedding"), col("nrm")))
+    val pairs = cg.as("a").join(cg.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") < col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("__x"), col("b.neighbor_id").as("__y"))
+      .join(nw.select(col("vec_id").as("__x"), col("embedding").as("__ex"),
+        col("nrm").as("__nx")), "__x")
+      .join(nw.select(col("vec_id").as("__y"), col("embedding").as("__ey"),
+        col("nrm").as("__ny")), "__y")
+      .select(col("query_id"), concat_ws(":", col("__x"), col("__y")).as("__k"),
+        cosine(col("__ex"), col("__ey"), col("__nx"), col("__ny")).as("__c"))
+    val pm = pairs.groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("__k"), col("__c"))))
+        .as("__pm"))
+    val cArr = cands.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct((-col("cosine")).as("s"),
+        col("neighbor_id").as("id"), col("cosine").as("rel")))).as("__c0"))
+    var df = cArr.join(pm, Seq("query_id"), "left")
+      .withColumn("__pm",
+        coalesce(col("__pm"), expr("CAST(map() AS MAP<STRING, DOUBLE>)")))
+      .withColumn("__sel",
+        expr("array(struct(__c0[0].id AS id, __c0[0].rel AS rel))"))
+      .withColumn("__rem", expr("slice(__c0, 2, size(__c0) - 1)"))
+    for (_ <- 2 to k) {
+      df = df
+        .withColumn("__pick", expr(
+          s"""aggregate(
+             |  transform(__rem, c -> struct(
+             |    $lamS * c.rel - $mumS * aggregate(__sel,
+             |      CAST(-2.0 AS DOUBLE),
+             |      (m, s) -> greatest(m, coalesce(element_at(__pm,
+             |        concat(least(c.id, s.id), ':', greatest(c.id, s.id))),
+             |        CAST(raise_error(
+             |          'mmrRerank: candidate pair absent from corpus')
+             |          AS DOUBLE)))) AS score,
+             |    c.id AS id, c.rel AS rel)),
+             |  CAST(NULL AS STRUCT<score: DOUBLE, id: BIGINT, rel: DOUBLE>),
+             |  (best, c) -> CASE WHEN best IS NULL THEN c
+             |    WHEN c.score > best.score
+             |      OR (c.score = best.score AND c.id < best.id) THEN c
+             |    ELSE best END)""".stripMargin.replaceAll("\n", " ")))
+        .withColumn("__sel", expr(
+          """CASE WHEN __pick IS NULL THEN __sel
+            |ELSE array_append(__sel,
+            |  struct(__pick.id AS id, __pick.rel AS rel)) END"""
+            .stripMargin.replaceAll("\n", " ")))
+        .withColumn("__rem",
+          expr("CASE WHEN __pick IS NULL THEN __rem " +
+            "ELSE filter(__rem, x -> x.id != __pick.id) END"))
+    }
+    df.select(col("query_id"), posexplode(col("__sel")).as(Seq("__r", "__s")))
+      .select(col("query_id"), col("__s.id").as("neighbor_id"),
+        col("__s.rel").as("rel"), (col("__r") + 1).cast("int").as("mmr_rank"))
+  }
 }

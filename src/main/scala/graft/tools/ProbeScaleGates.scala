@@ -69,6 +69,25 @@ object ProbeScaleGates {
       x.count(); x
     }
     println(f"[probe] jlSearch recall = ${recallOf(jl, nq * k)}%.4f")
+    val ivfpq = time("ivfPqSearch") {
+      val x = graft.pipeline.Similarity.ivfPqSearch(emb, queries, k,
+        nCells = 64, nprobe = 4, m = 4, codes = 16, rerank = 16)
+        .localCheckpoint(true)
+      x.count(); x
+    }
+    println(f"[probe] ivfPqSearch recall = ${recallOf(ivfpq, nq * k)}%.4f")
+    for (d <- Seq(8, 16, 32)) {
+      val trunc = emb.select(col("vec_id"),
+        expr(s"slice(embedding, 1, $d)").as("embedding"))
+      val tq = queries.select(col("vec_id"),
+        expr(s"slice(embedding, 1, $d)").as("embedding"))
+      val r = time(s"matryoshka_d$d") {
+        val x = graft.pipeline.Similarity.bruteForceTopK(
+          graft.util.RelCache.persist(trunc), tq, k).localCheckpoint(true)
+        x.count(); x
+      }
+      println(f"[probe] matryoshka d=$d recall = ${recallOf(r, nq * k)}%.4f")
+    }
     spark.stop()
   }
 }

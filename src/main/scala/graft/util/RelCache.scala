@@ -20,7 +20,13 @@ import org.apache.spark.storage.StorageLevel
   * stale pinned relation, the usual contract of Spark's own table cache.
   */
 object RelCache {
-  private val MaxEntries = 48
+  // 96, up from 48 (r12): the 200k-vector scale gates (q340–q344) pin
+  // several large derived relations that run lexicographically right
+  // before the PPJoin family in a solo bench pass and were evicting its
+  // memoized gram relations (q43 solo 2.3 s → 5.4 s median, pure
+  // churn). Entries are bench-scale; big-sf sweeps are protected by the
+  // Verify heap valve (clear + GC above 60% used heap), not this cap.
+  private[graft] val MaxEntries = 96
 
   // Keyed by the canonicalized plan OBJECT, not its string rendering: plan
   // equality is structural and includes literal data (LocalRelation rows),

@@ -131,8 +131,8 @@ class ScaleGateSpec extends SparkSpec {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getStorageLevel
       }.head
     assert(level(first) != StorageLevel.NONE)
-    // flood the memo past MaxEntries (48): the eldest must be released
-    (1 to 48).foreach { i =>
+    // flood the memo past MaxEntries: the eldest must be released
+    (1 to graft.util.RelCache.MaxEntries).foreach { i =>
       graft.util.RelCache.memo(("sgs-evict", i)) {
         spark.range(0, 2).toDF("x").localCheckpoint(true)
       }
@@ -140,6 +140,75 @@ class ScaleGateSpec extends SparkSpec {
     assert(level(first) == StorageLevel.NONE,
       "evicted memo entry's checkpoint blocks were not unpersisted")
     graft.util.RelCache.clear()
+  }
+
+  test("unimax: waterfilling hand case — capped prefix exact, uncapped split equally") {
+    // sizes 10/20/100 tokens, cap 2, budget 60: capacities 20/40/200;
+    // ascending, src-a (cap 20) fits 2*10*3=60 <= 60 -> capped at 20;
+    // src-b needs 2*20*2=80 > 40 left -> uncapped; remaining 40 split
+    // equally: 20 each; epochs 2.0 / 1.0 / 0.2
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" "), "a"),
+      (2L, Seq.fill(20)("w").mkString(" "), "b"),
+      (3L, Seq.fill(100)("w").mkString(" "), "c"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.pipeline.Sampling.unimax(docs, 60L, 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((10L, 20.0, 2.0)), got)
+    assert(got("b") == ((20L, 20.0, 1.0)), got)
+    assert(got("c") == ((100L, 20.0, 0.2)), got)
+    // budget beyond every capacity: everyone capped at epochCap
+    val all = graft.pipeline.Sampling.unimax(docs, 1000L, 2)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(all == Map("a" -> 2.0, "b" -> 2.0, "c" -> 2.0), all)
+  }
+
+  test("mmrRerank: diversity beats a redundant higher-relevance candidate") {
+    // query 0 = (1,0,0); c1 rel ~0.995; c2 a near-copy of c1 (its
+    // redundancy penalty ~rel, score ~-0.003); c3 rel 0.707 but only
+    // ~0.703 similar to c1 (score ~+0.002). lam=0.5: picks c1, then
+    // the DIVERSE c3 over the higher-relevance redundant c2
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.1f, 0.0f)),
+      (2L, Seq(0.99f, 0.11f, 0.0f)),
+      (3L, Seq(0.7f, 0.0f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 0L),
+        k = 3, n = 3, lam = 0.5)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 3L, 2L), got)
+    // lam = 1.0 is plain top-k by relevance
+    val plain = Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 0L),
+        k = 3, n = 3, lam = 1.0)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(plain == Seq(1L, 2L, 3L), plain)
+  }
+
+  test("matryoshkaRecall: full-dim prefix is perfect; a confusable prefix is not") {
+    // truth in 2-d separates by dim 2; truncating to dim 1 makes the
+    // wrong neighbor closest
+    val emb = Seq(
+      (0L, Seq(0.5f, 1.0f)),   // query
+      (1L, Seq(0.5f, 0.9f)),   // true top-1 (full-dim)
+      (2L, Seq(0.5f, -1.0f)))  // dim-1 twin, full-dim opposite
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0L)
+    val got = Similarity.matryoshkaRecall(emb, q, 1, Seq(1, 2))
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(got(2) == 1.0, got)
+    // 1-d cosine is SIGN-only: give the true neighbor a negative first
+    // coordinate so the truncated prefix ranks the wrong twin first
+    val emb2 = Seq(
+      (0L, Seq(0.5f, 1.0f)),
+      (1L, Seq(-0.1f, 0.99f)), // full-dim top-1, prefix cosine -1
+      (2L, Seq(0.5f, -1.0f)))  // prefix cosine +1, full-dim opposite
+      .toDF("vec_id", "embedding")
+    val got2 = Similarity.matryoshkaRecall(emb2,
+        emb2.filter(col("vec_id") === 0L), 1, Seq(1, 2))
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(got2(2) == 1.0 && got2(1) == 0.0, got2)
   }
 
   test("SparkEntry.tableCache: LRU-bounded, scans evicted past the cap") {
