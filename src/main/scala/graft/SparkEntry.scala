@@ -3057,6 +3057,27 @@ object SparkEntry {
         .select(col("dims"), col("n_queries"),
           (col("n_queries") === 200L && col("recall") >=
             when(col("dims") === 8, 0.9).otherwise(0.95)).as("recall_ok"))
+    },
+    "q351_isotonic_calibrate" -> { (s, dir) =>
+      // ISOTONIC calibration (Zadrozny & Elkan 2002) of the q290
+      // score: the monotone fit of the per-bin purchase rate via the
+      // MINIMAX identity — pure relational algebra on the collapsed
+      // <= nBins relation, no sequential PAV loop in the plan
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+        .withColumn("score", col("value") / lit(512.0))
+      graft.pipeline.RankStats.isotonicCalibrate(ev, "score",
+        col("event_type") === "purchase", nBins = 50)
+    },
+    "q352_mrr_scale" -> { (s, _) =>
+      // MEAN RECIPROCAL RANK floor at 200k — the rank-position
+      // complement of q342's recall floor (mates at ranks 2..k keep
+      // recall 1.0 but halve MRR): exact-rational lcm(1..k)/rank
+      // numerators, ONE IEEE division; floor 0.9 (measured 1.0)
+      val emb = scaleCorpus(s)
+      graft.pipeline.Contracts.searchMateMrrContract(
+        Similarity.annLsh(emb, scaleQueries(emb), 4),
+        clusterSize = 5, k = 4, nQueries = 200L, bound = 0.9)
     }
   )
 
@@ -3972,6 +3993,9 @@ object SparkEntry {
     "q350_matryoshka_scale" ->
       ("SELECT * FROM (VALUES (8, CAST(200 AS BIGINT), TRUE), " +
         "(16, CAST(200 AS BIGINT), TRUE), (32, CAST(200 AS BIGINT), TRUE)) " +
-        "t(dims, n_queries, recall_ok)")
+        "t(dims, n_queries, recall_ok)"),
+    "q351_isotonic_calibrate" -> PipelineOracle.isotonicCalibrate(50),
+    "q352_mrr_scale" ->
+      "SELECT CAST(200 AS BIGINT) AS n_queries, TRUE AS mrr_ok"
   )
 }

@@ -931,6 +931,31 @@ object PipelineOracle {
       "CAST(tokens AS DOUBLE) END END AS epochs " +
       "FROM c CROSS JOIN g"
 
+  /** Mirrors RankStats.isotonicCalibrate on the q290 score
+    * (value/512, purchase label): same clamp/bin, exact prefix sums,
+    * every interval mean ONE division of exact ints, minimax via the
+    * same ≤ nBins³ join + MIN/MAX. */
+  def isotonicCalibrate(nBins: Int): String =
+    "WITH pb AS (SELECT LEAST(CAST(FLOOR(LEAST(GREATEST(" +
+      s"CAST(value / 512.0 AS DOUBLE), 0.0), 1.0) * $nBins.0) AS BIGINT), " +
+      s"${nBins - 1}) AS bin, CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS pos FROM events " +
+      "WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) " +
+      "GROUP BY 1), " +
+      "pr AS (SELECT bin, n, pos, ROW_NUMBER() OVER (ORDER BY bin) AS i, " +
+      "CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn, " +
+      "CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp FROM pb), " +
+      "jk AS (SELECT a.i AS j, b.i AS k, " +
+      "CAST(b.cp - a.cp + a.pos AS DOUBLE) / " +
+      "CAST(b.cn - a.cn + a.n AS DOUBLE) AS m " +
+      "FROM pr a JOIN pr b ON a.i <= b.i), " +
+      "mn AS (SELECT p.i, p.bin, p.n, p.pos, jk.j, MIN(jk.m) AS mk " +
+      "FROM jk JOIN pr p ON jk.j <= p.i AND p.i <= jk.k " +
+      "GROUP BY 1, 2, 3, 4, 5) " +
+      "SELECT bin, n, pos, CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate, " +
+      "MAX(mk) AS iso FROM mn GROUP BY 1, 2, 3, 4"
+
   /** Bucket expression for LSH table `t` with `bits` hyperplanes (mirrors
     * Similarity.lshTableBucket: bit j = sign of element t*bits+j+1;
     * out-of-range indexing yields NULL > 0 = NULL -> ELSE 0, matching the

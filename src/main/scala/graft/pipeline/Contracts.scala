@@ -327,6 +327,36 @@ object Contracts {
           lit(bound * (nNodes * k).toDouble)).as("recall_ok"))
   }
 
+  /** MEAN RECIPROCAL RANK contract of an ANN searcher over
+    * [[clusteredCorpus]] — the rank-position-sensitive complement of
+    * the recall floor (a searcher returning mates only at ranks 2..k
+    * keeps recall 1.0 but halves MRR): per query, 1/rank of the FIRST
+    * mate in the top-k (0 if none). Exactness without float sums: with
+    * L = lcm(1..k), each query contributes the exact integer L/rank
+    * (L is divisible by every rank ≤ k), the numerator is an exact
+    * long sum, and MRR = num/(n·L) is ONE IEEE division — no
+    * order-dependent double accumulation. One row
+    * (n_queries, mrr_ok). */
+  def searchMateMrrContract(approx: DataFrame, clusterSize: Int, k: Int,
+      nQueries: Long, bound: Double): DataFrame = {
+    require(k < clusterSize && k <= 12, s"bad mrr shape: k=$k")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmK = (1L to k.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val mate =
+      expr(s"query_id div $clusterSize = neighbor_id div $clusterSize") &&
+        col("query_id") =!= col("neighbor_id")
+    approx.filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(min(when(mate, col("rank"))).as("__fr"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__fr").isNotNull,
+          expr(s"$lcmK div __fr")).otherwise(0L)).as("__num"))
+      .select(col("n_queries"),
+        (col("n_queries") === lit(nQueries) &&
+          coalesce(col("__num"), lit(0L)).cast("double") /
+            lit((nQueries * lcmK).toDouble) >= lit(bound)).as("mrr_ok"))
+  }
+
   /** Per-query mate-recall contract of an ANN SEARCHER over
     * [[clusteredCorpus]]: of the nQueries·k expected mate hits
     * (self excluded — every searcher here excludes self by

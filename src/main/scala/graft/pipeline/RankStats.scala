@@ -754,4 +754,61 @@ object RankStats {
     out.select(col("life"), col("at_risk"), col("deaths"),
       col("censored"), surv.as("survival"))
   }
+
+  /** ISOTONIC score calibration (Zadrozny & Elkan 2002 — the
+    * non-parametric calibrator beside the q262/q312 parametric
+    * families): the monotone-non-decreasing fit of the per-bin
+    * positive rate that minimizes squared error, i.e. what
+    * pool-adjacent-violators computes — evaluated here through the
+    * MINIMAX identity iso(i) = max_{j≤i} min_{k≥i} mean(pos over
+    * bins j..k), which is pure relational algebra: no sequential PAV
+    * loop exists in the plan, so the fit distributes (PAV's
+    * merge-while-violating stack walk has no bounded-depth relational
+    * form; the identity is the textbook equivalent).
+    *
+    * Binning mirrors [[reliability]] (clamp to [0,1], nBins fixed
+    * grid, observed bins only). Cross-engine exactness: per-bin n/pos
+    * are exact longs, prefix sums exact, every interval mean is ONE
+    * IEEE division of two exact longs, and min/max over those doubles
+    * are order-free. Output: (bin, n, pos, rate, iso) — `iso` is the
+    * calibrated probability for the bin, monotone in bin by
+    * construction (spec-pinned).
+    *
+    * Scale shape: ONE map-combinable groupBy collapses the corpus to
+    * ≤ nBins rows; the interval relation is ≤ nBins², the minimax
+    * join ≤ nBins³ rows (125k at the default 50) — all on the
+    * collapsed table, never data-sized (the histogram convention). An
+    * O(nBins²) windowed suffix-min refinement exists if nBins must
+    * grow past ~1000; at calibration granularity it never does. */
+  def isotonicCalibrate(df: DataFrame, scoreCol: String, isPos: Column,
+      nBins: Int = 50): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    val raw = col(scoreCol).cast("double")
+    val s = least(greatest(raw, lit(0.0)), lit(1.0))
+    val bin = least(floor(s * lit(nBins.toDouble)).cast("long"),
+      lit(nBins.toLong - 1L))
+    val perBin = df.filter(raw.isNotNull && !isnan(raw))
+      .select(bin.as("bin"), when(isPos, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val pref = perBin
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__cn", sum(col("n")).over(w))
+      .withColumn("__cp", sum(col("pos")).over(w))
+    val jk = pref.as("a").join(pref.as("b"), col("a.__i") <= col("b.__i"))
+      .select(col("a.__i").as("__j"), col("b.__i").as("__k"),
+        ((col("b.__cp") - col("a.__cp") + col("a.pos")).cast("double") /
+          (col("b.__cn") - col("a.__cn") + col("a.n")).cast("double"))
+          .as("__m"))
+    jk.join(pref.select(col("__i"), col("bin"), col("n"), col("pos")),
+        col("__j") <= col("__i") && col("__i") <= col("__k"))
+      .groupBy(col("__i"), col("bin"), col("n"), col("pos"), col("__j"))
+      .agg(min(col("__m")).as("__minK"))
+      .groupBy(col("__i"), col("bin"), col("n"), col("pos"))
+      .agg(max(col("__minK")).as("iso"))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("pos").cast("double") / col("n").cast("double")).as("rate"),
+        col("iso"))
+  }
 }

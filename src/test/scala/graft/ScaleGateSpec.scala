@@ -211,6 +211,56 @@ class ScaleGateSpec extends SparkSpec {
     assert(got2(2) == 1.0 && got2(1) == 0.0, got2)
   }
 
+  test("isotonicCalibrate: PAV hand case via the minimax identity; monotone output") {
+    // bins 0/1/2 with equal n=10 and rates 0.8 / 0.2 / 0.6: PAV pools
+    // the violating first pair to 0.5, keeps 0.6 — iso = 0.5/0.5/0.6
+    val rows = Seq.tabulate(10)(i => (0.01, i < 8)) ++
+      Seq.tabulate(10)(i => (0.35, i < 2)) ++
+      Seq.tabulate(10)(i => (0.70, i < 6))
+    val df = rows.toDF("score", "lbl")
+    val got = graft.pipeline.RankStats.isotonicCalibrate(
+        df, "score", col("lbl"), nBins = 3)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((0L, 0.8, 0.5), (1L, 0.2, 0.5), (2L, 0.6, 0.6)),
+      got.toSeq)
+    // already-monotone input is returned unchanged
+    val mono = Seq.tabulate(10)(i => (0.01, i < 2)) ++
+      Seq.tabulate(10)(i => (0.35, i < 5)) ++
+      Seq.tabulate(10)(i => (0.70, i < 9))
+    val got2 = graft.pipeline.RankStats.isotonicCalibrate(
+        mono.toDF("score", "lbl"), "score", col("lbl"), nBins = 3)
+      .orderBy("bin").collect().map(r => r.getDouble(4)).toSeq
+    assert(got2 == Seq(0.2, 0.5, 0.9), got2)
+  }
+
+  test("searchMateMrrContract: rank-position sensitivity — rank-2 mates fail a 0.9 floor recall would pass") {
+    // 4 queries, each finds BOTH its mates but the TOP result is
+    // foreign: recall@2 = 1.0, MRR = 1/2
+    val rows = (0L until 4L).flatMap { q =>
+      val qid = q * 5
+      Seq((qid, qid + 7L, 0.99, 1), // foreign top-1 (different cluster)
+        (qid, qid + 1L, 0.98, 2))   // mate at rank 2
+    }
+    val approx = rows.toDF("query_id", "neighbor_id", "cosine", "rank")
+    val v = graft.pipeline.Contracts.searchMateMrrContract(
+      approx, clusterSize = 5, k = 2, nQueries = 4L, bound = 0.9)
+      .collect()(0)
+    assert(v.getLong(0) == 4L && !v.getBoolean(1), v)
+    // perfect top-1 mates pass
+    val perfect = (0L until 4L).map(q => (q * 5, q * 5 + 1L, 0.99, 1))
+      .toDF("query_id", "neighbor_id", "cosine", "rank")
+    val v2 = graft.pipeline.Contracts.searchMateMrrContract(
+      perfect, clusterSize = 5, k = 2, nQueries = 4L, bound = 0.9)
+      .collect()(0)
+    assert(v2.getBoolean(1), v2)
+    // a dropped query fails even at MRR 1.0 on the emitted ones
+    val v3 = graft.pipeline.Contracts.searchMateMrrContract(
+      perfect, clusterSize = 5, k = 2, nQueries = 5L, bound = 0.5)
+      .collect()(0)
+    assert(!v3.getBoolean(1), v3)
+  }
+
   test("SparkEntry.tableCache: LRU-bounded, scans evicted past the cap") {
     val base = java.nio.file.Files.createTempDirectory("graft_tc").toString
     val one = Seq((1L, "t", "en", "s", 1L))
