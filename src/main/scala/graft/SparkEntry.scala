@@ -3078,6 +3078,32 @@ object SparkEntry {
       graft.pipeline.Contracts.searchMateMrrContract(
         Similarity.annLsh(emb, scaleQueries(emb), 4),
         clusterSize = 5, k = 4, nQueries = 200L, bound = 0.9)
+    },
+    "q353_chi2_independence" -> { (s, dir) =>
+      // chi-squared independence + Cramér's V over (source, lang) —
+      // the significance companion to q251's mutual information;
+      // dense grid from the marginals (absent cells contribute e),
+      // DECIMAL(38,0)-exact marginal products, cell-ordered fold
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.chi2Independence(
+        t(dir, "documents"), "source", "lang")
+    },
+    "q354_conformal_threshold" -> { (s, dir) =>
+      // split-conformal per-source threshold at alpha=0.1 over the
+      // n_chars nonconformity score: the ceil((n+1)(1-alpha))-th
+      // order statistic of a deterministic 30% calibration slice —
+      // the distribution-free filter cutoff; small groups report NULL
+      // (no finite guarantee), never the max
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.conformalThreshold(
+        t(dir, "documents"), "source", col("n_chars"), alpha = 0.1)
+    },
+    "q355_tail_index" -> { (s, dir) =>
+      // Hill tail-index over event values (top-100 order statistics,
+      // 1e-9-quantized logs folded in rank order): alpha-hat <= 2
+      // means infinite variance — measure BEFORE trusting means
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.tailIndex(t(dir, "events"), col("value"))
     }
   )
 
@@ -3996,6 +4022,10 @@ object SparkEntry {
         "t(dims, n_queries, recall_ok)"),
     "q351_isotonic_calibrate" -> PipelineOracle.isotonicCalibrate(50),
     "q352_mrr_scale" ->
-      "SELECT CAST(200 AS BIGINT) AS n_queries, TRUE AS mrr_ok"
+      "SELECT CAST(200 AS BIGINT) AS n_queries, TRUE AS mrr_ok",
+    "q353_chi2_independence" -> PipelineOracle.chi2Independence,
+    "q354_conformal_threshold" ->
+      PipelineOracle.conformalThreshold(0.1, 0.3, "conf"),
+    "q355_tail_index" -> PipelineOracle.tailIndex(100)
   )
 }

@@ -956,6 +956,76 @@ object PipelineOracle {
       "SELECT bin, n, pos, CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate, " +
       "MAX(mk) AS iso FROM mn GROUP BY 1, 2, 3, 4"
 
+  /** Mirrors Curation.chi2Independence over (source, lang): dense grid
+    * from the marginals, HUGEINT marginal products (== Spark's
+    * DECIMAL(38,0)), the same subtract-square-divide per cell folded
+    * in (a, b) order. */
+  def chi2Independence: String =
+    "WITH cells AS (SELECT source AS a, lang AS b, " +
+      "CAST(COUNT(*) AS BIGINT) AS nab FROM documents " +
+      "WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2), " +
+      "ma AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM cells GROUP BY a), " +
+      "mb AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM cells GROUP BY b), " +
+      "g AS (SELECT ma.a, mb.b, na, nb, " +
+      "CAST(COALESCE(cells.nab, 0) AS BIGINT) AS o " +
+      "FROM ma CROSS JOIN mb " +
+      "LEFT JOIN cells ON cells.a = ma.a AND cells.b = mb.b), " +
+      "t AS (SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS n, " +
+      "CAST(COUNT(DISTINCT a) AS BIGINT) AS r, " +
+      "CAST(COUNT(DISTINCT b) AS BIGINT) AS c FROM g), " +
+      "s AS (SELECT SUM((CAST(o AS DOUBLE) - " +
+      "CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) / CAST(t.n AS DOUBLE)) * " +
+      "(CAST(o AS DOUBLE) - " +
+      "CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) / CAST(t.n AS DOUBLE)) / " +
+      "(CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) / CAST(t.n AS DOUBLE)) " +
+      "ORDER BY a, b) AS chi2 FROM g CROSS JOIN t GROUP BY t.n, t.r, t.c) " +
+      "SELECT t.n AS n_rows, t.r AS n_a, t.c AS n_b, " +
+      "(t.r - 1) * (t.c - 1) AS dof, s.chi2, " +
+      "CASE WHEN (t.r - 1) * (t.c - 1) > 0 AND t.n > 0 THEN " +
+      "SQRT(s.chi2 / (CAST(t.n AS DOUBLE) * " +
+      "CAST(LEAST(t.r - 1, t.c - 1) AS DOUBLE))) END AS cramers_v " +
+      "FROM t CROSS JOIN s"
+
+  /** Mirrors Curation.conformalThreshold on (documents, source,
+    * n_chars): same hash60 calibration slice, same corrected-rank
+    * order statistic, NULL when the rank exceeds the slice. */
+  def conformalThreshold(alpha: Double, calFrac: Double,
+      salt: String): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val thr = graft.pipeline.Sampling.threshold(calFrac)
+    "WITH cal AS (SELECT source AS \"group\", " +
+      "CAST(n_chars AS DOUBLE) AS s FROM documents " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source " +
+      s"|| ':' || '$salt'), 1, 15))::BIGINT < $thr " +
+      "AND n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))), " +
+      "r AS (SELECT \"group\", s, " +
+      "ROW_NUMBER() OVER (PARTITION BY \"group\" ORDER BY s) AS rk, " +
+      "COUNT(*) OVER (PARTITION BY \"group\") AS n FROM cal) " +
+      "SELECT \"group\", CAST(MAX(n) AS BIGINT) AS n_cal, " +
+      "MAX(CASE WHEN rk = CAST(CEIL(CAST(n + 1 AS DOUBLE) * " +
+      s"${d(1.0 - alpha)}) AS BIGINT) THEN s END) AS threshold " +
+      "FROM r GROUP BY 1"
+  }
+
+  /** Mirrors Curation.tailIndex on events.value: the same top-(k+1)
+    * value multiset (ties at the boundary are value-ties, so the
+    * multiset is well-defined), 1e-9-quantized logs, rank-ordered
+    * fold, one division. */
+  def tailIndex(k: Int): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    def qln(x: String) = s"FLOOR(LN($x) * ${d(1.0e9)}) / ${d(1.0e9)}"
+    s"WITH top AS (SELECT CAST(value AS DOUBLE) AS x FROM events " +
+      "WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE)) " +
+      s"AND CAST(value AS DOUBLE) > 0 ORDER BY x DESC LIMIT ${k + 1}), " +
+      "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, MIN(x) AS xk1 FROM top), " +
+      s"s AS (SELECT SUM(${qln("x")} - (SELECT ${qln("MIN(x)")} FROM top) " +
+      "ORDER BY x DESC) AS hs FROM top) " +
+      s"SELECT CAST($k AS INT) AS k, a.m AS n_top, " +
+      s"CASE WHEN a.m = ${k + 1} THEN a.xk1 END AS x_k1, " +
+      s"CASE WHEN a.m = ${k + 1} AND s.hs > 0 THEN ${d(k.toDouble)} / s.hs " +
+      "END AS hill_alpha FROM a CROSS JOIN s"
+  }
+
   /** Bucket expression for LSH table `t` with `bits` hyperplanes (mirrors
     * Similarity.lshTableBucket: bit j = sign of element t*bits+j+1;
     * out-of-range indexing yields NULL > 0 = NULL -> ELSE 0, matching the

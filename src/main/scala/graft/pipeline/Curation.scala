@@ -785,6 +785,149 @@ object Curation {
       .select(col("__n").as("n_rows"), col("mi"), col("h_a"), col("h_b"))
   }
 
+  /** CHI-SQUARED test of independence over a contingency table — the
+    * significance companion to [[mutualInfo]] (MI says HOW associated;
+    * χ² says whether the association exceeds sampling noise, and
+    * Cramér's V normalizes it to [0,1] across table shapes): χ² =
+    * Σ_ij (o_ij − e_ij)²/e_ij with e_ij = n_i·n_j/N, dof =
+    * (r−1)(c−1), V = √(χ²/(N·(min(r,c)−1))). Absent cells (o = 0 for
+    * a (row, col) pair both of whose marginals exist) CONTRIBUTE e_ij
+    * — the full dense grid is enumerated from the marginals, not just
+    * observed cells (dropping them understates χ²).
+    *
+    * Cross-engine bit-exactness: counts exact longs; each e is the
+    * DECIMAL(38,0)-exact marginal product (n_i·n_j overflows int64 at
+    * ~3e9-row marginals) converted once to double and divided by N
+    * (both conversions correctly rounded single steps in either
+    * engine); each term is subtract-square-divide in fixed order; the
+    * sum folds in (row, col) cell order (sorted array + HOF fold ==
+    * SUM ORDER BY); V is two more IEEE ops on the fold result. NULL
+    * in either column drops the row (the mutualInfo convention).
+    * Degenerate 1×c / r×1 tables: dof 0, χ² 0 up to quantization, V
+    * NULL.
+    *
+    * Scale shape: ONE map-combinable cell count; the dense grid is
+    * |A|·|B| rows built from two broadcast marginals — bounded by
+    * category cardinalities, never data-sized. */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__nab"))
+    val ma = cells.groupBy(col("__a")).agg(sum(col("__nab")).as("__na"))
+    val mb = cells.groupBy(col("__b")).agg(sum(col("__nab")).as("__nb"))
+    val grid = ma.crossJoin(broadcast(mb))
+      .join(cells, Seq("__a", "__b"), "left")
+      .select(col("__a"), col("__b"), col("__na"), col("__nb"),
+        coalesce(col("__nab"), lit(0L)).as("__o"))
+    grid
+      .agg(coalesce(sum(col("__o")), lit(0L)).as("__n"),
+        count_distinct(col("__a")).as("__r"),
+        count_distinct(col("__b")).as("__c"),
+        sort_array(collect_list(struct(col("__a"), col("__b"),
+          col("__o"), col("__na"), col("__nb")))).as("__g"))
+      .select(col("__n").as("n_rows"), col("__r").as("n_a"),
+        col("__c").as("n_b"),
+        ((col("__r") - 1) * (col("__c") - 1)).as("dof"),
+        aggregate(col("__g"), lit(0.0), (acc, x) => {
+          val e = (x.getField("__na").cast("decimal(38,0)") *
+            x.getField("__nb").cast("decimal(38,0)")).cast("double") /
+            col("__n").cast("double")
+          val d = x.getField("__o").cast("double") - e
+          acc + d * d / e
+        }).as("chi2"))
+      .select(col("n_rows"), col("n_a"), col("n_b"), col("dof"),
+        col("chi2"),
+        when(col("dof") > 0 && col("n_rows") > 0,
+          sqrt(col("chi2") / (col("n_rows").cast("double") *
+            least(col("n_a") - 1, col("n_b") - 1).cast("double"))))
+          .as("cramers_v"))
+  }
+
+  /** SPLIT-CONFORMAL threshold per group (Vovk et al.; Angelopoulos &
+    * Bates 2023 tutorial form): over a deterministic hash-held-out
+    * CALIBRATION slice, the ⌈(n+1)(1−α)⌉-th smallest nonconformity
+    * score per group — the distribution-free cutoff such that a fresh
+    * example's score falls below it with probability ≥ 1−α
+    * (exchangeability is the only assumption; the +1 is the
+    * finite-sample correction that makes the guarantee exact). The
+    * production filter applies `score ≤ threshold` map-side; this
+    * operator produces the per-group threshold table.
+    *
+    * Cross-engine exactness: the calibration membership is the
+    * hash-split convention (md5-derived uniform < calFrac), the rank
+    * is an exact integer, and the threshold is an ORDER STATISTIC of
+    * the score VALUES (ties collapse to the same value, so tie order
+    * cannot change the result — no interpolation, by construction).
+    * A group whose calibration slice is too small for the corrected
+    * rank (⌈(n+1)(1−α)⌉ > n) reports a NULL threshold — the honest
+    * "no finite guarantee at this α" answer, never the max.
+    *
+    * Scale shape: the calibration slice is calFrac of the corpus,
+    * filtered map-side; per-group rank via one window partitioned BY
+    * GROUP (never a global sort); output is |groups| rows. */
+  def conformalThreshold(df: DataFrame, groupCol: String, score: Column,
+      alpha: Double, calFrac: Double = 0.3,
+      salt: String = "conf"): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0 && calFrac > 0.0 && calFrac <= 1.0,
+      s"bad conformal shape: alpha=$alpha calFrac=$calFrac")
+    val cal = df
+      .filter(Sampling.hash60(col("doc_id"), col(groupCol), salt) <
+        lit(Sampling.threshold(calFrac)))
+      .select(col(groupCol).as("group"), score.cast("double").as("__s"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("__s"))
+    cal
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("group"))))
+      .withColumn("__need",
+        ceil((col("__n") + 1).cast("double") * lit(1.0 - alpha)).cast("long"))
+      .groupBy(col("group"))
+      .agg(max(col("__n")).as("n_cal"),
+        max(when(col("__r") === col("__need"), col("__s"))).as("threshold"))
+  }
+
+  /** HILL tail-index estimator (Hill 1975) — how heavy is the upper
+    * tail of a positive metric (doc lengths, user activity, purchase
+    * values): over the k+1 largest values, α̂ = 1/(mean of
+    * ln(x_(i)/x_(k+1))); α̂ ≤ 2 means infinite variance (mean-based
+    * monitors are meaningless there — the operational reason to
+    * measure it before trusting q20-style means at scale).
+    *
+    * Cross-engine exactness: the top-(k+1) order statistics come from
+    * one exact sort-limit (ties by value only — the k-th VALUE is
+    * well-defined); each ln is 1e-9-quantized (the lmScore
+    * discipline) and the mean folds in rank order over the ≤ k-sized
+    * array; the inverse is one IEEE division. Non-positive values
+    * drop (log domain); fewer than k+1 positive values → NULL α̂.
+    *
+    * Scale shape: the global top-(k+1) of a 100 TB column is a
+    * TakeOrdered (per-partition heaps, k+1 rows to the driver-side
+    * merge) — never a global sort; everything after is on ≤ k+1
+    * rows. */
+  def tailIndex(df: DataFrame, value: Column, k: Int = 100): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    def qln(x: Column): Column = floor(log(x) * lit(1.0e9)) / lit(1.0e9)
+    val top = df.select(value.cast("double").as("__x"))
+      .filter(col("__x").isNotNull && !isnan(col("__x")) && col("__x") > 0.0)
+      .orderBy(col("__x").desc)
+      .limit(k + 1)
+    // fold over ALL k+1 ranks: the (k+1)-th term is exactly 0, so the
+    // sum equals Σ_{i≤k} (qln(x_i) − qln(x_{k+1})) in rank order;
+    // try_element_at so a short array yields NULL (→ NULL guard), not
+    // an ANSI out-of-range error
+    val hillSum = aggregate(col("__xs"), lit(0.0), (acc, x) =>
+      acc + (qln(x) - qln(try_element_at(col("__xs"), lit(k + 1)))))
+    top
+      .agg(count(lit(1)).as("__m"),
+        sort_array(collect_list(col("__x")), asc = false).as("__xs"))
+      .select(lit(k).as("k"), col("__m").as("n_top"),
+        try_element_at(col("__xs"), lit(k + 1)).as("x_k1"),
+        when(col("__m") === k + 1 && hillSum > 0.0,
+          lit(k.toDouble) / hillSum).as("hill_alpha"))
+  }
+
   def curateExplain(docs: DataFrame, benchmark: DataFrame,
       scores: Seq[(String, Column)], minBlend: Double = 0.5,
       minTokens: Long = 40L, ngram: Int = 5, rate: Double = 0.8,

@@ -261,6 +261,56 @@ class ScaleGateSpec extends SparkSpec {
     assert(!v3.getBoolean(1), v3)
   }
 
+  test("chi2Independence: zero on an exactly independent table, N and V=1 on a perfect diagonal") {
+    val indep = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r1 = graft.pipeline.Curation.chi2Independence(
+      indep.toDF("source", "lang"), "source", "lang").collect()(0)
+    assert(r1.getLong(0) == 40L && r1.getLong(3) == 1L)
+    assert(r1.getDouble(4) == 0.0 && r1.getDouble(5) == 0.0, r1)
+    // perfect association: chi2 = N, Cramér's V = 1
+    val diag = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r2 = graft.pipeline.Curation.chi2Independence(
+      diag.toDF("source", "lang"), "source", "lang").collect()(0)
+    assert(r2.getDouble(4) == 20.0 && r2.getDouble(5) == 1.0, r2)
+  }
+
+  test("conformalThreshold: corrected-rank order statistic; small groups report NULL") {
+    // calFrac=1.0: every row calibrates. group g9 has 9 scores 1..9:
+    // need = ceil(10*0.9) = 9 -> threshold = 9.0; group g4 has 4:
+    // need = ceil(5*0.9) = 5 > 4 -> NULL (no finite guarantee)
+    val rows = (1 to 9).map(i => (i.toLong, "g9", i.toDouble)) ++
+      (1 to 4).map(i => (100L + i, "g4", i.toDouble))
+    val df = rows.toDF("doc_id", "group", "score")
+    val got = graft.pipeline.Curation.conformalThreshold(
+        df, "group", col("score"), alpha = 0.1, calFrac = 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(got("g9") == ((9L, Some(9.0))), got)
+    assert(got("g4") == ((4L, None)), got)
+  }
+
+  test("tailIndex: Hill estimate matches the hand fold; scale-invariant") {
+    def qln(x: Double): Double = math.floor(math.log(x) * 1.0e9) / 1.0e9
+    val vals = Seq(100.0, 50.0, 20.0, 5.0, 1.0)
+    val expSum = (qln(100.0) - qln(20.0)) + (qln(50.0) - qln(20.0))
+    val r = graft.pipeline.Curation.tailIndex(
+      vals.toDF("value"), col("value"), k = 2).collect()(0)
+    assert(r.getInt(0) == 2 && r.getLong(1) == 3L && r.getDouble(2) == 20.0)
+    assert(r.getDouble(3) == 2.0 / expSum, r)
+    // Hill is scale-invariant: 1000x the data, same alpha-hat (the
+    // quantized-log grid shifts both terms of each difference equally
+    // only up to the 1e-9 floor — allow one quantum per term)
+    val r2 = graft.pipeline.Curation.tailIndex(
+      vals.map(_ * 1000.0).toDF("value"), col("value"), k = 2).collect()(0)
+    assert(math.abs(1.0 / r2.getDouble(3) - 1.0 / r.getDouble(3)) < 1e-8, r2)
+    // fewer than k+1 positive values -> NULL alpha
+    val r3 = graft.pipeline.Curation.tailIndex(
+      Seq(5.0, 1.0).toDF("value"), col("value"), k = 2).collect()(0)
+    assert(r3.isNullAt(3), r3)
+  }
+
   test("SparkEntry.tableCache: LRU-bounded, scans evicted past the cap") {
     val base = java.nio.file.Files.createTempDirectory("graft_tc").toString
     val one = Seq((1L, "t", "en", "s", 1L))
