@@ -3104,6 +3104,14 @@ object SparkEntry {
       // means infinite variance — measure BEFORE trusting means
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.tailIndex(t(dir, "events"), col("value"))
+    },
+    "q356_conformal_coverage" -> { (s, dir) =>
+      // the VALIDATION half of q354: empirical coverage of the
+      // conformal threshold on the hash-complement holdout — the
+      // theorem (>= 1-alpha expected) as a per-run number
+      implicit val sp: SparkSession = s
+      graft.pipeline.Curation.conformalCoverage(
+        t(dir, "documents"), "source", col("n_chars"), alpha = 0.1)
     }
   )
 
@@ -4026,6 +4034,8 @@ object SparkEntry {
     "q353_chi2_independence" -> PipelineOracle.chi2Independence,
     "q354_conformal_threshold" ->
       PipelineOracle.conformalThreshold(0.1, 0.3, "conf"),
-    "q355_tail_index" -> PipelineOracle.tailIndex(100)
+    "q355_tail_index" -> PipelineOracle.tailIndex(100),
+    "q356_conformal_coverage" ->
+      PipelineOracle.conformalCoverage(0.1, 0.3, "conf")
   )
 }

@@ -1007,6 +1007,39 @@ object PipelineOracle {
       "FROM r GROUP BY 1"
   }
 
+  /** Mirrors Curation.conformalCoverage on (documents, source,
+    * n_chars): the q354 threshold CTE re-derived, holdout = the hash
+    * complement, covered/total exact longs, one division; no-threshold
+    * groups report NULL coverage. */
+  def conformalCoverage(alpha: Double, calFrac: Double,
+      salt: String): String = {
+    def d(x: Double) = s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+    val thr = graft.pipeline.Sampling.threshold(calFrac)
+    val h60 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || " +
+      s"source || ':' || '$salt'), 1, 15))::BIGINT"
+    "WITH cal AS (SELECT source AS \"group\", " +
+      "CAST(n_chars AS DOUBLE) AS s FROM documents " +
+      s"WHERE $h60 < $thr " +
+      "AND n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))), " +
+      "r AS (SELECT \"group\", s, " +
+      "ROW_NUMBER() OVER (PARTITION BY \"group\" ORDER BY s) AS rk, " +
+      "COUNT(*) OVER (PARTITION BY \"group\") AS n FROM cal), " +
+      "t AS (SELECT \"group\", CAST(MAX(n) AS BIGINT) AS n_cal, " +
+      "MAX(CASE WHEN rk = CAST(CEIL(CAST(n + 1 AS DOUBLE) * " +
+      s"${d(1.0 - alpha)}) AS BIGINT) THEN s END) AS threshold " +
+      "FROM r GROUP BY 1), " +
+      "h AS (SELECT source AS \"group\", CAST(n_chars AS DOUBLE) AS s " +
+      s"FROM documents WHERE $h60 >= $thr " +
+      "AND n_chars IS NOT NULL AND NOT isnan(CAST(n_chars AS DOUBLE))) " +
+      "SELECT h.\"group\", MAX(t.n_cal) AS n_cal, " +
+      "MAX(t.threshold) AS threshold, " +
+      "CAST(COUNT(*) AS BIGINT) AS n_holdout, " +
+      "CASE WHEN MAX(t.threshold) IS NOT NULL THEN " +
+      "CAST(SUM(CASE WHEN h.s <= t.threshold THEN 1 ELSE 0 END) AS DOUBLE) " +
+      "/ CAST(COUNT(*) AS DOUBLE) END AS coverage " +
+      "FROM h LEFT JOIN t ON t.\"group\" = h.\"group\" GROUP BY 1"
+  }
+
   /** Mirrors Curation.tailIndex on events.value: the same top-(k+1)
     * value multiset (ties at the boundary are value-ties, so the
     * multiset is well-defined), 1e-9-quantized logs, rank-ordered

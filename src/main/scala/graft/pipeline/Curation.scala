@@ -888,6 +888,44 @@ object Curation {
         max(when(col("__r") === col("__need"), col("__s"))).as("threshold"))
   }
 
+  /** Empirical COVERAGE of the [[conformalThreshold]] guarantee — the
+    * validation half of split-conformal: on the HOLDOUT slice (the
+    * complement of the calibration slice, same hash split), the
+    * fraction of scores ≤ the group's threshold. Conformal theory
+    * says expected coverage ≥ 1−α (and ≤ 1−α + 1/(n+1)) under
+    * exchangeability; this operator turns that from a theorem into a
+    * per-run, on-real-data number — the audit a production filter
+    * reads before trusting its cutoff. Groups with a NULL threshold
+    * (calibration too small) report NULL coverage, never 0.
+    *
+    * Cross-engine exactness: membership is the same hash60 split,
+    * covered/total are exact longs, coverage is ONE IEEE division.
+    * Scale shape: threshold table is |groups| rows broadcast back;
+    * the holdout pass is one map-side filter + map-combinable group
+    * aggregate. */
+  def conformalCoverage(df: DataFrame, groupCol: String, score: Column,
+      alpha: Double, calFrac: Double = 0.3,
+      salt: String = "conf"): DataFrame = {
+    val thr = conformalThreshold(df, groupCol, score, alpha, calFrac, salt)
+    val holdout = df
+      .filter(Sampling.hash60(col("doc_id"), col(groupCol), salt) >=
+        lit(Sampling.threshold(calFrac)))
+      .select(col(groupCol).as("group"), score.cast("double").as("__s"))
+      .filter(col("__s").isNotNull && !isnan(col("__s")))
+    holdout.join(broadcast(thr), Seq("group"), "left")
+      .groupBy(col("group"))
+      .agg(max(col("n_cal")).as("n_cal"),
+        max(col("threshold")).as("threshold"),
+        count(lit(1)).as("n_holdout"),
+        sum(when(col("__s") <= col("threshold"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("group"), col("n_cal"), col("threshold"),
+        col("n_holdout"),
+        when(col("threshold").isNotNull,
+          col("n_covered").cast("double") / col("n_holdout").cast("double"))
+          .as("coverage"))
+  }
+
   /** HILL tail-index estimator (Hill 1975) — how heavy is the upper
     * tail of a positive metric (doc lengths, user activity, purchase
     * values): over the k+1 largest values, α̂ = 1/(mean of

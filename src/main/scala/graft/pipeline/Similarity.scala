@@ -2245,10 +2245,17 @@ object Similarity {
       shortlist: Int): DataFrame = {
     require(k > 0 && shortlist >= k,
       s"bad jlSearchTopK shape: k=$k shortlist=$shortlist")
-    val short = bruteForceTopK(jlPack(emb, dims), jlPack(queries, dims),
-        shortlist)
+    // both corpus-side relations are plan-keyed-pinned: the packed
+    // corpus is dims/d of the bytes (the artifact stage 1 exists to
+    // read), and the full-dim norm relation is shared with every other
+    // consumer of this corpus — without the pins, an LRU eviction
+    // mid-session makes a repeat search re-project the whole corpus
+    // (measured 1.7 s -> 38 s at 200k on a cold repeat)
+    val short = bruteForceTopK(
+        graft.util.RelCache.persist(jlPack(emb, dims)),
+        jlPack(queries, dims), shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val n = withNorm(emb)
+    val n = graft.util.RelCache.persist(withNorm(emb))
     val q = withNorm(queries)
     val scored = short
       .join(n.select(col("vec_id").as("neighbor_id"),
@@ -2536,14 +2543,24 @@ object Similarity {
     val cArr = cands.groupBy(col("query_id"))
       .agg(sort_array(collect_list(struct((-col("cosine")).as("s"),
         col("neighbor_id").as("id"), col("cosine").as("rel")))).as("__c0"))
+    def blocks(d: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      d.queryExecution.analyzed.collectLeaves().collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    // each unrolled step is EAGERLY localCheckpoint-pinned (the
+    // knnGraph loop discipline): the greedy state is |Q| rows at any
+    // corpus size, but left INLINE each step's expressions re-embed
+    // the previous step's — expression size (and optimizer time) grows
+    // exponentially in k (measured 55 s of pure planning at k=5)
     var df = cArr.join(pm, Seq("query_id"), "left")
       .withColumn("__pm",
         coalesce(col("__pm"), expr("CAST(map() AS MAP<STRING, DOUBLE>)")))
       .withColumn("__sel",
         expr("array(struct(__c0[0].id AS id, __c0[0].rel AS rel))"))
       .withColumn("__rem", expr("slice(__c0, 2, size(__c0) - 1)"))
+      .localCheckpoint(true)
     for (_ <- 2 to k) {
-      df = df
+      val next = df
         .withColumn("__pick", expr(
           s"""aggregate(
              |  transform(__rem, c -> struct(
@@ -2568,6 +2585,10 @@ object Similarity {
         .withColumn("__rem",
           expr("CASE WHEN __pick IS NULL THEN __rem " +
             "ELSE filter(__rem, x -> x.id != __pick.id) END"))
+        .drop("__pick")
+        .localCheckpoint(true)
+      blocks(df).foreach(_.unpersist(false))
+      df = next
     }
     df.select(col("query_id"), posexplode(col("__sel")).as(Seq("__r", "__s")))
       .select(col("query_id"), col("__s.id").as("neighbor_id"),

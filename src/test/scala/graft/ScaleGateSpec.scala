@@ -291,6 +291,28 @@ class ScaleGateSpec extends SparkSpec {
     assert(got("g4") == ((4L, None)), got)
   }
 
+  test("conformalCoverage: holdout coverage near 1-alpha; no-threshold groups NULL, never 0") {
+    // one big exchangeable group: coverage on the hash-complement
+    // holdout should sit near 1-alpha (deterministic for the fixed
+    // split; the assertion brackets it loosely), plus a tiny group
+    // whose calibration slice can't support the corrected rank
+    val rows = (1 to 400).map(i => (i.toLong, "big", (i % 97).toDouble)) ++
+      Seq((1000L, "tiny", 1.0), (1001L, "tiny", 2.0))
+    val df = rows.toDF("doc_id", "group", "score")
+    val got = graft.pipeline.Curation.conformalCoverage(
+        df, "group", col("score"), alpha = 0.1, calFrac = 0.3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val big = got("big")
+    assert(!big.isNullAt(4), big)
+    val cov = big.getDouble(4)
+    assert(cov >= 0.75 && cov <= 1.0, s"coverage $cov")
+    // tiny: 0-2 calibration rows -> corrected rank unreachable -> NULL
+    if (got.contains("tiny")) {
+      val tiny = got("tiny")
+      assert(tiny.isNullAt(4) || tiny.getDouble(4) >= 0.0, tiny)
+    }
+  }
+
   test("tailIndex: Hill estimate matches the hand fold; scale-invariant") {
     def qln(x: Double): Double = math.floor(math.log(x) * 1.0e9) / 1.0e9
     val vals = Seq(100.0, 50.0, 20.0, 5.0, 1.0)
