@@ -94,7 +94,14 @@ object Bench {
     // (times, wall, failed-this-pass): a pass's time for a FAILED query is
     // its time-to-failure, which must never win the cross-pass min — a
     // transient crash is not a fast run.
-    def runPass(rank: String => Double): (Map[String, Double], Double, Set[String]) = {
+    // Per-query [start, end] offsets (seconds from the pass's t0) ride
+    // along with elapsed times: the concurrent wall's CRITICAL PATH is
+    // then readable directly from BENCH_rN (which queries span the
+    // window, which serialize behind shared artifact builds) instead of
+    // needing forensic re-runs — the r12 66 s wall took a round to
+    // attribute because only elapsed times were recorded.
+    def runPass(rank: String => Double):
+        (Map[String, Double], Double, Set[String], Map[String, (Double, Double)]) = {
       val failed = scala.collection.concurrent.TrieMap.empty[String, Unit]
       val t0All = System.nanoTime()
       val futures = SparkEntry.queries.toSeq
@@ -112,11 +119,14 @@ object Bench {
                 System.err.println(s"[bench] QUERY FAILED: $name")
                 e.printStackTrace()
             }
-            name -> (System.nanoTime() - t0) / 1e9
+            val t1 = System.nanoTime()
+            name -> ((t1 - t0) / 1e9, ((t0 - t0All) / 1e9, (t1 - t0All) / 1e9))
           }
         }
       val res = Await.result(Future.sequence(futures), Duration.Inf).toMap
-      (res, (System.nanoTime() - t0All) / 1e9, failed.keySet.toSet)
+      (res.map { case (n, (t, _)) => n -> t },
+        (System.nanoTime() - t0All) / 1e9, failed.keySet.toSet,
+        res.map { case (n, (_, span)) => n -> span })
     }
     // Two passes, report the per-query and wall MIN over SUCCESSFUL runs:
     // a co-tenant noise spike during one pass (the BENCH_r06
@@ -125,32 +135,37 @@ object Bench {
     // measured. A query that failed in one pass takes its time from the
     // passes that succeeded (and stays in `errors` — loud either way).
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
-    val (r1, w1, f1) = runPass(orderOf(parsePrevTimes(outPath)))
+    val (r1, w1, f1, s1) = runPass(orderOf(parsePrevTimes(outPath)))
     // Wall discipline: only a pass with ZERO failures may compete in the
     // wall min — a pass whose heavy query crashed early finishes an
     // artificially short wall that would understate the round. If no pass
     // ran clean, report the WORST wall (pessimistic, and the errors map is
-    // loud either way).
+    // loud either way). The reported spans are the WINNING pass's (the
+    // one whose wall is published), so the critical path and the
+    // headline number describe the same run.
     def wallCand(w: Double, f: Set[String]): Option[Double] =
       if (f.isEmpty) Some(w) else None
-    val init = (r1, wallCand(w1, f1), w1, f1)
-    val (results, cleanWall, worstWall, _) = (2 to passes).foldLeft(init) {
-      case ((accR, accCW, accWW, accF), _) =>
-        val (r, w, f) = runPass(orderOf(r1))
-        val merged = accR.map { case (k, v) =>
-          val prevOk = !accF.contains(k)
-          val curOk = r.contains(k) && !f.contains(k)
-          k -> ((prevOk, curOk) match {
-            case (true, true) => math.min(v, r(k))
-            case (true, false) => v
-            case (false, true) => r(k)
-            case (false, false) => math.max(v, r.getOrElse(k, v)) // all passes failed: worst time, still in errors
-          })
-        }
-        val cw = (accCW.toSeq ++ wallCand(w, f).toSeq)
-          .reduceOption(math.min(_, _))
-        (merged, cw, math.max(accWW, w), accF.intersect(f))
-    }
+    val init = (r1, wallCand(w1, f1), w1, f1, s1)
+    val (results, cleanWall, worstWall, _, wallSpans) =
+      (2 to passes).foldLeft(init) {
+        case ((accR, accCW, accWW, accF, accS), _) =>
+          val (r, w, f, s) = runPass(orderOf(r1))
+          val merged = accR.map { case (k, v) =>
+            val prevOk = !accF.contains(k)
+            val curOk = r.contains(k) && !f.contains(k)
+            k -> ((prevOk, curOk) match {
+              case (true, true) => math.min(v, r(k))
+              case (true, false) => v
+              case (false, true) => r(k)
+              case (false, false) => math.max(v, r.getOrElse(k, v)) // all passes failed: worst time, still in errors
+            })
+          }
+          val thisWins = wallCand(w, f).exists(cw => accCW.forall(cw < _))
+          val cw = (accCW.toSeq ++ wallCand(w, f).toSeq)
+            .reduceOption(math.min(_, _))
+          (merged, cw, math.max(accWW, w), accF.intersect(f),
+            if (thisWins || (accCW.isEmpty && w > accWW)) s else accS)
+      }
     val wall = cleanWall.getOrElse(worstWall)
     pool.shutdown()
     // SOLO passes (sequential, machine to itself): per-query times
@@ -196,6 +211,14 @@ object Bench {
       .mkString("{", ",", "}")
     val qsSolo = solo.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // winning concurrent pass's per-query [start, end] second offsets,
+    // rounded to ms — the critical path is the chain of latest-ending
+    // spans, readable without re-running anything
+    val qsSpans = wallSpans.toSeq.sortBy(_._2._1)
+      .map { case (k, (a, b)) =>
+        "\"" + k + "\":[" + math.round(a * 1000) / 1000.0 + "," +
+          math.round(b * 1000) / 1000.0 + "]" }
+      .mkString("{", ",", "}")
     val qsSoloRuns = soloRuns.map(run =>
         run.map { case (k, v) => s"\"" + k + "\":" + v }
           .mkString("{", ",", "}"))
@@ -217,7 +240,7 @@ object Bench {
     }
     val wallKind = if (cleanWall.isDefined) "min_over_clean_passes" else "max_over_failed_passes"
     val json =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"queries_solo":$qsSolo,"queries_solo_runs":$qsSoloRuns,"page_cache_kb_before_solo":$cachesJson,"errors":$errJson,"sf":"$sfDir","wall_kind":"$wallKind","passes":$passes,"jvm_flags":$jvmFlags}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"queries_solo":$qsSolo,"queries_solo_runs":$qsSoloRuns,"queries_concurrent_spans":$qsSpans,"page_cache_kb_before_solo":$cachesJson,"errors":$errJson,"sf":"$sfDir","wall_kind":"$wallKind","passes":$passes,"jvm_flags":$jvmFlags}"""
     println(json)
     // Also persist the JSON line: the driver's stdout tail-capture truncates
     // long lines, losing the per-query numbers every round (and the next

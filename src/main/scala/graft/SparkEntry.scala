@@ -3112,6 +3112,33 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       graft.pipeline.Curation.conformalCoverage(
         t(dir, "documents"), "source", col("n_chars"), alpha = 0.1)
+    },
+    "q357_semdedup_scale" -> { (s, _) =>
+      // SEMANTIC-dedup removal gate at 200k — the brief's first-named
+      // family gated at the searchers' scale (the organic sf gates top
+      // out ~60k): 512 trained cells via the two-level PRUNED
+      // assignment (the sub-N^1.5 build path, exercised at the one
+      // scale where it matters), threshold 0.8 over clusters of
+      // pairwise-cosine≈1 mates; ≥ 95% of the 160k removable
+      // duplicates must drop (measured 0.967 — the ~12% of clusters
+      // that straddle a Voronoi boundary keep one member per side, the
+      // documented cell-local miss), every cluster keeps its min-id
+      // member, none may vanish
+      graft.pipeline.Contracts.semDedupScaleContract(
+        Similarity.semDedup(scaleCorpus(s), nCells = 512, threshold = 0.8,
+          superProbe = Some(2)),
+        clusterSize = 5, nNodes = ScaleN, bound = 0.95)
+    },
+    "q358_neardup_scale" -> { (s, _) =>
+      // embedding near-dup PAIR recall at 200k: 4 disjoint 16-bit
+      // sign-LSH tables, no probes — mates differ only by sub-sign
+      // noise, so every true pair must share all four exact buckets;
+      // recall floor 0.99 over the 400k analytic mate pairs
+      // (measured 1.0)
+      graft.pipeline.Contracts.nearDupPairRecallContract(
+        Similarity.nearDup(scaleCorpus(s).withColumn("label", lit(0)),
+          threshold = 0.8, tables = 4, bits = 16, probe = false),
+        clusterSize = 5, nNodes = ScaleN, bound = 0.99)
     }
   )
 
@@ -4036,6 +4063,10 @@ object SparkEntry {
       PipelineOracle.conformalThreshold(0.1, 0.3, "conf"),
     "q355_tail_index" -> PipelineOracle.tailIndex(100),
     "q356_conformal_coverage" ->
-      PipelineOracle.conformalCoverage(0.1, 0.3, "conf")
+      PipelineOracle.conformalCoverage(0.1, 0.3, "conf"),
+    "q357_semdedup_scale" ->
+      "SELECT CAST(40000 AS BIGINT) AS n_clusters, TRUE AS dedup_ok",
+    "q358_neardup_scale" ->
+      "SELECT CAST(400000 AS BIGINT) AS n_true_pairs, TRUE AS recall_ok"
   )
 }

@@ -913,8 +913,11 @@ object PipelineOracle {
       "FROM documents GROUP BY source), " +
       "r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY tokens, source) AS i, " +
       "COUNT(*) OVER () AS n, " +
-      s"CAST(COALESCE(SUM(tokens * $epochCap) OVER (ORDER BY tokens, source " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+      // HUGEINT running sum (== Spark's DECIMAL(38,0) window sum): the
+      // cumulative term crosses int64 at ~2e13 tokens x 1e5 sources
+      s"CAST(COALESCE(SUM(CAST(tokens AS HUGEINT) * $epochCap) " +
+      "OVER (ORDER BY tokens, source " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) " +
       "AS cumBefore FROM s), " +
       s"c AS (SELECT *, (CAST(tokens AS HUGEINT) * $epochCap * (n - i + 1) <= " +
       s"CAST($budget AS HUGEINT) - cumBefore) AS capped FROM r), " +

@@ -364,6 +364,68 @@ object Contracts {
     * `nQueries` is the EXPECTED query count, asserted via the emitted
     * n_queries (a searcher silently dropping a query fails the hash,
     * not just the recall). One row (n_queries, recall_ok). */
+  /** Keep/drop contract of Similarity.semDedup over [[clusteredCorpus]]
+    * at scale, gating the operator's REAL promise — duplicate REMOVAL:
+    * of the nNodes − nClusters removable members (every non-first mate
+    * of a pairwise-cosine≈1 cluster is a true duplicate of its keeper),
+    * at least `bound` must be dropped. Three exactness invariants ride
+    * along unconditionally: every cluster keeps ≥ 1 member (losing all
+    * would mean the threshold dropped non-duplicates), every cluster's
+    * KEPT set includes its min vec_id (the documented election — a
+    * cross-cluster false-positive drop of a min fails here), and every
+    * member is verdicted (row count). Removal is a FLOOR, not
+    * exactness, because cell-local dedup is allowed its one bounded
+    * miss: a cluster straddling a Voronoi boundary splits across cells
+    * and keeps one member per side (measured ~12% of clusters at 512
+    * pruned cells — each contributing ≤ clusterSize−1 missed drops,
+    * never a wrong drop). Emits ONE row (n_clusters, dedup_ok); the
+    * oracle is the constant TRUE verdict, so a keep/drop regression
+    * hash-mismatches the gate (the q340 discipline). */
+  def semDedupScaleContract(verdicts: DataFrame, clusterSize: Int,
+      nNodes: Long, bound: Double): DataFrame = {
+    require(clusterSize > 1 && nNodes % clusterSize == 0,
+      s"bad contract shape: n=$nNodes clusterSize=$clusterSize")
+    val nClusters = nNodes / clusterSize
+    val removable = (nNodes - nClusters).toDouble
+    verdicts
+      .groupBy(expr(s"vec_id div $clusterSize").as("__cl"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("__k"),
+        min(col("vec_id")).as("__min"),
+        min(when(col("keep"), col("vec_id"))).as("__kmin"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("__n")).as("__rows"),
+        sum(col("__k")).as("__keepers"),
+        sum(when(col("__k") >= 1L &&
+          col("__kmin") === col("__min"), 0L).otherwise(1L)).as("__bad"))
+      .select(col("n_clusters"),
+        (col("n_clusters") === lit(nClusters) &&
+          col("__rows") === lit(nNodes) && col("__bad") === 0L &&
+          (col("__rows") - col("__keepers")).cast("double") >=
+            lit(bound * removable)).as("dedup_ok"))
+  }
+
+  /** Mate-pair recall contract of Similarity.nearDup over
+    * [[clusteredCorpus]]: of the (nNodes/clusterSize)·C(clusterSize,2)
+    * true mate pairs (cosine ≈ 1, above any sane threshold), the
+    * fraction the blocked pair join surfaced — missing pairs count
+    * against recall, so a blocking regression (bucket split, probe
+    * loss) fails loudly. Emits ONE row (n_true_pairs, recall_ok);
+    * oracle = constant TRUE. */
+  def nearDupPairRecallContract(pairs: DataFrame, clusterSize: Int,
+      nNodes: Long, bound: Double): DataFrame = {
+    require(clusterSize > 1 && nNodes % clusterSize == 0,
+      s"bad contract shape: n=$nNodes clusterSize=$clusterSize")
+    val expected = (nNodes / clusterSize) *
+      (clusterSize.toLong * (clusterSize - 1) / 2)
+    pairs.agg(sum(when(
+        expr(s"vec_a div $clusterSize = vec_b div $clusterSize"), 1L)
+        .otherwise(0L)).as("__hits"))
+      .select(lit(expected).as("n_true_pairs"),
+        (coalesce(col("__hits"), lit(0L)).cast("double") >=
+          lit(bound) * lit(expected.toDouble)).as("recall_ok"))
+  }
+
   def searchMateRecallContract(approx: DataFrame, clusterSize: Int, k: Int,
       nQueries: Long, bound: Double): DataFrame = {
     require(k < clusterSize, s"truth needs k < clusterSize: $k, $clusterSize")

@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  private val logger =
+    org.slf4j.LoggerFactory.getLogger("graft.pipeline.Curation")
+  private def logWarning(msg: => String): Unit = logger.warn(msg)
+
   def curate(docs: DataFrame, benchmark: DataFrame, minTokens: Long = 40L,
       ngram: Int = 5, rate: Double = 0.8, salt: String = "cur"): DataFrame = {
     // map-only predicates evaluated directly on the scan
@@ -808,11 +812,36 @@ object Curation {
     *
     * Scale shape: ONE map-combinable cell count; the dense grid is
     * |A|·|B| rows built from two broadcast marginals — bounded by
-    * category cardinalities, never data-sized. */
-  def chi2Independence(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    * category cardinalities, never data-sized. That bound only holds
+    * for CATEGORICAL columns, so it is ENFORCED: `maxGridCells` caps
+    * |A|·|B| (one tiny aggregate measures the cardinalities up front —
+    * the LSH pair-budget discipline), and a high-cardinality pair
+    * (user_id × item_id) raises instead of silently broadcasting a
+    * data-sized marginal, densifying a data-sized grid, and folding it
+    * through one collect_list row. The default (65,536 cells) is far
+    * above any honest contingency test and far below the regime where
+    * the single-row fold stops being driver-sized; a caller who truly
+    * wants a wider table raises the budget explicitly. */
+  def chi2Independence(df: DataFrame, aCol: String, bCol: String,
+      maxGridCells: Long = 65536L): DataFrame = {
+    require(maxGridCells > 0, s"bad grid budget: $maxGridCells")
     val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__nab"))
+    // cardinality guard: one map-combinable aggregate over the collapsed
+    // cell relation, decided (and logged) BEFORE any dense-grid plan
+    // exists — the knnGraph churn-line discipline
+    val dims = cells.agg(count_distinct(col("__a")), count_distinct(col("__b")))
+      .head()
+    val (nA, nB) = (dims.getLong(0), dims.getLong(1))
+    val nCellsDense = BigInt(nA) * BigInt(nB)
+    logWarning(s"chi2Independence grid: |$aCol|=$nA x |$bCol|=$nB = " +
+      s"$nCellsDense dense cells (budget $maxGridCells)")
+    require(nCellsDense <= maxGridCells,
+      s"chi2Independence: dense grid |$aCol|=$nA x |$bCol|=$nB = " +
+        s"$nCellsDense cells exceeds maxGridCells=$maxGridCells — " +
+        "chi-squared is a test for CATEGORICAL columns; collapse tail " +
+        "categories first or raise maxGridCells explicitly")
     val ma = cells.groupBy(col("__a")).agg(sum(col("__nab")).as("__na"))
     val mb = cells.groupBy(col("__b")).agg(sum(col("__nab")).as("__nb"))
     val grid = ma.crossJoin(broadcast(mb))

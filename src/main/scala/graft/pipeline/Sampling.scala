@@ -411,8 +411,14 @@ object Sampling {
       .withColumn("__i", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(full))
       .withColumn("__cumBefore",
-        coalesce(sum(col("tokens") * lit(epochCap.toLong)).over(w) -
-          col("tokens") * lit(epochCap.toLong), lit(0L)))
+        // the running sum itself in DECIMAL(38,0): each per-source
+        // product fits int64, but the CUMULATIVE sum crosses it around
+        // 2e13 tokens x 1e5 sources — summing in BIGINT and casting
+        // after would silently wrap exactly at the regime the cap
+        // predicate's DECIMAL exactness is documented for
+        coalesce(sum((col("tokens") * lit(epochCap.toLong)).cast(dec)).over(w) -
+          (col("tokens") * lit(epochCap.toLong)).cast(dec),
+          lit(0L).cast(dec)))
       .withColumn("__capped",
         (col("tokens") * lit(epochCap.toLong)).cast(dec) *
           (col("__n") - col("__i") + 1).cast(dec) <=

@@ -34,6 +34,17 @@ object Similarity {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  // annLsh sign-guard memo: sampled positive-coordinate fraction per
+  // (session, corpus plan hash, hashed width). Hash-keyed like
+  // centroidMemo (never the plan object — LocalRelation plans embed the
+  // corpus rows); LRU-bounded like Dedup.capDecisions.
+  private val signGuardDecisions = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Int, Int, Int), java.lang.Double](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int, Int), java.lang.Double]): Boolean =
+        size() > 64
+    })
+
   /** Corpus with a precomputed norm column. */
   def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nrm", norm(col("embedding")))
@@ -543,13 +554,40 @@ object Similarity {
     // long-lived drivers.
     val key = (System.identityHashCode(corpus.sparkSession),
       corpus.queryExecution.analyzed.canonicalized.semanticHash(), nCells, iters)
-    centroidMemo.synchronized {
-      val hit = centroidMemo.get(key)
+    singleFlight(centroidMemo, key)(trainCentroids(corpus, nCells, iters))
+  }
+
+  /** Single-flight lookup over a synchronized LRU training memo:
+    * concurrent callers of the SAME key wait for the first trainer
+    * instead of training twice (the RelCache.memo rendezvous — under
+    * the concurrent bench the 200k IVF gates race the same Lloyd run).
+    * Different keys train fully concurrently; a failed trainer's
+    * waiters fall through and attempt the build themselves. */
+  private val trainInflight = new java.util.concurrent.ConcurrentHashMap[
+    Any, java.util.concurrent.CompletableFuture[AnyRef]]()
+  private def singleFlight[V <: AnyRef](cache: java.util.LinkedHashMap[Any, V],
+      key: Any)(build: => V): V = {
+    while (true) {
+      val hit = cache.synchronized(cache.get(key))
       if (hit != null) return hit
+      val fut = new java.util.concurrent.CompletableFuture[AnyRef]()
+      val prior = trainInflight.putIfAbsent(key, fut)
+      if (prior != null) {
+        try return prior.join().asInstanceOf[V]
+        catch { case _: java.util.concurrent.CompletionException => () }
+        // trainer failed — loop: re-check the memo, then race to build
+      } else {
+        try {
+          val built = build
+          cache.synchronized(cache.put(key, built))
+          fut.complete(built.asInstanceOf[AnyRef])
+          return built
+        } catch {
+          case e: Throwable => fut.completeExceptionally(e); throw e
+        } finally trainInflight.remove(key, fut)
+      }
     }
-    val trained = trainCentroids(corpus, nCells, iters)
-    centroidMemo.synchronized { centroidMemo.put(key, trained) }
-    trained
+    throw new IllegalStateException("unreachable")
   }
 
   /** Drop memoized trained centroids (see kmeansCentroids' staleness
@@ -906,10 +944,18 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= nCells)
     val cents = kmeansCentroids(corpus, nCells, iters)
     val cent = centroidsDf(corpus.sparkSession, cents)
-    val c = (superProbe match {
+    // the corpus-side assignment (the N x nCells term) is pinned: IVF
+    // consumers over one corpus (recall gates, repeated bench passes,
+    // hardNegativesIvf's oracle) re-probe the SAME inverted lists —
+    // plan-keyed, so an identical (corpus, trained centroids) pair
+    // dedupes across calls; the centroid relation is a LocalRelation of
+    // the memoized training output, structurally equal across calls
+    val cRaw = superProbe match {
       case Some(w) => assignCellsPruned(corpus, cents, 1, w)
       case None => assignCells(corpus, cent, 1)
-    }).as("c")
+    }
+    val c = (if (corpus.isStreaming) cRaw
+             else graft.util.RelCache.persist(cRaw)).as("c")
     val q = assignCells(queries, cent, nprobe).as("q")
     val scored = c.join(broadcast(q),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
@@ -1106,37 +1152,56 @@ object Similarity {
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int, tables: Int = 4,
       bits: Int = 16, probeHamming: Int = 2,
       signGuard: Boolean = true): DataFrame = {
-    if (signGuard) {
+    // the guard is one eager sampled aggregate — memoized per
+    // (session, corpus plan, hashed width) so repeated searches over one
+    // corpus pay it once (the capDecisions discipline), and skipped for
+    // a streaming corpus (no eager job is legal there; the batch gates
+    // carry the guard for the shared geometry)
+    if (signGuard && !corpus.isStreaming) {
       val d = tables * bits
-      val frac = corpus
-        .filter(pmod(hash(col("vec_id")), lit(101)) === 0 &&
-          col("embedding").isNotNull && size(col("embedding")) > 0)
-        .select(avg(expr(
-          s"""aggregate(slice(embedding, 1, $d), 0.0D,
-             |  (a, x) -> a + CASE WHEN x > 0.0 THEN 1.0D ELSE 0.0D END)
-             |  / least(size(embedding), $d)""".stripMargin
-            .replaceAll("\n", " "))).as("f"))
-        .collect()(0)
-      if (!frac.isNullAt(0)) {
-        val f = frac.getDouble(0)
-        if (f > 0.95 || f < 0.05) logWarning(
-          f"annLsh sign guard: sampled positive-coordinate fraction $f%.3f" +
+      val guardKey = (System.identityHashCode(corpus.sparkSession),
+        corpus.queryExecution.analyzed.canonicalized.semanticHash(), d)
+      signGuardDecisions.computeIfAbsent(guardKey, _ => {
+        val frac = corpus
+          .filter(pmod(hash(col("vec_id")), lit(101)) === 0 &&
+            col("embedding").isNotNull && size(col("embedding")) > 0)
+          .select(avg(expr(
+            s"""aggregate(slice(embedding, 1, $d), 0.0D,
+               |  (a, x) -> a + CASE WHEN x > 0.0 THEN 1.0D ELSE 0.0D END)
+               |  / least(size(embedding), $d)""".stripMargin
+              .replaceAll("\n", " "))).as("f"))
+          .collect()(0)
+        if (frac.isNullAt(0)) java.lang.Double.valueOf(0.5)
+        else java.lang.Double.valueOf(frac.getDouble(0))
+      }) match {
+        case f if f > 0.95 || f < 0.05 => logWarning(
+          f"annLsh sign guard: sampled positive-coordinate fraction ${f.doubleValue()}%.3f" +
             " — a single-signed corpus collapses sign-LSH buckets and " +
             "craters recall; center the embeddings first " +
             "(Similarity.centerEmbeddings)")
+        case _ => ()
       }
     }
+    // buckets carry ONLY (vec_id, tbl, bucket): candidates are id pairs,
+    // embeddings rejoin at scoring time — the corpus-side bucket relation
+    // shrinks from embedding-sized to ~24 B/row, making it cheap to pin
+    // (searchers over one corpus — q342's recall gate and q352's MRR
+    // gate, or repeated bench passes — share ONE bucketing scan)
     def bucketed(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), col("embedding"), col("nrm"),
+      df.select(col("vec_id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("tbl"),
             lshTableBucket(col("embedding"), t, bits).as("bucket"))): _*)).as("tb"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
+        .select(col("vec_id"),
           col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val c = withNorm(corpus)
+    val c =
+      if (corpus.isStreaming) withNorm(corpus)
+      else graft.util.RelCache.persist(withNorm(corpus))
     val q = withNorm(queries)
-    val cb = bucketed(c)
-    val qb = bucketed(q)
+    val cb =
+      if (corpus.isStreaming) bucketed(corpus)
+      else graft.util.RelCache.persist(bucketed(corpus))
+    val qb = bucketed(queries)
     val qprobes = qb.select(col("vec_id"), col("tbl"),
       explode(array(probeFlips(bits, probeHamming).map(f =>
         col("bucket").bitwiseXOR(lit(f))): _*)).as("pb"))
@@ -1459,8 +1524,15 @@ object Similarity {
       assignCells(corpus, cent, 1).select(col("vec_id"),
         col("embedding"), col("cell")))
     // residual encoding: argmin_code ||v_ss - (c_ss + cw)||2 per
-    // (vector, subspace), cell-keyed against the broadcast combined set
-    val enc = (0 until m).map { ss =>
+    // (vector, subspace), cell-keyed against the broadcast combined set.
+    // The CODES relation is pinned (N·m rows of four small ints — the
+    // artifact a production deployment stores on disk): the encode pass
+    // is the search's dominant corpus scan, and repeated searches over
+    // one trained (corpus, nCells, m, codes) index — recall gates,
+    // bench passes, rerank consumers — must not re-encode; plan-keyed
+    // like the assignment above (the combined table is a LocalRelation
+    // of memoized training output, structurally equal across calls)
+    val enc = graft.util.RelCache.persist((0 until m).map { ss =>
       asg.join(broadcast(combined.filter(col("__ss") === ss)), "cell")
         .select(col("vec_id"), col("cell"), col("__ss"), col("__code"),
           graft.functions.VecL2FD.vec_l2_fd(
@@ -1469,7 +1541,7 @@ object Similarity {
       .groupBy(col("vec_id"), col("cell"), col("__ss"))
       .agg(min(struct(col("__d2"), col("__code"))).as("__b"))
       .select(col("vec_id"), col("cell"), col("__ss").as("subspace"),
-        col("__b.__code").as("code"))
+        col("__b.__code").as("code")))
     // query LUT: exact d2 from the query subvector to every combined
     // target in its nprobe probed cells
     val qasg = assignCells(queries, cent, nprobe)
@@ -1565,6 +1637,19 @@ object Similarity {
     * ties to the lowest cent_id) so sample residuals are computed
     * against exactly the cell the distributed path assigns. */
   private[graft] def residualPqCodebook(corpus: DataFrame,
+      cents: Seq[(Long, Array[Double])], m: Int,
+      k: Int): Seq[(Int, Long, Array[Double])] = {
+    // memoized + single-flight like kmeansCentroids (shares pqMemo under
+    // a distinct key prefix): the residual codebook keys on the corpus
+    // plan AND the coarse-centroid CONTENT (centroids are training
+    // output, so the plan alone does not determine the residuals)
+    val key = ("ivfpq", System.identityHashCode(corpus.sparkSession),
+      corpus.queryExecution.analyzed.canonicalized.semanticHash(), m, k,
+      cents.map { case (cid, v) => (cid, v.toSeq) }.hashCode())
+    singleFlight(pqMemo, key)(trainResidualPqCodebook(corpus, cents, m, k))
+  }
+
+  private def trainResidualPqCodebook(corpus: DataFrame,
       cents: Seq[(Long, Array[Double])], m: Int,
       k: Int): Seq[(Int, Long, Array[Double])] = {
     val trainHash = conv(substring(
@@ -1682,13 +1767,7 @@ object Similarity {
     // share ONE training run
     val key = ("pq", System.identityHashCode(corpus.sparkSession),
       corpus.queryExecution.analyzed.canonicalized.semanticHash(), m, k, iters)
-    pqMemo.synchronized {
-      val hit = pqMemo.get(key)
-      if (hit != null) return hit
-    }
-    val trained = trainPqCodebook(corpus, m, k, iters)
-    pqMemo.synchronized { pqMemo.put(key, trained) }
-    trained
+    singleFlight(pqMemo, key)(trainPqCodebook(corpus, m, k, iters))
   }
 
   private val pqMemo =
@@ -2505,11 +2584,13 @@ object Similarity {
     * come from ONE bounded search ([[bruteForceTopK]] here — swap in
     * any ANN searcher at corpus scale), the n² per-query candidate
     * pair cosines are scored in ONE equi-join pass and collapsed to an
-    * in-row map, and the inherently sequential greedy loop runs
-    * UNROLLED over in-row arrays (k−1 chained column steps, each a
-    * bounded HOF fold over ≤ n elements) — no per-query driver loop,
-    * no iterative join. A candidate pair absent from the map raises
-    * (inconsistent inputs), never silently skews.
+    * in-row map, and the inherently sequential greedy loop runs as ONE
+    * fixed-size runtime fold over in-row arrays (aggregate over
+    * sequence(1, k−1); each step a bounded HOF fold over ≤ n elements)
+    * — no per-query driver loop, no iterative join, no per-step driver
+    * rounds: planning cost is constant in k, so k is bounded only by
+    * the n ≥ k candidate budget. A candidate pair absent from the map
+    * raises (inconsistent inputs), never silently skews.
     *
     * Cross-engine exactness: rel and pair sims are the pinned cosine
     * machinery; each score is two IEEE multiplies + one subtract on
@@ -2543,54 +2624,53 @@ object Similarity {
     val cArr = cands.groupBy(col("query_id"))
       .agg(sort_array(collect_list(struct((-col("cosine")).as("s"),
         col("neighbor_id").as("id"), col("cosine").as("rel")))).as("__c0"))
-    def blocks(d: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-      d.queryExecution.analyzed.collectLeaves().collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
-    // each unrolled step is EAGERLY localCheckpoint-pinned (the
-    // knnGraph loop discipline): the greedy state is |Q| rows at any
-    // corpus size, but left INLINE each step's expressions re-embed
-    // the previous step's — expression size (and optimizer time) grows
-    // exponentially in k (measured 55 s of pure planning at k=5)
-    var df = cArr.join(pm, Seq("query_id"), "left")
+    // The ENTIRE k-1-step greedy runs as ONE fixed-size expression: a
+    // fold over sequence(1, k-1) whose state is struct<sel, rem>. The
+    // step lambda is applied ITERATIVELY at runtime, so expression size
+    // (and planning time) is CONSTANT in k -- the previous unrolled form
+    // re-embedded each step's expressions into the next and needed k-1
+    // blocking driver rounds of eager localCheckpoints to stop the
+    // exponential planning, a latency wall at k~50. Each step binds its
+    // argmax pick once via an inner single-element aggregate (SQL's
+    // LET), appends it to sel and filters it from rem; an exhausted
+    // candidate list (size(rem)=0, i.e. n < k) carries the state
+    // through unchanged -- the old loop's NULL-pick branch. State stays
+    // |Q| rows at any corpus size; no checkpoints, no driver
+    // synchronization at all.
+    val step =
+      s"""(st, stp) -> CASE WHEN size(st.rem) = 0 THEN st ELSE
+         |  aggregate(
+         |    array(aggregate(
+         |      transform(st.rem, c -> named_struct(
+         |        'score', $lamS * c.rel - $mumS * aggregate(st.sel,
+         |          CAST(-2.0 AS DOUBLE),
+         |          (m, s) -> greatest(m, coalesce(element_at(__pm,
+         |            concat(least(c.id, s.id), ':', greatest(c.id, s.id))),
+         |            CAST(raise_error(
+         |              'mmrRerank: candidate pair absent from corpus')
+         |              AS DOUBLE)))),
+         |        'id', c.id, 'rel', c.rel)),
+         |      CAST(NULL AS STRUCT<score: DOUBLE, id: BIGINT, rel: DOUBLE>),
+         |      (best, c) -> CASE WHEN best IS NULL THEN c
+         |        WHEN c.score > best.score
+         |          OR (c.score = best.score AND c.id < best.id) THEN c
+         |        ELSE best END)),
+         |    st,
+         |    (s2, p) -> named_struct(
+         |      'sel', array_append(s2.sel,
+         |        named_struct('id', p.id, 'rel', p.rel)),
+         |      'rem', filter(s2.rem, x -> x.id != p.id)))
+         |  END""".stripMargin.replaceAll("\n", " ")
+    val init = "named_struct('sel', array(named_struct('id', __c0[0].id, " +
+      "'rel', __c0[0].rel)), 'rem', slice(__c0, 2, size(__c0) - 1))"
+    val greedy =
+      if (k == 1) init
+      else s"aggregate(sequence(1, ${k - 1}), $init, $step)"
+    cArr.join(pm, Seq("query_id"), "left")
       .withColumn("__pm",
         coalesce(col("__pm"), expr("CAST(map() AS MAP<STRING, DOUBLE>)")))
-      .withColumn("__sel",
-        expr("array(struct(__c0[0].id AS id, __c0[0].rel AS rel))"))
-      .withColumn("__rem", expr("slice(__c0, 2, size(__c0) - 1)"))
-      .localCheckpoint(true)
-    for (_ <- 2 to k) {
-      val next = df
-        .withColumn("__pick", expr(
-          s"""aggregate(
-             |  transform(__rem, c -> struct(
-             |    $lamS * c.rel - $mumS * aggregate(__sel,
-             |      CAST(-2.0 AS DOUBLE),
-             |      (m, s) -> greatest(m, coalesce(element_at(__pm,
-             |        concat(least(c.id, s.id), ':', greatest(c.id, s.id))),
-             |        CAST(raise_error(
-             |          'mmrRerank: candidate pair absent from corpus')
-             |          AS DOUBLE)))) AS score,
-             |    c.id AS id, c.rel AS rel)),
-             |  CAST(NULL AS STRUCT<score: DOUBLE, id: BIGINT, rel: DOUBLE>),
-             |  (best, c) -> CASE WHEN best IS NULL THEN c
-             |    WHEN c.score > best.score
-             |      OR (c.score = best.score AND c.id < best.id) THEN c
-             |    ELSE best END)""".stripMargin.replaceAll("\n", " ")))
-        .withColumn("__sel", expr(
-          """CASE WHEN __pick IS NULL THEN __sel
-            |ELSE array_append(__sel,
-            |  struct(__pick.id AS id, __pick.rel AS rel)) END"""
-            .stripMargin.replaceAll("\n", " ")))
-        .withColumn("__rem",
-          expr("CASE WHEN __pick IS NULL THEN __rem " +
-            "ELSE filter(__rem, x -> x.id != __pick.id) END"))
-        .drop("__pick")
-        .localCheckpoint(true)
-      blocks(df).foreach(_.unpersist(false))
-      df = next
-    }
-    df.select(col("query_id"), posexplode(col("__sel")).as(Seq("__r", "__s")))
+      .withColumn("__sel", expr(s"($greedy).sel"))
+      .select(col("query_id"), posexplode(col("__sel")).as(Seq("__r", "__s")))
       .select(col("query_id"), col("__s.id").as("neighbor_id"),
         col("__s.rel").as("rel"), (col("__r") + 1).cast("int").as("mmr_rank"))
   }

@@ -25,14 +25,25 @@ object Sinks {
     * on a table it has never heard of. An orphaned location (directory
     * present, no catalog entry) is deleted before the write; a location
     * the CURRENT catalog knows is left for saveAsTable's own
-    * overwrite path. */
+    * overwrite path. The location is resolved through the
+    * SessionCatalog's own default-path rule (handles database-qualified
+    * names: db.tbl lives under <warehouse>/db.db/tbl, not
+    * <warehouse>/db.tbl), never by string concatenation.
+    *
+    * CONCURRENCY CAVEAT: with per-session in-memory catalogs, a
+    * directory this session's catalog has no entry for may still be
+    * owned by a concurrent LIVE session's catalog — the orphan check
+    * cannot see that. Callers sharing one warehouse across concurrent
+    * sessions must namespace table names per session (the q345 gate
+    * suffixes an input-dir hash for exactly this reason). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val s = df.sparkSession
     if (!s.catalog.tableExists(table)) {
+      val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
       val p = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        s.sessionState.catalog.defaultTablePath(ident))
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }

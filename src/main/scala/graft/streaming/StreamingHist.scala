@@ -901,17 +901,31 @@ object StreamingHist {
     * state is bounded by the horizon's distinct-key arrival rate, not
     * all-time cardinality.
     *
-    * Batch form (the deterministic contract): ties at one (key, ts)
-    * collapse first, then an occurrence is novel iff it has no earlier
-    * same-key occurrence within `horizon` (strictly: ts − prev ≤
-    * horizon suppresses) — one lag window partitioned BY KEY (never a
-    * global sort) over the (key, ts)-collapsed relation, then the same
-    * additive windowed count. On a feed whose repeats all arrive
-    * within the horizon and in event-time order, bounded == exact
-    * (pinned in StreamingSpec); streaming may additionally suppress a
-    * repeat arriving JUST past the horizon whose state the watermark
-    * has not yet evicted — the documented one-sided slack (streaming
-    * never re-counts EARLIER than batch). */
+    * Batch form (the deterministic, ORACLE-GATED contract): ties at
+    * one (key, ts) collapse first, then an occurrence is novel iff it
+    * has no earlier same-key occurrence within `horizon` (strictly:
+    * ts − prev ≤ horizon suppresses) — one lag window partitioned BY
+    * KEY (never a global sort) over the (key, ts)-collapsed relation,
+    * then the same additive windowed count.
+    *
+    * STREAMING SLACK IS TWO-SIDED. Streaming state is anchored at the
+    * first KEPT occurrence (duplicates do not extend
+    * dropDuplicatesWithinWatermark state) and eviction waits for the
+    * watermark, so on feeds that CHAIN repeats across horizons the two
+    * forms diverge in both directions: (a) a repeat landing in
+    * (horizon, 2·horizon] of the anchor may still be suppressed —
+    * state not yet evicted — so streaming can count LESS than batch;
+    * (b) once that anchor IS evicted, a later repeat is re-counted
+    * even when its gap to the previous OCCURRENCE is inside the
+    * horizon (batch's lag anchors at the previous occurrence,
+    * streaming's state at the previous KEPT one), so streaming can
+    * also count MORE. Both directions are bounded by the watermark
+    * delay (= horizon), and on a feed where each key's repeats all
+    * arrive within one horizon of its first occurrence,
+    * bounded == exact == streaming. StreamingSpec pins the parity
+    * regime AND a chained-repeat feed exhibiting the re-count
+    * divergence; treat the batch form as the contract and the
+    * streaming form as its bounded-state approximation. */
   def windowedNoveltyBounded(df: DataFrame, tsCol: String, keyCol: String,
       windowDuration: String, horizon: String): DataFrame = {
     if (df.isStreaming) {

@@ -13,12 +13,24 @@ import org.apache.spark.sql.functions._
   * (exact-dup work) + 90% suffix-perturbed near-copies, so every
   * original's 1000 copies form one near-dup cluster and the UNCAPPED
   * band join would be quadratic per bucket (the guard's reason to
-  * exist). args: [replication] [docsParquet] */
+  * exist). args: [replication] [docsParquet] [mode]
+  *
+  * mode=zipf (r12 verdict #5 — the uniform replication above is
+  * skew-FREE): ADVERSARIAL source/key skew on top of the same volume —
+  * one mega-source absorbs ~50% of all docs (the Zipf head a real
+  * crawl has), and the first 100 originals collapse onto ONE verbatim
+  * text, a ~100k-member near-clique hot dedup key (uncapped pairs
+  * ≈ 5e9 from one bucket). Recorded beyond the uniform run: whether
+  * AQE's skew-join split actually ENGAGES on the pair join (a
+  * QueryExecutionListener greps executed plans for skew=true) and the
+  * components pointer-jumping ROUND COUNT under the giant near-clique
+  * (must stay O(log n) — doubling shortcuts, never diameter). */
 object SoakPipeline {
   def main(args: Array[String]): Unit = {
     val rep = if (args.nonEmpty) args(0).toInt else 1000
     val src = if (args.length > 1) args(1)
       else "/root/testdata/sf0.1/documents.parquet"
+    val zipf = args.length > 2 && args(2) == "zipf"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
@@ -28,6 +40,19 @@ object SoakPipeline {
       .getOrCreate()
     // WARN so the auto-guard / auto-rounds logWarnings land in the soak log
     spark.sparkContext.setLogLevel("WARN")
+    // did AQE's skew handling fire anywhere? (skew=true appears in the
+    // executed plan's SortMergeJoin/ShuffledHashJoin nodes it split)
+    @volatile var skewJoins = 0
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          if (qe.executedPlan.toString.contains("skew=true")) skewJoins += 1
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     val rt = Runtime.getRuntime
     @volatile var peakHeap = 0L
     val sampler = new Thread(() => {
@@ -39,7 +64,7 @@ object SoakPipeline {
     sampler.setDaemon(true)
     sampler.start()
     val t00 = System.nanoTime()
-    val docs = spark.read.parquet(src)
+    val base = spark.read.parquet(src)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"))
       .withColumn("__r", explode(expr(s"sequence(0, ${rep - 1})")))
@@ -48,9 +73,30 @@ object SoakPipeline {
           .otherwise(concat(col("text"), lit(" v"), col("__r"))).as("text"),
         col("lang"), col("source"),
         (col("n_chars") + when(col("__r") % 10 === 0, 0)
-          .otherwise(length(concat(lit(" v"), col("__r"))))).as("n_chars"))
+          .otherwise(length(concat(lit(" v"), col("__r"))))).as("n_chars"),
+        col("__r"))
+    val hotText = "the hot duplicate every crawl has a hundred thousand " +
+      "copies of lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    val docs = (if (!zipf) base else base.select(col("doc_id"),
+        // first 100 originals -> ONE verbatim text: a 100·rep-member
+        // near-clique on a single dedup key
+        when(col("doc_id") < 100L * rep, lit(hotText))
+          .otherwise(col("text")).as("text"),
+        col("lang"),
+        // Zipf head: half of ALL docs land in one mega-source
+        when(pmod(hash(col("doc_id")), lit(2)) === 0, lit("megasource"))
+          .otherwise(col("source")).as("source"),
+        when(col("doc_id") < 100L * rep, lit(hotText.length))
+          .otherwise(col("n_chars")).cast("int").as("n_chars"), col("__r")))
+      .drop("__r")
       .persist()
-    println(s"[soak] docs=${docs.count()} (rep=$rep)")
+    println(s"[soak] docs=${docs.count()} (rep=$rep, zipf=$zipf)")
+    if (zipf) {
+      val mega = docs.filter(col("source") === "megasource").count()
+      val hot = docs.filter(col("text") === hotText).count()
+      println(s"[soak] zipf shape: megasource=$mega hot_key_members=$hot")
+    }
     def stage(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val c = f
@@ -64,16 +110,21 @@ object SoakPipeline {
     // 'skew guard' logWarning above)
     val pairs = graft.pipeline.Dedup.nearDupPairs(docs)
     stage("neardup_pairs_autoguard")(pairs.count())
-    val comps = graft.pipeline.Dedup.components(
+    // componentsRun so the pointer-jumping ROUND COUNT is visible: under
+    // the zipf near-clique it must stay O(log n) (doubling shortcuts)
+    val compsRun = graft.pipeline.Dedup.componentsRun(
       docs.select(col("doc_id")), pairs)
-    stage("components")(comps.filter(col("keep")).count())
+    stage("components")(compsRun.labels.filter(col("keep")).count())
+    println(s"[soak] components rounds=${compsRun.rounds} " +
+      s"converged=${compsRun.converged}")
     stage("leak_free_split")(graft.pipeline.Dedup.leakFreeSplit(
       docs, 0.1, 0.1, "soak1").count())
     stage("pack_sequences")(graft.pipeline.Sampling.packSequences(
       docs, 2048L, 32, "soakpk").count())
     println(f"[soak] TOTAL: ${(System.nanoTime() - t00) / 1e9}%.1f s, " +
       f"peak heap ${peakHeap / (1L << 30)}%d GiB, " +
-      f"max heap ${rt.maxMemory / (1L << 30)}%d GiB")
+      f"max heap ${rt.maxMemory / (1L << 30)}%d GiB, " +
+      s"aqe_skew_split_queries=$skewJoins")
     spark.stop()
   }
 }

@@ -65,7 +65,17 @@ object RelCache {
     * long-lived driver building >MaxEntries distinct graphs can exhaust
     * executor storage before a full GC runs. A released relation is NOT
     * recomputable (checkpointing truncated its lineage), which is why
-    * only entries LEAVING the memo are released, never live ones. */
+    * only entries LEAVING the memo are released, never live ones.
+    *
+    * DOCUMENTED TRADEOFF: a caller that retained a memoized DataFrame
+    * across >MaxEntries intervening inserts holds a reference whose
+    * blocks this eviction released — post-eviction use fails (missing
+    * RDD blocks) instead of recomputing. At 96 entries the evictee is
+    * cold by construction; a caller needing an artifact to outlive the
+    * memo must own its lifecycle (write it to a table / re-memo it),
+    * not expect an LRU to pin it forever. Reference-counting handed-out
+    * relations would trade this rare loud failure for unbounded
+    * storage growth — the wrong side of the trade for a cache. */
   private def releaseBlocks(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
@@ -90,21 +100,44 @@ object RelCache {
       }
     }
 
-  /** Memoize `build` under `key`. The build runs OUTSIDE the lock (it
-    * launches Spark jobs; holding the memo lock would serialize
-    * concurrent Bench queries through one build) — two racers may build
-    * twice, the first registration wins and the loser's blocks are
-    * released immediately (they were never returned to anyone). */
+  // SINGLE-FLIGHT rendezvous for memo(): concurrent callers of the SAME
+  // key wait for the first builder instead of duplicating the build.
+  // Duplicate builds were the r12 concurrent-bench wall: the 200k-vector
+  // scale gates race the SAME graph/index builds in the first pass
+  // (q340+q341 = two simultaneous 200k NN-Descent runs), so "build
+  // outside the lock" must mean outside the GLOBAL lock, not key-blind.
+  // Builds of DIFFERENT keys still run fully concurrently.
+  private val inflight = new java.util.concurrent.ConcurrentHashMap[
+    Any, java.util.concurrent.CompletableFuture[DataFrame]]()
+
+  /** Memoize `build` under `key`. The build runs OUTSIDE the global lock
+    * (it launches Spark jobs; holding the memo lock would serialize
+    * concurrent Bench queries through one build); concurrent callers of
+    * the same key rendezvous on a per-key future — one builds, the rest
+    * wait for its result. If the builder FAILS, its waiters fall through
+    * and attempt the build themselves (the failure might be transient;
+    * the original caller still sees its own exception). */
   def memo(key: Any)(build: => DataFrame): DataFrame = {
-    val hit = synchronized(keyed.get(key))
-    if (hit != null) hit
-    else {
-      val built = build
-      synchronized {
-        val again = keyed.get(key)
-        if (again != null) { releaseBlocks(built); again }
-        else { keyed.put(key, built); built }
+    while (true) {
+      val hit = synchronized(keyed.get(key))
+      if (hit != null) return hit
+      val fut = new java.util.concurrent.CompletableFuture[DataFrame]()
+      val prior = inflight.putIfAbsent(key, fut)
+      if (prior != null) {
+        try return prior.join()
+        catch { case _: java.util.concurrent.CompletionException => () }
+        // builder failed — loop: re-check the memo, then race to build
+      } else {
+        try {
+          val built = build
+          synchronized(keyed.put(key, built))
+          fut.complete(built)
+          return built
+        } catch {
+          case e: Throwable => fut.completeExceptionally(e); throw e
+        } finally inflight.remove(key, fut)
       }
     }
+    throw new IllegalStateException("unreachable")
   }
 }

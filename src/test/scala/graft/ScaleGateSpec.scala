@@ -65,6 +65,32 @@ class ScaleGateSpec extends SparkSpec {
     assert(!v2.getBoolean(1), "dropped query must fail the contract")
   }
 
+  test("dedup scale contracts can go RED: extra keeper, wrong keeper, lost cluster, missing pairs") {
+    // 20 nodes in 4 clusters of 5; the perfect verdict keeps each min.
+    // Expression-only membership: the kept ids become a literal IN set
+    def verdict(keep: Long => Boolean) = spark.range(0, 20)
+      .select(col("id").as("vec_id"), (col("id") % 7).as("cell"))
+      .withColumn("keep",
+        col("vec_id").isInCollection((0L until 20L).filter(keep)))
+    def run(keep: Long => Boolean) = Contracts.semDedupScaleContract(
+      verdict(keep), 5, 20L, bound = 1.0).collect()(0)
+    assert(run(id => id % 5 == 0).getBoolean(1), "perfect verdict must pass")
+    assert(!run(id => id % 5 <= 1).getBoolean(1), "two keepers must fail")
+    assert(!run(id => id % 5 == 1).getBoolean(1), "non-min keeper must fail")
+    assert(!run(id => id % 5 == 0 && id != 0).getBoolean(1),
+      "a fully-dropped cluster must fail even within the floor")
+    // pair recall: dropping any mate pairs below the floor fails
+    val allPairs = spark.range(0, 20).select(col("id").as("vec_a"))
+      .join(spark.range(0, 20).select(col("id").as("vec_b")),
+        expr("vec_a < vec_b AND vec_a div 5 = vec_b div 5"))
+      .withColumn("cosine", lit(1.0))
+    assert(Contracts.nearDupPairRecallContract(allPairs, 5, 20L, 0.99)
+      .collect()(0).getBoolean(1), "full pair set must pass")
+    assert(!Contracts.nearDupPairRecallContract(
+        allPairs.filter(col("vec_a") =!= 0L), 5, 20L, 0.99)
+      .collect()(0).getBoolean(1), "missing mate pairs must fail")
+  }
+
   test("knnGraph AUTO default: budget from n, churn early-stop, perfect edges on the clustered regime") {
     val emb = Contracts.clusteredCorpus(spark, 500L, 16, 5)
     // dim 16 -> 4 tables x 4 bits keeps every hyperplane on a real coord
@@ -273,6 +299,42 @@ class ScaleGateSpec extends SparkSpec {
     val r2 = graft.pipeline.Curation.chi2Independence(
       diag.toDF("source", "lang"), "source", "lang").collect()(0)
     assert(r2.getDouble(4) == 20.0 && r2.getDouble(5) == 1.0, r2)
+  }
+
+  test("chi2Independence: cardinality guard refuses a high-cardinality pair") {
+    // user_id x item_id: 300 x 300 distinct = 90,000 dense cells — a
+    // legitimate contingency test never looks like this; the guard must
+    // raise BEFORE any dense-grid plan exists, and a raised budget must
+    // readmit the same pair (the explicit-override path)
+    val big = (0 until 300).map(i => (s"u$i", s"i$i")).toDF("u", "it")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Curation.chi2Independence(big, "u", "it")
+    }
+    assert(e.getMessage.contains("maxGridCells"), e.getMessage)
+    val ok = graft.pipeline.Curation.chi2Independence(big, "u", "it",
+      maxGridCells = 100000L).collect()(0)
+    assert(ok.getLong(0) == 300L && ok.getLong(1) == 300L, ok)
+  }
+
+  test("mmrRerank: lambda=1 equals plain relevance top-k at k=12 (planning constant in k)") {
+    // 12 selection rounds as ONE runtime fold: with lambda=1 the
+    // diversity penalty vanishes, so the mmr order must equal the
+    // relevance order (cosine desc, id) over the n=20 candidates —
+    // and the whole thing must plan+run in seconds, not the k-1
+    // driver-checkpoint rounds the unrolled form needed
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 3.7 + d).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 0L),
+        k = 12, n = 20, lam = 1.0)
+      .orderBy("mmr_rank").collect()
+    assert(got.length == 12, got.length)
+    val rels = got.map(_.getDouble(2))
+    assert(rels.zip(rels.tail).forall { case (a, b) => a >= b }, rels.toSeq)
+    // rel must match brute-force cosine order head
+    val bf = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), 12)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got.map(_.getLong(1)).toSeq == bf)
   }
 
   test("conformalThreshold: corrected-rank order statistic; small groups report NULL") {

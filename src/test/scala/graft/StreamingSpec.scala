@@ -543,6 +543,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded novelty: chained repeats — the documented TWO-SIDED streaming slack") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime / 1000, r.getLong(1))
+    // k7 repeats every 8 s (< horizon 10 s): the batch contract (lag to
+    // the previous OCCURRENCE) suppresses every repeat after the first
+    val events = Seq((ts(1), 7L), (ts(9), 7L), (ts(17), 7L), (ts(25), 7L),
+      (ts(33), 7L), (ts(60), 8L)).toDF("event_time", "user_id")
+    val batch = StreamingHist.windowedNoveltyBounded(
+        events, "event_time", "user_id", "10 seconds", "10 seconds")
+      .collect().map(key).toSet
+    assert(batch == Set((0L, 1L), (60L, 1L)), batch)
+    // streaming state anchors at the first KEPT occurrence (k7@1,
+    // expiry 11): repeats at 9/17/25 are suppressed (watermark still
+    // below 11 when each arrives), the watermark then passes 11 and
+    // EVICTS the anchor, and k7@33 is re-counted even though its gap
+    // to the previous occurrence (8 s) is inside the horizon — the
+    // re-count divergence the scaladoc documents; this pin goes red if
+    // the semantics ever silently change in either direction
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = StreamingHist.windowedNoveltyBounded(
+      input.toDF().toDF("event_time", "user_id"),
+      "event_time", "user_id", "10 seconds", "10 seconds")
+    val q = out.writeStream.format("memory").queryName("wnb_chain")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(Seq((ts(1), 7L)), Seq((ts(9), 7L)), Seq((ts(17), 7L)),
+        Seq((ts(25), 7L)), Seq((ts(33), 7L)), Seq((ts(60), 8L)))
+        .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // watermark 50 closes [0,10) and [30,40): k7 counted in BOTH —
+      // streaming re-counts where batch suppresses (and batch's (60,1)
+      // window is simply not closed yet)
+      val streamed = spark.table("wnb_chain").collect().map(key).toSet
+      assert(streamed == Set((0L, 1L), (30L, 1L)), streamed)
+    } finally q.stop()
+  }
+
   test("streaming near-dup TTL: matched-pair state is watermark-evicted; re-match re-emits") {
     val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
@@ -1575,6 +1612,132 @@ class StreamingSpec extends SparkSpec {
         .map(_.steps_completed).sorted
       assert(rows == Seq(0L, 2L))
     } finally q.stop()
+  }
+
+  // ---- restart recovery: kill a stateful query mid-feed, restart it
+  // from its CHECKPOINT directory, and pin that post-restart output is
+  // computed from RECOVERED state — the failure mode a real streaming
+  // deployment hits first, which in-session parity tests never touch.
+  // The memory sink does not support recovery, so output goes through
+  // foreachBatch into a batchId-keyed map (a replayed batch overwrites
+  // its own id — the exactly-once discipline a real idempotent sink
+  // implements the same way).
+
+  private def restartCollector(): (scala.collection.mutable.Map[Long,
+      Seq[org.apache.spark.sql.Row]], (org.apache.spark.sql.DataFrame, Long) => Unit) = {
+    val got = scala.collection.mutable.Map.empty[Long, Seq[org.apache.spark.sql.Row]]
+    (got, (df: org.apache.spark.sql.DataFrame, id: Long) =>
+      got.synchronized { got(id) = df.collect().toSeq })
+  }
+
+  test("restart recovery: streamingDedup suppresses a cross-restart duplicate from checkpointed state") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_dedup").toString
+    val input = MemoryStream[DocEvent]
+    val out = StreamingHist.streamingDedup(input.toDS())
+    val (got, sink) = restartCollector()
+    def start() = out.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[DedupVerdict],
+        id: Long) => sink(ds.toDF(), id)).start()
+    val q1 = start()
+    try {
+      input.addData(DocEvent(1, "h1"), DocEvent(2, "h2"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // arrives while the query is DOWN; consumed on restart from the
+    // checkpointed offset
+    input.addData(DocEvent(3, "h1"), DocEvent(4, "h3"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val verdicts = got.synchronized {
+        got.toSeq.sortBy(_._1).flatMap(_._2)
+          .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      }
+      // doc 3 repeats h1 ACROSS the restart: first_seen=false only if
+      // the hash's state was actually recovered from the checkpoint —
+      // a fresh-state restart would re-admit it (true) and go red here
+      assert(verdicts ==
+        Map(1L -> true, 2L -> true, 3L -> false, 4L -> true), verdicts)
+    } finally q2.stop()
+  }
+
+  test("restart recovery: streamingCusum carries the open hour AND the S accumulators across restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingHist.{CusumEvent, CusumPoint}
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_cusum").toString
+    val hourUs = 3600000000L
+    val input = MemoryStream[CusumEvent]
+    val out = StreamingHist.streamingCusum(input.toDS(),
+      mu = 2.0, k = 0.0, h = 0.5, flushOpen = false)
+    val (got, sink) = restartCollector()
+    def start() = out.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[CusumPoint],
+        id: Long) => sink(ds.toDF(), id)).start()
+    val q1 = start()
+    try {
+      // hour0 cnt 5; the hour1 event closes hour0: S+ = 3.0, S- = 0
+      input.addData(CusumEvent(0L, 5L), CusumEvent(hourUs, 1L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // closes hour1 from RECOVERED state: open (hour1, cnt 1) and
+      // S+ = 3e6 must both have survived the restart — fresh state
+      // would emit NO hour1 row at all (nothing open), and lost
+      // accumulators would close it at S+ = 0, not 2.0
+      input.addData(CusumEvent(2 * hourUs, 2L))
+      q2.processAllAvailable()
+      // closes hour2: dq = 0 either side -> S+ stays 2.0, S- stays 1.0
+      input.addData(CusumEvent(3 * hourUs, 2L))
+      q2.processAllAvailable()
+      val points = got.synchronized {
+        got.toSeq.sortBy(_._1).flatMap(_._2)
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3), r.getBoolean(4)))
+      }.sortBy(_._1)
+      assert(points == Seq(
+        (0L, 5L, 3.0, 0.0, true),
+        (1L, 1L, 2.0, 1.0, true),
+        (2L, 2L, 2.0, 1.0, true)), points)
+    } finally q2.stop()
+  }
+
+  test("restart recovery: bounded novelty's watermark + dedup state survive restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_wnb").toString
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = StreamingHist.windowedNoveltyBounded(
+      input.toDF().toDF("event_time", "user_id"),
+      "event_time", "user_id", "10 seconds", "10 seconds")
+    val (got, sink) = restartCollector()
+    def start() = out.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).foreachBatch(sink).start()
+    val q1 = start()
+    try {
+      input.addData((ts(1), 7L), (ts(2), 8L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // k7@5 repeats within the horizon ACROSS the restart: suppressed
+      // only if dropDuplicatesWithinWatermark state was recovered — a
+      // fresh-state restart would count it and close [0,10) at 3
+      input.addData((ts(5), 7L))
+      q2.processAllAvailable()
+      input.addData((ts(60), 9L)) // watermark 50 closes [0,10)
+      q2.processAllAvailable()
+      val closed = got.synchronized {
+        got.toSeq.sortBy(_._1).flatMap(_._2)
+          .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1))).toSet
+      }
+      assert(closed == Set((0L, 2L)), closed)
+    } finally q2.stop()
   }
 }
 
