@@ -20,13 +20,17 @@ import org.apache.spark.storage.StorageLevel
   * stale pinned relation, the usual contract of Spark's own table cache.
   */
 object RelCache {
-  // 96, up from 48 (r12): the 200k-vector scale gates (q340–q344) pin
-  // several large derived relations that run lexicographically right
-  // before the PPJoin family in a solo bench pass and were evicting its
-  // memoized gram relations (q43 solo 2.3 s → 5.4 s median, pure
-  // churn). Entries are bench-scale; big-sf sweeps are protected by the
-  // Verify heap valve (clear + GC above 60% used heap), not this cap.
-  private[graft] val MaxEntries = 96
+  // 320, up from 96 (r13): the full 352-query bench surface now pins
+  // MORE than 96 distinct derived relations per pass (31 persist call
+  // sites × per-corpus inputs), so at 96 the LRU churned CYCLICALLY —
+  // nothing survived from one bench pass to the next and the min-over-
+  // passes q349 stayed at its cold cost (20.5 s) instead of its
+  // memoized one. Entries are bench-scale (the largest are the 200k
+  // scale-gate relations at ~60 MB; most are KB–MB) and persist at
+  // MEMORY_AND_DISK, so the cap prices eviction churn, not OOM risk;
+  // big-sf sweeps are protected by the Verify heap valve (clear + GC
+  // above 60% used heap), not this cap.
+  private[graft] val MaxEntries = 320
 
   // Keyed by the canonicalized plan OBJECT, not its string rendering: plan
   // equality is structural and includes literal data (LocalRelation rows),

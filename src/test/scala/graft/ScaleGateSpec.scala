@@ -337,6 +337,53 @@ class ScaleGateSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).toSeq == bf)
   }
 
+  test("r12-operator degenerate inputs: tied conformal scores, single-bin isotonic, zero-budget unimax, constant-tail Hill, mmr k=1/exhaustion") {
+    // conformal with ALL-TIED scores at the rank boundary: rank order
+    // among ties is arbitrary, but the threshold is an ORDER STATISTIC
+    // of the VALUES — ties collapse to the same value, so the output
+    // must be the tied value, deterministically
+    val tied = (1 to 10).map(i => (i.toLong, "g", 7.5)).toDF("doc_id", "group", "score")
+    val ct = graft.pipeline.Curation.conformalThreshold(
+        tied, "group", col("score"), alpha = 0.1, calFrac = 1.0)
+      .collect()(0)
+    assert(ct.getLong(1) == 10L && ct.getDouble(2) == 7.5, ct)
+    // isotonic with every score in ONE bin: the fit is that bin's rate
+    val oneBin = Seq((0.010, true), (0.012, false), (0.015, true), (0.011, false))
+      .toDF("score", "pos")
+    val iso = graft.pipeline.RankStats.isotonicCalibrate(
+      oneBin, "score", col("pos"), nBins = 50).collect()
+    assert(iso.length == 1 && iso(0).getDouble(iso(0).length - 1) == 0.5,
+      iso.toSeq)
+    // unimax with ZERO budget: every allocation 0, zero-token sources
+    // keep NULL epochs (never 0/0 = NaN)
+    val zdocs = Seq(("s1", "a b c"), ("s2", "")).toDF("source", "text")
+    val um = graft.pipeline.Sampling.unimax(zdocs, budget = 0L, epochCap = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(um("s1")._1 == 0.0 && um("s2")._1 == 0.0, um)
+    assert(um("s2")._2.isEmpty, um)
+    assert(um("s1")._2.contains(0.0), um)
+    // Hill on a CONSTANT positive tail: every log-gap is 0 -> the
+    // divide-by-zero guard reports NULL, never Infinity
+    val const = Seq.fill(20)(3.0).toDF("v")
+    val hill = graft.pipeline.Curation.tailIndex(const, col("v"), k = 10)
+      .collect()(0)
+    assert(hill.getLong(1) == 11L && hill.isNullAt(3), hill)
+    // mmr k=1 (the fold's base case) = plain top-1; and k beyond the
+    // candidate budget returns every candidate once, never pads
+    val emb = (0L until 6L).map(i =>
+      (i, Array.tabulate(4)(d => math.cos(i * 2.3 + d).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val q0 = emb.filter(col("vec_id") === 0L)
+    val top1 = Similarity.mmrRerank(emb, q0, k = 1, n = 4, lam = 0.5).collect()
+    val bf1 = Similarity.bruteForceTopK(emb, q0, 1).collect()(0).getLong(1)
+    assert(top1.length == 1 && top1(0).getLong(1) == bf1, top1.toSeq)
+    val exhaust = Similarity.mmrRerank(emb, q0, k = 4, n = 4, lam = 0.5)
+      .collect().map(_.getLong(1))
+    assert(exhaust.length == 4 && exhaust.distinct.length == 4, exhaust.toSeq)
+  }
+
   test("conformalThreshold: corrected-rank order statistic; small groups report NULL") {
     // calFrac=1.0: every row calibrates. group g9 has 9 scores 1..9:
     // need = ceil(10*0.9) = 9 -> threshold = 9.0; group g4 has 4:
