@@ -557,38 +557,12 @@ object Similarity {
     singleFlight(centroidMemo, key)(trainCentroids(corpus, nCells, iters))
   }
 
-  /** Single-flight lookup over a synchronized LRU training memo:
-    * concurrent callers of the SAME key wait for the first trainer
-    * instead of training twice (the RelCache.memo rendezvous — under
-    * the concurrent bench the 200k IVF gates race the same Lloyd run).
-    * Different keys train fully concurrently; a failed trainer's
-    * waiters fall through and attempt the build themselves. */
-  private val trainInflight = new java.util.concurrent.ConcurrentHashMap[
-    Any, java.util.concurrent.CompletableFuture[AnyRef]]()
+  /** Single-flight lookup over a synchronized LRU training memo —
+    * concurrent callers of one key share one Lloyd run (see
+    * [[graft.util.SingleFlight]], which the BPE trainer shares). */
   private def singleFlight[V <: AnyRef](cache: java.util.LinkedHashMap[Any, V],
-      key: Any)(build: => V): V = {
-    while (true) {
-      val hit = cache.synchronized(cache.get(key))
-      if (hit != null) return hit
-      val fut = new java.util.concurrent.CompletableFuture[AnyRef]()
-      val prior = trainInflight.putIfAbsent(key, fut)
-      if (prior != null) {
-        try return prior.join().asInstanceOf[V]
-        catch { case _: java.util.concurrent.CompletionException => () }
-        // trainer failed — loop: re-check the memo, then race to build
-      } else {
-        try {
-          val built = build
-          cache.synchronized(cache.put(key, built))
-          fut.complete(built.asInstanceOf[AnyRef])
-          return built
-        } catch {
-          case e: Throwable => fut.completeExceptionally(e); throw e
-        } finally trainInflight.remove(key, fut)
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+      key: Any)(build: => V): V =
+    graft.util.SingleFlight(cache, key)(build)
 
   /** Drop memoized trained centroids (see kmeansCentroids' staleness
     * contract: identical plan over rewritten files returns stale
