@@ -2984,10 +2984,14 @@ object SparkEntry {
       graft.sources.Sinks.writeBucketed(
         docs.select(col("doc_id"), col("source"), col("n_chars")),
         dTab, "doc_id", nb, Seq("doc_id"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      // verdicts from the production operator (Dedup.exact — hash-
+      // partitioned canonical election), not an ad-hoc window: the gate
+      // should exercise the same derivation a 100 TB pipeline writes.
+      // Keeper semantics identical to the oracle's MIN-per-md5-group
+      // (row_number()==1 ordered by the unique doc_id == the min).
       graft.sources.Sinks.writeBucketed(
-        docs.select(col("doc_id"),
-          (col("doc_id") === min(col("doc_id")).over(w)).as("keeper")),
+        graft.pipeline.Dedup.exact(docs)
+          .select(col("doc_id"), col("keep").as("keeper")),
         vTab, "doc_id", nb, Seq("doc_id"))
       val joined = s.table(dTab).join(s.table(vTab).hint("merge"), "doc_id")
       val zeroEx = !joined.queryExecution.sparkPlan.exists(
