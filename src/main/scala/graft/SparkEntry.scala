@@ -3143,6 +3143,13 @@ object SparkEntry {
         Similarity.nearDup(scaleCorpus(s).withColumn("label", lit(0)),
           threshold = 0.8, tables = 4, bits = 16, probe = false),
         clusterSize = 5, nNodes = ScaleN, bound = 0.99)
+    },
+    "q359_chunk_dedup" -> { (s, dir) =>
+      // CCNet-style SUB-document dedup at 10-token chunk granularity:
+      // first corpus occurrence keeps, repeats drop; per-doc retention
+      // report (the curation threshold input)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Dedup.chunkDedup(t(dir, "documents"), chunkTokens = 10)
     }
   )
 
@@ -4071,6 +4078,7 @@ object SparkEntry {
     "q357_semdedup_scale" ->
       "SELECT CAST(40000 AS BIGINT) AS n_clusters, TRUE AS dedup_ok",
     "q358_neardup_scale" ->
-      "SELECT CAST(400000 AS BIGINT) AS n_true_pairs, TRUE AS recall_ok"
+      "SELECT CAST(400000 AS BIGINT) AS n_true_pairs, TRUE AS recall_ok",
+    "q359_chunk_dedup" -> PipelineOracle.chunkDedup(10)
   )
 }

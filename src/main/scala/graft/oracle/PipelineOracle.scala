@@ -4212,4 +4212,32 @@ object PipelineOracle {
       s"SELECT doc_id, d.source, $scoreCol, med, mad, " +
       s"CASE WHEN mad > CAST(0 AS DOUBLE) THEN (CAST(CAST($scoreCol AS BIGINT) AS DOUBLE) - med) / mad ELSE NULL END AS rz " +
       "FROM documents d JOIN s USING (source)"
+
+  /** Mirrors Dedup.chunkDedup: positional whitespace tokens, fixed
+    * chunk groups rebuilt in token order, first-occurrence election on
+    * the exact doc_id·2^20+chunk key, per-doc rollup over ALL docs. */
+  def chunkDedup(chunkTokens: Int): String =
+    "WITH tk AS (SELECT doc_id, " +
+      "UNNEST(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS tok, " +
+      "generate_subscripts(regexp_extract_all(COALESCE(text, ''), '\\S+'), 1) - 1 AS pos " +
+      "FROM documents), " +
+      s"ch AS (SELECT doc_id, pos // $chunkTokens AS chunk, " +
+      "CAST(COUNT(*) AS BIGINT) AS ctoks, " +
+      "string_agg(tok, ' ' ORDER BY pos) AS ctext FROM tk GROUP BY 1, 2), " +
+      "fs AS (SELECT ctext, MIN(doc_id * 1048576 + chunk) AS fkey " +
+      "FROM ch GROUP BY 1), " +
+      "ag AS (SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, " +
+      "CAST(SUM(CASE WHEN ch.doc_id * 1048576 + ch.chunk = fs.fkey " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+      "CAST(SUM(ctoks) AS BIGINT) AS n_tokens, " +
+      "CAST(SUM(CASE WHEN ch.doc_id * 1048576 + ch.chunk = fs.fkey " +
+      "THEN ctoks ELSE 0 END) AS BIGINT) AS kept_tokens " +
+      "FROM ch JOIN fs USING (ctext) GROUP BY 1) " +
+      "SELECT d.doc_id, COALESCE(n_chunks, 0) AS n_chunks, " +
+      "COALESCE(n_kept, 0) AS n_kept, COALESCE(n_tokens, 0) AS n_tokens, " +
+      "COALESCE(kept_tokens, 0) AS kept_tokens, " +
+      "CASE WHEN COALESCE(n_tokens, 0) > 0 THEN " +
+      "CAST(kept_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) END " +
+      "AS kept_fraction FROM documents d LEFT JOIN ag USING (doc_id)"
+
 }

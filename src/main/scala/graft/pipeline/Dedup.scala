@@ -101,6 +101,70 @@ object Dedup extends org.apache.spark.internal.Logging {
           .as("jaccard"))
   }
 
+  /** SUB-DOCUMENT exact dedup at fixed chunk granularity — the
+    * CCNet/RefinedWeb per-paragraph dedup shape (Wenzek et al. 2020
+    * dedup paragraphs of Common Crawl before anything else; boilerplate
+    * headers/footers/licence blocks repeat across MILLIONS of documents
+    * that are not whole-document duplicates, so q40-style exact dedup
+    * never sees them; the q86 spanDedup STRIPS a repeated span from
+    * every document — this is its CCNet-semantics complement, where the
+    * FIRST occurrence survives and the output is the retention
+    * report): each document's whitespace tokens are split into
+    * consecutive `chunkTokens`-sized chunks (the last chunk may be
+    * short), a chunk is KEPT only at its first corpus occurrence
+    * (lowest (doc_id, chunk index) — deterministic), and the output is
+    * the per-document retention report (n_chunks, n_kept, n_tokens,
+    * kept_tokens, kept_fraction) a curation pipeline thresholds on.
+    * Documents with no tokens report zeros and a NULL fraction.
+    *
+    * Scale shape: one positional explode (linear in corpus tokens), one
+    * map-combinable (doc, chunk) aggregate rebuilding chunk text in
+    * token order, ONE shuffle keyed by chunk text for the
+    * first-occurrence election (the exact-dedup shuffle at chunk
+    * granularity), one doc-keyed rollup. Nothing is ever quadratic; at
+    * 100 TB the chunk-text key would be its 128-bit hash (same
+    * election, constant-width shuffle rows — the contentHash
+    * discipline).
+    *
+    * Cross-engine: chunk text is an exact string, the election key is
+    * the exact long doc_id·2^20 + chunk (documented bound: < 2^20
+    * chunks per document, i.e. ~10M tokens at the default size —
+    * enforced), counts exact longs, the fraction ONE IEEE division. */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be positive: $chunkTokens")
+    val toks = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(coalesce(col("text"), lit("")),
+        lit("\\S+"), lit(0))).as(Seq("__p", "__tok")))
+    val chunks = toks
+      .groupBy(col("doc_id"), expr(s"__p div $chunkTokens").as("__chunk"))
+      .agg(count(lit(1)).as("__ctoks"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__p"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("__ctext"))
+      .withColumn("__chunk", when(col("__chunk") < (1L << 20), col("__chunk"))
+        .otherwise(raise_error(lit(
+          "chunkDedup: document exceeds 2^20 chunks — raise chunkTokens"))))
+      .withColumn("__key", col("doc_id") * lit(1L << 20) + col("__chunk"))
+    val firsts = chunks.groupBy(col("__ctext"))
+      .agg(min(col("__key")).as("__fkey"))
+    val rollup = chunks.join(firsts, "__ctext")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__key") === col("__fkey"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("__ctoks")).as("n_tokens"),
+        sum(when(col("__key") === col("__fkey"), col("__ctoks"))
+          .otherwise(0L)).as("kept_tokens"))
+    docs.select(col("doc_id")).join(rollup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0L,
+          coalesce(col("kept_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("kept_fraction"))
+  }
+
   /** Exact dedup: keep the lowest doc_id per identical content
     * (hash-groupBy; single shuffle by content hash). */
   def exact(docs: DataFrame): DataFrame =

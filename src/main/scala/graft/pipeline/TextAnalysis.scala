@@ -1244,4 +1244,5 @@ object TextAnalysis {
       .select(col("__x.a").as("t1"), col("__x.b").as("t2"),
         col("__x.c").as("n"), (col("__p") + lit(1)).cast("int").as("rank"))
   }
+
 }

@@ -384,6 +384,22 @@ class ScaleGateSpec extends SparkSpec {
     assert(exhaust.length == 4 && exhaust.distinct.length == 4, exhaust.toSeq)
   }
 
+  test("chunkDedup: first corpus occurrence keeps, repeats drop, empty docs report NULL fraction") {
+    val ten = "a b c d e f g h i j"
+    val docs = Seq(
+      (1L, ten + " x y"),   // owns the first occurrence of the 10-gram
+      (2L, ten + " z w"),   // repeats it -> chunk dropped, tail kept
+      (3L, ""))             // no tokens at all
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup.chunkDedup(docs, chunkTokens = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(got(1L) == ((2L, 2L, 12L, 12L, Some(1.0))), got)
+    assert(got(2L) == ((2L, 1L, 12L, 2L, Some(2.0 / 12.0))), got)
+    assert(got(3L) == ((0L, 0L, 0L, 0L, None)), got)
+  }
+
   test("conformalThreshold: corrected-rank order statistic; small groups report NULL") {
     // calFrac=1.0: every row calibrates. group g9 has 9 scores 1..9:
     // need = ceil(10*0.9) = 9 -> threshold = 9.0; group g4 has 4:
