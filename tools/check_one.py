@@ -17,6 +17,13 @@ sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
 
 con = duckdb.connect()
 con.execute(f"SET memory_limit='{os.environ.get('GATE_MEM', '80GB')}'")
+# GATE_THREADS caps DuckDB's parallelism: ordered aggregates hold
+# per-thread sort state that does not spill, so a 32-thread run of an
+# element-join oracle (q52's in-SQL Lloyd) can exhaust the limit where
+# a 4-thread run fits comfortably — peak memory scales with threads on
+# exactly the oracles this script isolates.
+if os.environ.get("GATE_THREADS"):
+    con.execute(f"SET threads={int(os.environ['GATE_THREADS'])}")
 # per-process spill dir: concurrent gates must not clobber each other's
 # temp files (duckdb names them per-connection, not per-process)
 con.execute(f"SET temp_directory='/tmp/duckdb_spill/{os.getpid()}'")
@@ -63,6 +70,13 @@ CHUNKED = {
     # drop cross-chunk pairs; p itself is cell-bounded, so materialize
     # it whole and chunk only the element-join stage d
     "q111_semdedup": [("d", "p", "va", 64)],
+    # sf is the FULL-corpus final assignment (el x 64 trained cents by
+    # dim = 80M+ joined rows into per-(vec, cent) ordered aggregates —
+    # ordered-agg state does not spill); sf groups by el.vec_id first,
+    # so vec_id-chunking el partitions its output exactly. The earlier
+    # Lloyd stages (s1/s2) run on the 512-row training sample and stay
+    # one-shot.
+    "q52_ann_ivf": [("sf", "el", "vec_id", 16)],
 }
 
 
