@@ -462,4 +462,20 @@ class EmptyInputSpec extends SparkSpec {
         .withColumn("b", col("a")), "a", "b", 4).count()
     }
   }
+
+  test("round-13 operators on empty inputs") {
+    assert(Dedup.chunkDedup(emptyDocs).count() == 0)
+    // streaming restart collectors aside, the novelty/bounded pair
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("event_time", TimestampType),
+        StructField("user_id", LongType))))
+    assert(graft.streaming.StreamingHist.windowedNoveltyBounded(
+      emptyEv, "event_time", "user_id", "1 hour", "4 hours").count() == 0)
+    // chi2 guard on empty input: zero cells, zero grid — passes the
+    // budget trivially and reports the degenerate row
+    val chi = graft.pipeline.Curation.chi2Independence(
+      emptyDocs, "lang", "source").collect()(0)
+    assert(chi.getLong(0) == 0L && chi.getLong(1) == 0L, chi)
+  }
 }
