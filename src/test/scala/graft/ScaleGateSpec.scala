@@ -168,6 +168,46 @@ class ScaleGateSpec extends SparkSpec {
     graft.util.RelCache.clear()
   }
 
+  test("RelCache memo + SingleFlight: concurrent same-key callers share ONE build") {
+    graft.util.RelCache.clear()
+    // 8 threads race one memo key whose build blocks until all racers
+    // are inside memo(); exactly ONE build must run (duplicate builds
+    // were the r12 concurrent-wall tax), and every caller must get the
+    // same relation back
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.CopyOnWriteArrayList[AnyRef]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        val df = graft.util.RelCache.memo(("sgs-flight", 1)) {
+          builds.incrementAndGet()
+          entered.await()
+          spark.range(0, 5).toDF("x").localCheckpoint(true)
+        }
+        results.add(df)
+      })
+    }
+    threads.foreach(_.start())
+    Thread.sleep(300) // let every racer reach the rendezvous
+    entered.countDown()
+    threads.foreach(_.join(30000))
+    assert(builds.get() == 1, s"expected one build, got ${builds.get()}")
+    assert(results.size == 8 && results.toArray.distinct.length == 1)
+    // a FAILED build must not poison the key: waiters/retriers rebuild
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    intercept[RuntimeException] {
+      graft.util.RelCache.memo(("sgs-flight", 2)) {
+        if (failOnce.getAndSet(false)) throw new RuntimeException("boom")
+        spark.range(0, 3).toDF("x").localCheckpoint(true)
+      }
+    }
+    val recovered = graft.util.RelCache.memo(("sgs-flight", 2)) {
+      spark.range(0, 3).toDF("x").localCheckpoint(true)
+    }
+    assert(recovered.count() == 3)
+    graft.util.RelCache.clear()
+  }
+
   test("unimax: waterfilling hand case — capped prefix exact, uncapped split equally") {
     // sizes 10/20/100 tokens, cap 2, budget 60: capacities 20/40/200;
     // ascending, src-a (cap 20) fits 2*10*3=60 <= 60 -> capped at 20;
