@@ -393,6 +393,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("writeBucketed: db-qualified names resolve through the catalog default path") {
+    import graft.sources.Sinks
+    // db.tbl lives under <warehouse>/db.db/tbl — the string-concat
+    // orphan check would have looked at <warehouse>/db.tbl and missed
+    // it; the SessionCatalog path must make BOTH the write and the
+    // orphan-delete land on the same directory
+    spark.sql("CREATE DATABASE IF NOT EXISTS psbdb")
+    try {
+      Sinks.writeBucketed(docs, "psbdb.psb_q", "doc_id", 4, Seq("doc_id"))
+      assert(spark.table("psbdb.psb_q").count() == 30L)
+      val loc = new java.net.URI(spark.sql("DESCRIBE TABLE EXTENDED psbdb.psb_q")
+        .filter($"col_name" === "Location").select("data_type")
+        .collect()(0).getString(0)).getPath
+      assert(loc.endsWith("psbdb.db/psb_q"), loc)
+      // orphan path: drop ONLY the catalog entry, keep the directory —
+      // the next write must delete the orphan via the same resolved
+      // location instead of failing LOCATION_ALREADY_EXISTS
+      spark.sql("DROP TABLE psbdb.psb_q")
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(loc)) || {
+        // managed DROP removes the dir; recreate an orphan to exercise
+        // the guard deterministically
+        fs.mkdirs(new org.apache.hadoop.fs.Path(loc)); true
+      })
+      fs.mkdirs(new org.apache.hadoop.fs.Path(loc))
+      Sinks.writeBucketed(docs, "psbdb.psb_q", "doc_id", 4, Seq("doc_id"))
+      assert(spark.table("psbdb.psb_q").count() == 30L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS psbdb.psb_q")
+      spark.sql("DROP DATABASE IF EXISTS psbdb")
+    }
+  }
+
   test("chunkDocs: purely narrow — zero exchanges, codegen projection") {
     val rangeDocs = spark.range(1, 31).select(col("id").as("doc_id"),
       concat(lit("w1 w2 w3 w4 w5 w6 w7 tok"), (col("id") % 5).cast("string")).as("text"))

@@ -1630,6 +1630,41 @@ class StreamingSpec extends SparkSpec {
       got.synchronized { got(id) = df.collect().toSeq })
   }
 
+  test("restart recovery: the CORE windowed histogram's open-window counts survive restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_hist").toString
+    val input = MemoryStream[(Timestamp, Double)]
+    val ax = Regular("v", 2, 0.0, 2.0)
+    val out = StreamingHist.windowedHistogram(
+      input.toDF().toDF("ts", "v"), "ts", col("v"), ax, "10 seconds")
+    val (got, sink) = restartCollector()
+    def start() = out.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).foreachBatch(sink).start()
+    val q1 = start()
+    try {
+      // two events into the still-open [0,10) window, then stop
+      input.addData((ts(1), 0.5), (ts(3), 1.5))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // one more event into the SAME window after restart, then close
+      // it (watermark 20): the emitted bin counts must include the
+      // pre-restart events — fresh state would close bin 0 at 1, not 2
+      input.addData((ts(5), 0.7))
+      q2.processAllAvailable()
+      input.addData((ts(30), 0.5))
+      q2.processAllAvailable()
+      val closed = got.synchronized {
+        got.toSeq.sortBy(_._1).flatMap(_._2)
+          .map(r => (r.getTimestamp(0).getTime / 1000,
+            r.getDouble(2), r.getDouble(3))).toSet
+      }
+      assert(closed == Set((0L, 0.0, 2.0), (0L, 1.0, 1.0)), closed)
+    } finally q2.stop()
+  }
+
   test("restart recovery: streamingDedup suppresses a cross-restart duplicate from checkpointed state") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("ckpt_dedup").toString
