@@ -145,10 +145,18 @@ object Bench {
     // headline number describe the same run.
     def wallCand(w: Double, f: Set[String]): Option[Double] =
       if (f.isEmpty) Some(w) else None
-    val init = (r1, wallCand(w1, f1), w1, f1, s1)
-    val (results, cleanWall, worstWall, _, wallSpans) =
+    // First-pass vs warm split (r13 verdict #6): pass 1 carries every
+    // cold single-flight artifact build (coarse quantizers, PQ/residual
+    // codebooks, knn graphs, BPE merges — whichever query arrives first
+    // pays it), so its per-query times are NOT comparable round-over-
+    // round when rank ordering changes. queries_first_pass and
+    // queries_warm (min over passes >= 2, builds all memoized) publish
+    // the split: warm is the apples-to-apples search cost, first_pass -
+    // warm approximates the build wall a query carried.
+    val init = (r1, wallCand(w1, f1), w1, f1, s1, Map.empty[String, Double])
+    val (results, cleanWall, worstWall, _, wallSpans, warmMin) =
       (2 to passes).foldLeft(init) {
-        case ((accR, accCW, accWW, accF, accS), _) =>
+        case ((accR, accCW, accWW, accF, accS, accWarm), _) =>
           val (r, w, f, s) = runPass(orderOf(r1))
           val merged = accR.map { case (k, v) =>
             val prevOk = !accF.contains(k)
@@ -160,11 +168,16 @@ object Bench {
               case (false, false) => math.max(v, r.getOrElse(k, v)) // all passes failed: worst time, still in errors
             })
           }
+          val warmMerged = r.foldLeft(accWarm) { case (m, (k, v)) =>
+            if (f.contains(k)) m
+            else m.updated(k, math.min(v, m.getOrElse(k, v)))
+          }
           val thisWins = wallCand(w, f).exists(cw => accCW.forall(cw < _))
           val cw = (accCW.toSeq ++ wallCand(w, f).toSeq)
             .reduceOption(math.min(_, _))
           (merged, cw, math.max(accWW, w), accF.intersect(f),
-            if (thisWins || (accCW.isEmpty && w > accWW)) s else accS)
+            if (thisWins || (accCW.isEmpty && w > accWW)) s else accS,
+            warmMerged)
       }
     val wall = cleanWall.getOrElse(worstWall)
     pool.shutdown()
@@ -209,6 +222,11 @@ object Bench {
       }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsFirst = r1.filterNot { case (k, _) => f1.contains(k) }
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsWarm = warmMin.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val qsSolo = solo.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // winning concurrent pass's per-query [start, end] second offsets,
@@ -240,7 +258,7 @@ object Bench {
     }
     val wallKind = if (cleanWall.isDefined) "min_over_clean_passes" else "max_over_failed_passes"
     val json =
-      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"queries_solo":$qsSolo,"queries_solo_runs":$qsSoloRuns,"queries_concurrent_spans":$qsSpans,"page_cache_kb_before_solo":$cachesJson,"errors":$errJson,"sf":"$sfDir","wall_kind":"$wallKind","passes":$passes,"jvm_flags":$jvmFlags}"""
+      s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"queries_first_pass":$qsFirst,"queries_warm":$qsWarm,"queries_solo":$qsSolo,"queries_solo_runs":$qsSoloRuns,"queries_concurrent_spans":$qsSpans,"page_cache_kb_before_solo":$cachesJson,"errors":$errJson,"sf":"$sfDir","wall_kind":"$wallKind","passes":$passes,"jvm_flags":$jvmFlags}"""
     println(json)
     // Also persist the JSON line: the driver's stdout tail-capture truncates
     // long lines, losing the per-query numbers every round (and the next

@@ -3150,6 +3150,36 @@ object SparkEntry {
       // report (the curation threshold input)
       implicit val sp: SparkSession = s
       graft.pipeline.Dedup.chunkDedup(t(dir, "documents"), chunkTokens = 10)
+    },
+    "q360_chunk_dedup_hash" -> { (s, dir) =>
+      // q359's 100 TB shuffle path made a gated row (the q140/q142
+      // hash==value-by-construction pattern): the election shuffle key
+      // is the chunk text's 128-bit md5 — constant-width rows instead
+      // of arbitrary-length text — and the output must be row-identical
+      // to q359 (both engines hash the same UTF-8 bytes; a collision
+      // would need ~2^64 chunks)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Dedup.chunkDedup(t(dir, "documents"), chunkTokens = 10,
+        hashKey = true)
+    },
+    "q361_exactsubstr_minlen50" -> { (s, dir) =>
+      // Lee et al. 2022's ExactSubstr at its PUBLISHED MinLen: the
+      // windowed-hash composition gated at spanTokens=50 (q316 gates
+      // the machinery at L=8; this row adjudicates that the same
+      // sliding-window identity IS the suffix-array removal set at the
+      // canonical 50-token threshold — the corpus has ~300 repeated
+      // 50-grams at sf0.01, so the gate is not degenerate)
+      implicit val sp: SparkSession = s
+      graft.pipeline.Dedup.removeRepeatedSpans(t(dir, "documents"), 50)
+    },
+    "q362_exactsubstr_keepfirst" -> { (s, dir) =>
+      // the ALL-BUT-FIRST election variant (the paper's "leave one
+      // copy" wording): the corpus-earliest occurrence of each repeated
+      // 50-token window survives, every later copy is cut — the
+      // chunkDedup min(struct(doc_id, pos)) election at sliding-window
+      // granularity
+      implicit val sp: SparkSession = s
+      graft.pipeline.Dedup.removeRepeatedSpansKeepFirst(t(dir, "documents"), 50)
     }
   )
 
@@ -4079,6 +4109,10 @@ object SparkEntry {
       "SELECT CAST(40000 AS BIGINT) AS n_clusters, TRUE AS dedup_ok",
     "q358_neardup_scale" ->
       "SELECT CAST(400000 AS BIGINT) AS n_true_pairs, TRUE AS recall_ok",
-    "q359_chunk_dedup" -> PipelineOracle.chunkDedup(10)
+    "q359_chunk_dedup" -> PipelineOracle.chunkDedup(10),
+    "q360_chunk_dedup_hash" -> PipelineOracle.chunkDedup(10, hashKey = true),
+    "q361_exactsubstr_minlen50" -> PipelineOracle.removeRepeatedSpans(50),
+    "q362_exactsubstr_keepfirst" ->
+      PipelineOracle.removeRepeatedSpansKeepFirst(50)
   )
 }

@@ -2609,6 +2609,37 @@ object PipelineOracle {
       "FROM toks LEFT JOIN kept ON kept.doc_id = toks.doc_id"
   }
 
+  /** Mirrors Dedup.removeRepeatedSpansKeepFirst: the same window/count
+    * CTEs, but a repeated-gram occurrence marks coverage only when it is
+    * NOT the gram's corpus-first occurrence — MIN(ROW(doc_id, p)), the
+    * same lexicographic struct min Spark elects (the chunkDedup
+    * cross-engine discipline); the apply tail is [[removeRepeatedSpans]]
+    * verbatim. */
+  def removeRepeatedSpansKeepFirst(spanTokens: Int = 8): String = {
+    val L = spanTokens
+    "WITH toks AS (SELECT doc_id, COALESCE(regexp_extract_all(text, '\\S+'), []) AS t FROM documents), " +
+      "w AS (SELECT doc_id, p, ('0x' || substr(md5(" +
+      s"array_to_string(t[CAST(p AS INT):CAST(p + ${L - 1} AS INT)], ' ')), 1, 15))::BIGINT AS h " +
+      s"FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - ${L - 1})) AS p " +
+      s"FROM toks WHERE len(t) >= $L)), " +
+      "g AS (SELECT h, MIN(ROW(doc_id, p)) AS f FROM w GROUP BY h HAVING COUNT(*) >= 2), " +
+      "dp AS (SELECT w.doc_id, w.p FROM w JOIN g USING (h) WHERE ROW(w.doc_id, w.p) <> g.f), " +
+      "pos AS (SELECT doc_id, UNNEST(generate_series(1, len(t))) AS i, t " +
+      "FROM toks WHERE len(t) >= 1), " +
+      "cov AS (SELECT DISTINCT pos.doc_id, pos.i FROM pos JOIN dp " +
+      s"ON dp.doc_id = pos.doc_id AND dp.p <= pos.i AND pos.i <= dp.p + ${L - 1}), " +
+      "kept AS (SELECT pos.doc_id, " +
+      "COALESCE(string_agg(CASE WHEN cov.i IS NULL THEN pos.t[pos.i] END, ' ' ORDER BY pos.i) " +
+      "FILTER (WHERE cov.i IS NULL), '') AS ktxt, " +
+      "CAST(COUNT(*) FILTER (WHERE cov.i IS NOT NULL) AS BIGINT) AS n_rm " +
+      "FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.i = pos.i " +
+      "GROUP BY pos.doc_id) " +
+      "SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens, " +
+      "COALESCE(kept.n_rm, 0) AS n_removed, " +
+      "md5(COALESCE(kept.ktxt, '')) AS kept_md5 " +
+      "FROM toks LEFT JOIN kept ON kept.doc_id = toks.doc_id"
+  }
+
   /** Mirrors Dedup.spanDedup: same \\S+ tokens, same max(1, ceil(n/w))
     * span count (token-less docs keep one empty span), 1-based inclusive
     * array slices, document frequency > maxDocs = boilerplate, md5 of the
@@ -4214,9 +4245,15 @@ object PipelineOracle {
       "FROM documents d JOIN s USING (source)"
 
   /** Mirrors Dedup.chunkDedup: positional whitespace tokens, fixed
-    * chunk groups rebuilt in token order, first-occurrence election on
-    * the exact doc_id·2^20+chunk key, per-doc rollup over ALL docs. */
-  def chunkDedup(chunkTokens: Int): String =
+    * chunk groups rebuilt in token order, first-occurrence election as
+    * MIN(ROW(doc_id, chunk)) — the same lexicographic struct min Spark
+    * computes, exact integers on both engines, no packed key and so no
+    * overflow anywhere — per-doc rollup over ALL docs. `hashKey`
+    * mirrors the 100 TB constant-width-shuffle variant: the election
+    * groups by md5(ctext) (both engines hash the identical UTF-8
+    * bytes), identical output absent md5 collisions. */
+  def chunkDedup(chunkTokens: Int, hashKey: Boolean = false): String = {
+    val key = if (hashKey) "md5(ctext)" else "ctext"
     "WITH tk AS (SELECT doc_id, " +
       "UNNEST(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS tok, " +
       "generate_subscripts(regexp_extract_all(COALESCE(text, ''), '\\S+'), 1) - 1 AS pos " +
@@ -4224,20 +4261,21 @@ object PipelineOracle {
       s"ch AS (SELECT doc_id, pos // $chunkTokens AS chunk, " +
       "CAST(COUNT(*) AS BIGINT) AS ctoks, " +
       "string_agg(tok, ' ' ORDER BY pos) AS ctext FROM tk GROUP BY 1, 2), " +
-      "fs AS (SELECT ctext, MIN(doc_id * 1048576 + chunk) AS fkey " +
+      s"fs AS (SELECT $key AS ckey, MIN(ROW(doc_id, chunk)) AS fk " +
       "FROM ch GROUP BY 1), " +
       "ag AS (SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, " +
-      "CAST(SUM(CASE WHEN ch.doc_id * 1048576 + ch.chunk = fs.fkey " +
+      "CAST(SUM(CASE WHEN ROW(ch.doc_id, ch.chunk) = fs.fk " +
       "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
       "CAST(SUM(ctoks) AS BIGINT) AS n_tokens, " +
-      "CAST(SUM(CASE WHEN ch.doc_id * 1048576 + ch.chunk = fs.fkey " +
+      "CAST(SUM(CASE WHEN ROW(ch.doc_id, ch.chunk) = fs.fk " +
       "THEN ctoks ELSE 0 END) AS BIGINT) AS kept_tokens " +
-      "FROM ch JOIN fs USING (ctext) GROUP BY 1) " +
+      s"FROM ch JOIN fs ON $key = fs.ckey GROUP BY 1) " +
       "SELECT d.doc_id, COALESCE(n_chunks, 0) AS n_chunks, " +
       "COALESCE(n_kept, 0) AS n_kept, COALESCE(n_tokens, 0) AS n_tokens, " +
       "COALESCE(kept_tokens, 0) AS kept_tokens, " +
       "CASE WHEN COALESCE(n_tokens, 0) > 0 THEN " +
       "CAST(kept_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) END " +
       "AS kept_fraction FROM documents d LEFT JOIN ag USING (doc_id)"
+  }
 
 }

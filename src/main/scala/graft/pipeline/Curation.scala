@@ -814,11 +814,16 @@ object Curation {
     * |A|·|B| rows built from two broadcast marginals — bounded by
     * category cardinalities, never data-sized. That bound only holds
     * for CATEGORICAL columns, so it is ENFORCED: `maxGridCells` caps
-    * |A|·|B| (one tiny aggregate measures the cardinalities up front —
-    * the LSH pair-budget discipline), and a high-cardinality pair
-    * (user_id × item_id) raises instead of silently broadcasting a
-    * data-sized marginal, densifying a data-sized grid, and folding it
-    * through one collect_list row. The default (65,536 cells) is far
+    * |A|·|B| via a RUNTIME guard folded into the plan (a 1-row
+    * cardinality aggregate over the collapsed cell relation, raised
+    * through raise_error the moment the marginals start producing
+    * rows), so a high-cardinality pair (user_id × item_id) fails
+    * before a data-sized marginal is broadcast, a data-sized grid is
+    * densified, or the single collect_list row explodes — and the
+    * operator stays LAZY: no eager job at construction time, no extra
+    * input scan per chi2Independence() CALL (the r13 form ran an eager
+    * head() per invocation; the guard aggregate now runs once per
+    * ACTION, inside the query). The default (65,536 cells) is far
     * above any honest contingency test and far below the regime where
     * the single-row fold stops being driver-sized; a caller who truly
     * wants a wider table raises the budget explicitly. */
@@ -828,22 +833,34 @@ object Curation {
     val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__nab"))
-    // cardinality guard: one map-combinable aggregate over the collapsed
-    // cell relation, decided (and logged) BEFORE any dense-grid plan
-    // exists — the knnGraph churn-line discipline
-    val dims = cells.agg(count_distinct(col("__a")), count_distinct(col("__b")))
-      .head()
-    val (nA, nB) = (dims.getLong(0), dims.getLong(1))
-    val nCellsDense = BigInt(nA) * BigInt(nB)
-    logWarning(s"chi2Independence grid: |$aCol|=$nA x |$bCol|=$nB = " +
-      s"$nCellsDense dense cells (budget $maxGridCells)")
-    require(nCellsDense <= maxGridCells,
-      s"chi2Independence: dense grid |$aCol|=$nA x |$bCol|=$nB = " +
-        s"$nCellsDense cells exceeds maxGridCells=$maxGridCells — " +
-        "chi-squared is a test for CATEGORICAL columns; collapse tail " +
-        "categories first or raise maxGridCells explicitly")
+    // the guard relation: one broadcast row whose __ok is 1L under
+    // budget and a raise_error above it; __ok MULTIPLIES into the row
+    // marginal (1L is the identity) so no pruning rule can drop the
+    // guard from the plan, and every path into the dense grid flows
+    // through it
+    val guard = cells
+      .agg(count_distinct(col("__a")).as("__ca"),
+        count_distinct(col("__b")).as("__cb"))
+      .select(when(
+          col("__ca").cast("decimal(38,0)") * col("__cb").cast("decimal(38,0)")
+            <= lit(maxGridCells).cast("decimal(38,0)"), lit(1L))
+        .otherwise(expr(
+          s"""CAST(raise_error(concat(
+             |  'chi2Independence: dense grid |$aCol|=', CAST(__ca AS STRING),
+             |  ' x |$bCol|=', CAST(__cb AS STRING),
+             |  ' cells exceeds maxGridCells=$maxGridCells — chi-squared is',
+             |  ' a test for CATEGORICAL columns; collapse tail categories',
+             |  ' first or raise maxGridCells explicitly')) AS BIGINT)"""
+            .stripMargin.replaceAll("\n", " "))).as("__ok"))
+    // BOTH marginals flow through the guard: mb's broadcast exchange is
+    // built before the probe side runs, so an unguarded mb would
+    // broadcast a data-sized marginal before ma's guard ever fired
     val ma = cells.groupBy(col("__a")).agg(sum(col("__nab")).as("__na"))
+      .crossJoin(broadcast(guard))
+      .select(col("__a"), (col("__na") * col("__ok")).as("__na"))
     val mb = cells.groupBy(col("__b")).agg(sum(col("__nab")).as("__nb"))
+      .crossJoin(broadcast(guard))
+      .select(col("__b"), (col("__nb") * col("__ok")).as("__nb"))
     val grid = ma.crossJoin(broadcast(mb))
       .join(cells, Seq("__a", "__b"), "left")
       .select(col("__a"), col("__b"), col("__na"), col("__nb"),

@@ -122,18 +122,24 @@ object Dedup extends org.apache.spark.internal.Logging {
     * ⌈tokens/chunkTokens⌉ — never a per-token explode, never a
     * collect_list rebuild: a first draft that exploded tokens and
     * re-sorted them per chunk group was an order of magnitude slower
-    * at the 5M-doc soak scale), then ONE shuffle keyed by chunk text
+    * at the 5M-doc soak scale), then ONE shuffle keyed by the chunk
     * for the first-occurrence election (the exact-dedup shuffle at
     * chunk granularity), one doc-keyed rollup. Nothing is ever
-    * quadratic; at 100 TB the chunk-text key would be its 128-bit
-    * hash (same election, constant-width shuffle rows — the
-    * contentHash discipline).
+    * quadratic. `hashKey = true` is the 100 TB path: the shuffle key
+    * becomes the chunk text's 128-bit md5 (the [[contentHash]]
+    * discipline — a constant-width 32-hex-char key instead of
+    * arbitrary-length text, and the text column is projected away
+    * before the exchange; identical output absent md5 collisions),
+    * gated row-identical to the text-keyed form (q360).
     *
-    * Cross-engine: chunk text is an exact string, the election key is
-    * the exact long doc_id·2^20 + chunk (documented bound: < 2^20
-    * chunks per document, i.e. ~10M tokens at the default size —
-    * enforced), counts exact longs, the fraction ONE IEEE division. */
-  def chunkDedup(docs: DataFrame, chunkTokens: Int = 10): DataFrame = {
+    * Cross-engine: chunk text is an exact string; the election is
+    * min(struct(doc_id, chunk)) — lexicographic on exact integers in
+    * BOTH engines (DuckDB mirrors with MIN(ROW(doc_id, chunk))), so
+    * there is no packed key, no bound on doc_id or chunk count, and
+    * no overflow to guard; counts exact longs, the fraction ONE IEEE
+    * division. */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 10,
+                 hashKey: Boolean = false): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be positive: $chunkTokens")
     val chunks = docs
       .select(col("doc_id"),
@@ -148,22 +154,21 @@ object Dedup extends org.apache.spark.internal.Logging {
              |    slice(__toks, i * $chunkTokens + 1, $chunkTokens), ' '))
              |END""".stripMargin.replaceAll("\n", " ")))
           .as(Seq("__chunk", "__ctext")))
-      .select(col("doc_id"), col("__chunk"), col("__ctext"),
+      .select(col("doc_id"), col("__chunk"),
+        (if (hashKey) contentHash(col("__ctext")) else col("__ctext"))
+          .as("__ckey"),
         least(lit(chunkTokens),
           col("__ntoks") - col("__chunk") * chunkTokens).cast("long")
           .as("__ctoks"))
-      .withColumn("__chunk", when(col("__chunk") < (1L << 20), col("__chunk"))
-        .otherwise(raise_error(lit(
-          "chunkDedup: document exceeds 2^20 chunks — raise chunkTokens"))))
-      .withColumn("__key", col("doc_id") * lit(1L << 20) + col("__chunk"))
-    val firsts = chunks.groupBy(col("__ctext"))
-      .agg(min(col("__key")).as("__fkey"))
-    val rollup = chunks.join(firsts, "__ctext")
+    val occ = struct(col("doc_id"), col("__chunk"))
+    val firsts = chunks.groupBy(col("__ckey"))
+      .agg(min(occ).as("__first"))
+    val rollup = chunks.join(firsts, "__ckey")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("__key") === col("__fkey"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(occ === col("__first"), 1L).otherwise(0L)).as("n_kept"),
         sum(col("__ctoks")).as("n_tokens"),
-        sum(when(col("__key") === col("__fkey"), col("__ctoks"))
+        sum(when(occ === col("__first"), col("__ctoks"))
           .otherwise(0L)).as("kept_tokens"))
     docs.select(col("doc_id")).join(rollup, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1581,11 +1586,12 @@ object Dedup extends org.apache.spark.internal.Logging {
         (col("span_end") - col("span_start") + 1L).as("span_len"))
   }
 
-  /** The (doc_id, __p) positions whose L-gram repeats anywhere in the
-    * corpus — the shared first stage of [[repeatedSpans]] (report form)
-    * and [[removeRepeatedSpans]] (apply form). */
-  private def repeatedPositions(docs: DataFrame, L: Int): DataFrame = {
-    val wins = widen(docs)
+  /** The sliding L-gram window relation (doc_id, __p, __h) — persisted,
+    * so every consumer over one (corpus, L) shares the tokenizer pass
+    * ([[repeatedSpans]], [[removeRepeatedSpans]], the keep-first
+    * variant). */
+  private def slidingGramWindows(docs: DataFrame, L: Int): DataFrame =
+    memoPersist(widen(docs)
       .select(col("doc_id"),
         expr("""regexp_extract_all(text, '\\S+', 0)""").as("__t"))
       .filter(size(col("__t")) >= L)
@@ -1595,9 +1601,13 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), col("__p"),
         conv(substring(md5(
           expr(s"array_join(slice(__t, __p, $L), ' ')")), 1, 15), 16, 10)
-          .cast("long").as("__h"))
-    // persisted: feeds both the repetition count and the membership join
-    val winsP = memoPersist(wins)
+          .cast("long").as("__h")))
+
+  /** The (doc_id, __p) positions whose L-gram repeats anywhere in the
+    * corpus — the shared first stage of [[repeatedSpans]] (report form)
+    * and [[removeRepeatedSpans]] (apply form). */
+  private def repeatedPositions(docs: DataFrame, L: Int): DataFrame = {
+    val winsP = slidingGramWindows(docs, L)
     val dupGrams = winsP.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2L).select(col("__h"))
     winsP.join(dupGrams, "__h").select(col("doc_id"), col("__p"))
@@ -1617,8 +1627,48 @@ object Dedup extends org.apache.spark.internal.Logging {
     * over codegen array HOFs — no second shuffle of the corpus. */
   def removeRepeatedSpans(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
     require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
-    val L = spanTokens
-    val covered = repeatedPositions(docs, L)
+    dropCoveredTokens(docs, repeatedPositions(docs, spanTokens), spanTokens)
+  }
+
+  /** The ALL-BUT-FIRST form of [[removeRepeatedSpans]] — the exact
+    * semantics Lee et al. 2022 (§4.2) describe for ExactSubstr ("leave
+    * one copy"): a window occurrence of a repeated L-gram survives iff
+    * it is the gram's corpus-FIRST occurrence (lexicographic
+    * min(struct(doc_id, position)) — the [[chunkDedup]] election at
+    * sliding-window granularity); tokens covered only by first
+    * occurrences keep, tokens covered by any NON-first occurrence
+    * drop. The corpus-earliest copy of a boilerplate block therefore
+    * survives verbatim while every later copy is cut — where
+    * [[removeRepeatedSpans]] (the released-tool behavior) cuts ALL
+    * copies including the first. Output schema and conventions are
+    * [[removeRepeatedSpans]]'s (n_tokens, n_removed, kept_md5; every
+    * doc appears).
+    *
+    * Scale shape: identical to [[removeRepeatedSpans]] — the shared
+    * persisted window relation, one map-combinable gram aggregate (now
+    * carrying min(struct) beside the count), one equi-join back; the
+    * election adds no shuffle. */
+  def removeRepeatedSpansKeepFirst(docs: DataFrame,
+      spanTokens: Int = 8): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive: $spanTokens")
+    val winsP = slidingGramWindows(docs, spanTokens)
+    val occ = struct(col("doc_id"), col("__p"))
+    val grams = winsP.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"), min(occ).as("__first"))
+      .filter(col("__c") >= 2L)
+      .select(col("__h"), col("__first"))
+    val nonFirst = winsP.join(grams, "__h")
+      .filter(occ =!= col("__first"))
+      .select(col("doc_id"), col("__p"))
+    dropCoveredTokens(docs, nonFirst, spanTokens)
+  }
+
+  /** Shared apply tail: drop every token covered by a (doc_id, __p)
+    * flagged window start, report n_tokens / n_removed / kept-md5 for
+    * EVERY input doc (clean and token-less docs keep everything). */
+  private def dropCoveredTokens(docs: DataFrame, positions: DataFrame,
+      L: Int): DataFrame = {
+    val covered = positions
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("__p"))).as("__ps"))
     widen(docs)

@@ -37,13 +37,18 @@ object Similarity {
   // annLsh sign-guard memo: sampled positive-coordinate fraction per
   // (session, corpus plan hash, hashed width). Hash-keyed like
   // centroidMemo (never the plan object — LocalRelation plans embed the
-  // corpus rows); LRU-bounded like Dedup.capDecisions.
-  private val signGuardDecisions = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(Int, Int, Int), java.lang.Double](16, 0.75f, true) {
+  // corpus rows); LRU-bounded like Dedup.capDecisions. Accessed through
+  // SingleFlight, NOT computeIfAbsent under a synchronizedMap: the guard
+  // runs an eager Spark job, and building under the map's global mutex
+  // would serialize concurrent annLsh calls over DIFFERENT corpora
+  // through one lock (the exact pattern RelCache.memo exists to avoid) —
+  // with the rendezvous only same-key callers wait.
+  private val signGuardDecisions =
+    new java.util.LinkedHashMap[Any, java.lang.Double](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Int, Int), java.lang.Double]): Boolean =
+          e: java.util.Map.Entry[Any, java.lang.Double]): Boolean =
         size() > 64
-    })
+    }
 
   /** Corpus with a precomputed norm column. */
   def withNorm(emb: DataFrame): DataFrame =
@@ -552,17 +557,15 @@ object Similarity {
     // REWRITTEN underlying files returns the previously-trained
     // centroids — call clearCentroidCache() between corpus rewrites in
     // long-lived drivers.
-    val key = (System.identityHashCode(corpus.sparkSession),
+    // "kmeans" tag: SingleFlight's in-flight table is shared across all
+    // memos, so keys must be globally distinct (its own scaladoc rule —
+    // an untagged 4-int tuple here could collide with a future untagged
+    // key in another memo and hand a waiter the wrong cache's value)
+    val key = ("kmeans", System.identityHashCode(corpus.sparkSession),
       corpus.queryExecution.analyzed.canonicalized.semanticHash(), nCells, iters)
-    singleFlight(centroidMemo, key)(trainCentroids(corpus, nCells, iters))
+    graft.util.SingleFlight(centroidMemo, key)(
+      trainCentroids(corpus, nCells, iters))
   }
-
-  /** Single-flight lookup over a synchronized LRU training memo —
-    * concurrent callers of one key share one Lloyd run (see
-    * [[graft.util.SingleFlight]], which the BPE trainer shares). */
-  private def singleFlight[V <: AnyRef](cache: java.util.LinkedHashMap[Any, V],
-      key: Any)(build: => V): V =
-    graft.util.SingleFlight(cache, key)(build)
 
   /** Drop memoized trained centroids (see kmeansCentroids' staleness
     * contract: identical plan over rewritten files returns stale
@@ -1133,9 +1136,10 @@ object Similarity {
     // carry the guard for the shared geometry)
     if (signGuard && !corpus.isStreaming) {
       val d = tables * bits
-      val guardKey = (System.identityHashCode(corpus.sparkSession),
+      val guardKey = ("annLshGuard",
+        System.identityHashCode(corpus.sparkSession),
         corpus.queryExecution.analyzed.canonicalized.semanticHash(), d)
-      signGuardDecisions.computeIfAbsent(guardKey, _ => {
+      graft.util.SingleFlight(signGuardDecisions, guardKey) {
         val frac = corpus
           .filter(pmod(hash(col("vec_id")), lit(101)) === 0 &&
             col("embedding").isNotNull && size(col("embedding")) > 0)
@@ -1147,7 +1151,7 @@ object Similarity {
           .collect()(0)
         if (frac.isNullAt(0)) java.lang.Double.valueOf(0.5)
         else java.lang.Double.valueOf(frac.getDouble(0))
-      }) match {
+      } match {
         case f if f > 0.95 || f < 0.05 => logWarning(
           f"annLsh sign guard: sampled positive-coordinate fraction ${f.doubleValue()}%.3f" +
             " — a single-signed corpus collapses sign-LSH buckets and " +
@@ -1620,7 +1624,8 @@ object Similarity {
     val key = ("ivfpq", System.identityHashCode(corpus.sparkSession),
       corpus.queryExecution.analyzed.canonicalized.semanticHash(), m, k,
       cents.map { case (cid, v) => (cid, v.toSeq) }.hashCode())
-    singleFlight(pqMemo, key)(trainResidualPqCodebook(corpus, cents, m, k))
+    graft.util.SingleFlight(pqMemo, key)(
+      trainResidualPqCodebook(corpus, cents, m, k))
   }
 
   private def trainResidualPqCodebook(corpus: DataFrame,
@@ -1741,7 +1746,7 @@ object Similarity {
     // share ONE training run
     val key = ("pq", System.identityHashCode(corpus.sparkSession),
       corpus.queryExecution.analyzed.canonicalized.semanticHash(), m, k, iters)
-    singleFlight(pqMemo, key)(trainPqCodebook(corpus, m, k, iters))
+    graft.util.SingleFlight(pqMemo, key)(trainPqCodebook(corpus, m, k, iters))
   }
 
   private val pqMemo =

@@ -119,6 +119,33 @@ object SoakPipeline {
       s"converged=${compsRun.converged}")
     stage("leak_free_split")(graft.pipeline.Dedup.leakFreeSplit(
       docs, 0.1, 0.1, "soak1").count())
+    // chunk-granularity dedup under a BOILERPLATE-heavy corpus (r13
+    // verdict #3): every megasource doc (~50% of the corpus in zipf
+    // mode) gets the SAME exactly-10-token header prepended, so one
+    // chunk key owns a ~2.5M-row group — the election min must reduce
+    // map-side (it is map-combinable by construction; this measures it
+    // rather than asserts it, the q52-at-sf1 lesson). Both election
+    // paths run: the text-keyed gated form and the hashKey 100 TB
+    // shuffle form, whose retention totals must agree exactly.
+    val header = "common header tokens one two three four five six seven"
+    val headered = docs.select(col("doc_id"),
+      when(col("source") === "megasource",
+        concat(lit(header + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    if (zipf) println(s"[soak] hot-chunk group size = " +
+      s"${docs.filter(col("source") === "megasource").count()} " +
+      "(docs sharing the header chunk)")
+    val chunked = graft.pipeline.Dedup.chunkDedup(headered, chunkTokens = 10)
+    stage("chunk_dedup_boilerplate")(chunked.count())
+    val chunkedHash = graft.pipeline.Dedup.chunkDedup(headered,
+      chunkTokens = 10, hashKey = true)
+    stage("chunk_dedup_hashkey")(chunkedHash.count())
+    val keptText = chunked.agg(sum("kept_tokens"), sum("n_tokens")).head()
+    val keptHash = chunkedHash.agg(sum("kept_tokens"), sum("n_tokens")).head()
+    println(s"[soak] chunk_dedup kept_tokens/total: text-keyed " +
+      s"${keptText.getLong(0)}/${keptText.getLong(1)}, hash-keyed " +
+      s"${keptHash.getLong(0)}/${keptHash.getLong(1)} " +
+      s"(must match: ${keptText == keptHash})")
     stage("pack_sequences")(graft.pipeline.Sampling.packSequences(
       docs, 2048L, 32, "soakpk").count())
     println(f"[soak] TOTAL: ${(System.nanoTime() - t00) / 1e9}%.1f s, " +

@@ -20,6 +20,7 @@ import org.apache.spark.storage.StorageLevel
   * stale pinned relation, the usual contract of Spark's own table cache.
   */
 object RelCache {
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.util.RelCache")
   // 320, up from 96 (r13): the full 352-query bench surface now pins
   // MORE than 96 distinct derived relations per pass (31 persist call
   // sites × per-corpus inputs), so at 96 the LRU churned CYCLICALLY —
@@ -74,8 +75,9 @@ object RelCache {
     * DOCUMENTED TRADEOFF: a caller that retained a memoized DataFrame
     * across >MaxEntries intervening inserts holds a reference whose
     * blocks this eviction released — post-eviction use fails (missing
-    * RDD blocks) instead of recomputing. At 96 entries the evictee is
-    * cold by construction; a caller needing an artifact to outlive the
+    * RDD blocks) instead of recomputing. At [[MaxEntries]] (320) live
+    * entries the evictee is cold by construction; a caller needing an
+    * artifact to outlive the
     * memo must own its lifecycle (write it to a table / re-memo it),
     * not expect an LRU to pin it forever. Reference-counting handed-out
     * relations would trade this rare loud failure for unbounded
@@ -133,7 +135,21 @@ object RelCache {
         // builder failed — loop: re-check the memo, then race to build
       } else {
         try {
+          // build-wall log (the SingleFlight discipline): localCheckpoint'd
+          // builds like knnGraph run their jobs HERE, so the first query to
+          // arrive carries the whole build — the line makes a tripled solo
+          // time attributable to cold-build ordering without re-runs
+          val t0 = System.nanoTime()
           val built = build
+          // keys embed canonicalized plan OBJECTS — render only the
+          // operator tag + key hash, never the plan (a LocalRelation key
+          // would print the whole corpus)
+          val tag = key match {
+            case p: Product if p.productArity > 0 => p.productElement(0)
+            case other => other.getClass.getSimpleName
+          }
+          logger.warn(f"memo build: $tag (key#${key.hashCode()}%08x) took " +
+            f"${(System.nanoTime() - t0) / 1e9}%.3f s")
           synchronized(keyed.put(key, built))
           fut.complete(built)
           return built

@@ -12,8 +12,15 @@ package graft.util
   * identity, the input plan's semantic hash, every parameter) — the
   * kmeansCentroids key discipline. The in-flight table is shared
   * across all memos, so keys must also be globally distinct (prefix
-  * with an operator tag). */
+  * with an operator tag).
+  *
+  * Every MISS logs its build wall against the key (the capDecisions
+  * logging discipline): trained-artifact queries pay training exactly
+  * once per key, so round-over-round solo-time comparisons need to
+  * know whether a given run carried the build — the log line makes
+  * the train-vs-search split readable without forensic re-runs. */
 object SingleFlight {
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.util.SingleFlight")
   private val inflight = new java.util.concurrent.ConcurrentHashMap[
     Any, java.util.concurrent.CompletableFuture[AnyRef]]()
 
@@ -30,7 +37,12 @@ object SingleFlight {
         // builder failed — loop: re-check the memo, then race to build
       } else {
         try {
+          val t0 = System.nanoTime()
           val built = build
+          // training-memo keys are hash-based tuples (the kmeansCentroids
+          // discipline) so rendering them is safe — but cap it anyway
+          logger.warn(f"single-flight build: key=${key.toString.take(200)} " +
+            f"took ${(System.nanoTime() - t0) / 1e9}%.3f s")
           cache.synchronized(cache.put(key, built))
           fut.complete(built.asInstanceOf[AnyRef])
           return built

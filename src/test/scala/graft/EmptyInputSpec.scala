@@ -478,4 +478,10 @@ class EmptyInputSpec extends SparkSpec {
       emptyDocs, "lang", "source").collect()(0)
     assert(chi.getLong(0) == 0L && chi.getLong(1) == 0L, chi)
   }
+
+  test("round-14 operators on empty inputs") {
+    assert(Dedup.chunkDedup(emptyDocs, hashKey = true).count() == 0)
+    assert(Dedup.removeRepeatedSpans(emptyDocs, 50).count() == 0)
+    assert(Dedup.removeRepeatedSpansKeepFirst(emptyDocs, 50).count() == 0)
+  }
 }

@@ -545,6 +545,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, h(""))))
   }
 
+  test("removeRepeatedSpansKeepFirst: corpus-earliest copy survives, later copies cut; within-doc repeat keeps first") {
+    def h(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val corpus = Seq(
+      (1L, "a b c d e p q r s"),   // owns the first "a b c d e"
+      (2L, "m n a b c d e"),       // later copy: loses it
+      (3L, "entirely novel words only here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpansKeepFirst(corpus, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1 keeps EVERYTHING (its occurrence is the corpus min for every
+    // shared gram); removeRepeatedSpans would cut both copies
+    assert(out(1L) == ((9L, 0L, h("a b c d e p q r s"))), out)
+    assert(out(2L) == ((7L, 5L, h("m n"))), out)
+    assert(out(3L) == ((5L, 0L, h("entirely novel words only here"))), out)
+    // within-doc repeat: "x y z ... x y z" — the first occurrence (pos 1)
+    // survives, the second (pos 5) is cut
+    val self = Seq((7L, "x y z q x y z")).toDF("doc_id", "text")
+    val selfOut = Dedup.removeRepeatedSpansKeepFirst(self, 3).collect()(0)
+    assert((selfOut.getLong(1), selfOut.getLong(2), selfOut.getString(3)) ==
+      ((7L, 3L, h("x y z q"))), selfOut)
+  }
+
   test("nearDupPairs: two-stage minhash candidates + exact jaccard verify") {
     val pairs = Dedup.nearDupPairs(docs, threshold = 0.7).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

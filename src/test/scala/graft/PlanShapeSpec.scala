@@ -490,6 +490,12 @@ class PlanShapeSpec extends SparkSpec {
     // aggregate; the keep filter + hash are projections over array HOFs
     val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
     assert(winLines.forall(_.contains("doc_id")), plan)
+    // the keep-first election variant adds only a min(struct) to the
+    // same gram aggregate — still no pair join, no extra shuffle shape
+    val kf = executedPlan(Dedup.removeRepeatedSpansKeepFirst(docs, 3))
+    assert(!kf.contains("CartesianProduct"), kf)
+    assert(!kf.contains("BroadcastNestedLoopJoin"), kf)
+    assert(kf.contains("partial_min") || kf.contains("partial_"), kf)
   }
 
   test("bm25TopK: bounded-heap aggregate, no WindowExec anywhere") {
@@ -584,6 +590,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial_"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("Window"), plan)
+  }
+
+  test("chunkDedup hashKey: election shuffle carries the 16-byte md5 key, never the chunk text") {
+    val plan = executedPlan(Dedup.chunkDedup(docs, chunkTokens = 3,
+      hashKey = true))
+    // q360's 100 TB contract: every exchange is keyed by __ckey (the
+    // md5) or doc_id — the arbitrary-length __ctext column must be
+    // projected away BEFORE any shuffle, so shuffle rows stay
+    // constant-width whatever the chunk size
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, plan)
+    assert(exchanges.forall(l => !l.contains("__ctext")), exchanges)
+    assert(plan.contains("md5"), plan)
+    // and the text-keyed default keeps its plan shape: one election
+    // aggregate with map-side partials, no windows, no cartesian
+    val tplan = executedPlan(Dedup.chunkDedup(docs, chunkTokens = 3))
+    assert(tplan.contains("partial_min") || tplan.contains("partial_"), tplan)
+    assert(!tplan.contains("CartesianProduct") && !tplan.contains("Window"), tplan)
   }
 
   test("attribution: one conversion-keyed exchange shared by both windows") {

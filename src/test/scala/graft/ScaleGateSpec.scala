@@ -343,14 +343,19 @@ class ScaleGateSpec extends SparkSpec {
 
   test("chi2Independence: cardinality guard refuses a high-cardinality pair") {
     // user_id x item_id: 300 x 300 distinct = 90,000 dense cells — a
-    // legitimate contingency test never looks like this; the guard must
-    // raise BEFORE any dense-grid plan exists, and a raised budget must
-    // readmit the same pair (the explicit-override path)
+    // legitimate contingency test never looks like this; the guard is a
+    // RUNTIME raise folded into the plan (the operator stays lazy:
+    // constructing the frame runs no job, so streaming composition and
+    // repeated calls cost nothing), firing when the first action touches
+    // the marginals; a raised budget must readmit the same pair (the
+    // explicit-override path)
     val big = (0 until 300).map(i => (s"u$i", s"i$i")).toDF("u", "it")
-    val e = intercept[IllegalArgumentException] {
-      graft.pipeline.Curation.chi2Independence(big, "u", "it")
-    }
-    assert(e.getMessage.contains("maxGridCells"), e.getMessage)
+    val lazyFrame = graft.pipeline.Curation.chi2Independence(big, "u", "it")
+    val e = intercept[Exception] { lazyFrame.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("maxGridCells")), e)
     val ok = graft.pipeline.Curation.chi2Independence(big, "u", "it",
       maxGridCells = 100000L).collect()(0)
     assert(ok.getLong(0) == 300L && ok.getLong(1) == 300L, ok)
@@ -375,6 +380,28 @@ class ScaleGateSpec extends SparkSpec {
     val bf = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), 12)
       .orderBy("rank").collect().map(_.getLong(1)).toSeq
     assert(got.map(_.getLong(1)).toSeq == bf)
+  }
+
+  test("mmrRerank: plan size is constant in k (red pin at the k=50 wall the fold was built for)") {
+    // the r12 wall was k-1 driver rounds; the fold rewrite's entire
+    // point is k≈50. An accidental re-unroll would scale the physical
+    // plan ~linearly with k, so pin the plan RENDERING: k=50 must stay
+    // within 1.5x of k=5 (measured ~1.0x — only the two k literals
+    // differ), and both must carry exactly ONE runtime-fold aggregate
+    // over sequence(1, k-1), never k-1 of anything
+    val emb = (0L until 80L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 3.7 + d).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0L)
+    def planSize(k: Int): Int = Similarity.mmrRerank(emb, q, k = k, n = 60,
+      lam = 0.5).queryExecution.executedPlan.toString.length
+    val p5 = planSize(5)
+    val p50 = planSize(50)
+    assert(p50 <= p5 * 3 / 2, s"plan grew with k: k=5 -> $p5 chars, k=50 -> $p50")
+    // and the k=50 result is still the real algorithm: k distinct picks
+    val got = Similarity.mmrRerank(emb, q, k = 50, n = 60, lam = 0.5)
+      .collect().map(_.getLong(1))
+    assert(got.length == 50 && got.distinct.length == 50, got.length)
   }
 
   test("r12-operator degenerate inputs: tied conformal scores, single-bin isotonic, zero-budget unimax, constant-tail Hill, mmr k=1/exhaustion") {
@@ -438,6 +465,28 @@ class ScaleGateSpec extends SparkSpec {
     assert(got(1L) == ((2L, 2L, 12L, 12L, Some(1.0))), got)
     assert(got(2L) == ((2L, 1L, 12L, 2L, Some(2.0 / 12.0))), got)
     assert(got(3L) == ((0L, 0L, 0L, 0L, None)), got)
+  }
+
+  test("chunkDedup: 64-bit hash-style doc_ids elect correctly (red pin for the r13 packed-key overflow)") {
+    // doc ids in the 2^44 range — a hash-derived/snowflake id, exactly
+    // the 100 TB regime. The r13 election key doc_id*2^20+chunk WRAPPED
+    // here (2^44 * 2^20 = 2^64 -> 0), silently electing the HIGH id as
+    // "first"; the struct election must pick the true lexicographic
+    // minimum (doc 7), with the two huge ids dropping their chunk.
+    val ten = "a b c d e f g h i j"
+    val docs = Seq((1L << 44, ten), ((1L << 44) + 1L, ten), (7L, ten))
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Dedup.chunkDedup(docs, chunkTokens = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(7L) == 1L, got)
+    assert(got(1L << 44) == 0L && got((1L << 44) + 1L) == 0L, got)
+    // the hashed-key 100 TB shuffle path is row-identical (q360's gate
+    // in miniature): same election, 16-byte md5 key instead of text
+    val text = graft.pipeline.Dedup.chunkDedup(docs, chunkTokens = 10)
+      .collect().map(_.toSeq).toSet
+    val hashed = graft.pipeline.Dedup.chunkDedup(docs, chunkTokens = 10,
+      hashKey = true).collect().map(_.toSeq).toSet
+    assert(text == hashed, s"text=$text hashed=$hashed")
   }
 
   test("conformalThreshold: corrected-rank order statistic; small groups report NULL") {

@@ -1774,6 +1774,116 @@ class StreamingSpec extends SparkSpec {
       assert(closed == Set((0L, 2L)), closed)
     } finally q2.stop()
   }
+
+  test("restart recovery: streamingAsOf's best-right struct survives restart") {
+    import StreamingHist.{AsOfEvent, AsOfEnriched}
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_asof").toString
+    val input = MemoryStream[AsOfEvent]
+    val out = StreamingHist.streamingAsOf(input.toDS())
+    val (got, sink) = restartCollector()
+    def start() = out.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch((ds: org.apache.spark.sql.Dataset[AsOfEnriched],
+        id: Long) => sink(ds.toDF(), id)).start()
+    val q1 = start()
+    try {
+      // only RIGHTS before the kill: user 1's best-right struct
+      // (us 10, id 100, value 1.0) is pure state, nothing emitted yet
+      input.addData(AsOfEvent(1L, 5L, 0, 99L, Some(0.5)),
+        AsOfEvent(1L, 10L, 0, 100L, Some(1.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the left arrives while the query is DOWN; consumed on restart
+    input.addData(AsOfEvent(1L, 20L, 1, 200L, None),
+      AsOfEvent(2L, 20L, 1, 201L, None))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val matches = got.synchronized {
+        got.toSeq.sortBy(_._1).flatMap(_._2)
+          .map(r => r.getLong(0) ->
+            ((if (r.isNullAt(3)) None else Some(r.getLong(3)),
+              if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+      }
+      // left 200 matches the PRE-restart right (100 @ us 10) only if the
+      // one-row-per-key struct was recovered from the checkpoint — a
+      // fresh-state restart would emit (None, None); user 2 never had a
+      // right, so its None is the first-seen contract, not recovery
+      assert(matches == Map(200L -> ((Some(100L), Some(10L))),
+        201L -> ((None, None))), matches)
+    } finally q2.stop()
+  }
+
+  test("restart recovery: windowedTopTerms' SpaceSaving summaries keep counting across restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_htt").toString
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamingHist.windowedTopTerms(
+      input.toDF().toDF("event_time", "term"),
+      "event_time", col("term"), "10 seconds", k = 2, capacity = 8)
+    val (got, sink) = restartCollector()
+    def start() = out.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Complete()).foreachBatch(sink).start()
+    val q1 = start()
+    try {
+      // window [0,10): a=2, b=1 before the kill
+      input.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // two more b's into the SAME window after restart: the summary
+      // must total b=3, a=2 — fresh state would rank b=2 alone and
+      // never see "a" at all
+      input.addData((ts(4), "b"), (ts(5), "b"))
+      q2.processAllAvailable()
+      val last = got.synchronized { got.toSeq.maxBy(_._1)._2 }
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getString(2),
+          r.getLong(3), r.getInt(5))).toSet
+      assert(last == Set((0L, "b", 3L, 1), (0L, "a", 2L, 2)), last)
+    } finally q2.stop()
+  }
+
+  test("restart recovery: streamingIntervalJoin's buffered two-sided state survives restart") {
+    import StreamingSpec.Ev
+    def ev(u: Long, id: Long, sec: Long) =
+      Ev(u, id, new java.sql.Timestamp(sec * 1000L))
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_ij").toString
+    val lIn = MemoryStream[Ev]
+    val rIn = MemoryStream[Ev]
+    val out = StreamingHist.streamingIntervalJoin(
+      lIn.toDF(), rIn.toDF(), tolUs = 100L * 1000000L, watermark = "10 minutes")
+    val (got, sink) = restartCollector()
+    def start() = out.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).foreachBatch(sink).start()
+    val q1 = start()
+    try {
+      // two lefts are BUFFERED in join state (no right can match yet)
+      lIn.addData(ev(1, 1, 100), ev(1, 2, 500))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // matching rights land while the query is DOWN
+    rIn.addData(ev(1, 11, 150), ev(1, 12, 560), ev(2, 13, 150))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val pairs = got.synchronized {
+        got.toSeq.sortBy(_._1).flatMap(_._2)
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+      }
+      // both pairs form only if the buffered left rows were recovered
+      // from the checkpointed join state — fresh state holds no lefts
+      // and emits NOTHING; user 2's right has no left either way
+      assert(pairs == Set((1L, 1L, 11L, 50000000L),
+        (1L, 2L, 12L, 60000000L)), pairs)
+    } finally q2.stop()
+  }
 }
 
 object StreamingSpec {
