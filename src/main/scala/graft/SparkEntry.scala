@@ -3180,6 +3180,23 @@ object SparkEntry {
       // granularity
       implicit val sp: SparkSession = s
       graft.pipeline.Dedup.removeRepeatedSpansKeepFirst(t(dir, "documents"), 50)
+    },
+    "q363_mmr_scale" -> { (s, _) =>
+      // MMR at 200k (r13 verdict #5's optional gate): the constant-size
+      // fold reranking 8 candidates to k=4 over the clustered corpus —
+      // λ=1 must EQUAL brute-force top-k rank-for-rank (tie-breaks
+      // align by construction); λ=0.3 must keep the rank-1 relevance
+      // pick (a mate) but displace ≥1 mate per query (≤ k−1) and keep
+      // mean mates ≤ 3 where the relevance path carries 4 — strangers
+      // are often one foreign cluster that self-penalizes, so
+      // mate/foreign alternation is legitimate (see contract scaladoc)
+      val emb = scaleCorpus(s)
+      val q = scaleQueries(emb)
+      graft.pipeline.Contracts.mmrScaleContract(
+        Similarity.mmrRerank(emb, q, k = 4, n = 8, lam = 0.3),
+        Similarity.mmrRerank(emb, q, k = 4, n = 8, lam = 1.0),
+        Similarity.bruteForceTopK(emb, q, 8),
+        clusterSize = 5, k = 4, nQueries = 200L, mateCeil = 3.0)
     }
   )
 
@@ -4113,6 +4130,8 @@ object SparkEntry {
     "q360_chunk_dedup_hash" -> PipelineOracle.chunkDedup(10, hashKey = true),
     "q361_exactsubstr_minlen50" -> PipelineOracle.removeRepeatedSpans(50),
     "q362_exactsubstr_keepfirst" ->
-      PipelineOracle.removeRepeatedSpansKeepFirst(50)
+      PipelineOracle.removeRepeatedSpansKeepFirst(50),
+    "q363_mmr_scale" ->
+      "SELECT CAST(200 AS BIGINT) AS n_queries, TRUE AS mmr_ok"
   )
 }

@@ -327,6 +327,66 @@ object Contracts {
           lit(bound * (nNodes * k).toDouble)).as("recall_ok"))
   }
 
+  /** MMR contract over [[clusteredCorpus]] at scale — gates the greedy
+    * fold's two provable properties without depending on embedding
+    * geometry beyond the corpus's designed shape:
+    * (1) λ=1 EQUIVALENCE: with the similarity penalty weighted zero,
+    *     MMR is relevance-ranked top-k by definition; the λ=1 picks
+    *     must equal the brute-force top-k EXACTLY, rank for rank
+    *     (both sides break score ties identically: cosine desc, id
+    *     asc — so the equality is exact even under ties);
+    * (2) DIVERSITY DIRECTION at a penalty-heavy λ: every query's
+    *     rank-1 pick is still pure relevance (a mate — the corpus's
+    *     clusters are pairwise-cosine≈1), and EVERY query must
+    *     displace at least one mate (≤ k−1 mates among its k picks —
+    *     a second same-cluster mate scores λ·≈1 − (1−λ)·≈1, deeply
+    *     negative at small λ, so some non-mate candidate wins a slot)
+    *     where relevance top-k carries min(k, clusterSize−1) = k of
+    *     them; the MEAN mates-per-query must also fall ≤ `mateCeil`.
+    *     The ceiling is NOT k−... 1: the query's nearest strangers are
+    *     often one foreign CLUSTER whose members penalize each other
+    *     as hard as the query's own mates do, so MMR legitimately
+    *     alternates mate/foreign/mate — the honest bound is "strictly
+    *     fewer than the relevance path", not "one mate only".
+    *     Shape invariants ride along: exactly nQueries queries,
+    *     exactly k DISTINCT picks each, ranks 1..k.
+    *     One row (n_queries, mmr_ok). */
+  def mmrScaleContract(mmrDiv: DataFrame, mmrLam1: DataFrame,
+      brute: DataFrame, clusterSize: Int, k: Int, nQueries: Long,
+      mateCeil: Double): DataFrame = {
+    require(k < clusterSize, s"bad mmr-scale shape: k=$k")
+    val mate =
+      expr(s"query_id div $clusterSize = neighbor_id div $clusterSize") &&
+        col("query_id") =!= col("neighbor_id")
+    // λ=1 ≡ top-k: inner-join on (query, neighbor, rank) — full marks
+    // means every (q, pick, position) triple agrees
+    val lam1Agree = mmrLam1.select(col("query_id"), col("neighbor_id"),
+        col("mmr_rank").as("rank"))
+      .join(brute.filter(col("rank") <= k),
+        Seq("query_id", "neighbor_id", "rank"))
+      .agg(count(lit(1)).as("__agree"))
+    val perQ = mmrDiv.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__n"),
+        count_distinct(col("neighbor_id")).as("__nd"),
+        sum(when(mate, 1L).otherwise(0L)).as("__mates"),
+        min(when(col("mmr_rank") === 1, mate)).as("__first_is_mate"))
+    perQ.agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__n") === k && col("__nd") === k, 0L)
+          .otherwise(1L)).as("__badShape"),
+        sum(when(col("__first_is_mate"), 0L).otherwise(1L))
+          .as("__badFirst"),
+        sum(col("__mates")).as("__mateSum"),
+        max(col("__mates")).as("__mateMax"))
+      .crossJoin(broadcast(lam1Agree))
+      .select(col("n_queries"),
+        (col("n_queries") === lit(nQueries) &&
+          col("__badShape") === 0L && col("__badFirst") === 0L &&
+          col("__agree") === lit(nQueries * k) &&
+          col("__mateMax") <= lit((k - 1).toLong) &&
+          col("__mateSum").cast("double") / col("n_queries") <=
+            lit(mateCeil)).as("mmr_ok"))
+  }
+
   /** MEAN RECIPROCAL RANK contract of an ANN searcher over
     * [[clusteredCorpus]] — the rank-position-sensitive complement of
     * the recall floor (a searcher returning mates only at ranks 2..k

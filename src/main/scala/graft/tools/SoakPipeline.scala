@@ -111,10 +111,17 @@ object SoakPipeline {
     val pairs = graft.pipeline.Dedup.nearDupPairs(docs)
     stage("neardup_pairs_autoguard")(pairs.count())
     // componentsRun so the pointer-jumping ROUND COUNT is visible: under
-    // the zipf near-clique it must stay O(log n) (doubling shortcuts)
-    val compsRun = graft.pipeline.Dedup.componentsRun(
-      docs.select(col("doc_id")), pairs)
-    stage("components")(compsRun.labels.filter(col("keep")).count())
+    // the zipf near-clique it must stay O(log n) (doubling shortcuts).
+    // Construction goes INSIDE the timed thunk — the label-propagation
+    // rounds execute eagerly (checkpointed per round) at build time, so
+    // timing only the final count under-reported the stage (r11–r13
+    // tables: ~1–2 s; the rounds' wall sat unattributed in TOTAL)
+    var compsRun: graft.pipeline.Dedup.ComponentsRun = null
+    stage("components") {
+      compsRun = graft.pipeline.Dedup.componentsRun(
+        docs.select(col("doc_id")), pairs)
+      compsRun.labels.filter(col("keep")).count()
+    }
     println(s"[soak] components rounds=${compsRun.rounds} " +
       s"converged=${compsRun.converged}")
     stage("leak_free_split")(graft.pipeline.Dedup.leakFreeSplit(
@@ -135,19 +142,41 @@ object SoakPipeline {
     if (zipf) println(s"[soak] hot-chunk group size = " +
       s"${docs.filter(col("source") === "megasource").count()} " +
       "(docs sharing the header chunk)")
+    // the timed thunk must AGGREGATE the report columns: a bare
+    // count() on chunkDedup's output is free — Catalyst eliminates the
+    // final left join under count (the rollup side is unique on
+    // doc_id, distinct-key propagation), so the stage would measure an
+    // empty plan while the election ran unattributed later
     val chunked = graft.pipeline.Dedup.chunkDedup(headered, chunkTokens = 10)
-    stage("chunk_dedup_boilerplate")(chunked.count())
+    var keptText: org.apache.spark.sql.Row = null
+    stage("chunk_dedup_boilerplate") {
+      keptText = chunked
+        .agg(count(lit(1)), sum("n_chunks"), sum("kept_tokens"),
+          sum("n_tokens")).head()
+      keptText.getLong(0)
+    }
     val chunkedHash = graft.pipeline.Dedup.chunkDedup(headered,
       chunkTokens = 10, hashKey = true)
-    stage("chunk_dedup_hashkey")(chunkedHash.count())
-    val keptText = chunked.agg(sum("kept_tokens"), sum("n_tokens")).head()
-    val keptHash = chunkedHash.agg(sum("kept_tokens"), sum("n_tokens")).head()
-    println(s"[soak] chunk_dedup kept_tokens/total: text-keyed " +
-      s"${keptText.getLong(0)}/${keptText.getLong(1)}, hash-keyed " +
-      s"${keptHash.getLong(0)}/${keptHash.getLong(1)} " +
+    var keptHash: org.apache.spark.sql.Row = null
+    stage("chunk_dedup_hashkey") {
+      keptHash = chunkedHash
+        .agg(count(lit(1)), sum("n_chunks"), sum("kept_tokens"),
+          sum("n_tokens")).head()
+      keptHash.getLong(0)
+    }
+    println(s"[soak] chunk_dedup chunks=${keptText.getLong(1)} " +
+      s"kept_tokens/total: text-keyed " +
+      s"${keptText.getLong(2)}/${keptText.getLong(3)}, hash-keyed " +
+      s"${keptHash.getLong(2)}/${keptHash.getLong(3)} " +
       s"(must match: ${keptText == keptHash})")
+    // same count-elimination trap as the chunk stages (found r14): a
+    // bare count() prunes the window cumsum away entirely (ColumnPruning
+    // drops a Window no one references — it cannot change cardinality),
+    // so r11–r13 tables reported a scan-only 0.1 s here; aggregating the
+    // pack columns forces the real shard shuffle + per-shard sort
     stage("pack_sequences")(graft.pipeline.Sampling.packSequences(
-      docs, 2048L, 32, "soakpk").count())
+        docs, 2048L, 32, "soakpk")
+      .agg(count(lit(1)), max("pack"), max("pack_offset")).head().getLong(0))
     println(f"[soak] TOTAL: ${(System.nanoTime() - t00) / 1e9}%.1f s, " +
       f"peak heap ${peakHeap / (1L << 30)}%d GiB, " +
       f"max heap ${rt.maxMemory / (1L << 30)}%d GiB, " +

@@ -404,6 +404,38 @@ class ScaleGateSpec extends SparkSpec {
     assert(got.length == 50 && got.distinct.length == 50, got.length)
   }
 
+  test("mmrScaleContract: green on the designed corpus, red on duplicated picks / lam1 disagreement / mate-heavy picks") {
+    // q363 in miniature: 100 vectors in 20 clusters of 5, 2 queries
+    val emb = graft.pipeline.Contracts.clusteredCorpus(spark, 100L, 16, 5)
+    val q = emb.filter(pmod(col("vec_id"), lit(50L)) === 0L)
+    val div = Similarity.mmrRerank(emb, q, k = 3, n = 6, lam = 0.3)
+    val lam1 = Similarity.mmrRerank(emb, q, k = 3, n = 6, lam = 1.0)
+    val brute = Similarity.bruteForceTopK(emb, q, 6)
+    def verdict(d: org.apache.spark.sql.DataFrame,
+        l: org.apache.spark.sql.DataFrame, ceil: Double): Boolean =
+      graft.pipeline.Contracts.mmrScaleContract(d, l, brute,
+        clusterSize = 5, k = 3, nQueries = 2L, mateCeil = ceil)
+        .collect()(0).getBoolean(1)
+    // measured: each query picks mate/stranger/mate — the two stranger
+    // candidates in its top-6 are mutual cluster mates, so after one is
+    // picked the other is penalized as hard as an own-mate and a mate
+    // legitimately re-enters (the contract's scaladoc point); mates = 2
+    // = k−1 per query — displacement happened, ceiling honest at 2.0
+    assert(verdict(div, lam1, 2.0))
+    // red: a duplicated pick breaks the distinct-shape invariant
+    val dup = div.withColumn("neighbor_id",
+      when(col("mmr_rank") === 2, first(col("neighbor_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy("mmr_rank"))).otherwise(col("neighbor_id")))
+    assert(!verdict(dup, lam1, 1.5))
+    // red: λ=1 side replaced by the diversity picks (they disagree with
+    // brute-force order on this corpus, so __agree < nQueries*k)
+    assert(!verdict(div, div, 1.5))
+    // red: a mate ceiling below the measured mean (rank-1 is always a
+    // mate, so mean mates >= 1 > 0.5)
+    assert(!verdict(div, lam1, 0.5))
+  }
+
   test("r12-operator degenerate inputs: tied conformal scores, single-bin isotonic, zero-budget unimax, constant-tail Hill, mmr k=1/exhaustion") {
     // conformal with ALL-TIED scores at the rank boundary: rank order
     // among ties is arbitrary, but the threshold is an ORDER STATISTIC
