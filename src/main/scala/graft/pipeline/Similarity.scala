@@ -2582,7 +2582,15 @@ object Similarity {
       s"bad mmr shape: k=$k n=$n lam=$lam")
     val lamS = java.lang.Double.toString(lam)
     val mumS = java.lang.Double.toString(1.0 - lam)
-    val cands = bruteForceTopK(corpus, queries, n)
+    // The candidate relation is λ-INDEPENDENT (|Q|·n rows — driver-sized),
+    // so it is pinned in the plan-keyed RelCache: reranking one (corpus,
+    // queries, n) under several λ (the tuning sweep, or a λ=1 ordering
+    // check against the relevance-only ranking) pays the n-candidate
+    // generation ONCE instead of per λ. Spark's CacheManager substitutes
+    // the pinned relation into ANY plan whose subtree canonicalizes the
+    // same, so a side-by-side bruteForceTopK over the same (corpus,
+    // queries, n) — the q363 contract's oracle arm — shares it too.
+    val cands = graft.util.RelCache.persist(bruteForceTopK(corpus, queries, n))
     val cg = cands.select(col("query_id"), col("neighbor_id"))
     val nw = graft.util.RelCache.persist(withNorm(corpus)
       .select(col("vec_id"), col("embedding"), col("nrm")))
@@ -2597,9 +2605,11 @@ object Similarity {
         col("nrm").as("__ny")), "__y")
       .select(col("query_id"), concat_ws(":", col("__x"), col("__y")).as("__k"),
         cosine(col("__ex"), col("__ey"), col("__nx"), col("__ny")).as("__c"))
-    val pm = pairs.groupBy(col("query_id"))
+    // λ-independent like cands (the n·(n−1)/2 candidate-pair cosine map,
+    // |Q| rows): pinned so a multi-λ rerank builds the pair map once.
+    val pm = graft.util.RelCache.persist(pairs.groupBy(col("query_id"))
       .agg(map_from_entries(collect_list(struct(col("__k"), col("__c"))))
-        .as("__pm"))
+        .as("__pm")))
     val cArr = cands.groupBy(col("query_id"))
       .agg(sort_array(collect_list(struct((-col("cosine")).as("s"),
         col("neighbor_id").as("id"), col("cosine").as("rel")))).as("__c0"))
