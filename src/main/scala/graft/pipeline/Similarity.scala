@@ -434,14 +434,17 @@ object Similarity {
     // (a2) position-local chain seeds: the query's own row in each
     // bucket (equi-join on vec_id — empty for out-of-corpus queries)
     // exploded to the chain-init rank window around its position
-    val chainSeeds = broadcast(qb)
+    // both chain joins keep the |Q|-sized side as the broadcast build and
+    // stream the corpus-sized `ranked` relation from its pinned cache
+    val chainPos = broadcast(qb)
       .join(ranked.withColumnRenamed("vec_id", "query_id"),
         Seq("query_id", "tbl", "bucket"))
       .select(col("query_id"), col("tbl"), col("bucket"),
         explode(expr(s"sequence(greatest(1, __rn - $beam), __rn + $beam)"))
           .as("__trn"))
-      .join(ranked.select(col("vec_id").as("neighbor_id"), col("tbl"),
-        col("bucket"), col("__rn").as("__trn")), Seq("tbl", "bucket", "__trn"))
+    val chainSeeds = ranked.select(col("vec_id").as("neighbor_id"),
+        col("tbl"), col("bucket"), col("__rn").as("__trn"))
+      .join(broadcast(chainPos), Seq("tbl", "bucket", "__trn"))
       .select(col("query_id"), col("neighbor_id"))
     // bucket heads: one representative per populated (table, bucket) —
     // ≤ tables·2^bits rows, the bounded entry-diversity set
@@ -451,9 +454,16 @@ object Similarity {
     val globalSeeds = q.select(col("query_id"))
       .crossJoin(broadcast(n.select(col("vec_id").as("neighbor_id"))
         .orderBy(col("neighbor_id")).limit(beam)))
-    def score(cand: DataFrame): DataFrame = cand
-      .join(n.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("__eb"), col("nrm").as("__nb")), "neighbor_id")
+    // Broadcast the CANDIDATE pairs (|Q|·seeds rows of two longs — KBs to
+    // a few MB), never the corpus: the corpus side streams from its
+    // pinned cache map-side, so each scoring pass is one shuffle-free
+    // stage. The previous shape (cand ⋈ n) let the planner pick the
+    // ~200k-row embedding relation as the build side, re-collecting and
+    // re-shipping a corpus-sized hash relation for every eager round.
+    def score(cand: DataFrame): DataFrame = n
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__eb"), col("nrm").as("__nb"))
+      .join(broadcast(cand), "neighbor_id")
       .join(broadcast(q), "query_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -470,7 +480,8 @@ object Similarity {
     for (_ <- 1 to rounds) {
       val frontier = rankTopK(seen, beam)
         .select(col("query_id"), col("neighbor_id").as("__node"))
-      val fresh = frontier.join(edges, "__node")
+      // |Q|·beam frontier rows broadcast; the n·k edge relation streams
+      val fresh = edges.join(broadcast(frontier), "__node")
         .select(col("query_id"), col("__next").as("neighbor_id"))
         .distinct()
         .join(seen.select(col("query_id"), col("neighbor_id")),
@@ -1365,7 +1376,19 @@ object Similarity {
     val sub = codebook.head._3.length
     val cb = codebook.map { case (ss, cid, c) => (ss, cid, c.toSeq) }
       .toDF("__ss", "__cid", "__cvec")
-    val enc = pqEncodeWith(corpus, codebook, m)
+    // codes packed to one array row per vector (pinned — the stored-on-
+    // disk artifact; map-combinable min, so the pack is one small train-
+    // time exchange) and the |Q|·m·k LUT folded to one map row per query:
+    // the ADC scan is then a broadcast nested-loop over the packed codes
+    // with the m-term fold MAP-SIDE in subspace order (the same
+    // 0.0-seeded subspace-ascending IEEE sequence as the previous
+    // sort_array fold) — no (query, vector, subspace) exchange at all,
+    // only the bounded-heap rank-k merge (guide §2.3/§2.4).
+    val enc = graft.util.RelCache.persist(
+      pqEncodeWith(corpus, codebook, m)
+        .groupBy(col("vec_id"))
+        .agg(array((0 until m).map(ss =>
+          min(when(col("subspace") === ss, col("code")))): _*).as("__codes")))
     val lut = (0 until m).map { ss =>
       queries.select(col("vec_id").as("query_id"), col("embedding"))
         .join(broadcast(cb.filter(col("__ss") === ss)))
@@ -1374,14 +1397,18 @@ object Similarity {
           graft.functions.VecL2FD.vec_l2_fd(
             col("embedding"), col("__cvec"), ss * sub).as("__d2"))
     }.reduce(_ unionAll _)
-    val summed = enc.join(broadcast(lut), Seq("subspace", "code"))
+    val lutMap = lut.groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("subspace").cast("long") * lit(codes.toLong) + col("code"))
+          .as("__mk"),
+        col("__d2").as("__mv")))).as("__lm"))
+    val summed = enc.crossJoin(broadcast(lutMap))
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("subspace"),
-        col("__d2")))).as("__a"))
       .select(col("query_id"), col("vec_id"),
-        aggregate(col("__a"), lit(0.0),
-          (acc, x) => acc + x.getField("__d2")).as("__ad2"))
+        expr(s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+           |(acc, ss) -> acc + element_at(__lm,
+           |  CAST(ss AS BIGINT) * ${codes}L + element_at(__codes, ss + 1)))"""
+          .stripMargin.replaceAll("\n", " ")).as("__ad2"))
     val adc = summed.groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore.top_k(
         -col("__ad2"), col("vec_id"), if (rerank > 0) rerank else k).as("__t"))
@@ -1502,14 +1529,21 @@ object Similarity {
       assignCells(corpus, cent, 1).select(col("vec_id"),
         col("embedding"), col("cell")))
     // residual encoding: argmin_code ||v_ss - (c_ss + cw)||2 per
-    // (vector, subspace), cell-keyed against the broadcast combined set.
-    // The CODES relation is pinned (N·m rows of four small ints — the
-    // artifact a production deployment stores on disk): the encode pass
-    // is the search's dominant corpus scan, and repeated searches over
-    // one trained (corpus, nCells, m, codes) index — recall gates,
-    // bench passes, rerank consumers — must not re-encode; plan-keyed
-    // like the assignment above (the combined table is a LocalRelation
-    // of memoized training output, structurally equal across calls)
+    // (vector, subspace), cell-keyed against the broadcast combined set,
+    // then PACKED to one codes-array row per vector. The packed relation
+    // is pinned (N rows of (cell, array<long>[m]) — the artifact a
+    // production deployment stores on disk): the encode pass is the
+    // search's dominant corpus scan, and repeated searches over one
+    // trained (corpus, nCells, m, codes) index — recall gates, bench
+    // passes, rerank consumers — must not re-encode; plan-keyed like the
+    // assignment above (the combined table is a LocalRelation of
+    // memoized training output, structurally equal across calls). Both
+    // aggregates are map-combinable mins, so the pack costs two small
+    // exchanges at TRAIN time and removes the (query, vector, subspace)
+    // exchange from every SEARCH (guide §2.3: the previous form
+    // re-grouped |probed|·m struct rows per query through a shuffle —
+    // ~200 MB at the 200k gate — just to re-join m rows it had already
+    // had side by side).
     val enc = graft.util.RelCache.persist((0 until m).map { ss =>
       asg.join(broadcast(combined.filter(col("__ss") === ss)), "cell")
         .select(col("vec_id"), col("cell"), col("__ss"), col("__code"),
@@ -1518,10 +1552,12 @@ object Similarity {
     }.reduce(_ unionAll _)
       .groupBy(col("vec_id"), col("cell"), col("__ss"))
       .agg(min(struct(col("__d2"), col("__code"))).as("__b"))
-      .select(col("vec_id"), col("cell"), col("__ss").as("subspace"),
-        col("__b.__code").as("code")))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(array((0 until m).map(ss =>
+        min(when(col("__ss") === ss, col("__b.__code")))): _*).as("__codes")))
     // query LUT: exact d2 from the query subvector to every combined
-    // target in its nprobe probed cells
+    // target in its nprobe probed cells — folded to ONE map row per
+    // (query, probed cell), keyed subspace·codes + code, and broadcast
     val qasg = assignCells(queries, cent, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding"), col("cell"))
     val lut = (0 until m).map { ss =>
@@ -1531,16 +1567,23 @@ object Similarity {
           graft.functions.VecL2FD.vec_l2_fd(
             col("embedding"), col("__cvec"), ss * sub).as("__d2"))
     }.reduce(_ unionAll _)
-    // ADC: only code rows in probed cells join a LUT entry — the scan
-    // IS the pruning; fold the m per-subspace terms in subspace order
-    val summed = enc.join(broadcast(lut), Seq("cell", "subspace", "code"))
+    val lutMap = lut.groupBy(col("query_id"), col("cell"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("subspace").cast("long") * lit(codes.toLong) + col("code"))
+          .as("__mk"),
+        col("__d2").as("__mv")))).as("__lm"))
+    // ADC: only packed rows in probed cells join a LUT map — the scan IS
+    // the pruning; the m per-subspace terms fold MAP-SIDE in subspace
+    // order (same 0.0-seeded subspace-ascending IEEE sequence as the
+    // previous sort_array fold, term for term), so the only exchange
+    // left in the search path is the bounded-heap rank-k merge
+    val summed = enc.join(broadcast(lutMap), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("subspace"),
-        col("__d2")))).as("__a"))
       .select(col("query_id"), col("vec_id"),
-        aggregate(col("__a"), lit(0.0),
-          (acc, x) => acc + x.getField("__d2")).as("__ad2"))
+        expr(s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
+           |(acc, ss) -> acc + element_at(__lm,
+           |  CAST(ss AS BIGINT) * ${codes}L + element_at(__codes, ss + 1)))"""
+          .stripMargin.replaceAll("\n", " ")).as("__ad2"))
     val adc = summed.groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore.top_k(
         -col("__ad2"), col("vec_id"), if (rerank > 0) rerank else k).as("__t"))
