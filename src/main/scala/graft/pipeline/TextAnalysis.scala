@@ -767,7 +767,11 @@ object TextAnalysis {
     * the doc's distinct-term count. No corpus-scale sort, no driver
     * collection — the model IS a DataFrame, never materialized
     * driver-side. */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame): DataFrame = graft.util.RelCache.persist {
+    // pinned (doc-sized rows, corpus-sized compute): the unigram score
+    // over one corpus feeds q193 directly plus lmFilter, lmFilterSketch,
+    // excessLossSelect and doremiWeights — five consumers re-deriving
+    // the same two token exchanges without the memo
     val tf = docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
@@ -1106,7 +1110,9 @@ object TextAnalysis {
     * doc-keyed with per-group memory = doc length. Corpus-sized
     * relations move only through hash exchanges — no global sort, no
     * driver state. */
-  def lmScoreBigram(docs: DataFrame): DataFrame = {
+  def lmScoreBigram(docs: DataFrame): DataFrame = graft.util.RelCache.persist {
+    // pinned like [[lmScore]]: q197, excessLossSelect and doremiWeights
+    // share one bigram pass per corpus
     import org.apache.spark.sql.expressions.Window
     val tok = docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
