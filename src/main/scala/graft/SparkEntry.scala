@@ -40,6 +40,15 @@ object SparkEntry {
       val hit = tableCache.get(key)
       if (hit != null) hit
       else {
+        // NOTE (r14, measured): bench-scale inputs are single-row-group
+        // parquet files that scan as 1–3 splits. Spreading them across
+        // the cores here (repartition to 8/32 before the cacheTables
+        // pin) was tried and REJECTED: back-to-back concurrent walls
+        // measured 41.6 s unspread vs 46.1 s at 8 and 52.5 s at 32 —
+        // under the bench's 16-way query concurrency the cores are
+        // already saturated, so extra tasks are pure scheduling
+        // overhead, and solo tails regressed ×1.6. See
+        // OPTIMIZATION_r14.md §5.
         val df = graft.sources.Tables.table(s, dir, name)
         tableCache.put(key, df)
         df

@@ -142,8 +142,11 @@ object Contracts {
   def cmsContract(docs: DataFrame, width: Int = 256,
       depth: Int = 4): DataFrame = {
     require(width > 0 && depth > 0)
-    val tf = TextAnalysis.sourceTerms(docs)
-      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    // pinned: the term-frequency relation is re-read by depth+2 subtrees
+    // (the joined base, each depth's bucket table, the total) — without
+    // the pin each one re-ran the token explode + vocab exchange
+    val tf = graft.util.RelCache.persist(TextAnalysis.sourceTerms(docs)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf")))
     def h(j: Int): Column =
       conv(substring(md5(concat(lit(s"$j:"), col("term"))), 1, 8), 16, 10)
         .cast("long") % lit(width.toLong)
