@@ -421,8 +421,13 @@ object Similarity {
       .partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
     val ranked = graft.util.RelCache.persist(
       bk.withColumn("__rn", row_number().over(rn)))
-    val entryIdx = ranked.filter(col("__rn") <= beam)
-      .select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id"))
+    // entry index and bucket heads are beam-/corpus-keyed derivations of
+    // the pinned `ranked` relation — pinned themselves so repeated
+    // searches (and the q341/q317/q327 gates sharing one corpus) skip
+    // the 1.6M-row re-scans
+    val entryIdx = graft.util.RelCache.persist(
+      ranked.filter(col("__rn") <= beam)
+        .select(col("tbl"), col("bucket"), col("vec_id").as("neighbor_id")))
     val qb = q.select(col("query_id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("tbl"),
@@ -449,8 +454,9 @@ object Similarity {
     // bucket heads: one representative per populated (table, bucket) —
     // ≤ tables·2^bits rows, the bounded entry-diversity set
     val headSeeds = q.select(col("query_id"))
-      .crossJoin(broadcast(ranked.filter(col("__rn") === 1)
-        .select(col("vec_id").as("neighbor_id")).distinct()))
+      .crossJoin(broadcast(graft.util.RelCache.persist(
+        ranked.filter(col("__rn") === 1)
+          .select(col("vec_id").as("neighbor_id")).distinct())))
     val globalSeeds = q.select(col("query_id"))
       .crossJoin(broadcast(n.select(col("vec_id").as("neighbor_id"))
         .orderBy(col("neighbor_id")).limit(beam)))
@@ -468,12 +474,20 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qe"), col("__eb"), col("__qn"), col("__nb")).as("cosine"))
-    def blocks(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed.collectLeaves().collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
     val edges = graph.select(col("query_id").as("__node"),
       col("neighbor_id").as("__next"))
+    // ONE eager checkpoint — the seed scores (the only relation every
+    // round re-reads, and the base of the iterative lineage); the
+    // rounds themselves stay LAZY. The previous form checkpointed the
+    // whole accumulated union every round, which (a) re-serialized the
+    // |Q|·seeds rows per round and (b) serialized the search into ~10
+    // extra blocking jobs per call — under the bench's 16-way query
+    // concurrency each barrier queues behind every other query's jobs.
+    // Laziness is affordable here because round r's plan references
+    // round r−1 only through exchanges, and ReuseExchange collapses the
+    // repeated identical subtrees in the single final physical plan;
+    // with the bounded rounds (2 everywhere on the surface) the plan
+    // stays small.
     var seen = score(lshSeeds.union(chainSeeds).union(headSeeds)
         .union(globalSeeds).distinct())
       .localCheckpoint(true)
@@ -486,9 +500,7 @@ object Similarity {
         .distinct()
         .join(seen.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_anti")
-      val next = seen.union(score(fresh)).localCheckpoint(true)
-      blocks(seen).foreach(_.unpersist(false))
-      seen = next
+      seen = seen.union(score(fresh))
     }
     rankTopK(seen, k)
   }
