@@ -1289,7 +1289,11 @@ object Funnel {
       .select(col(keyCol), unix_micros(col(tsCol)).as("__us"), col(idCol),
         col(typeCol).as("__t"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"), col(idCol))
-    val lg = base.withColumn("__prev", lag(col("__t"), 1).over(w))
+    // pinned: the lagged relation feeds three subtrees (bigram counts,
+    // first-token scores, rest-token scores) — each re-ran the key
+    // window without the pin
+    val lg = graft.util.RelCache.persist(
+      base.withColumn("__prev", lag(col("__t"), 1).over(w)))
     val uni = base.groupBy(col("__t")).agg(count(lit(1)).as("__c1"))
     val total = base.agg(count(lit(1)).as("__tt"))
     val big = lg.filter(col("__prev").isNotNull)

@@ -334,13 +334,18 @@ object Similarity {
          |        <= (1.0D - cd.c)) THEN acc
          |    ELSE array_append(acc, struct(cd.v AS v, cd.c AS c)) END)
          |""".stripMargin.replaceAll("\n", " ")
-    cands.join(pm, Seq("__u"), "left")
-      .withColumn("__pm", coalesce(col("__pm"),
-        expr("CAST(map() AS MAP<STRING, DOUBLE>)")))
-      .select(col("__u").as("query_id"),
-        posexplode(expr(keepExpr)).as(Seq("__r", "__kv")))
-      .select(col("query_id"), col("__kv.v").as("neighbor_id"),
-        col("__kv.c").as("cosine"), (col("__r") + 1).cast("int").as("rank"))
+    // pinned like [[knnGraph]]'s output: the pruned graph is an INDEX
+    // artifact (n·r rows) a deployment stores, and rebuilding it costs
+    // the n·k² pair relation — searches over one (graph, r, alpha)
+    // must not re-prune
+    graft.util.RelCache.persist(
+      cands.join(pm, Seq("__u"), "left")
+        .withColumn("__pm", coalesce(col("__pm"),
+          expr("CAST(map() AS MAP<STRING, DOUBLE>)")))
+        .select(col("__u").as("query_id"),
+          posexplode(expr(keepExpr)).as(Seq("__r", "__kv")))
+        .select(col("query_id"), col("__kv.v").as("neighbor_id"),
+          col("__kv.c").as("cosine"), (col("__r") + 1).cast("int").as("rank")))
   }
 
   /** Per-query ANN SEARCH over a prebuilt k-NN graph — the query side of
@@ -379,9 +384,12 @@ object Similarity {
     *    candidate volume ≤ |Q|·beam·graph_degree; the query relation
     *    broadcasts, the corpus never shuffles more than the candidate
     *    rows joined TO it on neighbor_id.
-    *  - The accumulated scored set is EAGERLY localCheckpoint-pinned
-    *    each round with prior-round release (the [[knnGraph]]
-    *    discipline — a lazily-persisted loop re-executes 2^rounds).
+    *  - The SEED scores are eagerly localCheckpoint-pinned (the base
+    *    every round re-reads); the bounded rounds run lazily — round r
+    *    references r−1 only through exchanges, which ReuseExchange
+    *    collapses in the one final plan, so nothing re-executes
+    *    2^rounds and no per-round blocking job serializes the search
+    *    behind concurrent queries.
     *
     * Deterministic end-to-end (LSH sign tests, vec_id-ordered seeds,
     * (cosine desc, id asc) heap ranking — no RNG), so the recall
