@@ -1363,13 +1363,27 @@ object Dedup extends org.apache.spark.internal.Logging {
     *   deleted as soon as the next round is materialized. */
   def components(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None): DataFrame = {
-    val run = componentsRun(nodes, pairs, maxIter, checkpointDir)
-    if (!run.converged)
-      throw new IllegalStateException(
-        s"components did not converge within maxIter=$maxIter rounds; " +
-          "raise maxIter (rounds grow ~log2(graph diameter)) or use " +
-          "componentsRun to inspect the partial labels")
-    run.labels
+    // Keyed memo (the knnGraph discipline): the labels relation is a
+    // localCheckpoint-backed LogicalRDD, so plan-keyed RelCache.persist
+    // can never dedupe two runs — consumers sharing one (nodes, pairs)
+    // graph (the exact-dup components behind q85 and the leak-free
+    // split, plus repeated bench passes) re-ran the full pointer-jumping
+    // iteration without this. Hash-keyed like kmeansCentroids (never
+    // the plan object: LocalRelation plans embed corpus rows); a failed
+    // build propagates and is NOT cached.
+    val key = ("components", System.identityHashCode(nodes.sparkSession),
+      nodes.queryExecution.analyzed.canonicalized.semanticHash(),
+      pairs.queryExecution.analyzed.canonicalized.semanticHash(),
+      maxIter, checkpointDir)
+    graft.util.RelCache.memo(key) {
+      val run = componentsRun(nodes, pairs, maxIter, checkpointDir)
+      if (!run.converged)
+        throw new IllegalStateException(
+          s"components did not converge within maxIter=$maxIter rounds; " +
+            "raise maxIter (rounds grow ~log2(graph diameter)) or use " +
+            "componentsRun to inspect the partial labels")
+      run.labels
+    }
   }
 
   /** Canonical-copy election by QUALITY over duplicate clusters: keep
