@@ -199,12 +199,18 @@ object Similarity {
       .partitionBy(col("tbl"), col("bucket")).orderBy(col("vec_id"))
     val withRn = graft.util.RelCache.persist(
       bk.withColumn("__rn", row_number().over(rn)))
+    // chain edges via lead() over the SAME window the rank came from —
+    // row at __rn links to the next c rows of its (tbl, bucket) chain.
+    // Identical pairs to the former rank-offset self-join (__trn ∈
+    // [__rn+1, __rn+c] ⇔ lead 1..c), but ONE Window over the pinned
+    // ranked relation (whose cached partitioning/ordering already
+    // satisfies the spec — no exchange, no sort) instead of building +
+    // broadcasting a corpus·tables-row hash relation per graph build
     val fwd = withRn
-      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"),
-        explode(expr(s"sequence(__rn + 1, __rn + $c)")).as("__trn"))
-      .join(withRn.select(col("vec_id").as("neighbor_id"), col("tbl"),
-        col("bucket"), col("__rn").as("__trn")), Seq("tbl", "bucket", "__trn"))
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("vec_id").as("query_id"),
+        array((1 to c).map(j => lead(col("vec_id"), j).over(rn)): _*).as("__nx"))
+      .select(col("query_id"), explode(col("__nx")).as("neighbor_id"))
+      .filter(col("neighbor_id").isNotNull)
     val initCand = fwd.union(
         fwd.select(col("neighbor_id").as("query_id"),
           col("query_id").as("neighbor_id")))
@@ -255,12 +261,18 @@ object Similarity {
       val next = rankTopK(score(cand), k).localCheckpoint(true)
       if (auto) {
         // edge churn = fraction of the new graph's edges absent from
-        // the previous graph — one anti-join count on two n·k-row
-        // checkpointed relations, cheap next to the round it prices;
+        // the previous graph — ONE job over two n·k-row checkpointed
+        // relations (left_outer against the unique-keyed g, count +
+        // count-matched in a single aggregate; was two count jobs whose
+        // barriers queued separately under the bench's concurrency);
         // the NN-Descent stop rule (churn < delta) ends refinement
-        val total = next.count()
-        val kept = next.select(col("query_id"), col("neighbor_id"))
-          .join(g, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val chk = next.select(col("query_id"), col("neighbor_id"))
+          .join(g.withColumn("__in", lit(1)),
+            Seq("query_id", "neighbor_id"), "left_outer")
+          .agg(count(lit(1)).as("__t"), count(col("__in")).as("__k"))
+          .collect()(0)
+        val total = chk.getLong(0)
+        val kept = chk.getLong(1)
         val churn =
           if (total == 0L) 0.0 else (total - kept).toDouble / total.toDouble
         logWarning(f"knnGraph round $round/$budget: edge churn $churn%.4f")

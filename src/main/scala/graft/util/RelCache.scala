@@ -47,15 +47,55 @@ object RelCache {
       }
     }
 
-  def persist(df: DataFrame): DataFrame = synchronized {
+  // SINGLE-FLIGHT in-flight table for persist(): a pinned relation is
+  // MATERIALIZED (count) by exactly one caller before being published.
+  // Lazily-pinned relations were the r15 cold-wall finding: a query
+  // plan holding several exchanges over one UNCACHED pinned relation
+  // materializes them concurrently under AQE, and every task convoys on
+  // the cache's per-partition loading locks (measured on the 200k
+  // knnGraph init: 21.6 s lazy vs 9.2 s pre-materialized, SOLO — worse
+  // under the bench's 16-way concurrency, where the same convoy put
+  // q341's first pass at 479 s). One eager count per distinct relation
+  // replaces the duplicated/serialized partition loads; the count runs
+  // OUTSIDE the global lock (it launches Spark jobs), and concurrent
+  // callers of the same plan rendezvous on the builder's future.
+  private val persistInflight = new java.util.concurrent.ConcurrentHashMap[
+    Any, java.util.concurrent.CompletableFuture[DataFrame]]()
+
+  def persist(df: DataFrame): DataFrame = {
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
-    val hit = cache.get(key)
-    if (hit != null) hit
-    else {
-      val pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
-      cache.put(key, pinned)
-      pinned
+    while (true) {
+      val hit = synchronized(cache.get(key))
+      if (hit != null) return hit
+      val fut = new java.util.concurrent.CompletableFuture[DataFrame]()
+      val prior = persistInflight.putIfAbsent(key, fut)
+      if (prior != null) {
+        try return prior.join()
+        catch { case _: java.util.concurrent.CompletionException => () }
+        // builder failed — loop: re-check the cache, then race to build
+      } else {
+        try {
+          val pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+          val t0 = System.nanoTime()
+          pinned.count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          // the memo-build logging discipline, capped to slow builds so
+          // the ~300 pins/session don't drown the log
+          if (wall > 0.25)
+            logger.warn(f"persist build (key#${key.hashCode()}%08x) took $wall%.3f s")
+          synchronized(cache.put(key, pinned))
+          fut.complete(pinned)
+          return pinned
+        } catch {
+          case e: Throwable =>
+            // never publish a half-materialized pin
+            try df.unpersist() catch { case _: Throwable => () }
+            fut.completeExceptionally(e)
+            throw e
+        } finally persistInflight.remove(key, fut)
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   def clear(): Unit = synchronized {
