@@ -88,12 +88,28 @@ object QuantileBins extends org.apache.spark.internal.Logging {
     Variable(name, allEdges)
   }
 
+  // sketchAxis edge memo: the GK pass is an EAGER driver collect per
+  // axis, re-run on every invocation of a sketch-binned query (q313
+  // pays two per call); keyed on the input plan + every parameter (the
+  // kmeansCentroids discipline), single-flight so concurrent callers
+  // share one pass. `name` is applied after lookup — it names the axis
+  // without affecting the edges.
+  private val sketchEdgeMemo =
+    new java.util.LinkedHashMap[Any, Array[Double]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, Array[Double]]): Boolean = size() > 64
+    }
+
   /** Sketch-based edges for the 100 TB path (no global sort; not
     * oracle-exact by construction). */
   def sketchAxis(df: DataFrame, xCol: String, name: String, nBins: Int,
       relativeError: Double = 1e-4): Variable = {
-    val probs = (0 to nBins).map(_.toDouble / nBins).toArray
-    val qs = df.stat.approxQuantile(xCol, probs, relativeError).distinct.sorted
+    val key = ("sketchAxis", df.sparkSession,
+      df.queryExecution.analyzed.canonicalized, xCol, nBins, relativeError)
+    val qs = graft.util.SingleFlight(sketchEdgeMemo, key) {
+      val probs = (0 to nBins).map(_.toDouble / nBins).toArray
+      df.stat.approxQuantile(xCol, probs, relativeError).distinct.sorted
+    }
     Variable(name, qs)
   }
 

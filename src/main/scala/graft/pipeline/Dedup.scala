@@ -1368,12 +1368,13 @@ object Dedup extends org.apache.spark.internal.Logging {
     // can never dedupe two runs — consumers sharing one (nodes, pairs)
     // graph (the exact-dup components behind q85 and the leak-free
     // split, plus repeated bench passes) re-ran the full pointer-jumping
-    // iteration without this. Hash-keyed like kmeansCentroids (never
-    // the plan object: LocalRelation plans embed corpus rows); a failed
-    // build propagates and is NOT cached.
+    // iteration without this. Keyed on the canonicalized plan OBJECTS
+    // (structural equality — the r14 verdict's hardening: two graphs
+    // colliding on a 32-bit semanticHash pair would have silently
+    // shared labels); a failed build propagates and is NOT cached.
     val key = ("components", System.identityHashCode(nodes.sparkSession),
-      nodes.queryExecution.analyzed.canonicalized.semanticHash(),
-      pairs.queryExecution.analyzed.canonicalized.semanticHash(),
+      nodes.queryExecution.analyzed.canonicalized,
+      pairs.queryExecution.analyzed.canonicalized,
       maxIter, checkpointDir)
     graft.util.RelCache.memo(key) {
       val run = componentsRun(nodes, pairs, maxIter, checkpointDir)

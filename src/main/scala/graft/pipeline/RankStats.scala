@@ -35,7 +35,21 @@ object RankStats {
     * map output is reused; the range partitioner is constructed
     * eagerly by sortBy, so partition boundaries cannot drift between
     * the totals pass and the offset pass). */
-  private[graft] def cumBeforeCounts(counts: DataFrame): DataFrame = {
+  private[graft] def cumBeforeCounts(counts: DataFrame): DataFrame =
+    // Keyed memo (the knnGraph discipline): the output is a LogicalRDD
+    // (toDF over the prefix-summed RDD), invisible to plan-keyed
+    // caching, and the build runs TWO eager RDD jobs + a collect — so
+    // every AUC-family consumer of one (table, score, class) relation
+    // (auc/aucCi/mannWhitney/bestThreshold/prCurve on the same counts,
+    // and every repeated bench pass) re-ran the sort + offset passes.
+    // One build per distinct counts plan; the pinned result relation is
+    // distinct-score-sized (tiny next to its corpus).
+    graft.util.RelCache.memo(("cumBefore", counts.sparkSession,
+        counts.queryExecution.analyzed.canonicalized)) {
+      graft.util.RelCache.persist(cumBeforeCountsBuild(counts))
+    }
+
+  private def cumBeforeCountsBuild(counts: DataFrame): DataFrame = {
     val sp = counts.sparkSession
     import sp.implicits._
     val sorted = counts.as[(Double, Long, Long)].rdd.sortBy(_._1)
@@ -580,6 +594,21 @@ object RankStats {
     import spark.implicits._
     val counts = graft.util.RelCache.persist(
       scoreCounts(df, scoreCol, isPos))
+    // Keyed memo over the fitted scalars: the gradient rounds are
+    // `iters` SEQUENTIAL driver collects over the distinct-score
+    // relation — ~10 blocking jobs per call that q310 (the fit gate)
+    // and q312 (calibratedEval's inner fit) re-ran per invocation.
+    // The distinct-score plan captures (df, scoreCol, isPos) exactly.
+    graft.util.RelCache.memo(("logisticFit", spark,
+        counts.queryExecution.analyzed.canonicalized, iters, lr)) {
+      logisticFitBuild(counts, iters, lr)
+    }
+  }
+
+  private def logisticFitBuild(counts: DataFrame,
+      iters: Int, lr: Double): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
     val tot = counts.agg(coalesce(sum(col("__p")), lit(0L)),
       coalesce(sum(col("__n")), lit(0L))).collect()(0)
     val (pTot, nTot) = (tot.getLong(0), tot.getLong(1))

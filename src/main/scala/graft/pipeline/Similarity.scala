@@ -508,10 +508,21 @@ object Similarity {
     // repeated identical subtrees in the single final physical plan;
     // with the bounded rounds (2 everywhere on the surface) the plan
     // stays small.
-    var seen = score(lshSeeds.union(chainSeeds).union(headSeeds)
-        .union(globalSeeds).distinct())
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    //
+    // The checkpointed seed scores are GRAPH-INDEPENDENT — a pure
+    // function of (corpus, queries, beam, tables, bits) — so they go
+    // through the keyed memo (the knnGraph discipline; the checkpoint
+    // hides the inputs from plan-keyed caching): searches over one
+    // corpus with different graphs (q317's raw vs q327's pruned) and
+    // repeated searches skip the ~8-stage seed-scoring job entirely.
+    var seen = graft.util.RelCache.memo(("graphSearchSeeds", emb.sparkSession,
+        emb.queryExecution.analyzed.canonicalized,
+        queries.queryExecution.analyzed.canonicalized, beam, tables, bits)) {
+      score(lshSeeds.union(chainSeeds).union(headSeeds)
+          .union(globalSeeds).distinct())
+        .localCheckpoint(true)
+    }
+    for (r <- 1 to rounds) {
       val frontier = rankTopK(seen, beam)
         .select(col("query_id"), col("neighbor_id").as("__node"))
       // |Q|·beam frontier rows broadcast; the n·k edge relation streams
@@ -521,6 +532,14 @@ object Similarity {
         .join(seen.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_anti")
       seen = seen.union(score(fresh))
+      // the lazy plan references the prior round's `seen` three times
+      // (frontier, anti-join, union), growing ~3^rounds — fine at the
+      // surface's rounds=2, but `rounds` is a public parameter. Past
+      // two rounds, truncate the accumulated lineage every other round
+      // (O(rounds) checkpoints — the bounded-planning fallback — only
+      // where the lazy form would explode Catalyst time).
+      if (rounds > 2 && r % 2 == 0 && r < rounds)
+        seen = seen.localCheckpoint(true)
     }
     rankTopK(seen, k)
   }
@@ -605,7 +624,7 @@ object Similarity {
     // an untagged 4-int tuple here could collide with a future untagged
     // key in another memo and hand a waiter the wrong cache's value)
     val key = ("kmeans", System.identityHashCode(corpus.sparkSession),
-      corpus.queryExecution.analyzed.canonicalized.semanticHash(), nCells, iters)
+      corpus.queryExecution.analyzed.canonicalized, nCells, iters)
     graft.util.SingleFlight(centroidMemo, key)(
       trainCentroids(corpus, nCells, iters))
   }
@@ -1181,7 +1200,7 @@ object Similarity {
       val d = tables * bits
       val guardKey = ("annLshGuard",
         System.identityHashCode(corpus.sparkSession),
-        corpus.queryExecution.analyzed.canonicalized.semanticHash(), d)
+        corpus.queryExecution.analyzed.canonicalized, d)
       graft.util.SingleFlight(signGuardDecisions, guardKey) {
         val frac = corpus
           .filter(pmod(hash(col("vec_id")), lit(101)) === 0 &&
@@ -1228,18 +1247,27 @@ object Similarity {
         col("bucket").bitwiseXOR(lit(f))): _*)).as("pb"))
     // distinct BEFORE scoring: a (query, neighbor) pair found by several
     // tables/probes must be scored once or top-k would emit duplicates
-    val cand = cb.as("c").join(broadcast(qprobes.as("q")),
+    val cand0 = cb.as("c").join(broadcast(qprobes.as("q")),
         col("q.tbl") === col("c.tbl") && col("q.pb") === col("c.bucket") &&
           col("q.vec_id") =!= col("c.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
       .distinct()
-    val scored = cand
+    val scored0 = cand0
       .join(broadcast(q.select(col("vec_id").as("query_id"),
         col("embedding").as("qe"), col("nrm").as("qn"))), "query_id")
       .join(c.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ne"), col("nrm").as("nn")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ne"), col("qn"), col("nn")).as("cosine"))
+    // the probe join (tables·C(bits,≤h) probe buckets against the
+    // corpus bucket relation) and the candidate-cosine verify are the
+    // searcher's heavy passes; their output is |Q|·candidates scored
+    // pairs — pinned so the gates sharing one search geometry (q342's
+    // recall floor and q352's MRR floor rank the SAME scored
+    // candidates) and repeated searches pay both passes once
+    val scored =
+      if (corpus.isStreaming || queries.isStreaming) scored0
+      else graft.util.RelCache.persist(scored0)
     rankTopK(scored, k)
   }
 
@@ -1438,8 +1466,10 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         expr(s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
-           |(acc, ss) -> acc + element_at(__lm,
-           |  CAST(ss AS BIGINT) * ${codes}L + element_at(__codes, ss + 1)))"""
+           |(acc, ss) -> acc + coalesce(element_at(__lm,
+           |    CAST(ss AS BIGINT) * ${codes}L + element_at(__codes, ss + 1)),
+           |  CAST(raise_error('ADC: code absent from LUT — partial or stale
+           | codebook') AS DOUBLE)))"""
           .stripMargin.replaceAll("\n", " ")).as("__ad2"))
     val adc = summed.groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore.top_k(
@@ -1613,8 +1643,10 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         expr(s"""aggregate(sequence(0, ${m - 1}), CAST(0.0 AS DOUBLE),
-           |(acc, ss) -> acc + element_at(__lm,
-           |  CAST(ss AS BIGINT) * ${codes}L + element_at(__codes, ss + 1)))"""
+           |(acc, ss) -> acc + coalesce(element_at(__lm,
+           |    CAST(ss AS BIGINT) * ${codes}L + element_at(__codes, ss + 1)),
+           |  CAST(raise_error('ADC: code absent from LUT — partial or stale
+           | codebook') AS DOUBLE)))"""
           .stripMargin.replaceAll("\n", " ")).as("__ad2"))
     val adc = summed.groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore.top_k(
@@ -1697,8 +1729,8 @@ object Similarity {
     // plan AND the coarse-centroid CONTENT (centroids are training
     // output, so the plan alone does not determine the residuals)
     val key = ("ivfpq", System.identityHashCode(corpus.sparkSession),
-      corpus.queryExecution.analyzed.canonicalized.semanticHash(), m, k,
-      cents.map { case (cid, v) => (cid, v.toSeq) }.hashCode())
+      corpus.queryExecution.analyzed.canonicalized, m, k,
+      cents.map { case (cid, v) => (cid, v.toSeq) })
     graft.util.SingleFlight(pqMemo, key)(
       trainResidualPqCodebook(corpus, cents, m, k))
   }
@@ -1820,7 +1852,7 @@ object Similarity {
     // contract): encode, search and the error report over one corpus
     // share ONE training run
     val key = ("pq", System.identityHashCode(corpus.sparkSession),
-      corpus.queryExecution.analyzed.canonicalized.semanticHash(), m, k, iters)
+      corpus.queryExecution.analyzed.canonicalized, m, k, iters)
     graft.util.SingleFlight(pqMemo, key)(trainPqCodebook(corpus, m, k, iters))
   }
 

@@ -207,7 +207,7 @@ object TextAnalysis {
     require(batchCap >= 1, "batchCap must be positive")
     val spark = docs.sparkSession
     val key = ("bpeTrain", System.identityHashCode(spark),
-      docs.queryExecution.analyzed.canonicalized.semanticHash(),
+      docs.queryExecution.analyzed.canonicalized,
       nMerges, batchCap)
     val trained = graft.util.SingleFlight(bpeMemo, key)(
       bpeTrainRun(docs, nMerges, batchCap))
@@ -615,12 +615,16 @@ object TextAnalysis {
       .select(col("doc_id"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("__len"),
         explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
-    val stats = docs.filter(col("text").isNotNull)
+    // one corpus-wide regexp_count pass, 1 row — pinned (the same
+    // canonical plan is shared by bm25 and rrfFusion over one corpus,
+    // and was re-run per invocation while tf was already memoized)
+    val stats = graft.util.RelCache.persist(docs.filter(col("text").isNotNull)
       .agg(count(lit(1)).as("__nd"),
-        sum(regexp_count(col("text"), lit("\\S+")).cast("long")).as("__tl"))
-    val tf = base.filter(col("term").isin(queryTerms: _*))
-      .groupBy(col("doc_id"), col("__len"), col("term"))
-      .agg(count(lit(1)).as("__tf"))
+        sum(regexp_count(col("text"), lit("\\S+")).cast("long")).as("__tl")))
+    val tf = graft.util.RelCache.persist(
+      base.filter(col("term").isin(queryTerms: _*))
+        .groupBy(col("doc_id"), col("__len"), col("term"))
+        .agg(count(lit(1)).as("__tf")))
     val dfRel = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val idf = floor(log(lit(1.0) +
         (col("__nd").cast("double") - col("__df").cast("double") + lit(0.5)) /
@@ -694,9 +698,12 @@ object TextAnalysis {
       .select(col("doc_id"),
         regexp_count(col("text"), lit("\\S+")).cast("long").as("__len"),
         explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
-    val stats = docs.filter(col("text").isNotNull)
+    // one corpus-wide regexp_count pass, 1 row — pinned (the same
+    // canonical plan is shared by bm25 and rrfFusion over one corpus,
+    // and was re-run per invocation while tf was already memoized)
+    val stats = graft.util.RelCache.persist(docs.filter(col("text").isNotNull)
       .agg(count(lit(1)).as("__nd"),
-        sum(regexp_count(col("text"), lit("\\S+")).cast("long")).as("__tl"))
+        sum(regexp_count(col("text"), lit("\\S+")).cast("long")).as("__tl")))
     // both heads read this ONE relation — the corpus is tokenized once
     val tf = graft.util.RelCache.persist(
       base.filter(col("term").isin(queryTerms: _*))
@@ -716,26 +723,48 @@ object TextAnalysis {
     val contribB = col("__tf").cast("double") *
       (floor(log(col("__nd").cast("double") / col("__df").cast("double")) *
         lit(1.0e9)) / lit(1.0e9))
-    def headRanks(contrib: Column): DataFrame = joined
-      .select(col("doc_id"), col("term"), contrib.as("__c"))
+    // BOTH heads' per-doc sums in ONE pass over `joined` (they read the
+    // same rows and differ only in the contribution expression; the
+    // previous two headRanks passes scanned `joined` twice and met in a
+    // full_outer join). The shared struct sorts by term alone — terms
+    // are unique per doc after the tf groupBy — so each head's fold
+    // adds in exactly the order the separate sort_array produced:
+    // per-head sums are bit-identical to the two-pass form.
+    val tops = joined
+      .select(col("doc_id"), col("term"),
+        contribA.as("__ca"), contribB.as("__cb"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("term"), col("__c")))).as("__a"))
-      .select(col("doc_id"), aggregate(col("__a"), lit(0.0),
-        (acc, x) => acc + x.getField("__c")).as("__s"))
-      .agg(graft.functions.TopKByScore.top_k(
-        col("__s"), col("doc_id"), kList).as("__t"))
-      .select(posexplode(col("__t")).as(Seq("__p", "__x")))
-      .select(col("__x.id").as("doc_id"),
-        (col("__p") + lit(1)).cast("long").as("__r"))
-    val ra = headRanks(contribA).withColumnRenamed("__r", "__ra")
-    val rb = headRanks(contribB).withColumnRenamed("__r", "__rb")
-    val fused = ra.join(rb, Seq("doc_id"), "full_outer")
+      .agg(sort_array(collect_list(struct(col("term"),
+        col("__ca"), col("__cb")))).as("__a"))
       .select(col("doc_id"),
-        (coalesce(lit(1.0) /
-            (lit(kRrf.toDouble) + col("__ra").cast("double")), lit(0.0)) +
-          coalesce(lit(1.0) /
-            (lit(kRrf.toDouble) + col("__rb").cast("double")), lit(0.0)))
-          .as("__rrf"))
+        aggregate(col("__a"), lit(0.0),
+          (acc, x) => acc + x.getField("__ca")).as("__sa"),
+        aggregate(col("__a"), lit(0.0),
+          (acc, x) => acc + x.getField("__cb")).as("__sb"))
+      .agg(graft.functions.TopKByScore.top_k(
+          col("__sa"), col("doc_id"), kList).as("__ta"),
+        graft.functions.TopKByScore.top_k(
+          col("__sb"), col("doc_id"), kList).as("__tb"))
+    // rank fusion IN-ROW off the single (top-A, top-B) row: rank =
+    // 1-based array_position in each head's id list (identical to the
+    // posexplode ranks — top_k arrays are best-first), absent = 0
+    // contribution (the old full_outer NULL-rank coalesce); the final
+    // ranking stays the SAME TopKByScore aggregate as before, so
+    // tie-breaking semantics are untouched.
+    val kR = kRrf.toDouble
+    def rrfTerm(arr: String): String =
+      s"""CASE WHEN array_position(transform($arr, x -> x.id), i) = 0
+         |  THEN 0.0D
+         |  ELSE 1.0D / ($kR + CAST(array_position(
+         |    transform($arr, x -> x.id), i) AS DOUBLE)) END""".stripMargin
+    val fused = tops.select(explode(expr(
+        s"""transform(
+           |  array_union(transform(__ta, x -> x.id),
+           |              transform(__tb, x -> x.id)),
+           |  i -> named_struct('id', i,
+           |    'rrf', ${rrfTerm("__ta")} + ${rrfTerm("__tb")}))"""
+          .stripMargin.replaceAll("\n", " "))).as("__e"))
+      .select(col("__e.id").as("doc_id"), col("__e.rrf").as("__rrf"))
     fused.agg(graft.functions.TopKByScore.top_k(
         col("__rrf"), col("doc_id"), k).as("__t"))
       .select(posexplode(col("__t")).as(Seq("__p", "__x")))
