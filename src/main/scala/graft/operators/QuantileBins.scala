@@ -39,23 +39,42 @@ object QuantileBins extends org.apache.spark.internal.Logging {
     * fraction). The exact path stays available (and oracle-gated, q59)
     * for reproducibility-critical use. Logs and reports (via the returned
     * flag) which path was taken. */
+  // quantile-edge memo (the kmeansCentroids discipline): BOTH exact and
+  // auto paths run eager jobs at axis-construction time (a stats pass,
+  // then a range-partitioned sort + zipWithIndex + collect on the exact
+  // branch) — re-run per invocation before this memo; keyed on the
+  // value-relation plan + every parameter, single-flight so concurrent
+  // axis builders share one pass. Axis `name` is applied after lookup.
+  private val axisMemo =
+    new java.util.LinkedHashMap[Any, AnyRef](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, AnyRef]): Boolean = size() > 64
+    }
+
   def autoAxisTagged(df: DataFrame, x: Column, name: String, nBins: Int,
       exactThreshold: Long = 10000000L, relativeError: Double = 1e-4): QuantileAxis = {
     val vals = df.select(x.cast("double").as("v")).filter(col("v").isNotNull)
-    // one stats pass decides the path AND feeds the exact branch (its
-    // count/min/max are exactly what quantileAxis needs) — no
-    // decide-then-recompute double scan
-    val stats = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
-    val n = stats.getLong(0)
-    if (n <= exactThreshold) {
-      logInfo(s"quantile axis '$name': exact rank edges over $n rows")
-      QuantileAxis(exactAxis(vals, stats, name, nBins), exact = true)
-    } else {
-      logWarning(s"quantile axis '$name': $n rows > exactThreshold=" +
-        s"$exactThreshold, switching to Greenwald-Khanna SKETCH edges " +
-        s"(rank error <= ${relativeError} * n; not oracle-exact)")
-      QuantileAxis(sketchAxis(vals, "v", name, nBins, relativeError), exact = false)
-    }
+    val key = ("autoAxis", df.sparkSession,
+      vals.queryExecution.analyzed.canonicalized, nBins, exactThreshold,
+      relativeError)
+    val built = graft.util.SingleFlight(axisMemo, key) {
+      // one stats pass decides the path AND feeds the exact branch (its
+      // count/min/max are exactly what quantileAxis needs) — no
+      // decide-then-recompute double scan
+      val stats = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+      val n = stats.getLong(0)
+      if (n <= exactThreshold) {
+        logInfo(s"quantile axis '$name': exact rank edges over $n rows")
+        QuantileAxis(exactAxis(vals, stats, name, nBins), exact = true)
+      } else {
+        logWarning(s"quantile axis '$name': $n rows > exactThreshold=" +
+          s"$exactThreshold, switching to Greenwald-Khanna SKETCH edges " +
+          s"(rank error <= ${relativeError} * n; not oracle-exact)")
+        QuantileAxis(sketchAxis(vals, "v", name, nBins, relativeError),
+          exact = false)
+      }
+    }.asInstanceOf[QuantileAxis]
+    QuantileAxis(Variable(name, built.axis.allEdges), built.exact)
   }
 
   /** Axis-only convenience over [[autoAxisTagged]]. */
@@ -67,8 +86,13 @@ object QuantileBins extends org.apache.spark.internal.Logging {
     * collect. */
   def quantileAxis(df: DataFrame, x: Column, name: String, nBins: Int): Variable = {
     val vals = df.select(x.cast("double").as("v")).filter(col("v").isNotNull)
-    val stats = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
-    exactAxis(vals, stats, name, nBins)
+    val key = ("quantileAxis", df.sparkSession,
+      vals.queryExecution.analyzed.canonicalized, nBins)
+    val built = graft.util.SingleFlight(axisMemo, key) {
+      val stats = vals.agg(count(lit(1)), min(col("v")), max(col("v"))).head()
+      exactAxis(vals, stats, name, nBins)
+    }.asInstanceOf[Variable]
+    Variable(name, built.allEdges)
   }
 
   private def exactAxis(vals: DataFrame, stats: org.apache.spark.sql.Row,

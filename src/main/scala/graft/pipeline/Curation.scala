@@ -692,11 +692,17 @@ object Curation {
         when(col("__n") === 1L, lit(0.0))
           .otherwise((col("__r") - 1).cast("double") /
             (col("__n") - 1).cast("double")).as("pctl"))
-    val globalRanked = base
-      .select(struct(col("__s"), col("doc_id")).as("__k"))
-      .orderBy(col("__k")).select(col("__k.__s")).as[Double].rdd
-      .zipWithIndex().map { case (s, i) => (i + 1L, s) }
-      .toDF("__rg", "__gs")
+    // keyed memo (the cumBeforeCounts discipline): zipWithIndex runs its
+    // per-partition count job at CONSTRUCTION time and the output is a
+    // LogicalRDD — every invocation re-ran the global order-statistic sort
+    val globalRanked = graft.util.RelCache.memo(("quantileCalibrateRank",
+        spark, base.queryExecution.analyzed.canonicalized)) {
+      graft.util.RelCache.persist(base
+        .select(struct(col("__s"), col("doc_id")).as("__k"))
+        .orderBy(col("__k")).select(col("__k.__s")).as[Double].rdd
+        .zipWithIndex().map { case (s, i) => (i + 1L, s) }
+        .toDF("__rg", "__gs"))
+    }
     val tot = base.agg(count(lit(1)).as("__N"))
     withP.crossJoin(broadcast(tot))
       .withColumn("__rg",

@@ -1062,10 +1062,17 @@ object TextAnalysis {
     val vocab = docs.filter(col("text").isNotNull)
       .select(explode(expr("""regexp_extract_all(text, '\\S+', 0)""")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("__f"))
-    val ranked = vocab.orderBy(col("__f").desc, col("term"))
-      .select(col("__f")).as[Long].rdd
-      .zipWithIndex().map { case (f, i) => (i + 1L, f) }
-      .toDF("__r", "__f")
+    // keyed memo (the cumBeforeCounts discipline): zipWithIndex runs its
+    // per-partition count job at CONSTRUCTION time and the output is a
+    // LogicalRDD — every invocation re-ran the vocabulary sort
+    val ranked = graft.util.RelCache.memo(("zipfRank", sp,
+        vocab.queryExecution.analyzed.canonicalized)) {
+      graft.util.RelCache.persist(
+        vocab.orderBy(col("__f").desc, col("term"))
+          .select(col("__f")).as[Long].rdd
+          .zipWithIndex().map { case (f, i) => (i + 1L, f) }
+          .toDF("__r", "__f"))
+    }
     def qlnL(c: Column): Column =
       floor(log(c.cast("double")) * lit(1.0e3))
     val m = ranked
