@@ -47,12 +47,27 @@ object ProbeKnnInit {
       val d = graft.util.RelCache.persist(bk.withColumn("__rn", row_number().over(rn)))
       d
     }
-    val fwd = withRn
+    // BEFORE (r14) init-edge shape: rank-offset self-join on the ranked
+    // bucket relation — builds + broadcasts a corpus·tables hash relation
+    val fwdJoin = withRn
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"),
         explode(expr(s"sequence(__rn + 1, __rn + $c)")).as("__trn"))
       .join(withRn.select(col("vec_id").as("neighbor_id"), col("tbl"),
         col("bucket"), col("__rn").as("__trn")), Seq("tbl", "bucket", "__trn"))
       .select(col("query_id"), col("neighbor_id"))
+    // AFTER (r15) shape: lead() over the same window — no join
+    val fwd = withRn
+      .select(col("vec_id").as("query_id"),
+        array((1 to c).map(j => lead(col("vec_id"), j).over(rn)): _*).as("__nx"))
+      .select(col("query_id"), explode(col("__nx")).as("neighbor_id"))
+      .filter(col("neighbor_id").isNotNull)
+    println("===== BEFORE fwd (rank-offset self-join) physical plan =====")
+    println(fwdJoin.queryExecution.executedPlan.toString.take(4000))
+    println("===== AFTER fwd (lead window) physical plan =====")
+    println(fwd.queryExecution.executedPlan.toString.take(4000))
+    println("===== fwd row parity check =====")
+    println("before-only rows: " + fwdJoin.exceptAll(fwd).count() +
+      ", after-only rows: " + fwd.exceptAll(fwdJoin).count())
     val initCand = fwd.union(
         fwd.select(col("neighbor_id").as("query_id"),
           col("query_id").as("neighbor_id")))
